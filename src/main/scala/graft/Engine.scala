@@ -1,0 +1,27 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.operators.{InvertedIndex, Tokenize}
+import graft.sources.{LetterSink, ManifestSource}
+
+/** End-to-end inverted-index pipeline: the whole reference program
+  * (manifest → tokenize → group → rank → 26 letter files) as one declarative
+  * Spark plan. The two pthread barriers of the reference become the two
+  * shuffle exchanges (word hash-partitioning for the aggregate; letter
+  * partitioning for the ranked sort) — see SURVEY §3.
+  */
+object Engine {
+
+  /** Build postings for a manifest corpus (distributed end of the pipeline). */
+  def indexFromManifest(spark: SparkSession, manifestPath: String, baseDir: String): DataFrame = {
+    val refs  = ManifestSource.docRefs(spark, manifestPath, baseDir)
+    val lines = ManifestSource.docLines(spark, refs)
+    val toks  = Tokenize.tokens(lines, textCol = "line", keep = Seq("file_id"))
+    InvertedIndex.postings(toks, idCol = "file_id")
+  }
+
+  /** Full golden-parity run: write `a.txt`…`z.txt` under `outDir`. */
+  def buildIndex(spark: SparkSession, manifestPath: String, baseDir: String, outDir: String): Seq[String] =
+    LetterSink.writeExact(indexFromManifest(spark, manifestPath, baseDir), outDir)
+}

@@ -1,0 +1,63 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Manifest + corpus sources (reference O1/O2, src/main.cpp:49-83,107-117).
+  *
+  * Manifest format: first line = number of documents N, then N paths, one per
+  * line; LINE POSITION DEFINES THE DOCUMENT ID (1-based in all outputs —
+  * reference assigns 0-based internally and adds 1 at the sink,
+  * src/main.cpp:312; we carry the 1-based id end-to-end).
+  *
+  * Scale design: the manifest itself is tiny relative to the corpus (one line
+  * per file — even 100M files fit in driver memory, the same regime as Spark's
+  * own file-listing). Document contents are read DISTRIBUTED via
+  * `spark.read.textFile` over all paths at once, then joined back to the
+  * manifest ids by file path with a broadcast join — no per-file driver loop.
+  */
+object ManifestSource {
+
+  /** Read a manifest into (file_id, path) with stable positional 1-based ids.
+    * RDD `zipWithIndex` over `textFile` preserves line order (partitions are
+    * ordered by file offset), which is the one invariant DataFrames alone
+    * can't promise (SURVEY §1 invariant 1). Line 0 is the count line, so a
+    * line's index IS its 1-based document id.
+    */
+  def docRefs(spark: SparkSession, manifestPath: String, baseDir: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext
+      .textFile(manifestPath)
+      .zipWithIndex()
+      .filter { case (_, idx) => idx > 0 } // drop the count line
+      .map { case (rel, idx) => (idx, rel.trim) }
+      .toDF("file_id", "rel_path")
+      .where(length($"rel_path") > 0)
+      .withColumn("path", concat(lit(baseDir.stripSuffix("/") + "/"), col("rel_path")))
+  }
+
+  /** Distributed read of every manifest document: one row per text line,
+    * (file_id, line). The join key is the absolute path recovered from
+    * `input_file_name()` (a file: URI); the manifest side is broadcast.
+    */
+  def docLines(spark: SparkSession, refs: DataFrame): DataFrame = {
+    val paths = refs.select("path").collect().map(_.getString(0))
+    if (paths.isEmpty) {
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType(
+          Seq(org.apache.spark.sql.types.StructField("file_id", org.apache.spark.sql.types.LongType),
+              org.apache.spark.sql.types.StructField("line", org.apache.spark.sql.types.StringType))))
+    } else {
+      val lines = spark.read
+        .textFile(paths: _*)
+        .select(
+          // file:///abs/path → /abs/path (also tolerates file:/abs/path)
+          regexp_replace(input_file_name(), "^file:/+", "/").as("path"),
+          col("value").as("line"))
+      lines
+        .join(broadcast(refs.select("file_id", "path")), Seq("path"))
+        .select("file_id", "line")
+    }
+  }
+}
