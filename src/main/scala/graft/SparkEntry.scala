@@ -1,10 +1,18 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
-import graft.operators.{InvertedIndex, Tokenize}
+import graft.functions.TextAnalysis
+import graft.operators.{Dedup, InvertedIndex, Tokenize}
 
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every query here is paired with DuckDB oracle SQL producing IDENTICAL
+  * column names and a deterministic total row order. Doubles are rounded on
+  * both sides so partial-aggregation order can't flip low bits.
+  */
 object SparkEntry {
 
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
@@ -19,11 +27,381 @@ object SparkEntry {
       InvertedIndex.postings(Tokenize.tokens(docs, "text", Seq("doc_id"))))
   }
 
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  // ---------------------------------------------------------------- queries
 
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops.
-    */
-  def oracleSql: Map[String, String] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // -- scan / projection / filter / string functions (SURVEY §2b rows 1-5)
+    "q_scan_project" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .where(col("n_chars") > 100)
+        .select(
+          col("doc_id"),
+          col("lang"),
+          col("n_chars"),
+          length(col("text")).as("text_len"),
+          upper(col("lang")).as("lang_uc"),
+          substring(col("text"), 1, 20).as("head"),
+          concat(col("lang"), lit("/"), col("source")).as("tag"))
+        .orderBy("doc_id")
+    }),
+
+    // -- global multi-key sort + limit (top-k): TakeOrderedAndProject
+    "q_topk_orders" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), round(col("o_totalprice"), 2).as("price"))
+        .orderBy(desc("price"), asc("o_orderkey"))
+        .limit(100)
+    }),
+
+    // -- filtered group-by aggregation (TPC-H Q1 shape); partial+final hash agg
+    "q_agg_pricing" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .where(col("l_shipdate") <= to_timestamp(lit("1999-06-30 00:00:00")))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice")), 2).as("sum_base"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+          round(avg(col("l_discount")), 4).as("avg_disc"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // -- distinct aggregation
+    "q_distinct_agg" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          countDistinct(col("l_partkey")).as("n_parts"),
+          countDistinct(col("l_suppkey")).as("n_supps"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("l_returnflag")
+    }),
+
+    // -- multi-way join through the dimension chain; dims broadcast
+    "q_join_revenue" -> ((s, dir) => {
+      val orders   = t(s, dir, "orders")
+      val customer = t(s, dir, "customer")
+      val nation   = t(s, dir, "nation")
+      val region   = t(s, dir, "region")
+      orders
+        .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+        .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+        .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(
+          round(sum(col("o_totalprice")), 2).as("revenue"),
+          countDistinct(col("o_custkey")).as("n_customers"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // -- fact⋈dimension broadcast hash join + agg
+    "q_join_parts" -> ((s, dir) => {
+      val li   = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+        .groupBy(col("p_brand"))
+        .agg(
+          round(sum(col("l_quantity")), 2).as("sum_qty"),
+          round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("p_brand")
+    }),
+
+    // -- window function: first 3 orders per customer by date
+    "q_window_orders" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rn"))
+        .orderBy("o_custkey", "rn")
+    }),
+
+    // -- anti join: customers with no high-value (>450k) order
+    "q_anti_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders").where(col("o_totalprice") > 450000)
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_anti")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // -- semi join: customers with at least one order
+    "q_semi_customers" -> ((s, dir) => {
+      val c = t(s, dir, "customer")
+      val o = t(s, dir, "orders")
+      c.join(o, c("c_custkey") === o("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(avg(col("c_acctbal")), 2).as("avg_bal"))
+        .orderBy("c_mktsegment")
+    }),
+
+    // -- set operations packaged into one deterministic row
+    "q_setops" -> ((s, dir) => {
+      val c       = t(s, dir, "customer")
+      val o       = t(s, dir, "orders")
+      val okeys   = o.select(col("o_custkey").as("k"))
+      val rich    = c.where(col("c_acctbal") > 1000).select(col("c_custkey").as("k"))
+      val nInter  = okeys.intersect(rich).agg(count(lit(1)).as("n_intersect"))
+      val nExcept = rich.except(okeys.distinct()).agg(count(lit(1)).as("n_except"))
+      val nUnion  = okeys.union(rich).distinct().agg(count(lit(1)).as("n_union"))
+      nInter.crossJoin(nExcept).crossJoin(nUnion)
+    }),
+
+    // ================= inverted-index surface (the reference's own pipeline)
+
+    // -- explode/split/lower/clean/filter: the map phase, one row per token
+    "q_tokenize" -> ((s, dir) => {
+      Tokenize
+        .tokens(t(s, dir, "documents").where(col("doc_id") < 50), "text", Seq("doc_id"))
+        .orderBy("doc_id", "word")
+    }),
+
+    // -- groupBy + distinct-set agg + sort_array + size: postings
+    "q_inverted_index" -> ((s, dir) => {
+      InvertedIndex
+        .postings(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")))
+        .select(
+          col("word"),
+          array_join(col("doc_ids"), " ").as("doc_ids_str"),
+          col("df"))
+        .orderBy("word")
+    }),
+
+    // -- multi-key global sort (letter ASC, df DESC, word ASC)
+    "q_ranked_postings" -> ((s, dir) => {
+      InvertedIndex
+        .postings(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")))
+        .select(col("letter"), col("word"), col("df"))
+        .orderBy(asc("letter"), desc("df"), asc("word"))
+    }),
+
+    // -- per-letter top-k via window rank
+    "q_topk_per_letter" -> ((s, dir) => {
+      val w = Window.partitionBy(col("letter")).orderBy(desc("df"), asc("word"))
+      InvertedIndex
+        .postings(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")))
+        .withColumn("rank", row_number().over(w))
+        .where(col("rank") <= 3)
+        .select(col("letter"), col("word"), col("df"), col("rank"))
+        .orderBy("letter", "rank")
+    }),
+
+    // -- 26-way partition-key histogram
+    "q_letter_stats" -> ((s, dir) => {
+      InvertedIndex
+        .postings(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")))
+        .groupBy(col("letter"))
+        .agg(count(lit(1)).as("n_words"), sum(col("df")).as("sum_df"))
+        .orderBy("letter")
+    }),
+
+    // ============================== training-data pipeline: text analysis
+
+    // -- exact dedup on content hash
+    "q_dedup_exact" -> ((s, dir) =>
+      Dedup.exact(t(s, dir, "documents")).orderBy("keep_id")),
+
+    // -- token counting (whitespace + BPE-ish) per language
+    "q_token_count" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("lang"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_ws"),
+          TextAnalysis.bpeishTokenCount(col("text")).as("n_bpe"))
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_ws")).as("sum_ws"),
+          sum(col("n_bpe")).as("sum_bpe"),
+          round(avg(col("n_ws")), 2).as("avg_ws"))
+        .orderBy("lang")
+    }),
+
+    // -- per-document quality scoring
+    "q_quality_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          TextAnalysis.wsTokenCount(col("text")).as("n_ws"),
+          TextAnalysis.alphaTokenCount(col("text")).as("n_alpha"),
+          round(TextAnalysis.stopwordRatio(col("text")), 4).as("stop_ratio"),
+          round(TextAnalysis.qualityScore(col("text")), 4).as("score"))
+        .orderBy("doc_id")
+    }),
+
+    // -- heuristic language ID (marker-word argmax)
+    "q_lang_id" -> ((s, dir) =>
+      TextAnalysis.langId(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // -- winnowing-style document fingerprint (min md5 over 5-gram shingles)
+    "q_fingerprint" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(col("doc_id"), TextAnalysis.fingerprint(col("text"), 5).as("fp"))
+        .orderBy("doc_id")
+    }))
+
+  /** Shared DuckDB CTE: the reference tokenizer over `documents`. */
+  private val TokCte =
+    """tok AS (
+         SELECT doc_id, w AS word FROM (
+           SELECT doc_id,
+                  regexp_replace(lower(unnest(regexp_split_to_array(text, '\s+'))), '[^a-z]', '', 'g') AS w
+           FROM documents) u
+         WHERE w <> '')"""
+
+  /** Shared DuckDB CTE: cleaned token array per document (order-preserving). */
+  private val ToksArrCte =
+    """toks_arr AS (
+         SELECT doc_id, lang,
+                list_filter(
+                  list_transform(regexp_split_to_array(text, '\s+'),
+                                 x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                  w -> w <> '') AS toks,
+                len(regexp_split_to_array(text, '\s+')) AS n_ws
+         FROM documents)"""
+
+  // ------------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = Map(
+    "q_scan_project" ->
+      """SELECT doc_id, lang, n_chars, length(text) AS text_len, upper(lang) AS lang_uc,
+         substr(text, 1, 20) AS head, lang || '/' || source AS tag
+         FROM documents WHERE n_chars > 100 ORDER BY doc_id""",
+    "q_topk_orders" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+         FROM orders ORDER BY price DESC, o_orderkey LIMIT 100""",
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+         round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice), 2) AS sum_base,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+         round(avg(l_discount), 4) AS avg_disc,
+         count(*) AS n
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+    "q_distinct_agg" ->
+      """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
+         count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_join_revenue" ->
+      """SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+         count(DISTINCT o_custkey) AS n_customers
+         FROM orders
+         JOIN customer ON o_custkey = c_custkey
+         JOIN nation ON c_nationkey = n_nationkey
+         JOIN region ON n_regionkey = r_regionkey
+         GROUP BY r_name, n_name ORDER BY r_name, n_name""",
+    "q_join_parts" ->
+      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
+         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n
+         FROM lineitem JOIN part ON l_partkey = p_partkey
+         GROUP BY p_brand ORDER BY p_brand""",
+    "q_window_orders" ->
+      """SELECT o_custkey, o_orderkey, rn FROM (
+           SELECT o_custkey, o_orderkey,
+                  row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn
+           FROM orders)
+         WHERE rn <= 3 ORDER BY o_custkey, rn""",
+    "q_anti_customers" ->
+      """SELECT c_mktsegment, count(*) AS n FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_semi_customers" ->
+      """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
+         FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+         GROUP BY c_mktsegment ORDER BY c_mktsegment""",
+    "q_setops" ->
+      """SELECT
+         (SELECT count(*) FROM (SELECT o_custkey FROM orders
+            INTERSECT SELECT c_custkey FROM customer WHERE c_acctbal > 1000)) AS n_intersect,
+         (SELECT count(*) FROM (SELECT c_custkey FROM customer WHERE c_acctbal > 1000
+            EXCEPT SELECT DISTINCT o_custkey FROM orders)) AS n_except,
+         (SELECT count(*) FROM (SELECT o_custkey FROM orders
+            UNION SELECT c_custkey FROM customer WHERE c_acctbal > 1000)) AS n_union""",
+    "q_tokenize" ->
+      s"""WITH $TokCte
+          SELECT doc_id, word FROM tok WHERE doc_id < 50 ORDER BY doc_id, word""",
+    "q_inverted_index" ->
+      s"""WITH $TokCte
+          SELECT word, array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS doc_ids_str,
+                 count(DISTINCT doc_id) AS df
+          FROM tok GROUP BY word ORDER BY word""",
+    "q_ranked_postings" ->
+      s"""WITH $TokCte
+          SELECT substr(word, 1, 1) AS letter, word, count(DISTINCT doc_id) AS df
+          FROM tok GROUP BY word ORDER BY letter, df DESC, word""",
+    "q_topk_per_letter" ->
+      s"""WITH $TokCte,
+          p AS (SELECT substr(word, 1, 1) AS letter, word, count(DISTINCT doc_id) AS df
+                FROM tok GROUP BY word)
+          SELECT letter, word, df, rank FROM (
+            SELECT letter, word, df,
+                   row_number() OVER (PARTITION BY letter ORDER BY df DESC, word) AS rank
+            FROM p) r
+          WHERE rank <= 3 ORDER BY letter, rank""",
+    "q_letter_stats" ->
+      s"""WITH $TokCte,
+          p AS (SELECT substr(word, 1, 1) AS letter, count(DISTINCT doc_id) AS df
+                FROM tok GROUP BY word)
+          SELECT letter, count(*) AS n_words, sum(df) AS sum_df
+          FROM p GROUP BY letter ORDER BY letter""",
+    "q_dedup_exact" ->
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
+         FROM documents GROUP BY text ORDER BY keep_id""",
+    "q_token_count" ->
+      """SELECT lang, count(*) AS n_docs, sum(n_ws) AS sum_ws, sum(n_bpe) AS sum_bpe,
+                round(avg(n_ws), 2) AS avg_ws
+         FROM (SELECT lang,
+                      len(regexp_split_to_array(text, '\s+')) AS n_ws,
+                      len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS n_bpe
+               FROM documents) u
+         GROUP BY lang ORDER BY lang""",
+    "q_quality_score" ->
+      s"""WITH $ToksArrCte
+          SELECT doc_id, n_ws, len(toks) AS n_alpha,
+                 round(stop_ratio, 4) AS stop_ratio,
+                 round(0.4 * least(n_ws / 100.0, 1.0)
+                       + 0.3 * (len(toks)::DOUBLE / greatest(n_ws::DOUBLE, 1.0))
+                       + 0.3 * (1.0 - stop_ratio), 4) AS score
+          FROM (
+            SELECT doc_id, n_ws, toks,
+                   CASE WHEN len(toks) = 0 THEN 0.0
+                        ELSE len(list_filter(toks, w -> w IN ('the','a','an','and','of','to','in','is','it','for')))::DOUBLE
+                             / len(toks) END AS stop_ratio
+            FROM toks_arr) u
+          ORDER BY doc_id""",
+    "q_lang_id" ->
+      s"""WITH $TokCte,
+          hits AS (
+            SELECT doc_id, ml, count(*) AS hits FROM (
+              SELECT doc_id,
+                     CASE WHEN word IN ('the','and','is','of') THEN 'en'
+                          WHEN word IN ('le','et','dans','les') THEN 'fr'
+                          WHEN word IN ('der','und','nicht','das') THEN 'de'
+                          WHEN word IN ('el','y','que','los') THEN 'es' END AS ml
+              FROM tok) m
+            WHERE ml IS NOT NULL GROUP BY doc_id, ml),
+          best AS (
+            SELECT doc_id, ml FROM (
+              SELECT doc_id, ml, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, ml) AS rn
+              FROM hits) b
+            WHERE rn = 1)
+          SELECT d.doc_id, coalesce(best.ml, 'unknown') AS pred_lang
+          FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
+          ORDER BY d.doc_id""",
+    "q_fingerprint" ->
+      s"""WITH $ToksArrCte
+          SELECT doc_id, list_min(list_transform(sh, s -> md5(s))) AS fp FROM (
+            SELECT doc_id,
+                   CASE WHEN len(toks) >= 5
+                        THEN list_distinct(list_transform(range(1, len(toks) - 3),
+                                           i -> array_to_string(list_slice(toks, i, i + 4), ' ')))
+                        ELSE [array_to_string(toks, ' ')] END AS sh
+            FROM toks_arr) u
+          ORDER BY doc_id""")
 }
