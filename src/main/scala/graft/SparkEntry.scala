@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, InvertedIndex, Tokenize}
+import graft.operators.{Dedup, InvertedIndex, Similarity, Tokenize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -241,7 +241,106 @@ object SparkEntry {
       t(s, dir, "documents")
         .select(col("doc_id"), TextAnalysis.fingerprint(col("text"), 5).as("fp"))
         .orderBy("doc_id")
+    }),
+
+    // ====================== training-data pipeline: near-dup + similarity
+
+    // -- MinHash-LSH candidate pairs (2-gram shingles, 8 hashes, 4 bands)
+    "q_dedup_minhash" -> ((s, dir) => {
+      Dedup
+        .minhashCandidates(t(s, dir, "documents"), shingleK = 2, numHashes = 8, bands = 4)
+        .orderBy("doc1", "doc2")
+    }),
+
+    // -- 32-bit SimHash per document from token frequencies
+    "q_simhash" -> ((s, dir) => {
+      Dedup
+        .simhash(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")))
+        .orderBy("doc_id")
+    }),
+
+    // -- exact n-gram jaccard pairs (distributed: explode + equi-join on
+    //    shingle, never an all-pairs cross join)
+    "q_ngram_jaccard" -> ((s, dir) => {
+      val sh = t(s, dir, "documents")
+        .where(col("doc_id") < 120)
+        .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"), 2)).as("shingle"))
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+      val inter = sh.as("a")
+        .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))
+        .groupBy(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"))
+        .agg(count(lit(1)).as("n_inter"))
+      inter
+        .join(sizes.withColumnRenamed("doc_id", "doc1").withColumnRenamed("sz", "sz1"), Seq("doc1"))
+        .join(sizes.withColumnRenamed("doc_id", "doc2").withColumnRenamed("sz", "sz2"), Seq("doc2"))
+        .withColumn("jaccard", col("n_inter").cast("double") / (col("sz1") + col("sz2") - col("n_inter")))
+        .where(col("jaccard") >= 0.05)
+        .select(col("doc1"), col("doc2"), round(col("jaccard"), 4).as("jaccard"))
+        .orderBy("doc1", "doc2")
+    }),
+
+    // -- exact ANN baseline: brute-force cosine top-5 for 10 query vectors
+    "q_embed_cosine_topk" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .bruteForceTopK(emb, emb.where(col("vec_id") < 10), k = 5)
+        .orderBy("q_id", "rank")
+    }),
+
+    // -- ANN scale path: random-hyperplane LSH bucket per vector
+    "q_ann_lsh_buckets" -> ((s, dir) => {
+      Similarity
+        .withLshBucket(t(s, dir, "embeddings"), "embedding", planes = 8)
+        .select(col("vec_id"), col("bucket"))
+        .orderBy("vec_id")
     }))
+
+  /** DuckDB CTE: distinct k-gram shingles per doc (short docs → one whole-doc
+    * shingle), mirroring TextAnalysis.shingles.
+    */
+  private def shinglesCte(k: Int, filter: String = ""): String =
+    s"""toks0 AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_transform(regexp_split_to_array(text, '\\s+'),
+                                  x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                   w -> w <> '') AS toks
+          FROM documents $filter),
+        sh AS (
+          SELECT doc_id,
+                 CASE WHEN len(toks) >= $k
+                      THEN list_distinct(list_transform(range(1, len(toks) - $k + 2),
+                                         i -> array_to_string(list_slice(toks, i, i + $k - 1), ' ')))
+                      ELSE [array_to_string(toks, ' ')] END AS shingles
+          FROM toks0)"""
+
+  /** DuckDB mirror of Dedup.minhashCandidates (same md5 seeding/banding). */
+  private def minhashSql(shingleK: Int, numHashes: Int, bands: Int): String = {
+    val rows = numHashes / bands
+    val sigs = (0 until numHashes)
+      .map(i => s"list_min(list_transform(shingles, s -> md5('$i:' || s))) AS sig$i")
+      .mkString(", ")
+    val bandList = (0 until bands)
+      .map(b => s"'$b|' || md5(${(0 until rows).map(r => s"sig${b * rows + r}").mkString(" || ")})")
+      .mkString(", ")
+    s"""WITH ${shinglesCte(shingleK)},
+        sigs AS (SELECT doc_id, $sigs FROM sh),
+        bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM sigs)
+        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        ORDER BY doc1, doc2"""
+  }
+
+  /** DuckDB mirror of Similarity.withLshBucket's bucket expression. */
+  private def lshBucketSql(planes: Int): String = {
+    val proj = (p: Int) =>
+      s"""list_sum(list_transform(range(1, len(embedding) + 1),
+          i -> embedding[i]::DOUBLE * (('0x' || substr(md5($p || ':' || i), 1, 8))::BIGINT::DOUBLE / 4294967296.0 - 0.5)))"""
+    val bits = (0 until planes)
+      .map(p => s"CASE WHEN ${proj(p)} > 0 THEN (1::BIGINT << $p) ELSE 0 END")
+      .mkString(" + ")
+    s"""SELECT vec_id, ($bits)::BIGINT AS bucket FROM embeddings ORDER BY vec_id"""
+  }
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`. */
   private val TokCte =
@@ -403,5 +502,45 @@ object SparkEntry {
                                            i -> array_to_string(list_slice(toks, i, i + 4), ' ')))
                         ELSE [array_to_string(toks, ' ')] END AS sh
             FROM toks_arr) u
-          ORDER BY doc_id""")
+          ORDER BY doc_id""",
+    "q_dedup_minhash" -> minhashSql(shingleK = 2, numHashes = 8, bands = 4),
+    "q_simhash" ->
+      s"""WITH $TokCte,
+          freq AS (SELECT doc_id, word, count(*) AS freq FROM tok GROUP BY doc_id, word),
+          hashed AS (SELECT doc_id, freq,
+                            ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+                     FROM freq),
+          bits AS (SELECT doc_id, bit,
+                          sum(CASE WHEN (h >> bit) % 2 = 1 THEN freq ELSE -freq END) AS bitsum
+                   FROM hashed CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) b
+                   GROUP BY doc_id, bit)
+          SELECT doc_id,
+                 sum(CASE WHEN bitsum > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+          FROM bits GROUP BY doc_id ORDER BY doc_id""",
+    "q_ngram_jaccard" ->
+      s"""WITH ${shinglesCte(2, "WHERE doc_id < 120")}
+          SELECT doc1, doc2, round(jaccard, 4) AS jaccard FROM (
+            SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                   len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                   (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
+          WHERE jaccard >= 0.05 ORDER BY doc1, doc2""",
+    "q_embed_cosine_topk" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+           FROM embeddings),
+         q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id < 10),
+         pairs AS (
+           SELECT q_id, e.vec_id,
+                  list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> qv[i]::DOUBLE * e.embedding[i]::DOUBLE)) / (qn * e.nrm) AS cos
+           FROM q CROSS JOIN e WHERE e.vec_id <> q_id)
+         SELECT q_id, vec_id, rank, cos_r FROM (
+           SELECT q_id, vec_id, round(cos, 4) AS cos_r,
+                  row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id) AS rank
+           FROM pairs) r
+         WHERE rank <= 5 ORDER BY q_id, rank""",
+    "q_ann_lsh_buckets" -> lshBucketSql(8))
 }

@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Similarity search over an embedding column (`Array[Float]`).
+  *
+  * Scale design (100 TB):
+  *  - `bruteForceTopK` broadcasts the (small) query set and computes dot
+  *    products map-side inside one codegen stage over the corpus scan — no
+  *    shuffle of the corpus at all; the only exchange is the final per-query
+  *    top-k (a tiny window over k·|Q| rows after partial pruning).
+  *  - `withLshBucket` is the scale path: a random-hyperplane (SimHash-style)
+  *    bucket per vector, derived from md5 so it is deterministic and
+  *    reproducible in the DuckDB oracle. At 100 TB, self-join on the bucket
+  *    replaces the corpus-wide cross join: candidates co-locate per bucket.
+  *
+  * All arithmetic is double-precision with a fixed left-fold order, so Spark
+  * and DuckDB produce bit-identical cosines on the same float inputs.
+  */
+object Similarity {
+
+  /** Left-fold double dot product of two float-array columns (as SQL text so
+    * zip_with/aggregate lambdas stay inside codegen).
+    */
+  private def dotExpr(a: String, b: String): String =
+    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+
+  /** L2 norm of a float-array column. */
+  def norm(vec: String): Column = sqrt(expr(dotExpr(vec, vec)))
+
+  /** Cosine similarity between two float-array columns (by SQL name). */
+  def cosine(a: String, b: String): Column =
+    expr(dotExpr(a, b)) / (norm(a) * norm(b))
+
+  /** Exact top-k cosine neighbors for each query vector.
+    *
+    * @param corpus  (idCol, vecCol) — the searched collection
+    * @param queries (idCol, vecCol) — the (small, broadcastable) query set
+    * @return (q_id, idCol, rank, cos_r): rank 1..k by cosine DESC
+    *         (rounded to 6 dp for cross-engine rank stability), id ASC.
+    */
+  def bruteForceTopK(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = corpus
+      .select(col(idCol), col(vecCol).as("ev"))
+      .withColumn("en", norm("ev"))
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm("qv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(round(col("cos"), 6).desc, col(idCol).asc)
+    e.join(broadcast(q), col(idCol) =!= col("q_id"))
+      .withColumn("cos", expr(dotExpr("qv", "ev")) / (col("qn") * col("en")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("q_id"), col(idCol), col("rank"), round(col("cos"), 4).as("cos_r"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component r(plane, i) in
+    * [-0.5, 0.5): first 8 md5 hex chars of "plane:i" as a uint32, scaled.
+    * Engine-portable (same formula runs in the DuckDB oracle).
+    */
+  private def planeComponent(plane: Int): String =
+    s"(cast(cast(conv(substr(md5(concat('$plane:', cast(i as string))), 1, 8), 16, 10) as bigint) as double) / 4294967296.0 - 0.5)"
+
+  /** Signed projection of the embedding onto pseudo-random hyperplane p. */
+  private def projExpr(vecCol: String, plane: Int): String =
+    s"aggregate(zip_with($vecCol, sequence(1, size($vecCol)), (x, i) -> cast(x as double) * ${planeComponent(plane)}), cast(0.0 as double), (acc, v) -> acc + v)"
+
+  /** Add an LSH bucket column: `planes`-bit random-hyperplane signature.
+    * Vectors in the same bucket are ANN candidates; join on the bucket to
+    * avoid the corpus-wide cross join.
+    */
+  def withLshBucket(df: DataFrame, vecCol: String = "embedding", planes: Int = 8): DataFrame = {
+    val bucket = (0 until planes)
+      .map(p => when(expr(projExpr(vecCol, p)) > 0, lit(1L << p)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    df.withColumn("bucket", bucket)
+  }
+}
