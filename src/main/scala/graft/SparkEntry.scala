@@ -293,6 +293,40 @@ object SparkEntry {
         .withLshBucket(t(s, dir, "embeddings"), "embedding", planes = 8)
         .select(col("vec_id"), col("bucket"))
         .orderBy("vec_id")
+    }),
+
+    // ================================================== event-stream surface
+
+    // -- tumbling 1-hour windowed aggregation (batch form; the streaming
+    //    twin with watermarks lives in graft.streaming.EventStream)
+    "q_events_window" -> ((s, dir) => {
+      graft.sources.EventsSource
+        .events(s, dir)
+        .groupBy(
+          date_format(col("ts_t"), "yyyy-MM-dd HH").as("hour_bucket"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+        .orderBy("hour_bucket", "event_type")
+    }),
+
+    // -- sessionization: 30-min-gap sessions per user (lag + running sum)
+    "q_sessions" -> ((s, dir) => {
+      val byUser = Window.partitionBy(col("user_id")).orderBy(asc("ts_us"), asc("event_id"))
+      graft.sources.EventsSource
+        .events(s, dir)
+        .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+        .withColumn(
+          "new_sess",
+          when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1).otherwise(0))
+        .withColumn(
+          "sess_id",
+          sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"))
+        .agg(
+          max(col("sess_id")).as("n_sessions"),
+          count(lit(1)).as("n_events"),
+          round(count(lit(1)).cast("double") / max(col("sess_id")), 2).as("events_per_session"))
+        .orderBy("user_id")
     }))
 
   /** DuckDB CTE: distinct k-gram shingles per doc (short docs → one whole-doc
@@ -542,5 +576,26 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id) AS rank
            FROM pairs) r
          WHERE rank <= 5 ORDER BY q_id, rank""",
-    "q_ann_lsh_buckets" -> lshBucketSql(8))
+    "q_ann_lsh_buckets" -> lshBucketSql(8),
+    "q_events_window" ->
+      """SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, event_type,
+                count(*) AS n, round(sum(value), 2) AS sum_value
+         FROM events GROUP BY hour_bucket, event_type ORDER BY hour_bucket, event_type""",
+    "q_sessions" ->
+      """WITH x AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, ts_us,
+                  CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM x),
+         r AS (
+           SELECT user_id,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM s)
+         SELECT user_id, max(sess_id)::BIGINT AS n_sessions, count(*) AS n_events,
+                round(count(*)::DOUBLE / max(sess_id), 2) AS events_per_session
+         FROM r GROUP BY user_id ORDER BY user_id""")
 }

@@ -1,0 +1,89 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming surface over the `events` schema: the streaming twin
+  * of the batch q_events_window / q_sessions queries.
+  *
+  * Scale design: windowed aggregation with a watermark is Spark's incremental
+  * stateful hash agg — state is bounded by (watermark horizon × group
+  * cardinality); sessionization keeps one small state record per user key.
+  * Both shuffle once on their grouping key, exactly like the batch plan.
+  */
+object EventStream {
+
+  /** The events schema as Structured Streaming needs it declared up front.
+    * `ts` is BIGINT nanoseconds (see EventsSource: Spark cannot read parquet
+    * TIMESTAMP(NANOS) natively).
+    */
+  val EventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", LongType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** Open a streaming read over a directory of events parquet files. */
+  def readEvents(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.readStream
+      .schema(EventSchema)
+      .parquet(dir)
+      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling 1-hour windowed counts/sums per event type, 2-hour watermark
+    * for late data. Append-mode compatible (finalized windows only).
+    */
+  def hourlyByType(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts_t", "2 hours")
+      .groupBy(window(col("ts_t"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(
+        date_format(col("window.start"), "yyyy-MM-dd HH").as("hour_bucket"),
+        col("event_type"),
+        col("n"),
+        col("sum_value"))
+
+  /** Per-user session tracking with mapGroupsWithState: counts sessions split
+    * at >30-minute gaps. State per user is (lastTsUs, sessionCount) — O(1).
+    * Emits (user_id, n_sessions, n_events) in Update mode.
+    */
+  case class UserSessions(userId: Long, nSessions: Long, nEvents: Long)
+  case class SessState(lastTsUs: Long, nSessions: Long, nEvents: Long)
+
+  val SessionGapUs: Long = 30L * 60 * 1000 * 1000
+
+  def sessionCounts(spark: SparkSession, events: DataFrame): org.apache.spark.sql.Dataset[UserSessions] = {
+    import spark.implicits._
+    events
+      .select(col("user_id").as("uid"), expr("ts div 1000").as("tsUs"))
+      .as[(Long, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[SessState, UserSessions](GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[SessState]) =>
+          val sorted = rows.map(_._2).toSeq.sorted
+          var st = state.getOption.getOrElse(SessState(Long.MinValue, 0L, 0L))
+          sorted.foreach { ts =>
+            val newSession = st.lastTsUs == Long.MinValue || ts - st.lastTsUs > SessionGapUs
+            st = SessState(ts, st.nSessions + (if (newSession) 1 else 0), st.nEvents + 1)
+          }
+          state.update(st)
+          UserSessions(uid, st.nSessions, st.nEvents)
+      }
+  }
+
+  /** Run a streaming query to a named memory sink until all available data
+    * is processed (synchronous, for tests/local smoke).
+    */
+  def runToMemory(df: DataFrame, name: String, mode: OutputMode): Unit = {
+    val q = df.writeStream.outputMode(mode).format("memory").queryName(name).start()
+    try q.processAllAvailable()
+    finally q.stop()
+  }
+}

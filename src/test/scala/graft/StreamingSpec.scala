@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.sources.EventsSource
+import graft.streaming.EventStream
+
+/** Streaming twins must agree with their batch equivalents on a static
+  * input: the strongest local check streaming semantics allow.
+  */
+class StreamingSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  /** The streaming parquet source wants a directory of files. */
+  private lazy val streamDir: String = {
+    val d = java.nio.file.Files.createTempDirectory("graft-stream")
+    java.nio.file.Files.createSymbolicLink(
+      d.resolve("events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events.parquet"))
+    d.toString
+  }
+
+  test("streaming hourly window agg matches batch result") {
+    // streaming side (Complete mode so all windows surface on a static dir)
+    val stream = EventStream.readEvents(spark, streamDir)
+    EventStream.runToMemory(EventStream.hourlyByType(stream), "hourly", OutputMode.Complete())
+    val got = spark.table("hourly").orderBy("hour_bucket", "event_type").collect()
+
+    // batch side
+    val want = EventsSource
+      .events(spark, dir)
+      .groupBy(date_format(col("ts_t"), "yyyy-MM-dd HH").as("hour_bucket"), col("event_type"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .orderBy("hour_bucket", "event_type")
+      .collect()
+
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+
+  test("stateful session counts match batch sessionization") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    EventStream.runToMemory(
+      EventStream.sessionCounts(spark, stream).toDF(), "sessions", OutputMode.Update())
+    val got = spark
+      .table("sessions")
+      .select(col("userId"), col("nSessions"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+    val want = SparkEntry
+      .queries("q_sessions")(spark, dir)
+      .select(col("user_id"), col("n_sessions"))
+      .collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+      .toMap
+
+    assert(got.nonEmpty)
+    assert(got == want)
+  }
+}
