@@ -222,13 +222,14 @@ object SparkEntry {
 
     // -- per-document quality scoring
     "q_quality_score" -> ((s, dir) => {
-      t(s, dir, "documents")
+      TextAnalysis
+        .withQualityMetrics(t(s, dir, "documents"), "text")
         .select(
           col("doc_id"),
-          TextAnalysis.wsTokenCount(col("text")).as("n_ws"),
-          TextAnalysis.alphaTokenCount(col("text")).as("n_alpha"),
-          round(TextAnalysis.stopwordRatio(col("text")), 4).as("stop_ratio"),
-          round(TextAnalysis.qualityScore(col("text")), 4).as("score"))
+          col("n_ws"),
+          col("n_alpha"),
+          round(col("stop_ratio"), 4).as("stop_ratio"),
+          round(col("score"), 4).as("score"))
         .orderBy("doc_id")
     }),
 
@@ -238,8 +239,9 @@ object SparkEntry {
 
     // -- winnowing-style document fingerprint (min md5 over 5-gram shingles)
     "q_fingerprint" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(col("doc_id"), TextAnalysis.fingerprint(col("text"), 5).as("fp"))
+      TextAnalysis
+        .withFingerprint(t(s, dir, "documents"), "text", 5, "fp")
+        .select(col("doc_id"), col("fp"))
         .orderBy("doc_id")
     }),
 
@@ -262,9 +264,15 @@ object SparkEntry {
     // -- exact n-gram jaccard pairs (distributed: explode + equi-join on
     //    shingle, never an all-pairs cross join)
     "q_ngram_jaccard" -> ((s, dir) => {
-      val sh = t(s, dir, "documents")
-        .where(col("doc_id") < 120)
-        .select(col("doc_id"), explode(TextAnalysis.shingles(col("text"), 2)).as("shingle"))
+      // explode_outer, NOT explode: explode makes InferFiltersFromGenerate
+      // push a size(<shingle expr>)>0 filter below the projection, where the
+      // whole (expensive) shingle expression is re-evaluated per scan row.
+      // Shingle arrays are never empty, so the two are equivalent here.
+      val sh = TextAnalysis
+        .withShingles(
+          t(s, dir, "documents").where(col("doc_id") < 120).select("doc_id", "text"),
+          "text", 2, "__sh")
+        .select(col("doc_id"), explode_outer(col("__sh")).as("shingle"))
       val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
       val inter = sh.as("a")
         .join(sh.as("b"), col("a.shingle") === col("b.shingle") && col("a.doc_id") < col("b.doc_id"))

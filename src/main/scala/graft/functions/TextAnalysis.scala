@@ -32,26 +32,30 @@ object TextAnalysis {
   /** Default English-ish stopword list used by the quality score. */
   val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
 
-  /** Fraction of cleaned tokens that are stopwords (0 when no tokens). */
-  def stopwordRatio(text: Column): Column = {
-    val toks  = Tokenize.tokenArray(text)
-    val stops = filter(toks, w => w.isin(Stopwords: _*))
-    when(size(toks) === 0, lit(0.0))
-      .otherwise(size(stops).cast("double") / size(toks).cast("double"))
-  }
-
-  /** Heuristic quality score in [0,1]:
-    * 0.4 * min(nTokens/100, 1)  — enough content
-    * + 0.3 * alphaRatio         — mostly clean words
-    * + 0.3 * (1 - stopRatio)    — not boilerplate
+  /** Add quality metrics — n_ws, n_alpha, stop_ratio, score — with the token
+    * array materialized once per row (see shinglesFromToks perf note).
+    *
+    * score in [0,1]:
+    *   0.4 * min(nWs/100, 1)   — enough content
+    * + 0.3 * alphaRatio        — mostly clean words
+    * + 0.3 * (1 - stopRatio)   — not boilerplate
     */
-  def qualityScore(text: Column): Column = {
-    val nWs    = wsTokenCount(text).cast("double")
-    val nAlpha = alphaTokenCount(text).cast("double")
-    val alphaRatio = nAlpha / greatest(nWs, lit(1.0))
-    lit(0.4) * least(nWs / 100.0, lit(1.0)) +
-      lit(0.3) * alphaRatio +
-      lit(0.3) * (lit(1.0) - stopwordRatio(text))
+  def withQualityMetrics(df: DataFrame, textCol: String): DataFrame = {
+    val toks = col("__toks")
+    df.withColumn("__toks", Tokenize.tokenArray(col(textCol)))
+      .withColumn("n_ws", wsTokenCount(col(textCol)))
+      .withColumn("n_alpha", size(toks))
+      .withColumn(
+        "stop_ratio",
+        when(size(toks) === 0, lit(0.0))
+          .otherwise(size(filter(toks, w => w.isin(Stopwords: _*))).cast("double")
+            / size(toks).cast("double")))
+      .withColumn(
+        "score",
+        lit(0.4) * least(col("n_ws").cast("double") / 100.0, lit(1.0)) +
+          lit(0.3) * (col("n_alpha").cast("double") / greatest(col("n_ws").cast("double"), lit(1.0))) +
+          lit(0.3) * (lit(1.0) - col("stop_ratio")))
+      .drop("__toks")
   }
 
   /** Disjoint per-language marker words for the n-gram language-ID heuristic. */
@@ -88,21 +92,37 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("pred0"), lit("unknown")).as("pred_lang"))
   }
 
-  /** Order-preserving word k-gram shingles (distinct). Short docs (<k tokens)
-    * collapse to a single whole-document shingle so every doc fingerprints.
+  /** Order-preserving word k-gram shingles (distinct) from an ALREADY
+    * MATERIALIZED token-array column. Short docs (<k tokens) collapse to a
+    * single whole-document shingle so every doc fingerprints.
+    *
+    * PERFORMANCE: `toks` must be a bound column reference (use
+    * [[withShingles]]), not an inline expression tree — `slice(toks, i, k)`
+    * runs once per position inside the lambda, and an inlined tokenizer
+    * expression would be re-evaluated O(positions) times per row (measured
+    * 40x slowdown at sf0.1 before this was split out).
     */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = Tokenize.tokenArray(text)
+  def shinglesFromToks(toks: Column, k: Int): Column = {
     val grams = transform(
       sequence(lit(1), size(toks) - (k - 1)),
       i => concat_ws(" ", slice(toks, i, lit(k))))
     array_distinct(when(size(toks) >= k, grams).otherwise(array(concat_ws(" ", toks))))
   }
 
+  /** Add a distinct-k-gram-shingles column, materializing the token array
+    * once per row on the way.
+    */
+  def withShingles(df: DataFrame, textCol: String, k: Int, out: String = "shingles"): DataFrame =
+    df.withColumn("__toks", Tokenize.tokenArray(col(textCol)))
+      .withColumn(out, shinglesFromToks(col("__toks"), k))
+      .drop("__toks")
+
   /** Rolling-hash document fingerprint: lexicographic min of md5(shingle) —
     * a winnowing-style content signature, portable across engines because it
-    * is pure md5-hex string ordering.
+    * is pure md5-hex string ordering. Returns df + `out` column.
     */
-  def fingerprint(text: Column, k: Int = 5): Column =
-    array_min(transform(shingles(text, k), s => md5(s)))
+  def withFingerprint(df: DataFrame, textCol: String, k: Int = 5, out: String = "fp"): DataFrame =
+    withShingles(df, textCol, k, "__sh")
+      .withColumn(out, array_min(transform(col("__sh"), s => md5(s))))
+      .drop("__sh")
 }

@@ -30,15 +30,15 @@ object Dedup {
       .select("keep_id", "n_dups")
 
   /** MinHash signature entries: one md5-hex minimum per seed, computed
-    * entirely map-side over the shingle array (no explode, no shuffle).
+    * entirely map-side over a MATERIALIZED shingle-array column (no explode,
+    * no shuffle; see TextAnalysis.shinglesFromToks for why the column must
+    * be bound, not inlined).
     * Portable: signature_i = min over shingles of md5(i || ':' || shingle).
     */
-  def minhashSignature(text: Column, shingleK: Int, numHashes: Int): Column = {
-    val sh = TextAnalysis.shingles(text, shingleK)
+  def minhashSignatureFromShingles(sh: Column, numHashes: Int): Column =
     array((0 until numHashes).map { seed =>
       array_min(transform(sh, s => md5(concat(lit(s"$seed:"), s))))
     }: _*)
-  }
 
   /** LSH band keys: the signature split into `bands` groups of
     * `rows = numHashes / bands` hashes, each band collapsed to one md5 key
@@ -60,10 +60,13 @@ object Dedup {
       numHashes: Int = 8,
       bands: Int = 4): DataFrame = {
     val rows = numHashes / bands
-    val banded = docs
-      .select(
-        col(idCol),
-        explode(bandKeys(minhashSignature(col(textCol), shingleK, numHashes), bands, rows)).as("band_key"))
+    // explode_outer: band-key arrays are never empty, and plain explode
+    // triggers InferFiltersFromGenerate, which would re-evaluate the whole
+    // signature expression inside a pushed-down size()>0 scan filter.
+    val banded = TextAnalysis
+      .withShingles(docs.select(col(idCol), col(textCol)), textCol, shingleK, "__sh")
+      .withColumn("__sig", minhashSignatureFromShingles(col("__sh"), numHashes))
+      .select(col(idCol), explode_outer(bandKeys(col("__sig"), bands, rows)).as("band_key"))
     val a = banded.as("a")
     val b = banded.as("b")
     a.join(b, col("a.band_key") === col("b.band_key") && col(s"a.$idCol") < col(s"b.$idCol"))

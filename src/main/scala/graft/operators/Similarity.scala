@@ -64,22 +64,39 @@ object Similarity {
 
   /** Deterministic pseudo-random hyperplane component r(plane, i) in
     * [-0.5, 0.5): first 8 md5 hex chars of "plane:i" as a uint32, scaled.
-    * Engine-portable (same formula runs in the DuckDB oracle).
+    * Computed ONCE on the driver and shipped as literals — the DuckDB oracle
+    * recomputes the identical md5 formula in SQL and gets the same values.
     */
-  private def planeComponent(plane: Int): String =
-    s"(cast(cast(conv(substr(md5(concat('$plane:', cast(i as string))), 1, 8), 16, 10) as bigint) as double) / 4294967296.0 - 0.5)"
+  def planeComponents(plane: Int, dim: Int): Seq[Double] = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    (1 to dim).map { i =>
+      val hex = digest
+        .digest(s"$plane:$i".getBytes("UTF-8"))
+        .take(4)
+        .map(b => f"${b & 0xff}%02x")
+        .mkString
+      java.lang.Long.parseLong(hex, 16).toDouble / 4294967296.0 - 0.5
+    }
+  }
 
-  /** Signed projection of the embedding onto pseudo-random hyperplane p. */
-  private def projExpr(vecCol: String, plane: Int): String =
-    s"aggregate(zip_with($vecCol, sequence(1, size($vecCol)), (x, i) -> cast(x as double) * ${planeComponent(plane)}), cast(0.0 as double), (acc, v) -> acc + v)"
+  /** Signed projection of the embedding onto pseudo-random hyperplane p
+    * (left-fold double sum against a literal hyperplane array).
+    */
+  private def proj(vecCol: String, plane: Int, dim: Int): Column = {
+    val planeLit = array(planeComponents(plane, dim).map(lit): _*)
+    aggregate(
+      zip_with(col(vecCol), planeLit, (x, r) => x.cast("double") * r),
+      lit(0.0),
+      (acc, v) => acc + v)
+  }
 
   /** Add an LSH bucket column: `planes`-bit random-hyperplane signature.
     * Vectors in the same bucket are ANN candidates; join on the bucket to
-    * avoid the corpus-wide cross join.
+    * avoid the corpus-wide cross join. `dim` must match the embedding width.
     */
-  def withLshBucket(df: DataFrame, vecCol: String = "embedding", planes: Int = 8): DataFrame = {
+  def withLshBucket(df: DataFrame, vecCol: String = "embedding", planes: Int = 8, dim: Int = 64): DataFrame = {
     val bucket = (0 until planes)
-      .map(p => when(expr(projExpr(vecCol, p)) > 0, lit(1L << p)).otherwise(lit(0L)))
+      .map(p => when(proj(vecCol, p, dim) > 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
     df.withColumn("bucket", bucket)
   }
