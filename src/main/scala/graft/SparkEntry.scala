@@ -303,6 +303,34 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // -- embedding-cosine near-dup pairs, LSH-pruned (the scale path)
+    "q_dedup_embedding" -> ((s, dir) => {
+      Similarity
+        .cosineNearDupPairs(t(s, dir, "embeddings"), thr = 0.25, planes = 4)
+        .orderBy("v1", "v2")
+    }),
+
+    // -- IVF cell assignment: vec_id<8 embeddings act as the trained centroids
+    "q_ann_ivf" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .ivfAssign(emb, emb.where(col("vec_id") < 8))
+        .orderBy("vec_id")
+    }),
+
+    // -- rollup (grouping sets) over lineitem
+    "q_rollup" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(round(sum(col("l_quantity")), 2).as("sum_qty"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+          coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+          col("sum_qty"),
+          col("n"))
+        .orderBy("rf", "ls")
+    }),
+
     // ================================================== event-stream surface
 
     // -- tumbling 1-hour windowed aggregation (batch form; the streaming
@@ -373,16 +401,20 @@ object SparkEntry {
         ORDER BY doc1, doc2"""
   }
 
-  /** DuckDB mirror of Similarity.withLshBucket's bucket expression. */
-  private def lshBucketSql(planes: Int): String = {
+  /** DuckDB mirror of Similarity.withLshBucket's bucket expression (over a
+    * relation aliased/projected so `embedding` resolves).
+    */
+  private def lshBucketExpr(planes: Int): String = {
     val proj = (p: Int) =>
       s"""list_sum(list_transform(range(1, len(embedding) + 1),
           i -> embedding[i]::DOUBLE * (('0x' || substr(md5($p || ':' || i), 1, 8))::BIGINT::DOUBLE / 4294967296.0 - 0.5)))"""
-    val bits = (0 until planes)
+    (0 until planes)
       .map(p => s"CASE WHEN ${proj(p)} > 0 THEN (1::BIGINT << $p) ELSE 0 END")
       .mkString(" + ")
-    s"""SELECT vec_id, ($bits)::BIGINT AS bucket FROM embeddings ORDER BY vec_id"""
   }
+
+  private def lshBucketSql(planes: Int): String =
+    s"""SELECT vec_id, (${lshBucketExpr(planes)})::BIGINT AS bucket FROM embeddings ORDER BY vec_id"""
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`. */
   private val TokCte =
@@ -585,6 +617,41 @@ object SparkEntry {
            FROM pairs) r
          WHERE rank <= 5 ORDER BY q_id, rank""",
     "q_ann_lsh_buckets" -> lshBucketSql(8),
+    "q_dedup_embedding" ->
+      s"""WITH b AS (SELECT vec_id, (${lshBucketExpr(4)})::BIGINT AS bucket FROM embeddings),
+          e AS (SELECT vec_id, embedding,
+                       sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                            i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+                FROM embeddings)
+          SELECT v1, v2, round(cos, 4) AS cos_r FROM (
+            SELECT a.vec_id AS v1, c.vec_id AS v2,
+                   list_sum(list_transform(range(1, len(ea.embedding) + 1),
+                        i -> ea.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE)) / (ea.nrm * ec.nrm) AS cos
+            FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id
+            JOIN e ec ON ec.vec_id = c.vec_id) p
+          WHERE cos >= 0.25 ORDER BY v1, v2""",
+    "q_ann_ivf" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+           FROM embeddings),
+         c AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+         p AS (
+           SELECT e.vec_id, c_id,
+                  list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> e.embedding[i]::DOUBLE * cv[i]::DOUBLE)) / (e.nrm * cn) AS cos
+           FROM e CROSS JOIN c)
+         SELECT vec_id, cell, cos_r FROM (
+           SELECT vec_id, c_id AS cell, round(cos, 4) AS cos_r,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY round(cos, 6) DESC, c_id) AS rn
+           FROM p) r
+         WHERE rn = 1 ORDER BY vec_id""",
+    "q_rollup" ->
+      """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
+                round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+         FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""",
     "q_events_window" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, event_type,
                 count(*) AS n, round(sum(value), 2) AS sum_value

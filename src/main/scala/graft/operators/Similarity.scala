@@ -100,4 +100,55 @@ object Similarity {
       .reduce(_ + _)
     df.withColumn("bucket", bucket)
   }
+
+  /** Embedding-cosine near-duplicate pairs, LSH-pruned: only vectors sharing
+    * an LSH bucket are compared (the 100 TB path — the self-join key is the
+    * bucket, never an all-pairs cross join), then exact cosine filters at
+    * `thr`. Returns (v1, v2, cos_r) with v1 < v2.
+    *
+    * Like all LSH methods this trades recall for scale: pairs split across
+    * buckets are not compared. Raise recall with fewer planes (bigger
+    * buckets) or multiple bucket tables (repeat with a different seed).
+    */
+  def cosineNearDupPairs(
+      df: DataFrame,
+      thr: Double,
+      planes: Int = 4,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val withB = withLshBucket(df.select(col(idCol), col(vecCol)), vecCol, planes, dim)
+      .withColumn("nrm", norm(vecCol))
+    val a = withB.select(col(idCol).as("v1"), col(vecCol).as("va"), col("nrm").as("na"), col("bucket"))
+    val b = withB.select(col(idCol).as("v2"), col(vecCol).as("vb"), col("nrm").as("nb"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("v1") < col("v2"))
+      .withColumn("cos", expr(dotExpr("va", "vb")) / (col("na") * col("nb")))
+      .where(col("cos") >= thr)
+      .select(col("v1"), col("v2"), round(col("cos"), 4).as("cos_r"))
+  }
+
+  /** IVF cell assignment: route each vector to its max-cosine centroid
+    * (tie-break: centroid id ASC). `centroids` is small and broadcast; at
+    * scale, ANN queries then search only their query's cell(s) instead of
+    * the whole corpus. Returns (idCol, cell, cos_r).
+    */
+  def ivfAssign(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val e = corpus.select(col(idCol), col(vecCol).as("ev")).withColumn("en", norm("ev"))
+    val c = centroids
+      .select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+      .withColumn("cn", norm("cv"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol))
+      .orderBy(round(col("cos"), 6).desc, col("c_id").asc)
+    e.crossJoin(broadcast(c))
+      .withColumn("cos", expr(dotExpr("ev", "cv")) / (col("en") * col("cn")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col(idCol), col("c_id").as("cell"), round(col("cos"), 4).as("cos_r"))
+  }
 }
