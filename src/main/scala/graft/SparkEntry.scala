@@ -331,6 +331,36 @@ object SparkEntry {
         .orderBy("rf", "ls")
     }),
 
+    // -- array functions over postings: array_contains / element_at / slice
+    "q_array_ops" -> ((s, dir) => {
+      InvertedIndex
+        .postings(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")))
+        .where(array_contains(col("doc_ids"), 7))
+        .select(
+          col("word"),
+          col("df"),
+          element_at(col("doc_ids"), 1).as("first_id"),
+          element_at(col("doc_ids"), -1).as("last_id"),
+          array_join(slice(col("doc_ids"), 1, 3), " ").as("head3"))
+        .orderBy("word")
+    }),
+
+    // -- date & math scalar functions over orders
+    "q_date_math" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .where(col("o_orderkey") < 2000)
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("y"),
+          month(col("o_orderdate")).as("m"),
+          dayofmonth(col("o_orderdate")).as("d"),
+          round(sqrt(col("o_totalprice")), 4).as("sqrt_price"),
+          round(abs(col("o_totalprice") - 250000.0), 2).as("dist_mid"),
+          floor(col("o_totalprice") / 10000).cast("long").as("price_bucket"),
+          round(log(10.0, col("o_totalprice")), 4).as("log10_price"))
+        .orderBy("o_orderkey")
+    }),
+
     // ================================================== event-stream surface
 
     // -- tumbling 1-hour windowed aggregation (batch form; the streaming
@@ -652,6 +682,22 @@ object SparkEntry {
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
                 round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""",
+    "q_array_ops" ->
+      s"""WITH $TokCte,
+          p AS (SELECT word, list_sort(list(DISTINCT doc_id)) AS doc_ids,
+                       count(DISTINCT doc_id) AS df
+                FROM tok GROUP BY word)
+          SELECT word, df, doc_ids[1] AS first_id, doc_ids[-1] AS last_id,
+                 array_to_string(list_slice(doc_ids, 1, 3), ' ') AS head3
+          FROM p WHERE list_contains(doc_ids, 7) ORDER BY word""",
+    "q_date_math" ->
+      """SELECT o_orderkey,
+                year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
+                round(sqrt(o_totalprice), 4) AS sqrt_price,
+                round(abs(o_totalprice - 250000.0), 2) AS dist_mid,
+                floor(o_totalprice / 10000)::BIGINT AS price_bucket,
+                round(log10(o_totalprice), 4) AS log10_price
+         FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""",
     "q_events_window" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, event_type,
                 count(*) AS n, round(sum(value), 2) AS sum_value
