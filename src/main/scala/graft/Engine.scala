@@ -24,4 +24,11 @@ object Engine {
   /** Full golden-parity run: write `a.txt`…`z.txt` under `outDir`. */
   def buildIndex(spark: SparkSession, manifestPath: String, baseDir: String, outDir: String): Seq[String] =
     LetterSink.writeExact(indexFromManifest(spark, manifestPath, baseDir), outDir)
+
+  /** Build postings from any table with a text column — the parquet-era
+    * equivalent of the manifest pipeline (documents table, web-crawl shards,
+    * ...). Same tokenizer, same postings semantics.
+    */
+  def indexFromTable(docs: DataFrame, textCol: String = "text", idCol: String = "doc_id"): DataFrame =
+    InvertedIndex.postings(Tokenize.tokens(docs, textCol, Seq(idCol)), idCol)
 }
