@@ -375,6 +375,16 @@ object SparkEntry {
         .orderBy("hour_bucket", "event_type")
     }),
 
+    // -- multimodal decode plumbing (no oracle: Dataset op with a stubbed
+    //    codec — deterministic, so the driver's rows-only check is stable)
+    "q_multimodal_decode" -> ((s, dir) => {
+      operators.Multimodal
+        .decode(operators.Multimodal.demoMediaFromDocuments(s, dir))
+        .toDF()
+        .select(col("media_id"), col("kind"), col("n_bytes"), col("width"), col("height"), col("duration_ms"))
+        .orderBy("media_id")
+    }),
+
     // -- sessionization: 30-min-gap sessions per user (lag + running sum)
     "q_sessions" -> ((s, dir) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(asc("ts_us"), asc("event_id"))
