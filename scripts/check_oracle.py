@@ -19,10 +19,10 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 
 def norm_cell(v):
-    if isinstance(v, float):
-        if math.isnan(v):
-            return "NaN"
-        return round(v, 9)
+    # floats compare EXACTLY (no tolerance): the driver may hash raw values,
+    # so any last-ulp divergence must surface here, not there
+    if isinstance(v, float) and math.isnan(v):
+        return "NaN"
     if isinstance(v, list):
         return tuple(norm_cell(x) for x in v)
     return v

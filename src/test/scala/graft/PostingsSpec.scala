@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.{InvertedIndex, Tokenize}
+
+/** FIXTURES.md §6 property invariants over real postings (both the parquet
+  * documents table and the reference corpus).
+  */
+class PostingsSpec extends SparkSpec {
+
+  private def checkInvariants(postings: org.apache.spark.sql.DataFrame, maxId: Long): Unit = {
+    val rows = postings.collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val word   = r.getString(r.fieldIndex("word"))
+      val ids    = r.getSeq[Long](r.fieldIndex("doc_ids"))
+      val df     = r.getInt(r.fieldIndex("df"))
+      val letter = r.getString(r.fieldIndex("letter"))
+      assert(word.matches("[a-z]+"), s"word not clean: $word")
+      assert(letter == word.substring(0, 1), s"letter mismatch: $word/$letter")
+      assert(df == ids.size, s"df != |ids| for $word")
+      assert(ids == ids.sorted && ids.distinct == ids, s"ids not sorted-distinct for $word")
+      assert(ids.forall(id => id >= 0 && id <= maxId), s"id out of range for $word")
+    }
+  }
+
+  test("postings invariants hold on the documents table") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    checkInvariants(Engine.indexFromTable(docs), maxId = 499L)
+  }
+
+  test("postings invariants hold on the reference corpus (1-based manifest ids)") {
+    val postings = Engine.indexFromManifest(
+      spark, "/root/reference/checker/test_small.txt", "/root/reference/checker")
+    val rows = postings.collect()
+    val allIds = rows.flatMap(_.getSeq[Long](rows.head.fieldIndex("doc_ids")))
+    assert(allIds.min >= 1L && allIds.max <= 3L) // 3 docs, ids 1-based
+    checkInvariants(postings, maxId = 3L)
+  }
+
+  test("pipeline is deterministic: two runs produce identical postings") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    def snapshot() = Engine
+      .indexFromTable(docs)
+      .orderBy("word")
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1)))
+      .toSeq
+    assert(snapshot() == snapshot())
+  }
+}
