@@ -18,6 +18,13 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Shadows functions.round for every query below: engine round() semantics
+    * diverge at exact half-way points (found at sf0.1 — see
+    * graft.functions.Portable), so all query-surface rounding uses the
+    * portable floor form on BOTH the Spark and the DuckDB side.
+    */
+  private def round(c: Column, n: Int): Column = graft.functions.Portable.pround(c, n)
+
   /** Flagship query: full inverted index over the sf0.001 documents table,
     * ranked (letter ASC, df DESC, word ASC). Driver smoke-checks rows>0.
     */
@@ -484,14 +491,14 @@ object SparkEntry {
          substr(text, 1, 20) AS head, lang || '/' || source AS tag
          FROM documents WHERE n_chars > 100 ORDER BY doc_id""",
     "q_topk_orders" ->
-      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+      """SELECT o_orderkey, o_custkey, floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS price
          FROM orders ORDER BY price DESC, o_orderkey LIMIT 100""",
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-         round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice), 2) AS sum_base,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-         round(avg(l_discount), 4) AS avg_disc,
+         floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
+         floor((sum(l_extendedprice)) * 1e2 + 0.5) / 1e2 AS sum_base,
+         floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS sum_disc_price,
+         floor((avg(l_discount)) * 1e4 + 0.5) / 1e4 AS avg_disc,
          count(*) AS n
          FROM lineitem WHERE l_shipdate <= TIMESTAMP '1999-06-30 00:00:00'
          GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
@@ -500,7 +507,7 @@ object SparkEntry {
          count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     "q_join_revenue" ->
-      """SELECT r_name, n_name, round(sum(o_totalprice), 2) AS revenue,
+      """SELECT r_name, n_name, floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS revenue,
          count(DISTINCT o_custkey) AS n_customers
          FROM orders
          JOIN customer ON o_custkey = c_custkey
@@ -508,8 +515,8 @@ object SparkEntry {
          JOIN region ON n_regionkey = r_regionkey
          GROUP BY r_name, n_name ORDER BY r_name, n_name""",
     "q_join_parts" ->
-      """SELECT p_brand, round(sum(l_quantity), 2) AS sum_qty,
-         round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue, count(*) AS n
+      """SELECT p_brand, floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty,
+         floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue, count(*) AS n
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
     "q_window_orders" ->
@@ -524,7 +531,7 @@ object SparkEntry {
                            WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 450000)
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
     "q_semi_customers" ->
-      """SELECT c_mktsegment, count(*) AS n, round(avg(c_acctbal), 2) AS avg_bal
+      """SELECT c_mktsegment, count(*) AS n, floor((avg(c_acctbal)) * 1e2 + 0.5) / 1e2 AS avg_bal
          FROM customer c
          WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
          GROUP BY c_mktsegment ORDER BY c_mktsegment""",
@@ -568,7 +575,7 @@ object SparkEntry {
          FROM documents GROUP BY text ORDER BY keep_id""",
     "q_token_count" ->
       """SELECT lang, count(*) AS n_docs, sum(n_ws) AS sum_ws, sum(n_bpe) AS sum_bpe,
-                round(avg(n_ws), 2) AS avg_ws
+                floor((avg(n_ws)) * 1e2 + 0.5) / 1e2 AS avg_ws
          FROM (SELECT lang,
                       len(regexp_split_to_array(text, '\s+')) AS n_ws,
                       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+')) AS n_bpe
@@ -577,10 +584,10 @@ object SparkEntry {
     "q_quality_score" ->
       s"""WITH $ToksArrCte
           SELECT doc_id, n_ws, len(toks) AS n_alpha,
-                 round(stop_ratio, 4) AS stop_ratio,
-                 round(0.4 * least(n_ws / 100.0, 1.0)
+                 floor((stop_ratio) * 1e4 + 0.5) / 1e4 AS stop_ratio,
+                 floor((0.4 * least(n_ws / 100.0, 1.0)
                        + 0.3 * (len(toks)::DOUBLE / greatest(n_ws::DOUBLE, 1.0))
-                       + 0.3 * (1.0 - stop_ratio), 4) AS score
+                       + 0.3 * (1.0 - stop_ratio)) * 1e4 + 0.5) / 1e4 AS score
           FROM (
             SELECT doc_id, n_ws, toks,
                    CASE WHEN len(toks) = 0 THEN 0.0
@@ -633,7 +640,7 @@ object SparkEntry {
           FROM bits GROUP BY doc_id ORDER BY doc_id""",
     "q_ngram_jaccard" ->
       s"""WITH ${shinglesCte(2, "WHERE doc_id < 120")}
-          SELECT doc1, doc2, round(jaccard, 4) AS jaccard FROM (
+          SELECT doc1, doc2, floor((jaccard) * 1e4 + 0.5) / 1e4 AS jaccard FROM (
             SELECT a.doc_id AS doc1, b.doc_id AS doc2,
                    len(list_intersect(a.shingles, b.shingles))::DOUBLE /
                    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
@@ -652,8 +659,8 @@ object SparkEntry {
                        i -> qv[i]::DOUBLE * e.embedding[i]::DOUBLE)) / (qn * e.nrm) AS cos
            FROM q CROSS JOIN e WHERE e.vec_id <> q_id)
          SELECT q_id, vec_id, rank, cos_r FROM (
-           SELECT q_id, vec_id, round(cos, 4) AS cos_r,
-                  row_number() OVER (PARTITION BY q_id ORDER BY round(cos, 6) DESC, vec_id) AS rank
+           SELECT q_id, vec_id, floor((cos) * 1e4 + 0.5) / 1e4 AS cos_r,
+                  row_number() OVER (PARTITION BY q_id ORDER BY floor((cos) * 1e6 + 0.5) / 1e6 DESC, vec_id) AS rank
            FROM pairs) r
          WHERE rank <= 5 ORDER BY q_id, rank""",
     "q_ann_lsh_buckets" -> lshBucketSql(8),
@@ -663,7 +670,7 @@ object SparkEntry {
                        sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
                             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
                 FROM embeddings)
-          SELECT v1, v2, round(cos, 4) AS cos_r FROM (
+          SELECT v1, v2, floor((cos) * 1e4 + 0.5) / 1e4 AS cos_r FROM (
             SELECT a.vec_id AS v1, c.vec_id AS v2,
                    list_sum(list_transform(range(1, len(ea.embedding) + 1),
                         i -> ea.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE)) / (ea.nrm * ec.nrm) AS cos
@@ -684,13 +691,13 @@ object SparkEntry {
                        i -> e.embedding[i]::DOUBLE * cv[i]::DOUBLE)) / (e.nrm * cn) AS cos
            FROM e CROSS JOIN c)
          SELECT vec_id, cell, cos_r FROM (
-           SELECT vec_id, c_id AS cell, round(cos, 4) AS cos_r,
-                  row_number() OVER (PARTITION BY vec_id ORDER BY round(cos, 6) DESC, c_id) AS rn
+           SELECT vec_id, c_id AS cell, floor((cos) * 1e4 + 0.5) / 1e4 AS cos_r,
+                  row_number() OVER (PARTITION BY vec_id ORDER BY floor((cos) * 1e6 + 0.5) / 1e6 DESC, c_id) AS rn
            FROM p) r
          WHERE rn = 1 ORDER BY vec_id""",
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
-                round(sum(l_quantity), 2) AS sum_qty, count(*) AS n
+                floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty, count(*) AS n
          FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus) ORDER BY rf, ls""",
     "q_array_ops" ->
       s"""WITH $TokCte,
@@ -703,14 +710,14 @@ object SparkEntry {
     "q_date_math" ->
       """SELECT o_orderkey,
                 year(o_orderdate) AS y, month(o_orderdate) AS m, day(o_orderdate) AS d,
-                round(sqrt(o_totalprice), 4) AS sqrt_price,
-                round(abs(o_totalprice - 250000.0), 2) AS dist_mid,
+                floor((sqrt(o_totalprice)) * 1e4 + 0.5) / 1e4 AS sqrt_price,
+                floor((abs(o_totalprice - 250000.0)) * 1e2 + 0.5) / 1e2 AS dist_mid,
                 floor(o_totalprice / 10000)::BIGINT AS price_bucket,
-                round(log10(o_totalprice), 4) AS log10_price
+                floor((log10(o_totalprice)) * 1e4 + 0.5) / 1e4 AS log10_price
          FROM orders WHERE o_orderkey < 2000 ORDER BY o_orderkey""",
     "q_events_window" ->
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, event_type,
-                count(*) AS n, round(sum(value), 2) AS sum_value
+                count(*) AS n, floor((sum(value)) * 1e2 + 0.5) / 1e2 AS sum_value
          FROM events GROUP BY hour_bucket, event_type ORDER BY hour_bucket, event_type""",
     "q_sessions" ->
       """WITH x AS (
@@ -727,6 +734,6 @@ object SparkEntry {
                                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
            FROM s)
          SELECT user_id, max(sess_id)::BIGINT AS n_sessions, count(*) AS n_events,
-                round(count(*)::DOUBLE / max(sess_id), 2) AS events_per_session
+                floor((count(*)::DOUBLE / max(sess_id)) * 1e2 + 0.5) / 1e2 AS events_per_session
          FROM r GROUP BY user_id ORDER BY user_id""")
 }

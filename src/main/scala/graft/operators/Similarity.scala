@@ -20,6 +20,11 @@ import org.apache.spark.sql.functions._
   */
 object Similarity {
 
+  /** Shadows functions.round: cross-engine-portable rounding (see
+    * graft.functions.Portable — engine round() diverges at half-way points).
+    */
+  private def round(c: Column, n: Int): Column = graft.functions.Portable.pround(c, n)
+
   /** Left-fold double dot product of two float-array columns (as SQL text so
     * zip_with/aggregate lambdas stay inside codegen).
     */
