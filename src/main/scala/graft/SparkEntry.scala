@@ -433,6 +433,7 @@ object SparkEntry {
 
   /** DuckDB mirror of Dedup.minhashCandidates (same md5 seeding/banding). */
   private def minhashSql(shingleK: Int, numHashes: Int, bands: Int): String = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     val sigs = (0 until numHashes)
       .map(i => s"list_min(list_transform(shingles, s -> md5('$i:' || s))) AS sig$i")

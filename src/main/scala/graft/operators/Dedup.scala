@@ -59,6 +59,8 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 8,
       bands: Int = 4): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands) — otherwise trailing hashes are silently unused")
     val rows = numHashes / bands
     // explode_outer: band-key arrays are never empty, and plain explode
     // triggers InferFiltersFromGenerate, which would re-evaluate the whole

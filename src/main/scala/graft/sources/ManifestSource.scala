@@ -21,18 +21,27 @@ object ManifestSource {
   /** Read a manifest into (file_id, path) with stable positional 1-based ids.
     * RDD `zipWithIndex` over `textFile` preserves line order (partitions are
     * ordered by file offset), which is the one invariant DataFrames alone
-    * can't promise (SURVEY §1 invariant 1). Line 0 is the count line, so a
-    * line's index IS its 1-based document id.
+    * can't promise (SURVEY §1 invariant 1).
+    *
+    * Reference fidelity (fscanf("%s") semantics, src/main.cpp:59-80): blank
+    * lines are skipped entirely (they don't consume a document id), the
+    * first non-blank token is the declared count N, and exactly N paths are
+    * read — trailing junk after the N-th path is ignored.
     */
   def docRefs(spark: SparkSession, manifestPath: String, baseDir: String): DataFrame = {
     import spark.implicits._
-    spark.sparkContext
+    val nonBlank = spark.sparkContext
       .textFile(manifestPath)
+      .map(_.trim)
+      .filter(_.nonEmpty)
       .zipWithIndex()
-      .filter { case (_, idx) => idx > 0 } // drop the count line
-      .map { case (rel, idx) => (idx, rel.trim) }
+    val declared = nonBlank.filter(_._2 == 0L).map(_._1).collect().headOption
+      .map(_.toLong)
+      .getOrElse(0L)
+    nonBlank
+      .filter { case (_, idx) => idx >= 1 && idx <= declared }
+      .map { case (rel, idx) => (idx, rel) }
       .toDF("file_id", "rel_path")
-      .where(length($"rel_path") > 0)
       .withColumn("path", concat(lit(baseDir.stripSuffix("/") + "/"), col("rel_path")))
   }
 
@@ -52,8 +61,13 @@ object ManifestSource {
       val lines = spark.read
         .textFile(paths: _*)
         .select(
-          // file:///abs/path → /abs/path (also tolerates file:/abs/path)
-          regexp_replace(input_file_name(), "^file:/+", "/").as("path"),
+          // input_file_name() is a percent-encoded file: URI. Normalize to a
+          // plain path: strip the scheme, protect literal '+' (url_decode is
+          // form-decoding and would turn it into a space), then %XX-decode —
+          // otherwise files with spaces/special chars silently drop out of
+          // the broadcast join.
+          expr("""url_decode(regexp_replace(regexp_replace(input_file_name(), '^file:/+', '/'), '\\+', '%2B'))""")
+            .as("path"),
           col("value").as("line"))
       lines
         .join(broadcast(refs.select("file_id", "path")), Seq("path"))

@@ -81,11 +81,15 @@ object EventStream {
   /** Streaming exact dedup: drop repeated event_ids, with the watermark
     * bounding the dedup state (the streaming twin of Dedup.exact — at 100 TB
     * of events/day the state only holds the watermark horizon, not history).
+    *
+    * NOTE: plain `dropDuplicates("event_id")` would IGNORE the watermark for
+    * state cleanup (event-time column not in the subset) and grow state
+    * forever; `dropDuplicatesWithinWatermark` is the bounded-state form.
     */
   def dedupEvents(events: DataFrame): DataFrame =
     events
       .withWatermark("ts_t", "2 hours")
-      .dropDuplicates("event_id")
+      .dropDuplicatesWithinWatermark("event_id")
 
   /** Run a streaming query to a named memory sink until all available data
     * is processed (synchronous, for tests/local smoke).
