@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{RewriteSortedCollectSet, SortedDistinctSetAgg}
+import graft.plans.{CleanToken, RewriteSortedCollectSet, SortedDistinctSetAgg}
 
 /** Engine extensions, installable on any session:
   *
@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_set_agg"),
       new ExpressionInfo(classOf[SortedDistinctSetAgg].getName, "sorted_set_agg"),
       (exprs: Seq[Expression]) => SortedDistinctSetAgg(exprs.head).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("graft_clean_token"),
+      new ExpressionInfo(classOf[CleanToken].getName, "graft_clean_token"),
+      (exprs: Seq[Expression]) => CleanToken(exprs.head)))
     e.injectOptimizerRule(_ => RewriteSortedCollectSet)
   }
 }
