@@ -42,4 +42,23 @@ object InvertedIndex {
     */
   def rankedGlobal(postings: DataFrame): DataFrame =
     postings.orderBy(asc("letter"), desc("df"), asc("word"))
+
+  /** Hot-key-safe postings for the 100 TB regime: a stop word's posting list
+    * at web scale is billions of ids — too big for one reducer's collect_set
+    * buffer. Shard the aggregation by doc-id range (`shard = doc_id div
+    * shardWidth`), build sorted per-shard lists, then reassemble per word by
+    * flattening shards in shard order — which preserves global ascending
+    * order exactly because shards partition the id space monotonically.
+    * Result is IDENTICAL to [[postings]] (asserted in PostingsSpec); the
+    * difference is that no single task ever materializes a whole hot word.
+    */
+  def postingsSharded(tokens: DataFrame, idCol: String = "doc_id", shardWidth: Long = 1000000L): DataFrame =
+    tokens
+      .withColumn("__shard", (col(idCol) / shardWidth).cast("long"))
+      .groupBy(col("word"), col("__shard"))
+      .agg(sort_array(collect_set(col(idCol))).as("__ids"))
+      .groupBy("word")
+      .agg(flatten(array_sort(collect_list(struct(col("__shard"), col("__ids")))).getField("__ids")).as("doc_ids"))
+      .withColumn("df", size(col("doc_ids")))
+      .withColumn("letter", substring(col("word"), 1, 1))
 }

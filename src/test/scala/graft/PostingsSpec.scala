@@ -37,6 +37,20 @@ class PostingsSpec extends SparkSpec {
     checkInvariants(postings, maxId = 3L)
   }
 
+  test("sharded postings (hot-key-safe path) equal plain postings exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+    val toks = Tokenize.tokens(docs, "text", Seq("doc_id"))
+    def snap(df: org.apache.spark.sql.DataFrame) = df
+      .select("word", "doc_ids", "df", "letter")
+      .orderBy("word")
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Long](1), r.getInt(2), r.getString(3)))
+      .toSeq
+    // shardWidth 100 over 500 docs -> 5 shards, so reassembly is exercised
+    assert(snap(InvertedIndex.postingsSharded(toks, shardWidth = 100L)) ==
+      snap(InvertedIndex.postings(toks)))
+  }
+
   test("pipeline is deterministic: two runs produce identical postings") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def snapshot() = Engine
