@@ -177,6 +177,21 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    // -- hot-key-safe sharded aggregation: must equal q_inverted_index
+    //    exactly (same oracle SQL), while never materializing a full hot
+    //    word's postings in one task
+    "q_inverted_index_sharded" -> ((s, dir) => {
+      InvertedIndex
+        .postingsSharded(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")),
+          shardWidth = 100L)
+        .select(
+          col("word"),
+          array_join(col("doc_ids"), " ").as("doc_ids_str"),
+          col("df"))
+        .orderBy("word")
+    }),
+
     // -- multi-key global sort (letter ASC, df DESC, word ASC)
     "q_ranked_postings" -> ((s, dir) => {
       InvertedIndex
@@ -336,6 +351,19 @@ object SparkEntry {
           col("sum_qty"),
           col("n"))
         .orderBy("rf", "ls")
+    }),
+
+    // -- cube: all grouping-set combinations
+    "q_cube" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(round(sum(col("o_totalprice")), 2).as("total"), count(lit(1)).as("n"))
+        .select(
+          coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+          coalesce(col("o_orderpriority"), lit("ALL")).as("prio"),
+          col("total"),
+          col("n"))
+        .orderBy("status", "prio")
     }),
 
     // -- array functions over postings: array_contains / element_at / slice
@@ -552,6 +580,17 @@ object SparkEntry {
           SELECT word, array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS doc_ids_str,
                  count(DISTINCT doc_id) AS df
           FROM tok GROUP BY word ORDER BY word""",
+    // identical oracle on purpose: the sharded plan must be result-identical
+    "q_inverted_index_sharded" ->
+      s"""WITH $TokCte
+          SELECT word, array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS doc_ids_str,
+                 count(DISTINCT doc_id) AS df
+          FROM tok GROUP BY word ORDER BY word""",
+    "q_cube" ->
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+                coalesce(o_orderpriority, 'ALL') AS prio,
+                floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total, count(*) AS n
+         FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority) ORDER BY status, prio""",
     "q_ranked_postings" ->
       s"""WITH $TokCte
           SELECT substr(word, 1, 1) AS letter, word, count(DISTINCT doc_id) AS df
