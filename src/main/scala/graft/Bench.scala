@@ -29,14 +29,24 @@ object Bench {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warm the JVM + parquet footers once so per-query numbers measure the
-    // plan, not first-touch class loading
-    run(spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1))
-
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
+    /** Time `body`; -1 on failure. A crash in any one workload must not
+      * cost the harness the whole JSON line.
+      */
+    def timed(name: String)(body: => Unit): Unit = {
+      var failed = false
+      val elapsed = time { try body catch { case _: Throwable => failed = true } }
+      results(name) = if (failed) -1.0 else elapsed
+    }
+
+    // warm the JVM + parquet footers once so per-query numbers measure the
+    // plan, not first-touch class loading
+    try run(spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1))
+    catch { case _: Throwable => () }
+
     // flagship: full inverted-index build over the documents table
-    results("index_build") = time {
+    timed("index_build") {
       run(
         operators.InvertedIndex.rankedGlobal(
           operators.InvertedIndex.postings(
@@ -53,17 +63,12 @@ object Bench {
     if (new java.io.File(refManifest).exists()) {
       def buildRef(): Unit =
         run(Engine.indexFromManifest(spark, refManifest, "/root/reference/checker"))
-      results("index_build_ref_corpus_cold") = time(buildRef())
-      results("index_build_ref_corpus") = time(buildRef())
+      timed("index_build_ref_corpus_cold")(buildRef())
+      timed("index_build_ref_corpus")(buildRef())
     }
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      var failed = false
-      val elapsed = time {
-        try run(fn(spark, sfDir))
-        catch { case _: Throwable => failed = true }
-      }
-      results(name) = if (failed) -1.0 else elapsed
+      timed(name)(run(fn(spark, sfDir)))
     }
 
     // Locale.ROOT: a comma-decimal default locale would emit invalid JSON

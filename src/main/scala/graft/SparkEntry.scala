@@ -453,7 +453,8 @@ object SparkEntry {
           FROM documents $filter),
         sh AS (
           SELECT doc_id,
-                 CASE WHEN len(toks) >= $k
+                 CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                      WHEN len(toks) >= $k
                       THEN list_distinct(list_transform(range(1, len(toks) - $k + 2),
                                          i -> array_to_string(list_slice(toks, i, i + $k - 1), ' ')))
                       ELSE [array_to_string(toks, ' ')] END AS shingles
@@ -470,7 +471,7 @@ object SparkEntry {
       .map(b => s"'$b|' || md5(${(0 until rows).map(r => s"sig${b * rows + r}").mkString(" || ")})")
       .mkString(", ")
     s"""WITH ${shinglesCte(shingleK)},
-        sigs AS (SELECT doc_id, $sigs FROM sh),
+        sigs AS (SELECT doc_id, $sigs FROM sh WHERE len(shingles) > 0),
         bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM sigs)
         SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
@@ -658,7 +659,8 @@ object SparkEntry {
       s"""WITH $ToksArrCte
           SELECT doc_id, list_min(list_transform(sh, s -> md5(s))) AS fp FROM (
             SELECT doc_id,
-                   CASE WHEN len(toks) >= 5
+                   CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                        WHEN len(toks) >= 5
                         THEN list_distinct(list_transform(range(1, len(toks) - 3),
                                            i -> array_to_string(list_slice(toks, i, i + 4), ' ')))
                         ELSE [array_to_string(toks, ' ')] END AS sh

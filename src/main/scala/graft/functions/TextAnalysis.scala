@@ -93,8 +93,12 @@ object TextAnalysis {
   }
 
   /** Order-preserving word k-gram shingles (distinct) from an ALREADY
-    * MATERIALIZED token-array column. Short docs (<k tokens) collapse to a
-    * single whole-document shingle so every doc fingerprints.
+    * MATERIALIZED token-array column. Short-but-nonempty docs (<k tokens)
+    * collapse to a single whole-document shingle so every real doc
+    * fingerprints; docs with ZERO surviving tokens get an EMPTY shingle set —
+    * collapsing them to [""] would hand every token-less document an
+    * identical signature and make unrelated numeric/punctuation-only docs
+    * "duplicates" of each other.
     *
     * PERFORMANCE: `toks` must be a bound column reference (use
     * [[withShingles]]), not an inline expression tree — `slice(toks, i, k)`
@@ -106,7 +110,10 @@ object TextAnalysis {
     val grams = transform(
       sequence(lit(1), size(toks) - (k - 1)),
       i => concat_ws(" ", slice(toks, i, lit(k))))
-    array_distinct(when(size(toks) >= k, grams).otherwise(array(concat_ws(" ", toks))))
+    array_distinct(
+      when(size(toks) === 0, array().cast("array<string>"))
+        .when(size(toks) >= k, grams)
+        .otherwise(array(concat_ws(" ", toks))))
   }
 
   /** Add a distinct-k-gram-shingles column, materializing the token array

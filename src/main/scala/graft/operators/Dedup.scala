@@ -67,6 +67,9 @@ object Dedup {
     // signature expression inside a pushed-down size()>0 scan filter.
     val banded = TextAnalysis
       .withShingles(docs.select(col(idCol), col(textCol)), textCol, shingleK, "__sh")
+      // token-less docs have an empty shingle set and no meaningful
+      // signature — banding them would match them all against each other
+      .where(size(col("__sh")) > 0)
       .withColumn("__sig", minhashSignatureFromShingles(col("__sh"), numHashes))
       .select(col(idCol), explode_outer(bandKeys(col("__sig"), bands, rows)).as("band_key"))
     val a = banded.as("a")

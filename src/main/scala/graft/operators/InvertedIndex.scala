@@ -43,22 +43,32 @@ object InvertedIndex {
   def rankedGlobal(postings: DataFrame): DataFrame =
     postings.orderBy(asc("letter"), desc("df"), asc("word"))
 
-  /** Hot-key-safe postings for the 100 TB regime: a stop word's posting list
-    * at web scale is billions of ids — too big for one reducer's collect_set
-    * buffer. Shard the aggregation by doc-id range (`shard = doc_id div
-    * shardWidth`), build sorted per-shard lists, then reassemble per word by
-    * flattening shards in shard order — which preserves global ascending
-    * order exactly because shards partition the id space monotonically.
-    * Result is IDENTICAL to [[postings]] (asserted in PostingsSpec); the
-    * difference is that no single task ever materializes a whole hot word.
+  /** Sharded postings, stage 1 — the true 100 TB form: a stop word's posting
+    * list at web scale is billions of ids, too big for any single task's
+    * aggregation buffer OR output row. Sharding the aggregation by doc-id
+    * range (`shard = doc_id div shardWidth`) bounds per-task state at
+    * `shardWidth` ids, and the per-(word, shard) rows ARE the scale-safe
+    * index representation — queries iterate shards in order (they partition
+    * the id space monotonically) without ever concatenating them.
+    */
+  def postingsShardedRaw(tokens: DataFrame, idCol: String = "doc_id", shardWidth: Long = 1000000L): DataFrame =
+    tokens
+      .withColumn("shard", (col(idCol) / shardWidth).cast("long"))
+      .groupBy(col("word"), col("shard"))
+      .agg(sort_array(collect_set(col(idCol))).as("doc_ids"))
+
+  /** Sharded postings, reassembled: flatten the per-shard lists in shard
+    * order, which preserves global ascending order exactly. Result is
+    * IDENTICAL to [[postings]] (asserted in PostingsSpec and by the shared
+    * oracle SQL). NOTE this final concat necessarily materializes each
+    * word's full list in one task — it exists for parity checking and
+    * moderate scales; at true hot-key scale keep the
+    * [[postingsShardedRaw]] representation instead.
     */
   def postingsSharded(tokens: DataFrame, idCol: String = "doc_id", shardWidth: Long = 1000000L): DataFrame =
-    tokens
-      .withColumn("__shard", (col(idCol) / shardWidth).cast("long"))
-      .groupBy(col("word"), col("__shard"))
-      .agg(sort_array(collect_set(col(idCol))).as("__ids"))
+    postingsShardedRaw(tokens, idCol, shardWidth)
       .groupBy("word")
-      .agg(flatten(array_sort(collect_list(struct(col("__shard"), col("__ids")))).getField("__ids")).as("doc_ids"))
+      .agg(flatten(array_sort(collect_list(struct(col("shard"), col("doc_ids")))).getField("doc_ids")).as("doc_ids"))
       .withColumn("df", size(col("doc_ids")))
       .withColumn("letter", substring(col("word"), 1, 1))
 }

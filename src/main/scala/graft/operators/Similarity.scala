@@ -103,7 +103,13 @@ object Similarity {
     val bucket = (0 until planes)
       .map(p => when(proj(vecCol, p, dim) > 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
-    df.withColumn("bucket", bucket)
+    // a wrong dim would null-poison every projection (zip_with pads with
+    // null) and silently send ALL vectors to bucket 0 — fail loudly instead
+    val guarded = when(
+      size(col(vecCol)) =!= dim,
+      expr(s"raise_error(concat('withLshBucket: dim=$dim but $vecCol has size ', cast(size($vecCol) as string)))").cast("bigint"))
+      .otherwise(bucket)
+    df.withColumn("bucket", guarded)
   }
 
   /** Embedding-cosine near-duplicate pairs, LSH-pruned: only vectors sharing

@@ -23,22 +23,25 @@ object ManifestSource {
     * ordered by file offset), which is the one invariant DataFrames alone
     * can't promise (SURVEY §1 invariant 1).
     *
-    * Reference fidelity (fscanf("%s") semantics, src/main.cpp:59-80): blank
-    * lines are skipped entirely (they don't consume a document id), the
-    * first non-blank token is the declared count N, and exactly N paths are
-    * read — trailing junk after the N-th path is ignored.
+    * Reference fidelity — the manifest is a WHITESPACE-TOKEN stream, exactly
+    * like the reference's fscanf("%s") loop (src/main.cpp:59-80): the first
+    * token is the declared count N, the next N tokens are the paths; blank
+    * lines never consume a document id, a count sharing a line with the
+    * first path is legal, and trailing junk after the N-th path is ignored.
+    * (Consequence inherited from the format itself: paths cannot contain
+    * whitespace — fscanf could never read one.)
     */
   def docRefs(spark: SparkSession, manifestPath: String, baseDir: String): DataFrame = {
     import spark.implicits._
-    val nonBlank = spark.sparkContext
+    val tokens = spark.sparkContext
       .textFile(manifestPath)
-      .map(_.trim)
+      .flatMap(_.split("\\s+"))
       .filter(_.nonEmpty)
       .zipWithIndex()
-    val declared = nonBlank.filter(_._2 == 0L).map(_._1).collect().headOption
+    val declared = tokens.filter(_._2 == 0L).map(_._1).collect().headOption
       .map(_.toLong)
       .getOrElse(0L)
-    nonBlank
+    tokens
       .filter { case (_, idx) => idx >= 1 && idx <= declared }
       .map { case (rel, idx) => (idx, rel) }
       .toDF("file_id", "rel_path")
