@@ -65,11 +65,18 @@ object Dedup {
     // explode_outer: band-key arrays are never empty, and plain explode
     // triggers InferFiltersFromGenerate, which would re-evaluate the whole
     // signature expression inside a pushed-down size()>0 scan filter.
+    // Token-less docs have an empty shingle set and no meaningful signature —
+    // banding them would match them all against each other. Filter on TOKEN
+    // emptiness (equivalent: shingles are empty iff tokens are), NOT on
+    // size(__sh): a predicate on the shingle column gets pushed below the
+    // projection and re-inlines the whole quadratic shingle expression into
+    // the scan filter (measured 3x on q_dedup_minhash); the token array is a
+    // single pass and safe to push.
+    val nonEmpty = docs
+      .select(col(idCol), col(textCol))
+      .where(size(Tokenize.tokenArray(col(textCol))) > 0)
     val banded = TextAnalysis
-      .withShingles(docs.select(col(idCol), col(textCol)), textCol, shingleK, "__sh")
-      // token-less docs have an empty shingle set and no meaningful
-      // signature — banding them would match them all against each other
-      .where(size(col("__sh")) > 0)
+      .withShingles(nonEmpty, textCol, shingleK, "__sh")
       .withColumn("__sig", minhashSignatureFromShingles(col("__sh"), numHashes))
       .select(col(idCol), explode_outer(bandKeys(col("__sig"), bands, rows)).as("band_key"))
     val a = banded.as("a")
