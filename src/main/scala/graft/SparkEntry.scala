@@ -420,6 +420,21 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // -- Spark's native session_window operator (gap-merged sessions; the
+    //    same groupBy works unchanged in Structured Streaming). Boundary
+    //    semantics, pinned empirically: a gap of EXACTLY 30 min MERGES
+    //    (an event landing on the window end extends it); only a strictly
+    //    greater gap starts a new session — hence `>` in the oracle.
+    "q_session_window" -> ((s, dir) => {
+      graft.sources.EventsSource
+        .events(s, dir)
+        .groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes"))
+        .agg(count(lit(1)).as("sess_events"))
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n_sessions"), sum(col("sess_events")).as("n_events"))
+        .orderBy("user_id")
+    }),
+
     // -- sessionization: 30-min-gap sessions per user (lag + running sum)
     "q_sessions" -> ((s, dir) => {
       val byUser = Window.partitionBy(col("user_id")).orderBy(asc("ts_us"), asc("event_id"))
@@ -761,6 +776,22 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, event_type,
                 count(*) AS n, floor((sum(value)) * 1e2 + 0.5) / 1e2 AS sum_value
          FROM events GROUP BY hour_bucket, event_type ORDER BY hour_bucket, event_type""",
+    "q_session_window" ->
+      """WITH x AS (
+           SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+                  lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id) AS prev_us
+           FROM events),
+         s AS (
+           SELECT user_id, event_id, ts_us,
+                  CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM x),
+         r AS (
+           SELECT user_id,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM s)
+         SELECT user_id, max(sess_id)::BIGINT AS n_sessions, count(*) AS n_events
+         FROM r GROUP BY user_id ORDER BY user_id""",
     "q_sessions" ->
       """WITH x AS (
            SELECT user_id, event_id, epoch_us(ts) AS ts_us,
