@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, InvertedIndex, Similarity, Tokenize}
+import graft.operators.{Dedup, InvertedIndex, Search, Similarity, Tokenize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -209,6 +209,20 @@ object SparkEntry {
         .where(col("rank") <= 3)
         .select(col("letter"), col("word"), col("df"), col("rank"))
         .orderBy("letter", "rank")
+    }),
+
+    // -- boolean retrieval over the index: docs containing ALL query terms
+    "q_search_and" -> ((s, dir) => {
+      Search.andQuery(
+        InvertedIndex.postings(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))),
+        Seq("spark", "query", "join"))
+    }),
+
+    // -- boolean retrieval: docs containing ANY query term + match count
+    "q_search_or" -> ((s, dir) => {
+      Search.orQuery(
+        InvertedIndex.postings(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))),
+        Seq("vector", "stream", "merge"))
     }),
 
     // -- 26-way partition-key histogram
@@ -620,6 +634,18 @@ object SparkEntry {
                    row_number() OVER (PARTITION BY letter ORDER BY df DESC, word) AS rank
             FROM p) r
           WHERE rank <= 3 ORDER BY letter, rank""",
+    "q_search_and" ->
+      s"""WITH $TokCte
+          SELECT doc_id FROM (
+            SELECT doc_id, count(DISTINCT word) AS n_terms
+            FROM tok WHERE word IN ('spark', 'query', 'join')
+            GROUP BY doc_id) g
+          WHERE n_terms = 3 ORDER BY doc_id""",
+    "q_search_or" ->
+      s"""WITH $TokCte
+          SELECT doc_id, count(DISTINCT word) AS n_terms
+          FROM tok WHERE word IN ('vector', 'stream', 'merge')
+          GROUP BY doc_id ORDER BY n_terms DESC, doc_id""",
     "q_letter_stats" ->
       s"""WITH $TokCte,
           p AS (SELECT substr(word, 1, 1) AS letter, count(DISTINCT doc_id) AS df
