@@ -225,6 +225,20 @@ object SparkEntry {
         Seq("vector", "stream", "merge"))
     }),
 
+    // -- TF-IDF ranked retrieval
+    "q_search_tfidf" -> ((s, dir) => {
+      Search
+        .tfidfQuery(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")),
+          Seq("spark", "vector", "window"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
+
+    // -- positional phrase search (consecutive tokens)
+    "q_search_phrase" -> ((s, dir) =>
+      Search.phraseQuery(t(s, dir, "documents"), Seq("data", "query"))),
+
     // -- 26-way partition-key histogram
     "q_letter_stats" -> ((s, dir) => {
       InvertedIndex
@@ -646,6 +660,23 @@ object SparkEntry {
           SELECT doc_id, count(DISTINCT word) AS n_terms
           FROM tok WHERE word IN ('vector', 'stream', 'merge')
           GROUP BY doc_id ORDER BY n_terms DESC, doc_id""",
+    "q_search_tfidf" ->
+      s"""WITH $TokCte,
+          tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+                 WHERE word IN ('spark', 'vector', 'window') GROUP BY doc_id, word),
+          dfs AS (SELECT word, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY word),
+          n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok)
+          SELECT doc_id, floor((sum(tf * ln(n_docs::DOUBLE / df_t))) * 1e4 + 0.5) / 1e4 AS score
+          FROM tf JOIN dfs USING (word) CROSS JOIN n
+          GROUP BY doc_id ORDER BY score DESC, doc_id""",
+    "q_search_phrase" ->
+      s"""WITH $ToksArrCte,
+          p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS word
+                FROM toks_arr)
+          SELECT DISTINCT a.doc_id FROM p a JOIN p b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          WHERE a.word = 'data' AND b.word = 'query'
+          ORDER BY a.doc_id""",
     "q_letter_stats" ->
       s"""WITH $TokCte,
           p AS (SELECT substr(word, 1, 1) AS letter, count(DISTINCT doc_id) AS df

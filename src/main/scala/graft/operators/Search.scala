@@ -44,16 +44,68 @@ object Search {
       .orderBy(desc("n_terms"), asc("doc_id"))
   }
 
-  /** Apply the reference tokenizer to the query terms themselves, so
-    * "Well-Known" matches the indexed "wellknown"; empty-cleaning terms are
-    * dropped (they can match nothing).
+  /** TF-IDF ranked retrieval over the token stream: score(doc) = sum over
+    * matched query terms of tf(doc, term) * ln(N / df(term)). All inputs to
+    * the score are exact integers, so the doubles are engine-reproducible;
+    * the caller rounds for oracle comparison.
+    *
+    * `tokens` is the (idCol, word) token stream (duplicates = term
+    * frequency). N and df are computed inside the plan (broadcast scalars),
+    * so this stays one lazy DataFrame — no driver-side count.
     */
-  private def cleanedTerms(words: Seq[String]): Seq[String] =
+  def tfidfQuery(tokens: DataFrame, words: Seq[String], idCol: String = "doc_id"): DataFrame = {
+    val terms  = cleanedTerms(words)
+    val nDocs  = tokens.select(col(idCol)).distinct().agg(count(lit(1)).as("n_docs"))
+    val tf = tokens
+      .where(col("word").isin(terms: _*))
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(countDistinct(col(idCol)).as("df_t"))
+    tf.join(broadcast(df), Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w_score", col("tf") * log(col("n_docs").cast("double") / col("df_t")))
+      .groupBy(col(idCol))
+      .agg(sum(col("w_score")).as("score"))
+  }
+
+  /** Positional phrase search: docs where the cleaned terms occur at
+    * strictly consecutive token positions. Positions come from
+    * `posexplode` over the order-preserving token array, so this needs the
+    * raw documents (idCol, textCol), not the position-less postings.
+    */
+  def phraseQuery(docs: DataFrame, phrase: Seq[String], idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val terms = cleanedTerms0(phrase) // keep order + duplicates: it's a phrase
+    require(terms.nonEmpty, "phrase cleans to no terms")
+    val positions = docs
+      .select(col(idCol), posexplode(Tokenize.tokenArray(col(textCol))).as(Seq("pos", "word")))
+    val first = positions
+      .where(col("word") === terms.head)
+      .select(col(idCol), col("pos").as("p0"))
+    terms.zipWithIndex.drop(1)
+      .foldLeft(first) { case (acc, (term, i)) =>
+        val next = positions
+          .where(col("word") === term)
+          .select(col(idCol), col("pos").as(s"p$i"))
+        acc.join(next, Seq(idCol)).where(col(s"p$i") === col("p0") + i)
+      }
+      .select(col(idCol))
+      .distinct()
+      .orderBy(idCol)
+  }
+
+  /** Cleaned phrase terms, order- and duplicate-preserving. */
+  private def cleanedTerms0(words: Seq[String]): Seq[String] =
     words
       .map(w => new String(w.getBytes("UTF-8").flatMap { b =>
         val lower = if (b >= 'A' && b <= 'Z') (b + 32).toByte else b
         if (lower >= 'a' && lower <= 'z') Some(lower) else None
       }, "UTF-8"))
       .filter(_.nonEmpty)
-      .distinct
+
+  /** Apply the reference tokenizer to the query terms themselves, so
+    * "Well-Known" matches the indexed "wellknown"; empty-cleaning terms are
+    * dropped (they can match nothing).
+    */
+  private def cleanedTerms(words: Seq[String]): Seq[String] =
+    cleanedTerms0(words).distinct
 }
