@@ -235,9 +235,16 @@ object SparkEntry {
         .orderBy(desc("score"), asc("doc_id"))
     }),
 
-    // -- positional phrase search (consecutive tokens)
+    // -- positional phrase search (consecutive tokens), from raw docs
     "q_search_phrase" -> ((s, dir) =>
       Search.phraseQuery(t(s, dir, "documents"), Seq("data", "query"))),
+
+    // -- same phrase served from the positional index (identical oracle:
+    //    the two implementations must agree)
+    "q_search_phrase_indexed" -> ((s, dir) =>
+      Search.phraseQueryIndexed(
+        InvertedIndex.positionalPostings(t(s, dir, "documents")),
+        Seq("data", "query"))),
 
     // -- 26-way partition-key histogram
     "q_letter_stats" -> ((s, dir) => {
@@ -670,6 +677,15 @@ object SparkEntry {
           FROM tf JOIN dfs USING (word) CROSS JOIN n
           GROUP BY doc_id ORDER BY score DESC, doc_id""",
     "q_search_phrase" ->
+      s"""WITH $ToksArrCte,
+          p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS word
+                FROM toks_arr)
+          SELECT DISTINCT a.doc_id FROM p a JOIN p b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          WHERE a.word = 'data' AND b.word = 'query'
+          ORDER BY a.doc_id""",
+    // identical oracle on purpose: index-served phrase search must agree
+    "q_search_phrase_indexed" ->
       s"""WITH $ToksArrCte,
           p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS word
                 FROM toks_arr)

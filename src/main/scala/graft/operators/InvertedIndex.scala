@@ -43,6 +43,20 @@ object InvertedIndex {
   def rankedGlobal(postings: DataFrame): DataFrame =
     postings.orderBy(asc("letter"), desc("df"), asc("word"))
 
+  /** Positional postings: word → sorted list of (doc_id, positions) — the
+    * index structure phrase search needs (the plain index only answers
+    * boolean/ranked queries). Positions are 0-based token offsets from the
+    * order-preserving token array. One shuffle (word+doc agg), then a
+    * map-side regroup per word.
+    */
+  def positionalPostings(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
+    docs
+      .select(col(idCol), posexplode(graft.operators.Tokenize.tokenArray(col(textCol))).as(Seq("pos", "word")))
+      .groupBy(col("word"), col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .groupBy(col("word"))
+      .agg(array_sort(collect_list(struct(col(idCol).as("doc_id"), col("positions")))).as("postings"))
+
   /** Sharded postings, stage 1 — the true 100 TB form: a stop word's posting
     * list at web scale is billions of ids, too big for any single task's
     * aggregation buffer OR output row. Sharding the aggregation by doc-id

@@ -93,6 +93,31 @@ object Search {
       .orderBy(idCol)
   }
 
+  /** Phrase search served from the POSITIONAL INDEX (see
+    * InvertedIndex.positionalPostings) instead of re-tokenizing raw docs:
+    * the classic IR algorithm — a phrase starts at position p iff
+    * p ∈ P(term0) ∧ p+1 ∈ P(term1) ∧ … — computed as the intersection of
+    * each term's position list shifted left by its offset. Only the query
+    * terms' postings are scanned (word IN (...) pruning).
+    */
+  def phraseQueryIndexed(positional: DataFrame, phrase: Seq[String]): DataFrame = {
+    val terms = cleanedTerms0(phrase)
+    require(terms.nonEmpty, "phrase cleans to no terms")
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      positional
+        .where(col("word") === t)
+        .select(explode(col("postings")).as("p"))
+        .select(col("p.doc_id").as("doc_id"), transform(col("p.positions"), x => x - i).as(s"adj$i"))
+    }
+    val joined = perTerm.reduceLeft((a, b) => a.join(b, Seq("doc_id")))
+    val starts = (1 until terms.size)
+      .foldLeft(col("adj0")) { (acc, i) => array_intersect(acc, col(s"adj$i")) }
+    joined
+      .where(size(starts) > 0)
+      .select(col("doc_id"))
+      .orderBy("doc_id")
+  }
+
   /** Cleaned phrase terms, order- and duplicate-preserving. */
   private def cleanedTerms0(words: Seq[String]): Seq[String] =
     words
