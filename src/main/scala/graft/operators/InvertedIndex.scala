@@ -43,6 +43,41 @@ object InvertedIndex {
   def rankedGlobal(postings: DataFrame): DataFrame =
     postings.orderBy(asc("letter"), desc("df"), asc("word"))
 
+  /** Incremental index maintenance: merge two postings relations (e.g. an
+    * existing index + a newly ingested batch) without re-tokenizing either
+    * side. Full outer join on word + sorted array union — one shuffle over
+    * INDEX-sized data (words), never corpus-sized.
+    * Invariant (spec-asserted): merge(index(A), index(B)) == index(A ∪ B)
+    * for disjoint-or-not doc sets (union dedups shared doc ids).
+    */
+  def mergeIndexes(a: DataFrame, b: DataFrame): DataFrame = {
+    val left  = a.select(col("word"), col("doc_ids").as("ids_a"))
+    val right = b.select(col("word"), col("doc_ids").as("ids_b"))
+    left
+      .join(right, Seq("word"), "full_outer")
+      .select(
+        col("word"),
+        sort_array(array_union(
+          coalesce(col("ids_a"), array().cast("array<bigint>")),
+          coalesce(col("ids_b"), array().cast("array<bigint>")))).as("doc_ids"))
+      .withColumn("df", size(col("doc_ids")))
+      .withColumn("letter", substring(col("word"), 1, 1))
+  }
+
+  /** Incremental index maintenance: delete a (small, broadcastable) set of
+    * documents from the index. Map-side only — each posting list is
+    * filtered in place; words whose lists empty out disappear.
+    * Invariant (spec-asserted): remove(index(A), D) == index(A \ D).
+    */
+  def removeDocs(postings: DataFrame, docIds: Seq[Long]): DataFrame = {
+    val gone = docIds.toSet
+    val keep = typedlit(gone.toSeq.sorted)
+    postings
+      .withColumn("doc_ids", filter(col("doc_ids"), id => !array_contains(keep, id)))
+      .where(size(col("doc_ids")) > 0)
+      .withColumn("df", size(col("doc_ids")))
+  }
+
   /** Positional postings: word → sorted list of (doc_id, positions) — the
     * index structure phrase search needs (the plain index only answers
     * boolean/ranked queries). Positions are 0-based token offsets from the
