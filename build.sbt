@@ -11,6 +11,10 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked program output must reach stdout UNDECORATED — the bench driver
+// parses graft.Bench's single JSON line structurally, and sbt's default
+// logger prefixes every line with "[info] " (which broke BENCH_r01 parsing).
+outputStrategy := Some(sbt.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

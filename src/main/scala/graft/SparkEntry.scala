@@ -697,13 +697,13 @@ object SparkEntry {
       s"""WITH $TokCte,
           p AS (SELECT substr(word, 1, 1) AS letter, count(DISTINCT doc_id) AS df
                 FROM tok GROUP BY word)
-          SELECT letter, count(*) AS n_words, sum(df) AS sum_df
+          SELECT letter, count(*) AS n_words, sum(df)::BIGINT AS sum_df
           FROM p GROUP BY letter ORDER BY letter""",
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY text ORDER BY keep_id""",
     "q_token_count" ->
-      """SELECT lang, count(*) AS n_docs, sum(n_ws) AS sum_ws, sum(n_bpe) AS sum_bpe,
+      """SELECT lang, count(*) AS n_docs, sum(n_ws)::BIGINT AS sum_ws, sum(n_bpe)::BIGINT AS sum_bpe,
                 floor((avg(n_ws)) * 1e2 + 0.5) / 1e2 AS avg_ws
          FROM (SELECT lang,
                       len(regexp_split_to_array(text, '\s+')) AS n_ws,

@@ -40,6 +40,14 @@ object Similarity {
 
   /** Exact top-k cosine neighbors for each query vector.
     *
+    * Plan (the 100 TB shape): the pair stream is consumed by a BOUNDED
+    * top-k aggregate ([[graft.plans.CosTopK]]) whose partial (map-side)
+    * buffers hold at most k entries per query — the exchange moves
+    * ≤ k·|Q|·numPartitions tiny structs instead of the full N×|Q| pair
+    * stream, and the final merge is a k-way list merge per query. The
+    * earlier `row_number() OVER (PARTITION BY q_id)` plan shuffled every
+    * pair and collapsed parallelism to |Q| tasks.
+    *
     * @param corpus  (idCol, vecCol) — the searched collection
     * @param queries (idCol, vecCol) — the (small, broadcastable) query set
     * @return (q_id, idCol, rank, cos_r): rank 1..k by cosine DESC
@@ -51,20 +59,29 @@ object Similarity {
       k: Int,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
     val e = corpus
       .select(col(idCol), col(vecCol).as("ev"))
       .withColumn("en", norm("ev"))
     val q = queries
       .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
       .withColumn("qn", norm("qv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id"))
-      .orderBy(round(col("cos"), 6).desc, col(idCol).asc)
+    val topk = GraftBridge.column(
+      graft.plans.CosTopK(
+        GraftBridge.expression(round(col("cos"), 6)),
+        GraftBridge.expression(col(idCol).cast("bigint")),
+        GraftBridge.expression(col("cos")),
+        k).toAggregateExpression())
     e.join(broadcast(q), col(idCol) =!= col("q_id"))
       .withColumn("cos", expr(dotExpr("qv", "ev")) / (col("qn") * col("en")))
-      .withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("q_id"), col(idCol), col("rank"), round(col("cos"), 4).as("cos_r"))
+      .groupBy(col("q_id"))
+      .agg(topk.as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(
+        col("q_id"),
+        col("col.id").as(idCol),
+        (col("pos") + 1).as("rank"),
+        round(col("col.cos"), 4).as("cos_r"))
   }
 
   /** Deterministic pseudo-random hyperplane component r(plane, i) in
@@ -153,13 +170,15 @@ object Similarity {
     val c = centroids
       .select(col(idCol).as("c_id"), col(vecCol).as("cv"))
       .withColumn("cn", norm("cv"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(idCol))
-      .orderBy(round(col("cos"), 6).desc, col("c_id").asc)
+    // argmax as a map-side partial aggregation (max_by over a lexicographic
+    // (cos₆ DESC, c_id ASC) struct key): the exchange moves ONE row per
+    // vector, where the earlier row_number() window shuffled all N×k pairs.
     e.crossJoin(broadcast(c))
       .withColumn("cos", expr(dotExpr("ev", "cv")) / (col("en") * col("cn")))
-      .withColumn("rn", row_number().over(w))
-      .where(col("rn") === 1)
-      .select(col(idCol), col("c_id").as("cell"), round(col("cos"), 4).as("cos_r"))
+      .groupBy(col(idCol))
+      .agg(max_by(
+        struct(col("c_id"), col("cos")),
+        struct(round(col("cos"), 6).as("k1"), (-col("c_id")).as("k2"))).as("best"))
+      .select(col(idCol), col("best.c_id").as("cell"), round(col("best.cos"), 4).as("cos_r"))
   }
 }
