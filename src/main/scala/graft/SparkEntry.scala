@@ -304,10 +304,12 @@ object SparkEntry {
 
     // ====================== training-data pipeline: near-dup + similarity
 
-    // -- MinHash-LSH candidate pairs (2-gram shingles, 8 hashes, 4 bands)
+    // -- MinHash-LSH candidate pairs (3-gram shingles, 16 hashes, 8 bands
+    //    of 2, hot buckets capped at 4096 docs)
     "q_dedup_minhash" -> ((s, dir) => {
       Dedup
-        .minhashCandidates(t(s, dir, "documents"), shingleK = 2, numHashes = 8, bands = 4)
+        .minhashCandidates(t(s, dir, "documents"),
+          shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096)
         .orderBy("doc1", "doc2")
     }),
 
@@ -360,10 +362,11 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
-    // -- embedding-cosine near-dup pairs, LSH-pruned (the scale path)
+    // -- embedding-cosine near-dup pairs, LSH-pruned, two independent
+    //    bucket tables OR'd for recall (the scale path)
     "q_dedup_embedding" -> ((s, dir) => {
       Similarity
-        .cosineNearDupPairs(t(s, dir, "embeddings"), thr = 0.25, planes = 4)
+        .cosineNearDupPairs(t(s, dir, "embeddings"), thr = 0.25, planes = 4, tables = 2)
         .orderBy("v1", "v2")
     }),
 
@@ -511,32 +514,36 @@ object SparkEntry {
           FROM toks0)"""
 
   /** DuckDB mirror of Dedup.minhashCandidates (same md5 seeding/banding). */
-  private def minhashSql(shingleK: Int, numHashes: Int, bands: Int): String = {
+  private def minhashSql(shingleK: Int, numHashes: Int, bands: Int, maxBucket: Int): String = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
+    // 4 independent 32-bit hashes per digest (8-hex slices), mirroring
+    // Dedup.signatureFromDigests' seed-group/slice layout
     val sigs = (0 until numHashes)
-      .map(i => s"list_min(list_transform(shingles, s -> md5('$i:' || s))) AS sig$i")
+      .map(i => s"list_min(list_transform(shingles, s -> substr(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8))) AS sig$i")
       .mkString(", ")
     val bandList = (0 until bands)
       .map(b => s"'$b|' || md5(${(0 until rows).map(r => s"sig${b * rows + r}").mkString(" || ")})")
       .mkString(", ")
     s"""WITH ${shinglesCte(shingleK)},
         sigs AS (SELECT doc_id, $sigs FROM sh WHERE len(shingles) > 0),
-        bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM sigs)
+        bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM sigs),
+        keep AS (SELECT band FROM bands GROUP BY band HAVING count(*) BETWEEN 2 AND $maxBucket)
         SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
         FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+        JOIN keep k ON k.band = a.band
         ORDER BY doc1, doc2"""
   }
 
   /** DuckDB mirror of Similarity.withLshBucket's bucket expression (over a
     * relation aliased/projected so `embedding` resolves).
     */
-  private def lshBucketExpr(planes: Int): String = {
-    val proj = (p: Int) =>
+  private def lshBucketExpr(planes: Int, seedOffset: Int = 0): String = {
+    val proj = (seed: Int) =>
       s"""list_sum(list_transform(range(1, len(embedding) + 1),
-          i -> embedding[i]::DOUBLE * (('0x' || substr(md5($p || ':' || i), 1, 8))::BIGINT::DOUBLE / 4294967296.0 - 0.5)))"""
+          i -> embedding[i]::DOUBLE * (('0x' || substr(md5($seed || ':' || i), 1, 8))::BIGINT::DOUBLE / 4294967296.0 - 0.5)))"""
     (0 until planes)
-      .map(p => s"CASE WHEN ${proj(p)} > 0 THEN (1::BIGINT << $p) ELSE 0 END")
+      .map(p => s"CASE WHEN ${proj(seedOffset + p)} > 0 THEN (1::BIGINT << $p) ELSE 0 END")
       .mkString(" + ")
   }
 
@@ -754,7 +761,7 @@ object SparkEntry {
                         ELSE [array_to_string(toks, ' ')] END AS sh
             FROM toks_arr) u
           ORDER BY doc_id""",
-    "q_dedup_minhash" -> minhashSql(shingleK = 2, numHashes = 8, bands = 4),
+    "q_dedup_minhash" -> minhashSql(shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096),
     "q_simhash" ->
       s"""WITH $TokCte,
           freq AS (SELECT doc_id, word, count(*) AS freq FROM tok GROUP BY doc_id, word),
@@ -795,12 +802,14 @@ object SparkEntry {
          WHERE rank <= 5 ORDER BY q_id, rank""",
     "q_ann_lsh_buckets" -> lshBucketSql(8),
     "q_dedup_embedding" ->
-      s"""WITH b AS (SELECT vec_id, (${lshBucketExpr(4)})::BIGINT AS bucket FROM embeddings),
+      s"""WITH b AS (SELECT vec_id, '0|' || ((${lshBucketExpr(4, 0)})::BIGINT)::VARCHAR AS bucket FROM embeddings
+                     UNION ALL
+                     SELECT vec_id, '1|' || ((${lshBucketExpr(4, 4)})::BIGINT)::VARCHAR AS bucket FROM embeddings),
           e AS (SELECT vec_id, embedding,
                        sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
                             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
                 FROM embeddings)
-          SELECT v1, v2, floor((cos) * 1e4 + 0.5) / 1e4 AS cos_r FROM (
+          SELECT DISTINCT v1, v2, floor((cos) * 1e4 + 0.5) / 1e4 AS cos_r FROM (
             SELECT a.vec_id AS v1, c.vec_id AS v2,
                    list_sum(list_transform(range(1, len(ea.embedding) + 1),
                         i -> ea.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE)) / (ea.nrm * ec.nrm) AS cos

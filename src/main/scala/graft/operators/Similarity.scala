@@ -25,18 +25,23 @@ object Similarity {
     */
   private def round(c: Column, n: Int): Column = graft.functions.Portable.pround(c, n)
 
-  /** Left-fold double dot product of two float-array columns (as SQL text so
-    * zip_with/aggregate lambdas stay inside codegen).
+  /** Left-fold double dot product of two numeric array columns — the native
+    * codegen'd [[graft.plans.ArrayDotProduct]] (Spark's zip_with/aggregate
+    * lambdas run interpreted and dominated every similarity plan; the
+    * native loop is bit-identical to the old fold AND the DuckDB oracle).
     */
-  private def dotExpr(a: String, b: String): String =
-    s"aggregate(zip_with($a, $b, (x, y) -> cast(x as double) * cast(y as double)), cast(0.0 as double), (acc, v) -> acc + v)"
+  def dot(a: Column, b: Column): Column = {
+    import org.apache.spark.sql.GraftBridge
+    GraftBridge.column(graft.plans.ArrayDotProduct(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+  }
 
   /** L2 norm of a float-array column. */
-  def norm(vec: String): Column = sqrt(expr(dotExpr(vec, vec)))
+  def norm(vec: String): Column = sqrt(dot(col(vec), col(vec)))
 
   /** Cosine similarity between two float-array columns (by SQL name). */
   def cosine(a: String, b: String): Column =
-    expr(dotExpr(a, b)) / (norm(a) * norm(b))
+    dot(col(a), col(b)) / (norm(a) * norm(b))
 
   /** Exact top-k cosine neighbors for each query vector.
     *
@@ -73,7 +78,7 @@ object Similarity {
         GraftBridge.expression(col("cos")),
         k).toAggregateExpression())
     e.join(broadcast(q), col(idCol) =!= col("q_id"))
-      .withColumn("cos", expr(dotExpr("qv", "ev")) / (col("qn") * col("en")))
+      .withColumn("cos", dot(col("qv"), col("ev")) / (col("qn") * col("en")))
       .groupBy(col("q_id"))
       .agg(topk.as("top"))
       .select(col("q_id"), posexplode(col("top")))
@@ -106,19 +111,18 @@ object Similarity {
     */
   private def proj(vecCol: String, plane: Int, dim: Int): Column = {
     val planeLit = array(planeComponents(plane, dim).map(lit): _*)
-    aggregate(
-      zip_with(col(vecCol), planeLit, (x, r) => x.cast("double") * r),
-      lit(0.0),
-      (acc, v) => acc + v)
+    dot(col(vecCol), planeLit)
   }
 
   /** Add an LSH bucket column: `planes`-bit random-hyperplane signature.
     * Vectors in the same bucket are ANN candidates; join on the bucket to
     * avoid the corpus-wide cross join. `dim` must match the embedding width.
+    * `seedOffset` shifts the hyperplane seeds so independent bucket TABLES
+    * (multi-table LSH, the recall lever) draw disjoint hyperplanes.
     */
-  def withLshBucket(df: DataFrame, vecCol: String = "embedding", planes: Int = 8, dim: Int = 64): DataFrame = {
+  def withLshBucket(df: DataFrame, vecCol: String = "embedding", planes: Int = 8, dim: Int = 64, seedOffset: Int = 0): DataFrame = {
     val bucket = (0 until planes)
-      .map(p => when(proj(vecCol, p, dim) > 0, lit(1L << p)).otherwise(lit(0L)))
+      .map(p => when(proj(vecCol, seedOffset + p, dim) > 0, lit(1L << p)).otherwise(lit(0L)))
       .reduce(_ + _)
     // a wrong dim would null-poison every projection (zip_with pads with
     // null) and silently send ALL vectors to bucket 0 — fail loudly instead
@@ -130,30 +134,40 @@ object Similarity {
   }
 
   /** Embedding-cosine near-duplicate pairs, LSH-pruned: only vectors sharing
-    * an LSH bucket are compared (the 100 TB path — the self-join key is the
-    * bucket, never an all-pairs cross join), then exact cosine filters at
-    * `thr`. Returns (v1, v2, cos_r) with v1 < v2.
+    * an LSH bucket in at least one of `tables` independent bucket tables
+    * are compared (the 100 TB path — every self-join key is a bucket, never
+    * an all-pairs cross join), then exact cosine filters at `thr`. Returns
+    * (v1, v2, cos_r) with v1 < v2, each pair once even if it collides in
+    * several tables.
     *
     * Like all LSH methods this trades recall for scale: pairs split across
-    * buckets are not compared. Raise recall with fewer planes (bigger
-    * buckets) or multiple bucket tables (repeat with a different seed).
+    * buckets in EVERY table are not compared. Recall ≈ 1-(1-(1-θ/π)^planes)^tables
+    * — raise it with more tables (linear cost) or fewer planes (quadratic
+    * in-bucket cost); SimilarityRecallSpec pins the measured floor.
     */
   def cosineNearDupPairs(
       df: DataFrame,
       thr: Double,
       planes: Int = 4,
+      tables: Int = 2,
       dim: Int = 64,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
-    val withB = withLshBucket(df.select(col(idCol), col(vecCol)), vecCol, planes, dim)
-      .withColumn("nrm", norm(vecCol))
-    val a = withB.select(col(idCol).as("v1"), col(vecCol).as("va"), col("nrm").as("na"), col("bucket"))
-    val b = withB.select(col(idCol).as("v2"), col(vecCol).as("vb"), col("nrm").as("nb"), col("bucket"))
+    val base = df.select(col(idCol), col(vecCol)).withColumn("nrm", norm(vecCol))
+    val banded = (0 until tables)
+      .map { tbl =>
+        withLshBucket(base, vecCol, planes, dim, seedOffset = tbl * planes)
+          .withColumn("bucket", concat(lit(s"$tbl|"), col("bucket")))
+      }
+      .reduce(_ unionAll _)
+    val a = banded.select(col(idCol).as("v1"), col(vecCol).as("va"), col("nrm").as("na"), col("bucket"))
+    val b = banded.select(col(idCol).as("v2"), col(vecCol).as("vb"), col("nrm").as("nb"), col("bucket"))
     a.join(b, Seq("bucket"))
       .where(col("v1") < col("v2"))
-      .withColumn("cos", expr(dotExpr("va", "vb")) / (col("na") * col("nb")))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= thr)
       .select(col("v1"), col("v2"), round(col("cos"), 4).as("cos_r"))
+      .distinct()
   }
 
   /** IVF cell assignment: route each vector to its max-cosine centroid
@@ -174,7 +188,7 @@ object Similarity {
     // (cos₆ DESC, c_id ASC) struct key): the exchange moves ONE row per
     // vector, where the earlier row_number() window shuffled all N×k pairs.
     e.crossJoin(broadcast(c))
-      .withColumn("cos", expr(dotExpr("ev", "cv")) / (col("en") * col("cn")))
+      .withColumn("cos", dot(col("ev"), col("cv")) / (col("en") * col("cn")))
       .groupBy(col(idCol))
       .agg(max_by(
         struct(col("c_id"), col("cos")),

@@ -37,6 +37,32 @@ class PlanShapeSpec extends SparkSpec {
     assert(exchanges(quality) == 0)
   }
 
+  test("brute-force top-k: pair stream partially aggregated BEFORE the exchange") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val topk = graft.operators.Similarity.bruteForceTopK(emb, emb.where(col("vec_id") < 3), k = 5)
+    val plan = topk.queryExecution.executedPlan.toString
+    // one shuffle (the groupBy(q_id)), never a Window over the pair stream,
+    // and a partial ObjectHashAggregate feeding the exchange so each map
+    // partition ships at most k rows per query
+    assert(exchanges(topk) == 1, s"top-k should shuffle once:\n$plan")
+    assert(!plan.contains("Window"), s"top-k must not use a window:\n$plan")
+    val exchangeIdx = plan.indexOf("Exchange hashpartitioning(q_id")
+    val partialIdx  = plan.indexOf("ObjectHashAggregate(keys=[q_id", exchangeIdx)
+    assert(exchangeIdx >= 0 && partialIdx > exchangeIdx,
+      s"partial cos_topk aggregate must sit below the exchange:\n$plan")
+  }
+
+  test("IVF assignment: argmax is a partial aggregation, not a window") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val ivf = graft.operators.Similarity.ivfAssign(emb, emb.where(col("vec_id") < 4))
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(exchanges(ivf) == 1, s"IVF should shuffle once (final agg):\n$plan")
+    assert(!plan.contains("Window"), s"IVF must not use a window:\n$plan")
+    assert(plan.contains("partial_max_by") || plan.contains("partial_maxby")
+        || "HashAggregate\\(keys=\\[vec_id".r.findAllIn(plan).length >= 2,
+      s"max_by must partially aggregate map-side:\n$plan")
+  }
+
   test("broadcast dim join keeps the fact side shuffle-free") {
     val orders   = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")

@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity}
+
+/** Measured recall floors for both LSH pruning paths against their EXACT
+  * ground truths at sf0.01. Scale tuning (band selectivity, bucket caps,
+  * plane/table counts) trades recall for throughput — these specs pin the
+  * quality floor so a parameter change that silently guts dedup quality
+  * fails here instead of at 100 TB.
+  */
+class DedupRecallSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  /** Exact 3-gram jaccard ≥ thr pairs (the ground truth minhash approximates):
+    * same shingle equi-join shape as q_ngram_jaccard, never a cross join.
+    */
+  private def jaccardTruth(thr: Double): DataFrame = {
+    val sh = graft.functions.TextAnalysis
+      .withShingles(docs.where(size(operators.Tokenize.tokenArray(col("text"))) > 0), "text", 3, "sh")
+      .select(col("doc_id"), col("sh"))
+      .where(size(col("sh")) > 0)
+    val ex = sh.select(col("doc_id"), explode(col("sh")).as("s"))
+    val inter = ex.as("a")
+      .join(ex.as("b"), col("a.s") === col("b.s") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("d1"), col("b.doc_id").as("d2"))
+      .agg(count(lit(1)).as("n_inter"))
+    val sizes = sh.select(col("doc_id"), size(col("sh")).as("sz"))
+    inter
+      .join(sizes.withColumnRenamed("doc_id", "d1").withColumnRenamed("sz", "sz1"), Seq("d1"))
+      .join(sizes.withColumnRenamed("doc_id", "d2").withColumnRenamed("sz", "sz2"), Seq("d2"))
+      .where(col("n_inter").cast("double") / (col("sz1") + col("sz2") - col("n_inter")) >= thr)
+      .select(col("d1"), col("d2"))
+  }
+
+  test("minhash-LSH candidates recover >=95% of jaccard>=0.5 pairs (measured 100% at sf0.01)") {
+    val truth = jaccardTruth(0.5).collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(truth.nonEmpty, "ground truth must not be vacuous")
+    val cand = Dedup
+      .minhashCandidates(docs, shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = truth.count(cand.contains).toDouble / truth.size
+    assert(recall >= 0.95, s"minhash recall $recall < 0.95 (truth=${truth.size}, candidates=${cand.size})")
+    // selectivity sanity: candidates should be the same order as the truth,
+    // not an all-pairs blowup (round 1's 2-gram/2-row bands emitted 896)
+    assert(cand.size <= truth.size * 10, s"minhash emits ${cand.size} candidates for ${truth.size} true pairs")
+  }
+}
+
+class SimilarityRecallSpec extends SparkSpec {
+
+  private lazy val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+
+  test("LSH near-dup pairs recover a pinned floor of brute-force cos>=0.25 pairs") {
+    import spark.implicits._
+    // exact truth: all-pairs cosine (fine at sf0.01's 500 vectors)
+    val e = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Similarity.norm("embedding"))
+    val truth = e.as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .where(
+        Similarity.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")) >= 0.25)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .as[(Long, Long)].collect().toSet
+    assert(truth.nonEmpty)
+    val lsh = Similarity
+      .cosineNearDupPairs(emb, thr = 0.25, planes = 4, tables = 2)
+      .select("v1", "v2").as[(Long, Long)].collect().toSet
+    val recall = truth.count(lsh.contains).toDouble / truth.size
+    // the sf0.01 embeddings are near-random (no pairs above cos 0.5), the
+    // hardest regime for hyperplane LSH: theory gives 1-(1-(1-θ/π)^4)^2 ≈
+    // 0.21 at cos 0.25, measured 0.237. Real near-dup corpora (cos ≥ 0.9)
+    // sit in the easy regime of the same curve. Round 1 (planes=4, one
+    // table) measured 0.123 — the floor pins the two-table improvement.
+    assert(recall >= 0.15, s"embedding LSH recall $recall < 0.15 (truth=${truth.size}, lsh=${lsh.size})")
+  }
+}
