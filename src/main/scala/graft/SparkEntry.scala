@@ -177,6 +177,33 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    // -- incremental maintenance invariant: merge(index(even), index(odd))
+    //    == index(all); the oracle is the whole-corpus index itself
+    "q_index_merge" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val even = Engine.indexFromTable(docs.where(col("doc_id") % 2 === 0))
+      val odd  = Engine.indexFromTable(docs.where(col("doc_id") % 2 === 1))
+      InvertedIndex
+        .mergeIndexes(even, odd)
+        .select(
+          col("word"),
+          array_join(col("doc_ids"), " ").as("doc_ids_str"),
+          col("df"))
+        .orderBy("word")
+    }),
+
+    // -- incremental maintenance invariant: remove(index(A), D) ==
+    //    index(A \ D); the oracle indexes the filtered corpus directly
+    "q_index_remove" -> ((s, dir) => {
+      InvertedIndex
+        .removeDocs(Engine.indexFromTable(t(s, dir, "documents")), (1L to 40L))
+        .select(
+          col("word"),
+          array_join(col("doc_ids"), " ").as("doc_ids_str"),
+          col("df"))
+        .orderBy("word")
+    }),
+
     // -- hot-key-safe sharded aggregation: must equal q_inverted_index
     //    exactly (same oracle SQL), while never materializing a full hot
     //    word's postings in one task
@@ -450,11 +477,15 @@ object SparkEntry {
 
     // -- multimodal decode plumbing (no oracle: Dataset op with a stubbed
     //    codec — deterministic, so the driver's rows-only check is stable)
+    // -- value-checked roundtrip: image rows are REAL synthesized PNGs with
+    //    formula-derived dimensions, decoded back via javax.imageio; the
+    //    oracle recomputes the formulas from the documents table (n_bytes
+    //    excluded: PNG payload size is encoder-internal)
     "q_multimodal_decode" -> ((s, dir) => {
       operators.Multimodal
         .decode(operators.Multimodal.demoMediaFromDocuments(s, dir))
         .toDF()
-        .select(col("media_id"), col("kind"), col("n_bytes"), col("width"), col("height"), col("duration_ms"))
+        .select(col("media_id"), col("kind"), col("width"), col("height"), col("duration_ms"))
         .orderBy("media_id")
     }),
 
@@ -635,6 +666,25 @@ object SparkEntry {
           SELECT doc_id, word FROM tok WHERE doc_id < 50 ORDER BY doc_id, word""",
     "q_inverted_index" ->
       s"""WITH $TokCte
+          SELECT word, array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS doc_ids_str,
+                 count(DISTINCT doc_id) AS df
+          FROM tok GROUP BY word ORDER BY word""",
+    // the merge invariant: merging the even- and odd-doc indexes must give
+    // exactly the whole-corpus index, so the oracle IS q_inverted_index
+    "q_index_merge" ->
+      s"""WITH $TokCte
+          SELECT word, array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS doc_ids_str,
+                 count(DISTINCT doc_id) AS df
+          FROM tok GROUP BY word ORDER BY word""",
+    // the removal invariant: the oracle indexes the corpus minus the
+    // removed ids directly
+    "q_index_remove" ->
+      """WITH tok AS (
+           SELECT doc_id, w AS word FROM (
+             SELECT doc_id,
+                    regexp_replace(lower(unnest(regexp_split_to_array(text, '\s+'))), '[^a-z]', '', 'g') AS w
+             FROM documents WHERE doc_id NOT BETWEEN 1 AND 40) u
+           WHERE w <> '')
           SELECT word, array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS doc_ids_str,
                  count(DISTINCT doc_id) AS df
           FROM tok GROUP BY word ORDER BY word""",
@@ -858,6 +908,18 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, event_type,
                 count(*) AS n, floor((sum(value)) * 1e2 + 0.5) / 1e2 AS sum_value
          FROM events GROUP BY hour_bucket, event_type ORDER BY hour_bucket, event_type""",
+    // the multimodal roundtrip: image dims come from DECODING synthesized
+    // PNGs (javax.imageio) — the oracle recomputes the synthesis formulas
+    // directly, so a fake decode cannot pass
+    "q_multimodal_decode" ->
+      """SELECT doc_id AS media_id,
+                CASE WHEN doc_id % 3 = 0 THEN 'image'
+                     WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
+                (CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 64 ELSE 0 END)::INTEGER AS width,
+                (CASE WHEN doc_id % 3 = 0 THEN 1 + octet_length(encode(text)) % 64 ELSE 0 END)::INTEGER AS height,
+                (CASE WHEN doc_id % 3 = 0 THEN 0
+                      ELSE 1 + (octet_length(encode(text))::BIGINT * 131) % 600000 END)::BIGINT AS duration_ms
+         FROM documents ORDER BY media_id""",
     "q_session_window" ->
       """WITH x AS (
            SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -7,12 +7,16 @@ import org.apache.spark.sql.functions._
   * pipeline: media travel as opaque `BINARY` columns with typed metadata;
   * decode/feature-extraction runs per-partition in bounded batches.
   *
-  * The actual codec step is STUBBED (this environment ships no image/audio
-  * libraries): `decodeStub` produces a deterministic fake feature record
-  * derived only from the bytes. Everything around it — schema, batch
-  * iteration, partition sizing, column pruning — is the real distributed
-  * plumbing a production decoder would plug into; swap `decodeStub`'s body
-  * for a JNI/libvips/ffmpeg call and nothing else changes.
+  * IMAGES are decoded for real: `javax.imageio` (pure JVM, ships with the
+  * JDK) reads PNG payloads, and `demoMediaFromDocuments` synthesizes actual
+  * PNGs whose dimensions derive from oracle-computable document properties —
+  * so the driver's DuckDB oracle value-checks the whole encode→distribute→
+  * decode roundtrip. Audio/video decode remains an honest STUB (this
+  * environment ships no media codecs): deterministic byte-length-derived
+  * records. Everything around the codec — schema, batch iteration,
+  * partition sizing, column pruning — is the real distributed plumbing a
+  * production decoder plugs into; swap the codec call and nothing else
+  * changes.
   *
   * Scale notes: decode is a narrow per-partition op (no shuffle); partitions
   * should be sized by `spark.sql.files.maxPartitionBytes` so one partition's
@@ -38,31 +42,72 @@ object Multimodal {
       duration_ms: Long,
       features: Array[Float])
 
-  /** STUB decode: replace the body with a real codec call. Deterministic in
-    * the input bytes so tests can pin outputs.
+  /** Synthesize a deterministic PNG: `width`×`height` RGB with a pixel
+    * pattern seeded by `seed`. ImageIO's PNG encoder is deterministic for a
+    * given JVM, and decoding recovers the exact dimensions — the roundtrip
+    * the value oracle checks.
+    */
+  def synthPng(width: Int, height: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < height) {
+      var x = 0
+      while (x < width) {
+        img.setRGB(x, y, (((x * 31 + y * 17) + seed) & 0xffffff).toInt)
+        x += 1
+      }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", out)
+    out.toByteArray
+  }
+
+  /** Real image decode (pure JVM, PNG/JPEG/GIF/BMP via javax.imageio):
+    * (width, height), or None for unparseable bytes.
+    */
+  def decodeImage(bytes: Array[Byte]): Option[(Int, Int)] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    Option(img).map(i => (i.getWidth, i.getHeight))
+  }
+
+  /** STUB decode for the kinds with no JVM codec (audio/video): a
+    * deterministic record derived from the byte LENGTH only, so the DuckDB
+    * oracle can recompute it from `octet_length` without decoding.
     */
   def decodeStub(r: MediaRecord): MediaFeatures = {
-    val n   = r.bytes.length
-    val sum = r.bytes.foldLeft(0L)((a, b) => a + (b & 0xff))
+    val n = r.bytes.length
     MediaFeatures(
       media_id = r.media_id,
       kind = r.kind,
       n_bytes = n.toLong,
-      width = 1 + (sum % 1920).toInt,
-      height = 1 + ((sum / 7) % 1080).toInt,
-      duration_ms = if (r.kind == "image") 0L else 1 + sum % 600000,
-      features = Array(n.toFloat, (sum % 251).toFloat, (sum % 17).toFloat, (sum % 3).toFloat))
+      width = 0,
+      height = 0,
+      duration_ms = if (r.kind == "image") 0L else 1 + (n.toLong * 131) % 600000,
+      features = Array(n.toFloat, (n % 251).toFloat, (n % 17).toFloat, (n % 3).toFloat))
   }
 
   /** Distributed decode: batched per-partition iteration (the Scala analogue
     * of a Pandas-UDF `mapInPandas` — bounded memory per batch, no shuffle).
+    * Images go through the REAL javax.imageio decoder (unparseable bytes
+    * surface as width = height = -1 rather than a task failure); other
+    * kinds through the deterministic stub.
     */
   def decode(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
     media.mapPartitions { it =>
+      // ImageIO's global disk cache would serialize every decode through
+      // temp-file I/O; in-memory streams are the right mode for batch decode
+      javax.imageio.ImageIO.setUseCache(false)
       it.grouped(batchSize).flatMap { batch =>
         // a real decoder would amortize codec init across this batch
-        batch.iterator.map(decodeStub)
+        batch.iterator.map { r =>
+          if (r.kind == "image") {
+            val (w, h) = decodeImage(r.bytes).getOrElse((-1, -1))
+            MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, w, h, 0L,
+              Array(r.bytes.length.toFloat, w.toFloat, h.toFloat, (w.toLong * h).toFloat))
+          } else decodeStub(r)
+        }
       }
     }
   }
@@ -89,9 +134,11 @@ object Multimodal {
     }
   }
 
-  /** Build a demo media table from any binary-generating source: here, the
-    * documents table's text bytes play the role of media payloads so the
-    * plumbing is exercised on real distributed data.
+  /** Build a demo media table from the documents table. Image rows carry
+    * REAL synthesized PNGs whose dimensions derive from oracle-computable
+    * document properties (`1 + doc_id mod 64` × `1 + utf8_length mod 64`),
+    * so decoding them is a value-checkable roundtrip; audio/video rows
+    * carry the text bytes as opaque payloads.
     */
   def demoMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -105,5 +152,15 @@ object Multimodal {
         encode(col("text"), "UTF-8").as("bytes"),
         col("lang").as("meta"))
       .as[MediaRecord]
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.map { r =>
+          if (r.kind == "image") {
+            val w = 1 + (r.media_id % 64).toInt
+            val h = 1 + (r.bytes.length % 64)
+            r.copy(bytes = synthPng(w, h, r.media_id))
+          } else r
+        }
+      }
   }
 }

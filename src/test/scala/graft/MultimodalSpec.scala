@@ -2,12 +2,30 @@ package graft
 
 import graft.operators.Multimodal
 
-/** The multimodal plumbing is real (schema, batching, partition behavior);
-  * only the codec body is stubbed — these tests pin the plumbing.
+/** The multimodal plumbing is real (schema, batching, partition behavior),
+  * and so is the IMAGE codec (javax.imageio over synthesized PNGs); only
+  * audio/video decode is stubbed. These tests pin both.
   */
 class MultimodalSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
+
+  test("PNG synth → distribute → imageio decode roundtrip recovers exact dimensions") {
+    val bytes = Multimodal.synthPng(37, 11, seed = 42L)
+    assert(bytes.length > 8 &&
+      (bytes.take(8).map(_ & 0xff).toSeq == Seq(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a)),
+      "synthPng must emit a real PNG signature")
+    assert(Multimodal.decodeImage(bytes).contains((37, 11)))
+    assert(Multimodal.decodeImage(Array[Byte](1, 2, 3)).isEmpty, "garbage bytes decode to None")
+    // distributed: every image row's decoded dims match the synthesis formulas
+    val feats = Multimodal
+      .decode(Multimodal.demoMediaFromDocuments(spark, dir).repartition(4), batchSize = 16)
+      .collect()
+    val imgs = feats.filter(_.kind == "image")
+    assert(imgs.nonEmpty)
+    assert(imgs.forall(f => f.width == 1 + (f.media_id % 64).toInt && f.width > 0 && f.height > 0),
+      "decoded widths must equal the 1 + id mod 64 synthesis formula")
+  }
 
   test("decode runs distributed over binary columns with stable schema") {
     val media = Multimodal.demoMediaFromDocuments(spark, dir).repartition(4)
