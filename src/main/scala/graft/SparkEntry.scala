@@ -5,7 +5,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.TextAnalysis
-import graft.operators.{Dedup, InvertedIndex, Search, Similarity, Tokenize}
+import graft.operators.{Dedup, InvertedIndex, Sampling, Search, Similarity, Tokenize}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -340,6 +340,27 @@ object SparkEntry {
         .orderBy("doc1", "doc2")
     }),
 
+    // -- duplicate clusters: connected components over the minhash
+    //    candidate pairs (iterative min-label propagation; group_id is the
+    //    cluster's keeper)
+    "q_dedup_groups" -> ((s, dir) => {
+      Dedup
+        .duplicateGroups(Dedup.minhashCandidates(t(s, dir, "documents"),
+          shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096))
+        .orderBy("doc_id")
+    }),
+
+    // -- deterministic stratified sample: per-language keep fractions,
+    //    md5-threshold based so every rerun (and the oracle) keeps the
+    //    identical rows
+    "q_sample_stratified" -> ((s, dir) => {
+      Sampling
+        .stratifiedSample(t(s, dir, "documents"), "lang", "doc_id",
+          fractions = Map("en" -> 0.25, "zh" -> 0.8), defaultFraction = 0.5)
+        .select(col("doc_id"), col("lang"))
+        .orderBy("doc_id")
+    }),
+
     // -- 32-bit SimHash per document from token frequencies
     "q_simhash" -> ((s, dir) => {
       Dedup
@@ -545,7 +566,10 @@ object SparkEntry {
           FROM toks0)"""
 
   /** DuckDB mirror of Dedup.minhashCandidates (same md5 seeding/banding). */
-  private def minhashSql(shingleK: Int, numHashes: Int, bands: Int, maxBucket: Int): String = {
+  /** CTE chain ending in `pairs(doc1, doc2)` — the DuckDB mirror of
+    * Dedup.minhashCandidates, shared by q_dedup_minhash and q_dedup_groups.
+    */
+  private def minhashPairsCtes(shingleK: Int, numHashes: Int, bands: Int, maxBucket: Int): String = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     // 4 independent 32-bit hashes per digest (8-hex slices), mirroring
@@ -556,15 +580,18 @@ object SparkEntry {
     val bandList = (0 until bands)
       .map(b => s"'$b|' || md5(${(0 until rows).map(r => s"sig${b * rows + r}").mkString(" || ")})")
       .mkString(", ")
-    s"""WITH ${shinglesCte(shingleK)},
+    s"""${shinglesCte(shingleK)},
         sigs AS (SELECT doc_id, $sigs FROM sh WHERE len(shingles) > 0),
         bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM sigs),
-        keep AS (SELECT band FROM bands GROUP BY band HAVING count(*) BETWEEN 2 AND $maxBucket)
-        SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
-        FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
-        JOIN keep k ON k.band = a.band
-        ORDER BY doc1, doc2"""
+        keep AS (SELECT band FROM bands GROUP BY band HAVING count(*) BETWEEN 2 AND $maxBucket),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+                  JOIN keep k ON k.band = a.band)"""
   }
+
+  private def minhashSql(shingleK: Int, numHashes: Int, bands: Int, maxBucket: Int): String =
+    s"""WITH ${minhashPairsCtes(shingleK, numHashes, bands, maxBucket)}
+        SELECT doc1, doc2 FROM pairs ORDER BY doc1, doc2"""
 
   /** DuckDB mirror of Similarity.withLshBucket's bucket expression (over a
     * relation aliased/projected so `embedding` resolves).
@@ -812,6 +839,28 @@ object SparkEntry {
             FROM toks_arr) u
           ORDER BY doc_id""",
     "q_dedup_minhash" -> minhashSql(shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096),
+    // same md5-threshold formula as Sampling.sampleHash/threshold
+    "q_sample_stratified" ->
+      s"""SELECT doc_id, lang FROM documents
+          WHERE ('0x' || substr(md5('sample:' || doc_id::VARCHAR), 1, 8))::BIGINT <
+                CASE WHEN lang = 'en' THEN ${Sampling.threshold(0.25)}
+                     WHEN lang = 'zh' THEN ${Sampling.threshold(0.8)}
+                     ELSE ${Sampling.threshold(0.5)} END
+          ORDER BY doc_id""",
+    // transitive closure over the SAME candidate pairs: a recursive CTE
+    // propagates every reachable label; min(label) per vertex is the
+    // component minimum — exactly what the iterative hash-to-min loop
+    // converges to
+    "q_dedup_groups" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes(3, 16, 8, 4096)},
+          edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+                    UNION ALL SELECT doc2, doc1 FROM pairs),
+          reach(v, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.v = e.dst)
+          SELECT v AS doc_id, min(lbl) AS group_id
+          FROM reach GROUP BY v ORDER BY doc_id""",
     "q_simhash" ->
       s"""WITH $TokCte,
           freq AS (SELECT doc_id, word, count(*) AS freq FROM tok GROUP BY doc_id, word),

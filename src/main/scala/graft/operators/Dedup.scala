@@ -145,23 +145,77 @@ object Dedup {
       .distinct()
   }
 
+  /** Duplicate GROUPS from candidate pairs: connected components by
+    * iterative min-label propagation ("hash-to-min"). Each vertex starts
+    * labeled with itself; every round each vertex takes the min of its own
+    * and its neighbors' labels; at fixpoint the label is the component's
+    * minimum doc id — the canonical "keeper" of a duplicate cluster.
+    *
+    * Returns (doc_id, group_id) for every doc that appears in a pair; a doc
+    * is the keeper of its cluster iff doc_id == group_id.
+    *
+    * Scale notes: each round is one equi-join + partial-aggregated min —
+    * all shuffles are on doc_id keys, never payloads. Rounds needed = the
+    * component diameter; near-dup clusters are small and dense, so a
+    * handful of rounds converges (the loop checks an explicit fixpoint and
+    * `localCheckpoint` truncates the growing lineage each round; on a
+    * cluster, `checkpoint` to durable storage plays the same role).
+    */
+  def duplicateGroups(pairs: DataFrame, col1: String = "doc1", col2: String = "doc2"): DataFrame = {
+    val edges = pairs
+      .select(col(col1).as("src"), col(col2).as("dst"))
+      .unionAll(pairs.select(col(col2).as("src"), col(col1).as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("group_id", col("doc_id"))
+      .localCheckpoint(true)
+    var converged = false
+    while (!converged) {
+      val neighborMin = edges
+        .join(labels.select(col("doc_id").as("dst"), col("group_id").as("nbr")), Seq("dst"))
+        .groupBy(col("src").as("doc_id"))
+        .agg(min(col("nbr")).as("nbr_min"))
+      val next = labels
+        .join(neighborMin, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"),
+          col("group_id").as("prev"))
+        .localCheckpoint(true)
+      converged = next.where(col("group_id") < col("prev")).isEmpty
+      labels = next.select("doc_id", "group_id")
+    }
+    labels
+  }
+
   /** 32-bit SimHash from token frequencies. Per distinct word: a 60-bit
     * md5-derived hash; bit j contributes +freq if set else -freq; signature
     * bit j is 1 iff the sum is positive. Fully expressible in ANSI SQL.
+    *
+    * Plan shape: TWO shuffles total — (doc, word) frequency agg, then one
+    * doc-keyed agg computing all 32 bit-sums as columns (each partially
+    * aggregated map-side). The earlier form exploded a 32× bit row per
+    * (doc, word) and paid a third shuffle on (doc, bit); at corpus scale
+    * that row blowup IS the job, and a 32-column aggregate moves strictly
+    * less data than 32 rows per doc.
     */
-  def simhash(tokens: DataFrame, idCol: String = "doc_id"): DataFrame =
-    tokens
+  def simhash(tokens: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val freqs = tokens
       .groupBy(col(idCol), col("word"))
       .agg(count(lit(1)).as("freq"))
       // 60-bit portable word hash: first 15 hex chars of md5, base-16 → long
       .withColumn("h", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
-      // `>>` with a column shift amount: expr() — the Scala DSL's shiftright
-      // only takes a literal Int
-      .select(col(idCol), col("freq"), col("h"), explode(sequence(lit(0), lit(31))).as("bit"))
-      .withColumn("contrib", when(expr("shiftright(h, bit) % 2") === 1, col("freq")).otherwise(-col("freq")))
-      .groupBy(col(idCol), col("bit"))
-      .agg(sum(col("contrib")).as("bitsum"))
-      .withColumn("bitval", when(col("bitsum") > 0, expr("cast(pow(2, bit) as bigint)")).otherwise(lit(0L)))
+    val bitSums = (0 until 32).map { b =>
+      sum(when(expr(s"shiftright(h, $b) % 2") === 1, col("freq")).otherwise(-col("freq"))).as(s"s$b")
+    }
+    freqs
       .groupBy(col(idCol))
-      .agg(sum(col("bitval")).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(
+        col(idCol),
+        (0 until 32)
+          .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
+          .reduce(_ + _)
+          .as("simhash"))
+  }
 }

@@ -63,6 +63,29 @@ class PlanShapeSpec extends SparkSpec {
       s"max_by must partially aggregate map-side:\n$plan")
   }
 
+  test("minhash candidates: one banded-stream shuffle, cap before pair expansion, no self-join") {
+    val mh = graft.operators.Dedup.minhashCandidates(docs, shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096)
+    val plan = mh.queryExecution.executedPlan.toString
+    // exactly two shuffles: groupBy(band_key) + the final pair distinct —
+    // the banded (band_key, doc_id) stream is shuffled ONCE (the old
+    // self-join form shuffled it twice and had no bucket cap)
+    assert(exchanges(mh) == 2, s"minhash should shuffle twice (bucket agg + distinct):\n$plan")
+    assert(!plan.contains("Join"), s"pair expansion must be in-bucket, not a join:\n$plan")
+    // the bucket-size cap must sit between the aggregate and the explode
+    val aggIdx    = plan.indexOf("sorted_set_agg")
+    val filterIdx = plan.indexOf("size(ids")
+    val genIdx    = plan.indexOf("Generate explode(flatten")
+    assert(genIdx >= 0 && filterIdx > genIdx && aggIdx > filterIdx,
+      s"expected explode(pairs) above size-cap filter above bucket agg:\n$plan")
+  }
+
+  test("simhash: two shuffles, no 32x bit explode") {
+    val sh = graft.operators.Dedup.simhash(Tokenize.tokens(docs, "text", Seq("doc_id")))
+    val plan = sh.queryExecution.executedPlan.toString
+    assert(exchanges(sh) == 2, s"simhash should shuffle twice (word freq + doc agg):\n$plan")
+    assert(!plan.contains("Generate explode(sequence"), s"bit explode must be gone:\n$plan")
+  }
+
   test("broadcast dim join keeps the fact side shuffle-free") {
     val orders   = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Sampling}
+
+class SamplingSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("deterministic sample: rerun-identical, nested across fractions, rate ≈ fraction") {
+    import spark.implicits._
+    val s1 = Sampling.deterministicSample(docs, "doc_id", 0.25).select("doc_id").as[Long].collect().toSet
+    val s2 = Sampling.deterministicSample(docs, "doc_id", 0.25).select("doc_id").as[Long].collect().toSet
+    assert(s1 == s2, "same salt+fraction must select identical rows")
+    // nesting: a smaller fraction with the same salt is a subset of a larger
+    val s50 = Sampling.deterministicSample(docs, "doc_id", 0.5).select("doc_id").as[Long].collect().toSet
+    assert(s1.subsetOf(s50), "0.25 sample must nest inside the 0.5 sample")
+    // different salts decorrelate (not equal, overlap ≈ product of rates)
+    val other = Sampling.deterministicSample(docs, "doc_id", 0.25, salt = "other").select("doc_id").as[Long].collect().toSet
+    assert(s1 != other)
+    val n = docs.count().toDouble
+    assert(math.abs(s1.size / n - 0.25) < 0.1, s"rate ${s1.size / n} far from 0.25")
+  }
+
+  test("stratified sample applies per-stratum rates; plan is a pure scan filter") {
+    val sampled = Sampling.stratifiedSample(docs, "lang", "doc_id",
+      fractions = Map("en" -> 0.1, "zh" -> 0.9), defaultFraction = 0.5)
+    val byLang = sampled.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val totals = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byLang("en").toDouble / totals("en") < 0.25, "en must be down-sampled")
+    assert(byLang("zh").toDouble / totals("zh") > 0.7, "zh must be kept nearly whole")
+    // map-side: no exchange anywhere in the plan
+    val plan = sampled.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"sampling must not shuffle:\n$plan")
+  }
+}
+
+class DedupGroupsSpec extends SparkSpec {
+
+  test("duplicateGroups matches a local union-find over the same pairs") {
+    import spark.implicits._
+    val pairs = Seq(
+      (1L, 2L), (2L, 3L),          // chain: {1,2,3}
+      (10L, 11L),                  // pair: {10,11}
+      (20L, 21L), (21L, 22L), (20L, 22L), // triangle: {20,21,22}
+      (30L, 31L), (32L, 31L), (33L, 34L), (34L, 30L) // chain via 30..34
+    ).toDF("doc1", "doc2")
+    val got = Dedup.duplicateGroups(pairs).as[(Long, Long)].collect().toMap
+    // local union-find ground truth
+    val parent = scala.collection.mutable.Map[Long, Long]()
+    def find(x: Long): Long = { val p = parent.getOrElseUpdate(x, x); if (p == x) x else { val r = find(p); parent(x) = r; r } }
+    def union(a: Long, b: Long): Unit = { val (ra, rb) = (find(a), find(b)); if (ra != rb) parent(ra max rb) = ra min rb }
+    Seq((1L,2L),(2L,3L),(10L,11L),(20L,21L),(21L,22L),(20L,22L),(30L,31L),(32L,31L),(33L,34L),(34L,30L))
+      .foreach { case (a, b) => union(a, b) }
+    val want = parent.keys.map(v => v -> find(v)).toMap
+    assert(got == want, s"got $got\nwant $want")
+    // keepers are their own group
+    assert(got.values.toSet.forall(g => got(g) == g))
+  }
+}
