@@ -262,6 +262,16 @@ object SparkEntry {
         .orderBy(desc("score"), asc("doc_id"))
     }),
 
+    // -- BM25 ranked retrieval (Okapi k1=1.2, b=0.75)
+    "q_search_bm25" -> ((s, dir) => {
+      Search
+        .bm25Query(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")),
+          Seq("spark", "vector", "window"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
+
     // -- positional phrase search (consecutive tokens), from raw docs
     "q_search_phrase" -> ((s, dir) =>
       Search.phraseQuery(t(s, dir, "documents"), Seq("data", "query"))),
@@ -366,6 +376,33 @@ object SparkEntry {
       Dedup
         .simhash(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")))
         .orderBy("doc_id")
+    }),
+
+    // -- SimHash near-dup pairs: banded equi-join (pigeonhole-exact for
+    //    hamming <= 3 with 4 bands), exact bit_count filter
+    "q_simhash_pairs" -> ((s, dir) => {
+      Dedup
+        .simhashPairs(
+          Dedup.simhash(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))),
+          maxDist = 3, bands = 4)
+        .orderBy("doc1", "doc2")
+    }),
+
+    // -- sequence packing: per-language running token offsets into
+    //    2048-token packs (deterministic, integer-exact)
+    "q_pack_sequences" -> ((s, dir) => {
+      operators.Packing
+        .packByOffset(t(s, dir, "documents"), budget = 2048)
+        .orderBy("doc_id")
+    }),
+
+    // -- one k-means (Lloyd) update: assign to max-cosine centroid, then
+    //    element-wise member mean per cell (quantized x10^4 per dim)
+    "q_kmeans_update" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .centroidUpdate(emb, emb.where(col("vec_id") < 8))
+        .orderBy("cell")
     }),
 
     // -- exact n-gram jaccard pairs (distributed: explode + equi-join on
@@ -589,6 +626,23 @@ object SparkEntry {
                   JOIN keep k ON k.band = a.band)"""
   }
 
+  /** CTE chain ending in `sig(doc_id, simhash)` — the DuckDB mirror of
+    * Dedup.simhash, shared by q_simhash and q_simhash_pairs.
+    */
+  private lazy val SimhashSigCte =
+    s"""$TokCte,
+        freq AS (SELECT doc_id, word, count(*) AS freq FROM tok GROUP BY doc_id, word),
+        hashed AS (SELECT doc_id, freq,
+                          ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+                   FROM freq),
+        bits AS (SELECT doc_id, bit,
+                        sum(CASE WHEN (h >> bit) % 2 = 1 THEN freq ELSE -freq END) AS bitsum
+                 FROM hashed CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) b
+                 GROUP BY doc_id, bit),
+        sig AS (SELECT doc_id,
+                       sum(CASE WHEN bitsum > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
+                FROM bits GROUP BY doc_id)"""
+
   private def minhashSql(shingleK: Int, numHashes: Int, bands: Int, maxBucket: Int): String =
     s"""WITH ${minhashPairsCtes(shingleK, numHashes, bands, maxBucket)}
         SELECT doc1, doc2 FROM pairs ORDER BY doc1, doc2"""
@@ -760,6 +814,65 @@ object SparkEntry {
           SELECT doc_id, floor((sum(tf * ln(n_docs::DOUBLE / df_t))) * 1e4 + 0.5) / 1e4 AS score
           FROM tf JOIN dfs USING (word) CROSS JOIN n
           GROUP BY doc_id ORDER BY score DESC, doc_id""",
+    // mirrors Search.bm25Query term by term: (1.2 + 1.0) and
+    // (1.0 - 0.75 + 0.75 * dl / avgdl) are written exactly as the Spark
+    // side computes them so the doubles match bit for bit
+    "q_search_bm25" ->
+      s"""WITH $TokCte,
+          dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+          stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+          tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+                 WHERE word IN ('spark', 'vector', 'window') GROUP BY doc_id, word),
+          dfs AS (SELECT word, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY word)
+          SELECT doc_id,
+                 floor((sum(idf * (tf * (1.2 + 1.0)) /
+                            (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))) * 1e4 + 0.5) / 1e4 AS score
+          FROM (SELECT tf.doc_id, tf.tf, dl.dl, n_docs, avgdl,
+                       ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) AS idf
+                FROM tf JOIN dfs USING (word)
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats) u
+          GROUP BY doc_id ORDER BY score DESC, doc_id""",
+    "q_pack_sequences" ->
+      """SELECT doc_id, lang, n_tok, floor(start_off / 2048)::BIGINT AS pack_id FROM (
+           SELECT doc_id, lang, n_tok,
+                  sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok AS start_off
+           FROM (SELECT doc_id, lang,
+                        len(regexp_split_to_array(text, '\s+'))::BIGINT AS n_tok
+                 FROM documents) t) u
+         ORDER BY doc_id""",
+    // assignment identical to q_ann_ivf's; per-dimension means quantized to
+    // integers (x10^4) so no float formatting crosses the engine boundary
+    "q_kmeans_update" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+           FROM embeddings),
+         c AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+         p AS (
+           SELECT e.vec_id, c_id,
+                  list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> e.embedding[i]::DOUBLE * cv[i]::DOUBLE)) / (e.nrm * cn) AS cos
+           FROM e CROSS JOIN c),
+         asg AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, c_id AS cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY floor((cos) * 1e6 + 0.5) / 1e6 DESC, c_id) AS rn
+             FROM p) r
+           WHERE rn = 1),
+         comp AS (
+           SELECT a.cell, e.vec_id,
+                  unnest(range(1, len(e.embedding) + 1)) AS pos,
+                  unnest(list_transform(e.embedding, x -> x::DOUBLE)) AS v
+           FROM asg a JOIN e ON e.vec_id = a.vec_id),
+         m AS (
+           SELECT cell, pos, floor(avg(v) * 1e4 + 0.5)::BIGINT AS m_q,
+                  count(DISTINCT vec_id) AS n
+           FROM comp GROUP BY cell, pos)
+         SELECT cell, max(n)::BIGINT AS n_members,
+                array_to_string(list(m_q ORDER BY pos), ' ') AS centroid_q
+         FROM m GROUP BY cell ORDER BY cell""",
     "q_search_phrase" ->
       s"""WITH $ToksArrCte,
           p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS word
@@ -862,18 +975,17 @@ object SparkEntry {
           SELECT v AS doc_id, min(lbl) AS group_id
           FROM reach GROUP BY v ORDER BY doc_id""",
     "q_simhash" ->
-      s"""WITH $TokCte,
-          freq AS (SELECT doc_id, word, count(*) AS freq FROM tok GROUP BY doc_id, word),
-          hashed AS (SELECT doc_id, freq,
-                            ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
-                     FROM freq),
-          bits AS (SELECT doc_id, bit,
-                          sum(CASE WHEN (h >> bit) % 2 = 1 THEN freq ELSE -freq END) AS bitsum
-                   FROM hashed CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) b
-                   GROUP BY doc_id, bit)
-          SELECT doc_id,
-                 sum(CASE WHEN bitsum > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
-          FROM bits GROUP BY doc_id ORDER BY doc_id""",
+      s"""WITH $SimhashSigCte
+          SELECT doc_id, simhash FROM sig ORDER BY doc_id""",
+    // all-pairs hamming with NO banding: the Spark side bands by pigeonhole
+    // (exact, not probabilistic), so the two must agree row-for-row
+    "q_simhash_pairs" ->
+      s"""WITH $SimhashSigCte
+          SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                 bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
+          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+          ORDER BY doc1, doc2""",
     "q_ngram_jaccard" ->
       s"""WITH ${shinglesCte(2, "WHERE doc_id < 120")}
           SELECT doc1, doc2, floor((jaccard) * 1e4 + 0.5) / 1e4 AS jaccard FROM (

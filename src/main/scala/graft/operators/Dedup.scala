@@ -145,6 +145,49 @@ object Dedup {
       .distinct()
   }
 
+  /** Near-duplicate pairs by SimHash hamming distance: pairs whose 32-bit
+    * signatures differ in at most `maxDist` bits.
+    *
+    * NOT probabilistic — banding here is the PIGEONHOLE optimization: split
+    * the signature into `bands` equal bit-slices; any pair within
+    * `maxDist < bands` hamming distance must agree EXACTLY on at least one
+    * slice, so the equi-join on (band index, slice value) finds every
+    * qualifying pair (recall 1.0 by construction), and `bit_count(xor)`
+    * exact-filters the candidates. The oracle checks this literally: it
+    * computes all-pairs hamming with no banding and must match.
+    *
+    * Scale: the only join key is an 8-bit slice + band index; slices of
+    * near-uniform signatures spread well, and the quadratic-in-bucket cost
+    * is bounded by the corpus' true near-dup density, not by N².
+    */
+  def simhashPairs(
+      sigs: DataFrame,
+      maxDist: Int = 3,
+      bands: Int = 4,
+      idCol: String = "doc_id",
+      sigCol: String = "simhash"): DataFrame = {
+    require(32 % bands == 0, s"bands ($bands) must divide 32")
+    require(maxDist < bands,
+      s"pigeonhole needs maxDist ($maxDist) < bands ($bands) for exact recall")
+    val width = 32 / bands
+    val mask  = (1L << width) - 1
+    val banded = sigs
+      .select(col(idCol), col(sigCol).as("sig"))
+      .select(col(idCol), col("sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band_idx"), expr(s"shiftright(sig, ${b * width}) & $mask").as("band_val"))
+        }: _*)).as("bnd"))
+      .select(col(idCol), col("sig"), col("bnd.band_idx"), col("bnd.band_val"))
+    val a = banded.select(col(idCol).as("doc1"), col("sig").as("s1"), col("band_idx"), col("band_val"))
+    val b = banded.select(col(idCol).as("doc2"), col("sig").as("s2"), col("band_idx"), col("band_val"))
+    a.join(b, Seq("band_idx", "band_val"))
+      .where(col("doc1") < col("doc2"))
+      .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
+      .where(col("hamming") <= maxDist)
+      .select(col("doc1"), col("doc2"), col("hamming"))
+      .distinct()
+  }
+
   /** Duplicate GROUPS from candidate pairs: connected components by
     * iterative min-label propagation ("hash-to-min"). Each vertex starts
     * labeled with itself; every round each vertex takes the min of its own

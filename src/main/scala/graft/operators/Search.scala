@@ -68,6 +68,44 @@ object Search {
       .agg(sum(col("w_score")).as("score"))
   }
 
+  /** BM25 ranked retrieval (Okapi, k1/b defaults): score(doc) = Σ over
+    * matched terms of idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
+    * idf(t) = ln((N−df+0.5)/(df+0.5)+1). The tf-saturation and
+    * length-normalization BM25 adds over TF-IDF is what modern retrieval
+    * stacks actually ship.
+    *
+    * All score inputs are exact integers (tf, df, N, doc lengths; the
+    * integer sums stay below 2^53 so even the avgdl double is exact) — the
+    * doubles are engine-reproducible and the caller rounds for the oracle.
+    * N, df, and avgdl are computed inside the plan as broadcast scalars; the
+    * only corpus-wide shuffles are the tf and doc-length aggregations.
+    */
+  def bm25Query(
+      tokens: DataFrame,
+      words: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    val terms   = cleanedTerms(words)
+    val docLens = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats   = docLens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = tokens
+      .where(col("word").isin(terms: _*))
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("word")).agg(countDistinct(col(idCol)).as("df_t"))
+    tf.join(broadcast(dfs), Seq("word"))
+      .join(docLens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5) + 1.0))
+      .withColumn("w",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("w")).as("score"))
+  }
+
   /** Positional phrase search: docs where the cleaned terms occur at
     * strictly consecutive token positions. Positions come from
     * `posexplode` over the order-preserving token array, so this needs the

@@ -175,6 +175,42 @@ object Similarity {
     * scale, ANN queries then search only their query's cell(s) instead of
     * the whole corpus. Returns (idCol, cell, cos_r).
     */
+  /** One Lloyd (k-means) update step: route every vector to its max-cosine
+    * centroid ([[ivfAssign]]'s map-side argmax), then recompute each cell's
+    * centroid as the element-wise mean of its members. This is the training
+    * loop that PRODUCES the IVF centroids — iterate it from any seed set.
+    *
+    * Returns (cell, n_members, centroid_q) where centroid_q is the new
+    * centroid quantized to 4 decimals per dimension and rendered as a
+    * space-joined integer string (×10⁴): quantizing to integers sidesteps
+    * cross-engine float formatting entirely, and 4 decimals is far above
+    * the last-ulp noise a different summation order could introduce.
+    *
+    * Plan shape: assignment is the one-shuffle argmax; the mean is a
+    * (cell, dim)-keyed partial aggregation over posexploded components,
+    * regrouped per cell map-side — no window, no driver-side collect.
+    */
+  def centroidUpdate(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
+      .select(col(idCol), col("cell"))
+      .join(corpus.select(col(idCol), col(vecCol)), Seq(idCol))
+    assigned
+      .select(col("cell"), col(idCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("cell"), col("pos"))
+      .agg(
+        floor(avg(col("v").cast("double")) * 1e4 + 0.5).cast("bigint").as("m_q"),
+        countDistinct(col(idCol)).as("n"))
+      .groupBy(col("cell"))
+      .agg(
+        max(col("n")).as("n_members"),
+        array_join(array_sort(collect_list(struct(col("pos"), col("m_q")))).getField("m_q"), " ")
+          .as("centroid_q"))
+  }
+
   def ivfAssign(
       corpus: DataFrame,
       centroids: DataFrame,
