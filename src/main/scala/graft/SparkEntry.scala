@@ -547,6 +547,16 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // -- stream-stream join shape in batch: purchase→click attribution
+    //    within a 1-hour window per user (the same expression tree runs
+    //    watermarked in Structured Streaming, spec-asserted equal)
+    "q_event_attribution" -> ((s, dir) => {
+      val ev = graft.sources.EventsSource.events(s, dir)
+      graft.streaming.EventStream
+        .purchaseAttribution(ev, ev)
+        .orderBy("purchase_id", "click_id")
+    }),
+
     // -- Spark's native session_window operator (gap-merged sessions; the
     //    same groupBy works unchanged in Structured Streaming). Boundary
     //    semantics, pinned empirically: a gap of EXACTLY 30 min MERGES
@@ -1081,6 +1091,17 @@ object SparkEntry {
                 (CASE WHEN doc_id % 3 = 0 THEN 0
                       ELSE 1 + (octet_length(encode(text))::BIGINT * 131) % 600000 END)::BIGINT AS duration_ms
          FROM documents ORDER BY media_id""",
+    // µs interval bound mirrors p_ts - INTERVAL 1 HOUR; gap_s subtracts
+    // second-floored epochs exactly like the two long casts
+    "q_event_attribution" ->
+      """WITH e AS (SELECT event_id, user_id, event_type, epoch_us(ts) AS us FROM events),
+          p AS (SELECT event_id AS purchase_id, user_id, us AS p_us FROM e WHERE event_type = 'purchase'),
+          c AS (SELECT event_id AS click_id, user_id AS c_user, us AS c_us FROM e WHERE event_type = 'click')
+          SELECT purchase_id, click_id, user_id,
+                 (p_us // 1000000 - c_us // 1000000)::BIGINT AS gap_s
+          FROM p JOIN c ON user_id = c_user
+           AND c_us >= p_us - 3600000000 AND c_us < p_us
+          ORDER BY purchase_id, click_id""",
     "q_session_window" ->
       """WITH x AS (
            SELECT user_id, event_id, epoch_us(ts) AS ts_us,

@@ -209,24 +209,38 @@ object Dedup {
       .select(col(col1).as("src"), col(col2).as("dst"))
       .unionAll(pairs.select(col(col2).as("src"), col(col1).as("dst")))
       .localCheckpoint(true)
+    // candidate-pair graphs are normally TINY next to the corpus (edges ≈
+    // true duplicate density): below the threshold, broadcast the label
+    // side so each round is ONE shuffle (the neighbor-min agg) instead of
+    // three — the fixed per-round scheduling cost is what dominates small
+    // graphs. Past the threshold, fall back to plain shuffle joins.
+    val small = edges.count() <= 5000000L
+    def maybeBroadcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var labels = edges.select(col("src").as("doc_id")).distinct()
       .withColumn("group_id", col("doc_id"))
       .localCheckpoint(true)
     var converged = false
+    var round = 0
     while (!converged) {
       val neighborMin = edges
-        .join(labels.select(col("doc_id").as("dst"), col("group_id").as("nbr")), Seq("dst"))
+        .join(maybeBroadcast(labels.select(col("doc_id").as("dst"), col("group_id").as("nbr"))), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(min(col("nbr")).as("nbr_min"))
       val next = labels
-        .join(neighborMin, Seq("doc_id"), "left")
+        .join(maybeBroadcast(neighborMin), Seq("doc_id"), "left")
         .select(
           col("doc_id"),
           least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"),
           col("group_id").as("prev"))
-        .localCheckpoint(true)
-      converged = next.where(col("group_id") < col("prev")).isEmpty
-      labels = next.select("doc_id", "group_id")
+      // ONE action per round: counting changed labels materializes `next`
+      // into the cache as a side effect (a separate isEmpty job per round
+      // was pure scheduling overhead); checkpoint every few rounds to keep
+      // the analyzed-plan depth bounded on long chains
+      next.persist()
+      converged = next.where(col("group_id") < col("prev")).count() == 0
+      labels = if (round % 4 == 3) next.select("doc_id", "group_id").localCheckpoint(true)
+               else next.select("doc_id", "group_id")
+      round += 1
     }
     labels
   }

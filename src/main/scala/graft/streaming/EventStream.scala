@@ -91,6 +91,37 @@ object EventStream {
       .withWatermark("ts_t", "2 hours")
       .dropDuplicatesWithinWatermark("event_id")
 
+  /** Stream-stream interval join — purchase attribution: join each
+    * `purchase` to every `click` by the SAME user in the preceding hour.
+    * Both sides carry a watermark and the join condition bounds the event-
+    * time range, so Spark buffers only one hour of per-side state (the
+    * canonical bounded stream-stream join; unbounded conditions would grow
+    * state forever). Emits (purchase_id, click_id, user_id, gap_s).
+    *
+    * The same expression tree runs in batch (spec-asserted equal on a
+    * static input) — watermarks are no-ops there.
+    */
+  def purchaseAttribution(purchases: DataFrame, clicks: DataFrame): DataFrame = {
+    val p = purchases
+      .where(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("user_id"), col("ts_t").as("p_ts"))
+      .withWatermark("p_ts", "2 hours")
+    val c = clicks
+      .where(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id").as("c_user"), col("ts_t").as("c_ts"))
+      .withWatermark("c_ts", "2 hours")
+    p.join(
+        c,
+        col("user_id") === col("c_user") &&
+          col("c_ts") >= col("p_ts") - expr("INTERVAL 1 HOUR") &&
+          col("c_ts") < col("p_ts"))
+      .select(
+        col("purchase_id"),
+        col("click_id"),
+        col("user_id"),
+        ((col("p_ts").cast("long")) - col("c_ts").cast("long")).as("gap_s"))
+  }
+
   /** Run a streaming query to a named memory sink until all available data
     * is processed (synchronous, for tests/local smoke).
     */

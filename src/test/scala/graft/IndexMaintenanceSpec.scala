@@ -34,6 +34,40 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(snap(removed) == snap(rebuilt))
   }
 
+  test("streaming ingestion: foreachBatch merge over micro-batches == full rebuild") {
+    // split the corpus into two parquet files and stream them one file per
+    // micro-batch — the incremental-index ingestion shape: each batch is
+    // tokenized alone and merged into the running index, never re-reading
+    // old documents
+    val dir = java.nio.file.Files.createTempDirectory("graft-idx-stream").toString
+    docs.where(col("doc_id") % 2 === 0).coalesce(1).write.mode("overwrite").parquet(s"$dir/even")
+    docs.where(col("doc_id") % 2 === 1).coalesce(1).write.mode("overwrite").parquet(s"$dir/in")
+    // one flat dir of data files (streaming source lists a directory)
+    val flat = java.nio.file.Files.createTempDirectory("graft-idx-flat")
+    Seq("even", "in").foreach { sub =>
+      val f = new java.io.File(s"$dir/$sub").listFiles().filter(_.getName.endsWith(".parquet")).head
+      java.nio.file.Files.copy(f.toPath, flat.resolve(s"$sub.parquet"))
+    }
+    var acc: DataFrame = null
+    var batches = 0
+    val q = spark.readStream
+      .schema(docs.schema)
+      .option("maxFilesPerTrigger", "1")
+      .parquet(flat.toString)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val b = Engine.indexFromTable(batch).localCheckpoint(true)
+        acc = if (acc == null) b else InvertedIndex.mergeIndexes(acc, b).localCheckpoint(true)
+        batches += 1
+        ()
+      }
+      .start()
+    try q.processAllAvailable()
+    finally q.stop()
+    assert(batches >= 2, s"expected one micro-batch per file, got $batches")
+    assert(snap(acc) == snap(index(docs)))
+  }
+
   test("removing every doc of a word drops the word") {
     import spark.implicits._
     val tiny = Seq((1L, "unique token"), (2L, "token shared")).toDF("doc_id", "text")

@@ -40,6 +40,18 @@ class StreamingSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(g == w) }
   }
 
+  test("stream-stream purchase attribution matches the batch join") {
+    val stream = EventStream.readEvents(spark, streamDir)
+    EventStream.runToMemory(
+      EventStream.purchaseAttribution(stream, stream), "attrib", OutputMode.Append())
+    val got = spark.table("attrib").orderBy("purchase_id", "click_id").collect()
+    val ev = EventsSource.events(spark, dir)
+    val want = EventStream.purchaseAttribution(ev, ev).orderBy("purchase_id", "click_id").collect()
+    assert(got.length == want.length && got.length > 0,
+      s"streaming ${got.length} rows vs batch ${want.length}")
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+
   test("stateful session counts match batch sessionization") {
     val stream = EventStream.readEvents(spark, streamDir)
     EventStream.runToMemory(
