@@ -360,6 +360,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- Gopher-style repetition metrics: duplicate 3-gram fraction flags
+    //    boilerplate/looping text (map-side, no shuffle)
+    "q_quality_repetition" -> ((s, dir) => {
+      TextAnalysis
+        .withRepetitionMetrics(t(s, dir, "documents"), "text", k = 3)
+        .select(col("doc_id"), col("n_sh"), col("n_uniq"), col("dup_frac"))
+        .orderBy("doc_id")
+    }),
+
+    // -- benchmark decontamination: docs sharing any 5-gram with the
+    //    benchmark set (docs 1-5 stand in), counted per doc
+    "q_decontaminate" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis
+        .contaminationOverlap(
+          docs.where(col("doc_id") > 5), docs.where(col("doc_id") <= 5), k = 5)
+        .orderBy("doc_id")
+    }),
+
     // -- deterministic stratified sample: per-language keep fractions,
     //    md5-threshold based so every rerun (and the oracle) keeps the
     //    identical rows
@@ -962,6 +981,36 @@ object SparkEntry {
             FROM toks_arr) u
           ORDER BY doc_id""",
     "q_dedup_minhash" -> minhashSql(shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096),
+    // raw (non-distinct) shingle enumeration mirrors rawShinglesFromToks;
+    // dup_frac is integer-ratio arithmetic, portably rounded
+    "q_quality_repetition" ->
+      """WITH toks0 AS (
+           SELECT doc_id,
+                  list_filter(
+                    list_transform(regexp_split_to_array(text, '\s+'),
+                                   x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                    w -> w <> '') AS toks
+           FROM documents),
+         rsh AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                       WHEN len(toks) >= 3
+                       THEN list_transform(range(1, len(toks) - 1),
+                                           i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                       ELSE [array_to_string(toks, ' ')] END AS sh
+           FROM toks0)
+         SELECT doc_id, len(sh)::BIGINT AS n_sh, len(list_distinct(sh))::BIGINT AS n_uniq,
+                CASE WHEN len(sh) = 0 THEN 0.0
+                     ELSE floor((1.0 - len(list_distinct(sh))::DOUBLE / len(sh)::DOUBLE) * 1e4 + 0.5) / 1e4
+                END AS dup_frac
+         FROM rsh ORDER BY doc_id""",
+    "q_decontaminate" ->
+      s"""WITH ${shinglesCte(5)},
+          bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id <= 5),
+          dd AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id > 5)
+          SELECT doc_id, count(DISTINCT s) AS n_overlap
+          FROM dd JOIN bench USING (s)
+          GROUP BY doc_id ORDER BY doc_id""",
     // same md5-threshold formula as Sampling.sampleHash/threshold
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents

@@ -124,6 +124,63 @@ object TextAnalysis {
       .withColumn(out, shinglesFromToks(col("__toks"), k))
       .drop("__toks")
 
+  /** Raw (non-distinct) k-gram shingles — same enumeration as
+    * [[shinglesFromToks]] but KEEPING duplicates; repetition analysis needs
+    * the multiplicities the dedup path throws away.
+    */
+  def rawShinglesFromToks(toks: Column, k: Int): Column = {
+    val grams = transform(
+      sequence(lit(1), size(toks) - (k - 1)),
+      i => concat_ws(" ", slice(toks, i, lit(k))))
+    when(size(toks) === 0, array().cast("array<string>"))
+      .when(size(toks) >= k, grams)
+      .otherwise(array(concat_ws(" ", toks)))
+  }
+
+  /** Repetition quality metrics (the Gopher-rules family): total k-gram
+    * count, distinct k-gram count, and `dup_frac = 1 − distinct/total` —
+    * the duplicate-n-gram fraction that flags boilerplate and
+    * degenerate/looping text. Map-side only, integer-derived doubles
+    * (engine-reproducible), rounded to 4 decimals.
+    */
+  def withRepetitionMetrics(df: DataFrame, textCol: String, k: Int = 3): DataFrame =
+    df.withColumn("__toks", Tokenize.tokenArray(col(textCol)))
+      .withColumn("__rsh", rawShinglesFromToks(col("__toks"), k))
+      .withColumn("n_sh", size(col("__rsh")).cast("bigint"))
+      .withColumn("n_uniq", size(array_distinct(col("__rsh"))).cast("bigint"))
+      .withColumn(
+        "dup_frac",
+        Portable.pround(
+          when(col("n_sh") === 0, lit(0.0))
+            .otherwise(lit(1.0) - col("n_uniq").cast("double") / col("n_sh").cast("double")),
+          4))
+      .drop("__toks", "__rsh")
+
+  /** Benchmark decontamination: for each candidate document, how many
+    * distinct k-gram shingles it shares with the (small, broadcast)
+    * benchmark set — docs with `n_overlap > 0` leak evaluation data into
+    * training and get dropped. The join key is the shingle, the benchmark
+    * side is broadcast; the corpus is never self-joined.
+    */
+  def contaminationOverlap(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      k: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // explode_outer: plain explode would trigger InferFiltersFromGenerate
+    // and re-evaluate the whole shingle expression in a pushed scan filter;
+    // the equi-join then drops the null rows empty docs produce
+    val d = withShingles(docs, textCol, k, "__sh")
+      .select(col(idCol), explode_outer(col("__sh")).as("s"))
+    val bench = withShingles(benchmark, textCol, k, "__sh")
+      .select(explode_outer(col("__sh")).as("s"))
+      .distinct()
+    d.join(broadcast(bench), Seq("s"))
+      .groupBy(col(idCol))
+      .agg(countDistinct(col("s")).as("n_overlap"))
+  }
+
   /** Rolling-hash document fingerprint: lexicographic min of md5(shingle) —
     * a winnowing-style content signature, portable across engines because it
     * is pure md5-hex string ordering. Returns df + `out` column.
