@@ -566,6 +566,48 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // -- JSON functions: extract a field from the events props payload and
+    //    aggregate it (get_json_object stays codegen'd)
+    "q_json_props" -> ((s, dir) => {
+      graft.sources.EventsSource
+        .events(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), round(avg(col("k")), 2).as("avg_k"))
+        .orderBy("event_type")
+    }),
+
+    // -- pivot (crosstab): event counts per user bucket × event type with
+    //    an explicit pivot column list (no extra distinct-values job)
+    "q_pivot" -> ((s, dir) => {
+      graft.sources.EventsSource
+        .events(s, dir)
+        .withColumn("bucket", col("user_id") % 10)
+        .groupBy(col("bucket"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .count()
+        .select(col("bucket"),
+          coalesce(col("click"), lit(0L)).as("click"),
+          coalesce(col("error"), lit(0L)).as("error"),
+          coalesce(col("purchase"), lit(0L)).as("purchase"),
+          coalesce(col("signup"), lit(0L)).as("signup"),
+          coalesce(col("view"), lit(0L)).as("view"))
+        .orderBy("bucket")
+    }),
+
+    // -- exact interpolated percentiles per group (Spark `percentile` ==
+    //    DuckDB `quantile_cont`; l_quantity is integer-valued so the
+    //    interpolation arithmetic is engine-stable)
+    "q_percentiles" -> ((s, dir) => {
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          round(expr("percentile(l_quantity, 0.5)"), 2).as("p50"),
+          round(expr("percentile(l_quantity, 0.9)"), 2).as("p90"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")
+    }),
+
     // -- stream-stream join shape in batch: purchase→click attribution
     //    within a 1-hour window per user (the same expression tree runs
     //    watermarked in Structured Streaming, spec-asserted equal)
@@ -1140,6 +1182,25 @@ object SparkEntry {
                 (CASE WHEN doc_id % 3 = 0 THEN 0
                       ELSE 1 + (octet_length(encode(text))::BIGINT * 131) % 600000 END)::BIGINT AS duration_ms
          FROM documents ORDER BY media_id""",
+    "q_json_props" ->
+      """SELECT event_type, count(*) AS n,
+                sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
+                floor((avg(json_extract(props, '$.k')::BIGINT)) * 1e2 + 0.5) / 1e2 AS avg_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+    "q_pivot" ->
+      """SELECT user_id % 10 AS bucket,
+                count(*) FILTER (WHERE event_type = 'click') AS click,
+                count(*) FILTER (WHERE event_type = 'error') AS error,
+                count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+                count(*) FILTER (WHERE event_type = 'signup') AS signup,
+                count(*) FILTER (WHERE event_type = 'view') AS view
+         FROM events GROUP BY bucket ORDER BY bucket""",
+    "q_percentiles" ->
+      """SELECT l_returnflag,
+                floor((quantile_cont(l_quantity, 0.5)) * 1e2 + 0.5) / 1e2 AS p50,
+                floor((quantile_cont(l_quantity, 0.9)) * 1e2 + 0.5) / 1e2 AS p90,
+                count(*) AS n
+         FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
     // µs interval bound mirrors p_ts - INTERVAL 1 HOUR; gap_s subtracts
     // second-floored epochs exactly like the two long casts
     "q_event_attribution" ->
