@@ -566,6 +566,21 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // -- sliding windows: every event lands in four overlapping 1-hour
+    //    windows on a 15-minute slide (the same groupBy streams with a
+    //    watermark)
+    "q_events_sliding" -> ((s, dir) => {
+      graft.sources.EventsSource
+        .events(s, dir)
+        .groupBy(window(col("ts_t"), "1 hour", "15 minutes"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .select(
+          date_format(col("window.start"), "yyyy-MM-dd HH:mm").as("win_start"),
+          col("event_type"),
+          col("n"))
+        .orderBy("win_start", "event_type")
+    }),
+
     // -- JSON functions: extract a field from the events props payload and
     //    aggregate it (get_json_object stays codegen'd)
     "q_json_props" -> ((s, dir) => {
@@ -1182,6 +1197,17 @@ object SparkEntry {
                 (CASE WHEN doc_id % 3 = 0 THEN 0
                       ELSE 1 + (octet_length(encode(text))::BIGINT * 131) % 600000 END)::BIGINT AS duration_ms
          FROM documents ORDER BY media_id""",
+    // every event expands to its four 15-min-grid window starts; epoch
+    // arithmetic stays on naive timestamps (TIMESTAMP + interval), matching
+    // Spark's epoch-aligned window() under the UTC session
+    "q_events_sliding" ->
+      """WITH e AS (SELECT epoch_us(ts) // 1000000 AS sec, event_type FROM events),
+          w AS (SELECT ((sec // 900) * 900 - off * 900) AS win_sec, event_type
+                FROM e CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS off) o)
+          SELECT strftime(TIMESTAMP '1970-01-01 00:00:00' + win_sec * INTERVAL '1 second',
+                          '%Y-%m-%d %H:%M') AS win_start,
+                 event_type, count(*) AS n
+          FROM w GROUP BY win_start, event_type ORDER BY win_start, event_type""",
     "q_json_props" ->
       """SELECT event_type, count(*) AS n,
                 sum(json_extract(props, '$.k')::BIGINT)::BIGINT AS sum_k,
