@@ -40,6 +40,24 @@ class StreamingSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(g == w) }
   }
 
+  test("native session_window works in streaming and matches the batch operator") {
+    val stream = EventStream.readEvents(spark, streamDir)
+      .withWatermark("ts_t", "2 hours")
+      .groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes"))
+      .agg(count(lit(1)).as("sess_events"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"), col("sess_events"))
+    EventStream.runToMemory(stream, "sess_win", OutputMode.Complete())
+    val got = spark.table("sess_win").orderBy("user_id", "sess_start").collect()
+    val want = EventsSource.events(spark, dir)
+      .groupBy(col("user_id"), session_window(col("ts_t"), "30 minutes"))
+      .agg(count(lit(1)).as("sess_events"))
+      .select(col("user_id"), col("session_window.start").as("sess_start"), col("sess_events"))
+      .orderBy("user_id", "sess_start")
+      .collect()
+    assert(got.length == want.length && got.length > 0)
+    got.zip(want).foreach { case (g, w) => assert(g == w) }
+  }
+
   test("stream-stream purchase attribution matches the batch join") {
     val stream = EventStream.readEvents(spark, streamDir)
     EventStream.runToMemory(
