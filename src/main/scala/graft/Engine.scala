@@ -13,11 +13,19 @@ import graft.sources.{LetterSink, ManifestSource}
   */
 object Engine {
 
-  /** Build postings for a manifest corpus (distributed end of the pipeline). */
+  /** Build postings for a manifest corpus (distributed end of the pipeline).
+    * Reads through the DataSource V2 manifest format: positional ids travel
+    * with the scan partitions — no path join, no driver-side collects on the
+    * read path (the older `ManifestSource.docLines` assembly remains for
+    * comparison and is spec-asserted identical in ManifestV2Spec).
+    */
   def indexFromManifest(spark: SparkSession, manifestPath: String, baseDir: String): DataFrame = {
-    val refs  = ManifestSource.docRefs(spark, manifestPath, baseDir)
-    val lines = ManifestSource.docLines(spark, refs)
-    val toks  = Tokenize.tokens(lines, textCol = "line", keep = Seq("file_id"))
+    val lines = spark.read
+      .format("graft-manifest")
+      .option("baseDir", baseDir)
+      .load(manifestPath)
+      .select("file_id", "line")
+    val toks = Tokenize.tokens(lines, textCol = "line", keep = Seq("file_id"))
     InvertedIndex.postings(toks, idCol = "file_id")
   }
 

@@ -51,7 +51,8 @@ class ManifestDataSource extends TableProvider with DataSourceRegister {
     val path = Option(properties.get("path")).getOrElse(
       throw new IllegalArgumentException("graft-manifest requires a manifest path (.load(path))"))
     val maxParts = Option(properties.get("maxPartitions")).map(_.toInt).getOrElse(32)
-    new ManifestTable(path, maxParts)
+    val baseDir  = Option(properties.get("baseDir"))
+    new ManifestTable(path, maxParts, baseDir)
   }
 }
 
@@ -63,9 +64,12 @@ object ManifestDataSource {
 
   /** fscanf("%s") manifest semantics, shared with the planning path: first
     * token = declared count, next N tokens = paths (1-based positional ids).
+    * Relative paths resolve against `base` (default: the manifest's own
+    * directory — the reference resolves against its CWD, which its checker
+    * always sets to the manifest dir).
     */
-  def parseManifest(manifestPath: String): Seq[(Long, String)] = {
-    val baseDir = new java.io.File(manifestPath).getAbsoluteFile.getParent
+  def parseManifest(manifestPath: String, base: Option[String] = None): Seq[(Long, String)] = {
+    val baseDir = base.getOrElse(new java.io.File(manifestPath).getAbsoluteFile.getParent)
     val tokens = scala.io.Source.fromFile(manifestPath)("UTF-8")
     try {
       val toks = tokens.mkString.split("\\s+").filter(_.nonEmpty)
@@ -80,17 +84,17 @@ object ManifestDataSource {
   }
 }
 
-class ManifestTable(manifestPath: String, maxPartitions: Int) extends Table with SupportsRead {
+class ManifestTable(manifestPath: String, maxPartitions: Int, baseDir: Option[String]) extends Table with SupportsRead {
   override def name(): String = s"graft-manifest(`$manifestPath`)"
   override def schema(): StructType = ManifestDataSource.Schema
   override def capabilities(): util.Set[TableCapability] =
     Set(TableCapability.BATCH_READ).asJava
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ManifestScanBuilder(manifestPath, maxPartitions)
+    new ManifestScanBuilder(manifestPath, maxPartitions, baseDir)
 }
 
-class ManifestScanBuilder(manifestPath: String, maxPartitions: Int)
+class ManifestScanBuilder(manifestPath: String, maxPartitions: Int, baseDir: Option[String])
   extends ScanBuilder with SupportsPushDownRequiredColumns {
 
   private var required: StructType = ManifestDataSource.Schema
@@ -98,12 +102,12 @@ class ManifestScanBuilder(manifestPath: String, maxPartitions: Int)
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  override def build(): Scan = new ManifestScan(manifestPath, maxPartitions, required)
+  override def build(): Scan = new ManifestScan(manifestPath, maxPartitions, baseDir, required)
 }
 
 case class ManifestInputPartition(files: Seq[(Long, String)]) extends InputPartition
 
-class ManifestScan(manifestPath: String, maxPartitions: Int, required: StructType)
+class ManifestScan(manifestPath: String, maxPartitions: Int, baseDir: Option[String], required: StructType)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
@@ -112,7 +116,7 @@ class ManifestScan(manifestPath: String, maxPartitions: Int, required: StructTyp
     s"graft-manifest $manifestPath, columns=${required.fieldNames.mkString(",")}"
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val files = ManifestDataSource.parseManifest(manifestPath)
+    val files = ManifestDataSource.parseManifest(manifestPath, baseDir)
     if (files.isEmpty) return Array.empty
     val nBins = math.max(1, math.min(maxPartitions, files.size))
     // LPT greedy: largest file into the currently-lightest bin
