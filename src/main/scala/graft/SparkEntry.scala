@@ -125,6 +125,18 @@ object SparkEntry {
         .orderBy("o_custkey", "rn")
     }),
 
+    // -- window FRAMES: per-customer rolling order total over the last 3
+    //    orders (rowsBetween) + running cumulative count
+    "q_window_rolling" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("roll3", round(sum(col("o_totalprice")).over(w.rowsBetween(-2, 0)), 2))
+        .withColumn("cum_n", count(lit(1)).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+        .where(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"), col("roll3"), col("cum_n"))
+        .orderBy("o_custkey", "cum_n")
+    }),
+
     // -- anti join: customers with no high-value (>450k) order
     "q_anti_customers" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -1197,6 +1209,16 @@ object SparkEntry {
                 (CASE WHEN doc_id % 3 = 0 THEN 0
                       ELSE 1 + (octet_length(encode(text))::BIGINT * 131) % 600000 END)::BIGINT AS duration_ms
          FROM documents ORDER BY media_id""",
+    // WHERE before the window is equivalent: the partition key is the
+    // filter column, so partitions are kept or dropped whole
+    "q_window_rolling" ->
+      """SELECT o_custkey, o_orderkey,
+                floor((sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)) * 1e2 + 0.5) / 1e2 AS roll3,
+                count(*) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                       ROWS UNBOUNDED PRECEDING) AS cum_n
+         FROM orders WHERE o_custkey < 200
+         ORDER BY o_custkey, cum_n""",
     // every event expands to its four 15-min-grid window starts; epoch
     // arithmetic stays on naive timestamps (TIMESTAMP + interval), matching
     // Spark's epoch-aligned window() under the UTC session
