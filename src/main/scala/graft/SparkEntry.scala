@@ -402,6 +402,31 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- the full dedup pipeline in one query: LSH candidates → exact
+    //    jaccard≥0.5 verify (candidate pairs only, never all-pairs) →
+    //    connected components → per-doc keeper verdict
+    "q_dedup_end2end" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cand = Dedup.minhashCandidates(docs,
+        shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096)
+      val sh = TextAnalysis.withShingles(docs, "text", 3, "sh").select(col("doc_id"), col("sh"))
+      val verified = cand
+        .join(sh.select(col("doc_id").as("doc1"), col("sh").as("sh1")), Seq("doc1"))
+        .join(sh.select(col("doc_id").as("doc2"), col("sh").as("sh2")), Seq("doc2"))
+        .where(
+          size(array_intersect(col("sh1"), col("sh2"))).cast("double") /
+            (size(col("sh1")) + size(col("sh2")) - size(array_intersect(col("sh1"), col("sh2")))) >= 0.5)
+        .select(col("doc1"), col("doc2"))
+      val groups = Dedup.duplicateGroups(verified)
+      docs
+        .join(groups, Seq("doc_id"), "left")
+        .select(
+          col("doc_id"),
+          coalesce(col("group_id"), col("doc_id")).as("group_id"),
+          (coalesce(col("group_id"), col("doc_id")) === col("doc_id")).cast("int").as("is_keeper"))
+        .orderBy("doc_id")
+    }),
+
     // -- 32-bit SimHash per document from token frequencies
     "q_simhash" -> ((s, dir) => {
       Dedup
@@ -1088,6 +1113,26 @@ object SparkEntry {
                      WHEN lang = 'zh' THEN ${Sampling.threshold(0.8)}
                      ELSE ${Sampling.threshold(0.5)} END
           ORDER BY doc_id""",
+    // verified pairs gate the closure; docs in no verified pair keep
+    // themselves
+    "q_dedup_end2end" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes(3, 16, 8, 4096)},
+          ver AS (
+            SELECT p.doc1, p.doc2 FROM pairs p
+            JOIN sh a ON a.doc_id = p.doc1
+            JOIN sh b ON b.doc_id = p.doc2
+            WHERE len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                  (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) >= 0.5),
+          edges AS (SELECT doc1 AS src, doc2 AS dst FROM ver
+                    UNION ALL SELECT doc2, doc1 FROM ver),
+          reach(v, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.v = e.dst),
+          grp AS (SELECT v AS doc_id, min(lbl) AS group_id FROM reach GROUP BY v)
+          SELECT d.doc_id, coalesce(g.group_id, d.doc_id) AS group_id,
+                 (coalesce(g.group_id, d.doc_id) = d.doc_id)::INTEGER AS is_keeper
+          FROM documents d LEFT JOIN grp g USING (doc_id) ORDER BY doc_id""",
     // transitive closure over the SAME candidate pairs: a recursive CTE
     // propagates every reachable label; min(label) per vertex is the
     // component minimum — exactly what the iterative hash-to-min loop
