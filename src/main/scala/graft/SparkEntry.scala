@@ -660,6 +660,24 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // -- as-of join: for each purchase, the LATEST click at-or-before it
+    //    per user (tagged-union + ignore-nulls last — one shuffle, no
+    //    range-pair blowup; DuckDB oracles with its NATIVE ASOF JOIN)
+    "q_asof_click" -> ((s, dir) => {
+      val ev = graft.sources.EventsSource.events(s, dir)
+        .withColumn("us", expr("ts div 1000"))
+      val purchases = ev.where(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("user_id"), col("us"))
+      // dedup ties: one click per (user, us), greatest event_id wins
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy(col("user_id"), col("us"))
+        .agg(max(col("event_id")).as("click_id"))
+      operators.AsofJoin
+        .asofJoin(purchases, clicks, keyCol = "user_id", tsCol = "us", payloads = Seq("click_id"))
+        .select(col("purchase_id"), col("user_id"), col("click_id"))
+        .orderBy("purchase_id")
+    }),
+
     // -- stream-stream join shape in batch: purchase→click attribution
     //    within a 1-hour window per user (the same expression tree runs
     //    watermarked in Structured Streaming, spec-asserted equal)
@@ -1294,6 +1312,16 @@ object SparkEntry {
                 floor((quantile_cont(l_quantity, 0.9)) * 1e2 + 0.5) / 1e2 AS p90,
                 count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // DuckDB's native ASOF LEFT JOIN against the composed Spark form;
+    // clicks pre-deduped per (user, µs) identically on both sides
+    "q_asof_click" ->
+      """WITH p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS us FROM events
+                    WHERE event_type = 'purchase'),
+          c AS (SELECT user_id, epoch_us(ts) AS c_us, max(event_id) AS click_id FROM events
+                WHERE event_type = 'click' GROUP BY user_id, epoch_us(ts))
+          SELECT p.purchase_id, p.user_id, c.click_id
+          FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND c.c_us <= p.us
+          ORDER BY purchase_id""",
     // µs interval bound mirrors p_ts - INTERVAL 1 HOUR; gap_s subtracts
     // second-floored epochs exactly like the two long casts
     "q_event_attribution" ->
