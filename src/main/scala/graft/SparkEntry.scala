@@ -660,6 +660,23 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // -- range join with NO equality key: orders priced into overlapping
+    //    price bands via range bucketization (an inequality-only join would
+    //    plan as a nested loop; the bucketed form is a plain equi-join)
+    "q_range_join" -> ((s, dir) => {
+      val bands = s.range(0, 20).toDF("band_id")
+        .withColumn("lo", col("band_id").cast("double") * 25000.0)
+        .withColumn("hi", col("lo") + 40000.0)
+      operators.RangeJoin
+        .bucketedRangeJoin(
+          t(s, dir, "orders").select(col("o_orderkey"), col("o_totalprice")),
+          bands, valueCol = "o_totalprice", loCol = "lo", hiCol = "hi",
+          bucketWidth = 25000.0)
+        .groupBy(col("band_id"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .orderBy("band_id")
+    }),
+
     // -- as-of join: for each purchase, the LATEST click at-or-before it
     //    per user (tagged-union + ignore-nulls last — one shuffle, no
     //    range-pair blowup; DuckDB oracles with its NATIVE ASOF JOIN)
@@ -1312,6 +1329,17 @@ object SparkEntry {
                 floor((quantile_cont(l_quantity, 0.9)) * 1e2 + 0.5) / 1e2 AS p90,
                 count(*) AS n
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    // the oracle joins on the raw inequality — the bucketized Spark plan
+    // must produce exactly the rows the direct range predicate defines
+    "q_range_join" ->
+      """WITH bands AS (
+           SELECT band_id, band_id * 25000.0 AS lo, band_id * 25000.0 + 40000.0 AS hi
+           FROM (SELECT unnest(range(0, 20)) AS band_id) b)
+          SELECT band_id, count(*) AS n,
+                 floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS sum_price
+          FROM orders JOIN bands
+            ON o_totalprice >= lo AND o_totalprice < hi
+          GROUP BY band_id ORDER BY band_id""",
     // DuckDB's native ASOF LEFT JOIN against the composed Spark form;
     // clicks pre-deduped per (user, µs) identically on both sides
     "q_asof_click" ->

@@ -86,6 +86,26 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Generate explode(sequence"), s"bit explode must be gone:\n$plan")
   }
 
+  test("bucketed range join plans as a hash equi-join, never a nested loop") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+      .select(col("o_orderkey"), col("o_totalprice"))
+    val bands = spark.range(0, 20).toDF("band_id")
+      .withColumn("lo", col("band_id").cast("double") * 25000.0)
+      .withColumn("hi", col("lo") + 40000.0)
+    val naive = orders.join(bands,
+      col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+    assert(naive.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+      "the inequality-only join should demonstrate the nested-loop plan the bucketed form avoids")
+    val bucketed = graft.operators.RangeJoin.bucketedRangeJoin(
+      orders, bands, "o_totalprice", "lo", "hi", bucketWidth = 25000.0)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin"), s"bucketed range join must hash-join on the bucket:\n$plan")
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"bucketed range join must not nested-loop:\n$plan")
+    // and the two formulations agree
+    assert(bucketed.count() == naive.count())
+  }
+
   test("broadcast dim join keeps the fact side shuffle-free") {
     val orders   = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
