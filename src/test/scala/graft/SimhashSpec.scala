@@ -35,4 +35,44 @@ class SimhashSpec extends SparkSpec {
     assert(h(1L) == h(2L))
     assert(h.values.forall(v => v >= 0 && v < (1L << 32)))
   }
+
+  private def docs60(docs: Seq[(Long, String)]) =
+    Dedup.simhash(Tokenize.tokens(docs.toDF("doc_id", "text"), "text", Seq("doc_id")), bits = 60)
+
+  test("60-bit signature fits in 60 bits and differs from the 32-bit one") {
+    val d = Seq((1L, "alpha beta gamma delta epsilon zeta"))
+    val wide   = docs60(d).collect().head.getLong(1)
+    val narrow = simhashOf(d)(1L)
+    assert(wide >= 0 && wide < (1L << 60))
+    // the low 32 bits of the wide signature ARE the narrow signature (same
+    // per-bit sums) — the width only ADDS discriminating bits
+    assert((wide & 0xffffffffL) == narrow)
+  }
+
+  test("banded + capped pairs equal unbanded all-pairs hamming (pigeonhole exactness)") {
+    val corpus = (1L to 40L).map { i =>
+      val base = s"shared vocabulary tokens common across documents group${i % 5}"
+      (i, if (i % 2 == 0) base else base + s" unique$i extra$i")
+    }
+    val sigs = docs60(corpus).cache()
+    val banded = Dedup
+      .simhashPairs(sigs, maxDist = 3, bands = 6, sigBits = 60, maxBucket = 1 << 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val raw = sigs.collect().map(r => (r.getLong(0), r.getLong(1)))
+    val brute = (for {
+      (i1, s1) <- raw; (i2, s2) <- raw if i1 < i2
+      d = java.lang.Long.bitCount(s1 ^ s2) if d <= 3
+    } yield (i1, i2, d)).toSet
+    sigs.unpersist()
+    assert(banded == brute, s"banded=${banded.size} brute=${brute.size}")
+  }
+
+  test("maxBucket drops saturated buckets before pair expansion") {
+    // five identical docs: identical signatures share every band bucket
+    val sigs = docs60((1L to 5L).map(i => (i, "identical content in every document")))
+    val capped = Dedup.simhashPairs(sigs, maxDist = 3, bands = 6, sigBits = 60, maxBucket = 4)
+    assert(capped.count() == 0, "all buckets are saturated at cap 4 — no pairs may survive")
+    val uncapped = Dedup.simhashPairs(sigs, maxDist = 3, bands = 6, sigBits = 60, maxBucket = 5)
+    assert(uncapped.count() == 10, "5 identical docs give C(5,2)=10 pairs under the cap")
+  }
 }
