@@ -224,44 +224,64 @@ object Dedup {
     * `localCheckpoint` truncates the growing lineage each round; on a
     * cluster, `checkpoint` to durable storage plays the same role).
     */
-  def duplicateGroups(pairs: DataFrame, col1: String = "doc1", col2: String = "doc2"): DataFrame = {
+  def duplicateGroups(
+      pairs: DataFrame,
+      col1: String = "doc1",
+      col2: String = "doc2",
+      broadcastMaxVertices: Long = 5000000L): DataFrame = {
     val edges = pairs
       .select(col(col1).as("src"), col(col2).as("dst"))
       .unionAll(pairs.select(col(col2).as("src"), col(col1).as("dst")))
+      .localCheckpoint(true)
+    var labels = edges.select(col("src").as("doc_id")).distinct()
+      .withColumn("group_id", col("doc_id"))
       .localCheckpoint(true)
     // candidate-pair graphs are normally TINY next to the corpus (edges ≈
     // true duplicate density): below the threshold, broadcast the label
     // side so each round is ONE shuffle (the neighbor-min agg) instead of
     // three — the fixed per-round scheduling cost is what dominates small
-    // graphs. Past the threshold, fall back to plain shuffle joins.
-    val small = edges.count() <= 5000000L
+    // graphs. Past the threshold, fall back to plain shuffle joins. The
+    // broadcast side IS the label relation, so the decision keys on VERTEX
+    // count — read off the already-materialized eager checkpoint above, not
+    // a separate edges.count() job (the round-2 extra action).
+    val small = labels.count() <= broadcastMaxVertices
     def maybeBroadcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("group_id", col("doc_id"))
-      .localCheckpoint(true)
     var converged = false
     var round = 0
     while (!converged) {
-      val neighborMin = edges
-        .join(maybeBroadcast(labels.select(col("doc_id").as("dst"), col("group_id").as("nbr"))), Seq("dst"))
+      // ONE broadcast join + ONE aggregate per round, by folding all three
+      // label sources into a single edge union over the cached relations
+      // (re-reading a cached df is free; per-round JOB COUNT is the runtime
+      // at small graph sizes, so every extra broadcast materialization
+      // mattered):
+      //   real edges  (v, u)         → min over nbr = neighbor-min hop
+      //   ptr edges   (v, label(v))  → nbr = label(label(v)) = POINTER JUMP
+      //                                (diameter-many rounds → ~log)
+      //   self edges  (v, v)         → nbr = label(v) = this round's `prev`
+      val lblMap = labels.select(col("doc_id").as("dst"), col("group_id").as("nbr"))
+      val allEdges = edges.select(col("src"), col("dst"), lit(0).as("is_self"))
+        .unionAll(labels.select(col("doc_id").as("src"), col("group_id").as("dst"), lit(0).as("is_self")))
+        .unionAll(labels.select(col("doc_id").as("src"), col("doc_id").as("dst"), lit(1).as("is_self")))
+      val next = allEdges
+        .join(maybeBroadcast(lblMap), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
-        .agg(min(col("nbr")).as("nbr_min"))
-      val next = labels
-        .join(maybeBroadcast(neighborMin), Seq("doc_id"), "left")
-        .select(
-          col("doc_id"),
-          least(col("group_id"), coalesce(col("nbr_min"), col("group_id"))).as("group_id"),
-          col("group_id").as("prev"))
-      // ONE action per round: counting changed labels materializes `next`
-      // into the cache as a side effect (a separate isEmpty job per round
-      // was pure scheduling overhead); checkpoint every few rounds to keep
-      // the analyzed-plan depth bounded on long chains
-      next.persist()
+        .agg(
+          min(col("nbr")).as("group_id"),
+          min(when(col("is_self") === 1, col("nbr"))).as("prev"))
+        // eager checkpoint EVERY round: `labels` is referenced three times
+        // per round, so an untruncated logical plan grows ~3^rounds
+        // subtrees and ANALYSIS time (which runs before cached-plan
+        // substitution) explodes — round 2 instead persist()ed each round
+        // and leaked the cache; the checkpoint both truncates lineage and
+        // leaves block cleanup to the ContextCleaner, so there is nothing
+        // to unpersist by hand (on a cluster, `checkpoint` to durable
+        // storage plays the same role)
+        .localCheckpoint(true)
       converged = next.where(col("group_id") < col("prev")).count() == 0
-      labels = if (round % 4 == 3) next.select("doc_id", "group_id").localCheckpoint(true)
-               else next.select("doc_id", "group_id")
+      labels = next.select("doc_id", "group_id")
       round += 1
     }
+    if (sys.env.contains("GRAFT_DEBUG_ROUNDS")) println(s"DEBUG_ROUNDS $round")
     labels
   }
 

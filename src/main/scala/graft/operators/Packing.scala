@@ -10,13 +10,27 @@ import org.apache.spark.sql.functions._
   * pipeline uses when exact bin packing (NP-hard, sequential) is off the
   * table.
   *
-  * Scale design: packing is PER SHARD (`shardCol` — language, source,
-  * crawl segment…): the running-offset window partitions by shard, so no
-  * global single-task sort exists and shards pack independently in
-  * parallel. Within a shard, order is the stable `idCol` — reruns pack
-  * identically (the same reproducibility argument as
-  * [[Sampling]]). All arithmetic is integer, so the DuckDB oracle
-  * reproduces pack ids exactly.
+  * Scale design: a TWO-PASS DISTRIBUTED PREFIX SUM. Round 2 computed the
+  * running offset with one window partitioned by `shardCol` (language,
+  * source, crawl segment…) — a handful of strata at corpus scale means ONE
+  * task sorts and prefix-sums an entire language's documents (tens of TB in
+  * one window partition at 100×). Now the id space is cut into bounded
+  * chunks (`chunk = id div chunkWidth`, so a chunk holds at most
+  * `chunkWidth` docs regardless of id density):
+  *
+  *   pass 1  per-(shard, chunk) token subtotals — one partial-aggregated
+  *           shuffle whose output is chunk METADATA (corpus_size/chunkWidth
+  *           rows), then a window over those metadata rows turns subtotals
+  *           into each chunk's base offset;
+  *   pass 2  a window partitioned by (shard, chunk) — bounded at
+  *           `chunkWidth` rows per partition — computes the local running
+  *           sum, and base + local = the exact global offset.
+  *
+  * Chunk ids are monotonic in `idCol`, so (chunk ASC, id ASC) is exactly
+  * the per-shard id order — the result is row-identical to the single
+  * -window form (PackingSpec asserts it), and the DuckDB oracle keeps the
+  * simple formulation. Reruns pack identically (same reproducibility
+  * argument as [[Sampling]]); all arithmetic is integer-exact.
   */
 object Packing {
 
@@ -32,12 +46,27 @@ object Packing {
       budget: Long,
       idCol: String = "doc_id",
       textCol: String = "text",
-      shardCol: String = "lang"): DataFrame = {
+      shardCol: String = "lang",
+      chunkWidth: Long = 1 << 16): DataFrame = {
     require(budget > 0, s"budget ($budget) must be positive")
-    val w = Window.partitionBy(col(shardCol)).orderBy(col(idCol))
-    docs
+    require(chunkWidth > 0, s"chunkWidth ($chunkWidth) must be positive")
+    val withTok = docs
       .withColumn("n_tok", size(split(col(textCol), "\\s+")).cast("bigint"))
-      .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("__chunk", floor(col(idCol) / chunkWidth).cast("bigint"))
+    // pass 1: chunk subtotals (metadata-scale), then base offsets via a
+    // window over CHUNK rows — ~N/chunkWidth rows per shard, never documents
+    val wChunks = Window.partitionBy(col(shardCol)).orderBy(col("__chunk"))
+    val bases = withTok
+      .groupBy(col(shardCol), col("__chunk"))
+      .agg(sum(col("n_tok")).as("__chunk_tok"))
+      .withColumn("__base", sum(col("__chunk_tok")).over(wChunks) - col("__chunk_tok"))
+      .select(col(shardCol), col("__chunk"), col("__base"))
+    // pass 2: bounded local window (≤ chunkWidth rows per partition); the
+    // chunk-base side is metadata and broadcasts
+    val wLocal = Window.partitionBy(col(shardCol), col("__chunk")).orderBy(col(idCol))
+    withTok
+      .join(broadcast(bases), Seq(shardCol, "__chunk"))
+      .withColumn("start_off", col("__base") + sum(col("n_tok")).over(wLocal) - col("n_tok"))
       .withColumn("pack_id", floor(col("start_off") / budget).cast("bigint"))
       .select(col(idCol), col(shardCol), col("n_tok"), col("pack_id"))
   }

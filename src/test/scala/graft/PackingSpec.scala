@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Packing
+
+/** The two-pass distributed prefix sum must be row-identical to the naive
+  * single-window form, and its plan must never put a whole shard into one
+  * window partition (the round-2 scale weakness).
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = (1L to 200L)
+    .map(i => (i, if (i % 3 == 0) "en" else "de", Seq.fill((i % 7).toInt + 1)("tok").mkString(" ")))
+    .toDF("doc_id", "lang", "text")
+
+  /** The round-2 formulation: one window per shard — correct, not scalable. */
+  private def naive(budget: Long) = {
+    val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+    docs
+      .withColumn("n_tok", size(split(col("text"), "\\s+")).cast("bigint"))
+      .withColumn("start_off", sum(col("n_tok")).over(w) - col("n_tok"))
+      .withColumn("pack_id", floor(col("start_off") / budget).cast("bigint"))
+      .select(col("doc_id"), col("lang"), col("n_tok"), col("pack_id"))
+  }
+
+  test("chunked prefix sum is row-identical to the single-window form") {
+    val expected = naive(16).collect().map(_.toSeq).toSet
+    for (width <- Seq(1L, 7L, 64L, 1L << 16)) {
+      val got = Packing.packByOffset(docs, budget = 16, chunkWidth = width)
+        .collect().map(_.toSeq).toSet
+      assert(got == expected, s"chunkWidth=$width diverges from the single-window packing")
+    }
+  }
+
+  test("the document-side window partitions by (shard, chunk), never shard alone") {
+    val plan = Packing.packByOffset(docs, budget = 16, chunkWidth = 8)
+      .queryExecution.executedPlan.toString
+    val docWindows = plan.linesIterator.filter(l => l.contains("Window") && l.contains("n_tok"))
+    assert(docWindows.nonEmpty, s"expected a document-side Window node in:\n$plan")
+    assert(docWindows.forall(_.contains("__chunk")),
+      "the running-sum window over documents must include __chunk in its partition spec")
+  }
+}
