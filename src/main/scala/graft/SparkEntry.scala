@@ -216,6 +216,37 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    // -- POSITIONAL-index maintenance: merge(pos(even), pos(odd)) ==
+    //    pos(all); the oracle builds the whole-corpus positional index.
+    //    Flattened to (word, doc_id, positions_str) for comparison.
+    "q_index_merge_pos" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val even = InvertedIndex.positionalPostings(docs.where(col("doc_id") % 2 === 0))
+      val odd  = InvertedIndex.positionalPostings(docs.where(col("doc_id") % 2 === 1))
+      InvertedIndex
+        .mergePositional(even, odd)
+        .select(col("word"), explode_outer(col("postings")).as("p"))
+        .select(
+          col("word"),
+          col("p.doc_id").as("doc_id"),
+          array_join(col("p.positions"), " ").as("positions_str"))
+        .orderBy("word", "doc_id")
+    }),
+
+    // -- positional removal invariant: the oracle indexes the filtered
+    //    corpus directly
+    "q_index_remove_pos" -> ((s, dir) => {
+      InvertedIndex
+        .removeDocsPositional(
+          InvertedIndex.positionalPostings(t(s, dir, "documents")), (1L to 40L))
+        .select(col("word"), explode_outer(col("postings")).as("p"))
+        .select(
+          col("word"),
+          col("p.doc_id").as("doc_id"),
+          array_join(col("p.positions"), " ").as("positions_str"))
+        .orderBy("word", "doc_id")
+    }),
+
     // -- hot-key-safe sharded aggregation: must equal q_inverted_index
     //    exactly (same oracle SQL), while never materializing a full hot
     //    word's postings in one task
@@ -261,6 +292,23 @@ object SparkEntry {
     "q_search_or" -> ((s, dir) => {
       Search.orQuery(
         InvertedIndex.postings(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))),
+        Seq("vector", "stream", "merge"))
+    }),
+
+    // -- the same boolean queries served from the SHARDED postings (the
+    //    100 TB index representation) without concatenating any shard:
+    //    must equal the unsharded queries exactly (same oracle SQL)
+    "q_search_and_sharded" -> ((s, dir) => {
+      Search.andQuerySharded(
+        InvertedIndex.postingsShardedRaw(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")), shardWidth = 100L),
+        Seq("spark", "query", "join"))
+    }),
+
+    "q_search_or_sharded" -> ((s, dir) => {
+      Search.orQuerySharded(
+        InvertedIndex.postingsShardedRaw(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")), shardWidth = 100L),
         Seq("vector", "stream", "merge"))
     }),
 
@@ -931,6 +979,27 @@ object SparkEntry {
           SELECT word, array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS doc_ids_str,
                  count(DISTINCT doc_id) AS df
           FROM tok GROUP BY word ORDER BY word""",
+    // positional merge invariant: the oracle IS the whole-corpus positional
+    // index (0-based token offsets, ascending)
+    "q_index_merge_pos" ->
+      s"""WITH $ToksArrCte,
+          p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS word
+                FROM toks_arr)
+          SELECT word, doc_id, array_to_string(list(pos - 1 ORDER BY pos), ' ') AS positions_str
+          FROM p GROUP BY word, doc_id ORDER BY word, doc_id""",
+    // positional removal invariant: index the filtered corpus directly
+    "q_index_remove_pos" ->
+      """WITH toks_arr AS (
+           SELECT doc_id,
+                  list_filter(
+                    list_transform(regexp_split_to_array(text, '\s+'),
+                                   x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                    w -> w <> '') AS toks
+           FROM documents WHERE doc_id NOT BETWEEN 1 AND 40),
+          p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS word
+                FROM toks_arr)
+          SELECT word, doc_id, array_to_string(list(pos - 1 ORDER BY pos), ' ') AS positions_str
+          FROM p GROUP BY word, doc_id ORDER BY word, doc_id""",
     // identical oracle on purpose: the sharded plan must be result-identical
     "q_inverted_index_sharded" ->
       s"""WITH $TokCte
@@ -963,6 +1032,20 @@ object SparkEntry {
             GROUP BY doc_id) g
           WHERE n_terms = 3 ORDER BY doc_id""",
     "q_search_or" ->
+      s"""WITH $TokCte
+          SELECT doc_id, count(DISTINCT word) AS n_terms
+          FROM tok WHERE word IN ('vector', 'stream', 'merge')
+          GROUP BY doc_id ORDER BY n_terms DESC, doc_id""",
+    // identical oracles on purpose: shard-served boolean retrieval must be
+    // result-identical to the unsharded queries
+    "q_search_and_sharded" ->
+      s"""WITH $TokCte
+          SELECT doc_id FROM (
+            SELECT doc_id, count(DISTINCT word) AS n_terms
+            FROM tok WHERE word IN ('spark', 'query', 'join')
+            GROUP BY doc_id) g
+          WHERE n_terms = 3 ORDER BY doc_id""",
+    "q_search_or_sharded" ->
       s"""WITH $TokCte
           SELECT doc_id, count(DISTINCT word) AS n_terms
           FROM tok WHERE word IN ('vector', 'stream', 'merge')
@@ -1298,8 +1381,11 @@ object SparkEntry {
                 count(*) AS n, floor((sum(value)) * 1e2 + 0.5) / 1e2 AS sum_value
          FROM events GROUP BY hour_bucket, event_type ORDER BY hour_bucket, event_type""",
     // the multimodal roundtrip: image dims come from DECODING synthesized
-    // PNGs (javax.imageio) — the oracle recomputes the synthesis formulas
-    // directly, so a fake decode cannot pass
+    // PNGs (javax.imageio) and audio durations from DECODING synthesized
+    // WAVs (javax.sound.sampled; frames = 1 + 131·len mod 60000 at 1 kHz ⇒
+    // duration_ms == frames) — the oracle recomputes the synthesis formulas
+    // directly, so a fake decode cannot pass; video keeps the declared
+    // byte-length stub
     "q_multimodal_decode" ->
       """SELECT doc_id AS media_id,
                 CASE WHEN doc_id % 3 = 0 THEN 'image'
@@ -1307,6 +1393,7 @@ object SparkEntry {
                 (CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 64 ELSE 0 END)::INTEGER AS width,
                 (CASE WHEN doc_id % 3 = 0 THEN 1 + octet_length(encode(text)) % 64 ELSE 0 END)::INTEGER AS height,
                 (CASE WHEN doc_id % 3 = 0 THEN 0
+                      WHEN doc_id % 3 = 1 THEN 1 + (octet_length(encode(text))::BIGINT * 131) % 60000
                       ELSE 1 + (octet_length(encode(text))::BIGINT * 131) % 600000 END)::BIGINT AS duration_ms
          FROM documents ORDER BY media_id""",
     // WHERE before the window is equivalent: the partition key is the

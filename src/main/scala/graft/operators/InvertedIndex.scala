@@ -92,6 +92,39 @@ object InvertedIndex {
       .groupBy(col("word"))
       .agg(array_sort(collect_list(struct(col(idCol).as("doc_id"), col("positions")))).as("postings"))
 
+  /** Incremental maintenance for the POSITIONAL index (the structure that
+    * serves phrase queries — round 2 only maintained the plain postings, so
+    * an incrementally-updated index silently lost phrase search). Full
+    * outer join on word + struct-array union sorted by doc_id — one shuffle
+    * over index-sized data, same shape as [[mergeIndexes]]. Batch ingestion
+    * merges disjoint doc sets; a doc present on both sides with identical
+    * positions (re-ingestion) dedups via struct equality.
+    * Invariant (spec + oracle): mergePositional(pos(A), pos(B)) == pos(A ∪ B).
+    */
+  def mergePositional(a: DataFrame, b: DataFrame): DataFrame = {
+    val empty = array().cast("array<struct<doc_id:bigint,positions:array<int>>>")
+    a.select(col("word"), col("postings").as("p_a"))
+      .join(b.select(col("word"), col("postings").as("p_b")), Seq("word"), "full_outer")
+      .select(
+        col("word"),
+        array_sort(array_union(
+          coalesce(col("p_a"), empty),
+          coalesce(col("p_b"), empty))).as("postings"))
+  }
+
+  /** Delete documents from the positional index — map-side only, mirroring
+    * [[removeDocs]]: each word's posting structs are filtered in place and
+    * words whose postings empty out disappear.
+    * Invariant (spec + oracle): removeDocsPositional(pos(A), D) == pos(A \ D).
+    */
+  def removeDocsPositional(positional: DataFrame, docIds: Seq[Long]): DataFrame = {
+    val gone = typedlit(docIds.toSet.toSeq.sorted)
+    positional
+      .withColumn("postings",
+        filter(col("postings"), p => !array_contains(gone, p.getField("doc_id"))))
+      .where(size(col("postings")) > 0)
+  }
+
   /** Sharded postings, stage 1 — the true 100 TB form: a stop word's posting
     * list at web scale is billions of ids, too big for any single task's
     * aggregation buffer OR output row. Sharding the aggregation by doc-id

@@ -7,16 +7,17 @@ import org.apache.spark.sql.functions._
   * pipeline: media travel as opaque `BINARY` columns with typed metadata;
   * decode/feature-extraction runs per-partition in bounded batches.
   *
-  * IMAGES are decoded for real: `javax.imageio` (pure JVM, ships with the
-  * JDK) reads PNG payloads, and `demoMediaFromDocuments` synthesizes actual
-  * PNGs whose dimensions derive from oracle-computable document properties —
-  * so the driver's DuckDB oracle value-checks the whole encode→distribute→
-  * decode roundtrip. Audio/video decode remains an honest STUB (this
-  * environment ships no media codecs): deterministic byte-length-derived
-  * records. Everything around the codec — schema, batch iteration,
-  * partition sizing, column pruning — is the real distributed plumbing a
-  * production decoder plugs into; swap the codec call and nothing else
-  * changes.
+  * IMAGES and AUDIO are decoded for real with the two codecs the JDK
+  * itself ships: `javax.imageio` reads PNG payloads and
+  * `javax.sound.sampled` reads WAV payloads. `demoMediaFromDocuments`
+  * synthesizes actual PNGs/WAVs whose dimensions / frame counts derive
+  * from oracle-computable document properties — so the driver's DuckDB
+  * oracle value-checks the whole encode→distribute→decode roundtrip for
+  * both kinds. VIDEO decode remains an honest STUB (no JVM video codec
+  * exists): deterministic byte-length-derived records. Everything around
+  * the codecs — schema, batch iteration, partition sizing, column
+  * pruning — is the real distributed plumbing a production decoder plugs
+  * into; swap the codec call and nothing else changes.
   *
   * Scale notes: decode is a narrow per-partition op (no shuffle); partitions
   * should be sized by `spark.sql.files.maxPartitionBytes` so one partition's
@@ -71,7 +72,46 @@ object Multimodal {
     Option(img).map(i => (i.getWidth, i.getHeight))
   }
 
-  /** STUB decode for the kinds with no JVM codec (audio/video): a
+  /** Synthesize a deterministic 16-bit mono PCM WAV with `frames` samples at
+    * `sampleRate` Hz (samples from a seeded LCG — content is irrelevant to
+    * the duration oracle but must be reproducible). Hand-rolled RIFF header:
+    * byte-deterministic across JVMs, and javax.sound parses it back.
+    */
+  def synthWav(frames: Int, sampleRate: Int = 1000, seed: Long = 0L): Array[Byte] = {
+    val dataSize = frames * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2)            // block align
+      .putShort(16)           // bits per sample
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var s = seed
+    var i = 0
+    while (i < frames) {
+      s = s * 6364136223846793005L + 1442695040888963407L
+      bb.putShort((s >>> 48).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
+  /** Real audio decode (pure JVM WAV/AIFF/AU via javax.sound.sampled —
+    * ships with the JDK exactly like ImageIO): (frame count, frame rate Hz),
+    * or None for unparseable bytes.
+    */
+  def decodeAudio(bytes: Array[Byte]): Option[(Long, Int)] =
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try Some((in.getFrameLength, in.getFormat.getFrameRate.toInt))
+      finally in.close()
+    } catch { case _: Exception => None }
+
+  /** STUB decode for the one kind with no JVM codec (video): a
     * deterministic record derived from the byte LENGTH only, so the DuckDB
     * oracle can recompute it from `octet_length` without decoding.
     */
@@ -89,9 +129,10 @@ object Multimodal {
 
   /** Distributed decode: batched per-partition iteration (the Scala analogue
     * of a Pandas-UDF `mapInPandas` — bounded memory per batch, no shuffle).
-    * Images go through the REAL javax.imageio decoder (unparseable bytes
-    * surface as width = height = -1 rather than a task failure); other
-    * kinds through the deterministic stub.
+    * Images go through the REAL javax.imageio decoder and audio through the
+    * REAL javax.sound.sampled decoder (unparseable bytes surface as
+    * width/height/duration = -1 rather than a task failure); video through
+    * the deterministic stub (no JVM video codec exists).
     */
   def decode(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -102,11 +143,18 @@ object Multimodal {
       it.grouped(batchSize).flatMap { batch =>
         // a real decoder would amortize codec init across this batch
         batch.iterator.map { r =>
-          if (r.kind == "image") {
-            val (w, h) = decodeImage(r.bytes).getOrElse((-1, -1))
-            MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, w, h, 0L,
-              Array(r.bytes.length.toFloat, w.toFloat, h.toFloat, (w.toLong * h).toFloat))
-          } else decodeStub(r)
+          r.kind match {
+            case "image" =>
+              val (w, h) = decodeImage(r.bytes).getOrElse((-1, -1))
+              MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, w, h, 0L,
+                Array(r.bytes.length.toFloat, w.toFloat, h.toFloat, (w.toLong * h).toFloat))
+            case "audio" =>
+              val (frames, rate) = decodeAudio(r.bytes).getOrElse((-1L, 1))
+              val durMs = if (frames < 0) -1L else frames * 1000L / rate
+              MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, 0, 0, durMs,
+                Array(r.bytes.length.toFloat, frames.toFloat, rate.toFloat, durMs.toFloat))
+            case _ => decodeStub(r)
+          }
         }
       }
     }
@@ -136,9 +184,11 @@ object Multimodal {
 
   /** Build a demo media table from the documents table. Image rows carry
     * REAL synthesized PNGs whose dimensions derive from oracle-computable
-    * document properties (`1 + doc_id mod 64` × `1 + utf8_length mod 64`),
-    * so decoding them is a value-checkable roundtrip; audio/video rows
-    * carry the text bytes as opaque payloads.
+    * document properties (`1 + doc_id mod 64` × `1 + utf8_length mod 64`)
+    * and audio rows carry REAL synthesized 1 kHz WAVs whose frame count is
+    * `1 + (utf8_length * 131) mod 60000` — so decoding either is a
+    * value-checkable roundtrip (at 1 kHz, duration_ms == frames exactly);
+    * video rows carry the text bytes as opaque payloads for the stub.
     */
   def demoMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -155,11 +205,16 @@ object Multimodal {
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
         it.map { r =>
-          if (r.kind == "image") {
-            val w = 1 + (r.media_id % 64).toInt
-            val h = 1 + (r.bytes.length % 64)
-            r.copy(bytes = synthPng(w, h, r.media_id))
-          } else r
+          r.kind match {
+            case "image" =>
+              val w = 1 + (r.media_id % 64).toInt
+              val h = 1 + (r.bytes.length % 64)
+              r.copy(bytes = synthPng(w, h, r.media_id))
+            case "audio" =>
+              val frames = 1 + ((r.bytes.length.toLong * 131) % 60000).toInt
+              r.copy(bytes = synthWav(frames, sampleRate = 1000, seed = r.media_id))
+            case _ => r
+          }
         }
       }
   }

@@ -68,6 +68,34 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(snap(acc) == snap(index(docs)))
   }
 
+  private def psnap(df: DataFrame) = df
+    .select("word", "postings")
+    .orderBy("word")
+    .collect()
+    .map(r => (r.getString(0), r.getSeq[org.apache.spark.sql.Row](1).map(p => (p.getLong(0), p.getSeq[Int](1)))))
+    .toSeq
+
+  test("mergePositional(pos(A), pos(B)) == pos(A union B); phrase search survives merge") {
+    val a = docs.where(col("doc_id") % 2 === 0)
+    val b = docs.where(col("doc_id") % 2 === 1)
+    val merged  = InvertedIndex.mergePositional(
+      InvertedIndex.positionalPostings(a), InvertedIndex.positionalPostings(b))
+    val rebuilt = InvertedIndex.positionalPostings(docs)
+    assert(psnap(merged) == psnap(rebuilt))
+    // the user-visible consequence: phrase queries served from the merged
+    // index equal those served from a from-scratch index
+    val viaMerged  = operators.Search.phraseQueryIndexed(merged, Seq("data", "query")).collect().toSeq
+    val viaRebuilt = operators.Search.phraseQueryIndexed(rebuilt, Seq("data", "query")).collect().toSeq
+    assert(viaMerged == viaRebuilt && viaMerged.nonEmpty)
+  }
+
+  test("removeDocsPositional(pos(A), D) == pos(A minus D)") {
+    val d       = Seq(3L, 7L, 450L)
+    val removed = InvertedIndex.removeDocsPositional(InvertedIndex.positionalPostings(docs), d)
+    val rebuilt = InvertedIndex.positionalPostings(docs.where(!col("doc_id").isin(d: _*)))
+    assert(psnap(removed) == psnap(rebuilt))
+  }
+
   test("removing every doc of a word drops the word") {
     import spark.implicits._
     val tiny = Seq((1L, "unique token"), (2L, "token shared")).toDF("doc_id", "text")

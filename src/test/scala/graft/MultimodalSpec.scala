@@ -3,12 +3,30 @@ package graft
 import graft.operators.Multimodal
 
 /** The multimodal plumbing is real (schema, batching, partition behavior),
-  * and so is the IMAGE codec (javax.imageio over synthesized PNGs); only
-  * audio/video decode is stubbed. These tests pin both.
+  * and so are the IMAGE codec (javax.imageio over synthesized PNGs) and
+  * the AUDIO codec (javax.sound.sampled over synthesized WAVs); only video
+  * decode is stubbed. These tests pin all three.
   */
 class MultimodalSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
+
+  test("WAV synth → distribute → javax.sound decode roundtrip recovers exact frame count") {
+    val bytes = Multimodal.synthWav(frames = 12345, sampleRate = 1000, seed = 7L)
+    assert(bytes.take(4).sameElements("RIFF".getBytes("US-ASCII")), "synthWav must emit a real RIFF header")
+    assert(Multimodal.decodeAudio(bytes).contains((12345L, 1000)))
+    assert(Multimodal.decodeAudio(Array[Byte](1, 2, 3)).isEmpty, "garbage bytes decode to None")
+    // distributed: every audio row's decoded duration matches the synthesis
+    // formula (1 kHz ⇒ duration_ms == frames == 1 + 131·len mod 60000)
+    val media = Multimodal.demoMediaFromDocuments(spark, dir).repartition(4)
+    val srcLen = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "octet_length(encode(text, 'UTF-8')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val audio = Multimodal.decode(media, batchSize = 16).collect().filter(_.kind == "audio")
+    assert(audio.nonEmpty)
+    assert(audio.forall(f => f.duration_ms == 1 + (srcLen(f.media_id).toLong * 131) % 60000),
+      "decoded audio durations must equal the synthesis formula")
+  }
 
   test("PNG synth → distribute → imageio decode roundtrip recovers exact dimensions") {
     val bytes = Multimodal.synthPng(37, 11, seed = 42L)
