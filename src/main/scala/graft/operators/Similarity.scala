@@ -175,12 +175,19 @@ object Similarity {
       vecCol: String = "embedding"): DataFrame = {
     require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least one pair")
     val base = df.select(col(idCol), col(vecCol)).withColumn("nrm", norm(vecCol))
+    // eager checkpoint: the banded relation is read THREE times (bucket
+    // counts + both self-join sides), and each un-materialized read would
+    // re-run every hyperplane projection (tables × planes dot products per
+    // vector — measured 1.6× on q_dedup_embedding). Linear in N, like any
+    // production system's materialized bucket table; on a cluster,
+    // persist-with-spill or `checkpoint` plays the same role.
     val banded = (0 until tables)
       .map { tbl =>
         withLshBucket(base, vecCol, planes, dim, seedOffset = tbl * planes)
           .withColumn("bucket", concat(lit(s"$tbl|"), col("bucket")))
       }
       .reduce(_ unionAll _)
+      .localCheckpoint(true)
     // bucket-size guard: the count aggregate is tiny (one row per bucket)
     // and the semi-join prunes saturated buckets off BOTH sides before any
     // pair materializes
