@@ -455,9 +455,22 @@ object SparkEntry {
     //    connected components → per-doc keeper verdict
     "q_dedup_end2end" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
+      // candidates materialized ONCE (they feed the verify join twice-
+      // removed doc-set restriction AND the verify join itself), and
+      // shingles are recomputed only for DOCS THAT APPEAR IN A CANDIDATE
+      // PAIR — verify work is proportional to the candidate set, never the
+      // corpus (the 100 TB shape; previously all-corpus shingles were
+      // evaluated once per join side)
       val cand = Dedup.minhashCandidates(docs,
         shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096)
-      val sh = TextAnalysis.withShingles(docs, "text", 3, "sh").select(col("doc_id"), col("sh"))
+        .localCheckpoint(true)
+      val candDocs = cand.select(col("doc1").as("doc_id"))
+        .unionAll(cand.select(col("doc2").as("doc_id")))
+        .distinct()
+      val sh = TextAnalysis
+        .withShingles(docs.join(candDocs, Seq("doc_id"), "left_semi"), "text", 3, "sh")
+        .select(col("doc_id"), col("sh"))
+        .localCheckpoint(true)
       val verified = cand
         .join(sh.select(col("doc_id").as("doc1"), col("sh").as("sh1")), Seq("doc1"))
         .join(sh.select(col("doc_id").as("doc2"), col("sh").as("sh2")), Seq("doc2"))
@@ -568,6 +581,20 @@ object SparkEntry {
       Similarity
         .ivfAssign(emb, emb.where(col("vec_id") < 8))
         .orderBy("vec_id")
+    }),
+
+    // -- IVF probe SEARCH: queries probe their 2 max-cosine cells and
+    //    exact-search only those cells' members (centroids / queries /
+    //    corpus are disjoint id ranges)
+    "q_ann_ivf_search" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .ivfSearch(
+          emb.where(col("vec_id") >= 18),
+          emb.where(col("vec_id") < 8),
+          emb.where(col("vec_id").between(8, 17)),
+          k = 5, nprobe = 2)
+        .orderBy("q_id", "rank")
     }),
 
     // -- rollup (grouping sets) over lineitem
@@ -1356,6 +1383,53 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY vec_id ORDER BY floor((cos) * 1e6 + 0.5) / 1e6 DESC, c_id) AS rn
            FROM p) r
          WHERE rn = 1 ORDER BY vec_id""",
+    // probe ranking and routing share the (cos₆ DESC, id ASC) tie-break, so
+    // the mirror uses the identical row_number keys at every stage
+    "q_ann_ivf_search" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+           FROM embeddings),
+         c AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+         q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id >= 8 AND vec_id <= 17),
+         corp AS (SELECT vec_id, embedding AS ev, nrm AS en FROM e WHERE vec_id >= 18),
+         ac AS (
+           SELECT corp.vec_id, c_id,
+                  list_sum(list_transform(range(1, len(ev) + 1),
+                       i -> ev[i]::DOUBLE * cv[i]::DOUBLE)) / (en * cn) AS cos
+           FROM corp CROSS JOIN c),
+         asg AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, c_id AS cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY floor((cos) * 1e6 + 0.5) / 1e6 DESC, c_id) AS rn
+             FROM ac) r
+           WHERE rn = 1),
+         pc AS (
+           SELECT q_id, c_id,
+                  list_sum(list_transform(range(1, len(qv) + 1),
+                       i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) / (qn * cn) AS cos
+           FROM q CROSS JOIN c),
+         probe AS (
+           SELECT q_id, cell FROM (
+             SELECT q_id, c_id AS cell,
+                    row_number() OVER (PARTITION BY q_id ORDER BY floor((cos) * 1e6 + 0.5) / 1e6 DESC, c_id) AS rn
+             FROM pc) r
+           WHERE rn <= 2),
+         cand AS (
+           SELECT p.q_id, corp.vec_id,
+                  list_sum(list_transform(range(1, len(q.qv) + 1),
+                       i -> q.qv[i]::DOUBLE * corp.ev[i]::DOUBLE)) / (q.qn * corp.en) AS cos
+           FROM probe p
+           JOIN asg a ON a.cell = p.cell
+           JOIN corp ON corp.vec_id = a.vec_id
+           JOIN q ON q.q_id = p.q_id
+           WHERE corp.vec_id <> p.q_id)
+         SELECT q_id, vec_id, rank, cos_r FROM (
+           SELECT q_id, vec_id, floor((cos) * 1e4 + 0.5) / 1e4 AS cos_r,
+                  row_number() OVER (PARTITION BY q_id ORDER BY floor((cos) * 1e6 + 0.5) / 1e6 DESC, vec_id) AS rank
+           FROM cand) r
+         WHERE rank <= 5 ORDER BY q_id, rank""",
     "q_rollup" ->
       """SELECT coalesce(l_returnflag, 'ALL') AS rf, coalesce(l_linestatus, 'ALL') AS ls,
                 floor((sum(l_quantity)) * 1e2 + 0.5) / 1e2 AS sum_qty, count(*) AS n

@@ -248,6 +248,69 @@ object Similarity {
           .as("centroid_q"))
   }
 
+  /** IVF probe SEARCH — the query path the IVF index exists for: each query
+    * probes its `nprobe` max-cosine cells and exact-searches ONLY those
+    * cells' members. Returns (q_id, idCol, rank, cos_r) exactly like
+    * [[bruteForceTopK]]; probing every cell (nprobe = |centroids|) is
+    * spec-asserted EQUAL to brute force, smaller nprobe trades recall for
+    * the ~nprobe/|cells| scan fraction (recall spec pins the floor).
+    *
+    * Plan (the 100 TB shape): corpus routing is the map-side `max_by`
+    * argmax with the vectors carried through the aggregate — one shuffle,
+    * one row per vector (in practice routed once per index build and
+    * persisted). The probe assignment is a |Q|×|cells| broadcast cross
+    * join pruned by the same bounded [[graft.plans.CosTopK]] aggregate
+    * (k = nprobe), and the search joins the (tiny, broadcast) probed query
+    * set to cell members on the CELL key — no corpus shuffle, no window
+    * anywhere, partial top-k buffers bounded at k per query.
+    */
+  def ivfSearch(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    require(k >= 1 && nprobe >= 1)
+    def topkAgg(idExpr: Column, n: Int) = GraftBridge.column(
+      graft.plans.CosTopK(
+        GraftBridge.expression(round(col("cos"), 6)),
+        GraftBridge.expression(idExpr.cast("bigint")),
+        GraftBridge.expression(col("cos")), n).toAggregateExpression())
+    val c = centroids.select(col(idCol).as("c_id"), col(vecCol).as("cv")).withColumn("cn", norm("cv"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv")).withColumn("qn", norm("qv"))
+    val e = corpus.select(col(idCol), col(vecCol).as("ev")).withColumn("en", norm("ev"))
+    // routing: argmax cell per vector, vector carried through the agg
+    // (first() over a per-id-constant column is deterministic)
+    val routed = e.crossJoin(broadcast(c))
+      .withColumn("cos", dot(col("ev"), col("cv")) / (col("en") * col("cn")))
+      .groupBy(col(idCol))
+      .agg(
+        max_by(col("c_id"), struct(round(col("cos"), 6).as("k1"), (-col("c_id")).as("k2"))).as("cell"),
+        first(col("ev")).as("ev"),
+        first(col("en")).as("en"))
+    // probe: top-nprobe cells per query, same (cos₆ DESC, id ASC) order as
+    // the routing argmax so assignment and probing can never disagree on ties
+    val probed = q.crossJoin(broadcast(c))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .groupBy(col("q_id")).agg(topkAgg(col("c_id"), nprobe).as("cells"))
+      .select(col("q_id"), explode(col("cells")).as("pc"))
+      .select(col("q_id"), col("pc.id").as("cell"))
+      .join(q, Seq("q_id"))
+    routed.join(broadcast(probed), Seq("cell"))
+      .where(col(idCol) =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("ev")) / (col("qn") * col("en")))
+      .groupBy(col("q_id")).agg(topkAgg(col(idCol), k).as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(
+        col("q_id"),
+        col("col.id").as(idCol),
+        (col("pos") + 1).as("rank"),
+        round(col("col.cos"), 4).as("cos_r"))
+  }
+
   def ivfAssign(
       corpus: DataFrame,
       centroids: DataFrame,

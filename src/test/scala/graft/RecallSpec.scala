@@ -78,6 +78,28 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(recall >= 0.15, s"embedding LSH recall $recall < 0.15 (truth=${truth.size}, lsh=${lsh.size})")
   }
 
+  test("ivfSearch probing every cell IS brute force; nprobe=2 recall pinned") {
+    val corpus = emb.where(col("vec_id") >= 18)
+    val cents  = emb.where(col("vec_id") < 8)
+    val qs     = emb.where(col("vec_id").between(8, 17))
+    val brute = Similarity.bruteForceTopK(corpus, qs, k = 5)
+      .collect().map(_.toString).toSet
+    // exhaustive probing must reduce to exact search — same tie-breaks,
+    // same rounding, row-identical
+    val all = Similarity.ivfSearch(corpus, cents, qs, k = 5, nprobe = 8)
+      .collect().map(_.toString).toSet
+    assert(all == brute, s"nprobe=|cells| diverged from brute force (${all.size} vs ${brute.size})")
+    // partial probing trades recall for the scan fraction; near-random
+    // sf0.01 embeddings are the hardest regime (little cluster structure,
+    // measured ~0.5 at nprobe=2 of 8) — real corpora cluster far better
+    val bruteTop = Similarity.bruteForceTopK(corpus, qs, k = 5)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val probedTop = Similarity.ivfSearch(corpus, cents, qs, k = 5, nprobe = 2)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = bruteTop.count(probedTop.contains).toDouble / bruteTop.size
+    assert(recall >= 0.3, s"ivf nprobe=2 recall $recall < 0.3")
+  }
+
   test("planesFor scales bucket count with corpus size") {
     assert(Similarity.planesFor(1L << 20, 1024) == 10)
     assert(Similarity.planesFor(500, 1024) == 1, "tiny corpora floor at one plane")
