@@ -239,8 +239,13 @@ object Dedup {
     val edges = p
       .unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
       .localCheckpoint(true)
-    var labels = edges.select(col("src").as("doc_id")).distinct()
-      .withColumn("group_id", col("doc_id"))
+    // label₀ = min(v, neighbors(v)) — the first hash-to-min hop folded into
+    // the initialization aggregate itself (one plain shuffle over the
+    // checkpointed edges, no broadcast): every cluster starts one round
+    // further converged, and rounds are the runtime on small graphs
+    var labels = edges.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("__nbr"))
+      .select(col("doc_id"), least(col("doc_id"), col("__nbr")).as("group_id"))
       .localCheckpoint(true)
     // candidate-pair graphs are normally TINY next to the corpus (edges ≈
     // true duplicate density): below the threshold, broadcast the label
