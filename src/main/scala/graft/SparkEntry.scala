@@ -332,6 +332,20 @@ object SparkEntry {
         .orderBy(desc("score"), asc("doc_id"))
     }),
 
+    // -- the same BM25 served FROM the tf-bearing index + doc-length
+    //    sidecar (no corpus re-tokenization on the query path); must equal
+    //    q_search_bm25 exactly (same oracle SQL)
+    "q_search_bm25_indexed" -> ((s, dir) => {
+      val toks = Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))
+      Search
+        .bm25Indexed(
+          InvertedIndex.tfPostings(toks),
+          InvertedIndex.docLengths(toks),
+          Seq("spark", "vector", "window"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
+
     // -- positional phrase search (consecutive tokens), from raw docs
     "q_search_phrase" -> ((s, dir) =>
       Search.phraseQuery(t(s, dir, "documents"), Seq("data", "query"))),
@@ -1090,6 +1104,24 @@ object SparkEntry {
     // (1.0 - 0.75 + 0.75 * dl / avgdl) are written exactly as the Spark
     // side computes them so the doubles match bit for bit
     "q_search_bm25" ->
+      s"""WITH $TokCte,
+          dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+          stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+          tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+                 WHERE word IN ('spark', 'vector', 'window') GROUP BY doc_id, word),
+          dfs AS (SELECT word, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY word)
+          SELECT doc_id,
+                 floor((sum(idf * (tf * (1.2 + 1.0)) /
+                            (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))) * 1e4 + 0.5) / 1e4 AS score
+          FROM (SELECT tf.doc_id, tf.tf, dl.dl, n_docs, avgdl,
+                       ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) AS idf
+                FROM tf JOIN dfs USING (word)
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats) u
+          GROUP BY doc_id ORDER BY score DESC, doc_id""",
+    // identical oracle on purpose: index-served BM25 must equal the
+    // token-stream BM25 bit for bit
+    "q_search_bm25_indexed" ->
       s"""WITH $TokCte,
           dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
           stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),

@@ -92,6 +92,27 @@ object InvertedIndex {
       .groupBy(col("word"))
       .agg(array_sort(collect_list(struct(col(idCol).as("doc_id"), col("positions")))).as("postings"))
 
+  /** TF-bearing postings: word → sorted (doc_id, tf) structs + df — the
+    * index structure RANKED retrieval needs (plain postings lose term
+    * frequency; recomputing tf from raw text at query time defeats the
+    * index). Same two-level aggregation shape as [[positionalPostings]]:
+    * one (word, doc) shuffle, then a map-side regroup per word.
+    */
+  def tfPostings(tokens: DataFrame, idCol: String = "doc_id"): DataFrame =
+    tokens
+      .groupBy(col("word"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("word"))
+      .agg(array_sort(collect_list(struct(col(idCol).as("doc_id"), col("tf")))).as("postings"))
+      .withColumn("df", size(col("postings")))
+
+  /** Per-document token counts — the "norms" sidecar every BM25-serving
+    * index stores next to the postings (one small table, built in the same
+    * pass over the corpus as the index).
+    */
+  def docLengths(tokens: DataFrame, idCol: String = "doc_id"): DataFrame =
+    tokens.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+
   /** Incremental maintenance for the POSITIONAL index (the structure that
     * serves phrase queries — round 2 only maintained the plain postings, so
     * an incrementally-updated index silently lost phrase search). Full

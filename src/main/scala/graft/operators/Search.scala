@@ -127,6 +127,40 @@ object Search {
       .agg(sum(col("w")).as("score"))
   }
 
+  /** BM25 served FROM THE INDEX (tf-bearing postings + doc-length sidecar,
+    * [[InvertedIndex.tfPostings]]/[[InvertedIndex.docLengths]]) instead of
+    * re-tokenizing the corpus: the `word IN` filter prunes the postings
+    * scan to the query terms, each matched posting list explodes to
+    * (doc, tf) rows, and the arithmetic is term-for-term identical to
+    * [[bm25Query]] — the two are oracle-identical by construction, which
+    * is precisely the invariant an index-serving engine owes its users.
+    * Corpus-independent work per query: |terms| posting lists + the
+    * broadcast stats, never the token stream.
+    */
+  def bm25Indexed(
+      tfPostings: DataFrame,
+      docLens: DataFrame,
+      words: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    val terms = cleanedTerms(words)
+    val stats = docLens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = tfPostings
+      .where(col("word").isin(terms: _*))
+      .select(col("word"), col("df").as("df_t"), explode(col("postings")).as("p"))
+      .select(col("word"), col("df_t"), col("p.doc_id").as(idCol), col("p.tf").as("tf"))
+    tf.join(docLens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5) + 1.0))
+      .withColumn("w",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("w")).as("score"))
+  }
+
   /** Positional phrase search: docs where the cleaned terms occur at
     * strictly consecutive token positions. Positions come from
     * `posexplode` over the order-preserving token array, so this needs the

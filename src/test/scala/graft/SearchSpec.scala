@@ -28,6 +28,25 @@ class SearchSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
   }
 
+  test("index-served BM25 equals token-stream BM25 exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = Tokenize.tokens(docs, "text", Seq("doc_id"))
+    val terms = Seq("spark", "vector", "window")
+    // compare at the query surface's 4-dp rounding: the per-term weights
+    // are bit-identical, but sum()'s accumulation ORDER is plan-dependent,
+    // so raw doubles differ in the last ulp between the two plans — the
+    // same reason every score-bearing query rounds before the oracle
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val fromStream = Search.bm25Query(toks, terms)
+      .collect().map(r => (r.getLong(0), r4(r.getDouble(1)))).toMap
+    val fromIndex = Search.bm25Indexed(
+      InvertedIndex.tfPostings(toks),
+      InvertedIndex.docLengths(toks), terms)
+      .collect().map(r => (r.getLong(0), r4(r.getDouble(1)))).toMap
+    assert(fromIndex.nonEmpty)
+    assert(fromIndex == fromStream)
+  }
+
   test("query terms go through the reference tokenizer (case, punctuation)") {
     val got = Search.andQuery(postings, Seq("SPARK!", "jo-ins")).as[Long].collect().toSeq
     assert(got == Seq(2L, 4L))
