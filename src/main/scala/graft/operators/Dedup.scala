@@ -292,7 +292,6 @@ object Dedup {
       labels = next.select("doc_id", "group_id")
       round += 1
     }
-    if (sys.env.contains("GRAFT_DEBUG_ROUNDS")) println(s"DEBUG_ROUNDS $round")
     labels
   }
 
