@@ -357,6 +357,13 @@ object SparkEntry {
         InvertedIndex.positionalPostings(t(s, dir, "documents")),
         Seq("data", "query"))),
 
+    // -- same phrase served from the SHARDED positional index (the scale
+    //    representation; the query path is literally the same operator)
+    "q_search_phrase_indexed_sharded" -> ((s, dir) =>
+      Search.phraseQueryIndexed(
+        InvertedIndex.positionalPostingsSharded(t(s, dir, "documents"), shardWidth = 100L),
+        Seq("data", "query"))),
+
     // -- 26-way partition-key histogram
     "q_letter_stats" -> ((s, dir) => {
       InvertedIndex
@@ -1187,6 +1194,15 @@ object SparkEntry {
           ORDER BY a.doc_id""",
     // identical oracle on purpose: index-served phrase search must agree
     "q_search_phrase_indexed" ->
+      s"""WITH $ToksArrCte,
+          p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS word
+                FROM toks_arr)
+          SELECT DISTINCT a.doc_id FROM p a JOIN p b
+          ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+          WHERE a.word = 'data' AND b.word = 'query'
+          ORDER BY a.doc_id""",
+    // identical again: the sharded positional index serves the same answer
+    "q_search_phrase_indexed_sharded" ->
       s"""WITH $ToksArrCte,
           p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS word
                 FROM toks_arr)

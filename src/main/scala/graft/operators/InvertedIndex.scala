@@ -82,7 +82,9 @@ object InvertedIndex {
     * index structure phrase search needs (the plain index only answers
     * boolean/ranked queries). Positions are 0-based token offsets from the
     * order-preserving token array. One shuffle (word+doc agg), then a
-    * map-side regroup per word.
+    * map-side regroup per word. Hot-key ceiling: a stop word's full
+    * positional list lands in one task/row — at true web scale keep
+    * [[positionalPostingsSharded]] instead (the query path is identical).
     */
   def positionalPostings(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame =
     docs
@@ -96,7 +98,11 @@ object InvertedIndex {
     * index structure RANKED retrieval needs (plain postings lose term
     * frequency; recomputing tf from raw text at query time defeats the
     * index). Same two-level aggregation shape as [[positionalPostings]]:
-    * one (word, doc) shuffle, then a map-side regroup per word.
+    * one (word, doc) shuffle, then a map-side regroup per word — and the
+    * same hot-key ceiling, with the same answer (shard by doc-id range like
+    * [[postingsShardedRaw]] when a word's (doc, tf) list outgrows one row;
+    * [[graft.operators.Search.bm25Indexed]] explodes postings to doc rows,
+    * so it consumes a sharded form unchanged).
     */
   def tfPostings(tokens: DataFrame, idCol: String = "doc_id"): DataFrame =
     tokens
@@ -148,6 +154,29 @@ object InvertedIndex {
         filter(col("postings"), p => !array_contains(gone, p.getField("doc_id"))))
       .where(size(col("postings")) > 0)
   }
+
+  /** Positional postings sharded by doc-id range — [[positionalPostings]]
+    * has the same hot-key ceiling as the plain index (a stop word's
+    * positional lists in ONE aggregation buffer and ONE output row), so the
+    * scale representation shards the word's postings exactly like
+    * [[postingsShardedRaw]]: per-(word, shard) rows bound task state at
+    * `shardWidth` documents' positions. [[graft.operators.Search.phraseQueryIndexed]]
+    * consumes this form UNCHANGED (it explodes postings to docs and never
+    * needs a word's full list in one row) — q_search_phrase_indexed_sharded
+    * pins result-identity with the unsharded query.
+    */
+  def positionalPostingsSharded(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shardWidth: Long = 1000000L): DataFrame =
+    docs
+      .select(col(idCol), posexplode(graft.operators.Tokenize.tokenArray(col(textCol))).as(Seq("pos", "word")))
+      .groupBy(col("word"), col(idCol))
+      .agg(sort_array(collect_list(col("pos"))).as("positions"))
+      .withColumn("shard", (col(idCol) / shardWidth).cast("long"))
+      .groupBy(col("word"), col("shard"))
+      .agg(array_sort(collect_list(struct(col(idCol).as("doc_id"), col("positions")))).as("postings"))
 
   /** Sharded postings, stage 1 — the true 100 TB form: a stop word's posting
     * list at web scale is billions of ids, too big for any single task's

@@ -135,7 +135,10 @@ object Search {
     * [[bm25Query]] — the two are oracle-identical by construction, which
     * is precisely the invariant an index-serving engine owes its users.
     * Corpus-independent work per query: |terms| posting lists + the
-    * broadcast stats, never the token stream.
+    * broadcast stats, never the token stream. The doc-length join is the
+    * one corpus-sized relation on this path — at scale the sidecar should
+    * be bucketed by `idCol` ([[graft.plans.Bucketing]]) so the lookup
+    * co-locates instead of shuffling it per query.
     */
   def bm25Indexed(
       tfPostings: DataFrame,
