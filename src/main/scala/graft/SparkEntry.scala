@@ -408,6 +408,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- corpus-derived unigram log-prob score (LM-quality-filter core):
+    //    mean ln p(token) per doc against the corpus's own unigram model
+    "q_quality_unigram_lp" -> ((s, dir) => {
+      TextAnalysis
+        .unigramLogProbScore(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")))
+        .select(col("doc_id"), col("n_tok"), round(col("mean_lp"), 4).as("mean_lp"))
+        .orderBy("doc_id")
+    }),
+
     // -- heuristic language ID (marker-word argmax)
     "q_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents")).orderBy("doc_id")),
@@ -593,6 +602,17 @@ object SparkEntry {
       Similarity
         .cosineNearDupPairs(t(s, dir, "embeddings"), thr = 0.25, planes = 4, tables = 2,
           maxBucket = 4096)
+        .orderBy("v1", "v2")
+    }),
+
+    // -- multi-probe variant: ONE table, each vector also probes the 4
+    //    buckets one sign-bit away — the cheap-recall lever when a second
+    //    table is too expensive (cap mirrored; singletons kept since they
+    //    can pair through a neighbor's probe)
+    "q_dedup_embedding_probe" -> ((s, dir) => {
+      Similarity
+        .cosineNearDupPairs(t(s, dir, "embeddings"), thr = 0.25, planes = 4, tables = 1,
+          maxBucket = 4096, probes = 4)
         .orderBy("v1", "v2")
     }),
 
@@ -1241,6 +1261,14 @@ object SparkEntry {
                              / len(toks) END AS stop_ratio
             FROM toks_arr) u
           ORDER BY doc_id""",
+    "q_quality_unigram_lp" ->
+      s"""WITH $TokCte,
+          vocab AS (SELECT word, count(*) AS wf FROM tok GROUP BY word),
+          tot AS (SELECT count(*) AS tot FROM tok)
+          SELECT doc_id, count(*) AS n_tok,
+                 floor((avg(ln(wf::DOUBLE / tot::DOUBLE))) * 1e4 + 0.5) / 1e4 AS mean_lp
+          FROM tok JOIN vocab USING (word) CROSS JOIN tot
+          GROUP BY doc_id ORDER BY doc_id""",
     "q_lang_id" ->
       s"""WITH $TokCte,
           hits AS (
@@ -1431,6 +1459,26 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY vec_id ORDER BY floor((cos) * 1e6 + 0.5) / 1e6 DESC, c_id) AS rn
            FROM p) r
          WHERE rn = 1 ORDER BY vec_id""",
+    // single-table multi-probe mirror: kept-origin members (cap, singletons
+    // allowed) probe their own bucket + the 4 one-bit flips
+    "q_dedup_embedding_probe" ->
+      s"""WITH b AS (SELECT vec_id, (${lshBucketExpr(4, 0)})::BIGINT AS bkt FROM embeddings),
+          keep AS (SELECT bkt FROM b GROUP BY bkt HAVING count(*) BETWEEN 1 AND 4096),
+          bk AS (SELECT vec_id, b.bkt FROM b JOIN keep USING (bkt)),
+          pr AS (SELECT vec_id, unnest([bkt, xor(bkt, 1), xor(bkt, 2), xor(bkt, 4), xor(bkt, 8)]) AS pbkt
+                 FROM bk),
+          e AS (SELECT vec_id, embedding,
+                       sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                            i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+                FROM embeddings)
+          SELECT DISTINCT v1, v2, floor((cos) * 1e4 + 0.5) / 1e4 AS cos_r FROM (
+            SELECT a.vec_id AS v1, p.vec_id AS v2,
+                   list_sum(list_transform(range(1, len(ea.embedding) + 1),
+                        i -> ea.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE)) / (ea.nrm * ec.nrm) AS cos
+            FROM bk a JOIN pr p ON p.pbkt = a.bkt AND a.vec_id < p.vec_id
+            JOIN e ea ON ea.vec_id = a.vec_id
+            JOIN e ec ON ec.vec_id = p.vec_id) u
+          WHERE cos >= 0.25 ORDER BY v1, v2""",
     // probe ranking and routing share the (cos₆ DESC, id ASC) tie-break, so
     // the mirror uses the identical row_number keys at every stage
     "q_ann_ivf_search" ->

@@ -58,6 +58,31 @@ object TextAnalysis {
       .drop("__toks")
   }
 
+  /** Corpus-derived unigram log-probability score — the SQL-expressible
+    * core of the LM-based quality filters (CCNet-style perplexity): build
+    * the unigram distribution FROM the corpus itself (one token-count
+    * aggregate), then score each document by the mean ln p(token) —
+    * rare/garbage vocabulary drags the mean down, boilerplate common-word
+    * soup pulls it up; both tails get filtered. Returns
+    * (idCol, n_tok, mean_lp); callers round mean_lp for the oracle.
+    *
+    * Scale: two corpus aggregates (vocab, total) + one join on `word` —
+    * Spark picks broadcast vs shuffle by vocab size (no hint: a web-scale
+    * vocabulary outgrows a broadcast), and the per-doc mean is a partial
+    * aggregate. p = wf/total is a ratio of exact integers, so the doubles
+    * are engine-reproducible up to summation order (4-dp rounding).
+    */
+  def unigramLogProbScore(tokens: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val vocab = tokens.groupBy(col("word")).agg(count(lit(1)).as("wf"))
+    val total = tokens.agg(count(lit(1)).as("tot"))
+    tokens
+      .join(vocab, Seq("word"))
+      .crossJoin(broadcast(total))
+      .withColumn("lp", log(col("wf").cast("double") / col("tot").cast("double")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_tok"), avg(col("lp")).as("mean_lp"))
+  }
+
   /** Disjoint per-language marker words for the n-gram language-ID heuristic. */
   val LangMarkers: Map[String, Seq[String]] = Map(
     "en" -> Seq("the", "and", "is", "of"),

@@ -161,8 +161,13 @@ object Similarity {
     *
     * Like all LSH methods this trades recall for scale: pairs split across
     * buckets in EVERY table are not compared. Recall ≈ 1-(1-(1-θ/π)^planes)^tables
-    * — raise it with more tables (linear cost) or fewer planes (quadratic
-    * in-bucket cost); SimilarityRecallSpec pins the measured floor.
+    * — raise it with more tables (linear cost), fewer planes (quadratic
+    * in-bucket cost), or MULTI-PROBE (`probes` > 0): the probe side also
+    * visits the `probes` buckets at sign-pattern hamming distance 1 (one
+    * plane bit flipped), recovering near-miss pairs for a (probes+1)×
+    * expansion of the SMALL join side only — the classic cheap-recall
+    * lever when another full table is too expensive.
+    * SimilarityRecallSpec pins the measured floors.
     */
   def cosineNearDupPairs(
       df: DataFrame,
@@ -171,9 +176,11 @@ object Similarity {
       tables: Int = 2,
       dim: Int = 64,
       maxBucket: Int = 1 << 12,
+      probes: Int = 0,
       idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least one pair")
+    require(probes >= 0 && probes <= planes, s"probes ($probes) must be in [0, planes]")
     val base = df.select(col(idCol), col(vecCol)).withColumn("nrm", norm(vecCol))
     // eager checkpoint: the banded relation is read THREE times (bucket
     // counts + both self-join sides), and each un-materialized read would
@@ -184,22 +191,30 @@ object Similarity {
     val banded = (0 until tables)
       .map { tbl =>
         withLshBucket(base, vecCol, planes, dim, seedOffset = tbl * planes)
-          .withColumn("bucket", concat(lit(s"$tbl|"), col("bucket")))
+          .withColumn("tbl", lit(tbl))
       }
       .reduce(_ unionAll _)
       .localCheckpoint(true)
     // bucket-size guard: the count aggregate is tiny (one row per bucket)
-    // and the semi-join prunes saturated buckets off BOTH sides before any
-    // pair materializes
+    // and the semi-join prunes saturated-ORIGIN vectors off both sides
+    // before any pair materializes. With probing, singleton buckets stay
+    // (their member can still pair through a neighbor's probe).
     val keep = banded
-      .groupBy(col("bucket"))
+      .groupBy(col("tbl"), col("bucket"))
       .agg(count(lit(1)).as("__bn"))
-      .where(col("__bn").between(2, maxBucket))
-      .select(col("bucket"))
-    val pruned = banded.join(keep, Seq("bucket"), "left_semi")
-    val a = pruned.select(col(idCol).as("v1"), col(vecCol).as("va"), col("nrm").as("na"), col("bucket"))
-    val b = pruned.select(col(idCol).as("v2"), col(vecCol).as("vb"), col("nrm").as("nb"), col("bucket"))
-    a.join(b, Seq("bucket"))
+      .where(col("__bn").between(if (probes == 0) 2 else 1, maxBucket))
+      .select(col("tbl"), col("bucket"))
+    val pruned = banded.join(keep, Seq("tbl", "bucket"), "left_semi")
+    val a = pruned.select(col("tbl"), col("bucket"),
+      col(idCol).as("v1"), col(vecCol).as("va"), col("nrm").as("na"))
+    // probe keys: the true bucket plus `probes` single-bit flips. A pair in
+    // buckets one flip apart appears in both orderings (each side probes
+    // the other's bucket), so the v1 < v2 filter still emits it exactly once.
+    val probeKeys = array(
+      (col("bucket") +: (0 until probes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*)
+    val b = pruned.select(col("tbl"), explode(probeKeys).as("bucket"),
+      col(idCol).as("v2"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    a.join(b, Seq("tbl", "bucket"))
       .where(col("v1") < col("v2"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= thr)

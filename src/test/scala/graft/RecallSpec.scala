@@ -100,6 +100,28 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(recall >= 0.3, s"ivf nprobe=2 recall $recall < 0.3")
   }
 
+  test("multi-probe raises single-table recall over plain single-table") {
+    import spark.implicits._
+    val e = emb.select(col("vec_id"), col("embedding"))
+      .withColumn("nrm", Similarity.norm("embedding"))
+    val truth = e.as("a")
+      .join(e.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .where(
+        Similarity.dot(col("a.embedding"), col("b.embedding")) / (col("a.nrm") * col("b.nrm")) >= 0.25)
+      .select(col("a.vec_id"), col("b.vec_id"))
+      .as[(Long, Long)].collect().toSet
+    def recallOf(probes: Int): Double = {
+      val got = Similarity
+        .cosineNearDupPairs(emb, thr = 0.25, planes = 4, tables = 1, probes = probes)
+        .select("v1", "v2").as[(Long, Long)].collect().toSet
+      truth.count(got.contains).toDouble / truth.size
+    }
+    val plain  = recallOf(0)
+    val probed = recallOf(4)
+    assert(probed > plain, s"multi-probe recall $probed must beat plain $plain")
+    assert(probed >= 0.4, s"4-probe single-table recall $probed < 0.4 (plain measured ~0.12)")
+  }
+
   test("planesFor scales bucket count with corpus size") {
     assert(Similarity.planesFor(1L << 20, 1024) == 10)
     assert(Similarity.planesFor(500, 1024) == 1, "tiny corpora floor at one plane")
