@@ -480,6 +480,17 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- deterministic resampling WITH REPLACEMENT (temperature/mixture
+    //    weighting): en down-weighted 0.5, zh up-weighted 2.5, rest 1.0;
+    //    fractional copies decided by the same md5 hash as sampling
+    "q_sample_resample" -> ((s, dir) => {
+      Sampling
+        .resampleByWeight(t(s, dir, "documents"), "lang", "doc_id",
+          weights = Map("en" -> 0.5, "zh" -> 2.5), defaultWeight = 1.0)
+        .select(col("doc_id"), col("lang"), col("copy"))
+        .orderBy("doc_id", "copy")
+    }),
+
     // -- the full dedup pipeline in one query: LSH candidates → exact
     //    jaccard≥0.5 verify (candidate pairs only, never all-pairs) →
     //    connected components → per-doc keeper verdict
@@ -1338,6 +1349,18 @@ object SparkEntry {
                      WHEN lang = 'zh' THEN ${Sampling.threshold(0.8)}
                      ELSE ${Sampling.threshold(0.5)} END
           ORDER BY doc_id""",
+    // same md5-threshold draw as the Spark side; range(0, n) is 0-based
+    "q_sample_resample" ->
+      """SELECT doc_id, lang, unnest(range(0, n))::BIGINT AS copy FROM (
+           SELECT doc_id, lang,
+                  floor(w)::BIGINT +
+                  CASE WHEN ('0x' || substr(md5('resample:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                            < (w - floor(w)) * 4294967296.0 THEN 1 ELSE 0 END AS n
+           FROM (SELECT doc_id, lang,
+                        CASE WHEN lang = 'en' THEN 0.5
+                             WHEN lang = 'zh' THEN 2.5 ELSE 1.0 END AS w
+                 FROM documents) t) u
+         WHERE n > 0 ORDER BY doc_id, copy""",
     // verified pairs gate the closure; docs in no verified pair keep
     // themselves
     "q_dedup_end2end" ->

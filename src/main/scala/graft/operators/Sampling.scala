@@ -35,6 +35,38 @@ object Sampling {
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double, salt: String = "sample"): DataFrame =
     df.where(sampleHash(col(idCol), salt) < lit(threshold(fraction)))
 
+  /** Deterministic resampling WITH REPLACEMENT: each row is emitted
+    * `floor(weight)` times, plus once more with probability
+    * `frac(weight)` — decided by the same md5 hash, so reruns and the
+    * DuckDB oracle draw identical copies. This is the temperature-/
+    * mixture-weighting op of training pipelines (up-sample rare languages
+    * at weight > 1, down-sample dominant ones at weight < 1); the emitted
+    * `copy` index (0-based) keeps resampled rows distinct downstream.
+    * Map-side only: a generator over a literal-bounded sequence, no
+    * shuffle, and expected output = Σ weight(stratum)·|stratum| exactly.
+    */
+  def resampleByWeight(
+      df: DataFrame,
+      stratumCol: String,
+      idCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0,
+      salt: String = "resample"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ >= 0.0), "weights must be >= 0")
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(col(stratumCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    val copies = floor(w).cast("long") +
+      when(sampleHash(col(idCol), salt) < (w - floor(w)) * 4294967296.0, 1L).otherwise(0L)
+    df.withColumn("__n", copies)
+      .where(col("__n") > 0)
+      // explode_outer: the sequence is never empty after the filter, and
+      // plain explode would re-evaluate the copy-count expression inside a
+      // pushed-down size()>0 filter (InferFiltersFromGenerate)
+      .withColumn("copy", explode_outer(sequence(lit(0L), col("__n") - 1)))
+      .drop("__n")
+  }
+
   /** Stratified deterministic sample: a different keep-fraction per value
     * of `stratumCol` (e.g. up-sample rare languages, down-sample dominant
     * ones). Strata absent from `fractions` fall back to `defaultFraction`.

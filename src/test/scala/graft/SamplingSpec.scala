@@ -23,6 +23,26 @@ class SamplingSpec extends SparkSpec {
     assert(math.abs(s1.size / n - 0.25) < 0.1, s"rate ${s1.size / n} far from 0.25")
   }
 
+  test("resampling with replacement: rerun-identical, expected copies per stratum") {
+    import spark.implicits._
+    val r = Sampling.resampleByWeight(docs, "lang", "doc_id",
+      weights = Map("en" -> 0.5, "zh" -> 2.5), defaultWeight = 1.0)
+    val rows  = r.select("doc_id", "copy").as[(Long, Long)].collect().toSeq.sorted
+    val again = Sampling.resampleByWeight(docs, "lang", "doc_id",
+      weights = Map("en" -> 0.5, "zh" -> 2.5), defaultWeight = 1.0)
+      .select("doc_id", "copy").as[(Long, Long)].collect().toSeq.sorted
+    assert(rows == again, "resampling must be rerun-identical")
+    // weight >= 1 keeps every row at least once; copy indexes are dense 0..n-1
+    val zh = docs.where(col("lang") === "zh").count()
+    val zhCopies = r.where(col("lang") === "zh").count()
+    assert(zhCopies >= 2 * zh && zhCopies <= 3 * zh, s"zh at weight 2.5: got $zhCopies copies of $zh docs")
+    val en = docs.where(col("lang") === "en").count().toDouble
+    val enCopies = r.where(col("lang") === "en").count().toDouble
+    assert(math.abs(enCopies / en - 0.5) < 0.15, s"en at weight 0.5: rate ${enCopies / en}")
+    val perDoc = r.groupBy("doc_id").agg(count(lit(1)).as("n"), max(col("copy")).as("mx")).collect()
+    assert(perDoc.forall(row => row.getLong(2) == row.getLong(1) - 1), "copy must be dense 0..n-1")
+  }
+
   test("stratified sample applies per-stratum rates; plan is a pure scan filter") {
     val sampled = Sampling.stratifiedSample(docs, "lang", "doc_id",
       fractions = Map("en" -> 0.1, "zh" -> 0.9), defaultFraction = 0.5)
