@@ -555,6 +555,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- pack manifests: member doc ids + token totals per (lang, pack) —
+    //    the output the batch writer consumes
+    "q_pack_contents" -> ((s, dir) => {
+      operators.Packing
+        .packContents(operators.Packing.packByOffset(t(s, dir, "documents"), budget = 2048))
+        .select(
+          col("lang"), col("pack_id"),
+          array_join(col("doc_ids"), " ").as("doc_ids_str"),
+          col("pack_tokens"), col("n_docs"))
+        .orderBy("lang", "pack_id")
+    }),
+
     // -- one k-means (Lloyd) update: assign to max-cosine centroid, then
     //    element-wise member mean per cell (quantized x10^4 per dim)
     "q_kmeans_update" -> ((s, dir) => {
@@ -1183,6 +1195,17 @@ object SparkEntry {
                         len(regexp_split_to_array(text, '\s+'))::BIGINT AS n_tok
                  FROM documents) t) u
          ORDER BY doc_id""",
+    "q_pack_contents" ->
+      """SELECT lang, pack_id, array_to_string(list(doc_id ORDER BY doc_id), ' ') AS doc_ids_str,
+                sum(n_tok)::BIGINT AS pack_tokens, count(*) AS n_docs
+         FROM (
+           SELECT doc_id, lang, n_tok, floor(start_off / 2048)::BIGINT AS pack_id FROM (
+             SELECT doc_id, lang, n_tok,
+                    sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok AS start_off
+             FROM (SELECT doc_id, lang,
+                          len(regexp_split_to_array(text, '\s+'))::BIGINT AS n_tok
+                   FROM documents) t) u) p
+         GROUP BY lang, pack_id ORDER BY lang, pack_id""",
     // assignment identical to q_ann_ivf's; per-dimension means quantized to
     // integers (x10^4) so no float formatting crosses the engine boundary
     "q_kmeans_update" ->

@@ -70,4 +70,19 @@ object Packing {
       .withColumn("pack_id", floor(col("start_off") / budget).cast("bigint"))
       .select(col(idCol), col(shardCol), col("n_tok"), col("pack_id"))
   }
+
+  /** Pack MANIFESTS from a [[packByOffset]] assignment: one row per
+    * (shard, pack) with the member doc ids in concatenation order and the
+    * pack's token total — what the downstream batch writer actually
+    * consumes. One aggregation keyed by (shard, pack_id); a pack holds at
+    * most `budget` tokens' worth of docs (+1 boundary doc), so per-group
+    * state is budget-bounded regardless of corpus size.
+    */
+  def packContents(packed: DataFrame, idCol: String = "doc_id", shardCol: String = "lang"): DataFrame =
+    packed
+      .groupBy(col(shardCol), col("pack_id"))
+      .agg(
+        sort_array(collect_list(col(idCol))).as("doc_ids"),
+        sum(col("n_tok")).as("pack_tokens"),
+        count(lit(1)).as("n_docs"))
 }

@@ -86,6 +86,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(!plan.contains("Generate explode(sequence"), s"bit explode must be gone:\n$plan")
   }
 
+  test("simhash pairs: banded stream shuffled once, cap before in-bucket expansion, no self-join") {
+    val sigs = graft.operators.Dedup.simhash(Tokenize.tokens(docs, "text", Seq("doc_id")), bits = 60)
+    val pairs = graft.operators.Dedup.simhashPairs(sigs, maxDist = 3, bands = 6, sigBits = 60, maxBucket = 4096)
+    val plan = pairs.queryExecution.executedPlan.toString
+    // shuffles: simhash's two + bucket agg + final distinct = 4; the round-2
+    // self-join form shuffled the banded stream into BOTH join sides
+    assert(exchanges(pairs) == 4, s"simhash pairs should shuffle 4x total:\n$plan")
+    assert(!plan.contains("Join"), s"pair expansion must be in-bucket, not a join:\n$plan")
+    val genIdx    = plan.indexOf("Generate explode(flatten")
+    val filterIdx = plan.indexOf("size(members")
+    assert(genIdx >= 0 && filterIdx > genIdx,
+      s"expected explode(pairs) above the members size-cap filter:\n$plan")
+  }
+
+  test("index-served BM25 prunes the token stream to the query terms below the aggregates") {
+    val toks = Tokenize.tokens(docs, "text", Seq("doc_id"))
+    val bm = graft.operators.Search.bm25Indexed(
+      InvertedIndex.tfPostings(toks), InvertedIndex.docLengths(toks), Seq("spark", "vector"))
+    val plan = bm.queryExecution.executedPlan.toString
+    // Catalyst must push the word IN (...) filter below BOTH tf-postings
+    // aggregates into the term-pruned token stream scan side
+    val aggIdx = plan.lastIndexOf("HashAggregate")
+    assert(plan.contains("graft_clean_token") && aggIdx >= 0, s"unexpected plan:\n$plan")
+    val inIdx = plan.indexOf(" IN (spark,vector)")
+    assert(inIdx > 0, s"word IN filter must appear in the plan:\n$plan")
+  }
+
   test("bucketed range join plans as a hash equi-join, never a nested loop") {
     val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
       .select(col("o_orderkey"), col("o_totalprice"))
