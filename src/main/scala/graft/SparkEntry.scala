@@ -373,6 +373,17 @@ object SparkEntry {
         .orderBy("letter")
     }),
 
+    // -- skew-salted aggregation through the declared 100 TB skew lever:
+    //    word frequencies via (word, salt) partial counts + tiny roll-up —
+    //    result must equal the plain groupBy count exactly
+    "q_token_freq_salted" -> ((s, dir) => {
+      graft.plans.Salting
+        .saltedCount(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")),
+          "word", "doc_id", salts = 8)
+        .orderBy("word")
+    }),
+
     // ============================== training-data pipeline: text analysis
 
     // -- exact dedup on content hash
@@ -637,6 +648,22 @@ object SparkEntry {
         .cosineNearDupPairs(t(s, dir, "embeddings"), thr = 0.25, planes = 4, tables = 1,
           maxBucket = 4096, probes = 4)
         .orderBy("v1", "v2")
+    }),
+
+    // -- product-quantization encode: 4 subspaces of 16 dims, codebooks =
+    //    the vec_id<8 embeddings sliced per subspace (IVF-PQ's compression
+    //    half; 64 floats -> 4 code ids)
+    "q_ann_pq_encode" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val codebooks = (0 until 4)
+        .map(sub => emb.where(col("vec_id") < 8).select(
+          lit(sub).as("sub"),
+          col("vec_id").as("code_id"),
+          slice(col("embedding"), sub * 16 + 1, 16).as("cw")))
+        .reduce(_ unionAll _)
+      Similarity
+        .pqEncode(emb, codebooks, m = 4, subDim = 16)
+        .orderBy("vec_id")
     }),
 
     // -- IVF cell assignment: vec_id<8 embeddings act as the trained centroids
@@ -1270,6 +1297,11 @@ object SparkEntry {
                 FROM tok GROUP BY word)
           SELECT letter, count(*) AS n_words, sum(df)::BIGINT AS sum_df
           FROM p GROUP BY letter ORDER BY letter""",
+    // the salted two-stage aggregate must be indistinguishable from the
+    // plain one — the oracle IS the plain count
+    "q_token_freq_salted" ->
+      s"""WITH $TokCte
+          SELECT word, count(*) AS n FROM tok GROUP BY word ORDER BY word""",
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY text ORDER BY keep_id""",
@@ -1505,6 +1537,30 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY vec_id ORDER BY floor((cos) * 1e6 + 0.5) / 1e6 DESC, c_id) AS rn
            FROM p) r
          WHERE rn = 1 ORDER BY vec_id""",
+    // L2 argmin per (vector, subspace) with the same portable rounding and
+    // code-ASC tie-break; ||x-c||^2 expanded as x·x - 2x·c + c·c exactly
+    // like the Spark expression
+    "q_ann_pq_encode" ->
+      """WITH sp AS (SELECT unnest(range(0, 4)) AS sub),
+          cb AS (SELECT sub, vec_id AS code_id,
+                        list_slice(embedding, sub * 16 + 1, sub * 16 + 16) AS cw
+                 FROM embeddings CROSS JOIN sp WHERE vec_id < 8),
+          sv AS (SELECT vec_id, sub,
+                        list_slice(embedding, sub * 16 + 1, sub * 16 + 16) AS sv
+                 FROM embeddings CROSS JOIN sp),
+          d AS (SELECT sv.vec_id, sv.sub, cb.code_id,
+                       list_sum(list_transform(range(1, 17), i -> sv.sv[i]::DOUBLE * sv.sv[i]::DOUBLE))
+                       - 2.0 * list_sum(list_transform(range(1, 17), i -> sv.sv[i]::DOUBLE * cb.cw[i]::DOUBLE))
+                       + list_sum(list_transform(range(1, 17), i -> cb.cw[i]::DOUBLE * cb.cw[i]::DOUBLE)) AS dist
+                FROM sv JOIN cb ON cb.sub = sv.sub),
+          enc AS (SELECT vec_id, sub, code_id FROM (
+                    SELECT vec_id, sub, code_id,
+                           row_number() OVER (PARTITION BY vec_id, sub
+                                              ORDER BY floor((dist) * 1e6 + 0.5) / 1e6, code_id) AS rn
+                    FROM d) r
+                  WHERE rn = 1)
+          SELECT vec_id, array_to_string(list(code_id ORDER BY sub), ' ') AS codes_str
+          FROM enc GROUP BY vec_id ORDER BY vec_id""",
     // single-table multi-probe mirror: kept-origin members (cap, singletons
     // allowed) probe their own bucket + the 4 one-bit flips
     "q_dedup_embedding_probe" ->

@@ -326,6 +326,44 @@ object Similarity {
         round(col("col.cos"), 4).as("cos_r"))
   }
 
+  /** Product-quantization ENCODING — the memory-compression half of
+    * IVF-PQ: the vector splits into `m` contiguous `subDim`-wide
+    * subvectors, each replaced by the id of its nearest (L2) codeword in
+    * that subspace's codebook. 64 floats become m small ints; ANN then
+    * scans codes instead of vectors. `codebooks` is (sub, code_id, cw) —
+    * m×k rows, broadcast.
+    *
+    * Portability: ‖x−c‖² is computed as x·x − 2(x·c) + c·c with the
+    * codegen'd left-fold [[dot]], so DuckDB reproduces the doubles; the
+    * argmin is the same bounded `max_by` partial-aggregate shape as
+    * [[ivfAssign]] (key: −dist₆ with code ASC tie-break) — one shuffle of
+    * (id, sub, code) rows, one map-side regroup, no window.
+    */
+  def pqEncode(
+      corpus: DataFrame,
+      codebooks: DataFrame,
+      m: Int,
+      subDim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(m >= 1 && subDim >= 1)
+    val subs = corpus.select(
+      col(idCol),
+      posexplode(array((0 until m).map(s => slice(col(vecCol), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "sv")))
+    subs.join(broadcast(codebooks), Seq("sub"))
+      .withColumn("dist",
+        dot(col("sv"), col("sv")) - lit(2.0) * dot(col("sv"), col("cw")) + dot(col("cw"), col("cw")))
+      .groupBy(col(idCol), col("sub"))
+      .agg(max_by(
+        col("code_id"),
+        struct((-round(col("dist"), 6)).as("k1"), (-col("code_id")).as("k2"))).as("code"))
+      .groupBy(col(idCol))
+      .agg(array_join(
+        array_sort(collect_list(struct(col("sub"), col("code")))).getField("code"), " ")
+        .as("codes_str"))
+  }
+
   def ivfAssign(
       corpus: DataFrame,
       centroids: DataFrame,
