@@ -137,6 +137,37 @@ object SparkEntry {
         .orderBy("o_custkey", "cum_n")
     }),
 
+    // -- window-function breadth: lead/lag/ntile/percent_rank in one pass
+    //    (unique (date, key) order makes every value deterministic)
+    "q_window_funcs" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(asc("o_orderdate"), asc("o_orderkey"))
+      t(s, dir, "orders")
+        .where(col("o_custkey") < 100)
+        .select(
+          col("o_custkey"),
+          col("o_orderkey"),
+          lag(col("o_orderkey"), 1).over(w).as("prev_key"),
+          lead(col("o_orderkey"), 1).over(w).as("next_key"),
+          ntile(4).over(w).as("quartile"),
+          round(percent_rank().over(w), 6).as("pr"))
+        .orderBy("o_custkey", "o_orderkey")
+    }),
+
+    // -- fuzzy string matching: near-identical document heads by edit
+    //    distance (levenshtein agrees across engines; the deliberate
+    //    broadcast cross join is over a 60-row slice, like the query sets)
+    "q_fuzzy_title" -> ((s, dir) => {
+      val heads = t(s, dir, "documents")
+        .where(col("doc_id") < 60)
+        .select(col("doc_id"), substring(col("text"), 1, 24).as("head"))
+      heads.as("a")
+        .join(heads.as("b"), col("a.doc_id") < col("b.doc_id"))
+        .withColumn("lev", levenshtein(col("a.head"), col("b.head")))
+        .where(col("lev") <= 12)
+        .select(col("a.doc_id").as("doc1"), col("b.doc_id").as("doc2"), col("lev"))
+        .orderBy("doc1", "doc2")
+    }),
+
     // -- anti join: customers with no high-value (>450k) order
     "q_anti_customers" -> ((s, dir) => {
       val c = t(s, dir, "customer")
@@ -209,6 +240,23 @@ object SparkEntry {
     "q_index_remove" -> ((s, dir) => {
       InvertedIndex
         .removeDocs(Engine.indexFromTable(t(s, dir, "documents")), (1L to 40L))
+        .select(
+          col("word"),
+          array_join(col("doc_ids"), " ").as("doc_ids_str"),
+          col("df"))
+        .orderBy("word")
+    }),
+
+    // -- UPSERT invariant: re-ingesting docs 1-40 with changed text must
+    //    equal indexing the modified corpus from scratch (stale tokens
+    //    gone, fresh tokens in); delete goes through the DISTRIBUTED
+    //    large-set path (anti-join), not broadcast literals
+    "q_index_upsert" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val changed = docs.where(col("doc_id").between(1, 40))
+        .withColumn("text", concat(col("text"), lit(" refreshed contentx")))
+      InvertedIndex
+        .upsertDocs(Engine.indexFromTable(docs), changed)
         .select(
           col("word"),
           array_join(col("doc_ids"), " ").as("doc_ids_str"),
@@ -1097,6 +1145,36 @@ object SparkEntry {
           SELECT word, array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS doc_ids_str,
                  count(DISTINCT doc_id) AS df
           FROM tok GROUP BY word ORDER BY word""",
+    // upsert invariant: the oracle indexes the MODIFIED corpus from scratch
+    "q_index_upsert" ->
+      """WITH tok AS (
+           SELECT doc_id, w AS word FROM (
+             SELECT doc_id,
+                    regexp_replace(lower(unnest(regexp_split_to_array(
+                      CASE WHEN doc_id BETWEEN 1 AND 40
+                           THEN text || ' refreshed contentx' ELSE text END, '\s+'))),
+                      '[^a-z]', '', 'g') AS w
+             FROM documents) u
+           WHERE w <> '')
+          SELECT word, array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS doc_ids_str,
+                 count(DISTINCT doc_id) AS df
+          FROM tok GROUP BY word ORDER BY word""",
+    "q_window_funcs" ->
+      """SELECT o_custkey, o_orderkey,
+                lag(o_orderkey, 1) OVER w AS prev_key,
+                lead(o_orderkey, 1) OVER w AS next_key,
+                ntile(4) OVER w AS quartile,
+                floor((percent_rank() OVER w) * 1e6 + 0.5) / 1e6 AS pr
+         FROM orders WHERE o_custkey < 100
+         WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+         ORDER BY o_custkey, o_orderkey""",
+    "q_fuzzy_title" ->
+      """WITH h AS (SELECT doc_id, substr(text, 1, 24) AS head FROM documents WHERE doc_id < 60)
+         SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                levenshtein(a.head, b.head)::INTEGER AS lev
+         FROM h a JOIN h b ON a.doc_id < b.doc_id
+         WHERE levenshtein(a.head, b.head) <= 12
+         ORDER BY doc1, doc2""",
     // positional merge invariant: the oracle IS the whole-corpus positional
     // index (0-based token offsets, ascending)
     "q_index_merge_pos" ->

@@ -94,6 +94,37 @@ object InvertedIndex {
       .groupBy(col("word"))
       .agg(array_sort(collect_list(struct(col(idCol).as("doc_id"), col("positions")))).as("postings"))
 
+  /** Distributed document deletion for LARGE delete sets: [[removeDocs]]
+    * ships the ids as broadcast literals (right for a handful), but a
+    * bulk redaction (a licensing takedown, a spam domain) can delete
+    * millions — explode the posting lists, anti-join the delete relation
+    * on the DISTRIBUTED id key, and re-aggregate. One index-sized shuffle,
+    * no driver-side id list.
+    */
+  def removeDocsLarge(postings: DataFrame, gone: DataFrame, idCol: String = "doc_id"): DataFrame =
+    postings
+      .select(col("word"), explode_outer(col("doc_ids")).as(idCol))
+      .join(gone.select(col(idCol)), Seq(idCol), "left_anti")
+      .groupBy(col("word"))
+      .agg(sort_array(collect_set(col(idCol))).as("doc_ids"))
+      .withColumn("df", size(col("doc_ids")))
+      .withColumn("letter", substring(col("word"), 1, 1))
+
+  /** UPSERT: re-ingest changed documents — delete every posting of the
+    * incoming doc ids ([[removeDocsLarge]], so stale tokens vanish), then
+    * merge the fresh per-batch index in. The composition every
+    * incremental indexer runs on updates.
+    * Invariant (oracle): upsert(index(A), B) == index((A \ ids(B)) ∪ B).
+    */
+  def upsertDocs(
+      index: DataFrame,
+      newDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    mergeIndexes(
+      removeDocsLarge(index, newDocs.select(col(idCol)), idCol),
+      graft.Engine.indexFromTable(newDocs, textCol, idCol))
+
   /** TF-bearing postings: word → sorted (doc_id, tf) structs + df — the
     * index structure RANKED retrieval needs (plain postings lose term
     * frequency; recomputing tf from raw text at query time defeats the

@@ -96,6 +96,22 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(psnap(removed) == psnap(rebuilt))
   }
 
+  test("distributed large-set deletion equals the broadcast-literal path") {
+    import spark.implicits._
+    val d = Seq(3L, 7L, 450L)
+    val viaLiterals = InvertedIndex.removeDocs(index(docs), d)
+    val viaAntiJoin = InvertedIndex.removeDocsLarge(index(docs), d.toDF("doc_id"))
+    assert(snap(viaAntiJoin) == snap(viaLiterals))
+  }
+
+  test("upsert(index(A), B) == index(A with B's docs replaced)") {
+    val changed = docs.where(col("doc_id") < 100)
+      .withColumn("text", concat(col("text"), lit(" fresh tokenz")))
+    val upserted = InvertedIndex.upsertDocs(index(docs), changed)
+    val rebuilt  = index(docs.where(col("doc_id") >= 100).unionByName(changed))
+    assert(snap(upserted) == snap(rebuilt))
+  }
+
   test("removing every doc of a word drops the word") {
     import spark.implicits._
     val tiny = Seq((1L, "unique token"), (2L, "token shared")).toDF("doc_id", "text")
