@@ -47,12 +47,18 @@ object Main {
     }
     val baseDir = new java.io.File(manifest).getAbsoluteFile.getParent
 
+    // getOrCreate() silently ignores withExtensions when a session is
+    // already active — detach first so the CLI session gets the engine's
+    // optimizer rule + sorted_set_agg (mirrors ExtensionsSpec/Bench)
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
       .master(sys.env.getOrElse("SPARK_MASTER", s"local[$parallelism]"))
       .appName("graft-index-build")
       .config("spark.sql.shuffle.partitions", parallelism)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     try {

@@ -806,12 +806,11 @@ object SparkEntry {
         .orderBy("hour_bucket", "event_type")
     }),
 
-    // -- multimodal decode plumbing (no oracle: Dataset op with a stubbed
-    //    codec — deterministic, so the driver's rows-only check is stable)
-    // -- value-checked roundtrip: image rows are REAL synthesized PNGs with
-    //    formula-derived dimensions, decoded back via javax.imageio; the
-    //    oracle recomputes the formulas from the documents table (n_bytes
-    //    excluded: PNG payload size is encoder-internal)
+    // -- value-checked roundtrip for all three modalities: image rows are
+    //    REAL synthesized PNGs, audio rows REAL WAVs, video rows REAL
+    //    animated GIFs — each decoded back through its JDK codec; the
+    //    oracle recomputes the synthesis formulas from the documents table
+    //    (n_bytes excluded: payload size is encoder-internal)
     "q_multimodal_decode" -> ((s, dir) => {
       operators.Multimodal
         .decode(operators.Multimodal.demoMediaFromDocuments(s, dir))
@@ -1731,20 +1730,26 @@ object SparkEntry {
                 count(*) AS n, floor((sum(value)) * 1e2 + 0.5) / 1e2 AS sum_value
          FROM events GROUP BY hour_bucket, event_type ORDER BY hour_bucket, event_type""",
     // the multimodal roundtrip: image dims come from DECODING synthesized
-    // PNGs (javax.imageio) and audio durations from DECODING synthesized
-    // WAVs (javax.sound.sampled; frames = 1 + 131·len mod 60000 at 1 kHz ⇒
-    // duration_ms == frames) — the oracle recomputes the synthesis formulas
-    // directly, so a fake decode cannot pass; video keeps the declared
-    // byte-length stub
+    // PNGs (javax.imageio), audio durations from DECODING synthesized WAVs
+    // (javax.sound.sampled; frames = 1 + 131·len mod 60000 at 1 kHz ⇒
+    // duration_ms == frames), and video dims/durations from DECODING
+    // synthesized animated GIFs (javax.imageio frame metadata; frames =
+    // 1 + 131·len mod 24 at 100 ms/frame ⇒ duration_ms == 100·frames) —
+    // the oracle recomputes the synthesis formulas directly, so a fake
+    // decode cannot pass
     "q_multimodal_decode" ->
       """SELECT doc_id AS media_id,
                 CASE WHEN doc_id % 3 = 0 THEN 'image'
                      WHEN doc_id % 3 = 1 THEN 'audio' ELSE 'video' END AS kind,
-                (CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 64 ELSE 0 END)::INTEGER AS width,
-                (CASE WHEN doc_id % 3 = 0 THEN 1 + octet_length(encode(text)) % 64 ELSE 0 END)::INTEGER AS height,
+                (CASE WHEN doc_id % 3 = 0 THEN 1 + doc_id % 64
+                      WHEN doc_id % 3 = 1 THEN 0
+                      ELSE 1 + doc_id % 32 END)::INTEGER AS width,
+                (CASE WHEN doc_id % 3 = 0 THEN 1 + octet_length(encode(text)) % 64
+                      WHEN doc_id % 3 = 1 THEN 0
+                      ELSE 1 + octet_length(encode(text)) % 32 END)::INTEGER AS height,
                 (CASE WHEN doc_id % 3 = 0 THEN 0
                       WHEN doc_id % 3 = 1 THEN 1 + (octet_length(encode(text))::BIGINT * 131) % 60000
-                      ELSE 1 + (octet_length(encode(text))::BIGINT * 131) % 600000 END)::BIGINT AS duration_ms
+                      ELSE (1 + (octet_length(encode(text))::BIGINT * 131) % 24) * 100 END)::BIGINT AS duration_ms
          FROM documents ORDER BY media_id""",
     // WHERE before the window is equivalent: the partition key is the
     // filter column, so partitions are kept or dropped whole

@@ -7,17 +7,20 @@ import org.apache.spark.sql.functions._
   * pipeline: media travel as opaque `BINARY` columns with typed metadata;
   * decode/feature-extraction runs per-partition in bounded batches.
   *
-  * IMAGES and AUDIO are decoded for real with the two codecs the JDK
-  * itself ships: `javax.imageio` reads PNG payloads and
-  * `javax.sound.sampled` reads WAV payloads. `demoMediaFromDocuments`
-  * synthesizes actual PNGs/WAVs whose dimensions / frame counts derive
-  * from oracle-computable document properties — so the driver's DuckDB
-  * oracle value-checks the whole encode→distribute→decode roundtrip for
-  * both kinds. VIDEO decode remains an honest STUB (no JVM video codec
-  * exists): deterministic byte-length-derived records. Everything around
-  * the codecs — schema, batch iteration, partition sizing, column
-  * pruning — is the real distributed plumbing a production decoder plugs
-  * into; swap the codec call and nothing else changes.
+  * ALL THREE modalities decode for real with codecs the JDK itself ships:
+  * `javax.imageio` reads PNG payloads (image), `javax.sound.sampled`
+  * reads WAV payloads (audio), and `javax.imageio`'s frame-addressable
+  * GIF reader plays the video role — animated GIF is a genuine
+  * multi-frame timed container (per-frame GraphicControlExtension
+  * delays), the closest thing to video the JVM can decode without
+  * external codec libraries. `demoMediaFromDocuments` synthesizes actual
+  * PNGs/WAVs/GIFs whose dimensions / frame counts / durations derive from
+  * oracle-computable document properties — so the driver's DuckDB oracle
+  * value-checks the whole encode→distribute→decode roundtrip for every
+  * kind. Everything around the codecs — schema, batch iteration,
+  * partition sizing, column pruning — is the distributed plumbing a
+  * production decoder (e.g. an ffmpeg JNI binding for MP4) plugs into;
+  * swap the codec call and nothing else changes.
   *
   * Scale notes: decode is a narrow per-partition op (no shuffle); partitions
   * should be sized by `spark.sql.files.maxPartitionBytes` so one partition's
@@ -31,8 +34,8 @@ object Multimodal {
     */
   case class MediaRecord(media_id: Long, kind: String, bytes: Array[Byte], meta: String)
 
-  /** Deterministic fake "decoded features" (STUB — see object docs):
-    * byte-derived pseudo width/height/duration and a 4-dim feature vector.
+  /** Decoded features: codec-recovered dimensions/duration and a 4-dim
+    * summary feature vector (a real pipeline would emit an embedding here).
     */
   case class MediaFeatures(
       media_id: Long,
@@ -111,28 +114,106 @@ object Multimodal {
       finally in.close()
     } catch { case _: Exception => None }
 
-  /** STUB decode for the one kind with no JVM codec (video): a
-    * deterministic record derived from the byte LENGTH only, so the DuckDB
-    * oracle can recompute it from `octet_length` without decoding.
+  /** Synthesize a deterministic multi-frame animated GIF — the JDK's own
+    * "video" container: ImageIO writes frame sequences with per-frame
+    * GraphicControlExtension timing, and reads them back frame-addressable.
+    * Every frame carries a 100 ms delay (delayTime=10 in GIF's 1/100 s
+    * units), so a decoded n-frame clip has duration n×100 ms.
     */
-  def decodeStub(r: MediaRecord): MediaFeatures = {
-    val n = r.bytes.length
-    MediaFeatures(
-      media_id = r.media_id,
-      kind = r.kind,
-      n_bytes = n.toLong,
-      width = 0,
-      height = 0,
-      duration_ms = if (r.kind == "image") 0L else 1 + (n.toLong * 131) % 600000,
-      features = Array(n.toFloat, (n % 251).toFloat, (n % 17).toFloat, (n % 3).toFloat))
+  def synthGif(width: Int, height: Int, frames: Int, seed: Long): Array[Byte] = {
+    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    val out    = new java.io.ByteArrayOutputStream()
+    val ios    = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
+    writer.setOutput(ios)
+    writer.prepareWriteSequence(null)
+    var f = 0
+    while (f < frames) {
+      val img = new java.awt.image.BufferedImage(width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var y = 0
+      while (y < height) {
+        var x = 0
+        while (x < width) {
+          img.setRGB(x, y, (((x * 31 + y * 17 + f * 101) + seed) & 0xffffff).toInt)
+          x += 1
+        }
+        y += 1
+      }
+      val meta = writer.getDefaultImageMetadata(
+        new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
+      val fmt  = "javax_imageio_gif_image_1.0"
+      val root = meta.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+      // find-or-append the GraphicControlExtension and stamp the frame delay
+      val gce = {
+        var node: javax.imageio.metadata.IIOMetadataNode = null
+        var c = root.getFirstChild
+        while (c != null && node == null) {
+          if (c.getNodeName == "GraphicControlExtension")
+            node = c.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          c = c.getNextSibling
+        }
+        if (node == null) {
+          node = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
+          root.appendChild(node)
+        }
+        node
+      }
+      gce.setAttribute("disposalMethod", "none")
+      gce.setAttribute("userInputFlag", "FALSE")
+      gce.setAttribute("transparentColorFlag", "FALSE")
+      gce.setAttribute("transparentColorIndex", "0")
+      gce.setAttribute("delayTime", "10")
+      meta.setFromTree(fmt, root)
+      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      f += 1
+    }
+    writer.endWriteSequence()
+    ios.close()
+    writer.dispose()
+    out.toByteArray
   }
+
+  /** Real video decode (pure JVM, animated GIF via javax.imageio's
+    * frame-addressable reader): (width, height, frame count, duration ms) —
+    * the frame count from `getNumImages(true)`, the duration by summing
+    * each frame's GraphicControlExtension delay from the image metadata.
+    * None for unparseable bytes.
+    */
+  def decodeVideo(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    try {
+      val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) { iis.close(); return None }
+      val reader = readers.next()
+      try {
+        reader.setInput(iis, false, false)
+        val frames = reader.getNumImages(true)
+        if (frames < 1) return None
+        var durMs = 0L
+        var i = 0
+        while (i < frames) {
+          val root = reader.getImageMetadata(i)
+            .getAsTree("javax_imageio_gif_image_1.0")
+            .asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+          var c = root.getFirstChild
+          while (c != null) {
+            if (c.getNodeName == "GraphicControlExtension")
+              durMs += c.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
+                .getAttribute("delayTime").toLong * 10L
+            c = c.getNextSibling
+          }
+          i += 1
+        }
+        Some((reader.getWidth(0), reader.getHeight(0), frames, durMs))
+      } finally { reader.dispose(); iis.close() }
+    } catch { case _: Exception => None }
 
   /** Distributed decode: batched per-partition iteration (the Scala analogue
     * of a Pandas-UDF `mapInPandas` — bounded memory per batch, no shuffle).
-    * Images go through the REAL javax.imageio decoder and audio through the
-    * REAL javax.sound.sampled decoder (unparseable bytes surface as
-    * width/height/duration = -1 rather than a task failure); video through
-    * the deterministic stub (no JVM video codec exists).
+    * All three modalities go through REAL JDK codecs: images via
+    * javax.imageio (PNG), audio via javax.sound.sampled (WAV), video via
+    * javax.imageio's frame-addressable animated-GIF reader. Unparseable
+    * bytes surface as width/height/duration = -1 rather than a task failure.
     */
   def decode(media: Dataset[MediaRecord], batchSize: Int = 64): Dataset[MediaFeatures] = {
     import media.sparkSession.implicits._
@@ -153,7 +234,10 @@ object Multimodal {
               val durMs = if (frames < 0) -1L else frames * 1000L / rate
               MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, 0, 0, durMs,
                 Array(r.bytes.length.toFloat, frames.toFloat, rate.toFloat, durMs.toFloat))
-            case _ => decodeStub(r)
+            case _ =>
+              val (w, h, frames, durMs) = decodeVideo(r.bytes).getOrElse((-1, -1, -1, -1L))
+              MediaFeatures(r.media_id, r.kind, r.bytes.length.toLong, w, h, durMs,
+                Array(r.bytes.length.toFloat, frames.toFloat, w.toFloat, h.toFloat))
           }
         }
       }
@@ -182,13 +266,19 @@ object Multimodal {
     }
   }
 
-  /** Build a demo media table from the documents table. Image rows carry
-    * REAL synthesized PNGs whose dimensions derive from oracle-computable
-    * document properties (`1 + doc_id mod 64` × `1 + utf8_length mod 64`)
-    * and audio rows carry REAL synthesized 1 kHz WAVs whose frame count is
-    * `1 + (utf8_length * 131) mod 60000` — so decoding either is a
-    * value-checkable roundtrip (at 1 kHz, duration_ms == frames exactly);
-    * video rows carry the text bytes as opaque payloads for the stub.
+  /** Build a demo media table from the documents table. Every modality
+    * carries a REAL synthesized payload whose decoded properties derive
+    * from oracle-computable document facts:
+    *
+    *   image  PNG, `1 + doc_id mod 64` × `1 + utf8_length mod 64`
+    *   audio  1 kHz WAV, frames = `1 + (utf8_length * 131) mod 60000`
+    *          (at 1 kHz, duration_ms == frames exactly)
+    *   video  animated GIF, `1 + doc_id mod 32` × `1 + utf8_length mod 32`,
+    *          frames = `1 + (utf8_length * 131) mod 24`, 100 ms/frame
+    *          (so duration_ms == frames × 100)
+    *
+    * — so decoding any of the three is a value-checkable roundtrip the
+    * DuckDB oracle recomputes from doc_id and octet_length alone.
     */
   def demoMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
@@ -213,7 +303,11 @@ object Multimodal {
             case "audio" =>
               val frames = 1 + ((r.bytes.length.toLong * 131) % 60000).toInt
               r.copy(bytes = synthWav(frames, sampleRate = 1000, seed = r.media_id))
-            case _ => r
+            case _ =>
+              val w = 1 + (r.media_id % 32).toInt
+              val h = 1 + (r.bytes.length % 32)
+              val frames = 1 + ((r.bytes.length.toLong * 131) % 24).toInt
+              r.copy(bytes = synthGif(w, h, frames, r.media_id))
           }
         }
       }

@@ -3,13 +3,36 @@ package graft
 import graft.operators.Multimodal
 
 /** The multimodal plumbing is real (schema, batching, partition behavior),
-  * and so are the IMAGE codec (javax.imageio over synthesized PNGs) and
-  * the AUDIO codec (javax.sound.sampled over synthesized WAVs); only video
-  * decode is stubbed. These tests pin all three.
+  * and so are all three codecs: IMAGE (javax.imageio over synthesized
+  * PNGs), AUDIO (javax.sound.sampled over synthesized WAVs), and VIDEO
+  * (javax.imageio's frame-addressable reader over synthesized animated
+  * GIFs with per-frame delay metadata). These tests pin all three.
   */
 class MultimodalSpec extends SparkSpec {
 
   private val dir = "/root/testdata/sf0.001"
+
+  test("GIF synth → distribute → frame-metadata decode recovers dims, frame count, duration") {
+    val bytes = Multimodal.synthGif(width = 13, height = 7, frames = 9, seed = 5L)
+    assert(bytes.take(3).sameElements("GIF".getBytes("US-ASCII")), "synthGif must emit a real GIF header")
+    assert(Multimodal.decodeVideo(bytes).contains((13, 7, 9, 900L)),
+      "9 frames at 100 ms/frame must decode to 900 ms")
+    assert(Multimodal.decodeVideo(Array[Byte](1, 2, 3)).isEmpty, "garbage bytes decode to None")
+    // distributed: every video row's decoded frame count / duration matches
+    // the synthesis formula (frames = 1 + 131·len mod 24, 100 ms/frame)
+    val srcLen = spark.read.parquet(s"$dir/documents.parquet")
+      .selectExpr("doc_id", "octet_length(encode(text, 'UTF-8')) AS n")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val vids = Multimodal
+      .decode(Multimodal.demoMediaFromDocuments(spark, dir).repartition(4), batchSize = 16)
+      .collect().filter(_.kind == "video")
+    assert(vids.nonEmpty)
+    assert(vids.forall { f =>
+      val n = srcLen(f.media_id).toLong
+      f.duration_ms == (1 + (n * 131) % 24) * 100 &&
+        f.width == 1 + (f.media_id % 32).toInt && f.height == 1 + (n % 32).toInt
+    }, "decoded video dims/durations must equal the synthesis formulas")
+  }
 
   test("WAV synth → distribute → javax.sound decode roundtrip recovers exact frame count") {
     val bytes = Multimodal.synthWav(frames = 12345, sampleRate = 1000, seed = 7L)
