@@ -370,6 +370,20 @@ object SparkEntry {
         .orderBy(desc("score"), asc("doc_id"))
     }),
 
+    // -- the same TF-IDF served FROM the tf-bearing index + doc-length
+    //    sidecar (no corpus re-tokenization on the query path); must equal
+    //    q_search_tfidf exactly (same oracle SQL)
+    "q_search_tfidf_indexed" -> ((s, dir) => {
+      val toks = Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))
+      Search
+        .tfidfIndexed(
+          InvertedIndex.tfPostings(toks),
+          InvertedIndex.docLengths(toks),
+          Seq("spark", "vector", "window"))
+        .select(col("doc_id"), round(col("score"), 4).as("score"))
+        .orderBy(desc("score"), asc("doc_id"))
+    }),
+
     // -- BM25 ranked retrieval (Okapi k1=1.2, b=0.75)
     "q_search_bm25" -> ((s, dir) => {
       Search
@@ -1246,6 +1260,17 @@ object SparkEntry {
           FROM tok WHERE word IN ('vector', 'stream', 'merge')
           GROUP BY doc_id ORDER BY n_terms DESC, doc_id""",
     "q_search_tfidf" ->
+      s"""WITH $TokCte,
+          tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+                 WHERE word IN ('spark', 'vector', 'window') GROUP BY doc_id, word),
+          dfs AS (SELECT word, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY word),
+          n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok)
+          SELECT doc_id, floor((sum(tf * ln(n_docs::DOUBLE / df_t))) * 1e4 + 0.5) / 1e4 AS score
+          FROM tf JOIN dfs USING (word) CROSS JOIN n
+          GROUP BY doc_id ORDER BY score DESC, doc_id""",
+    // identical oracle on purpose: index-served TF-IDF must equal the
+    // token-stream TF-IDF at the 4-dp query surface
+    "q_search_tfidf_indexed" ->
       s"""WITH $TokCte,
           tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
                  WHERE word IN ('spark', 'vector', 'window') GROUP BY doc_id, word),

@@ -164,6 +164,33 @@ object Search {
       .agg(sum(col("w")).as("score"))
   }
 
+  /** TF-IDF served FROM THE INDEX — completes the invariant [[bm25Indexed]]
+    * establishes: every ranked mode this engine offers is servable from the
+    * index structures without touching the corpus. tf and df come straight
+    * from the tf-bearing postings ([[InvertedIndex.tfPostings]]); N is the
+    * doc-length sidecar's row count (the same "docs with ≥1 token" set
+    * [[tfidfQuery]] counts from the token stream), kept as a broadcast
+    * scalar inside the plan. Arithmetic is term-for-term identical to
+    * [[tfidfQuery]] — oracle-identical by construction. Per-query work is
+    * |terms| posting lists + one metadata scalar; the corpus never rescans.
+    */
+  def tfidfIndexed(
+      tfPostings: DataFrame,
+      docLens: DataFrame,
+      words: Seq[String],
+      idCol: String = "doc_id"): DataFrame = {
+    val terms = cleanedTerms(words)
+    val nDocs = docLens.agg(count(lit(1)).as("n_docs"))
+    tfPostings
+      .where(col("word").isin(terms: _*))
+      .select(col("word"), col("df").as("df_t"), explode(col("postings")).as("p"))
+      .select(col("df_t"), col("p.doc_id").as(idCol), col("p.tf").as("tf"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("w_score", col("tf") * log(col("n_docs").cast("double") / col("df_t")))
+      .groupBy(col(idCol))
+      .agg(sum(col("w_score")).as("score"))
+  }
+
   /** Positional phrase search: docs where the cleaned terms occur at
     * strictly consecutive token positions. Positions come from
     * `posexplode` over the order-preserving token array, so this needs the

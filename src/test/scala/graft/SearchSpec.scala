@@ -47,6 +47,23 @@ class SearchSpec extends SparkSpec {
     assert(fromIndex == fromStream)
   }
 
+  test("index-served TF-IDF equals token-stream TF-IDF exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = Tokenize.tokens(docs, "text", Seq("doc_id"))
+    val terms = Seq("spark", "vector", "window")
+    // 4-dp query-surface compare for the same accumulation-order reason as
+    // the BM25 twin above
+    def r4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+    val fromStream = Search.tfidfQuery(toks, terms)
+      .collect().map(r => (r.getLong(0), r4(r.getDouble(1)))).toMap
+    val fromIndex = Search.tfidfIndexed(
+      InvertedIndex.tfPostings(toks),
+      InvertedIndex.docLengths(toks), terms)
+      .collect().map(r => (r.getLong(0), r4(r.getDouble(1)))).toMap
+    assert(fromIndex.nonEmpty)
+    assert(fromIndex == fromStream)
+  }
+
   test("query terms go through the reference tokenizer (case, punctuation)") {
     val got = Search.andQuery(postings, Seq("SPARK!", "jo-ins")).as[Long].collect().toSeq
     assert(got == Seq(2L, 4L))
