@@ -236,26 +236,32 @@ object Dedup {
     val p = pairs
       .select(col(col1).as("src"), col(col2).as("dst"))
       .localCheckpoint(true)
+    // the symmetric closure stays LAZY: both branches scan the already-
+    // checkpointed `p`, so per-round cost is two cached scans + union —
+    // the same bytes a dedicated edges checkpoint would read, without
+    // paying a third materialization job up front
     val edges = p
       .unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
-      .localCheckpoint(true)
     // label₀ = min(v, neighbors(v)) — the first hash-to-min hop folded into
     // the initialization aggregate itself (one plain shuffle over the
     // checkpointed edges, no broadcast): every cluster starts one round
     // further converged, and rounds are the runtime on small graphs
-    var labels = edges.groupBy(col("src").as("doc_id"))
+    val observedInit = edges.groupBy(col("src").as("doc_id"))
       .agg(min(col("dst")).as("__nbr"))
       .select(col("doc_id"), least(col("doc_id"), col("__nbr")).as("group_id"))
-      .localCheckpoint(true)
+      .observe("graft_cc_init", count(lit(1)).as("n_vertices"))
+    var labels = observedInit.localCheckpoint(true)
     // candidate-pair graphs are normally TINY next to the corpus (edges ≈
     // true duplicate density): below the threshold, broadcast the label
     // side so each round is ONE shuffle (the neighbor-min agg) instead of
     // three — the fixed per-round scheduling cost is what dominates small
     // graphs. Past the threshold, fall back to plain shuffle joins. The
     // broadcast side IS the label relation, so the decision keys on VERTEX
-    // count — read off the already-materialized eager checkpoint above, not
-    // a separate edges.count() job (the round-2 extra action).
-    val small = labels.count() <= broadcastMaxVertices
+    // count — observed during the init checkpoint's own materialization,
+    // not a separate count() job. A missing metric falls back to the
+    // scale-safe shuffle path.
+    val small = observedInit.queryExecution.observedMetrics
+      .get("graft_cc_init").exists(_.getLong(0) <= broadcastMaxVertices)
     def maybeBroadcast(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var converged = false
     var round = 0
@@ -273,22 +279,28 @@ object Dedup {
       val allEdges = edges.select(col("src"), col("dst"), lit(0).as("is_self"))
         .unionAll(labels.select(col("doc_id").as("src"), col("group_id").as("dst"), lit(0).as("is_self")))
         .unionAll(labels.select(col("doc_id").as("src"), col("doc_id").as("dst"), lit(1).as("is_self")))
-      val next = allEdges
+      // ONE action per round: `observe` plants a CollectMetrics node whose
+      // accumulator fills DURING the eager checkpoint's materialization, so
+      // the separate convergence count() job (round 3's second action per
+      // round) is gone — and the data path stays in InternalRow/codegen
+      // land (an earlier RDD+accumulator attempt paid an interpreted
+      // Row roundtrip 3× per round on the re-referenced label relation).
+      // The eager checkpoint EVERY round still matters: `labels` is
+      // referenced three times per round, so an untruncated logical plan
+      // grows ~3^rounds subtrees and ANALYSIS time (which runs before
+      // cached-plan substitution) explodes; the ContextCleaner frees old
+      // blocks. (On a cluster, durable `checkpoint` plays the same role.)
+      val metricName = s"graft_cc_round_$round"
+      val observed = allEdges
         .join(maybeBroadcast(lblMap), Seq("dst"))
         .groupBy(col("src").as("doc_id"))
         .agg(
           min(col("nbr")).as("group_id"),
           min(when(col("is_self") === 1, col("nbr"))).as("prev"))
-        // eager checkpoint EVERY round: `labels` is referenced three times
-        // per round, so an untruncated logical plan grows ~3^rounds
-        // subtrees and ANALYSIS time (which runs before cached-plan
-        // substitution) explodes — round 2 instead persist()ed each round
-        // and leaked the cache; the checkpoint both truncates lineage and
-        // leaves block cleanup to the ContextCleaner, so there is nothing
-        // to unpersist by hand (on a cluster, `checkpoint` to durable
-        // storage plays the same role)
-        .localCheckpoint(true)
-      converged = next.where(col("group_id") < col("prev")).count() == 0
+        .observe(metricName, count(when(col("group_id") < col("prev"), 1)).as("changed"))
+      val next = observed.localCheckpoint(true)
+      converged = observed.queryExecution.observedMetrics
+        .get(metricName).forall(_.getLong(0) == 0L)
       labels = next.select("doc_id", "group_id")
       round += 1
     }
