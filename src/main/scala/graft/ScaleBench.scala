@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, Tokenize}
+
+/** Replication-scaling harness for the capped pair generators — the
+  * measured answer to "would this survive 100 TB", extending the
+  * index-build / minhash methodology already documented in README.md to
+  * the simhash and embedding paths.
+  *
+  * Replicates the sf documents/embeddings `factor` times (every row kept
+  * byte-identical under a shifted id — an adversarial DUPLICATE-DENSE load:
+  * each replica set shares identical signatures, so LSH buckets grow with
+  * the factor and the per-bucket caps are exactly what stands between the
+  * pipeline and a quadratic blowup), then runs each pair generator to a
+  * noop sink and reports wall time plus the bucket-occupancy profile from
+  * [[Dedup.simhashBucketSizes]] / [[Similarity.lshBucketSizes]]:
+  * `max_bucket` is the largest single-task fan-in, `dropped` the buckets
+  * the cap excludes before any pair materializes.
+  *
+  * One JSON line per (pipeline, factor) on stdout; run with
+  * `SPARK_GRAFT_SF_DIR=... runMain graft.ScaleBench [factors...]`.
+  */
+object ScaleBench {
+
+  private def run(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  /** Each row repeated `factor` times under distinct ids: id + k*offset for
+    * k in [0, factor). Content columns stay byte-identical — the worst case
+    * for any signature-bucketed pair generator.
+    */
+  def replicated(df: DataFrame, idCol: String, factor: Int, offset: Long = 1000000000L): DataFrame =
+    if (factor == 1) df
+    else df
+      .withColumn("__rep", explode(sequence(lit(0), lit(factor - 1))))
+      .withColumn(idCol, col(idCol) + col("__rep").cast("long") * offset)
+      .drop("__rep")
+
+  def main(args: Array[String]): Unit = {
+    val sfDir   = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factors = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10, 50)
+    val cpus    = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val cap     = 1 << 12
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    def time(body: => Unit): Double = {
+      val t0 = System.nanoTime()
+      body
+      (System.nanoTime() - t0) / 1e9
+    }
+
+    def bucketStats(sizes: DataFrame): (Long, Long, Long) = {
+      val r = sizes.agg(
+        max(col("n")),
+        count(when(col("n") > cap, 1)),
+        sum(when(col("n").between(2, cap), expr("n * (n - 1) DIV 2")))).head()
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) 0L else r.getLong(2))
+    }
+
+    def report(pipeline: String, factor: Int, sec: Double, rows: Long,
+               maxB: Long, dropped: Long, pairBound: Long): Unit =
+      println(
+        s"""{"pipeline":"$pipeline","factor":$factor,"sec":${f"$sec%.3f"},"pairs":$rows,""" +
+        s""""max_bucket":$maxB,"buckets_dropped":$dropped,"retained_pair_bound":$pairBound}""")
+
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
+    val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
+
+    factors.foreach { f =>
+      // materialize the replicated input first: the timed region measures
+      // the pair generator over an existing table, not the replication
+      val d = replicated(docs, "doc_id", f).localCheckpoint(true)
+      val sigs = Dedup
+        .simhash(Tokenize.tokens(d, "text", Seq("doc_id")), bits = 60)
+        .localCheckpoint(true)
+      var pairs = 0L
+      val sSec = time {
+        pairs = Dedup
+          .simhashPairs(sigs, maxDist = 3, bands = 6, sigBits = 60, maxBucket = cap)
+          .count()
+      }
+      val (sMax, sDrop, sBound) = bucketStats(Dedup.simhashBucketSizes(sigs))
+      report("simhash_pairs", f, sSec, pairs, sMax, sDrop, sBound)
+      d.unpersist(); sigs.unpersist()
+
+      val e = replicated(embs, "vec_id", f).localCheckpoint(true)
+      val n = e.count()
+      val planes = Similarity.planesFor(n)
+      var ePairs = 0L
+      val eSec = time {
+        ePairs = Similarity
+          .cosineNearDupPairs(e, thr = 0.25, planes = planes, tables = 2, maxBucket = cap)
+          .count()
+      }
+      val (eMax, eDrop, eBound) = bucketStats(Similarity.lshBucketSizes(e, planes, tables = 2))
+      report("embedding_neardup", f, eSec, ePairs, eMax, eDrop, eBound)
+
+      var pPairs = 0L
+      val pSec = time {
+        pPairs = Similarity
+          .cosineNearDupPairs(e, thr = 0.25, planes = planes, tables = 1,
+            maxBucket = cap, probes = math.min(4, planes))
+          .count()
+      }
+      val (pMax, pDrop, pBound) = bucketStats(Similarity.lshBucketSizes(e, planes, tables = 1))
+      report("embedding_neardup_probe", f, pSec, pPairs, pMax, pDrop, pBound)
+      e.unpersist()
+    }
+    spark.stop()
+  }
+}

@@ -175,20 +175,10 @@ object Dedup {
       maxBucket: Int = 1 << 12,
       idCol: String = "doc_id",
       sigCol: String = "simhash"): DataFrame = {
-    require(sigBits % bands == 0, s"bands ($bands) must divide sigBits ($sigBits)")
     require(maxDist < bands,
       s"pigeonhole needs maxDist ($maxDist) < bands ($bands) for exact recall")
     require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least one pair")
-    val width = sigBits / bands
-    val mask  = (1L << width) - 1
-    val banded = sigs
-      .select(col(idCol), col(sigCol).as("sig"))
-      .select(col(idCol), col("sig"),
-        explode(array((0 until bands).map { b =>
-          struct(lit(b).as("band_idx"), expr(s"shiftright(sig, ${b * width}) & $mask").as("band_val"))
-        }: _*)).as("bnd"))
-      .select(struct(col(idCol).as("id"), col("sig").as("sig")).as("m"),
-        col("bnd.band_idx"), col("bnd.band_val"))
+    val banded = simhashBanded(sigs, bands, sigBits, idCol, sigCol)
     banded
       .groupBy(col("band_idx"), col("band_val"))
       .agg(array_sort(collect_list(col("m"))).as("members"))
@@ -207,6 +197,45 @@ object Dedup {
       .select(col("p.doc1"), col("p.doc2"), col("p.hamming").cast("int").as("hamming"))
       .distinct()
   }
+
+  /** The pigeonhole band relation [[simhashPairs]] buckets on: one row per
+    * (doc, band), keyed by (band index, that band's exact bit-slice value).
+    * Shared with [[simhashBucketSizes]] so the skew diagnostics measure the
+    * identical bucket keys the pair generator groups on.
+    */
+  private def simhashBanded(
+      sigs: DataFrame, bands: Int, sigBits: Int, idCol: String, sigCol: String): DataFrame = {
+    require(sigBits % bands == 0, s"bands ($bands) must divide sigBits ($sigBits)")
+    val width = sigBits / bands
+    val mask  = (1L << width) - 1
+    sigs
+      .select(col(idCol), col(sigCol).as("sig"))
+      .select(col(idCol), col("sig"),
+        explode(array((0 until bands).map { b =>
+          struct(lit(b).as("band_idx"), expr(s"shiftright(sig, ${b * width}) & $mask").as("band_val"))
+        }: _*)).as("bnd"))
+      .select(struct(col(idCol).as("id"), col("sig").as("sig")).as("m"),
+        col("bnd.band_idx"), col("bnd.band_val"))
+  }
+
+  /** Bucket-occupancy diagnostics for [[simhashPairs]]: one row per
+    * (band_idx, band_val) bucket with its member count `n`. The in-bucket
+    * pair expansion is quadratic in `n`, so this relation IS the skew
+    * profile of the pair generator — `max(n)` bounds the largest single
+    * task and `sum(n*(n-1)/2) where n <= maxBucket` bounds the total pair
+    * stream. At 100 TB this is the first thing to look at before raising
+    * `maxBucket`; ScaleGuardSpec pins the cap against a 50x-replicated
+    * duplicate-dense corpus with it.
+    */
+  def simhashBucketSizes(
+      sigs: DataFrame,
+      bands: Int = 6,
+      sigBits: Int = 60,
+      idCol: String = "doc_id",
+      sigCol: String = "simhash"): DataFrame =
+    simhashBanded(sigs, bands, sigBits, idCol, sigCol)
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("n"))
 
   /** Duplicate GROUPS from candidate pairs: connected components by
     * iterative min-label propagation ("hash-to-min"). Each vertex starts

@@ -145,6 +145,29 @@ object Similarity {
     math.max(1, math.ceil(math.log(corpusSize.toDouble / targetBucket) / math.log(2.0)).toInt)
   }
 
+  /** Bucket-occupancy diagnostics for [[cosineNearDupPairs]]: one row per
+    * (tbl, bucket) with its member count `n`, computed with the IDENTICAL
+    * deterministic hyperplanes (same `seedOffset = tbl * planes` layout), so
+    * sizes here are exactly the self-join fan-in the pair generator sees.
+    * `max(n)` bounds the largest in-bucket task; buckets with `n > maxBucket`
+    * are the ones [[cosineNearDupPairs]] drops before any pair materializes.
+    * ScaleGuardSpec pins the cap against 50x-replicated vectors with it.
+    */
+  def lshBucketSizes(
+      df: DataFrame,
+      planes: Int,
+      tables: Int = 2,
+      dim: Int = 64,
+      vecCol: String = "embedding"): DataFrame =
+    (0 until tables)
+      .map { tbl =>
+        withLshBucket(df.select(col(vecCol)), vecCol, planes, dim, seedOffset = tbl * planes)
+          .withColumn("tbl", lit(tbl))
+      }
+      .reduce(_ unionAll _)
+      .groupBy(col("tbl"), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+
   /** Embedding-cosine near-duplicate pairs, LSH-pruned: only vectors sharing
     * an LSH bucket in at least one of `tables` independent bucket tables
     * are compared (the 100 TB path — every self-join key is a bucket, never

@@ -1,0 +1,116 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Similarity, Tokenize}
+
+/** Pins the per-bucket scale guards of the capped pair generators under a
+  * 50x-replicated DUPLICATE-DENSE corpus — every document/vector appears 50
+  * times byte-identically, so every signature bucket is at least 50 deep and
+  * the caps are the only thing between the plan and a quadratic blowup.
+  * These properties are what ScaleBench measures wall-clock for at sf0.1;
+  * here they are asserted structurally at sf0.001 so a parameter change
+  * that silently unbounds a bucket fails in CI, not at 100 TB.
+  */
+class ScaleGuardSpec extends SparkSpec {
+
+  private val Factor = 50
+
+  private lazy val docs50 = ScaleBench.replicated(
+    spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id", "text"),
+    "doc_id", Factor)
+
+  // eager checkpoints: each suite action would otherwise recompute the
+  // full tokenize + two-shuffle simhash upstream (the suite runs ~10
+  // actions over these relations at local[4])
+  private lazy val sigs1 = Dedup.simhash(
+    Tokenize.tokens(
+      spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select("doc_id", "text"),
+      "text", Seq("doc_id")),
+    bits = 60).localCheckpoint(true)
+
+  private lazy val sigs50 = Dedup.simhash(
+    Tokenize.tokens(docs50, "text", Seq("doc_id")), bits = 60).localCheckpoint(true)
+
+  private lazy val emb1 = spark.read
+    .parquet("/root/testdata/sf0.001/embeddings.parquet").select("vec_id", "embedding")
+
+  private lazy val emb50 = ScaleBench.replicated(emb1, "vec_id", Factor).localCheckpoint(true)
+
+  // smaller target buckets than the sf0.1 default: at local[4] the point is
+  // the structural bound, not in-bucket throughput
+  private def embPlanes: Int = Similarity.planesFor(Factor * emb1.count(), targetBucket = 256)
+
+  test("simhash band buckets grow exactly linearly under replication (deterministic hashing)") {
+    val b1 = sigs1.transform(Dedup.simhashBucketSizes(_))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val b50 = sigs50.transform(Dedup.simhashBucketSizes(_))
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(b1.nonEmpty && b50.keySet == b1.keySet,
+      "identical replicas must land in exactly the 1x bucket keys")
+    // replicas carry identical signatures, so every bucket is exactly 50x
+    // deeper — sublinear growth here would mean the hashing is not
+    // deterministic; superlinear would mean replicas cross buckets
+    b1.foreach { case (k, n) =>
+      assert(b50(k) == n * Factor, s"bucket $k: ${b50(k)} != $n * $Factor")
+    }
+  }
+
+  test("simhash cap binds BEFORE pair expansion: all-saturated corpus emits zero pairs") {
+    // every bucket holds >= 50 members (each doc's replicas share its
+    // signature), so a cap below the factor drops every bucket — the
+    // pipeline must emit nothing rather than expand any saturated bucket
+    val minBucket = sigs50.transform(Dedup.simhashBucketSizes(_))
+      .agg(min("n")).head().getLong(0)
+    assert(minBucket >= Factor, s"replication floor violated: min bucket $minBucket < $Factor")
+    val capped = Dedup.simhashPairs(sigs50, maxBucket = Factor - 1)
+    assert(capped.count() == 0, "a cap below the replication factor must drop every bucket")
+  }
+
+  test("simhash pair stream at 50x is bounded by the retained buckets' pair sum") {
+    val cap = 1 << 12
+    val bound = sigs50.transform(Dedup.simhashBucketSizes(_))
+      .where(col("n").between(2, cap))
+      .agg(sum(expr("n * (n - 1) DIV 2"))).head().getLong(0)
+    val pairs = Dedup.simhashPairs(sigs50, maxBucket = cap)
+    val nPairs = pairs.count()
+    assert(nPairs > 0, "50 replicas of each doc must produce near-dup pairs under the default cap")
+    assert(nPairs <= bound,
+      s"emitted $nPairs pairs > retained-bucket bound $bound — a saturated bucket expanded")
+    // capped output is a SUBSET of the uncapped closure, never novel pairs
+    val uncapped = Dedup.simhashPairs(sigs50, maxBucket = Int.MaxValue)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cappedSet = pairs.select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedSet.subsetOf(uncapped), "capping must only DROP pairs")
+  }
+
+  test("embedding LSH buckets grow exactly linearly under replication") {
+    val planes = embPlanes
+    val b1 = Similarity.lshBucketSizes(emb1, planes, tables = 2)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val b50 = Similarity.lshBucketSizes(emb50, planes, tables = 2)
+      .collect().map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    assert(b1.nonEmpty && b50.keySet == b1.keySet)
+    b1.foreach { case (k, n) =>
+      assert(b50(k) == n * Factor, s"bucket $k: ${b50(k)} != $n * $Factor")
+    }
+  }
+
+  test("embedding cap binds before the self-join at 50x; retained buckets bound the pairs") {
+    val planes = embPlanes
+    // below-factor cap: every bucket holds a full replica set, so nothing survives
+    val capped = Similarity.cosineNearDupPairs(
+      emb50, thr = 0.25, planes = planes, tables = 2, maxBucket = Factor - 1)
+    assert(capped.count() == 0, "a cap below the replication factor must drop every bucket")
+    // default cap: the pair stream obeys the retained buckets' quadratic sum
+    val cap = 1 << 12
+    val bound = Similarity.lshBucketSizes(emb50, planes, tables = 2)
+      .where(col("n").between(2, cap))
+      .agg(sum(expr("n * (n - 1) DIV 2"))).head().getLong(0)
+    val nPairs = Similarity.cosineNearDupPairs(
+      emb50, thr = 0.25, planes = planes, tables = 2, maxBucket = cap).count()
+    assert(nPairs > 0, "replicated vectors are exact duplicates and must pair under the cap")
+    assert(nPairs <= bound,
+      s"emitted $nPairs pairs > retained-bucket bound $bound — a saturated bucket self-joined")
+  }
+}
