@@ -968,6 +968,98 @@ object SparkEntry {
           count(lit(1)).as("n_events"),
           round(count(lit(1)).cast("double") / max(col("sess_id")), 2).as("events_per_session"))
         .orderBy("user_id")
+    }),
+
+    // -- repeated-span (boilerplate) detection: the n-gram form of C4's
+    //    duplicated-line rule — bigrams appearing in >= 20 distinct docs
+    "q_boilerplate_spans" -> ((s, dir) => {
+      operators.CorpusClean
+        .boilerplateSpans(t(s, dir, "documents"), k = 2, minDocs = 20)
+        .orderBy(desc("n_docs"), asc("gram"))
+    }),
+
+    // -- per-doc boilerplate exposure: distinct bigrams that are corpus
+    //    boilerplate + the fraction of the doc they cover
+    "q_boilerplate_flag" -> ((s, dir) => {
+      operators.CorpusClean
+        .boilerplateFlag(t(s, dir, "documents"), k = 2, minDocs = 20)
+        .orderBy("doc_id")
+    }),
+
+    // -- PII redaction: deterministic synthetic PII (email/phone/IP derived
+    //    from doc_id) appended to each doc, then redacted with the shared
+    //    RE2-safe patterns; the oracle re-runs the identical construction +
+    //    redaction, so the md5 compare pins every replaced byte
+    "q_pii_redact" -> ((s, dir) => {
+      val dirty = concat(
+        col("text"),
+        lit(" contact u"), col("doc_id"), lit("@ex"), col("doc_id") % 7,
+        lit(".com tel +1-555-"), lpad((col("doc_id") % 10000).cast("string"), 4, "0"),
+        lit(" ip 10."), col("doc_id") % 256, lit(".0."), (col("doc_id") * 7) % 256)
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          operators.CorpusClean.piiMatchCount(dirty).as("n_pii"),
+          md5(operators.CorpusClean.redactPii(dirty)).as("red_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // -- CCNet-style quality bucketing: corpus-unigram LM score cut into
+    //    per-language head/middle/tail terciles
+    "q_quality_buckets" -> ((s, dir) => {
+      operators.CorpusClean
+        .qualityBuckets(t(s, dir, "documents"), nb = 3)
+        .orderBy("doc_id")
+    }),
+
+    // -- token-budget mixture sampling: greedy per-language prefix in
+    //    deterministic md5 order until each language's budget is spent
+    "q_mixture_sample" -> ((s, dir) => {
+      operators.CorpusClean
+        .mixtureSample(
+          t(s, dir, "documents"),
+          Map("en" -> 5000L, "de" -> 2000L, "es" -> 2000L, "fr" -> 2000L, "zh" -> 1000L))
+        .orderBy("doc_id")
+    }),
+
+    // -- fixed-iteration PageRank over the (undirected) customer–supplier
+    //    bipartite graph: 5 contribution-join/sum/teleport rounds composed
+    //    as one declarative plan
+    "q_pagerank" -> ((s, dir) => {
+      operators.Graph
+        .pagerankRounded(
+          operators.Graph.customerSupplierEdges(t(s, dir, "orders"), t(s, dir, "lineitem")),
+          iters = 5)
+        .orderBy("node")
+    }),
+
+    // -- degree histogram of the same graph (degree → node count)
+    "q_graph_degree" -> ((s, dir) => {
+      operators.Graph
+        .degrees(operators.Graph.customerSupplierEdges(t(s, dir, "orders"), t(s, dir, "lineitem")))
+        .groupBy(col("degree"))
+        .agg(count(lit(1)).as("n_nodes"))
+        .orderBy("degree")
+    }),
+
+    // -- higher-order array functions over the embedding column: filter /
+    //    aggregate (fold) / zip_with stay whole-stage-codegen'd — no UDF,
+    //    no explode; the oracle recomputes via unnest + group-by
+    "q_higher_order" -> ((s, dir) => {
+      val emb = col("embedding")
+      val toD = (c: Column) => c.cast("double")
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(filter(emb, x => x > 0.0f)).as("n_pos"),
+          round(aggregate(emb, lit(0.0), (acc, x) => acc + toD(x)), 3).as("sum_all"),
+          round(sqrt(aggregate(emb, lit(0.0), (acc, x) => acc + toD(x) * toD(x))), 3).as("l2"),
+          round(
+            aggregate(
+              zip_with(emb, reverse(emb), (a, b) => toD(a) * toD(b)),
+              lit(0.0), (acc, x) => acc + x),
+            3).as("dot_rev"))
+        .orderBy("vec_id")
     }))
 
   /** DuckDB CTE: distinct k-gram shingles per doc (short docs → one whole-doc
@@ -1880,5 +1972,120 @@ object SparkEntry {
            FROM s)
          SELECT user_id, max(sess_id)::BIGINT AS n_sessions, count(*) AS n_events,
                 floor((count(*)::DOUBLE / max(sess_id)) * 1e2 + 0.5) / 1e2 AS events_per_session
-         FROM r GROUP BY user_id ORDER BY user_id""")
+         FROM r GROUP BY user_id ORDER BY user_id""",
+    // distinct-per-doc bigrams, so count(*) IS the doc frequency
+    "q_boilerplate_spans" ->
+      s"""WITH ${shinglesCte(2)}
+          SELECT gram, count(*) AS n_docs
+          FROM (SELECT doc_id, unnest(shingles) AS gram FROM sh) g
+          GROUP BY gram HAVING count(*) >= 20
+          ORDER BY n_docs DESC, gram""",
+    "q_boilerplate_flag" ->
+      s"""WITH ${shinglesCte(2)},
+          bp AS (SELECT gram FROM (SELECT doc_id, unnest(shingles) AS gram FROM sh) g
+                 GROUP BY gram HAVING count(*) >= 20),
+          hit AS (SELECT doc_id, count(*) AS n_bp
+                  FROM (SELECT doc_id, unnest(shingles) AS gram FROM sh) g
+                  JOIN bp USING (gram) GROUP BY doc_id)
+          SELECT s.doc_id, len(s.shingles)::BIGINT AS n_grams,
+                 coalesce(hit.n_bp, 0)::BIGINT AS n_bp,
+                 floor((CASE WHEN len(s.shingles) = 0 THEN 0.0
+                             ELSE coalesce(hit.n_bp, 0)::DOUBLE / len(s.shingles) END) * 1e4 + 0.5) / 1e4 AS bp_frac
+          FROM sh s LEFT JOIN hit USING (doc_id) ORDER BY s.doc_id""",
+    // identical dirty-text construction + redaction chain (emails, then
+    // phones, then IPs); 'g' = replace-all, matching Spark's default
+    "q_pii_redact" ->
+      s"""WITH d AS (
+            SELECT doc_id,
+                   concat(text, ' contact u', doc_id, '@ex', doc_id % 7,
+                          '.com tel +1-555-', lpad((doc_id % 10000)::VARCHAR, 4, '0'),
+                          ' ip 10.', doc_id % 256, '.0.', (doc_id * 7) % 256) AS dirty
+            FROM documents)
+          SELECT doc_id,
+                 (len(regexp_extract_all(dirty, '$PiiEmailRe'))
+                  + len(regexp_extract_all(dirty, '$PiiPhoneRe'))
+                  + len(regexp_extract_all(dirty, '$PiiIpRe')))::INTEGER AS n_pii,
+                 md5(regexp_replace(regexp_replace(regexp_replace(dirty,
+                       '$PiiEmailRe', '<EMAIL>', 'g'),
+                       '$PiiPhoneRe', '<PHONE>', 'g'),
+                       '$PiiIpRe', '<IP>', 'g')) AS red_md5
+          FROM d ORDER BY doc_id""",
+    "q_quality_buckets" ->
+      s"""WITH $TokCte,
+          vocab AS (SELECT word, count(*) AS wf FROM tok GROUP BY word),
+          tot AS (SELECT count(*) AS tot FROM tok),
+          lp AS (SELECT doc_id,
+                        floor((avg(ln(wf::DOUBLE / tot::DOUBLE))) * 1e4 + 0.5) / 1e4 AS r_lp
+                 FROM tok JOIN vocab USING (word) CROSS JOIN tot
+                 GROUP BY doc_id),
+          b AS (SELECT d.doc_id, d.lang, lp.r_lp,
+                       (ntile(3) OVER (PARTITION BY d.lang ORDER BY lp.r_lp DESC, d.doc_id))::INTEGER AS bucket
+                FROM documents d JOIN lp USING (doc_id))
+          SELECT doc_id, lang, r_lp AS mean_lp, bucket,
+                 CASE WHEN bucket = 1 THEN 'head' WHEN bucket = 3 THEN 'tail'
+                      ELSE 'middle' END AS tier
+          FROM b ORDER BY doc_id""",
+    "q_mixture_sample" ->
+      """WITH b(lang, budget) AS (VALUES ('en', 5000), ('de', 2000), ('es', 2000), ('fr', 2000), ('zh', 1000)),
+          d AS (SELECT doc_id, lang,
+                       len(regexp_split_to_array(text, '\s+'))::BIGINT AS n_ws,
+                       md5(doc_id::VARCHAR) AS rk
+                FROM documents),
+          c AS (SELECT d.doc_id, d.lang, d.n_ws, b.budget,
+                       sum(d.n_ws) OVER (PARTITION BY d.lang ORDER BY d.rk, d.doc_id
+                                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_ws
+                FROM d JOIN b USING (lang))
+          SELECT doc_id, lang, n_ws, cum_ws::BIGINT AS cum_ws
+          FROM c WHERE cum_ws - n_ws < budget ORDER BY doc_id""",
+    "q_pagerank" -> pagerankSql(iters = 5, d = 0.85),
+    "q_graph_degree" ->
+      s"""WITH $GraphEdgesCte,
+          deg AS (SELECT src AS node, count(*) AS degree FROM e GROUP BY src)
+          SELECT degree, count(*) AS n_nodes FROM deg GROUP BY degree ORDER BY degree""",
+    "q_higher_order" ->
+      """WITH u AS (SELECT vec_id, embedding, unnest(range(1, len(embedding) + 1)) AS i FROM embeddings),
+          a AS (SELECT vec_id,
+                       count(CASE WHEN embedding[i] > 0 THEN 1 END) AS n_pos,
+                       sum(embedding[i]::DOUBLE) AS s,
+                       sum(embedding[i]::DOUBLE * embedding[i]::DOUBLE) AS ss,
+                       sum(embedding[i]::DOUBLE * embedding[len(embedding) - i + 1]::DOUBLE) AS sr
+                FROM u GROUP BY vec_id)
+          SELECT vec_id, n_pos::INTEGER AS n_pos,
+                 floor((s) * 1e3 + 0.5) / 1e3 AS sum_all,
+                 floor(sqrt(ss) * 1e3 + 0.5) / 1e3 AS l2,
+                 floor((sr) * 1e3 + 0.5) / 1e3 AS dot_rev
+          FROM a ORDER BY vec_id""")
+
+  /** PII patterns, shared verbatim with CorpusClean — DuckDB standard
+    * string literals keep backslashes literal, so the Java pattern string
+    * drops in unchanged (it is RE2-safe by construction).
+    */
+  private val PiiEmailRe = graft.operators.CorpusClean.EmailRe
+  private val PiiPhoneRe = graft.operators.CorpusClean.PhoneRe
+  private val PiiIpRe    = graft.operators.CorpusClean.Ipv4Re
+
+  /** DuckDB CTE `e(src, dst)`: the symmetrized customer–supplier graph
+    * (mirror of Graph.customerSupplierEdges — UNION dedupes).
+    */
+  private val GraphEdgesCte =
+    """e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+              FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+       e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0)"""
+
+  /** Unrolled fixed-iteration PageRank (mirror of Graph.pagerank). */
+  private def pagerankSql(iters: Int, d: Double): String = {
+    val steps = (1 to iters).map { k =>
+      s"""pr$k AS (SELECT t.node, ((1.0 - $d) / n.n + $d * t.mass) AS pr
+                   FROM (SELECT e.dst AS node, sum(p.pr / deg.degree) AS mass
+                         FROM e JOIN pr${k - 1} p ON e.src = p.node
+                                JOIN deg ON deg.node = e.src
+                         GROUP BY e.dst) t CROSS JOIN n)"""
+    }.mkString(",\n")
+    s"""WITH $GraphEdgesCte,
+        deg AS (SELECT src AS node, count(*) AS degree FROM e GROUP BY src),
+        n AS (SELECT count(*)::DOUBLE AS n FROM deg),
+        pr0 AS (SELECT node, 1.0 / n.n AS pr FROM deg CROSS JOIN n),
+        $steps
+        SELECT node, floor((pr) * 1e6 + 0.5) / 1e6 AS pr FROM pr$iters ORDER BY node"""
+  }
 }

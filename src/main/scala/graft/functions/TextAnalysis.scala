@@ -214,4 +214,44 @@ object TextAnalysis {
     withShingles(df, textCol, k, "__sh")
       .withColumn(out, array_min(transform(col("__sh"), s => md5(s))))
       .drop("__sh")
+
+  /** Bloom-filter decontamination — the constant-memory fast path in front
+    * of [[contaminationOverlap]]'s exact join: sketch the (small) benchmark
+    * shingle set into a Bloom filter once, broadcast it, and flag every
+    * corpus document with at least one possibly-contaminated shingle.
+    *
+    * Guarantees: NO false negatives (every truly contaminated doc is
+    * flagged — Bloom filters never miss an inserted element), false
+    * positives bounded by `fpp` per probe. At 100 TB this replaces a
+    * shuffle-join of the full corpus shingle stream with a map-side probe
+    * of a few MB of broadcast bits; the exact join then runs only over the
+    * flagged sliver. Returns (idCol, n_maybe) for flagged docs.
+    */
+  def bloomDecontaminate(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      k: Int = 5,
+      fpp: Double = 0.01,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    val benchShingles = withShingles(benchmark, textCol, k, "__sh")
+      .select(explode_outer(col("__sh")).as("s"))
+      .where(col("s").isNotNull)
+      .distinct()
+    val n  = math.max(benchShingles.count(), 1L)
+    val bf = benchShingles.stat.bloomFilter("s", n, fpp)
+    val bc = spark.sparkContext.broadcast(bf)
+    import spark.implicits._
+    withShingles(docs, textCol, k, "__sh")
+      .select(col(idCol).cast("long"), col("__sh"))
+      .as[(Long, Seq[String])]
+      // membership probes against broadcast bits are genuine per-row
+      // imperative logic (no Column form exists for BloomFilter.mightContain)
+      .flatMap { case (id, sh) =>
+        val m = sh.count(bc.value.mightContainString)
+        if (m > 0) Some((id, m)) else None
+      }
+      .toDF(idCol, "n_maybe")
+  }
 }

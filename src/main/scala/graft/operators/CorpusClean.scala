@@ -1,0 +1,176 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.{Portable, TextAnalysis}
+
+/** Corpus-cleaning operators a large-scale training-data pipeline runs
+  * between raw crawl and tokenizer: repeated-span (boilerplate) detection,
+  * PII redaction, LM-score quality bucketing, and token-budget mixture
+  * sampling. Each is a declarative DataFrame pipeline with a DuckDB-oracle
+  * mirror in SparkEntry.
+  *
+  * Scale notes per operator are inline; the common theme is that every
+  * corpus-wide structure built here (boilerplate span set, per-lang
+  * quantile boundaries, budget table) is orders of magnitude smaller than
+  * the corpus, so each pipeline is one wide aggregate + one broadcast-able
+  * join back onto the documents — no self-joins, no windows over
+  * unbounded partitions.
+  */
+object CorpusClean {
+
+  /** Repeated-span (boilerplate) detection, the n-gram form of C4's
+    * "remove any line seen in more than one document" rule (the corpus has
+    * no line structure, so spans are word k-grams): a span is boilerplate
+    * when it appears in at least `minDocs` DISTINCT documents.
+    *
+    * Returns (gram, n_docs). Shingles are distinct per doc before the
+    * count, so `count(*)` IS the document frequency — one exchange on the
+    * gram, partial counts map-side. At 100 TB the HAVING keeps only the
+    * (tiny) repeated tail; the full gram stream is never materialized.
+    */
+  def boilerplateSpans(
+      docs: DataFrame,
+      k: Int = 2,
+      minDocs: Long = 20,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    TextAnalysis
+      .withShingles(docs, textCol, k, "__sh")
+      .select(col(idCol), explode_outer(col("__sh")).as("gram"))
+      .where(col("gram").isNotNull)
+      .groupBy(col("gram"))
+      .agg(count(lit(1)).as("n_docs"))
+      .where(col("n_docs") >= minDocs)
+
+  /** Per-document boilerplate exposure: how many of the doc's distinct
+    * k-grams are corpus boilerplate (by [[boilerplateSpans]]), and the
+    * fraction they make up — the per-doc signal a cleaning pass filters or
+    * rewrites on. Returns (idCol, n_grams, n_bp, bp_frac).
+    *
+    * The span set is df-filtered and small, so the join back onto the
+    * exploded gram stream broadcasts; the gram stream itself stays
+    * pipelined (explode → project → broadcast-hash-join → partial agg,
+    * zero extra shuffles beyond the per-doc re-aggregation).
+    */
+  def boilerplateFlag(
+      docs: DataFrame,
+      k: Int = 2,
+      minDocs: Long = 20,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spans = broadcast(boilerplateSpans(docs, k, minDocs, idCol, textCol).select("gram"))
+    val grams = TextAnalysis
+      .withShingles(docs, textCol, k, "__sh")
+      .select(col(idCol), col("__sh"))
+    grams
+      .select(col(idCol), size(col("__sh")).as("n_grams"), explode_outer(col("__sh")).as("gram"))
+      .join(spans, Seq("gram"), "left_semi")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bp"))
+      .join(grams.select(col(idCol), size(col("__sh")).as("n_grams")), Seq(idCol), "right")
+      .select(
+        col(idCol),
+        col("n_grams").cast("long").as("n_grams"),
+        coalesce(col("n_bp"), lit(0L)).as("n_bp"),
+        Portable.pround(
+          when(col("n_grams") === 0, lit(0.0))
+            .otherwise(coalesce(col("n_bp"), lit(0L)).cast("double") / col("n_grams").cast("double")),
+          4).as("bp_frac"))
+  }
+
+  /** PII patterns shared with the oracle SQL: RE2-safe (no lookaround, no
+    * backrefs) so Java regex and DuckDB RE2 agree byte-for-byte on ASCII.
+    */
+  val EmailRe = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+  val PhoneRe = "\\+1-555-[0-9]{4}"
+  val Ipv4Re  = "10\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}"
+
+  /** Redact emails, NANP-style phone numbers and 10.x IPv4 addresses with
+    * typed placeholders. Order matters: emails first (an email contains
+    * dots a lax IP pattern could nibble), then phones, then IPs. Pure
+    * per-row codegen'd regexp_replace chain — map-side at any scale.
+    */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Count of PII matches (for audit metrics), same patterns as
+    * [[redactPii]].
+    */
+  def piiMatchCount(c: Column): Column =
+    size(regexp_extract_all(c, lit(EmailRe), lit(0))) +
+      size(regexp_extract_all(c, lit(PhoneRe), lit(0))) +
+      size(regexp_extract_all(c, lit(Ipv4Re), lit(0)))
+
+  /** CCNet-style head/middle/tail quality bucketing: score every document
+    * with the corpus-derived unigram LM ([[TextAnalysis.unigramLogProbScore]]),
+    * then cut each language's score distribution into `nb` equal-count
+    * buckets (bucket 1 = head = most-fluent). Returns
+    * (idCol, lang, mean_lp rounded, bucket, tier).
+    *
+    * The ntile runs per-language over (rounded score, id) — a total order
+    * both engines agree on. Per-lang partitions are corpus-sized, but the
+    * window carries only (id, lang, score): at 100 TB one would swap the
+    * exact ntile for approx percentile boundaries + a broadcast join; the
+    * exact form is the oracle-checkable reference semantics.
+    */
+  def qualityBuckets(docs: DataFrame, nb: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val scored = TextAnalysis
+      .unigramLogProbScore(
+        Tokenize.tokens(docs, textCol, Seq(idCol)), idCol)
+      .withColumn("r_lp", Portable.pround(col("mean_lp"), 4))
+    val w = Window.partitionBy(col("lang")).orderBy(desc("r_lp"), col(idCol))
+    docs
+      .select(col(idCol), col("lang"))
+      .join(scored.select(col(idCol), col("r_lp")), Seq(idCol))
+      .withColumn("bucket", ntile(nb).over(w))
+      .withColumn(
+        "tier",
+        when(col("bucket") === 1, "head")
+          .when(col("bucket") === nb, "tail")
+          .otherwise("middle"))
+      .select(col(idCol), col("lang"), col("r_lp").as("mean_lp"), col("bucket"), col("tier"))
+  }
+
+  /** Token-budget mixture sampling: each language contributes documents —
+    * in a deterministic pseudo-random order (md5 of the id, rerun-stable
+    * like [[Sampling]]) — until its whitespace-token budget is exhausted; a
+    * document is taken iff it STARTS under budget (the standard
+    * greedy-prefix rule, so the last doc may overshoot). Returns the kept
+    * docs with (idCol, lang, n_ws, cum_ws).
+    *
+    * One window per language over (md5, id); like [[qualityBuckets]] the
+    * window row is 4 small columns, never the text. Unknown languages
+    * (no budget row) contribute nothing.
+    */
+  def mixtureSample(
+      docs: DataFrame,
+      budgets: Map[String, Long],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val budgetDf = broadcast(budgets.toSeq.toDF("lang", "budget"))
+    val w = Window
+      .partitionBy(col("lang"))
+      .orderBy(col("rk"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs
+      .select(
+        col(idCol),
+        col("lang"),
+        TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("n_ws"),
+        md5(col(idCol).cast("string")).as("rk"))
+      .join(budgetDf, Seq("lang"))
+      .withColumn("cum_ws", sum(col("n_ws")).over(w))
+      .where(col("cum_ws") - col("n_ws") < col("budget"))
+      .select(col(idCol), col("lang"), col("n_ws"), col("cum_ws"))
+  }
+}

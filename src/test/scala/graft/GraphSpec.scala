@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Graph
+
+/** PageRank invariants, checked against an INDEPENDENT in-memory
+  * implementation (plain Scala maps — no DataFrames) on a small graph, plus
+  * structural properties on the sf graph. The DuckDB oracle (q_pagerank)
+  * separately pins the full-size values.
+  */
+class GraphSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  // path graph a—b—c—d plus a pendant e off b, symmetrized
+  private val rawEdges =
+    Seq(("a", "b"), ("b", "c"), ("c", "d"), ("b", "e"))
+
+  /** Reference PageRank: same fixed-iteration semantics, written against
+    * Scala collections so a bug in the DataFrame plan can't self-confirm.
+    */
+  private def referencePr(edges: Seq[(String, String)], iters: Int, d: Double): Map[String, Double] = {
+    val undirected = (edges ++ edges.map(_.swap)).distinct
+    val nodes = undirected.map(_._1).distinct.sorted
+    val deg   = undirected.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val n     = nodes.size.toDouble
+    var pr    = nodes.map(_ -> 1.0 / n).toMap
+    (1 to iters).foreach { _ =>
+      val mass = undirected
+        .groupBy(_._2)
+        .view.mapValues(_.map { case (src, _) => pr(src) / deg(src) }.sum)
+        .toMap
+      pr = nodes.map(v => v -> ((1 - d) / n + d * mass.getOrElse(v, 0.0))).toMap
+    }
+    pr
+  }
+
+  test("pagerank matches the independent in-memory implementation on a small graph") {
+    val expected = referencePr(rawEdges, iters = 5, d = 0.85)
+    val got = Graph
+      .pagerank(Graph.undirected(rawEdges.toDF("src", "dst")), iters = 5, d = 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (v, p) =>
+      assert(math.abs(p - expected(v)) < 1e-12, s"$v: $p vs ${expected(v)}")
+    }
+    // the pendant's neighbor is the hub: b must outrank everything
+    assert(got("b") == got.values.max)
+  }
+
+  test("pagerank mass is conserved (sums to 1) on the sf0.001 graph") {
+    val edges = Graph.customerSupplierEdges(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"))
+    val pr = Graph.pagerank(edges, iters = 3)
+    val total = pr.agg(sum("pr")).head().getDouble(0)
+    // undirected ⇒ no dangling nodes ⇒ exact conservation up to fp noise
+    assert(math.abs(total - 1.0) < 1e-9, s"sum(pr) = $total")
+    // bipartite sanity: every node id carries the c/s prefix
+    assert(pr.where(!col("node").rlike("^[cs][0-9]+$")).isEmpty)
+  }
+
+  test("degrees: handshake lemma on the symmetrized graph") {
+    val e = Graph.undirected(rawEdges.toDF("src", "dst"))
+    val degSum = Graph.degrees(e).agg(sum("degree")).head().getLong(0)
+    assert(degSum == e.count(), "sum of degrees == directed edge count of the symmetrized graph")
+  }
+}
