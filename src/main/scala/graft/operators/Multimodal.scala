@@ -120,55 +120,87 @@ object Multimodal {
     * Every frame carries a 100 ms delay (delayTime=10 in GIF's 1/100 s
     * units), so a decoded n-frame clip has duration n×100 ms.
     */
+  /** GIF LZW with the classic clear-code-reset encoding (spec-valid,
+    * decoder-universal): 8-bit literals emitted as 9-bit codes with a CLEAR
+    * every 200 codes so the code width never grows past 9 bits. ~9/8
+    * expansion — irrelevant for synthesis scaffolding; what matters is that
+    * it is pure local byte arithmetic (no shared state, no locks).
+    */
+  private def gifLzw(pixels: Array[Byte]): Array[Byte] = {
+    val out   = new java.io.ByteArrayOutputStream(pixels.length + (pixels.length >> 3) + 16)
+    var cur   = 0L
+    var nbits = 0
+    def emit(code: Int): Unit = {
+      cur |= code.toLong << nbits
+      nbits += 9
+      while (nbits >= 8) { out.write((cur & 0xff).toInt); cur >>>= 8; nbits -= 8 }
+    }
+    emit(256) // CLEAR
+    var i = 0
+    var sinceClear = 0
+    while (i < pixels.length) {
+      emit(pixels(i) & 0xff)
+      sinceClear += 1
+      if (sinceClear >= 200) { emit(256); sinceClear = 0 }
+      i += 1
+    }
+    emit(257) // END OF INFORMATION
+    if (nbits > 0) out.write((cur & 0xff).toInt)
+    out.toByteArray
+  }
+
+  private def putShortLE(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+    o.write(v & 0xff); o.write((v >> 8) & 0xff)
+  }
+
+  /** Direct GIF89a container writer. javax.imageio's GIFImageWriter costs a
+    * measured ~130 µs of fixed overhead PER FRAME (metadata tree
+    * conversion + stream bookkeeping) and serializes concurrent writers on
+    * shared internals — 24-frame clips synthesized at 2 ms each with zero
+    * speedup from 32 threads. Synthesis is test scaffolding, so it writes
+    * the spec bytes itself: header, logical screen descriptor, 256-entry
+    * grayscale global color table, then per frame a GraphicControlExtension
+    * (delayTime=10 → 100 ms, what [[decodeVideo]] sums), image descriptor
+    * and LZW data. The DECODE side — the operator actually under test —
+    * still runs the real JDK codec, which reads these files like any other
+    * GIF.
+    */
   def synthGif(width: Int, height: Int, frames: Int, seed: Long): Array[Byte] = {
-    val writer = javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
-    val out    = new java.io.ByteArrayOutputStream()
-    val ios    = new javax.imageio.stream.MemoryCacheImageOutputStream(out)
-    writer.setOutput(ios)
-    writer.prepareWriteSequence(null)
+    val out = new java.io.ByteArrayOutputStream(1024 + frames * (width * height + 32))
+    out.write("GIF89a".getBytes("US-ASCII"))
+    putShortLE(out, width); putShortLE(out, height)
+    out.write(0xF7) // global color table, 8-bit color resolution, 256 entries
+    out.write(0)    // background color index
+    out.write(0)    // aspect ratio
+    var c = 0
+    while (c < 256) { out.write(c); out.write(c); out.write(c); c += 1 } // gray ramp
+    val px = new Array[Byte](width * height)
     var f = 0
     while (f < frames) {
-      val img = new java.awt.image.BufferedImage(width, height, java.awt.image.BufferedImage.TYPE_INT_RGB)
-      var y = 0
-      while (y < height) {
-        var x = 0
-        while (x < width) {
-          img.setRGB(x, y, (((x * 31 + y * 17 + f * 101) + seed) & 0xffffff).toInt)
-          x += 1
-        }
-        y += 1
+      // GraphicControlExtension: 100 ms per frame (10 in 1/100 s units)
+      out.write(0x21); out.write(0xF9); out.write(4)
+      out.write(0)            // packed: no disposal, no transparency
+      putShortLE(out, 10)     // delayTime
+      out.write(0); out.write(0) // transparent index, block terminator
+      // image descriptor at (0,0), full size, no local color table
+      out.write(0x2C)
+      putShortLE(out, 0); putShortLE(out, 0)
+      putShortLE(out, width); putShortLE(out, height)
+      out.write(0)
+      var i = 0
+      while (i < px.length) { px(i) = ((i * 31 + f * 101 + seed) & 0xff).toByte; i += 1 }
+      out.write(8) // LZW minimum code size
+      val lzw = gifLzw(px)
+      var off = 0
+      while (off < lzw.length) {
+        val n = math.min(255, lzw.length - off)
+        out.write(n); out.write(lzw, off, n)
+        off += n
       }
-      val meta = writer.getDefaultImageMetadata(
-        new javax.imageio.ImageTypeSpecifier(img), writer.getDefaultWriteParam)
-      val fmt  = "javax_imageio_gif_image_1.0"
-      val root = meta.getAsTree(fmt).asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-      // find-or-append the GraphicControlExtension and stamp the frame delay
-      val gce = {
-        var node: javax.imageio.metadata.IIOMetadataNode = null
-        var c = root.getFirstChild
-        while (c != null && node == null) {
-          if (c.getNodeName == "GraphicControlExtension")
-            node = c.asInstanceOf[javax.imageio.metadata.IIOMetadataNode]
-          c = c.getNextSibling
-        }
-        if (node == null) {
-          node = new javax.imageio.metadata.IIOMetadataNode("GraphicControlExtension")
-          root.appendChild(node)
-        }
-        node
-      }
-      gce.setAttribute("disposalMethod", "none")
-      gce.setAttribute("userInputFlag", "FALSE")
-      gce.setAttribute("transparentColorFlag", "FALSE")
-      gce.setAttribute("transparentColorIndex", "0")
-      gce.setAttribute("delayTime", "10")
-      meta.setFromTree(fmt, root)
-      writer.writeToSequence(new javax.imageio.IIOImage(img, null, meta), null)
+      out.write(0) // end of image data sub-blocks
       f += 1
     }
-    writer.endWriteSequence()
-    ios.close()
-    writer.dispose()
+    out.write(0x3B) // trailer
     out.toByteArray
   }
 
