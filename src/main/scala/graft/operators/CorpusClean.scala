@@ -51,9 +51,14 @@ object CorpusClean {
     * rewrites on. Returns (idCol, n_grams, n_bp, bp_frac).
     *
     * The span set is df-filtered and small, so the join back onto the
-    * exploded gram stream broadcasts; the gram stream itself stays
-    * pipelined (explode → project → broadcast-hash-join → partial agg,
-    * zero extra shuffles beyond the per-doc re-aggregation).
+    * exploded gram stream broadcasts. SINGLE corpus pass on the flag side:
+    * `n_grams` travels WITH each exploded gram row (it is constant per doc,
+    * so `max` recovers it in the same aggregate that counts hits), and the
+    * span membership test is a broadcast LEFT OUTER join whose match marker
+    * is counted — one Generate, one broadcast join, one agg; the earlier
+    * two-branch form re-evaluated the whole shingle expression over the
+    * corpus a second time just to recover `n_grams`. Docs with zero grams
+    * survive through `explode_outer`'s null row (marker never matches).
     */
   def boilerplateFlag(
       docs: DataFrame,
@@ -61,23 +66,24 @@ object CorpusClean {
       minDocs: Long = 20,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val spans = broadcast(boilerplateSpans(docs, k, minDocs, idCol, textCol).select("gram"))
-    val grams = TextAnalysis
+    val spans = broadcast(
+      boilerplateSpans(docs, k, minDocs, idCol, textCol)
+        .select(col("gram"), lit(1).as("__hit")))
+    TextAnalysis
       .withShingles(docs, textCol, k, "__sh")
-      .select(col(idCol), col("__sh"))
-    grams
       .select(col(idCol), size(col("__sh")).as("n_grams"), explode_outer(col("__sh")).as("gram"))
-      .join(spans, Seq("gram"), "left_semi")
+      .join(spans, Seq("gram"), "left_outer")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_bp"))
-      .join(grams.select(col(idCol), size(col("__sh")).as("n_grams")), Seq(idCol), "right")
+      .agg(
+        max(col("n_grams")).cast("long").as("n_grams"),
+        count(col("__hit")).as("n_bp"))
       .select(
         col(idCol),
-        col("n_grams").cast("long").as("n_grams"),
-        coalesce(col("n_bp"), lit(0L)).as("n_bp"),
+        col("n_grams"),
+        col("n_bp"),
         Portable.pround(
           when(col("n_grams") === 0, lit(0.0))
-            .otherwise(coalesce(col("n_bp"), lit(0L)).cast("double") / col("n_grams").cast("double")),
+            .otherwise(col("n_bp").cast("double") / col("n_grams").cast("double")),
           4).as("bp_frac"))
   }
 
