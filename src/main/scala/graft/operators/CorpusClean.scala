@@ -118,13 +118,24 @@ object CorpusClean {
     * with the corpus-derived unigram LM ([[TextAnalysis.unigramLogProbScore]]),
     * then cut each language's score distribution into `nb` equal-count
     * buckets (bucket 1 = head = most-fluent). Returns
-    * (idCol, lang, mean_lp rounded, bucket, tier).
+    * (idCol, lang, mean_lp rounded, bucket, tier) — row-identical to
+    * `ntile(nb) OVER (PARTITION BY lang ORDER BY r_lp DESC, id)`, which is
+    * what the DuckDB oracle still runs.
     *
-    * The ntile runs per-language over (rounded score, id) — a total order
-    * both engines agree on. Per-lang partitions are corpus-sized, but the
-    * window carries only (id, lang, score): at 100 TB one would swap the
-    * exact ntile for approx percentile boundaries + a broadcast join; the
-    * exact form is the oracle-checkable reference semantics.
+    * DISTRIBUTED ntile (the round-6 form was one corpus-sized window task
+    * per language): each row's per-language rank decomposes as
+    *
+    *   rank = (#rows with a strictly HIGHER score)            [base]
+    *        + row_number among the ties, ordered by id        [local]
+    *
+    * and ntile is pure arithmetic on (rank, n). `base` and `n` come from a
+    * count aggregate keyed by (lang, score) — scores are 4-dp-quantized in
+    * a bounded range, so that relation is score-resolution-bounded METADATA
+    * (≤ ~10^5·langs rows regardless of corpus size: the same trick as
+    * [[Packing.packByOffset]]'s chunk subtotals), its per-lang windows sort
+    * metadata, and it broadcasts back. The only document-side window
+    * partitions by (lang, score): one tie group per task, never a whole
+    * language.
     */
   def qualityBuckets(docs: DataFrame, nb: Int = 3,
       idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
@@ -132,11 +143,32 @@ object CorpusClean {
       .unigramLogProbScore(
         Tokenize.tokens(docs, textCol, Seq(idCol)), idCol)
       .withColumn("r_lp", Portable.pround(col("mean_lp"), 4))
-    val w = Window.partitionBy(col("lang")).orderBy(desc("r_lp"), col(idCol))
-    docs
+    val rows = docs
       .select(col(idCol), col("lang"))
       .join(scored.select(col(idCol), col("r_lp")), Seq(idCol))
-      .withColumn("bucket", ntile(nb).over(w))
+    // pass 1: per-(lang, score) tie counts → cumulative higher-score count
+    // (base) + language total (n); metadata-scale windows
+    val wScores = Window.partitionBy(col("lang")).orderBy(desc("r_lp"))
+    val wLang   = Window.partitionBy(col("lang"))
+    val bases = rows
+      .groupBy(col("lang"), col("r_lp"))
+      .agg(count(lit(1)).as("__tie"))
+      .withColumn("__base", sum(col("__tie")).over(wScores) - col("__tie"))
+      .withColumn("__n", sum(col("__tie")).over(wLang))
+      .select(col("lang"), col("r_lp"), col("__base"), col("__n"))
+    // pass 2: bounded local window (one tie group per partition), then
+    // ntile arithmetic: with q = n div nb and m = n mod nb, the first m
+    // buckets hold q+1 rows and the rest hold q
+    val wLocal = Window.partitionBy(col("lang"), col("r_lp")).orderBy(col(idCol))
+    val rank = col("__base") + row_number().over(wLocal)
+    val q    = floor(col("__n") / nb).cast("long")
+    val m    = (col("__n") % nb).cast("long")
+    val bucket = when(rank <= m * (q + 1), floor((rank - 1) / (q + 1)) + 1)
+      .otherwise(m + floor((rank - 1 - m * (q + 1)) / q) + 1)
+      .cast("int")
+    rows
+      .join(broadcast(bases), Seq("lang", "r_lp"))
+      .withColumn("bucket", bucket)
       .withColumn(
         "tier",
         when(col("bucket") === 1, "head")
@@ -152,30 +184,54 @@ object CorpusClean {
     * greedy-prefix rule, so the last doc may overshoot). Returns the kept
     * docs with (idCol, lang, n_ws, cum_ws).
     *
-    * One window per language over (md5, id); like [[qualityBuckets]] the
-    * window row is 4 small columns, never the text. Unknown languages
-    * (no budget row) contribute nothing.
+    * DISTRIBUTED prefix sum (the round-6 form was one corpus-sized window
+    * task per language): the md5 order key is uniform by construction, so
+    * its first `chunkHexDigits` hex chars cut each language into 16^digits
+    * balanced chunks that are LEXICALLY MONOTONE in the order key — the
+    * [[Packing.packByOffset]] two-pass shape. Pass 1 aggregates per-chunk
+    * token subtotals (metadata: 16^digits rows per language) and turns them
+    * into chunk base offsets with a metadata-scale window; pass 2 computes
+    * the local running sum inside each (lang, chunk) — ~N/16^digits rows
+    * per task — and base + local is the exact global cumulative sum.
+    * Unknown languages (no budget row) contribute nothing. Raise
+    * `chunkHexDigits` with corpus size (4 ⇒ 65536 chunks at 100 TB).
     */
   def mixtureSample(
       docs: DataFrame,
       budgets: Map[String, Long],
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      chunkHexDigits: Int = 2): DataFrame = {
+    require(chunkHexDigits >= 1 && chunkHexDigits <= 8,
+      s"chunkHexDigits ($chunkHexDigits) must be in [1, 8]")
     val spark = docs.sparkSession
     import spark.implicits._
     val budgetDf = broadcast(budgets.toSeq.toDF("lang", "budget"))
-    val w = Window
-      .partitionBy(col("lang"))
-      .orderBy(col("rk"), col(idCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    docs
+    val rows = docs
       .select(
         col(idCol),
         col("lang"),
         TextAnalysis.wsTokenCount(col(textCol)).cast("long").as("n_ws"),
         md5(col(idCol).cast("string")).as("rk"))
       .join(budgetDf, Seq("lang"))
-      .withColumn("cum_ws", sum(col("n_ws")).over(w))
+      .withColumn("__chunk", substring(col("rk"), 1, chunkHexDigits))
+    // pass 1: per-(lang, chunk) subtotals → chunk base offsets via a
+    // metadata-scale window (16^digits rows per language)
+    val wChunks = Window.partitionBy(col("lang")).orderBy(col("__chunk"))
+    val bases = rows
+      .groupBy(col("lang"), col("__chunk"))
+      .agg(sum(col("n_ws")).as("__ct"))
+      .withColumn("__base", sum(col("__ct")).over(wChunks) - col("__ct"))
+      .select(col("lang"), col("__chunk"), col("__base"))
+    // pass 2: bounded local running sum; (chunk ASC, rk ASC, id ASC) is the
+    // global (rk, id) order because the chunk is a prefix of rk
+    val wLocal = Window
+      .partitionBy(col("lang"), col("__chunk"))
+      .orderBy(col("rk"), col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    rows
+      .join(broadcast(bases), Seq("lang", "__chunk"))
+      .withColumn("cum_ws", col("__base") + sum(col("n_ws")).over(wLocal))
       .where(col("cum_ws") - col("n_ws") < col("budget"))
       .select(col(idCol), col("lang"), col("n_ws"), col("cum_ws"))
   }

@@ -133,6 +133,33 @@ class PlanShapeSpec extends SparkSpec {
     assert(bucketed.count() == naive.count())
   }
 
+  test("corpus-clean windows never put a whole language in one task") {
+    // every document-sized window must partition by (lang, <subdivider>);
+    // windows partitioned by lang ALONE are allowed only over metadata —
+    // i.e. above an aggregate that already collapsed the corpus
+    import org.apache.spark.sql.execution.aggregate.BaseAggregateExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def assertBounded(df: org.apache.spark.sql.DataFrame, label: String): Unit = {
+      val windows = df.queryExecution.sparkPlan.collect { case w: WindowExec => w }
+      assert(windows.nonEmpty, s"$label: expected window operators in the plan")
+      windows.foreach { w =>
+        val bounded = w.partitionSpec.length >= 2 ||
+          w.child.collectFirst {
+            case a: BaseAggregateExec if a.groupingExpressions.length >= 2 => a
+          }.nonEmpty
+        assert(bounded,
+          s"$label: window partitioned by ${w.partitionSpec.mkString(",")} runs " +
+            s"directly over the corpus — one task per language:\n${df.queryExecution.sparkPlan}")
+      }
+    }
+    val docs01 = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    assertBounded(graft.operators.CorpusClean.qualityBuckets(docs01), "qualityBuckets")
+    assertBounded(
+      graft.operators.CorpusClean.mixtureSample(docs01, Map("en" -> 500L, "de" -> 200L)),
+      "mixtureSample")
+    assertBounded(graft.operators.Packing.packByOffset(docs01, budget = 2048), "packByOffset")
+  }
+
   test("broadcast dim join keeps the fact side shuffle-free") {
     val orders   = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
