@@ -368,6 +368,24 @@ object Similarity {
       m: Int,
       subDim: Int,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    pqCodes(corpus, codebooks, m, subDim, idCol, vecCol)
+      .groupBy(col(idCol))
+      .agg(array_join(
+        array_sort(collect_list(struct(col("sub"), col("code")))).getField("code"), " ")
+        .as("codes_str"))
+
+  /** Per-(vector, subspace) PQ code rows — [[pqEncode]] before its final
+    * array packing, and the relation [[ivfpqSearch]] scans: one row per
+    * (idCol, sub) with the argmin codeword id. Same portable L2 argmin
+    * (dist₆ ASC, code ASC) as the packed form.
+    */
+  def pqCodes(
+      corpus: DataFrame,
+      codebooks: DataFrame,
+      m: Int,
+      subDim: Int,
+      idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     require(m >= 1 && subDim >= 1)
     val subs = corpus.select(
@@ -381,10 +399,94 @@ object Similarity {
       .agg(max_by(
         col("code_id"),
         struct((-round(col("dist"), 6)).as("k1"), (-col("code_id")).as("k2"))).as("code"))
-      .groupBy(col(idCol))
-      .agg(array_join(
-        array_sort(collect_list(struct(col("sub"), col("code")))).getField("code"), " ")
-        .as("codes_str"))
+  }
+
+  /** IVF-PQ ADC search — the retrieval half that makes [[pqEncode]]'s codes
+    * an index: queries scan COMPRESSED codes, never the corpus vectors.
+    * Per query it builds the m×|codebook| asymmetric-distance table
+    * d(q_sub, codeword) — squared L2, expanded x·x − 2(x·c) + c·c with the
+    * codegen'd [[dot]] — then scores each candidate as the sum of its m
+    * codes' table entries and returns the k smallest. Returns
+    * (q_id, idCol, rank, adc_q) — adc_q is the ADC distance quantized to
+    * 1e-6 integers: the per-(sub, code) entries quantize BEFORE the sum, so
+    * the candidate score is exact 64-bit integer arithmetic and
+    * cross-engine summation order cannot perturb ranks (the same
+    * quantize-then-integer trick as [[centroidUpdate]]).
+    *
+    * Plan (the 100 TB shape): the encoded relation (cell, sub, code per
+    * vector) is the index a build pipeline persists — here it derives from
+    * [[ivfAssign]]-routing plus [[pqCodes]], both bounded map-side argmax
+    * aggregates. The distance table is |Q|·m·|codebook| rows and the probed
+    * (query, cell) assignment ≤ |Q|·nprobe rows — both broadcast; the only
+    * corpus-sized exchanges are the per-(query, candidate) integer sum and
+    * the bounded [[graft.plans.CosTopK]] top-k, whose partial buffers cap
+    * map-side contributions at k. No window, no corpus self-join; scan cost
+    * scales with the probed fraction nprobe/|cells| exactly like
+    * [[ivfSearch]], on ~m bytes per vector instead of the full embedding.
+    */
+  def ivfpqSearch(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      m: Int,
+      subDim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    require(k >= 1 && nprobe >= 1)
+    // index-build half: cell routing (argmax cosine, [[ivfAssign]]) joined
+    // to the per-subspace codes — the relation a production build persists
+    val encoded = pqCodes(corpus, codebooks, m, subDim, idCol, vecCol)
+      .join(ivfAssign(corpus, centroids, idCol, vecCol).select(col(idCol), col("cell")), Seq(idCol))
+    // query half: integer-quantized subspace distance table, broadcast
+    val qsubs = queries.select(
+      col(idCol).as("q_id"),
+      posexplode(array((0 until m).map(s => slice(col(vecCol), s * subDim + 1, subDim)): _*))
+        .as(Seq("sub", "qs")))
+    val dtable = qsubs.join(broadcast(codebooks), Seq("sub"))
+      .select(col("q_id"), col("sub"), col("code_id").as("code"),
+        floor(
+          (dot(col("qs"), col("qs")) - lit(2.0) * dot(col("qs"), col("cw")) + dot(col("cw"), col("cw")))
+            * 1e6 + 0.5).cast("bigint").as("d_q"))
+    // probe: top-nprobe max-cosine cells per query — identical (cos₆ DESC,
+    // id ASC) ordering as the routing argmax, so ties can never disagree
+    val c = centroids.select(col(idCol).as("c_id"), col(vecCol).as("cv")).withColumn("cn", norm("cv"))
+    val q = queries.select(col(idCol).as("q_id"), col(vecCol).as("qv")).withColumn("qn", norm("qv"))
+    val probeAgg = GraftBridge.column(
+      graft.plans.CosTopK(
+        GraftBridge.expression(round(col("cos"), 6)),
+        GraftBridge.expression(col("c_id").cast("bigint")),
+        GraftBridge.expression(col("cos")), nprobe).toAggregateExpression())
+    val probed = q.crossJoin(broadcast(c))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .groupBy(col("q_id")).agg(probeAgg.as("cells"))
+      .select(col("q_id"), explode(col("cells")).as("pc"))
+      .select(col("q_id"), col("pc.id").as("cell"))
+    // ADC scoring: candidates = probed cells' members; each (query,
+    // candidate) sums exactly m integer table entries — exact bigint math
+    val scored = encoded.join(broadcast(probed), Seq("cell"))
+      .where(col(idCol) =!= col("q_id"))
+      .join(broadcast(dtable), Seq("q_id", "sub", "code"))
+      .groupBy(col("q_id"), col(idCol))
+      .agg(sum(col("d_q")).as("adc_q"))
+    // bounded top-k on distance ASC (id ASC ties): the negated integer
+    // distance is exact in a double (|adc_q| << 2^53)
+    val topk = GraftBridge.column(
+      graft.plans.CosTopK(
+        GraftBridge.expression((-col("adc_q")).cast("double")),
+        GraftBridge.expression(col(idCol).cast("bigint")),
+        GraftBridge.expression(col("adc_q").cast("double")), k).toAggregateExpression())
+    scored.groupBy(col("q_id"))
+      .agg(topk.as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(
+        col("q_id"),
+        col("col.id").as(idCol),
+        (col("pos") + 1).as("rank"),
+        col("col.cos").cast("bigint").as("adc_q"))
   }
 
   def ivfAssign(

@@ -122,6 +122,103 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(probed >= 0.4, s"4-probe single-table recall $probed < 0.4 (plain measured ~0.12)")
   }
 
+  test("ivfpqSearch matches an independent in-memory ADC mirror") {
+    // the Spark pipeline (routing, codes, distance table, probing, integer
+    // ADC sums, top-k) recomputed from scratch in plain Scala — portable
+    // rounding (floor(x*1e6+0.5)/1e6) and all tie-breaks mirrored — so a
+    // bug in ANY stage of the DataFrame pipeline diverges here
+    val all = emb.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray).toMap
+    val cents = (0L until 8L).map(i => i -> all(i))
+    val corp  = all.filter(_._1 >= 18L)
+    val qs    = all.filter { case (id, _) => id >= 8L && id <= 17L }
+    def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    def dd(a: Array[Float], b: Array[Float]): Double = {
+      var s = 0.0; var i = 0
+      while (i < a.length) { s += a(i).toDouble * b(i).toDouble; i += 1 }
+      s
+    }
+    def cos(a: Array[Float], b: Array[Float]): Double = dd(a, b) / (math.sqrt(dd(a, a)) * math.sqrt(dd(b, b)))
+    def subv(v: Array[Float], s: Int): Array[Float] = v.slice(s * 16, s * 16 + 16)
+    def l2(x: Array[Float], c: Array[Float]): Double = dd(x, x) - 2.0 * dd(x, c) + dd(c, c)
+    val cell = corp.map { case (id, v) =>
+      id -> cents.map { case (cid, cv) => (round6(cos(v, cv)), cid) }
+        .sortBy { case (c6, cid) => (-c6, cid) }.head._2
+    }
+    val codes = corp.map { case (id, v) =>
+      id -> (0 until 4).map { s =>
+        cents.map { case (cid, cv) => (round6(l2(subv(v, s), subv(cv, s))), cid) }
+          .sortBy { case (d6, cid) => (d6, cid) }.head._2
+      }
+    }
+    val dtab = qs.flatMap { case (qid, qv) =>
+      (0 until 4).flatMap { s =>
+        cents.map { case (cid, cv) =>
+          (qid, s, cid) -> math.floor(l2(subv(qv, s), subv(cv, s)) * 1e6 + 0.5).toLong
+        }
+      }
+    }
+    val probes = qs.map { case (qid, qv) =>
+      qid -> cents.map { case (cid, cv) => (round6(cos(qv, cv)), cid) }
+        .sortBy { case (c6, cid) => (-c6, cid) }.take(2).map(_._2).toSet
+    }
+    val expected = qs.keys.flatMap { qid =>
+      corp.keys.toSeq
+        .filter(id => probes(qid).contains(cell(id)))
+        .map(id => (id, (0 until 4).map(s => dtab((qid, s, codes(id)(s)))).sum))
+        .sortBy { case (id, adc) => (adc, id) }
+        .take(5).zipWithIndex
+        .map { case ((id, adc), i) => (qid, id, i + 1, adc) }
+    }.toSet
+    def codebooks = (0 until 4)
+      .map(sub => emb.where(col("vec_id") < 8).select(
+        lit(sub).as("sub"),
+        col("vec_id").as("code_id"),
+        slice(col("embedding"), sub * 16 + 1, 16).as("cw")))
+      .reduce(_ unionAll _)
+    def search(nprobe: Int) = Similarity.ivfpqSearch(
+      emb.where(col("vec_id") >= 18), emb.where(col("vec_id") < 8), codebooks,
+      emb.where(col("vec_id").between(8, 17)), k = 5, nprobe = nprobe, m = 4, subDim = 16)
+    val got = search(nprobe = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2), r.getLong(3))).toSet
+    assert(got == expected,
+      s"ADC mirror diverged (spark=${got.size}, mirror=${expected.size}, " +
+        s"sparkOnly=${(got -- expected).take(3)}, mirrorOnly=${(expected -- got).take(3)})")
+  }
+
+  test("ivfpqSearch finds planted cluster structure (precision@5 pinned)") {
+    import spark.implicits._
+    // The sf0.01 embeddings are NEAR-RANDOM 64-dim vectors — the regime
+    // where all pairwise distances concentrate and NO quantized method can
+    // rank a top-5 (measured: ADC recall ≈ random-guess 0.02; even exact-L2
+    // vs exact-cosine top-5s barely overlap). The property ADC actually
+    // guarantees is metric fidelity at the signal scale the codebook can
+    // represent, so the quality spec plants 10 well-separated clusters
+    // (σ=0.1 noise around N(0,1) centers) and pins CLUSTER precision: every
+    // top-5 result must come from the query's own cluster (measured 1.0 —
+    // within-cluster ranks still concentrate, so recall@5 stays the wrong
+    // metric even here).
+    val rnd = new java.util.Random(7)
+    val centers = Array.fill(10, 64)(rnd.nextGaussian().toFloat)
+    def near(c: Int): Array[Float] = centers(c).map(v => v + 0.1f * rnd.nextGaussian().toFloat)
+    val corpus  = (0 until 300).map(i => (i.toLong, near(i % 10))).toDF("vec_id", "embedding")
+    val queries = (0 until 10).map(j => (1000L + j, near(j))).toDF("vec_id", "embedding")
+    val cents   = centers.zipWithIndex.toSeq.map { case (c, i) => (i.toLong, c) }.toDF("vec_id", "embedding")
+    val codebooks = (0 until 4)
+      .map(sub => corpus.where(col("vec_id") < 32).select(
+        lit(sub).as("sub"),
+        col("vec_id").as("code_id"),
+        slice(col("embedding"), sub * 16 + 1, 16).as("cw")))
+      .reduce(_ unionAll _)
+    val got = Similarity
+      .ivfpqSearch(corpus, cents, codebooks, queries, k = 5, nprobe = 2, m = 4, subDim = 16)
+      .select("q_id", "vec_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == 50, s"expected 10 queries x 5 results, got ${got.length}")
+    val right = got.count { case (qid, vid) => (qid - 1000L) == vid % 10 }
+    val precision = right.toDouble / got.length
+    assert(precision >= 0.9, s"planted-cluster ADC precision $precision < 0.9")
+  }
+
   test("planesFor scales bucket count with corpus size") {
     assert(Similarity.planesFor(1L << 20, 1024) == 10)
     assert(Similarity.planesFor(500, 1024) == 1, "tiny corpora floor at one plane")
