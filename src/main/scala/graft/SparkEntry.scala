@@ -857,6 +857,37 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // -- REAL image resize roundtrip: synthesize -> halve via Graphics2D ->
+    //    PNG re-encode -> DECODE the output; the oracle recomputes
+    //    ceil(w/2) x ceil(h/2) from the synthesis formulas, so a fake
+    //    resize (or a fake decode) cannot pass
+    "q_multimodal_resize" -> ((s, dir) => {
+      operators.Multimodal
+        .decode(operators.Multimodal.resizeImages(
+          operators.Multimodal.demoMediaFromDocuments(s, dir).filter(_.kind == "image")))
+        .toDF()
+        .select(col("media_id"), col("width"), col("height"))
+        .orderBy("media_id")
+    }),
+
+    // -- REAL video frame sampling: every 4th GIF frame extracted with the
+    //    frame-addressable reader and re-encoded PNG, then each emitted
+    //    frame DECODED back; the oracle unnests ceil(frames/4) rows per
+    //    clip from the synthesis formulas
+    "q_multimodal_frames" -> ((s, dir) => {
+      import s.implicits._
+      operators.Multimodal
+        .sampleFrames(
+          operators.Multimodal.demoMediaFromDocuments(s, dir).filter(_.kind == "video"),
+          stride = 4)
+        .map { f =>
+          val (w, h) = operators.Multimodal.decodeImage(f.bytes).getOrElse((-1, -1))
+          (f.media_id, f.frame_idx, w, h)
+        }
+        .toDF("media_id", "frame_idx", "width", "height")
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // -- sliding windows: every event lands in four overlapping 1-hour
     //    windows on a 15-minute slide (the same groupBy streams with a
     //    watermark)
@@ -1964,6 +1995,27 @@ object SparkEntry {
                       WHEN doc_id % 3 = 1 THEN 1 + (octet_length(encode(text))::BIGINT * 131) % 60000
                       ELSE (1 + (octet_length(encode(text))::BIGINT * 131) % 24) * 100 END)::BIGINT AS duration_ms
          FROM documents ORDER BY media_id""",
+    // resize mirror: the synthesized PNG is ceil-halved, so decoded output
+    // dims must equal ceil((1 + id mod 64)/2) x ceil((1 + len mod 64)/2)
+    // (// is DuckDB integer division; (w+1)//2 == ceil(w/2))
+    "q_multimodal_resize" ->
+      """SELECT doc_id AS media_id,
+                ((1 + doc_id % 64 + 1) // 2)::INTEGER AS width,
+                ((1 + octet_length(encode(text)) % 64 + 1) // 2)::INTEGER AS height
+         FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""",
+    // frame-sampling mirror: ceil(frames/4) rows per clip at original
+    // frame indices 0,4,8,... — frames = 1 + 131*len mod 24 from the GIF
+    // synthesis formula; each extracted frame decodes at the clip's dims
+    "q_multimodal_frames" ->
+      """WITH p AS (
+           SELECT doc_id, octet_length(encode(text)) AS len,
+                  (1 + (octet_length(encode(text))::BIGINT * 131) % 24) AS frames
+           FROM documents WHERE doc_id % 3 = 2),
+         g AS (SELECT doc_id, len, unnest(range(0, (frames + 3) // 4)) AS u FROM p)
+         SELECT doc_id AS media_id, (4 * u)::INTEGER AS frame_idx,
+                (1 + doc_id % 32)::INTEGER AS width,
+                (1 + len % 32)::INTEGER AS height
+         FROM g ORDER BY media_id, frame_idx""",
     // WHERE before the window is equivalent: the partition key is the
     // filter column, so partitions are kept or dropped whole
     "q_window_rolling" ->

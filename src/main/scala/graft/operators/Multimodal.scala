@@ -276,24 +276,85 @@ object Multimodal {
     }
   }
 
-  /** "Resize" stub: keeps the plumbing shape of a bytes→bytes media
-    * transform (e.g. image resize / audio resample) — truncation stands in
-    * for the codec call.
+  /** REAL image resize (bytes→bytes, per-partition, no shuffle): decode via
+    * javax.imageio, scale with Graphics2D bilinear interpolation to
+    * (⌈w·num/den⌉, ⌈h·num/den⌉) — never below 1×1 — and re-encode PNG.
+    * Non-image records and unparseable bytes pass through untouched, so the
+    * transform composes with mixed-modality streams. The roundtrip is
+    * value-checkable: decoding the output recovers exactly the scaled
+    * dimensions (q_multimodal_resize's oracle recomputes ⌈w/2⌉×⌈h/2⌉ from
+    * the synthesis formulas).
     */
-  def resizeStub(media: Dataset[MediaRecord], maxBytes: Int): Dataset[MediaRecord] = {
+  def resizeImages(media: Dataset[MediaRecord], num: Int = 1, den: Int = 2): Dataset[MediaRecord] = {
+    require(num >= 1 && den >= 1, s"scale $num/$den must be positive")
     import media.sparkSession.implicits._
-    media.map(r => r.copy(bytes = r.bytes.take(maxBytes)))
+    media.mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.map { r =>
+        if (r.kind != "image") r
+        else {
+          val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))
+          if (img == null) r
+          else {
+            val w = math.max(1, (img.getWidth * num + den - 1) / den)
+            val h = math.max(1, (img.getHeight * num + den - 1) / den)
+            val dst = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            val g = dst.createGraphics()
+            try {
+              g.setRenderingHint(
+                java.awt.RenderingHints.KEY_INTERPOLATION,
+                java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+              g.drawImage(img, 0, 0, w, h, null)
+            } finally g.dispose()
+            val out = new java.io.ByteArrayOutputStream()
+            javax.imageio.ImageIO.write(dst, "png", out)
+            r.copy(bytes = out.toByteArray)
+          }
+        }
+      }
+    }
   }
 
-  /** Frame-sampling stub for video: emit one record per sampled "frame"
-    * (every `stride` bytes stands in for every Nth frame) — a 1→N generator
-    * transform, the shape a real frame sampler has.
+  /** One extracted video frame: source clip id, the ORIGINAL frame index
+    * (0, stride, 2·stride, …), and the frame re-encoded as a standalone PNG.
     */
-  def sampleFramesStub(media: Dataset[MediaRecord], stride: Int): Dataset[MediaRecord] = {
+  case class FrameRecord(media_id: Long, frame_idx: Int, bytes: Array[Byte])
+
+  /** REAL video frame sampling (1→N generator, per-partition, no shuffle):
+    * every `stride`-th frame of each video record is extracted with
+    * javax.imageio's frame-addressable GIF reader (`reader.read(i)` decodes
+    * only the addressed frame) and re-encoded as a standalone PNG — the
+    * keyframe-extraction shape a vision-model data pipeline feeds to its
+    * image tower. Emits ⌈frames/stride⌉ records per clip; non-video and
+    * unparseable records emit nothing.
+    */
+  def sampleFrames(media: Dataset[MediaRecord], stride: Int): Dataset[FrameRecord] = {
+    require(stride >= 1, s"stride ($stride) must be >= 1")
     import media.sparkSession.implicits._
-    media.flatMap { r =>
-      r.bytes.grouped(stride).zipWithIndex.map { case (chunk, i) =>
-        MediaRecord(r.media_id * 1000 + i, r.kind + "_frame", chunk, r.meta)
+    media.filter(_.kind == "video").mapPartitions { it =>
+      javax.imageio.ImageIO.setUseCache(false)
+      it.flatMap { r =>
+        val iis = new javax.imageio.stream.MemoryCacheImageInputStream(
+          new java.io.ByteArrayInputStream(r.bytes))
+        val readers = javax.imageio.ImageIO.getImageReaders(iis)
+        if (!readers.hasNext) { iis.close(); Seq.empty[FrameRecord] }
+        else {
+          val reader = readers.next()
+          try {
+            reader.setInput(iis, false, false)
+            val n = reader.getNumImages(true)
+            // materialize before the reader is disposed — a lazy iterator
+            // would read from a closed stream
+            (0 until n by stride).map { i =>
+              val out = new java.io.ByteArrayOutputStream()
+              javax.imageio.ImageIO.write(reader.read(i), "png", out)
+              FrameRecord(r.media_id, i, out.toByteArray)
+            }
+          } catch {
+            case _: Exception => Seq.empty[FrameRecord]
+          } finally { reader.dispose(); iis.close() }
+        }
       }
     }
   }

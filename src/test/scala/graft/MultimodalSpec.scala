@@ -86,12 +86,37 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.filter(_.kind != "image").forall(_.duration_ms > 0L))
   }
 
-  test("resize truncates payloads; frame sampling is 1->N") {
-    val media   = Multimodal.demoMediaFromDocuments(spark, dir)
-    val resized = Multimodal.resizeStub(media, maxBytes = 10)
-    assert(resized.collect().forall(_.bytes.length <= 10))
-    val n      = media.count()
-    val frames = Multimodal.sampleFramesStub(media, stride = 50)
-    assert(frames.count() > n) // every doc > 50 bytes yields multiple frames
+  test("resizeImages halves decoded dimensions via a real codec roundtrip") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", Multimodal.synthPng(10, 7, seed = 3), "en"),
+      Multimodal.MediaRecord(2L, "image", Multimodal.synthPng(1, 1, seed = 4), "en"),
+      Multimodal.MediaRecord(3L, "audio", Multimodal.synthWav(100), "en")).toDS()
+    val out = Multimodal.resizeImages(media, num = 1, den = 2).collect()
+    val byId = out.map(r => r.media_id -> r).toMap
+    // ceil(10/2) x ceil(7/2) = 5 x 4, recovered by DECODING the output PNG
+    assert(Multimodal.decodeImage(byId(1L).bytes).contains((5, 4)))
+    // 1x1 floors at 1x1, never 0
+    assert(Multimodal.decodeImage(byId(2L).bytes).contains((1, 1)))
+    // non-image records pass through byte-identical
+    assert(byId(3L).bytes.sameElements(Multimodal.synthWav(100)))
+  }
+
+  test("sampleFrames extracts every stride-th frame as a decodable PNG") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", Multimodal.synthGif(6, 4, frames = 10, seed = 5), "en"),
+      Multimodal.MediaRecord(2L, "video", Multimodal.synthGif(3, 3, frames = 1, seed = 6), "en"),
+      Multimodal.MediaRecord(3L, "image", Multimodal.synthPng(5, 5, seed = 7), "en")).toDS()
+    val frames = Multimodal.sampleFrames(media, stride = 4).collect()
+    // ceil(10/4)=3 frames at indices 0,4,8 for clip 1; 1 frame for clip 2;
+    // the image record contributes nothing
+    assert(frames.map(f => (f.media_id, f.frame_idx)).sorted.toSeq ==
+      Seq((1L, 0), (1L, 4), (1L, 8), (2L, 0)))
+    // every extracted frame is a standalone PNG with the clip's dimensions
+    assert(frames.filter(_.media_id == 1L)
+      .forall(f => Multimodal.decodeImage(f.bytes).contains((6, 4))))
+    assert(frames.filter(_.media_id == 2L)
+      .forall(f => Multimodal.decodeImage(f.bytes).contains((3, 3))))
   }
 }
