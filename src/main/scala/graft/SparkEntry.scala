@@ -649,6 +649,17 @@ object SparkEntry {
         .orderBy("cell")
     }),
 
+    // -- full k-means training loop: 3 Lloyd rounds from the vec_id<8
+    //    seeds (fixed round count keeps it DuckDB-expressible as an
+    //    unrolled CTE; per-round 4-dp centroid quantization keeps every
+    //    round's inputs cross-engine exact)
+    "q_kmeans_full" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .kmeansIterate(emb, emb.where(col("vec_id") < 8), iters = 3)
+        .orderBy("cell")
+    }),
+
     // -- exact n-gram jaccard pairs (distributed: explode + equi-join on
     //    shingle, never an all-pairs cross join)
     "q_ngram_jaccard" -> ((s, dir) => {
@@ -1514,6 +1525,7 @@ object SparkEntry {
          SELECT cell, max(n)::BIGINT AS n_members,
                 array_to_string(list(m_q ORDER BY pos), ' ') AS centroid_q
          FROM m GROUP BY cell ORDER BY cell""",
+    "q_kmeans_full" -> kmeansOracleSql(3),
     "q_search_phrase" ->
       s"""WITH $ToksArrCte,
           p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS word
@@ -2221,6 +2233,53 @@ object SparkEntry {
        e AS (SELECT src, dst FROM e0 UNION SELECT dst AS src, src AS dst FROM e0)"""
 
   /** Unrolled fixed-iteration PageRank (mirror of Graph.pagerank). */
+  /** Unrolled-CTE mirror of [[Similarity.kmeansIterate]]: per round, the
+    * max-cosine assignment (cos₆ DESC, cell ASC — identical keys to the
+    * Spark argmax) and the per-(cell, pos) quantized mean rebuilt into a
+    * DOUBLE centroid list. Because every round's centroid components are
+    * floor(avg·1e4+0.5)/1e4, the values feeding round r+1 are exactly
+    * representable in both engines and the unroll stays bit-stable.
+    */
+  private def kmeansOracleSql(iters: Int): String = {
+    val steps = (1 to iters).map { r =>
+      s"""p$r AS (
+           SELECT e.vec_id, cp.cell AS c_id,
+                  list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> e.embedding[i]::DOUBLE * cp.cv[i])) / (e.nrm * cp.cn) AS cos
+           FROM e CROSS JOIN c${r - 1} cp),
+         asg$r AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, c_id AS cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY floor((cos) * 1e6 + 0.5) / 1e6 DESC, c_id) AS rn
+             FROM p$r) q
+           WHERE rn = 1),
+         comp$r AS (
+           SELECT a.cell, e.vec_id,
+                  unnest(range(1, len(e.embedding) + 1)) AS pos,
+                  unnest(list_transform(e.embedding, x -> x::DOUBLE)) AS v
+           FROM asg$r a JOIN e ON e.vec_id = a.vec_id),
+         m$r AS (
+           SELECT cell, pos, floor(avg(v) * 1e4 + 0.5) / 1e4 AS m,
+                  count(DISTINCT vec_id) AS n
+           FROM comp$r GROUP BY cell, pos),
+         c$r AS (
+           SELECT cell, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn, n_members
+           FROM (SELECT cell, list(m ORDER BY pos) AS cv, max(n) AS n_members
+                 FROM m$r GROUP BY cell) b)"""
+    }.mkString(",\n")
+    s"""WITH e AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+          FROM embeddings),
+        c0 AS (SELECT vec_id AS cell, list_transform(embedding, x -> x::DOUBLE) AS cv, nrm AS cn
+               FROM e WHERE vec_id < 8),
+        $steps
+        SELECT cell, n_members::BIGINT AS n_members,
+               array_to_string(list_transform(cv, x -> floor(x * 1e4 + 0.5)::BIGINT), ' ') AS centroid_q
+        FROM c$iters ORDER BY cell"""
+  }
+
   private def pagerankSql(iters: Int, d: Double): String = {
     val steps = (1 to iters).map { k =>
       s"""pr$k AS (SELECT t.node, ((1.0 - $d) / n.n + $d * t.mass) AS pr

@@ -269,6 +269,30 @@ object Similarity {
       corpus: DataFrame,
       centroids: DataFrame,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    lloydStep(corpus, centroids, idCol, vecCol)
+      .select(
+        col("cell"),
+        col("n_members"),
+        // centroid elements are k/1e4 for integer k, so *1e4 recovers k
+        // within ~1e-12 and the +0.5 floor snaps exactly
+        array_join(
+          transform(col("centroid"), x => floor(x * 1e4 + lit(0.5)).cast("bigint")), " ")
+          .as("centroid_q"))
+
+  /** One Lloyd step in NUMERIC form — the loop body [[kmeansIterate]] and
+    * [[kmeans]] fold: (cell, n_members, centroid ARRAY<DOUBLE>), each
+    * centroid element quantized to 4 decimals (floor(avg·1e4+0.5)/1e4).
+    * Quantizing every round keeps the iterate cross-engine reproducible:
+    * the values feeding the next argmax are exactly representable on both
+    * sides, so fp summation-order noise (~1e-14) never reaches a decision
+    * boundary. Same plan shape as [[centroidUpdate]]: one argmax shuffle,
+    * one (cell, dim)-keyed partial aggregate, no window.
+    */
+  def lloydStep(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     val assigned = ivfAssign(corpus, centroids, idCol, vecCol)
       .select(col(idCol), col("cell"))
@@ -277,13 +301,97 @@ object Similarity {
       .select(col("cell"), col(idCol), posexplode(col(vecCol)).as(Seq("pos", "v")))
       .groupBy(col("cell"), col("pos"))
       .agg(
-        floor(avg(col("v").cast("double")) * 1e4 + 0.5).cast("bigint").as("m_q"),
+        (floor(avg(col("v").cast("double")) * 1e4 + 0.5) / 1e4).as("m"),
         countDistinct(col(idCol)).as("n"))
       .groupBy(col("cell"))
       .agg(
         max(col("n")).as("n_members"),
-        array_join(array_sort(collect_list(struct(col("pos"), col("m_q")))).getField("m_q"), " ")
-          .as("centroid_q"))
+        array_sort(collect_list(struct(col("pos"), col("m")))).getField("m").as("centroid"))
+  }
+
+  /** Fixed-iteration k-means (Lloyd) training loop: `iters` rounds of
+    * assign-to-max-cosine-cell → quantized member mean, starting from
+    * `init` (idCol, vecCol). Returns the final round's
+    * (cell, n_members, centroid_q) in [[centroidUpdate]]'s rendering.
+    * Fixed iteration count keeps the semantics DuckDB-expressible (the
+    * oracle unrolls the rounds as CTEs); [[kmeans]] is the
+    * converge-until-stable form.
+    *
+    * Scale shape: the corpus is materialized ONCE before the loop
+    * (`localCheckpoint`, the [[Graph.pagerank]] pattern — every round
+    * re-scans it, and an unmaterialized plan would re-run the upstream
+    * derivation per round); each round's centroid table is tiny
+    * (k × dim) and checkpointed to cut the growing lineage, exactly like
+    * [[Dedup.duplicateGroups]]'s label relation.
+    */
+  def kmeansIterate(
+      corpus: DataFrame,
+      init: DataFrame,
+      iters: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(iters >= 1, s"iters ($iters) must be >= 1")
+    val data = corpus.select(col(idCol), col(vecCol)).localCheckpoint(true)
+    var step = lloydStep(data, init, idCol, vecCol).localCheckpoint(true)
+    (2 to iters).foreach { _ =>
+      step = lloydStep(
+        data, step.select(col("cell").as(idCol), col("centroid").as(vecCol)),
+        idCol, vecCol).localCheckpoint(true)
+    }
+    step.select(
+      col("cell"),
+      col("n_members"),
+      array_join(
+        transform(col("centroid"), x => floor(x * 1e4 + lit(0.5)).cast("bigint")), " ")
+        .as("centroid_q"))
+  }
+
+  /** Converging k-means: Lloyd rounds until NO quantized centroid component
+    * changes (the 4-dp quantization makes exact array equality a meaningful
+    * fixpoint) or `maxIters` is hit. One action per round — the convergence
+    * count rides an `observe` metric filled during the round's own
+    * checkpoint materialization, the [[Dedup.duplicateGroups]] pattern, so
+    * no separate count() job runs. The moved-cell comparison joins against
+    * the previous round's (tiny, broadcast) centroid table; a cell whose
+    * membership empties out disappears from the update and counts as moved
+    * via the outer-join null.
+    */
+  def kmeans(
+      corpus: DataFrame,
+      init: DataFrame,
+      maxIters: Int = 20,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(maxIters >= 1, s"maxIters ($maxIters) must be >= 1")
+    val data = corpus.select(col(idCol), col(vecCol)).localCheckpoint(true)
+    var cur = lloydStep(data, init, idCol, vecCol).localCheckpoint(true)
+    var converged = false
+    var round = 1
+    while (!converged && round < maxIters) {
+      val prevC = cur.select(col("cell"), col("centroid").as("__prev"))
+      val metricName = s"graft_km_round_$round"
+      val observed = lloydStep(
+        data, cur.select(col("cell").as(idCol), col("centroid").as(vecCol)), idCol, vecCol)
+        .join(broadcast(prevC), Seq("cell"), "full_outer")
+        .observe(
+          metricName,
+          count(when(
+            col("__prev").isNull || col("centroid").isNull ||
+              col("__prev") =!= col("centroid"), 1)).as("moved"))
+        .where(col("centroid").isNotNull) // drop rows for cells that emptied
+        .select(col("cell"), col("n_members"), col("centroid"))
+      val next = observed.localCheckpoint(true)
+      converged = observed.queryExecution.observedMetrics
+        .get(metricName).forall(_.getLong(0) == 0L)
+      cur = next
+      round += 1
+    }
+    cur.select(
+      col("cell"),
+      col("n_members"),
+      array_join(
+        transform(col("centroid"), x => floor(x * 1e4 + lit(0.5)).cast("bigint")), " ")
+        .as("centroid_q"))
   }
 
   /** IVF probe SEARCH — the query path the IVF index exists for: each query

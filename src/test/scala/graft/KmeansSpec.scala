@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Similarity
+
+/** The full Lloyd training loop against an independent in-memory
+  * implementation: same portable rounding (floor(x·1e6+0.5)/1e6 argmax
+  * keys, 4-dp centroid quantization) and tie-breaks, iterated to the same
+  * quantized fixpoint — so a bug in the assignment, the mean, the
+  * convergence detection, or the loop plumbing diverges here.
+  */
+class KmeansSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private val dim = 8
+  private val rnd = new java.util.Random(11)
+  private val centers = Array.fill(4, dim)(rnd.nextGaussian().toFloat)
+  private def near(c: Int): Array[Float] = centers(c).map(v => v + 0.15f * rnd.nextGaussian().toFloat)
+  private lazy val pts: Seq[(Long, Array[Float])] = (0 until 120).map(i => (i.toLong, near(i % 4)))
+
+  private def round6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+  private def dd(a: Array[Double], b: Array[Double]): Double = {
+    var s = 0.0; var i = 0
+    while (i < a.length) { s += a(i) * b(i); i += 1 }
+    s
+  }
+  private def cos(a: Array[Double], b: Array[Double]): Double =
+    dd(a, b) / (math.sqrt(dd(a, a)) * math.sqrt(dd(b, b)))
+
+  /** In-memory Lloyd with quantized centroids, run to the exact fixpoint. */
+  private def lloydFixpoint(
+      data: Seq[(Long, Array[Double])],
+      init: Map[Long, Array[Double]],
+      maxIters: Int): Map[Long, (Long, Seq[Long])] = {
+    var cents = init
+    var prevQ: Map[Long, Seq[Long]] = Map.empty
+    var result: Map[Long, (Long, Seq[Long])] = Map.empty
+    var it = 0
+    var done = false
+    while (!done && it < maxIters) {
+      val assigned = data.groupBy { case (_, v) =>
+        cents.toSeq.map { case (cid, cv) => (round6(cos(v, cv)), cid) }
+          .sortBy { case (c6, cid) => (-c6, cid) }.head._2
+      }
+      result = assigned.map { case (cell, members) =>
+        val mean = (0 until dim).map { p =>
+          val avg = members.map(_._2(p)).sum / members.size
+          math.floor(avg * 1e4 + 0.5) / 1e4
+        }
+        cell -> (members.size.toLong, mean.map(m => math.floor(m * 1e4 + 0.5).toLong))
+      }
+      cents = result.map { case (cell, (_, q)) => cell -> q.map(_ / 1e4).toArray }
+      val curQ = result.map { case (cell, (_, q)) => cell -> q }
+      done = curQ == prevQ
+      prevQ = curQ
+      it += 1
+    }
+    assert(done, s"in-memory Lloyd did not converge in $maxIters rounds")
+    result
+  }
+
+  test("kmeans converges to the in-memory Lloyd fixpoint") {
+    val corpus = pts.toDF("vec_id", "embedding")
+    val init   = pts.take(4).toDF("vec_id", "embedding")
+    val got = Similarity.kmeans(corpus, init, maxIters = 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    val want = lloydFixpoint(
+      pts.map { case (id, v) => (id, v.map(_.toDouble)) },
+      pts.take(4).map { case (id, v) => id -> v.map(_.toDouble) }.toMap,
+      maxIters = 20)
+      .map { case (cell, (n, q)) => cell -> (n, q.mkString(" ")) }
+    assert(got == want,
+      s"kmeans fixpoint diverged from in-memory Lloyd\n spark=$got\n mirror=$want")
+    // every point accounted for, well-separated seeds keep all 4 cells alive
+    assert(got.values.map(_._1).sum == 120L && got.size == 4)
+  }
+
+  test("kmeansIterate past the convergence round equals the converged kmeans") {
+    val corpus = pts.toDF("vec_id", "embedding")
+    val init   = pts.take(4).toDF("vec_id", "embedding")
+    val fixed = Similarity.kmeansIterate(corpus, init, iters = 10)
+      .collect().map(_.toString).toSet
+    val conv = Similarity.kmeans(corpus, init, maxIters = 20)
+      .collect().map(_.toString).toSet
+    assert(fixed == conv, "a converged loop must be a fixpoint of further iterations")
+  }
+}
