@@ -70,14 +70,28 @@ object Bench {
       results(name) = if (failed) -1.0 else elapsed
     }
 
-    /** Best-of-2 per query. Round 4 measured q_pack_contents at 6.98 s vs
-      * round 3's 1.23 s on byte-identical code. Root cause (measured:
-      * 5.63 → 2.07 → 1.69 → 1.30 → 1.20 → 1.05 s over six back-to-back
-      * runs): first execution of that window-heavy plan pays whole-stage
-      * codegen JIT compilation; nothing earlier in the alphabetical sweep
-      * compiles the same shapes, so the single sample sometimes lands on
-      * the compile. The min of two runs measures the plan, not the JIT; a
-      * failure in either run reports -1.
+    /** Best-of-2 per query, with an adaptive THIRD run when the first two
+      * disagree by more than 1.5×.
+      *
+      * Why best-of-N at all (round 4): q_pack_contents measured 6.98 s vs
+      * round 3's 1.23 s on byte-identical code — first execution of a
+      * window-heavy plan pays whole-stage-codegen JIT compilation
+      * (measured 5.63 → 2.07 → 1.69 → 1.30 → 1.20 → 1.05 s over six
+      * back-to-back runs), so a single sample sometimes lands on the
+      * compile.
+      *
+      * Why the adaptive third run (round 7): round 6 recorded
+      * q_simhash_pairs at 4.94 s best-of-2 vs round 5's 2.37 s on
+      * byte-identical code. Re-measured in isolation this round: 7.31 s
+      * cold, then 2.93/2.50/2.48/2.42/2.28 — the plan is unchanged and
+      * steady-state is ~2.4 s; the r6 number means BOTH samples landed
+      * hot (JIT + concurrent harness load). The same external load
+      * explains index_build_ref_corpus_cold's 5.95 → 15.0 s (isolated
+      * re-measure: 6.3 s; a cold run is a single unrepeatable sample, so
+      * it carries whatever the machine is doing). When two samples
+      * disagree by >1.5× at least one of them is not steady-state — one
+      * more fenced run resolves it; when they agree, the third run's cost
+      * is skipped for the ~90-query sweep.
       */
     def timedBest2(name: String)(body: => Unit): Unit = {
       var failed  = false
@@ -85,7 +99,12 @@ object Bench {
       if (failed) { results(name) = -1.0; return }
       fence()
       val second  = time { try body catch { case _: Throwable => failed = true } }
-      results(name) = if (failed) -1.0 else math.min(first, second)
+      if (failed) { results(name) = -1.0; return }
+      val best2 = math.min(first, second)
+      if (math.max(first, second) <= best2 * 1.5) { results(name) = best2; return }
+      fence()
+      val third = time { try body catch { case _: Throwable => failed = true } }
+      results(name) = if (failed) -1.0 else math.min(best2, third)
     }
 
     // warm the JVM + parquet footers once so per-query numbers measure the

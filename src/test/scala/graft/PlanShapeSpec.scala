@@ -160,6 +160,32 @@ class PlanShapeSpec extends SparkSpec {
     assertBounded(graft.operators.Packing.packByOffset(docs01, budget = 2048), "packByOffset")
   }
 
+  test("IVF-PQ ADC search: broadcast lookups, bounded top-k, no window") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val codebooks = (0 until 4)
+      .map(sub => emb.where(col("vec_id") < 8).select(
+        lit(sub).as("sub"), col("vec_id").as("code_id"),
+        slice(col("embedding"), sub * 16 + 1, 16).as("cw")))
+      .reduce(_ unionAll _)
+    val q = graft.operators.Similarity.ivfpqSearch(
+      emb.where(col("vec_id") >= 18), emb.where(col("vec_id") < 8), codebooks,
+      emb.where(col("vec_id").between(8, 17)), k = 5, nprobe = 2, m = 4, subDim = 16)
+    val plan = q.queryExecution.executedPlan.toString
+    // ranking never falls back to a per-query window over the candidate
+    // stream — both the probe and the final top-k are the bounded
+    // cos_topk partial aggregate
+    assert(!plan.contains("Window"), s"ADC search must not use a window:\n$plan")
+    assert(plan.contains("cos_topk"), s"expected bounded top-k aggregates:\n$plan")
+    // the query-side lookups (codebooks twice, distance table, probed
+    // cells) all broadcast — the encoded corpus relation is never
+    // re-shuffled to meet them
+    assert("BroadcastExchange".r.findAllIn(plan).length >= 3,
+      s"distance table / probe / codebook joins must broadcast:\n$plan")
+    // corpus-sized exchanges stay bounded: code argmin, routing argmax,
+    // code⋈cell align, per-candidate sum, final top-k
+    assert(exchanges(q) <= 6, s"too many shuffles (${exchanges(q)}):\n$plan")
+  }
+
   test("broadcast dim join keeps the fact side shuffle-free") {
     val orders   = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
     val customer = spark.read.parquet("/root/testdata/sf0.001/customer.parquet")
