@@ -542,13 +542,47 @@ object Similarity {
       m: Int,
       subDim: Int,
       idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    ivfpqSearchIndexed(
+      ivfpqIndex(corpus, centroids, codebooks, m, subDim, idCol, vecCol),
+      centroids, codebooks, queries, k, nprobe, m, subDim, idCol, vecCol)
+
+  /** The persisted IVF-PQ index relation: one row per (idCol, sub) carrying
+    * the vector's cell and that subspace's code — cell routing (argmax
+    * cosine, [[ivfAssign]]) joined to [[pqCodes]]. A production pipeline
+    * builds this ONCE, writes it partitioned by cell, and serves every
+    * query from it; ~m small ints per vector replace the full embedding.
+    */
+  def ivfpqIndex(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      m: Int,
+      subDim: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame =
+    pqCodes(corpus, codebooks, m, subDim, idCol, vecCol)
+      .join(ivfAssign(corpus, centroids, idCol, vecCol).select(col(idCol), col("cell")), Seq(idCol))
+
+  /** ADC search served from a prebuilt [[ivfpqIndex]] relation — the
+    * query-time half: touches ONLY the compressed index, the (tiny)
+    * centroid/codebook tables and the query set; the corpus vectors are
+    * not an input at all.
+    */
+  def ivfpqSearchIndexed(
+      index: DataFrame,
+      centroids: DataFrame,
+      codebooks: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      m: Int,
+      subDim: Int,
+      idCol: String = "vec_id",
       vecCol: String = "embedding"): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     require(k >= 1 && nprobe >= 1)
-    // index-build half: cell routing (argmax cosine, [[ivfAssign]]) joined
-    // to the per-subspace codes — the relation a production build persists
-    val encoded = pqCodes(corpus, codebooks, m, subDim, idCol, vecCol)
-      .join(ivfAssign(corpus, centroids, idCol, vecCol).select(col(idCol), col("cell")), Seq(idCol))
+    val encoded = index
     // query half: integer-quantized subspace distance table, broadcast
     val qsubs = queries.select(
       col(idCol).as("q_id"),
