@@ -1150,6 +1150,134 @@ object SparkEntry {
               lit(0.0), (acc, x) => acc + x),
             3).as("dot_rev"))
         .orderBy("vec_id")
+    }),
+
+    // -- context-window chunking: 32-token windows every 24 tokens (8-token
+    //    overlap) — map-side sequence+slice, no shuffle; chunks are
+    //    md5-fingerprinted so hot docs don't balloon the result
+    "q_chunk_docs" -> ((s, dir) => {
+      operators.Chunking
+        .chunkTokens(t(s, dir, "documents"), size = 32, stride = 24)
+        .select(
+          col("doc_id"), col("chunk_id"), col("n_chunk"),
+          md5(array_join(col("chunk"), " ")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // -- gap-encoded postings + varint byte cost: the Lucene-style index
+    //    compression, computed in-place over the posting arrays
+    "q_postings_delta" -> ((s, dir) => {
+      InvertedIndex
+        .deltaPostings(
+          InvertedIndex.postings(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))))
+        .orderBy("word")
+    }),
+
+    // -- vocabulary prefix search (autocomplete / wildcard expansion):
+    //    words starting with "s", top 20 by df
+    "q_search_prefix" -> ((s, dir) => {
+      Search.prefixQuery(
+        InvertedIndex.postings(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))),
+        prefix = "s", k = 20)
+    }),
+
+    // -- per-domain document cap (crawl curation): ≤ 10 docs per source in
+    //    deterministic md5 order, selected by the bounded partial top-k —
+    //    never a whole-domain window partition
+    "q_source_cap" -> ((s, dir) => {
+      Sampling
+        .perGroupCap(t(s, dir, "documents"), "source", "doc_id", cap = 10)
+        .orderBy("source", "rk", "doc_id")
+    }),
+
+    // -- hashed-feature linear quality scoring (fastText-shape model
+    //    filter): bucket weights summed in-array, integer-exact margin
+    "q_classifier_score" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          round(TextAnalysis.hashedLinearScore(col("text"), buckets = 512), 6).as("score"))
+        .withColumn("keep", when(col("score") > 0.0, 1).otherwise(0))
+        .orderBy("doc_id")
+    }),
+
+    // -- ANALYZE-style one-pass column statistics over lineitem
+    "q_column_stats" -> ((s, dir) => {
+      operators.Stats
+        .tableStats(
+          t(s, dir, "lineitem"),
+          Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey", "l_suppkey"))
+        .orderBy("col_name")
+    }),
+
+    // -- Z-order clustering key over (custkey, price bucket): the
+    //    bit-interleaved layout key behind OPTIMIZE ZORDER BY
+    "q_zorder_layout" -> ((s, dir) => {
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          col("o_custkey").cast("long").as("zx"),
+          operators.Layout.quantize(col("o_totalprice"), 125.0, 14).as("zy"))
+        .withColumn("zkey", operators.Layout.zorderKey(Seq(col("zx"), col("zy")), 14))
+        .orderBy("zkey", "o_orderkey")
+        .limit(500)
+    }),
+
+    // -- triangle participation counts on the brand co-occurrence graph
+    //    (oriented-wedge plan: each triangle found exactly once)
+    "q_triangle_count" -> ((s, dir) => {
+      operators.Graph
+        .triangleCounts(
+          operators.Graph.brandCooccurrenceEdges(t(s, dir, "lineitem"), t(s, dir, "part")))
+        .orderBy("node")
+    }),
+
+    // -- vocabulary growth (Heaps' law): new + cumulative vocab per
+    //    50-doc prefix of the corpus
+    "q_vocab_growth" -> ((s, dir) => {
+      operators.Stats
+        .vocabGrowth(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")), bucketWidth = 5)
+        .orderBy("bucket")
+    }),
+
+    // -- document-level PMI collocations: df-banded vocabulary paired
+    //    within docs, exact counts, one ln() ratio
+    "q_token_pmi" -> ((s, dir) => {
+      operators.Cooccurrence
+        .pmiPairs(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")),
+          minPair = 5, minDf = 2, maxDfFrac = 0.9)
+        .orderBy("w1", "w2")
+    }),
+
+    // -- equi-depth histogram of l_quantity (8 buckets at exact
+    //    interpolated percentile boundaries, broadcast + map-side binning)
+    "q_histogram_equidepth" -> ((s, dir) => {
+      operators.Stats
+        .equiDepthHistogram(t(s, dir, "lineitem"), "l_quantity", buckets = 8)
+        .orderBy("bucket")
+    }),
+
+    // -- END-TO-END curation pipeline: PII-redact → quality gate (length +
+    //    alpha fraction) → exact dedup (keep min id) → per-source cap — the
+    //    composed cleaning pass a real corpus runs before tokenization
+    "q_curate_pipeline" -> ((s, dir) => {
+      val red = t(s, dir, "documents")
+        .withColumn("rtext", operators.CorpusClean.redactPii(col("text")))
+      val gated = red
+        .withColumn("n_ws", TextAnalysis.wsTokenCount(col("rtext")))
+        .withColumn("n_alpha", size(Tokenize.tokenArray(col("rtext"))))
+        .where(
+          col("n_ws") >= 5 && col("n_ws") <= 2000 &&
+            col("n_alpha").cast("double") >= col("n_ws").cast("double") * 0.5)
+      val hashed  = gated.withColumn("h", sha2(col("rtext"), 256))
+      val keepIds = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
+      val kept    = hashed.join(keepIds, Seq("h", "doc_id"), "left_semi")
+      Sampling
+        .perGroupCap(kept, "source", "doc_id", cap = 20)
+        .join(kept.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
     }))
 
   /** DuckDB CTE: distinct k-gram shingles per doc (short docs → one whole-doc
@@ -2174,7 +2302,149 @@ object SparkEntry {
                  floor((s) * 1e3 + 0.5) / 1e3 AS sum_all,
                  floor(sqrt(ss) * 1e3 + 0.5) / 1e3 AS l2,
                  floor((sr) * 1e3 + 0.5) / 1e3 AS dot_rev
-          FROM a ORDER BY vec_id""")
+          FROM a ORDER BY vec_id""",
+    "q_chunk_docs" ->
+      s"""WITH $ToksArrCte,
+          s AS (SELECT doc_id, toks, unnest(generate_series(0, len(toks) - 1, 24)) AS st
+                FROM toks_arr WHERE len(toks) > 0)
+          SELECT doc_id, (st // 24)::INT AS chunk_id,
+                 least(32, len(toks) - st)::INT AS n_chunk,
+                 md5(array_to_string(list_slice(toks, st + 1, st + 32), ' ')) AS chunk_md5
+          FROM s ORDER BY doc_id, chunk_id""",
+    "q_postings_delta" ->
+      s"""WITH $TokCte,
+          p AS (SELECT word, list_sort(list_distinct(list(doc_id))) AS ids FROM tok GROUP BY word),
+          g AS (SELECT word, len(ids)::INT AS df,
+                       list_transform(range(1, len(ids) + 1),
+                                      i -> CASE WHEN i = 1 THEN ids[1] ELSE ids[i] - ids[i - 1] END) AS gaps
+                FROM p),
+          v AS (SELECT word, df, gaps,
+                       list_sum(list_transform(gaps,
+                         x -> CASE WHEN x < 128 THEN 1 WHEN x < 16384 THEN 2
+                                   WHEN x < 2097152 THEN 3 WHEN x < 268435456 THEN 4
+                                   ELSE 5 END))::BIGINT AS varint_bytes
+                FROM g)
+          SELECT word, df, md5(array_to_string(gaps, ',')) AS gaps_md5,
+                 varint_bytes, (df * 8)::BIGINT AS naive_bytes,
+                 floor((varint_bytes::DOUBLE / (df * 8)) * 1e4 + 0.5) / 1e4 AS ratio
+          FROM v ORDER BY word""",
+    "q_search_prefix" ->
+      s"""WITH $TokCte,
+          p AS (SELECT word, count(DISTINCT doc_id)::INT AS df FROM tok GROUP BY word)
+          SELECT word, df FROM p WHERE word LIKE 's%'
+          ORDER BY df DESC, word LIMIT 20""",
+    "q_source_cap" ->
+      """WITH r AS (SELECT source, doc_id,
+                           ('0x' || substr(md5('cap:' || doc_id::VARCHAR), 1, 13))::BIGINT AS rk
+                    FROM documents)
+         SELECT source, doc_id, rk FROM r
+         QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= 10
+         ORDER BY source, rk, doc_id""",
+    "q_classifier_score" ->
+      s"""WITH $ToksArrCte,
+          sc AS (SELECT doc_id,
+                        CASE WHEN len(toks) = 0 THEN 0.0
+                             ELSE floor((list_sum(list_transform(toks,
+                                    w -> (('0x' || substr(md5(w), 1, 8))::BIGINT % 512) % 101 - 50))::DOUBLE
+                                  / (50.0 * len(toks))) * 1e6 + 0.5) / 1e6 END AS score
+                 FROM toks_arr)
+          SELECT doc_id, score, CASE WHEN score > 0.0 THEN 1 ELSE 0 END AS keep
+          FROM sc ORDER BY doc_id""",
+    "q_column_stats" -> {
+      val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey", "l_suppkey")
+      cols.map { c =>
+        s"""SELECT '$c' AS col_name, count(*)::BIGINT AS n_rows,
+                   (count(*) - count($c))::BIGINT AS n_null,
+                   count(DISTINCT $c)::BIGINT AS ndv,
+                   floor((min($c)::DOUBLE) * 1e4 + 0.5) / 1e4 AS min_v,
+                   floor((max($c)::DOUBLE) * 1e4 + 0.5) / 1e4 AS max_v,
+                   floor((avg($c::DOUBLE)) * 1e4 + 0.5) / 1e4 AS avg_v
+            FROM lineitem"""
+      }.mkString("", " UNION ALL ", " ORDER BY col_name")
+    },
+    "q_zorder_layout" ->
+      s"""WITH b AS (SELECT o_orderkey, o_custkey::BIGINT AS zx,
+                            least(floor(o_totalprice / 125.0)::BIGINT, 16383) AS zy
+                     FROM orders)
+          SELECT o_orderkey, zx, zy,
+                 (${graft.operators.Layout.zorderKeySql(Seq("zx", "zy"), 14)})::BIGINT AS zkey
+          FROM b ORDER BY zkey, o_orderkey LIMIT 500""",
+    "q_triangle_count" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+                     FROM lineitem JOIN part ON l_partkey = p_partkey),
+          e AS (SELECT DISTINCT a.brand AS src, b.brand AS dst
+                FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand),
+          tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                  FROM e e1
+                  JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+                  JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+          n AS (SELECT unnest([a, b, c]) AS node FROM tri)
+          SELECT node, count(*)::BIGINT AS n_tri FROM n GROUP BY node ORDER BY node""",
+    "q_vocab_growth" ->
+      s"""WITH $TokCte,
+          f AS (SELECT word, min(doc_id) AS first_doc FROM tok GROUP BY word),
+          b AS (SELECT floor(first_doc / 5)::BIGINT AS bucket, count(*) AS new_words
+                FROM f GROUP BY 1)
+          SELECT bucket, new_words::BIGINT AS new_words,
+                 (sum(new_words) OVER (ORDER BY bucket
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum_words
+          FROM b ORDER BY bucket""",
+    "q_token_pmi" ->
+      s"""WITH $TokCte,
+          dt AS (SELECT DISTINCT doc_id, word FROM tok),
+          nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM dt),
+          dfs AS (SELECT word, count(*) AS df_w FROM dt GROUP BY word),
+          band AS (SELECT word, df_w FROM dfs CROSS JOIN nd
+                   WHERE df_w >= 2 AND df_w <= n_docs * 0.9),
+          p AS (SELECT a.word AS w1, b.word AS w2, count(*) AS n_xy
+                FROM dt a
+                JOIN dt b ON a.doc_id = b.doc_id AND a.word < b.word
+                JOIN band ba ON ba.word = a.word
+                JOIN band bb ON bb.word = b.word
+                GROUP BY 1, 2 HAVING count(*) >= 5)
+          SELECT w1, w2, n_xy::BIGINT AS n_xy, ba.df_w::BIGINT AS n_x, bb.df_w::BIGINT AS n_y,
+                 floor((ln(n_xy::DOUBLE * n_docs / (ba.df_w * bb.df_w))) * 1e6 + 0.5) / 1e6 AS pmi
+          FROM p JOIN band ba ON ba.word = p.w1
+                 JOIN band bb ON bb.word = p.w2
+                 CROSS JOIN nd
+          ORDER BY w1, w2""",
+    "q_histogram_equidepth" ->
+      """WITH b AS (SELECT list_transform(
+                             quantile_cont(l_quantity, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
+                             x -> floor(x * 1e6 + 0.5) / 1e6) AS bs
+                    FROM lineitem)
+         SELECT len(list_filter(bs, x -> x <= l_quantity))::INT AS bucket,
+                count(*)::BIGINT AS n,
+                floor((min(l_quantity)::DOUBLE) * 1e4 + 0.5) / 1e4 AS lo,
+                floor((max(l_quantity)::DOUBLE) * 1e4 + 0.5) / 1e4 AS hi
+         FROM lineitem CROSS JOIN b
+         GROUP BY 1 ORDER BY bucket""",
+    "q_curate_pipeline" ->
+      s"""WITH red AS (
+            SELECT doc_id, lang, source,
+                   regexp_replace(regexp_replace(regexp_replace(text,
+                     '$PiiEmailRe', '<EMAIL>', 'g'),
+                     '$PiiPhoneRe', '<PHONE>', 'g'),
+                     '$PiiIpRe', '<IP>', 'g') AS rtext
+            FROM documents),
+          g AS (SELECT doc_id, lang, source, rtext,
+                       len(regexp_split_to_array(rtext, '\\s+')) AS n_ws,
+                       len(list_filter(
+                             list_transform(regexp_split_to_array(rtext, '\\s+'),
+                                            x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                             w -> w <> '')) AS n_alpha
+                FROM red),
+          f AS (SELECT doc_id, lang, source, rtext FROM g
+                WHERE n_ws >= 5 AND n_ws <= 2000 AND n_alpha::DOUBLE >= n_ws::DOUBLE * 0.5),
+          d AS (SELECT doc_id, lang, source FROM f
+                QUALIFY row_number() OVER (PARTITION BY rtext ORDER BY doc_id) = 1),
+          c AS (SELECT source, doc_id FROM (
+                  SELECT source, doc_id,
+                         ('0x' || substr(md5('cap:' || doc_id::VARCHAR), 1, 13))::BIGINT AS rk
+                  FROM d) r
+                QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= 20)
+          SELECT c.doc_id, d.lang, c.source
+          FROM c JOIN d ON d.doc_id = c.doc_id ORDER BY c.doc_id""")
 
   /** PII patterns, shared verbatim with CorpusClean — DuckDB standard
     * string literals keep backslashes literal, so the Java pattern string

@@ -131,6 +131,35 @@ object TextAnalysis {
     * expression would be re-evaluated O(positions) times per row (measured
     * 40x slowdown at sf0.1 before this was split out).
     */
+  /** Hashed-feature linear quality scoring — the fastText-style shape
+    * (hash token → bucket, sum the buckets' learned weights, squash) that
+    * model-based corpus filters run over every document at scale. Weights
+    * here come from a deterministic closed-form table (bucket b ↦
+    * (b mod 101 − 50)/50, a fixed pseudo-random spread in [−1, 1]) rather
+    * than a trained artifact — the container has no model file, and the
+    * point of the operator is the DATAFLOW: hashing, lookup, and scoring
+    * all happen inside ONE codegen'd expression per row. Swapping in real
+    * weights is a broadcast `element_at(lit(weights), h+1)` with the same
+    * plan shape.
+    *
+    * Returns the mean weight over the doc's cleaned tokens (the linear
+    * margin; 0.0 for token-less docs). `transform`+`aggregate` fold over
+    * the token array — no explode, no UDF, no shuffle: the corpus never
+    * expands to token rows. The bucket is the first 8 md5 hex chars mod
+    * `buckets`; the weight sum is INTEGER until one final division, so
+    * partial-order fp drift can't occur and the DuckDB oracle agrees
+    * exactly.
+    */
+  def hashedLinearScore(text: Column, buckets: Int = 512): Column = {
+    val toks = Tokenize.tokenArray(text)
+    val wInt = (w: Column) =>
+      (conv(substring(md5(w), 1, 8), 16, 10).cast("long") % buckets) % 101 - 50L
+    val n = size(toks)
+    when(n === 0, lit(0.0)).otherwise(
+      aggregate(toks, lit(0L), (acc, w) => acc + wInt(w)).cast("double")
+        / (lit(50.0) * n.cast("double")))
+  }
+
   def shinglesFromToks(toks: Column, k: Int): Column = {
     val grams = transform(
       sequence(lit(1), size(toks) - (k - 1)),

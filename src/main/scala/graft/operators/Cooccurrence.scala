@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Corpus co-occurrence statistics: which terms appear together more often
+  * than chance — collocation mining, topic seeding, and the association
+  * signal behind query expansion. PMI (pointwise mutual information) at
+  * document granularity: pmi(x, y) = ln( P(x,y) / (P(x)·P(y)) ), with all
+  * probabilities estimated from document frequencies.
+  */
+object Cooccurrence {
+
+  /** Within-document co-occurring term pairs with document counts and PMI.
+    * Returns (w1, w2, n_xy, n_x, n_y, pmi), w1 < w2, n_xy >= `minPair`.
+    *
+    * Scale design: the pair expansion is the hazard — a doc with t distinct
+    * terms yields t² pairs, and a STOP WORD pairs with everything. The
+    * df-band prefilter ([minDf, maxDfFrac·N]) is applied BEFORE pairing:
+    * dropping ubiquitous terms (they carry no association signal — their
+    * PMI ≈ 0 by construction) and hapax terms (their PMI is noise) bounds
+    * the per-doc pair fan-out to the banded vocabulary actually worth
+    * measuring; the self-join is keyed on the document id, so it
+    * co-partitions without a cartesian. All counts are exact integers; the
+    * single ln() ratio is engine-reproducible. PMI values are 6-dp rounded.
+    */
+  def pmiPairs(
+      tokens: DataFrame,
+      idCol: String = "doc_id",
+      minPair: Long = 5,
+      minDf: Long = 2,
+      maxDfFrac: Double = 0.9): DataFrame = {
+    val dt  = tokens.select(col(idCol), col("word")).distinct()
+    val nd  = dt.select(col(idCol)).distinct().agg(count(lit(1)).cast("double").as("n_docs"))
+    val dfs = dt.groupBy(col("word")).agg(count(lit(1)).as("df_w"))
+    val band = dfs
+      .crossJoin(broadcast(nd))
+      .where(col("df_w") >= minDf && col("df_w") <= col("n_docs") * maxDfFrac)
+      .select(col("word"), col("df_w"))
+    val dtb = dt.join(band.select(col("word")), Seq("word"))
+    val pairs = dtb
+      .select(col(idCol), col("word").as("w1"))
+      .join(dtb.select(col(idCol), col("word").as("w2")), Seq(idCol))
+      .where(col("w1") < col("w2"))
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_xy"))
+      .where(col("n_xy") >= minPair)
+    pairs
+      .join(band.select(col("word").as("w1"), col("df_w").as("n_x")), Seq("w1"))
+      .join(band.select(col("word").as("w2"), col("df_w").as("n_y")), Seq("w2"))
+      .crossJoin(broadcast(nd))
+      .select(
+        col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+        Portable.pround(
+          log(col("n_xy").cast("double") * col("n_docs") / (col("n_x") * col("n_y"))),
+          6).as("pmi"))
+  }
+}

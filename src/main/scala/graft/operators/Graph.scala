@@ -89,6 +89,63 @@ object Graph {
     }
   }
 
+  /** Oriented edge list for triangle counting: one row per undirected edge
+    * with src < dst (no symmetrization, no self-loops, deduped).
+    */
+  def orientedEdges(edges: DataFrame): DataFrame =
+    edges.toDF("src", "dst")
+      .select(least(col("src"), col("dst")).as("src"), greatest(col("src"), col("dst")).as("dst"))
+      .where(col("src") < col("dst"))
+      .distinct()
+
+  /** Triangle participation counts: for every node in at least one
+    * triangle, the number of triangles through it — the local clustering
+    * signal community detection and spam-graph analysis start from.
+    * Input is ANY (src, dst) edge relation; orientation happens inside.
+    *
+    * Scale design: the classic oriented-wedge plan. Each triangle
+    * {a,b,c}, a<b<c, is found EXACTLY ONCE as wedge (a→b, a→c), b<c,
+    * closed by edge (b→c) — two equi-joins on the oriented edge list, no
+    * symmetrized 2|E| blowup, no counting each triangle 6 ways. The wedge
+    * count is Σ deg⁺(v)², the quantity degree-ordering orientation
+    * minimizes at web scale (orient by (degree, id) instead of raw id and
+    * the same plan holds — high-degree hubs then have small out-degree).
+    * The closing join is a semi-join: wedges stream against the edge set
+    * without materializing non-triangles.
+    */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val e = orientedEdges(edges)
+    val wedges = e.select(col("src").as("a"), col("dst").as("b"))
+      .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a"))
+      .where(col("b") < col("c"))
+    val tris = wedges.join(
+      e.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"), "left_semi")
+    tris
+      .select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("n_tri"))
+  }
+
+  /** The brand co-occurrence graph: two part brands are linked when some
+    * order contains line items of both — the "products bought together"
+    * projection of the order bipartite graph, and a natural triangle-rich
+    * demo graph (the customer–supplier graph is bipartite, so its triangle
+    * count is identically zero). Per-order brand sets are tiny (≤ brand
+    * cardinality), so the within-order pair join is bounded; the distinct
+    * collapses to the brand-pair vocabulary before any triangle work.
+    */
+  def brandCooccurrenceEdges(lineitem: DataFrame, part: DataFrame): DataFrame = {
+    val ob = lineitem
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("ok"), col("p_brand").as("brand"))
+      .distinct()
+    ob.select(col("ok"), col("brand").as("src"))
+      .join(ob.select(col("ok"), col("brand").as("dst")), Seq("ok"))
+      .where(col("src") < col("dst"))
+      .select(col("src"), col("dst"))
+      .distinct()
+  }
+
   /** The demo graph for the oracle queries: the bipartite customer–supplier
     * relation (an order's customer bought from each of its line items'
     * suppliers), symmetrized. Node ids carry a c/s prefix so the two key

@@ -209,6 +209,47 @@ object InvertedIndex {
       .groupBy(col("word"), col("shard"))
       .agg(array_sort(collect_list(struct(col(idCol).as("doc_id"), col("positions")))).as("postings"))
 
+  /** Gap-encoded postings: each sorted posting list re-expressed as deltas
+    * (first id verbatim, then id[i] − id[i−1]) plus the byte cost of
+    * varint-encoding those gaps — the standard on-disk index compression
+    * (Lucene/ES store postings exactly this way: ascending ids make gaps
+    * small, and small ints varint-pack into 1–2 bytes instead of 8).
+    * Returns (word, df, gaps_md5, varint_bytes, naive_bytes, ratio) —
+    * the gap array itself is fingerprinted (md5 of the comma-joined list)
+    * so hot words don't balloon the result relation.
+    *
+    * Map-side only over the index: `transform` with index computes gaps
+    * in-place, `aggregate` folds the varint cost — no shuffle beyond what
+    * built the postings. Varint width is a CASE over exact integer
+    * thresholds (128^k), not float log arithmetic, so the oracle agrees
+    * bit-for-bit. On the sharded representation ([[postingsShardedRaw]])
+    * the same expressions apply per (word, shard) row unchanged — gaps
+    * within a shard, one verbatim id per shard.
+    */
+  def deltaPostings(postings: DataFrame): DataFrame = {
+    val ids  = col("doc_ids")
+    val gaps = transform(ids, (x, i) =>
+      when(i === 0, x).otherwise(x - element_at(ids, i)))
+    val varintBytes = (g: org.apache.spark.sql.Column) =>
+      when(g < 128L, 1L).when(g < 16384L, 2L).when(g < 2097152L, 3L)
+        .when(g < 268435456L, 4L).otherwise(5L)
+    postings
+      .select(
+        col("word"),
+        col("df"),
+        gaps.as("__gaps"))
+      .select(
+        col("word"),
+        col("df"),
+        md5(array_join(transform(col("__gaps"), _.cast("string")), ",")).as("gaps_md5"),
+        aggregate(col("__gaps"), lit(0L), (acc, g) => acc + varintBytes(g)).as("varint_bytes"),
+        (col("df") * 8L).as("naive_bytes"))
+      .withColumn(
+        "ratio",
+        graft.functions.Portable.pround(
+          col("varint_bytes").cast("double") / col("naive_bytes").cast("double"), 4))
+  }
+
   /** Sharded postings, stage 1 — the true 100 TB form: a stop word's posting
     * list at web scale is billions of ids, too big for any single task's
     * aggregation buffer OR output row. Sharding the aggregation by doc-id

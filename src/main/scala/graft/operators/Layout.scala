@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-layout operators: multi-dimensional clustering keys for write-time
+  * file organization. A 100 TB table queried on several independent
+  * columns can't be range-sorted to serve all of them; interleaving the
+  * columns' bits into one Z-order (Morton) key and range-partitioning on it
+  * gives every participating column locality, so parquet min/max stats
+  * prune files for predicates on ANY of the interleaved dimensions — the
+  * technique behind Delta/Iceberg `OPTIMIZE ZORDER BY`.
+  */
+object Layout {
+
+  /** The Z-order key: round-robin bit-interleave of the given non-negative
+    * integer columns' low `bits` bits (bit i of column j lands at position
+    * i·k + j). Pure integer shift/mask arithmetic — one codegen'd
+    * expression, map-side, identical in any engine. Columns must already be
+    * quantized to [0, 2^bits) (clamp/bucket upstream; [[quantize]] helps).
+    */
+  def zorderKey(cols: Seq[Column], bits: Int): Column = {
+    require(cols.nonEmpty, "zorderKey needs at least one column")
+    val k = cols.size
+    require(bits > 0 && bits * k <= 62, s"bits ($bits) x ${k} cols must fit a signed long")
+    cols.zipWithIndex
+      .flatMap { case (c, j) =>
+        (0 until bits).map { i =>
+          shiftleft(shiftright(c.cast("long"), i).bitwiseAND(lit(1L)), i * k + j)
+        }
+      }
+      .reduce(_ + _)
+  }
+
+  /** Quantize a numeric column into [0, 2^bits) by uniform `width` cells,
+    * clamped at the top — the upstream step for [[zorderKey]] on
+    * continuous columns.
+    */
+  def quantize(c: Column, width: Double, bits: Int): Column =
+    least(floor(c / width).cast("long"), lit((1L << bits) - 1))
+
+  /** Cluster a table for writing: range-partition on the Z-key (so each
+    * output file owns a compact Z-range = a compact hyper-rectangle soup in
+    * the original dimensions) and sort inside each partition (so row
+    * groups within a file prune too). This is the write path; the read
+    * path is ordinary predicate pushdown against the laid-out files.
+    */
+  def clusterByZorder(df: DataFrame, zkey: Column, numFiles: Int): DataFrame =
+    df.withColumn("__z", zkey)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+
+  /** The same bit-interleave as [[zorderKey]], rendered as ANSI SQL over
+    * the given column expressions — the oracle mirror (kept next to the
+    * Spark form so the two can't drift).
+    */
+  def zorderKeySql(cols: Seq[String], bits: Int): String = {
+    val k = cols.size
+    cols.zipWithIndex
+      .flatMap { case (c, j) =>
+        (0 until bits).map(i => s"((($c >> $i) & 1) << ${i * k + j})")
+      }
+      .mkString(" + ")
+  }
+}

@@ -67,6 +67,47 @@ object Sampling {
       .drop("__n")
   }
 
+  /** Per-group document cap: keep at most `cap` rows per value of
+    * `groupCol`, selected in deterministic md5 order — the per-domain cap
+    * every crawl-curation pipeline applies so a single spam host can't
+    * dominate the corpus (C4 and friends cap pages per domain exactly like
+    * this). Returns (groupCol, idCol, rk) with rk the 52-bit selection rank.
+    *
+    * Scale design: the naive `row_number() OVER (PARTITION BY domain)` puts
+    * an entire domain's rows through ONE task — the hot domain is precisely
+    * the one being capped, so that plan is worst on the rows that matter.
+    * Here selection reuses the bounded [[graft.plans.CosTopK]] partial
+    * top-k: map-side buffers hold ≤ cap entries per (group × partition)
+    * BEFORE the exchange, so the shuffle moves ≤ cap·|groups|·partitions
+    * tiny structs no matter how skewed the group sizes are. The rank is the
+    * first 13 md5 hex chars of the id (52 bits — exact in the aggregate's
+    * DOUBLE sort key; negated because CosTopK keeps largest-first), a pure
+    * function of the row id, so reruns and the DuckDB oracle select the
+    * identical rows.
+    */
+  def perGroupCap(
+      df: DataFrame,
+      groupCol: String,
+      idCol: String,
+      cap: Int,
+      salt: String = "cap"): DataFrame = {
+    require(cap > 0, s"cap ($cap) must be positive")
+    import org.apache.spark.sql.GraftBridge
+    val rk = conv(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val topk = GraftBridge.column(
+      graft.plans.CosTopK(
+        GraftBridge.expression(-col("__rk").cast("double")),
+        GraftBridge.expression(col(idCol).cast("bigint")),
+        GraftBridge.expression(col("__rk").cast("double")),
+        cap).toAggregateExpression())
+    df.select(col(groupCol), col(idCol), rk.as("__rk"))
+      .groupBy(col(groupCol))
+      .agg(topk.as("__top"))
+      .select(col(groupCol), explode(col("__top")).as("__e"))
+      .select(col(groupCol), col("__e.id").as(idCol), col("__e.cos").cast("long").as("rk"))
+  }
+
   /** Stratified deterministic sample: a different keep-fraction per value
     * of `stratumCol` (e.g. up-sample rare languages, down-sample dominant
     * ones). Strata absent from `fractions` fall back to `defaultFraction`.

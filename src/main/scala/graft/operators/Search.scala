@@ -241,6 +241,29 @@ object Search {
       .orderBy("doc_id")
   }
 
+  /** Vocabulary prefix search over the index: the words starting with
+    * `prefix` ranked by document frequency — the query-autocomplete /
+    * wildcard-expansion primitive (`pre*` expands to this list before a
+    * boolean query runs). Cleans the prefix with the reference tokenizer
+    * first (a prefix containing non-[a-z] bytes can match nothing the index
+    * stores). Returns (word, df) ordered df DESC, word ASC, top `k`.
+    *
+    * Scale: `startsWith` is a leading-prefix predicate — against a
+    * word-sorted (or letter-partitioned) postings store it prunes to the
+    * prefix's range via parquet min/max stats instead of scanning the
+    * vocabulary, and the top-k is a TakeOrderedAndProject (per-partition
+    * heaps + one k-row merge), never a global sort.
+    */
+  def prefixQuery(postings: DataFrame, prefix: String, k: Int = 20): DataFrame = {
+    val p = cleanedTerms0(Seq(prefix)).headOption.getOrElse(
+      sys.error(s"prefix '$prefix' cleans to no bytes"))
+    postings
+      .where(col("word").startsWith(p))
+      .select(col("word"), col("df"))
+      .orderBy(desc("df"), asc("word"))
+      .limit(k)
+  }
+
   /** Cleaned phrase terms, order- and duplicate-preserving. */
   private def cleanedTerms0(words: Seq[String]): Seq[String] =
     words

@@ -1,0 +1,110 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Catalog-style corpus/table statistics: the ANALYZE pass a query
+  * optimizer (and a dataset curator) runs before anything else — per-column
+  * cardinalities and ranges, and the vocabulary-growth curve that tells a
+  * pipeline how fast its token vocabulary saturates as the corpus grows.
+  */
+object Stats {
+
+  /** One-pass per-column statistics (row count, non-null count, exact
+    * distinct count, min/max/avg) for the named NUMERIC columns, one output
+    * row per column — what `ANALYZE TABLE ... COMPUTE STATISTICS FOR
+    * COLUMNS` feeds the CBO, exposed as a relation.
+    *
+    * All measures ride ONE aggregate over the table (Catalyst plans the
+    * multi-column exact `countDistinct` as an Expand — one scan, rows ×
+    * |cols| inside the aggregate, the standard exact-NDV plan); the single
+    * stats row is then unpivoted to per-column rows with a literal struct
+    * array — driver never sees data. At 100 TB swap the exact NDV for
+    * `approx_count_distinct` (HLL++, already spec-pinned in SketchSpec) and
+    * the Expand disappears; the oracle needs exact counts, so the exact
+    * form is what's verified.
+    */
+  def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "tableStats needs at least one column")
+    val aggs: Seq[Column] = cols.flatMap { c =>
+      Seq(
+        count(lit(1)).as(s"${c}__n"),
+        count(col(c)).as(s"${c}__nn"),
+        countDistinct(col(c)).as(s"${c}__ndv"),
+        min(col(c)).cast("double").as(s"${c}__min"),
+        max(col(c)).cast("double").as(s"${c}__max"),
+        avg(col(c).cast("double")).as(s"${c}__avg"))
+    }
+    val one = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.map { c =>
+      struct(
+        lit(c).as("col_name"),
+        col(s"${c}__n").as("n_rows"),
+        (col(s"${c}__n") - col(s"${c}__nn")).as("n_null"),
+        col(s"${c}__ndv").as("ndv"),
+        Portable.pround(col(s"${c}__min"), 4).as("min_v"),
+        Portable.pround(col(s"${c}__max"), 4).as("max_v"),
+        Portable.pround(col(s"${c}__avg"), 4).as("avg_v"))
+    }
+    one.select(explode(array(rows: _*)).as("s")).select(col("s.*"))
+  }
+
+  /** Equi-depth (equal-count) histogram of a numeric column: `buckets`
+    * buckets cut at the exact interpolated percentiles — the histogram a
+    * cost-based optimizer keeps for selectivity estimation on skewed
+    * columns (equi-WIDTH buckets collapse under skew; equi-depth ones
+    * don't). Returns (bucket, n, lo, hi) with bucket = number of
+    * boundaries ≤ value.
+    *
+    * Scale: one aggregate computes all boundary percentiles, the tiny
+    * boundary array broadcasts, and bucket assignment is a map-side
+    * higher-order `filter` count — no sort of the data, no window. The
+    * boundaries are 6-dp rounded BEFORE comparison on both engines, so an
+    * interpolated boundary landing within an ulp of an integer can't flip
+    * a row's bucket between engines. (`percentile_approx` is the
+    * documented 100 TB swap — same plan, bounded-memory sketch.)
+    */
+  def equiDepthHistogram(df: DataFrame, c: String, buckets: Int = 8): DataFrame = {
+    require(buckets >= 2, s"buckets ($buckets) must be >= 2")
+    val fracs = (1 until buckets).map(i => i.toDouble / buckets)
+    val bounds = df.agg(
+      expr(s"percentile($c, array(${fracs.mkString(", ")}))").as("__bs"))
+    df.select(col(c).cast("double").as("__v"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bucket",
+        size(filter(transform(col("__bs"), b => Portable.pround(b, 6)), b => b <= col("__v"))))
+      .groupBy(col("bucket"))
+      .agg(
+        count(lit(1)).as("n"),
+        Portable.pround(min(col("__v")), 4).as("lo"),
+        Portable.pround(max(col("__v")), 4).as("hi"))
+  }
+
+  /** Vocabulary growth (Heaps'-law) curve: for each `bucketWidth`-doc
+    * prefix of the corpus (in `idCol` order), how many NEW words appear
+    * first in that bucket, and the cumulative vocabulary size — the curve
+    * that says whether more data still buys vocabulary (and how big the
+    * index's term dictionary gets at 100 TB).
+    *
+    * One corpus-sized shuffle (word → min first-doc, partial-aggregated
+    * map-side); everything after runs on VOCABULARY-sized data, and the
+    * final running sum windows over BUCKET rows — corpus_docs/bucketWidth
+    * rows of metadata, so the unpartitioned window is deliberate, not a
+    * scale hole.
+    */
+  def vocabGrowth(tokens: DataFrame, bucketWidth: Long = 50, idCol: String = "doc_id"): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth ($bucketWidth) must be positive")
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    tokens
+      .groupBy(col("word"))
+      .agg(min(col(idCol)).as("first_doc"))
+      .withColumn("bucket", floor(col("first_doc") / bucketWidth).cast("long"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("new_words"))
+      .withColumn("cum_words", sum(col("new_words")).over(w))
+  }
+}

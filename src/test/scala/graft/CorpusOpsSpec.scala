@@ -1,0 +1,151 @@
+package graft
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Chunking, Graph, InvertedIndex, Layout, Sampling, Stats, Tokenize}
+
+/** Round-7 corpus/layout/graph additions: chunking, per-group cap,
+  * delta-encoded postings, z-order keys, triangle counting, table stats.
+  */
+class CorpusOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // distinct all-alpha words (digits would be stripped by the tokenizer)
+  private def word(i: Int): String = s"${('a' + i / 26).toChar}${('a' + i % 26).toChar}"
+
+  private lazy val docs = Seq(
+    (0L, "src0", (0 until 50).map(word).mkString(" ")),
+    (1L, "src0", (0 until 24).map(word).mkString(" ")),
+    (2L, "src1", "alpha beta gamma"),
+    (3L, "src1", "??? !!! ..."), // cleans to zero tokens
+    (4L, "src1", "solo")
+  ).toDF("doc_id", "source", "text")
+
+  // ------------------------------------------------------------- chunking
+
+  test("chunking with stride == size partitions the token stream exactly") {
+    val chunks = Chunking.chunkTokens(docs, size = 8, stride = 8)
+      .orderBy("doc_id", "chunk_id")
+      .select(col("doc_id"), col("chunk"))
+      .as[(Long, Seq[String])].collect()
+    val rebuilt = chunks.groupBy(_._1).view.mapValues(_.flatMap(_._2).toSeq).toMap
+    val expected = docs.select(col("doc_id"), Tokenize.tokenArray(col("text")))
+      .as[(Long, Seq[String])].collect().toMap
+    for ((id, toks) <- expected if toks.nonEmpty)
+      assert(rebuilt(id) == toks, s"doc $id not reconstructed from disjoint chunks")
+    assert(!rebuilt.contains(3L), "zero-token doc must yield no chunks")
+  }
+
+  test("overlapping chunks: consecutive windows share size - stride tokens") {
+    val chunks = Chunking.chunkTokens(docs.where(col("doc_id") === 0L), size = 32, stride = 24)
+      .orderBy("chunk_id").as[(Long, Int, Seq[String], Int)].collect()
+    // doc 0 has 50 tokens -> starts 0, 24, 48 -> sizes 32, 26, 2
+    assert(chunks.map(_._4).toSeq == Seq(32, 26, 2))
+    val Seq(c0, c1, _) = chunks.map(_._3).toSeq
+    assert(c0.takeRight(8) == c1.take(8), "24-stride windows must overlap by 8 tokens")
+  }
+
+  // ------------------------------------------------------- per-group cap
+
+  test("perGroupCap selects exactly the window-based rows, capped per group") {
+    val big = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
+    val rk = conv(substring(md5(concat(lit("cap:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("source")).orderBy(col("rk"), col("doc_id"))
+    val expected = big.withColumn("rk", rk)
+      .withColumn("rn", row_number().over(w)).where(col("rn") <= 7)
+      .select(col("source"), col("doc_id"), col("rk"))
+      .collect().map(_.toSeq).toSet
+    val got = Sampling.perGroupCap(big, "source", "doc_id", cap = 7)
+      .collect().map(_.toSeq).toSet
+    assert(got == expected)
+    assert(got.size == 21, "3 groups x cap 7")
+  }
+
+  // -------------------------------------------------- delta postings
+
+  test("delta postings: gaps reconstruct the posting list; varint bytes bounded") {
+    val postings = InvertedIndex.postings(Tokenize.tokens(docs, "text", Seq("doc_id")))
+    val gaps = postings
+      .select(col("word"), col("doc_ids"),
+        transform(col("doc_ids"), (x, i) =>
+          when(i === 0, x).otherwise(x - element_at(col("doc_ids"), i))).as("gaps"))
+      .as[(String, Seq[Long], Seq[Long])].collect()
+    for ((w, ids, gs) <- gaps) {
+      assert(gs.scanLeft(0L)(_ + _).drop(1) == ids, s"prefix-summed gaps != ids for '$w'")
+    }
+    val enc = InvertedIndex.deltaPostings(postings)
+      .select(col("varint_bytes"), col("naive_bytes")).as[(Long, Long)].collect()
+    for ((v, n) <- enc) assert(v >= 1 && v <= n, "varint bytes must be in [df, 8*df]")
+  }
+
+  // ------------------------------------------------------------- z-order
+
+  test("zorderKey matches an independent bit-interleave on sample values") {
+    def ref(x: Long, y: Long, bits: Int): Long =
+      (0 until bits).map { i =>
+        (((x >> i) & 1L) << (i * 2)) | (((y >> i) & 1L) << (i * 2 + 1))
+      }.sum
+    val pts = Seq((0L, 0L), (1L, 0L), (0L, 1L), (5L, 9L), (16383L, 1L), (1234L, 8191L))
+    val got = pts.toDF("x", "y")
+      .select(col("x"), col("y"), Layout.zorderKey(Seq(col("x"), col("y")), 14).as("z"))
+      .as[(Long, Long, Long)].collect().map { case (x, y, z) => ((x, y), z) }.toMap
+    for ((x, y) <- pts) assert(got((x, y)) == ref(x, y, 14), s"z($x,$y)")
+  }
+
+  test("zorderKeySql renders the identical arithmetic (spot-checked via Spark SQL)") {
+    val sql = Layout.zorderKeySql(Seq("x", "y"), 4)
+    val rows = spark.sql(s"SELECT $sql AS z FROM VALUES (3, 5), (15, 0) AS t(x, y)")
+      .as[Long].collect().toSeq
+    val exp = Seq((3L, 5L), (15L, 0L)).map { case (x, y) =>
+      (0 until 4).map(i => (((x >> i) & 1L) << (i * 2)) | (((y >> i) & 1L) << (i * 2 + 1))).sum
+    }
+    assert(rows == exp)
+  }
+
+  // ----------------------------------------------------------- triangles
+
+  test("triangle counts: K4 has 4 triangles, 3 through each node") {
+    val k4 = (for {
+      a <- 1 to 4; b <- 1 to 4 if a < b
+    } yield (s"n$a", s"n$b")).toDF("src", "dst")
+    val got = Graph.triangleCounts(k4).as[(String, Long)].collect().toMap
+    assert(got == Map("n1" -> 3L, "n2" -> 3L, "n3" -> 3L, "n4" -> 3L))
+  }
+
+  test("triangle counts: bipartite graphs have none; orientation dedups 6-way symmetry") {
+    val bip = Seq(("a1", "b1"), ("a1", "b2"), ("a2", "b1"), ("a2", "b2")).toDF("src", "dst")
+    assert(Graph.triangleCounts(bip).count() == 0, "bipartite graph must have zero triangles")
+    // same triangle fed in all 6 orientations + duplicates counts once
+    val tri = Seq(
+      ("x", "y"), ("y", "x"), ("y", "z"), ("z", "y"), ("x", "z"), ("z", "x"), ("x", "y")
+    ).toDF("src", "dst")
+    val got = Graph.triangleCounts(tri).as[(String, Long)].collect().toMap
+    assert(got == Map("x" -> 1L, "y" -> 1L, "z" -> 1L))
+  }
+
+  // ----------------------------------------------------------- stats
+
+  test("tableStats measures match direct aggregates; one row per column") {
+    val df = Seq[(Long, Option[Double])](
+      (1L, Some(1.5)), (2L, None), (2L, Some(4.0)), (5L, Some(1.5))
+    ).toDF("a", "b")
+    val st = Stats.tableStats(df, Seq("a", "b")).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(st("a").getLong(1) == 4 && st("a").getLong(2) == 0 && st("a").getLong(3) == 3)
+    assert(st("b").getLong(2) == 1, "one null in b")
+    assert(st("b").getLong(3) == 2, "ndv ignores nulls")
+    assert(st("b").getDouble(4) == 1.5 && st("b").getDouble(5) == 4.0)
+  }
+
+  test("vocabGrowth: cumulative count ends at the distinct-word total") {
+    val toks = Tokenize.tokens(docs, "text", Seq("doc_id"))
+    val curve = Stats.vocabGrowth(toks, bucketWidth = 2).orderBy("bucket")
+      .as[(Long, Long, Long)].collect()
+    val vocab = toks.select(col("word")).distinct().count()
+    assert(curve.last._3 == vocab)
+    assert(curve.map(_._2).sum == vocab)
+    assert(curve.map(_._3).toSeq == curve.map(_._2).scanLeft(0L)(_ + _).drop(1).toSeq)
+  }
+}

@@ -49,4 +49,25 @@ class SketchSpec extends SparkSpec {
       assert(math.abs(e - a) <= spread * 0.02, s"q$i: approx $a vs exact $e (spread $spread)")
     }
   }
+
+  test("count_min_sketch heavy hitters: estimates overcount-only within eps*N") {
+    val toks = graft.operators.Tokenize.tokens(docs, "text", Seq("doc_id"))
+    // one mergeable sketch over the token stream (eps 0.1% of stream mass,
+    // 99.9% confidence), probed for every word — the heavy-hitter path a
+    // 100 TB frequency query takes when the exact groupBy is too hot
+    val skBytes = toks
+      .agg(count_min_sketch(col("word"), lit(0.001), lit(0.999), lit(42)).as("sk"))
+      .head().getAs[Array[Byte]](0)
+    val sk = org.apache.spark.util.sketch.CountMinSketch.readFrom(
+      new java.io.ByteArrayInputStream(skBytes))
+    val exact = toks.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val n = exact.map(_._2).sum
+    for ((w, e) <- exact) {
+      val est = sk.estimateCount(w)
+      assert(est >= e, s"CMS must never undercount: '$w' est $est < exact $e")
+      assert(est <= e + (0.001 * n).toLong + 1,
+        s"CMS overcount beyond eps*N for '$w': est $est, exact $e, N $n")
+    }
+  }
 }
