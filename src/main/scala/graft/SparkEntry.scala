@@ -1270,9 +1270,16 @@ object SparkEntry {
         .where(
           col("n_ws") >= 5 && col("n_ws") <= 2000 &&
             col("n_alpha").cast("double") >= col("n_ws").cast("double") * 0.5)
-      val hashed  = gated.withColumn("h", sha2(col("rtext"), 256))
-      val keepIds = hashed.groupBy(col("h")).agg(min(col("doc_id")).as("doc_id"))
-      val kept    = hashed.join(keepIds, Seq("h", "doc_id"), "left_semi")
+      // keep-min dedup via min_by — one shuffle, no join-back onto the
+      // corpus subtree; the deduped 3-column survivor relation is then
+      // materialized once because BOTH the cap and the final lang join
+      // consume it (lazy, each would re-run redact+gate+dedup).
+      val kept = gated
+        .withColumn("h", sha2(col("rtext"), 256))
+        .groupBy(col("h"))
+        .agg(min_by(struct(col("doc_id"), col("lang"), col("source")), col("doc_id")).as("r"))
+        .select(col("r.doc_id"), col("r.lang"), col("r.source"))
+        .localCheckpoint(true)
       Sampling
         .perGroupCap(kept, "source", "doc_id", cap = 20)
         .join(kept.select(col("doc_id"), col("lang")), Seq("doc_id"))

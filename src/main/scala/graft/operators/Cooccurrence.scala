@@ -32,13 +32,21 @@ object Cooccurrence {
       minPair: Long = 5,
       minDf: Long = 2,
       maxDfFrac: Double = 0.9): DataFrame = {
-    val dt  = tokens.select(col(idCol), col("word")).distinct()
+    // dt is referenced four times below (both pair-join sides, the df
+    // aggregate, the doc count); left lazy, every reference re-tokenizes
+    // and re-dedups the corpus (round 7's first audit: a 917-node plan).
+    // Materialize the distinct (doc, word) relation once — the
+    // Graph.pagerank / Dedup.duplicateGroups pattern.
+    val dt  = tokens.select(col(idCol), col("word")).distinct().localCheckpoint(true)
     val nd  = dt.select(col(idCol)).distinct().agg(count(lit(1)).cast("double").as("n_docs"))
     val dfs = dt.groupBy(col("word")).agg(count(lit(1)).as("df_w"))
+    // band (vocabulary-sized) is itself referenced four times; left lazy,
+    // each reference re-runs the df aggregate over the full dt relation
     val band = dfs
       .crossJoin(broadcast(nd))
       .where(col("df_w") >= minDf && col("df_w") <= col("n_docs") * maxDfFrac)
       .select(col("word"), col("df_w"))
+      .localCheckpoint(true)
     val dtb = dt.join(band.select(col("word")), Seq("word"))
     val pairs = dtb
       .select(col(idCol), col("word").as("w1"))

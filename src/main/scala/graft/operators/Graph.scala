@@ -114,7 +114,13 @@ object Graph {
     * without materializing non-triangles.
     */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val e = orientedEdges(edges)
+    // The oriented edge list is referenced THREE times (both wedge legs +
+    // the closing semi-join); left lazy, the whole upstream edge
+    // derivation would be re-planned and re-executed per reference
+    // (round 7's first audit: a 650-node plan scanning the input tables
+    // 3x). Materialize once — the [[pagerank]] / Dedup.duplicateGroups
+    // pattern; on a cluster, durable checkpoint plays the same role.
+    val e = orientedEdges(edges).localCheckpoint(true)
     val wedges = e.select(col("src").as("a"), col("dst").as("b"))
       .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a"))
       .where(col("b") < col("c"))
