@@ -686,6 +686,15 @@ object SparkEntry {
         .orderBy("doc1", "doc2")
     }),
 
+    // -- EXACT set-similarity self-join via prefix filtering (AllPairs/
+    //    PPJoin): recall-1.0 candidates from rare-first prefixes, exact
+    //    verification — the deterministic counterpart to MinHash-LSH
+    "q_setsim_join" -> ((s, dir) => {
+      Dedup
+        .prefixJaccardJoin(t(s, dir, "documents"), threshold = 0.5, shingleK = 2)
+        .orderBy("doc1", "doc2")
+    }),
+
     // -- exact ANN baseline: brute-force cosine top-5 for 10 query vectors
     "q_embed_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -1901,6 +1910,17 @@ object SparkEntry {
                    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
           WHERE jaccard >= 0.05 ORDER BY doc1, doc2""",
+    // the ORACLE is brute-force all-pairs — passing proves the prefix
+    // filter's recall-1.0 claim cross-engine, not just in the spec
+    "q_setsim_join" ->
+      s"""WITH ${shinglesCte(2)}
+          SELECT doc1, doc2, floor((jaccard) * 1e4 + 0.5) / 1e4 AS jaccard FROM (
+            SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                   len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                   (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(a.shingles) > 0 AND len(b.shingles) > 0) p
+          WHERE jaccard >= 0.5 ORDER BY doc1, doc2""",
     "q_embed_cosine_topk" ->
       """WITH e AS (
            SELECT vec_id, embedding,

@@ -336,6 +336,100 @@ object Dedup {
     labels
   }
 
+  /** EXACT set-similarity self-join via prefix filtering (the AllPairs /
+    * PPJoin candidate rule): every pair of documents whose shingle-set
+    * Jaccard similarity is ≥ `threshold`, with the exact similarity —
+    * no LSH, no probabilistic recall.
+    *
+    * The filter that makes "exact without all-pairs" possible: order each
+    * doc's shingles by GLOBAL rarity (document frequency ASC, shingle ASC —
+    * a total order every doc agrees on) and keep only the first
+    * p = |s| − ceil(t·|s|) + 1 as the doc's PREFIX. Any two sets with
+    * Jaccard ≥ t must overlap in ≥ t·max(|a|,|b|) elements, so by
+    * pigeonhole they share at least one element inside these prefixes —
+    * candidate generation on prefix tokens alone has recall 1.0 by
+    * construction, and exact verification of the (few) candidates makes
+    * the whole join exact. Rare-first ordering is what keeps buckets
+    * small: a shingle's bucket can never exceed its df, and high-df
+    * shingles only enter a prefix when a doc has nothing rarer.
+    *
+    * Scale shape (same skeleton as [[minhashCandidates]]): df attach and
+    * per-doc assembly are two key shuffles; candidates come from ONE
+    * shuffle grouping prefix entries per shingle into a sorted member
+    * list, pairs expand in-bucket with the length filter
+    * (min ≥ t·max, a sound consequence of Jaccard ≥ t) applied BEFORE
+    * emission, and `maxBucket` drops saturated buckets before the
+    * quadratic expansion. The default cap (2¹⁶) is a scale guard, not a
+    * tuning knob: a saturated bucket means >65k docs whose RAREST
+    * available shingle is the same one — degenerate near-empty docs — and
+    * the result is exact whenever no bucket saturates (SetSimSpec pins
+    * == brute-force all-pairs equality). Verification joins the candidate
+    * ids back to the materialized per-doc sets — candidates only, never
+    * the corpus against itself.
+    *
+    * Returns (doc1, doc2, jaccard) with doc1 < doc2, jaccard exact
+    * (rounded to 4dp for cross-engine hashing).
+    */
+  def prefixJaccardJoin(
+      docs: DataFrame,
+      threshold: Double,
+      shingleK: Int = 2,
+      maxBucket: Int = 1 << 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold outside (0,1]")
+    require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least one pair")
+    val sh = TextAnalysis
+      .withShingles(docs.select(col(idCol), col(textCol)), textCol, shingleK, "__sh")
+      .select(col(idCol).as("id"), explode_outer(col("__sh")).as("shingle"))
+      // token-less docs have an EMPTY shingle set (explode_outer's null
+      // row): Jaccard against ∅ is undefined, drop them (oracle mirrors)
+      .where(col("shingle").isNotNull)
+    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
+    // one row per doc: shingles in global rare-first order + the set size.
+    // Materialized ONCE — the prefix stream and BOTH verify sides consume
+    // it, and each lazy reference would re-run tokenize+shingle+df-join.
+    val ordered = sh
+      .join(dfreq, Seq("shingle"))
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ord"))
+      .select(
+        col("id"),
+        transform(col("ord"), x => x.getField("shingle")).as("set"),
+        size(col("ord")).as("sz"))
+      .withColumn("p", (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
+      .localCheckpoint(true)
+    val prefix = ordered
+      .select(col("id"), col("sz"), explode_outer(slice(col("set"), lit(1), col("p"))).as("shingle"))
+    // in-bucket expansion emits each candidate once (members sorted id ASC,
+    // ids unique per bucket) with the length filter applied inside the
+    // lambda — a pair failing min ≥ t·max can't reach Jaccard ≥ t, so it
+    // never leaves the bucket
+    val cands = prefix
+      .groupBy(col("shingle"))
+      .agg(array_sort(collect_list(struct(col("id"), col("sz")))).as("ms"))
+      .where(size(col("ms")).between(2, maxBucket))
+      .select(explode_outer(expr(
+        s"""flatten(transform(ms, (x, i) ->
+            filter(transform(slice(ms, i + 2, size(ms)),
+                             y -> named_struct('id1', x.id, 'id2', y.id, 'sz1', x.sz, 'sz2', y.sz)),
+                   c -> least(c.sz1, c.sz2) >= $threshold * greatest(c.sz1, c.sz2))))"""))
+        .as("c"))
+      .select(col("c.id1"), col("c.id2"))
+      .distinct()
+    cands
+      .join(ordered.select(col("id").as("id1"), col("set").as("s1"), col("sz").as("sz1")), Seq("id1"))
+      .join(ordered.select(col("id").as("id2"), col("set").as("s2"), col("sz").as("sz2")), Seq("id2"))
+      .withColumn("n_inter", size(array_intersect(col("s1"), col("s2"))))
+      .withColumn("jaccard",
+        col("n_inter").cast("double") / (col("sz1") + col("sz2") - col("n_inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(
+        col("id1").as("doc1"),
+        col("id2").as("doc2"),
+        graft.functions.Portable.pround(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** SimHash from token frequencies (`bits` wide, default 32; up to 60 —
     * every portable md5 bit the word hash carries). Per distinct word: a
     * 60-bit md5-derived hash; bit j contributes +freq if set else -freq;

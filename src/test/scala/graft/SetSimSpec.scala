@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+import graft.operators.Dedup
+
+/** Pins [[Dedup.prefixJaccardJoin]]'s exactness claim: prefix-filtered
+  * candidate generation plus exact verification must equal brute-force
+  * all-pairs Jaccard — recall 1.0 is a theorem of the prefix rule, and
+  * this spec is the executable proof on real data. The DuckDB oracle
+  * (q_setsim_join) re-proves it cross-engine at sf0.01.
+  */
+class SetSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Brute-force truth: every doc pair's exact shingle Jaccard, no
+    * filtering of any kind (O(N²) — test-scale only).
+    */
+  private def bruteForce(docs: org.apache.spark.sql.DataFrame, thr: Double, k: Int) = {
+    val sets = TextAnalysis
+      .withShingles(docs, "text", k, "__sh")
+      .select(col("doc_id").as("id"), col("__sh").as("set"))
+      .where(size(col("set")) > 0)
+    sets.as("a")
+      .join(sets.as("b"), col("a.id") < col("b.id"))
+      .select(
+        col("a.id").as("doc1"),
+        col("b.id").as("doc2"),
+        (size(array_intersect(col("a.set"), col("b.set"))).cast("double") /
+          (size(col("a.set")) + size(col("b.set")) -
+            size(array_intersect(col("a.set"), col("b.set")))).cast("double")).as("j"))
+      .where(col("j") >= thr)
+      .select(col("doc1"), col("doc2"),
+        graft.functions.Portable.pround(col("j"), 4).as("jaccard"))
+  }
+
+  private lazy val docs = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select("doc_id", "text")
+
+  test("prefix-filtered join == brute-force all-pairs (exactness on real data)") {
+    for (thr <- Seq(0.3, 0.5, 0.8)) {
+      val got  = Dedup.prefixJaccardJoin(docs, thr).collect().toSet.map((r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      val want = bruteForce(docs, thr, 2).collect().toSet.map((r: org.apache.spark.sql.Row) => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      assert(got == want, s"threshold $thr: prefix join diverged from brute force")
+      assert(want.nonEmpty || thr > 0.5, s"threshold $thr found no pairs — corpus not exercising the operator")
+    }
+  }
+
+  test("planted near-duplicate pair is found with the exact similarity") {
+    val planted = Seq(
+      (9001L, "alpha beta gamma delta epsilon zeta"),
+      (9002L, "alpha beta gamma delta epsilon eta"),   // 4/6 bigram overlap
+      (9003L, "totally unrelated content right here")
+    ).toDF("doc_id", "text")
+    val got = Dedup
+      .prefixJaccardJoin(docs.unionByName(planted), threshold = 0.5)
+      .where(col("doc1") === 9001L || col("doc2") === 9001L)
+      .collect()
+    // shingles k=2: {alpha beta, beta gamma, gamma delta, delta epsilon, epsilon zeta/eta}
+    // intersection 4, union 6 → jaccard 0.6667
+    assert(got.map(r => (r.getLong(0), r.getLong(1))).toSet == Set((9001L, 9002L)))
+    assert(got.head.getDouble(2) == 0.6667)
+  }
+
+  test("maxBucket cap binds BEFORE pair expansion: saturated prefix bucket emits no pairs") {
+    // every doc's only shingle is identical → one bucket of size 6 > cap 4
+    val degenerate = (1L to 6L).map(i => (i, "same same")).toDF("doc_id", "text")
+    val capped = Dedup.prefixJaccardJoin(degenerate, threshold = 0.5, maxBucket = 4)
+    assert(capped.count() == 0)
+    // uncapped, the same corpus yields all 15 identical pairs at jaccard 1.0
+    val full = Dedup.prefixJaccardJoin(degenerate, threshold = 0.5)
+    assert(full.count() == 15 && full.agg(min("jaccard")).head.getDouble(0) == 1.0)
+  }
+
+  test("token-less docs are excluded, not matched to each other") {
+    val empties = Seq((8001L, "123 456 !!!"), (8002L, "789 ... ???")).toDF("doc_id", "text")
+    val got = Dedup
+      .prefixJaccardJoin(empties, threshold = 0.5)
+      .collect()
+    assert(got.isEmpty, "numeric/punctuation-only docs must not become duplicates of each other")
+  }
+}
