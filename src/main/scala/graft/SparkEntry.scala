@@ -1294,6 +1294,35 @@ object SparkEntry {
         .join(kept.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
+    }),
+
+    // -- CDC MERGE apply: fold a changelog (deletes, multi-version
+    //    updates, inserts; synthesized deterministically from orders so
+    //    the oracle can mirror it) into the base snapshot — latest seq
+    //    per key wins via ONE partially-aggregated max_by shuffle
+    "q_cdc_apply" -> ((s, dir) => {
+      val base = t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+      val dels = base.where(col("o_orderkey") % 10 === 0)
+        .withColumn("seq", lit(1L)).withColumn("op", lit("D"))
+      val upd1 = base.where(col("o_orderkey") % 10 === 1)
+        .withColumn("o_orderstatus", lit("U1"))
+        .withColumn("o_totalprice", col("o_totalprice") + 100)
+        .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
+      val upd2 = base.where(col("o_orderkey") % 10 === 1)
+        .withColumn("o_orderstatus", lit("U2"))
+        .withColumn("o_totalprice", col("o_totalprice") + 200)
+        .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+      val ins = base.where(col("o_orderkey") % 100 === 7)
+        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+        .withColumn("o_orderstatus", lit("N"))
+        .withColumn("o_totalprice", lit(1.0))
+        .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+      operators.ChangeData
+        .applyChangelog(base, dels.unionByName(upd1).unionByName(upd2).unionByName(ins), "o_orderkey")
+        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("price"))
+        .orderBy("o_orderkey")
     }))
 
   /** DuckDB CTE: distinct k-gram shingles per doc (short docs → one whole-doc
@@ -2471,7 +2500,28 @@ object SparkEntry {
                   FROM d) r
                 QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= 20)
           SELECT c.doc_id, d.lang, c.source
-          FROM c JOIN d ON d.doc_id = c.doc_id ORDER BY c.doc_id""")
+          FROM c JOIN d ON d.doc_id = c.doc_id ORDER BY c.doc_id""",
+    "q_cdc_apply" ->
+      """WITH base AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0 AS seq, 'I' AS op FROM orders),
+         ch AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1 AS seq, 'D' AS op
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, 'U1', o_totalprice + 100, 1, 'U'
+           FROM orders WHERE o_orderkey % 10 = 1
+           UNION ALL
+           SELECT o_orderkey, o_custkey, 'U2', o_totalprice + 200, 2, 'U'
+           FROM orders WHERE o_orderkey % 10 = 1
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_custkey, 'N', 1.0, 1, 'I'
+           FROM orders WHERE o_orderkey % 100 = 7),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM ch)
+         SELECT o_orderkey, o_custkey, o_orderstatus,
+                floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS price
+         FROM u
+         QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1 AND op <> 'D'
+         ORDER BY o_orderkey""")
 
   /** PII patterns, shared verbatim with CorpusClean — DuckDB standard
     * string literals keep backslashes literal, so the Java pattern string

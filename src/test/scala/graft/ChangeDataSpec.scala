@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.ChangeData
+
+/** MERGE semantics of [[ChangeData.applyChangelog]]: latest sequence per
+  * key wins; D deletes, U/I upsert (including upsert-to-absent-key); keys
+  * the changelog never touches survive unchanged. The one-shot apply must
+  * equal folding the changelog in one-event batches — associativity of
+  * the MERGE, which is what lets a 100 TB compaction batch arbitrarily.
+  */
+class ChangeDataSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def base =
+    Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0), (4L, "d", 40.0))
+      .toDF("k", "s", "v")
+
+  private def changes = Seq(
+    (2L, "b1", 21.0, 1L, "U"),  // plain update
+    (3L, "c1", 31.0, 1L, "U"),  // update then...
+    (3L, "c2", 32.0, 2L, "D"),  // ...delete: key 3 gone
+    (4L, "d1", 41.0, 1L, "D"),  // delete then...
+    (4L, "d2", 42.0, 2L, "I"),  // ...re-insert: key 4 reborn with new payload
+    (5L, "e", 50.0, 1L, "I"),   // fresh insert
+    (6L, "f", 60.0, 1L, "U")    // update to ABSENT key upserts (WHEN NOT MATCHED)
+  ).toDF("k", "s", "v", "seq", "op")
+
+  test("latest-seq-wins MERGE: update, delete, re-insert, upsert-to-absent, untouched") {
+    val got = ChangeData
+      .applyChangelog(base, changes, "k")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    assert(got == Set(
+      (1L, "a", 10.0),   // untouched
+      (2L, "b1", 21.0),
+      (4L, "d2", 42.0),
+      (5L, "e", 50.0),
+      (6L, "f", 60.0)))
+  }
+
+  test("one-shot apply == sequential per-event folds (MERGE is associative over batches)") {
+    val events = changes.orderBy("seq", "k").collect()
+    val folded = events.foldLeft(base) { (acc, r) =>
+      val one = Seq((r.getLong(0), r.getString(1), r.getDouble(2), r.getLong(3), r.getString(4)))
+        .toDF("k", "s", "v", "seq", "op")
+      // each single-event batch re-applies onto the accumulated snapshot
+      ChangeData.applyChangelog(acc, one, "k").localCheckpoint(true)
+    }
+    val oneShot = ChangeData.applyChangelog(base, changes, "k")
+    assert(
+      folded.collect().map(_.toSeq).toSet == oneShot.collect().map(_.toSeq).toSet)
+  }
+
+  test("plan has exactly one exchange (union + max_by agg, no window, no join)") {
+    val plan = ChangeData
+      .applyChangelog(base, changes, "k")
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "MERGE must not use a window")
+    assert(!plan.contains("Join"), "MERGE must not use a join")
+  }
+}
