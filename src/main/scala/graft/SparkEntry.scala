@@ -1296,6 +1296,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- SemDeDup: cluster embeddings to IVF cells, drop vectors with a
+    //    smaller-id cell-mate above the cosine threshold — the pair space
+    //    is Σ|cell|², never N²
+    "q_semdedup" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .semDedup(emb, emb.where(col("vec_id") < 8), thr = 0.25)
+        .orderBy("vec_id")
+    }),
+
     // -- CDC MERGE apply: fold a changelog (deletes, multi-version
     //    updates, inserts; synthesized deterministically from orders so
     //    the oracle can mirror it) into the base snapshot — latest seq
@@ -2501,6 +2511,36 @@ object SparkEntry {
                 QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= 20)
           SELECT c.doc_id, d.lang, c.source
           FROM c JOIN d ON d.doc_id = c.doc_id ORDER BY c.doc_id""",
+    // assignment CTE mirrors q_ann_ivf's argmax (6-dp cos, c_id ASC ties);
+    // the maxCell=4096 guard is mirrored though vacuous at test scale
+    "q_semdedup" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+           FROM embeddings),
+         c AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+         p AS (
+           SELECT e.vec_id, c_id,
+                  list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> e.embedding[i]::DOUBLE * cv[i]::DOUBLE)) / (e.nrm * cn) AS cos
+           FROM e CROSS JOIN c),
+         asg AS (
+           SELECT vec_id, c_id AS cell FROM (
+             SELECT vec_id, c_id,
+                    row_number() OVER (PARTITION BY vec_id
+                                       ORDER BY floor((cos) * 1e6 + 0.5) / 1e6 DESC, c_id) AS rn
+             FROM p) r WHERE rn = 1),
+         m AS (SELECT e.vec_id, cell, embedding, nrm FROM e JOIN asg USING (vec_id)),
+         ok AS (SELECT cell FROM m GROUP BY cell HAVING count(*) BETWEEN 2 AND 4096),
+         d AS (
+           SELECT DISTINCT b.vec_id
+           FROM m a JOIN m b ON a.cell = b.cell AND a.vec_id < b.vec_id
+           JOIN ok ON ok.cell = a.cell
+           WHERE list_sum(list_transform(range(1, len(a.embedding) + 1),
+                     i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm) >= 0.25)
+         SELECT m.vec_id, cell, (d.vec_id IS NULL) AS keep
+         FROM m LEFT JOIN d ON d.vec_id = m.vec_id ORDER BY m.vec_id""",
     "q_cdc_apply" ->
       """WITH base AS (
            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0 AS seq, 'I' AS op FROM orders),

@@ -651,4 +651,62 @@ object Similarity {
         struct(round(col("cos"), 6).as("k1"), (-col("c_id")).as("k2"))).as("best"))
       .select(col(idCol), col("best.c_id").as("cell"), round(col("best.cos"), 4).as("cos_r"))
   }
+
+  /** SemDeDup — semantic deduplication by clustering (Abbas et al. 2023's
+    * recipe, the embedding-space analogue of MinHash dedup): assign every
+    * vector to its max-cosine centroid, compare pairs ONLY within a cell,
+    * and drop a vector iff some smaller-id cell-mate sits above the cosine
+    * threshold. Clustering is what makes the quadratic comparison feasible:
+    * the pair space shrinks from N² to Σ|cell|², and the cells come from
+    * the k-means loop ([[kmeansIterate]]) that this operator's centroids
+    * are in practice trained with.
+    *
+    * The keeper rule is the pairwise smaller-id-neighbor form (a vector
+    * survives iff NO kept-or-dropped smaller cell-mate is ≥ thr) — the
+    * deterministic batch analogue of the paper's keep-one-exemplar; for
+    * the transitive-cluster form, feed the intermediate pairs to
+    * [[Dedup.duplicateGroups]] exactly like the MinHash pipeline does.
+    *
+    * Scale shape: assignment is [[ivfAssign]]'s broadcast argmax (one
+    * exchange, one row per vector); the member relation is materialized
+    * once (three consumers); in-cell pairs come from an equi-join on the
+    * cell id with a `maxCell` guard pruning saturated cells BEFORE the
+    * quadratic expansion (an over-full cell means the centroids under-fit
+    * — retrain with larger k rather than brute-forcing inside it).
+    *
+    * Returns (idCol, cell, keep) for every corpus vector.
+    */
+  def semDedup(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      thr: Double,
+      maxCell: Int = 1 << 12,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(maxCell >= 2, s"maxCell ($maxCell) must admit at least one pair")
+    val member = corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("nrm", norm(vecCol))
+      .join(ivfAssign(corpus, centroids, idCol, vecCol).select(col(idCol), col("cell")), Seq(idCol))
+      .localCheckpoint(true)
+    val keep = member
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("__cn"))
+      .where(col("__cn").between(2, maxCell))
+      .select(col("cell"))
+    val pruned = member.join(keep, Seq("cell"), "left_semi")
+    val dropped = pruned
+      .select(col("cell"), col(idCol).as("v1"), col(vecCol).as("va"), col("nrm").as("na"))
+      .join(
+        pruned.select(col("cell"), col(idCol).as("v2"), col(vecCol).as("vb"), col("nrm").as("nb")),
+        Seq("cell"))
+      .where(col("v1") < col("v2"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .where(col("cos") >= thr)
+      .select(col("v2").as(idCol))
+      .distinct()
+    member
+      .join(dropped.withColumn("__dup", lit(1)), Seq(idCol), "left_outer")
+      .select(col(idCol), col("cell"), col("__dup").isNull.as("keep"))
+  }
 }
