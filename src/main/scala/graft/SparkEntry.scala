@@ -1296,6 +1296,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- per-user daily resample + forward fill: dense fixed-step series
+    //    from the sparse event log, gaps carry the last observed average
+    "q_resample_ffill" -> ((s, dir) => {
+      operators.TimeSeries
+        .resampleFfill(graft.sources.EventsSource.events(s, dir), "user_id", "ts_t", "value")
+        .orderBy("user_id", "bucket")
+    }),
+
     // -- SemDeDup: cluster embeddings to IVF cells, drop vectors with a
     //    smaller-id cell-mate above the cosine threshold — the pair space
     //    is Σ|cell|², never N²
@@ -2511,6 +2519,22 @@ object SparkEntry {
                 QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= 20)
           SELECT c.doc_id, d.lang, c.source
           FROM c JOIN d ON d.doc_id = c.doc_id ORDER BY c.doc_id""",
+    "q_resample_ffill" ->
+      """WITH daily AS (
+           SELECT user_id, date_trunc('day', ts) AS bucket,
+                  floor((avg(value)) * 1e4 + 0.5) / 1e4 AS v
+           FROM events GROUP BY 1, 2),
+         span AS (SELECT user_id, min(bucket) AS d0, max(bucket) AS d1 FROM daily GROUP BY 1),
+         spine AS (
+           SELECT user_id, unnest(generate_series(d0, d1, INTERVAL 1 DAY)) AS bucket FROM span),
+         j AS (
+           SELECT s.user_id, s.bucket, d.v
+           FROM spine s LEFT JOIN daily d ON d.user_id = s.user_id AND d.bucket = s.bucket)
+         SELECT user_id, bucket,
+                last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY bucket
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value,
+                (v IS NULL) AS is_gap
+         FROM j ORDER BY user_id, bucket""",
     // assignment CTE mirrors q_ann_ivf's argmax (6-dp cos, c_id ASC ties);
     // the maxCell=4096 guard is mirrored though vacuous at test scale
     "q_semdedup" ->

@@ -1,0 +1,57 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: resample irregular event streams onto a
+  * fixed grid and fill the gaps — the feature-engineering step every
+  * metrics/telemetry/training-signal pipeline runs before a model sees
+  * the data (models want dense fixed-step series; event logs are sparse
+  * and bursty).
+  */
+object TimeSeries {
+
+  /** Per-key fixed-step resample with forward fill: bucket each key's
+    * events to `truncUnit` grid points, average the value per bucket
+    * (4-dp portable rounding), build the key's dense spine from its first
+    * to its last observed bucket, and carry the last observed average
+    * forward across empty buckets. Returns (keyCol, bucket, value,
+    * is_gap) — `is_gap` marks carried-forward rows.
+    *
+    * Scale shape: ONE shuffle keys the bucket aggregate; the spine is a
+    * map-side `sequence` generator off the per-key span (no driver-side
+    * calendar, no cross join against a global date table); the gap join
+    * and the forward-fill window both run on (key, bucket) / key — and a
+    * per-KEY window partition is the bounded kind (≤ the key's span in
+    * buckets), unlike the per-language windows this repo distributes via
+    * prefix sums: keys number in the millions and partitions stay tiny,
+    * so the window parallelizes on exactly the axis the data grows.
+    */
+  def resampleFfill(
+      events: DataFrame,
+      keyCol: String,
+      tsCol: String,
+      valueCol: String,
+      truncUnit: String = "DAY"): DataFrame = {
+    val daily = events
+      .groupBy(col(keyCol), date_trunc(truncUnit, col(tsCol)).as("bucket"))
+      .agg(graft.functions.Portable.pround(avg(col(valueCol)), 4).as("v"))
+    val spine = daily
+      .groupBy(col(keyCol))
+      .agg(min(col("bucket")).as("d0"), max(col("bucket")).as("d1"))
+      .select(col(keyCol),
+        explode(sequence(col("d0"), col("d1"), expr(s"INTERVAL 1 $truncUnit"))).as("bucket"))
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(daily, Seq(keyCol, "bucket"), "left_outer")
+      .select(
+        col(keyCol),
+        col("bucket"),
+        last(col("v"), ignoreNulls = true).over(w).as("value"),
+        col("v").isNull.as("is_gap"))
+  }
+}
