@@ -1296,6 +1296,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- BPE trainer step: corpus-wide adjacent character-pair counts at
+    //    the initial merge state, top-50 — the argmax IS the first merge;
+    //    corpus reduces to vocabulary BEFORE pair enumeration
+    "q_bpe_pairs" -> ((s, dir) => {
+      TextAnalysis
+        .bpePairCounts(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")))
+        .orderBy(desc("cnt"), asc("pair"))
+        .limit(50)
+    }),
+
     // -- per-user daily resample + forward fill: dense fixed-step series
     //    from the sparse event log, gaps carry the last observed average
     "q_resample_ffill" -> ((s, dir) => {
@@ -2519,6 +2529,14 @@ object SparkEntry {
                 QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= 20)
           SELECT c.doc_id, d.lang, c.source
           FROM c JOIN d ON d.doc_id = c.doc_id ORDER BY c.doc_id""",
+    "q_bpe_pairs" ->
+      s"""WITH $TokCte,
+          vocab AS (SELECT word AS w, count(*) AS n FROM tok GROUP BY 1),
+          p AS (SELECT substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair, n
+                FROM (SELECT w, n, unnest(range(1, len(w))) AS i
+                      FROM vocab WHERE len(w) >= 2) u)
+          SELECT pair, sum(n) AS cnt FROM p GROUP BY 1
+          ORDER BY cnt DESC, pair LIMIT 50""",
     "q_resample_ffill" ->
       """WITH daily AS (
            SELECT user_id, date_trunc('day', ts) AS bucket,

@@ -283,4 +283,31 @@ object TextAnalysis {
       }
       .toDF(idCol, "n_maybe")
   }
+
+  /** The BPE trainer's inner statistic: corpus-wide adjacent-symbol-pair
+    * frequencies at the initial (character) merge state — the pair with
+    * the max count IS the first BPE merge, and a tokenizer trainer loops
+    * this after applying each merge.
+    *
+    * Scale shape (the classic trainer optimization, distributed): the
+    * corpus-sized token stream first reduces to the VOCABULARY with
+    * occurrence counts (one shuffle on the word — bounded by vocabulary
+    * size, not corpus size), and pair enumeration + weighting then runs
+    * over distinct words only, each pair weighted by its word's count.
+    * The pair aggregate is vocabulary-×-word-length sized and partially
+    * aggregated map-side; the corpus text is scanned exactly once.
+    *
+    * Returns (pair, cnt): "x y" space-joined symbol pairs with their
+    * corpus frequencies.
+    */
+  def bpePairCounts(tokens: DataFrame, wordCol: String = "word"): DataFrame = {
+    val vocab = tokens.groupBy(col(wordCol).as("w")).agg(count(lit(1)).as("n"))
+    vocab
+      .where(length(col("w")) >= 2)
+      .select(col("n"), explode_outer(transform(
+        sequence(lit(1), length(col("w")) - 1),
+        i => concat(col("w").substr(i, lit(1)), lit(" "), col("w").substr(i + 1, lit(1))))).as("pair"))
+      .groupBy(col("pair"))
+      .agg(sum(col("n")).as("cnt"))
+  }
 }

@@ -139,6 +139,15 @@ class CorpusOpsSpec extends SparkSpec {
     assert(st("b").getDouble(4) == 1.5 && st("b").getDouble(5) == 4.0)
   }
 
+  test("bpePairCounts: pairs weighted by word occurrences, single-char words excluded") {
+    val tiny = Seq((0L, "ab ab abc x")).toDF("doc_id", "text")
+    val toks = Tokenize.tokens(tiny, "text", Seq("doc_id"))
+    val got = graft.functions.TextAnalysis.bpePairCounts(toks)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // vocab: ab×2, abc×1, x×1 (x has no pair)
+    assert(got == Map("a b" -> 3L, "b c" -> 1L))
+  }
+
   test("vocabGrowth: cumulative count ends at the distinct-word total") {
     val toks = Tokenize.tokens(docs, "text", Seq("doc_id"))
     val curve = Stats.vocabGrowth(toks, bucketWidth = 2).orderBy("bucket")
