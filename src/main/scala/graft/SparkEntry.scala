@@ -1296,6 +1296,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- weighted sampling WITHOUT replacement (A-ES): 100 docs drawn
+    //    proportional to n_chars, deterministic md5 draws, global top-k
+    //    as TakeOrderedAndProject
+    "q_weighted_sample" -> ((s, dir) => {
+      Sampling
+        .weightedSample(t(s, dir, "documents"), "doc_id", "n_chars", k = 100)
+        .select(col("doc_id"), col("n_chars"), col("rk"))
+        .orderBy("doc_id")
+    }),
+
     // -- BPE trainer step: corpus-wide adjacent character-pair counts at
     //    the initial merge state, top-50 — the argmax IS the first merge;
     //    corpus reduces to vocabulary BEFORE pair enumeration
@@ -2529,6 +2539,18 @@ object SparkEntry {
                 QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= 20)
           SELECT c.doc_id, d.lang, c.source
           FROM c JOIN d ON d.doc_id = c.doc_id ORDER BY c.doc_id""",
+    "q_weighted_sample" ->
+      """WITH h AS (
+           SELECT doc_id, n_chars,
+                  (('0x' || substr(md5('wsample:' || doc_id::VARCHAR), 1, 13))::BIGINT + 1)::DOUBLE
+                    / 4503599627370496.0 AS u
+           FROM documents WHERE n_chars > 0),
+         keyed AS (
+           SELECT doc_id, n_chars,
+                  floor((ln(u) / n_chars::DOUBLE) * 1e12 + 0.5) / 1e12 AS rk
+           FROM h),
+         top AS (SELECT * FROM keyed ORDER BY rk DESC, doc_id LIMIT 100)
+         SELECT doc_id, n_chars, rk FROM top ORDER BY doc_id""",
     "q_bpe_pairs" ->
       s"""WITH $TokCte,
           vocab AS (SELECT word AS w, count(*) AS n FROM tok GROUP BY 1),

@@ -108,6 +108,38 @@ object Sampling {
       .select(col(groupCol), col("__e.id").as(idCol), col("__e.cos").cast("long").as("rk"))
   }
 
+  /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis A-ES): each row draws u from its id's md5 (52 bits, in
+    * (0, 1]), gets key ln(u)/w — order-equivalent to the classic u^(1/w),
+    * one less libm call — and the k LARGEST keys win. P(row sampled) is
+    * proportional-to-weight without replacement, yet the draw is a pure
+    * function of (salt, id): reruns, resumes, and the DuckDB oracle
+    * select the identical k rows.
+    *
+    * Keys are rounded to 12 dp (far above last-ulp ln() divergence, far
+    * below key spacing) with id-ASC tie-break, so cross-engine selection
+    * can't flip at boundaries. The global top-k is TakeOrderedAndProject
+    * — per-partition partial top-k, k-row merge, no full sort, no single
+    * giant partition. Per-stratum form: compose with [[perGroupCap]]'s
+    * bounded top-k aggregate on the same key.
+    */
+  def weightedSample(
+      df: DataFrame,
+      idCol: String,
+      weightCol: String,
+      k: Int,
+      salt: String = "wsample"): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    val h = conv(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val u = (h + 1).cast("double") / lit(4503599627370496.0) // 2^52 → u ∈ (0, 1]
+    df.where(col(weightCol) > 0)
+      .withColumn("rk",
+        graft.functions.Portable.pround(log(u) / col(weightCol).cast("double"), 12))
+      .orderBy(desc("rk"), col(idCol))
+      .limit(k)
+  }
+
   /** Stratified deterministic sample: a different keep-fraction per value
     * of `stratumCol` (e.g. up-sample rare languages, down-sample dominant
     * ones). Strata absent from `fractions` fall back to `defaultFraction`.

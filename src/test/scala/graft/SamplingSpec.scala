@@ -81,3 +81,33 @@ class DedupGroupsSpec extends SparkSpec {
     assert(got.values.toSet.forall(g => got(g) == g))
   }
 }
+
+class WeightedSampleSpec extends SparkSpec {
+
+  private lazy val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
+
+  test("weightedSample == independent in-memory A-ES mirror; zero weights excluded") {
+    import spark.implicits._
+    val rows = docs.select(col("doc_id").as[Long], col("n_chars").as[Long]).collect()
+    // independent mirror of the md5 draw + ln(u)/w key + top-k
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, w: Long): Double = {
+      val hex = digest.digest(s"wsample:$id".getBytes("UTF-8"))
+        .take(7).map(b => f"${b & 0xff}%02x").mkString.take(13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1).toDouble / 4503599627370496.0
+      math.floor(math.log(u) / w.toDouble * 1e12 + 0.5) / 1e12
+    }
+    val want = rows.filter(_._2 > 0)
+      .map { case (id, w) => (id, key(id, w)) }
+      .sortBy { case (id, k) => (-k, id) }
+      .take(100).map(_._1).toSet
+    val got = Sampling.weightedSample(docs, "doc_id", "n_chars", k = 100)
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    // zero-weight rows can never appear
+    val withZero = docs.withColumn("w0", when(col("doc_id") < 50, lit(0L)).otherwise(col("n_chars")))
+    val z = Sampling.weightedSample(withZero, "doc_id", "w0", k = 100)
+      .select("doc_id").as[Long].collect()
+    assert(z.forall(_ >= 50))
+  }
+}
