@@ -1296,6 +1296,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- symmetric int8 embedding quantization: per-vector scale, integer
+    //    codes, reconstruction MSE — one map-side pass, no shuffle
+    "q_embed_int8" -> ((s, dir) => {
+      Similarity
+        .int8Quantize(t(s, dir, "embeddings"))
+        .orderBy("vec_id")
+    }),
+
     // -- weighted sampling WITHOUT replacement (A-ES): 100 docs drawn
     //    proportional to n_chars, deterministic md5 draws, global top-k
     //    as TakeOrderedAndProject
@@ -2539,6 +2547,25 @@ object SparkEntry {
                 QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= 20)
           SELECT c.doc_id, d.lang, c.source
           FROM c JOIN d ON d.doc_id = c.doc_id ORDER BY c.doc_id""",
+    "q_embed_int8" ->
+      """WITH q AS (
+           SELECT vec_id, embedding,
+                  list_max(list_transform(embedding, x -> abs(x::DOUBLE))) / 127.0 AS scale
+           FROM embeddings),
+         coded AS (
+           SELECT vec_id, embedding, scale,
+                  CASE WHEN scale = 0 THEN list_transform(embedding, x -> 0)
+                       ELSE list_transform(embedding, x -> floor(x::DOUBLE / scale + 0.5)::INT)
+                  END AS codes
+           FROM q)
+         SELECT vec_id,
+                floor((scale) * 1e8 + 0.5) / 1e8 AS scale_r,
+                codes,
+                floor((list_sum(list_transform(range(1, len(embedding) + 1),
+                         i -> (embedding[i]::DOUBLE - codes[i]::DOUBLE * scale)
+                            * (embedding[i]::DOUBLE - codes[i]::DOUBLE * scale)))
+                       / len(embedding)::DOUBLE) * 1e10 + 0.5) / 1e10 AS mse_r
+         FROM coded ORDER BY vec_id""",
     "q_weighted_sample" ->
       """WITH h AS (
            SELECT doc_id, n_chars,

@@ -652,6 +652,44 @@ object Similarity {
       .select(col(idCol), col("best.c_id").as("cell"), round(col("best.cos"), 4).as("cos_r"))
   }
 
+  /** Symmetric per-vector int8 quantization — the 4× embedding-storage
+    * compression every large vector store applies before PQ even enters
+    * the picture: scale = max|x|/127, code = round(x/scale), both
+    * recoverable map-side. Codes are integer-exact cross-engine (the
+    * round is the portable floor(x+0.5) form), so a downstream int8 dot
+    * product — Σ c₁c₂ · s₁s₂, the serving-path score — is exact integer
+    * arithmetic rescaled once, immune to accumulation-order drift.
+    *
+    * Entirely map-side (no shuffle, no UDF): one pass computes the
+    * scale, the code array, and the reconstruction MSE per vector.
+    * All-zero vectors take scale 0 with all-zero codes.
+    *
+    * Returns (idCol, scale_r, codes, mse_r).
+    */
+  def int8Quantize(
+      df: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val sq = (c: Column) => c * c
+    df.select(col(idCol), col(vecCol))
+      .withColumn("scale",
+        array_max(transform(col(vecCol), x => abs(x.cast("double")))) / lit(127.0))
+      .withColumn("codes",
+        when(col("scale") === 0, transform(col(vecCol), _ => lit(0)))
+          .otherwise(transform(col(vecCol),
+            x => floor(x.cast("double") / col("scale") + 0.5).cast("int"))))
+      .withColumn("mse",
+        aggregate(
+          zip_with(col(vecCol), col("codes"),
+            (x, c) => sq(x.cast("double") - c.cast("double") * col("scale"))),
+          lit(0.0), (acc, e) => acc + e) / size(col(vecCol)).cast("double"))
+      .select(
+        col(idCol),
+        round(col("scale"), 8).as("scale_r"),
+        col("codes"),
+        round(col("mse"), 10).as("mse_r"))
+  }
+
   /** SemDeDup — semantic deduplication by clustering (Abbas et al. 2023's
     * recipe, the embedding-space analogue of MinHash dedup): assign every
     * vector to its max-cosine centroid, compare pairs ONLY within a cell,
