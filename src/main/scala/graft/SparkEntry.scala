@@ -1296,6 +1296,24 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- content-defined chunking: token-hash cut points (rsync/LBFS rule
+    //    at token granularity) — boundaries survive upstream insertions,
+    //    so chunk hashes match across near-duplicate documents
+    "q_cdc_chunks" -> ((s, dir) => {
+      operators.Chunking
+        .chunkByContent(t(s, dir, "documents"), modulus = 16)
+        .orderBy("doc_id", "chunk_id")
+    }),
+
+    // -- bigram-LM quality score: add-one-smoothed bigram model trained
+    //    on the corpus itself, mean ln P(w2|w1) per doc — the coherence
+    //    signal unigram statistics can't see
+    "q_bigram_lm" -> ((s, dir) => {
+      TextAnalysis
+        .bigramLogProbScore(t(s, dir, "documents"))
+        .orderBy("doc_id")
+    }),
+
     // -- symmetric int8 embedding quantization: per-vector scale, integer
     //    codes, reconstruction MSE — one map-side pass, no shuffle
     "q_embed_int8" -> ((s, dir) => {
@@ -2547,6 +2565,54 @@ object SparkEntry {
                 QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= 20)
           SELECT c.doc_id, d.lang, c.source
           FROM c JOIN d ON d.doc_id = c.doc_id ORDER BY c.doc_id""",
+    "q_cdc_chunks" ->
+      """WITH t0 AS (
+           SELECT doc_id,
+                  list_filter(
+                    list_transform(regexp_split_to_array(text, '\s+'),
+                                   x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                    w -> w <> '') AS toks
+           FROM documents),
+         b AS (
+           SELECT doc_id, toks,
+                  list_concat(list_concat(
+                    [0],
+                    list_filter(range(1, len(toks)),
+                                i -> ('0x' || substr(md5(toks[i]), 1, 8))::BIGINT % 16 = 0)),
+                    [len(toks)]) AS bounds
+           FROM t0),
+         ch AS (
+           SELECT doc_id, j - 1 AS chunk_id,
+                  list_slice(toks, bounds[j] + 1, bounds[j + 1]) AS chunk
+           FROM (SELECT doc_id, toks, bounds, unnest(range(1, len(bounds))) AS j FROM b) u)
+         SELECT doc_id, chunk_id, len(chunk) AS n_tok,
+                md5(array_to_string(chunk, ' ')) AS chunk_hash
+         FROM ch WHERE len(chunk) > 0 ORDER BY doc_id, chunk_id""",
+    "q_bigram_lm" ->
+      """WITH t0 AS (
+           SELECT doc_id,
+                  list_filter(
+                    list_transform(regexp_split_to_array(text, '\s+'),
+                                   x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                    w -> w <> '') AS toks
+           FROM documents),
+         big AS (
+           SELECT doc_id, toks[i] AS w1, toks[i] || ' ' || toks[i + 1] AS bigram
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                 FROM t0 WHERE len(toks) >= 2) u),
+         uni AS (SELECT w, count(*) AS n1
+                 FROM (SELECT unnest(toks) AS w FROM t0) x GROUP BY 1),
+         c2 AS (SELECT bigram, count(*) AS n2 FROM big GROUP BY 1),
+         v AS (SELECT count(*) AS vs FROM uni),
+         sc AS (
+           SELECT doc_id, count(*) AS n_big,
+                  avg(ln((n2 + 1)::DOUBLE / (n1 + vs)::DOUBLE)) AS mlp
+           FROM big JOIN c2 USING (bigram)
+           JOIN uni ON uni.w = big.w1 CROSS JOIN v
+           GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(n_big, 0) AS n_big,
+                floor((coalesce(mlp, 0.0)) * 1e4 + 0.5) / 1e4 AS mean_lp
+         FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""",
     "q_embed_int8" ->
       """WITH q AS (
            SELECT vec_id, embedding,

@@ -284,6 +284,62 @@ object TextAnalysis {
       .toDF(idCol, "n_maybe")
   }
 
+  /** Bigram-LM quality score — the CCNet/KenLM-shaped filter one level up
+    * from [[unigramLogProbScore]]: train an add-one-smoothed bigram model
+    * on the corpus ITSELF, then score every document by its mean bigram
+    * log-probability ln((c(w₁w₂)+1) / (c(w₁)+V)). Low scores mark
+    * incoherent word salads that unigram statistics can't see (every
+    * word common, no two adjacent words ever co-occurring).
+    *
+    * Bigrams are strict adjacency (a one-token doc has none — the
+    * whole-doc collapse the SHINGLE path applies would fabricate a fake
+    * bigram here). Docs with <2 tokens surface with n_big=0, score 0.
+    *
+    * Scale shape: counts are two corpus-keyed aggregates (bigram,
+    * unigram) joined back onto the bigram stream — the same
+    * join-to-counts plan [[unigramLogProbScore]] audits; V is a scalar
+    * broadcast. No window, no driver loop; every relation is token- or
+    * vocabulary-sized.
+    */
+  def bigramLogProbScore(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol), Tokenize.tokenArray(col(textCol)).as("__toks"))
+    val big = toks
+      .select(col(idCol),
+        explode(when(size(col("__toks")) >= 2,
+          transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => struct(
+              element_at(col("__toks"), i).as("w1"),
+              concat(element_at(col("__toks"), i), lit(" "),
+                element_at(col("__toks"), i + 1)).as("bigram"))))
+          .otherwise(array().cast("array<struct<w1:string,bigram:string>>"))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.bigram").as("bigram"))
+    val uni = toks
+      .select(explode(col("__toks")).as("w"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("n1"))
+    val c2 = big.groupBy(col("bigram")).agg(count(lit(1)).as("n2"))
+    val v  = uni.agg(count(lit(1)).as("vs"))
+    val scored = big
+      .join(c2, Seq("bigram"))
+      .join(uni, big("w1") === uni("w"))
+      .crossJoin(broadcast(v))
+      .withColumn("lp",
+        log((col("n2") + 1).cast("double") / (col("n1") + col("vs")).cast("double")))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_big"), avg(col("lp")).as("mlp"))
+    docs
+      .select(col(idCol))
+      .join(scored, Seq(idCol), "left_outer")
+      .select(
+        col(idCol),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        Portable.pround(coalesce(col("mlp"), lit(0.0)), 4).as("mean_lp"))
+  }
+
   /** The BPE trainer's inner statistic: corpus-wide adjacent-symbol-pair
     * frequencies at the initial (character) merge state — the pair with
     * the max count IS the first BPE merge, and a tokenizer trainer loops

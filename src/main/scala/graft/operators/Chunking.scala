@@ -49,6 +49,60 @@ object Chunking {
       .withColumn("n_chunk", size_(col("chunk")))
   }
 
+  /** Content-defined chunking (CDC): cut each document's token stream
+    * where the TOKEN'S OWN hash hits `0 mod modulus` — the rolling-hash
+    * boundary rule of rsync/LBFS/dedup-storage, at token granularity.
+    * Because a cut decision depends only on the token at that position,
+    * inserting or deleting text early in a document does not move any
+    * later boundary: the untouched tail re-chunks IDENTICALLY and its
+    * chunk hashes still match — the property that lets sub-document
+    * dedup catch near-duplicates with insertions, where fixed-stride
+    * windows ([[chunkTokens]]) all shift and nothing matches.
+    *
+    * Expected chunk length is `modulus` tokens (geometric). Pure
+    * map-side: boundary detection, slicing, and hashing are higher-order
+    * expressions over the bound token array — no shuffle, no UDF; the
+    * downstream dedup joins on `chunk_hash`, which is exactly
+    * [[graft.operators.Dedup.exact]]'s shape at chunk granularity.
+    *
+    * Returns (idCol, chunk_id, n_tok, chunk_hash).
+    */
+  def chunkByContent(
+      docs: DataFrame,
+      modulus: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(modulus >= 2, s"modulus ($modulus) must be >= 2")
+    val hash32 = (t: Column) => conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+    docs
+      .select(col(idCol), Tokenize.tokenArray(col(textCol)).as("__toks"))
+      .withColumn("__n", size_(col("__toks")))
+      // interior cut AFTER token i (1 ≤ i < n) iff hash(token_i) ≡ 0;
+      // the guard keeps sequence() from producing a DESCENDING [1, 0]
+      // range on one-token docs
+      .withColumn("__bounds", concat(
+        array(lit(0)),
+        when(col("__n") >= 2,
+          filter(sequence(lit(1), col("__n") - 1),
+            i => hash32(element_at(col("__toks"), i)) % modulus === 0))
+          .otherwise(array().cast("array<int>")),
+        array(col("__n"))))
+      .select(col(idCol), col("__toks"),
+        posexplode(transform(
+          sequence(lit(1), size_(col("__bounds")) - 1),
+          j => slice(
+            col("__toks"),
+            element_at(col("__bounds"), j) + 1,
+            element_at(col("__bounds"), j + 1) - element_at(col("__bounds"), j))))
+          .as(Seq("chunk_id", "__chunk")))
+      .where(size_(col("__chunk")) > 0)
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        size_(col("__chunk")).as("n_tok"),
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
+  }
+
   // functions.size shadowed by the `size` parameter above
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 }

@@ -139,6 +139,47 @@ class CorpusOpsSpec extends SparkSpec {
     assert(st("b").getDouble(4) == 1.5 && st("b").getDouble(5) == 4.0)
   }
 
+  test("chunkByContent == in-memory mirror; prefix insertion preserves tail chunks") {
+    val base = (0 until 120).map(word).mkString(" ")
+    val two  = Seq((1L, base), (2L, s"zz yy xx $base")).toDF("doc_id", "text")
+    val got = Chunking.chunkByContent(two, modulus = 4)
+      .orderBy("doc_id", "chunk_id").collect()
+      .map(r => (r.getLong(0), r.getString(3)))
+    // independent mirror: same tokenizer, same md5 cut rule, same md5 chunk hash
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    def chunksOf(text: String): Seq[String] = {
+      val toks = text.split("\\s+").map(_.toLowerCase.replaceAll("[^a-z]", "")).filter(_.nonEmpty)
+      val cuts = (1 until toks.length).filter(i => java.lang.Long.parseLong(md5hex(toks(i - 1)).take(8), 16) % 4 == 0)
+      val bounds = 0 +: cuts :+ toks.length
+      bounds.sliding(2).collect { case Seq(a, b) if b > a => md5hex(toks.slice(a, b).mkString(" ")) }.toSeq
+    }
+    assert(got.filter(_._1 == 1L).map(_._2).toSeq == chunksOf(base))
+    assert(got.filter(_._1 == 2L).map(_._2).toSeq == chunksOf(s"zz yy xx $base"))
+    // CDC property: every chunk of doc 1 except possibly the first is a
+    // chunk of the prefix-injected doc 2 — fixed-stride windows share none
+    val c1 = chunksOf(base); val c2 = chunksOf(s"zz yy xx $base").toSet
+    assert(c1.drop(1).forall(c2.contains), "tail chunks must survive a prefix insertion")
+    assert(c1.size > 3, "fixture must produce enough chunks to make the claim meaningful")
+  }
+
+  test("bigramLogProbScore: hand-computed smoothed bigram means; short docs score 0") {
+    val tiny = Seq(
+      (0L, "a b a b"), (1L, "a b"), (2L, "x"), (3L, "..."))
+      .toDF("doc_id", "text")
+    val got = graft.functions.TextAnalysis.bigramLogProbScore(tiny)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // uni: a:3 b:3 x:1, V=3; c2: "a b":3, "b a":1
+    val lpAB = math.log(4.0 / 6.0); val lpBA = math.log(2.0 / 6.0)
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(got.toSeq == Seq(
+      (0L, 3L, r4((2 * lpAB + lpBA) / 3.0)),
+      (1L, 1L, r4(lpAB)),
+      (2L, 0L, 0.0),
+      (3L, 0L, 0.0)))
+  }
+
   test("bpePairCounts: pairs weighted by word occurrences, single-char words excluded") {
     val tiny = Seq((0L, "ab ab abc x")).toDF("doc_id", "text")
     val toks = Tokenize.tokens(tiny, "text", Seq("doc_id"))
