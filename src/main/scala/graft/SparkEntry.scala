@@ -688,10 +688,16 @@ object SparkEntry {
 
     // -- EXACT set-similarity self-join via prefix filtering (AllPairs/
     //    PPJoin): recall-1.0 candidates from rare-first prefixes, exact
-    //    verification — the deterministic counterpart to MinHash-LSH
+    //    verification — the deterministic counterpart to MinHash-LSH.
+    //    k=3 shingles: the synthetic corpus has only ~1k distinct BIGRAMS
+    //    (max df ~340 at sf0.1 — every prefix collides, 5.5M candidates
+    //    for 256 true pairs, 34 s), while trigrams give ~27k distinct
+    //    keys with max df 25 — prefix filtering needs a key space RARER
+    //    than the docs, which is a property of the shingle choice, not
+    //    the algorithm
     "q_setsim_join" -> ((s, dir) => {
       Dedup
-        .prefixJaccardJoin(t(s, dir, "documents"), threshold = 0.5, shingleK = 2)
+        .prefixJaccardJoin(t(s, dir, "documents"), threshold = 0.5, shingleK = 3)
         .orderBy("doc1", "doc2")
     }),
 
@@ -1294,6 +1300,36 @@ object SparkEntry {
         .join(kept.select(col("doc_id"), col("lang")), Seq("doc_id"))
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
+    }),
+
+    // -- deterministic train/val/test split: md5 CASE against cumulative
+    //    thresholds — stable under corpus growth, no RNG state
+    "q_hash_split" -> ((s, dir) => {
+      Sampling
+        .hashSplit(t(s, dir, "documents"), "doc_id",
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy("split", "lang")
+    }),
+
+    // -- character-distribution entropy (gibberish detector): 26
+    //    length-difference counts + a literal-ordered -p ln p fold, one
+    //    codegen'd expression per row
+    "q_char_entropy" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .select(
+          col("doc_id"),
+          round(TextAnalysis.charEntropy(col("text")), 6).as("entropy"))
+        .orderBy("doc_id")
+    }),
+
+    // -- session-scoped event-type transition matrix (empirical Markov
+    //    chain): one window pass per user, then a |types|^2 aggregate
+    "q_event_transitions" -> ((s, dir) => {
+      operators.Journeys
+        .sessionTransitions(graft.sources.EventsSource.events(s, dir))
+        .orderBy("from_type", "to_type")
     }),
 
     // -- content-defined chunking: token-hash cut points (rsync/LBFS rule
@@ -2006,7 +2042,7 @@ object SparkEntry {
     // the ORACLE is brute-force all-pairs — passing proves the prefix
     // filter's recall-1.0 claim cross-engine, not just in the spec
     "q_setsim_join" ->
-      s"""WITH ${shinglesCte(2)}
+      s"""WITH ${shinglesCte(3)}
           SELECT doc1, doc2, floor((jaccard) * 1e4 + 0.5) / 1e4 AS jaccard FROM (
             SELECT a.doc_id AS doc1, b.doc_id AS doc2,
                    len(list_intersect(a.shingles, b.shingles))::DOUBLE /
@@ -2565,6 +2601,48 @@ object SparkEntry {
                 QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= 20)
           SELECT c.doc_id, d.lang, c.source
           FROM c JOIN d ON d.doc_id = c.doc_id ORDER BY c.doc_id""",
+    "q_hash_split" ->
+      s"""WITH h AS (
+            SELECT lang,
+                   ('0x' || substr(md5('split:' || doc_id::VARCHAR), 1, 8))::BIGINT AS hv
+            FROM documents),
+          a AS (
+            SELECT lang,
+                   CASE WHEN hv < ${Sampling.threshold(0.8)} THEN 'train'
+                        WHEN hv < ${Sampling.threshold(0.9)} THEN 'val'
+                        ELSE 'test' END AS split
+            FROM h)
+          SELECT split, lang, count(*) AS n FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
+    "q_char_entropy" -> CharEntropySql,
+    "q_event_transitions" ->
+      """WITH x AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                  lag(epoch_us(ts)) OVER w AS prev_us
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         s AS (
+           SELECT user_id, event_id, event_type, ts_us,
+                  CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM x),
+         r AS (
+           SELECT user_id, event_type, ts_us, event_id,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM s),
+         t AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER w2 AS to_type,
+                  sess_id,
+                  lead(sess_id) OVER w2 AS next_sess
+           FROM r
+           WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+         c AS (
+           SELECT from_type, to_type, count(*) AS n
+           FROM t WHERE to_type IS NOT NULL AND next_sess = sess_id
+           GROUP BY 1, 2)
+         SELECT from_type, to_type, n,
+                floor((n::DOUBLE / sum(n) OVER (PARTITION BY from_type)) * 1e4 + 0.5) / 1e4 AS p
+         FROM c ORDER BY from_type, to_type""",
     "q_cdc_chunks" ->
       """WITH t0 AS (
            SELECT doc_id,
@@ -2719,6 +2797,28 @@ object SparkEntry {
          FROM u
          QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1 AND op <> 'D'
          ORDER BY o_orderkey""")
+
+  /** Generated 26-letter mirror of TextAnalysis.charEntropy: counts via
+    * length-difference, −p·ln p terms summed in the IDENTICAL literal
+    * a→z order (left-associated), so the doubles match bit-for-bit.
+    */
+  private lazy val CharEntropySql: String = {
+    val letters = ('a' to 'z').toSeq
+    val countDefs = letters
+      .map(c => s"(len(lt) - len(replace(lt, '$c', '')))::DOUBLE AS c_$c")
+      .mkString(", ")
+    val nSum  = letters.map(c => s"c_$c").mkString(" + ")
+    val terms = letters
+      .map(c => s"(CASE WHEN c_$c > 0 THEN -(c_$c / n) * ln(c_$c / n) ELSE 0.0 END)")
+      .mkString(" + ")
+    s"""WITH l AS (SELECT doc_id, lower(text) AS lt FROM documents),
+        c AS (SELECT doc_id, $countDefs FROM l),
+        e AS (SELECT *, $nSum AS n FROM c)
+        SELECT doc_id,
+               CASE WHEN n = 0 THEN 0.0
+                    ELSE floor(($terms) * 1e6 + 0.5) / 1e6 END AS entropy
+        FROM e ORDER BY doc_id"""
+  }
 
   /** PII patterns, shared verbatim with CorpusClean — DuckDB standard
     * string literals keep backslashes literal, so the Java pattern string

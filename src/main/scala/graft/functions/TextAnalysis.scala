@@ -284,6 +284,29 @@ object TextAnalysis {
       .toDF(idCol, "n_maybe")
   }
 
+  /** Character-distribution entropy of the a–z letters in `text` (nats):
+    * the gibberish detector — natural language sits near 2.9–3.0,
+    * keyboard mash / base64 blobs / single-char repetition fall far
+    * outside. Zero alphabetic characters → 0.0.
+    *
+    * No explode, no shuffle, no UDF: 26 `length(replace(...))`
+    * difference terms count each letter in one codegen'd expression per
+    * row, and the Σ −p·ln p fold is LITERAL-ordered, so Spark and DuckDB
+    * sum bit-identically (unlike shuffled aggregates, where partial
+    * order can drift) — the oracle rounds at 6 dp without risk.
+    */
+  def charEntropy(text: Column): Column = {
+    val lt = lower(text)
+    val counts = ('a' to 'z').map { c =>
+      (length(lt) - length(regexp_replace(lt, c.toString, ""))).cast("double")
+    }
+    val n = counts.reduce(_ + _)
+    val terms = counts.map { cnt =>
+      when(cnt > 0, -(cnt / n) * log(cnt / n)).otherwise(lit(0.0))
+    }
+    when(n === 0, lit(0.0)).otherwise(terms.reduce(_ + _))
+  }
+
   /** Bigram-LM quality score — the CCNet/KenLM-shaped filter one level up
     * from [[unigramLogProbScore]]: train an add-one-smoothed bigram model
     * on the corpus ITSELF, then score every document by its mean bigram

@@ -357,8 +357,10 @@ object Dedup {
     * per-doc assembly are two key shuffles; candidates come from ONE
     * shuffle grouping prefix entries per shingle into a sorted member
     * list, pairs expand in-bucket with the length filter
-    * (min ≥ t·max, a sound consequence of Jaccard ≥ t) applied BEFORE
-    * emission, and `maxBucket` drops saturated buckets before the
+    * (min ≥ t·max) AND the PPJoin positional filter (overlap ≤
+    * 1 + min(sz−pos) must still reach the t-implied requirement) applied
+    * BEFORE emission — both sound consequences of Jaccard ≥ t, so recall
+    * stays 1.0 — and `maxBucket` drops saturated buckets before the
     * quadratic expansion. The default cap (2¹⁶) is a scale guard, not a
     * tuning knob: a saturated bucket means >65k docs whose RAREST
     * available shingle is the same one — degenerate near-empty docs — and
@@ -366,6 +368,13 @@ object Dedup {
     * == brute-force all-pairs equality). Verification joins the candidate
     * ids back to the materialized per-doc sets — candidates only, never
     * the corpus against itself.
+    *
+    * Effectiveness depends on the SHINGLE key space being rarer than the
+    * docs: pick k so max df ≪ corpus size (measured here: k=2 gives ~1k
+    * distinct bigrams / max df ~340 at sf0.1 — every prefix collides and
+    * candidates explode; k=3 gives ~27k keys / max df 25 and the filter
+    * bites). That is a property of the data, not the algorithm — the
+    * same reason MinHash pipelines shingle at k ≥ 3.
     *
     * Returns (doc1, doc2, jaccard) with doc1 < doc2, jaccard exact
     * (rounded to 4dp for cross-engine hashing).
@@ -379,41 +388,63 @@ object Dedup {
       textCol: String = "text"): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold outside (0,1]")
     require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least one pair")
+    // the whole join runs in HASHED shingle space: 60 portable md5 bits as
+    // a bigint (the same word hash simhash uses). Strings exist only during
+    // shingle generation — every shuffle key, sort key, prefix bucket, and
+    // verification array is 8 bytes instead of a ~25-byte gram (measured
+    // ~2× end-to-end at sf0.1, dominated by the verify arrays). Both
+    // engines compute the identical md5, so even a (≈2⁻⁶⁰) collision
+    // yields the SAME result on both sides; the spec's string-space
+    // brute-force equality would surface one if it ever mattered.
     val sh = TextAnalysis
       .withShingles(docs.select(col(idCol), col(textCol)), textCol, shingleK, "__sh")
       .select(col(idCol).as("id"), explode_outer(col("__sh")).as("shingle"))
       // token-less docs have an EMPTY shingle set (explode_outer's null
       // row): Jaccard against ∅ is undefined, drop them (oracle mirrors)
       .where(col("shingle").isNotNull)
-    val dfreq = sh.groupBy(col("shingle")).agg(count(lit(1)).as("df"))
-    // one row per doc: shingles in global rare-first order + the set size.
-    // Materialized ONCE — the prefix stream and BOTH verify sides consume
-    // it, and each lazy reference would re-run tokenize+shingle+df-join.
+      .select(col("id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // one row per doc: hashed shingles in global rare-first order + the set
+    // size. Materialized ONCE — the prefix stream and BOTH verify sides
+    // consume it, and each lazy reference would re-run
+    // tokenize+shingle+df-join. array_distinct guards the (theoretical)
+    // in-doc hash collision so sz always equals the set's true cardinality.
     val ordered = sh
-      .join(dfreq, Seq("shingle"))
+      .join(dfreq, Seq("h"))
       .groupBy(col("id"))
-      .agg(sort_array(collect_list(struct(col("df"), col("shingle")))).as("ord"))
+      .agg(array_distinct(sort_array(collect_list(struct(col("df"), col("h"))))).as("ord"))
       .select(
         col("id"),
-        transform(col("ord"), x => x.getField("shingle")).as("set"),
+        transform(col("ord"), x => x.getField("h")).as("set"),
         size(col("ord")).as("sz"))
       .withColumn("p", (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
       .localCheckpoint(true)
     val prefix = ordered
-      .select(col("id"), col("sz"), explode_outer(slice(col("set"), lit(1), col("p"))).as("shingle"))
+      .select(col("id"), col("sz"),
+        posexplode_outer(slice(col("set"), lit(1), col("p"))).as(Seq("pos0", "h")))
     // in-bucket expansion emits each candidate once (members sorted id ASC,
-    // ids unique per bucket) with the length filter applied inside the
-    // lambda — a pair failing min ≥ t·max can't reach Jaccard ≥ t, so it
-    // never leaves the bucket
+    // ids unique per bucket) with TWO sound pruners applied inside the
+    // lambda before anything leaves the bucket:
+    //  - length filter: min ≥ t·max is implied by Jaccard ≥ t;
+    //  - PPJoin positional filter: the overlap is at most
+    //    1 + min(sz₁−pos₁, sz₂−pos₂) (everything before the shared prefix
+    //    token in the global order can't match ON this bucket's key), and
+    //    Jaccard ≥ t needs overlap·(1+t) ≥ t·(sz₁+sz₂) — the 1e-9 slack
+    //    keeps double rounding from clipping an exact-boundary TRUE pair;
+    //    slack only ever ADMITS a candidate, and verification is exact.
     val cands = prefix
-      .groupBy(col("shingle"))
-      .agg(array_sort(collect_list(struct(col("id"), col("sz")))).as("ms"))
+      .groupBy(col("h"))
+      .agg(array_sort(collect_list(struct(col("id"), col("sz"), (col("pos0") + 1).as("pos")))).as("ms"))
       .where(size(col("ms")).between(2, maxBucket))
       .select(explode_outer(expr(
         s"""flatten(transform(ms, (x, i) ->
             filter(transform(slice(ms, i + 2, size(ms)),
-                             y -> named_struct('id1', x.id, 'id2', y.id, 'sz1', x.sz, 'sz2', y.sz)),
-                   c -> least(c.sz1, c.sz2) >= $threshold * greatest(c.sz1, c.sz2))))"""))
+                             y -> named_struct('id1', x.id, 'id2', y.id,
+                                               'sz1', x.sz, 'sz2', y.sz,
+                                               'ub', 1 + least(x.sz - x.pos, y.sz - y.pos))),
+                   c -> least(c.sz1, c.sz2) >= $threshold * greatest(c.sz1, c.sz2)
+                        AND c.ub * (1D + $threshold) >= $threshold * (c.sz1 + c.sz2) - 1e-9)))"""))
         .as("c"))
       .select(col("c.id1"), col("c.id2"))
       .distinct()

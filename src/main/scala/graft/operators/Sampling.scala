@@ -108,6 +108,30 @@ object Sampling {
       .select(col(groupCol), col("__e.id").as(idCol), col("__e.cos").cast("long").as("rk"))
   }
 
+  /** Deterministic train/validation/test split: each row lands in exactly
+    * one named split, decided by its id's md5 against cumulative
+    * fraction thresholds — a pure map-side CASE, no shuffle, no RNG
+    * state. The split assignment is a function of (salt, id) alone, so
+    * it is STABLE under corpus growth: adding documents never moves an
+    * existing document between splits (the leakage bug per-partition RNG
+    * splits have), and every engine — including the DuckDB oracle —
+    * assigns identically.
+    */
+  def hashSplit(
+      df: DataFrame,
+      idCol: String,
+      splits: Seq[(String, Double)],
+      salt: String = "split"): DataFrame = {
+    require(splits.nonEmpty && splits.forall(_._2 >= 0), "split fractions must be >= 0")
+    require(math.abs(splits.map(_._2).sum - 1.0) < 1e-9, "split fractions must sum to 1")
+    val h = sampleHash(col(idCol), salt)
+    val cum = splits.scanLeft(0.0)(_ + _._2).tail
+    val assigned = splits.init.zip(cum.init).foldRight(lit(splits.last._1)) {
+      case (((name, _), c), acc) => when(h < lit(threshold(c)), lit(name)).otherwise(acc)
+    }
+    df.withColumn("split", assigned)
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
     * Spirakis A-ES): each row draws u from its id's md5 (52 bits, in
     * (0, 1]), gets key ln(u)/w — order-equivalent to the classic u^(1/w),

@@ -139,6 +139,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(st("b").getDouble(4) == 1.5 && st("b").getDouble(5) == 4.0)
   }
 
+  test("charEntropy: 0 for single-letter and non-alpha docs, ln 2 for two balanced letters") {
+    val tiny = Seq(
+      (0L, "aaaa aaa"), (1L, "ab ab ab"), (2L, "123 !!!"), (3L, "AbBa"))
+      .toDF("doc_id", "text")
+    val got = tiny
+      .select(col("doc_id"), graft.functions.TextAnalysis.charEntropy(col("text")).as("e"))
+      .orderBy("doc_id").collect().map(_.getDouble(1))
+    assert(got(0) == 0.0, "one distinct letter carries no entropy")
+    assert(math.abs(got(1) - math.log(2.0)) < 1e-12, "balanced 2-letter alphabet = ln 2")
+    assert(got(2) == 0.0, "no alphabetic characters = 0 by convention")
+    assert(math.abs(got(3) - math.log(2.0)) < 1e-12, "case-folded before counting")
+  }
+
   test("chunkByContent == in-memory mirror; prefix insertion preserves tail chunks") {
     val base = (0 until 120).map(word).mkString(" ")
     val two  = Seq((1L, base), (2L, s"zz yy xx $base")).toDF("doc_id", "text")

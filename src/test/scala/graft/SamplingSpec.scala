@@ -86,6 +86,21 @@ class WeightedSampleSpec extends SparkSpec {
 
   private lazy val docs = spark.read.parquet("/root/testdata/sf0.01/documents.parquet")
 
+  test("hashSplit: exactly one split per row, growth-stable, fractions approximate") {
+    import spark.implicits._
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val full = Sampling.hashSplit(docs, "doc_id", splits)
+      .select(col("doc_id").as[Long], col("split").as[String]).collect().toMap
+    assert(full.size == docs.count(), "every row gets exactly one split")
+    // growth stability: splitting HALF the corpus assigns the same splits
+    val half = Sampling.hashSplit(docs.where(col("doc_id") % 2 === 0), "doc_id", splits)
+      .select(col("doc_id").as[Long], col("split").as[String]).collect().toMap
+    assert(half.forall { case (id, s) => full(id) == s },
+      "adding documents must never move an existing document between splits")
+    val frac = full.values.groupBy(identity).view.mapValues(_.size.toDouble / full.size).toMap
+    assert(math.abs(frac("train") - 0.8) < 0.08 && math.abs(frac("val") - 0.1) < 0.05)
+  }
+
   test("weightedSample == independent in-memory A-ES mirror; zero weights excluded") {
     import spark.implicits._
     val rows = docs.select(col("doc_id").as[Long], col("n_chars").as[Long]).collect()
