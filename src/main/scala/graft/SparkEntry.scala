@@ -1302,6 +1302,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- personalized PageRank: teleport to a seed set (custkeys < 50) —
+    //    proximity-to-seeds ranking; same one-shuffle-per-round shape as
+    //    q_pagerank with a node-sized teleport vector materialized once
+    "q_ppr_seeds" -> ((s, dir) => {
+      val edges = operators.Graph.customerSupplierEdges(t(s, dir, "orders"), t(s, dir, "lineitem"))
+      val seeds = t(s, dir, "orders").where(col("o_custkey") < 50)
+        .select(concat(lit("c"), col("o_custkey")).as("node")).distinct()
+      operators.Graph
+        .personalizedPagerankRounded(edges, seeds)
+        .orderBy("node")
+    }),
+
     // -- deterministic train/val/test split: md5 CASE against cumulative
     //    thresholds — stable under corpus growth, no RNG state
     "q_hash_split" -> ((s, dir) => {
@@ -1313,14 +1325,12 @@ object SparkEntry {
         .orderBy("split", "lang")
     }),
 
-    // -- character-distribution entropy (gibberish detector): 26
-    //    length-difference counts + a literal-ordered -p ln p fold, one
-    //    codegen'd expression per row
+    // -- character-distribution entropy (gibberish detector): 26 bound
+    //    translate-count columns + a literal-ordered -p ln p fold
     "q_char_entropy" -> ((s, dir) => {
-      t(s, dir, "documents")
-        .select(
-          col("doc_id"),
-          round(TextAnalysis.charEntropy(col("text")), 6).as("entropy"))
+      TextAnalysis
+        .withCharEntropy(t(s, dir, "documents"), "text")
+        .select(col("doc_id"), round(col("entropy"), 6).as("entropy"))
         .orderBy("doc_id")
     }),
 
@@ -2601,6 +2611,7 @@ object SparkEntry {
                 QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= 20)
           SELECT c.doc_id, d.lang, c.source
           FROM c JOIN d ON d.doc_id = c.doc_id ORDER BY c.doc_id""",
+    "q_ppr_seeds" -> pprSql(iters = 5, d = 0.85),
     "q_hash_split" ->
       s"""WITH h AS (
             SELECT lang,
@@ -2955,6 +2966,29 @@ object SparkEntry {
         SELECT cell, n_members::BIGINT AS n_members,
                array_to_string(list_transform(cv, x -> floor(x * 1e4 + 0.5)::BIGINT), ' ') AS centroid_q
         FROM c$iters ORDER BY cell"""
+  }
+
+  /** Unrolled personalized PageRank (mirror of Graph.personalizedPagerank,
+    * seeds = customers with custkey < 50).
+    */
+  private def pprSql(iters: Int, d: Double): String = {
+    val steps = (1 to iters).map { k =>
+      s"""pr$k AS (SELECT t.node, ((1.0 - $d) * tl.tele + $d * t.mass) AS pr
+                   FROM (SELECT e.dst AS node, sum(p.pr / deg.degree) AS mass
+                         FROM e JOIN pr${k - 1} p ON e.src = p.node
+                                JOIN deg ON deg.node = e.src
+                         GROUP BY e.dst) t JOIN tele tl ON tl.node = t.node)"""
+    }.mkString(",\n")
+    s"""WITH $GraphEdgesCte,
+        deg AS (SELECT src AS node, count(*) AS degree FROM e GROUP BY src),
+        seeds AS (SELECT DISTINCT 'c' || o_custkey AS node FROM orders WHERE o_custkey < 50),
+        ns AS (SELECT count(*)::DOUBLE AS ns FROM seeds),
+        tele AS (SELECT deg.node,
+                        (CASE WHEN s.node IS NOT NULL THEN 1.0 ELSE 0.0 END) / ns.ns AS tele
+                 FROM deg LEFT JOIN seeds s ON s.node = deg.node CROSS JOIN ns),
+        pr0 AS (SELECT node, tele AS pr FROM tele),
+        $steps
+        SELECT node, floor((pr) * 1e6 + 0.5) / 1e6 AS ppr FROM pr$iters ORDER BY node"""
   }
 
   private def pagerankSql(iters: Int, d: Double): String = {

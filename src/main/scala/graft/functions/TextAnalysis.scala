@@ -284,27 +284,37 @@ object TextAnalysis {
       .toDF(idCol, "n_maybe")
   }
 
-  /** Character-distribution entropy of the a–z letters in `text` (nats):
-    * the gibberish detector — natural language sits near 2.9–3.0,
-    * keyboard mash / base64 blobs / single-char repetition fall far
-    * outside. Zero alphabetic characters → 0.0.
+  /** Character-distribution entropy of the a–z letters in `textCol`
+    * (nats), added as column `out`: the gibberish detector — natural
+    * language sits near 2.9–3.0, keyboard mash / base64 blobs /
+    * single-char repetition fall far outside. Zero alphabetic
+    * characters → 0.0.
     *
-    * No explode, no shuffle, no UDF: 26 `length(replace(...))`
-    * difference terms count each letter in one codegen'd expression per
-    * row, and the Σ −p·ln p fold is LITERAL-ordered, so Spark and DuckDB
-    * sum bit-identically (unlike shuffled aggregates, where partial
-    * order can drift) — the oracle rounds at 6 dp without risk.
+    * No explode, no shuffle, no UDF — and, critically, every
+    * intermediate is BOUND as a projection column. The first draft
+    * composed one scalar Column: each of the 26 −p·ln p terms then
+    * embedded the full 26-count total-subtree, ~700 string passes per
+    * row with no CSE — measured **96 s** at sf0.1 vs ~2 s bound (the
+    * same inlined-tree trap the shingle pipeline documents). Counting
+    * uses `translate` (single char-map pass), not a regex. The Σ fold
+    * is LITERAL-ordered a→z, so Spark and DuckDB sum bit-identically
+    * and the oracle rounds at 6 dp without risk.
     */
-  def charEntropy(text: Column): Column = {
-    val lt = lower(text)
-    val counts = ('a' to 'z').map { c =>
-      (length(lt) - length(regexp_replace(lt, c.toString, ""))).cast("double")
+  def withCharEntropy(df: DataFrame, textCol: String, out: String = "entropy"): DataFrame = {
+    val letters = ('a' to 'z').toSeq
+    val withCounts = letters.foldLeft(df.withColumn("__lt", lower(col(textCol)))) { (d, c) =>
+      d.withColumn(s"__c_$c",
+        (length(col("__lt")) - length(translate(col("__lt"), c.toString, ""))).cast("double"))
     }
-    val n = counts.reduce(_ + _)
-    val terms = counts.map { cnt =>
-      when(cnt > 0, -(cnt / n) * log(cnt / n)).otherwise(lit(0.0))
+    val withN = withCounts
+      .withColumn("__n", letters.map(c => col(s"__c_$c")).reduce(_ + _))
+    val terms = letters.map { c =>
+      val cnt = col(s"__c_$c")
+      when(cnt > 0, -(cnt / col("__n")) * log(cnt / col("__n"))).otherwise(lit(0.0))
     }
-    when(n === 0, lit(0.0)).otherwise(terms.reduce(_ + _))
+    withN
+      .withColumn(out, when(col("__n") === 0, lit(0.0)).otherwise(terms.reduce(_ + _)))
+      .drop("__lt" +: "__n" +: letters.map(c => s"__c_$c"): _*)
   }
 
   /** Bigram-LM quality score — the CCNet/KenLM-shaped filter one level up

@@ -89,6 +89,61 @@ object Graph {
     }
   }
 
+  /** Personalized PageRank: teleport lands on a SEED SET instead of
+    * uniformly — the "proximity to these nodes" ranking behind
+    * related-item suggestion, seed-expanded crawl curation ("find more
+    * hosts like these known-good ones"), and local community scoring:
+    *
+    *   ppr_0(v)   = 1_{v∈S}/|S|
+    *   ppr_i+1(v) = (1-d)·1_{v∈S}/|S| + d · Σ_{u→v} ppr_i(u)/deg(u)
+    *
+    * Same fixed-iteration declarative shape as [[pagerank]] (undirected
+    * edges, no dangling nodes, one rank-relation shuffle per round over
+    * the once-materialized eDeg): the only new iteration-invariant is the
+    * teleport vector, node-sized, materialized once and joined per round.
+    * Returns (node, ppr) for every node; non-seeds far from S go to ~0.
+    */
+  def personalizedPagerank(
+      edges: DataFrame,
+      seeds: DataFrame,
+      iters: Int = 5,
+      d: Double = 0.85): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val eDeg = edges
+      .withColumn("degree", count(lit(1)).over(Window.partitionBy(col("src"))))
+      .localCheckpoint(true)
+    val deg = eDeg
+      .groupBy(col("src").as("node"))
+      .agg(first(col("degree")).as("degree"))
+      .localCheckpoint(true)
+    val seedSet = seeds.toDF("node").distinct()
+    val ns = broadcast(seedSet.agg(count(lit(1)).cast("double").as("ns")))
+    val tele = deg
+      .join(broadcast(seedSet.withColumn("__s", lit(1))), Seq("node"), "left_outer")
+      .crossJoin(ns)
+      .select(col("node"),
+        (when(col("__s").isNotNull, lit(1.0)).otherwise(lit(0.0)) / col("ns")).as("tele"))
+      .localCheckpoint(true)
+    val init = tele.select(col("node"), col("tele").as("pr"))
+    (1 to iters).foldLeft(init) { (pr, i) =>
+      val next = eDeg
+        .join(pr.withColumnRenamed("node", "src"), Seq("src"))
+        .groupBy(col("dst").as("node"))
+        .agg(sum(col("pr") / col("degree")).as("mass"))
+        .join(tele, Seq("node"))
+        .select(col("node"), ((lit(1.0) - d) * col("tele") + lit(d) * col("mass")).as("pr"))
+      if (i % 5 == 0 && i < iters) next.localCheckpoint(true) else next
+    }
+  }
+
+  /** [[personalizedPagerank]] rounded for the hash compare (6 dp, same
+    * rationale as [[pagerankRounded]]).
+    */
+  def personalizedPagerankRounded(
+      edges: DataFrame, seeds: DataFrame, iters: Int = 5, d: Double = 0.85): DataFrame =
+    personalizedPagerank(edges, seeds, iters, d)
+      .select(col("node"), Portable.pround(col("pr"), 6).as("ppr"))
+
   /** Oriented edge list for triangle counting: one row per undirected edge
     * with src < dst (no symmetrization, no self-loops, deduped).
     */

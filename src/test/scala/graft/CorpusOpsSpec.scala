@@ -143,8 +143,8 @@ class CorpusOpsSpec extends SparkSpec {
     val tiny = Seq(
       (0L, "aaaa aaa"), (1L, "ab ab ab"), (2L, "123 !!!"), (3L, "AbBa"))
       .toDF("doc_id", "text")
-    val got = tiny
-      .select(col("doc_id"), graft.functions.TextAnalysis.charEntropy(col("text")).as("e"))
+    val got = graft.functions.TextAnalysis.withCharEntropy(tiny, "text", "e")
+      .select(col("doc_id"), col("e"))
       .orderBy("doc_id").collect().map(_.getDouble(1))
     assert(got(0) == 0.0, "one distinct letter carries no entropy")
     assert(math.abs(got(1) - math.log(2.0)) < 1e-12, "balanced 2-letter alphabet = ln 2")

@@ -61,6 +61,44 @@ class GraphSpec extends SparkSpec {
     assert(pr.where(!col("node").rlike("^[cs][0-9]+$")).isEmpty)
   }
 
+  /** Reference personalized PageRank, independent of the DataFrame plan. */
+  private def referencePpr(
+      edges: Seq[(String, String)], seeds: Set[String], iters: Int, d: Double): Map[String, Double] = {
+    val undirected = (edges ++ edges.map(_.swap)).distinct
+    val nodes = undirected.map(_._1).distinct.sorted
+    val deg   = undirected.groupBy(_._1).view.mapValues(_.size.toDouble).toMap
+    val tele  = nodes.map(v => v -> (if (seeds(v)) 1.0 / seeds.size else 0.0)).toMap
+    var pr    = tele
+    (1 to iters).foreach { _ =>
+      val mass = undirected
+        .groupBy(_._2)
+        .view.mapValues(_.map { case (src, _) => pr(src) / deg(src) }.sum)
+        .toMap
+      pr = nodes.map(v => v -> ((1 - d) * tele(v) + d * mass.getOrElse(v, 0.0))).toMap
+    }
+    pr
+  }
+
+  test("personalized pagerank matches the in-memory mirror; mass conserved; seeds dominate") {
+    val seeds = Set("a")
+    val expected = referencePpr(rawEdges, seeds, iters = 5, d = 0.85)
+    val got = Graph
+      .personalizedPagerank(
+        Graph.undirected(rawEdges.toDF("src", "dst")),
+        seeds.toSeq.toDF("node"), iters = 5, d = 0.85)
+      .as[(String, Double)].collect().toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (v, p) =>
+      assert(math.abs(p - expected(v)) < 1e-12, s"$v: $p vs ${expected(v)}")
+    }
+    assert(math.abs(got.values.sum - 1.0) < 1e-12, "teleport-to-seeds conserves unit mass")
+    // proximity: mass concentrates around the seed — the seed and its
+    // neighbor hold more than the three remote nodes combined. (The seed
+    // itself need NOT be the max: with d=0.85 the adjacent hub b collects
+    // the teleport mass every round — got(b) > got(a) here.)
+    assert(got("a") + got("b") > got("c") + got("d") + got("e"))
+  }
+
   test("degrees: handshake lemma on the symmetrized graph") {
     val e = Graph.undirected(rawEdges.toDF("src", "dst"))
     val degSum = Graph.degrees(e).agg(sum("degree")).head().getLong(0)
