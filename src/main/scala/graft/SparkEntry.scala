@@ -920,6 +920,19 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // -- REAL audio downsampling: 16-bit PCM decimated 4x and re-encoded
+    //    WAV at rate/4, then DECODED back; duration is preserved, so the
+    //    oracle recomputes ceil(frames/4)*4 ms from the synthesis formula
+    "q_multimodal_audio_ds" -> ((s, dir) => {
+      operators.Multimodal
+        .decode(operators.Multimodal.downsampleAudio(
+          operators.Multimodal.demoMediaFromDocuments(s, dir).filter(_.kind == "audio"),
+          factor = 4))
+        .toDF()
+        .select(col("media_id"), col("duration_ms"))
+        .orderBy("media_id")
+    }),
+
     // -- REAL video frame sampling: every 4th GIF frame extracted with the
     //    frame-addressable reader and re-encoded PNG, then each emitted
     //    frame DECODED back; the oracle unnests ceil(frames/4) rows per
@@ -2269,6 +2282,12 @@ object SparkEntry {
                 ((1 + doc_id % 64 + 1) // 2)::INTEGER AS width,
                 ((1 + octet_length(encode(text)) % 64 + 1) // 2)::INTEGER AS height
          FROM documents WHERE doc_id % 3 = 0 ORDER BY media_id""",
+    // audio-downsample mirror: frames' = ceil(frames/4) at 250 Hz, and
+    // duration_ms = frames' * 1000 / 250 = frames' * 4 (exact integers)
+    "q_multimodal_audio_ds" ->
+      """SELECT doc_id AS media_id,
+                (((1 + (octet_length(encode(text))::BIGINT * 131) % 60000) + 3) // 4) * 4 AS duration_ms
+         FROM documents WHERE doc_id % 3 = 1 ORDER BY media_id""",
     // frame-sampling mirror: ceil(frames/4) rows per clip at original
     // frame indices 0,4,8,... — frames = 1 + 131*len mod 24 from the GIF
     // synthesis formula; each extracted frame decodes at the clip's dims

@@ -316,6 +316,58 @@ object Multimodal {
     }
   }
 
+  /** REAL audio downsampling (bytes→bytes, per-partition, no shuffle):
+    * decode 16-bit mono PCM via javax.sound.sampled, decimate by `factor`
+    * (keep every factor-th sample), and re-encode WAV at rate/factor —
+    * the "resample everything to 16 kHz" normalization an audio-model
+    * data pipeline runs before feature extraction. Duration is preserved
+    * (frames and rate shrink together); the roundtrip is value-checkable
+    * because the re-decoded (frames, rate) pair is ⌈n/k⌉ at rate/k.
+    * Non-audio records, unparseable bytes, and non-16-bit-mono-PCM
+    * payloads pass through untouched so the transform composes with
+    * mixed-modality streams. (Decimation without a low-pass is aliasing-
+    * prone on real audio — a production kernel goes here; the Spark-side
+    * dataflow, format plumbing, and oracle shape are what this pins.)
+    */
+  def downsampleAudio(media: Dataset[MediaRecord], factor: Int): Dataset[MediaRecord] = {
+    require(factor >= 1, s"factor ($factor) must be >= 1")
+    import media.sparkSession.implicits._
+    media.mapPartitions { it =>
+      it.map { r =>
+        if (r.kind != "audio") r
+        else try {
+          val in = javax.sound.sampled.AudioSystem
+            .getAudioInputStream(new java.io.ByteArrayInputStream(r.bytes))
+          try {
+            val fmt = in.getFormat
+            if (fmt.getSampleSizeInBits != 16 || fmt.getChannels != 1 ||
+                fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED) r
+            else {
+              val order =
+                if (fmt.isBigEndian) java.nio.ByteOrder.BIG_ENDIAN
+                else java.nio.ByteOrder.LITTLE_ENDIAN
+              val data = in.readAllBytes()
+              val nFrames = data.length / 2
+              val outFrames = (nFrames + factor - 1) / factor
+              val src = java.nio.ByteBuffer.wrap(data).order(order)
+              val dst = java.nio.ByteBuffer.allocate(outFrames * 2).order(order)
+              var i = 0
+              while (i < nFrames) { dst.putShort(src.getShort(i * 2)); i += factor }
+              val outFmt = new javax.sound.sampled.AudioFormat(
+                fmt.getSampleRate / factor, 16, 1, true, fmt.isBigEndian)
+              val ais = new javax.sound.sampled.AudioInputStream(
+                new java.io.ByteArrayInputStream(dst.array()), outFmt, outFrames.toLong)
+              val bos = new java.io.ByteArrayOutputStream()
+              javax.sound.sampled.AudioSystem.write(
+                ais, javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+              r.copy(bytes = bos.toByteArray)
+            }
+          } finally in.close()
+        } catch { case _: Exception => r }
+      }
+    }
+  }
+
   /** One extracted video frame: source clip id, the ORIGINAL frame index
     * (0, stride, 2·stride, …), and the frame re-encoded as a standalone PNG.
     */

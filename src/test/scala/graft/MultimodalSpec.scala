@@ -119,4 +119,25 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.filter(_.media_id == 2L)
       .forall(f => Multimodal.decodeImage(f.bytes).contains((3, 3))))
   }
+
+  test("downsampleAudio keeps every 4th sample at rate/4; non-audio passes through") {
+    import spark.implicits._
+    val wav = Multimodal.synthWav(1001, sampleRate = 1000, seed = 7L)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", wav, "en"),
+      Multimodal.MediaRecord(2L, "image", Multimodal.synthPng(5, 5, 2L), "en")
+    ).toDS()
+    val out = Multimodal.downsampleAudio(media, factor = 4).collect().sortBy(_.media_id)
+    // real codec roundtrip: ceil(1001/4) = 251 frames at 250 Hz
+    assert(Multimodal.decodeAudio(out(0).bytes).contains((251L, 250)))
+    // decimation kept the RIGHT samples: frame i of the output == frame 4i
+    // of the input (16-bit LE PCM starts at byte 44 in both WAVs)
+    def sample(bytes: Array[Byte], i: Int): Int =
+      java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN).getShort(44 + i * 2)
+    (0 until 10).foreach { i =>
+      assert(sample(out(0).bytes, i) == sample(wav, i * 4), s"output frame $i")
+    }
+    // the image record is byte-identical
+    assert(out(1).bytes.sameElements(Multimodal.synthPng(5, 5, 2L)))
+  }
 }
