@@ -1315,6 +1315,26 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- pairwise association rules over order baskets (brands bought
+    //    together): support / confidence / lift, within-basket pair join
+    //    bounded by basket size, metadata-sized counts broadcast back
+    "q_assoc_rules" -> ((s, dir) => {
+      val ob = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("basket"), col("p_brand").as("item"))
+      operators.Journeys
+        .associationRules(ob, "basket", "item", minPairs = 50)
+        .orderBy("antecedent", "consequent")
+    }),
+
+    // -- ordered-funnel conversion per session: view → click-after-view
+    //    → purchase-after-click, with REAL ordering semantics
+    "q_funnel" -> ((s, dir) => {
+      operators.Journeys
+        .funnel(graft.sources.EventsSource.events(s, dir), Seq("view", "click", "purchase"))
+        .orderBy("stage_idx")
+    }),
+
     // -- personalized PageRank: teleport to a seed set (custkeys < 50) —
     //    proximity-to-seeds ranking; same one-shuffle-per-round shape as
     //    q_pagerank with a node-sized teleport vector materialized once
@@ -2630,6 +2650,51 @@ object SparkEntry {
                 QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= 20)
           SELECT c.doc_id, d.lang, c.source
           FROM c JOIN d ON d.doc_id = c.doc_id ORDER BY c.doc_id""",
+    "q_assoc_rules" ->
+      """WITH b AS (
+           SELECT DISTINCT l_orderkey AS bk, p_brand AS item
+           FROM lineitem JOIN part ON l_partkey = p_partkey),
+         nb AS (SELECT count(DISTINCT bk)::DOUBLE AS n_baskets FROM b),
+         s AS (SELECT item, count(*) AS n_item FROM b GROUP BY 1),
+         p AS (
+           SELECT a.item AS ia, c.item AS ic, count(*) AS n_pair
+           FROM b a JOIN b c ON a.bk = c.bk AND a.item < c.item
+           GROUP BY 1, 2 HAVING count(*) >= 50),
+         d AS (SELECT ia AS antecedent, ic AS consequent, n_pair FROM p
+               UNION ALL
+               SELECT ic AS antecedent, ia AS consequent, n_pair FROM p)
+         SELECT antecedent, consequent, n_pair,
+                floor((n_pair / nb.n_baskets) * 1e4 + 0.5) / 1e4 AS support,
+                floor((n_pair / sa.n_item) * 1e4 + 0.5) / 1e4 AS confidence,
+                floor((n_pair * nb.n_baskets / (sa.n_item * sc.n_item)) * 1e4 + 0.5) / 1e4 AS lift
+         FROM d
+         JOIN s sa ON sa.item = d.antecedent
+         JOIN s sc ON sc.item = d.consequent
+         CROSS JOIN nb
+         ORDER BY antecedent, consequent""",
+    "q_funnel" ->
+      """WITH x AS (
+           SELECT user_id AS k, event_id, event_type AS et, epoch_us(ts) AS ts,
+                  lag(epoch_us(ts)) OVER w AS prev_us
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         r AS (
+           SELECT k, et, ts,
+                  sum(CASE WHEN prev_us IS NULL OR ts - prev_us > 1800000000 THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY k ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM x),
+         f1 AS (SELECT k, sess_id, min(ts) AS stage_ts FROM r WHERE et = 'view' GROUP BY 1, 2),
+         f2 AS (SELECT r.k, r.sess_id, min(r.ts) AS stage_ts
+                FROM r JOIN f1 ON r.k = f1.k AND r.sess_id = f1.sess_id
+                WHERE r.et = 'click' AND r.ts > f1.stage_ts GROUP BY 1, 2),
+         f3 AS (SELECT r.k, r.sess_id, min(r.ts) AS stage_ts
+                FROM r JOIN f2 ON r.k = f2.k AND r.sess_id = f2.sess_id
+                WHERE r.et = 'purchase' AND r.ts > f2.stage_ts GROUP BY 1, 2)
+         SELECT 'view' AS stage, 1 AS stage_idx, (SELECT count(*) FROM f1) AS n_sessions
+         UNION ALL SELECT 'click', 2, (SELECT count(*) FROM f2)
+         UNION ALL SELECT 'purchase', 3, (SELECT count(*) FROM f3)
+         ORDER BY stage_idx""",
     "q_ppr_seeds" -> pprSql(iters = 5, d = 0.85),
     "q_hash_split" ->
       s"""WITH h AS (

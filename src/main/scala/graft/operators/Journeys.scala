@@ -53,4 +53,107 @@ object Journeys {
             sum(col("n")).over(Window.partitionBy(col("from_type"))).cast("double"),
           4))
   }
+
+  /** Pairwise association rules over baskets (market-basket analysis):
+    * for every ordered item pair (a → b) co-occurring in ≥ `minPairs`
+    * baskets, support / confidence / lift — the rule-mining primitive
+    * behind "frequently bought together" and, in corpus curation, tag/
+    * topic co-occurrence rules.
+    *
+    * `baskets` is (basketCol, itemCol), distinct per basket. Scale
+    * shape: the within-basket pair expansion is an equi-join on the
+    * basket id, bounded by basket size (itemsets are small by domain
+    * construction — a basket with thousands of distinct items isn't a
+    * basket); item counts and the basket total are metadata-sized and
+    * broadcast back onto the pair relation. Both rule directions emit
+    * from ONE undirected pair count.
+    *
+    * Returns (antecedent, consequent, n_pair, support, confidence,
+    * lift), all ratios 4-dp portable-rounded.
+    */
+  def associationRules(
+      baskets: DataFrame,
+      basketCol: String,
+      itemCol: String,
+      minPairs: Long = 1L): DataFrame = {
+    val b  = baskets.select(col(basketCol).as("bk"), col(itemCol).as("item")).distinct()
+    val nB = b.agg(countDistinct(col("bk")).cast("double").as("n_baskets"))
+    val singles = b.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
+    val pairs = b.select(col("bk"), col("item").as("a"))
+      .join(b.select(col("bk"), col("item").as("b")), Seq("bk"))
+      .where(col("a") < col("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minPairs)
+    val directed = pairs
+      .select(col("a").as("antecedent"), col("b").as("consequent"), col("n_pair"))
+      .unionAll(pairs.select(col("b").as("antecedent"), col("a").as("consequent"), col("n_pair")))
+    val r4 = (c: org.apache.spark.sql.Column) => graft.functions.Portable.pround(c, 4)
+    directed
+      .join(broadcast(singles.select(col("item").as("antecedent"), col("n_item").as("n_a"))),
+        Seq("antecedent"))
+      .join(broadcast(singles.select(col("item").as("consequent"), col("n_item").as("n_c"))),
+        Seq("consequent"))
+      .crossJoin(broadcast(nB))
+      .select(
+        col("antecedent"), col("consequent"), col("n_pair"),
+        r4(col("n_pair") / col("n_baskets")).as("support"),
+        r4(col("n_pair") / col("n_a")).as("confidence"),
+        r4(col("n_pair") * col("n_baskets") / (col("n_a") * col("n_c"))).as("lift"))
+  }
+
+  /** Ordered-funnel conversion over sessions: how many sessions reach
+    * stage 1 (`stages(0)` occurs), stage 2 (`stages(1)` STRICTLY AFTER
+    * the first stage-1 event), stage 3, … — the product-analytics funnel
+    * with real ordering semantics, not mere co-occurrence.
+    *
+    * Scale shape: sessionization is the one window pass per key the
+    * whole q_sessions family shares; each subsequent stage is one
+    * conditional aggregate over session-keyed rows joined back onto the
+    * (session-sized, shrinking) frontier of sessions still converting.
+    * `stages.length` is a small constant, so the plan is a fixed chain
+    * of session-keyed shuffles — no per-stage corpus rescan.
+    *
+    * Returns (stage, stage_idx, n_sessions), stage_idx 1-based.
+    */
+  def funnel(
+      events: DataFrame,
+      stages: Seq[String],
+      gapUs: Long = 1800000000L,
+      keyCol: String = "user_id",
+      tsCol: String = "ts_us",
+      typeCol: String = "event_type",
+      tieCol: String = "event_id"): DataFrame = {
+    require(stages.nonEmpty, "funnel needs at least one stage")
+    val spark = events.sparkSession
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(asc(tsCol), asc(tieCol))
+    val cum   = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events
+      .withColumn("prev_us", lag(col(tsCol), 1).over(byKey))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col(tsCol) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(cum))
+      .select(col(keyCol).as("k"), col("sess_id"), col(typeCol).as("et"), col(tsCol).as("ts"))
+    // frontier: sessions still in the funnel, with the ts of their last
+    // converted stage; stage i+1 = min ts of its event type AFTER that
+    val frontier0 = sess
+      .where(col("et") === stages.head)
+      .groupBy(col("k"), col("sess_id"))
+      .agg(min(col("ts")).as("stage_ts"))
+    val frontiers = stages.tail.scanLeft(frontier0) { (front, stage) =>
+      sess
+        .where(col("et") === stage)
+        .join(front, Seq("k", "sess_id"))
+        .where(col("ts") > col("stage_ts"))
+        .groupBy(col("k"), col("sess_id"))
+        .agg(min(col("ts")).as("stage_ts"))
+    }
+    import spark.implicits._
+    stages.zip(frontiers).zipWithIndex
+      .map { case ((name, front), i) =>
+        front.agg(count(lit(1)).as("n_sessions"))
+          .select(lit(name).as("stage"), lit(i + 1).as("stage_idx"), col("n_sessions"))
+      }
+      .reduce(_ unionAll _)
+  }
 }

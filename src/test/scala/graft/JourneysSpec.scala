@@ -31,4 +31,37 @@ class JourneysSpec extends SparkSpec {
     // the B → C 2-hour gap produced NO transition
     assert(!got.exists(t => t._1 == "B"))
   }
+
+  test("associationRules: hand-computed support/confidence/lift, both directions") {
+    val baskets = Seq(
+      (1L, "x"), (1L, "y"),
+      (2L, "x"), (2L, "y"),
+      (3L, "x"), (3L, "z")
+    ).toDF("bk", "item")
+    val got = Journeys.associationRules(baskets, "bk", "item")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+      .toMap
+    // N=3 baskets; n_x=3, n_y=2, n_z=1; pairs (x,y)=2, (x,z)=1
+    assert(got(("x", "y")) == ((2L, 0.6667, 0.6667, 1.0)))
+    assert(got(("y", "x")) == ((2L, 0.6667, 1.0, 1.0)))
+    assert(got(("x", "z")) == ((1L, 0.3333, 0.3333, 1.0)))
+    assert(got(("z", "x")) == ((1L, 0.3333, 1.0, 1.0)))
+  }
+
+  test("funnel: ordering is strict — a click BEFORE the first view does not convert") {
+    val ev = Seq(
+      // user 1: full ordered funnel in one session
+      (1L, 1L, 0 * M, "view"), (2L, 1L, 1 * M, "click"), (3L, 1L, 2 * M, "purchase"),
+      // user 2: click precedes the first view → stalls at stage 1
+      (4L, 2L, 0 * M, "click"), (5L, 2L, 1 * M, "view"),
+      // user 3: view only
+      (6L, 3L, 0 * M, "view")
+    ).toDF("event_id", "user_id", "ts_us", "event_type")
+    val got = Journeys.funnel(ev, Seq("view", "click", "purchase"))
+      .orderBy("stage_idx")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("view", 1, 3L), ("click", 2, 1L), ("purchase", 3, 1L)))
+  }
 }
