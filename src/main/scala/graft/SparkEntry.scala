@@ -1315,6 +1315,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- incremental materialized-view maintenance with retractions: the
+    //    per-priority (n, total) view folds an insert+retract delta in
+    //    O(|delta| + touched keys) — never a source rescan; the oracle is
+    //    the full REBUILD over the post-delta source
+    "q_mv_update" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val view = operators.ChangeData.sumCountView(
+        orders.where(col("o_orderkey") % 10 =!= 0), Seq("o_orderpriority"), "o_totalprice")
+      val ins = orders.where(col("o_orderkey") % 10 === 0)
+        .select(col("o_orderpriority"), col("o_totalprice"), lit(1L).as("w"))
+      val ret = orders.where(col("o_orderkey") % 7 === 0 && col("o_orderkey") % 10 =!= 0)
+        .select(col("o_orderpriority"), col("o_totalprice"), lit(-1L).as("w"))
+      operators.ChangeData
+        .updateSumCount(view, ins.unionByName(ret), Seq("o_orderpriority"), "o_totalprice")
+        .select(col("o_orderpriority"), col("n"), round(col("total"), 2).as("total_r"))
+        .orderBy("o_orderpriority")
+    }),
+
+    // -- chi-square independence test on the lang x source contingency
+    //    table (zero cells included via the broadcast marginal cross):
+    //    is the language distribution independent of the source?
+    "q_chi2_lang_source" -> ((s, dir) => {
+      val cells = t(s, dir, "documents")
+        .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("o"))
+      val rowT = cells.groupBy(col("lang")).agg(sum(col("o")).as("rt"))
+      val colT = cells.groupBy(col("source")).agg(sum(col("o")).as("ct"))
+      val n = cells.agg(sum(col("o")).cast("double").as("nn"))
+      broadcast(rowT).crossJoin(broadcast(colT)).crossJoin(broadcast(n))
+        .join(cells, Seq("lang", "source"), "left_outer")
+        .withColumn("e", col("rt") * col("ct") / col("nn"))
+        .withColumn("o2", coalesce(col("o"), lit(0L)).cast("double"))
+        .agg(
+          round(sum((col("o2") - col("e")) * (col("o2") - col("e")) / col("e")), 6).as("chi2"),
+          ((countDistinct(col("lang")) - 1) * (countDistinct(col("source")) - 1)).as("dof"))
+    }),
+
     // -- pairwise association rules over order baskets (brands bought
     //    together): support / confidence / lift, within-basket pair join
     //    bounded by basket size, metadata-sized counts broadcast back
@@ -2650,6 +2686,27 @@ object SparkEntry {
                 QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= 20)
           SELECT c.doc_id, d.lang, c.source
           FROM c JOIN d ON d.doc_id = c.doc_id ORDER BY c.doc_id""",
+    // the rebuild over the post-delta source IS the oracle: passing means
+    // incremental == recompute
+    "q_mv_update" ->
+      """SELECT o_orderpriority, count(*) AS n,
+                floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS total_r
+         FROM orders
+         WHERE NOT (o_orderkey % 7 = 0 AND o_orderkey % 10 <> 0)
+         GROUP BY 1 ORDER BY 1""",
+    "q_chi2_lang_source" ->
+      """WITH cells AS (
+           SELECT lang, source, count(*) AS o FROM documents GROUP BY 1, 2),
+         rt AS (SELECT lang, sum(o) AS rt FROM cells GROUP BY 1),
+         ct AS (SELECT source, sum(o) AS ct FROM cells GROUP BY 1),
+         n AS (SELECT sum(o)::DOUBLE AS nn FROM cells),
+         full_cells AS (
+           SELECT rt.lang, ct.source, rt.rt, ct.ct, n.nn, coalesce(cells.o, 0)::DOUBLE AS o2
+           FROM rt CROSS JOIN ct CROSS JOIN n
+           LEFT JOIN cells ON cells.lang = rt.lang AND cells.source = ct.source)
+         SELECT floor((sum((o2 - rt * ct / nn) * (o2 - rt * ct / nn) / (rt * ct / nn))) * 1e6 + 0.5) / 1e6 AS chi2,
+                (count(DISTINCT lang) - 1) * (count(DISTINCT source) - 1) AS dof
+         FROM full_cells""",
     "q_assoc_rules" ->
       """WITH b AS (
            SELECT DISTINCT l_orderkey AS bk, p_brand AS item

@@ -46,4 +46,48 @@ object ChangeData {
       .where(col("r.__op") =!= "D")
       .select(col(keyCol) +: payload.map(c => col(s"r.$c").as(c)): _*)
   }
+
+  /** Incremental materialized-view maintenance with RETRACTIONS (the
+    * differential/Flink changelog model): the view is a per-key
+    * (n, total) aggregate; a delta stream of (keys, value, weight) rows
+    * — weight +1 for insert, −1 for retraction — folds in WITHOUT
+    * touching the unchanged keys' source rows:
+    *
+    *   n' = n + Σ w,   total' = total + Σ w·v,   rows with n' = 0 vanish.
+    *
+    * This is the algebra that makes a 100 TB aggregate maintainable: the
+    * work per refresh is O(|delta| + |touched keys|), never a rescan,
+    * and the spec pins update(view, delta) == rebuild(source ⊎ delta).
+    * Count and sum are the self-maintainable kernel; avg = total/n is
+    * derived, and min/max (not self-maintainable under retraction)
+    * would need the per-key detail relation — the standard MV taxonomy.
+    *
+    * Plan: one shuffle each for the delta pre-aggregate and the
+    * key-keyed combine; partial aggregation below both exchanges.
+    */
+  def updateSumCount(
+      view: DataFrame,
+      delta: DataFrame,
+      keys: Seq[String],
+      valueCol: String,
+      weightCol: String = "w"): DataFrame = {
+    val kcols = keys.map(col)
+    val deltaAgg = delta
+      .groupBy(kcols: _*)
+      .agg(
+        sum(col(weightCol)).cast("long").as("n"),
+        sum(col(weightCol) * col(valueCol)).as("total"))
+    view
+      .select(kcols :+ col("n") :+ col("total"): _*)
+      .unionByName(deltaAgg)
+      .groupBy(kcols: _*)
+      .agg(sum(col("n")).as("n"), sum(col("total")).as("total"))
+      .where(col("n") > 0)
+  }
+
+  /** Build the (keys, n, total) view [[updateSumCount]] maintains. */
+  def sumCountView(source: DataFrame, keys: Seq[String], valueCol: String): DataFrame =
+    source
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
 }

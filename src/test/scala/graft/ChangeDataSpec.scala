@@ -54,6 +54,25 @@ class ChangeDataSpec extends SparkSpec {
       folded.collect().map(_.toSeq).toSet == oneShot.collect().map(_.toSeq).toSet)
   }
 
+  test("updateSumCount: incremental == rebuild; keys vanish at n=0 and appear on insert") {
+    val source = Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "v")
+    val view = ChangeData.sumCountView(source, Seq("k"), "v")
+    val delta = Seq(
+      ("a", 2.0, -1L),  // retract one of a's rows
+      ("b", 5.0, -1L),  // retract b's ONLY row → b vanishes
+      ("c", 7.0, 1L),   // brand-new key
+      ("c", 9.0, 1L)
+    ).toDF("k", "v", "w")
+    val got = ChangeData.updateSumCount(view, delta, Seq("k"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set(("a", 1L, 1.0), ("c", 2L, 16.0)))
+    // == rebuilding over the post-delta source
+    val rebuilt = ChangeData.sumCountView(
+      Seq(("a", 1.0), ("c", 7.0), ("c", 9.0)).toDF("k", "v"), Seq("k"), "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == rebuilt)
+  }
+
   test("plan has exactly one exchange (union + max_by agg, no window, no join)") {
     val plan = ChangeData
       .applyChangelog(base, changes, "k")

@@ -74,6 +74,37 @@ class SetSimSpec extends SparkSpec {
     assert(full.count() == 15 && full.agg(min("jaccard")).head.getDouble(0) == 1.0)
   }
 
+  test("randomized corpora: prefix join == in-memory brute force (seeded fuzz)") {
+    // the exactness theorem, fuzzed: random corpora from a small vocab so
+    // shingle collisions and boundary similarities actually occur
+    val vocab = Seq("ape", "bee", "cat", "dog", "eel", "fox", "gnu", "hen")
+    def bruteLocal(corpus: Seq[(Long, String)], thr: Double): Set[(Long, Long)] = {
+      def shingles(text: String): Set[String] = {
+        val toks = text.split("\\s+").map(_.toLowerCase.replaceAll("[^a-z]", "")).filter(_.nonEmpty)
+        if (toks.isEmpty) Set.empty
+        else if (toks.length >= 2) toks.sliding(2).map(_.mkString(" ")).toSet
+        else Set(toks.mkString(" "))
+      }
+      val sets = corpus.map { case (id, t) => id -> shingles(t) }.filter(_._2.nonEmpty)
+      (for {
+        (i1, s1) <- sets; (i2, s2) <- sets if i1 < i2
+        inter = (s1 & s2).size
+        if inter.toDouble / (s1.size + s2.size - inter) >= thr
+      } yield (i1, i2)).toSet
+    }
+    val rnd = new scala.util.Random(42)
+    for (trial <- 1 to 6; thr <- Seq(0.4, 0.7)) {
+      val corpus = (1L to 12L).map { id =>
+        id -> Seq.fill(2 + rnd.nextInt(7))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      }
+      val got = Dedup
+        .prefixJaccardJoin(corpus.toDF("doc_id", "text"), thr)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      val want = bruteLocal(corpus, thr)
+      assert(got == want, s"trial $trial thr $thr: $got != $want\ncorpus $corpus")
+    }
+  }
+
   test("token-less docs are excluded, not matched to each other") {
     val empties = Seq((8001L, "123 456 !!!"), (8002L, "789 ... ???")).toDF("doc_id", "text")
     val got = Dedup
