@@ -1315,6 +1315,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- sub-document near-dup pairs via shared CDC chunks: catches "doc
+    //    B = doc A with a paragraph spliced in", which whole-doc hashing
+    //    and fixed windows miss; ubiquitous chunks dropped before the join
+    "q_chunk_dedup" -> ((s, dir) => {
+      operators.Chunking
+        .chunkDupPairs(t(s, dir, "documents"), modulus = 16)
+        .orderBy("doc1", "doc2")
+    }),
+
     // -- incremental materialized-view maintenance with retractions: the
     //    per-priority (n, total) view folds an insert+retract delta in
     //    O(|delta| + touched keys) — never a source rescan; the oracle is
@@ -2686,6 +2695,40 @@ object SparkEntry {
                 QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= 20)
           SELECT c.doc_id, d.lang, c.source
           FROM c JOIN d ON d.doc_id = c.doc_id ORDER BY c.doc_id""",
+    "q_chunk_dedup" ->
+      """WITH t0 AS (
+           SELECT doc_id,
+                  list_filter(
+                    list_transform(regexp_split_to_array(text, '\s+'),
+                                   x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                    w -> w <> '') AS toks
+           FROM documents),
+         b AS (
+           SELECT doc_id, toks,
+                  list_concat(list_concat(
+                    [0],
+                    list_filter(range(1, len(toks)),
+                                i -> ('0x' || substr(md5(toks[i]), 1, 8))::BIGINT % 16 = 0)),
+                    [len(toks)]) AS bounds
+           FROM t0),
+         ch AS (
+           SELECT doc_id, list_slice(toks, bounds[j] + 1, bounds[j + 1]) AS chunk
+           FROM (SELECT doc_id, toks, bounds, unnest(range(1, len(bounds))) AS j FROM b) u),
+         cs AS (
+           SELECT DISTINCT doc_id, md5(array_to_string(chunk, ' ')) AS chunk_hash
+           FROM ch WHERE len(chunk) > 0),
+         sz AS (SELECT doc_id, count(*) AS n_chunks FROM cs GROUP BY 1),
+         rare AS (SELECT chunk_hash FROM cs GROUP BY chunk_hash HAVING count(*) <= 4096),
+         pr AS (SELECT cs.doc_id, cs.chunk_hash FROM cs JOIN rare USING (chunk_hash)),
+         sh2 AS (
+           SELECT a.doc_id AS doc1, b2.doc_id AS doc2, count(*) AS n_shared
+           FROM pr a JOIN pr b2 ON a.chunk_hash = b2.chunk_hash AND a.doc_id < b2.doc_id
+           GROUP BY 1, 2 HAVING count(*) >= 2)
+         SELECT doc1, doc2, n_shared,
+                floor((n_shared::DOUBLE / least(s1.n_chunks, s2.n_chunks)) * 1e4 + 0.5) / 1e4 AS frac
+         FROM sh2 JOIN sz s1 ON s1.doc_id = doc1 JOIN sz s2 ON s2.doc_id = doc2
+         WHERE n_shared::DOUBLE / least(s1.n_chunks, s2.n_chunks) >= 0.5
+         ORDER BY doc1, doc2""",
     // the rebuild over the post-delta source IS the oracle: passing means
     // incremental == recompute
     "q_mv_update" ->

@@ -103,6 +103,59 @@ object Chunking {
         md5(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
   }
 
+  /** Sub-document near-duplicate pairs via shared content-defined
+    * chunks — [[chunkByContent]]'s consumer: two documents pair when
+    * ≥ `minShared` of their CDC chunks hash-match and the shared count
+    * is ≥ `minFrac` of the SMALLER document's chunk count. Because CDC
+    * boundaries survive insertions, this catches "doc B = doc A with a
+    * paragraph spliced in" — the case whole-document hashing and
+    * fixed-stride windows both miss.
+    *
+    * Scale shape: the pair generator is an equi-join on chunk_hash with
+    * a `maxDf` guard dropping ubiquitous chunks (boilerplate paragraphs)
+    * BEFORE expansion — the same rare-keys-only discipline as the
+    * prefix/minhash candidate generators; per-doc chunk counts join back
+    * onto the (small) pair relation.
+    *
+    * Returns (doc1, doc2, n_shared, frac) with frac 4-dp rounded.
+    */
+  def chunkDupPairs(
+      docs: DataFrame,
+      modulus: Int = 16,
+      minShared: Int = 2,
+      minFrac: Double = 0.5,
+      maxDf: Int = 1 << 12,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    // distinct: repeated in-doc content must count once (set semantics —
+    // n_shared is a count of shared DISTINCT chunks, not a multiplicity
+    // product through the join)
+    val chunks = chunkByContent(docs, modulus, idCol, textCol)
+      .select(col(idCol).as("id"), col("chunk_hash"))
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = chunks.groupBy(col("id")).agg(count(lit(1)).as("n_chunks"))
+    val rare = chunks
+      .groupBy(col("chunk_hash")).agg(count(lit(1)).as("__df"))
+      .where(col("__df") <= maxDf)
+      .select(col("chunk_hash"))
+    val pruned = chunks.join(rare, Seq("chunk_hash"), "left_semi")
+    val shared = pruned.select(col("chunk_hash"), col("id").as("doc1"))
+      .join(pruned.select(col("chunk_hash"), col("id").as("doc2")), Seq("chunk_hash"))
+      .where(col("doc1") < col("doc2"))
+      .groupBy(col("doc1"), col("doc2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+    shared
+      .join(sizes.select(col("id").as("doc1"), col("n_chunks").as("n1")), Seq("doc1"))
+      .join(sizes.select(col("id").as("doc2"), col("n_chunks").as("n2")), Seq("doc2"))
+      .withColumn("frac",
+        col("n_shared").cast("double") / least(col("n1"), col("n2")).cast("double"))
+      .where(col("frac") >= minFrac)
+      .select(col("doc1"), col("doc2"), col("n_shared"),
+        graft.functions.Portable.pround(col("frac"), 4).as("frac"))
+  }
+
   // functions.size shadowed by the `size` parameter above
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 }

@@ -176,6 +176,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(c1.size > 3, "fixture must produce enough chunks to make the claim meaningful")
   }
 
+  test("chunkDupPairs: paragraph-spliced near-dup found, unrelated docs are not") {
+    val base = (0 until 120).map(word).mkString(" ")
+    val spliced = {
+      val w = base.split(" ")
+      (w.take(60) ++ Seq("zz", "yy", "xx", "ww") ++ w.drop(60)).mkString(" ")
+    }
+    val corpus = Seq(
+      (1L, base),
+      (2L, spliced),                                    // base + 4-word splice
+      (3L, (200 until 320).map(word).mkString(" "))     // disjoint vocab
+    ).toDF("doc_id", "text")
+    val got = Chunking.chunkDupPairs(corpus, modulus = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((1L, 2L)),
+      s"expected exactly the spliced pair, got ${got.toSeq}")
+    assert(got.head._3 >= 0.5, "most chunks survive a mid-document splice")
+  }
+
   test("bigramLogProbScore: hand-computed smoothed bigram means; short docs score 0") {
     val tiny = Seq(
       (0L, "a b a b"), (1L, "a b"), (2L, "x"), (3L, "..."))
