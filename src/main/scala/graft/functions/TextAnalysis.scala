@@ -340,6 +340,9 @@ object TextAnalysis {
       textCol: String = "text"): DataFrame = {
     val toks = docs
       .select(col(idCol), Tokenize.tokenArray(col(textCol)).as("__toks"))
+    // materialized ONCE: the corpus count (c2) and the scoring join both
+    // consume the bigram stream, and each lazy reference would re-run
+    // tokenize + bigram expansion over the corpus
     val big = toks
       .select(col(idCol),
         explode(when(size(col("__toks")) >= 2,
@@ -350,6 +353,7 @@ object TextAnalysis {
                 element_at(col("__toks"), i + 1)).as("bigram"))))
           .otherwise(array().cast("array<struct<w1:string,bigram:string>>"))).as("b"))
       .select(col(idCol), col("b.w1").as("w1"), col("b.bigram").as("bigram"))
+      .localCheckpoint(true)
     val uni = toks
       .select(explode(col("__toks")).as("w"))
       .groupBy(col("w"))

@@ -76,7 +76,12 @@ object Journeys {
       basketCol: String,
       itemCol: String,
       minPairs: Long = 1L): DataFrame = {
-    val b  = baskets.select(col(basketCol).as("bk"), col(itemCol).as("item")).distinct()
+    // materialized ONCE: the basket total, the item counts, and BOTH pair
+    // sides consume this relation, and each lazy reference would re-run
+    // the upstream basket derivation (join + distinct over the fact table)
+    val b = baskets.select(col(basketCol).as("bk"), col(itemCol).as("item"))
+      .distinct()
+      .localCheckpoint(true)
     val nB = b.agg(countDistinct(col("bk")).cast("double").as("n_baskets"))
     val singles = b.groupBy(col("item")).agg(count(lit(1)).as("n_item"))
     val pairs = b.select(col("bk"), col("item").as("a"))
@@ -128,18 +133,26 @@ object Journeys {
     val spark = events.sparkSession
     val byKey = Window.partitionBy(col(keyCol)).orderBy(asc(tsCol), asc(tieCol))
     val cum   = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // sessionized events materialize ONCE: every frontier stage AND every
+    // union branch below consumes this relation, and the lazy form
+    // re-ran the event-log scan + sessionization window O(stages²) times
+    // (seen in the first EXPLAIN audit of this plan)
     val sess = events
       .withColumn("prev_us", lag(col(tsCol), 1).over(byKey))
       .withColumn("new_sess",
         when(col("prev_us").isNull || col(tsCol) - col("prev_us") > gapUs, 1).otherwise(0))
       .withColumn("sess_id", sum(col("new_sess")).over(cum))
       .select(col(keyCol).as("k"), col("sess_id"), col(typeCol).as("et"), col(tsCol).as("ts"))
+      .localCheckpoint(true)
     // frontier: sessions still in the funnel, with the ts of their last
-    // converted stage; stage i+1 = min ts of its event type AFTER that
+    // converted stage; stage i+1 = min ts of its event type AFTER that.
+    // Each frontier is session-sized and referenced twice (next stage +
+    // its own count branch) — checkpoint keeps the chain linear.
     val frontier0 = sess
       .where(col("et") === stages.head)
       .groupBy(col("k"), col("sess_id"))
       .agg(min(col("ts")).as("stage_ts"))
+      .localCheckpoint(true)
     val frontiers = stages.tail.scanLeft(frontier0) { (front, stage) =>
       sess
         .where(col("et") === stage)
@@ -147,6 +160,7 @@ object Journeys {
         .where(col("ts") > col("stage_ts"))
         .groupBy(col("k"), col("sess_id"))
         .agg(min(col("ts")).as("stage_ts"))
+        .localCheckpoint(true)
     }
     import spark.implicits._
     stages.zip(frontiers).zipWithIndex
