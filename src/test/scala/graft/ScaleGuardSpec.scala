@@ -113,4 +113,45 @@ class ScaleGuardSpec extends SparkSpec {
     assert(nPairs <= bound,
       s"emitted $nPairs pairs > retained-bucket bound $bound — a saturated bucket self-joined")
   }
+
+  // 40 docs replicated 50x: every prefix bucket and every chunk bucket
+  // holds at least one full replica set
+  private lazy val docsSmall = spark.read
+    .parquet("/root/testdata/sf0.001/documents.parquet")
+    .select("doc_id", "text").where(col("doc_id") < 40)
+  private lazy val docsSmall50 =
+    ScaleBench.replicated(docsSmall, "doc_id", Factor).localCheckpoint(true)
+  private def sameBase(a: Long, b: Long): Boolean = a % 1000000000L == b % 1000000000L
+
+  test("prefix-join cap binds before expansion under 50x duplicate-dense replication") {
+    // a cap below the replication factor saturates EVERY bucket (each
+    // prefix shingle carries >= 50 byte-identical replicas) → zero pairs
+    assert(Dedup.prefixJaccardJoin(docsSmall50, 0.5, shingleK = 3, maxBucket = Factor - 10)
+      .count() == 0)
+    // default cap at threshold 1.0: the exact join finds every replica
+    // pair — 50 identical copies per base doc pair C(50,2) ways
+    val pairs = Dedup.prefixJaccardJoin(docsSmall50, 1.0, shingleK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.forall(_._3 == 1.0), "threshold 1.0 admits only exact-set matches")
+    val nSameBase = pairs.count(p => sameBase(p._1, p._2))
+    assert(nSameBase == 40 * (Factor * (Factor - 1) / 2),
+      s"every replica pair must surface exactly once; got $nSameBase")
+  }
+
+  test("chunk-dedup maxDf binds before the join under 50x replication") {
+    import graft.operators.Chunking
+    assert(Chunking.chunkDupPairs(docsSmall50, maxDf = Factor - 10).count() == 0,
+      "a chunk-frequency cap below the replication factor must suppress every pair")
+    // default cap: replicas share ALL chunks → frac 1.0 same-base pairs
+    // for every base doc with >= 2 distinct chunks (minShared's floor)
+    val eligible = Chunking.chunkByContent(docsSmall)
+      .select("doc_id", "chunk_hash").distinct()
+      .groupBy("doc_id").count().where(col("count") >= 2).count()
+    val pairs = Chunking.chunkDupPairs(docsSmall50)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    val same = pairs.filter(p => sameBase(p._1, p._2))
+    assert(same.forall(_._3 == 1.0), "replica pairs share every chunk")
+    assert(same.length == eligible * (Factor * (Factor - 1) / 2),
+      s"got ${same.length} same-base pairs for $eligible eligible base docs")
+  }
 }
