@@ -1315,6 +1315,14 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- weekly retention cohorts: first-activity week per user, then the
+    //    cohort x offset matrix with retained fractions
+    "q_retention" -> ((s, dir) => {
+      operators.Journeys
+        .retentionCohorts(graft.sources.EventsSource.events(s, dir))
+        .orderBy("cohort", "week_offset")
+    }),
+
     // -- sub-document near-dup pairs via shared CDC chunks: catches "doc
     //    B = doc A with a paragraph spliced in", which whole-doc hashing
     //    and fixed windows miss; ubiquitous chunks dropped before the join
@@ -2695,6 +2703,22 @@ object SparkEntry {
                 QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= 20)
           SELECT c.doc_id, d.lang, c.source
           FROM c JOIN d ON d.doc_id = c.doc_id ORDER BY c.doc_id""",
+    "q_retention" ->
+      """WITH weekly AS (
+           -- ::TIMESTAMP: DuckDB's date_trunc('week') yields DATE, Spark's a timestamp
+           SELECT DISTINCT user_id AS k, date_trunc('week', ts)::TIMESTAMP AS wk FROM events),
+         cohort AS (SELECT k, min(wk) AS cohort FROM weekly GROUP BY 1),
+         cells AS (
+           SELECT c.cohort,
+                  (date_diff('day', c.cohort, w.wk) // 7)::INTEGER AS week_offset,
+                  count(DISTINCT w.k) AS n_active
+           FROM weekly w JOIN cohort c ON c.k = w.k
+           GROUP BY 1, 2),
+         base AS (SELECT cohort, n_active AS n0 FROM cells WHERE week_offset = 0)
+         SELECT cells.cohort, week_offset, n_active,
+                floor((n_active::DOUBLE / n0::DOUBLE) * 1e4 + 0.5) / 1e4 AS frac
+         FROM cells JOIN base ON base.cohort = cells.cohort
+         ORDER BY cells.cohort, week_offset""",
     "q_chunk_dedup" ->
       """WITH t0 AS (
            SELECT doc_id,

@@ -107,6 +107,44 @@ object Journeys {
         r4(col("n_pair") * col("n_baskets") / (col("n_a") * col("n_c"))).as("lift"))
   }
 
+  /** Retention cohorts: bucket every user into the week of their FIRST
+    * activity, then for each (cohort week, week offset k) count how many
+    * of the cohort's users were active k weeks later — the retention
+    * triangle every growth dashboard renders, and the freshness-decay
+    * signal a data pipeline uses to weight recency.
+    *
+    * Scale shape: two user/week-keyed aggregates (first-activity, then
+    * distinct activity weeks) joined on the user id, collapsed to a
+    * cohort×offset matrix — metadata-sized — before the base-size join
+    * computes fractions. No window over anything larger than a key's
+    * own activity row set; week arithmetic is exact integer day math.
+    *
+    * Returns (cohort, week_offset, n_active, frac) — frac of the
+    * cohort's size, 4-dp rounded; offset 0 rows have frac 1.0.
+    */
+  def retentionCohorts(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts_t"): DataFrame = {
+    val weekly = events
+      .select(col(keyCol).as("k"), date_trunc("WEEK", col(tsCol)).as("wk"))
+      .distinct()
+    val mat = weekly.localCheckpoint(true) // cohort derivation + activity join
+    val cohort = mat.groupBy(col("k")).agg(min(col("wk")).as("cohort"))
+    val cells = mat
+      .join(cohort, Seq("k"))
+      .groupBy(col("cohort"), (datediff(col("wk"), col("cohort")) / 7).cast("int").as("week_offset"))
+      .agg(countDistinct(col("k")).as("n_active"))
+    val base = cells.where(col("week_offset") === 0)
+      .select(col("cohort"), col("n_active").as("n0"))
+    cells
+      .join(broadcast(base), Seq("cohort"))
+      .select(
+        col("cohort"), col("week_offset"), col("n_active"),
+        graft.functions.Portable.pround(
+          col("n_active").cast("double") / col("n0").cast("double"), 4).as("frac"))
+  }
+
   /** Ordered-funnel conversion over sessions: how many sessions reach
     * stage 1 (`stages(0)` occurs), stage 2 (`stages(1)` STRICTLY AFTER
     * the first stage-1 event), stage 3, … — the product-analytics funnel

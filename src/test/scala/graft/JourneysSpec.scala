@@ -50,6 +50,28 @@ class JourneysSpec extends SparkSpec {
     assert(got(("z", "x")) == ((1L, 0.3333, 1.0, 1.0)))
   }
 
+  test("retentionCohorts: offsets anchor to each user's own first week") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val ev = Seq(
+      // users 1,2 start week of Mon 2024-03-04; 1 returns +1wk and +2wk, 2 never
+      (1L, t("2024-03-05 10:00:00")), (1L, t("2024-03-12 10:00:00")), (1L, t("2024-03-19 10:00:00")),
+      (2L, t("2024-03-06 10:00:00")),
+      // user 3 starts the NEXT week and returns +1wk — its offset-1 lands
+      // in its own cohort row, not the first cohort's
+      (3L, t("2024-03-13 10:00:00")), (3L, t("2024-03-20 10:00:00"))
+    ).toDF("user_id", "ts_t")
+    val got = Journeys.retentionCohorts(ev)
+      .orderBy("cohort", "week_offset")
+      .collect()
+      .map(r => (r.getTimestamp(0).toString.take(10), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("2024-03-04", 0, 2L, 1.0),
+      ("2024-03-04", 1, 1L, 0.5),
+      ("2024-03-04", 2, 1L, 0.5),
+      ("2024-03-11", 0, 1L, 1.0),
+      ("2024-03-11", 1, 1L, 1.0)))
+  }
+
   test("funnel: ordering is strict — a click BEFORE the first view does not convert") {
     val ev = Seq(
       // user 1: full ordered funnel in one session
