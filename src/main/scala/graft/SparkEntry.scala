@@ -1315,6 +1315,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- winsorized mean per return flag: robust aggregation — exact
+    //    percentile cuts (6-dp, identical cross-engine) broadcast back,
+    //    clip + mean in one aggregate
+    "q_winsorized" -> ((s, dir) => {
+      operators.Stats
+        .winsorizedMean(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice")
+        .orderBy("l_returnflag")
+    }),
+
     // -- weekly retention cohorts: first-activity week per user, then the
     //    cohort x offset matrix with retained fractions
     "q_retention" -> ((s, dir) => {
@@ -2703,6 +2712,17 @@ object SparkEntry {
                 QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= 20)
           SELECT c.doc_id, d.lang, c.source
           FROM c JOIN d ON d.doc_id = c.doc_id ORDER BY c.doc_id""",
+    "q_winsorized" ->
+      """WITH b AS (
+           SELECT l_returnflag,
+                  floor((quantile_cont(l_extendedprice, 0.05)) * 1e6 + 0.5) / 1e6 AS b_lo,
+                  floor((quantile_cont(l_extendedprice, 0.95)) * 1e6 + 0.5) / 1e6 AS b_hi
+           FROM lineitem GROUP BY 1)
+         SELECT l.l_returnflag, count(*) AS n,
+                floor((avg(l_extendedprice)) * 1e4 + 0.5) / 1e4 AS raw_mean,
+                floor((avg(least(greatest(l_extendedprice, b_lo), b_hi))) * 1e4 + 0.5) / 1e4 AS wins_mean
+         FROM lineitem l JOIN b ON b.l_returnflag = l.l_returnflag
+         GROUP BY 1 ORDER BY 1""",
     "q_retention" ->
       """WITH weekly AS (
            -- ::TIMESTAMP: DuckDB's date_trunc('week') yields DATE, Spark's a timestamp

@@ -107,4 +107,40 @@ object Stats {
       .agg(count(lit(1)).as("new_words"))
       .withColumn("cum_words", sum(col("new_words")).over(w))
   }
+
+  /** Winsorized mean per group — the robust aggregate outlier-heavy
+    * numeric columns need (a handful of corrupt values can drag a plain
+    * mean anywhere; clipping at [p_lo, p_hi] bounds their leverage
+    * without dropping rows the way a trimmed mean does).
+    *
+    * Two passes: exact interpolated percentile boundaries per group
+    * (6-dp-rounded so both engines clip at the IDENTICAL cut — an ulp of
+    * boundary drift would otherwise flip values sitting exactly on it),
+    * broadcast back, then clip + mean in one aggregate. Boundaries are
+    * group-cardinality-sized metadata; at 100 TB the documented swap is
+    * `approx_percentile` for the first pass, same shape.
+    *
+    * Returns (groupCol, n, raw_mean, wins_mean), means 4-dp rounded.
+    */
+  def winsorizedMean(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      lo: Double = 0.05,
+      hi: Double = 0.95): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"bounds ($lo, $hi) must satisfy 0 <= lo < hi <= 1")
+    val r6 = (c: Column) => Portable.pround(c, 6)
+    val bounds = df
+      .groupBy(col(groupCol))
+      .agg(
+        r6(expr(s"percentile($valueCol, $lo)")).as("b_lo"),
+        r6(expr(s"percentile($valueCol, $hi)")).as("b_hi"))
+    df.join(broadcast(bounds), Seq(groupCol))
+      .withColumn("__clip", least(greatest(col(valueCol).cast("double"), col("b_lo")), col("b_hi")))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        Portable.pround(avg(col(valueCol)), 4).as("raw_mean"),
+        Portable.pround(avg(col("__clip")), 4).as("wins_mean"))
+  }
 }

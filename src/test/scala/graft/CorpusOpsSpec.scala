@@ -220,6 +220,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Map("a b" -> 3L, "b c" -> 1L))
   }
 
+  test("winsorizedMean: outlier leverage bounded; clean groups unchanged") {
+    val data = (Seq.fill(98)(10.0) ++ Seq(1e9, -1e9)).zipWithIndex
+      .map { case (v, i) => ("g", v, i) }
+      .toDF("grp", "v", "i")
+    val r = Stats.winsorizedMean(data, "grp", "v", lo = 0.05, hi = 0.95)
+      .collect().head
+    // raw mean is dragged to ~10 +/- nothing (the two outliers cancel here),
+    // so pin the WINSORIZED mean instead: both outliers clip to ~10
+    assert(r.getLong(1) == 100)
+    assert(math.abs(r.getDouble(3) - 10.0) < 0.01,
+      s"winsorized mean ${r.getDouble(3)} must ignore the 1e9 outliers")
+    // a clean constant group: winsorized == raw
+    val clean = Seq.fill(50)(("c", 7.0)).zipWithIndex
+      .map { case ((g, v), i) => (g, v + 0.0 * i) }.toDF("grp", "v")
+    val rc = Stats.winsorizedMean(clean, "grp", "v").collect().head
+    assert(rc.getDouble(2) == rc.getDouble(3))
+  }
+
   test("vocabGrowth: cumulative count ends at the distinct-word total") {
     val toks = Tokenize.tokens(docs, "text", Seq("doc_id"))
     val curve = Stats.vocabGrowth(toks, bucketWidth = 2).orderBy("bucket")
