@@ -1315,6 +1315,23 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- data-quality expectation suite: every rule's metric from ONE
+    //    aggregation pass over lineitem, verdicts off the metadata row
+    "q_data_quality" -> ((s, dir) => {
+      import operators.Stats.Rule
+      operators.Stats.expectations(t(s, dir, "lineitem"), Seq(
+        Rule("qty_min", min(col("l_quantity")), 1.0, Double.MaxValue),
+        Rule("qty_max", max(col("l_quantity")), 0.0, 50.0),
+        Rule("price_null_frac",
+          avg(when(col("l_extendedprice").isNull, 1.0).otherwise(0.0)), 0.0, 0.0),
+        Rule("discount_in_range",
+          avg(when(col("l_discount").between(0.0, 0.1), 1.0).otherwise(0.0)), 1.0, 1.0),
+        Rule("orderkey_fanout",
+          count(lit(1)).cast("double") / countDistinct(col("l_orderkey")).cast("double"),
+          1.0, 7.0)))
+        .orderBy("rule")
+    }),
+
     // -- winsorized mean per return flag: robust aggregation — exact
     //    percentile cuts (6-dp, identical cross-engine) broadcast back,
     //    clip + mean in one aggregate
@@ -2712,6 +2729,21 @@ object SparkEntry {
                 QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= 20)
           SELECT c.doc_id, d.lang, c.source
           FROM c JOIN d ON d.doc_id = c.doc_id ORDER BY c.doc_id""",
+    "q_data_quality" ->
+      """WITH m AS (
+           SELECT min(l_quantity)::DOUBLE AS qty_min,
+                  max(l_quantity)::DOUBLE AS qty_max,
+                  avg(CASE WHEN l_extendedprice IS NULL THEN 1.0 ELSE 0.0 END) AS pnf,
+                  avg(CASE WHEN l_discount BETWEEN 0.0 AND 0.1 THEN 1.0 ELSE 0.0 END) AS dir_,
+                  count(*)::DOUBLE / count(DISTINCT l_orderkey)::DOUBLE AS fanout
+           FROM lineitem)
+         SELECT rule, floor((value) * 1e6 + 0.5) / 1e6 AS value, pass FROM (
+           SELECT 'qty_min' AS rule, qty_min AS value, qty_min >= 1.0 AS pass FROM m
+           UNION ALL SELECT 'qty_max', qty_max, qty_max BETWEEN 0.0 AND 50.0 FROM m
+           UNION ALL SELECT 'price_null_frac', pnf, pnf = 0.0 FROM m
+           UNION ALL SELECT 'discount_in_range', dir_, dir_ = 1.0 FROM m
+           UNION ALL SELECT 'orderkey_fanout', fanout, fanout BETWEEN 1.0 AND 7.0 FROM m) u
+         ORDER BY rule""",
     "q_winsorized" ->
       """WITH b AS (
            SELECT l_returnflag,

@@ -108,6 +108,34 @@ object Stats {
       .withColumn("cum_words", sum(col("new_words")).over(w))
   }
 
+  /** A data-quality rule: an aggregate metric over the table and the
+    * inclusive [lo, hi] band it must land in to pass.
+    */
+  case class Rule(name: String, metric: Column, lo: Double, hi: Double)
+
+  /** Declarative data-quality expectations (the Deequ/Great-Expectations
+    * shape): every rule's metric is computed in ONE aggregation pass over
+    * the table — completeness, ranges, uniqueness ratios, whatever an
+    * aggregate can express — then verdicts are derived from the single
+    * metadata row. A 100 TB table is scanned once no matter how many
+    * rules the suite carries; this is the property that makes quality
+    * gates affordable enough to run on every ingest.
+    *
+    * Returns (rule, value, pass) — one row per rule, values 6-dp rounded.
+    */
+  def expectations(df: DataFrame, rules: Seq[Rule]): DataFrame = {
+    require(rules.nonEmpty, "at least one rule")
+    val aliased = rules.zipWithIndex.map { case (r, i) => r.metric.cast("double").as(s"__m$i") }
+    df.agg(aliased.head, aliased.tail: _*)
+      .select(explode(array(rules.zipWithIndex.map { case (r, i) =>
+        struct(
+          lit(r.name).as("rule"),
+          Portable.pround(col(s"__m$i"), 6).as("value"),
+          (col(s"__m$i") >= r.lo && col(s"__m$i") <= r.hi).as("pass"))
+      }: _*)).as("e"))
+      .select(col("e.rule"), col("e.value"), col("e.pass"))
+  }
+
   /** Winsorized mean per group — the robust aggregate outlier-heavy
     * numeric columns need (a handful of corrupt values can drag a plain
     * mean anywhere; clipping at [p_lo, p_hi] bounds their leverage

@@ -220,6 +220,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Map("a b" -> 3L, "b c" -> 1L))
   }
 
+  test("expectations: one pass, per-rule verdicts, failing rule flagged") {
+    val df = Seq((1L, 5.0), (2L, 50.0)).toDF("id", "v")
+    val got = Stats.expectations(df, Seq(
+      Stats.Rule("v_min", min(col("v")), 0.0, 10.0),
+      Stats.Rule("v_max", max(col("v")), 0.0, 10.0),  // fails: max is 50
+      Stats.Rule("n_rows", count(lit(1)).cast("double"), 2.0, 2.0)))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getBoolean(2)))).toMap
+    assert(got("v_min") == ((5.0, true)))
+    assert(got("v_max") == ((50.0, false)))
+    assert(got("n_rows") == ((2.0, true)))
+  }
+
   test("winsorizedMean: outlier leverage bounded; clean groups unchanged") {
     val data = (Seq.fill(98)(10.0) ++ Seq(1e9, -1e9)).zipWithIndex
       .map { case (v, i) => ("g", v, i) }
