@@ -701,6 +701,16 @@ object SparkEntry {
         .orderBy("doc1", "doc2")
     }),
 
+    // -- contrastive hard-negative mining: top-5 most-similar vectors per
+    //    query EXCLUDING the near-dup band (cos > 0.6 here — the corpus
+    //    near-dups sit above it), dup filter before the bounded top-k
+    "q_hard_negatives" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .hardNegatives(emb, emb.where(col("vec_id") < 10), k = 5, maxCos = 0.6)
+        .orderBy("q_id", "rank")
+    }),
+
     // -- exact ANN baseline: brute-force cosine top-5 for 10 query vectors
     "q_embed_cosine_topk" -> ((s, dir) => {
       val emb = t(s, dir, "embeddings")
@@ -2172,6 +2182,25 @@ object SparkEntry {
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(a.shingles) > 0 AND len(b.shingles) > 0) p
           WHERE jaccard >= 0.5 ORDER BY doc1, doc2""",
+    // the cos <= 0.6 dup-band filter precedes the rank, mirroring the
+    // pre-aggregate filter in the Spark plan
+    "q_hard_negatives" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+           FROM embeddings),
+         q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id < 10),
+         pairs AS (
+           SELECT q_id, e.vec_id,
+                  list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> qv[i]::DOUBLE * e.embedding[i]::DOUBLE)) / (qn * e.nrm) AS cos
+           FROM q CROSS JOIN e WHERE e.vec_id <> q_id)
+         SELECT q_id, vec_id, rank, cos_r FROM (
+           SELECT q_id, vec_id, floor((cos) * 1e4 + 0.5) / 1e4 AS cos_r,
+                  row_number() OVER (PARTITION BY q_id ORDER BY floor((cos) * 1e6 + 0.5) / 1e6 DESC, vec_id) AS rank
+           FROM pairs WHERE cos <= 0.6) r
+         WHERE rank <= 5 ORDER BY q_id, rank""",
     "q_embed_cosine_topk" ->
       """WITH e AS (
            SELECT vec_id, embedding,

@@ -652,6 +652,49 @@ object Similarity {
       .select(col(idCol), col("best.c_id").as("cell"), round(col("best.cos"), 4).as("cos_r"))
   }
 
+  /** Hard-negative mining for contrastive training: each query's top-k
+    * most-similar corpus vectors EXCLUDING near-duplicates (cos >
+    * `maxCos`) — the negatives that actually teach an embedding model
+    * (random negatives are trivially separable; near-dups are false
+    * negatives that poison the loss). Same bounded-partial-top-k plan as
+    * [[bruteForceTopK]] with the dup-band filter applied BEFORE the
+    * aggregate, so excluded pairs never enter any buffer.
+    *
+    * Returns (q_id, idCol, rank, cos_r) like the exact top-k.
+    */
+  def hardNegatives(
+      corpus: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      maxCos: Double = 0.95,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.GraftBridge
+    val e = corpus
+      .select(col(idCol), col(vecCol).as("ev"))
+      .withColumn("en", norm("ev"))
+    val q = queries
+      .select(col(idCol).as("q_id"), col(vecCol).as("qv"))
+      .withColumn("qn", norm("qv"))
+    val topk = GraftBridge.column(
+      graft.plans.CosTopK(
+        GraftBridge.expression(round(col("cos"), 6)),
+        GraftBridge.expression(col(idCol).cast("bigint")),
+        GraftBridge.expression(col("cos")),
+        k).toAggregateExpression())
+    e.join(broadcast(q), col(idCol) =!= col("q_id"))
+      .withColumn("cos", dot(col("qv"), col("ev")) / (col("qn") * col("en")))
+      .where(col("cos") <= maxCos)
+      .groupBy(col("q_id"))
+      .agg(topk.as("top"))
+      .select(col("q_id"), posexplode(col("top")))
+      .select(
+        col("q_id"),
+        col("col.id").as(idCol),
+        (col("pos") + 1).as("rank"),
+        round(col("col.cos"), 4).as("cos_r"))
+  }
+
   /** Symmetric per-vector int8 quantization — the 4× embedding-storage
     * compression every large vector store applies before PQ even enters
     * the picture: scale = max|x|/127, code = round(x/scale), both
