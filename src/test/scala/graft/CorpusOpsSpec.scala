@@ -194,6 +194,51 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.head._3 >= 0.5, "most chunks survive a mid-document splice")
   }
 
+  test("chunkByContent randomized fuzz: operator == in-memory mirror on 60 random docs") {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    def chunksOf(text: String, m: Int): Seq[String] = {
+      val toks = text.split("\\s+").map(_.toLowerCase.replaceAll("[^a-z]", "")).filter(_.nonEmpty)
+      val cuts = (1 until toks.length).filter(i => java.lang.Long.parseLong(md5hex(toks(i - 1)).take(8), 16) % m == 0)
+      val bounds = 0 +: cuts :+ toks.length
+      bounds.sliding(2).collect { case Seq(a, b) if b > a => md5hex(toks.slice(a, b).mkString(" ")) }.toSeq
+    }
+    val rnd = new scala.util.Random(7)
+    val vocab = ('a' to 'z').map(_.toString) ++ Seq("the", "fox", "12x", "a-b", "")
+    val corpus = (1L to 60L).map { id =>
+      id -> Seq.fill(rnd.nextInt(30))(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    }
+    for (m <- Seq(2, 8)) {
+      val got = Chunking.chunkByContent(corpus.toDF("doc_id", "text"), modulus = m)
+        .orderBy("doc_id", "chunk_id")
+        .collect().groupBy(_.getLong(0)).view
+        .mapValues(_.sortBy(_.getInt(1)).map(_.getString(3)).toSeq).toMap
+      corpus.foreach { case (id, text) =>
+        val want = chunksOf(text, m)
+        assert(got.getOrElse(id, Seq.empty) == want, s"doc $id modulus $m: $text")
+      }
+    }
+  }
+
+  test("bpePairCounts randomized fuzz: operator == in-memory mirror") {
+    val rnd = new scala.util.Random(11)
+    val words = Seq("ab", "abc", "x", "banana", "abab", "zz", "q")
+    val corpus = (1L to 25L).map { id =>
+      id -> Seq.fill(1 + rnd.nextInt(12))(words(rnd.nextInt(words.size))).mkString(" ")
+    }
+    val toks = Tokenize.tokens(corpus.toDF("doc_id", "text"), "text", Seq("doc_id"))
+    val got = graft.functions.TextAnalysis.bpePairCounts(toks)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    // mirror: weighted vocabulary, adjacent char pairs
+    val vocabCount = corpus.flatMap(_._2.split(" ")).filter(_.nonEmpty)
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val want = vocabCount.toSeq
+      .filter(_._1.length >= 2)
+      .flatMap { case (w, n) => w.sliding(2).map(p => s"${p(0)} ${p(1)}" -> n) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(got == want)
+  }
+
   test("bigramLogProbScore: hand-computed smoothed bigram means; short docs score 0") {
     val tiny = Seq(
       (0L, "a b a b"), (1L, "a b"), (2L, "x"), (3L, "..."))
