@@ -1325,6 +1325,44 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- MODE aggregate: most frequent part brand per return flag (count
+    //    per value, then a partially-aggregated max_by — no window)
+    "q_mode_brand" -> ((s, dir) => {
+      val li   = t(s, dir, "lineitem")
+      val part = t(s, dir, "part")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .groupBy(col("l_returnflag"), col("p_brand"))
+        .agg(count(lit(1)).as("cnt"))
+        .groupBy(col("l_returnflag"))
+        // min_by over (-count, brand): count DESC with brand-ASC ties, no window
+        .agg(min_by(
+          struct(col("p_brand"), col("cnt")),
+          struct((-col("cnt")).as("k1"), col("p_brand").as("k2"))).as("m"))
+        .select(col("l_returnflag"), col("m.p_brand").as("mode_brand"), col("m.cnt").as("n"))
+        .orderBy("l_returnflag")
+    }),
+
+    // -- group-statistic null imputation: nulls planted deterministically
+    //    in l_discount are filled with the per-flag mean of the SURVIVING
+    //    values (broadcast group stats, map-side coalesce)
+    "q_impute" -> ((s, dir) => {
+      val withNulls = t(s, dir, "lineitem")
+        .withColumn("d",
+          when(col("l_orderkey") % 13 === 0, lit(null).cast("double"))
+            .otherwise(col("l_discount")))
+      val stats = withNulls
+        .groupBy(col("l_returnflag"))
+        .agg(round(avg(col("d")), 6).as("fill"))
+      withNulls
+        .join(broadcast(stats), Seq("l_returnflag"))
+        .withColumn("d2", coalesce(col("d"), col("fill")))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(when(col("d").isNull, 1)).as("n_filled"),
+          round(avg(col("d2")), 6).as("mean_after"))
+        .orderBy("l_returnflag")
+    }),
+
     // -- data-quality expectation suite: every rule's metric from ONE
     //    aggregation pass over lineitem, verdicts off the metadata row
     "q_data_quality" -> ((s, dir) => {
@@ -2758,6 +2796,27 @@ object SparkEntry {
                 QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= 20)
           SELECT c.doc_id, d.lang, c.source
           FROM c JOIN d ON d.doc_id = c.doc_id ORDER BY c.doc_id""",
+    "q_mode_brand" ->
+      """WITH c AS (
+           SELECT l_returnflag, p_brand, count(*) AS cnt
+           FROM lineitem JOIN part ON l_partkey = p_partkey
+           GROUP BY 1, 2)
+         SELECT l_returnflag, p_brand AS mode_brand, cnt AS n FROM c
+         QUALIFY row_number() OVER (PARTITION BY l_returnflag
+                                    ORDER BY cnt DESC, p_brand) = 1
+         ORDER BY l_returnflag""",
+    "q_impute" ->
+      """WITH w AS (
+           SELECT l_returnflag,
+                  CASE WHEN l_orderkey % 13 = 0 THEN NULL ELSE l_discount END AS d
+           FROM lineitem),
+         s AS (SELECT l_returnflag, floor((avg(d)) * 1e6 + 0.5) / 1e6 AS fill
+               FROM w GROUP BY 1)
+         SELECT w.l_returnflag,
+                count(CASE WHEN d IS NULL THEN 1 END) AS n_filled,
+                floor((avg(coalesce(d, fill))) * 1e6 + 0.5) / 1e6 AS mean_after
+         FROM w JOIN s ON s.l_returnflag = w.l_returnflag
+         GROUP BY 1 ORDER BY 1""",
     "q_data_quality" ->
       """WITH m AS (
            SELECT min(l_quantity)::DOUBLE AS qty_min,
