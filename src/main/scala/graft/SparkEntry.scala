@@ -1523,8 +1523,12 @@ object SparkEntry {
     // -- symmetric int8 embedding quantization: per-vector scale, integer
     //    codes, reconstruction MSE — one map-side pass, no shuffle
     "q_embed_int8" -> ((s, dir) => {
+      // codes stringified for the cross-engine compare (raw int arrays
+      // break the harness hasher) — same convention as doc_ids_str
       Similarity
         .int8Quantize(t(s, dir, "embeddings"))
+        .select(col("vec_id"), col("scale_r"),
+          array_join(col("codes"), " ").as("codes_str"), col("mse_r"))
         .orderBy("vec_id")
     }),
 
@@ -3063,7 +3067,7 @@ object SparkEntry {
            FROM q)
          SELECT vec_id,
                 floor((scale) * 1e8 + 0.5) / 1e8 AS scale_r,
-                codes,
+                array_to_string(codes, ' ') AS codes_str,
                 floor((list_sum(list_transform(range(1, len(embedding) + 1),
                          i -> (embedding[i]::DOUBLE - codes[i]::DOUBLE * scale)
                             * (embedding[i]::DOUBLE - codes[i]::DOUBLE * scale)))
@@ -3087,7 +3091,7 @@ object SparkEntry {
           p AS (SELECT substr(w, i, 1) || ' ' || substr(w, i + 1, 1) AS pair, n
                 FROM (SELECT w, n, unnest(range(1, len(w))) AS i
                       FROM vocab WHERE len(w) >= 2) u)
-          SELECT pair, sum(n) AS cnt FROM p GROUP BY 1
+          SELECT pair, sum(n)::BIGINT AS cnt FROM p GROUP BY 1
           ORDER BY cnt DESC, pair LIMIT 50""",
     "q_resample_ffill" ->
       """WITH daily AS (
