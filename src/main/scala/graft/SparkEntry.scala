@@ -209,6 +209,18 @@ object SparkEntry {
         .orderBy("doc_id", "word")
     }),
 
+    // -- corpus-wide term frequency WITH multiplicity (no doc_id cap, count
+    //    not countDistinct): closes the oracle blind spot where token
+    //    multiplicity was only exercised per-document or distinct-only.
+    //    Map-side partial count below the single hash exchange.
+    "q_term_freq" -> ((s, dir) => {
+      Tokenize
+        .tokens(t(s, dir, "documents"), "text", Seq("doc_id"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as("cnt"))
+        .orderBy("word")
+    }),
+
     // -- groupBy + distinct-set agg + sort_array + size: postings
     "q_inverted_index" -> ((s, dir) => {
       InvertedIndex
@@ -1763,6 +1775,9 @@ object SparkEntry {
     "q_tokenize" ->
       s"""WITH $TokCte
           SELECT doc_id, word FROM tok WHERE doc_id < 50 ORDER BY doc_id, word""",
+    "q_term_freq" ->
+      s"""WITH $TokCte
+          SELECT word, count(*) AS cnt FROM tok GROUP BY word ORDER BY word""",
     "q_inverted_index" ->
       s"""WITH $TokCte
           SELECT word, array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS doc_ids_str,
