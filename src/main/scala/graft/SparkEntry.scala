@@ -1019,14 +1019,11 @@ object SparkEntry {
 
     // -- exact interpolated percentiles per group (Spark `percentile` ==
     //    DuckDB `quantile_cont`; l_quantity is integer-valued so the
-    //    interpolation arithmetic is engine-stable)
+    //    interpolation arithmetic is engine-stable). exact=false is the
+    //    percentile_approx scale path, spec-pinned in ApproxStatsSpec.
     "q_percentiles" -> ((s, dir) => {
-      t(s, dir, "lineitem")
-        .groupBy(col("l_returnflag"))
-        .agg(
-          round(expr("percentile(l_quantity, 0.5)"), 2).as("p50"),
-          round(expr("percentile(l_quantity, 0.9)"), 2).as("p90"),
-          count(lit(1)).as("n"))
+      operators.Stats
+        .groupPercentiles(t(s, dir, "lineitem"), "l_returnflag", "l_quantity")
         .orderBy("l_returnflag")
     }),
 

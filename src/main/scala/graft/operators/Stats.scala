@@ -64,14 +64,29 @@ object Stats {
     * higher-order `filter` count — no sort of the data, no window. The
     * boundaries are 6-dp rounded BEFORE comparison on both engines, so an
     * interpolated boundary landing within an ulp of an integer can't flip
-    * a row's bucket between engines. (`percentile_approx` is the
-    * documented 100 TB swap — same plan, bounded-memory sketch.)
+    * a row's bucket between engines.
+    *
+    * `exact = false` swaps the boundary pass to `percentile_approx`
+    * (bounded-memory GK sketch, rank error <= 1/accuracy) — the 100 TB
+    * path: exact `percentile` is an ImperativeAggregate that buffers
+    * EVERY value of the column in one aggregation buffer, which OOMs on
+    * a hot column at scale. Same plan shape either way; only the
+    * boundary aggregate changes. Keep `exact = true` (default) for
+    * cross-engine oracle parity, `ApproxStatsSpec` pins the divergence.
     */
-  def equiDepthHistogram(df: DataFrame, c: String, buckets: Int = 8): DataFrame = {
+  def equiDepthHistogram(
+      df: DataFrame,
+      c: String,
+      buckets: Int = 8,
+      exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
     require(buckets >= 2, s"buckets ($buckets) must be >= 2")
     val fracs = (1 until buckets).map(i => i.toDouble / buckets)
+    val arr = s"array(${fracs.mkString(", ")})"
     val bounds = df.agg(
-      expr(s"percentile($c, array(${fracs.mkString(", ")}))").as("__bs"))
+      (if (exact) expr(s"percentile($c, $arr)")
+       else expr(s"cast(percentile_approx($c, $arr, $accuracy) as array<double>)"))
+        .as("__bs"))
     df.select(col(c).cast("double").as("__v"))
       .crossJoin(broadcast(bounds))
       .withColumn("bucket",
@@ -81,6 +96,28 @@ object Stats {
         count(lit(1)).as("n"),
         Portable.pround(min(col("__v")), 4).as("lo"),
         Portable.pround(max(col("__v")), 4).as("hi"))
+  }
+
+  /** Per-group percentile summary (p50/p90 + count). `exact = true`
+    * (default, oracle-parity: Spark `percentile` == DuckDB
+    * `quantile_cont`) buffers each group's values; `exact = false` is the
+    * 100 TB path via `percentile_approx` — O(accuracy) memory per group
+    * regardless of group size. One aggregate either way.
+    */
+  def groupPercentiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    val pct = (f: Double) =>
+      if (exact) expr(s"percentile($valueCol, $f)")
+      else expr(s"cast(percentile_approx($valueCol, $f, $accuracy) as double)")
+    df.groupBy(col(groupCol))
+      .agg(
+        round(pct(0.5), 2).as("p50"),
+        round(pct(0.9), 2).as("p90"),
+        count(lit(1)).as("n"))
   }
 
   /** Vocabulary growth (Heaps'-law) curve: for each `bucketWidth`-doc
@@ -145,8 +182,15 @@ object Stats {
     * (6-dp-rounded so both engines clip at the IDENTICAL cut — an ulp of
     * boundary drift would otherwise flip values sitting exactly on it),
     * broadcast back, then clip + mean in one aggregate. Boundaries are
-    * group-cardinality-sized metadata; at 100 TB the documented swap is
-    * `approx_percentile` for the first pass, same shape.
+    * group-cardinality-sized metadata.
+    *
+    * `exact = false` is the 100 TB path: the first pass uses
+    * `percentile_approx` (GK sketch, O(accuracy) memory per group)
+    * instead of exact `percentile`, whose aggregation buffer holds EVERY
+    * value of a group — with few groups the whole column funnels into a
+    * handful of buffers and OOMs at scale. Join shape is identical; only
+    * the boundary aggregate changes. Default stays exact for oracle
+    * parity; `ApproxStatsSpec` pins |approx − exact|.
     *
     * Returns (groupCol, n, raw_mean, wins_mean), means 4-dp rounded.
     */
@@ -155,14 +199,19 @@ object Stats {
       groupCol: String,
       valueCol: String,
       lo: Double = 0.05,
-      hi: Double = 0.95): DataFrame = {
+      hi: Double = 0.95,
+      exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"bounds ($lo, $hi) must satisfy 0 <= lo < hi <= 1")
     val r6 = (c: Column) => Portable.pround(c, 6)
+    val pct = (f: Double) =>
+      if (exact) expr(s"percentile($valueCol, $f)")
+      else expr(s"cast(percentile_approx($valueCol, $f, $accuracy) as double)")
     val bounds = df
       .groupBy(col(groupCol))
       .agg(
-        r6(expr(s"percentile($valueCol, $lo)")).as("b_lo"),
-        r6(expr(s"percentile($valueCol, $hi)")).as("b_hi"))
+        r6(pct(lo)).as("b_lo"),
+        r6(pct(hi)).as("b_hi"))
     df.join(broadcast(bounds), Seq(groupCol))
       .withColumn("__clip", least(greatest(col(valueCol).cast("double"), col("b_lo")), col("b_hi")))
       .groupBy(col(groupCol))
