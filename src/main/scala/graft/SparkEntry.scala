@@ -1561,6 +1561,15 @@ object SparkEntry {
         .limit(50)
     }),
 
+    // -- the full BPE trainer loop: 3 rounds of (pair-count, argmax, greedy
+    //    merge) — rounds 2..3 count over MERGED symbols, so the oracle
+    //    cross-checks merge application, not just counting
+    "q_bpe_merges" -> ((s, dir) => {
+      TextAnalysis
+        .bpeMerges(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")), 3)
+        .orderBy("iter")
+    }),
+
     // -- per-user daily resample + forward fill: dense fixed-step series
     //    from the sparse event log, gaps carry the last observed average
     "q_resample_ffill" -> ((s, dir) => {
@@ -1697,6 +1706,49 @@ object SparkEntry {
                   regexp_replace(lower(unnest(regexp_split_to_array(text, '\s+'))), '[^a-z]', '', 'g') AS w
            FROM documents) u
          WHERE w <> '')"""
+
+  /** Unrolled DuckDB oracle for [[graft.functions.TextAnalysis.bpeMerges]]:
+    * k chained (pair-count → argmax → greedy merge) rounds. Greedy
+    * left-to-right non-overlapping merging is expressed with windows via
+    * the islands-parity identity: overlapping matches only occur in runs
+    * of a repeated symbol (pair a==b), and within each island of
+    * consecutive match positions exactly the even offsets merge.
+    */
+  private def bpeOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      val prev = s"state${i - 1}"
+      s"""p$i AS (SELECT syms[j] || ' ' || syms[j + 1] AS pair, sum(n)::BIGINT AS cnt
+          FROM (SELECT n, syms, unnest(range(1, len(syms))) AS j FROM $prev) u
+          GROUP BY 1),
+         m$i AS (SELECT pair, cnt, split_part(pair, ' ', 1) AS a, split_part(pair, ' ', 2) AS b
+                 FROM p$i ORDER BY cnt DESC, pair LIMIT 1),
+         x$i AS (SELECT w, n, j, syms[j] AS s, syms[j + 1] AS nxt
+                 FROM (SELECT w, n, syms, unnest(range(1, len(syms) + 1)) AS j FROM $prev) u),
+         y$i AS (SELECT w, n, j, s, nxt,
+                        CASE WHEN s = (SELECT a FROM m$i) AND nxt = (SELECT b FROM m$i)
+                             THEN 1 ELSE 0 END AS mt
+                 FROM x$i),
+         z$i AS (SELECT *, CASE WHEN mt = 1
+                                THEN j - row_number() OVER (PARTITION BY w, mt ORDER BY j) END AS isl
+                 FROM y$i),
+         g$i AS (SELECT w, n, j, s, nxt,
+                        CASE WHEN mt = 1 AND (row_number() OVER (PARTITION BY w, isl ORDER BY j) % 2) = 1
+                             THEN 1 ELSE 0 END AS dm
+                 FROM z$i),
+         h$i AS (SELECT *, coalesce(lag(dm) OVER (PARTITION BY w ORDER BY j), 0) AS pm FROM g$i),
+         state$i AS (SELECT w, min(n) AS n,
+                            list(CASE WHEN dm = 1 THEN s || nxt ELSE s END ORDER BY j) AS syms
+                     FROM h$i WHERE pm = 0 GROUP BY w)"""
+    }.mkString(",\n")
+    val union = (1 to k)
+      .map(i => s"SELECT $i AS iter, pair, cnt FROM m$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $TokCte,
+        vocab AS (SELECT word AS w, count(*) AS n FROM tok GROUP BY 1),
+        state0 AS (SELECT w, n, regexp_split_to_array(w, '') AS syms FROM vocab),
+        $rounds
+        SELECT iter, pair, cnt FROM ($union) ORDER BY iter"""
+  }
 
   /** Shared DuckDB CTE: cleaned token array per document (order-preserving). */
   private val ToksArrCte =
@@ -3105,6 +3157,7 @@ object SparkEntry {
                       FROM vocab WHERE len(w) >= 2) u)
           SELECT pair, sum(n)::BIGINT AS cnt FROM p GROUP BY 1
           ORDER BY cnt DESC, pair LIMIT 50""",
+    "q_bpe_merges" -> bpeOracleSql(3),
     "q_resample_ffill" ->
       """WITH daily AS (
            SELECT user_id, date_trunc('day', ts) AS bucket,

@@ -403,4 +403,75 @@ object TextAnalysis {
       .groupBy(col("pair"))
       .agg(sum(col("n")).as("cnt"))
   }
+
+  /** The actual BPE tokenizer trainer: starting from the character
+    * symbolization, repeat k times — count adjacent symbol pairs corpus-wide
+    * (weighted by word occurrence), pick the argmax pair (ties broken
+    * cnt DESC, pair ASC — deterministic cross-engine), and MERGE it into a
+    * single symbol in every word, greedy left-to-right non-overlapping (the
+    * Sennrich et al. 2016 recipe).
+    *
+    * Scale shape: the corpus reduces to the VOCABULARY once (one shuffle,
+    * bounded by vocab size); each round then runs one vocabulary-sized pair
+    * aggregate (partial map-side) + one driver-side scalar argmax (a
+    * `limit(1)` — metadata, the k-means-centroid pattern) + one map-side
+    * merge pass, with the evolving symbolization `localCheckpoint`ed per
+    * round so round r's plan doesn't replay rounds 1..r-1
+    * ([[graft.operators.Similarity]]'s kmeansIterate template).
+    *
+    * The merge itself is one `aggregate` lambda: greedy left-to-right is
+    * exactly "merge here iff the pair matches and the previous position did
+    * not merge", which the fold gives for free — after a merge the
+    * accumulator's last element becomes `ab`, which can never equal `a`
+    * again (`b` is nonempty), so runs like "aaaa" merge to [aa, aa], not
+    * [aa, aa, a-overlap]. `BpeSpec` fuzzes this against an in-memory mirror.
+    *
+    * Returns (iter, pair, cnt): the merge table, iter 1..k — the trained
+    * tokenizer's artifact. Rounds 2..k re-count over MERGED symbols, so an
+    * incorrect application would surface as a wrong argmax downstream.
+    */
+  def bpeMerges(tokens: DataFrame, k: Int, wordCol: String = "word"): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val spark = tokens.sparkSession
+    var vocab = tokens
+      .groupBy(col(wordCol).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("syms", split(col("w"), ""))
+      .localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var exhausted = false
+    for (it <- 1 to k if !exhausted) {
+      val best = vocab
+        .where(size(col("syms")) >= 2)
+        .select(col("n"), explode(transform(
+          sequence(lit(1), size(col("syms")) - 1),
+          i => concat(element_at(col("syms"), i), lit(" "),
+            element_at(col("syms"), i + 1)))).as("pair"))
+        .groupBy(col("pair"))
+        .agg(sum(col("n")).as("cnt"))
+        .orderBy(col("cnt").desc, col("pair").asc)
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val pair = best(0).getString(0)
+        val cnt  = best(0).getLong(1)
+        merges += ((it, pair, cnt))
+        val Array(a, b) = pair.split(" ", 2)
+        vocab = vocab
+          .withColumn("syms",
+            aggregate(
+              col("syms"),
+              array().cast("array<string>"),
+              (acc, x) =>
+                when(size(acc) > 0 &&
+                     element_at(acc, -1) === lit(a) && x === lit(b),
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                  .otherwise(concat(acc, array(x)))))
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("iter", "pair", "cnt")
+  }
 }

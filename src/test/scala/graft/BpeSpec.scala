@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextAnalysis
+
+/** The BPE trainer ([[TextAnalysis.bpeMerges]]) against an in-memory
+  * mirror: same greedy left-to-right non-overlapping merge, same
+  * (cnt DESC, pair ASC) argmax tie-break. The mirror is a direct
+  * list-based implementation, so any divergence in the distributed
+  * aggregate-lambda merge (overlap handling, run parity, checkpointed
+  * state threading) surfaces as a wrong merge table.
+  */
+class BpeSpec extends SparkSpec {
+
+  /** Reference greedy merge: replace non-overlapping (a, b) left-to-right. */
+  private def mergeRef(syms: List[String], a: String, b: String): List[String] = {
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += (a + b); i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
+  /** Reference trainer over a weighted word list. */
+  private def bpeRef(words: Seq[(String, Long)], k: Int): Seq[(Int, String, Long)] = {
+    var vocab = words.map { case (w, n) => (w.split("").toList, n) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
+    var it = 1
+    var done = false
+    while (it <= k && !done) {
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.zip(syms.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + n
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((x, y), c) => (-c, s"$x $y") }
+        merges += ((it, s"$a $b", cnt))
+        vocab = vocab.map { case (syms, n) => (mergeRef(syms, a, b), n) }
+        it += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  private def run(words: Seq[(String, Long)], k: Int): Seq[(Int, String, Long)] = {
+    import spark.implicits._
+    // expand weights to token multiplicity (bpeMerges counts occurrences)
+    val tokens = words
+      .flatMap { case (w, n) => Seq.fill(n.toInt)(w) }
+      .toDF("word")
+    TextAnalysis
+      .bpeMerges(tokens, k)
+      .orderBy("iter")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+      .toSeq
+  }
+
+  test("repeated-symbol runs merge with correct parity (the overlap case)") {
+    // 'aaaa' x3: round 1 must pick (a,a) cnt 3*3=9 and apply it
+    // non-overlapping -> [aa, aa]; round 2's top pair is then (aa, aa)
+    val words = Seq(("aaaa", 3L), ("aab", 2L), ("ba", 1L))
+    assert(run(words, 3) == bpeRef(words, 3))
+  }
+
+  test("merged symbols participate in later rounds") {
+    val words = Seq(("banana", 4L), ("bandana", 2L), ("ananas", 1L))
+    assert(run(words, 4) == bpeRef(words, 4))
+  }
+
+  test("trainer stops when no pairs remain") {
+    // single-char words only: zero merge rounds possible
+    val words = Seq(("a", 5L), ("b", 3L))
+    assert(run(words, 2).isEmpty)
+    assert(bpeRef(words, 2).isEmpty)
+  }
+
+  test("fuzz: 30 random weighted vocabularies match the mirror exactly") {
+    val rnd = new scala.util.Random(0xb9e5)
+    (1 to 30).foreach { trial =>
+      val nWords = 1 + rnd.nextInt(8)
+      val words = (1 to nWords).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        // 3-letter alphabet maximizes repeated-run and tie cases
+        val w = (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+        (w, 1L + rnd.nextInt(4))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      val k = 1 + rnd.nextInt(4)
+      assert(run(words, k) == bpeRef(words, k),
+        s"trial $trial diverged on words=$words k=$k")
+    }
+  }
+}
