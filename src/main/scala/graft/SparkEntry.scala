@@ -1415,6 +1415,15 @@ object SparkEntry {
         .orderBy("doc1", "doc2")
     }),
 
+    // -- substring-level exact dedup: duplicated CDC spans REMOVED from
+    //    every doc (keep-first policy), cleaned text verified via md5 of
+    //    the surviving token stream reconstructed on both engines
+    "q_dedup_spans" -> ((s, dir) => {
+      operators.Chunking
+        .dedupSpans(t(s, dir, "documents"), modulus = 16)
+        .orderBy("doc_id")
+    }),
+
     // -- incremental materialized-view maintenance with retractions: the
     //    per-priority (n, total) view folds an insert+retract delta in
     //    O(|delta| + touched keys) — never a source rescan; the oracle is
@@ -3093,6 +3102,50 @@ object SparkEntry {
          SELECT doc_id, chunk_id, len(chunk) AS n_tok,
                 md5(array_to_string(chunk, ' ')) AS chunk_hash
          FROM ch WHERE len(chunk) > 0 ORDER BY doc_id, chunk_id""",
+    "q_dedup_spans" ->
+      """WITH t0 AS (
+           SELECT doc_id,
+                  list_filter(
+                    list_transform(regexp_split_to_array(text, '\s+'),
+                                   x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                    w -> w <> '') AS toks
+           FROM documents),
+         b AS (
+           SELECT doc_id, toks,
+                  list_concat(list_concat(
+                    [0],
+                    list_filter(range(1, len(toks)),
+                                i -> ('0x' || substr(md5(toks[i]), 1, 8))::BIGINT % 16 = 0)),
+                    [len(toks)]) AS bounds
+           FROM t0),
+         ch AS (
+           SELECT doc_id, j - 1 AS chunk_id,
+                  list_slice(toks, bounds[j] + 1, bounds[j + 1]) AS chunk
+           FROM (SELECT doc_id, toks, bounds, unnest(range(1, len(bounds))) AS j FROM b) u),
+         occ AS (
+           SELECT doc_id, chunk_id, chunk, len(chunk) AS n_tok,
+                  md5(array_to_string(chunk, ' ')) AS chunk_hash
+           FROM ch WHERE len(chunk) > 0),
+         occ2 AS (
+           SELECT *, (row_number() OVER (PARTITION BY chunk_hash
+                        ORDER BY doc_id, chunk_id) = 1) AS kept
+           FROM occ),
+         agg AS (
+           SELECT doc_id,
+                  count(*)::BIGINT AS n_chunks,
+                  sum(CASE WHEN kept THEN 0 ELSE 1 END)::BIGINT AS n_removed,
+                  sum(n_tok)::BIGINT AS n_tok,
+                  sum(CASE WHEN kept THEN n_tok ELSE 0 END)::BIGINT AS n_tok_kept,
+                  md5(coalesce(string_agg(CASE WHEN kept THEN array_to_string(chunk, ' ') END,
+                                          ' ' ORDER BY chunk_id), '')) AS clean_hash
+           FROM occ2 GROUP BY doc_id)
+         SELECT d.doc_id,
+                coalesce(n_chunks, 0) AS n_chunks,
+                coalesce(n_removed, 0) AS n_removed,
+                coalesce(n_tok, 0) AS n_tok,
+                coalesce(n_tok_kept, 0) AS n_tok_kept,
+                coalesce(clean_hash, md5('')) AS clean_hash
+         FROM documents d LEFT JOIN agg USING (doc_id) ORDER BY d.doc_id""",
     "q_bigram_lm" ->
       """WITH t0 AS (
            SELECT doc_id,

@@ -156,6 +156,92 @@ object Chunking {
         graft.functions.Portable.pround(col("frac"), 4).as("frac"))
   }
 
+  /** Substring-level exact deduplication: REMOVE corpus-duplicated spans
+    * from every document (the Lee et al. 2022 "Deduplicating Training
+    * Data" step — [[chunkDupPairs]] detects sub-document duplication;
+    * this operator acts on it). Spans are [[chunkByContent]]'s CDC
+    * chunks, so a paragraph pasted into the middle of an otherwise-new
+    * document is excised without disturbing the surrounding text — the
+    * case fixed-stride windows can't line up on.
+    *
+    * Keep policy (deterministic): each distinct chunk content survives
+    * exactly once corpus-wide, at its lexicographically-first
+    * (doc, chunk_id) occurrence; every other occurrence — later docs AND
+    * later repeats inside the same doc — is dropped. Unique chunks are
+    * their own first occurrence and always survive.
+    *
+    * Scale shape: chunking is map-side; the keeper per hash is one
+    * partially-aggregated `min(struct(doc, chunk))` — hash-cardinality
+    * output, no pair expansion anywhere (this is exact dedup's
+    * hash-groupBy shape, at span granularity); one equi-join back on
+    * chunk_hash; one regroup by doc to reassemble. Documents re-emerge
+    * via left join so chunk-less (empty) docs keep a row.
+    *
+    * Returns (idCol, n_chunks, n_removed, n_tok, n_tok_kept, clean_hash)
+    * where clean_hash = md5 of the space-joined surviving tokens in
+    * chunk order (md5('') for fully-removed or empty docs).
+    */
+  def dedupSpans(
+      docs: DataFrame,
+      modulus: Int = 16,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(modulus >= 2, s"modulus ($modulus) must be >= 2")
+    val hash32 = (t: Column) => conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+    val chunks = docs
+      .select(col(idCol), Tokenize.tokenArray(col(textCol)).as("__toks"))
+      .withColumn("__n", size_(col("__toks")))
+      .withColumn("__bounds", concat(
+        array(lit(0)),
+        when(col("__n") >= 2,
+          filter(sequence(lit(1), col("__n") - 1),
+            i => hash32(element_at(col("__toks"), i)) % modulus === 0))
+          .otherwise(array().cast("array<int>")),
+        array(col("__n"))))
+      .select(col(idCol), col("__toks"),
+        posexplode(transform(
+          sequence(lit(1), size_(col("__bounds")) - 1),
+          j => slice(
+            col("__toks"),
+            element_at(col("__bounds"), j) + 1,
+            element_at(col("__bounds"), j + 1) - element_at(col("__bounds"), j))))
+          .as(Seq("chunk_id", "__chunk")))
+      .where(size_(col("__chunk")) > 0)
+      .select(
+        col(idCol),
+        col("chunk_id"),
+        col("__chunk"),
+        size_(col("__chunk")).as("n_tok"),
+        md5(concat_ws(" ", col("__chunk"))).as("chunk_hash"))
+    val keepers = chunks
+      .groupBy(col("chunk_hash"))
+      .agg(min(struct(col(idCol), col("chunk_id"))).as("__keep"))
+    val flagged = chunks
+      .join(keepers, Seq("chunk_hash"))
+      .withColumn("__kept", struct(col(idCol), col("chunk_id")) === col("__keep"))
+    val perDoc = flagged
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_chunks"),
+        sum(when(col("__kept"), lit(0L)).otherwise(lit(1L))).as("n_removed"),
+        sum(col("n_tok")).as("n_tok"),
+        sum(when(col("__kept"), col("n_tok")).otherwise(lit(0L))).as("n_tok_kept"),
+        md5(concat_ws(" ", flatten(transform(
+          array_sort(collect_list(when(col("__kept"),
+            struct(col("chunk_id"), col("__chunk").as("chunk"))))),
+          s => s.getField("chunk"))))).as("clean_hash"))
+    docs
+      .select(col(idCol))
+      .join(perDoc, Seq(idCol), "left_outer")
+      .select(
+        col(idCol),
+        coalesce(col("n_chunks"), lit(0L)).as("n_chunks"),
+        coalesce(col("n_removed"), lit(0L)).as("n_removed"),
+        coalesce(col("n_tok"), lit(0L)).as("n_tok"),
+        coalesce(col("n_tok_kept"), lit(0L)).as("n_tok_kept"),
+        coalesce(col("clean_hash"), md5(lit(""))).as("clean_hash"))
+  }
+
   // functions.size shadowed by the `size` parameter above
   private def size_(c: Column): Column = org.apache.spark.sql.functions.size(c)
 }

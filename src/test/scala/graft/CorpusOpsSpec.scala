@@ -194,6 +194,44 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.head._3 >= 0.5, "most chunks survive a mid-document splice")
   }
 
+  test("dedupSpans: planted duplicated span removed from the later doc only") {
+    val base    = (0 until 120).map(word).mkString(" ")
+    val fresh   = (200 until 260).map(word).mkString(" ")
+    val spliced = {
+      val w = fresh.split(" ")
+      // paste the middle of doc 1 into the middle of an otherwise-new doc
+      (w.take(30) ++ base.split(" ").slice(40, 80) ++ w.drop(30)).mkString(" ")
+    }
+    val corpus = Seq((1L, base), (2L, spliced), (3L, "")).toDF("doc_id", "text")
+    val got = Chunking.dedupSpans(corpus, modulus = 4)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getString(5)))
+
+    // independent mirror: chunk all docs with the same rules, keep first
+    // (doc, chunk_id) occurrence of each content, rebuild the text
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def md5hex(s: String) = md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
+    def chunksOf(text: String): Seq[Seq[String]] = {
+      val toks = text.split("\\s+").map(_.toLowerCase.replaceAll("[^a-z]", "")).filter(_.nonEmpty)
+      val cuts = (1 until toks.length).filter(i => java.lang.Long.parseLong(md5hex(toks(i - 1)).take(8), 16) % 4 == 0)
+      val bounds = 0 +: cuts :+ toks.length
+      bounds.sliding(2).collect { case Seq(a, b) if b > a => toks.slice(a, b).toSeq }.toSeq
+    }
+    val all = Seq(1L -> chunksOf(base), 2L -> chunksOf(spliced), 3L -> chunksOf(""))
+    val seen = scala.collection.mutable.Set.empty[String]
+    val expected = all.map { case (id, cs) =>
+      val kept = cs.filter(c => seen.add(c.mkString(" ")))
+      (id, cs.size.toLong, (cs.size - kept.size).toLong,
+        cs.map(_.size.toLong).sum, kept.map(_.size.toLong).sum,
+        md5hex(kept.map(_.mkString(" ")).mkString(" ")))
+    }
+    assert(got.toSeq == expected, s"got ${got.toSeq}\nexpected $expected")
+    // the planted span really was excised from doc 2, and doc 1 is intact
+    assert(got(0)._3 == 0L, "first doc keeps everything")
+    assert(got(1)._3 > 0L, "later doc loses the duplicated span")
+    assert(got(1)._5 < got(1)._4, "doc 2's surviving token count shrank")
+  }
+
   test("chunkByContent randomized fuzz: operator == in-memory mirror on 60 random docs") {
     val md = java.security.MessageDigest.getInstance("MD5")
     def md5hex(s: String) = md.digest(s.getBytes("UTF-8")).map(b => f"${b & 0xff}%02x").mkString
