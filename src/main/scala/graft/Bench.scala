@@ -159,7 +159,17 @@ object Bench {
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(full)
+    // The driver's stdout-tail capture truncates the front of long lines
+    // (rounds 3-4 lost the first ~45 queries of the map), so the complete
+    // per-query map also lands in a FILE artifact — round-over-round
+    // regressions stay diffable without scraping stdout.
+    try {
+      val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+      java.nio.file.Files.write(java.nio.file.Paths.get(out),
+        (full + "\n").getBytes("UTF-8"))
+    } catch { case _: Throwable => () }
     // The full line above is ~3 KB and the driver's stdout-tail capture has
     // truncated its FRONT in rounds 3-4 ("parsed": null). Print a short
     // final line — total + flagship numbers only — so the parse target

@@ -706,7 +706,12 @@ object SparkEntry {
     //    for 256 true pairs, 34 s), while trigrams give ~27k distinct
     //    keys with max df 25 — prefix filtering needs a key space RARER
     //    than the docs, which is a property of the shingle choice, not
-    //    the algorithm
+    //    the algorithm. Measured (r8, local[32], isolated 3-run): a
+    //    same-shape corpus (5000 docs x 54 tokens) with a REALISTIC
+    //    5k-word vocabulary runs 1.8-2.1 s steady-state vs 4.1-4.9 s on
+    //    this 31-word corpus — the recorded sweep cost is trigram
+    //    collision from the degenerate vocabulary (every doc's rarest
+    //    shingle is still common) plus sweep co-location, not plan cost
     "q_setsim_join" -> ((s, dir) => {
       Dedup
         .prefixJaccardJoin(t(s, dir, "documents"), threshold = 0.5, shingleK = 3)
