@@ -1584,6 +1584,20 @@ object SparkEntry {
         .orderBy("iter")
     }),
 
+    // -- the tokenizer's ENCODE side: train 3 merges, then segment every
+    //    vocabulary word with the learned table (greedy per merge, in
+    //    training order) — trainer + encoder = a complete BPE tokenizer
+    "q_bpe_encode" -> ((s, dir) => {
+      val toks = Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))
+      val merges = TextAnalysis.bpeMerges(toks, 3)
+        .orderBy("iter").collect().map(_.getString(1)).toSeq
+      TextAnalysis
+        .bpeApply(toks.select("word").distinct(), merges)
+        .select(col("word"), array_join(col("pieces"), " ").as("pieces_str"),
+          col("n_pieces"))
+        .orderBy("word")
+    }),
+
     // -- per-user daily resample + forward fill: dense fixed-step series
     //    from the sparse event log, gaps carry the last observed average
     "q_resample_ffill" -> ((s, dir) => {
@@ -1728,7 +1742,7 @@ object SparkEntry {
     * of a repeated symbol (pair a==b), and within each island of
     * consecutive match positions exactly the even offsets merge.
     */
-  private def bpeOracleSql(k: Int): String = {
+  private def bpeOracleSql(k: Int, emitState: Boolean = false): String = {
     val rounds = (1 to k).map { i =>
       val prev = s"state${i - 1}"
       s"""p$i AS (SELECT syms[j] || ' ' || syms[j + 1] AS pair, sum(n)::BIGINT AS cnt
@@ -1754,14 +1768,22 @@ object SparkEntry {
                             list(CASE WHEN dm = 1 THEN s || nxt ELSE s END ORDER BY j) AS syms
                      FROM h$i WHERE pm = 0 GROUP BY w)"""
     }.mkString(",\n")
-    val union = (1 to k)
-      .map(i => s"SELECT $i AS iter, pair, cnt FROM m$i")
-      .mkString(" UNION ALL ")
+    val finalSelect =
+      if (emitState)
+        s"""SELECT w AS word, array_to_string(syms, ' ') AS pieces_str,
+                   len(syms) AS n_pieces
+            FROM state$k ORDER BY word"""
+      else {
+        val union = (1 to k)
+          .map(i => s"SELECT $i AS iter, pair, cnt FROM m$i")
+          .mkString(" UNION ALL ")
+        s"SELECT iter, pair, cnt FROM ($union) ORDER BY iter"
+      }
     s"""WITH $TokCte,
         vocab AS (SELECT word AS w, count(*) AS n FROM tok GROUP BY 1),
         state0 AS (SELECT w, n, regexp_split_to_array(w, '') AS syms FROM vocab),
         $rounds
-        SELECT iter, pair, cnt FROM ($union) ORDER BY iter"""
+        $finalSelect"""
   }
 
   /** Shared DuckDB CTE: cleaned token array per document (order-preserving). */
@@ -3216,6 +3238,7 @@ object SparkEntry {
           SELECT pair, sum(n)::BIGINT AS cnt FROM p GROUP BY 1
           ORDER BY cnt DESC, pair LIMIT 50""",
     "q_bpe_merges" -> bpeOracleSql(3),
+    "q_bpe_encode" -> bpeOracleSql(3, emitState = true),
     "q_resample_ffill" ->
       """WITH daily AS (
            SELECT user_id, date_trunc('day', ts) AS bucket,

@@ -474,4 +474,45 @@ object TextAnalysis {
     import spark.implicits._
     merges.toSeq.toDF("iter", "pair", "cnt")
   }
+
+  /** The trained tokenizer's ENCODE side: apply a learned merge table (in
+    * training order — order IS the tokenizer; BPE applies merges by merge
+    * priority, not by corpus frequency at encode time) to a column of
+    * words, greedy left-to-right per merge, exactly mirroring
+    * [[bpeMerges]]'s application step.
+    *
+    * Pure map-side: each merge is one `aggregate` fold over the symbol
+    * array — no shuffle, no UDF; the merge table is a driver-side Seq
+    * (k rows of metadata, the broadcast-scalars pattern). Expressions
+    * chain one per merge, so the column tree grows with k: the symbol
+    * state is `localCheckpoint`ed every 8 merges to bound codegen depth.
+    * This is the k ≲ 100 regime an in-engine subword encoder serves;
+    * a 30k-merge production tokenizer belongs in a vocabulary lookup
+    * table, not an expression tree.
+    *
+    * Returns the input plus (pieces: array<string>, n_pieces).
+    */
+  def bpeApply(
+      words: DataFrame,
+      merges: Seq[String],
+      wordCol: String = "word"): DataFrame = {
+    var df = words.withColumn("pieces",
+      filter(split(col(wordCol), ""), s => s =!= ""))
+    merges.grouped(8).zipWithIndex.foreach { case (grp, gi) =>
+      if (gi > 0) df = df.localCheckpoint(true)
+      grp.foreach { pair =>
+        val Array(a, b) = pair.split(" ", 2)
+        df = df.withColumn("pieces",
+          aggregate(
+            col("pieces"),
+            array().cast("array<string>"),
+            (acc, x) =>
+              when(size(acc) > 0 &&
+                   element_at(acc, -1) === lit(a) && x === lit(b),
+                concat(slice(acc, lit(1), size(acc) - 1), array(lit(a + b))))
+                .otherwise(concat(acc, array(x)))))
+      }
+    }
+    df.withColumn("n_pieces", size(col("pieces")))
+  }
 }

@@ -82,6 +82,24 @@ class BpeSpec extends SparkSpec {
     assert(bpeRef(words, 2).isEmpty)
   }
 
+  test("bpeApply: encoding unseen words with a learned table matches the mirror") {
+    import spark.implicits._
+    // merges learned elsewhere; apply to words the trainer never saw,
+    // including repeated-run and no-op cases, >8 merges to cross the
+    // localCheckpoint group boundary
+    val merges = Seq("a a", "aa b", "c d", "aab c", "e f", "ef g", "x y",
+      "b a", "d e", "g h")
+    val words = Seq("aaba", "aabcd", "cdcd", "efgh", "zzz", "a", "xyxy")
+    val got = graft.functions.TextAnalysis
+      .bpeApply(words.toDF("word"), merges)
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1).toList).toMap
+    words.foreach { w =>
+      var syms = w.split("").toList
+      merges.foreach { p => val Array(a, b) = p.split(" ", 2); syms = mergeRef(syms, a, b) }
+      assert(got(w) == syms, s"word $w: got ${got(w)} expected $syms")
+    }
+  }
+
   test("fuzz: 30 random weighted vocabularies match the mirror exactly") {
     val rnd = new scala.util.Random(0xb9e5)
     (1 to 30).foreach { trial =>
