@@ -652,6 +652,16 @@ object SparkEntry {
         .orderBy("lang", "pack_id")
     }),
 
+    // -- length-bucketed batch assembly: similar-length docs batched
+    //    together (deterministic id-order rank within bucket), per-batch
+    //    padding waste = n·max − sum; the two-pass chunked rank keeps
+    //    bucket partitions bounded at scale
+    "q_length_batches" -> ((s, dir) => {
+      operators.Packing
+        .lengthBucketBatches(t(s, dir, "documents"), batchSize = 16)
+        .orderBy("bucket", "batch_id")
+    }),
+
     // -- one k-means (Lloyd) update: assign to max-cosine centroid, then
     //    element-wise member mean per cell (quantized x10^4 per dim)
     "q_kmeans_update" -> ((s, dir) => {
@@ -2064,6 +2074,24 @@ object SparkEntry {
                           len(regexp_split_to_array(text, '\s+'))::BIGINT AS n_tok
                    FROM documents) t) u) p
          GROUP BY lang, pack_id ORDER BY lang, pack_id""",
+    "q_length_batches" ->
+      """WITH t AS (
+           SELECT doc_id, len(regexp_split_to_array(text, '\s+'))::BIGINT AS n_tok
+           FROM documents),
+         b AS (
+           SELECT doc_id, n_tok,
+                  len(list_filter([8, 16, 32, 64, 128], x -> x <= n_tok)) AS bucket
+           FROM t),
+         r AS (
+           SELECT *, row_number() OVER (PARTITION BY bucket ORDER BY doc_id) - 1 AS rank0
+           FROM b),
+         a AS (
+           SELECT bucket, (rank0 // 16)::BIGINT AS batch_id, count(*) AS n_docs,
+                  max(n_tok) AS max_tok, sum(n_tok)::BIGINT AS sum_tok
+           FROM r GROUP BY 1, 2)
+         SELECT bucket, batch_id, n_docs, max_tok, sum_tok,
+                (n_docs * max_tok - sum_tok)::BIGINT AS pad_tok
+         FROM a ORDER BY bucket, batch_id""",
     // assignment identical to q_ann_ivf's; per-dimension means quantized to
     // integers (x10^4) so no float formatting crosses the engine boundary
     "q_kmeans_update" ->

@@ -85,4 +85,61 @@ object Packing {
         sort_array(collect_list(col(idCol))).as("doc_ids"),
         sum(col("n_tok")).as("pack_tokens"),
         count(lit(1)).as("n_docs"))
+
+  /** Length-bucketed batch assembly: group documents of similar token
+    * length into fixed-count training batches and report each batch's
+    * PADDING WASTE — the token cost of batching unequal-length sequences
+    * (every sequence pads to its batch's max). Bucketing by length first
+    * is the standard mitigation: batches draw from one length band, so
+    * the pad fraction collapses versus random batching.
+    *
+    * `boundaries` (ASC) cut the length axis: bucket = #boundaries ≤ n_tok
+    * (map-side against a literal array). Within a bucket, docs take their
+    * deterministic `idCol`-order rank and `batch_id = rank div batchSize`
+    * — reruns batch identically.
+    *
+    * Scale: the in-bucket rank is the same TWO-PASS CHUNKED PREFIX form
+    * as [[packByOffset]] (a handful of buckets would otherwise funnel the
+    * corpus into a handful of window partitions): per-(bucket, chunk)
+    * COUNTS roll into chunk-base ranks over metadata rows, a bounded
+    * (bucket, chunk) window adds the local row_number, and the final
+    * per-batch aggregate is an ordinary partial-agg groupBy. PackingSpec
+    * pins row-identity with the single-window form.
+    *
+    * Returns (bucket, batch_id, n_docs, max_tok, sum_tok, pad_tok) where
+    * pad_tok = n_docs·max_tok − sum_tok.
+    */
+  def lengthBucketBatches(
+      docs: DataFrame,
+      batchSize: Int,
+      boundaries: Seq[Int] = Seq(8, 16, 32, 64, 128),
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      chunkWidth: Long = 1 << 16): DataFrame = {
+    require(batchSize > 0, s"batchSize ($batchSize) must be positive")
+    require(boundaries.nonEmpty && boundaries == boundaries.sorted,
+      s"boundaries ($boundaries) must be non-empty ascending")
+    val bArr = array(boundaries.map(lit): _*)
+    val withTok = docs
+      .withColumn("n_tok", size(split(col(textCol), "\\s+")).cast("bigint"))
+      .withColumn("bucket", size(filter(bArr, b => b <= col("n_tok"))))
+      .withColumn("__chunk", floor(col(idCol) / chunkWidth).cast("bigint"))
+    val wChunks = Window.partitionBy(col("bucket")).orderBy(col("__chunk"))
+    val bases = withTok
+      .groupBy(col("bucket"), col("__chunk"))
+      .agg(count(lit(1)).as("__chunk_n"))
+      .withColumn("__base", sum(col("__chunk_n")).over(wChunks) - col("__chunk_n"))
+      .select(col("bucket"), col("__chunk"), col("__base"))
+    val wLocal = Window.partitionBy(col("bucket"), col("__chunk")).orderBy(col(idCol))
+    withTok
+      .join(broadcast(bases), Seq("bucket", "__chunk"))
+      .withColumn("__rank0", col("__base") + row_number().over(wLocal) - 1)
+      .withColumn("batch_id", floor(col("__rank0") / batchSize).cast("bigint"))
+      .groupBy(col("bucket"), col("batch_id"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        max(col("n_tok")).as("max_tok"),
+        sum(col("n_tok")).as("sum_tok"))
+      .withColumn("pad_tok", col("n_docs") * col("max_tok") - col("sum_tok"))
+  }
 }

@@ -35,6 +35,35 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("length-bucket batches: chunked rank == single-window form; waste arithmetic") {
+    val boundaries = Seq(2, 4, 6)
+    val single = {
+      val bArr = array(boundaries.map(lit): _*)
+      val w = Window.partitionBy(col("bucket")).orderBy(col("doc_id"))
+      docs
+        .withColumn("n_tok", size(split(col("text"), "\\s+")).cast("bigint"))
+        .withColumn("bucket", size(filter(bArr, b => b <= col("n_tok"))))
+        .withColumn("batch_id", floor((row_number().over(w) - 1) / 5).cast("bigint"))
+        .groupBy(col("bucket"), col("batch_id"))
+        .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("max_tok"),
+          sum(col("n_tok")).as("sum_tok"))
+        .withColumn("pad_tok", col("n_docs") * col("max_tok") - col("sum_tok"))
+        .collect().map(_.toSeq).toSet
+    }
+    for (width <- Seq(1L, 7L, 64L, 1L << 16)) {
+      val got = Packing.lengthBucketBatches(docs, batchSize = 5,
+        boundaries = boundaries, chunkWidth = width)
+      assert(got.collect().map(_.toSeq).toSet == single,
+        s"chunkWidth=$width diverges from the single-window batching")
+    }
+    // full batches really hold batchSize docs; waste is non-negative and
+    // zero for any batch whose members all share one length
+    val rows = Packing.lengthBucketBatches(docs, batchSize = 5, boundaries = boundaries)
+      .collect()
+    assert(rows.forall(_.getLong(5) >= 0))
+    assert(rows.map(_.getLong(2)).max == 5)
+  }
+
   test("the document-side window partitions by (shard, chunk), never shard alone") {
     val plan = Packing.packByOffset(docs, budget = 16, chunkWidth = 8)
       .queryExecution.executedPlan.toString
