@@ -382,6 +382,17 @@ object SparkEntry {
         .orderBy(desc("score"), asc("doc_id"))
     }),
 
+    // -- "more like this": top-10 docs by TF-IDF cosine to doc 7 — doc-to-
+    //    doc retrieval; query vector broadcast, candidates index-served via
+    //    the shared-term join, top-k as TakeOrderedAndProject
+    "q_more_like_this" -> ((s, dir) => {
+      Search
+        .moreLikeThis(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")),
+          queryId = 7L, k = 10)
+        .orderBy(desc("cos_sim"), asc("doc_id"))
+    }),
+
     // -- the same TF-IDF served FROM the tf-bearing index + doc-length
     //    sidecar (no corpus re-tokenization on the query path); must equal
     //    q_search_tfidf exactly (same oracle SQL)
@@ -2007,6 +2018,22 @@ object SparkEntry {
           SELECT doc_id, floor((sum(tf * ln(n_docs::DOUBLE / df_t))) * 1e4 + 0.5) / 1e4 AS score
           FROM tf JOIN dfs USING (word) CROSS JOIN n
           GROUP BY doc_id ORDER BY score DESC, doc_id""",
+    "q_more_like_this" ->
+      s"""WITH $TokCte,
+          tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+          dft AS (SELECT word, count(*) AS df_t FROM tf GROUP BY 1),
+          nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM tok),
+          w AS (SELECT doc_id, word, tf * ln(n_docs / df_t) AS wgt
+                FROM tf JOIN dft USING (word) CROSS JOIN nd),
+          nrm AS (SELECT doc_id, sqrt(sum(wgt * wgt)) AS nrm FROM w GROUP BY 1),
+          qv AS (SELECT word, wgt AS q_wgt FROM w WHERE doc_id = 7),
+          qn AS (SELECT nrm AS q_nrm FROM nrm WHERE doc_id = 7),
+          d AS (SELECT w.doc_id, sum(w.wgt * q_wgt) AS dot
+                FROM w JOIN qv USING (word) WHERE w.doc_id <> 7 GROUP BY 1)
+          SELECT d.doc_id,
+                 floor((dot / (nrm * q_nrm)) * 1e4 + 0.5) / 1e4 AS cos_sim
+          FROM d JOIN nrm USING (doc_id) CROSS JOIN qn
+          ORDER BY cos_sim DESC, doc_id LIMIT 10""",
     // identical oracle on purpose: index-served TF-IDF must equal the
     // token-stream TF-IDF at the 4-dp query surface
     "q_search_tfidf_indexed" ->

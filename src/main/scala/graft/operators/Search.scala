@@ -241,6 +241,57 @@ object Search {
       .orderBy("doc_id")
   }
 
+  /** "More like this": top-k documents most similar to a QUERY DOCUMENT
+    * under TF-IDF cosine — document-to-document retrieval served through
+    * the same sparse term statistics as [[tfidfQuery]], the classic
+    * relevance-feedback / related-articles operator.
+    *
+    * w_d(t) = tf(d,t) · ln(N/df(t)); score(y) = Σ_t w_q(t)·w_y(t) /
+    * (‖w_q‖·‖w_y‖). All weight inputs are exact integers; the doubles are
+    * engine-reproducible and rounded to 4dp before the top-k so tie
+    * selection is identical cross-engine (ties break on id ASC).
+    *
+    * Scale shape: term weights and norms are the index-build aggregates
+    * (one shuffle each, partial map-side); the query doc's sparse vector
+    * and norm are BROADCAST (a doc's vocabulary, not the corpus); the
+    * candidate set is docs sharing ≥ 1 term with the query — an
+    * index-served equi-join on word, never a corpus×corpus product — and
+    * the global top-k is a TakeOrderedAndProject, not a window.
+    */
+  def moreLikeThis(
+      tokens: DataFrame,
+      queryId: Long,
+      k: Int = 10,
+      idCol: String = "doc_id"): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    val nDocs = tokens.select(col(idCol)).distinct().agg(count(lit(1)).as("n_docs"))
+    val tf = tokens
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("word")).agg(count(lit(1)).as("df_t"))
+    // dfT is vocabulary-sized — joined on word (AQE may still broadcast a
+    // small vocab), never hinted: at corpus scale the dictionary outgrows
+    // a broadcast but the equi-join stays co-keyed with tf's aggregation
+    val w = tf
+      .join(dfT, Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("wgt", col("tf") * log(col("n_docs").cast("double") / col("df_t")))
+    val norms = w.groupBy(col(idCol)).agg(sqrt(sum(col("wgt") * col("wgt"))).as("nrm"))
+    val qv = w.where(col(idCol) === queryId).select(col("word"), col("wgt").as("q_wgt"))
+    val qn = norms.where(col(idCol) === queryId).select(col("nrm").as("q_nrm"))
+    w.where(col(idCol) =!= queryId)
+      .join(broadcast(qv), Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sum(col("wgt") * col("q_wgt")).as("dot"))
+      .join(norms, Seq(idCol))
+      .crossJoin(broadcast(qn))
+      .select(col(idCol),
+        graft.functions.Portable.pround(
+          col("dot") / (col("nrm") * col("q_nrm")), 4).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** Vocabulary prefix search over the index: the words starting with
     * `prefix` ranked by document frequency — the query-autocomplete /
     * wildcard-expansion primitive (`pre*` expands to this list before a

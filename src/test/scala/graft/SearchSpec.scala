@@ -64,6 +64,23 @@ class SearchSpec extends SparkSpec {
     assert(fromIndex == fromStream)
   }
 
+  test("moreLikeThis: near-copy ranks first, disjoint-vocab doc absent, self excluded") {
+    val corpus = Seq(
+      (1L, "spark runs fast distributed queries on tables"),
+      (2L, "spark runs fast distributed queries on tables today"), // near-copy of 1
+      (3L, "spark joins two tables"),                              // partial overlap
+      (4L, "ducks swim in ponds")                                  // disjoint vocab
+    ).toDF("doc_id", "text")
+    val got = Search
+      .moreLikeThis(Tokenize.tokens(corpus, "text", Seq("doc_id")), queryId = 1L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(!got.map(_._1).contains(1L), "query doc must not match itself")
+    assert(!got.map(_._1).contains(4L), "no shared terms -> no candidate row")
+    assert(got.head._1 == 2L, s"near-copy should rank first, got ${got.toSeq}")
+    assert(got.forall(t => t._2 > 0.0 && t._2 <= 1.0001), "cosine in (0, 1]")
+    assert(got.map(_._2).sorted.reverse.toSeq == got.map(_._2).toSeq, "descending order")
+  }
+
   test("query terms go through the reference tokenizer (case, punctuation)") {
     val got = Search.andQuery(postings, Seq("SPARK!", "jo-ins")).as[Long].collect().toSeq
     assert(got == Seq(2L, 4L))
