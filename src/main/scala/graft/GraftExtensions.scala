@@ -28,6 +28,26 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("graft_clean_token"),
       new ExpressionInfo(classOf[CleanToken].getName, "graft_clean_token"),
       (exprs: Seq[Expression]) => CleanToken(exprs.head)))
+    // Spark's own runtime-filter bloom expressions, surfaced as SQL
+    // functions (the optimizer keeps them internal): the manual semi-join
+    // reduction in graft.plans.BloomJoin builds/probes through these, so
+    // the probe stays codegen'd instead of a broadcast-variable UDF.
+    e.injectFunction((
+      FunctionIdentifier("graft_bloom_agg"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate].getName,
+        "graft_bloom_agg"),
+      (exprs: Seq[Expression]) =>
+        new org.apache.spark.sql.catalyst.expressions.aggregate.BloomFilterAggregate(
+          exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
+    e.injectFunction((
+      FunctionIdentifier("graft_might_contain"),
+      new ExpressionInfo(
+        classOf[org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain].getName,
+        "graft_might_contain"),
+      (exprs: Seq[Expression]) =>
+        org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+          exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => RewriteSortedCollectSet)
   }
 }

@@ -86,6 +86,31 @@ object SparkEntry {
     }),
 
     // -- multi-way join through the dimension chain; dims broadcast
+    // -- heavy-hitter key profile: the pre-join skew diagnosis that
+    //    decides between salting and AQE skew handling; exact counts,
+    //    partial-agg + TakeOrderedAndProject, no window over data rows
+    "q_key_skew" -> ((s, dir) => {
+      operators.Stats
+        .heavyHitters(graft.sources.EventsSource.events(s, dir), "user_id", k = 20)
+        .orderBy(desc("cnt"), asc("user_id"))
+    }),
+
+    // -- manual semi-join reduction: orders bloom-pruned by rich
+    //    customers' keys BEFORE the join shuffle (Spark's runtime-filter
+    //    transform, made deterministic); result == the plain join, which
+    //    is the oracle
+    "q_bloom_join" -> ((s, dir) => {
+      val rich = t(s, dir, "customer")
+        .where(col("c_acctbal") > 9000)
+        .select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      plans.BloomJoin
+        .bloomPrunedJoin(t(s, dir, "orders"), rich, "o_custkey",
+          expectedItems = 1 << 16)
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), round(sum(col("o_totalprice")), 2).as("revenue"))
+        .orderBy("c_mktsegment")
+    }),
+
     "q_join_revenue" -> ((s, dir) => {
       val orders   = t(s, dir, "orders")
       val customer = t(s, dir, "customer")
@@ -1841,6 +1866,20 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
          count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+         t AS (SELECT count(*)::DOUBLE AS total FROM events)
+         SELECT user_id, cnt,
+                floor((cnt / total) * 1e6 + 0.5) / 1e6 AS share_r
+         FROM c CROSS JOIN t
+         ORDER BY cnt DESC, user_id LIMIT 20""",
+    // the bloom prune is invisible to semantics: the oracle is the plain join
+    "q_bloom_join" ->
+      """SELECT c_mktsegment, count(*) AS n,
+                floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS revenue
+         FROM orders JOIN customer ON o_custkey = c_custkey
+         WHERE c_acctbal > 9000
+         GROUP BY 1 ORDER BY 1""",
     "q_join_revenue" ->
       """SELECT r_name, n_name, floor((sum(o_totalprice)) * 1e2 + 0.5) / 1e2 AS revenue,
          count(DISTINCT o_custkey) AS n_customers

@@ -98,6 +98,30 @@ object Stats {
         Portable.pround(max(col("__v")), 4).as("hi"))
   }
 
+  /** Heavy-hitter profile of a key column: the top-k keys by row count
+    * with their share of the table — the diagnosis a pipeline runs BEFORE
+    * a big join or aggregation to decide whether the key needs
+    * [[graft.plans.Salting]] (one key at >1/parallelism of the rows will
+    * stall its reducer) or qualifies for AQE skew handling.
+    *
+    * One partially-aggregated count per key, total as a broadcast scalar,
+    * global top-k as TakeOrderedAndProject — no window over data rows.
+    * (`approx_top_k` / CMS is the sketch alternative; exact counts here
+    * because the oracle needs them, and a count groupBy compresses
+    * map-side regardless of skew.)
+    */
+  def heavyHitters(df: DataFrame, keyCol: String, k: Int = 20): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    val total = df.agg(count(lit(1)).as("__total"))
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .crossJoin(broadcast(total))
+      .select(col(keyCol), col("cnt"),
+        Portable.pround(col("cnt").cast("double") / col("__total"), 6).as("share_r"))
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(k)
+  }
+
   /** Per-group percentile summary (p50/p90 + count). `exact = true`
     * (default, oracle-parity: Spark `percentile` == DuckDB
     * `quantile_cont`) buffers each group's values; `exact = false` is the
