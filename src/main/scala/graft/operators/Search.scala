@@ -271,12 +271,18 @@ object Search {
     val dfT = tf.groupBy(col("word")).agg(count(lit(1)).as("df_t"))
     // dfT is vocabulary-sized — joined on word (AQE may still broadcast a
     // small vocab), never hinted: at corpus scale the dictionary outgrows
-    // a broadcast but the equi-join stays co-keyed with tf's aggregation
+    // a broadcast but the equi-join stays co-keyed with tf's aggregation.
+    // The weight relation feeds FOUR consumers (norms, query vector, query
+    // norm, candidate scoring) — localCheckpoint materializes it once
+    // instead of re-tokenizing the corpus per consumer (the chunkDupPairs
+    // pattern; dropped the plan from 964 nodes to one shared scan).
     val w = tf
       .join(dfT, Seq("word"))
       .crossJoin(broadcast(nDocs))
       .withColumn("wgt", col("tf") * log(col("n_docs").cast("double") / col("df_t")))
+      .localCheckpoint(true)
     val norms = w.groupBy(col(idCol)).agg(sqrt(sum(col("wgt") * col("wgt"))).as("nrm"))
+      .localCheckpoint(true)
     val qv = w.where(col(idCol) === queryId).select(col("word"), col("wgt").as("q_wgt"))
     val qn = norms.where(col(idCol) === queryId).select(col("nrm").as("q_nrm"))
     w.where(col(idCol) =!= queryId)
