@@ -1006,6 +1006,16 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // -- perceptual image hash over REAL decoded pixels: 9x8 nearest-
+    //    sample luminance grid, horizontal-gradient bits — integer-exact,
+    //    so the oracle recomputes the hash from the synthesis formula
+    //    through the full PNG encode->distribute->decode roundtrip
+    "q_image_dhash" -> ((s, dir) => {
+      operators.Multimodal
+        .imageDHash(operators.Multimodal.demoMediaFromDocuments(s, dir))
+        .orderBy("media_id")
+    }),
+
     // -- REAL video frame sampling: every 4th GIF frame extracted with the
     //    frame-addressable reader and re-encoded PNG, then each emitted
     //    frame DECODED back; the oracle unnests ceil(frames/4) rows per
@@ -2638,6 +2648,36 @@ object SparkEntry {
                       WHEN doc_id % 3 = 1 THEN 1 + (octet_length(encode(text))::BIGINT * 131) % 60000
                       ELSE (1 + (octet_length(encode(text))::BIGINT * 131) % 24) * 100 END)::BIGINT AS duration_ms
          FROM documents ORDER BY media_id""",
+    // the synthesized pixel at (x, y) is ((x*31 + y*17 + doc_id) mod 2^24);
+    // the oracle replays the 9x8 nearest-sample grid + integer gray +
+    // gradient bits that imageDHash computes from the DECODED pixels
+    "q_image_dhash" ->
+      """WITH img AS (
+           SELECT doc_id, 1 + doc_id % 64 AS w,
+                  1 + octet_length(encode(text)) % 64 AS h
+           FROM documents WHERE doc_id % 3 = 0),
+         g AS (
+           SELECT doc_id, j, i,
+                  ((least(w - 1, (i * w) // 9) * 31
+                    + least(h - 1, (j * h) // 8) * 17 + doc_id) % 16777216) AS v
+           FROM img
+           CROSS JOIN (SELECT unnest(range(9)) AS i)
+           CROSS JOIN (SELECT unnest(range(8)) AS j)),
+         gr AS (
+           SELECT doc_id, j, i,
+                  (299 * ((v // 65536) % 256) + 587 * ((v // 256) % 256)
+                   + 114 * (v % 256)) // 1000 AS gray
+           FROM g),
+         b AS (
+           SELECT doc_id, j, i, gray,
+                  lead(gray) OVER (PARTITION BY doc_id, j ORDER BY i) AS nxt
+           FROM gr)
+         SELECT doc_id AS media_id,
+                sum(CASE WHEN i < 8 AND j >= 4 AND nxt > gray
+                         THEN (1::BIGINT << (j * 8 + i - 32)) ELSE 0 END)::BIGINT AS dhash_hi,
+                sum(CASE WHEN i < 8 AND j < 4 AND nxt > gray
+                         THEN (1::BIGINT << (j * 8 + i)) ELSE 0 END)::BIGINT AS dhash_lo
+         FROM b GROUP BY 1 ORDER BY media_id""",
     // resize mirror: the synthesized PNG is ceil-halved, so decoded output
     // dims must equal ceil((1 + id mod 64)/2) x ceil((1 + len mod 64)/2)
     // (// is DuckDB integer division; (w+1)//2 == ceil(w/2))

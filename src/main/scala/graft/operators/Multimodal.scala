@@ -276,6 +276,59 @@ object Multimodal {
     }
   }
 
+  /** Perceptual image hash (dHash, 64-bit) over REAL decoded pixels — the
+    * image-dedup primitive: near-identical images (re-encodes, small
+    * overlays, crops of a few pixels) land within a few Hamming bits,
+    * unrelated images ~32 apart; downstream near-dup pairing is
+    * [[graft.operators.Dedup.simhashPairs]]'s pigeonhole banding on this
+    * column, and exact-dup grouping is a plain groupBy on it.
+    *
+    * The variant here is integer-exact by construction (so the DuckDB
+    * oracle can recompute it from the synthesis formula): sample a 9×8
+    * luminance grid at nearest pixels gx = min(W−1, i·W/9),
+    * gy = min(H−1, j·H/8) (duplicating pixels for tiny images instead of
+    * leaving empty cells), integer BT.601 gray (299r+587g+114b)/1000,
+    * bit (j·8+i) set iff grid(j, i+1) > grid(j, i). No float blur pass —
+    * bilinear smoothing would tie the hash to Graphics2D's exact
+    * interpolation, which no oracle could reproduce.
+    *
+    * Per-partition map over the media batch (no shuffle), like [[decode]].
+    * Returns (media_id, dhash: long).
+    */
+  def imageDHash(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .filter(_.kind == "image")
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { r =>
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))).map { img =>
+            val (ww, hh) = (img.getWidth, img.getHeight)
+            def gray(x: Int, y: Int): Int = {
+              val v = img.getRGB(x, y) & 0xffffff
+              (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255) + 114 * (v & 255)) / 1000
+            }
+            val gs = Array.tabulate(8, 9)((j, i) =>
+              gray(math.min(ww - 1, i * ww / 9), math.min(hh - 1, j * hh / 8)))
+            var hash = 0L
+            var j = 0
+            while (j < 8) {
+              var i = 0
+              while (i < 8) {
+                if (gs(j)(i + 1) > gs(j)(i)) hash |= 1L << (j * 8 + i)
+                i += 1
+              }
+              j += 1
+            }
+            // two unsigned 32-bit halves: bit 63 of a single BIGINT would
+            // overflow the oracle's signed shift
+            (r.media_id, hash >>> 32, hash & 0xffffffffL)
+          }
+        }
+      }
+      .toDF("media_id", "dhash_hi", "dhash_lo")
+  }
+
   /** REAL image resize (bytes→bytes, per-partition, no shuffle): decode via
     * javax.imageio, scale with Graphics2D bilinear interpolation to
     * (⌈w·num/den⌉, ⌈h·num/den⌉) — never below 1×1 — and re-encode PNG.

@@ -68,6 +68,37 @@ class MultimodalSpec extends SparkSpec {
       "decoded widths must equal the 1 + id mod 64 synthesis formula")
   }
 
+  test("imageDHash: identical images hash equal, tiny edit stays near, unrelated far") {
+    import spark.implicits._
+    def noisy(w: Int, h: Int, seed: Long, flips: Int): Array[Byte] = {
+      // re-encode the synth image with `flips` single-pixel perturbations
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.synthPng(w, h, seed)))
+      (0 until flips).foreach { n =>
+        img.setRGB(n % w, (n * 7) % h, img.getRGB(n % w, (n * 7) % h) ^ 0x080808)
+      }
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", Multimodal.synthPng(48, 40, 5L), ""),
+      Multimodal.MediaRecord(2L, "image", Multimodal.synthPng(48, 40, 5L), ""), // exact dup
+      Multimodal.MediaRecord(3L, "image", noisy(48, 40, 5L, flips = 3), ""),    // near dup
+      Multimodal.MediaRecord(4L, "image", Multimodal.synthPng(40, 48, 999L), ""), // unrelated
+      Multimodal.MediaRecord(5L, "audio", Array[Byte](1, 2), "")                // filtered out
+    ).toDS()
+    val got = Multimodal.imageDHash(media)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1) << 32) | r.getLong(2))).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(got.keySet == Set(1L, 2L, 3L, 4L), "images only")
+    assert(got(1L) == got(2L), "byte-identical content must hash identically")
+    assert(ham(got(1L), got(3L)) <= 8,
+      s"3 flipped pixels should stay within a few bits, got ${ham(got(1L), got(3L))}")
+    assert(ham(got(1L), got(4L)) > 8,
+      s"unrelated image should be far, got ${ham(got(1L), got(4L))}")
+  }
+
   test("decode runs distributed over binary columns with stable schema") {
     val media = Multimodal.demoMediaFromDocuments(spark, dir).repartition(4)
     val feats = Multimodal.decode(media, batchSize = 16)
