@@ -1459,6 +1459,16 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // -- robust outlier detection: modified z-score over median/MAD
+    //    (50%-breakdown estimators — outliers can't drag the rule that
+    //    hunts them); two broadcast percentile passes + one map-side
+    //    verdict aggregate, approx path in ApproxStatsSpec's family
+    "q_robust_outliers" -> ((s, dir) => {
+      operators.Stats
+        .robustOutliers(t(s, dir, "orders"), "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderpriority")
+    }),
+
     // -- weekly retention cohorts: first-activity week per user, then the
     //    cohort x offset matrix with retained fractions
     "q_retention" -> ((s, dir) => {
@@ -3081,6 +3091,28 @@ object SparkEntry {
                 floor((avg(least(greatest(l_extendedprice, b_lo), b_hi))) * 1e4 + 0.5) / 1e4 AS wins_mean
          FROM lineitem l JOIN b ON b.l_returnflag = l.l_returnflag
          GROUP BY 1 ORDER BY 1""",
+    "q_robust_outliers" ->
+      """WITH med AS (
+           SELECT o_orderpriority,
+                  floor((quantile_cont(o_totalprice, 0.5)) * 1e6 + 0.5) / 1e6 AS med
+           FROM orders GROUP BY 1),
+         dev AS (
+           SELECT o.o_orderpriority, o_totalprice, med,
+                  abs(o_totalprice - med) AS d
+           FROM orders o JOIN med USING (o_orderpriority)),
+         mad AS (
+           SELECT o_orderpriority,
+                  floor((quantile_cont(d, 0.5)) * 1e6 + 0.5) / 1e6 AS mad
+           FROM dev GROUP BY 1),
+         z AS (
+           SELECT dev.o_orderpriority,
+                  CASE WHEN mad > 0
+                       THEN 0.6745 * (o_totalprice - med) / mad ELSE 0.0 END AS z
+           FROM dev JOIN mad USING (o_orderpriority))
+         SELECT o_orderpriority, count(*) AS n,
+                sum(CASE WHEN abs(z) > 3.5 THEN 1 ELSE 0 END)::BIGINT AS n_outliers,
+                floor((max(abs(z))) * 1e4 + 0.5) / 1e4 AS max_abs_z_r
+         FROM z GROUP BY 1 ORDER BY 1""",
     "q_retention" ->
       """WITH weekly AS (
            -- ::TIMESTAMP: DuckDB's date_trunc('week') yields DATE, Spark's a timestamp

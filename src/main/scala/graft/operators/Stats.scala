@@ -144,6 +144,54 @@ object Stats {
         count(lit(1)).as("n"))
   }
 
+  /** Robust outlier detection per group: modified z-score over
+    * median/MAD (Iglewicz–Hoaglin, z = 0.6745·(x − med)/MAD) — the
+    * outlier rule that survives what it measures (mean/stddev z-scores
+    * are dragged by the very outliers they hunt; the 50th percentile and
+    * the median absolute deviation are 50%-breakdown estimators).
+    *
+    * Two percentile passes (median, then MAD over |x − med|), both
+    * 6-dp-rounded and broadcast back as group metadata; the verdict pass
+    * is one map-side comparison + aggregate. Same `exact`/`accuracy`
+    * contract as [[winsorizedMean]]: exact `percentile` for oracle
+    * parity, `percentile_approx` as the bounded-memory 100 TB path
+    * (ApproxStatsSpec's family). A zero MAD (over half the group at one
+    * value) yields no outlier verdicts for that group, not a division
+    * blow-up.
+    *
+    * Returns (groupCol, n, n_outliers, max_abs_z_r) with |z| > `z0` as
+    * the outlier rule and max_abs_z 4-dp rounded (0 for zero-MAD groups).
+    */
+  def robustOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      z0: Double = 3.5,
+      exact: Boolean = true,
+      accuracy: Int = 10000): DataFrame = {
+    require(z0 > 0, s"z0 ($z0) must be positive")
+    val r6 = (c: Column) => Portable.pround(c, 6)
+    val pct = (c: String) =>
+      if (exact) expr(s"percentile($c, 0.5)")
+      else expr(s"cast(percentile_approx($c, 0.5, $accuracy) as double)")
+    val med = df.groupBy(col(groupCol)).agg(r6(pct(valueCol)).as("__med"))
+    val dev = df
+      .join(broadcast(med), Seq(groupCol))
+      .withColumn("__dev", abs(col(valueCol).cast("double") - col("__med")))
+    val mad = dev.groupBy(col(groupCol)).agg(r6(pct("__dev")).as("__mad"))
+    dev
+      .join(broadcast(mad), Seq(groupCol))
+      .withColumn("__z",
+        when(col("__mad") > 0,
+          lit(0.6745) * (col(valueCol).cast("double") - col("__med")) / col("__mad"))
+          .otherwise(lit(0.0)))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(when(abs(col("__z")) > z0, 1L).otherwise(0L)).as("n_outliers"),
+        Portable.pround(max(abs(col("__z"))), 4).as("max_abs_z_r"))
+  }
+
   /** Vocabulary growth (Heaps'-law) curve: for each `bucketWidth`-doc
     * prefix of the corpus (in `idCol` order), how many NEW words appear
     * first in that bucket, and the cumulative vocabulary size — the curve

@@ -60,6 +60,25 @@ class ApproxStatsSpec extends SparkSpec {
     }
   }
 
+  test("robustOutliers approx path: n identical, outlier counts within a hair") {
+    val exact = graft.operators.Stats
+      .robustOutliers(orders, "o_orderpriority", "o_totalprice")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val approx = graft.operators.Stats
+      .robustOutliers(orders, "o_orderpriority", "o_totalprice",
+        exact = false, accuracy = 10000)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(exact.keySet == approx.keySet)
+    exact.foreach { case (g, (n, out)) =>
+      val (na, outa) = approx(g)
+      assert(na == n, s"group $g: n differs")
+      // med/MAD each move by <=1e-4 rank error; only values within that
+      // sliver of the 3.5 threshold can flip
+      assert(math.abs(outa - out) <= math.max(1L, n / 1000),
+        s"group $g: outliers exact $out vs approx $outa")
+    }
+  }
+
   test("groupPercentiles approx path: p50/p90 within one adjacent-value step") {
     val exact = Stats.groupPercentiles(lineitem, "l_returnflag", "l_quantity")
       .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap

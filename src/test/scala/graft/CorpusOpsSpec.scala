@@ -333,6 +333,18 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rc.getDouble(2) == rc.getDouble(3))
   }
 
+  test("robustOutliers: planted outlier flagged; uniform group has none; zero MAD safe") {
+    val rows =
+      (1 to 99).map(i => ("a", 100.0 + (i % 11))) ++ Seq(("a", 1e6)) ++  // one planted spike
+      (1 to 50).map(i => ("b", 200.0 + i)) ++                            // spread, no outlier
+      (1 to 20).map(_ => ("c", 7.0))                                     // constant -> MAD 0
+    val got = Stats.robustOutliers(rows.toDF("g", "v"), "g", "v")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got("a") == ((100L, 1L)), s"planted spike must be the only a-outlier: ${got("a")}")
+    assert(got("b")._2 == 0L, "well-spread group has no |z| > 3.5")
+    assert(got("c") == ((20L, 0L)), "zero-MAD group yields no verdicts, no blow-up")
+  }
+
   test("vocabGrowth: cumulative count ends at the distinct-word total") {
     val toks = Tokenize.tokens(docs, "text", Seq("doc_id"))
     val curve = Stats.vocabGrowth(toks, bucketWidth = 2).orderBy("bucket")
