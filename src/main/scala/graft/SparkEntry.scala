@@ -1298,6 +1298,15 @@ object SparkEntry {
         .orderBy("source", "rk", "doc_id")
     }),
 
+    // -- token-BUDGET sampling per language (corpus mixes are specified
+    //    in tokens, not docs): hash-order prefix until 2000 tokens per
+    //    group, running sum in the hash-prefix-chunked two-pass form
+    "q_token_budget" -> ((s, dir) => {
+      Sampling
+        .tokenBudgetSample(t(s, dir, "documents"), "lang", budget = 2000)
+        .orderBy("lang", "doc_id")
+    }),
+
     // -- hashed-feature linear quality scoring (fastText-shape model
     //    filter): bucket weights summed in-array, integer-exact margin
     "q_classifier_score" -> ((s, dir) => {
@@ -2939,6 +2948,18 @@ object SparkEntry {
          SELECT source, doc_id, rk FROM r
          QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= 10
          ORDER BY source, rk, doc_id""",
+    "q_token_budget" ->
+      """WITH t AS (
+           SELECT lang, doc_id,
+                  len(regexp_split_to_array(text, '\s+'))::BIGINT AS n_tok,
+                  ('0x' || substr(md5('tb:' || doc_id::VARCHAR), 1, 13))::BIGINT AS rk
+           FROM documents),
+         c AS (
+           SELECT *, sum(n_tok) OVER (PARTITION BY lang ORDER BY rk, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tok AS cum_before
+           FROM t)
+         SELECT lang, doc_id, n_tok, rk FROM c
+         WHERE cum_before < 2000 ORDER BY lang, doc_id""",
     "q_classifier_score" ->
       s"""WITH $ToksArrCte,
           sc AS (SELECT doc_id,

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Deterministic, reproducible sampling for training-data pipelines.
@@ -106,6 +107,56 @@ object Sampling {
       .agg(topk.as("__top"))
       .select(col(groupCol), explode(col("__top")).as("__e"))
       .select(col(groupCol), col("__e.id").as(idCol), col("__e.cos").cast("long").as("rk"))
+  }
+
+  /** Token-BUDGET sampling per group: keep documents in deterministic
+    * md5-hash order until each group's cumulative token count reaches
+    * `budget` (the doc crossing the boundary is kept — same rule as
+    * [[graft.operators.Packing.packByOffset]]'s pack boundary). This is
+    * the "sample N tokens per language/source" curation step — corpus
+    * mixes are specified in TOKENS, not documents, and a doc-count cap
+    * ([[perGroupCap]]) over-serves groups with long documents.
+    *
+    * Scale design: the running sum per group runs in the TWO-PASS CHUNKED
+    * prefix form, but chunked on the HASH PREFIX (`rk >> 40`, 4096
+    * chunks) since the selection order is hash order, not id order — the
+    * hash is uniform, so chunk occupancy is corpus/4096 regardless of
+    * group skew; per-(group, chunk) subtotals roll into chunk bases over
+    * metadata rows and the local window is bounded. Kept rows are a pure
+    * function of (salt, id, budget): reruns and the oracle select
+    * identically.
+    *
+    * Returns (groupCol, idCol, n_tok, rk) for kept docs.
+    */
+  def tokenBudgetSample(
+      docs: DataFrame,
+      groupCol: String,
+      budget: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      salt: String = "tb"): DataFrame = {
+    require(budget > 0, s"budget ($budget) must be positive")
+    val rk = conv(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val withTok = docs
+      .select(col(groupCol), col(idCol),
+        size(split(col(textCol), "\\s+")).cast("bigint").as("n_tok"))
+      .withColumn("__rk", rk)
+      .withColumn("__chunk", shiftright(col("__rk"), 40).cast("int"))
+    val wChunks = Window.partitionBy(col(groupCol)).orderBy(col("__chunk"))
+    val bases = withTok
+      .groupBy(col(groupCol), col("__chunk"))
+      .agg(sum(col("n_tok")).as("__ct"))
+      .withColumn("__base", sum(col("__ct")).over(wChunks) - col("__ct"))
+      .select(col(groupCol), col("__chunk"), col("__base"))
+    val wLocal = Window.partitionBy(col(groupCol), col("__chunk"))
+      .orderBy(col("__rk"), col(idCol))
+    withTok
+      .join(broadcast(bases), Seq(groupCol, "__chunk"))
+      .withColumn("__cum_before",
+        col("__base") + sum(col("n_tok")).over(wLocal) - col("n_tok"))
+      .where(col("__cum_before") < budget)
+      .select(col(groupCol), col(idCol), col("n_tok"), col("__rk").as("rk"))
   }
 
   /** Deterministic train/validation/test split: each row lands in exactly

@@ -101,6 +101,36 @@ class WeightedSampleSpec extends SparkSpec {
     assert(math.abs(frac("train") - 0.8) < 0.08 && math.abs(frac("val") - 0.1) < 0.05)
   }
 
+  test("tokenBudgetSample: == single-window form; budgets respected; rerun-stable") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // independent single-window formulation of the same rule
+    val rk = conv(substring(md5(concat(lit("tb:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val w = Window.partitionBy(col("lang")).orderBy(col("__rk"), col("doc_id"))
+    val naive = docs
+      .select(col("lang"), col("doc_id"),
+        size(split(col("text"), "\\s+")).cast("bigint").as("n_tok"))
+      .withColumn("__rk", rk)
+      .withColumn("cb", sum(col("n_tok")).over(w) - col("n_tok"))
+      .where(col("cb") < 2000)
+      .select(col("lang"), col("doc_id"), col("n_tok"), col("__rk").as("rk"))
+      .collect().map(_.toSeq).toSet
+    val got = Sampling.tokenBudgetSample(docs, "lang", budget = 2000)
+    assert(got.collect().map(_.toSeq).toSet == naive,
+      "hash-prefix-chunked prefix sum must equal the single-window rule")
+    // each group's kept tokens reach the budget only through its last doc
+    val sums = got.groupBy("lang").agg(sum("n_tok").as[Long], max("n_tok").as[Long])
+      .collect()
+    sums.foreach { r =>
+      val (total, biggest) = (r.getLong(1), r.getLong(2))
+      assert(total >= 2000, s"budget must be filled (boundary doc kept): $r")
+      assert(total - biggest < 2000, s"removing the boundary doc must drop below budget: $r")
+    }
+    assert(got.collect().map(_.toSeq).toSet ==
+      Sampling.tokenBudgetSample(docs, "lang", budget = 2000).collect().map(_.toSeq).toSet)
+  }
+
   test("weightedSample == independent in-memory A-ES mirror; zero weights excluded") {
     import spark.implicits._
     val rows = docs.select(col("doc_id").as[Long], col("n_chars").as[Long]).collect()
