@@ -561,6 +561,18 @@ object SparkEntry {
         .orderBy("doc1", "doc2")
     }),
 
+    // -- incremental-ingest dedup: new batch (doc_id < 50) checked against
+    //    the existing corpus — in-bucket expansion strictly new x corpus,
+    //    capped on the pair PRODUCT; candidates exactly Jaccard-verified
+    "q_cross_dedup" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup
+        .crossCorpusNearDups(
+          d.where(col("doc_id") < 50), d.where(col("doc_id") >= 50),
+          threshold = 0.5, shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096)
+        .orderBy("new_id", "corpus_id")
+    }),
+
     // -- duplicate clusters: connected components over the minhash
     //    candidate pairs (iterative min-label propagation; group_id is the
     //    cluster's keeper)
@@ -1786,6 +1798,50 @@ object SparkEntry {
     s"""WITH ${minhashPairsCtes(shingleK, numHashes, bands, maxBucket)}
         SELECT doc1, doc2 FROM pairs ORDER BY doc1, doc2"""
 
+  /** DuckDB mirror of [[graft.operators.Dedup.crossCorpusNearDups]] with the
+    * new batch = doc_id < `splitId`, corpus = the rest: same banding as
+    * minhashPairsCtes, buckets kept iff both sides present and the pair
+    * PRODUCT is under the cap, candidates strictly new × corpus, then exact
+    * shingle-set Jaccard verification at `threshold`.
+    */
+  private def crossDedupSql(
+      shingleK: Int, numHashes: Int, bands: Int, maxBucket: Int,
+      threshold: Double, splitId: Long): String = {
+    val rows = numHashes / bands
+    val sigs = (0 until numHashes)
+      .map(i => s"list_min(list_transform(shingles, s -> substr(md5('${i / 4}:' || s), ${(i % 4) * 8 + 1}, 8))) AS sig$i")
+      .mkString(", ")
+    val bandList = (0 until bands)
+      .map(b => s"'$b|' || md5(${(0 until rows).map(r => s"sig${b * rows + r}").mkString(" || ")})")
+      .mkString(", ")
+    s"""WITH ${shinglesCte(shingleK)},
+        sigs AS (SELECT doc_id, $sigs FROM sh WHERE len(shingles) > 0),
+        bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM sigs),
+        bk AS (SELECT band,
+                      count(DISTINCT CASE WHEN doc_id < $splitId THEN doc_id END) AS nn,
+                      count(DISTINCT CASE WHEN doc_id >= $splitId THEN doc_id END) AS nc
+               FROM bands GROUP BY band),
+        keep AS (SELECT band FROM bk WHERE nn >= 1 AND nc >= 1 AND nn * nc <= $maxBucket),
+        cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+                 FROM bands a
+                 JOIN bands b ON a.band = b.band AND a.doc_id < $splitId AND b.doc_id >= $splitId
+                 JOIN keep k ON k.band = a.band),
+        ds AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+        sz AS (SELECT doc_id, len(shingles)::BIGINT AS nsh FROM sh),
+        inter AS (SELECT c.new_id, c.corpus_id, count(*) AS i
+                  FROM cand c
+                  JOIN ds a ON a.doc_id = c.new_id
+                  JOIN ds b ON b.doc_id = c.corpus_id AND b.s = a.s
+                  GROUP BY 1, 2)
+        SELECT i.new_id, i.corpus_id,
+               floor((i.i::DOUBLE / (sa.nsh + sb.nsh - i.i)::DOUBLE) * 1e4 + 0.5) / 1e4 AS jaccard_r
+        FROM inter i
+        JOIN sz sa ON sa.doc_id = i.new_id
+        JOIN sz sb ON sb.doc_id = i.corpus_id
+        WHERE i.i::DOUBLE / (sa.nsh + sb.nsh - i.i)::DOUBLE >= $threshold
+        ORDER BY new_id, corpus_id"""
+  }
+
   /** DuckDB mirror of Similarity.withLshBucket's bucket expression (over a
     * relation aliased/projected so `embedding` resolves).
     */
@@ -2321,6 +2377,8 @@ object SparkEntry {
             FROM toks_arr) u
           ORDER BY doc_id""",
     "q_dedup_minhash" -> minhashSql(shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096),
+    "q_cross_dedup" -> crossDedupSql(shingleK = 3, numHashes = 16, bands = 8,
+      maxBucket = 4096, threshold = 0.5, splitId = 50L),
     // raw (non-distinct) shingle enumeration mirrors rawShinglesFromToks;
     // dup_frac is integer-ratio arithmetic, portably rounded
     "q_quality_repetition" ->

@@ -106,7 +106,6 @@ object Dedup {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands) — otherwise trailing hashes are silently unused")
     require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least one pair")
-    val rows = numHashes / bands
     // explode_outer: band-key arrays are never empty, and plain explode
     // triggers InferFiltersFromGenerate, which would re-evaluate the whole
     // signature expression inside a pushed-down size()>0 scan filter.
@@ -117,16 +116,7 @@ object Dedup {
     // projection and re-inlines the whole quadratic shingle expression into
     // the scan filter (measured 3x on q_dedup_minhash); the token array is a
     // single pass and safe to push.
-    val nonEmpty = docs
-      .select(col(idCol), col(textCol))
-      .where(size(Tokenize.tokenArray(col(textCol))) > 0)
-    val withDigests = (0 until numHashes / SlicesPerDigest)
-      .foldLeft(TextAnalysis.withShingles(nonEmpty, textCol, shingleK, "__sh")) { (d, g) =>
-        d.withColumn(s"__mh$g", transform(col("__sh"), s => md5(concat(lit(s"$g:"), s))))
-      }
-    val banded = withDigests
-      .withColumn("__sig", signatureFromDigests(numHashes))
-      .select(col(idCol), explode_outer(bandKeys(col("__sig"), bands, rows)).as("band_key"))
+    val banded = bandedDocs(docs, idCol, textCol, shingleK, numHashes, bands)
     import org.apache.spark.sql.GraftBridge
     // one row per (doc, band) ⇒ ids are already distinct per bucket; the
     // fused sorted-distinct aggregate gives an ASC list, so the index-lambda
@@ -143,6 +133,106 @@ object Dedup {
         .as("p"))
       .select(col("p.doc1"), col("p.doc2"))
       .distinct()
+  }
+
+  /** (idCol, band_key) rows for every non-empty doc — the shared banding
+    * front half of [[minhashCandidates]] and [[crossCorpusNearDups]].
+    */
+  private def bandedDocs(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      numHashes: Int,
+      bands: Int): DataFrame = {
+    val rows = numHashes / bands
+    val nonEmpty = docs
+      .select(col(idCol), col(textCol))
+      .where(size(Tokenize.tokenArray(col(textCol))) > 0)
+    val withDigests = (0 until numHashes / SlicesPerDigest)
+      .foldLeft(TextAnalysis.withShingles(nonEmpty, textCol, shingleK, "__sh")) { (d, g) =>
+        d.withColumn(s"__mh$g", transform(col("__sh"), s => md5(concat(lit(s"$g:"), s))))
+      }
+    withDigests
+      .withColumn("__sig", signatureFromDigests(numHashes))
+      .select(col(idCol), explode_outer(bandKeys(col("__sig"), bands, rows)).as("band_key"))
+  }
+
+  /** Incremental-ingest near-dup check: which NEW documents near-duplicate
+    * the EXISTING corpus? Candidates from shared MinHash bands — but the
+    * in-bucket expansion is strictly new × corpus, never new × new or
+    * corpus × corpus, so the per-batch cost scales with the BATCH, not the
+    * corpus (the nightly-ingest shape: the corpus side's signatures are
+    * the reusable index; at 100 TB they'd be materialized once and read
+    * per batch). Candidates are then EXACTLY verified by shingle-set
+    * Jaccard — verification joins only candidate ids, never the corpus
+    * against itself.
+    *
+    * Buckets cap on the PRODUCT |new| × |corpus| before expansion (the
+    * pair count that bucket will emit), same discipline as every other
+    * pair generator here.
+    *
+    * Returns (new_id, corpus_id, jaccard_r) with Jaccard ≥ `threshold`,
+    * 4-dp rounded.
+    */
+  def crossCorpusNearDups(
+      newDocs: DataFrame,
+      corpus: DataFrame,
+      threshold: Double = 0.5,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      maxBucket: Int = 1 << 12): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold outside (0,1]")
+    val nb = bandedDocs(newDocs, idCol, textCol, shingleK, numHashes, bands)
+      .withColumn("__new", lit(true))
+    val cb = bandedDocs(corpus, idCol, textCol, shingleK, numHashes, bands)
+      .withColumn("__new", lit(false))
+    // collect_set skips the nulls the `when` leaves on the other side; the
+    // engine's optimizer rule fuses sort_array(collect_set(..)) to the
+    // one-pass sorted-set aggregate when extensions are installed
+    val buckets = nb.unionByName(cb)
+      .groupBy(col("band_key"))
+      .agg(
+        sort_array(collect_set(when(col("__new"), col(idCol)))).as("nids"),
+        sort_array(collect_set(when(!col("__new"), col(idCol)))).as("cids"))
+      .where(size(col("nids")) >= 1 && size(col("cids")) >= 1 &&
+        size(col("nids")) * size(col("cids")) <= maxBucket)
+    val cand = buckets
+      .select(explode_outer(expr(
+        "flatten(transform(nids, n -> transform(cids, c -> named_struct('new_id', n, 'corpus_id', c))))"))
+        .as("p"))
+      .select(col("p.new_id"), col("p.corpus_id"))
+      .distinct()
+      .localCheckpoint(true)
+    // exact verification on candidates only: distinct shingle sets per side
+    val shSet = (d: DataFrame, as: String) =>
+      TextAnalysis.withShingles(
+        d.select(col(idCol), col(textCol)), textCol, shingleK, "__sh")
+        .select(col(idCol).as(as), explode(col("__sh")).as("s"))
+        .distinct()
+    val ns = shSet(newDocs, "new_id").join(cand.select("new_id").distinct(), Seq("new_id"), "left_semi")
+      .localCheckpoint(true)
+    val cs = shSet(corpus, "corpus_id").join(cand.select("corpus_id").distinct(), Seq("corpus_id"), "left_semi")
+      .localCheckpoint(true)
+    val nSz = ns.groupBy(col("new_id")).agg(count(lit(1)).as("n1"))
+    val cSz = cs.groupBy(col("corpus_id")).agg(count(lit(1)).as("n2"))
+    cand
+      .join(ns, Seq("new_id"))
+      .join(cs, Seq("corpus_id", "s"))
+      .groupBy(col("new_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("inter"))
+      .join(nSz, Seq("new_id"))
+      .join(cSz, Seq("corpus_id"))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("n1") + col("n2") - col("inter")).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("corpus_id"),
+        graft.functions.Portable.pround(col("jaccard"), 4).as("jaccard_r"))
   }
 
   /** Near-duplicate pairs by SimHash hamming distance: pairs whose

@@ -48,6 +48,30 @@ class DedupRecallSpec extends SparkSpec {
     // not an all-pairs blowup (round 1's 2-gram/2-row bands emitted 896)
     assert(cand.size <= truth.size * 10, s"minhash emits ${cand.size} candidates for ${truth.size} true pairs")
   }
+
+  test("crossCorpusNearDups: only new x corpus pairs, verified, >=95% of cross truth") {
+    val newB   = docs.where(col("doc_id") < 50)
+    val corpus = docs.where(col("doc_id") >= 50)
+    val got = Dedup
+      .crossCorpusNearDups(newB, corpus, threshold = 0.5,
+        shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.forall { case (n, c, _) => n < 50 && c >= 50 },
+      "every pair must cross the batch/corpus boundary")
+    assert(got.forall(_._3 >= 0.5), "verification must enforce the threshold")
+    // cross-boundary slice of the exact jaccard truth (either orientation)
+    val truth = jaccardTruth(0.5).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .collect {
+        case (a, b) if a < 50 && b >= 50 => (a, b)
+        case (a, b) if b < 50 && a >= 50 => (b, a)
+      }.toSet
+    assert(truth.nonEmpty, "fixture must contain cross-boundary near-dups")
+    val found = got.map(t => (t._1, t._2)).toSet
+    val recall = truth.count(found.contains).toDouble / truth.size
+    assert(recall >= 0.95, s"cross recall $recall (truth=${truth.size}, found=${found.size})")
+    assert(found.forall(truth.contains), "verified pairs must all be true pairs (exact check)")
+  }
 }
 
 class SimilarityRecallSpec extends SparkSpec {
