@@ -1480,6 +1480,15 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // -- per-group closed-form OLS: price-vs-quantity trend per return
+    //    flag from one pass of sufficient statistics (n, Σx, Σy, Σxy,
+    //    Σx², Σy²) — no window, no ML library, group-sized output
+    "q_group_ols" -> ((s, dir) => {
+      operators.Stats
+        .groupedOls(t(s, dir, "lineitem"), "l_returnflag", "l_quantity", "l_extendedprice")
+        .orderBy("l_returnflag")
+    }),
+
     // -- robust outlier detection: modified z-score over median/MAD
     //    (50%-breakdown estimators — outliers can't drag the rule that
     //    hunts them); two broadcast percentile passes + one map-side
@@ -3170,6 +3179,28 @@ object SparkEntry {
                 floor((avg(least(greatest(l_extendedprice, b_lo), b_hi))) * 1e4 + 0.5) / 1e4 AS wins_mean
          FROM lineitem l JOIN b ON b.l_returnflag = l.l_returnflag
          GROUP BY 1 ORDER BY 1""",
+    "q_group_ols" ->
+      """WITH a AS (
+           SELECT l_returnflag, count(*)::DOUBLE AS n,
+                  sum(l_quantity::DOUBLE) AS sx,
+                  sum(l_extendedprice::DOUBLE) AS sy,
+                  sum(l_quantity::DOUBLE * l_extendedprice::DOUBLE) AS sxy,
+                  sum(l_quantity::DOUBLE * l_quantity::DOUBLE) AS sxx,
+                  sum(l_extendedprice::DOUBLE * l_extendedprice::DOUBLE) AS syy
+           FROM lineitem GROUP BY 1),
+         d AS (
+           SELECT l_returnflag, n,
+                  n * sxx - sx * sx AS dxx,
+                  n * syy - sy * sy AS dyy,
+                  n * sxy - sx * sy AS dxy,
+                  sx, sy
+           FROM a)
+         SELECT l_returnflag, n::BIGINT AS n,
+                CASE WHEN dxx <> 0 THEN floor((dxy / dxx) * 1e4 + 0.5) / 1e4 END AS slope_r,
+                CASE WHEN dxx <> 0 THEN floor(((sy - (dxy / dxx) * sx) / n) * 1e4 + 0.5) / 1e4 END AS icept_r,
+                CASE WHEN dxx <> 0 AND dyy <> 0
+                     THEN floor((dxy * dxy / (dxx * dyy)) * 1e4 + 0.5) / 1e4 END AS r2_r
+         FROM d ORDER BY l_returnflag""",
     "q_robust_outliers" ->
       """WITH med AS (
            SELECT o_orderpriority,

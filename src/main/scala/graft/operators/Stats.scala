@@ -98,6 +98,50 @@ object Stats {
         Portable.pround(max(col("__v")), 4).as("hi"))
   }
 
+  /** Per-group simple linear regression (closed-form OLS): slope,
+    * intercept, and R² of y on x from the five sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx²[, Σy²]) — the drift detector a corpus monitor
+    * runs ("is quality trending down within each source?") without any
+    * ML-library dependency.
+    *
+    * ONE partially-aggregated pass computes every statistic; the
+    * slope/intercept/R² arithmetic is a map-side projection over the
+    * group-cardinality result. Sums of products stay exact in doubles
+    * while below 2^53, which integer-ish testdata satisfies; outputs are
+    * 4-dp rounded for the cross-engine hash. Degenerate groups (constant
+    * x) emit NULL slope/intercept/r2 rather than dividing by zero.
+    *
+    * Returns (groupCol, n, slope_r, icept_r, r2_r).
+    */
+  def groupedOls(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val x = col(xCol).cast("double")
+    val y = col(yCol).cast("double")
+    val agg = df.groupBy(col(groupCol)).agg(
+      count(lit(1)).cast("double").as("__n"),
+      sum(x).as("__sx"),
+      sum(y).as("__sy"),
+      sum(x * y).as("__sxy"),
+      sum(x * x).as("__sxx"),
+      sum(y * y).as("__syy"))
+    val dxx = col("__n") * col("__sxx") - col("__sx") * col("__sx")
+    val dyy = col("__n") * col("__syy") - col("__sy") * col("__sy")
+    val dxy = col("__n") * col("__sxy") - col("__sx") * col("__sy")
+    val slope = dxy / dxx
+    val icept = (col("__sy") - slope * col("__sx")) / col("__n")
+    val r2    = (dxy * dxy) / (dxx * dyy)
+    val guard = (c: Column) => when(dxx =!= 0.0, c)
+    agg.select(
+      col(groupCol),
+      col("__n").cast("bigint").as("n"),
+      Portable.pround(guard(slope), 4).as("slope_r"),
+      Portable.pround(guard(icept), 4).as("icept_r"),
+      Portable.pround(guard(when(dyy =!= 0.0, r2)), 4).as("r2_r"))
+  }
+
   /** Heavy-hitter profile of a key column: the top-k keys by row count
     * with their share of the table — the diagnosis a pipeline runs BEFORE
     * a big join or aggregation to decide whether the key needs

@@ -333,6 +333,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rc.getDouble(2) == rc.getDouble(3))
   }
 
+  test("groupedOls: exact line recovered, r2=1; noisy r2<1; constant-x guarded") {
+    val exact = (1 to 10).map(i => ("a", i.toDouble, 3.0 * i + 7.0))
+    val noisy = (1 to 10).map(i => ("b", i.toDouble, 2.0 * i + (if (i % 2 == 0) 1.0 else -1.0)))
+    val const = (1 to 5).map(_ => ("c", 4.0, 9.0))
+    val got = Stats.groupedOls((exact ++ noisy ++ const).toDF("g", "x", "y"), "g", "x", "y")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("a").getDouble(2) == 3.0 && got("a").getDouble(3) == 7.0 && got("a").getDouble(4) == 1.0,
+      s"points on y=3x+7 must recover slope/intercept/r2 exactly: ${got("a")}")
+    assert(math.abs(got("b").getDouble(2) - 2.0) < 0.25, "noisy slope stays near 2")
+    assert(got("b").getDouble(4) < 1.0, "noise must lower r2")
+    assert(got("c").isNullAt(2) && got("c").isNullAt(3) && got("c").isNullAt(4),
+      "constant x has no defined slope - guarded NULLs, not a division error")
+  }
+
   test("robustOutliers: planted outlier flagged; uniform group has none; zero MAD safe") {
     val rows =
       (1 to 99).map(i => ("a", 100.0 + (i % 11))) ++ Seq(("a", 1e6)) ++  // one planted spike
