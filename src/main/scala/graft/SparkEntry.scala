@@ -1480,6 +1480,19 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // -- small-file compaction planning over file METADATA: under-target
+    //    files packed to ~500-byte bins in path order, big files kept as
+    //    singleton negative bins — the OPTIMIZE planning half
+    "q_compaction_plan" -> ((s, dir) => {
+      val files = t(s, dir, "documents").select(
+        col("lang").as("part"),
+        format_string("f%05d", col("doc_id")).as("path"),
+        col("n_chars").as("bytes"))
+      operators.Layout
+        .compactionPlan(files, targetBytes = 500)
+        .orderBy("part", "bin")
+    }),
+
     // -- per-group closed-form OLS: price-vs-quantity trend per return
     //    flag from one pass of sufficient statistics (n, Σx, Σy, Σxy,
     //    Σx², Σy²) — no window, no ML library, group-sized output
@@ -3179,6 +3192,26 @@ object SparkEntry {
                 floor((avg(least(greatest(l_extendedprice, b_lo), b_hi))) * 1e4 + 0.5) / 1e4 AS wins_mean
          FROM lineitem l JOIN b ON b.l_returnflag = l.l_returnflag
          GROUP BY 1 ORDER BY 1""",
+    "q_compaction_plan" ->
+      """WITH f AS (
+           SELECT lang AS part, printf('f%05d', doc_id) AS path, n_chars AS bytes
+           FROM documents),
+         small AS (
+           SELECT part, path, bytes,
+                  (sum(bytes) OVER (PARTITION BY part ORDER BY path
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - bytes) // 500 AS bin,
+                  'compact' AS action
+           FROM f WHERE bytes < 500),
+         big AS (
+           SELECT part, path, bytes,
+                  -row_number() OVER (PARTITION BY part ORDER BY path) AS bin,
+                  'keep' AS action
+           FROM f WHERE bytes >= 500),
+         u AS (SELECT * FROM small UNION ALL SELECT * FROM big)
+         SELECT part, bin::BIGINT AS bin, action, count(*) AS n_files,
+                sum(bytes)::BIGINT AS total_bytes,
+                array_to_string(list_sort(list(path)), ' ') AS files_str
+         FROM u GROUP BY 1, 2, 3 ORDER BY part, bin""",
     "q_group_ols" ->
       """WITH a AS (
            SELECT l_returnflag, count(*)::DOUBLE AS n,

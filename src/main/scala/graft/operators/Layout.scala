@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Data-layout operators: multi-dimensional clustering keys for write-time
@@ -50,6 +51,52 @@ object Layout {
       .repartitionByRange(numFiles, col("__z"))
       .sortWithinPartitions(col("__z"))
       .drop("__z")
+
+  /** Small-file compaction planner: given a FILE-METADATA relation
+    * (partition, path, bytes), assign each under-target file to a
+    * compaction bin so every bin approaches `targetBytes` (the greedy
+    * path-order prefix rule — `bin = cum_bytes_before div target`, the
+    * [[Packing.packByOffset]] boundary semantics), and pass already-big
+    * files through untouched as their own negative-numbered bins. This is
+    * the planning half of OPTIMIZE/compaction in any table format: the
+    * small-files problem is what kills 100 TB scans (open/seek per file,
+    * starved row groups), and the plan decides the rewrite jobs.
+    *
+    * Operates on METADATA, not data: 100 TB at 128 MB files is ~800k rows
+    * — the per-partition window over file rows is the deliberate,
+    * documented choice (the vocabGrowth argument), not a scale hole; the
+    * data itself is never shuffled by planning.
+    *
+    * Deterministic: path order fixes bins across reruns. Returns one
+    * manifest row per bin: (partCol, bin, action, n_files, total_bytes,
+    * files_str) — `compact` bins hold ≥ 1 small files; `keep` bins are
+    * singleton big files with bin = −(path rank).
+    */
+  def compactionPlan(
+      files: DataFrame,
+      targetBytes: Long,
+      partCol: String = "part",
+      pathCol: String = "path",
+      bytesCol: String = "bytes"): DataFrame = {
+    require(targetBytes > 0, s"targetBytes ($targetBytes) must be positive")
+    val byPath = Window.partitionBy(col(partCol)).orderBy(col(pathCol))
+    val small = files
+      .where(col(bytesCol) < targetBytes)
+      .withColumn("__cb", sum(col(bytesCol)).over(byPath) - col(bytesCol))
+      .withColumn("bin", floor(col("__cb") / targetBytes).cast("bigint"))
+      .withColumn("action", lit("compact"))
+    val big = files
+      .where(col(bytesCol) >= targetBytes)
+      .withColumn("bin", -row_number().over(byPath).cast("bigint"))
+      .withColumn("action", lit("keep"))
+    small.select(col(partCol), col(pathCol), col(bytesCol), col("bin"), col("action"))
+      .unionByName(big.select(col(partCol), col(pathCol), col(bytesCol), col("bin"), col("action")))
+      .groupBy(col(partCol), col("bin"), col("action"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(col(bytesCol)).as("total_bytes"),
+        array_join(sort_array(collect_list(col(pathCol))), " ").as("files_str"))
+  }
 
   /** The same bit-interleave as [[zorderKey]], rendered as ANSI SQL over
     * the given column expressions — the oracle mirror (kept next to the

@@ -333,6 +333,27 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rc.getDouble(2) == rc.getDouble(3))
   }
 
+  test("compactionPlan: bytes conserved, bins near target, big files kept singleton") {
+    import graft.operators.Layout
+    val files = Seq(
+      ("p1", "a", 100L), ("p1", "b", 200L), ("p1", "c", 150L), ("p1", "d", 900L),
+      ("p1", "e", 80L), ("p2", "f", 50L), ("p2", "g", 1200L)
+    ).toDF("part", "path", "bytes")
+    val plan = Layout.compactionPlan(files, targetBytes = 400).collect()
+    assert(plan.map(_.getLong(4)).sum == files.collect().map(_.getLong(2)).sum,
+      "every byte lands in exactly one bin")
+    val keeps = plan.filter(_.getString(2) == "keep")
+    assert(keeps.map(r => (r.getString(0), r.getString(5))).toSet == Set(("p1", "d"), ("p2", "g")))
+    assert(keeps.forall(r => r.getLong(3) == 1L && r.getLong(1) < 0), "keeps are singleton negative bins")
+    // greedy prefix rule: a compact bin's bytes stay below target + max small file
+    val compacts = plan.filter(_.getString(2) == "compact")
+    assert(compacts.nonEmpty)
+    assert(compacts.forall(_.getLong(4) < 400 + 400), "bins bounded by target + one boundary file")
+    // deterministic rerun
+    assert(Layout.compactionPlan(files, targetBytes = 400).collect().map(_.toSeq).toSet ==
+      plan.map(_.toSeq).toSet)
+  }
+
   test("groupedOls: exact line recovered, r2=1; noisy r2<1; constant-x guarded") {
     val exact = (1 to 10).map(i => ("a", i.toDouble, 3.0 * i + 7.0))
     val noisy = (1 to 10).map(i => ("b", i.toDouble, 2.0 * i + (if (i % 2 == 0) 1.0 else -1.0)))
