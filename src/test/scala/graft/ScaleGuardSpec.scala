@@ -138,6 +138,30 @@ class ScaleGuardSpec extends SparkSpec {
       s"every replica pair must surface exactly once; got $nSameBase")
   }
 
+  test("cross-corpus product cap binds before expansion under 50x replication") {
+    // new batch = one replica set (the base docs), corpus = the other 49:
+    // every band bucket holds 1 new x 49 corpus members per base doc, so a
+    // product cap below 49 must suppress every pair...
+    val newB   = docsSmall50.where(col("doc_id") < 1000000000L)
+    val corpus = docsSmall50.where(col("doc_id") >= 1000000000L)
+    assert(Dedup.crossCorpusNearDups(newB, corpus, threshold = 1.0,
+      maxBucket = Factor - 2).count() == 0,
+      "a product cap below |corpus replicas| must suppress every bucket")
+    // ...and with the cap open, every base doc pairs its new replica with
+    // all 49 corpus replicas at jaccard 1.0 — exactly once each
+    val pairs = Dedup.crossCorpusNearDups(newB, corpus, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.forall(_._3 == 1.0), "replicas are exact duplicates")
+    assert(pairs.forall(p => sameBase(p._1, p._2)),
+      "threshold 1.0 admits only same-base pairs on this corpus")
+    val nonEmptyBase = docsSmall
+      .where(size(split(col("text"), "\\s+")) > 0)
+      .where(length(regexp_replace(lower(col("text")), "[^a-z]", "")) > 0)
+      .count()
+    assert(pairs.length.toLong == nonEmptyBase * (Factor - 1),
+      s"got ${pairs.length} pairs for $nonEmptyBase tokenizable base docs x ${Factor - 1}")
+  }
+
   test("chunk-dedup maxDf binds before the join under 50x replication") {
     import graft.operators.Chunking
     assert(Chunking.chunkDupPairs(docsSmall50, maxDf = Factor - 10).count() == 0,
