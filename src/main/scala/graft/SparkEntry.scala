@@ -86,6 +86,15 @@ object SparkEntry {
     }),
 
     // -- multi-way join through the dimension chain; dims broadcast
+    // -- recency-weighted activity: counts decayed with a 24 h half-life
+    //    from the corpus max timestamp — the trending score a plain count
+    //    can't express; exact integer microsecond exponents, one pow/row
+    "q_decayed_counts" -> ((s, dir) => {
+      operators.Journeys
+        .decayedCounts(graft.sources.EventsSource.events(s, dir), halfLifeUs = 86400000000L)
+        .orderBy("event_type")
+    }),
+
     // -- heavy-hitter key profile: the pre-join skew diagnosis that
     //    decides between salting and AQE skew handling; exact counts,
     //    partial-agg + TakeOrderedAndProject, no window over data rows
@@ -1973,6 +1982,13 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
          count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_decayed_counts" ->
+      """WITH t AS (SELECT max(epoch_us(ts)) AS tmax FROM events)
+         SELECT event_type, count(*) AS n,
+                floor((sum(pow(2.0, -((tmax - epoch_us(ts))::DOUBLE / 86400000000.0)))) * 1e4 + 0.5) / 1e4
+                  AS decayed_r
+         FROM events CROSS JOIN t
+         GROUP BY 1 ORDER BY 1""",
     "q_key_skew" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
          t AS (SELECT count(*)::DOUBLE AS total FROM events)

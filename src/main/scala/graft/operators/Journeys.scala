@@ -145,6 +145,34 @@ object Journeys {
           col("n_active").cast("double") / col("n0").cast("double"), 4).as("frac"))
   }
 
+  /** Exponentially time-decayed counts per key: Σᵢ 2^(−(T − tᵢ)/halflife)
+    * — "how active is this key NOW", the recency-weighted popularity
+    * score feeding trending rankings and recency-biased sampling weights
+    * (a plain count never forgets; this one halves every `halfLifeUs`).
+    *
+    * T is the corpus max timestamp (broadcast scalar), so the score is a
+    * pure function of the data — reruns and the oracle agree exactly.
+    * The decay exponent is computed in exact INTEGER microseconds before
+    * one `pow` per row; a single partial-aggregated sum per key, no
+    * window. Returns (typeCol, n, decayed_r) 4-dp rounded.
+    */
+  def decayedCounts(
+      events: DataFrame,
+      halfLifeUs: Long,
+      typeCol: String = "event_type",
+      tsCol: String = "ts_us"): DataFrame = {
+    require(halfLifeUs > 0, s"halfLifeUs ($halfLifeUs) must be positive")
+    val tMax = events.agg(max(col(tsCol)).as("__tmax"))
+    events
+      .crossJoin(broadcast(tMax))
+      .withColumn("__w",
+        pow(lit(2.0), -((col("__tmax") - col(tsCol)).cast("double") / halfLifeUs)))
+      .groupBy(col(typeCol))
+      .agg(
+        count(lit(1)).as("n"),
+        graft.functions.Portable.pround(sum(col("__w")), 4).as("decayed_r"))
+  }
+
   /** Ordered-funnel conversion over sessions: how many sessions reach
     * stage 1 (`stages(0)` occurs), stage 2 (`stages(1)` STRICTLY AFTER
     * the first stage-1 event), stage 3, … — the product-analytics funnel
