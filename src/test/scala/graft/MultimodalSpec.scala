@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.Multimodal
 
 /** The multimodal plumbing is real (schema, batching, partition behavior),
@@ -97,6 +99,34 @@ class MultimodalSpec extends SparkSpec {
       s"3 flipped pixels should stay within a few bits, got ${ham(got(1L), got(3L))}")
     assert(ham(got(1L), got(4L)) > 8,
       s"unrelated image should be far, got ${ham(got(1L), got(4L))}")
+  }
+
+  test("image near-dup pairs: dHash feeds the pigeonhole pair generator directly") {
+    import spark.implicits._
+    import graft.operators.Dedup
+    def noisy(seed: Long, flips: Int): Array[Byte] = {
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(Multimodal.synthPng(48, 40, seed)))
+      (0 until flips).foreach(n => img.setRGB(n % 48, (n * 7) % 40,
+        img.getRGB(n % 48, (n * 7) % 40) ^ 0x040404))
+      val out = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", out)
+      out.toByteArray
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", Multimodal.synthPng(48, 40, 11L), ""),
+      Multimodal.MediaRecord(2L, "image", noisy(11L, 2), ""),
+      Multimodal.MediaRecord(3L, "image", Multimodal.synthPng(40, 48, 777L), "")
+    ).toDS()
+    // recombine the halves: the 64-bit signature rides the same pigeonhole
+    // banding as text simhash (8 bands of 8 -> exact for dist < 8)
+    val sigs = Multimodal.imageDHash(media)
+      .select(col("media_id").as("doc_id"),
+        (shiftleft(col("dhash_hi"), 32).bitwiseOR(col("dhash_lo"))).as("simhash"))
+    val pairs = Dedup.simhashPairs(sigs, maxDist = 7, bands = 8, sigBits = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)),
+      s"near-identical images pair, unrelated do not: ${pairs.toSeq}")
   }
 
   test("decode runs distributed over binary columns with stable schema") {
