@@ -209,15 +209,26 @@ object Dedup {
       .select(col("p.new_id"), col("p.corpus_id"))
       .distinct()
       .localCheckpoint(true)
-    // exact verification on candidates only: distinct shingle sets per side
-    val shSet = (d: DataFrame, as: String) =>
+    // exact verification on candidates only — and the candidate filter
+    // runs BEFORE shingling: semi-join the raw docs down to candidate ids
+    // first, so verification never tokenizes the corpus. explode_OUTER,
+    // not explode: plain explode triggers InferFiltersFromGenerate, whose
+    // size(__sh) > 0 filter pushes BELOW the semi-join and re-computes
+    // the whole shingle expression for every corpus row (measured 14 s vs
+    // 4 s at sf0.1 — the same trap minhashCandidates documents). Empty
+    // docs emit a null shingle row instead; they are never candidates,
+    // and the null never joins, so only the filter placement changes.
+    val shSet = (d: DataFrame, ids: DataFrame, as: String) =>
       TextAnalysis.withShingles(
-        d.select(col(idCol), col(textCol)), textCol, shingleK, "__sh")
-        .select(col(idCol).as(as), explode(col("__sh")).as("s"))
+        d.select(col(idCol), col(textCol))
+          .join(ids, Seq(idCol), "left_semi"),
+        textCol, shingleK, "__sh")
+        .select(col(idCol).as(as), explode_outer(col("__sh")).as("s"))
+        .where(col("s").isNotNull)
         .distinct()
-    val ns = shSet(newDocs, "new_id").join(cand.select("new_id").distinct(), Seq("new_id"), "left_semi")
+    val ns = shSet(newDocs, cand.select(col("new_id").as(idCol)).distinct(), "new_id")
       .localCheckpoint(true)
-    val cs = shSet(corpus, "corpus_id").join(cand.select("corpus_id").distinct(), Seq("corpus_id"), "left_semi")
+    val cs = shSet(corpus, cand.select(col("corpus_id").as(idCol)).distinct(), "corpus_id")
       .localCheckpoint(true)
     val nSz = ns.groupBy(col("new_id")).agg(count(lit(1)).as("n1"))
     val cSz = cs.groupBy(col("corpus_id")).agg(count(lit(1)).as("n2"))
