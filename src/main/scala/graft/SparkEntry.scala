@@ -86,6 +86,15 @@ object SparkEntry {
     }),
 
     // -- multi-way join through the dimension chain; dims broadcast
+    // -- top-20 session paths: each session's ordered event-type sequence
+    //    (first 8 steps), counted corpus-wide — the history the transition
+    //    matrix blurs; one sessionization window + path groupBy + top-k
+    "q_top_paths" -> ((s, dir) => {
+      operators.Journeys
+        .topPaths(graft.sources.EventsSource.events(s, dir), k = 20, maxLen = 8)
+        .orderBy(desc("n_sessions"), asc("path"))
+    }),
+
     // -- recency-weighted activity: counts decayed with a 24 h half-life
     //    from the corpus max timestamp — the trending score a plain count
     //    can't express; exact integer microsecond exponents, one pow/row
@@ -1982,6 +1991,24 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
          count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_top_paths" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
+         s AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us
+               FROM e),
+         s2 AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                               THEN 1 ELSE 0 END AS new_sess
+                FROM s),
+         s3 AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+                FROM s2),
+         s4 AS (SELECT *, row_number() OVER (PARTITION BY user_id, sess_id
+                            ORDER BY ts_us, event_id) AS rn
+                FROM s3),
+         p AS (SELECT user_id, sess_id,
+                      string_agg(event_type, ' > ' ORDER BY ts_us, event_id) AS path
+               FROM s4 WHERE rn <= 8 GROUP BY 1, 2)
+         SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
+         ORDER BY n_sessions DESC, path LIMIT 20""",
     "q_decayed_counts" ->
       """WITH t AS (SELECT max(epoch_us(ts)) AS tmax FROM events)
          SELECT event_type, count(*) AS n,

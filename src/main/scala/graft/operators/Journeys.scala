@@ -145,6 +145,49 @@ object Journeys {
           col("n_active").cast("double") / col("n0").cast("double"), 4).as("frac"))
   }
 
+  /** Top-k most common session PATHS: each session's ordered event-type
+    * sequence (capped at `maxLen` steps — long sessions keep their first
+    * `maxLen` events, the standard path-analysis truncation that bounds
+    * the key space), counted corpus-wide — the "what do users actually
+    * do" report that transition matrices ([[sessionTransitions]]) blur
+    * by forgetting history.
+    *
+    * Scale shape: the same one-window-per-key sessionization the whole
+    * q_sessions family shares; each session collapses to ONE path string
+    * via a sorted struct aggregate (group state bounded by maxLen after
+    * the slice), the path count is an ordinary partial-agg groupBy on
+    * path strings, and the top-k is a TakeOrderedAndProject.
+    *
+    * Returns (path, n_sessions) — path is " > "-joined event types.
+    */
+  def topPaths(
+      events: DataFrame,
+      k: Int = 20,
+      maxLen: Int = 8,
+      gapUs: Long = 1800000000L,
+      keyCol: String = "user_id",
+      tsCol: String = "ts_us",
+      typeCol: String = "event_type",
+      tieCol: String = "event_id"): DataFrame = {
+    require(k > 0 && maxLen > 0, s"k ($k) and maxLen ($maxLen) must be positive")
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(asc(tsCol), asc(tieCol))
+    val cum   = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    events
+      .withColumn("prev_us", lag(col(tsCol), 1).over(byKey))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col(tsCol) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(cum))
+      .groupBy(col(keyCol), col("sess_id"))
+      .agg(array_sort(collect_list(
+        struct(col(tsCol).as("t"), col(tieCol).as("e"), col(typeCol).as("ty")))).as("__evs"))
+      .select(concat_ws(" > ",
+        transform(slice(col("__evs"), 1, maxLen), e => e.getField("ty"))).as("path"))
+      .groupBy(col("path"))
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(k)
+  }
+
   /** Exponentially time-decayed counts per key: Σᵢ 2^(−(T − tᵢ)/halflife)
     * — "how active is this key NOW", the recency-weighted popularity
     * score feeding trending rankings and recency-biased sampling weights

@@ -32,6 +32,19 @@ class JourneysSpec extends SparkSpec {
     assert(!got.exists(t => t._1 == "B"))
   }
 
+  test("topPaths: sessions collapse to ordered paths; maxLen truncates; ties by path") {
+    val ev = Seq(
+      (1L, 1L, 0 * M, "A"), (2L, 1L, 1 * M, "B"),          // u1 s1: A > B
+      (3L, 1L, 121 * M, "A"), (4L, 1L, 122 * M, "B"),      // u1 s2: A > B
+      (5L, 2L, 0 * M, "A"), (6L, 2L, 1 * M, "C"),          // u2 s1: A > C
+      (7L, 3L, 0 * M, "X"), (8L, 3L, 1 * M, "Y"), (9L, 3L, 2 * M, "Z") // u3: truncated
+    ).toDF("event_id", "user_id", "ts_us", "event_type")
+    val got = Journeys.topPaths(ev, k = 10, maxLen = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(got.toSeq == Seq(("A > B", 2L), ("A > C", 1L), ("X > Y", 1L)),
+      s"got ${got.toSeq}")
+  }
+
   test("associationRules: hand-computed support/confidence/lift, both directions") {
     val baskets = Seq(
       (1L, "x"), (1L, "y"),
