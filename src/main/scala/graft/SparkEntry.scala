@@ -425,6 +425,15 @@ object SparkEntry {
         .orderBy(desc("score"), asc("doc_id"))
     }),
 
+    // -- unordered proximity search: docs where 'spark', 'vector', and
+    //    'window' all fit inside a 10-token span, with the minimal span —
+    //    the relevance signal between AND and exact phrase
+    "q_search_near" -> ((s, dir) => {
+      Search
+        .nearQuery(t(s, dir, "documents"), Seq("spark", "vector", "window"), window = 10)
+        .orderBy("doc_id")
+    }),
+
     // -- "more like this": top-10 docs by TF-IDF cosine to doc 7 — doc-to-
     //    doc retrieval; query vector broadcast, candidates index-served via
     //    the shared-term join, top-k as TakeOrderedAndProject
@@ -2207,6 +2216,26 @@ object SparkEntry {
           SELECT doc_id, floor((sum(tf * ln(n_docs::DOUBLE / df_t))) * 1e4 + 0.5) / 1e4 AS score
           FROM tf JOIN dfs USING (word) CROSS JOIN n
           GROUP BY doc_id ORDER BY score DESC, doc_id""",
+    "q_search_near" ->
+      """WITH toks0 AS (
+           SELECT doc_id,
+                  list_filter(
+                    list_transform(regexp_split_to_array(text, '\s+'),
+                                   x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                    w -> w <> '') AS toks
+           FROM documents),
+         ptab AS (
+           SELECT doc_id, i - 1 AS pos, toks[i] AS word
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM toks0) u),
+         p0 AS (SELECT doc_id, pos FROM ptab WHERE word = 'spark'),
+         p1 AS (SELECT doc_id, pos FROM ptab WHERE word = 'vector'),
+         p2 AS (SELECT doc_id, pos FROM ptab WHERE word = 'window'),
+         spans AS (
+           SELECT p0.doc_id,
+                  greatest(p0.pos, p1.pos, p2.pos) - least(p0.pos, p1.pos, p2.pos) AS span
+           FROM p0 JOIN p1 USING (doc_id) JOIN p2 USING (doc_id))
+         SELECT doc_id, min(span) AS min_span FROM spans
+         GROUP BY 1 HAVING min(span) <= 10 ORDER BY doc_id""",
     "q_more_like_this" ->
       s"""WITH $TokCte,
           tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -241,6 +241,57 @@ object Search {
       .orderBy("doc_id")
   }
 
+  /** Unordered proximity search ("terms NEAR each other"): docs where one
+    * occurrence of EVERY query term fits inside a `window`-token span, with
+    * the minimal such span — the relevance signal between AND (anywhere in
+    * the doc) and phrase (exactly adjacent) that every serious IR stack
+    * ships (Lucene's sloppy span queries).
+    *
+    * Per doc, candidates are the cross of the terms' position lists folded
+    * into (lo, hi) envelopes; min span = min(hi − lo). The expansion is
+    * strictly IN-DOC (narrow, no shuffle) and bounded by the product of
+    * the query terms' per-doc occurrence counts — query terms are chosen
+    * rare, and the per-doc position lists are doc-length-bounded; the
+    * sorted-lists linear merge is the constant-factor upgrade if a term's
+    * in-doc frequency ever makes the product matter. Only the terms'
+    * position rows survive the filter, so the scan prunes like
+    * [[phraseQuery]].
+    *
+    * Returns (idCol, min_span) for docs with min_span ≤ window.
+    */
+  def nearQuery(
+      docs: DataFrame,
+      words: Seq[String],
+      window: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val terms = cleanedTerms(words)
+    require(terms.size >= 2, s"proximity needs >= 2 distinct terms, got $terms")
+    require(window >= terms.size - 1, s"window ($window) can't fit ${terms.size} terms")
+    val positions = docs
+      .select(col(idCol), posexplode(Tokenize.tokenArray(col(textCol))).as(Seq("pos", "word")))
+      .where(col("word").isin(terms: _*))
+      .groupBy(col(idCol), col("word"))
+      .agg(sort_array(collect_list(col("pos"))).as("ps"))
+    val perTerm = terms.zipWithIndex.map { case (t, i) =>
+      positions.where(col("word") === t).select(col(idCol), col("ps").as(s"a$i"))
+    }
+    val joined = perTerm.reduceLeft((a, b) => a.join(b, Seq(idCol)))
+    val seed = transform(col("a0"), p => struct(p.as("lo"), p.as("hi")))
+    val cands = (1 until terms.size).foldLeft(seed) { (acc, i) =>
+      flatten(transform(acc, c =>
+        transform(col(s"a$i"), p =>
+          struct(least(c.getField("lo"), p).as("lo"),
+            greatest(c.getField("hi"), p).as("hi")))))
+    }
+    joined
+      .withColumn("min_span",
+        array_min(transform(cands, c => c.getField("hi") - c.getField("lo"))))
+      .where(col("min_span") <= window)
+      .select(col(idCol), col("min_span"))
+      .orderBy(idCol)
+  }
+
   /** "More like this": top-k documents most similar to a QUERY DOCUMENT
     * under TF-IDF cosine — document-to-document retrieval served through
     * the same sparse term statistics as [[tfidfQuery]], the classic

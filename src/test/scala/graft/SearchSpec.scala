@@ -64,6 +64,23 @@ class SearchSpec extends SparkSpec {
     assert(fromIndex == fromStream)
   }
 
+  test("nearQuery: minimal span exact; window excludes far co-occurrence; AND-like prune") {
+    import org.apache.spark.sql.functions.col
+    val corpus = Seq(
+      (1L, "spark joins tables fast"),               // spark..tables span 2
+      (2L, "spark a b c d e f g h i j k tables"),    // span 12 — outside window 5
+      (3L, "tables only here"),                      // missing 'spark'
+      (4L, "tables spark")                           // reversed order, span 1
+    ).toDF("doc_id", "text")
+    val got = Search.nearQuery(corpus, Seq("spark", "tables"), window = 5)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    assert(got.toSeq == Seq((1L, 2), (4L, 1)), s"got ${got.toSeq}")
+    // widening the window admits doc 2 with its exact span
+    val wide = Search.nearQuery(corpus, Seq("spark", "tables"), window = 12)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    assert(wide(2L) == 12)
+  }
+
   test("moreLikeThis: near-copy ranks first, disjoint-vocab doc absent, self excluded") {
     val corpus = Seq(
       (1L, "spark runs fast distributed queries on tables"),
