@@ -275,6 +275,18 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    // -- index snapshot diff: changelog between the even-docs index and
+    //    the full rebuild — per-word added/removed ids + new/gone/changed
+    //    status; change-sized output, one full-outer join on the index key
+    "q_index_diff" -> ((s, dir) => {
+      val toks = Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))
+      InvertedIndex
+        .diffIndexes(
+          InvertedIndex.postings(toks.where(col("doc_id") % 2 === 0)),
+          InvertedIndex.postings(toks))
+        .orderBy("word")
+    }),
+
     // -- incremental maintenance invariant: merge(index(even), index(odd))
     //    == index(all); the oracle is the whole-corpus index itself
     "q_index_merge" -> ((s, dir) => {
@@ -2087,6 +2099,27 @@ object SparkEntry {
           SELECT word, array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS doc_ids_str,
                  count(DISTINCT doc_id) AS df
           FROM tok GROUP BY word ORDER BY word""",
+    "q_index_diff" ->
+      s"""WITH $TokCte,
+          oldi AS (SELECT word, list_sort(list(DISTINCT doc_id)) AS ids
+                   FROM tok WHERE doc_id % 2 = 0 GROUP BY 1),
+          newi AS (SELECT word, list_sort(list(DISTINCT doc_id)) AS ids FROM tok GROUP BY 1),
+          j AS (SELECT coalesce(o.word, n.word) AS word, o.ids AS io, n.ids AS inw
+                FROM oldi o FULL OUTER JOIN newi n ON o.word = n.word),
+          d AS (SELECT word, io, inw,
+                       list_sort(list_filter(coalesce(inw, []::BIGINT[]),
+                         x -> NOT list_contains(coalesce(io, []::BIGINT[]), x))) AS added,
+                       list_sort(list_filter(coalesce(io, []::BIGINT[]),
+                         x -> NOT list_contains(coalesce(inw, []::BIGINT[]), x))) AS removed
+                FROM j)
+          SELECT word,
+                 -- DuckDB's array_to_string of an EMPTY list is NULL, not ''
+                 coalesce(array_to_string(added, ' '), '') AS added_str,
+                 coalesce(array_to_string(removed, ' '), '') AS removed_str,
+                 len(added) AS n_added, len(removed) AS n_removed,
+                 CASE WHEN io IS NULL THEN 'new' WHEN inw IS NULL THEN 'gone'
+                      ELSE 'changed' END AS status
+          FROM d WHERE len(added) > 0 OR len(removed) > 0 ORDER BY word""",
     // the merge invariant: merging the even- and odd-doc indexes must give
     // exactly the whole-corpus index, so the oracle IS q_inverted_index
     "q_index_merge" ->

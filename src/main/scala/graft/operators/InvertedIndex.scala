@@ -64,6 +64,42 @@ object InvertedIndex {
       .withColumn("letter", substring(col("word"), 1, 1))
   }
 
+  /** Index snapshot DIFF: what changed between two index versions — per
+    * word, the doc-ids added and removed, plus words that appeared or
+    * vanished entirely. The audit/ops tool behind every incremental
+    * maintenance path here ([[mergeIndexes]], [[removeDocs]],
+    * [[upsertDocs]]): after a nightly rebuild, `diff(old, new)` is the
+    * changelog to review, replicate, or roll back.
+    *
+    * One full-outer equi-join on word (both sides shuffle once on the
+    * index's own key); the set arithmetic is map-side array ops over the
+    * joined lists. Words with no change are dropped, so the output is
+    * change-sized, not index-sized.
+    *
+    * Returns (word, added_str, removed_str, n_added, n_removed, status ∈
+    * new|gone|changed), arrays space-joined ASC for the cross-engine hash.
+    */
+  def diffIndexes(oldIdx: DataFrame, newIdx: DataFrame): DataFrame = {
+    val empty = array().cast("array<bigint>")
+    val o = oldIdx.select(col("word"), col("doc_ids").as("ids_old"))
+    val n = newIdx.select(col("word"), col("doc_ids").as("ids_new"))
+    o.join(n, Seq("word"), "full_outer")
+      .withColumn("__added", sort_array(array_except(
+        coalesce(col("ids_new"), empty), coalesce(col("ids_old"), empty))))
+      .withColumn("__removed", sort_array(array_except(
+        coalesce(col("ids_old"), empty), coalesce(col("ids_new"), empty))))
+      .where(size(col("__added")) > 0 || size(col("__removed")) > 0)
+      .select(
+        col("word"),
+        array_join(col("__added"), " ").as("added_str"),
+        array_join(col("__removed"), " ").as("removed_str"),
+        size(col("__added")).as("n_added"),
+        size(col("__removed")).as("n_removed"),
+        when(col("ids_old").isNull, "new")
+          .when(col("ids_new").isNull, "gone")
+          .otherwise("changed").as("status"))
+  }
+
   /** Incremental index maintenance: delete a (small, broadcastable) set of
     * documents from the index. Map-side only — each posting list is
     * filtered in place; words whose lists empty out disappear.

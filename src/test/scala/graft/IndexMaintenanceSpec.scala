@@ -27,6 +27,32 @@ class IndexMaintenanceSpec extends SparkSpec {
     assert(snap(merged) == snap(rebuilt))
   }
 
+  test("diff is the exact changelog: applying it to old reconstructs new") {
+    val oldIdx = index(docs.where(col("doc_id") < 300))
+    val newIdx = index(docs.where(col("doc_id") >= 150)) // drops [0,150), adds [300,...)
+    val diff = InvertedIndex.diffIndexes(oldIdx, newIdx)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2), r.getString(5)))
+    assert(diff.nonEmpty)
+    // reconstruct: old ∖ removed ∪ added per word must equal new, exactly
+    val oldM = snap(oldIdx).map(t => t._1 -> t._2.toSet).toMap
+    val diffM = diff.map { case (w, a, r, _) =>
+      w -> ((if (a.isEmpty) Set.empty[Long] else a.split(" ").map(_.toLong).toSet),
+            (if (r.isEmpty) Set.empty[Long] else r.split(" ").map(_.toLong).toSet))
+    }.toMap
+    val rebuilt = (oldM.keySet ++ diffM.keySet).flatMap { w =>
+      val (add, rem) = diffM.getOrElse(w, (Set.empty[Long], Set.empty[Long]))
+      val ids = oldM.getOrElse(w, Set.empty[Long]) -- rem ++ add
+      if (ids.nonEmpty) Some(w -> ids) else None
+    }.toMap
+    assert(rebuilt == snap(newIdx).map(t => t._1 -> t._2.toSet).toMap,
+      "old + changelog must equal new")
+    // statuses: a word only in new is 'new', only in old is 'gone'
+    val statuses = diff.map(t => t._1 -> t._4).toMap
+    val newWords = snap(newIdx).map(_._1).toSet -- snap(oldIdx).map(_._1).toSet
+    assert(newWords.forall(w => statuses.get(w).contains("new")))
+  }
+
   test("remove(index(A), D) == index(A minus D)") {
     val d       = Seq(3L, 7L, 450L)
     val removed = InvertedIndex.removeDocs(index(docs), d)
