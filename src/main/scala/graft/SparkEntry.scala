@@ -1532,6 +1532,18 @@ object SparkEntry {
         .orderBy("part", "bin")
     }),
 
+    // -- two-sample Kolmogorov-Smirnov drift test: D = max CDF gap between
+    //    even- and odd-orderkey price distributions per priority (null
+    //    drift — D should be small); tie-correct, value-range-chunked cumsum
+    "q_ks_drift" -> ((s, dir) => {
+      operators.Stats
+        .ksTest(
+          t(s, dir, "orders")
+            .withColumn("smp", (lit(1) + col("o_orderkey") % 2).cast("int")),
+          "o_orderpriority", "o_totalprice", "smp", chunkWidth = 20000.0)
+        .orderBy("o_orderpriority")
+    }),
+
     // -- per-group closed-form OLS: price-vs-quantity trend per return
     //    flag from one pass of sufficient statistics (n, Σx, Σy, Σxy,
     //    Σx², Σy²) — no window, no ML library, group-sized output
@@ -3317,6 +3329,25 @@ object SparkEntry {
                 sum(bytes)::BIGINT AS total_bytes,
                 array_to_string(list_sort(list(path)), ' ') AS files_str
          FROM u GROUP BY 1, 2, 3 ORDER BY part, bin""",
+    "q_ks_drift" ->
+      """WITH s AS (SELECT o_orderpriority AS g, o_totalprice::DOUBLE AS v,
+                           1 + o_orderkey % 2 AS smp
+                    FROM orders),
+         pv AS (SELECT g, v,
+                       sum(CASE WHEN smp = 1 THEN 1 ELSE 0 END) AS c1,
+                       sum(CASE WHEN smp = 2 THEN 1 ELSE 0 END) AS c2
+                FROM s GROUP BY 1, 2),
+         c AS (SELECT *,
+                      sum(c1) OVER (PARTITION BY g ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum1,
+                      sum(c2) OVER (PARTITION BY g ORDER BY v
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum2
+               FROM pv),
+         t AS (SELECT g, sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2 FROM pv GROUP BY 1)
+         SELECT g AS o_orderpriority, n1, n2,
+                floor((max(abs(cum1 / n1::DOUBLE - cum2 / n2::DOUBLE))) * 1e6 + 0.5) / 1e6 AS d_r
+         FROM c JOIN t USING (g)
+         GROUP BY g, n1, n2 ORDER BY 1""",
     "q_group_ols" ->
       """WITH a AS (
            SELECT l_returnflag, count(*)::DOUBLE AS n,

@@ -98,6 +98,67 @@ object Stats {
         Portable.pround(max(col("__v")), 4).as("hi"))
   }
 
+  /** Two-sample Kolmogorov–Smirnov statistic per group: D = max over x of
+    * |F₁(x) − F₂(x)| between the empirical CDFs of two tagged samples —
+    * the distribution-drift detector ("did this source's quality-score
+    * distribution move between snapshots?") that mean/variance checks
+    * miss entirely.
+    *
+    * Exact and tie-correct: rows first collapse to DISTINCT values with
+    * per-sample counts (the only corpus-sized shuffle — the CDF steps only
+    * at observed values), then the cumulative counts run in the two-pass
+    * chunked prefix form CHUNKED ON THE VALUE RANGE (`floor(v / width)` is
+    * monotone in v, so chunk bases + bounded in-chunk windows reproduce
+    * the per-group value order exactly — the packByOffset pattern applied
+    * to a sort-by-value statistic). D evaluates at every distinct value
+    * from group-distribution-sized data.
+    *
+    * Returns (groupCol, n1, n2, d_r) with D 6-dp rounded.
+    */
+  def ksTest(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      sampleCol: String,
+      chunkWidth: Double = 1000.0): DataFrame = {
+    require(chunkWidth > 0, s"chunkWidth ($chunkWidth) must be positive")
+    val v = col(valueCol).cast("double")
+    val perValue = df
+      .groupBy(col(groupCol), v.as("__v"))
+      .agg(
+        sum(when(col(sampleCol) === 1, 1L).otherwise(0L)).as("__c1"),
+        sum(when(col(sampleCol) === 2, 1L).otherwise(0L)).as("__c2"))
+      .withColumn("__chunk", floor(col("__v") / chunkWidth).cast("long"))
+    val wChunks = Window.partitionBy(col(groupCol)).orderBy(col("__chunk"))
+    val bases = perValue
+      .groupBy(col(groupCol), col("__chunk"))
+      .agg(sum(col("__c1")).as("__s1"), sum(col("__c2")).as("__s2"))
+      .withColumn("__b1", sum(col("__s1")).over(wChunks) - col("__s1"))
+      .withColumn("__b2", sum(col("__s2")).over(wChunks) - col("__s2"))
+      .select(col(groupCol), col("__chunk"), col("__b1"), col("__b2"))
+    val totals = df
+      .groupBy(col(groupCol))
+      .agg(
+        sum(when(col(sampleCol) === 1, 1L).otherwise(0L)).as("n1"),
+        sum(when(col(sampleCol) === 2, 1L).otherwise(0L)).as("n2"))
+    val wLocal = Window.partitionBy(col(groupCol), col("__chunk")).orderBy(col("__v"))
+    perValue
+      .join(broadcast(bases), Seq(groupCol, "__chunk"))
+      .withColumn("__cum1", col("__b1") + sum(col("__c1")).over(wLocal))
+      .withColumn("__cum2", col("__b2") + sum(col("__c2")).over(wLocal))
+      .join(broadcast(totals), Seq(groupCol))
+      // D is undefined against an empty sample — drop one-sided groups
+      .where(col("n1") > 0 && col("n2") > 0)
+      .withColumn("__gap", abs(
+        col("__cum1").cast("double") / col("n1") -
+        col("__cum2").cast("double") / col("n2")))
+      .groupBy(col(groupCol))
+      .agg(
+        first(col("n1")).as("n1"),
+        first(col("n2")).as("n2"),
+        Portable.pround(max(col("__gap")), 6).as("d_r"))
+  }
+
   /** Per-group simple linear regression (closed-form OLS): slope,
     * intercept, and R² of y on x from the five sufficient statistics
     * (n, Σx, Σy, Σxy, Σx²[, Σy²]) — the drift detector a corpus monitor

@@ -333,6 +333,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rc.getDouble(2) == rc.getDouble(3))
   }
 
+  test("ksTest: planted shift detected, identical samples give D=0; mirror-exact") {
+    def ksRef(a: Seq[Double], b: Seq[Double]): Double = {
+      val xs = (a ++ b).distinct.sorted
+      xs.map { x =>
+        math.abs(a.count(_ <= x).toDouble / a.size - b.count(_ <= x).toDouble / b.size)
+      }.max
+    }
+    val rnd = new scala.util.Random(7)
+    val sA = Seq.fill(200)(rnd.nextDouble() * 100)          // uniform [0,100)
+    val sB = Seq.fill(150)(rnd.nextDouble() * 100 + 30)     // shifted +30
+    val sC = sA                                             // identical to A
+    val rows =
+      sA.map(v => ("shift", v, 1)) ++ sB.map(v => ("shift", v, 2)) ++
+      sA.map(v => ("same", v, 1)) ++ sC.map(v => ("same", v, 2))
+    val got = Stats.ksTest(rows.toDF("g", "v", "smp"), "g", "v", "smp", chunkWidth = 10.0)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    val (n1, n2, d) = got("shift")
+    assert(n1 == 200 && n2 == 150)
+    assert(math.abs(d - math.floor(ksRef(sA, sB) * 1e6 + 0.5) / 1e6) < 1e-12,
+      s"D must equal the in-memory two-sample KS: $d vs ${ksRef(sA, sB)}")
+    assert(d > 0.2, "a +30 shift on [0,100) must show strong drift")
+    assert(got("same")._3 == 0.0, "identical samples have zero CDF gap")
+  }
+
   test("compactionPlan: bytes conserved, bins near target, big files kept singleton") {
     import graft.operators.Layout
     val files = Seq(
