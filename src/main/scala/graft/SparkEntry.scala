@@ -437,6 +437,22 @@ object SparkEntry {
         .orderBy(desc("score"), asc("doc_id"))
     }),
 
+    // -- hybrid retrieval via reciprocal-rank fusion: BM25 lexical ranks
+    //    fused with embedding-cosine ANN ranks (vec_id aliased to doc_id
+    //    on this synthetic corpus) — rank-based, no score calibration
+    "q_hybrid_search" -> ((s, dir) => {
+      val toks = Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))
+      val lex = Search.rankResults(
+        Search.bm25Query(toks, Seq("spark", "vector", "window")))
+      val emb = t(s, dir, "embeddings")
+      val ann = Similarity
+        .bruteForceTopK(emb, emb.where(col("vec_id") === 5), k = 50)
+        .select(col("vec_id").as("doc_id"), col("rank"))
+      Search
+        .rrfFuse(Seq(lex, ann), k = 15)
+        .orderBy(desc("rrf_r"), asc("doc_id"))
+    }),
+
     // -- unordered proximity search: docs where 'spark', 'vector', and
     //    'window' all fit inside a 10-token span, with the minimal span —
     //    the relevance signal between AND and exact phrase
@@ -2261,6 +2277,48 @@ object SparkEntry {
           SELECT doc_id, floor((sum(tf * ln(n_docs::DOUBLE / df_t))) * 1e4 + 0.5) / 1e4 AS score
           FROM tf JOIN dfs USING (word) CROSS JOIN n
           GROUP BY doc_id ORDER BY score DESC, doc_id""",
+    "q_hybrid_search" ->
+      s"""WITH $TokCte,
+          dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+          stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+          tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+                 WHERE word IN ('spark', 'vector', 'window') GROUP BY doc_id, word),
+          dfs AS (SELECT word, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY word),
+          bscore AS (
+            SELECT doc_id,
+                   sum(idf * (tf * (1.2 + 1.0)) /
+                       (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+            FROM (SELECT tf.doc_id, tf.tf, dl.dl, n_docs, avgdl,
+                         ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) AS idf
+                  FROM tf JOIN dfs USING (word)
+                  JOIN dl ON dl.doc_id = tf.doc_id
+                  CROSS JOIN stats) u
+            GROUP BY doc_id),
+          lex AS (SELECT doc_id,
+                         row_number() OVER (ORDER BY floor(score * 1e6 + 0.5) / 1e6 DESC, doc_id) AS r1
+                  FROM bscore),
+          e AS (SELECT vec_id, embedding,
+                       sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                            i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+                FROM embeddings),
+          q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id = 5),
+          pairs AS (
+            SELECT e.vec_id,
+                   list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> qv[i]::DOUBLE * e.embedding[i]::DOUBLE)) / (qn * e.nrm) AS cos
+            FROM q CROSS JOIN e WHERE e.vec_id <> q_id),
+          ann AS (SELECT vec_id AS doc_id, rank AS r2 FROM (
+                    SELECT vec_id,
+                           row_number() OVER (ORDER BY floor(cos * 1e6 + 0.5) / 1e6 DESC, vec_id) AS rank
+                    FROM pairs) x
+                  WHERE rank <= 50),
+          f AS (SELECT coalesce(lex.doc_id, ann.doc_id) AS doc_id, r1, r2
+                FROM lex FULL OUTER JOIN ann ON lex.doc_id = ann.doc_id)
+          SELECT doc_id,
+                 (CASE WHEN r1 IS NOT NULL THEN 1 ELSE 0 END
+                  + CASE WHEN r2 IS NOT NULL THEN 1 ELSE 0 END) AS n_lists,
+                 floor((coalesce(1.0 / (60 + r1), 0) + coalesce(1.0 / (60 + r2), 0)) * 1e8 + 0.5) / 1e8 AS rrf_r
+          FROM f ORDER BY rrf_r DESC, doc_id LIMIT 15""",
     "q_search_near" ->
       """WITH toks0 AS (
            SELECT doc_id,

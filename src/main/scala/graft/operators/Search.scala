@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Query-side of the inverted index: the reference only BUILDS the index
@@ -348,6 +349,60 @@ object Search {
       .orderBy(col("cos_sim").desc, col(idCol).asc)
       .limit(k)
   }
+
+  /** Reciprocal-rank fusion (RRF, Cormack et al. 2009): combine several
+    * ranked retrieval lists into one hybrid ranking by
+    * score(d) = Σ_lists 1/(c + rank_list(d)) — the standard way modern
+    * stacks fuse lexical (BM25) and dense (embedding ANN) retrieval
+    * without score calibration: ranks are comparable when scores aren't,
+    * and c=60 damps the head so one list can't dominate.
+    *
+    * Inputs are RANKED lists (idCol, rankCol), i.e. per-query result
+    * relations (top-k / term-matched candidates — result-sized, which is
+    * why the fusion join and sort are trivially small at any corpus
+    * scale). Documents absent from a list contribute nothing for it.
+    *
+    * Returns the top `k` (idCol, n_lists, rrf_r), rrf 8-dp rounded with
+    * ties broken on id — deterministic cross-engine.
+    */
+  def rrfFuse(
+      rankedLists: Seq[DataFrame],
+      k: Int = 10,
+      c: Int = 60,
+      idCol: String = "doc_id",
+      rankCol: String = "rank"): DataFrame = {
+    require(rankedLists.size >= 2, "fusion needs at least two lists")
+    require(k > 0 && c >= 0, s"k ($k) must be positive, c ($c) non-negative")
+    val prepared = rankedLists.zipWithIndex.map { case (r, i) =>
+      r.select(col(idCol), col(rankCol).cast("long").as(s"__r$i"))
+    }
+    val joined = prepared.reduceLeft((a, b) => a.join(b, Seq(idCol), "full_outer"))
+    val contrib = rankedLists.indices.map(i =>
+      when(col(s"__r$i").isNotNull, lit(1.0) / (lit(c) + col(s"__r$i"))).otherwise(lit(0.0)))
+    val present = rankedLists.indices.map(i =>
+      when(col(s"__r$i").isNotNull, 1).otherwise(0))
+    joined
+      .withColumn("rrf_r", graft.functions.Portable.pround(contrib.reduce(_ + _), 8))
+      .withColumn("n_lists", present.reduce(_ + _))
+      .select(col(idCol), col("n_lists"), col("rrf_r"))
+      .orderBy(col("rrf_r").desc, col(idCol).asc)
+      .limit(k)
+  }
+
+  /** Rank a scored result relation for [[rrfFuse]]: row_number over
+    * (6-dp-rounded score DESC, id ASC). The window is RESULT-sized (a
+    * query's candidates), not corpus-sized; rounding before ranking makes
+    * tie order cross-engine deterministic.
+    */
+  def rankResults(
+      scored: DataFrame,
+      idCol: String = "doc_id",
+      scoreCol: String = "score"): DataFrame =
+    scored.select(col(idCol),
+      graft.functions.Portable.pround(col(scoreCol).cast("double"), 6).as("__s"))
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("__s").desc, col(idCol).asc)))
+      .select(col(idCol), col("rank"))
 
   /** Vocabulary prefix search over the index: the words starting with
     * `prefix` ranked by document frequency — the query-autocomplete /

@@ -64,6 +64,21 @@ class SearchSpec extends SparkSpec {
     assert(fromIndex == fromStream)
   }
 
+  test("rrfFuse: both-list docs beat single-list; absent list contributes zero") {
+    import spark.implicits._
+    val l1 = Seq((10L, 1), (20L, 2), (30L, 3)).toDF("doc_id", "rank")
+    val l2 = Seq((20L, 1), (40L, 2)).toDF("doc_id", "rank")
+    val got = Search.rrfFuse(Seq(l1, l2), k = 10, c = 60)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    // doc 20: 1/62 + 1/61 tops everything; singles follow by their one rank
+    assert(got.head._1 == 20L && got.head._2 == 2)
+    assert(math.abs(got.head._3 - math.floor((1.0 / 62 + 1.0 / 61) * 1e8 + 0.5) / 1e8) < 1e-12)
+    val singles = got.tail
+    assert(singles.map(_._1).toSeq == Seq(10L, 40L, 30L),
+      s"singles rank by their own list position: ${singles.toSeq}")
+    assert(singles.forall(_._2 == 1))
+  }
+
   test("nearQuery: minimal span exact; window excludes far co-occurrence; AND-like prune") {
     import org.apache.spark.sql.functions.col
     val corpus = Seq(
