@@ -1792,6 +1792,15 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // -- Johnson-Lindenstrauss random projection: 64-dim embeddings to 8
+    //    md5-derived directions (scaled sqrt(12/m) to preserve norms) —
+    //    map-side, matrix shipped as literals, oracle replays the md5
+    "q_random_proj" -> ((s, dir) => {
+      Similarity
+        .randomProject(t(s, dir, "embeddings"), m = 8)
+        .orderBy("vec_id")
+    }),
+
     // -- CDC MERGE apply: fold a changelog (deletes, multi-version
     //    updates, inserts; synthesized deterministically from orders so
     //    the oracle can mirror it) into the base snapshot — latest seq
@@ -1945,6 +1954,20 @@ object SparkEntry {
 
   private def lshBucketSql(planes: Int): String =
     s"""SELECT vec_id, (${lshBucketExpr(planes)})::BIGINT AS bucket FROM embeddings ORDER BY vec_id"""
+
+  /** DuckDB mirror of [[graft.operators.Similarity.randomProject]]: same
+    * md5 direction formula as [[lshBucketExpr]], kept real-valued and
+    * scaled √(12/m), one 4-dp column per component.
+    */
+  private def randomProjSql(m: Int, seedOffset: Int): String = {
+    val scale = math.sqrt(12.0 / m)
+    val comps = (0 until m).map { j =>
+      val seed = seedOffset + j
+      s"""floor(((list_sum(list_transform(range(1, len(embedding) + 1),
+          i -> embedding[i]::DOUBLE * (('0x' || substr(md5('$seed' || ':' || i), 1, 8))::BIGINT::DOUBLE / 4294967296.0 - 0.5)))) * $scale) * 1e4 + 0.5) / 1e4 AS p$j"""
+    }.mkString(",\n                ")
+    s"SELECT vec_id,\n                $comps\n         FROM embeddings ORDER BY vec_id"
+  }
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`. */
   private val TokCte =
@@ -2319,6 +2342,7 @@ object SparkEntry {
                   + CASE WHEN r2 IS NOT NULL THEN 1 ELSE 0 END) AS n_lists,
                  floor((coalesce(1.0 / (60 + r1), 0) + coalesce(1.0 / (60 + r2), 0)) * 1e8 + 0.5) / 1e8 AS rrf_r
           FROM f ORDER BY rrf_r DESC, doc_id LIMIT 15""",
+    "q_random_proj" -> randomProjSql(m = 8, seedOffset = 500),
     "q_search_near" ->
       """WITH toks0 AS (
            SELECT doc_id,

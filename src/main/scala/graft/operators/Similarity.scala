@@ -133,6 +133,37 @@ object Similarity {
     df.withColumn("bucket", guarded)
   }
 
+  /** Random-projection dimensionality reduction (Johnson–Lindenstrauss):
+    * project each embedding onto `m` deterministic md5-derived directions
+    * (the SAME hyperplane construction [[withLshBucket]] signs, kept as
+    * real values instead of bits), scaled by √(12/m) so expected norms
+    * are preserved (uniform [−0.5, 0.5) entries have variance 1/12) — the
+    * standard cheap preprocessing that shrinks vectors before ANN
+    * indexing or pairwise scans while approximately preserving distances.
+    *
+    * Pure map-side: the m×d projection matrix is computed ONCE on the
+    * driver and shipped as literals (metadata — the oracle recomputes the
+    * identical md5 formula in SQL); one dot product per output component.
+    * Components land as 4-dp-rounded DOUBLE columns p0..p{m−1} (not a
+    * joined string — double→string formatting is NOT cross-engine
+    * portable: Spark prints 1e-4 as "1.0E-4", DuckDB as "0.0001").
+    * `seedOffset` keeps the directions disjoint from the LSH tables'
+    * planes.
+    */
+  def randomProject(
+      df: DataFrame,
+      m: Int,
+      dim: Int = 64,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      seedOffset: Int = 500): DataFrame = {
+    require(m >= 1, s"m ($m) must be positive")
+    val scale = math.sqrt(12.0 / m)
+    df.select(col(idCol) +: (0 until m).map(j =>
+      graft.functions.Portable.pround(
+        proj(vecCol, seedOffset + j, dim) * scale, 4).as(s"p$j")): _*)
+  }
+
   /** Plane count that keeps EXPECTED bucket membership near `targetBucket`
     * for a corpus of `corpusSize` vectors: 2^planes buckets per table ⇒
     * planes = ⌈log2(N / targetBucket)⌉. The round-2 weakness was a FIXED

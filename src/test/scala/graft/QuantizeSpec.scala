@@ -46,4 +46,31 @@ class QuantizeSpec extends SparkSpec {
     val maxErr = pairs.agg(max(abs(col("qdot") - col("fdot")))).head.getDouble(0)
     assert(maxErr < 0.05, s"int8 dot diverged from float dot by $maxErr")
   }
+
+  test("randomProject approximately preserves pairwise distances (JL property)") {
+    val sub = emb.where(col("vec_id") < 30)
+    val proj = Similarity.randomProject(sub, m = 8)
+    val pcols = (0 until 8).map(j => col(s"p$j"))
+    val projArr = proj.select(col("vec_id"), array(pcols: _*).as("pv"))
+    val orig = sub.select(col("vec_id"), col("embedding"))
+    def d2(a: org.apache.spark.sql.Column, b: org.apache.spark.sql.Column) =
+      aggregate(zip_with(a, b, (x, y) => (x.cast("double") - y.cast("double"))
+        * (x.cast("double") - y.cast("double"))), lit(0.0), (s, e) => s + e)
+    val joined = orig.as("a").join(orig.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("i"), col("b.vec_id").as("j"),
+        d2(col("a.embedding"), col("b.embedding")).as("od2"))
+      .join(projArr.as("pa"), col("i") === col("pa.vec_id"))
+      .join(projArr.as("pb"), col("j") === col("pb.vec_id"))
+      .select(col("od2"), d2(col("pa.pv"), col("pb.pv")).as("pd2"))
+      .where(col("od2") > 1e-9)
+      .withColumn("ratio", col("pd2") / col("od2"))
+    val stats = joined.agg(
+      avg(col("ratio")).as("mean"), min(col("ratio")).as("lo"), max(col("ratio")).as("hi"))
+      .head()
+    // m=8 is coarse: the MEAN ratio should sit near 1 (unbiased estimator),
+    // individual pairs spread but stay within loose multiplicative bounds
+    assert(math.abs(stats.getDouble(0) - 1.0) < 0.35, s"mean distortion ${stats.getDouble(0)}")
+    assert(stats.getDouble(1) > 0.02 && stats.getDouble(2) < 6.0,
+      s"pairwise distortion out of loose JL bounds: ${stats}")
+  }
 }
