@@ -86,6 +86,14 @@ object SparkEntry {
     }),
 
     // -- multi-way join through the dimension chain; dims broadcast
+    // -- DAU/WAU stickiness: exact trailing-7-day distinct users via the
+    //    constant x7 day-grain expansion — no sliding window over events
+    "q_dau_wau" -> ((s, dir) => {
+      operators.Journeys
+        .dauWau(graft.sources.EventsSource.events(s, dir))
+        .orderBy("day")
+    }),
+
     // -- top-20 session paths: each session's ordered event-type sequence
     //    (first 8 steps), counted corpus-wide — the history the transition
     //    matrix blurs; one sessionization window + path groupBy + top-k
@@ -2063,6 +2071,19 @@ object SparkEntry {
       """SELECT l_returnflag, count(DISTINCT l_partkey) AS n_parts,
          count(DISTINCT l_suppkey) AS n_supps, count(*) AS n_rows
          FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""",
+    "q_dau_wau" ->
+      """WITH daily AS (SELECT DISTINCT ts::DATE AS day, user_id AS u FROM events),
+         dau AS (SELECT day, count(DISTINCT u) AS dau FROM daily GROUP BY 1),
+         mx AS (SELECT max(day) AS mxd FROM daily),
+         w AS (SELECT daily.day + t.o::INT AS day, u
+               FROM daily
+               CROSS JOIN (SELECT unnest(range(0, 7)) AS o) t
+               CROSS JOIN mx
+               WHERE daily.day + t.o::INT <= mx.mxd),
+         wau AS (SELECT day, count(DISTINCT u) AS wau FROM w GROUP BY 1)
+         SELECT d.day, d.dau, wau.wau,
+                floor((d.dau::DOUBLE / wau.wau) * 1e4 + 0.5) / 1e4 AS stickiness_r
+         FROM dau d JOIN wau USING (day) ORDER BY d.day""",
     "q_top_paths" ->
       """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, event_type FROM events),
          s AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id) AS prev_us

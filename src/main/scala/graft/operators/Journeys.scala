@@ -188,6 +188,46 @@ object Journeys {
       .limit(k)
   }
 
+  /** DAU/WAU engagement ("stickiness"): per calendar day, the count of
+    * distinct active users that day (DAU), over the trailing 7-day
+    * window (WAU), and their ratio — the metric that separates daily
+    * habits from weekly drop-ins.
+    *
+    * Exact sliding-window DISTINCT without a sliding window: the event
+    * stream first collapses to the distinct (day, user) relation (the
+    * only corpus-sized shuffle); each row then EXPLODES to the 7 target
+    * days it supports (a constant ×7 of day-grain metadata — the same
+    * trick q_events_sliding's fixed window count uses), and one distinct
+    * count per target day finishes it. Days are emitted only within the
+    * observed range, so leading days have partial windows by design
+    * (WAU over the data that exists).
+    *
+    * Returns (day, dau, wau, stickiness_r) with the ratio 4-dp rounded.
+    */
+  def dauWau(
+      events: DataFrame,
+      keyCol: String = "user_id",
+      tsCol: String = "ts_t"): DataFrame = {
+    val daily = events
+      .select(to_date(col(tsCol)).as("day"), col(keyCol).as("u"))
+      .distinct()
+      .localCheckpoint(true)
+    val dau = daily.groupBy(col("day")).agg(countDistinct(col("u")).as("dau"))
+    val maxDay = daily.agg(max(col("day")).as("__max_day"))
+    val wau = daily
+      .select(explode(sequence(lit(0), lit(6))).as("__off"), col("day"), col("u"))
+      .withColumn("day", date_add(col("day"), col("__off")))
+      .crossJoin(broadcast(maxDay))
+      .where(col("day") <= col("__max_day"))
+      .groupBy(col("day"))
+      .agg(countDistinct(col("u")).as("wau"))
+    dau
+      .join(wau, Seq("day"))
+      .withColumn("stickiness_r",
+        graft.functions.Portable.pround(
+          col("dau").cast("double") / col("wau").cast("double"), 4))
+  }
+
   /** Exponentially time-decayed counts per key: Σᵢ 2^(−(T − tᵢ)/halflife)
     * — "how active is this key NOW", the recency-weighted popularity
     * score feeding trending rankings and recency-biased sampling weights

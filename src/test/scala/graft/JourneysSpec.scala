@@ -45,6 +45,26 @@ class JourneysSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("dauWau: trailing-7-day distinct; weekly user lifts WAU but not DAU") {
+    import org.apache.spark.sql.functions.{col, to_timestamp}
+    val day = 86400L * 1000000L
+    // user 1 active days 1..10; user 2 only day 3
+    val ev = ((1 to 10).map(d => (d.toLong, 1L, d * day)) ++ Seq((100L, 2L, 3 * day)))
+      .toDF("event_id", "user_id", "us")
+      .withColumn("ts_t", to_timestamp(col("us") / 1000000L))
+    val got = Journeys.dauWau(ev)
+      .collect().map(r => (r.getDate(0).toString, r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1).toSeq
+    assert(got.size == 10, "one row per active day")
+    // epoch-day d renders as 1970-01-(d+1)
+    val byDay = got.map(t => t._1.takeRight(2).toInt - 1 -> t).toMap
+    assert(byDay(3)._2 == 2 && byDay(3)._3 == 2, "both users active day 3")
+    assert(byDay(4)._2 == 1 && byDay(4)._3 == 2,
+      "day 4: only user 1 active, but user 2's day-3 visit stays in the 7-day window")
+    assert(byDay(10)._3 == 1, "user 2 aged out of the window by day 10")
+    assert(byDay(10)._4 == 1.0, "single habitual user -> stickiness 1")
+  }
+
   test("associationRules: hand-computed support/confidence/lift, both directions") {
     val baskets = Seq(
       (1L, "x"), (1L, "y"),
