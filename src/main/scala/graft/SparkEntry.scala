@@ -665,6 +665,18 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- the decontamination ACTION: any doc sharing a benchmark 5-gram
+    //    dropped (strictest setting - the corpus has exactly one such
+    //    doc), survivors keep their overlap count as the audit trail
+    "q_decontam_filter" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis
+        .decontaminate(
+          docs.where(col("doc_id") > 5), docs.where(col("doc_id") <= 5),
+          k = 5, maxOverlap = 1)
+        .orderBy("doc_id")
+    }),
+
     // -- deterministic stratified sample: per-language keep fractions,
     //    md5-threshold based so every rerun (and the oracle) keeps the
     //    identical rows
@@ -2651,6 +2663,16 @@ object SparkEntry {
           SELECT doc_id, count(DISTINCT s) AS n_overlap
           FROM dd JOIN bench USING (s)
           GROUP BY doc_id ORDER BY doc_id""",
+    "q_decontam_filter" ->
+      s"""WITH ${shinglesCte(5)},
+          bench AS (SELECT DISTINCT unnest(shingles) AS s FROM sh WHERE doc_id <= 5),
+          dd AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE doc_id > 5),
+          ov AS (SELECT doc_id, count(DISTINCT s) AS n_overlap
+                 FROM dd JOIN bench USING (s) GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(ov.n_overlap, 0) AS n_overlap
+          FROM documents d LEFT JOIN ov USING (doc_id)
+          WHERE d.doc_id > 5 AND coalesce(ov.n_overlap, 0) < 1
+          ORDER BY d.doc_id""",
     // same md5-threshold formula as Sampling.sampleHash/threshold
     "q_sample_stratified" ->
       s"""SELECT doc_id, lang FROM documents

@@ -235,6 +235,32 @@ object TextAnalysis {
       .agg(countDistinct(col("s")).as("n_overlap"))
   }
 
+  /** The decontamination ACTION: drop every document whose k-gram overlap
+    * with the benchmark reaches `maxOverlap` — [[contaminationOverlap]]
+    * reports; this enforces. Kept docs ride through with their overlap
+    * count (0 for docs sharing nothing), so the output doubles as the
+    * audit trail of what survived and how close it sat to the line.
+    *
+    * Same scale shape as the report: benchmark shingles broadcast, one
+    * shingle equi-join bounded by benchmark hits, and the corpus
+    * re-emerges via a left join on ids — never a second tokenization.
+    */
+  def decontaminate(
+      docs: DataFrame,
+      benchmark: DataFrame,
+      k: Int = 5,
+      maxOverlap: Int = 1,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(maxOverlap >= 1, s"maxOverlap ($maxOverlap) must be >= 1")
+    val overlap = contaminationOverlap(docs, benchmark, k, idCol, textCol)
+    docs
+      .join(overlap, Seq(idCol), "left_outer")
+      .withColumn("n_overlap", coalesce(col("n_overlap"), lit(0L)))
+      .where(col("n_overlap") < maxOverlap)
+      .select(col(idCol), col("n_overlap"))
+  }
+
   /** Rolling-hash document fingerprint: lexicographic min of md5(shingle) —
     * a winnowing-style content signature, portable across engines because it
     * is pure md5-hex string ordering. Returns df + `out` column.

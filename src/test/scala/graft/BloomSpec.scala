@@ -39,6 +39,28 @@ class BloomSpec extends SparkSpec {
       s"$falsePos false positives over $clean clean docs")
   }
 
+  test("decontaminate drops exactly the flagged docs; survivors carry their overlap") {
+    val corpus = docs.where(col("doc_id") % 25 =!= 0)
+    val report = TextAnalysis
+      .contaminationOverlap(corpus, benchmark, k = 5)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val kept = TextAnalysis
+      .decontaminate(corpus, benchmark, k = 5, maxOverlap = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val total = corpus.count()
+    assert(kept.size.toLong == total - report.count(_._2 >= 1),
+      "every doc with >= maxOverlap shared k-grams is gone, nothing else")
+    assert(report.keySet.intersect(kept.keySet).isEmpty,
+      "at maxOverlap=1 no reported doc survives")
+    assert(kept.values.forall(_ == 0L), "survivors carry overlap 0")
+    // looser threshold keeps the low-overlap docs, with their counts
+    val loose = TextAnalysis
+      .decontaminate(corpus, benchmark, k = 5, maxOverlap = 1000)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loose.size.toLong == total)
+    report.foreach { case (id, n) => assert(loose(id) == n, s"audit trail for $id") }
+  }
+
   test("zero-overlap corpus: flagged set is pure false positives and stays small at tight fpp") {
     val foreign = Seq((1L, "zzqx wvvk pprt mmnn ccdd eeff gghh iijj kkll"),
                       (2L, "aabb ccdd eeff gghh iijj kkll mmnn oopp qqrr"))
