@@ -61,6 +61,26 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
 
+    /** Release the previous query's checkpoint/persist blocks, then fence.
+      *
+      * Eagerly `localCheckpoint(true)`ed relations (pagerank / ppr / kmeans
+      * / bpe each pin several per run) stay registered in the block manager
+      * until the ContextCleaner notices the dead reference — asynchronous
+      * and GC-driven, so across a 150+-entry single-JVM sweep the blocks
+      * pile up and raise heap pressure for everything after them (round-8
+      * drift: five queries in untouched files regressed 28-51%). Every
+      * sweep query rebuilds its DataFrames from scratch inside the timer,
+      * so dropping ALL persistent RDDs between samples is safe here; this
+      * is NOT called around the ref-corpus warm loop, whose analyzed plan
+      * is deliberately reused across runs.
+      */
+    def clearRddStorage(): Unit = {
+      try spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = true))
+      catch { case scala.util.control.NonFatal(_) => () }
+      fence()
+    }
+
     /** Time `body`; -1 on failure. A crash in any one workload must not
       * cost the harness the whole JSON line.
       */
@@ -97,12 +117,12 @@ object Bench {
       var failed  = false
       val first   = time { try body catch { case _: Throwable => failed = true } }
       if (failed) { results(name) = -1.0; return }
-      fence()
+      clearRddStorage()
       val second  = time { try body catch { case _: Throwable => failed = true } }
       if (failed) { results(name) = -1.0; return }
       val best2 = math.min(first, second)
       if (math.max(first, second) <= best2 * 1.5) { results(name) = best2; return }
-      fence()
+      clearRddStorage()
       val third = time { try body catch { case _: Throwable => failed = true } }
       results(name) = if (failed) -1.0 else math.min(best2, third)
     }
@@ -148,7 +168,7 @@ object Bench {
     }
 
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      fence()
+      clearRddStorage()
       // build + execute inside the timer both times: several queries (the
       // dedup-groups family) run their iterative actions during DataFrame
       // CONSTRUCTION, so timing a pre-built df would skip the real work
@@ -165,11 +185,17 @@ object Bench {
     // (rounds 3-4 lost the first ~45 queries of the map), so the complete
     // per-query map also lands in a FILE artifact — round-over-round
     // regressions stay diffable without scraping stdout.
+    // NonFatal only, and LOUD: a silently-failed write leaves a stale
+    // artifact from a previous round misreporting the current sweep — the
+    // artifact exists precisely because stdout was unreliable
     try {
       val out = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
       java.nio.file.Files.write(java.nio.file.Paths.get(out),
         (full + "\n").getBytes("UTF-8"))
-    } catch { case _: Throwable => () }
+    } catch {
+      case scala.util.control.NonFatal(e) =>
+        Console.err.println(s"WARN: BENCH_FULL write failed (stale artifact possible): $e")
+    }
     // The full line above is ~3 KB and the driver's stdout-tail capture has
     // truncated its FRONT in rounds 3-4 ("parsed": null). Print a short
     // final line — total + flagship numbers only — so the parse target

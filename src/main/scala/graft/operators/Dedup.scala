@@ -201,7 +201,12 @@ object Dedup {
         sort_array(collect_set(when(col("__new"), col(idCol)))).as("nids"),
         sort_array(collect_set(when(!col("__new"), col(idCol)))).as("cids"))
       .where(size(col("nids")) >= 1 && size(col("cids")) >= 1 &&
-        size(col("nids")) * size(col("cids")) <= maxBucket)
+        // the product must be computed in 64 bits: size() is Int, and a
+        // degenerate band with >~46k ids per side would overflow the Int
+        // product to negative, PASSING the cap it exists to enforce (the
+        // DuckDB oracle computes the product in BIGINT, so the long cast
+        // also keeps both engines choosing the same buckets)
+        size(col("nids")).cast("long") * size(col("cids")).cast("long") <= maxBucket)
     val cand = buckets
       .select(explode_outer(expr(
         "flatten(transform(nids, n -> transform(cids, c -> named_struct('new_id', n, 'corpus_id', c))))"))

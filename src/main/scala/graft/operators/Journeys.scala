@@ -153,10 +153,13 @@ object Journeys {
     * by forgetting history.
     *
     * Scale shape: the same one-window-per-key sessionization the whole
-    * q_sessions family shares; each session collapses to ONE path string
-    * via a sorted struct aggregate (group state bounded by maxLen after
-    * the slice), the path count is an ordinary partial-agg groupBy on
-    * path strings, and the top-k is a TakeOrderedAndProject.
+    * q_sessions family shares; events are truncated to each session's
+    * first `maxLen` BEFORE the path aggregate (a row_number over the
+    * session window — it rides the exact partitioning/ordering the
+    * sessionization pass already established, so no extra shuffle), which
+    * bounds the aggregation-buffer state at maxLen structs even for a
+    * million-event bot session; the path count is an ordinary partial-agg
+    * groupBy on path strings, and the top-k is a TakeOrderedAndProject.
     *
     * Returns (path, n_sessions) — path is " > "-joined event types.
     */
@@ -177,11 +180,14 @@ object Journeys {
       .withColumn("new_sess",
         when(col("prev_us").isNull || col(tsCol) - col("prev_us") > gapUs, 1).otherwise(0))
       .withColumn("sess_id", sum(col("new_sess")).over(cum))
+      .withColumn("__rn", row_number().over(
+        Window.partitionBy(col(keyCol), col("sess_id")).orderBy(asc(tsCol), asc(tieCol))))
+      .where(col("__rn") <= maxLen)
       .groupBy(col(keyCol), col("sess_id"))
       .agg(array_sort(collect_list(
         struct(col(tsCol).as("t"), col(tieCol).as("e"), col(typeCol).as("ty")))).as("__evs"))
       .select(concat_ws(" > ",
-        transform(slice(col("__evs"), 1, maxLen), e => e.getField("ty"))).as("path"))
+        transform(col("__evs"), e => e.getField("ty"))).as("path"))
       .groupBy(col("path"))
       .agg(count(lit(1)).as("n_sessions"))
       .orderBy(col("n_sessions").desc, col("path").asc)

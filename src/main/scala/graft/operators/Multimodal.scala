@@ -293,7 +293,13 @@ object Multimodal {
     * interpolation, which no oracle could reproduce.
     *
     * Per-partition map over the media batch (no shuffle), like [[decode]].
-    * Returns (media_id, dhash: long).
+    * Returns (media_id, dhash_hi, dhash_lo) — the 64-bit hash as two
+    * unsigned 32-bit halves, because bit 63 of a single BIGINT would
+    * overflow the oracle's signed shift. Images ImageIO cannot decode are
+    * DROPPED (the flatMap over Option), so the output may have fewer rows
+    * than the image batch — a row-count diff against the input is the
+    * corrupt-image count, not a bug; callers needing the corrupt ids
+    * anti-join the output against the batch.
     */
   def imageDHash(media: Dataset[MediaRecord]): DataFrame = {
     import media.sparkSession.implicits._
