@@ -1794,6 +1794,38 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    // -- the tokenizer's PRODUCTION job: train 3 merges, then encode every
+    //    DOCUMENT to its token-id sequence — distinct words segmented once
+    //    (vocab-sized), joined back to the positional token stream,
+    //    flattened per doc; ids derive from the merge table alone
+    "q_bpe_tokenize" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis
+        .bpeMerges(Tokenize.tokens(docs, "text", Seq("doc_id")), 3)
+        .orderBy("iter").collect().map(_.getString(1)).toSeq
+      TextAnalysis.bpeEncodeDocs(docs, merges)
+        .select(col("doc_id"),
+          array_join(transform(col("token_ids"), x => x.cast("string")), " ").as("ids_str"),
+          col("n_words"), col("n_pieces"))
+        .orderBy("doc_id")
+    }),
+
+    // -- sequence packing by REAL tokenizer counts: BPE-encode the corpus
+    //    (3 learned merges), then budget packs in model tokens instead of
+    //    the whitespace proxy — countCol wires the encoder into the packer
+    "q_pack_bpe" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis
+        .bpeMerges(Tokenize.tokens(docs, "text", Seq("doc_id")), 3)
+        .orderBy("iter").collect().map(_.getString(1)).toSeq
+      val counted = docs.select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.bpeEncodeDocs(docs, merges).select("doc_id", "n_pieces"),
+          Seq("doc_id"))
+      operators.Packing
+        .packByOffset(counted, budget = 8192, countCol = Some("n_pieces"))
+        .orderBy("doc_id")
+    }),
+
     // -- per-user daily resample + forward fill: dense fixed-step series
     //    from the sparse event log, gaps carry the last observed average
     "q_resample_ffill" -> ((s, dir) => {
@@ -2005,7 +2037,17 @@ object SparkEntry {
     * of a repeated symbol (pair a==b), and within each island of
     * consecutive match positions exactly the even offsets merge.
     */
-  private def bpeOracleSql(k: Int, emitState: Boolean = false): String = {
+  /** Unrolled DuckDB oracle for the BPE family. `mode`:
+    *   - "merges": the k-row merge table (q_bpe_merges);
+    *   - "encode": every vocabulary word segmented under the learned
+    *     table (q_bpe_encode);
+    *   - "docs":   every DOCUMENT as its token-id sequence — piece ids
+    *     recomputed exactly as the engine derives them, from the 26
+    *     letters ∪ the k merge outputs, sorted, 1-based (q_bpe_tokenize);
+    *   - "pack":   packByOffset over the docs-mode n_pieces counts
+    *     (q_pack_bpe; budget must match the query).
+    */
+  private def bpeOracleSql(k: Int, mode: String = "merges"): String = {
     val rounds = (1 to k).map { i =>
       val prev = s"state${i - 1}"
       s"""p$i AS (SELECT syms[j] || ' ' || syms[j + 1] AS pair, sum(n)::BIGINT AS cnt
@@ -2031,21 +2073,61 @@ object SparkEntry {
                             list(CASE WHEN dm = 1 THEN s || nxt ELSE s END ORDER BY j) AS syms
                      FROM h$i WHERE pm = 0 GROUP BY w)"""
     }.mkString(",\n")
-    val finalSelect =
-      if (emitState)
+    // docs/pack modes: piece→id table from letters ∪ merge outputs (the
+    // engine derives the identical table driver-side from the merge Seq),
+    // each vocabulary word → its id list, then the positional token
+    // stream flattens per document
+    val mergeOuts = (1 to k).map(i => s"SELECT a || b AS piece FROM m$i").mkString(" UNION ")
+    val docCtes =
+      s"""pv AS (SELECT piece, row_number() OVER (ORDER BY piece) AS tid FROM (
+               SELECT unnest(regexp_split_to_array('abcdefghijklmnopqrstuvwxyz', '')) AS piece
+               UNION $mergeOuts) q),
+          wexp AS (SELECT w, j, syms[j] AS piece
+                   FROM (SELECT w, syms, unnest(range(1, len(syms) + 1)) AS j FROM state$k) u),
+          wids AS (SELECT w, list(tid ORDER BY j) AS ids
+                   FROM wexp JOIN pv USING (piece) GROUP BY w),
+          dt AS (SELECT doc_id, j AS pos, toks[j] AS w
+                 FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS j
+                       FROM toks_arr) u),
+          flat AS (SELECT doc_id, pos, i, ids[i] AS tid
+                   FROM (SELECT doc_id, pos, ids, unnest(range(1, len(ids) + 1)) AS i
+                         FROM dt JOIN wids USING (w)) u),
+          enc AS (SELECT doc_id, count(DISTINCT pos) AS n_words, count(*) AS n_pieces,
+                         string_agg(tid::VARCHAR, ' ' ORDER BY pos, i) AS ids_str
+                  FROM flat GROUP BY doc_id)"""
+    val finalSelect = mode match {
+      case "encode" =>
         s"""SELECT w AS word, array_to_string(syms, ' ') AS pieces_str,
                    len(syms) AS n_pieces
             FROM state$k ORDER BY word"""
-      else {
+      case "merges" =>
         val union = (1 to k)
           .map(i => s"SELECT $i AS iter, pair, cnt FROM m$i")
           .mkString(" UNION ALL ")
         s"SELECT iter, pair, cnt FROM ($union) ORDER BY iter"
-      }
-    s"""WITH $TokCte,
+      case "docs" =>
+        s"""$docCtes
+            SELECT d.doc_id, coalesce(e.ids_str, '') AS ids_str,
+                   coalesce(e.n_words, 0)::BIGINT AS n_words,
+                   coalesce(e.n_pieces, 0)::BIGINT AS n_pieces
+            FROM documents d LEFT JOIN enc e USING (doc_id)
+            ORDER BY d.doc_id"""
+      case "pack" =>
+        s"""$docCtes,
+            cnt AS (SELECT d.doc_id, d.lang, coalesce(e.n_pieces, 0)::BIGINT AS n_tok
+                    FROM documents d LEFT JOIN enc e USING (doc_id))
+            SELECT doc_id, lang, n_tok, floor(start_off / 8192)::BIGINT AS pack_id FROM (
+              SELECT doc_id, lang, n_tok,
+                     sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok AS start_off
+              FROM cnt) u
+            ORDER BY doc_id"""
+    }
+    val maybeDocSrc = if (mode == "docs" || mode == "pack") s"$ToksArrCte," else ""
+    val maybeComma  = if (mode == "docs" || mode == "pack") "," else ""
+    s"""WITH $TokCte, $maybeDocSrc
         vocab AS (SELECT word AS w, count(*) AS n FROM tok GROUP BY 1),
         state0 AS (SELECT w, n, regexp_split_to_array(w, '') AS syms FROM vocab),
-        $rounds
+        $rounds$maybeComma
         $finalSelect"""
   }
 
@@ -3808,7 +3890,9 @@ object SparkEntry {
           SELECT pair, sum(n)::BIGINT AS cnt FROM p GROUP BY 1
           ORDER BY cnt DESC, pair LIMIT 50""",
     "q_bpe_merges" -> bpeOracleSql(3),
-    "q_bpe_encode" -> bpeOracleSql(3, emitState = true),
+    "q_bpe_encode" -> bpeOracleSql(3, mode = "encode"),
+    "q_bpe_tokenize" -> bpeOracleSql(3, mode = "docs"),
+    "q_pack_bpe" -> bpeOracleSql(3, mode = "pack"),
     "q_resample_ffill" ->
       """WITH daily AS (
            SELECT user_id, date_trunc('day', ts) AS bucket,

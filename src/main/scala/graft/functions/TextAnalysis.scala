@@ -541,4 +541,73 @@ object TextAnalysis {
     }
     df.withColumn("n_pieces", size(col("pieces")))
   }
+
+  /** Corpus-scale BPE DOCUMENT encoder — the trained tokenizer's
+    * production job: map every document to its token-ID sequence under a
+    * learned merge table ([[bpeMerges]]'s artifact, in training order),
+    * closing the trainer→encoder→pipeline loop so packing and budgeting
+    * ([[graft.operators.Packing.packByOffset]],
+    * [[graft.operators.Sampling.tokenBudgetSample]] via their `countCol`)
+    * spend budgets in REAL model tokens instead of whitespace counts.
+    *
+    * Scale shape: the corpus's DISTINCT words are segmented ONCE with
+    * [[bpeApply]] — vocabulary-sized work, the same corpus→vocabulary
+    * reduction the trainer rides — then joined back to the positional
+    * token stream and flattened per document. Piece→id assignment never
+    * scans anything: [[graft.operators.Tokenize]]'s alphabet is exactly
+    * a–z and each merge mints exactly one new symbol, so the id table is
+    * derivable from the merge table alone (≤ 26 + k entries: the letters
+    * ∪ merge outputs, sorted ascending, ids 1-based) and ships as one
+    * literal map expression — the oracle recomputes the identical table
+    * from its own trainer CTE. The positional token stream is
+    * materialized once (`localCheckpoint`) because both the vocabulary
+    * and the flatten consume it — lazily each branch would re-tokenize
+    * the corpus ([[graft.operators.Search.moreLikeThis]]'s measured
+    * trap). The vocab join is |vocab| rows against the token stream —
+    * beyond broadcast reach at corpus scale, it hash-joins on `word` and
+    * AQE handles stop-word skew; per-doc reassembly state is the doc's
+    * own token sequence, i.e. output-sized.
+    *
+    * Returns one row per input document:
+    * (idCol, token_ids ARRAY<INT>, n_words, n_pieces) — token-less
+    * documents keep an empty array, so row count is preserved and a
+    * downstream packer sees every doc.
+    */
+  def bpeEncodeDocs(
+      docs: DataFrame,
+      merges: Seq[String],
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val pieceIds = (('a' to 'z').map(_.toString) ++
+      merges.map(_.split(" ", 2).mkString)).distinct.sorted.zipWithIndex
+    val idMap = map_from_arrays(
+      array(pieceIds.map { case (p, _) => lit(p) }: _*),
+      array(pieceIds.map { case (_, i) => lit(i + 1) }: _*))
+    // raw-split posexplode (cheap generator array), clean AFTER — the
+    // Tokenize.tokens pattern; raw positions keep gaps where tokens
+    // cleaned to empty, but per-doc ORDER is all the flatten needs
+    val toks = docs
+      .select(col(idCol),
+        posexplode(Tokenize.rawTokens(col(textCol))).as(Seq("__pos", "__raw")))
+      .withColumn("word", Tokenize.cleanToken(col("__raw")))
+      .where(length(col("word")) > 0)
+      .select(col(idCol), col("__pos"), col("word"))
+      .localCheckpoint(true)
+    val seg = bpeApply(toks.select("word").distinct(), merges)
+      .select(col("word"),
+        transform(col("pieces"), p => element_at(idMap, p)).as("__wids"))
+    val enc = toks
+      .join(seg, Seq("word"))
+      .groupBy(col(idCol))
+      .agg(sort_array(collect_list(struct(col("__pos"), col("__wids")))).as("__o"))
+      .select(col(idCol),
+        flatten(transform(col("__o"), s => s.getField("__wids"))).as("token_ids"),
+        size(col("__o")).as("n_words"))
+    docs.select(col(idCol))
+      .join(enc, Seq(idCol), "left_outer")
+      .select(col(idCol),
+        coalesce(col("token_ids"), array().cast("array<int>")).as("token_ids"),
+        coalesce(col("n_words"), lit(0)).as("n_words"))
+      .withColumn("n_pieces", size(col("token_ids")))
+  }
 }

@@ -40,6 +40,13 @@ object Packing {
     * landing on a budget boundary starts the next pack; oversized docs
     * occupy consecutive packs' id space (their tokens spill — callers
     * split or drop > budget docs upstream).
+    *
+    * Token counts default to the whitespace proxy over `textCol`; pass
+    * `countCol` to budget by REAL tokenizer counts instead (e.g.
+    * [[graft.functions.TextAnalysis.bpeEncodeDocs]]'s `n_pieces` — a
+    * training-batch budget is spent in model tokens, and whitespace
+    * under-counts subword-heavy text). With `countCol` set, `textCol` is
+    * never touched.
     */
   def packByOffset(
       docs: DataFrame,
@@ -47,11 +54,15 @@ object Packing {
       idCol: String = "doc_id",
       textCol: String = "text",
       shardCol: String = "lang",
-      chunkWidth: Long = 1 << 16): DataFrame = {
+      chunkWidth: Long = 1 << 16,
+      countCol: Option[String] = None): DataFrame = {
     require(budget > 0, s"budget ($budget) must be positive")
     require(chunkWidth > 0, s"chunkWidth ($chunkWidth) must be positive")
+    val nTok = countCol
+      .map(c => col(c).cast("bigint"))
+      .getOrElse(size(split(col(textCol), "\\s+")).cast("bigint"))
     val withTok = docs
-      .withColumn("n_tok", size(split(col(textCol), "\\s+")).cast("bigint"))
+      .withColumn("n_tok", nTok)
       .withColumn("__chunk", floor(col(idCol) / chunkWidth).cast("bigint"))
     // pass 1: chunk subtotals (metadata-scale), then base offsets via a
     // window over CHUNK rows — ~N/chunkWidth rows per shard, never documents

@@ -127,6 +127,11 @@ object Sampling {
     * identically.
     *
     * Returns (groupCol, idCol, n_tok, rk) for kept docs.
+    *
+    * Token counts default to the whitespace proxy over `textCol`; pass
+    * `countCol` to spend the budget in REAL tokenizer counts (e.g.
+    * [[graft.functions.TextAnalysis.bpeEncodeDocs]]'s `n_pieces`) — with
+    * `countCol` set, `textCol` is never touched.
     */
   def tokenBudgetSample(
       docs: DataFrame,
@@ -134,13 +139,16 @@ object Sampling {
       budget: Long,
       idCol: String = "doc_id",
       textCol: String = "text",
-      salt: String = "tb"): DataFrame = {
+      salt: String = "tb",
+      countCol: Option[String] = None): DataFrame = {
     require(budget > 0, s"budget ($budget) must be positive")
     val rk = conv(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 13), 16, 10)
       .cast("long")
+    val nTok = countCol
+      .map(c => col(c).cast("bigint"))
+      .getOrElse(size(split(col(textCol), "\\s+")).cast("bigint"))
     val withTok = docs
-      .select(col(groupCol), col(idCol),
-        size(split(col(textCol), "\\s+")).cast("bigint").as("n_tok"))
+      .select(col(groupCol), col(idCol), nTok.as("n_tok"))
       .withColumn("__rk", rk)
       .withColumn("__chunk", shiftright(col("__rk"), 40).cast("int"))
     val wChunks = Window.partitionBy(col(groupCol)).orderBy(col("__chunk"))

@@ -100,6 +100,40 @@ class BpeSpec extends SparkSpec {
     }
   }
 
+  test("bpeEncodeDocs: documents become token-id sequences matching the mirror") {
+    import spark.implicits._
+    val merges = Seq("a n", "an a", "b an")
+    val docs = Seq(
+      (1L, "banana bandana"),
+      (2L, "ananas AND 123 banana"), // cleaning: AND->and, 123 dropped
+      (3L, "??? !!!"),               // every token cleans to empty
+      (4L, "zzz")                    // untouched by any merge
+    ).toDF("doc_id", "text")
+    val got = TextAnalysis.bpeEncodeDocs(docs, merges)
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Int](1).toList, r.getInt(2), r.getInt(3)))
+    // mirror: the id table the engine derives from the merge table alone
+    val pieces = (('a' to 'z').map(_.toString) ++
+      merges.map(_.split(" ", 2).mkString)).distinct.sorted
+    val ids = pieces.zipWithIndex.map { case (p, i) => p -> (i + 1) }.toMap
+    def enc(text: String): List[Int] = text.split("\\s+").toList
+      .map(_.toLowerCase.filter(c => c >= 'a' && c <= 'z'))
+      .filter(_.nonEmpty)
+      .flatMap { w =>
+        var syms = w.split("").toList
+        merges.foreach { p => val Array(a, b) = p.split(" ", 2); syms = mergeRef(syms, a, b) }
+        syms.map(ids)
+      }
+    val expected = Seq(
+      (1L, enc("banana bandana"), 2, enc("banana bandana").length),
+      (2L, enc("ananas and banana"), 3, enc("ananas and banana").length),
+      (3L, List.empty[Int], 0, 0),
+      (4L, enc("zzz"), 1, 3))
+    assert(got.toList == expected,
+      s"got ${got.toList}\nexpected $expected")
+  }
+
   test("fuzz: 30 random weighted vocabularies match the mirror exactly") {
     val rnd = new scala.util.Random(0xb9e5)
     (1 to 30).foreach { trial =>
