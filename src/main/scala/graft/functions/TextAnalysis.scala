@@ -321,26 +321,33 @@ object TextAnalysis {
     * composed one scalar Column: each of the 26 −p·ln p terms then
     * embedded the full 26-count total-subtree, ~700 string passes per
     * row with no CSE — measured **96 s** at sf0.1 vs ~2 s bound (the
-    * same inlined-tree trap the shingle pipeline documents). Counting
-    * uses `translate` (single char-map pass), not a regex. The Σ fold
-    * is LITERAL-ordered a→z, so Spark and DuckDB sum bit-identically
-    * and the oracle rounds at 6 dp without risk.
+    * same inlined-tree trap the shingle pipeline documents). The second
+    * form — 26 bound `translate` length-difference columns — was correct
+    * and linear but still traversed every document 26× (4.5 s at sf0.1,
+    * the 4th-slowest query for a pure map-side expression); counting now
+    * runs in the native one-pass [[graft.plans.CharClassCounts]]
+    * expression (ONE byte loop per document, codegen'd), and the 26
+    * −p·ln p terms are cheap `element_at` arithmetic over the bound
+    * count array. The Σ fold stays LITERAL-ordered a→z, so Spark and
+    * DuckDB sum bit-identically and the oracle rounds at 6 dp without
+    * risk (counts are integers — exact in doubles under any order, and
+    * the term order is preserved).
     */
   def withCharEntropy(df: DataFrame, textCol: String, out: String = "entropy"): DataFrame = {
-    val letters = ('a' to 'z').toSeq
-    val withCounts = letters.foldLeft(df.withColumn("__lt", lower(col(textCol)))) { (d, c) =>
-      d.withColumn(s"__c_$c",
-        (length(col("__lt")) - length(translate(col("__lt"), c.toString, ""))).cast("double"))
-    }
-    val withN = withCounts
-      .withColumn("__n", letters.map(c => col(s"__c_$c")).reduce(_ + _))
-    val terms = letters.map { c =>
-      val cnt = col(s"__c_$c")
-      when(cnt > 0, -(cnt / col("__n")) * log(cnt / col("__n"))).otherwise(lit(0.0))
+    val cc = org.apache.spark.sql.GraftBridge.column(
+      graft.plans.CharClassCounts(
+        org.apache.spark.sql.GraftBridge.expression(col(textCol))))
+    val idx = 1 to 26
+    def cnt(i: Int) = element_at(col("__cc"), i).cast("double")
+    val withN = df
+      .withColumn("__cc", cc)
+      .withColumn("__n", idx.map(cnt).reduce(_ + _))
+    val terms = idx.map { i =>
+      when(cnt(i) > 0, -(cnt(i) / col("__n")) * log(cnt(i) / col("__n"))).otherwise(lit(0.0))
     }
     withN
       .withColumn(out, when(col("__n") === 0, lit(0.0)).otherwise(terms.reduce(_ + _)))
-      .drop("__lt" +: "__n" +: letters.map(c => s"__c_$c"): _*)
+      .drop("__cc", "__n")
   }
 
   /** Bigram-LM quality score — the CCNet/KenLM-shaped filter one level up

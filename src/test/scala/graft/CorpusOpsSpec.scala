@@ -152,6 +152,32 @@ class CorpusOpsSpec extends SparkSpec {
     assert(math.abs(got(3) - math.log(2.0)) < 1e-12, "case-folded before counting")
   }
 
+  test("charEntropy: native one-pass counter matches the translate-form mirror on 200 fuzzed ASCII docs") {
+    // the round-9 CharClassCounts expression replaced 26 translate passes;
+    // this pins value-identity against an independent in-memory mirror
+    // (same a→z literal term order, same IEEE evaluation order)
+    val rnd = new scala.util.Random(0xcc09)
+    val alphabet = "abcdefghijklmnopqrstuvwxyzABCDEFGHIJKLMNOPQRSTUVWXYZ0123456789 .,!?-_\t"
+    val docs = (0 until 200).map { i =>
+      val len = rnd.nextInt(80)
+      (i.toLong, (0 until len).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString)
+    }
+    val got = graft.functions.TextAnalysis
+      .withCharEntropy(docs.toDF("doc_id", "text"), "text", "e")
+      .select(col("doc_id"), col("e"))
+      .orderBy("doc_id").collect().map(_.getDouble(1))
+    docs.foreach { case (id, text) =>
+      val lower = text.toLowerCase
+      val counts = ('a' to 'z').map(c => lower.count(_ == c).toDouble)
+      val n = counts.reduce(_ + _)
+      val expected =
+        if (n == 0) 0.0
+        else counts.map(c => if (c > 0) -(c / n) * math.log(c / n) else 0.0).reduce(_ + _)
+      assert(math.abs(got(id.toInt) - expected) < 1e-12,
+        s"doc $id '$text': got ${got(id.toInt)} expected $expected")
+    }
+  }
+
   test("chunkByContent == in-memory mirror; prefix insertion preserves tail chunks") {
     val base = (0 until 120).map(word).mkString(" ")
     val two  = Seq((1L, base), (2L, s"zz yy xx $base")).toDF("doc_id", "text")
