@@ -18,22 +18,30 @@ object Stats {
     * row per column — what `ANALYZE TABLE ... COMPUTE STATISTICS FOR
     * COLUMNS` feeds the CBO, exposed as a relation.
     *
-    * All measures ride ONE aggregate over the table (Catalyst plans the
-    * multi-column exact `countDistinct` as an Expand — one scan, rows ×
-    * |cols| inside the aggregate, the standard exact-NDV plan); the single
-    * stats row is then unpivoted to per-column rows with a literal struct
-    * array — driver never sees data. At 100 TB swap the exact NDV for
-    * `approx_count_distinct` (HLL++, already spec-pinned in SketchSpec) and
-    * the Expand disappears; the oracle needs exact counts, so the exact
-    * form is what's verified.
+    * All measures ride ONE aggregate over the table. With `exact = true`
+    * (default — what the oracle verifies) Catalyst plans the multi-column
+    * exact `countDistinct` as an Expand — one scan, rows × |cols| inside
+    * the aggregate, the standard exact-NDV plan; the single stats row is
+    * then unpivoted to per-column rows with a literal struct array —
+    * driver never sees data. `exact = false` is the 100 TB path: NDV via
+    * `approx_count_distinct` (HLL++, rsd-bounded memory) — the Expand
+    * disappears and the aggregate is a plain partial+final pass whose
+    * buffer is |cols| HLL sketches instead of rows × |cols| distinct
+    * groups. Same contract as the percentile family's `exact/accuracy`
+    * params; `ApproxStatsSpec` pins |approx − exact| on every column.
     */
-  def tableStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def tableStats(
+      df: DataFrame,
+      cols: Seq[String],
+      exact: Boolean = true,
+      rsd: Double = 0.05): DataFrame = {
     require(cols.nonEmpty, "tableStats needs at least one column")
     val aggs: Seq[Column] = cols.flatMap { c =>
       Seq(
         count(lit(1)).as(s"${c}__n"),
         count(col(c)).as(s"${c}__nn"),
-        countDistinct(col(c)).as(s"${c}__ndv"),
+        (if (exact) countDistinct(col(c))
+         else approx_count_distinct(col(c), rsd)).as(s"${c}__ndv"),
         min(col(c)).cast("double").as(s"${c}__min"),
         max(col(c)).cast("double").as(s"${c}__max"),
         avg(col(c).cast("double")).as(s"${c}__avg"))

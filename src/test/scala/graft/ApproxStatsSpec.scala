@@ -79,6 +79,37 @@ class ApproxStatsSpec extends SparkSpec {
     }
   }
 
+  test("tableStats approx path: all measures identical except NDV, NDV within rsd bounds") {
+    val cols = Seq("l_orderkey", "l_partkey", "l_quantity", "l_extendedprice")
+    val key = (r: org.apache.spark.sql.Row) => r.getString(0)
+    val exact = Stats.tableStats(lineitem, cols)
+      .collect().map(r => key(r) -> r).toMap
+    val approx = Stats.tableStats(lineitem, cols, exact = false, rsd = 0.05)
+      .collect().map(r => key(r) -> r).toMap
+    assert(exact.keySet == approx.keySet)
+    // the approx path plans WITHOUT the Expand the exact multi-column
+    // countDistinct needs — the whole point of the swap
+    val approxPlan = Stats.tableStats(lineitem, cols, exact = false)
+      .queryExecution.executedPlan.toString
+    val exactPlan = Stats.tableStats(lineitem, cols)
+      .queryExecution.executedPlan.toString
+    assert(!approxPlan.contains("Expand"), "approx NDV must not plan an Expand")
+    assert(exactPlan.contains("Expand"), "exact multi-col NDV plans via Expand")
+    exact.foreach { case (c, e) =>
+      val a = approx(c)
+      // everything except NDV rides the same plain aggregates
+      assert(a.getLong(1) == e.getLong(1), s"col $c: n_rows differs")
+      assert(a.getLong(2) == e.getLong(2), s"col $c: n_null differs")
+      assert(a.getDouble(4) == e.getDouble(4), s"col $c: min differs")
+      assert(a.getDouble(5) == e.getDouble(5), s"col $c: max differs")
+      assert(a.getDouble(6) == e.getDouble(6), s"col $c: avg differs")
+      // HLL++ with rsd 0.05: allow 3 sigma
+      val (ne, na) = (e.getLong(3).toDouble, a.getLong(3).toDouble)
+      assert(math.abs(na - ne) / ne <= 0.15,
+        s"col $c: ndv exact $ne vs approx $na beyond 3x rsd")
+    }
+  }
+
   test("groupPercentiles approx path: p50/p90 within one adjacent-value step") {
     val exact = Stats.groupPercentiles(lineitem, "l_returnflag", "l_quantity")
       .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
