@@ -18,6 +18,52 @@ object SparkEntry {
   private def t(s: SparkSession, dir: String, name: String): DataFrame =
     s.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic markup wrapper for the HTML-strip queries: the testdata
+    * corpus is plain text, so tags, script/style/comment blocks and
+    * named + numeric entities are synthesized from (doc_id, text) by a
+    * formula the DuckDB oracle replays verbatim.
+    */
+  private def htmlTagged: org.apache.spark.sql.Column = concat(
+    lit("<html><head><style>p{color:#"),
+    lpad((col("doc_id") % 1000).cast("string"), 3, "0"),
+    lit("}</style><script>var x="), (col("doc_id") % 97).cast("string"),
+    lit(";</script></head><body><!-- id "), col("doc_id").cast("string"),
+    lit(" --><h1 class=\"t\">Doc &#39;"), col("doc_id").cast("string"),
+    lit("&#39;</h1><p>"),
+    replace(col("text"), lit(" the "), lit(" &amp;the&nbsp;")),
+    lit("</p><div id='f'>end &lt;eof&gt;</div></body></html>"))
+
+  /** The shared curation chain (q_curate_pipeline, q_curate_html): PII
+    * redact → length+alpha quality gate → exact dedup (keep-min) →
+    * per-source cap, composed as ONE declarative plan over any
+    * (doc_id, lang, source, text) relation.
+    */
+  private def curate(docs: DataFrame): DataFrame = {
+    val red = docs
+      .withColumn("rtext", operators.CorpusClean.redactPii(col("text")))
+    val gated = red
+      .withColumn("n_ws", TextAnalysis.wsTokenCount(col("rtext")))
+      .withColumn("n_alpha", size(Tokenize.tokenArray(col("rtext"))))
+      .where(
+        col("n_ws") >= 5 && col("n_ws") <= 2000 &&
+          col("n_alpha").cast("double") >= col("n_ws").cast("double") * 0.5)
+    // keep-min dedup via min_by — one shuffle, no join-back onto the
+    // corpus subtree; the deduped 3-column survivor relation is then
+    // materialized once because BOTH the cap and the final lang join
+    // consume it (lazy, each would re-run redact+gate+dedup).
+    val kept = gated
+      .withColumn("h", sha2(col("rtext"), 256))
+      .groupBy(col("h"))
+      .agg(min_by(struct(col("doc_id"), col("lang"), col("source")), col("doc_id")).as("r"))
+      .select(col("r.doc_id"), col("r.lang"), col("r.source"))
+      .localCheckpoint(true)
+    Sampling
+      .perGroupCap(kept, "source", "doc_id", cap = 20)
+      .join(kept.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Shadows functions.round for every query below: engine round() semantics
     * diverge at exact half-way points (found at sf0.1 — see
     * graft.functions.Portable), so all query-surface rounding uses the
@@ -1275,6 +1321,22 @@ object SparkEntry {
     //    from doc_id) appended to each doc, then redacted with the shared
     //    RE2-safe patterns; the oracle re-runs the identical construction +
     //    redaction, so the md5 compare pins every replaced byte
+    // -- HTML/markup stripping: the raw-crawl pipeline's FIRST operator.
+    //    Testdata is plain text, so markup (tags, script/style/comment
+    //    blocks, named + numeric entities) is synthesized from a formula
+    //    both engines share; the cleaned text is md5-verified cross-engine
+    "q_html_strip" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .withColumn("__tagged", htmlTagged)
+        .withColumn("__clean", operators.CorpusClean.stripMarkup(col("__tagged")))
+        .select(
+          col("doc_id"),
+          length(col("__tagged")).as("len_raw"),
+          length(col("__clean")).as("len_clean"),
+          md5(col("__clean")).as("clean_md5"))
+        .orderBy("doc_id")
+    }),
+
     "q_pii_redact" -> ((s, dir) => {
       val dirty = concat(
         col("text"),
@@ -1465,30 +1527,14 @@ object SparkEntry {
     // -- END-TO-END curation pipeline: PII-redact → quality gate (length +
     //    alpha fraction) → exact dedup (keep min id) → per-source cap — the
     //    composed cleaning pass a real corpus runs before tokenization
-    "q_curate_pipeline" -> ((s, dir) => {
-      val red = t(s, dir, "documents")
-        .withColumn("rtext", operators.CorpusClean.redactPii(col("text")))
-      val gated = red
-        .withColumn("n_ws", TextAnalysis.wsTokenCount(col("rtext")))
-        .withColumn("n_alpha", size(Tokenize.tokenArray(col("rtext"))))
-        .where(
-          col("n_ws") >= 5 && col("n_ws") <= 2000 &&
-            col("n_alpha").cast("double") >= col("n_ws").cast("double") * 0.5)
-      // keep-min dedup via min_by — one shuffle, no join-back onto the
-      // corpus subtree; the deduped 3-column survivor relation is then
-      // materialized once because BOTH the cap and the final lang join
-      // consume it (lazy, each would re-run redact+gate+dedup).
-      val kept = gated
-        .withColumn("h", sha2(col("rtext"), 256))
-        .groupBy(col("h"))
-        .agg(min_by(struct(col("doc_id"), col("lang"), col("source")), col("doc_id")).as("r"))
-        .select(col("r.doc_id"), col("r.lang"), col("r.source"))
-        .localCheckpoint(true)
-      Sampling
-        .perGroupCap(kept, "source", "doc_id", cap = 20)
-        .join(kept.select(col("doc_id"), col("lang")), Seq("doc_id"))
-        .select(col("doc_id"), col("lang"), col("source"))
-        .orderBy("doc_id")
+    "q_curate_pipeline" -> ((s, dir) => curate(t(s, dir, "documents"))),
+
+    // -- the same curation chain FRONTED by markup stripping — the raw-
+    //    crawl composition: synth-tagged docs → stripMarkup → PII redact →
+    //    quality gate → exact dedup → source cap, one declarative plan
+    "q_curate_html" -> ((s, dir) => {
+      curate(t(s, dir, "documents")
+        .withColumn("text", operators.CorpusClean.stripMarkup(htmlTagged)))
     }),
 
     // -- MODE aggregate: most frequent part brand per return flag (count
@@ -3444,31 +3490,18 @@ object SparkEntry {
          FROM lineitem CROSS JOIN b
          GROUP BY 1 ORDER BY bucket""",
     "q_curate_pipeline" ->
-      s"""WITH red AS (
-            SELECT doc_id, lang, source,
-                   regexp_replace(regexp_replace(regexp_replace(text,
-                     '$PiiEmailRe', '<EMAIL>', 'g'),
-                     '$PiiPhoneRe', '<PHONE>', 'g'),
-                     '$PiiIpRe', '<IP>', 'g') AS rtext
-            FROM documents),
-          g AS (SELECT doc_id, lang, source, rtext,
-                       len(regexp_split_to_array(rtext, '\\s+')) AS n_ws,
-                       len(list_filter(
-                             list_transform(regexp_split_to_array(rtext, '\\s+'),
-                                            x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
-                             w -> w <> '')) AS n_alpha
-                FROM red),
-          f AS (SELECT doc_id, lang, source, rtext FROM g
-                WHERE n_ws >= 5 AND n_ws <= 2000 AND n_alpha::DOUBLE >= n_ws::DOUBLE * 0.5),
-          d AS (SELECT doc_id, lang, source FROM f
-                QUALIFY row_number() OVER (PARTITION BY rtext ORDER BY doc_id) = 1),
-          c AS (SELECT source, doc_id FROM (
-                  SELECT source, doc_id,
-                         ('0x' || substr(md5('cap:' || doc_id::VARCHAR), 1, 13))::BIGINT AS rk
-                  FROM d) r
-                QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= 20)
-          SELECT c.doc_id, d.lang, c.source
-          FROM c JOIN d ON d.doc_id = c.doc_id ORDER BY c.doc_id""",
+      curateSql("SELECT doc_id, lang, source, text FROM documents"),
+    "q_curate_html" ->
+      curateSql(
+        s"""SELECT doc_id, lang, source, ${stripMarkupSql("tagged")} AS text
+            FROM (SELECT doc_id, lang, source, $HtmlTaggedSql AS tagged
+                  FROM documents) t0"""),
+    "q_html_strip" ->
+      s"""WITH d AS (SELECT doc_id, $HtmlTaggedSql AS tagged FROM documents),
+          c AS (SELECT doc_id, tagged, ${stripMarkupSql("tagged")} AS clean FROM d)
+          SELECT doc_id, length(tagged) AS len_raw, length(clean) AS len_clean,
+                 md5(clean) AS clean_md5
+          FROM c ORDER BY doc_id""",
     "q_mode_brand" ->
       """WITH c AS (
            SELECT l_returnflag, p_brand, count(*) AS cnt
@@ -3990,6 +4023,72 @@ object SparkEntry {
   private val PiiEmailRe = graft.operators.CorpusClean.EmailRe
   private val PiiPhoneRe = graft.operators.CorpusClean.PhoneRe
   private val PiiIpRe    = graft.operators.CorpusClean.Ipv4Re
+
+  /** DuckDB mirror of SparkEntry.htmlTagged — the same synthesis formula,
+    * single-quote-escaped for a SQL literal.
+    */
+  private val HtmlTaggedSql =
+    """'<html><head><style>p{color:#' || lpad((doc_id % 1000)::VARCHAR, 3, '0') ||
+       '}</style><script>var x=' || (doc_id % 97)::VARCHAR ||
+       ';</script></head><body><!-- id ' || doc_id::VARCHAR ||
+       ' --><h1 class="t">Doc &#39;' || doc_id::VARCHAR ||
+       '&#39;</h1><p>' || replace(text, ' the ', ' &amp;the&nbsp;') ||
+       '</p><div id=''f''>end &lt;eof&gt;</div></body></html>'"""
+
+  /** DuckDB mirror of CorpusClean.stripMarkup over SQL expression `e`:
+    * same patterns (shared constants), same load-bearing order — blocks,
+    * comments, tags→space, named entities, numeric entities, `&amp;`
+    * LAST, whitespace collapse.
+    */
+  private def stripMarkupSql(e: String): String = {
+    import graft.operators.CorpusClean.{ScriptRe, StyleRe, CommentRe, TagRe, NumEntRe}
+    s"""trim(regexp_replace(
+          replace(
+            regexp_replace(
+              replace(replace(replace(replace(replace(replace(
+                regexp_replace(
+                  regexp_replace(regexp_replace(regexp_replace($e,
+                    '$ScriptRe', ' ', 'g'),
+                    '$StyleRe', ' ', 'g'),
+                    '$CommentRe', ' ', 'g'),
+                  '$TagRe', ' ', 'g'),
+                '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'),
+                '&quot;', '"'), '&#39;', ''''), '&apos;', ''''),
+              '$NumEntRe', ' ', 'g'),
+            '&amp;', '&'),
+          '\\s+', ' ', 'g'))"""
+  }
+
+  /** The curation-chain mirror (q_curate_pipeline, q_curate_html) over any
+    * `src` producing (doc_id, lang, source, text).
+    */
+  private def curateSql(srcSql: String): String =
+    s"""WITH src AS ($srcSql),
+        red AS (
+          SELECT doc_id, lang, source,
+                 regexp_replace(regexp_replace(regexp_replace(text,
+                   '$PiiEmailRe', '<EMAIL>', 'g'),
+                   '$PiiPhoneRe', '<PHONE>', 'g'),
+                   '$PiiIpRe', '<IP>', 'g') AS rtext
+          FROM src),
+        g AS (SELECT doc_id, lang, source, rtext,
+                     len(regexp_split_to_array(rtext, '\\s+')) AS n_ws,
+                     len(list_filter(
+                           list_transform(regexp_split_to_array(rtext, '\\s+'),
+                                          x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                           w -> w <> '')) AS n_alpha
+              FROM red),
+        f AS (SELECT doc_id, lang, source, rtext FROM g
+              WHERE n_ws >= 5 AND n_ws <= 2000 AND n_alpha::DOUBLE >= n_ws::DOUBLE * 0.5),
+        d AS (SELECT doc_id, lang, source FROM f
+              QUALIFY row_number() OVER (PARTITION BY rtext ORDER BY doc_id) = 1),
+        c AS (SELECT source, doc_id FROM (
+                SELECT source, doc_id,
+                       ('0x' || substr(md5('cap:' || doc_id::VARCHAR), 1, 13))::BIGINT AS rk
+                FROM d) r
+              QUALIFY row_number() OVER (PARTITION BY source ORDER BY rk, doc_id) <= 20)
+        SELECT c.doc_id, d.lang, c.source
+        FROM c JOIN d ON d.doc_id = c.doc_id ORDER BY c.doc_id"""
 
   /** DuckDB CTE `e(src, dst)`: the symmetrized customer–supplier graph
     * (mirror of Graph.customerSupplierEdges — UNION dedupes).

@@ -114,6 +114,46 @@ object CorpusClean {
       size(regexp_extract_all(c, lit(PhoneRe), lit(0))) +
       size(regexp_extract_all(c, lit(Ipv4Re), lit(0)))
 
+  /** Markup patterns shared with the oracle SQL — RE2-safe like the PII
+    * set (no lookaround, no backrefs; inline `(?is)` flags and non-greedy
+    * `.*?` are RE2 features), so Java regex and DuckDB RE2 agree
+    * byte-for-byte on ASCII.
+    */
+  val ScriptRe  = "(?is)<script[^>]*>.*?</script>"
+  val StyleRe   = "(?is)<style[^>]*>.*?</style>"
+  val CommentRe = "(?s)<!--.*?-->"
+  val TagRe     = "<[^>]+>"
+  val NumEntRe  = "&#[0-9]{1,7};|&#[xX][0-9a-fA-F]{1,6};"
+
+  /** HTML/markup stripping — the FIRST operator of a raw-crawl cleaning
+    * pipeline (the C4/CCNet shape: no quality signal is meaningful while
+    * tags and entities are still in the text). Pure map-side
+    * regexp/replace chain like [[redactPii]] — codegen'd, no shuffle, no
+    * UDF, linear per row at any scale.
+    *
+    * Order is load-bearing and mirrored exactly by the oracle SQL:
+    *   1. `<script>`/`<style>` blocks WITH their content, then comments
+    *      (their bodies are not prose);
+    *   2. every remaining tag → a SPACE (tag boundaries are word
+    *      boundaries: `<p>a</p><p>b</p>` must not fuse `ab`);
+    *   3. entity decoding AFTER tag removal, so a decoded `&lt;` can
+    *      never fabricate a tag: the common named entities, then numeric
+    *      entities → space, and `&amp;` LAST so `&amp;lt;` decodes to
+    *      the literal text `&lt;` (single-pass decoding, the HTML5 rule);
+    *   4. whitespace collapse + trim.
+    */
+  def stripMarkup(c: Column): Column = {
+    val noBlocks = regexp_replace(regexp_replace(regexp_replace(c,
+      ScriptRe, " "), StyleRe, " "), CommentRe, " ")
+    val noTags = regexp_replace(noBlocks, TagRe, " ")
+    val named = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'")
+      .foldLeft(noTags) { case (acc, (e, r)) => replace(acc, lit(e), lit(r)) }
+    val decoded = replace(regexp_replace(named, NumEntRe, " "), lit("&amp;"), lit("&"))
+    trim(regexp_replace(decoded, "\\s+", " "))
+  }
+
   /** CCNet-style head/middle/tail quality bucketing: score every document
     * with the corpus-derived unigram LM ([[TextAnalysis.unigramLogProbScore]]),
     * then cut each language's score distribution into `nb` equal-count

@@ -30,6 +30,36 @@ class CorpusCleanSpec extends SparkSpec {
     assert(counts.toSeq == Seq(1, 2, 0, 3))
   }
 
+  test("stripMarkup: blocks gone with content, tags are word boundaries, entities decode once") {
+    val cases = Seq(
+      // script/style bodies removed entirely, not just the tags
+      ("<script>var a = '<p>not text</p>';</script>keep", "keep"),
+      ("<style type=\"text/css\">p { color: red }</style>keep", "keep"),
+      ("<SCRIPT SRC='x.js'>\nmultiline();\n</SCRIPT>ok", "ok"),
+      // comments (multiline too) removed with content
+      ("a<!-- hidden\ntext -->b", "a b"),
+      // tags become SPACES so adjacent words don't fuse
+      ("<p>alpha</p><p>beta</p>", "alpha beta"),
+      ("<div class='x' data-k=\"v\">inner</div>", "inner"),
+      // named entities decode; &amp; decodes LAST so &amp;lt; stays literal
+      ("fish &amp; chips &lt;tag&gt; &quot;q&quot; &#39;s&#39; &nbsp;x", "fish & chips <tag> \"q\" 's' x"),
+      ("literal &amp;lt; stays", "literal &lt; stays"),
+      // numeric entities (dec + hex) collapse to whitespace
+      ("a&#65;b &#x2019; c", "a b c"),
+      // decoded angle brackets do NOT create strippable tags
+      ("&lt;p&gt;still here&lt;/p&gt;", "<p>still here</p>"),
+      // plain text: only whitespace normalization
+      ("no  markup\there", "no markup here"),
+      ("", ""))
+    val got = cases.map(_._1).zipWithIndex.map { case (s, i) => (i, s) }
+      .toDF("i", "raw")
+      .select(col("i"), CorpusClean.stripMarkup(col("raw")).as("clean"))
+      .orderBy("i").collect().map(_.getString(1))
+    cases.zipWithIndex.foreach { case ((raw, expected), i) =>
+      assert(got(i) == expected, s"case $i '$raw': got '${got(i)}' expected '$expected'")
+    }
+  }
+
   test("boilerplateFlag: counts bounded by gram count; a planted span is flagged") {
     // 30 docs share the bigram "alpha beta"; 5 unique docs don't. Suffix
     // words are letter-distinct per doc (digits would be stripped by the
