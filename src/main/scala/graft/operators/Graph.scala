@@ -63,6 +63,21 @@ object Graph {
     //         ONLY the rank relation (one row per NODE) while the edge
     //         relation, orders of magnitude larger on any real graph,
     //         never moves again.
+    //
+    //         Measured round 9 (sf0.1, isolated 3-run): the hedge the r8
+    //         audit suggested — partial-agg groupBy(src).count + join
+    //         instead of the window — runs 2× SLOWER (7.9 s vs 3.95 s):
+    //         the edge derivation executes once per consumer (degree agg
+    //         + join), and a broadcast degree join loses the hash-on-src
+    //         output partitioning, so every iteration re-shuffles the
+    //         edge relation. The hub-straggler risk the window carries is
+    //         INHERENT to materializing edges hash-partitioned by src
+    //         (the co-location strategy itself): a 10^7-degree hub lands
+    //         in one task under either form, and WindowExec spills via
+    //         UnsafeExternalSorter, so the window adds only a disk-backed
+    //         count to the task that already writes that hub's edges.
+    //         Kept deliberately; revisit only if the one-time build, not
+    //         the iterations, ever dominates on a real hub-heavy graph.
     //   deg   node-sized degree table off the cached edges (init + scalars).
     import org.apache.spark.sql.expressions.Window
     val eDeg = edges
@@ -108,6 +123,10 @@ object Graph {
       seeds: DataFrame,
       iters: Int = 5,
       d: Double = 0.85): DataFrame = {
+    // same degree-on-the-edge-exchange materialization as [[pagerank]] —
+    // see the measured justification there for why the window beats the
+    // groupBy+join hedge (2× at sf0.1, and the join form re-shuffles
+    // edges every round)
     import org.apache.spark.sql.expressions.Window
     val eDeg = edges
       .withColumn("degree", count(lit(1)).over(Window.partitionBy(col("src"))))
