@@ -692,6 +692,55 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- quality-aware dedup: keep the BEST cluster member (max n_chars,
+    //    min id tie) — the curation verdict, vs the min-id canonical label
+    "q_dedup_keep_best" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup
+        .keepBest(
+          Dedup.duplicateGroups(Dedup.minhashCandidates(docs,
+            shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096)),
+          docs.select(col("doc_id"), col("n_chars").as("q")))
+        .orderBy("group_id")
+    }),
+
+    // -- Gopher-rules composite quality filter: word-count bounds, mean
+    //    word length, alpha-word fraction, symbol ratio, stopword
+    //    presence — all from ONE map-side pass, keep = conjunction
+    "q_gopher_rules" -> ((s, dir) => {
+      TextAnalysis.gopherRules(t(s, dir, "documents")).orderBy("doc_id")
+    }),
+
+    // -- deterministic word-dropout augmentation (p = 0.1): per-(doc,
+    //    position) md5 draw — rerun-stable, oracle-replayable
+    "q_word_dropout" -> ((s, dir) => {
+      TextAnalysis
+        .wordDropout(t(s, dir, "documents"), p = 0.1)
+        .withColumn("aug_md5", md5(col("aug_text")))
+        .select(col("doc_id"), col("aug_md5"), col("n_total"), col("n_kept"))
+        .orderBy("doc_id")
+    }),
+
+    // -- tokenizer fertility per language: BPE pieces per word from the
+    //    document encoder — the standard tokenizer-eval metric
+    "q_bpe_fertility" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val merges = TextAnalysis
+        .bpeMerges(Tokenize.tokens(docs, "text", Seq("doc_id")), 3)
+        .orderBy("iter").collect().map(_.getString(1)).toSeq
+      TextAnalysis.bpeEncodeDocs(docs, merges)
+        .join(docs.select("doc_id", "lang"), Seq("doc_id"))
+        .groupBy(col("lang"))
+        .agg(
+          sum(col("n_words")).as("tot_words"),
+          sum(col("n_pieces")).as("tot_pieces"))
+        .select(col("lang"), col("tot_words"), col("tot_pieces"),
+          graft.functions.Portable.pround(
+            col("tot_pieces").cast("double") / col("tot_words").cast("double"), 4)
+            .as("fertility_r"))
+        .orderBy("lang")
+    }),
+
     // -- Gopher-style repetition metrics: duplicate 3-gram fraction flags
     //    boilerplate/looping text (map-side, no shuffle)
     "q_quality_repetition" -> ((s, dir) => {
@@ -2167,9 +2216,18 @@ object SparkEntry {
                      sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok AS start_off
               FROM cnt) u
             ORDER BY doc_id"""
+      case "fertility" =>
+        s"""$docCtes,
+            f AS (SELECT d.lang, coalesce(e.n_words, 0)::BIGINT AS nw,
+                         coalesce(e.n_pieces, 0)::BIGINT AS np
+                  FROM documents d LEFT JOIN enc e USING (doc_id))
+            SELECT lang, sum(nw)::BIGINT AS tot_words, sum(np)::BIGINT AS tot_pieces,
+                   floor((sum(np)::DOUBLE / sum(nw)::DOUBLE) * 1e4 + 0.5) / 1e4 AS fertility_r
+            FROM f GROUP BY lang ORDER BY lang"""
     }
-    val maybeDocSrc = if (mode == "docs" || mode == "pack") s"$ToksArrCte," else ""
-    val maybeComma  = if (mode == "docs" || mode == "pack") "," else ""
+    val docMode     = mode == "docs" || mode == "pack" || mode == "fertility"
+    val maybeDocSrc = if (docMode) s"$ToksArrCte," else ""
+    val maybeComma  = if (docMode) "," else ""
     s"""WITH $TokCte, $maybeDocSrc
         vocab AS (SELECT word AS w, count(*) AS n FROM tok GROUP BY 1),
         state0 AS (SELECT w, n, regexp_split_to_array(w, '') AS syms FROM vocab),
@@ -2855,6 +2913,23 @@ object SparkEntry {
             SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.v = e.dst)
           SELECT v AS doc_id, min(lbl) AS group_id
           FROM reach GROUP BY v ORDER BY doc_id""",
+    "q_dedup_keep_best" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes(3, 16, 8, 4096)},
+          edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+                    UNION ALL SELECT doc2, doc1 FROM pairs),
+          reach(v, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.v = e.dst),
+          grp AS (SELECT v AS doc_id, min(lbl) AS group_id FROM reach GROUP BY v),
+          j AS (SELECT g.group_id, g.doc_id, d.n_chars
+                FROM grp g JOIN documents d USING (doc_id)),
+          best AS (SELECT group_id, doc_id AS keep_id, n_chars AS best_q FROM j
+                   QUALIFY row_number() OVER (PARTITION BY group_id
+                                              ORDER BY n_chars DESC, doc_id ASC) = 1),
+          cnt AS (SELECT group_id, count(*) AS n_members FROM j GROUP BY 1)
+          SELECT b.group_id, b.keep_id, b.best_q, c.n_members
+          FROM best b JOIN cnt c USING (group_id) ORDER BY b.group_id""",
     "q_simhash" ->
       s"""WITH ${simhashSigCte(32)}
           SELECT doc_id, simhash FROM sig ORDER BY doc_id""",
@@ -3926,6 +4001,53 @@ object SparkEntry {
     "q_bpe_encode" -> bpeOracleSql(3, mode = "encode"),
     "q_bpe_tokenize" -> bpeOracleSql(3, mode = "docs"),
     "q_pack_bpe" -> bpeOracleSql(3, mode = "pack"),
+    "q_bpe_fertility" -> bpeOracleSql(3, mode = "fertility"),
+    "q_gopher_rules" ->
+      """WITH t AS (SELECT doc_id, text,
+                      regexp_split_to_array(text, '\s+') AS ws,
+                      list_filter(
+                        list_transform(regexp_split_to_array(text, '\s+'),
+                                       x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                        w -> w <> '') AS toks
+                    FROM documents),
+         m AS (SELECT doc_id,
+                 len(ws)::BIGINT AS n_ws,
+                 CASE WHEN len(toks) = 0 THEN 0.0
+                      ELSE floor((list_sum(list_transform(toks, x -> len(x)))::DOUBLE
+                                  / len(toks)) * 1e4 + 0.5) / 1e4 END AS mean_wlen_r,
+                 floor((len(list_filter(ws, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                        / len(ws)) * 1e4 + 0.5) / 1e4 AS alpha_frac_r,
+                 floor((((len(text) - len(replace(text, '#', '')))::DOUBLE
+                         + (len(text) - len(replace(text, '...', '')))::DOUBLE / 3.0)
+                        / len(ws)) * 1e4 + 0.5) / 1e4 AS sym_ratio_r,
+                 len(list_intersect(toks,
+                     ['the','a','an','and','of','to','in','is','it','for']))::BIGINT AS n_stop
+               FROM t)
+         SELECT doc_id, n_ws, mean_wlen_r, alpha_frac_r, sym_ratio_r, n_stop,
+                (n_ws >= 50 AND n_ws <= 100000)::INTEGER AS r_words,
+                (mean_wlen_r >= 3.0 AND mean_wlen_r <= 10.0)::INTEGER AS r_wlen,
+                (alpha_frac_r >= 0.8)::INTEGER AS r_alpha,
+                (sym_ratio_r <= 0.1)::INTEGER AS r_symbol,
+                (n_stop >= 2)::INTEGER AS r_stop,
+                (n_ws >= 50 AND n_ws <= 100000 AND mean_wlen_r >= 3.0
+                 AND mean_wlen_r <= 10.0 AND alpha_frac_r >= 0.8
+                 AND sym_ratio_r <= 0.1 AND n_stop >= 2)::INTEGER AS keep
+         FROM m ORDER BY doc_id""",
+    "q_word_dropout" ->
+      """WITH w AS (SELECT doc_id, j - 1 AS pos, ws[j] AS w
+                    FROM (SELECT doc_id, ws, unnest(range(1, len(ws) + 1)) AS j
+                          FROM (SELECT doc_id, regexp_split_to_array(text, '\s+') AS ws
+                                FROM documents) t0) t1),
+         k AS (SELECT doc_id, pos, w,
+                      ('0x' || substr(md5('wd:' || doc_id::VARCHAR || ':' || pos::VARCHAR),
+                        1, 13))::BIGINT >= 450359962737049 AS keep
+               FROM w)
+         SELECT doc_id,
+                md5(coalesce(string_agg(CASE WHEN keep THEN w END, ' ' ORDER BY pos), ''))
+                  AS aug_md5,
+                count(*) AS n_total,
+                count(CASE WHEN keep THEN 1 END) AS n_kept
+         FROM k GROUP BY doc_id ORDER BY doc_id""",
     "q_resample_ffill" ->
       """WITH daily AS (
            SELECT user_id, date_trunc('day', ts) AS bucket,

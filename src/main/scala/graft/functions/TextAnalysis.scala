@@ -549,6 +549,110 @@ object TextAnalysis {
     df.withColumn("n_pieces", size(col("pieces")))
   }
 
+  /** Gopher-style composite quality rule suite (the Rae et al. 2021
+    * repetition-free document filters, adapted to this corpus shape:
+    * LINE-based rules — bullet-start / ellipsis-end fractions — are
+    * omitted because the synthetic docs carry no newlines and the rules
+    * would pass vacuously; [[withRepetitionMetrics]] covers the
+    * duplicate-n-gram family separately). ALL metrics come from ONE
+    * map-side pass over bound token arrays — no shuffle, no UDF; the
+    * verdict columns are plain boolean arithmetic and `keep` is their
+    * conjunction, so the filter composes into any curation plan as a
+    * `where(col("keep") === 1)`.
+    *
+    * Rules (published Gopher thresholds where applicable):
+    *   r_words   minWords <= n_ws <= maxWords
+    *   r_wlen    3.0 <= mean alpha-token length <= 10.0
+    *   r_alpha   >= 80% of whitespace tokens contain an alphabetic char
+    *   r_symbol  (#'#' + #'...') / n_ws <= 0.1
+    *   r_stop    >= 2 distinct stopwords from the shared list
+    *
+    * Ratios are 4-dp rounded BEFORE comparison on both engines so a
+    * boundary doc can't flip its verdict between Spark and the oracle.
+    * Returns metrics + per-rule 0/1 flags + keep.
+    */
+  def gopherRules(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      minWords: Long = 50,
+      maxWords: Long = 100000): DataFrame = {
+    val ws   = col("__ws")
+    val toks = col("__toks")
+    val nWs  = col("n_ws")
+    val base = docs
+      .withColumn("__ws", split(col(textCol), "\\s+"))
+      .withColumn("__toks", Tokenize.tokenArray(col(textCol)))
+      .withColumn("n_ws", size(ws).cast("bigint"))
+      .withColumn("mean_wlen_r", Portable.pround(
+        when(size(toks) === 0, lit(0.0)).otherwise(
+          aggregate(toks, lit(0L), (acc, x) => acc + length(x)).cast("double")
+            / size(toks).cast("double")), 4))
+      .withColumn("alpha_frac_r", Portable.pround(
+        size(filter(ws, t => t.rlike("[A-Za-z]"))).cast("double")
+          / nWs.cast("double"), 4))
+      .withColumn("sym_ratio_r", Portable.pround(
+        ((length(col(textCol)) - length(replace(col(textCol), lit("#"), lit("")))).cast("double")
+          + (length(col(textCol)) - length(replace(col(textCol), lit("..."), lit("")))).cast("double") / 3.0)
+          / nWs.cast("double"), 4))
+      .withColumn("n_stop",
+        size(array_intersect(toks, array(Stopwords.map(lit): _*))).cast("bigint"))
+    base
+      .withColumn("r_words",
+        (nWs >= minWords && nWs <= maxWords).cast("int"))
+      .withColumn("r_wlen",
+        (col("mean_wlen_r") >= 3.0 && col("mean_wlen_r") <= 10.0).cast("int"))
+      .withColumn("r_alpha", (col("alpha_frac_r") >= 0.8).cast("int"))
+      .withColumn("r_symbol", (col("sym_ratio_r") <= 0.1).cast("int"))
+      .withColumn("r_stop", (col("n_stop") >= 2).cast("int"))
+      .withColumn("keep",
+        (col("r_words") === 1 && col("r_wlen") === 1 && col("r_alpha") === 1 &&
+          col("r_symbol") === 1 && col("r_stop") === 1).cast("int"))
+      .select(col(idCol), nWs, col("mean_wlen_r"), col("alpha_frac_r"),
+        col("sym_ratio_r"), col("n_stop"), col("r_words"), col("r_wlen"),
+        col("r_alpha"), col("r_symbol"), col("r_stop"), col("keep"))
+  }
+
+  /** Deterministic word-dropout augmentation — the training-data
+    * robustness transform: drop each whitespace token with probability
+    * `p`, decided by a per-(salt, doc, position) md5 draw, so reruns and
+    * the oracle replay the IDENTICAL augmented corpus (the
+    * [[graft.operators.Sampling]] determinism discipline applied to
+    * augmentation). Scale shape: posexplode → map-side draw →
+    * doc-keyed reassembly; per-group state is the doc's own kept-token
+    * list, i.e. output-sized, and nothing shuffles except the doc-keyed
+    * aggregate.
+    *
+    * Returns (idCol, aug_text, n_total, n_kept).
+    */
+  def wordDropout(
+      docs: DataFrame,
+      p: Double = 0.1,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      salt: String = "wd"): DataFrame = {
+    require(p >= 0.0 && p <= 1.0, s"p ($p) outside [0,1]")
+    // 13 hex digits = 52 uniform bits; drop iff draw < p·2^52 (the
+    // threshold is a compile-time literal shared verbatim with the oracle)
+    val thr = (p * (1L << 52).toDouble).toLong
+    val draw = conv(substring(md5(concat(
+      lit(s"$salt:"), col(idCol).cast("string"), lit(":"), col("__pos").cast("string"))),
+      1, 13), 16, 10).cast("long")
+    docs
+      .select(col(idCol), posexplode(split(col(textCol), "\\s+")).as(Seq("__pos", "__w")))
+      .withColumn("__keep", draw >= thr)
+      .groupBy(col(idCol))
+      .agg(
+        sort_array(collect_list(when(col("__keep"),
+          struct(col("__pos"), col("__w"))))).as("__kept"),
+        count(lit(1)).as("n_total"))
+      .select(
+        col(idCol),
+        concat_ws(" ", transform(col("__kept"), s => s.getField("__w"))).as("aug_text"),
+        col("n_total"),
+        size(col("__kept")).cast("bigint").as("n_kept"))
+  }
+
   /** Corpus-scale BPE DOCUMENT encoder — the trained tokenizer's
     * production job: map every document to its token-ID sequence under a
     * learned merge table ([[bpeMerges]]'s artifact, in training order),

@@ -442,6 +442,30 @@ object Dedup {
     labels
   }
 
+  /** Quality-aware duplicate-cluster representative selection: real
+    * pipelines keep the BEST member of a near-dup cluster (longest,
+    * highest-quality-score), not the smallest id — [[duplicateGroups]]'s
+    * min-id label is a canonical NAME for the cluster, not a curation
+    * verdict. Joins any (idCol, quality) relation onto the group labels
+    * and picks per cluster via ONE partially-aggregated `max_by` over
+    * (quality, −id) — max quality, min id on ties; no window, no
+    * per-cluster state beyond the running best.
+    *
+    * Returns (group_id, keep_id, best_q, n_members).
+    */
+  def keepBest(
+      groups: DataFrame,
+      quality: DataFrame,
+      idCol: String = "doc_id",
+      qCol: String = "q"): DataFrame =
+    groups
+      .join(quality.select(col(idCol), col(qCol)), Seq(idCol))
+      .groupBy(col("group_id"))
+      .agg(
+        max_by(col(idCol), struct(col(qCol), (-col(idCol)).as("__negid"))).as("keep_id"),
+        max(col(qCol)).as("best_q"),
+        count(lit(1)).as("n_members"))
+
   /** EXACT set-similarity self-join via prefix filtering (the AllPairs /
     * PPJoin candidate rule): every pair of documents whose shingle-set
     * Jaccard similarity is ≥ `threshold`, with the exact similarity —

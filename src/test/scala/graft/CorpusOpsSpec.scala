@@ -178,6 +178,60 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("gopherRules: each rule trips on its crafted violation, clean doc keeps") {
+    val longClean = (("the quick brown fox jumps over a lazy dog near the old mill " * 6)
+      + "and it is done for good").trim  // 66+ words, stopwords present
+    val docs = Seq(
+      (0L, longClean),                                        // passes all
+      (1L, "too few words here"),                             // r_words
+      (2L, ("supercalifragilisticexpialidocious " * 60).trim + " the a of"), // r_wlen (mean > 10)
+      (3L, (("### ### " * 30).trim + " " + longClean)),       // r_symbol (60 '#'-tokens / ~126 words > 0.1)
+      (4L, (("zz xq wv " * 30).trim))                         // r_stop (no stopwords)
+    ).toDF("doc_id", "text")
+    val got = graft.functions.TextAnalysis.gopherRules(docs, minWords = 20)
+      .orderBy("doc_id").collect()
+    assert(got(0).getInt(11) == 1, s"clean doc must keep: ${got(0)}")
+    assert(got(1).getInt(6) == 0 && got(1).getInt(11) == 0, "few words trips r_words")
+    assert(got(2).getInt(7) == 0 && got(2).getInt(11) == 0, "long words trip r_wlen")
+    assert(got(3).getInt(9) == 0 && got(3).getInt(11) == 0, "symbol spam trips r_symbol")
+    assert(got(4).getInt(10) == 0 && got(4).getInt(11) == 0, "no stopwords trips r_stop")
+  }
+
+  test("keepBest: cluster representative is max-quality, min-id on ties") {
+    // two clusters: {1,2,3} linked via (1,2),(2,3); {7,8}
+    val pairs = Seq((1L, 2L), (2L, 3L), (7L, 8L)).toDF("doc1", "doc2")
+    val quality = Seq((1L, 10L), (2L, 50L), (3L, 50L), (7L, 5L), (8L, 9L))
+      .toDF("doc_id", "q")
+    val got = graft.operators.Dedup
+      .keepBest(graft.operators.Dedup.duplicateGroups(pairs), quality)
+      .orderBy("group_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // cluster 1: q=50 tie between 2 and 3 -> min id 2; cluster 7: 8 wins on q
+    assert(got.toSeq == Seq((1L, 2L, 50L, 3L), (7L, 8L, 9L, 2L)), got.toSeq.toString)
+  }
+
+  test("wordDropout: deterministic, counts add up, p=0 and p=1 degenerate correctly") {
+    val docs = Seq((1L, "alpha beta gamma delta epsilon"), (2L, "one two")).toDF("doc_id", "text")
+    val a = graft.functions.TextAnalysis.wordDropout(docs, p = 0.5)
+      .orderBy("doc_id").collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    val b = graft.functions.TextAnalysis.wordDropout(docs, p = 0.5)
+      .orderBy("doc_id").collect().map(r => (r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(a.toSeq == b.toSeq, "rerun must reproduce the identical augmentation")
+    a.foreach { case (aug, total, kept) =>
+      assert(kept <= total)
+      assert(aug.isEmpty == (kept == 0L))
+      if (kept > 0) assert(aug.split(" ").length == kept)
+    }
+    val keepAll = graft.functions.TextAnalysis.wordDropout(docs, p = 0.0)
+      .orderBy("doc_id").collect()
+    assert(keepAll(0).getString(1) == "alpha beta gamma delta epsilon" &&
+      keepAll(0).getLong(2) == keepAll(0).getLong(3), "p=0 keeps every token in order")
+    val dropAll = graft.functions.TextAnalysis.wordDropout(docs, p = 1.0)
+      .orderBy("doc_id").collect()
+    assert(dropAll.forall(r => r.getString(1).isEmpty && r.getLong(3) == 0L),
+      "p=1 drops everything but preserves rows")
+  }
+
   test("chunkByContent == in-memory mirror; prefix insertion preserves tail chunks") {
     val base = (0 until 120).map(word).mkString(" ")
     val two  = Seq((1L, base), (2L, s"zz yy xx $base")).toDF("doc_id", "text")
