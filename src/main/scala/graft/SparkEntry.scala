@@ -457,6 +457,28 @@ object SparkEntry {
         Seq("spark", "query", "join"))
     }),
 
+    // -- faceted retrieval: per-facet hit counts next to the result list;
+    //    the result-sized hit set broadcasts, metadata never shuffles
+    "q_search_facets" -> ((s, dir) => {
+      Search
+        .facetCounts(
+          InvertedIndex.postings(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))),
+          Seq("spark", "query"),
+          t(s, dir, "documents"),
+          Seq("lang", "source"))
+        .orderBy("facet", "value")
+    }),
+
+    // -- impact-ordered static index pruning: top-5 postings per term by
+    //    (tf DESC, id ASC) via the bounded partial top-k — no whole-term
+    //    window; df_full records what was cut
+    "q_postings_pruned" -> ((s, dir) => {
+      InvertedIndex
+        .prunedTfPostings(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")), n = 5)
+        .orderBy(col("word"), desc("tf"), col("doc_id"))
+    }),
+
     // -- boolean retrieval: docs containing ANY query term + match count
     "q_search_or" -> ((s, dir) => {
       Search.orQuery(
@@ -1198,6 +1220,16 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // -- perceptual near-dup image PAIRS: dHash + 4×16-bit pigeonhole
+    //    banding (EXACT for hamming <= 3), cap before in-bucket expansion,
+    //    two-limb bit_count on candidates only — simhashPairs' discipline
+    //    at the image modality
+    "q_image_near_dup" -> ((s, dir) => {
+      operators.Multimodal
+        .imageNearDupPairs(operators.Multimodal.demoMediaFromDocuments(s, dir))
+        .orderBy("id1", "id2")
+    }),
+
     // -- REAL video frame sampling: every 4th GIF frame extracted with the
     //    frame-addressable reader and re-encoded PNG, then each emitted
     //    frame DECODED back; the oracle unnests ceil(frames/4) rows per
@@ -1921,6 +1953,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- rolling z-score anomaly flags: each value vs the 10 strictly
+    //    preceding observations per user (bounded window); warm-up rows
+    //    skipped, zero-variance histories emit z = 0
+    "q_rolling_zscore" -> ((s, dir) => {
+      operators.TimeSeries
+        .rollingZscore(graft.sources.EventsSource.events(s, dir), n = 10, thr = 3.0)
+        .orderBy("user_id", "event_id")
+    }),
+
     // -- per-user daily resample + forward fill: dense fixed-step series
     //    from the sparse event log, gaps carry the last observed average
     "q_resample_ffill" -> ((s, dir) => {
@@ -2496,6 +2537,43 @@ object SparkEntry {
           SELECT doc_id, count(DISTINCT word) AS n_terms
           FROM tok WHERE word IN ('vector', 'stream', 'merge')
           GROUP BY doc_id ORDER BY n_terms DESC, doc_id""",
+    "q_search_facets" ->
+      s"""WITH $TokCte,
+          hits AS (SELECT doc_id FROM (
+                     SELECT doc_id, count(DISTINCT word) AS n_terms
+                     FROM tok WHERE word IN ('spark', 'query') GROUP BY doc_id) g
+                   WHERE n_terms = 2),
+          j AS (SELECT d.lang, d.source FROM documents d JOIN hits USING (doc_id))
+          SELECT facet, value, n_docs FROM (
+            SELECT 'lang' AS facet, lang AS value, count(*) AS n_docs FROM j GROUP BY 2
+            UNION ALL
+            SELECT 'source' AS facet, source AS value, count(*) AS n_docs FROM j GROUP BY 2) u
+          ORDER BY facet, value""",
+    "q_postings_pruned" ->
+      s"""WITH $TokCte,
+          tfp AS (SELECT word, doc_id, count(*) AS tf FROM tok GROUP BY 1, 2),
+          d AS (SELECT word, count(*) AS df_full FROM tfp GROUP BY 1)
+          SELECT word, doc_id, tf, df_full FROM (
+            SELECT t.word, t.doc_id, t.tf, d.df_full,
+                   row_number() OVER (PARTITION BY t.word
+                                      ORDER BY t.tf DESC, t.doc_id) AS rn
+            FROM tfp t JOIN d USING (word)) u
+          WHERE rn <= 5 ORDER BY word, tf DESC, doc_id""",
+    "q_rolling_zscore" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us, value FROM events),
+         w AS (SELECT user_id, event_id, value,
+                      avg(value) OVER win AS m,
+                      stddev_samp(value) OVER win AS s,
+                      count(value) OVER win AS c
+               FROM e
+               WINDOW win AS (PARTITION BY user_id ORDER BY ts_us, event_id
+                              ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING))
+         SELECT user_id, event_id, value,
+                floor((CASE WHEN s > 0 THEN (value - m) / s ELSE 0.0 END) * 1e4 + 0.5) / 1e4
+                  AS z_r,
+                (abs(floor((CASE WHEN s > 0 THEN (value - m) / s ELSE 0.0 END) * 1e4 + 0.5) / 1e4)
+                 > 3.0)::INTEGER AS is_anomaly
+         FROM w WHERE c = 10 ORDER BY user_id, event_id""",
     // identical oracles on purpose: shard-served boolean retrieval must be
     // result-identical to the unsharded queries
     "q_search_and_sharded" ->
@@ -3196,32 +3274,27 @@ object SparkEntry {
     // the oracle replays the 9x8 nearest-sample grid + integer gray +
     // gradient bits that imageDHash computes from the DECODED pixels
     "q_image_dhash" ->
-      """WITH img AS (
-           SELECT doc_id, 1 + doc_id % 64 AS w,
-                  1 + octet_length(encode(text)) % 64 AS h
-           FROM documents WHERE doc_id % 3 = 0),
-         g AS (
-           SELECT doc_id, j, i,
-                  ((least(w - 1, (i * w) // 9) * 31
-                    + least(h - 1, (j * h) // 8) * 17 + doc_id) % 16777216) AS v
-           FROM img
-           CROSS JOIN (SELECT unnest(range(9)) AS i)
-           CROSS JOIN (SELECT unnest(range(8)) AS j)),
-         gr AS (
-           SELECT doc_id, j, i,
-                  (299 * ((v // 65536) % 256) + 587 * ((v // 256) % 256)
-                   + 114 * (v % 256)) // 1000 AS gray
-           FROM g),
-         b AS (
-           SELECT doc_id, j, i, gray,
-                  lead(gray) OVER (PARTITION BY doc_id, j ORDER BY i) AS nxt
-           FROM gr)
-         SELECT doc_id AS media_id,
-                sum(CASE WHEN i < 8 AND j >= 4 AND nxt > gray
-                         THEN (1::BIGINT << (j * 8 + i - 32)) ELSE 0 END)::BIGINT AS dhash_hi,
-                sum(CASE WHEN i < 8 AND j < 4 AND nxt > gray
-                         THEN (1::BIGINT << (j * 8 + i)) ELSE 0 END)::BIGINT AS dhash_lo
-         FROM b GROUP BY 1 ORDER BY media_id""",
+      s"""WITH $ImageDhashCtes
+          SELECT media_id, dhash_hi, dhash_lo FROM dh ORDER BY media_id""",
+    "q_image_near_dup" ->
+      s"""WITH $ImageDhashCtes,
+          sl AS (SELECT media_id, dhash_hi, dhash_lo, band,
+                        CASE band WHEN 0 THEN dhash_lo % 65536
+                                  WHEN 1 THEN dhash_lo // 65536
+                                  WHEN 2 THEN dhash_hi % 65536
+                                  ELSE dhash_hi // 65536 END AS v
+                 FROM dh CROSS JOIN (SELECT unnest(range(4)) AS band) bb),
+          keep AS (SELECT band, v FROM sl GROUP BY band, v
+                   HAVING count(*) BETWEEN 2 AND 4096)
+          SELECT DISTINCT a.media_id AS id1, b2.media_id AS id2,
+                 (bit_count(xor(a.dhash_hi, b2.dhash_hi))
+                  + bit_count(xor(a.dhash_lo, b2.dhash_lo)))::INTEGER AS hamming
+          FROM sl a
+          JOIN sl b2 ON a.band = b2.band AND a.v = b2.v AND a.media_id < b2.media_id
+          JOIN keep k ON k.band = a.band AND k.v = a.v
+          WHERE (bit_count(xor(a.dhash_hi, b2.dhash_hi))
+                 + bit_count(xor(a.dhash_lo, b2.dhash_lo))) <= 3
+          ORDER BY id1, id2""",
     // resize mirror: the synthesized PNG is ceil-halved, so decoded output
     // dims must equal ceil((1 + id mod 64)/2) x ceil((1 + len mod 64)/2)
     // (// is DuckDB integer division; (w+1)//2 == ceil(w/2))
@@ -4145,6 +4218,40 @@ object SparkEntry {
   private val PiiEmailRe = graft.operators.CorpusClean.EmailRe
   private val PiiPhoneRe = graft.operators.CorpusClean.PhoneRe
   private val PiiIpRe    = graft.operators.CorpusClean.Ipv4Re
+
+  /** Shared DuckDB CTE chain `dh(media_id, dhash_hi, dhash_lo)`: the
+    * 64-bit dHash replayed from the image-synthesis formulas through the
+    * integer-exact 9×8 grid / BT.601 gray / gradient-bit pipeline
+    * (mirror of Multimodal.imageDHash over demoMediaFromDocuments).
+    */
+  private val ImageDhashCtes =
+    """img AS (
+         SELECT doc_id, 1 + doc_id % 64 AS w,
+                1 + octet_length(encode(text)) % 64 AS h
+         FROM documents WHERE doc_id % 3 = 0),
+       g AS (
+         SELECT doc_id, j, i,
+                ((least(w - 1, (i * w) // 9) * 31
+                  + least(h - 1, (j * h) // 8) * 17 + doc_id) % 16777216) AS v
+         FROM img
+         CROSS JOIN (SELECT unnest(range(9)) AS i)
+         CROSS JOIN (SELECT unnest(range(8)) AS j)),
+       gr AS (
+         SELECT doc_id, j, i,
+                (299 * ((v // 65536) % 256) + 587 * ((v // 256) % 256)
+                 + 114 * (v % 256)) // 1000 AS gray
+         FROM g),
+       b AS (
+         SELECT doc_id, j, i, gray,
+                lead(gray) OVER (PARTITION BY doc_id, j ORDER BY i) AS nxt
+         FROM gr),
+       dh AS (
+         SELECT doc_id AS media_id,
+                sum(CASE WHEN i < 8 AND j >= 4 AND nxt > gray
+                         THEN (1::BIGINT << (j * 8 + i - 32)) ELSE 0 END)::BIGINT AS dhash_hi,
+                sum(CASE WHEN i < 8 AND j < 4 AND nxt > gray
+                         THEN (1::BIGINT << (j * 8 + i)) ELSE 0 END)::BIGINT AS dhash_lo
+         FROM b GROUP BY 1)"""
 
   /** DuckDB mirror of SparkEntry.htmlTagged — the same synthesis formula,
     * single-quote-escaped for a SQL literal.

@@ -186,6 +186,38 @@ object InvertedIndex {
   def docLengths(tokens: DataFrame, idCol: String = "doc_id"): DataFrame =
     tokens.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
 
+  /** Impact-ordered static index pruning (the Lucene/WAND serving trick):
+    * keep only each term's top `n` postings by (tf DESC, doc_id ASC) —
+    * the documents that can win a tf-weighted top-k query — shrinking a
+    * serving index by orders of magnitude on common terms at a bounded,
+    * explicit recall cost (`df_full` is carried so the consumer can see
+    * exactly how much of each term's list was cut).
+    *
+    * Selection rides the bounded [[graft.plans.CosTopK]] partial top-k
+    * aggregate: the map side buffers at most `n` entries per term before
+    * the exchange — never a whole-term window partition, which for a
+    * stop word is precisely the skew case static pruning exists to fix.
+    *
+    * Returns (word, doc_id, tf, df_full) — `n` rows per term at most.
+    */
+  def prunedTfPostings(tokens: DataFrame, n: Int = 10, idCol: String = "doc_id"): DataFrame = {
+    require(n >= 1, s"n ($n) must be >= 1")
+    import org.apache.spark.sql.GraftBridge
+    val topk = GraftBridge.column(graft.plans.CosTopK(
+      GraftBridge.expression(col("tf").cast("double")),
+      GraftBridge.expression(col(idCol).cast("bigint")),
+      GraftBridge.expression(col("tf").cast("double")),
+      n).toAggregateExpression())
+    tokens
+      .groupBy(col("word"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+      .groupBy(col("word"))
+      .agg(topk.as("__top"), count(lit(1)).as("df_full"))
+      .select(col("word"), col("df_full"), explode(col("__top")).as("__e"))
+      .select(col("word"), col("__e.id").as(idCol),
+        col("__e.cos").cast("long").as("tf"), col("df_full"))
+  }
+
   /** Incremental maintenance for the POSITIONAL index (the structure that
     * serves phrase queries — round 2 only maintained the plain postings, so
     * an incrementally-updated index silently lost phrase search). Full

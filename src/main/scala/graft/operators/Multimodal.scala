@@ -335,6 +335,47 @@ object Multimodal {
       .toDF("media_id", "dhash_hi", "dhash_lo")
   }
 
+  /** Perceptual near-duplicate image PAIRS — [[imageDHash]] feeding the
+    * [[graft.operators.Dedup.simhashPairs]] pigeonhole discipline at the
+    * image modality: 4 bands of 16 bits over the 64-bit dHash (any pair
+    * within hamming < 4 must agree exactly on at least one band — recall
+    * 1.0 for `maxDist` <= 3 by pigeonhole, NOT probabilistic), hot
+    * buckets capped BEFORE the quadratic in-bucket expansion, exact
+    * two-limb hamming (`bit_count` over both 32-bit halves) on candidate
+    * pairs only. One shuffle, no self-join; the Dedup discipline verbatim.
+    *
+    * Returns (id1, id2, hamming) with id1 < id2.
+    */
+  def imageNearDupPairs(
+      media: Dataset[MediaRecord],
+      maxDist: Int = 3,
+      maxBucket: Int = 1 << 12): DataFrame = {
+    require(maxDist < 4, s"pigeonhole over 4 bands needs maxDist ($maxDist) < 4")
+    require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least one pair")
+    imageDHash(media)
+      .select(
+        struct(col("media_id").as("id"), col("dhash_hi").as("hi"), col("dhash_lo").as("lo")).as("m"),
+        explode(array(
+          struct(lit(0).as("band_idx"), expr("dhash_lo & 65535").as("band_val")),
+          struct(lit(1).as("band_idx"), expr("shiftright(dhash_lo, 16) & 65535").as("band_val")),
+          struct(lit(2).as("band_idx"), expr("dhash_hi & 65535").as("band_val")),
+          struct(lit(3).as("band_idx"), expr("shiftright(dhash_hi, 16) & 65535").as("band_val"))))
+          .as("bnd"))
+      .select(col("m"), col("bnd.band_idx"), col("bnd.band_val"))
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(array_sort(collect_list(col("m"))).as("members"))
+      .where(size(col("members")).between(2, maxBucket))
+      .select(explode_outer(expr(
+        """flatten(transform(members, (x, i) ->
+           transform(slice(members, i + 2, size(members)),
+                     y -> named_struct('id1', x.id, 'id2', y.id,
+                                       'hamming', bit_count(x.hi ^ y.hi) + bit_count(x.lo ^ y.lo)))))"""))
+        .as("p"))
+      .where(col("p.hamming") <= maxDist)
+      .select(col("p.id1"), col("p.id2"), col("p.hamming").cast("int").as("hamming"))
+      .distinct()
+  }
+
   /** REAL image resize (bytes→bytes, per-partition, no shuffle): decode via
     * javax.imageio, scale with Graphics2D bilinear interpolation to
     * (⌈w·num/den⌉, ⌈h·num/den⌉) — never below 1×1 — and re-encode PNG.

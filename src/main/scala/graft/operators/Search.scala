@@ -66,6 +66,39 @@ object Search {
       .orderBy(desc("n_terms"), asc("doc_id"))
   }
 
+  /** Faceted retrieval: the per-facet result counts a search UI renders
+    * next to the hit list ("lang: en (12), de (3) · source: web (9), …").
+    *
+    * Scale shape: the conjunctive hit set is RESULT-sized, so it is
+    * materialized once (each lazy facet branch would re-run the whole
+    * retrieval) and BROADCAST into the metadata join — the corpus-sized
+    * metadata relation never shuffles; the facet-sliced join output is
+    * again result-sized, checkpointed, and every facet's count is a
+    * partial-agg groupBy over that tiny relation.
+    *
+    * Returns (facet, value, n_docs), one row per facet value present in
+    * the result set.
+    */
+  def facetCounts(
+      postings: DataFrame,
+      words: Seq[String],
+      meta: DataFrame,
+      facets: Seq[String],
+      idCol: String = "doc_id"): DataFrame = {
+    require(facets.nonEmpty, "facetCounts needs at least one facet column")
+    val hits = andQuery(postings, words).localCheckpoint(true)
+    val slice = meta
+      .join(broadcast(hits), Seq(idCol))
+      .select(facets.map(col): _*)
+      .localCheckpoint(true)
+    facets.map { f =>
+      slice
+        .groupBy(col(f))
+        .agg(count(lit(1)).as("n_docs"))
+        .select(lit(f).as("facet"), col(f).cast("string").as("value"), col("n_docs"))
+    }.reduce(_.unionByName(_))
+  }
+
   /** TF-IDF ranked retrieval over the token stream: score(doc) = sum over
     * matched query terms of tf(doc, term) * ln(N / df(term)). All inputs to
     * the score are exact integers, so the doubles are engine-reproducible;

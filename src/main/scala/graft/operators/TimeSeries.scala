@@ -54,4 +54,45 @@ object TimeSeries {
         last(col("v"), ignoreNulls = true).over(w).as("value"),
         col("v").isNull.as("is_gap"))
   }
+
+  /** Rolling z-score anomaly flags per key: each observation's value
+    * against the mean/stddev of the `n` STRICTLY PRECEDING observations
+    * (the online-detector semantics — a point must not normalize itself),
+    * flagged when |z| > `thr`. The first `n` points per key are warm-up
+    * and are not emitted (no full window exists yet).
+    *
+    * Scale shape: ONE bounded `rowsBetween(-n, -1)` window per key — the
+    * frame buffers at most `n` rows per task regardless of how hot the
+    * key is, the bounded kind of window (same argument as
+    * [[resampleFfill]]'s per-key fill). Zero-variance windows emit z = 0
+    * (a constant history makes any value "anomalous" by division, which
+    * is noise, not signal). z is 4-dp portably rounded BEFORE the
+    * threshold test so both engines flag the identical rows.
+    *
+    * Returns (keyCol, tieCol, valueCol, z_r, is_anomaly).
+    */
+  def rollingZscore(
+      events: DataFrame,
+      n: Int = 10,
+      thr: Double = 3.0,
+      keyCol: String = "user_id",
+      tsCol: String = "ts_t",
+      valueCol: String = "value",
+      tieCol: String = "event_id"): DataFrame = {
+    require(n >= 2, s"n ($n) must be >= 2 for a sample stddev")
+    val w = Window
+      .partitionBy(col(keyCol))
+      .orderBy(asc(tsCol), asc(tieCol))
+      .rowsBetween(-n, -1)
+    events
+      .withColumn("__m", avg(col(valueCol)).over(w))
+      .withColumn("__s", stddev_samp(col(valueCol)).over(w))
+      .withColumn("__c", count(col(valueCol)).over(w))
+      .where(col("__c") === n)
+      .withColumn("z_r", graft.functions.Portable.pround(
+        when(col("__s") > 0, (col(valueCol) - col("__m")) / col("__s"))
+          .otherwise(lit(0.0)), 4))
+      .withColumn("is_anomaly", (abs(col("z_r")) > thr).cast("int"))
+      .select(col(keyCol), col(tieCol), col(valueCol), col("z_r"), col("is_anomaly"))
+  }
 }

@@ -129,6 +129,19 @@ class MultimodalSpec extends SparkSpec {
       s"near-identical images pair, unrelated do not: ${pairs.toSeq}")
   }
 
+  test("imageNearDupPairs: exact dup at hamming 0, unrelated image absent") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", Multimodal.synthPng(48, 40, 21L), ""),
+      Multimodal.MediaRecord(2L, "image", Multimodal.synthPng(48, 40, 21L), ""), // exact dup
+      Multimodal.MediaRecord(3L, "image", Multimodal.synthPng(40, 48, 555L), "") // unrelated
+    ).toDS()
+    val pairs = Multimodal.imageNearDupPairs(media)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(pairs.toSeq == Seq((1L, 2L, 0)),
+      s"exact dup pairs at 0 bits, unrelated stays out: ${pairs.toSeq}")
+  }
+
   test("decode runs distributed over binary columns with stable schema") {
     val media = Multimodal.demoMediaFromDocuments(spark, dir).repartition(4)
     val feats = Multimodal.decode(media, batchSize = 16)

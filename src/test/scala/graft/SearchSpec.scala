@@ -28,6 +28,39 @@ class SearchSpec extends SparkSpec {
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L), (4L, 1L)))
   }
 
+  test("facetCounts: per-facet counts equal direct counts over the AND hit set") {
+    val meta = Seq(
+      (1L, "en", "web"), (2L, "en", "book"), (3L, "de", "web"), (4L, "en", "web"))
+      .toDF("doc_id", "lang", "source")
+    val got = Search
+      .facetCounts(postings, Seq("spark", "joins"), meta, Seq("lang", "source"))
+      .orderBy("facet", "value")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    // AND hits = {2, 4} -> lang en:2; source book:1 (doc 2), web:1 (doc 4)
+    assert(got == Seq(("lang", "en", 2L), ("source", "book", 1L), ("source", "web", 1L)),
+      s"got $got")
+  }
+
+  test("prunedTfPostings equals window-based top-n selection exactly") {
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val toks = Tokenize.tokens(docs, "text", Seq("doc_id"))
+    val pruned = InvertedIndex.prunedTfPostings(toks, n = 3)
+      .orderBy("word", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val tfp = toks.groupBy(col("word"), col("doc_id")).agg(count(lit(1)).as("tf"))
+    val w = Window.partitionBy(col("word")).orderBy(desc("tf"), asc("doc_id"))
+    val mirror = tfp
+      .withColumn("df_full", count(lit(1)).over(Window.partitionBy(col("word"))))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= 3)
+      .select(col("word"), col("doc_id"), col("tf"), col("df_full"))
+      .orderBy("word", "doc_id")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(pruned == mirror, s"pruned ${pruned.take(5)}... vs mirror ${mirror.take(5)}...")
+  }
+
   test("index-served BM25 equals token-stream BM25 exactly") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val toks = Tokenize.tokens(docs, "text", Seq("doc_id"))

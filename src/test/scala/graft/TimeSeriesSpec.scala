@@ -33,6 +33,31 @@ class TimeSeriesSpec extends SparkSpec {
       (2L, "2024-03-02", 5.0, false)))
   }
 
+  test("rollingZscore: planted spike flagged, warm-up skipped, constant history safe") {
+    // key 1: 12 steady points then a spike; key 2: constant values (zero
+    // variance); key 3: too few points (all warm-up)
+    val ev =
+      (1 to 12).map(i => (1L, i.toLong, ts(f"2024-03-01 ${i}%02d:00:00"), 10.0 + (i % 3) * 0.1)) ++
+      Seq((1L, 13L, ts("2024-03-01 13:00:00"), 99.0)) ++
+      (1 to 11).map(i => (2L, 100L + i, ts(f"2024-03-01 ${i}%02d:00:00"), 5.0)) ++
+      Seq((3L, 200L, ts("2024-03-01 01:00:00"), 1.0))
+    val got = TimeSeries
+      .rollingZscore(ev.toDF("user_id", "event_id", "ts_t", "value"), n = 10, thr = 3.0)
+      .orderBy("user_id", "event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getInt(4)))
+    // key 1 emits events 11..13 (first 10 are warm-up); 13 is the spike
+    val k1 = got.filter(_._1 == 1L)
+    assert(k1.map(_._2).toSeq == Seq(11L, 12L, 13L), s"warm-up rows must not emit: $k1")
+    assert(k1.count(_._4 == 1) == 1 && k1.last._4 == 1 && k1.last._3 > 3.0,
+      s"only the spike flags: $k1")
+    // key 2: zero variance -> z = 0, never flagged
+    val k2 = got.filter(_._1 == 2L)
+    assert(k2.nonEmpty && k2.forall(r => r._3 == 0.0 && r._4 == 0), s"constant history: $k2")
+    // key 3: never emits
+    assert(!got.exists(_._1 == 3L), "all-warm-up key emits nothing")
+  }
+
   test("gap-free keys pass through unchanged (fill is the identity on dense series)") {
     val ev = Seq(
       (9L, ts("2024-05-01 01:00:00"), 1.0),
