@@ -479,6 +479,25 @@ object SparkEntry {
         .orderBy(col("word"), desc("tf"), col("doc_id"))
     }),
 
+    // -- "did you mean": top-3 vocabulary suggestions within 2 edits per
+    //    misspelled term, ranked (dist ASC, freq DESC, word ASC); the
+    //    corpus reduces to the vocabulary, query terms broadcast
+    "q_spell_suggest" -> ((s, dir) => {
+      Search
+        .spellSuggest(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")),
+          Seq("sprak", "qury", "jion"), maxDist = 2, k = 3)
+        .orderBy(col("qterm"), col("dist"), desc("freq"), col("suggestion"))
+    }),
+
+    // -- hit snippets: ±3 cleaned tokens around the FIRST query-term
+    //    occurrence, matched terms uppercased — the search-UI preview
+    "q_search_snippets" -> ((s, dir) => {
+      Search
+        .snippets(t(s, dir, "documents"), Seq("spark", "query"), window = 3)
+        .orderBy("doc_id")
+    }),
+
     // -- boolean retrieval: docs containing ANY query term + match count
     "q_search_or" -> ((s, dir) => {
       Search.orQuery(
@@ -1618,6 +1637,22 @@ object SparkEntry {
         .withColumn("text", operators.CorpusClean.stripMarkup(htmlTagged)))
     }),
 
+    // -- corpus snapshot diff (dataset versioning): v2 synthesized
+    //    deterministically — drop ids %17, edit texts %5, add shifted
+    //    copies %11 — diff is hash-compared, change-sized output
+    "q_corpus_diff" -> ((s, dir) => {
+      val v1 = t(s, dir, "documents")
+      val v2 = v1
+        .where(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2 edit")))
+            .otherwise(col("text")))
+        .unionByName(
+          v1.where(col("doc_id") % 11 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000))
+      operators.ChangeData.corpusDiff(v1, v2).orderBy("doc_id", "status")
+    }),
+
     // -- MODE aggregate: most frequent part brand per return flag (count
     //    per value, then a partially-aggregated max_by — no window)
     "q_mode_brand" -> ((s, dir) => {
@@ -2537,6 +2572,49 @@ object SparkEntry {
           SELECT doc_id, count(DISTINCT word) AS n_terms
           FROM tok WHERE word IN ('vector', 'stream', 'merge')
           GROUP BY doc_id ORDER BY n_terms DESC, doc_id""",
+    "q_spell_suggest" ->
+      s"""WITH $TokCte,
+          v AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
+          q AS (SELECT unnest(['sprak', 'qury', 'jion']) AS qterm),
+          s AS (SELECT q.qterm, v.word, v.freq, levenshtein(q.qterm, v.word) AS dist
+                FROM v CROSS JOIN q
+                WHERE abs(length(v.word) - length(q.qterm)) <= 2),
+          f AS (SELECT qterm, word AS suggestion, dist, freq FROM s WHERE dist <= 2
+                QUALIFY row_number() OVER (PARTITION BY qterm
+                                           ORDER BY dist, freq DESC, word) <= 3)
+          SELECT qterm, suggestion, dist, freq FROM f
+          ORDER BY qterm, dist, freq DESC, suggestion""",
+    "q_search_snippets" ->
+      s"""WITH $ToksArrCte,
+          mt AS (SELECT doc_id, min(j) AS anchor, count(*) AS n_matches
+                 FROM (SELECT doc_id, j, toks[j] AS w
+                       FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS j
+                             FROM toks_arr) u) x
+                 WHERE w IN ('spark', 'query') GROUP BY doc_id)
+          SELECT t.doc_id,
+                 array_to_string(list_transform(
+                   t.toks[greatest(1, m.anchor - 3):least(len(t.toks), m.anchor + 3)],
+                   x -> CASE WHEN x IN ('spark', 'query') THEN upper(x) ELSE x END),
+                   ' ') AS snippet,
+                 m.n_matches
+          FROM toks_arr t JOIN mt m USING (doc_id)
+          ORDER BY t.doc_id""",
+    "q_corpus_diff" ->
+      """WITH v2 AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' v2 edit' ELSE text END AS text
+           FROM documents WHERE doc_id % 17 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+         o AS (SELECT doc_id, md5(text) AS oh FROM documents),
+         n AS (SELECT doc_id, md5(text) AS nh FROM v2),
+         d AS (SELECT doc_id,
+                      CASE WHEN oh IS NULL THEN 'added'
+                           WHEN nh IS NULL THEN 'removed'
+                           WHEN oh <> nh THEN 'changed' END AS status
+               FROM o FULL OUTER JOIN n USING (doc_id))
+         SELECT doc_id, status FROM d WHERE status IS NOT NULL
+         ORDER BY doc_id, status""",
     "q_search_facets" ->
       s"""WITH $TokCte,
           hits AS (SELECT doc_id FROM (

@@ -90,4 +90,33 @@ object ChangeData {
     source
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("total"))
+
+  /** Corpus snapshot diff — dataset VERSIONING's changelog: which
+    * documents were added, removed, or content-changed between two corpus
+    * versions (the review/replicate/rollback artifact
+    * [[graft.operators.InvertedIndex.diffIndexes]] produces for the
+    * index, at the source-data level).
+    *
+    * Texts compare by md5, so the shuffle moves (id, 32-byte hash), never
+    * document payloads; one full-outer join on the id; unchanged docs —
+    * the overwhelming majority between adjacent versions — are dropped
+    * BEFORE the result materializes, so the output is change-sized.
+    *
+    * Returns (idCol, status ∈ added|removed|changed).
+    */
+  def corpusDiff(
+      oldCorpus: DataFrame,
+      newCorpus: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val o = oldCorpus.select(col(idCol), md5(col(textCol)).as("__oh"))
+    val n = newCorpus.select(col(idCol), md5(col(textCol)).as("__nh"))
+    o.join(n, Seq(idCol), "full_outer")
+      .withColumn("status",
+        when(col("__oh").isNull, lit("added"))
+          .when(col("__nh").isNull, lit("removed"))
+          .when(col("__oh") =!= col("__nh"), lit("changed")))
+      .where(col("status").isNotNull)
+      .select(col(idCol), col("status"))
+  }
 }

@@ -99,6 +99,82 @@ object Search {
     }.reduce(_.unionByName(_))
   }
 
+  /** Spell correction ("did you mean"): for each query term, the top-k
+    * vocabulary words within `maxDist` edits, ranked (distance ASC,
+    * corpus frequency DESC, word ASC) — a correctly-spelled term
+    * suggests itself at distance 0.
+    *
+    * Scale shape: the QUERY terms are few and ride a broadcast cross
+    * join against the vocabulary (vocab-sized map work, the corpus
+    * reduces to the vocabulary first); a cheap length prefilter
+    * (|len(w) − len(q)| <= maxDist, a lower bound on edit distance)
+    * skips the O(len²) levenshtein for most of the vocabulary. The
+    * final rank is a window partitioned BY QUERY TERM — bounded by the
+    * query size, i.e. metadata, never a corpus axis.
+    *
+    * Returns (qterm, suggestion, dist, freq) in rank order per term.
+    */
+  def spellSuggest(
+      tokens: DataFrame,
+      words: Seq[String],
+      maxDist: Int = 2,
+      k: Int = 3): DataFrame = {
+    require(k >= 1 && maxDist >= 0, s"k ($k) and maxDist ($maxDist) must be sane")
+    val terms = cleanedTerms(words)
+    val vocab = tokens.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val q = explode(array(terms.map(lit): _*)).as("qterm")
+    val scored = vocab
+      .select(col("word"), col("freq"), q)
+      .where(abs(length(col("word")) - length(col("qterm"))) <= maxDist)
+      .withColumn("dist", levenshtein(col("qterm"), col("word")))
+      .where(col("dist") <= maxDist)
+    val w = Window.partitionBy(col("qterm"))
+      .orderBy(asc("dist"), desc("freq"), asc("word"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("qterm"), col("word").as("suggestion"), col("dist"), col("freq"))
+  }
+
+  /** Result snippets with query-term highlighting: for every matching
+    * document, the ±`window` cleaned-token span around the FIRST
+    * occurrence of any query term, matched terms uppercased — the hit
+    * preview a search UI renders. Anchor = min matching position, so the
+    * snippet choice is deterministic and cross-engine identical.
+    *
+    * Scale shape: one positional token pass finds per-doc anchors (the
+    * match relation is result-sized); the snippet slice + highlight is a
+    * map-side higher-order expression over the matching docs' token
+    * arrays only (semi-joined before re-tokenization — the corpus is
+    * never sliced wholesale).
+    *
+    * Returns (idCol, snippet, n_matches).
+    */
+  def snippets(
+      docs: DataFrame,
+      words: Seq[String],
+      window: Int = 3,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val terms = cleanedTerms(words)
+    val toksOf = Tokenize.tokenArray(col(textCol))
+    val anchors = docs
+      .select(col(idCol), posexplode(toksOf).as(Seq("__p", "__w")))
+      .where(col("__w").isin(terms: _*))
+      .groupBy(col(idCol))
+      .agg((min(col("__p")) + 1).as("__anchor"), count(lit(1)).as("n_matches"))
+    docs
+      .join(anchors, Seq(idCol))
+      .withColumn("__toks", toksOf)
+      .withColumn("__s", greatest(lit(1), col("__anchor") - window))
+      .select(
+        col(idCol),
+        concat_ws(" ", transform(
+          slice(col("__toks"), col("__s"), col("__anchor") + window - col("__s") + 1),
+          t => when(t.isin(terms: _*), upper(t)).otherwise(t))).as("snippet"),
+        col("n_matches"))
+  }
+
   /** TF-IDF ranked retrieval over the token stream: score(doc) = sum over
     * matched query terms of tf(doc, term) * ln(N / df(term)). All inputs to
     * the score are exact integers, so the doubles are engine-reproducible;

@@ -80,4 +80,14 @@ class ChangeDataSpec extends SparkSpec {
     assert(!plan.contains("Window"), "MERGE must not use a window")
     assert(!plan.contains("Join"), "MERGE must not use a join")
   }
+
+  test("corpusDiff: added/removed/changed partition; unchanged docs never surface") {
+    val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
+      .toDF("doc_id", "text")
+    val v2 = Seq((1L, "alpha"), (2L, "beta EDITED"), (4L, "delta"), (9L, "new doc"))
+      .toDF("doc_id", "text")
+    val got = ChangeData.corpusDiff(v1, v2)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1))).toSeq
+    assert(got == Seq((2L, "changed"), (3L, "removed"), (9L, "added")), got.toString)
+  }
 }

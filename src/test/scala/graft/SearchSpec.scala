@@ -41,6 +41,33 @@ class SearchSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("spellSuggest: exact term self-suggests at dist 0, rank is dist then frequency") {
+    val toks = Tokenize.tokens(Seq(
+      (1L, "spark spark spark sparks stark shark park"),
+      (2L, "spark sparks")).toDF("doc_id", "text"), "text", Seq("doc_id"))
+    val got = Search.spellSuggest(toks, Seq("spark", "sprak"), maxDist = 2, k = 3)
+      .orderBy("qterm", "dist", "suggestion")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSeq
+    val bySpark = got.filter(_._1 == "spark")
+    assert(bySpark.head == ("spark", "spark", 0), s"exact self-suggest first: $bySpark")
+    // 'sprak' -> spark (dist 2 transposition as 2 edits... levenshtein('sprak','spark') = 2)
+    val bySprak = got.filter(_._1 == "sprak")
+    assert(bySprak.nonEmpty && bySprak.forall(_._3 <= 2), s"in-budget suggestions: $bySprak")
+    assert(bySprak.map(_._2).contains("spark"), s"the intended word is suggested: $bySprak")
+  }
+
+  test("snippets: window clamps at doc start, all matched terms uppercase") {
+    val docs = Seq(
+      (1L, "spark leads the doc and more words follow here"),
+      (2L, "one two three four five spark six seven"),
+      (3L, "nothing to see")).toDF("doc_id", "text")
+    val arr = Search.snippets(docs, Seq("spark"), window = 3)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(arr.map(_._1).toSeq == Seq(1L, 2L), "only matching docs emit")
+    assert(arr(0)._2 == "SPARK leads the doc", s"clamped-at-start snippet: ${arr(0)._2}")
+    assert(arr(1)._2 == "three four five SPARK six seven", s"centered snippet: ${arr(1)._2}")
+  }
+
   test("prunedTfPostings equals window-based top-n selection exactly") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     val toks = Tokenize.tokens(docs, "text", Seq("doc_id"))
