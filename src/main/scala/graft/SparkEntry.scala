@@ -1653,6 +1653,15 @@ object SparkEntry {
       operators.ChangeData.corpusDiff(v1, v2).orderBy("doc_id", "status")
     }),
 
+    // -- record linkage over the part-name catalog: distinct names blocked
+    //    on the type word, scored by the native codegen'd Jaro-Winkler
+    //    expression (DuckDB-parity, byte-wise), threshold on the ROUNDED sim
+    "q_jaro_linkage" -> ((s, dir) => {
+      operators.Linkage
+        .nameMatches(t(s, dir, "part"), "p_name", blockWord = 2, threshold = 0.85)
+        .orderBy("name_a", "name_b")
+    }),
+
     // -- MODE aggregate: most frequent part brand per return flag (count
     //    per value, then a partially-aggregated max_by — no window)
     "q_mode_brand" -> ((s, dir) => {
@@ -2615,6 +2624,15 @@ object SparkEntry {
                FROM o FULL OUTER JOIN n USING (doc_id))
          SELECT doc_id, status FROM d WHERE status IS NOT NULL
          ORDER BY doc_id, status""",
+    "q_jaro_linkage" ->
+      s"""WITH names AS (
+            SELECT DISTINCT p_name AS name, split_part(p_name, ' ', 2) AS blk
+            FROM part WHERE p_name IS NOT NULL)
+          SELECT a.name AS name_a, b.name AS name_b,
+                 ${graft.functions.Portable.proundSql("jaro_winkler_similarity(a.name, b.name)", 4)} AS sim_r
+          FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+          WHERE ${graft.functions.Portable.proundSql("jaro_winkler_similarity(a.name, b.name)", 4)} >= 0.85
+          ORDER BY name_a, name_b""",
     "q_search_facets" ->
       s"""WITH $TokCte,
           hits AS (SELECT doc_id FROM (

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, GraftBridge}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Record linkage / entity resolution: find near-matching name strings.
+  *
+  * The classic pipeline (Fellegi–Sunter shape): reduce the corpus to its
+  * DISTINCT name vocabulary, derive a cheap blocking key, score candidate
+  * pairs only WITHIN a block with a normalized string similarity, keep
+  * pairs above a threshold. Blocking is what makes linkage survive scale:
+  * the quadratic is bounded per block, never corpus-wide.
+  *
+  * Scoring uses the native [[graft.plans.JaroWinkler]] expression —
+  * codegen'd, byte-wise, DuckDB-parity — because Jaro-Winkler's
+  * prefix-boosted normalized scale is the standard name matcher
+  * (levenshtein's raw edit count can't rank "cold widget"/"old widget"
+  * above "cold widget"/"hot widget"; both are distance ≤ 4).
+  */
+object Linkage {
+
+  /** Jaro-Winkler similarity as a Column. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    GraftBridge.column(graft.plans.JaroWinkler(
+      GraftBridge.expression(a), GraftBridge.expression(b)))
+
+  /** Near-matching DISTINCT name pairs from `df`'s `nameCol`, blocked on
+    * the `blockWord`-th whitespace word of the name (1-based), scored with
+    * Jaro-Winkler, kept at `sim_r >= threshold` (threshold compares the
+    * ROUNDED similarity so cross-engine verdicts can't flip on the 15th
+    * decimal). Output: (name_a, name_b, sim_r) with name_a < name_b.
+    *
+    * Scale shape: the corpus reduces to the distinct-name vocabulary
+    * FIRST (one partial-aggregated distinct — vocab-sized, like
+    * spellSuggest's), so the self-join expands vocab-per-block squared,
+    * never rows squared; the similarity is computed once per candidate
+    * pair inside whole-stage codegen.
+    */
+  def nameMatches(
+      df: DataFrame,
+      nameCol: String,
+      blockWord: Int = 2,
+      threshold: Double = 0.85): DataFrame = {
+    require(blockWord >= 1, s"blockWord ($blockWord) is 1-based")
+    val names = df
+      .select(col(nameCol).as("name"))
+      .where(col("name").isNotNull)
+      .distinct()
+      .withColumn("blk", element_at(split(col("name"), " "), blockWord))
+    names.as("a")
+      .join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+      .withColumn("sim_r",
+        Portable.pround(jaroWinkler(col("a.name"), col("b.name")), 4))
+      .where(col("sim_r") >= threshold)
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"), col("sim_r"))
+  }
+}
