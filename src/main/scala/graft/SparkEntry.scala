@@ -490,6 +490,16 @@ object SparkEntry {
         .orderBy(col("qterm"), col("dist"), desc("freq"), col("suggestion"))
     }),
 
+    // -- query autocomplete: top-4 vocabulary completions per typed
+    //    prefix, frequency-ranked; vocab-sized work, prefix-bounded window
+    "q_autocomplete" -> ((s, dir) => {
+      Search
+        .autocomplete(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")),
+          Seq("s", "b", "qu"), k = 4)
+        .orderBy(col("prefix"), col("rn"))
+    }),
+
     // -- hit snippets: ±3 cleaned tokens around the FIRST query-term
     //    occurrence, matched terms uppercased — the search-UI preview
     "q_search_snippets" -> ((s, dir) => {
@@ -2593,6 +2603,16 @@ object SparkEntry {
                                            ORDER BY dist, freq DESC, word) <= 3)
           SELECT qterm, suggestion, dist, freq FROM f
           ORDER BY qterm, dist, freq DESC, suggestion""",
+    "q_autocomplete" ->
+      s"""WITH $TokCte,
+          v AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
+          q AS (SELECT unnest(['s', 'b', 'qu']) AS prefix),
+          f AS (SELECT q.prefix, v.word AS completion, v.freq,
+                       row_number() OVER (PARTITION BY q.prefix
+                                          ORDER BY v.freq DESC, v.word) AS rn
+                FROM v JOIN q ON starts_with(v.word, q.prefix)
+                QUALIFY rn <= 4)
+          SELECT prefix, completion, freq, rn FROM f ORDER BY prefix, rn""",
     "q_search_snippets" ->
       s"""WITH $ToksArrCte,
           mt AS (SELECT doc_id, min(j) AS anchor, count(*) AS n_matches

@@ -136,6 +136,40 @@ object Search {
       .select(col("qterm"), col("word").as("suggestion"), col("dist"), col("freq"))
   }
 
+  /** Query autocompletion: for each typed prefix, the top-k vocabulary
+    * completions ranked (corpus frequency DESC, word ASC) — the
+    * search-box suggestion list, rankable offline because it only
+    * depends on the corpus.
+    *
+    * Scale shape mirrors [[spellSuggest]]: the corpus reduces to the
+    * vocabulary FIRST (one partial-aggregated groupBy), the few query
+    * prefixes ride a broadcast generator against it, and the rank
+    * window partitions BY PREFIX — query-sized, never a corpus axis.
+    * `startsWith` on the cleaned vocab word is a cheap byte compare; at
+    * serving scale the same ranked list would be precomputed per prefix
+    * length and range-partitioned by prefix, which this plan already is
+    * one `.write.partitionBy` away from.
+    *
+    * Returns (prefix, completion, freq, rn) in rank order per prefix.
+    */
+  def autocomplete(
+      tokens: DataFrame,
+      prefixes: Seq[String],
+      k: Int = 5): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val terms = cleanedTerms(prefixes)
+    val vocab = tokens.groupBy(col("word")).agg(count(lit(1)).as("freq"))
+    val p = explode(array(terms.map(lit): _*)).as("prefix")
+    val w = Window.partitionBy(col("prefix"))
+      .orderBy(desc("freq"), asc("word"))
+    vocab
+      .select(col("word"), col("freq"), p)
+      .where(col("word").startsWith(col("prefix")))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col("prefix"), col("word").as("completion"), col("freq"), col("rn"))
+  }
+
   /** Result snippets with query-term highlighting: for every matching
     * document, the ±`window` cleaned-token span around the FIRST
     * occurrence of any query term, matched terms uppercased — the hit

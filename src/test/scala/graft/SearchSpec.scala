@@ -56,6 +56,21 @@ class SearchSpec extends SparkSpec {
     assert(bySprak.map(_._2).contains("spark"), s"the intended word is suggested: $bySprak")
   }
 
+  test("autocomplete: frequency-ranked completions per prefix, k-capped, no cross-prefix leaks") {
+    val toks = Tokenize.tokens(Seq(
+      (1L, "spark spark spark stream stream stark batch big"),
+      (2L, "spark stream sort batch")).toDF("doc_id", "text"), "text", Seq("doc_id"))
+    val got = Search.autocomplete(toks, Seq("s", "b"), k = 2)
+      .orderBy("prefix", "rn")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getInt(3))).toSeq
+    // s-vocab: spark 4, stream 3, stark 1, sort 1 -> top-2 = spark, stream
+    assert(got.filter(_._1 == "s") == Seq(("s", "spark", 4L, 1), ("s", "stream", 3L, 2)), s"got $got")
+    // b-vocab: batch 2, big 1
+    assert(got.filter(_._1 == "b") == Seq(("b", "batch", 2L, 1), ("b", "big", 1L, 2)), s"got $got")
+    // every completion actually extends its prefix
+    got.foreach { case (p, c, _, _) => assert(c.startsWith(p)) }
+  }
+
   test("snippets: window clamps at doc start, all matched terms uppercase") {
     val docs = Seq(
       (1L, "spark leads the doc and more words follow here"),
