@@ -1259,6 +1259,15 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // -- 64-bit acoustic fingerprint over REAL decoded PCM: 65 energy
+    //    windows, sign-of-delta bits — integer-exact, the oracle replays
+    //    the waveform formula through the WAV roundtrip
+    "q_audio_fingerprint" -> ((s, dir) => {
+      operators.Multimodal
+        .audioFingerprint(operators.Multimodal.demoAudioPattern(s, dir))
+        .orderBy("media_id")
+    }),
+
     // -- REAL video frame sampling: every 4th GIF frame extracted with the
     //    frame-addressable reader and re-encoded PNG, then each emitted
     //    frame DECODED back; the oracle unnests ceil(frames/4) rows per
@@ -3392,6 +3401,28 @@ object SparkEntry {
     "q_image_dhash" ->
       s"""WITH $ImageDhashCtes
           SELECT media_id, dhash_hi, dhash_lo FROM dh ORDER BY media_id""",
+    // replay of Multimodal.synthWavPattern + audioFingerprint: formula
+    // samples -> 65 window energies -> sign-of-delta bits as two halves
+    "q_audio_fingerprint" ->
+      """WITH aud AS (
+           SELECT doc_id, 65 + (octet_length(encode(text)) * 131) % 60000 AS n
+           FROM documents WHERE doc_id % 3 = 1),
+         sm AS (
+           SELECT doc_id, (i * 65) // n AS w,
+                  abs(((i * 131 + doc_id * 17) % 65536) - 32768) AS a
+           FROM (SELECT doc_id, n, unnest(range(n)) AS i FROM aud) u),
+         e AS (SELECT doc_id, w, sum(a)::BIGINT AS en FROM sm GROUP BY 1, 2),
+         b AS (SELECT doc_id, w, en,
+                      lead(en) OVER (PARTITION BY doc_id ORDER BY w) AS nxt
+               FROM e),
+         fp AS (
+           SELECT doc_id AS media_id,
+                  sum(CASE WHEN w BETWEEN 32 AND 63 AND nxt > en
+                           THEN (1::BIGINT << (w - 32)) ELSE 0 END)::BIGINT AS afp_hi,
+                  sum(CASE WHEN w < 32 AND nxt > en
+                           THEN (1::BIGINT << w) ELSE 0 END)::BIGINT AS afp_lo
+           FROM b GROUP BY 1)
+         SELECT media_id, afp_hi, afp_lo FROM fp ORDER BY media_id""",
     "q_image_near_dup" ->
       s"""WITH $ImageDhashCtes,
           sl AS (SELECT media_id, dhash_hi, dhash_lo, band,

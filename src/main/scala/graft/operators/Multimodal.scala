@@ -102,6 +102,34 @@ object Multimodal {
     bb.array()
   }
 
+  /** Formula-sample WAV (16-bit mono PCM): sample i is
+    * `((i·131 + id·17) mod 65536) − 32768` — pure integer arithmetic, so a
+    * SQL oracle can regenerate the exact waveform from (id, frames) alone.
+    * The [[synthWav]] LCG stream cannot be replayed by DuckDB (64-bit
+    * wraparound multiply overflows its BIGINT); this is the audio analogue
+    * of [[synthPng]]'s position-formula pixels, used by the queries that
+    * oracle sample VALUES (fingerprinting) rather than just frame counts.
+    */
+  def synthWavPattern(frames: Int, sampleRate: Int, id: Long): Array[Byte] = {
+    val dataSize = frames * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataSize).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataSize).put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2)
+      .putShort(2)
+      .putShort(16)
+    bb.put("data".getBytes("US-ASCII")).putInt(dataSize)
+    var i = 0
+    while (i < frames) {
+      bb.putShort((((i.toLong * 131 + id * 17) % 65536) - 32768).toShort)
+      i += 1
+    }
+    bb.array()
+  }
+
   /** Real audio decode (pure JVM WAV/AIFF/AU via javax.sound.sampled —
     * ships with the JDK exactly like ImageIO): (frame count, frame rate Hz),
     * or None for unparseable bytes.
@@ -376,6 +404,82 @@ object Multimodal {
       .distinct()
   }
 
+  /** 64-bit acoustic fingerprint over REAL decoded PCM — the audio
+    * modality's [[imageDHash]]: the energy-delta hash (the shape behind
+    * Shazam-style and Chromaprint fingerprints, reduced to its
+    * integer-exact core). The clip's samples are split into 65
+    * contiguous windows (sample i → window `i·65 / n`, integer division
+    * — every window non-empty for n ≥ 65), each window's energy is the
+    * BIGINT sum of |sample|, and bit k (0..63) is set iff
+    * energy(k+1) > energy(k). Loudness-invariant in the way that
+    * matters: uniform amplitude scaling preserves every energy
+    * comparison, so the hash survives re-encodes at different gain,
+    * while reordered or replaced content flips bits.
+    *
+    * Integer-exact by construction, like the dHash: no FFT, no float
+    * window functions — an oracle replays it from the waveform formula
+    * through the WAV roundtrip. Per-partition map over the media batch
+    * (no shuffle); undecodable clips are DROPPED (flatMap over Option),
+    * same contract as [[imageDHash]]. Returns (media_id, afp_hi,
+    * afp_lo) — two unsigned 32-bit halves, because bit 63 of a single
+    * BIGINT would overflow the oracle's signed shift. Near-dup pairing
+    * and exact-dup grouping ride the same downstream machinery as the
+    * image hash ([[graft.operators.Dedup.simhashPairs]] pigeonhole
+    * banding / groupBy on the halves).
+    */
+  def audioFingerprint(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    media
+      .filter(_.kind == "audio")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decodePcm16(r.bytes).map { samples =>
+            val n = samples.length
+            val energy = new Array[Long](65)
+            var i = 0
+            while (i < n) {
+              energy((i.toLong * 65 / n).toInt) += math.abs(samples(i).toLong)
+              i += 1
+            }
+            var hash = 0L
+            var k = 0
+            while (k < 64) {
+              if (energy(k + 1) > energy(k)) hash |= 1L << k
+              k += 1
+            }
+            (r.media_id, hash >>> 32, hash & 0xffffffffL)
+          }
+        }
+      }
+      .toDF("media_id", "afp_hi", "afp_lo")
+  }
+
+  /** Decode an audio container to its 16-bit PCM samples (mono assumed —
+    * frame = one sample), honoring the container's declared endianness;
+    * None for unparseable bytes or a non-16-bit format.
+    */
+  private def decodePcm16(bytes: Array[Byte]): Option[Array[Short]] =
+    try {
+      val in = javax.sound.sampled.AudioSystem
+        .getAudioInputStream(new java.io.ByteArrayInputStream(bytes))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getSampleSizeInBits != 16) None
+        else {
+          val data = in.readAllBytes()
+          val n = data.length / 2
+          val out = new Array[Short](n)
+          var i = 0
+          if (fmt.isBigEndian) {
+            while (i < n) { out(i) = (((data(2 * i) & 0xff) << 8) | (data(2 * i + 1) & 0xff)).toShort; i += 1 }
+          } else {
+            while (i < n) { out(i) = (((data(2 * i + 1) & 0xff) << 8) | (data(2 * i) & 0xff)).toShort; i += 1 }
+          }
+          Some(out)
+        }
+      } finally in.close()
+    } catch { case _: Exception => None }
+
   /** REAL image resize (bytes→bytes, per-partition, no shuffle): decode via
     * javax.imageio, scale with Graphics2D bilinear interpolation to
     * (⌈w·num/den⌉, ⌈h·num/den⌉) — never below 1×1 — and re-encode PNG.
@@ -525,6 +629,31 @@ object Multimodal {
     * — so decoding any of the three is a value-checkable roundtrip the
     * DuckDB oracle recomputes from doc_id and octet_length alone.
     */
+  /** The audio slice of the demo media (doc_id mod 3 = 1), synthesized
+    * with [[synthWavPattern]]'s formula samples instead of [[synthWav]]'s
+    * LCG — for queries that oracle the sample VALUES (fingerprinting).
+    * frames = `65 + (utf8_length · 131) mod 60000`: the +65 floor keeps
+    * every fingerprint window non-empty.
+    */
+  def demoAudioPattern(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
+    import spark.implicits._
+    spark.read
+      .parquet(s"$dir/documents.parquet")
+      .where(col("doc_id") % 3 === 1)
+      .select(
+        col("doc_id").as("media_id"),
+        lit("audio").as("kind"),
+        encode(col("text"), "UTF-8").as("bytes"),
+        col("lang").as("meta"))
+      .as[MediaRecord]
+      .mapPartitions { it =>
+        it.map { r =>
+          val frames = 65 + ((r.bytes.length.toLong * 131) % 60000).toInt
+          r.copy(bytes = synthWavPattern(frames, sampleRate = 1000, id = r.media_id))
+        }
+      }
+  }
+
   def demoMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.read

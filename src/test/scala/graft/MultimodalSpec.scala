@@ -214,4 +214,57 @@ class MultimodalSpec extends SparkSpec {
     // the image record is byte-identical
     assert(out(1).bytes.sameElements(Multimodal.synthPng(5, 5, 2L)))
   }
+
+  test("audioFingerprint matches an independent formula mirror through the WAV roundtrip") {
+    import spark.implicits._
+    // independent mirror: energies straight from the sample formula,
+    // never touching the codec
+    def expected(frames: Int, id: Long): (Long, Long) = {
+      val e = new Array[Long](65)
+      (0 until frames).foreach { i =>
+        e((i.toLong * 65 / frames).toInt) += math.abs(((i.toLong * 131 + id * 17) % 65536) - 32768)
+      }
+      val h = (0 until 64).foldLeft(0L)((acc, k) => if (e(k + 1) > e(k)) acc | (1L << k) else acc)
+      (h >>> 32, h & 0xffffffffL)
+    }
+    val clips = Seq((1L, 65), (2L, 66), (3L, 1000), (4L, 60064))
+    val media = clips.map { case (id, n) =>
+      Multimodal.MediaRecord(id, "audio", Multimodal.synthWavPattern(n, 1000, id), "en")
+    }.toDS()
+    val got = Multimodal.audioFingerprint(media)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    clips.foreach { case (id, n) =>
+      assert(got(id) == expected(n, id), s"clip $id ($n frames)")
+    }
+    // halves are unsigned 32-bit
+    got.values.foreach { case (hi, lo) =>
+      assert(hi >= 0 && hi <= 0xffffffffL && lo >= 0 && lo <= 0xffffffffL)
+    }
+  }
+
+  test("audioFingerprint is amplitude-invariant and content-sensitive") {
+    import spark.implicits._
+    // same waveform at half gain: every energy comparison is preserved,
+    // so the hash must not move — the property that makes it a
+    // fingerprint rather than a checksum
+    def wavHalved(frames: Int, id: Long): Array[Byte] = {
+      val full = Multimodal.synthWavPattern(frames, 1000, id)
+      val bb = java.nio.ByteBuffer.wrap(full).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      (0 until frames).foreach { i =>
+        bb.putShort(44 + i * 2, (bb.getShort(44 + i * 2) / 2).toShort)
+      }
+      full
+    }
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "audio", Multimodal.synthWavPattern(2000, 1000, 9L), "en"),
+      Multimodal.MediaRecord(2L, "audio", wavHalved(2000, 9L), "en"),
+      Multimodal.MediaRecord(3L, "audio", Multimodal.synthWavPattern(2000, 1000, 777L), "en"),
+      Multimodal.MediaRecord(4L, "audio", Array[Byte](1, 2, 3), "en") // undecodable: dropped
+    ).toDS()
+    val got = Multimodal.audioFingerprint(media)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got.keySet == Set(1L, 2L, 3L), "corrupt clip must be dropped, not crash")
+    assert(got(1L) == got(2L), "half-gain copy must fingerprint identically")
+    assert(got(1L) != got(3L), "different content must fingerprint differently")
+  }
 }
