@@ -1779,6 +1779,17 @@ object SparkEntry {
         .orderBy("l_returnflag")
     }),
 
+    // -- Zipf-law fit per source: OLS slope of ln(freq) vs ln(rank) over
+    //    each source's term-frequency distribution — vocab-sized window,
+    //    one-pass sufficient statistics, group-sized output
+    "q_zipf_fit" -> ((s, dir) => {
+      operators.Stats
+        .zipfFit(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id", "source")),
+          "source")
+        .orderBy("source")
+    }),
+
     // -- robust outlier detection: modified z-score over median/MAD
     //    (50%-breakdown estimators — outliers can't drag the rule that
     //    hunts them); two broadcast percentile passes + one map-side
@@ -3905,6 +3916,38 @@ object SparkEntry {
                 CASE WHEN dxx <> 0 AND dyy <> 0
                      THEN floor((dxy * dxy / (dxx * dyy)) * 1e4 + 0.5) / 1e4 END AS r2_r
          FROM d ORDER BY l_returnflag""",
+    "q_zipf_fit" ->
+      """WITH tok AS (
+           SELECT source, w AS word FROM (
+             SELECT source,
+                    regexp_replace(lower(unnest(regexp_split_to_array(text, '\s+'))), '[^a-z]', '', 'g') AS w
+             FROM documents) u
+           WHERE w <> ''),
+         f AS (SELECT source, word, count(*) AS freq FROM tok GROUP BY 1, 2),
+         r AS (SELECT source, freq,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY freq DESC, word) AS rank
+               FROM f),
+         a AS (
+           SELECT source, count(*)::DOUBLE AS n,
+                  sum(ln(rank)) AS sx, sum(ln(freq)) AS sy,
+                  sum(ln(rank) * ln(freq)) AS sxy,
+                  sum(ln(rank) * ln(rank)) AS sxx,
+                  sum(ln(freq) * ln(freq)) AS syy
+           FROM r GROUP BY 1),
+         d AS (
+           SELECT source, n,
+                  n * sxx - sx * sx AS dxx,
+                  n * syy - sy * sy AS dyy,
+                  n * sxy - sx * sy AS dxy,
+                  sx, sy
+           FROM a)
+         SELECT source, n::BIGINT AS n,
+                CASE WHEN dxx <> 0 THEN floor((dxy / dxx) * 1e4 + 0.5) / 1e4 END AS slope_r,
+                CASE WHEN dxx <> 0 THEN floor(((sy - (dxy / dxx) * sx) / n) * 1e4 + 0.5) / 1e4 END AS icept_r,
+                CASE WHEN dxx <> 0 AND dyy <> 0
+                     THEN floor((dxy * dxy / (dxx * dyy)) * 1e4 + 0.5) / 1e4 END AS r2_r
+         FROM d ORDER BY source""",
     "q_robust_outliers" ->
       """WITH med AS (
            SELECT o_orderpriority,

@@ -211,6 +211,37 @@ object Stats {
       Portable.pround(guard(when(dyy =!= 0.0, r2)), 4).as("r2_r"))
   }
 
+  /** Zipf-law fit per group: the OLS slope of ln(freq) against ln(rank)
+    * over the group's term-frequency distribution — the corpus-health
+    * diagnostic (natural language sits near slope −1; a slope far off
+    * flags boilerplate floods or templated spam, which is why curation
+    * pipelines chart it per source/snapshot).
+    *
+    * Shape: the corpus reduces to (group, word, freq) with one
+    * partially-aggregated groupBy; the frequency rank is a window over
+    * the PER-GROUP VOCABULARY (vocab-sized metadata, the same bounded
+    * axis as spellSuggest/vocabGrowth — never a document axis); the fit
+    * itself is [[groupedOls]]'s one-pass sufficient statistics in
+    * log-log space, group-sized output. Ties rank deterministically
+    * (freq DESC, word ASC) so both engines see identical (rank, freq)
+    * points.
+    *
+    * Returns (group, n, slope_r, icept_r, r2_r): n = vocabulary size,
+    * slope_r ≈ −s of `freq ∝ rank^(−s)`.
+    */
+  def zipfFit(tokens: DataFrame, groupCol: String): DataFrame = {
+    val freq = tokens
+      .groupBy(col(groupCol), col("word"))
+      .agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(desc("freq"), asc("word"))
+    groupedOls(
+      freq
+        .withColumn("rank", row_number().over(w))
+        .withColumn("lx", log(col("rank")))
+        .withColumn("ly", log(col("freq"))),
+      groupCol, "lx", "ly")
+  }
+
   /** Heavy-hitter profile of a key column: the top-k keys by row count
     * with their share of the table — the diagnosis a pipeline runs BEFORE
     * a big join or aggregation to decide whether the key needs

@@ -472,6 +472,24 @@ class CorpusOpsSpec extends SparkSpec {
       "constant x has no defined slope - guarded NULLs, not a division error")
   }
 
+  test("zipfFit: synthetic power-law corpus recovers its exponent; n is the vocab size") {
+    // freq(rank r) = floor(1024 / r): ln(freq) ≈ ln(1024) - 1·ln(rank),
+    // so the fitted slope must land near -1 with high r2
+    // letter-only words (the tokenizer strips digits): rank r -> "wba".."wbf"...
+    val words = (1 to 32).flatMap { r =>
+      val name = s"w${('a' + (r - 1) / 26).toChar}${('a' + (r - 1) % 26).toChar}"
+      Seq.fill(1024 / r)(name)
+    }
+    val docs = Seq((1L, "s1", words.mkString(" "))).toDF("doc_id", "source", "text")
+    val got = Stats.zipfFit(
+      Tokenize.tokens(docs, "text", Seq("doc_id", "source")), "source").collect()
+    assert(got.length == 1)
+    val r = got(0)
+    assert(r.getLong(1) == 32L, s"vocab size: ${r.getLong(1)}")
+    assert(math.abs(r.getDouble(2) + 1.0) < 0.05, s"slope near -1: ${r.getDouble(2)}")
+    assert(r.getDouble(4) > 0.99, s"power law fits nearly perfectly: ${r.getDouble(4)}")
+  }
+
   test("robustOutliers: planted outlier flagged; uniform group has none; zero MAD safe") {
     val rows =
       (1 to 99).map(i => ("a", 100.0 + (i % 11))) ++ Seq(("a", 1e6)) ++  // one planted spike
