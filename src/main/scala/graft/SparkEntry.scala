@@ -977,6 +977,22 @@ object SparkEntry {
         .orderBy("doc1", "doc2")
     }),
 
+    // -- asymmetric containment: quotes (token slices 11..25 of every 7th
+    //    doc, re-keyed +500000) matched against the corpus docs whose
+    //    shingle sets COVER them — |S(q)∩S(c)|/|S(q)| >= 0.9, the
+    //    inclusion case symmetric Jaccard misses at any usable threshold
+    "q_containment_dup" -> ((s, dir) => {
+      val corpus = t(s, dir, "documents").where(col("doc_id") < 400)
+      val quotes = corpus
+        .where(col("doc_id") % 7 === 0)
+        .select(
+          (col("doc_id") + 500000).as("doc_id"),
+          concat_ws(" ", slice(split(col("text"), "\\s+"), 11, 15)).as("text"))
+      Dedup
+        .containmentPairs(corpus, quotes, shingleK = 3, threshold = 0.9)
+        .orderBy("query_id", "corpus_id")
+    }),
+
     // -- EXACT set-similarity self-join via prefix filtering (AllPairs/
     //    PPJoin): recall-1.0 candidates from rare-first prefixes, exact
     //    verification — the deterministic counterpart to MinHash-LSH.
@@ -3175,6 +3191,33 @@ object SparkEntry {
                    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id) p
           WHERE jaccard >= 0.05 ORDER BY doc1, doc2""",
+    "q_containment_dup" ->
+      """WITH base AS (SELECT doc_id, text FROM documents WHERE doc_id < 400),
+         q0 AS (SELECT doc_id + 500000 AS doc_id,
+                       array_to_string(list_slice(regexp_split_to_array(text, '\s+'), 11, 25), ' ') AS text
+                FROM base WHERE doc_id % 7 = 0),
+         u AS (SELECT doc_id, text, 'c' AS side FROM base
+               UNION ALL SELECT doc_id, text, 'q' AS side FROM q0),
+         t0 AS (SELECT side, doc_id,
+                       list_filter(
+                         list_transform(regexp_split_to_array(text, '\s+'),
+                                        x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                         w -> w <> '') AS toks
+                FROM u),
+         sh AS (SELECT side, doc_id,
+                       CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                            WHEN len(toks) >= 3
+                            THEN list_distinct(list_transform(range(1, len(toks) - 1),
+                                 i -> array_to_string(list_slice(toks, i, i + 2), ' ')))
+                            ELSE [array_to_string(toks, ' ')] END AS shingles
+                FROM t0)
+         SELECT query_id, corpus_id, cont AS containment_r FROM (
+           SELECT q.doc_id AS query_id, c.doc_id AS corpus_id,
+                  floor((len(list_intersect(q.shingles, c.shingles))::DOUBLE
+                         / len(q.shingles)) * 1e4 + 0.5) / 1e4 AS cont
+           FROM sh q JOIN sh c ON q.side = 'q' AND c.side = 'c'
+           WHERE len(q.shingles) > 0) p
+         WHERE cont >= 0.9 ORDER BY query_id, corpus_id""",
     // the ORACLE is brute-force all-pairs — passing proves the prefix
     // filter's recall-1.0 claim cross-engine, not just in the spec
     "q_setsim_join" ->

@@ -29,6 +29,55 @@ object Dedup {
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
       .select("keep_id", "n_dups")
 
+  /** Asymmetric containment near-dup: for every QUERY document, the
+    * corpus documents whose shingle sets COVER it —
+    * `C(q→c) = |S(q) ∩ S(c)| / |S(q)| ≥ threshold`. This is the
+    * inclusion detector symmetric Jaccard structurally misses: a 15-token
+    * quote inside a 5 000-token page has Jaccard ≈ 0.003 (invisible at
+    * any usable threshold) but containment 1.0. Training-data curation
+    * runs it query-side with benchmark/eval passages to catch verbatim
+    * inclusion wrapped in novel text — the case where whole-doc hashing,
+    * MinHash, and SimHash all stay silent.
+    *
+    * Shape: both relations reduce to DISTINCT shingles (the same
+    * materialized-column enumeration as the Jaccard path), one equijoin
+    * on the shingle key, one partial-aggregated count per (query,
+    * corpus) pair, then the ratio against the query's shingle count
+    * (query-sized relation). The threshold compares the ROUNDED ratio so
+    * cross-engine verdicts can't flip. EXACT by construction — this is
+    * the verifier shape; at 100 TB the shingle equijoin's hot keys are
+    * bounded by feeding it candidate pairs from minhash banding first,
+    * or by capping shingle df with the documented recall trade (the same
+    * trade [[prefixJaccardJoin]] documents for its prefix keys).
+    *
+    * Returns (query_id, corpus_id, containment_r) at or above
+    * `threshold`.
+    */
+  def containmentPairs(
+      corpus: DataFrame,
+      queries: DataFrame,
+      shingleK: Int = 3,
+      threshold: Double = 0.9): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0, s"threshold ($threshold) must be in (0, 1]")
+    // explode_outer, not explode: see q_ngram_jaccard — explode's inferred
+    // size(...)>0 filter re-evaluates the shingle expression below the join
+    def shingleRows(df: DataFrame, idCol: String, outId: String): DataFrame =
+      TextAnalysis
+        .withShingles(df.select(col(idCol).as(outId), col("text")), "text", shingleK, "__sh")
+        .select(col(outId), explode_outer(col("__sh")).as("shingle"))
+    val qs  = shingleRows(queries, "doc_id", "query_id")
+    val cs  = shingleRows(corpus, "doc_id", "corpus_id")
+    val qsz = qs.groupBy(col("query_id")).agg(count(lit(1)).as("__qsz"))
+    qs.join(cs, "shingle")
+      .groupBy(col("query_id"), col("corpus_id"))
+      .agg(count(lit(1)).as("__inter"))
+      .join(qsz, "query_id")
+      .withColumn("containment_r",
+        graft.functions.Portable.pround(col("__inter").cast("double") / col("__qsz"), 4))
+      .where(col("containment_r") >= threshold)
+      .select(col("query_id"), col("corpus_id"), col("containment_r"))
+  }
+
   /** How many independent 32-bit minhash values one md5 yields (4 × 8 hex
     * chars): one digest per shingle per SEED GROUP instead of per signature
     * position — a 4× cut of the dominant map-side hashing cost.

@@ -112,4 +112,36 @@ class SetSimSpec extends SparkSpec {
       .collect()
     assert(got.isEmpty, "numeric/punctuation-only docs must not become duplicates of each other")
   }
+
+  test("containmentPairs: planted quote hits 1.0 where its Jaccard is invisible") {
+    val page = (1 to 60).map(i => s"w${('a' + i / 26).toChar}${('a' + i % 26).toChar}").mkString(" ")
+    val corpus = Seq(
+      (1L, page),
+      (2L, "completely different words entirely unrelated content here")
+    ).toDF("doc_id", "text")
+    val quote = page.split(" ").slice(10, 20).mkString(" ") // 10 tokens from doc 1
+    val queries = Seq(
+      (100L, quote),
+      (101L, "nothing shared with any corpus doc at all honestly")
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(corpus, queries, shingleK = 3, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((100L, 1L, 1.0)),
+      s"only the planted quote→source pair, at containment 1.0: ${got.toSeq}")
+    // and the point of the operator: the same pair's symmetric Jaccard is
+    // tiny (8 quote shingles vs 58 page shingles), far below any dedup bar
+    val jac = 8.0 / 58.0
+    assert(jac < 0.15, "sanity: the quote is invisible to Jaccard at this size ratio")
+  }
+
+  test("containmentPairs: partial overlap below threshold is dropped, above is kept") {
+    val corpus = Seq((1L, "aa bb cc dd ee ff gg hh ii jj")).toDF("doc_id", "text")
+    // 6-token query, 4 shingles: 2 inside doc 1 ("cc dd ee", "dd ee ff"), 2 not
+    val half = Seq((200L, "cc dd ee ff zz yy")).toDF("doc_id", "text")
+    assert(Dedup.containmentPairs(corpus, half, 3, threshold = 0.9).collect().isEmpty,
+      "containment 0.5 must not clear a 0.9 bar")
+    val got = Dedup.containmentPairs(corpus, half, 3, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq((200L, 1L, 0.5)), s"exact ratio at the 0.5 bar: ${got.toSeq}")
+  }
 }
