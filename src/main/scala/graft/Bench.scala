@@ -63,6 +63,18 @@ object Bench {
 
     /** Release the previous query's checkpoint/persist blocks, then fence.
       *
+      * Round-9 closure of the r8 drift flag (isolated 3-run, local[32],
+      * sf0.1, this cleanup active): q_pagerank 7.99/4.46/2.99,
+      * q_ppr_seeds 21.98/5.24/4.16, q_multimodal_frames 3.54/2.47/2.37,
+      * q_multimodal_audio_ds 2.36/2.05/2.35, q_quality_buckets
+      * 2.58/1.44/1.26. Steady-state ppr (4.16) and pagerank are back at
+      * or below their r7 sweep numbers — the r8 regression WAS the
+      * checkpoint-block accumulation this hook removes. The multimodal
+      * transforms' isolated steady state matches their sweep numbers
+      * (~2.0-2.4 s), so their r7→r8 step was not sweep pollution; plans
+      * are unchanged (EXPLAIN audit) and the residual is codec-path JIT
+      * profile, not a plan regression.
+      *
       * Eagerly `localCheckpoint(true)`ed relations (pagerank / ppr / kmeans
       * / bpe each pin several per run) stay registered in the block manager
       * until the ContextCleaner notices the dead reference — asynchronous
