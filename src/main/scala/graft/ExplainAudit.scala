@@ -65,7 +65,8 @@ object ExplainAudit {
     "q_search_facets", "q_postings_pruned", "q_rolling_zscore",
     "q_image_near_dup", "q_spell_suggest", "q_search_snippets",
     "q_corpus_diff", "q_jaro_linkage", "q_autocomplete", "q_audio_fingerprint",
-    "q_zipf_fit", "q_containment_dup")
+    "q_zipf_fit", "q_containment_dup", "q_doc_keywords", "q_token_gini",
+    "q_dataset_card")
 
   def main(args: Array[String]): Unit = {
     // no default: a stale hardcoded round number silently mislabels the

@@ -500,6 +500,16 @@ object SparkEntry {
         .orderBy(col("prefix"), col("rn"))
     }),
 
+    // -- per-doc keyword extraction: top-3 terms by tf·ln(N/df), score
+    //    rounded BEFORE ranking, window bounded by per-doc vocab
+    "q_doc_keywords" -> ((s, dir) => {
+      Search
+        .keywords(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")),
+          k = 3)
+        .orderBy("doc_id", "rn")
+    }),
+
     // -- hit snippets: ±3 cleaned tokens around the FIRST query-term
     //    occurrence, matched terms uppercased — the search-UI preview
     "q_search_snippets" -> ((s, dir) => {
@@ -1806,6 +1816,28 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // -- per-source dataset card: docs, token mass, mean length, language
+    //    entropy, exact-dup rate — three source-sized partial aggregates
+    //    joined, the release summary table
+    "q_dataset_card" -> ((s, dir) => {
+      operators.Stats
+        .datasetCard(
+          t(s, dir, "documents"),
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id", "source")))
+        .orderBy("source")
+    }),
+
+    // -- token-mass concentration per source: Gini over the term-frequency
+    //    distribution (rank form — integer sums, one rounded division),
+    //    the concentration companion to q_zipf_fit
+    "q_token_gini" -> ((s, dir) => {
+      operators.Stats
+        .tokenGini(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id", "source")),
+          "source")
+        .orderBy("source")
+    }),
+
     // -- robust outlier detection: modified z-score over median/MAD
     //    (50%-breakdown estimators — outliers can't drag the rule that
     //    hunts them); two broadcast percentile passes + one map-side
@@ -2649,6 +2681,19 @@ object SparkEntry {
                 FROM v JOIN q ON starts_with(v.word, q.prefix)
                 QUALIFY rn <= 4)
           SELECT prefix, completion, freq, rn FROM f ORDER BY prefix, rn""",
+    "q_doc_keywords" ->
+      s"""WITH $TokCte,
+          tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
+          df AS (SELECT word, count(*) AS df_t FROM tf GROUP BY 1),
+          n AS (SELECT count(DISTINCT doc_id) AS nd FROM tok),
+          s AS (SELECT doc_id, word, tf,
+                       floor((tf * ln(nd::DOUBLE / df_t)) * 1e4 + 0.5) / 1e4 AS score_r
+                FROM tf JOIN df USING (word) CROSS JOIN n),
+          f AS (SELECT doc_id, word, tf, score_r,
+                       row_number() OVER (PARTITION BY doc_id
+                                          ORDER BY score_r DESC, word) AS rn
+                FROM s QUALIFY rn <= 3)
+          SELECT doc_id, word, tf, score_r, rn FROM f ORDER BY doc_id, rn""",
     "q_search_snippets" ->
       s"""WITH $ToksArrCte,
           mt AS (SELECT doc_id, min(j) AS anchor, count(*) AS n_matches
@@ -3991,6 +4036,47 @@ object SparkEntry {
                 CASE WHEN dxx <> 0 AND dyy <> 0
                      THEN floor((dxy * dxy / (dxx * dyy)) * 1e4 + 0.5) / 1e4 END AS r2_r
          FROM d ORDER BY source""",
+    "q_token_gini" ->
+      """WITH tok AS (
+           SELECT source, w AS word FROM (
+             SELECT source,
+                    regexp_replace(lower(unnest(regexp_split_to_array(text, '\s+'))), '[^a-z]', '', 'g') AS w
+             FROM documents) u
+           WHERE w <> ''),
+         f AS (SELECT source, word, count(*) AS freq FROM tok GROUP BY 1, 2),
+         r AS (SELECT source, freq,
+                      row_number() OVER (PARTITION BY source
+                                         ORDER BY freq ASC, word) AS rk
+               FROM f),
+         a AS (SELECT source, count(*) AS n_vocab, sum(freq)::BIGINT AS total_tokens,
+                      sum(rk * freq)::BIGINT AS srx
+               FROM r GROUP BY 1)
+         SELECT source, n_vocab, total_tokens,
+                floor((2.0 * srx / (n_vocab * total_tokens)
+                       - (n_vocab + 1)::DOUBLE / n_vocab) * 1e4 + 0.5) / 1e4 AS gini_r
+         FROM a ORDER BY source""",
+    "q_dataset_card" ->
+      """WITH tok AS (
+           SELECT source, w AS word FROM (
+             SELECT source,
+                    regexp_replace(lower(unnest(regexp_split_to_array(text, '\s+'))), '[^a-z]', '', 'g') AS w
+             FROM documents) u
+           WHERE w <> ''),
+         base AS (
+           SELECT source, count(*) AS n_docs,
+                  floor(avg(n_chars) * 1e2 + 0.5) / 1e2 AS mean_chars_r,
+                  count(DISTINCT md5(text)) AS nd
+           FROM documents GROUP BY 1),
+         tk AS (SELECT source, count(*) AS n_tokens FROM tok GROUP BY 1),
+         lg AS (SELECT source, lang, count(*) AS nl FROM documents GROUP BY 1, 2),
+         ent AS (
+           SELECT source, count(*) AS n_langs,
+                  floor((ln(sum(nl)) - sum(nl::DOUBLE * ln(nl)) / sum(nl)) * 1e4 + 0.5) / 1e4 AS lang_entropy_r
+           FROM lg GROUP BY 1)
+         SELECT base.source, n_docs, n_tokens, mean_chars_r, n_langs, lang_entropy_r,
+                floor((1.0 - nd::DOUBLE / n_docs) * 1e4 + 0.5) / 1e4 AS dup_rate_r
+         FROM base JOIN tk USING (source) JOIN ent ON ent.source = base.source
+         ORDER BY base.source""",
     "q_robust_outliers" ->
       """WITH med AS (
            SELECT o_orderpriority,

@@ -233,6 +233,39 @@ object Search {
       .agg(sum(col("w_score")).as("score"))
   }
 
+  /** Per-document keyword extraction: the top-k terms of every document
+    * by TF-IDF (`tf · ln(N/df)`, [[tfidfQuery]]'s exact scoring), ranked
+    * score DESC / word ASC — the classic summarization/tagging primitive
+    * (and the per-doc view of [[moreLikeThis]]'s query-vector step).
+    *
+    * Scale shape: tf is one partial-aggregated groupBy over the token
+    * stream; df reduces tf to the vocabulary; N rides a broadcast
+    * scalar. The rank window partitions BY DOCUMENT — bounded by a
+    * single doc's distinct-term count, never a corpus axis. The score is
+    * ROUNDED BEFORE ranking so top-k tie-breaks are cross-engine
+    * identical (ties then break word-ASC on the rounded value).
+    *
+    * Returns (idCol, word, tf, score_r, rn), rn ≤ k per document.
+    */
+  def keywords(tokens: DataFrame, k: Int = 5, idCol: String = "doc_id"): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val nDocs = tokens.select(col(idCol)).distinct().agg(count(lit(1)).as("n_docs"))
+    val tf = tokens
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("word")).agg(count(lit(1)).as("df_t"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(desc("score_r"), asc("word"))
+    tf.join(df, Seq("word"))
+      .crossJoin(broadcast(nDocs))
+      .withColumn("score_r",
+        graft.functions.Portable.pround(
+          col("tf") * log(col("n_docs").cast("double") / col("df_t")), 4))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") <= k)
+      .select(col(idCol), col("word"), col("tf"), col("score_r"), col("rn"))
+  }
+
   /** BM25 ranked retrieval (Okapi, k1/b defaults): score(doc) = Σ over
     * matched terms of idf(t) · tf·(k1+1) / (tf + k1·(1−b+b·dl/avgdl)),
     * idf(t) = ln((N−df+0.5)/(df+0.5)+1). The tf-saturation and

@@ -242,6 +242,94 @@ object Stats {
       groupCol, "lx", "ly")
   }
 
+  /** Gini coefficient of the term-frequency distribution per group — the
+    * concentration companion to [[zipfFit]]: 0 = every word equally
+    * frequent, →1 = a few words dominate the token mass. Template floods
+    * and boilerplate push it toward 1 long before they're visible in
+    * mean-quality metrics, so curation dashboards chart it per
+    * source/snapshot next to the Zipf slope.
+    *
+    * Uses the rank form G = 2·Σ(rᵢ·xᵢ)/(n·Σx) − (n+1)/n over frequencies
+    * sorted ASCENDING. Every accumulated term is an exact integer (rank ×
+    * count), so the only float op is the final division — rounded, it
+    * cannot diverge cross-engine; equal frequencies contribute the same
+    * sum under any tie order (the word-ASC tie break is for determinism
+    * of the rank column itself, not the result). The rank window
+    * partitions by group over the PER-GROUP VOCABULARY — the same bounded
+    * metadata axis as [[zipfFit]].
+    *
+    * Returns (group, n_vocab, total_tokens, gini_r).
+    */
+  def tokenGini(tokens: DataFrame, groupCol: String): DataFrame = {
+    val freq = tokens
+      .groupBy(col(groupCol), col("word"))
+      .agg(count(lit(1)).as("freq"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(asc("freq"), asc("word"))
+    freq
+      .withColumn("r", row_number().over(w))
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n_vocab"),
+        sum(col("freq")).as("total_tokens"),
+        sum(col("r") * col("freq")).as("__srx"))
+      .select(
+        col(groupCol),
+        col("n_vocab"),
+        col("total_tokens"),
+        Portable.pround(
+          lit(2.0) * col("__srx") / (col("n_vocab") * col("total_tokens"))
+            - (col("n_vocab") + 1).cast("double") / col("n_vocab"), 4).as("gini_r"))
+  }
+
+  /** Per-source dataset card: the one-row-per-source summary table a
+    * dataset release ships (docs, token mass, mean length, language mix
+    * entropy, exact-duplicate rate) — the composition of the engine's
+    * curation metrics into the artifact humans actually read.
+    *
+    * Three partial aggregates, all reduced to source-sized relations
+    * before any join: (docs, mean chars, distinct content hashes) in one
+    * pass over documents; token mass in one pass over the token stream;
+    * language entropy from the (source, lang) contingency via
+    * H = ln N − Σ n·ln n / N (one more source-sized reduce — no per-doc
+    * state survives the first aggregate). Exact-dup rate is
+    * 1 − distinct(md5)/docs, the same content-hash identity
+    * [[graft.operators.Dedup.exact]] groups on.
+    *
+    * Returns (source, n_docs, n_tokens, mean_chars_r, n_langs,
+    * lang_entropy_r, dup_rate_r).
+    */
+  def datasetCard(docs: DataFrame, tokens: DataFrame): DataFrame = {
+    val base = docs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        Portable.pround(avg(col("n_chars")), 2).as("mean_chars_r"),
+        countDistinct(md5(col("text"))).as("__nd"))
+    val tok = tokens
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"))
+    val ent = docs
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("__nl"))
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_langs"),
+        sum(col("__nl")).as("__tot"),
+        sum(col("__nl").cast("double") * log(col("__nl"))).as("__snl"))
+      .select(
+        col("source"), col("n_langs"),
+        Portable.pround(
+          log(col("__tot")) - col("__snl") / col("__tot"), 4).as("lang_entropy_r"))
+    base
+      .join(tok, Seq("source"))
+      .join(ent, Seq("source"))
+      .withColumn("dup_rate_r",
+        Portable.pround(lit(1.0) - col("__nd").cast("double") / col("n_docs"), 4))
+      .select(
+        col("source"), col("n_docs"), col("n_tokens"), col("mean_chars_r"),
+        col("n_langs"), col("lang_entropy_r"), col("dup_rate_r"))
+  }
+
   /** Heavy-hitter profile of a key column: the top-k keys by row count
     * with their share of the table — the diagnosis a pipeline runs BEFORE
     * a big join or aggregation to decide whether the key needs

@@ -490,6 +490,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(r.getDouble(4) > 0.99, s"power law fits nearly perfectly: ${r.getDouble(4)}")
   }
 
+  test("tokenGini: uniform vocabulary is 0, dominated vocabulary is high, hand value exact") {
+    // source u: four words once each -> G = 0
+    // source s: freqs [1,1,1,97] asc ranks [1,2,3,4]:
+    //   G = 2*(1+2+3+4*97)/(4*100) - 5/4 = 2*394/400 - 1.25 = 0.72
+    val docs = Seq(
+      (1L, "u", "aa bb cc dd"),
+      (2L, "s", (Seq("ww") ++ Seq("xx") ++ Seq("yy") ++ Seq.fill(97)("zz")).mkString(" "))
+    ).toDF("doc_id", "source", "text")
+    val got = Stats.tokenGini(
+      Tokenize.tokens(docs, "text", Seq("doc_id", "source")), "source")
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got("u") == ((4L, 4L, 0.0)), s"uniform: ${got("u")}")
+    assert(got("s") == ((4L, 100L, 0.72)), s"dominated: ${got("s")}")
+  }
+
+  test("datasetCard: dup rate, language entropy, and token mass per source") {
+    val docs = Seq(
+      (1L, "a", "en", "same text here", 14L),
+      (2L, "a", "en", "same text here", 14L),   // exact dup of doc 1
+      (3L, "b", "en", "first unique doc", 16L),
+      (4L, "b", "de", "second unique doc", 17L)
+    ).toDF("doc_id", "source", "lang", "text", "n_chars")
+    val toks = Tokenize.tokens(docs, "text", Seq("doc_id", "source"))
+    val got = Stats.datasetCard(docs, toks)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val a = got("a"); val b = got("b")
+    assert(a.getLong(1) == 2 && a.getLong(2) == 6, s"a: 2 docs, 6 tokens: $a")
+    assert(a.getDouble(6) == 0.5, s"one dup of two docs: $a")
+    assert(a.getLong(4) == 1 && a.getDouble(5) == 0.0, s"single-lang entropy 0: $a")
+    assert(b.getLong(1) == 2 && b.getLong(2) == 6, s"b: 2 docs, 6 tokens: $b")
+    assert(b.getDouble(6) == 0.0, s"no dups in b: $b")
+    // two langs, 50/50: H = ln 2 = 0.6931
+    assert(b.getLong(4) == 2 && b.getDouble(5) == 0.6931, s"ln-2 entropy: $b")
+    assert(a.getDouble(3) == 14.0 && b.getDouble(3) == 16.5, s"mean chars: $a / $b")
+  }
+
   test("robustOutliers: planted outlier flagged; uniform group has none; zero MAD safe") {
     val rows =
       (1 to 99).map(i => ("a", 100.0 + (i % 11))) ++ Seq(("a", 1e6)) ++  // one planted spike

@@ -71,6 +71,23 @@ class SearchSpec extends SparkSpec {
     got.foreach { case (p, c, _, _) => assert(c.startsWith(p)) }
   }
 
+  test("keywords: per-doc tf-idf top-k, ubiquitous terms score zero and sink") {
+    val toks = Tokenize.tokens(Seq(
+      (1L, "the apple apple banana"),
+      (2L, "the banana cherry"),
+      (3L, "the cherry date date date")).toDF("doc_id", "text"), "text", Seq("doc_id"))
+    val got = Search.keywords(toks, k = 2)
+      .orderBy("doc_id", "rn")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSeq
+    // doc 3: date tf=3 df=1 -> 3*ln(3)=3.2958; cherry tf=1 df=2 -> ln(1.5)=0.4055
+    val d3 = got.filter(_._1 == 3L)
+    assert(d3.map(_._2) == Seq("date", "cherry"), s"doc-3 rank: $d3")
+    assert(d3.head._4 == 3.2958 && d3(1)._4 == 0.4055, s"doc-3 scores: $d3")
+    // 'the' appears in every doc: ln(N/df)=0, so it can never beat a
+    // distinctive term — absent from every top-2 here
+    assert(!got.exists(_._2 == "the"), s"ubiquitous term must not surface: $got")
+  }
+
   test("snippets: window clamps at doc start, all matched terms uppercase") {
     val docs = Seq(
       (1L, "spark leads the doc and more words follow here"),
