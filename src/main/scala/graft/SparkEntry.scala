@@ -1023,6 +1023,15 @@ object SparkEntry {
         .orderBy("doc1", "doc2")
     }),
 
+    // -- label-noise audit: own-centroid vs nearest-foreign-centroid
+    //    cosine margin per labeled vector; negative margin = mislabel
+    //    suspect (confident-learning shape, broadcast centroids, max_by)
+    "q_label_audit" -> ((s, dir) => {
+      Similarity
+        .labelAudit(t(s, dir, "embeddings"))
+        .orderBy("vec_id")
+    }),
+
     // -- contrastive hard-negative mining: top-5 most-similar vectors per
     //    query EXCLUDING the near-dup band (cos > 0.6 here — the corpus
     //    near-dups sit above it), dup filter before the bounded top-k
@@ -2960,6 +2969,39 @@ object SparkEntry {
          FROM a ORDER BY bucket, batch_id""",
     // assignment identical to q_ann_ivf's; per-dimension means quantized to
     // integers (x10^4) so no float formatting crosses the engine boundary
+    "q_label_audit" ->
+      """WITH e AS (
+           SELECT vec_id, label, embedding,
+                  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS en
+           FROM embeddings),
+         comp AS (
+           SELECT label AS c_label,
+                  unnest(range(1, len(embedding) + 1)) AS pos,
+                  unnest(list_transform(embedding, x -> x::DOUBLE)) AS v
+           FROM embeddings),
+         m AS (SELECT c_label, pos, floor(avg(v) * 1e4 + 0.5) / 1e4 AS m
+               FROM comp GROUP BY 1, 2),
+         c AS (SELECT c_label, list(m ORDER BY pos) AS cv FROM m GROUP BY 1),
+         cn AS (SELECT c_label, cv,
+                       sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+                FROM c),
+         p AS (
+           SELECT e.vec_id, e.label, cn.c_label,
+                  floor((list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> e.embedding[i]::DOUBLE * cv[i])) / (e.en * cn.cn)) * 1e6 + 0.5) / 1e6 AS cos6
+           FROM e CROSS JOIN cn),
+         own AS (SELECT vec_id, label, cos6 AS own_cos FROM p WHERE label = c_label),
+         fr AS (SELECT vec_id, c_label AS nearest_other, cos6 AS other_cos FROM (
+                  SELECT vec_id, c_label, cos6,
+                         row_number() OVER (PARTITION BY vec_id
+                                            ORDER BY cos6 DESC, c_label) AS rn
+                  FROM p WHERE label <> c_label) x
+                WHERE rn = 1)
+         SELECT o.vec_id, o.label, f.nearest_other,
+                floor((own_cos - other_cos) * 1e4 + 0.5) / 1e4 AS margin_r,
+                (floor((own_cos - other_cos) * 1e4 + 0.5) / 1e4 < 0) AS suspect
+         FROM own o JOIN fr f USING (vec_id) ORDER BY o.vec_id""",
     "q_kmeans_update" ->
       """WITH e AS (
            SELECT vec_id, embedding,

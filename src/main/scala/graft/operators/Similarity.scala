@@ -683,6 +683,63 @@ object Similarity {
       .select(col(idCol), col("best.c_id").as("cell"), round(col("best.cos"), 4).as("cos_r"))
   }
 
+  /** Label-noise audit (confident-learning shape): score every labeled
+    * vector against its OWN label's centroid vs the nearest FOREIGN
+    * centroid; a negative margin — closer to another label's center than
+    * to its own — is the classic mislabel signal that poisons classifier
+    * and reranker training sets. This is the audit a pipeline runs over
+    * its labeled embedding table before training.
+    *
+    * Shape: per-label centroids are [[lloydStep]]'s quantized mean
+    * WITHOUT the assignment step — a (label, dim)-keyed partial
+    * aggregate, regrouped map-side, 4-decimal fixed-point so
+    * summation-order noise never reaches a decision boundary; the tiny
+    * (labels × dim) centroid relation broadcasts into one pass over the
+    * vectors; own-vs-foreign reduces per vector with a max_by (no
+    * window). All cosines go through the floor-based [[graft.functions
+    * .Portable.pround]] at 6 dp BEFORE the margin (round-half-up would
+    * diverge from the oracle's floor mirror on NEGATIVE cosines).
+    *
+    * Returns (idCol, labelCol, nearest_other, margin_r, suspect):
+    * margin_r = own − best-foreign cosine (4 dp), suspect = margin < 0.
+    */
+  def labelAudit(
+      embeds: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    import graft.functions.Portable
+    val cent = embeds
+      .select(col(labelCol).as("c_label"), posexplode(col(vecCol)).as(Seq("pos", "v")))
+      .groupBy(col("c_label"), col("pos"))
+      .agg((floor(avg(col("v").cast("double")) * 1e4 + 0.5) / 1e4).as("m"))
+      .groupBy(col("c_label"))
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).getField("m").as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val e = embeds
+      .select(col(idCol), col(labelCol), col(vecCol).as("ev"))
+      .withColumn("en", norm("ev"))
+    val scored = e
+      .crossJoin(broadcast(cent))
+      .withColumn("cos6",
+        Portable.pround(dot(col("ev"), col("cv")) / (col("en") * col("cn")), 6))
+    val own = scored
+      .where(col(labelCol) === col("c_label"))
+      .select(col(idCol), col(labelCol), col("cos6").as("own_cos"))
+    val foreign = scored
+      .where(col(labelCol) =!= col("c_label"))
+      .groupBy(col(idCol))
+      .agg(max_by(
+        struct(col("c_label"), col("cos6")),
+        struct(col("cos6").as("k1"), (-col("c_label")).as("k2"))).as("best"))
+      .select(col(idCol), col("best.c_label").as("nearest_other"), col("best.cos6").as("other_cos"))
+    own
+      .join(foreign, Seq(idCol))
+      .withColumn("margin_r", Portable.pround(col("own_cos") - col("other_cos"), 4))
+      .withColumn("suspect", col("margin_r") < 0)
+      .select(col(idCol), col(labelCol), col("nearest_other"), col("margin_r"), col("suspect"))
+  }
+
   /** Hard-negative mining for contrastive training: each query's top-k
     * most-similar corpus vectors EXCLUDING near-duplicates (cos >
     * `maxCos`) — the negatives that actually teach an embedding model

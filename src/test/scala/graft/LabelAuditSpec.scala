@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Similarity
+
+/** [[Similarity.labelAudit]]: a planted mislabel is the suspect, clean
+  * clusters are not, and the margin is own-centroid minus nearest-foreign.
+  */
+class LabelAuditSpec extends SparkSpec {
+  import spark.implicits._
+
+  // two tight, well-separated clusters in 4-d; vec 99 carries cluster-B
+  // geometry under label 0 — the planted mislabel
+  private def fixture = Seq(
+    (1L, Array(1.0f, 0.1f, 0.0f, 0.0f), 0),
+    (2L, Array(0.9f, 0.0f, 0.1f, 0.0f), 0),
+    (3L, Array(1.0f, 0.0f, 0.0f, 0.1f), 0),
+    (4L, Array(0.0f, 0.1f, 1.0f, 0.0f), 1),
+    (5L, Array(0.1f, 0.0f, 0.9f, 0.0f), 1),
+    (6L, Array(0.0f, 0.0f, 1.0f, 0.1f), 1),
+    (99L, Array(0.0f, 0.1f, 0.95f, 0.05f), 0)
+  ).toDF("vec_id", "embedding", "label")
+
+  test("planted mislabel is the only suspect; margins are signed correctly") {
+    val got = Similarity.labelAudit(fixture)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getInt(2), r.getDouble(3), r.getBoolean(4))))
+      .toMap
+    assert(got.size == 7, "every vector is audited")
+    val suspects = got.collect { case (id, (_, _, true)) => id }
+    assert(suspects.toSet == Set(99L), s"only the planted mislabel flags: $got")
+    val (nearest, margin, _) = got(99L)
+    assert(nearest == 1, "the suspect's nearest foreign label is the cluster it really belongs to")
+    assert(margin < -0.1, s"decisively negative margin: $margin")
+    // clean members sit decisively on their own side
+    Seq(1L, 2L, 3L, 4L, 5L, 6L).foreach { id =>
+      assert(got(id)._2 > 0.1, s"clean vector $id margin: ${got(id)._2}")
+    }
+  }
+
+  test("audit over the real embeddings table: total rows preserved, margins in [-2, 2]") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val got = Similarity.labelAudit(emb).collect()
+    assert(got.length == emb.count(), "one audit row per labeled vector")
+    got.foreach { r =>
+      val m = r.getDouble(3)
+      assert(m >= -2.0 && m <= 2.0, s"cosine margin out of range: $m")
+      assert(r.getBoolean(4) == (m < 0), "suspect flag must equal margin<0")
+    }
+  }
+}
