@@ -1321,6 +1321,15 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // -- trending event types: hour-over-hour count lift per type, top-3
+    //    lifts per hour — both windows over the (bucket, type) metadata
+    //    relation, lift rounded before ranking
+    "q_trending" -> ((s, dir) => {
+      operators.TimeSeries
+        .trending(graft.sources.EventsSource.events(s, dir), k = 3)
+        .orderBy("bucket", "rn")
+    }),
+
     // -- sliding windows: every event lands in four overlapping 1-hour
     //    windows on a 15-minute slide (the same groupBy streams with a
     //    watermark)
@@ -3514,6 +3523,25 @@ object SparkEntry {
       """SELECT strftime(ts, '%Y-%m-%d %H') AS hour_bucket, event_type,
                 count(*) AS n, floor((sum(value)) * 1e2 + 0.5) / 1e2 AS sum_value
          FROM events GROUP BY hour_bucket, event_type ORDER BY hour_bucket, event_type""",
+    "q_trending" ->
+      """WITH c AS (
+           SELECT strftime(ts, '%Y-%m-%d %H') AS bucket, event_type, count(*) AS n
+           FROM events GROUP BY 1, 2),
+         l AS (
+           SELECT bucket, event_type, n,
+                  lag(n) OVER (PARTITION BY event_type ORDER BY bucket) AS prev_n
+           FROM c),
+         r AS (
+           SELECT bucket, event_type, n, prev_n,
+                  floor((n::DOUBLE / prev_n) * 1e4 + 0.5) / 1e4 AS lift_r
+           FROM l WHERE prev_n IS NOT NULL),
+         f AS (
+           SELECT bucket, event_type, n, prev_n, lift_r,
+                  row_number() OVER (PARTITION BY bucket
+                                     ORDER BY lift_r DESC, event_type) AS rn
+           FROM r QUALIFY rn <= 3)
+         SELECT bucket, event_type, n, prev_n, lift_r, rn
+         FROM f ORDER BY bucket, rn""",
     // the multimodal roundtrip: image dims come from DECODING synthesized
     // PNGs (javax.imageio), audio durations from DECODING synthesized WAVs
     // (javax.sound.sampled; frames = 1 + 131·len mod 60000 at 1 kHz ⇒

@@ -71,6 +71,49 @@ object TimeSeries {
     *
     * Returns (keyCol, tieCol, valueCol, z_r, is_anomaly).
     */
+  /** Trending keys per time bucket: hour-over-hour count lift
+    * (n / previous-hour n) per key, top-k lifts per bucket — the
+    * "what's suddenly hot" feed every monitoring/discovery surface
+    * renders. "Previous" is the key's previous OBSERVED bucket (a lag
+    * over its sorted buckets — equal to hour-minus-one on a dense
+    * stream; a key silent for a gap compares against its last active
+    * hour). A key's first bucket is skipped: a lift against no baseline
+    * is undefined, and a brand-new key is a different signal than a
+    * rising one.
+    *
+    * Scale shape: the event stream reduces to (bucket, key, n) with one
+    * partial-aggregated groupBy FIRST; both windows then run over that
+    * metadata relation — lag partitions by key over its hour buckets,
+    * the rank partitions by bucket over the key cardinality. Neither
+    * touches an event-count axis. The lift is ROUNDED before ranking so
+    * top-k tie-breaks are cross-engine identical.
+    *
+    * Returns (bucket, keyCol, n, prev_n, lift_r, rn), rn ≤ k per bucket.
+    */
+  def trending(
+      events: DataFrame,
+      tsCol: String = "ts_t",
+      keyCol: String = "event_type",
+      k: Int = 3): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val counts = events
+      .groupBy(
+        date_format(col(tsCol), "yyyy-MM-dd HH").as("bucket"),
+        col(keyCol))
+      .agg(count(lit(1)).as("n"))
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col("bucket"))
+    val byBucket = Window.partitionBy(col("bucket"))
+      .orderBy(desc("lift_r"), asc(keyCol))
+    counts
+      .withColumn("prev_n", lag(col("n"), 1).over(byKey))
+      .where(col("prev_n").isNotNull)
+      .withColumn("lift_r",
+        graft.functions.Portable.pround(col("n") / col("prev_n").cast("double"), 4))
+      .withColumn("rn", row_number().over(byBucket))
+      .where(col("rn") <= k)
+      .select(col("bucket"), col(keyCol), col("n"), col("prev_n"), col("lift_r"), col("rn"))
+  }
+
   def rollingZscore(
       events: DataFrame,
       n: Int = 10,

@@ -76,4 +76,19 @@ class TimeSeriesSpec extends SparkSpec {
     val got = TimeSeries.resampleFfill(ev, "user_id", "ts", "value").collect()
     assert(got.length == 2, "disjoint single-day keys must produce one row each")
   }
+
+  test("trending: lift ranks per hour, first bucket skipped, exact hand values") {
+    // type a counts by hour: 10, 10, 30 -> lifts 1.0 then 3.0
+    // type b counts by hour: 10, 20, 10 -> lifts 2.0 then 0.5
+    def burst(t: String, h: Int, n: Int) =
+      (1 to n).map(i => (t, ts(f"2024-03-01 $h%02d:${i % 60}%02d:00")))
+    val ev = (burst("a", 1, 10) ++ burst("a", 2, 10) ++ burst("a", 3, 30) ++
+      burst("b", 1, 10) ++ burst("b", 2, 20) ++ burst("b", 3, 10))
+      .toDF("event_type", "ts_t")
+    val got = TimeSeries.trending(ev, "ts_t", "event_type", k = 1)
+      .orderBy("bucket")
+      .collect().map(r => (r.getString(0).takeRight(2), r.getString(1), r.getDouble(4), r.getInt(5)))
+    // hour 1 has no baseline for either key -> absent entirely
+    assert(got.toSeq == Seq(("02", "b", 2.0, 1), ("03", "a", 3.0, 1)), s"got ${got.toSeq}")
+  }
 }
