@@ -1652,6 +1652,22 @@ object SparkEntry {
         .limit(500)
     }),
 
+    // -- zone-map prune effectiveness: the SAME price predicate against an
+    //    insertion-order layout vs a price-clustered layout — the measured
+    //    I/O argument for re-clustering; per-file min/max like a parquet
+    //    reader's stats
+    "q_zonemap_prune" -> ((s, dir) => {
+      val orders = t(s, dir, "orders")
+      val lo = 100000.0; val hi = 110000.0
+      operators.Layout
+        .zoneMapPruneStats(orders, floor(col("o_orderkey") / 100L), "natural",
+          "o_totalprice", lo, hi)
+        .unionByName(operators.Layout
+          .zoneMapPruneStats(orders, floor(col("o_totalprice") / 2000.0), "clustered",
+            "o_totalprice", lo, hi))
+        .orderBy("layout")
+    }),
+
     // -- triangle participation counts on the brand co-occurrence graph
     //    (oriented-wedge plan: each triangle found exactly once)
     "q_triangle_count" -> ((s, dir) => {
@@ -3903,6 +3919,26 @@ object SparkEntry {
           SELECT o_orderkey, zx, zy,
                  (${graft.operators.Layout.zorderKeySql(Seq("zx", "zy"), 14)})::BIGINT AS zkey
           FROM b ORDER BY zkey, o_orderkey LIMIT 500""",
+    "q_zonemap_prune" ->
+      """WITH nat AS (
+           SELECT floor(o_orderkey / 100) AS f,
+                  min(o_totalprice) AS mn, max(o_totalprice) AS mx
+           FROM orders GROUP BY 1),
+         clu AS (
+           SELECT floor(o_totalprice / 2000.0) AS f,
+                  min(o_totalprice) AS mn, max(o_totalprice) AS mx
+           FROM orders GROUP BY 1),
+         s AS (
+           SELECT 'natural' AS layout, count(*) AS n_files,
+                  sum(CASE WHEN mx < 100000.0 OR mn > 110000.0 THEN 0 ELSE 1 END)::BIGINT AS files_scanned
+           FROM nat
+           UNION ALL
+           SELECT 'clustered' AS layout, count(*) AS n_files,
+                  sum(CASE WHEN mx < 100000.0 OR mn > 110000.0 THEN 0 ELSE 1 END)::BIGINT AS files_scanned
+           FROM clu)
+         SELECT layout, n_files, files_scanned,
+                floor((1.0 - files_scanned::DOUBLE / n_files) * 1e4 + 0.5) / 1e4 AS prune_frac_r
+         FROM s ORDER BY layout""",
     "q_triangle_count" ->
       """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
                      FROM lineitem JOIN part ON l_partkey = p_partkey),

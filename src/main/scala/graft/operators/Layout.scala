@@ -98,6 +98,45 @@ object Layout {
         array_join(sort_array(collect_list(col(pathCol))), " ").as("files_str"))
   }
 
+  /** Zone-map prune effectiveness: given a file assignment (any
+    * expression mapping rows to their file), the per-file [min, max]
+    * zone maps of `valueCol` and the fraction of files a range predicate
+    * `[lo, hi]` can SKIP without reading — the measurable form of the
+    * argument this whole module ([[zorderKey]], [[clusterForWrite]],
+    * parquet row-group stats) rests on. Run it with two candidate
+    * layouts and the delta in `prune_frac_r` is the I/O a re-cluster
+    * would save at scale.
+    *
+    * One partial-aggregated groupBy to the file-count-sized zone-map
+    * relation, then a scalar reduce — no window, no row-level state past
+    * the first aggregate. A file is prunable iff its zone is disjoint
+    * from the predicate (`max < lo` or `min > hi`) — exactly the
+    * decision a reader makes from parquet column statistics.
+    *
+    * Returns one row: (layout, n_files, files_scanned, prune_frac_r).
+    */
+  def zoneMapPruneStats(
+      df: DataFrame,
+      fileExpr: Column,
+      label: String,
+      valueCol: String,
+      lo: Double,
+      hi: Double): DataFrame = {
+    require(lo <= hi, s"predicate range [$lo, $hi] is empty")
+    df.select(fileExpr.as("__f"), col(valueCol).cast("double").as("__v"))
+      .groupBy(col("__f"))
+      .agg(min(col("__v")).as("__mn"), max(col("__v")).as("__mx"))
+      .agg(
+        count(lit(1)).as("n_files"),
+        sum(when(col("__mx") < lo || col("__mn") > hi, 0L).otherwise(1L)).as("files_scanned"))
+      .select(
+        lit(label).as("layout"),
+        col("n_files"),
+        col("files_scanned"),
+        graft.functions.Portable.pround(
+          lit(1.0) - col("files_scanned").cast("double") / col("n_files"), 4).as("prune_frac_r"))
+  }
+
   /** The same bit-interleave as [[zorderKey]], rendered as ANSI SQL over
     * the given column expressions — the oracle mirror (kept next to the
     * Spark form so the two can't drift).

@@ -437,6 +437,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("same")._3 == 0.0, "identical samples have zero CDF gap")
   }
 
+  test("zoneMapPruneStats: value-clustered files prune the range, shuffled files do not") {
+    // 100 rows, values 0..99; 10 files of 10. Clustered: file = v/10 ->
+    // predicate [40, 49] scans exactly 1 file. Scattered: file = v%10 ->
+    // every file spans [0..9x..] and none prune.
+    val rows = (0 until 100).map(i => (i.toLong, i.toDouble)).toDF("id", "v")
+    val clustered = Layout
+      .zoneMapPruneStats(rows, floor(col("v") / 10.0), "clustered", "v", 40.0, 49.0)
+      .collect().head
+    assert(clustered.getLong(1) == 10 && clustered.getLong(2) == 1 && clustered.getDouble(3) == 0.9,
+      s"clustered: $clustered")
+    val scattered = Layout
+      .zoneMapPruneStats(rows, col("id") % 10, "scattered", "v", 40.0, 49.0)
+      .collect().head
+    assert(scattered.getLong(2) == 10 && scattered.getDouble(3) == 0.0,
+      s"scattered layout can prune nothing: $scattered")
+  }
+
   test("compactionPlan: bytes conserved, bins near target, big files kept singleton") {
     import graft.operators.Layout
     val files = Seq(
