@@ -500,6 +500,21 @@ object SparkEntry {
         .orderBy(col("prefix"), col("rn"))
     }),
 
+    // -- retrieval eval harness: recall@10 and MRR@10 of BM25 against
+    //    conjunctive-containment relevance, per query — bounded top-k,
+    //    no window over the matched-doc axis
+    "q_retrieval_eval" -> ((s, dir) => {
+      Search
+        .retrievalEval(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")),
+          Seq(
+            1 -> Seq("spark", "query"),
+            2 -> Seq("vector", "stream", "merge"),
+            3 -> Seq("data", "table", "row")),
+          k = 10)
+        .orderBy("qid")
+    }),
+
     // -- per-doc keyword extraction: top-3 terms by tf·ln(N/df), score
     //    rounded BEFORE ranking, window bounded by per-doc vocab
     "q_doc_keywords" -> ((s, dir) => {
@@ -2715,6 +2730,43 @@ object SparkEntry {
                 FROM v JOIN q ON starts_with(v.word, q.prefix)
                 QUALIFY rn <= 4)
           SELECT prefix, completion, freq, rn FROM f ORDER BY prefix, rn""",
+    "q_retrieval_eval" ->
+      s"""WITH $TokCte,
+          dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+          stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+          q AS (SELECT 1 AS qid, ['spark', 'query'] AS terms
+                UNION ALL SELECT 2, ['vector', 'stream', 'merge']
+                UNION ALL SELECT 3, ['data', 'table', 'row']),
+          tf AS (SELECT q.qid, t.doc_id, t.word, count(*) AS tf
+                 FROM tok t JOIN q ON list_contains(q.terms, t.word)
+                 GROUP BY 1, 2, 3),
+          dfs AS (SELECT qid, word, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY 1, 2),
+          sc AS (SELECT qid, doc_id,
+                        floor((sum(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                                   * (tf * (1.2 + 1.0))
+                                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))) * 1e4 + 0.5) / 1e4 AS score_r
+                 FROM (SELECT tf.qid, tf.doc_id, tf.tf, dfs.df_t, dl.dl, n_docs, avgdl
+                       FROM tf JOIN dfs ON dfs.qid = tf.qid AND dfs.word = tf.word
+                       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats) x
+                 GROUP BY 1, 2),
+          tp AS (SELECT qid, doc_id, rnk FROM (
+                   SELECT qid, doc_id,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY score_r DESC, doc_id) AS rnk
+                   FROM sc) r WHERE rnk <= 10),
+          rel AS (SELECT x.qid, t.doc_id
+                  FROM (SELECT qid, terms, len(terms) AS nt FROM q) x
+                  JOIN tok t ON list_contains(x.terms, t.word)
+                  GROUP BY x.qid, t.doc_id, x.nt
+                  HAVING count(DISTINCT t.word) = x.nt),
+          nr AS (SELECT qid, count(*) AS n_rel FROM rel GROUP BY 1),
+          h AS (SELECT tp.qid, count(*) AS hits, min(rnk) AS frst
+                FROM tp JOIN rel ON rel.qid = tp.qid AND rel.doc_id = tp.doc_id
+                GROUP BY 1)
+          SELECT nr.qid, n_rel, coalesce(hits, 0) AS rel_in_topk,
+                 floor((coalesce(hits, 0)::DOUBLE / n_rel) * 1e4 + 0.5) / 1e4 AS recall_r,
+                 floor((coalesce(1.0 / frst, 0.0)) * 1e4 + 0.5) / 1e4 AS mrr_r
+          FROM nr LEFT JOIN h USING (qid) ORDER BY nr.qid""",
     "q_doc_keywords" ->
       s"""WITH $TokCte,
           tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),

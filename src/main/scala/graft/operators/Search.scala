@@ -233,6 +233,81 @@ object Search {
       .agg(sum(col("w_score")).as("score"))
   }
 
+  /** Retrieval quality evaluation: recall@k and MRR@k of the BM25 ranker
+    * against a relevance oracle, per query — the eval harness a search /
+    * RAG pipeline runs before swapping rankers. Relevance here is
+    * conjunctive containment (a doc is relevant iff it contains EVERY
+    * query term) — deterministic, engine-independent ground truth derived
+    * from the corpus itself.
+    *
+    * Scale shape: each query's ranking is consumed by the BOUNDED
+    * [[graft.plans.CosTopK]] partial top-k (map-side buffers ≤ k per
+    * query — never a row_number window over the matched-doc axis, the
+    * same fix as [[bruteForceTopK]]); the relevance set reduces to
+    * (query, doc) via one partial-aggregated term-count filter; metrics
+    * are per-query scalars. Scores are ROUNDED (4 dp) before the top-k
+    * so rank tie-breaks are cross-engine identical (ties then doc ASC).
+    *
+    * MRR@k: 1/rank of the first relevant doc within the top k, 0 if none
+    * surfaced. recall@k: |relevant ∩ top-k| / |relevant|.
+    *
+    * Returns (qid, n_rel, rel_in_topk, recall_r, mrr_r) per query. A
+    * query with NO relevant docs (its terms never co-occur) has no
+    * defined recall and emits no row — callers eval against queries
+    * their corpus can answer.
+    */
+  def retrievalEval(
+      tokens: DataFrame,
+      queries: Seq[(Int, Seq[String])],
+      k: Int = 10,
+      idCol: String = "doc_id"): DataFrame = {
+    require(queries.nonEmpty && k >= 1, s"need queries and k >= 1 (k=$k)")
+    import org.apache.spark.sql.GraftBridge
+    val ranked = queries
+      .map { case (qid, words) =>
+        bm25Query(tokens, words, idCol = idCol)
+          .withColumn("qid", lit(qid))
+          .withColumn("score_r", graft.functions.Portable.pround(col("score"), 4))
+      }
+      .reduce(_.unionByName(_))
+    val topAgg = GraftBridge.column(graft.plans.CosTopK(
+      GraftBridge.expression(col("score_r")),
+      GraftBridge.expression(col(idCol).cast("bigint")),
+      GraftBridge.expression(col("score_r")),
+      k).toAggregateExpression())
+    val top = ranked
+      .groupBy(col("qid"))
+      .agg(topAgg.as("__top"))
+      .select(col("qid"), posexplode(col("__top")).as(Seq("__r0", "__e")))
+      .select(col("qid"), (col("__r0") + 1).as("rank"), col("__e.id").as(idCol))
+    val rel = queries
+      .map { case (qid, words) =>
+        val terms = cleanedTerms(words).distinct
+        tokens
+          .where(col("word").isin(terms: _*))
+          .groupBy(col(idCol))
+          .agg(countDistinct(col("word")).as("__nt"))
+          .where(col("__nt") === terms.length)
+          .select(lit(qid).as("qid"), col(idCol))
+      }
+      .reduce(_.unionByName(_))
+    val nRel = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    val hits = top
+      .join(rel, Seq("qid", idCol))
+      .groupBy(col("qid"))
+      .agg(count(lit(1)).as("__hits"), min(col("rank")).as("__first"))
+    nRel
+      .join(hits, Seq("qid"), "left")
+      .select(
+        col("qid"),
+        col("n_rel"),
+        coalesce(col("__hits"), lit(0L)).as("rel_in_topk"),
+        graft.functions.Portable.pround(
+          coalesce(col("__hits"), lit(0L)).cast("double") / col("n_rel"), 4).as("recall_r"),
+        graft.functions.Portable.pround(
+          coalesce(lit(1.0) / col("__first"), lit(0.0)), 4).as("mrr_r"))
+  }
+
   /** Per-document keyword extraction: the top-k terms of every document
     * by TF-IDF (`tf · ln(N/df)`, [[tfidfQuery]]'s exact scoring), ranked
     * score DESC / word ASC — the classic summarization/tagging primitive

@@ -88,6 +88,24 @@ class SearchSpec extends SparkSpec {
     assert(!got.exists(_._2 == "the"), s"ubiquitous term must not surface: $got")
   }
 
+  test("retrievalEval: recall@k and MRR@k hand-checked; no-relevant queries emit no row") {
+    val toks = Tokenize.tokens(Seq(
+      (1L, "spark query spark"),
+      (2L, "spark query"),
+      (3L, "spark alone here"),
+      (4L, "unrelated words only")).toDF("doc_id", "text"), "text", Seq("doc_id"))
+    val qs = Seq(1 -> Seq("spark", "query"), 2 -> Seq("absentword"))
+    // k=10: both relevant docs {1,2} surface -> recall 1.0, first rank 1 -> mrr 1.0
+    val at10 = Search.retrievalEval(toks, qs, k = 10)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(at10.keySet == Set(1), "query with no relevant docs must emit no row")
+    assert(at10(1) == ((2L, 2L, 1.0, 1.0)), s"full recall at k=10: ${at10(1)}")
+    // k=1: only one of two relevant docs fits -> recall 0.5, mrr still 1.0
+    val at1 = Search.retrievalEval(toks, Seq(1 -> Seq("spark", "query")), k = 1)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).head
+    assert(at1 == ((2L, 1L, 0.5, 1.0)), s"k=1 truncation: $at1")
+  }
+
   test("snippets: window clamps at doc start, all matched terms uppercase") {
     val docs = Seq(
       (1L, "spark leads the doc and more words follow here"),
