@@ -1865,6 +1865,21 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // -- mergeable incremental stats: per-flag (n, Σx, Σx²) partials from
+    //    the even- and odd-orderkey halves MERGED by addition == direct
+    //    whole-table moments (the oracle computes the direct form — the
+    //    hash match IS the merge-correctness proof)
+    "q_stats_merge" -> ((s, dir) => {
+      val li = t(s, dir, "lineitem")
+      operators.Stats
+        .mergedMomentsReport(
+          operators.Stats.partialMoments(
+            li.where(col("l_orderkey") % 2 === 0), "l_returnflag", "l_quantity"),
+          operators.Stats.partialMoments(
+            li.where(col("l_orderkey") % 2 === 1), "l_returnflag", "l_quantity"))
+        .orderBy("l_returnflag")
+    }),
+
     // -- per-source dataset card: docs, token mass, mean length, language
     //    entropy, exact-dup rate — three source-sized partial aggregates
     //    joined, the release summary table
@@ -4213,6 +4228,18 @@ object SparkEntry {
                 floor((2.0 * srx / (n_vocab * total_tokens)
                        - (n_vocab + 1)::DOUBLE / n_vocab) * 1e4 + 0.5) / 1e4 AS gini_r
          FROM a ORDER BY source""",
+    // the DIRECT single-pass form — the merged partials must hash-match it
+    "q_stats_merge" ->
+      """WITH a AS (
+           SELECT l_returnflag, count(*) AS n,
+                  sum(l_quantity::DOUBLE) AS s,
+                  sum(l_quantity::DOUBLE * l_quantity::DOUBLE) AS ss
+           FROM lineitem GROUP BY 1)
+         SELECT l_returnflag, n,
+                floor((s / n) * 1e4 + 0.5) / 1e4 AS mean_r,
+                floor(((ss - s * s / n) / n) * 1e4 + 0.5) / 1e4 AS var_r,
+                floor(sqrt((ss - s * s / n) / n) * 1e4 + 0.5) / 1e4 AS std_r
+         FROM a ORDER BY l_returnflag""",
     "q_dataset_card" ->
       """WITH tok AS (
            SELECT source, w AS word FROM (

@@ -330,6 +330,50 @@ object Stats {
         col("n_langs"), col("lang_entropy_r"), col("dup_rate_r"))
   }
 
+  /** Mergeable per-group moments — the incremental-statistics algebra: a
+    * partial (n, Σx, Σx²) triple per group is associatively mergeable by
+    * plain addition, so per-snapshot/per-shard partials combine into
+    * whole-corpus statistics WITHOUT re-reading history (the property
+    * every warehouse's incremental ANALYZE and every map-side combine
+    * relies on — here exposed as data so snapshot pipelines can store
+    * and roll up their own stats). [[mergedMomentsReport]] turns merged
+    * partials into (mean, population variance, std).
+    *
+    * One partial-aggregated groupBy per input — group-sized output, no
+    * window. Sums of products stay exact in double for integer-scaled
+    * inputs (the catastrophic-cancellation caveat of the Σx² form vs
+    * Welford/Chan applies to ill-conditioned data: variance tiny
+    * relative to mean² — the report rounds, and callers with such data
+    * should center first).
+    */
+  def partialMoments(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("double")
+    df.groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(x).as("s"),
+        sum(x * x).as("ss"))
+  }
+
+  /** Merge any number of [[partialMoments]] relations (pure addition per
+    * group) and report (group, n, mean_r, var_r, std_r) — population
+    * variance (Σx² − (Σx)²/n)/n, all rounded at 4 dp.
+    */
+  def mergedMomentsReport(parts: DataFrame*): DataFrame = {
+    require(parts.nonEmpty, "need at least one partial")
+    val g = parts.head.columns.head
+    parts
+      .reduce(_.unionByName(_))
+      .groupBy(col(g))
+      .agg(sum(col("n")).as("n"), sum(col("s")).as("s"), sum(col("ss")).as("ss"))
+      .select(
+        col(g),
+        col("n"),
+        Portable.pround(col("s") / col("n"), 4).as("mean_r"),
+        Portable.pround((col("ss") - col("s") * col("s") / col("n")) / col("n"), 4).as("var_r"),
+        Portable.pround(sqrt((col("ss") - col("s") * col("s") / col("n")) / col("n")), 4).as("std_r"))
+  }
+
   /** Heavy-hitter profile of a key column: the top-k keys by row count
     * with their share of the table — the diagnosis a pipeline runs BEFORE
     * a big join or aggregation to decide whether the key needs

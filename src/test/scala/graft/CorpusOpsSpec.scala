@@ -437,6 +437,23 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("same")._3 == 0.0, "identical samples have zero CDF gap")
   }
 
+  test("mergeable moments: any shard split merges to the direct whole-table stats") {
+    val rows = (1 to 100).map(i => (if (i % 3 == 0) "a" else "b", (i % 7).toDouble))
+      .toDF("g", "v")
+    val direct = Stats.mergedMomentsReport(Stats.partialMoments(rows, "g", "v"))
+      .collect().map(_.toSeq).toSet
+    // three different split axes must all merge to the identical report
+    Seq(2, 3, 5).foreach { m =>
+      val parts = (0 until m).map(r =>
+        Stats.partialMoments(rows.where(col("v").cast("int") % m === r), "g", "v"))
+      val merged = Stats.mergedMomentsReport(parts: _*).collect().map(_.toSeq).toSet
+      assert(merged == direct, s"split-by-$m merge must equal direct: $merged vs $direct")
+    }
+    // and the values themselves are right: v in {0..6} cycling over 100 rows
+    val b = direct.find(_.head == "b").get
+    assert(b(1).asInstanceOf[Long] == 67, s"b group size: $b")
+  }
+
   test("zoneMapPruneStats: value-clustered files prune the range, shuffled files do not") {
     // 100 rows, values 0..99; 10 files of 10. Clustered: file = v/10 ->
     // predicate [40, 49] scans exactly 1 file. Scattered: file = v%10 ->
