@@ -1865,6 +1865,28 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // -- k-anonymity audit: quasi-identifier classes (lang, source,
+    //    10-char length bucket) smaller than k=5 — the re-identification
+    //    risks left AFTER direct-identifier redaction
+    "q_k_anon" -> ((s, dir) => {
+      operators.Stats
+        .kAnonymity(
+          t(s, dir, "documents")
+            .withColumn("len_bucket", floor(col("n_chars") / 10)),
+          Seq("lang", "source", "len_bucket"), k = 5)
+        .orderBy("class_size", "lang", "source", "len_bucket")
+    }),
+
+    // -- join-cardinality estimate from key histograms: Σ cntA·cntB per
+    //    key — the oracle computes the REAL join's count(*), so the hash
+    //    match proves the estimator exact without materializing the join
+    "q_join_cardinality" -> ((s, dir) => {
+      operators.Stats
+        .joinCardinality(
+          t(s, dir, "orders"), "o_custkey",
+          t(s, dir, "customer"), "c_custkey")
+    }),
+
     // -- mergeable incremental stats: per-flag (n, Σx, Σx²) partials from
     //    the even- and odd-orderkey halves MERGED by addition == direct
     //    whole-table moments (the oracle computes the direct form — the
@@ -4228,6 +4250,27 @@ object SparkEntry {
                 floor((2.0 * srx / (n_vocab * total_tokens)
                        - (n_vocab + 1)::DOUBLE / n_vocab) * 1e4 + 0.5) / 1e4 AS gini_r
          FROM a ORDER BY source""",
+    "q_k_anon" ->
+      """WITH q AS (
+           SELECT lang, source, n_chars // 10 AS len_bucket,
+                  count(*) AS class_size
+           FROM documents GROUP BY 1, 2, 3),
+         t AS (SELECT count(*)::DOUBLE AS total FROM documents)
+         SELECT lang, source, len_bucket, class_size,
+                floor((class_size / total) * 1e6 + 0.5) / 1e6 AS share_r
+         FROM q CROSS JOIN t
+         WHERE class_size < 5
+         ORDER BY class_size, lang, source, len_bucket""",
+    // est_rows comes from the REAL join's count(*): the hash match proves
+    // the histogram identity sum(cntA*cntB) == |A JOIN B| cross-engine
+    "q_join_cardinality" ->
+      """WITH a AS (SELECT o_custkey AS k, count(*) AS ca FROM orders GROUP BY 1),
+         b AS (SELECT c_custkey AS k, count(*) AS cb FROM customer GROUP BY 1),
+         p AS (SELECT a.k, ca * cb AS prod FROM a JOIN b USING (k))
+         SELECT (SELECT count(*) FROM orders JOIN customer ON o_custkey = c_custkey)::BIGINT AS est_rows,
+                max(prod)::BIGINT AS max_key_rows,
+                floor((max(prod)::DOUBLE / sum(prod)) * 1e6 + 0.5) / 1e6 AS max_key_share_r
+         FROM p""",
     // the DIRECT single-pass form — the merged partials must hash-match it
     "q_stats_merge" ->
       """WITH a AS (

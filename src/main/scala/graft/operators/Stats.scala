@@ -374,6 +374,56 @@ object Stats {
         Portable.pround(sqrt((col("ss") - col("s") * col("s") / col("n")) / col("n")), 4).as("std_r"))
   }
 
+  /** k-anonymity audit over quasi-identifier columns: the equivalence
+    * classes (distinct QI combinations) whose member count falls below
+    * `k` — each is a re-identification risk, the check a release
+    * pipeline runs AFTER direct-identifier redaction (PII scrubbing
+    * removes names; it does not stop a (lang, source, length) combo from
+    * isolating one document). Output is the risky classes with their
+    * sizes plus each class's share of the table, smallest first.
+    *
+    * One partial-aggregated groupBy over the QI tuple, total as a
+    * broadcast scalar — class-count-sized output, no window.
+    */
+  def kAnonymity(df: DataFrame, qiCols: Seq[String], k: Int): DataFrame = {
+    require(qiCols.nonEmpty && k >= 2, s"need QI columns and k >= 2 (k=$k)")
+    val total = df.agg(count(lit(1)).as("__total"))
+    df.groupBy(qiCols.map(col): _*)
+      .agg(count(lit(1)).as("class_size"))
+      .where(col("class_size") < k)
+      .crossJoin(broadcast(total))
+      .select(
+        qiCols.map(col) ++ Seq(
+          col("class_size"),
+          Portable.pround(col("class_size").cast("double") / col("__total"), 6).as("share_r")): _*)
+  }
+
+  /** Equi-join cardinality estimate from per-key counts — the planner
+    * diagnostic run BEFORE a big join: |A ⋈ B| on key k is EXACTLY
+    * Σ_k cntA(k)·cntB(k), so reducing both sides to their key histograms
+    * (two partial-aggregated groupBys, key-cardinality-sized) prices the
+    * join — and exposes the skewed keys that dominate it — without
+    * materializing a single joined row. Returns one row: the estimated
+    * total, the heaviest key's contribution, and its share (the
+    * salting/AQE-skew trigger; [[heavyHitters]] per side is the
+    * follow-up diagnosis).
+    */
+  def joinCardinality(
+      left: DataFrame, leftKey: String,
+      right: DataFrame, rightKey: String): DataFrame = {
+    val a = left.groupBy(col(leftKey).as("__k")).agg(count(lit(1)).as("__ca"))
+    val b = right.groupBy(col(rightKey).as("__k")).agg(count(lit(1)).as("__cb"))
+    a.join(b, "__k")
+      .select(col("__k"), (col("__ca") * col("__cb")).as("__prod"))
+      .agg(
+        sum(col("__prod")).as("est_rows"),
+        max(col("__prod")).as("max_key_rows"))
+      .select(
+        col("est_rows"),
+        col("max_key_rows"),
+        Portable.pround(col("max_key_rows").cast("double") / col("est_rows"), 6).as("max_key_share_r"))
+  }
+
   /** Heavy-hitter profile of a key column: the top-k keys by row count
     * with their share of the table — the diagnosis a pipeline runs BEFORE
     * a big join or aggregation to decide whether the key needs

@@ -437,6 +437,24 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("same")._3 == 0.0, "identical samples have zero CDF gap")
   }
 
+  test("kAnonymity: only classes below k surface, with exact sizes and shares") {
+    val df = (1 to 8).map(i => ("en", "web")) ++ Seq(("en", "book"), ("de", "web"), ("de", "web"))
+    val got = Stats.kAnonymity(df.toDF("lang", "source"), Seq("lang", "source"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))).toSet
+    // (en, web) has 8 members -> safe; the two small classes surface
+    assert(got == Set(("en", "book", 1L, 0.090909), ("de", "web", 2L, 0.181818)), s"got $got")
+  }
+
+  test("joinCardinality: histogram estimate equals the materialized join exactly") {
+    val a = Seq(1, 1, 1, 2, 3).map(k => (k, "a")).toDF("ka", "pa")
+    val b = Seq(1, 1, 2, 2, 2, 4).map(k => (k, "b")).toDF("kb", "pb")
+    val got = Stats.joinCardinality(a, "ka", b, "kb").collect().head
+    val actual = a.join(b, col("ka") === col("kb")).count()
+    // key 1: 3*2=6, key 2: 1*3=3 -> est 9, max 6, share 6/9
+    assert(got.getLong(0) == actual && actual == 9L, s"estimate vs actual: $got / $actual")
+    assert(got.getLong(1) == 6L && got.getDouble(2) == 0.666667, s"skew profile: $got")
+  }
+
   test("mergeable moments: any shard split merges to the direct whole-table stats") {
     val rows = (1 to 100).map(i => (if (i % 3 == 0) "a" else "b", (i % 7).toDouble))
       .toDF("g", "v")
