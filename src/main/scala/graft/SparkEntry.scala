@@ -727,6 +727,39 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // -- language-ID eval: confusion matrix of the marker heuristic
+    //    against the labeled lang column + per-truth fractions — the
+    //    accuracy audit run before trusting the classifier downstream
+    "q_langid_eval" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val m = docs.select(col("doc_id"), col("lang"))
+        .join(TextAnalysis.langId(docs), Seq("doc_id"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n"))
+      val tot = m.groupBy(col("lang")).agg(sum(col("n")).as("__t"))
+      m.join(broadcast(tot), Seq("lang"))
+        .withColumn("frac_r",
+          graft.functions.Portable.pround(col("n").cast("double") / col("__t"), 4))
+        .select(col("lang"), col("pred_lang"), col("n"), col("frac_r"))
+        .orderBy("lang", "pred_lang")
+    }),
+
+    // -- term drift v1 -> v2 (same synthesized v2 as q_corpus_diff): top
+    //    risers by smoothed log relative-frequency delta — corpusDiff says
+    //    WHICH docs changed, this says WHAT the change is about
+    "q_term_drift" -> ((s, dir) => {
+      val v1 = t(s, dir, "documents")
+      val v2 = v1
+        .where(col("doc_id") % 17 =!= 0)
+        .withColumn("text",
+          when(col("doc_id") % 5 === 0, concat(col("text"), lit(" v2 edit")))
+            .otherwise(col("text")))
+        .unionByName(
+          v1.where(col("doc_id") % 11 === 0)
+            .withColumn("doc_id", col("doc_id") + 1000000))
+      TextAnalysis.termDrift(v1, v2, k = 20)
+    }),
+
     // -- winnowing-style document fingerprint (min md5 over 5-gram shingles)
     "q_fingerprint" -> ((s, dir) => {
       TextAnalysis
@@ -3236,6 +3269,54 @@ object SparkEntry {
           SELECT d.doc_id, coalesce(best.ml, 'unknown') AS pred_lang
           FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
           ORDER BY d.doc_id""",
+    "q_langid_eval" ->
+      s"""WITH $TokCte,
+          hits AS (
+            SELECT doc_id, ml, count(*) AS hits FROM (
+              SELECT doc_id,
+                     CASE WHEN word IN ('the','and','is','of') THEN 'en'
+                          WHEN word IN ('le','et','dans','les') THEN 'fr'
+                          WHEN word IN ('der','und','nicht','das') THEN 'de'
+                          WHEN word IN ('el','y','que','los') THEN 'es' END AS ml
+              FROM tok) m
+            WHERE ml IS NOT NULL GROUP BY doc_id, ml),
+          best AS (
+            SELECT doc_id, ml FROM (
+              SELECT doc_id, ml, row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, ml) AS rn
+              FROM hits) b
+            WHERE rn = 1),
+          pred AS (
+            SELECT d.doc_id, d.lang, coalesce(best.ml, 'unknown') AS pred_lang
+            FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id),
+          m AS (SELECT lang, pred_lang, count(*) AS n FROM pred GROUP BY 1, 2),
+          t AS (SELECT lang, sum(n) AS tt FROM m GROUP BY 1)
+          SELECT m.lang, pred_lang, n,
+                 floor((n::DOUBLE / tt) * 1e4 + 0.5) / 1e4 AS frac_r
+          FROM m JOIN t ON t.lang = m.lang
+          ORDER BY m.lang, pred_lang""",
+    "q_term_drift" ->
+      """WITH v2d AS (
+           SELECT doc_id,
+                  CASE WHEN doc_id % 5 = 0 THEN text || ' v2 edit' ELSE text END AS text
+           FROM documents WHERE doc_id % 17 <> 0
+           UNION ALL
+           SELECT doc_id + 1000000 AS doc_id, text FROM documents WHERE doc_id % 11 = 0),
+         t1 AS (SELECT w AS word FROM (
+                  SELECT regexp_replace(lower(unnest(regexp_split_to_array(text, '\s+'))), '[^a-z]', '', 'g') AS w
+                  FROM documents) u WHERE w <> ''),
+         t2 AS (SELECT w AS word FROM (
+                  SELECT regexp_replace(lower(unnest(regexp_split_to_array(text, '\s+'))), '[^a-z]', '', 'g') AS w
+                  FROM v2d) u WHERE w <> ''),
+         cc1 AS (SELECT word, count(*) AS c1 FROM t1 GROUP BY 1),
+         cc2 AS (SELECT word, count(*) AS c2 FROM t2 GROUP BY 1),
+         j AS (SELECT coalesce(cc1.word, cc2.word) AS word,
+                      coalesce(c1, 0) AS c1, coalesce(c2, 0) AS c2
+               FROM cc1 FULL OUTER JOIN cc2 ON cc1.word = cc2.word),
+         s AS (SELECT sum(c1)::BIGINT AS n1, sum(c2)::BIGINT AS n2, count(*) AS v FROM j)
+         SELECT word, c1, c2,
+                floor((ln((c2 + 1)::DOUBLE / (n2 + v)) - ln((c1 + 1)::DOUBLE / (n1 + v))) * 1e4 + 0.5) / 1e4 AS delta_r
+         FROM j CROSS JOIN s
+         ORDER BY delta_r DESC, word LIMIT 20""",
     "q_fingerprint" ->
       s"""WITH $ToksArrCte
           SELECT doc_id, list_min(list_transform(sh, s -> md5(s))) AS fp FROM (

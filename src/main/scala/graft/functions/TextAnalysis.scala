@@ -721,4 +721,41 @@ object TextAnalysis {
         coalesce(col("n_words"), lit(0)).as("n_words"))
       .withColumn("n_pieces", size(col("token_ids")))
   }
+
+  /** Term drift between two corpus versions: the top-k words whose
+    * add-one-smoothed log relative frequency rose most from v1 to v2 —
+    * `Δ(w) = ln((c₂+1)/(N₂+V)) − ln((c₁+1)/(N₁+V))` (V = union
+    * vocabulary, so a word absent from one side gets the smoothed floor
+    * rather than −∞). This is the "what changed in this snapshot" view a
+    * dataset-versioning pipeline pairs with
+    * [[graft.operators.ChangeData.corpusDiff]]: the diff says WHICH docs
+    * changed, the drift says WHAT the change is about.
+    *
+    * Shape: both corpora reduce to vocab-sized count relations; one
+    * full-outer join on the word key; N₁/N₂/V ride one broadcast scalar
+    * row; the top-k is a global TakeOrdered on the ROUNDED delta (word
+    * ASC ties) — no window anywhere.
+    *
+    * Returns (word, c1, c2, delta_r), k rows, delta DESC.
+    */
+  def termDrift(v1: DataFrame, v2: DataFrame, k: Int = 20): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    def counts(df: DataFrame, out: String) =
+      Tokenize.tokens(df, "text", Seq("doc_id"))
+        .groupBy(col("word"))
+        .agg(count(lit(1)).as(out))
+    val j = counts(v1, "c1")
+      .join(counts(v2, "c2"), Seq("word"), "full_outer")
+      .na.fill(0L, Seq("c1", "c2"))
+    val sums = j.agg(
+      sum(col("c1")).as("__n1"), sum(col("c2")).as("__n2"), count(lit(1)).as("__v"))
+    j.crossJoin(broadcast(sums))
+      .withColumn("delta_r",
+        Portable.pround(
+          log((col("c2") + 1) / (col("__n2") + col("__v")))
+            - log((col("c1") + 1) / (col("__n1") + col("__v"))), 4))
+      .orderBy(desc("delta_r"), asc("word"))
+      .limit(k)
+      .select(col("word"), col("c1"), col("c2"), col("delta_r"))
+  }
 }

@@ -437,6 +437,19 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("same")._3 == 0.0, "identical samples have zero CDF gap")
   }
 
+  test("termDrift: injected term is the top riser with the exact smoothed delta") {
+    import graft.functions.TextAnalysis
+    val v1 = Seq((1L, "aa bb"), (2L, "aa bb")).toDF("doc_id", "text")
+    val v2 = Seq((1L, "aa bb"), (2L, "aa bb cc cc cc")).toDF("doc_id", "text")
+    val got = TextAnalysis.termDrift(v1, v2, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.head._1 == "cc" && got.head._2 == 0L && got.head._3 == 3L,
+      s"injected term rises first: ${got.toSeq}")
+    // exact: V=3, N1=4, N2=7 -> delta(cc) = ln(4/10) - ln(1/7) = 1.0296
+    assert(got.head._4 == 1.0296, s"smoothed delta: ${got.head._4}")
+    assert(got.head._4 > got(1)._4, "strictly above the stable terms")
+  }
+
   test("kAnonymity: only classes below k surface, with exact sizes and shares") {
     val df = (1 to 8).map(i => ("en", "web")) ++ Seq(("en", "book"), ("de", "web"), ("de", "web"))
     val got = Stats.kAnonymity(df.toDF("lang", "source"), Seq("lang", "source"), k = 3)
