@@ -1580,6 +1580,32 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- temperature-scaled mixture plan: budget 5000 docs across sources
+    //    ∝ size^0.7 (largest-remainder integerization, Σ target == budget)
+    "q_temp_mixture" -> ((s, dir) => {
+      Sampling
+        .temperatureMixture(t(s, dir, "documents"), "source", alpha = 0.7, budget = 5000L)
+        .orderBy("source")
+    }),
+
+    // -- pairwise source-vocabulary overlap: Jaccard of distinct-word sets
+    //    per source pair — the redundancy map behind mixture weighting
+    "q_source_overlap" -> ((s, dir) => {
+      operators.Stats
+        .sourceOverlap(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id", "source")),
+          "source")
+        .orderBy("source_a", "source_b")
+    }),
+
+    // -- embedding-table hygiene: per-label dims/zeros/NaNs/norm spread —
+    //    the structural audit before any vector math trusts the table
+    "q_embed_hygiene" -> ((s, dir) => {
+      Similarity
+        .embedHygiene(t(s, dir, "embeddings"))
+        .orderBy("label")
+    }),
+
     // -- fixed-iteration PageRank over the (undirected) customer–supplier
     //    bipartite graph: 5 contribution-join/sum/teleport rounds composed
     //    as one declarative plan
@@ -4331,6 +4357,55 @@ object SparkEntry {
                 floor((2.0 * srx / (n_vocab * total_tokens)
                        - (n_vocab + 1)::DOUBLE / n_vocab) * 1e4 + 0.5) / 1e4 AS gini_r
          FROM a ORDER BY source""",
+    "q_temp_mixture" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
+         w AS (SELECT source, n_docs, pow(n_docs::DOUBLE, 0.7) AS w FROM s),
+         t AS (SELECT sum(w) AS tw FROM w),
+         i AS (SELECT source, n_docs, share, ideal,
+                      floor(ideal) AS base,
+                      ideal - floor(ideal) AS fr9
+               FROM (SELECT source, n_docs, w / tw AS share,
+                            floor(((w / tw) * 5000) * 1e6 + 0.5) / 1e6 AS ideal
+                     FROM w CROSS JOIN t) q0),
+         r AS (SELECT sum(base)::BIGINT AS sb FROM i),
+         k AS (SELECT source, n_docs, share, base,
+                      row_number() OVER (ORDER BY fr9 DESC, source) AS rk
+               FROM i)
+         SELECT source, n_docs,
+                floor(share * 1e6 + 0.5) / 1e6 AS share_r,
+                (base + CASE WHEN rk <= 5000 - sb THEN 1 ELSE 0 END)::BIGINT AS target_docs
+         FROM k CROSS JOIN r ORDER BY source""",
+    "q_source_overlap" ->
+      """WITH v AS (
+           SELECT DISTINCT g, word FROM (
+             SELECT source AS g,
+                    regexp_replace(lower(unnest(regexp_split_to_array(text, '\s+'))), '[^a-z]', '', 'g') AS word
+             FROM documents) u
+           WHERE word <> ''),
+         sz AS (SELECT g, count(*) AS vs FROM v GROUP BY 1),
+         inter AS (SELECT a.g AS source_a, b.g AS source_b, count(*) AS n_shared
+                   FROM v a JOIN v b ON a.word = b.word AND a.g < b.g
+                   GROUP BY 1, 2)
+         SELECT source_a, source_b, sa.vs AS v_a, sb.vs AS v_b, n_shared,
+                floor((n_shared::DOUBLE / (sa.vs + sb.vs - n_shared)) * 1e4 + 0.5) / 1e4 AS jaccard_r
+         FROM inter
+         JOIN sz sa ON sa.g = source_a
+         JOIN sz sb ON sb.g = source_b
+         ORDER BY source_a, source_b""",
+    "q_embed_hygiene" ->
+      """WITH e AS (
+           SELECT label, len(embedding) AS d,
+                  sqrt(list_sum(list_transform(embedding,
+                       x -> x::DOUBLE * x::DOUBLE))) AS nrm
+           FROM embeddings)
+         SELECT label, count(*) AS n_vecs,
+                min(d)::INTEGER AS min_dim, max(d)::INTEGER AS max_dim,
+                sum(CASE WHEN nrm = 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_zero,
+                sum(CASE WHEN isnan(nrm) OR nrm IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nan,
+                floor(avg(CASE WHEN NOT isnan(nrm) THEN nrm END) * 1e4 + 0.5) / 1e4 AS mean_norm_r,
+                floor(min(CASE WHEN NOT isnan(nrm) THEN nrm END) * 1e4 + 0.5) / 1e4 AS min_norm_r,
+                floor(max(CASE WHEN NOT isnan(nrm) THEN nrm END) * 1e4 + 0.5) / 1e4 AS max_norm_r
+         FROM e GROUP BY 1 ORDER BY label""",
     "q_k_anon" ->
       """WITH q AS (
            SELECT lang, source, n_chars // 10 AS len_bucket,

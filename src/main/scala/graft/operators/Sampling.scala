@@ -241,4 +241,55 @@ object Sampling {
     }
     df.where(sampleHash(col(idCol), salt) < thr)
   }
+
+  /** Temperature-scaled mixture plan: allocate a document budget across
+    * groups proportional to sizeᵅ — the standard multilingual/multi-source
+    * rebalancing (α = 1 keeps natural proportions, α → 0 approaches
+    * uniform; LM data recipes run α ≈ 0.3–0.7 to lift low-resource
+    * groups without drowning the head). Integer targets come from the
+    * largest-remainder method, so they sum EXACTLY to the budget — the
+    * property the downstream sampler ([[perGroupCap]] /
+    * [[stratifiedSample]] with per-group fractions) relies on.
+    *
+    * Shape: one partial-aggregated groupBy to group sizes; Σ sizeᵅ rides
+    * a broadcast scalar; the largest-remainder rank is a window over the
+    * GROUP-COUNT-sized relation (sources, not rows). The ideal
+    * allocation is QUANTIZED to 6 dp BEFORE the floor: Σ sizeᵅ is a
+    * float sum whose order varies run to run, and an ideal landing on an
+    * exact integer (equal-size groups do this every time) would
+    * otherwise floor to n−1 or n depending on the last ulp — observed
+    * flaky before the quantization. The remainder rank orders by the
+    * quantized fractional part (then group ASC) for the same reason.
+    *
+    * Returns (group, n_docs, share_r, target_docs), Σ target = budget.
+    */
+  def temperatureMixture(
+      df: DataFrame,
+      groupCol: String,
+      alpha: Double,
+      budget: Long): DataFrame = {
+    require(alpha > 0.0 && alpha <= 1.0, s"alpha ($alpha) must be in (0, 1]")
+    require(budget > 0, s"budget ($budget) must be positive")
+    val sizes = df.groupBy(col(groupCol)).agg(count(lit(1)).as("n_docs"))
+      .withColumn("__w", pow(col("n_docs").cast("double"), alpha))
+    val tot = sizes.agg(sum(col("__w")).as("__tw"), count(lit(1)).as("__ng"))
+    val scored = sizes
+      .crossJoin(broadcast(tot))
+      .withColumn("__share", col("__w") / col("__tw"))
+      .withColumn("__ideal",
+        graft.functions.Portable.pround(col("__share") * budget, 6))
+      .withColumn("__base", floor(col("__ideal")))
+      .withColumn("__fr9", col("__ideal") - col("__base"))
+    val rem = scored.agg((lit(budget) - sum(col("__base"))).as("__rem"))
+    val w = Window.orderBy(desc("__fr9"), asc(groupCol))
+    scored
+      .crossJoin(broadcast(rem))
+      .withColumn("__rk", row_number().over(w))
+      .select(
+        col(groupCol),
+        col("n_docs"),
+        graft.functions.Portable.pround(col("__share"), 6).as("share_r"),
+        (col("__base") + when(col("__rk") <= col("__rem"), 1L).otherwise(0L))
+          .cast("long").as("target_docs"))
+  }
 }

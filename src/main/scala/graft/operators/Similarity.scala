@@ -683,6 +683,43 @@ object Similarity {
       .select(col(idCol), col("best.c_id").as("cell"), round(col("best.cos"), 4).as("cos_r"))
   }
 
+  /** Embedding-table hygiene audit: per label, the structural checks a
+    * pipeline runs before touching vector math — row count, dimension
+    * consistency (min/max array length: a single ragged vector poisons
+    * every dot product), zero-norm count (unnormalizable — cosine is
+    * undefined), NaN count (one NaN norm silently poisons any aggregate
+    * built on it), and the norm distribution (mean/min/max — embeddings
+    * from the same encoder should cluster tightly; a spread norm range
+    * flags mixed encoders or missing normalization).
+    *
+    * One map-side pass (norm + length per row), one partial-aggregated
+    * groupBy — label-count-sized output, no shuffle beyond the
+    * aggregation's own.
+    *
+    * Returns (label, n_vecs, min_dim, max_dim, n_zero, n_nan,
+    * mean_norm_r, min_norm_r, max_norm_r).
+    */
+  def embedHygiene(
+      embeds: DataFrame,
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    import graft.functions.Portable
+    embeds
+      .select(col(labelCol), col(vecCol).as("__v"))
+      .withColumn("__nrm", sqrt(dot(col("__v"), col("__v"))))
+      .withColumn("__d", size(col("__v")))
+      .groupBy(col(labelCol))
+      .agg(
+        count(lit(1)).as("n_vecs"),
+        min(col("__d")).as("min_dim"),
+        max(col("__d")).as("max_dim"),
+        sum(when(col("__nrm") === 0.0, 1L).otherwise(0L)).as("n_zero"),
+        sum(when(isnan(col("__nrm")) || col("__nrm").isNull, 1L).otherwise(0L)).as("n_nan"),
+        Portable.pround(avg(when(!isnan(col("__nrm")), col("__nrm"))), 4).as("mean_norm_r"),
+        Portable.pround(min(when(!isnan(col("__nrm")), col("__nrm"))), 4).as("min_norm_r"),
+        Portable.pround(max(when(!isnan(col("__nrm")), col("__nrm"))), 4).as("max_norm_r"))
+  }
+
   /** Label-noise audit (confident-learning shape): score every labeled
     * vector against its OWN label's centroid vs the nearest FOREIGN
     * centroid; a negative margin — closer to another label's center than

@@ -424,6 +424,38 @@ object Stats {
         Portable.pround(col("max_key_rows").cast("double") / col("est_rows"), 6).as("max_key_share_r"))
   }
 
+  /** Pairwise vocabulary overlap between groups (sources/snapshots):
+    * Jaccard of the DISTINCT-word sets for every group pair — the
+    * redundancy map a mixture designer reads before weighting sources
+    * (two sources with ~identical vocabularies add diversity only once).
+    *
+    * Shape: the corpus reduces to the (group, word) distinct relation
+    * FIRST; the pair intersection is one equijoin on the word key with
+    * group-pair partial-aggregated counts (never a group×group cross
+    * join over rows); set sizes join back from a group-sized relation.
+    * Output is group-pairs-sized. Absent pairs (zero shared words) are
+    * genuinely disjoint and don't emit — a missing pair IS the signal.
+    *
+    * Returns (source_a, source_b, v_a, v_b, n_shared, jaccard_r) with
+    * source_a < source_b.
+    */
+  def sourceOverlap(tokens: DataFrame, groupCol: String): DataFrame = {
+    val v  = tokens.select(col(groupCol).as("g"), col("word")).distinct()
+    val sz = v.groupBy(col("g")).agg(count(lit(1)).as("vs"))
+    v.as("a")
+      .join(v.as("b"), col("a.word") === col("b.word") && col("a.g") < col("b.g"))
+      .groupBy(col("a.g").as("source_a"), col("b.g").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sz.select(col("g").as("source_a"), col("vs").as("v_a")), Seq("source_a"))
+      .join(sz.select(col("g").as("source_b"), col("vs").as("v_b")), Seq("source_b"))
+      .withColumn("jaccard_r",
+        Portable.pround(
+          col("n_shared").cast("double") / (col("v_a") + col("v_b") - col("n_shared")), 4))
+      .select(
+        col("source_a"), col("source_b"), col("v_a"), col("v_b"),
+        col("n_shared"), col("jaccard_r"))
+  }
+
   /** Heavy-hitter profile of a key column: the top-k keys by row count
     * with their share of the table — the diagnosis a pipeline runs BEFORE
     * a big join or aggregation to decide whether the key needs

@@ -437,6 +437,35 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("same")._3 == 0.0, "identical samples have zero CDF gap")
   }
 
+  test("sourceOverlap: identical vocabularies hit 1.0, disjoint pairs don't emit") {
+    val docs = Seq(
+      (1L, "s1", "aa bb cc"), (2L, "s2", "cc bb aa"),  // same vocab
+      (3L, "s3", "xx yy"),                              // disjoint from s1/s2
+      (4L, "s4", "aa zz")                               // half-overlap with s1
+    ).toDF("doc_id", "source", "text")
+    val got = Stats.sourceOverlap(
+      Tokenize.tokens(docs, "text", Seq("doc_id", "source")), "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> ((r.getLong(4), r.getDouble(5)))).toMap
+    assert(got(("s1", "s2")) == ((3L, 1.0)), s"identical vocab: $got")
+    // s4 shares 'aa' with s1: J = 1/(3+2-1) = 0.25
+    assert(got(("s1", "s4")) == ((1L, 0.25)), s"partial overlap: $got")
+    assert(!got.keySet.exists { case (a, b) => a == "s3" || b == "s3" },
+      "disjoint source emits no pair rows")
+  }
+
+  test("temperatureMixture: targets sum exactly to budget; alpha flattens the head") {
+    val docs = ((1 to 90).map(i => (i.toLong, "big")) ++ (91 to 100).map(i => (i.toLong, "small")))
+      .toDF("doc_id", "source")
+    val flat = Sampling.temperatureMixture(docs, "source", alpha = 0.3, budget = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(flat.values.sum == 100L, s"largest remainder must conserve the budget: $flat")
+    // natural share of 'small' is 10%; at alpha=0.3 it must be lifted well above
+    assert(flat("small") > 20L && flat("big") < 80L, s"temperature lifts the tail: $flat")
+    val natural = Sampling.temperatureMixture(docs, "source", alpha = 1.0, budget = 100L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(natural == Map("big" -> 90L, "small" -> 10L), s"alpha=1 keeps proportions: $natural")
+  }
+
   test("termDrift: injected term is the top riser with the exact smoothed delta") {
     import graft.functions.TextAnalysis
     val v1 = Seq((1L, "aa bb"), (2L, "aa bb")).toDF("doc_id", "text")

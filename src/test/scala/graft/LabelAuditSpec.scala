@@ -37,6 +37,27 @@ class LabelAuditSpec extends SparkSpec {
     }
   }
 
+  test("embedHygiene: ragged dims, zero vectors, and NaNs all surface per label") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(3.0f, 4.0f), 0),              // norm 5
+      (2L, Array(0.0f, 0.0f), 0),              // zero vector
+      (3L, Array(1.0f, 0.0f, 0.0f), 0),        // ragged: dim 3 in a dim-2 label
+      (4L, Array(Float.NaN, 1.0f), 1),         // NaN poison
+      (5L, Array(0.0f, 2.0f), 1)
+    ).toDF("vec_id", "embedding", "label")
+    val got = Similarity.embedHygiene(df)
+      .collect().map(r => r.getInt(0) -> r).toMap
+    val l0 = got(0)
+    assert(l0.getLong(1) == 3 && l0.getInt(2) == 2 && l0.getInt(3) == 3,
+      s"ragged dims surface as min!=max: $l0")
+    assert(l0.getLong(4) == 1, s"zero vector counted: $l0")
+    val l1 = got(1)
+    assert(l1.getLong(5) == 1, s"NaN counted: $l1")
+    assert(l1.getDouble(6) == 2.0 && l1.getDouble(7) == 2.0 && l1.getDouble(8) == 2.0,
+      s"NaN excluded from the norm stats: $l1")
+  }
+
   test("audit over the real embeddings table: total rows preserved, margins in [-2, 2]") {
     val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
     val got = Similarity.labelAudit(emb).collect()
