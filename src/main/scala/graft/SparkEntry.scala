@@ -760,6 +760,45 @@ object SparkEntry {
       TextAnalysis.termDrift(v1, v2, k = 20)
     }),
 
+    // -- next-word suggestion: top-3 continuations per context word from
+    //    the corpus bigram counts — the bigram LM's serving view; rank
+    //    window bounded by the per-context vocabulary
+    "q_next_word" -> ((s, dir) => {
+      val toks = t(s, dir, "documents")
+        .select(col("doc_id"), Tokenize.tokenArray(col("text")).as("toks"))
+        .where(size(col("toks")) >= 2)
+      val big = toks.select(explode(expr(
+        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
+        .select(col("b.w1"), col("b.w2"))
+      val w = Window.partitionBy(col("w1")).orderBy(desc("c"), asc("w2"))
+      big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
+        .withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("w1"), col("w2"), col("c"), col("rn"))
+        .orderBy("w1", "rn")
+    }),
+
+    // -- vocabulary coverage curve: token-mass OOV rate under the top-n
+    //    vocabulary for n in {5, 10, 20} — the tokenizer-design table
+    //    (how small a vocab still covers the corpus)
+    "q_oov_rate" -> ((s, dir) => {
+      val vocab = Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))
+        .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      val ranked = vocab.withColumn("rk",
+        row_number().over(Window.orderBy(desc("freq"), asc("word"))))
+      ranked
+        .select(col("freq"), col("rk"),
+          explode(array(lit(5), lit(10), lit(20))).as("vocab_size"))
+        .groupBy(col("vocab_size"))
+        .agg(
+          sum(when(col("rk") <= col("vocab_size"), col("freq")).otherwise(0L)).as("covered_tokens"),
+          sum(col("freq")).as("total_tokens"))
+        .withColumn("oov_rate_r",
+          graft.functions.Portable.pround(
+            lit(1.0) - col("covered_tokens").cast("double") / col("total_tokens"), 4))
+        .orderBy("vocab_size")
+    }),
+
     // -- winnowing-style document fingerprint (min md5 over 5-gram shingles)
     "q_fingerprint" -> ((s, dir) => {
       TextAnalysis
@@ -1349,6 +1388,18 @@ object SparkEntry {
       operators.Multimodal
         .audioFingerprint(operators.Multimodal.demoAudioPattern(s, dir))
         .orderBy("media_id")
+    }),
+
+    // -- perceptual duplicate image GROUPS: the near-dup pairs closed into
+    //    connected components (duplicateGroups' label propagation over the
+    //    dHash pigeonhole pairs) — the keep-one-per-cluster input
+    "q_image_dup_groups" -> ((s, dir) => {
+      Dedup
+        .duplicateGroups(
+          operators.Multimodal.imageNearDupPairs(
+            operators.Multimodal.demoMediaFromDocuments(s, dir)),
+          "id1", "id2")
+        .orderBy("doc_id")
     }),
 
     // -- REAL video frame sampling: every 4th GIF frame extracted with the
@@ -3295,6 +3346,34 @@ object SparkEntry {
           SELECT d.doc_id, coalesce(best.ml, 'unknown') AS pred_lang
           FROM documents d LEFT JOIN best ON d.doc_id = best.doc_id
           ORDER BY d.doc_id""",
+    "q_next_word" ->
+      """WITH t0 AS (
+           SELECT doc_id,
+                  list_filter(
+                    list_transform(regexp_split_to_array(text, '\s+'),
+                                   x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                    w -> w <> '') AS toks
+           FROM documents),
+         big AS (
+           SELECT toks[i] AS w1, toks[i + 1] AS w2
+           FROM (SELECT toks, unnest(range(1, len(toks))) AS i
+                 FROM t0 WHERE len(toks) >= 2) u),
+         c AS (SELECT w1, w2, count(*) AS c FROM big GROUP BY 1, 2),
+         f AS (SELECT w1, w2, c,
+                      row_number() OVER (PARTITION BY w1 ORDER BY c DESC, w2) AS rn
+               FROM c QUALIFY rn <= 3)
+         SELECT w1, w2, c, rn FROM f ORDER BY w1, rn""",
+    "q_oov_rate" ->
+      s"""WITH $TokCte,
+          v AS (SELECT word, count(*) AS freq FROM tok GROUP BY 1),
+          r AS (SELECT freq, row_number() OVER (ORDER BY freq DESC, word) AS rk FROM v),
+          x AS (SELECT freq, rk, unnest([5, 10, 20]) AS vocab_size FROM r)
+          SELECT vocab_size,
+                 sum(CASE WHEN rk <= vocab_size THEN freq ELSE 0 END)::BIGINT AS covered_tokens,
+                 sum(freq)::BIGINT AS total_tokens,
+                 floor((1.0 - sum(CASE WHEN rk <= vocab_size THEN freq ELSE 0 END)::DOUBLE
+                        / sum(freq)) * 1e4 + 0.5) / 1e4 AS oov_rate_r
+          FROM x GROUP BY 1 ORDER BY vocab_size""",
     "q_langid_eval" ->
       s"""WITH $TokCte,
           hits AS (
@@ -3804,6 +3883,31 @@ object SparkEntry {
                            THEN (1::BIGINT << w) ELSE 0 END)::BIGINT AS afp_lo
            FROM b GROUP BY 1)
          SELECT media_id, afp_hi, afp_lo FROM fp ORDER BY media_id""",
+    "q_image_dup_groups" ->
+      s"""WITH RECURSIVE $ImageDhashCtes,
+          sl AS (SELECT media_id, dhash_hi, dhash_lo, band,
+                        CASE band WHEN 0 THEN dhash_lo % 65536
+                                  WHEN 1 THEN dhash_lo // 65536
+                                  WHEN 2 THEN dhash_hi % 65536
+                                  ELSE dhash_hi // 65536 END AS v
+                 FROM dh CROSS JOIN (SELECT unnest(range(4)) AS band) bb),
+          keep AS (SELECT band, v FROM sl GROUP BY band, v
+                   HAVING count(*) BETWEEN 2 AND 4096),
+          pairs AS (
+            SELECT DISTINCT a.media_id AS id1, b2.media_id AS id2
+            FROM sl a
+            JOIN sl b2 ON a.band = b2.band AND a.v = b2.v AND a.media_id < b2.media_id
+            JOIN keep k ON k.band = a.band AND k.v = a.v
+            WHERE (bit_count(xor(a.dhash_hi, b2.dhash_hi))
+                   + bit_count(xor(a.dhash_lo, b2.dhash_lo))) <= 3),
+          edges AS (SELECT id1 AS src, id2 AS dst FROM pairs
+                    UNION ALL SELECT id2, id1 FROM pairs),
+          reach(v, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.v = e.dst)
+          SELECT v AS doc_id, min(lbl) AS group_id
+          FROM reach GROUP BY v ORDER BY doc_id""",
     "q_image_near_dup" ->
       s"""WITH $ImageDhashCtes,
           sl AS (SELECT media_id, dhash_hi, dhash_lo, band,
