@@ -1204,6 +1204,19 @@ object SparkEntry {
         .orderBy("q_id", "rank")
     }),
 
+    // -- ANN recall eval: IVF@5 (nprobe=2) measured against brute-force@5
+    //    ground truth per query — the recall/cost dial, measured not assumed
+    "q_ann_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .annRecallEval(
+          emb.where(col("vec_id") >= 18),
+          emb.where(col("vec_id") < 8),
+          emb.where(col("vec_id").between(8, 17)),
+          k = 5, nprobe = 2)
+        .orderBy("q_id")
+    }),
+
     // -- IVF-PQ ADC search: queries probe their 2 max-cosine cells, then
     //    score members by SUMMED SUBSPACE TABLE DISTANCES over the PQ codes
     //    (the compressed-domain scan pqEncode's codes exist for); distances
@@ -3782,6 +3795,68 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY q_id ORDER BY floor((cos) * 1e6 + 0.5) / 1e6 DESC, vec_id) AS rank
            FROM cand) r
          WHERE rank <= 5 ORDER BY q_id, rank""",
+    // the ivf_search mirror extended with the brute-force truth: recall is
+    // the (q, id) intersection of the two top-5 sets
+    "q_ann_recall" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+           FROM embeddings),
+         c AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+         q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn FROM e WHERE vec_id >= 8 AND vec_id <= 17),
+         corp AS (SELECT vec_id, embedding AS ev, nrm AS en FROM e WHERE vec_id >= 18),
+         ac AS (
+           SELECT corp.vec_id, c_id,
+                  list_sum(list_transform(range(1, len(ev) + 1),
+                       i -> ev[i]::DOUBLE * cv[i]::DOUBLE)) / (en * cn) AS cos
+           FROM corp CROSS JOIN c),
+         asg AS (
+           SELECT vec_id, cell FROM (
+             SELECT vec_id, c_id AS cell,
+                    row_number() OVER (PARTITION BY vec_id ORDER BY floor((cos) * 1e6 + 0.5) / 1e6 DESC, c_id) AS rn
+             FROM ac) r
+           WHERE rn = 1),
+         pc AS (
+           SELECT q_id, c_id,
+                  list_sum(list_transform(range(1, len(qv) + 1),
+                       i -> qv[i]::DOUBLE * cv[i]::DOUBLE)) / (qn * cn) AS cos
+           FROM q CROSS JOIN c),
+         probe AS (
+           SELECT q_id, cell FROM (
+             SELECT q_id, c_id AS cell,
+                    row_number() OVER (PARTITION BY q_id ORDER BY floor((cos) * 1e6 + 0.5) / 1e6 DESC, c_id) AS rn
+             FROM pc) r
+           WHERE rn <= 2),
+         cand AS (
+           SELECT p.q_id, corp.vec_id,
+                  list_sum(list_transform(range(1, len(q.qv) + 1),
+                       i -> q.qv[i]::DOUBLE * corp.ev[i]::DOUBLE)) / (q.qn * corp.en) AS cos
+           FROM probe p
+           JOIN asg a ON a.cell = p.cell
+           JOIN corp ON corp.vec_id = a.vec_id
+           JOIN q ON q.q_id = p.q_id
+           WHERE corp.vec_id <> p.q_id),
+         ivf AS (SELECT q_id, vec_id FROM (
+                   SELECT q_id, vec_id,
+                          row_number() OVER (PARTITION BY q_id ORDER BY floor((cos) * 1e6 + 0.5) / 1e6 DESC, vec_id) AS rank
+                   FROM cand) r
+                 WHERE rank <= 5),
+         bf AS (SELECT q_id, vec_id FROM (
+                  SELECT q.q_id, corp.vec_id,
+                         row_number() OVER (PARTITION BY q.q_id
+                                            ORDER BY floor((list_sum(list_transform(range(1, len(q.qv) + 1),
+                                                 i -> q.qv[i]::DOUBLE * corp.ev[i]::DOUBLE)) / (q.qn * corp.en)) * 1e6 + 0.5) / 1e6 DESC,
+                                                     corp.vec_id) AS rank
+                  FROM q CROSS JOIN corp) b
+                WHERE rank <= 5),
+         h AS (SELECT ivf.q_id, count(*) AS hits
+               FROM ivf JOIN bf ON bf.q_id = ivf.q_id AND bf.vec_id = ivf.vec_id
+               GROUP BY 1)
+         SELECT q.q_id, coalesce(hits, 0) AS hits,
+                floor((coalesce(hits, 0)::DOUBLE / 5) * 1e4 + 0.5) / 1e4 AS recall_r
+         FROM q LEFT JOIN h ON h.q_id = q.q_id
+         ORDER BY q.q_id""",
     // IVF-PQ ADC mirror: same cell routing + probing CTEs as ivf_search,
     // same L2-argmin code assignment as pq_encode, then the per-query
     // subspace distance table quantized to 1e-6 BIGINTs before the sum —

@@ -683,6 +683,45 @@ object Similarity {
       .select(col(idCol), col("best.c_id").as("cell"), round(col("best.cos"), 4).as("cos_r"))
   }
 
+  /** ANN recall evaluation: recall@k of [[ivfSearch]] against
+    * [[bruteForceTopK]] ground truth, per query — the accuracy/cost dial
+    * every ANN deployment tunes (nprobe up → recall up → scan cost up),
+    * measured ON the corpus instead of assumed from the paper. The eval
+    * sibling of the retrieval/langid harnesses.
+    *
+    * Both rankers are the engine's existing bounded-top-k plans; the
+    * comparison is one (query, id) equijoin and a query-sized reduce.
+    * Queries where the probed cells contain NO true neighbor emit 0
+    * hits via the left join — a silent drop would overstate recall.
+    *
+    * Returns (q_id, hits, recall_r) — hits = |IVF@k ∩ brute@k|.
+    */
+  def annRecallEval(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      queries: DataFrame,
+      k: Int,
+      nprobe: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import graft.functions.Portable
+    val ivf = ivfSearch(corpus, centroids, queries, k, nprobe, idCol, vecCol)
+      .select(col("q_id"), col(idCol))
+    val bf = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("q_id"), col(idCol))
+    val hits = ivf
+      .join(bf, Seq("q_id", idCol))
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("__h"))
+    queries
+      .select(col(idCol).as("q_id"))
+      .join(hits, Seq("q_id"), "left")
+      .select(
+        col("q_id"),
+        coalesce(col("__h"), lit(0L)).as("hits"),
+        Portable.pround(coalesce(col("__h"), lit(0L)).cast("double") / k, 4).as("recall_r"))
+  }
+
   /** Embedding-table hygiene audit: per label, the structural checks a
     * pipeline runs before touching vector math — row count, dimension
     * consistency (min/max array length: a single ragged vector poisons

@@ -260,4 +260,22 @@ class SimilarityRecallSpec extends SparkSpec {
       dim = 4, maxBucket = 5)
     assert(uncapped.count() == 10, "5 identical vectors give C(5,2)=10 pairs under the cap")
   }
+
+  test("annRecallEval: exhaustive probing is recall 1.0; probe-limited stays measurable") {
+    val emb = spark.read.parquet("/root/testdata/sf0.01/embeddings.parquet")
+    val (corp, cents, qs) = (
+      emb.where(col("vec_id") >= 18),
+      emb.where(col("vec_id") < 8),
+      emb.where(col("vec_id").between(8, 17)))
+    // nprobe = k-centroids: IVF scans every cell == brute force, recall 1.0
+    val full = Similarity.annRecallEval(corp, cents, qs, k = 5, nprobe = 8).collect()
+    assert(full.length == 10 && full.forall(_.getDouble(2) == 1.0),
+      s"exhaustive probing must be exact: ${full.map(_.getDouble(2)).toSeq}")
+    // nprobe=2 misses some cells: recall in [0, 1], at least one query imperfect
+    // on random centroids (and every value a multiple of 1/k)
+    val lim = Similarity.annRecallEval(corp, cents, qs, k = 5, nprobe = 2).collect()
+    assert(lim.forall(r => r.getDouble(2) >= 0.0 && r.getDouble(2) <= 1.0))
+    assert(lim.forall(r => (r.getDouble(2) * 5).round == r.getLong(1)),
+      "recall must equal hits/k exactly")
+  }
 }
