@@ -133,6 +133,38 @@ class PlanShapeSpec extends SparkSpec {
     assert(bucketed.count() == naive.count())
   }
 
+  test("jaro linkage: distinct-name relation broadcasts, similarity inside codegen") {
+    val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
+    val linked = graft.operators.Linkage.nameMatches(part, "p_name")
+    val plan = linked.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"vocab-sized name relation must broadcast:\n$plan")
+    assert(plan.contains("graft_jaro_winkler"),
+      s"the native expression must appear in the plan (not a UDF):\n$plan")
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("Invoke"),
+      "no interpreted UDF path in the scorer")
+  }
+
+  test("label audit: foreign-centroid argmax is a partial max_by, never a window") {
+    val emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    val audited = graft.operators.Similarity.labelAudit(emb)
+    val plan = audited.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window in the argmax path:\n$plan")
+    assert(plan.contains("partial_max_by") || plan.contains("max_by"),
+      s"argmax as an aggregate:\n$plan")
+    assert(plan.contains("BroadcastExchange"),
+      s"the (labels x dim) centroid relation must broadcast:\n$plan")
+  }
+
+  test("retrieval eval: rankings flow through the bounded partial top-k, not a window") {
+    val toks = Tokenize.tokens(docs, "text", Seq("doc_id"))
+    val eval = graft.operators.Search.retrievalEval(
+      toks, Seq(1 -> Seq("spark", "query")), k = 10)
+    val plan = eval.queryExecution.executedPlan.toString
+    assert(plan.contains("cos_topk"), s"bounded top-k aggregate in the ranking path:\n$plan")
+    assert(!plan.contains("Window"), s"no row_number window over matched docs:\n$plan")
+  }
+
   test("corpus-clean windows never put a whole language in one task") {
     // every document-sized window must partition by (lang, <subdivider>);
     // windows partitioned by lang ALONE are allowed only over metadata —
