@@ -67,7 +67,7 @@ object ExplainAudit {
     "q_corpus_diff", "q_jaro_linkage", "q_autocomplete", "q_audio_fingerprint",
     "q_zipf_fit", "q_containment_dup", "q_doc_keywords", "q_token_gini",
     "q_dataset_card", "q_label_audit", "q_trending", "q_zonemap_prune", "q_retrieval_eval", "q_stats_merge", "q_k_anon", "q_join_cardinality", "q_langid_eval", "q_term_drift", "q_temp_mixture", "q_source_overlap",
-    "q_embed_hygiene", "q_next_word", "q_oov_rate", "q_ann_recall")
+    "q_embed_hygiene", "q_next_word", "q_oov_rate", "q_ann_recall", "q_video_near_dup")
 
   def main(args: Array[String]): Unit = {
     // no default: a stale hardcoded round number silently mislabels the

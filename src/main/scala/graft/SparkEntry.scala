@@ -1403,6 +1403,15 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // -- video near-dup pairs: every 4th frame dHashed through the REAL
+    //    GIF->PNG codec chain, videos paired on >= 2 shared distinct frame
+    //    hashes — imageNearDupPairs' bucket discipline at the video level
+    "q_video_near_dup" -> ((s, dir) => {
+      operators.Multimodal
+        .videoNearDupPairs(operators.Multimodal.demoMediaFromDocuments(s, dir))
+        .orderBy("vid1", "vid2")
+    }),
+
     // -- perceptual duplicate image GROUPS: the near-dup pairs closed into
     //    connected components (duplicateGroups' label propagation over the
     //    dHash pigeonhole pairs) — the keep-one-per-cluster input
@@ -3958,6 +3967,45 @@ object SparkEntry {
                            THEN (1::BIGINT << w) ELSE 0 END)::BIGINT AS afp_lo
            FROM b GROUP BY 1)
          SELECT media_id, afp_hi, afp_lo FROM fp ORDER BY media_id""",
+    // GIF frame replay: palette is the identity gray ramp and pixel index i
+    // of frame f is (i*31 + f*101 + doc_id) & 255, so each sampled frame's
+    // dHash recomputes exactly from the synthesis formula
+    "q_video_near_dup" ->
+      """WITH vid AS (
+           SELECT doc_id, 1 + doc_id % 32 AS w,
+                  1 + octet_length(encode(text)) % 32 AS h,
+                  1 + (octet_length(encode(text)) * 131) % 24 AS nf
+           FROM documents WHERE doc_id % 3 = 2),
+         fr AS (SELECT doc_id, w, h, unnest(range(0, nf, 4)) AS f FROM vid),
+         g AS (
+           SELECT doc_id, f, j, i,
+                  ((least(w - 1, (i * w) // 9) + least(h - 1, (j * h) // 8) * w) * 31
+                   + f * 101 + doc_id) % 256 AS gray
+           FROM fr
+           CROSS JOIN (SELECT unnest(range(9)) AS i)
+           CROSS JOIN (SELECT unnest(range(8)) AS j)),
+         b AS (
+           SELECT doc_id, f, j, i, gray,
+                  lead(gray) OVER (PARTITION BY doc_id, f, j ORDER BY i) AS nxt
+           FROM g),
+         dh AS (
+           SELECT doc_id AS vid, f,
+                  sum(CASE WHEN i < 8 AND j >= 4 AND nxt > gray
+                           THEN (1::BIGINT << (j * 8 + i - 32)) ELSE 0 END)::BIGINT AS hi,
+                  sum(CASE WHEN i < 8 AND j < 4 AND nxt > gray
+                           THEN (1::BIGINT << (j * 8 + i)) ELSE 0 END)::BIGINT AS lo
+           FROM b GROUP BY 1, 2),
+         fh AS (SELECT DISTINCT vid, hi, lo FROM dh),
+         keep AS (SELECT hi, lo FROM fh GROUP BY hi, lo
+                  HAVING count(*) BETWEEN 2 AND 4096),
+         p AS (
+           SELECT a.vid AS vid1, b2.vid AS vid2, count(*) AS shared_frames
+           FROM fh a
+           JOIN fh b2 ON a.hi = b2.hi AND a.lo = b2.lo AND a.vid < b2.vid
+           JOIN keep k ON k.hi = a.hi AND k.lo = a.lo
+           GROUP BY 1, 2)
+         SELECT vid1, vid2, shared_frames FROM p
+         WHERE shared_frames >= 2 ORDER BY vid1, vid2""",
     "q_image_dup_groups" ->
       s"""WITH RECURSIVE $ImageDhashCtes,
           sl AS (SELECT media_id, dhash_hi, dhash_lo, band,

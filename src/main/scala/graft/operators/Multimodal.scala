@@ -480,6 +480,53 @@ object Multimodal {
       } finally in.close()
     } catch { case _: Exception => None }
 
+  /** Video near-duplicate PAIRS via sampled-frame perceptual hashing —
+    * the standard video-dedup shape (re-encodes, re-containered copies,
+    * trailing-frame edits): sample every `stride`-th frame with the REAL
+    * frame-addressable codec ([[sampleFrames]]), dHash each sampled frame
+    * through the REAL image codec ([[imageDHash]] over the re-encoded
+    * PNGs), then pair videos sharing at least `minShared` DISTINCT frame
+    * hashes. Exact-hash frame matching (not banded): a re-encode of the
+    * same frame reproduces the integer dHash bit-for-bit here, and the
+    * `minShared` floor is what kills coincidental single-frame collisions.
+    *
+    * Scale discipline is [[imageNearDupPairs]]'s verbatim: per-frame-hash
+    * buckets, hot buckets capped BEFORE the quadratic in-bucket
+    * expansion, (video, hash) deduplicated so a static clip repeating one
+    * frame can't inflate its own match count. Composition of three
+    * already-tested operators — the codecs stay the only imperative code.
+    *
+    * Returns (vid1, vid2, shared_frames) with vid1 < vid2,
+    * shared_frames ≥ `minShared`.
+    */
+  def videoNearDupPairs(
+      media: Dataset[MediaRecord],
+      stride: Int = 4,
+      minShared: Int = 2,
+      maxBucket: Int = 1 << 12): DataFrame = {
+    require(stride >= 1 && minShared >= 1, s"stride ($stride)/minShared ($minShared) must be >= 1")
+    import media.sparkSession.implicits._
+    // frame_idx < 1000 always (GIF clips are seconds, not hours), so the
+    // composite id is reversible; kind flips to "image" for the dHash pass
+    val asImages = sampleFrames(media.filter(_.kind == "video"), stride)
+      .map(f => MediaRecord(f.media_id * 1000L + f.frame_idx, "image", f.bytes, ""))
+    val fh = imageDHash(asImages)
+      .select(
+        (col("media_id") / 1000L).cast("long").as("vid"),
+        col("dhash_hi"), col("dhash_lo"))
+      .distinct()
+    fh.groupBy(col("dhash_hi"), col("dhash_lo"))
+      .agg(array_sort(collect_set(col("vid"))).as("vids"))
+      .where(size(col("vids")).between(2, maxBucket))
+      .select(explode_outer(expr(
+        """flatten(transform(vids, (x, i) ->
+           transform(slice(vids, i + 2, size(vids)),
+                     y -> named_struct('vid1', x, 'vid2', y))))""")).as("p"))
+      .groupBy(col("p.vid1").as("vid1"), col("p.vid2").as("vid2"))
+      .agg(count(lit(1)).as("shared_frames"))
+      .where(col("shared_frames") >= minShared)
+  }
+
   /** REAL image resize (bytes→bytes, per-partition, no shuffle): decode via
     * javax.imageio, scale with Graphics2D bilinear interpolation to
     * (⌈w·num/den⌉, ⌈h·num/den⌉) — never below 1×1 — and re-encode PNG.

@@ -215,6 +215,21 @@ class MultimodalSpec extends SparkSpec {
     assert(out(1).bytes.sameElements(Multimodal.synthPng(5, 5, 2L)))
   }
 
+  test("videoNearDupPairs: identical clips share every sampled frame, unrelated absent") {
+    import spark.implicits._
+    val clip = Multimodal.synthGif(width = 11, height = 9, frames = 13, seed = 42L)
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", clip, "en"),
+      Multimodal.MediaRecord(2L, "video", clip, "en"),                                  // exact dup
+      Multimodal.MediaRecord(3L, "video", Multimodal.synthGif(11, 9, 13, 999L), "en"),  // unrelated
+      Multimodal.MediaRecord(4L, "image", Multimodal.synthPng(5, 5, 1L), "en")          // wrong kind
+    ).toDS()
+    val got = Multimodal.videoNearDupPairs(media, stride = 4, minShared = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // 13 frames at stride 4 -> sampled {0,4,8,12} = 4 frames, all shared
+    assert(got.toSeq == Seq((1L, 2L, 4L)), s"only the planted dup pair, all 4 frames: ${got.toSeq}")
+  }
+
   test("audioFingerprint matches an independent formula mirror through the WAV roundtrip") {
     import spark.implicits._
     // independent mirror: energies straight from the sample formula,
