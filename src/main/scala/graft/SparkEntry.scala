@@ -840,6 +840,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- dedup impact report: ONE row — docs, clustered docs, clusters,
+    //    keep-one removals, shrink fraction (the go/no-go number a
+    //    curation run reads before the rewrite)
+    "q_dedup_shrink" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.shrinkReport(docs,
+        Dedup.minhashCandidates(docs,
+          shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096))
+    }),
+
     // -- quality-aware dedup: keep the BEST cluster member (max n_chars,
     //    min id tie) — the curation verdict, vs the min-id canonical label
     "q_dedup_keep_best" -> ((s, dir) => {
@@ -3552,6 +3562,23 @@ object SparkEntry {
             SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.v = e.dst)
           SELECT v AS doc_id, min(lbl) AS group_id
           FROM reach GROUP BY v ORDER BY doc_id""",
+    "q_dedup_shrink" ->
+      s"""WITH RECURSIVE ${minhashPairsCtes(3, 16, 8, 4096)},
+          edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
+                    UNION ALL SELECT doc2, doc1 FROM pairs),
+          reach(v, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.v = e.dst),
+          lab AS (SELECT v, min(lbl) AS group_id FROM reach GROUP BY v),
+          agg AS (SELECT count(*) AS n_in_clusters,
+                         count(DISTINCT group_id) AS n_clusters
+                  FROM lab),
+          n AS (SELECT count(*) AS n_docs FROM documents)
+          SELECT n_docs, n_in_clusters, n_clusters,
+                 (n_in_clusters - n_clusters) AS docs_removed,
+                 floor(((n_in_clusters - n_clusters)::DOUBLE / n_docs) * 1e4 + 0.5) / 1e4 AS shrink_r
+          FROM agg CROSS JOIN n""",
     "q_dedup_keep_best" ->
       s"""WITH RECURSIVE ${minhashPairsCtes(3, 16, 8, 4096)},
           edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs

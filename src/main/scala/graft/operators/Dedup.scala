@@ -78,6 +78,39 @@ object Dedup {
       .select(col("query_id"), col("corpus_id"), col("containment_r"))
   }
 
+  /** Corpus-level dedup impact report — the one-row answer to "how much
+    * smaller does near-dedup make this corpus": total docs, docs touched
+    * by any near-dup cluster, cluster count, docs a keep-one-per-cluster
+    * policy removes, and the shrink fraction. This is the number a
+    * curation run reports BEFORE committing to the (expensive) rewrite —
+    * and the drift signal between snapshots (a shrink_r jump means a
+    * duplication regression upstream).
+    *
+    * Compose with any pair source ([[minhashCandidates]],
+    * [[simhashPairs]], [[Chunking.chunkDupPairs]]...): the labels come
+    * from [[duplicateGroups]]' propagation, docs outside every pair are
+    * singletons by definition (kept, zero cost), and the report is three
+    * scalar aggregates over the label relation joined to one corpus
+    * count — output is ONE row.
+    */
+  def shrinkReport(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
+    val labels = duplicateGroups(pairs)
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    labels
+      .agg(
+        count(lit(1)).as("n_in_clusters"),
+        countDistinct(col("group_id")).as("n_clusters"))
+      .crossJoin(n)
+      .select(
+        col("n_docs"),
+        col("n_in_clusters"),
+        col("n_clusters"),
+        (col("n_in_clusters") - col("n_clusters")).as("docs_removed"),
+        graft.functions.Portable.pround(
+          (col("n_in_clusters") - col("n_clusters")).cast("double") / col("n_docs"), 4)
+          .as("shrink_r"))
+  }
+
   /** How many independent 32-bit minhash values one md5 yields (4 × 8 hex
     * chars): one digest per shingle per SEED GROUP instead of per signature
     * position — a 4× cut of the dominant map-side hashing cost.

@@ -437,6 +437,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got("same")._3 == 0.0, "identical samples have zero CDF gap")
   }
 
+  test("shrinkReport: planted clusters produce the exact removal count and fraction") {
+    import graft.operators.Dedup
+    val docs = (1L to 10L).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    // clusters {1,2,3} and {7,8}; 5 singletons -> removals (3-1)+(2-1)=3, shrink 0.3
+    val pairs = Seq((1L, 2L), (1L, 3L), (7L, 8L)).toDF("doc1", "doc2")
+    val got = Dedup.shrinkReport(docs, pairs).collect().head
+    assert(got.getLong(0) == 10 && got.getLong(1) == 5 && got.getLong(2) == 2,
+      s"10 docs, 5 clustered, 2 clusters: $got")
+    assert(got.getLong(3) == 3 && got.getDouble(4) == 0.3, s"3 removed, shrink 0.3: $got")
+  }
+
   test("sourceOverlap: identical vocabularies hit 1.0, disjoint pairs don't emit") {
     val docs = Seq(
       (1L, "s1", "aa bb cc"), (2L, "s2", "cc bb aa"),  // same vocab
