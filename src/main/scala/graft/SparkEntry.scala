@@ -840,6 +840,15 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- minhash estimator eval: signature-agreement estimate vs EXACT
+    //    shingle Jaccard on the candidate pairs, with absolute error —
+    //    the measurement pricing the numHashes dial
+    "q_minhash_est" -> ((s, dir) => {
+      Dedup
+        .minhashEstimateVsExact(t(s, dir, "documents"))
+        .orderBy("doc1", "doc2")
+    }),
+
     // -- dedup impact report: ONE row — docs, clustered docs, clusters,
     //    keep-one removals, shrink fraction (the go/no-go number a
     //    curation run reads before the rewrite)
@@ -1432,6 +1441,14 @@ object SparkEntry {
             operators.Multimodal.demoMediaFromDocuments(s, dir)),
           "id1", "id2")
         .orderBy("doc_id")
+    }),
+
+    // -- acoustic near-dup pairs: the audio fingerprint through the exact
+    //    4x16-bit pigeonhole banding (hamming <= 3), cap before expansion
+    "q_audio_near_dup" -> ((s, dir) => {
+      operators.Multimodal
+        .audioNearDupPairs(operators.Multimodal.demoAudioPattern(s, dir))
+        .orderBy("id1", "id2")
     }),
 
     // -- REAL video frame sampling: every 4th GIF frame extracted with the
@@ -3562,6 +3579,28 @@ object SparkEntry {
             SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.v = e.dst)
           SELECT v AS doc_id, min(lbl) AS group_id
           FROM reach GROUP BY v ORDER BY doc_id""",
+    "q_minhash_est" ->
+      s"""WITH ${minhashPairsCtes(3, 16, 8, 4096)},
+          est AS (
+            SELECT p.doc1, p.doc2,
+                   (${(0 until 16).map(i => s"CASE WHEN a.sig$i = b.sig$i THEN 1 ELSE 0 END").mkString(" + ")}) AS agree
+            FROM pairs p
+            JOIN sigs a ON a.doc_id = p.doc1
+            JOIN sigs b ON b.doc_id = p.doc2),
+          ex AS (
+            SELECT p.doc1, p.doc2,
+                   len(list_intersect(s1.shingles, s2.shingles))::DOUBLE /
+                   (len(s1.shingles) + len(s2.shingles)
+                    - len(list_intersect(s1.shingles, s2.shingles))) AS jac
+            FROM pairs p
+            JOIN sh s1 ON s1.doc_id = p.doc1
+            JOIN sh s2 ON s2.doc_id = p.doc2)
+          SELECT e.doc1, e.doc2, agree,
+                 floor((agree / 16.0) * 1e4 + 0.5) / 1e4 AS est_r,
+                 floor(jac * 1e4 + 0.5) / 1e4 AS jaccard_r,
+                 floor(abs(agree / 16.0 - jac) * 1e4 + 0.5) / 1e4 AS abs_err_r
+          FROM est e JOIN ex ON ex.doc1 = e.doc1 AND ex.doc2 = e.doc2
+          ORDER BY e.doc1, e.doc2""",
     "q_dedup_shrink" ->
       s"""WITH RECURSIVE ${minhashPairsCtes(3, 16, 8, 4096)},
           edges AS (SELECT doc1 AS src, doc2 AS dst FROM pairs
@@ -3994,6 +4033,40 @@ object SparkEntry {
                            THEN (1::BIGINT << w) ELSE 0 END)::BIGINT AS afp_lo
            FROM b GROUP BY 1)
          SELECT media_id, afp_hi, afp_lo FROM fp ORDER BY media_id""",
+    "q_audio_near_dup" ->
+      """WITH aud AS (
+           SELECT doc_id, 65 + (octet_length(encode(text)) * 131) % 60000 AS n
+           FROM documents WHERE doc_id % 3 = 1),
+         sm AS (
+           SELECT doc_id, (i * 65) // n AS w,
+                  abs(((i * 131 + doc_id * 17) % 65536) - 32768) AS a
+           FROM (SELECT doc_id, n, unnest(range(n)) AS i FROM aud) u),
+         e AS (SELECT doc_id, w, sum(a)::BIGINT AS en FROM sm GROUP BY 1, 2),
+         b AS (SELECT doc_id, w, en,
+                      lead(en) OVER (PARTITION BY doc_id ORDER BY w) AS nxt
+               FROM e),
+         fp AS (
+           SELECT doc_id AS media_id,
+                  sum(CASE WHEN w BETWEEN 32 AND 63 AND nxt > en
+                           THEN (1::BIGINT << (w - 32)) ELSE 0 END)::BIGINT AS hi,
+                  sum(CASE WHEN w < 32 AND nxt > en
+                           THEN (1::BIGINT << w) ELSE 0 END)::BIGINT AS lo
+           FROM b GROUP BY 1),
+         sl AS (SELECT media_id, hi, lo, band,
+                       CASE band WHEN 0 THEN lo % 65536
+                                 WHEN 1 THEN lo // 65536
+                                 WHEN 2 THEN hi % 65536
+                                 ELSE hi // 65536 END AS v
+                FROM fp CROSS JOIN (SELECT unnest(range(4)) AS band) bb),
+         keep AS (SELECT band, v FROM sl GROUP BY band, v
+                  HAVING count(*) BETWEEN 2 AND 4096)
+         SELECT DISTINCT a.media_id AS id1, b2.media_id AS id2,
+                (bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo)))::INTEGER AS hamming
+         FROM sl a
+         JOIN sl b2 ON a.band = b2.band AND a.v = b2.v AND a.media_id < b2.media_id
+         JOIN keep k ON k.band = a.band AND k.v = a.v
+         WHERE (bit_count(xor(a.hi, b2.hi)) + bit_count(xor(a.lo, b2.lo))) <= 3
+         ORDER BY id1, id2""",
     // GIF frame replay: palette is the identity gray ramp and pixel index i
     // of frame f is (i*31 + f*101 + doc_id) & 255, so each sampled frame's
     // dHash recomputes exactly from the synthesis formula

@@ -78,6 +78,50 @@ object Dedup {
       .select(col("query_id"), col("corpus_id"), col("containment_r"))
   }
 
+  /** MinHash estimator-quality eval: for every LSH candidate pair, the
+    * signature-agreement estimate (matching positions / numHashes — the
+    * unbiased Jaccard estimator MinHash IS) next to the EXACT shingle
+    * Jaccard, with the absolute error — the measurement that justifies
+    * the numHashes budget (more hashes = tighter estimate = more map-side
+    * md5 cost; the error column prices that dial on the actual corpus).
+    * Eval sibling of the retrieval/langid/ANN-recall harnesses.
+    *
+    * The exact Jaccard is computed ONLY on the (already banded + capped)
+    * candidate pairs — pair-count-sized work, never all-pairs; signatures
+    * and shingle arrays are one map-side pass each, joined back by id.
+    *
+    * Returns (doc1, doc2, agree, est_r, jaccard_r, abs_err_r).
+    */
+  def minhashEstimateVsExact(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      maxBucket: Int = 1 << 12): DataFrame = {
+    val pairs = minhashCandidates(docs, idCol, textCol, shingleK, numHashes, bands, maxBucket)
+    val base = TextAnalysis
+      .withShingles(docs.select(col(idCol), col(textCol)), textCol, shingleK, "__sh")
+      .where(size(col("__sh")) > 0)
+      .withColumn("__sig", minhashSignatureFromShingles(col("__sh"), numHashes))
+    def side(n: Int) = base.select(
+      col(idCol).as(s"doc$n"), col("__sh").as(s"sh$n"), col("__sig").as(s"sg$n"))
+    pairs
+      .join(side(1), "doc1")
+      .join(side(2), "doc2")
+      .withColumn("agree", expr("size(filter(zip_with(sg1, sg2, (a, b) -> a = b), x -> x))"))
+      .withColumn("__inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("__est", col("agree") / numHashes.toDouble)
+      .withColumn("__jac",
+        col("__inter").cast("double") / (size(col("sh1")) + size(col("sh2")) - col("__inter")))
+      .select(
+        col("doc1"), col("doc2"), col("agree"),
+        graft.functions.Portable.pround(col("__est"), 4).as("est_r"),
+        graft.functions.Portable.pround(col("__jac"), 4).as("jaccard_r"),
+        graft.functions.Portable.pround(abs(col("__est") - col("__jac")), 4).as("abs_err_r"))
+  }
+
   /** Corpus-level dedup impact report — the one-row answer to "how much
     * smaller does near-dedup make this corpus": total docs, docs touched
     * by any near-dup cluster, cluster count, docs a keep-one-per-cluster

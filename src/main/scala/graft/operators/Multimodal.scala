@@ -454,6 +454,47 @@ object Multimodal {
       .toDF("media_id", "afp_hi", "afp_lo")
   }
 
+  /** Acoustic near-duplicate PAIRS — [[audioFingerprint]] through the
+    * exact pigeonhole discipline [[imageNearDupPairs]] uses for images:
+    * 4×16-bit bands over the 64-bit energy-delta hash (EXACT for
+    * hamming ≤ 3 by pigeonhole), hot buckets capped BEFORE the quadratic
+    * in-bucket expansion, two-limb `bit_count` verification on candidate
+    * pairs only. Catches re-encodes and gain-changed copies of the same
+    * clip (the fingerprint is amplitude-invariant); one shuffle, no
+    * self-join.
+    *
+    * Returns (id1, id2, hamming) with id1 < id2.
+    */
+  def audioNearDupPairs(
+      media: Dataset[MediaRecord],
+      maxDist: Int = 3,
+      maxBucket: Int = 1 << 12): DataFrame = {
+    require(maxDist < 4, s"pigeonhole over 4 bands needs maxDist ($maxDist) < 4")
+    require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least one pair")
+    audioFingerprint(media)
+      .select(
+        struct(col("media_id").as("id"), col("afp_hi").as("hi"), col("afp_lo").as("lo")).as("m"),
+        explode(array(
+          struct(lit(0).as("band_idx"), expr("afp_lo & 65535").as("band_val")),
+          struct(lit(1).as("band_idx"), expr("shiftright(afp_lo, 16) & 65535").as("band_val")),
+          struct(lit(2).as("band_idx"), expr("afp_hi & 65535").as("band_val")),
+          struct(lit(3).as("band_idx"), expr("shiftright(afp_hi, 16) & 65535").as("band_val"))))
+          .as("bnd"))
+      .select(col("m"), col("bnd.band_idx"), col("bnd.band_val"))
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(array_sort(collect_list(col("m"))).as("members"))
+      .where(size(col("members")).between(2, maxBucket))
+      .select(explode_outer(expr(
+        """flatten(transform(members, (x, i) ->
+           transform(slice(members, i + 2, size(members)),
+                     y -> named_struct('id1', x.id, 'id2', y.id,
+                                       'hamming', bit_count(x.hi ^ y.hi) + bit_count(x.lo ^ y.lo)))))"""))
+        .as("p"))
+      .where(col("p.hamming") <= maxDist)
+      .select(col("p.id1"), col("p.id2"), col("p.hamming").cast("int").as("hamming"))
+      .distinct()
+  }
+
   /** Decode an audio container to its 16-bit PCM samples (mono assumed —
     * frame = one sample), honoring the container's declared endianness;
     * None for unparseable bytes or a non-16-bit format.
