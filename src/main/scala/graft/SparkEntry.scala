@@ -818,6 +818,21 @@ object SparkEntry {
         .orderBy("doc1", "doc2")
     }),
 
+    // -- the same candidates served from the PREBUILT signature index
+    //    (build-once/query-many, the ivfpqIndex pattern): one materialized
+    //    corpus pass produces (sh, sig, band_keys) reused by every
+    //    consumer — the production shape at 100 TB, where signatures are
+    //    computed once per corpus snapshot. Oracle == q_dedup_minhash's,
+    //    pinning indexed == inline.
+    "q_minhash_indexed" -> ((s, dir) => {
+      Dedup
+        .candidatesFromIndex(
+          Dedup.minhashIndex(t(s, dir, "documents"),
+            shingleK = 3, numHashes = 16, bands = 8),
+          maxBucket = 4096)
+        .orderBy("doc1", "doc2")
+    }),
+
     // -- incremental-ingest dedup: new batch (doc_id < 50) checked against
     //    the existing corpus — in-bucket expansion strictly new x corpus,
     //    capped on the pair PRODUCT; candidates exactly Jaccard-verified
@@ -966,22 +981,21 @@ object SparkEntry {
     //    connected components → per-doc keeper verdict
     "q_dedup_end2end" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      // candidates materialized ONCE (they feed the verify join twice-
-      // removed doc-set restriction AND the verify join itself), and
-      // shingles are recomputed only for DOCS THAT APPEAR IN A CANDIDATE
-      // PAIR — verify work is proportional to the candidate set, never the
-      // corpus (the 100 TB shape; previously all-corpus shingles were
-      // evaluated once per join side)
-      val cand = Dedup.minhashCandidates(docs,
-        shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096)
+      // the whole pipeline serves from ONE materialized signature-index
+      // pass: candidates come from the index's band keys, and the exact-
+      // Jaccard verify reads the index's ALREADY-COMPUTED shingle arrays
+      // (semi-joined down to docs that appear in a candidate pair) — zero
+      // re-tokenization anywhere. Candidates are checkpointed because
+      // they feed the verify join AND the doc-set restriction.
+      val idx = Dedup.minhashIndex(docs, shingleK = 3, numHashes = 16, bands = 8)
+      val cand = Dedup.candidatesFromIndex(idx, maxBucket = 4096)
         .localCheckpoint(true)
       val candDocs = cand.select(col("doc1").as("doc_id"))
         .unionAll(cand.select(col("doc2").as("doc_id")))
         .distinct()
-      val sh = TextAnalysis
-        .withShingles(docs.join(candDocs, Seq("doc_id"), "left_semi"), "text", 3, "sh")
+      val sh = idx
         .select(col("doc_id"), col("sh"))
-        .localCheckpoint(true)
+        .join(candDocs, Seq("doc_id"), "left_semi")
       val verified = cand
         .join(sh.select(col("doc_id").as("doc1"), col("sh").as("sh1")), Seq("doc1"))
         .join(sh.select(col("doc_id").as("doc2"), col("sh").as("sh2")), Seq("doc2"))
@@ -3483,6 +3497,9 @@ object SparkEntry {
             FROM toks_arr) u
           ORDER BY doc_id""",
     "q_dedup_minhash" -> minhashSql(shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096),
+    // identical SQL by construction: the indexed path must produce exactly
+    // the inline path's candidates (build-once/query-many equivalence pin)
+    "q_minhash_indexed" -> minhashSql(shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096),
     "q_cross_dedup" -> crossDedupSql(shingleK = 3, numHashes = 16, bands = 8,
       maxBucket = 4096, threshold = 0.5, splitId = 50L),
     // raw (non-distinct) shingle enumeration mirrors rawShinglesFromToks;

@@ -100,13 +100,27 @@ object Dedup {
       numHashes: Int = 16,
       bands: Int = 8,
       maxBucket: Int = 1 << 12): DataFrame = {
-    val pairs = minhashCandidates(docs, idCol, textCol, shingleK, numHashes, bands, maxBucket)
-    val base = TextAnalysis
-      .withShingles(docs.select(col(idCol), col(textCol)), textCol, shingleK, "__sh")
-      .where(size(col("__sh")) > 0)
-      .withColumn("__sig", minhashSignatureFromShingles(col("__sh"), numHashes))
-    def side(n: Int) = base.select(
-      col(idCol).as(s"doc$n"), col("__sh").as(s"sh$n"), col("__sig").as(s"sg$n"))
+    // ONE corpus tokenization pass, materialized: the signature index
+    // computes shingles + signature + band keys together and the
+    // checkpointed relation serves candidate banding AND both verify-join
+    // sides. The earlier form called minhashCandidates (its own
+    // shingle+sign pass) and then rebuilt the same base lazily for
+    // side(1)/side(2) — three full-corpus tokenizations for a
+    // pair-count-sized output (measured 9.4 s vs ~2 s at sf0.1, the
+    // moreLikeThis re-computation trap all over again).
+    val base = minhashIndex(docs, idCol, textCol, shingleK, numHashes, bands)
+    // pairs feed the doc-set restriction AND the verify join → checkpoint
+    val pairs = candidatesFromIndex(base, idCol, maxBucket).localCheckpoint(true)
+    // restrict BOTH verify sides to docs that appear in a candidate pair
+    // BEFORE joining: without this, each side join shuffles the whole
+    // index's (sh, sig) arrays for a pair-count-sized output (measured
+    // ~1.1 s of pure array shuffle at sf0.1 for a 32-pair result)
+    val candIds = pairs.select(col("doc1").as(idCol))
+      .unionAll(pairs.select(col("doc2").as(idCol)))
+      .distinct()
+    val sides = base.join(candIds, Seq(idCol), "left_semi")
+    def side(n: Int) = sides.select(
+      col(idCol).as(s"doc$n"), col("sh").as(s"sh$n"), col("sig").as(s"sg$n"))
     pairs
       .join(side(1), "doc1")
       .join(side(2), "doc2")
@@ -243,6 +257,13 @@ object Dedup {
     // the scan filter (measured 3x on q_dedup_minhash); the token array is a
     // single pass and safe to push.
     val banded = bandedDocs(docs, idCol, textCol, shingleK, numHashes, bands)
+    pairsFromBanded(banded, idCol, maxBucket)
+  }
+
+  /** Candidate-pair expansion over a (idCol, band_key) relation — the
+    * shared back half of [[minhashCandidates]] and [[candidatesFromIndex]].
+    */
+  private def pairsFromBanded(banded: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     // one row per (doc, band) ⇒ ids are already distinct per bucket; the
     // fused sorted-distinct aggregate gives an ASC list, so the index-lambda
@@ -261,6 +282,51 @@ object Dedup {
       .distinct()
   }
 
+  /** Build-once MinHash signature INDEX (the [[Similarity.ivfpqIndex]]
+    * pattern applied to dedup): ONE corpus tokenization pass producing,
+    * per non-empty document, the shingle set, the minhash signature, and
+    * the LSH band keys — eagerly materialized so every consumer
+    * ([[candidatesFromIndex]], [[minhashEstimateVsExact]]'s verify sides,
+    * the end-to-end pipeline's exact-Jaccard verification) reads the
+    * checkpointed relation instead of re-tokenizing the corpus.
+    *
+    * This is the realistic production shape at 100 TB: signatures are
+    * computed once per corpus snapshot and reused across curation runs —
+    * on a cluster the relation would be written to parquet once
+    * (`index.write...`) and each run would serve from the files, exactly
+    * like the IVF-PQ codes relation. Schema:
+    * (idCol, sh array<string>, sig array<string>, band_keys array<string>).
+    */
+  def minhashIndex(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    withShingleSig(docs, idCol, textCol, shingleK, numHashes)
+      .select(col(idCol), col("__sh").as("sh"), col("__sig").as("sig"),
+        bandKeys(col("__sig"), bands, numHashes / bands).as("band_keys"))
+      .localCheckpoint(true)
+  }
+
+  /** MinHash-LSH candidate pairs served from a PREBUILT [[minhashIndex]]
+    * relation — identical output to [[minhashCandidates]] (the
+    * `q_minhash_indexed` oracle row pins indexed == inline), but the
+    * corpus pass is amortized across every consumer of the index.
+    */
+  def candidatesFromIndex(
+      index: DataFrame,
+      idCol: String = "doc_id",
+      maxBucket: Int = 1 << 12): DataFrame = {
+    require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least one pair")
+    pairsFromBanded(
+      index.select(col(idCol), explode_outer(col("band_keys")).as("band_key")),
+      idCol, maxBucket)
+  }
+
   /** (idCol, band_key) rows for every non-empty doc — the shared banding
     * front half of [[minhashCandidates]] and [[crossCorpusNearDups]].
     */
@@ -270,8 +336,21 @@ object Dedup {
       textCol: String,
       shingleK: Int,
       numHashes: Int,
-      bands: Int): DataFrame = {
-    val rows = numHashes / bands
+      bands: Int): DataFrame =
+    withShingleSig(docs, idCol, textCol, shingleK, numHashes)
+      .select(col(idCol),
+        explode_outer(bandKeys(col("__sig"), bands, numHashes / bands)).as("band_key"))
+
+  /** (idCol, __sh, __sig) for every non-empty doc — the one corpus
+    * tokenization pass under [[bandedDocs]] (inline, lazy) and
+    * [[minhashIndex]] (materialized).
+    */
+  private def withShingleSig(
+      docs: DataFrame,
+      idCol: String,
+      textCol: String,
+      shingleK: Int,
+      numHashes: Int): DataFrame = {
     val nonEmpty = docs
       .select(col(idCol), col(textCol))
       .where(size(Tokenize.tokenArray(col(textCol))) > 0)
@@ -279,9 +358,7 @@ object Dedup {
       .foldLeft(TextAnalysis.withShingles(nonEmpty, textCol, shingleK, "__sh")) { (d, g) =>
         d.withColumn(s"__mh$g", transform(col("__sh"), s => md5(concat(lit(s"$g:"), s))))
       }
-    withDigests
-      .withColumn("__sig", signatureFromDigests(numHashes))
-      .select(col(idCol), explode_outer(bandKeys(col("__sig"), bands, rows)).as("band_key"))
+    withDigests.withColumn("__sig", signatureFromDigests(numHashes))
   }
 
   /** Incremental-ingest near-dup check: which NEW documents near-duplicate
