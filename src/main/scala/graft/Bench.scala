@@ -191,7 +191,15 @@ object Bench {
     def fmt(v: Double): String = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
     val qs = results.map { case (k, v) => "\"" + k + "\":" + fmt(v) }.mkString("{", ",", "}")
     val total = results.values.filter(_ >= 0).sum
-    val full = s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // Failures must be loud (round-10 lesson: 18 queries recorded -1.0 yet
+    // the sweep exited 0, so the rc masked an entire broken query family):
+    // the JSON carries an explicit failed count + names, and the process
+    // exits nonzero below when any query failed.
+    val failedNames = results.collect { case (k, v) if v < 0 => k }.toSeq
+    val failedJson =
+      s""","failed":${failedNames.size},"failed_queries":[${failedNames.map("\"" + _ + "\"").mkString(",")}]"""
+    val full =
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
     println(full)
     // The driver's stdout-tail capture truncates the front of long lines
     // (rounds 3-4 lost the first ~45 queries of the map), so the complete
@@ -216,7 +224,10 @@ object Bench {
       .filter(results.contains)
       .map(k => "\"" + k + "\":" + fmt(results(k)))
       .mkString(",")
-    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{$flagship},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":{$flagship},"failed":${failedNames.size},"sf":"$sfDir"}""")
     spark.stop()
+    // nonzero rc when any query failed — AFTER both JSON lines and the file
+    // artifact are safely out, so the evidence of WHAT failed is never lost
+    if (failedNames.nonEmpty) sys.exit(1)
   }
 }

@@ -67,7 +67,17 @@ object ExplainAudit {
     "q_corpus_diff", "q_jaro_linkage", "q_autocomplete", "q_audio_fingerprint",
     "q_zipf_fit", "q_containment_dup", "q_doc_keywords", "q_token_gini",
     "q_dataset_card", "q_label_audit", "q_trending", "q_zonemap_prune", "q_retrieval_eval", "q_stats_merge", "q_k_anon", "q_join_cardinality", "q_langid_eval", "q_term_drift", "q_temp_mixture", "q_source_overlap",
-    "q_embed_hygiene", "q_next_word", "q_oov_rate", "q_ann_recall", "q_video_near_dup")
+    "q_embed_hygiene", "q_next_word", "q_oov_rate", "q_ann_recall", "q_video_near_dup",
+    // round 11: the r9-flagged static stragglers, the round-10 additions
+    // (q_minhash_indexed / q_minhash_est / q_audio_near_dup + the reshaped
+    // q_dedup_end2end), and the new index-served boolean queries (letter
+    // pushdown must be visible in the scan line). q_dedup_end2end and
+    // q_minhash_* build a checkpointed signature index during construction
+    // but the SERVED plan downstream of it is static and auditable.
+    "q_pii_redact", "q_json_props", "q_rollup", "q_cube", "q_array_ops",
+    "q_multimodal_frames", "q_multimodal_resize", "q_ngram_jaccard",
+    "q_minhash_est", "q_minhash_indexed", "q_audio_near_dup",
+    "q_dedup_end2end", "q_search_and_indexed", "q_search_or_indexed")
 
   def main(args: Array[String]): Unit = {
     // no default: a stale hardcoded round number silently mislabels the

@@ -557,6 +557,28 @@ object SparkEntry {
         Seq("vector", "stream", "merge"))
     }),
 
+    // -- the same boolean queries served from the ON-DISK letter index
+    //    (a.txt…z.txt, the reference's output format): write the index
+    //    with the exact sink, then answer the query through the
+    //    graft-letters DSv2 reader — letter-IN pruning opens only the
+    //    query letters' files. Full write-then-query lifecycle; must equal
+    //    the live-postings queries exactly (same oracle SQL).
+    "q_search_and_indexed" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-idx-serve").toString
+      graft.sources.LetterSink.writeExact(
+        InvertedIndex.postings(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))),
+        idx)
+      Search.andQueryFromIndex(s, idx, Seq("spark", "query", "join"))
+    }),
+
+    "q_search_or_indexed" -> ((s, dir) => {
+      val idx = java.nio.file.Files.createTempDirectory("graft-idx-serve").toString
+      graft.sources.LetterSink.writeExact(
+        InvertedIndex.postings(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))),
+        idx)
+      Search.orQueryFromIndex(s, idx, Seq("vector", "stream", "merge"))
+    }),
+
     // -- TF-IDF ranked retrieval
     "q_search_tfidf" -> ((s, dir) => {
       Search
@@ -1568,7 +1590,7 @@ object SparkEntry {
     //    range-pair blowup; DuckDB oracles with its NATIVE ASOF JOIN)
     "q_asof_click" -> ((s, dir) => {
       val ev = graft.sources.EventsSource.events(s, dir)
-        .withColumn("us", expr("ts div 1000"))
+        .withColumn("us", col("ts_us"))
       val purchases = ev.where(col("event_type") === "purchase")
         .select(col("event_id").as("purchase_id"), col("user_id"), col("us"))
       // dedup ties: one click per (user, us), greatest event_id wins
@@ -3077,6 +3099,19 @@ object SparkEntry {
             GROUP BY doc_id) g
           WHERE n_terms = 3 ORDER BY doc_id""",
     "q_search_or_sharded" ->
+      s"""WITH $TokCte
+          SELECT doc_id, count(DISTINCT word) AS n_terms
+          FROM tok WHERE word IN ('vector', 'stream', 'merge')
+          GROUP BY doc_id ORDER BY n_terms DESC, doc_id""",
+    // served from the on-disk letter index — must equal the live queries
+    "q_search_and_indexed" ->
+      s"""WITH $TokCte
+          SELECT doc_id FROM (
+            SELECT doc_id, count(DISTINCT word) AS n_terms
+            FROM tok WHERE word IN ('spark', 'query', 'join')
+            GROUP BY doc_id) g
+          WHERE n_terms = 3 ORDER BY doc_id""",
+    "q_search_or_indexed" ->
       s"""WITH $TokCte
           SELECT doc_id, count(DISTINCT word) AS n_terms
           FROM tok WHERE word IN ('vector', 'stream', 'merge')

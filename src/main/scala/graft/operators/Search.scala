@@ -31,6 +31,52 @@ object Search {
       .orderBy("doc_id")
   }
 
+  /** Conjunctive retrieval served FROM the on-disk letter-partitioned
+    * index files (`a.txt`…`z.txt`, the reference's output format, written
+    * by [[graft.sources.LetterSink]]) via the `graft-letters` DSv2 reader —
+    * the reference's full write-then-query lifecycle (its consumers read
+    * the letter files back: reference checker/checker.sh:22-41), with the
+    * query never touching the corpus.
+    *
+    * Scale shape: the query terms' first letters become a
+    * `letter IN (...)` predicate the reader consumes at PLANNING time
+    * (`SupportsPushDownFilters` → partition pruning) — at most
+    * |distinct first letters| of the 26 files are opened or scheduled;
+    * the residual `word IN` filter cuts each streamed file to the query
+    * terms before the doc-keyed aggregation, and column pruning never
+    * parses what the query doesn't read. Identical output to [[andQuery]]
+    * over the live postings relation (same oracle SQL pins it).
+    */
+  def andQueryFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      words: Seq[String]): DataFrame =
+    andQuery(letterIndexPostings(spark, indexDir, words), words)
+
+  /** Disjunctive retrieval from the on-disk letter index — same lifecycle
+    * and pruning argument as [[andQueryFromIndex]].
+    */
+  def orQueryFromIndex(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      words: Seq[String]): DataFrame =
+    orQuery(letterIndexPostings(spark, indexDir, words), words)
+
+  /** (word, doc_ids) slice of an on-disk letter index, pruned at planning
+    * time to the query terms' first letters.
+    */
+  private def letterIndexPostings(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      words: Seq[String]): DataFrame = {
+    val letters = cleanedTerms(words).map(_.substring(0, 1)).distinct
+    spark.read
+      .format("graft-letters")
+      .load(indexDir)
+      .where(col("letter").isin(letters: _*))
+      .select(col("word"), col("doc_ids"))
+  }
+
   /** Conjunctive retrieval served DIRECTLY from the sharded postings
     * relation (word, shard, doc_ids) — [[InvertedIndex.postingsShardedRaw]],
     * the declared 100 TB index representation. No shard is ever

@@ -16,24 +16,34 @@ import org.apache.spark.sql.types._
 object EventStream {
 
   /** The events schema as Structured Streaming needs it declared up front.
-    * `ts` is BIGINT nanoseconds (see EventsSource: Spark cannot read parquet
-    * TIMESTAMP(NANOS) natively).
+    * `ts`'s scanned type is Spark-version-dependent (BIGINT nanos under the
+    * legacy flag; TIMESTAMP_NTZ on Spark 4.1.2+ — see EventsSource), so the
+    * stream schema is built around whatever dtype a batch probe of the same
+    * directory reports.
     */
-  val EventSchema: StructType = StructType(Seq(
+  def eventSchema(tsType: org.apache.spark.sql.types.DataType): StructType = StructType(Seq(
     StructField("event_id", LongType),
-    StructField("ts", LongType),
+    StructField("ts", tsType),
     StructField("user_id", LongType),
     StructField("event_type", StringType),
     StructField("value", DoubleType),
     StructField("props", StringType)))
 
-  /** Open a streaming read over a directory of events parquet files. */
+  /** Open a streaming read over a directory of events parquet files.
+    *
+    * A metadata-only batch read probes how this Spark version scans the
+    * parquet TIMESTAMP(NANOS) `ts` column (footer read, no data scan), so
+    * the declared stream schema always matches the scan and `ts_us`/`ts_t`
+    * are derived the same way as the batch `EventsSource.events`.
+    */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val tsType = spark.read.parquet(dir).schema("ts").dataType
     spark.readStream
-      .schema(EventSchema)
+      .schema(eventSchema(tsType))
       .parquet(dir)
-      .withColumn("ts_t", timestamp_micros(expr("ts div 1000")))
+      .withColumn("ts_us", graft.sources.EventsSource.tsUsColumn(tsType))
+      .withColumn("ts_t", timestamp_micros(col("ts_us")))
   }
 
   /** Tumbling 1-hour windowed counts/sums per event type, 2-hour watermark
@@ -62,7 +72,7 @@ object EventStream {
   def sessionCounts(spark: SparkSession, events: DataFrame): org.apache.spark.sql.Dataset[UserSessions] = {
     import spark.implicits._
     events
-      .select(col("user_id").as("uid"), expr("ts div 1000").as("tsUs"))
+      .select(col("user_id").as("uid"), col("ts_us").as("tsUs"))
       .as[(Long, Long)]
       .groupByKey(_._1)
       .mapGroupsWithState[SessState, UserSessions](GroupStateTimeout.NoTimeout) {
