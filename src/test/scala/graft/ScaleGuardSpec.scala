@@ -162,6 +162,104 @@ class ScaleGuardSpec extends SparkSpec {
       s"got ${pairs.length} pairs for $nonEmptyBase tokenizable base docs x ${Factor - 1}")
   }
 
+  test("minhash candidatesFromIndex cap binds at 50x; indexed == inline") {
+    val index = Dedup.minhashIndex(docsSmall50)
+    // replicas share shingles → signatures → band keys, so every band
+    // bucket holds a full replica set; a cap below the factor drops all
+    assert(Dedup.candidatesFromIndex(index, maxBucket = Factor - 1).count() == 0,
+      "a cap below the replication factor must drop every band bucket")
+    // under the default cap the index-served pairs are EXACTLY the inline
+    // pairs — the amortized corpus-snapshot path may not change the result
+    val indexed = Dedup.candidatesFromIndex(index)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = Dedup.minhashCandidates(docsSmall50)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(indexed.nonEmpty && indexed == inline,
+      s"index-served (${indexed.size}) must equal inline (${inline.size}) at 50x")
+  }
+
+  test("keep-best at 50x: one keeper per duplicate group, max quality wins") {
+    val groups = Dedup.duplicateGroups(
+      Dedup.candidatesFromIndex(Dedup.minhashIndex(docsSmall50)))
+    val quality = docsSmall50.select(
+      col("doc_id"), (col("doc_id") % 997L).cast("double").as("q"))
+    val members = groups.join(quality, "doc_id")
+      .collect()
+      .map(r => (r.getLong(1), (r.getLong(0), r.getDouble(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val kept = Dedup.keepBest(groups, quality).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getLong(3)))).toMap
+    assert(kept.nonEmpty && kept.keySet == members.keySet, "exactly one keeper per group")
+    members.foreach { case (g, ms) =>
+      val (keepId, bestQ, nMembers) = kept(g)
+      val maxQ = ms.map(_._2).max
+      val wantKeep = ms.filter(_._2 == maxQ).map(_._1).min // q ties: smallest id
+      assert(bestQ == maxQ && keepId == wantKeep && nMembers == ms.length,
+        s"group $g: got (keep=$keepId q=$bestQ n=$nMembers), want (keep=$wantKeep q=$maxQ n=${ms.length})")
+    }
+  }
+
+  test("containment pairs at 50x replica corpus: each base contained in every replica") {
+    val pairs = Dedup
+      .containmentPairs(corpus = docsSmall50, queries = docsSmall, threshold = 1.0)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(pairs.forall(_._3 == 1.0), "threshold 1.0 admits only full containment")
+    val nonEmptyBase = docsSmall
+      .where(length(regexp_replace(lower(col("text")), "[^a-z]", "")) > 0)
+      .count()
+    val nSameBase = pairs.count(p => sameBase(p._1, p._2))
+    assert(nSameBase == nonEmptyBase * Factor,
+      s"every tokenizable base doc is contained in exactly its $Factor replicas; got $nSameBase")
+  }
+
+  // media replica sets: each base's bytes repeated 50x under distinct ids —
+  // every perceptual-hash band bucket then holds >= 50 members, so the
+  // hot-bucket caps are the only guard against quadratic in-bucket expansion
+  private def mediaReplicas(
+      kind: String, bases: Seq[Long], mk: Long => Array[Byte]) = {
+    import spark.implicits._
+    bases.flatMap(b => (0 until Factor).map(r =>
+      graft.operators.Multimodal.MediaRecord(b + r * 1000000000L, kind, mk(b), ""))).toDS()
+  }
+
+  test("image near-dup cap binds at 50x; replicas pair exactly once at hamming 0") {
+    import graft.operators.Multimodal
+    val imgs = mediaReplicas("image", Seq(1L, 2L, 3L), b => Multimodal.synthPng(32, 32, b))
+    assert(Multimodal.imageNearDupPairs(imgs, maxBucket = Factor - 1).count() == 0,
+      "a cap below the replication factor must drop every dHash band bucket")
+    val pairs = Multimodal.imageNearDupPairs(imgs)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val same = pairs.filter(p => sameBase(p._1, p._2))
+    assert(same.length == 3 * (Factor * (Factor - 1) / 2),
+      s"every replica pair exactly once; got ${same.length}")
+    assert(same.forall(_._3 == 0), "byte-identical replicas hash identically")
+  }
+
+  test("audio near-dup cap binds at 50x; replicas pair exactly once at hamming 0") {
+    import graft.operators.Multimodal
+    val clips = mediaReplicas("audio", Seq(1L, 2L, 3L), b => Multimodal.synthWav(2000, 1000, b))
+    assert(Multimodal.audioNearDupPairs(clips, maxBucket = Factor - 1).count() == 0,
+      "a cap below the replication factor must drop every fingerprint band bucket")
+    val pairs = Multimodal.audioNearDupPairs(clips)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    val same = pairs.filter(p => sameBase(p._1, p._2))
+    assert(same.length == 3 * (Factor * (Factor - 1) / 2),
+      s"every replica pair exactly once; got ${same.length}")
+    assert(same.forall(_._3 == 0), "byte-identical replicas fingerprint identically")
+  }
+
+  test("video near-dup cap binds at 50x; replicas share all sampled frames") {
+    import graft.operators.Multimodal
+    val vids = mediaReplicas("video", Seq(1L, 2L, 3L), b => Multimodal.synthGif(16, 16, 6, b))
+    assert(Multimodal.videoNearDupPairs(vids, minShared = 1, maxBucket = Factor - 1).count() == 0,
+      "a cap below the replication factor must drop every frame-hash bucket")
+    val pairs = Multimodal.videoNearDupPairs(vids, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val same = pairs.filter(p => sameBase(p._1, p._2))
+    assert(same.length == 3 * (Factor * (Factor - 1) / 2),
+      s"every replica pair exactly once; got ${same.length}")
+  }
+
   test("chunk-dedup maxDf binds before the join under 50x replication") {
     import graft.operators.Chunking
     assert(Chunking.chunkDupPairs(docsSmall50, maxDf = Factor - 10).count() == 0,
