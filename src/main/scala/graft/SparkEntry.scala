@@ -356,6 +356,28 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    // -- the same merge against the ON-DISK index: write the even half to
+    //    a.txt…z.txt, merge the odd half's postings into a NEW snapshot
+    //    through the graft-letters reader (the input snapshot is never
+    //    modified), read the merged snapshot back. Must equal the
+    //    in-memory merge — same oracle SQL. Completes the letter format's
+    //    lifecycle: build → write → read → query → maintain.
+    "q_index_merge_disk" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = java.nio.file.Files.createTempDirectory("graft-idx-base").toString
+      val snap = java.nio.file.Files.createTempDirectory("graft-idx-snap").toString
+      graft.sources.LetterSink.writeExact(
+        Engine.indexFromTable(docs.where(col("doc_id") % 2 === 0)), base)
+      graft.sources.LetterSink.mergeExact(
+        s, base, Engine.indexFromTable(docs.where(col("doc_id") % 2 === 1)), snap)
+      s.read.format("graft-letters").load(snap)
+        .select(
+          col("word"),
+          array_join(col("doc_ids"), " ").as("doc_ids_str"),
+          col("df"))
+        .orderBy("word")
+    }),
+
     // -- incremental maintenance invariant: remove(index(A), D) ==
     //    index(A \ D); the oracle indexes the filtered corpus directly
     "q_index_remove" -> ((s, dir) => {
@@ -2837,6 +2859,12 @@ object SparkEntry {
     // the merge invariant: merging the even- and odd-doc indexes must give
     // exactly the whole-corpus index, so the oracle IS q_inverted_index
     "q_index_merge" ->
+      s"""WITH $TokCte
+          SELECT word, array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS doc_ids_str,
+                 count(DISTINCT doc_id) AS df
+          FROM tok GROUP BY word ORDER BY word""",
+    // disk-snapshot merge must equal the in-memory merge exactly
+    "q_index_merge_disk" ->
       s"""WITH $TokCte
           SELECT word, array_to_string(list_sort(list(DISTINCT doc_id)), ' ') AS doc_ids_str,
                  count(DISTINCT doc_id) AS df

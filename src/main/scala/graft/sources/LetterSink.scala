@@ -51,6 +51,28 @@ object LetterSink {
     }
   }
 
+  /** Incremental maintenance of an ON-DISK letter index: read the existing
+    * `a.txt`…`z.txt` snapshot back through the `graft-letters` DSv2 reader,
+    * array-union the delta's postings per word
+    * ([[graft.operators.InvertedIndex.mergeIndexes]]), and write the merged
+    * result to `outDir` as a NEW snapshot — the input dir is never touched
+    * (immutable-snapshot semantics: readers of the old index keep a
+    * consistent view while the merge runs, exactly how an at-scale index
+    * rolls versions). Completes the format's lifecycle: build → write →
+    * read → query → MAINTAIN, all in the reference's own file format.
+    *
+    * Returns the 26 output paths.
+    */
+  def mergeExact(
+      spark: org.apache.spark.sql.SparkSession,
+      indexDir: String,
+      delta: DataFrame,
+      outDir: String): Seq[String] = {
+    val existing = spark.read.format("graft-letters").load(indexDir)
+      .select(col("word"), col("doc_ids"))
+    writeExact(graft.operators.InvertedIndex.mergeIndexes(existing, delta), outDir)
+  }
+
   /** Distributed sink: dir-per-letter text write (`letter=a/part-*.txt`). */
   def writePartitioned(postings: DataFrame, outDir: String): Unit =
     formatted(postings)

@@ -42,6 +42,24 @@ class IndexServeSpec extends SparkSpec {
     assert(served.nonEmpty && served == live)
   }
 
+  test("on-disk merge snapshot is byte-identical to the directly-built index") {
+    val docs = spark.read.parquet(s"$dir/documents.parquet")
+    val full = Files.createTempDirectory("graft-merge-full").toString
+    val base = Files.createTempDirectory("graft-merge-base").toString
+    val snap = Files.createTempDirectory("graft-merge-snap").toString
+    graft.sources.LetterSink.writeExact(Engine.indexFromTable(docs), full)
+    graft.sources.LetterSink.writeExact(
+      Engine.indexFromTable(docs.where(col("doc_id") % 2 === 0)), base)
+    graft.sources.LetterSink.mergeExact(
+      spark, base, Engine.indexFromTable(docs.where(col("doc_id") % 2 === 1)), snap)
+    ('a' to 'z').foreach { ch =>
+      val a = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(full, s"$ch.txt"))
+      val b = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(snap, s"$ch.txt"))
+      assert(java.util.Arrays.equals(a, b),
+        s"$ch.txt: merged snapshot must be byte-identical to the direct build")
+    }
+  }
+
   test("query letters prune the scan at planning time") {
     val plan = Search.andQueryFromIndex(spark, indexDir, Seq("spark", "query", "join"))
       .queryExecution.executedPlan.toString
