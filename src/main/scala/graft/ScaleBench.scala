@@ -118,6 +118,33 @@ object ScaleBench {
       val (pMax, pDrop, pBound) = bucketStats(Similarity.lshBucketSizes(e, planes, tables = 1))
       report("embedding_neardup_probe", f, pSec, pPairs, pMax, pDrop, pBound)
       e.unpersist()
+
+      // events sessionization: replicate by USER (each replica is a new
+      // user with an identical event pattern), so both the window-state
+      // cardinality and the shuffle grow linearly with the factor — the
+      // scale axis a 100 TB event log actually grows along. The per-user
+      // window frame stays constant-size, so wall time should scale with
+      // data, not quadratically.
+      val ev = replicated(
+        graft.sources.EventsSource.events(spark, sfDir)
+          .select("user_id", "event_id", "ts_us"),
+        "user_id", f).localCheckpoint(true)
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(asc("ts_us"), asc("event_id"))
+      var nSess = 0L
+      val vSec = time {
+        nSess = ev
+          .withColumn("prev_us", lag(col("ts_us"), 1).over(byUser))
+          .withColumn("new_sess",
+            when(col("prev_us").isNull || col("ts_us") - col("prev_us") > 1800000000L, 1)
+              .otherwise(0))
+          .groupBy(col("user_id"))
+          .agg(sum(col("new_sess")).as("n_sessions"))
+          .count()
+      }
+      println(
+        s"""{"pipeline":"sessionization","factor":$f,"sec":${f"$vSec%.3f"},"users":$nSess}""")
+      ev.unpersist()
     }
     spark.stop()
   }
