@@ -84,6 +84,44 @@ object SparkEntry {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // -- scan / projection / filter / string functions (SURVEY §2b rows 1-5)
+    // -- interchange formats: the corpus written out and read back through
+    //    each in-box format (JSON-lines, CSV, ORC), then aggregated — pins
+    //    the roundtrip lossless against the oracle's direct parquet read.
+    //    Schema is declared on re-read (never inferred: schema inference
+    //    re-scans the data and can widen types), CSV quotes/escapes the
+    //    free-text column. At scale these are the ingest/egress paths a
+    //    real corpus walks (vendor drops arrive as JSONL/CSV, ORC feeds
+    //    Hive-side consumers); the aggregation proves values, not just
+    //    row counts, survive the roundtrip.
+    "q_format_roundtrip" -> ((s, dir) => {
+      import org.apache.spark.sql.types._
+      val docs = t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars", "text")
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType), StructField("lang", StringType),
+        StructField("source", StringType), StructField("n_chars", LongType),
+        StructField("text", StringType)))
+      val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
+      docs.write.mode("overwrite").json(s"$base/j")
+      docs.write.mode("overwrite").option("header", "true").option("escape", "\"").csv(s"$base/c")
+      docs.write.mode("overwrite").orc(s"$base/o")
+      def agg(df: org.apache.spark.sql.DataFrame, fmt: String) = df
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(length(col("text"))).as("sum_text_len"),
+          // content checksum both engines can replay: 32-bit md5 prefix
+          // (15 hex digits overflowed the BIGINT sum under ANSI mode)
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")).as("sum_text_md5"))
+        .select(lit(fmt).as("fmt"), col("lang"), col("n_docs"),
+          col("sum_chars"), col("sum_text_len"), col("sum_text_md5"))
+      agg(s.read.schema(schema).json(s"$base/j"), "json")
+        .unionByName(agg(
+          s.read.schema(schema).option("header", "true").option("escape", "\"").csv(s"$base/c"), "csv"))
+        .unionByName(agg(s.read.schema(schema).orc(s"$base/o"), "orc"))
+        .orderBy("fmt", "lang")
+    }),
+
     "q_scan_project" -> ((s, dir) => {
       t(s, dir, "documents")
         .where(col("n_chars") > 100)
@@ -2715,6 +2753,17 @@ object SparkEntry {
   // ------------------------------------------------------------- oracle SQL
 
   def oracleSql: Map[String, String] = Map(
+    // the roundtrip through every format must preserve exactly what a
+    // direct read of the source table aggregates to — one row set per fmt
+    "q_format_roundtrip" ->
+      """WITH a AS (
+           SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
+                  sum(length(text)) AS sum_text_len,
+                  sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS sum_text_md5
+           FROM documents GROUP BY lang)
+         SELECT fmt, lang, n_docs, sum_chars, sum_text_len, sum_text_md5
+         FROM a CROSS JOIN (SELECT unnest(['csv', 'json', 'orc']) AS fmt)
+         ORDER BY fmt, lang""",
     "q_scan_project" ->
       """SELECT doc_id, lang, n_chars, length(text) AS text_len, upper(lang) AS lang_uc,
          substr(text, 1, 20) AS head, lang || '/' || source AS tag
