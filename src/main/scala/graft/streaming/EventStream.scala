@@ -88,6 +88,55 @@ object EventStream {
       }
   }
 
+  /** Streaming twin of the batch decayed-counts query (Journeys
+    * .decayedCounts): per event type, the half-life-weighted activity
+    * Σᵢ 2^(−(T − tᵢ)/halflife), maintained INCREMENTALLY with O(1) state
+    * per key — (lastTsUs, sum-decayed-to-lastTs, n).
+    *
+    * The update is ORDER-INDEPENDENT, so late/out-of-order events need no
+    * buffering: an event at ts ≥ lastTs decays the accumulated sum forward
+    * (sum·2^(−Δ/hl) + 1) and advances the reference; an event at ts <
+    * lastTs adds its own already-decayed contribution (2^(−Δ/hl)) without
+    * moving it. Both are algebraically exact for Σ 2^(−(lastTs−tᵢ)/hl).
+    *
+    * Emits (eventType, n, decayedAtLast, lastTsUs) in Update mode; a
+    * serving layer rescales to any reference time T with
+    * decayedAtLast · 2^(−(T−lastTs)/hl) — which is how the parity spec
+    * pins streaming == batch (the batch query references the global max
+    * event time). At 100 TB/day the state stays |event types|-sized.
+    */
+  case class DecayState(lastTsUs: Long, sum: Double, n: Long)
+  case class DecayedCount(eventType: String, n: Long, decayedAtLast: Double, lastTsUs: Long)
+
+  def decayedCounts(
+      spark: SparkSession,
+      events: DataFrame,
+      halfLifeUs: Long): org.apache.spark.sql.Dataset[DecayedCount] = {
+    import spark.implicits._
+    events
+      .select(col("event_type"), col("ts_us"))
+      .as[(String, Long)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[DecayState, DecayedCount](GroupStateTimeout.NoTimeout) {
+        case (key, rows, state: GroupState[DecayState]) =>
+          var st = state.getOption.getOrElse(DecayState(Long.MinValue, 0.0, 0L))
+          rows.foreach { case (_, ts) =>
+            st =
+              if (st.lastTsUs == Long.MinValue) DecayState(ts, 1.0, 1L)
+              else if (ts >= st.lastTsUs) DecayState(
+                ts,
+                st.sum * math.pow(2.0, -((ts - st.lastTsUs).toDouble / halfLifeUs)) + 1.0,
+                st.n + 1)
+              else DecayState(
+                st.lastTsUs,
+                st.sum + math.pow(2.0, -((st.lastTsUs - ts).toDouble / halfLifeUs)),
+                st.n + 1)
+          }
+          state.update(st)
+          DecayedCount(key, st.n, st.sum, st.lastTsUs)
+      }
+  }
+
   /** Streaming exact dedup: drop repeated event_ids, with the watermark
     * bounding the dedup state (the streaming twin of Dedup.exact — at 100 TB
     * of events/day the state only holds the watermark horizon, not history).

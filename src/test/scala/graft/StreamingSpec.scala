@@ -70,6 +70,31 @@ class StreamingSpec extends SparkSpec {
     got.zip(want).foreach { case (g, w) => assert(g == w) }
   }
 
+  test("streaming decayed counts rescale to the batch decayed-counts query") {
+    val hl = 86400000000L
+    val stream = EventStream.readEvents(spark, streamDir)
+    EventStream.runToMemory(
+      EventStream.decayedCounts(spark, stream, hl).toDF(), "decayed", OutputMode.Update())
+    val rows = spark.table("decayed")
+      .select(col("eventType"), col("n"), col("decayedAtLast"), col("lastTsUs"))
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2), r.getLong(3))))
+      .toMap
+    // the batch query references the GLOBAL max event time; each key's
+    // state holds the sum decayed to its OWN last event — rescale forward
+    val tMax = rows.values.map(_._3).max
+    val got = rows.map { case (k, (n, sum, last)) =>
+      val rescaled = sum * math.pow(2.0, -((tMax - last).toDouble / hl))
+      (k, (n, math.floor(rescaled * 1e4 + 0.5) / 1e4))
+    }
+    val want = SparkEntry.queries("q_decayed_counts")(spark, dir)
+      .collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getDouble(2))))
+      .toMap
+    assert(got.nonEmpty)
+    assert(got == want, s"streaming-rescaled $got != batch $want")
+  }
+
   test("stateful session counts match batch sessionization") {
     val stream = EventStream.readEvents(spark, streamDir)
     EventStream.runToMemory(
