@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CleanToken, RewriteSortedCollectSet, SortedDistinctSetAgg}
+import graft.plans.{CleanToken, RewriteSortedCollectSet, SortedDistinctSetAgg, SpaceSavingAgg}
 
 /** Engine extensions, installable on any session:
   *
@@ -24,6 +24,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("sorted_set_agg"),
       new ExpressionInfo(classOf[SortedDistinctSetAgg].getName, "sorted_set_agg"),
       (exprs: Seq[Expression]) => SortedDistinctSetAgg(exprs.head).toAggregateExpression()))
+    // mergeable frequent-items sketch: capacity-bounded per-task state,
+    // partial sketches merge up the exchange — the raw-stream heavy-hitter
+    // shape (see graft.plans.SpaceSavingAgg)
+    e.injectFunction((
+      FunctionIdentifier("spacesaving_topk"),
+      new ExpressionInfo(classOf[SpaceSavingAgg].getName, "spacesaving_topk"),
+      (exprs: Seq[Expression]) => SpaceSavingAgg(exprs(0), exprs(1)).toAggregateExpression()))
     e.injectFunction((
       FunctionIdentifier("graft_clean_token"),
       new ExpressionInfo(classOf[CleanToken].getName, "graft_clean_token"),

@@ -196,6 +196,22 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // -- heavy hitters via the MERGEABLE SpaceSaving sketch (native
+    //    TypedImperativeAggregate, spacesaving_topk): capacity-bounded
+    //    per-task state, partial sketches merge up the exchange — nothing
+    //    key-cardinality-sized ever shuffles, the raw-stream shape at
+    //    100 TB. Capacity (64) exceeds this corpus's vocabulary, so the
+    //    sketch is provably exact here (no eviction, err = 0) and the
+    //    oracle is the exact count; eviction-mode error bounds and the
+    //    overestimate invariant are pinned in SpaceSavingSpec.
+    "q_heavy_keys_sketch" -> ((s, dir) => {
+      Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))
+        .agg(expr("spacesaving_topk(word, 64)").as("sk"))
+        .select(explode(col("sk")).as("e"))
+        .select(col("e.key").as("word"), col("e.est").as("cnt"), col("e.err").as("err"))
+        .orderBy(desc("cnt"), asc("word"))
+    }),
+
     // -- heavy-hitter key profile: the pre-join skew diagnosis that
     //    decides between salting and AQE skew handling; exact counts,
     //    partial-agg + TakeOrderedAndProject, no window over data rows
@@ -2822,6 +2838,11 @@ object SparkEntry {
                   AS decayed_r
          FROM events CROSS JOIN t
          GROUP BY 1 ORDER BY 1""",
+    // capacity > vocabulary => the sketch never evicts and is exact
+    "q_heavy_keys_sketch" ->
+      s"""WITH $TokCte
+          SELECT word, count(*) AS cnt, 0::BIGINT AS err
+          FROM tok GROUP BY word ORDER BY cnt DESC, word""",
     "q_key_skew" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
          t AS (SELECT count(*)::DOUBLE AS total FROM events)
