@@ -145,6 +145,31 @@ object ScaleBench {
       println(
         s"""{"pipeline":"sessionization","factor":$f,"sec":${f"$vSec%.3f"},"users":$nSess}""")
       ev.unpersist()
+
+      // heavy hitters as KEY CARDINALITY grows: replicating by user
+      // multiplies the distinct-key space by the factor. The exact path's
+      // aggregation state grows with it; the SpaceSaving sketch holds 64
+      // entries per task regardless — the raw-stream shape where the
+      // distinct keys of 100 TB don't fit anywhere
+      val evHeavy = replicated(
+        graft.sources.EventsSource.events(spark, sfDir).select("user_id", "event_id"),
+        "user_id", f)
+        .selectExpr("cast(user_id AS string) AS k")
+        .localCheckpoint(true)
+      var topSketch = 0L
+      val skSec = time {
+        topSketch = evHeavy.selectExpr("spacesaving_topk(k, 64) AS sk")
+          .selectExpr("explode(sk) AS e").count()
+      }
+      var topExact = 0L
+      val exSec = time {
+        topExact = evHeavy.groupBy(col("k")).count()
+          .orderBy(desc("count"), asc("k")).limit(64).count()
+      }
+      println(
+        s"""{"pipeline":"heavy_hitters","factor":$f,"sketch_sec":${f"$skSec%.3f"},""" +
+        s""""exact_sec":${f"$exSec%.3f"},"sketch_rows":$topSketch,"exact_rows":$topExact}""")
+      evHeavy.unpersist()
     }
     spark.stop()
   }

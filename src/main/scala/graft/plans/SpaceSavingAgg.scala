@@ -40,6 +40,30 @@ final class SpaceSavingSketch(val capacity: Int) {
   val entries = new java.util.HashMap[UTF8String, Array[Long]]()
   var totalN: Long = 0L
 
+  // Amortized-O(1) eviction (the naive per-miss min SCAN measured 3×
+  // SLOWER than an exact groupBy at 75k distinct keys / capacity 64 —
+  // 64 compares × one per miss): cache the current minimum count and the
+  // keys sitting at it. A miss pops a pooled key (skipping entries whose
+  // count grew since pooling — counts only increase, so a stale entry is
+  // detectable by a single compare); the pool refills with one O(capacity)
+  // scan only when it drains, which under eviction pressure is roughly
+  // once per `capacity` misses. Transient: rebuilt lazily after
+  // merge/trim/deserialize.
+  private var minC: Long = 0L
+  private val minPool = new java.util.ArrayDeque[UTF8String]()
+
+  private def rebuildPool(): Unit = {
+    var m = Long.MaxValue
+    val it = entries.values().iterator()
+    while (it.hasNext) { val c = it.next()(0); if (c < m) m = c }
+    minC = m
+    val it2 = entries.entrySet().iterator()
+    while (it2.hasNext) {
+      val en = it2.next()
+      if (en.getValue()(0) == minC) minPool.add(en.getKey)
+    }
+  }
+
   private def minCount: Long = {
     if (entries.size < capacity) return 0L
     var m = Long.MaxValue
@@ -53,16 +77,17 @@ final class SpaceSavingSketch(val capacity: Int) {
     val e = entries.get(k)
     if (e != null) { e(0) += 1; return }
     if (entries.size < capacity) { entries.put(k.clone(), Array(1L, 0L)); return }
-    // evict the min-count entry; the newcomer inherits its count as error
-    var minK: UTF8String = null
-    var minC = Long.MaxValue
-    val it = entries.entrySet().iterator()
-    while (it.hasNext) {
-      val en = it.next()
-      if (en.getValue()(0) < minC) { minC = en.getValue()(0); minK = en.getKey }
+    // evict a min-count entry; the newcomer inherits its count as error
+    while (true) {
+      if (minPool.isEmpty) rebuildPool()
+      val mk = minPool.poll()
+      val me = entries.get(mk)
+      if (me != null && me(0) == minC) {
+        entries.remove(mk)
+        entries.put(k.clone(), Array(minC + 1, minC))
+        return
+      }
     }
-    entries.remove(minK)
-    entries.put(k.clone(), Array(minC + 1, minC))
   }
 
   /** Add a pre-aggregated entry (merge path). */
@@ -96,6 +121,7 @@ final class SpaceSavingSketch(val capacity: Int) {
     }
     totalN += o.totalN
     trim()
+    minPool.clear() // counts changed — min cache is stale
   }
 
   /** Keep the `capacity` largest counts (ties: key ASC for determinism). */
