@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CleanToken, RewriteSortedCollectSet, SortedDistinctSetAgg, SpaceSavingAgg}
+import graft.plans.{CleanToken, KmvNdvAgg, RewriteSortedCollectSet, SortedDistinctSetAgg, SpaceSavingAgg}
 
 /** Engine extensions, installable on any session:
   *
@@ -31,6 +31,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("spacesaving_topk"),
       new ExpressionInfo(classOf[SpaceSavingAgg].getName, "spacesaving_topk"),
       (exprs: Seq[Expression]) => SpaceSavingAgg(exprs(0), exprs(1)).toAggregateExpression()))
+    // KMV distinct sketch: deterministic bottom-k-by-md5, so sample AND
+    // estimate replay exactly cross-engine (see graft.plans.KmvNdvAgg)
+    e.injectFunction((
+      FunctionIdentifier("kmv_ndv"),
+      new ExpressionInfo(classOf[KmvNdvAgg].getName, "kmv_ndv"),
+      (exprs: Seq[Expression]) => KmvNdvAgg(exprs(0), exprs(1)).toAggregateExpression()))
     e.injectFunction((
       FunctionIdentifier("graft_clean_token"),
       new ExpressionInfo(classOf[CleanToken].getName, "graft_clean_token"),

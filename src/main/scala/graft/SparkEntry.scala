@@ -212,6 +212,19 @@ object SparkEntry {
         .orderBy(desc("cnt"), asc("word"))
     }),
 
+    // -- distinct-count sketch via KMV (native kmv_ndv aggregate):
+    //    bottom-64-by-md5 distinct user keys + the (k−1)/R estimate.
+    //    Deterministic under ANY partitioning/merge order (bottom-k of a
+    //    fixed hash), so the oracle replays the sketch EXACTLY in SQL —
+    //    estimate and sample both — unlike HLL's opaque registers. State
+    //    is 64 entries per task; nothing key-cardinality-sized shuffles.
+    "q_ndv_sketch" -> ((s, dir) => {
+      graft.sources.EventsSource.events(s, dir)
+        .selectExpr("concat('u', cast(user_id AS string)) AS k")
+        .agg(expr("kmv_ndv(k, 64)").as("r"))
+        .select(col("r.ndv_est").as("ndv_est"), col("r.sample").as("sample"))
+    }),
+
     // -- heavy-hitter key profile: the pre-join skew diagnosis that
     //    decides between salting and AQE skew handling; exact counts,
     //    partial-agg + TakeOrderedAndProject, no window over data rows
@@ -2838,6 +2851,17 @@ object SparkEntry {
                   AS decayed_r
          FROM events CROSS JOIN t
          GROUP BY 1 ORDER BY 1""",
+    // the KMV sketch is deterministic, so the oracle replays it exactly:
+    // same 60-bit md5-prefix hash, same bottom-64, same (k-1)/R estimate
+    "q_ndv_sketch" ->
+      """WITH h AS (SELECT DISTINCT 'u' || user_id::VARCHAR AS key,
+                           ('0x' || substr(md5('u' || user_id::VARCHAR), 1, 15))::BIGINT AS h
+                    FROM events),
+            b AS (SELECT key, h FROM h ORDER BY h LIMIT 64),
+            e AS (SELECT max(h) AS kth FROM b)
+          SELECT floor((63.0 / (kth::DOUBLE / 1152921504606846976.0)) * 1e4 + 0.5) / 1e4 AS ndv_est,
+                 (SELECT list(key ORDER BY h) FROM b) AS sample
+          FROM e""",
     // capacity > vocabulary => the sketch never evicts and is exact
     "q_heavy_keys_sketch" ->
       s"""WITH $TokCte
