@@ -50,6 +50,31 @@ class KmvSpec extends AnyFunSuite {
       s"bottom-k of a fixed hash must not depend on partitioning/order: $a / $b / $c")
   }
 
+  test("the sketch aggregates run UNCHANGED in Structured Streaming (Complete mode)") {
+    import spark.implicits._
+    // a TypedImperativeAggregate is just an aggregate: the same kmv_ndv
+    // expression tree must work as a streaming stateful aggregation and,
+    // on a static input, equal the batch result exactly (determinism again)
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv-stream")
+    (0 until 3000).map(i => s"key_${i % 700}").toDF("k")
+      .coalesce(2).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType))))
+      .parquet(dir.toString)
+      .agg(expr("kmv_ndv(k, 64)").as("r"))
+      .select(col("r.ndv_est"), col("r.sample"))
+    val q = stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .format("memory").queryName("kmv_stream").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("kmv_stream")
+      .collect().map(r => (r.getDouble(0), r.getSeq[String](1))).head
+    val want = sketch(spark.read.parquet(dir.toString), 64)
+    assert(got == want, s"streaming sketch $got != batch sketch $want")
+  }
+
   test("k=256 estimate lands within 20% of a 5000-key truth") {
     import spark.implicits._
     val df = (0 until 5000).flatMap(i => Seq.fill(3)(s"key_$i")).toDF("k").repartition(8)
