@@ -46,6 +46,53 @@ class SpaceSavingSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: invariants hold over 200 random streams, splits, and merge orders") {
+    // unit-level (no Spark): the min-credit merge rule is the subtle part
+    // of the sketch — fuzz it directly against exact counts
+    val rnd = new java.util.Random(20260813L)
+    for (case_ <- 0 until 200) {
+      val capacity = 4 + rnd.nextInt(29) // 4..32
+      val nKeys    = 2 + rnd.nextInt(200)
+      val nEvents  = 50 + rnd.nextInt(2000)
+      // zipf-ish: key i drawn with weight ~ 1/(i+1)
+      val stream = Seq.fill(nEvents) {
+        var i = 0
+        while (i < nKeys - 1 && rnd.nextDouble() > 0.3) i += 1
+        s"k$i"
+      }
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      // random split into 1..5 partial sketches, random merge order
+      val nParts  = 1 + rnd.nextInt(5)
+      val parts   = Array.fill(nParts)(new graft.plans.SpaceSavingSketch(capacity))
+      stream.foreach(s =>
+        parts(rnd.nextInt(nParts)).add(org.apache.spark.unsafe.types.UTF8String.fromString(s)))
+      val order   = scala.util.Random.javaRandomToRandom(rnd).shuffle(parts.toList)
+      val merged  = order.reduceLeft { (a, b) => a.merge(b); a }
+      assert(merged.totalN == nEvents)
+      assert(merged.entries.size() <= capacity)
+      val n = nEvents.toLong
+      val it = merged.entries.entrySet().iterator()
+      val reported = scala.collection.mutable.Set[String]()
+      while (it.hasNext) {
+        val en   = it.next()
+        val key  = en.getKey.toString
+        val est  = en.getValue()(0)
+        val err  = en.getValue()(1)
+        val t    = truth.getOrElse(key, 0L)
+        reported += key
+        assert(est >= t, s"case $case_: $key est=$est < true=$t (cap=$capacity parts=$nParts)")
+        assert(est - t <= err, s"case $case_: $key est=$est true=$t err=$err unsound")
+        assert(err <= n, s"case $case_: err=$err > N=$n")
+      }
+      // recall: true count > 2N/capacity must be reported (2x slack over
+      // the single-stream N/capacity bound to absorb merge-credit growth)
+      truth.filter(_._2 > 2 * n / capacity).keys.foreach { k =>
+        assert(reported(k),
+          s"case $case_: heavy key $k (true=${truth(k)}, 2N/cap=${2 * n / capacity}) missing")
+      }
+    }
+  }
+
   test("under eviction: overestimate invariant, per-key error bound, heavy-hitter recall") {
     import spark.implicits._
     val capacity = 16
