@@ -225,6 +225,20 @@ object SparkEntry {
         .select(col("r.ndv_est").as("ndv_est"), col("r.sample").as("sample"))
     }),
 
+    // -- the KMV sketch as a GROUPED aggregate: per-source vocabulary NDV
+    //    estimate (k=16 < vocab, so every group runs in estimation mode)
+    //    — still exactly replayable because bottom-k-by-md5 is
+    //    deterministic per group; partial sketches merge per (group, task)
+    "q_ndv_per_source" -> ((s, dir) => {
+      Tokenize.tokens(t(s, dir, "documents").select("doc_id", "source", "text"),
+          "text", Seq("doc_id", "source"))
+        .groupBy(col("source"))
+        .agg(expr("kmv_ndv(word, 16)").as("r"))
+        .select(col("source"), col("r.ndv_est").as("ndv_est"),
+          size(col("r.sample")).cast("long").as("n_sample"))
+        .orderBy("source")
+    }),
+
     // -- heavy-hitter key profile: the pre-join skew diagnosis that
     //    decides between salting and AQE skew handling; exact counts,
     //    partial-agg + TakeOrderedAndProject, no window over data rows
@@ -2851,6 +2865,26 @@ object SparkEntry {
                   AS decayed_r
          FROM events CROSS JOIN t
          GROUP BY 1 ORDER BY 1""",
+    // per-group KMV: bottom-16 per source, same deterministic replay
+    "q_ndv_per_source" ->
+      """WITH tk AS (
+           SELECT source,
+                  regexp_replace(lower(unnest(regexp_split_to_array(text, '\s+'))), '[^a-z]', '', 'g') AS w
+           FROM documents),
+         tok2 AS (SELECT source, w AS word FROM tk WHERE w <> ''),
+         h AS (SELECT DISTINCT source, word,
+                      ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+               FROM tok2),
+         b AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+         g AS (SELECT source, count(*) AS nd FROM h GROUP BY source),
+         kth AS (SELECT source, max(h) AS kh FROM b WHERE rn <= 16 GROUP BY source)
+         SELECT g.source,
+                CASE WHEN g.nd < 16 THEN g.nd::DOUBLE
+                     ELSE floor((15.0 / (kth.kh::DOUBLE / 1152921504606846976.0)) * 1e4 + 0.5) / 1e4
+                END AS ndv_est,
+                least(g.nd, 16) AS n_sample
+         FROM g JOIN kth USING (source)
+         ORDER BY source""",
     // the KMV sketch is deterministic, so the oracle replays it exactly:
     // same 60-bit md5-prefix hash, same bottom-64, same (k-1)/R estimate
     "q_ndv_sketch" ->
