@@ -81,13 +81,15 @@ class LetterIndexTable(dir: String) extends Table with SupportsRead {
 class LetterIndexScanBuilder(dir: String)
   extends ScanBuilder
   with SupportsPushDownFilters
-  with SupportsPushDownRequiredColumns {
+  with SupportsPushDownRequiredColumns
+  with SupportsPushDownLimit {
 
   private var required: StructType = LetterIndexDataSource.Schema
   private var consumed: Array[Filter] = Array.empty
   // None = no letter predicate (all 26); Some(set) = intersection of all
   // pushed letter constraints (conjunctive filter semantics)
   private var keptLetters: Option[Set[String]] = None
+  private var limit: Option[Int] = None
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -109,19 +111,36 @@ class LetterIndexScanBuilder(dir: String)
 
   override def pushedFilters(): Array[Filter] = consumed
 
-  override def build(): Scan = new LetterIndexScan(dir, required, keptLetters)
+  /** Lines are stored in (df DESC, word ASC) impact order, so a global
+    * LIMIT n is served by the TOP n lines of each kept file — each
+    * partition stops parsing (and the id split, the expensive part) after
+    * n lines; Spark applies the global limit above. PARTIAL push: Spark
+    * keeps its own limit operator (return false), the scan just reads
+    * less.
+    */
+  override def pushLimit(n: Int): Boolean = {
+    limit = Some(n)
+    false // partial: the scan bounds per-partition rows, Spark finishes
+  }
+
+  override def build(): Scan = new LetterIndexScan(dir, required, keptLetters, limit)
 }
 
 case class LetterFilePartition(letter: String, path: String) extends InputPartition
 
-class LetterIndexScan(dir: String, required: StructType, kept: Option[Set[String]])
+class LetterIndexScan(
+    dir: String,
+    required: StructType,
+    kept: Option[Set[String]],
+    limit: Option[Int] = None)
   extends Scan with Batch {
 
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String = {
     val letters = kept.map(_.toSeq.sorted.mkString("{", ",", "}")).getOrElse("*")
-    s"graft-letters $dir, letters=$letters, columns=${required.fieldNames.mkString(",")}"
+    val lim     = limit.map(n => s", limit=$n").getOrElse("")
+    s"graft-letters $dir, letters=$letters, columns=${required.fieldNames.mkString(",")}$lim"
   }
 
   override def planInputPartitions(): Array[InputPartition] =
@@ -133,13 +152,14 @@ class LetterIndexScan(dir: String, required: StructType, kept: Option[Set[String
       .toArray
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new LetterIndexReaderFactory(required)
+    new LetterIndexReaderFactory(required, limit)
 }
 
-class LetterIndexReaderFactory(required: StructType) extends PartitionReaderFactory {
+class LetterIndexReaderFactory(required: StructType, limit: Option[Int] = None)
+  extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[LetterFilePartition]
-    new LetterIndexPartitionReader(p.letter, p.path, required)
+    new LetterIndexPartitionReader(p.letter, p.path, required, limit)
   }
 }
 
@@ -147,7 +167,11 @@ class LetterIndexReaderFactory(required: StructType) extends PartitionReaderFact
   * only the pruned columns — `doc_ids`/`df` skip the id split when
   * neither is required.
   */
-class LetterIndexPartitionReader(letter: String, path: String, required: StructType)
+class LetterIndexPartitionReader(
+    letter: String,
+    path: String,
+    required: StructType,
+    limit: Option[Int] = None)
   extends PartitionReader[InternalRow] {
 
   private val needIds =
@@ -158,6 +182,10 @@ class LetterIndexPartitionReader(letter: String, path: String, required: StructT
   private var current: InternalRow = _
 
   override def next(): Boolean = {
+    // pushed limit: the file is in (df DESC, word ASC) serving order, so
+    // the global top-n is within each file's first n lines — stop parsing
+    // (and the id split) beyond them
+    if (limit.exists(rank >= _)) return false
     val line = reader.readLine()
     if (line == null) return false
     rank += 1

@@ -53,6 +53,18 @@ class LetterIndexReadSpec extends SparkSpec {
     assert(hot.collect().forall(r => r.getString(0) == "t" && r.getInt(4) >= 5))
   }
 
+  test("limit pushdown stops the file parse at the top-n impact-ordered lines") {
+    val top = golden.where(col("letter") === "q").limit(3)
+    val plan = top.queryExecution.executedPlan.toString
+    assert(plan.contains("limit=3"), s"scan must advertise the pushed limit:\n$plan")
+    // q.txt is a single partition, so the limit is deterministic: exactly
+    // the first 3 lines in the sink's (df DESC, word ASC) serving order
+    val got = top.orderBy("rank").collect().map(r => (r.getInt(1), r.getString(2)))
+    val want = Files.readAllLines(Paths.get(goldenDir, "q.txt")).asScala
+      .take(3).zipWithIndex.map { case (l, i) => (i + 1, l.takeWhile(_ != ':')) }
+    assert(got.toSeq == want.toSeq)
+  }
+
   test("column pruning skips the posting parse; sink roundtrip is lossless") {
     val wordsOnly = golden.select("word")
     assert(wordsOnly.queryExecution.executedPlan.toString.contains("columns=word"),
