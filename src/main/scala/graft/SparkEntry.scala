@@ -2892,8 +2892,10 @@ object SparkEntry {
                            ('0x' || substr(md5('u' || user_id::VARCHAR), 1, 15))::BIGINT AS h
                     FROM events),
             b AS (SELECT key, h FROM h ORDER BY h LIMIT 64),
-            e AS (SELECT max(h) AS kth FROM b)
-          SELECT floor((63.0 / (kth::DOUBLE / 1152921504606846976.0)) * 1e4 + 0.5) / 1e4 AS ndv_est,
+            e AS (SELECT max(h) AS kth, count(*) AS m FROM b)
+          SELECT CASE WHEN m < 64 THEN m::DOUBLE  -- below k the sketch is exact
+                      ELSE floor((63.0 / (kth::DOUBLE / 1152921504606846976.0)) * 1e4 + 0.5) / 1e4
+                 END AS ndv_est,
                  (SELECT list(key ORDER BY h) FROM b) AS sample
           FROM e""",
     // capacity > vocabulary => the sketch never evicts and is exact
