@@ -79,7 +79,23 @@ object ExplainAudit {
     "q_minhash_est", "q_minhash_indexed", "q_audio_near_dup",
     "q_dedup_end2end", "q_search_and_indexed", "q_search_or_indexed",
     "q_index_merge_disk", "q_format_roundtrip", "q_heavy_keys_sketch",
-    "q_ndv_sketch", "q_ndv_per_source")
+    "q_ndv_sketch", "q_ndv_per_source",
+    // round 11, completing the audit: every remaining NON-iterative query.
+    // Still excluded (driver-side loops run during DataFrame construction,
+    // so no single static plan exists): the BPE trainer family
+    // (q_bpe_merges/encode/tokenize/fertility, q_pack_bpe), label
+    // propagation (q_dedup_groups/keep_best/shrink, q_image_dup_groups),
+    // and the converge-until-stable k-means (q_kmeans_full).
+    "q_ann_ivfpq_indexed", "q_ann_lsh_buckets", "q_anti_customers",
+    "q_boilerplate_spans", "q_date_math", "q_decontaminate", "q_dedup_exact",
+    "q_distinct_agg", "q_fuzzy_title", "q_index_merge", "q_index_remove",
+    "q_inverted_index_sharded", "q_join_parts", "q_lang_id", "q_letter_stats",
+    "q_pivot", "q_quality_score", "q_scan_project", "q_search_and",
+    "q_search_or", "q_search_or_sharded", "q_search_phrase",
+    "q_search_phrase_indexed", "q_search_tfidf", "q_semi_customers",
+    "q_session_window", "q_sessions", "q_setops", "q_token_count",
+    "q_tokenize", "q_topk_orders", "q_topk_per_letter", "q_window_funcs",
+    "q_window_orders", "q_window_rolling")
 
   def main(args: Array[String]): Unit = {
     // no default: a stale hardcoded round number silently mislabels the
