@@ -169,6 +169,21 @@ object ScaleBench {
       println(
         s"""{"pipeline":"heavy_hitters","factor":$f,"sketch_sec":${f"$skSec%.3f"},""" +
         s""""exact_sec":${f"$exSec%.3f"},"sketch_rows":$topSketch,"exact_rows":$topExact}""")
+
+      // distinct counting on the same growing key space: 256 entries of
+      // KMV state per task vs the exact path's key-cardinality shuffle;
+      // report estimate vs truth so the ~1/sqrt(k-2) accuracy is measured,
+      // not assumed
+      var ndvEst = 0.0
+      val kvSec = time {
+        ndvEst = evHeavy.selectExpr("kmv_ndv(k, 256) AS r")
+          .select(col("r.ndv_est")).head().getDouble(0)
+      }
+      var ndvTrue = 0L
+      val exNdvSec = time { ndvTrue = evHeavy.select(countDistinct(col("k"))).head().getLong(0) }
+      println(
+        s"""{"pipeline":"ndv_sketch","factor":$f,"sketch_sec":${f"$kvSec%.3f"},""" +
+        s""""exact_sec":${f"$exNdvSec%.3f"},"est":${f"$ndvEst%.1f"},"true":$ndvTrue}""")
       evHeavy.unpersist()
     }
     spark.stop()
