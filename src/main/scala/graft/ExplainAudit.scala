@@ -79,7 +79,7 @@ object ExplainAudit {
     "q_minhash_est", "q_minhash_indexed", "q_audio_near_dup",
     "q_dedup_end2end", "q_search_and_indexed", "q_search_or_indexed",
     "q_index_merge_disk", "q_format_roundtrip", "q_heavy_keys_sketch",
-    "q_ndv_sketch", "q_ndv_per_source",
+    "q_ndv_sketch", "q_ndv_per_source", "q_heavy_keys_per_hour",
     // round 11, completing the audit: every remaining NON-iterative query.
     // Still excluded (driver-side loops run during DataFrame construction,
     // so no single static plan exists): the BPE trainer family

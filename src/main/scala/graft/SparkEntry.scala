@@ -225,6 +225,21 @@ object SparkEntry {
         .select(col("r.ndv_est").as("ndv_est"), col("r.sample").as("sample"))
     }),
 
+    // -- the SpaceSaving sketch GROUPED: top event types per hour bucket
+    //    (capacity 32 > |event types|, so every group is exact and the
+    //    oracle replays it; under eviction the SpaceSavingSpec bounds
+    //    apply per group). Partial sketches merge per (group, task).
+    "q_heavy_keys_per_hour" -> ((s, dir) => {
+      graft.sources.EventsSource.events(s, dir)
+        .withColumn("hour_bucket", date_format(col("ts_t"), "yyyy-MM-dd HH"))
+        .groupBy(col("hour_bucket"))
+        .agg(expr("spacesaving_topk(event_type, 32)").as("sk"))
+        .select(col("hour_bucket"), explode(col("sk")).as("e"))
+        .select(col("hour_bucket"), col("e.key").as("event_type"),
+          col("e.est").as("cnt"), col("e.err").as("err"))
+        .orderBy(col("hour_bucket"), desc("cnt"), col("event_type"))
+    }),
+
     // -- the KMV sketch as a GROUPED aggregate: per-source vocabulary NDV
     //    estimate (k=16 < vocab, so every group runs in estimation mode)
     //    — still exactly replayable because bottom-k-by-md5 is
@@ -2865,6 +2880,12 @@ object SparkEntry {
                   AS decayed_r
          FROM events CROSS JOIN t
          GROUP BY 1 ORDER BY 1""",
+    // grouped no-eviction sketch == exact per-group counts
+    "q_heavy_keys_per_hour" ->
+      """SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d %H') AS hour_bucket,
+                event_type, count(*) AS cnt, 0::BIGINT AS err
+         FROM events
+         GROUP BY 1, 2 ORDER BY hour_bucket, cnt DESC, event_type""",
     // per-group KMV: bottom-16 per source, same deterministic replay
     "q_ndv_per_source" ->
       """WITH tk AS (
