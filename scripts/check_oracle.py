@@ -20,9 +20,27 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
 
 def norm_cell(v):
     # floats compare EXACTLY (no tolerance): the driver may hash raw values,
-    # so any last-ulp divergence must surface here, not there
-    if isinstance(v, float) and math.isnan(v):
-        return "NaN"
+    # so any last-ulp divergence must surface here, not there.
+    # int and float are TAGGED as distinct (round 12): the driver's pandas
+    # path turns DuckDB HUGEINT (= any uncast sum(BIGINT)) into float64 and
+    # hashes it unlike Spark's int64 — that dtype drift was r11's only
+    # hash-red row, and fetchall()'s exact Python ints masked it here.
+    try:
+        import numpy as np
+        if isinstance(v, np.ndarray):
+            return tuple(norm_cell(x) for x in v)
+        if isinstance(v, np.integer):
+            return ("i", int(v))
+        if isinstance(v, np.floating):
+            v = float(v)
+    except ImportError:
+        pass
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, float):
+        return ("f", "NaN" if math.isnan(v) else v)
+    if isinstance(v, int):
+        return ("i", v)
     if isinstance(v, list):
         return tuple(norm_cell(x) for x in v)
     return v
@@ -44,13 +62,15 @@ def main():
     n_pass = n_fail = 0
     for name, sql in sorted(oracle.items()):
         try:
+            # fetch BOTH sides through pandas (.df()), like the driver does:
+            # dtype drift (HUGEINT→float64, arrays→ndarray) must surface here
             got = con.execute(
-                f"SELECT * FROM '{out_dir}/{name}/*.parquet'")
-            got_cols = [d[0] for d in got.description]
-            got_rows = got.fetchall()
-            want = con.execute(sql)
-            want_cols = [d[0] for d in want.description]
-            want_rows = want.fetchall()
+                f"SELECT * FROM '{out_dir}/{name}/*.parquet'").df()
+            got_cols = list(got.columns)
+            got_rows = list(got.itertuples(index=False, name=None))
+            want = con.execute(sql).df()
+            want_cols = list(want.columns)
+            want_rows = list(want.itertuples(index=False, name=None))
         except Exception as e:  # noqa: BLE001
             print(f"FAIL {name}: error {e}")
             n_fail += 1

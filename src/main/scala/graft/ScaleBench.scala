@@ -94,7 +94,24 @@ object ScaleBench {
       }
       val (sMax, sDrop, sBound) = bucketStats(Dedup.simhashBucketSizes(sigs))
       report("simhash_pairs", f, sSec, pairs, sMax, sDrop, sBound)
-      d.unpersist(); sigs.unpersist()
+      sigs.unpersist()
+
+      // the exact prefix-filter join — the single slowest sweep query and
+      // the one whose Σbucket² behavior most needs the measured answer:
+      // under duplicate-dense replication every replica set shares its
+      // rarest shingle, so prefix buckets grow ∝ factor and the maxBucket
+      // cap is what keeps the in-bucket expansion sub-quadratic. Same
+      // q_setsim_join parameters (t=0.5, k=3) with the sweep's cap.
+      var ssPairs = 0L
+      val ssSec = time {
+        ssPairs = Dedup
+          .prefixJaccardJoin(d, threshold = 0.5, shingleK = 3, maxBucket = cap)
+          .count()
+      }
+      val (ssMax, ssDrop, ssBound) =
+        bucketStats(Dedup.setsimBucketSizes(d, threshold = 0.5, shingleK = 3))
+      report("setsim_join", f, ssSec, ssPairs, ssMax, ssDrop, ssBound)
+      d.unpersist()
 
       val e = replicated(embs, "vec_id", f).localCheckpoint(true)
       val n = e.count()

@@ -71,6 +71,62 @@ object SparkEntry {
     */
   private def round(c: Column, n: Int): Column = graft.functions.Portable.pround(c, n)
 
+  /** Fixed per-(purpose, sf) scratch directory, wiped and recreated on each
+    * call: queries that materialize an index snapshot or corpus copy reuse
+    * ONE path across repeated verify/bench sweeps instead of leaking a new
+    * temp dir per invocation (ADVICE r11). */
+  private def scratch(name: String, dir: String): String = {
+    val p = java.nio.file.Paths.get(sys.props("java.io.tmpdir"), "graft-scratch",
+      s"$name-${dir.replaceAll("[^A-Za-z0-9.]", "_")}")
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete(_))
+    }
+    java.nio.file.Files.createDirectories(p)
+    p.toString
+  }
+
+  /** One interchange-format roundtrip leg: write the corpus out through the
+    * named in-box format, re-read it with a DECLARED schema (inference
+    * re-scans and can widen types), and aggregate per lang with an md5
+    * content checksum — values, not just counts, must survive. The scratch
+    * dir is FIXED per (format, sf) and overwritten, so repeated verify/bench
+    * sweeps reuse the path instead of leaking a corpus copy per invocation.
+    */
+  private def formatRoundtrip(s: SparkSession, dir: String, fmt: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    val docs = t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars", "text")
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType), StructField("lang", StringType),
+      StructField("source", StringType), StructField("n_chars", LongType),
+      StructField("text", StringType)))
+    val base = s"${sys.props("java.io.tmpdir")}/graft-scratch/fmt-$fmt-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
+    val rere = fmt match {
+      case "json" =>
+        docs.write.mode("overwrite").json(base)
+        s.read.schema(schema).json(base)
+      case "csv" =>
+        docs.write.mode("overwrite").option("header", "true").option("escape", "\"").csv(base)
+        s.read.schema(schema).option("header", "true").option("escape", "\"").csv(base)
+      case "orc" =>
+        docs.write.mode("overwrite").orc(base)
+        s.read.schema(schema).orc(base)
+    }
+    rere
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"),
+        sum(length(col("text"))).as("sum_text_len"),
+        // content checksum both engines can replay: 32-bit md5 prefix
+        // (15 hex digits overflowed the BIGINT sum under ANSI mode)
+        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")).as("sum_text_md5"))
+      .select(lit(fmt).as("fmt"), col("lang"), col("n_docs"),
+        col("sum_chars"), col("sum_text_len"), col("sum_text_md5"))
+      .orderBy("lang")
+  }
+
   /** Flagship query: full inverted index over the sf0.001 documents table,
     * ranked (letter ASC, df DESC, word ASC). Driver smoke-checks rows>0.
     */
@@ -93,34 +149,15 @@ object SparkEntry {
     //    real corpus walks (vendor drops arrive as JSONL/CSV, ORC feeds
     //    Hive-side consumers); the aggregation proves values, not just
     //    row counts, survive the roundtrip.
-    "q_format_roundtrip" -> ((s, dir) => {
-      import org.apache.spark.sql.types._
-      val docs = t(s, dir, "documents").select("doc_id", "lang", "source", "n_chars", "text")
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType), StructField("lang", StringType),
-        StructField("source", StringType), StructField("n_chars", LongType),
-        StructField("text", StringType)))
-      val base = java.nio.file.Files.createTempDirectory("graft-fmt").toString
-      docs.write.mode("overwrite").json(s"$base/j")
-      docs.write.mode("overwrite").option("header", "true").option("escape", "\"").csv(s"$base/c")
-      docs.write.mode("overwrite").orc(s"$base/o")
-      def agg(df: org.apache.spark.sql.DataFrame, fmt: String) = df
-        .groupBy(col("lang"))
-        .agg(
-          count(lit(1)).as("n_docs"),
-          sum(col("n_chars")).as("sum_chars"),
-          sum(length(col("text"))).as("sum_text_len"),
-          // content checksum both engines can replay: 32-bit md5 prefix
-          // (15 hex digits overflowed the BIGINT sum under ANSI mode)
-          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")).as("sum_text_md5"))
-        .select(lit(fmt).as("fmt"), col("lang"), col("n_docs"),
-          col("sum_chars"), col("sum_text_len"), col("sum_text_md5"))
-      agg(s.read.schema(schema).json(s"$base/j"), "json")
-        .unionByName(agg(
-          s.read.schema(schema).option("header", "true").option("escape", "\"").csv(s"$base/c"), "csv"))
-        .unionByName(agg(s.read.schema(schema).orc(s"$base/o"), "orc"))
-        .orderBy("fmt", "lang")
-    }),
+    //    One oracle row PER format (split in round 12): the r11 union form
+    //    hid WHICH leg diverged — and the divergence turned out to be the
+    //    ORACLE's missing ::BIGINT casts (DuckDB sum(BIGINT) = HUGEINT,
+    //    which the driver hashes unlike int64), not any re-read leg. Each
+    //    leg writes to a FIXED scratch dir (mode overwrite) so repeated
+    //    sweeps reuse instead of leak disk.
+    "q_format_roundtrip_json" -> ((s, dir) => formatRoundtrip(s, dir, "json")),
+    "q_format_roundtrip_csv" -> ((s, dir) => formatRoundtrip(s, dir, "csv")),
+    "q_format_roundtrip_orc" -> ((s, dir) => formatRoundtrip(s, dir, "orc")),
 
     "q_scan_project" -> ((s, dir) => {
       t(s, dir, "documents")
@@ -222,7 +259,11 @@ object SparkEntry {
       graft.sources.EventsSource.events(s, dir)
         .selectExpr("concat('u', cast(user_id AS string)) AS k")
         .agg(expr("kmv_ndv(k, 64)").as("r"))
-        .select(col("r.ndv_est").as("ndv_est"), col("r.sample").as("sample"))
+        // the sample travels as ONE space-joined string (scalar, not
+        // array<string>): the sample VALUES are what this row pins, but
+        // the driver's comparator sorts columns and can't hash arrays
+        .select(col("r.ndv_est").as("ndv_est"),
+          array_join(col("r.sample"), " ").as("sample"))
     }),
 
     // -- the SpaceSaving sketch GROUPED: top event types per hour bucket
@@ -460,8 +501,8 @@ object SparkEntry {
     //    lifecycle: build → write → read → query → maintain.
     "q_index_merge_disk" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val base = java.nio.file.Files.createTempDirectory("graft-idx-base").toString
-      val snap = java.nio.file.Files.createTempDirectory("graft-idx-snap").toString
+      val base = scratch("idx-base", dir)
+      val snap = scratch("idx-snap", dir)
       graft.sources.LetterSink.writeExact(
         Engine.indexFromTable(docs.where(col("doc_id") % 2 === 0)), base)
       graft.sources.LetterSink.mergeExact(
@@ -682,7 +723,7 @@ object SparkEntry {
     //    query letters' files. Full write-then-query lifecycle; must equal
     //    the live-postings queries exactly (same oracle SQL).
     "q_search_and_indexed" -> ((s, dir) => {
-      val idx = java.nio.file.Files.createTempDirectory("graft-idx-serve").toString
+      val idx = scratch("idx-serve-and", dir)
       graft.sources.LetterSink.writeExact(
         InvertedIndex.postings(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))),
         idx)
@@ -690,7 +731,7 @@ object SparkEntry {
     }),
 
     "q_search_or_indexed" -> ((s, dir) => {
-      val idx = java.nio.file.Files.createTempDirectory("graft-idx-serve").toString
+      val idx = scratch("idx-serve-or", dir)
       graft.sources.LetterSink.writeExact(
         InvertedIndex.postings(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))),
         idx)
@@ -2810,18 +2851,24 @@ object SparkEntry {
 
   // ------------------------------------------------------------- oracle SQL
 
+  /** The roundtrip legs are lossless, so each leg's oracle is the DIRECT
+    * parquet read with the fmt literal attached. */
+  private def formatRoundtripOracle(fmt: String): String =
+    s"""SELECT '$fmt' AS fmt, lang, count(*) AS n_docs,
+          sum(n_chars)::BIGINT AS sum_chars,
+          sum(length(text))::BIGINT AS sum_text_len,
+          sum(('0x' || substr(md5(text), 1, 8))::BIGINT)::BIGINT AS sum_text_md5
+        FROM documents GROUP BY lang ORDER BY lang"""
+
   def oracleSql: Map[String, String] = Map(
-    // the roundtrip through every format must preserve exactly what a
-    // direct read of the source table aggregates to — one row set per fmt
-    "q_format_roundtrip" ->
-      """WITH a AS (
-           SELECT lang, count(*) AS n_docs, sum(n_chars) AS sum_chars,
-                  sum(length(text)) AS sum_text_len,
-                  sum(('0x' || substr(md5(text), 1, 8))::BIGINT) AS sum_text_md5
-           FROM documents GROUP BY lang)
-         SELECT fmt, lang, n_docs, sum_chars, sum_text_len, sum_text_md5
-         FROM a CROSS JOIN (SELECT unnest(['csv', 'json', 'orc']) AS fmt)
-         ORDER BY fmt, lang""",
+    // the roundtrip through each format must preserve exactly what a
+    // direct read of the source table aggregates to. ::BIGINT casts on
+    // every integer sum are LOAD-BEARING: DuckDB sum(BIGINT) is HUGEINT,
+    // which the driver's comparator hashes differently from int64 — this
+    // exact omission was r11's only hash-red row.
+    "q_format_roundtrip_json" -> formatRoundtripOracle("json"),
+    "q_format_roundtrip_csv" -> formatRoundtripOracle("csv"),
+    "q_format_roundtrip_orc" -> formatRoundtripOracle("orc"),
     "q_scan_project" ->
       """SELECT doc_id, lang, n_chars, length(text) AS text_len, upper(lang) AS lang_uc,
          substr(text, 1, 20) AS head, lang || '/' || source AS tag
@@ -2917,7 +2964,7 @@ object SparkEntry {
           SELECT CASE WHEN m < 64 THEN m::DOUBLE  -- below k the sketch is exact
                       ELSE floor((63.0 / (kth::DOUBLE / 1152921504606846976.0)) * 1e4 + 0.5) / 1e4
                  END AS ndv_est,
-                 (SELECT list(key ORDER BY h) FROM b) AS sample
+                 (SELECT string_agg(key, ' ' ORDER BY h) FROM b) AS sample
           FROM e""",
     // capacity > vocabulary => the sketch never evicts and is exact
     "q_heavy_keys_sketch" ->

@@ -463,28 +463,39 @@ object TextAnalysis {
     * tokenizer's artifact. Rounds 2..k re-count over MERGED symbols, so an
     * incorrect application would surface as a wrong argmax downstream.
     */
+  /** The per-round trainer argmax [[bpeMerges]] collects each iteration —
+    * extracted so the plan audit prints EXACTLY the loop-body shape: one
+    * vocabulary-sized pair aggregate (partial map-side) feeding a
+    * TakeOrderedAndProject(1) with the deterministic (cnt DESC, pair ASC)
+    * tie-break. The `limit(1).collect()` in the caller is the bounded
+    * driver-side scalar the k-means-centroid pattern allows. */
+  def bpeRoundArgmax(vocab: DataFrame): DataFrame = vocab
+    .where(size(col("syms")) >= 2)
+    .select(col("n"), explode(transform(
+      sequence(lit(1), size(col("syms")) - 1),
+      i => concat(element_at(col("syms"), i), lit(" "),
+        element_at(col("syms"), i + 1)))).as("pair"))
+    .groupBy(col("pair"))
+    .agg(sum(col("n")).as("cnt"))
+    .orderBy(col("cnt").desc, col("pair").asc)
+    .limit(1)
+
+  /** The round-1 trainer vocabulary in LAZY form (the real loop checkpoints
+    * it): word counts + character symbolization — the audit's input to
+    * [[bpeRoundArgmax]]. */
+  def bpeVocabPlan(tokens: DataFrame, wordCol: String = "word"): DataFrame = tokens
+    .groupBy(col(wordCol).as("w"))
+    .agg(count(lit(1)).as("n"))
+    .withColumn("syms", split(col("w"), ""))
+
   def bpeMerges(tokens: DataFrame, k: Int, wordCol: String = "word"): DataFrame = {
     require(k >= 1, s"k ($k) must be >= 1")
     val spark = tokens.sparkSession
-    var vocab = tokens
-      .groupBy(col(wordCol).as("w"))
-      .agg(count(lit(1)).as("n"))
-      .withColumn("syms", split(col("w"), ""))
-      .localCheckpoint(true)
+    var vocab = bpeVocabPlan(tokens, wordCol).localCheckpoint(true)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long)]
     var exhausted = false
     for (it <- 1 to k if !exhausted) {
-      val best = vocab
-        .where(size(col("syms")) >= 2)
-        .select(col("n"), explode(transform(
-          sequence(lit(1), size(col("syms")) - 1),
-          i => concat(element_at(col("syms"), i), lit(" "),
-            element_at(col("syms"), i + 1)))).as("pair"))
-        .groupBy(col("pair"))
-        .agg(sum(col("n")).as("cnt"))
-        .orderBy(col("cnt").desc, col("pair").asc)
-        .limit(1)
-        .collect()
+      val best = bpeRoundArgmax(vocab).collect()
       if (best.isEmpty) exhausted = true
       else {
         val pair = best(0).getString(0)

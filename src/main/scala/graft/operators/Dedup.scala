@@ -151,8 +151,13 @@ object Dedup {
     * scalar aggregates over the label relation joined to one corpus
     * count — output is ONE row.
     */
-  def shrinkReport(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame = {
-    val labels = duplicateGroups(pairs)
+  def shrinkReport(docs: DataFrame, pairs: DataFrame, idCol: String = "doc_id"): DataFrame =
+    shrinkFromLabels(docs, duplicateGroups(pairs))
+
+  /** [[shrinkReport]]'s static tail over an already-propagated label
+    * relation — split out so the plan audit can print it over a lazy
+    * representative-round label input. */
+  def shrinkFromLabels(docs: DataFrame, labels: DataFrame): DataFrame = {
     val n = docs.agg(count(lit(1)).as("n_docs"))
     labels
       .agg(
@@ -604,38 +609,8 @@ object Dedup {
     var converged = false
     var round = 0
     while (!converged) {
-      // ONE broadcast join + ONE aggregate per round, by folding all three
-      // label sources into a single edge union over the cached relations
-      // (re-reading a cached df is free; per-round JOB COUNT is the runtime
-      // at small graph sizes, so every extra broadcast materialization
-      // mattered):
-      //   real edges  (v, u)         → min over nbr = neighbor-min hop
-      //   ptr edges   (v, label(v))  → nbr = label(label(v)) = POINTER JUMP
-      //                                (diameter-many rounds → ~log)
-      //   self edges  (v, v)         → nbr = label(v) = this round's `prev`
-      val lblMap = labels.select(col("doc_id").as("dst"), col("group_id").as("nbr"))
-      val allEdges = edges.select(col("src"), col("dst"), lit(0).as("is_self"))
-        .unionAll(labels.select(col("doc_id").as("src"), col("group_id").as("dst"), lit(0).as("is_self")))
-        .unionAll(labels.select(col("doc_id").as("src"), col("doc_id").as("dst"), lit(1).as("is_self")))
-      // ONE action per round: `observe` plants a CollectMetrics node whose
-      // accumulator fills DURING the eager checkpoint's materialization, so
-      // the separate convergence count() job (round 3's second action per
-      // round) is gone — and the data path stays in InternalRow/codegen
-      // land (an earlier RDD+accumulator attempt paid an interpreted
-      // Row roundtrip 3× per round on the re-referenced label relation).
-      // The eager checkpoint EVERY round still matters: `labels` is
-      // referenced three times per round, so an untruncated logical plan
-      // grows ~3^rounds subtrees and ANALYSIS time (which runs before
-      // cached-plan substitution) explodes; the ContextCleaner frees old
-      // blocks. (On a cluster, durable `checkpoint` plays the same role.)
       val metricName = s"graft_cc_round_$round"
-      val observed = allEdges
-        .join(maybeBroadcast(lblMap), Seq("dst"))
-        .groupBy(col("src").as("doc_id"))
-        .agg(
-          min(col("nbr")).as("group_id"),
-          min(when(col("is_self") === 1, col("nbr"))).as("prev"))
-        .observe(metricName, count(when(col("group_id") < col("prev"), 1)).as("changed"))
+      val observed = ccRound(edges, labels, maybeBroadcast, metricName)
       val next = observed.localCheckpoint(true)
       converged = observed.queryExecution.observedMetrics
         .get(metricName).forall(_.getLong(0) == 0L)
@@ -643,6 +618,70 @@ object Dedup {
       round += 1
     }
     labels
+  }
+
+  /** The per-round hash-to-min body [[duplicateGroups]] loops — extracted so
+    * the plan audit prints EXACTLY the shape each round runs. ONE broadcast
+    * join + ONE aggregate per round, by folding all three label sources into
+    * a single edge union over the cached relations (re-reading a cached df
+    * is free; per-round JOB COUNT is the runtime at small graph sizes, so
+    * every extra broadcast materialization mattered):
+    *   real edges  (v, u)         → min over nbr = neighbor-min hop
+    *   ptr edges   (v, label(v))  → nbr = label(label(v)) = POINTER JUMP
+    *                                (diameter-many rounds → ~log)
+    *   self edges  (v, v)         → nbr = label(v) = this round's `prev`
+    * ONE action per round: `observe` plants a CollectMetrics node whose
+    * accumulator fills DURING the eager checkpoint's materialization, so
+    * the separate convergence count() job (round 3's second action per
+    * round) is gone — and the data path stays in InternalRow/codegen
+    * land (an earlier RDD+accumulator attempt paid an interpreted
+    * Row roundtrip 3× per round on the re-referenced label relation).
+    * The eager checkpoint EVERY round (in the caller) still matters:
+    * `labels` is referenced three times per round, so an untruncated
+    * logical plan grows ~3^rounds subtrees and ANALYSIS time (which runs
+    * before cached-plan substitution) explodes; the ContextCleaner frees
+    * old blocks. (On a cluster, durable `checkpoint` plays the same role.)
+    */
+  private def ccRound(
+      edges: DataFrame,
+      labels: DataFrame,
+      maybeBroadcast: DataFrame => DataFrame,
+      metricName: String): DataFrame = {
+    val lblMap = labels.select(col("doc_id").as("dst"), col("group_id").as("nbr"))
+    val allEdges = edges.select(col("src"), col("dst"), lit(0).as("is_self"))
+      .unionAll(labels.select(col("doc_id").as("src"), col("group_id").as("dst"), lit(0).as("is_self")))
+      .unionAll(labels.select(col("doc_id").as("src"), col("doc_id").as("dst"), lit(1).as("is_self")))
+    allEdges
+      .join(maybeBroadcast(lblMap), Seq("dst"))
+      .groupBy(col("src").as("doc_id"))
+      .agg(
+        min(col("nbr")).as("group_id"),
+        min(when(col("is_self") === 1, col("nbr"))).as("prev"))
+      .observe(metricName, count(when(col("group_id") < col("prev"), 1)).as("changed"))
+  }
+
+  private val ccAuditSeq = new java.util.concurrent.atomic.AtomicInteger(0)
+
+  /** ONE representative [[duplicateGroups]] round, UNEXECUTED, for the plan
+    * audit: symmetric edge closure + the init labels (both lazy — the real
+    * loop reads them from checkpointed relations) feeding the exact
+    * [[ccRound]] join+agg the fixpoint loop runs. Pins the broadcast label
+    * join, the single partial-agg'd min, and the CollectMetrics convergence
+    * probe. */
+  def ccRoundPlan(
+      pairs: DataFrame,
+      col1: String = "doc1",
+      col2: String = "doc2",
+      broadcastLabels: Boolean = true): DataFrame = {
+    val p = pairs.select(col(col1).as("src"), col(col2).as("dst"))
+    val edges = p.unionAll(p.select(col("dst").as("src"), col("src").as("dst")))
+    val labels0 = edges.groupBy(col("src").as("doc_id"))
+      .agg(min(col("dst")).as("__nbr"))
+      .select(col("doc_id"), least(col("doc_id"), col("__nbr")).as("group_id"))
+    ccRound(edges, labels0,
+      df => if (broadcastLabels) broadcast(df) else df,
+      s"graft_cc_audit_${ccAuditSeq.incrementAndGet()}")
+      .select(col("doc_id"), col("group_id"))
   }
 
   /** Quality-aware duplicate-cluster representative selection: real
@@ -668,6 +707,73 @@ object Dedup {
         max_by(col(idCol), struct(col(qCol), (-col(idCol)).as("__negid"))).as("keep_id"),
         max(col(qCol)).as("best_q"),
         count(lit(1)).as("n_members"))
+
+  /** The rare-first ordered per-doc hashed-shingle relation
+    * [[prefixJaccardJoin]] generates candidates from and verifies against.
+    * The whole join runs in HASHED shingle space: 60 portable md5 bits as
+    * a bigint (the same word hash simhash uses). Strings exist only during
+    * shingle generation — every shuffle key, sort key, prefix bucket, and
+    * verification array is 8 bytes instead of a ~25-byte gram (measured
+    * ~2× end-to-end at sf0.1, dominated by the verify arrays). Both
+    * engines compute the identical md5, so even a (≈2⁻⁶⁰) collision
+    * yields the SAME result on both sides; the spec's string-space
+    * brute-force equality would surface one if it ever mattered.
+    *
+    * One row per doc: hashed shingles in global rare-first order + the set
+    * size. Materialized ONCE — the prefix stream and BOTH verify sides
+    * consume it, and each lazy reference would re-run
+    * tokenize+shingle+df-join. array_distinct guards the (theoretical)
+    * in-doc hash collision so sz always equals the set's true cardinality.
+    */
+  private def setsimOrdered(
+      docs: DataFrame,
+      threshold: Double,
+      shingleK: Int,
+      idCol: String,
+      textCol: String): DataFrame = {
+    val sh = TextAnalysis
+      .withShingles(docs.select(col(idCol), col(textCol)), textCol, shingleK, "__sh")
+      .select(col(idCol).as("id"), explode_outer(col("__sh")).as("shingle"))
+      // token-less docs have an EMPTY shingle set (explode_outer's null
+      // row): Jaccard against ∅ is undefined, drop them (oracle mirrors)
+      .where(col("shingle").isNotNull)
+      .select(col("id"),
+        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    sh
+      .join(dfreq, Seq("h"))
+      .groupBy(col("id"))
+      .agg(array_distinct(sort_array(collect_list(struct(col("df"), col("h"))))).as("ord"))
+      .select(
+        col("id"),
+        transform(col("ord"), x => x.getField("h")).as("set"),
+        size(col("ord")).as("sz"))
+      .withColumn("p", (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
+      .localCheckpoint(true)
+  }
+
+  /** Each doc's prefix entries (id, sz, pos0, h) — the rows whose per-h
+    * grouping forms [[prefixJaccardJoin]]'s candidate buckets. */
+  private def setsimPrefix(ordered: DataFrame): DataFrame = ordered
+    .select(col("id"), col("sz"),
+      posexplode_outer(slice(col("set"), lit(1), col("p"))).as(Seq("pos0", "h")))
+
+  /** Prefix-bucket occupancy profile for [[prefixJaccardJoin]] at the given
+    * parameters: one row per prefix-shingle bucket with its member count
+    * `n`. A bucket expands to at most n(n−1)/2 candidates before the
+    * length/positional pruners, so max(n) and Σn² are the scale dials
+    * ScaleBench measures under duplicate-dense replication — the measured
+    * answer to whether the `maxBucket` cap keeps the join sub-quadratic.
+    */
+  def setsimBucketSizes(
+      docs: DataFrame,
+      threshold: Double,
+      shingleK: Int = 2,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame =
+    setsimPrefix(setsimOrdered(docs, threshold, shingleK, idCol, textCol))
+      .groupBy(col("h"))
+      .agg(count(lit(1)).as("n"))
 
   /** EXACT set-similarity self-join via prefix filtering (the AllPairs /
     * PPJoin candidate rule): every pair of documents whose shingle-set
@@ -729,33 +835,8 @@ object Dedup {
     // engines compute the identical md5, so even a (≈2⁻⁶⁰) collision
     // yields the SAME result on both sides; the spec's string-space
     // brute-force equality would surface one if it ever mattered.
-    val sh = TextAnalysis
-      .withShingles(docs.select(col(idCol), col(textCol)), textCol, shingleK, "__sh")
-      .select(col(idCol).as("id"), explode_outer(col("__sh")).as("shingle"))
-      // token-less docs have an EMPTY shingle set (explode_outer's null
-      // row): Jaccard against ∅ is undefined, drop them (oracle mirrors)
-      .where(col("shingle").isNotNull)
-      .select(col("id"),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
-    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    // one row per doc: hashed shingles in global rare-first order + the set
-    // size. Materialized ONCE — the prefix stream and BOTH verify sides
-    // consume it, and each lazy reference would re-run
-    // tokenize+shingle+df-join. array_distinct guards the (theoretical)
-    // in-doc hash collision so sz always equals the set's true cardinality.
-    val ordered = sh
-      .join(dfreq, Seq("h"))
-      .groupBy(col("id"))
-      .agg(array_distinct(sort_array(collect_list(struct(col("df"), col("h"))))).as("ord"))
-      .select(
-        col("id"),
-        transform(col("ord"), x => x.getField("h")).as("set"),
-        size(col("ord")).as("sz"))
-      .withColumn("p", (col("sz") - ceil(lit(threshold) * col("sz")) + 1).cast("int"))
-      .localCheckpoint(true)
-    val prefix = ordered
-      .select(col("id"), col("sz"),
-        posexplode_outer(slice(col("set"), lit(1), col("p"))).as(Seq("pos0", "h")))
+    val ordered = setsimOrdered(docs, threshold, shingleK, idCol, textCol)
+    val prefix = setsimPrefix(ordered)
     // in-bucket expansion emits each candidate once (members sorted id ASC,
     // ids unique per bucket) with TWO sound pruners applied inside the
     // lambda before anything leaves the bucket:

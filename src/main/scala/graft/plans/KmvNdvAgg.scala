@@ -64,10 +64,18 @@ final class KmvSketch(val k: Int) {
 object KmvSketch {
   val HashSpace: Double = math.pow(2.0, 60)
 
+  /** One digest per thread, reused via digest()'s implicit reset:
+    * getInstance allocates (provider lookup + internal state) and hash60
+    * runs once per input ROW in the aggregate's update hot path. */
+  private val mdLocal: ThreadLocal[java.security.MessageDigest] =
+    new ThreadLocal[java.security.MessageDigest] {
+      override def initialValue(): java.security.MessageDigest =
+        java.security.MessageDigest.getInstance("MD5")
+    }
+
   /** First 15 hex digits of md5(key) as a positive BIGINT — portable. */
   def hash60(key: UTF8String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-    val d  = md.digest(key.getBytes)
+    val d = mdLocal.get().digest(key.getBytes)
     // 15 hex digits = 60 bits = first 7 bytes + high nibble of the 8th
     var h = 0L
     var i = 0

@@ -51,6 +51,14 @@ object ManifestSource {
   /** Distributed read of every manifest document: one row per text line,
     * (file_id, line). The join key is the absolute path recovered from
     * `input_file_name()` (a file: URI); the manifest side is broadcast.
+    *
+    * COMPARISON BASELINE ONLY — not a production path: the
+    * `refs.collect()` below pulls every manifest path to the driver, which
+    * a 100 TB manifest (millions of paths) cannot afford. All production
+    * callers ([[graft.Engine.indexFromManifest]], Main) read through the
+    * `graft-manifest` DSv2 source instead, whose ids travel with the scan
+    * partitions; this assembly survives solely as the independent
+    * implementation ManifestV2Spec pins V2 equal to.
     */
   def docLines(spark: SparkSession, refs: DataFrame): DataFrame = {
     val paths = refs.select("path").collect().map(_.getString(0))

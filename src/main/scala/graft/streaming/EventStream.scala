@@ -38,7 +38,12 @@ object EventStream {
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val tsType = spark.read.parquet(dir).schema("ts").dataType
+    // an empty / not-yet-populated directory is a LEGITIMATE state for a
+    // streaming source at startup — the probe then has no footer to read,
+    // so fall back to the legacy BIGINT-nanos schema rather than throwing
+    val tsType =
+      try spark.read.parquet(dir).schema("ts").dataType
+      catch { case scala.util.control.NonFatal(_) => LongType }
     spark.readStream
       .schema(eventSchema(tsType))
       .parquet(dir)

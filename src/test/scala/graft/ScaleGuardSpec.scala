@@ -123,6 +123,23 @@ class ScaleGuardSpec extends SparkSpec {
     ScaleBench.replicated(docsSmall, "doc_id", Factor).localCheckpoint(true)
   private def sameBase(a: Long, b: Long): Boolean = a % 1000000000L == b % 1000000000L
 
+  test("prefix buckets grow exactly linearly under replication (rare-first order is stable)") {
+    // replicas multiply every shingle's df by the factor UNIFORMLY, so the
+    // global rare-first order — and therefore each doc's prefix — is
+    // unchanged, and every prefix bucket is exactly 50x deeper. Superlinear
+    // growth would mean replicas crossed buckets (broken determinism);
+    // a changed key set would mean the df order itself shifted.
+    val b1 = Dedup.setsimBucketSizes(docsSmall, 0.5, shingleK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b50 = Dedup.setsimBucketSizes(docsSmall50, 0.5, shingleK = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(b1.nonEmpty && b50.keySet == b1.keySet,
+      "identical replicas must land in exactly the 1x prefix-bucket keys")
+    b1.foreach { case (k, n) =>
+      assert(b50(k) == n * Factor, s"bucket $k: ${b50(k)} != $n * $Factor")
+    }
+  }
+
   test("prefix-join cap binds before expansion under 50x duplicate-dense replication") {
     // a cap below the replication factor saturates EVERY bucket (each
     // prefix shingle carries >= 50 byte-identical replicas) → zero pairs

@@ -93,6 +93,38 @@ class SpaceSavingSpec extends AnyFunSuite {
     }
   }
 
+  test("the sketch aggregate runs UNCHANGED in Structured Streaming (Complete mode)") {
+    import spark.implicits._
+    // mirror of KmvSpec's streaming test for the raw-stream heavy-hitter
+    // story: a TypedImperativeAggregate is just an aggregate, so the same
+    // spacesaving_topk expression tree must run as a streaming stateful
+    // aggregation — and in no-eviction mode (capacity 64 > 40 keys) the
+    // sketch is exact, so streaming must equal batch EXACTLY on a static
+    // input, whatever merge tree the micro-batches produce.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ss-stream")
+    (0 until 3000).map(i => s"key_${i % 40}").toDF("k")
+      .coalesce(2).write.mode("overwrite").parquet(dir.toString)
+    def explodeSketch(df: org.apache.spark.sql.DataFrame) = df
+      .select(explode(col("sk")).as("e"))
+      .select(col("e.key"), col("e.est"), col("e.err"))
+    val stream = explodeSketch(spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType))))
+      .parquet(dir.toString)
+      .agg(expr("spacesaving_topk(k, 64)").as("sk")))
+    val q = stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .format("memory").queryName("ss_stream").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val got  = rows(spark.table("ss_stream"))
+    val want = rows(explodeSketch(
+      spark.read.parquet(dir.toString).agg(expr("spacesaving_topk(k, 64)").as("sk"))))
+    assert(got == want, s"streaming sketch != batch sketch:\n  $got\n  $want")
+  }
+
   test("under eviction: overestimate invariant, per-key error bound, heavy-hitter recall") {
     import spark.implicits._
     val capacity = 16
