@@ -45,7 +45,7 @@ object ExplainAudit {
     "q_setsim_join", "q_cdc_apply", "q_semdedup", "q_resample_ffill",
     "q_bpe_pairs", "q_weighted_sample", "q_embed_int8",
     "q_bigram_lm", "q_cdc_chunks", "q_event_transitions",
-    "q_hash_split", "q_char_entropy", "q_ppr_seeds", "q_multimodal_audio_ds",
+    "q_hash_split", "q_epoch_shuffle", "q_char_entropy", "q_ppr_seeds", "q_multimodal_audio_ds",
     "q_assoc_rules", "q_funnel", "q_mv_update", "q_chi2_lang_source",
     "q_chunk_dedup", "q_retention", "q_winsorized", "q_data_quality",
     "q_hard_negatives", "q_mode_brand", "q_impute",

@@ -2393,6 +2393,25 @@ object SparkEntry {
         .orderBy("split", "lang")
     }),
 
+    // -- deterministic epoch-shuffle sharding: the between-epoch global
+    //    reshuffle of a multi-epoch pretraining loader, order-by-hash so
+    //    no permutation is ever materialized. Output pins the SCHEDULE
+    //    itself: per (epoch, shard), the size and an md5 checksum over
+    //    the shard's doc sequence in loader order — a changed order,
+    //    crossed shard, or lost doc flips the checksum
+    "q_epoch_shuffle" -> ((s, dir) => {
+      Sampling
+        .epochShards(t(s, dir, "documents").select("doc_id"), "doc_id",
+          epochs = 2, nShards = 8)
+        .groupBy(col("epoch"), col("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("seq"), col("doc_id")))),
+              x => x.getField("doc_id").cast("string")), " ")).as("order_md5"))
+        .orderBy("epoch", "shard")
+    }),
+
     // -- character-distribution entropy (gibberish detector): 26 bound
     //    translate-count columns + a literal-ordered -p ln p fold
     "q_char_entropy" -> ((s, dir) => {
@@ -5217,6 +5236,23 @@ object SparkEntry {
                         ELSE 'test' END AS split
             FROM h)
           SELECT split, lang, count(*) AS n FROM a GROUP BY 1, 2 ORDER BY 1, 2""",
+    // the shuffle is a pure function of (salt, epoch, id): the oracle
+    // replays the hash, the shard assignment, and the in-shard order
+    "q_epoch_shuffle" ->
+      """WITH e AS (
+           SELECT doc_id, epoch
+           FROM documents CROSS JOIN (SELECT unnest([0, 1]) AS epoch)),
+         k AS (
+           SELECT epoch, doc_id,
+                  md5('epoch:' || epoch::VARCHAR || ':' || doc_id::VARCHAR) AS hx
+           FROM e),
+         s AS (
+           SELECT epoch, doc_id, hx,
+                  ('0x' || substr(hx, 1, 15))::BIGINT % 8 AS shard
+           FROM k)
+         SELECT epoch, shard, count(*) AS n_docs,
+                md5(string_agg(doc_id::VARCHAR, ' ' ORDER BY hx, doc_id)) AS order_md5
+         FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
     "q_char_entropy" -> CharEntropySql,
     "q_event_transitions" ->
       """WITH x AS (

@@ -191,6 +191,48 @@ object Sampling {
     df.withColumn("split", assigned)
   }
 
+  /** Deterministic EPOCH-SHUFFLE SHARDING — the global reshuffle a
+    * multi-epoch pretraining run performs between passes over the corpus.
+    * A data loader needs every epoch to visit the corpus in a different,
+    * globally-shuffled, REPRODUCIBLE order, split into `nShards` loader
+    * shards; at 100 TB no materialized permutation exists, so the standard
+    * trick is order-by-hash: each (epoch, doc) draws the md5 of
+    * "salt:epoch:id", the shard is that hash mod nShards, and the order
+    * WITHIN a shard is ascending hash (id-ASC tie-break). Pure function of
+    * (salt, epoch, id): reruns, resumes, task retries, and the DuckDB
+    * oracle produce the identical schedule, epochs are pairwise
+    * uncorrelated, and shard sizes concentrate at n/nShards (binomial).
+    *
+    * Plan shape: the epoch expansion is a map-side generator; the only
+    * shuffle is the (epoch, shard)-keyed exchange a loader needs anyway,
+    * and the in-shard sort runs per shard partition — never a global sort.
+    * The row_number window partitions by (epoch, shard): bounded KEY
+    * cardinality, data-sized partitions — exactly the per-shard sort a
+    * real loader materializes (the same class as packing's per-chunk
+    * windows).
+    *
+    * Returns the input columns plus (epoch, shard, seq, order_key):
+    * `seq` is the 1-based position of the row in its loader shard.
+    */
+  def epochShards(
+      df: DataFrame,
+      idCol: String,
+      epochs: Int,
+      nShards: Int,
+      salt: String = "epoch"): DataFrame = {
+    require(epochs >= 1, s"epochs ($epochs) must be >= 1")
+    require(nShards >= 1, s"nShards ($nShards) must be >= 1")
+    df
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("order_key",
+        md5(concat(lit(s"$salt:"), col("epoch").cast("string"), lit(":"), col(idCol).cast("string"))))
+      .withColumn("shard",
+        pmod(conv(substring(col("order_key"), 1, 15), 16, 10).cast("long"), lit(nShards.toLong)))
+      .withColumn("seq",
+        row_number().over(Window.partitionBy(col("epoch"), col("shard"))
+          .orderBy(col("order_key"), col(idCol))))
+  }
+
   /** Deterministic weighted sampling WITHOUT replacement (Efraimidis–
     * Spirakis A-ES): each row draws u from its id's md5 (52 bits, in
     * (0, 1]), gets key ln(u)/w — order-equivalent to the classic u^(1/w),

@@ -131,6 +131,34 @@ class WeightedSampleSpec extends SparkSpec {
       Sampling.tokenBudgetSample(docs, "lang", budget = 2000).collect().map(_.toSeq).toSet)
   }
 
+  test("epochShards: each epoch a full permutation, rerun-stable, epochs decorrelated, shards balanced") {
+    import spark.implicits._
+    val n = docs.count()
+    val es = Sampling.epochShards(docs.select("doc_id"), "doc_id", epochs = 2, nShards = 8)
+    val rows = es.select("epoch", "shard", "seq", "doc_id")
+      .as[(Int, Long, Int, Long)].collect().toSeq
+    // every doc appears exactly once per epoch — nothing lost, nothing doubled
+    (0 to 1).foreach { e =>
+      val ids = rows.filter(_._1 == e).map(_._4)
+      assert(ids.length == n && ids.distinct.length == n, s"epoch $e is not a permutation")
+    }
+    // seq is contiguous 1..|shard| within every loader shard
+    rows.groupBy(r => (r._1, r._2)).foreach { case (k, ms) =>
+      assert(ms.map(_._3).sorted == (1 to ms.length), s"shard $k seq not contiguous")
+    }
+    // rerun-identical (pure function of salt/epoch/id), epochs differ
+    val rows2 = Sampling.epochShards(docs.select("doc_id"), "doc_id", epochs = 2, nShards = 8)
+      .select("epoch", "shard", "seq", "doc_id").as[(Int, Long, Int, Long)].collect().toSeq
+    assert(rows.sorted == rows2.sorted, "the schedule must be rerun-identical")
+    def schedule(e: Int) = rows.filter(_._1 == e).sortBy(r => (r._2, r._3)).map(r => (r._2, r._4))
+    assert(schedule(0) != schedule(1), "epochs must reshuffle, not repeat")
+    // binomial balance: every shard within 2x of the expected n/8
+    val sizes = rows.filter(_._1 == 0).groupBy(_._2).view.mapValues(_.size).values.toSeq
+    val avg = n.toDouble / 8
+    assert(sizes.size == 8 && sizes.forall(s => s > avg / 2 && s < avg * 2),
+      s"shard sizes $sizes stray far from the binomial mean $avg")
+  }
+
   test("weightedSample == independent in-memory A-ES mirror; zero weights excluded") {
     import spark.implicits._
     val rows = docs.select(col("doc_id").as[Long], col("n_chars").as[Long]).collect()
