@@ -2231,6 +2231,28 @@ object SparkEntry {
         .orderBy("class_size", "lang", "source", "len_bucket")
     }),
 
+    // -- l-diversity audit: the homogeneity-attack check k-anonymity
+    //    can't see — (source, 200-char length bucket) classes whose
+    //    members span fewer than l=4 distinct languages leak the
+    //    sensitive attribute by membership alone
+    "q_l_diversity" -> ((s, dir) => {
+      operators.Stats
+        .lDiversity(
+          t(s, dir, "documents")
+            .withColumn("len_bucket", floor(col("n_chars") / 200)),
+          Seq("source", "len_bucket"), sensitiveCol = "lang", l = 4)
+        .orderBy("source", "len_bucket")
+    }),
+
+    // -- pairwise Pearson correlation matrix: all 6 lineitem pairs from
+    //    ONE aggregation pass (Corr's sufficient statistics partially
+    //    aggregate map-side), upper triangle unpivoted
+    "q_corr_matrix" -> ((s, dir) => {
+      operators.Stats
+        .corrMatrix(t(s, dir, "lineitem"), CorrCols)
+        .orderBy("col_a", "col_b")
+    }),
+
     // -- join-cardinality estimate from key histograms: Σ cntA·cntB per
     //    key — the oracle computes the REAL join's count(*), so the hash
     //    match proves the estimator exact without materializing the join
@@ -2575,29 +2597,57 @@ object SparkEntry {
     //    the oracle can mirror it) into the base snapshot — latest seq
     //    per key wins via ONE partially-aggregated max_by shuffle
     "q_cdc_apply" -> ((s, dir) => {
-      val base = t(s, dir, "orders")
-        .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
-      val dels = base.where(col("o_orderkey") % 10 === 0)
-        .withColumn("seq", lit(1L)).withColumn("op", lit("D"))
-      val upd1 = base.where(col("o_orderkey") % 10 === 1)
-        .withColumn("o_orderstatus", lit("U1"))
-        .withColumn("o_totalprice", col("o_totalprice") + 100)
-        .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
-      val upd2 = base.where(col("o_orderkey") % 10 === 1)
-        .withColumn("o_orderstatus", lit("U2"))
-        .withColumn("o_totalprice", col("o_totalprice") + 200)
-        .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
-      val ins = base.where(col("o_orderkey") % 100 === 7)
-        .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
-        .withColumn("o_orderstatus", lit("N"))
-        .withColumn("o_totalprice", lit(1.0))
-        .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+      val base = cdcBase(s, dir)
       operators.ChangeData
-        .applyChangelog(base, dels.unionByName(upd1).unionByName(upd2).unionByName(ins), "o_orderkey")
+        .applyChangelog(base, cdcChangelog(base), "o_orderkey")
         .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"),
           round(col("o_totalprice"), 2).as("price"))
         .orderBy("o_orderkey")
+    }),
+
+    // -- SCD Type 2 history build: every version a key ever had as its
+    //    own row, framed by (valid_from, valid_to) sequences; same
+    //    synthesized changelog as q_cdc_apply so the two operators
+    //    cross-check — the is_current slice of this history equals the
+    //    CDC MERGE snapshot (pinned in ScdType2Spec)
+    "q_scd2_history" -> ((s, dir) => {
+      val base = cdcBase(s, dir)
+      operators.ChangeData
+        .scdType2(base, cdcChangelog(base), "o_orderkey")
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("price"),
+          col("valid_from"), col("valid_to"), col("is_current"))
+        .orderBy("o_orderkey", "valid_from")
     }))
+
+  /** Base snapshot for the CDC family (q_cdc_apply / q_scd2_history). */
+  private def cdcBase(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_orderstatus"), col("o_totalprice"))
+
+  /** Deterministic synthesized changelog over the CDC base: deletes
+    * (key%10=0), two-version updates (key%10=1, seq 1 then 2), inserts
+    * (key%100=7, shifted key) — shared by q_cdc_apply / q_scd2_history so
+    * their oracles mirror the identical event stream.
+    */
+  private def cdcChangelog(base: DataFrame): DataFrame = {
+    val dels = base.where(col("o_orderkey") % 10 === 0)
+      .withColumn("seq", lit(1L)).withColumn("op", lit("D"))
+    val upd1 = base.where(col("o_orderkey") % 10 === 1)
+      .withColumn("o_orderstatus", lit("U1"))
+      .withColumn("o_totalprice", col("o_totalprice") + 100)
+      .withColumn("seq", lit(1L)).withColumn("op", lit("U"))
+    val upd2 = base.where(col("o_orderkey") % 10 === 1)
+      .withColumn("o_orderstatus", lit("U2"))
+      .withColumn("o_totalprice", col("o_totalprice") + 200)
+      .withColumn("seq", lit(2L)).withColumn("op", lit("U"))
+    val ins = base.where(col("o_orderkey") % 100 === 7)
+      .withColumn("o_orderkey", col("o_orderkey") + 10000000L)
+      .withColumn("o_orderstatus", lit("N"))
+      .withColumn("o_totalprice", lit(1.0))
+      .withColumn("seq", lit(1L)).withColumn("op", lit("I"))
+    dels.unionByName(upd1).unionByName(upd2).unionByName(ins)
+  }
 
   /** DuckDB CTE: distinct k-gram shingles per doc (short docs → one whole-doc
     * shingle), mirroring TextAnalysis.shingles.
@@ -5041,6 +5091,16 @@ object SparkEntry {
          FROM q CROSS JOIN t
          WHERE class_size < 5
          ORDER BY class_size, lang, source, len_bucket""",
+    // generated from the SAME pairs list as the Spark side, so the two
+    // can never drift on pair order or rounding
+    "q_corr_matrix" -> CorrMatrixSql,
+    "q_l_diversity" ->
+      """SELECT source, n_chars // 200 AS len_bucket,
+                count(*) AS class_size,
+                count(DISTINCT lang) AS diversity
+         FROM documents GROUP BY 1, 2
+         HAVING count(DISTINCT lang) < 4
+         ORDER BY source, len_bucket""",
     // est_rows comes from the REAL join's count(*): the hash match proves
     // the histogram identity sum(cntA*cntB) == |A JOIN B| cross-engine
     "q_join_cardinality" ->
@@ -5531,7 +5591,59 @@ object SparkEntry {
                 floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS price
          FROM u
          QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1 AND op <> 'D'
-         ORDER BY o_orderkey""")
+         ORDER BY o_orderkey""",
+    // the lead() closing each version runs over ALL events (D included)
+    // BEFORE the D filter — a delete closes the chain without opening a
+    // version, mirroring ChangeData.scdType2's withColumn-then-where order
+    "q_scd2_history" ->
+      s"""WITH $CdcChangelogCte,
+         v AS (
+           SELECT *, lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS next_seq
+           FROM u)
+         SELECT o_orderkey, o_orderstatus,
+                floor((o_totalprice) * 1e2 + 0.5) / 1e2 AS price,
+                seq AS valid_from, next_seq AS valid_to,
+                next_seq IS NULL AS is_current
+         FROM v WHERE op <> 'D'
+         ORDER BY o_orderkey, valid_from""")
+
+  /** Numeric lineitem columns for q_corr_matrix — one list drives BOTH the
+    * Spark aggregation and the generated oracle SQL.
+    */
+  private val CorrCols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  private lazy val CorrMatrixSql: String = {
+    val pairs = for { i <- CorrCols.indices; j <- CorrCols.indices if i < j }
+      yield (CorrCols(i), CorrCols(j))
+    pairs
+      .map { case (a, b) =>
+        s"SELECT '$a' AS col_a, '$b' AS col_b, " +
+          graft.functions.Portable.proundSql(s"corr($a::DOUBLE, $b::DOUBLE)", 6) +
+          " AS corr_r FROM lineitem"
+      }
+      .mkString("", "\nUNION ALL\n", "\nORDER BY col_a, col_b")
+  }
+
+  /** Shared DuckDB CTE for the synthesized CDC changelog (mirrors
+    * SparkEntry.cdcChangelog; q_cdc_apply predates the factoring and keeps
+    * its inline copy).
+    */
+  private lazy val CdcChangelogCte: String =
+    """base AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0 AS seq, 'I' AS op FROM orders),
+         ch AS (
+           SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 1 AS seq, 'D' AS op
+           FROM orders WHERE o_orderkey % 10 = 0
+           UNION ALL
+           SELECT o_orderkey, o_custkey, 'U1', o_totalprice + 100, 1, 'U'
+           FROM orders WHERE o_orderkey % 10 = 1
+           UNION ALL
+           SELECT o_orderkey, o_custkey, 'U2', o_totalprice + 200, 2, 'U'
+           FROM orders WHERE o_orderkey % 10 = 1
+           UNION ALL
+           SELECT o_orderkey + 10000000, o_custkey, 'N', 1.0, 1, 'I'
+           FROM orders WHERE o_orderkey % 100 = 7),
+         u AS (SELECT * FROM base UNION ALL SELECT * FROM ch)"""
 
   /** Generated 26-letter mirror of TextAnalysis.charEntropy: counts via
     * length-difference, −p·ln p terms summed in the IDENTICAL literal

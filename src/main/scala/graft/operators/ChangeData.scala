@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Change-data-capture apply: fold a changelog into a base snapshot — the
@@ -45,6 +46,45 @@ object ChangeData {
         col("__seq")).as("r"))
       .where(col("r.__op") =!= "D")
       .select(col(keyCol) +: payload.map(c => col(s"r.$c").as(c)): _*)
+  }
+
+  /** Slowly-changing-dimension TYPE 2 history build — the warehouse's
+    * audit-trail counterpart to [[applyChangelog]]'s snapshot MERGE: every
+    * version a key ever had survives as its own row, framed by
+    * `(valid_from, valid_to)` sequence numbers, with `is_current` marking
+    * the live version.
+    *
+    * Semantics: base rows open version 0; each `I`/`U` event opens a new
+    * version at its sequence; the NEXT event on the key (any op, including
+    * `D`) closes the previous version at its sequence. A `D` closes the
+    * chain without opening a version, so a deleted key has no current row
+    * — exactly [[applyChangelog]]'s verdict, and the spec pins the
+    * `is_current` slice equal to it.
+    *
+    * Scale shape: one shuffle on the key; the window partitions are
+    * per-key VERSION CHAINS — sized by changelog depth per key (a handful
+    * of events), never by the table — so the sort inside each partition is
+    * trivially bounded. No join: base and changelog union and sort once.
+    */
+  def scdType2(
+      base: DataFrame,
+      changes: DataFrame,
+      keyCol: String,
+      seqCol: String = "seq",
+      opCol: String = "op"): DataFrame = {
+    val payload = base.columns.filterNot(_ == keyCol).toSeq
+    val tagged = base
+      .select(col(keyCol) +: (payload.map(col) :+ lit(0L).as("__seq") :+ lit("I").as("__op")): _*)
+      .unionByName(changes.select(
+        col(keyCol) +: (payload.map(col) :+ col(seqCol).cast("long").as("__seq") :+ col(opCol).as("__op")): _*))
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__seq"))
+    tagged
+      .withColumn("__next", lead(col("__seq"), 1).over(w))
+      .where(col("__op") =!= "D")
+      .select(col(keyCol) +: payload.map(col)
+        :+ col("__seq").as("valid_from")
+        :+ col("__next").as("valid_to")
+        :+ col("__next").isNull.as("is_current"): _*)
   }
 
   /** Incremental materialized-view maintenance with RETRACTIONS (the

@@ -398,6 +398,54 @@ object Stats {
           Portable.pround(col("class_size").cast("double") / col("__total"), 6).as("share_r")): _*)
   }
 
+  /** Pairwise Pearson correlation matrix over numeric columns — the
+    * feature-redundancy screen run before any modeling/weighting step
+    * (two correlated quality signals should not vote twice). One
+    * aggregation pass computes every pair's `corr` simultaneously:
+    * Catalyst's Corr is a DeclarativeAggregate over (n, Σx, Σy, Σxy,
+    * Σx², Σy²) sufficient statistics, so all |cols|·(|cols|−1)/2 pairs
+    * partially aggregate map-side in the SAME pass — the table is read
+    * once regardless of how many pairs are requested. Output is the
+    * upper triangle unpivoted to (col_a, col_b, corr_r), rounded 6 dp
+    * [[graft.functions.Portable.pround]]-style so both engines agree.
+    */
+  def corrMatrix(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- cols.indices if i < j
+    } yield (cols(i), cols(j))
+    val aggs = pairs.map { case (a, b) =>
+      Portable.pround(corr(col(a).cast("double"), col(b).cast("double")), 6)
+        .as(s"__c_${a}_$b")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(pairs.map { case (a, b) =>
+        struct(lit(a).as("col_a"), lit(b).as("col_b"), col(s"__c_${a}_$b").as("corr_r"))
+      }: _*)).as("r"))
+      .select(col("r.col_a"), col("r.col_b"), col("r.corr_r"))
+  }
+
+  /** l-diversity audit — the homogeneity-attack check [[kAnonymity]]
+    * cannot see: a quasi-identifier class can be comfortably k-anonymous
+    * and STILL leak the sensitive attribute if every member shares one
+    * value (class of 50, all lang='ko' → membership reveals the language).
+    * Flags classes whose count of DISTINCT sensitive values is below l,
+    * with the class size and its diversity.
+    *
+    * Plan shape: Catalyst rewrites the single grouped count(DISTINCT s)
+    * as two hash aggregates — (QI, s) then (QI) — both partially
+    * aggregated; class-count-sized output, no window, no Expand (one
+    * distinct column never triggers the multi-distinct expansion).
+    */
+  def lDiversity(df: DataFrame, qiCols: Seq[String], sensitiveCol: String, l: Int): DataFrame = {
+    require(qiCols.nonEmpty && l >= 2, s"need QI columns and l >= 2 (l=$l)")
+    df.groupBy(qiCols.map(col): _*)
+      .agg(
+        count(lit(1)).as("class_size"),
+        countDistinct(col(sensitiveCol)).as("diversity"))
+      .where(col("diversity") < l)
+  }
+
   /** Equi-join cardinality estimate from per-key counts — the planner
     * diagnostic run BEFORE a big join: |A ⋈ B| on key k is EXACTLY
     * Σ_k cntA(k)·cntB(k), so reducing both sides to their key histograms

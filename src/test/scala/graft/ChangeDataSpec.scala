@@ -81,6 +81,34 @@ class ChangeDataSpec extends SparkSpec {
     assert(!plan.contains("Join"), "MERGE must not use a join")
   }
 
+  test("scdType2: version chains framed by (valid_from, valid_to); D closes without opening") {
+    val got = ChangeData.scdType2(base, changes, "k")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4), r.getBoolean(5)))
+      .toSet
+    assert(got == Set(
+      (1L, "a", 0L, -1L, true),    // never touched: base version stays open
+      (2L, "b", 0L, 1L, false),    // closed by the update...
+      (2L, "b1", 1L, -1L, true),   // ...which opens the current version
+      (3L, "c", 0L, 1L, false),
+      (3L, "c1", 1L, 2L, false),   // closed by the DELETE — key 3 has no current row
+      (4L, "d", 0L, 1L, false),    // closed by the delete at seq 1...
+      (4L, "d2", 2L, -1L, true),   // ...then reborn by the insert at seq 2
+      (5L, "e", 1L, -1L, true),
+      (6L, "f", 1L, -1L, true)), got.toString)
+  }
+
+  test("scdType2 is_current slice == applyChangelog snapshot (history ⊇ MERGE)") {
+    val current = ChangeData.scdType2(base, changes, "k")
+      .where(col("is_current"))
+      .select("k", "s", "v")
+      .collect().map(_.toSeq).toSet
+    val snapshot = ChangeData.applyChangelog(base, changes, "k")
+      .collect().map(_.toSeq).toSet
+    assert(current == snapshot)
+  }
+
   test("corpusDiff: added/removed/changed partition; unchanged docs never surface") {
     val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
       .toDF("doc_id", "text")

@@ -498,6 +498,38 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Set(("en", "book", 1L, 0.090909), ("de", "web", 2L, 0.181818)), s"got $got")
   }
 
+  test("corrMatrix: one pass yields exact pairwise correlations, upper triangle only") {
+    // y = 2x (corr 1), z = -x (corr -1), w uncorrelated-by-construction:
+    // w = (1,-1,1,-1) against x = (1,2,3,4) -> corr(x, w) = sum dev products
+    //   x devs (-1.5,-0.5,0.5,1.5), w devs (1,-1,1,-1) -> sum = -1-(-0.5)...
+    val df = Seq(
+      (1.0, 2.0, -1.0, 1.0), (2.0, 4.0, -2.0, -1.0),
+      (3.0, 6.0, -3.0, 1.0), (4.0, 8.0, -4.0, -1.0))
+      .toDF("x", "y", "z", "w")
+    val got = Stats.corrMatrix(df, Seq("x", "y", "z", "w"))
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getDouble(2))).toMap
+    assert(got.size == 6, s"upper triangle of 4 cols is 6 pairs: $got")
+    assert(got(("x", "y")) == 1.0 && got(("x", "z")) == -1.0 && got(("y", "z")) == -1.0)
+    // corr(x, w): cov = (-1.5-0.5*(-1)+0.5-1.5)/3 ... closed form = -0.4*sqrt(5)/sqrt... check numerically
+    val xs = Seq(1.0, 2.0, 3.0, 4.0); val ws = Seq(1.0, -1.0, 1.0, -1.0)
+    val (mx, mw) = (xs.sum / 4, ws.sum / 4)
+    val cov = xs.zip(ws).map { case (a, b) => (a - mx) * (b - mw) }.sum
+    val expected = cov / math.sqrt(xs.map(a => (a - mx) * (a - mx)).sum * ws.map(b => (b - mw) * (b - mw)).sum)
+    assert(math.abs(got(("x", "w")) - expected) < 1e-6, s"${got(("x", "w"))} vs $expected")
+  }
+
+  test("lDiversity: k-anonymous-but-homogeneous classes surface; diverse classes pass") {
+    // class (web): 6 members but ALL 'en' -> k-anonymous at k=3 yet diversity 1
+    // class (book): 3 members over 3 langs -> passes l=3
+    // class (chat): 2 members, 2 langs -> diversity 2, flagged at l=3
+    val df = ((1 to 6).map(_ => ("web", "en")) ++
+      Seq(("book", "en"), ("book", "de"), ("book", "fr"), ("chat", "en"), ("chat", "de")))
+      .toDF("source", "lang")
+    val got = Stats.lDiversity(df, Seq("source"), "lang", l = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(got == Set(("web", 6L, 1L), ("chat", 2L, 2L)), s"got $got")
+  }
+
   test("joinCardinality: histogram estimate equals the materialized join exactly") {
     val a = Seq(1, 1, 1, 2, 3).map(k => (k, "a")).toDF("ka", "pa")
     val b = Seq(1, 1, 2, 2, 2, 4).map(k => (k, "b")).toDF("kb", "pb")
