@@ -674,6 +674,21 @@ object SparkEntry {
         .orderBy("qid")
     }),
 
+    // -- nDCG@10 with GRADED relevance (distinct query terms contained,
+    //    gain 2^rel − 1): both the actual BM25 ranking and the IDEAL
+    //    ranking flow through the bounded CosTopK partial top-k
+    "q_ndcg_eval" -> ((s, dir) => {
+      Search
+        .ndcgEval(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")),
+          Seq(
+            1 -> Seq("spark", "query"),
+            2 -> Seq("vector", "stream", "merge"),
+            3 -> Seq("data", "table", "row")),
+          k = 10)
+        .orderBy("qid")
+    }),
+
     // -- per-doc keyword extraction: top-3 terms by tf·ln(N/df), score
     //    rounded BEFORE ranking, window bounded by per-doc vocab
     "q_doc_keywords" -> ((s, dir) => {
@@ -2491,6 +2506,28 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- DSIR hashed importance weights: log-likelihood ratio of each
+    //    doc's hashed unigram+bigram features under the target (lang=en)
+    //    vs raw distribution — the trained-classifier-free domain tilt;
+    //    bucket-space (256) log ratios broadcast into the scoring join
+    "q_dsir_weights" -> ((s, dir) => {
+      TextAnalysis
+        .importanceWeights(t(s, dir, "documents"), col("lang") === "en", buckets = 256)
+        .orderBy("doc_id")
+    }),
+
+    // -- DSIR selection half: Gumbel top-k over the log weights — sample
+    //    100 docs ∝ exp(logw) without replacement, without ever
+    //    exponentiating; md5-drawn Gumbel noise, TakeOrderedAndProject
+    "q_dsir_select" -> ((s, dir) => {
+      Sampling
+        .gumbelTopK(
+          TextAnalysis
+            .importanceWeights(t(s, dir, "documents"), col("lang") === "en", buckets = 256),
+          "doc_id", "logw_r", k = 100, salt = "dsirsel")
+        .orderBy("doc_id")
+    }),
+
     // -- BPE trainer step: corpus-wide adjacent character-pair counts at
     //    the initial merge state, top-50 — the argmax IS the first merge;
     //    corpus reduces to vocabulary BEFORE pair enumeration
@@ -2907,6 +2944,54 @@ object SparkEntry {
         $finalSelect"""
   }
 
+  /** DuckDB mirror of TextAnalysis.importanceWeights (+ the Gumbel top-k
+    * selection when `select`): hashed unigram+bigram features, add-one
+    * smoothed bucket log ratios vs the lang='en' target, per-doc sums.
+    */
+  private def DsirWeightsSql(select: Boolean): String = {
+    val core =
+      s"""WITH $ToksArrCte,
+          f AS (
+            SELECT doc_id,
+                   unnest(list_concat(toks,
+                     CASE WHEN len(toks) >= 2
+                          THEN list_transform(range(1, len(toks)),
+                                              i -> toks[i] || ' ' || toks[i + 1])
+                          ELSE []::VARCHAR[] END)) AS f
+            FROM toks_arr),
+          fb AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('dsir:' || f), 1, 15))::BIGINT % 256 AS b
+            FROM f),
+          raw AS (SELECT b, count(*) AS nr FROM fb GROUP BY 1),
+          tgt AS (SELECT b, count(*) AS nt
+                  FROM fb JOIN documents USING (doc_id)
+                  WHERE lang = 'en' GROUP BY 1),
+          tot AS (SELECT (SELECT sum(nr) FROM raw) AS tnr,
+                         (SELECT coalesce(sum(nt), 0) FROM tgt) AS tnt),
+          lr AS (SELECT raw.b,
+                        ln((coalesce(nt, 0) + 1)::DOUBLE / (tnt + 256)::DOUBLE)
+                        - ln((nr + 1)::DOUBLE / (tnr + 256)::DOUBLE) AS llr
+                 FROM raw LEFT JOIN tgt USING (b) CROSS JOIN tot),
+          sc AS (SELECT fb.doc_id, count(*) AS n_feats, sum(llr) AS logw
+                 FROM fb JOIN lr USING (b) GROUP BY 1),
+          w AS (SELECT d.doc_id,
+                       coalesce(n_feats, 0) AS n_feats,
+                       floor(coalesce(logw, 0.0) * 1e4 + 0.5) / 1e4 AS logw_r
+                FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id)"""
+    if (!select) core + "\n          SELECT doc_id, n_feats, logw_r FROM w ORDER BY doc_id"
+    else core +
+      """,
+          g AS (
+            SELECT doc_id, n_feats, logw_r,
+                   floor((logw_r - ln(-ln(
+                     (('0x' || substr(md5('dsirsel:' || doc_id::VARCHAR), 1, 13))::BIGINT::DOUBLE + 0.5)
+                     / 4503599627370496.0))) * 1e9 + 0.5) / 1e9 AS gk
+            FROM w),
+          top AS (SELECT * FROM g ORDER BY gk DESC, doc_id LIMIT 100)
+          SELECT doc_id, n_feats, logw_r, gk FROM top ORDER BY doc_id"""
+  }
+
   /** Shared DuckDB CTE: cleaned token array per document (order-preserving). */
   private val ToksArrCte =
     """toks_arr AS (
@@ -3294,6 +3379,52 @@ object SparkEntry {
                  floor((coalesce(hits, 0)::DOUBLE / n_rel) * 1e4 + 0.5) / 1e4 AS recall_r,
                  floor((coalesce(1.0 / frst, 0.0)) * 1e4 + 0.5) / 1e4 AS mrr_r
           FROM nr LEFT JOIN h USING (qid) ORDER BY nr.qid""",
+    // same BM25 ranking CTEs as q_retrieval_eval; graded relevance g
+    // feeds both the actual-ranking DCG and the ideal ranking (top-k
+    // grades, rel DESC / doc ASC — interchangeable docs at equal grade
+    // leave IDCG unchanged, so the tie rule only needs determinism)
+    "q_ndcg_eval" ->
+      s"""WITH $TokCte,
+          dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+          stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+          q AS (SELECT 1 AS qid, ['spark', 'query'] AS terms
+                UNION ALL SELECT 2, ['vector', 'stream', 'merge']
+                UNION ALL SELECT 3, ['data', 'table', 'row']),
+          tf AS (SELECT q.qid, t.doc_id, t.word, count(*) AS tf
+                 FROM tok t JOIN q ON list_contains(q.terms, t.word)
+                 GROUP BY 1, 2, 3),
+          dfs AS (SELECT qid, word, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY 1, 2),
+          sc AS (SELECT qid, doc_id,
+                        floor((sum(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                                   * (tf * (1.2 + 1.0))
+                                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))) * 1e4 + 0.5) / 1e4 AS score_r
+                 FROM (SELECT tf.qid, tf.doc_id, tf.tf, dfs.df_t, dl.dl, n_docs, avgdl
+                       FROM tf JOIN dfs ON dfs.qid = tf.qid AND dfs.word = tf.word
+                       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats) x
+                 GROUP BY 1, 2),
+          tp AS (SELECT qid, doc_id, rnk FROM (
+                   SELECT qid, doc_id,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY score_r DESC, doc_id) AS rnk
+                   FROM sc) r WHERE rnk <= 10),
+          g AS (SELECT x.qid, t.doc_id, count(DISTINCT t.word) AS rel
+                FROM q x JOIN tok t ON list_contains(x.terms, t.word)
+                GROUP BY 1, 2),
+          d AS (SELECT tp.qid,
+                       sum((pow(2.0, coalesce(g.rel, 0)::DOUBLE) - 1.0) / log2(rnk + 1)) AS dcg
+                FROM tp LEFT JOIN g ON g.qid = tp.qid AND g.doc_id = tp.doc_id
+                GROUP BY 1),
+          i AS (SELECT qid, sum((pow(2.0, rel::DOUBLE) - 1.0) / log2(irnk + 1)) AS idcg
+                FROM (SELECT qid, rel,
+                             row_number() OVER (PARTITION BY qid
+                                                ORDER BY rel DESC, doc_id) AS irnk
+                      FROM g) z
+                WHERE irnk <= 10 GROUP BY 1)
+          SELECT d.qid,
+                 floor(dcg * 1e4 + 0.5) / 1e4 AS dcg_r,
+                 floor(idcg * 1e4 + 0.5) / 1e4 AS idcg_r,
+                 floor((dcg / idcg) * 1e4 + 0.5) / 1e4 AS ndcg_r
+          FROM d JOIN i USING (qid) ORDER BY d.qid""",
     "q_doc_keywords" ->
       s"""WITH $TokCte,
           tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),
@@ -5466,6 +5597,8 @@ object SparkEntry {
            FROM h),
          top AS (SELECT * FROM keyed ORDER BY rk DESC, doc_id LIMIT 100)
          SELECT doc_id, n_chars, rk FROM top ORDER BY doc_id""",
+    "q_dsir_weights" -> DsirWeightsSql(select = false),
+    "q_dsir_select" -> DsirWeightsSql(select = true),
     "q_bpe_pairs" ->
       s"""WITH $TokCte,
           vocab AS (SELECT word AS w, count(*) AS n FROM tok GROUP BY 1),

@@ -410,6 +410,78 @@ object TextAnalysis {
         Portable.pround(coalesce(col("mlp"), lit(0.0)), 4).as("mean_lp"))
   }
 
+  /** DSIR-style hashed importance weights (Data Selection via Importance
+    * Resampling, Xie et al. 2023): score every raw document by how much
+    * more likely its hashed n-gram features are under a TARGET
+    * distribution than under the raw-corpus distribution —
+    * log w(d) = Σ_f [ln p̂_tgt(h(f)) − ln p̂_raw(h(f))] — so resampling
+    * ∝ w tilts the corpus toward the target domain without a trained
+    * classifier. Features are unigrams + adjacent bigrams (bag semantics,
+    * multiplicity kept), hashed into `buckets` cells via the portable md5
+    * hash; both distributions are add-one smoothed over the bucket space.
+    *
+    * Scale shape: the feature stream is materialized once
+    * (localCheckpoint) and consumed by three aggregates — raw bucket
+    * counts, target bucket counts (target = rows matching `targetFilter`,
+    * restricted with an equi-join on the id), and the per-doc score. The
+    * per-bucket log-ratio relation is BUCKETS-sized (a few hundred rows)
+    * and broadcast into the scoring join, so the only corpus-sized
+    * shuffles are the bucket-count partial aggregates. At 100 TB the
+    * target slice is typically a small curated corpus — its counts are
+    * metadata-sized by construction.
+    *
+    * Returns (idCol, n_feats, logw_r 4 dp); docs with no features score 0.
+    */
+  def importanceWeights(
+      docs: DataFrame,
+      targetFilter: Column,
+      buckets: Int = 256,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(buckets >= 2, s"buckets ($buckets) must be >= 2")
+    val toks = Tokenize.tokenArray(col(textCol))
+    val bigrams = when(size(toks) >= 2,
+      transform(sequence(lit(1), size(toks) - 1),
+        i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
+      .otherwise(array().cast("array<string>"))
+    val feats = docs
+      .select(col(idCol), explode(concat(toks, bigrams)).as("__f"))
+      .withColumn("__b",
+        conv(substring(md5(concat(lit("dsir:"), col("__f"))), 1, 15), 16, 10)
+          .cast("long") % buckets)
+      .select(col(idCol), col("__b"))
+      .localCheckpoint(true)
+    val rawCnt = feats.groupBy(col("__b")).agg(count(lit(1)).as("__nr"))
+    val tgtCnt = feats
+      .join(docs.where(targetFilter).select(col(idCol)), Seq(idCol))
+      .groupBy(col("__b")).agg(count(lit(1)).as("__nt"))
+      .localCheckpoint(true)
+    // bucket-space log ratios: BUCKETS-sized (totals fold off the bucket
+    // counts, so the corpus is not re-scanned for the scalars); the join
+    // legs are renamed because each count relation also feeds its own
+    // total — a self-reference Spark would otherwise flag ambiguous
+    val ratios = rawCnt.withColumnRenamed("__nr", "__nrj")
+      .join(tgtCnt.withColumnRenamed("__nt", "__ntj"), Seq("__b"), "left")
+      .crossJoin(broadcast(rawCnt.agg(sum(col("__nr")).as("__Nr"))))
+      .crossJoin(broadcast(tgtCnt.agg(sum(col("__nt")).as("__Nt"))))
+      .select(col("__b"),
+        (log((coalesce(col("__ntj"), lit(0L)) + 1).cast("double") /
+             (col("__Nt") + buckets).cast("double")) -
+         log((col("__nrj") + 1).cast("double") /
+             (col("__Nr") + buckets).cast("double"))).as("__llr"))
+    val scored = feats
+      .join(broadcast(ratios), Seq("__b"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_feats"), sum(col("__llr")).as("__logw"))
+    docs
+      .select(col(idCol))
+      .join(scored, Seq(idCol), "left_outer")
+      .select(
+        col(idCol),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        Portable.pround(coalesce(col("__logw"), lit(0.0)), 4).as("logw_r"))
+  }
+
   /** The BPE trainer's inner statistic: corpus-wide adjacent-symbol-pair
     * frequencies at the initial (character) merge state — the pair with
     * the max count IS the first BPE merge, and a tokenizer trainer loops

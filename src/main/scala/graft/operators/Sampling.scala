@@ -265,6 +265,40 @@ object Sampling {
       .limit(k)
   }
 
+  /** Gumbel top-k: sample k rows WITHOUT replacement with probability
+    * ∝ exp(logWeightCol), entirely in log space — the selection half of
+    * importance resampling ([[graft.functions.TextAnalysis.importanceWeights]]
+    * produces the log weights; exponentiating them would overflow for any
+    * realistically-sized document). The Gumbel-max trick: add an
+    * independent Gumbel(0,1) draw g = −ln(−ln u) to each log weight and
+    * take the top k of (logw + g) — distributionally identical to
+    * weighted sampling without replacement, and with u drawn from the
+    * deterministic md5 hash the selection is rerun-/resume-/oracle-stable
+    * ([[weightedSample]]'s A-ES discipline, moved to log space).
+    *
+    * Scale shape: map-side key computation + global top-k — Catalyst
+    * plans `orderBy(...).limit(k)` as TakeOrderedAndProject (per-partition
+    * bounded heaps, never a full sort). Key rounded 12 dp before ranking
+    * so tie-breaks (then id ASC) are cross-engine identical.
+    */
+  def gumbelTopK(
+      df: DataFrame,
+      idCol: String,
+      logWeightCol: String,
+      k: Int,
+      salt: String = "gumbel"): DataFrame = {
+    require(k > 0, s"k ($k) must be positive")
+    val h = conv(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    // u ∈ (0, 1) OPEN on both ends: u = 1 would send −ln(−ln u) to +∞
+    val u = (h.cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
+    df.withColumn("gk",
+      graft.functions.Portable.pround(
+        col(logWeightCol).cast("double") - log(-log(u)), 9))
+      .orderBy(desc("gk"), col(idCol))
+      .limit(k)
+  }
+
   /** Stratified deterministic sample: a different keep-fraction per value
     * of `stratumCol` (e.g. up-sample rare languages, down-sample dominant
     * ones). Strata absent from `fractions` fall back to `defaultFraction`.

@@ -302,12 +302,16 @@ object Search {
     * defined recall and emits no row — callers eval against queries
     * their corpus can answer.
     */
-  def retrievalEval(
+  /** BM25 top-k per query as (qid, rank, idCol): scores rounded 4 dp
+    * BEFORE the bounded [[graft.plans.CosTopK]] partial top-k (ties then
+    * doc ASC) — the ranking slice [[retrievalEval]] and [[ndcgEval]]
+    * share.
+    */
+  private def bm25TopIds(
       tokens: DataFrame,
       queries: Seq[(Int, Seq[String])],
-      k: Int = 10,
-      idCol: String = "doc_id"): DataFrame = {
-    require(queries.nonEmpty && k >= 1, s"need queries and k >= 1 (k=$k)")
+      k: Int,
+      idCol: String): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     val ranked = queries
       .map { case (qid, words) =>
@@ -321,11 +325,20 @@ object Search {
       GraftBridge.expression(col(idCol).cast("bigint")),
       GraftBridge.expression(col("score_r")),
       k).toAggregateExpression())
-    val top = ranked
+    ranked
       .groupBy(col("qid"))
       .agg(topAgg.as("__top"))
       .select(col("qid"), posexplode(col("__top")).as(Seq("__r0", "__e")))
       .select(col("qid"), (col("__r0") + 1).as("rank"), col("__e.id").as(idCol))
+  }
+
+  def retrievalEval(
+      tokens: DataFrame,
+      queries: Seq[(Int, Seq[String])],
+      k: Int = 10,
+      idCol: String = "doc_id"): DataFrame = {
+    require(queries.nonEmpty && k >= 1, s"need queries and k >= 1 (k=$k)")
+    val top = bm25TopIds(tokens, queries, k, idCol)
     val rel = queries
       .map { case (qid, words) =>
         val terms = cleanedTerms(words).distinct
@@ -352,6 +365,74 @@ object Search {
           coalesce(col("__hits"), lit(0L)).cast("double") / col("n_rel"), 4).as("recall_r"),
         graft.functions.Portable.pround(
           coalesce(lit(1.0) / col("__first"), lit(0.0)), 4).as("mrr_r"))
+  }
+
+  /** nDCG@k of the BM25 ranker with GRADED relevance — the eval metric
+    * [[retrievalEval]]'s binary recall/MRR can't express: a doc matching
+    * all three query terms should out-rank one matching two, and a ranker
+    * that orders them wrong should pay for it. Relevance grade = number
+    * of DISTINCT query terms the doc contains (deterministic ground truth
+    * from the corpus itself); gain = 2^rel − 1 (the standard exponential
+    * gain), discount 1/log2(rank+1).
+    *
+    * nDCG = DCG(actual ranking) / DCG(ideal ranking), where the ideal
+    * ranking is the top-k docs by grade — so 1.0 means the ranker ordered
+    * the top of its list as well as any ranker could.
+    *
+    * Scale shape: the actual ranking comes from the shared bounded
+    * [[graft.plans.CosTopK]] BM25 slice; the IDEAL ranking needs only the
+    * top-k GRADES per query, served by the same bounded aggregate over
+    * the graded-relevance relation (map-side ≤ k per query — never a
+    * window over the matched-doc axis). Grades are per-(query, doc)
+    * partial-aggregated term counts; everything downstream is
+    * query-count-sized. Final sums rounded 4 dp.
+    *
+    * Returns (qid, dcg_r, idcg_r, ndcg_r); queries whose terms match no
+    * docs have no defined ideal and emit no row.
+    */
+  def ndcgEval(
+      tokens: DataFrame,
+      queries: Seq[(Int, Seq[String])],
+      k: Int = 10,
+      idCol: String = "doc_id"): DataFrame = {
+    require(queries.nonEmpty && k >= 1, s"need queries and k >= 1 (k=$k)")
+    import org.apache.spark.sql.GraftBridge
+    val top = bm25TopIds(tokens, queries, k, idCol)
+    // graded relevance: distinct query terms present, 1..|terms|
+    val graded = queries
+      .map { case (qid, words) =>
+        val terms = cleanedTerms(words).distinct
+        tokens
+          .where(col("word").isin(terms: _*))
+          .groupBy(col(idCol))
+          .agg(countDistinct(col("word")).as("rel"))
+          .select(lit(qid).as("qid"), col(idCol), col("rel"))
+      }
+      .reduce(_.unionByName(_))
+    val dcg = top
+      .join(graded, Seq("qid", idCol), "left")
+      .withColumn("__gain",
+        coalesce(pow(lit(2.0), col("rel").cast("double")) - 1.0, lit(0.0)))
+      .groupBy(col("qid"))
+      .agg(sum(col("__gain") / log2(col("rank") + 1)).as("__dcg"))
+    val idealAgg = GraftBridge.column(graft.plans.CosTopK(
+      GraftBridge.expression(col("rel").cast("double")),
+      GraftBridge.expression(col(idCol).cast("bigint")),
+      GraftBridge.expression(col("rel").cast("double")),
+      k).toAggregateExpression())
+    val idcg = graded
+      .groupBy(col("qid"))
+      .agg(idealAgg.as("__ideal"))
+      .select(col("qid"), posexplode(col("__ideal")).as(Seq("__r0", "__e")))
+      .groupBy(col("qid"))
+      .agg(sum((pow(lit(2.0), col("__e.cos")) - 1.0) / log2(col("__r0") + 2)).as("__idcg"))
+    dcg
+      .join(idcg, Seq("qid"))
+      .select(
+        col("qid"),
+        graft.functions.Portable.pround(col("__dcg"), 4).as("dcg_r"),
+        graft.functions.Portable.pround(col("__idcg"), 4).as("idcg_r"),
+        graft.functions.Portable.pround(col("__dcg") / col("__idcg"), 4).as("ndcg_r"))
   }
 
   /** Per-document keyword extraction: the top-k terms of every document

@@ -490,6 +490,30 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got.head._4 > got(1)._4, "strictly above the stable terms")
   }
 
+  test("importanceWeights: target-domain vocabulary scores above off-domain; feature counts exact") {
+    import graft.functions.TextAnalysis
+    val df = Seq(
+      (1L, "alpha beta alpha beta", "tgt"),   // target slice defines the domain
+      (2L, "alpha beta alpha", "tgt"),
+      (3L, "gamma delta gamma delta", "raw"), // off-domain mass
+      (4L, "gamma delta gamma", "raw"),
+      (5L, "alpha beta", "raw"),              // raw doc IN the target domain
+      (6L, "gamma delta", "raw"),             // raw doc OFF the target domain
+      (7L, "", "raw")                         // no features
+    ).toDF("doc_id", "text", "kind")
+    val w = TextAnalysis.importanceWeights(df, col("kind") === "tgt", buckets = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    // "alpha beta": 2 unigrams + 1 bigram = 3 features
+    assert(w(5L)._1 == 3L && w(6L)._1 == 3L, s"feature counts: $w")
+    assert(w(5L)._2 > w(6L)._2,
+      s"target-domain doc must outweigh off-domain doc: ${w(5L)} vs ${w(6L)}")
+    assert(w(7L) == ((0L, 0.0)), s"featureless doc scores zero: ${w(7L)}")
+    // deterministic: identical on rerun
+    val w2 = TextAnalysis.importanceWeights(df, col("kind") === "tgt", buckets = 64)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(w == w2)
+  }
+
   test("kAnonymity: only classes below k surface, with exact sizes and shares") {
     val df = (1 to 8).map(i => ("en", "web")) ++ Seq(("en", "book"), ("de", "web"), ("de", "web"))
     val got = Stats.kAnonymity(df.toDF("lang", "source"), Seq("lang", "source"), k = 3)

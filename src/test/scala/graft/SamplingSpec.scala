@@ -183,4 +183,33 @@ class WeightedSampleSpec extends SparkSpec {
       .select("doc_id").as[Long].collect()
     assert(z.forall(_ >= 50))
   }
+
+  test("gumbelTopK == independent in-memory Gumbel-max mirror; rerun-stable; weights tilt") {
+    import spark.implicits._
+    val lw = docs.select(col("doc_id"), (col("n_chars").cast("double") / 1000.0).as("logw"))
+    // independent mirror of the md5 Gumbel draw + logw + top-k
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    def gkey(id: Long, logw: Double): Double = {
+      val hex = digest.digest(s"gmirror:$id".getBytes("UTF-8"))
+        .take(7).map(b => f"${b & 0xff}%02x").mkString.take(13)
+      val u = (java.lang.Long.parseLong(hex, 16).toDouble + 0.5) / 4503599627370496.0
+      math.floor((logw - math.log(-math.log(u))) * 1e9 + 0.5) / 1e9
+    }
+    val rows = lw.as[(Long, Double)].collect()
+    val want = rows.map { case (id, w) => (id, gkey(id, w)) }
+      .sortBy { case (id, k) => (-k, id) }.take(50).map(_._1).toSet
+    val got = Sampling.gumbelTopK(lw, "doc_id", "logw", k = 50, salt = "gmirror")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == want)
+    val again = Sampling.gumbelTopK(lw, "doc_id", "logw", k = 50, salt = "gmirror")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == again, "selection must be rerun-identical")
+    // a +5 log-weight tilt (e^5 ~ 148x) on a subset must dominate the sample
+    val tilted = docs.select(col("doc_id"),
+      when(col("doc_id") % 10 === 0, lit(5.0)).otherwise(lit(0.0)).as("logw"))
+    val sel = Sampling.gumbelTopK(tilted, "doc_id", "logw", k = 50, salt = "tilt")
+      .select("doc_id").as[Long].collect()
+    val boosted = sel.count(_ % 10 == 0)
+    assert(boosted > 40, s"148x-weighted subset should dominate the top-50, got $boosted")
+  }
 }

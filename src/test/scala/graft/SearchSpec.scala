@@ -106,6 +106,46 @@ class SearchSpec extends SparkSpec {
     assert(at1 == ((2L, 1L, 0.5, 1.0)), s"k=1 truncation: $at1")
   }
 
+  test("ndcgEval: uniform grades score 1.0; graded misordering matches the metric mirror") {
+    // single-term query: every relevant doc has grade 1, so ANY order is
+    // ideal -> nDCG is exactly 1.0
+    val toks = Tokenize.tokens(Seq(
+      (1L, "apple pear"),
+      (2L, "apple apple plum"),
+      (3L, "grape only")).toDF("doc_id", "text"), "text", Seq("doc_id"))
+    val uni = Search.ndcgEval(toks, Seq(1 -> Seq("apple")), k = 10)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3))).head
+    assert(uni._3 == 1.0 && uni._1 == uni._2, s"uniform grades are order-free: $uni")
+
+    // graded query where BM25 ranks a grade-1 doc above the grade-2 doc
+    // (the grade-2 doc is LONG, so length normalization sinks it): nDCG
+    // must equal the independent metric mirror computed from the
+    // engine's OWN ranking, and be < 1
+    val longDoc = "apple banana " + Seq.fill(40)("filler").mkString(" ")
+    val toks2 = Tokenize.tokens(Seq(
+      (1L, "apple apple apple"),       // grade 1, short -> big length boost
+      (2L, longDoc),                   // grade 2, 42 words -> normalized down
+      (3L, "banana other"),            // grade 1
+      (4L, "none of these")).toDF("doc_id", "text"), "text", Seq("doc_id"))
+    val q = Seq(7 -> Seq("apple", "banana"))
+    val got = Search.ndcgEval(toks2, q, k = 10)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3))).head
+    // mirror: take the engine's BM25 ranking, apply the metric by hand
+    val ranked = Search.bm25Query(toks2, Seq("apple", "banana"))
+      .orderBy(org.apache.spark.sql.functions.desc("score"), org.apache.spark.sql.functions.asc("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val rel = Map(1L -> 1, 2L -> 2, 3L -> 1)
+    def gain(r: Int) = math.pow(2.0, r) - 1.0
+    val dcg = ranked.zipWithIndex.map { case (id, i) =>
+      gain(rel.getOrElse(id, 0)) / (math.log(i + 2.0) / math.log(2.0)) }.sum
+    val ideal = rel.values.toSeq.sorted.reverse
+    val idcg = ideal.zipWithIndex.map { case (r, i) =>
+      gain(r) / (math.log(i + 2.0) / math.log(2.0)) }.sum
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(got == ((r4(dcg), r4(idcg), r4(dcg / idcg))), s"got $got vs mirror ${(r4(dcg), r4(idcg), r4(dcg / idcg))}")
+    assert(got._3 < 1.0, s"misordered graded ranking must lose nDCG: $got")
+  }
+
   test("snippets: window clamps at doc start, all matched terms uppercase") {
     val docs = Seq(
       (1L, "spark leads the doc and more words follow here"),
