@@ -2036,6 +2036,23 @@ object SparkEntry {
         .limit(500)
     }),
 
+    // -- Hilbert clustering key: Z-order's better-locality sibling
+    //    (consecutive keys are ALWAYS adjacent cells); 10-level integer
+    //    CASE/mask walk generated by the SAME hilbertStepSql the oracle
+    //    CTE chain uses
+    "q_hilbert_layout" -> ((s, dir) => {
+      operators.Layout
+        .hilbertKey(
+          t(s, dir, "orders")
+            .select(
+              col("o_orderkey"),
+              operators.Layout.quantize(col("o_custkey"), 2.0, 10).as("zx"),
+              operators.Layout.quantize(col("o_totalprice"), 600.0, 10).as("zy")),
+          "zx", "zy", bits = 10)
+        .orderBy("hkey", "o_orderkey")
+        .limit(500)
+    }),
+
     // -- zone-map prune effectiveness: the SAME price predicate against an
     //    insertion-order layout vs a price-clustered layout — the measured
     //    I/O argument for re-clustering; per-file min/max like a parquet
@@ -4920,6 +4937,7 @@ object SparkEntry {
           SELECT o_orderkey, zx, zy,
                  (${graft.operators.Layout.zorderKeySql(Seq("zx", "zy"), 14)})::BIGINT AS zkey
           FROM b ORDER BY zkey, o_orderkey LIMIT 500""",
+    "q_hilbert_layout" -> HilbertLayoutSql,
     "q_zonemap_prune" ->
       """WITH nat AS (
            SELECT floor(o_orderkey / 100) AS f,
@@ -5739,6 +5757,33 @@ object SparkEntry {
                 next_seq IS NULL AS is_current
          FROM v WHERE op <> 'D'
          ORDER BY o_orderkey, valid_from""")
+
+  /** CTE-chain mirror of Layout.hilbertKey over orders: per-level
+    * expressions come from the SAME Layout.hilbertStepSql generator the
+    * Spark side applies, so the walks cannot drift.
+    */
+  private lazy val HilbertLayoutSql: String = {
+    val bits = 10
+    val levels = ((bits - 1) to 0 by -1).zipWithIndex
+    val ctes = levels.map { case (lvl, i) =>
+      val prev = if (i == 0) "h0" else s"hl${i - 1}"
+      val (px, py, pd) = (s"hx$i", s"hy$i", s"hd$i")
+      val (nx, ny, nd) = graft.operators.Layout.hilbertStepSql(
+        bits, lvl,
+        if (i == 0) "hx" else s"hx${i - 1}",
+        if (i == 0) "hy" else s"hy${i - 1}",
+        if (i == 0) "hd" else s"hd${i - 1}")
+      s"hl$i AS (SELECT o_orderkey, zx, zy, $nx AS $px, $ny AS $py, $nd AS $pd FROM $prev)"
+    }
+    s"""WITH b AS (SELECT o_orderkey,
+                          least(floor(o_custkey / 2.0)::BIGINT, 1023) AS zx,
+                          least(floor(o_totalprice / 600.0)::BIGINT, 1023) AS zy
+                   FROM orders),
+          h0 AS (SELECT o_orderkey, zx, zy, zx AS hx, zy AS hy, 0 AS hd FROM b),
+          ${ctes.mkString(",\n          ")}
+          SELECT o_orderkey, zx, zy, hd${levels.size - 1}::BIGINT AS hkey
+          FROM hl${levels.size - 1} ORDER BY hkey, o_orderkey LIMIT 500"""
+  }
 
   /** Numeric lineitem columns for q_corr_matrix — one list drives BOTH the
     * Spark aggregation and the generated oracle SQL.

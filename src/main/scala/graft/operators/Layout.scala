@@ -141,6 +141,55 @@ object Layout {
     * the given column expressions — the oracle mirror (kept next to the
     * Spark form so the two can't drift).
     */
+  /** One refinement level of the 2-D Hilbert walk (classic xy2d, the
+    * n−1-flip rotation so coordinates never go negative), as SQL text
+    * over the given input column names — ONE generator serves both the
+    * Spark side ([[hilbertKey]] applies it with `expr` per level) and the
+    * DuckDB oracle (a CTE chain), so the engines run literally identical
+    * arithmetic. Returns the (x', y', d') expressions for quadrant size
+    * `s = 2^level` inside a `2^bits`-wide grid.
+    */
+  def hilbertStepSql(bits: Int, level: Int, x: String, y: String, d: String): (String, String, String) = {
+    val n = 1L << bits
+    val s = 1L << level
+    val rx = s"(CASE WHEN ($x & $s) > 0 THEN 1 ELSE 0 END)"
+    val ry = s"(CASE WHEN ($y & $s) > 0 THEN 1 ELSE 0 END)"
+    // (3·rx) XOR ry over {0,1}²: (0,0)→0 (0,1)→1 (1,0)→3 (1,1)→2
+    val quad = s"(CASE WHEN $rx = 0 AND $ry = 0 THEN 0 WHEN $rx = 0 THEN 1 WHEN $ry = 0 THEN 3 ELSE 2 END)"
+    val nd = s"($d + $s * $s * $quad)"
+    // ry=1: no rotation; ry=0: flip (if rx=1) then swap
+    val nx = s"(CASE WHEN $ry = 1 THEN $x WHEN $rx = 1 THEN ${n - 1} - $y ELSE $y END)"
+    val ny = s"(CASE WHEN $ry = 1 THEN $y WHEN $rx = 1 THEN ${n - 1} - $x ELSE $x END)"
+    (nx, ny, nd)
+  }
+
+  /** The 2-D Hilbert clustering key — [[zorderKey]]'s better-locality
+    * sibling: consecutive key values are ALWAYS Manhattan-adjacent cells
+    * (the Z-curve jumps across the grid at every power-of-two boundary),
+    * so a range of Hilbert keys covers a tighter spatial blob and
+    * range-partitioned files prune better for 2-dimensional predicates.
+    * The walk is `bits` levels of pure integer CASE/mask arithmetic
+    * (generated by [[hilbertStepSql]]), applied as a chain of narrow
+    * projections — map-side, codegen'd, no shuffle; columns must already
+    * be quantized to [0, 2^bits) ([[quantize]] upstream, as for Z-order).
+    *
+    * Appends `outCol` = the Hilbert distance in [0, 4^bits).
+    */
+  def hilbertKey(df: DataFrame, xCol: String, yCol: String, bits: Int, outCol: String = "hkey"): DataFrame = {
+    require(bits > 0 && 2 * bits <= 62, s"2 x bits ($bits) must fit a signed long")
+    val base = df.columns.toSeq
+    var cur = df
+      .withColumn("__hx", col(xCol).cast("long"))
+      .withColumn("__hy", col(yCol).cast("long"))
+      .withColumn("__hd", lit(0L))
+    for (lvl <- (bits - 1) to 0 by -1) {
+      val (nx, ny, nd) = hilbertStepSql(bits, lvl, "__hx", "__hy", "__hd")
+      cur = cur.select(
+        base.map(col) :+ expr(nx).as("__hx") :+ expr(ny).as("__hy") :+ expr(nd).as("__hd"): _*)
+    }
+    cur.select(base.map(col) :+ col("__hd").as(outCol): _*)
+  }
+
   def zorderKeySql(cols: Seq[String], bits: Int): String = {
     val k = cols.size
     cols.zipWithIndex

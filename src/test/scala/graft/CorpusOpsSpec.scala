@@ -104,6 +104,42 @@ class CorpusOpsSpec extends SparkSpec {
     assert(rows == exp)
   }
 
+  test("hilbertKey == independent xy2d mirror; bijective; consecutive keys always adjacent") {
+    // the in-memory classic xy2d (n-1-flip rotation), independent of the
+    // SQL generator
+    def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+      val n = 1L << bits
+      var (x, y, d) = (x0, y0, 0L)
+      var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val bits = 4
+    val n = 1 << bits
+    val cells = (for { x <- 0 until n; y <- 0 until n } yield (x.toLong, y.toLong)).toDF("x", "y")
+    val got = Layout.hilbertKey(cells, "x", "y", bits)
+      .as[(Long, Long, Long)].collect().map { case (x, y, d) => ((x, y), d) }.toMap
+    for (((x, y), d) <- got) assert(d == xy2d(bits, x, y), s"hilbert($x,$y)")
+    // bijection over the full grid
+    assert(got.values.toSet == (0L until (n.toLong * n)).toSet, "keys must be a bijection")
+    // the Hilbert property Z-order lacks: EVERY consecutive pair of keys
+    // is a Manhattan-adjacent cell pair
+    val byD = got.toSeq.sortBy(_._2).map(_._1)
+    byD.sliding(2).foreach { case Seq((x1, y1), (x2, y2)) =>
+      assert(math.abs(x1 - x2) + math.abs(y1 - y2) == 1,
+        s"curve jump between d-neighbors ($x1,$y1)->($x2,$y2)")
+    }
+  }
+
   // ----------------------------------------------------------- triangles
 
   test("triangle counts: K4 has 4 triangles, 3 through each node") {
