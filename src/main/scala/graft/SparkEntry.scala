@@ -1759,6 +1759,33 @@ object SparkEntry {
         .orderBy("band_id")
     }),
 
+    // -- interval-OVERLAP join (span × span, per key): both sides
+    //    bucketized into cells, each surviving pair claimed by exactly
+    //    ONE cell (the overlap's start) — a plain equi-join where the
+    //    direct inequality form nested-loops; intervals synthesized
+    //    deterministically from orders so the oracle mirrors them
+    "q_interval_join" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.where(col("o_orderkey") % 3 === 0)
+        .select(
+          col("o_orderkey").as("a_id"),
+          (col("o_custkey") % 50).as("k"),
+          ((col("o_orderkey") * 37) % 1000).cast("double").as("a_lo"))
+        .withColumn("a_hi", col("a_lo") + lit(1.0) + (col("a_id") % 20).cast("double"))
+      val b = o.where(col("o_orderkey") % 3 === 1)
+        .select(
+          col("o_orderkey").as("b_id"),
+          (col("o_custkey") % 50).as("k"),
+          ((col("o_orderkey") * 53) % 1000).cast("double").as("b_lo"))
+        .withColumn("b_hi", col("b_lo") + lit(1.0) + (col("b_id") % 13).cast("double"))
+      operators.RangeJoin
+        .overlapJoin(a, b, Seq("k"), "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 16.0)
+        .groupBy(col("k"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(col("a_id")).as("sum_a"), sum(col("b_id")).as("sum_b"))
+        .orderBy("k")
+    }),
+
     // -- as-of join: for each purchase, the LATEST click at-or-before it
     //    per user (tagged-union + ignore-nulls last — one shuffle, no
     //    range-pair blowup; DuckDB oracles with its NATIVE ASOF JOIN)
@@ -2348,6 +2375,17 @@ object SparkEntry {
       operators.Journeys
         .retentionCohorts(graft.sources.EventsSource.events(s, dir))
         .orderBy("cohort", "week_offset")
+    }),
+
+    // -- Kaplan–Meier user-lifetime survival with right-censoring: users
+    //    active within 7 days of the corpus end are censored (leave the
+    //    at-risk pool without a churn event) — the churn curve a naive
+    //    mean lifetime biases; cumulative product as exp Σ ln over the
+    //    day-domain relation
+    "q_survival" -> ((s, dir) => {
+      operators.Journeys
+        .survivalCurve(graft.sources.EventsSource.events(s, dir), censorDays = 7)
+        .orderBy("t_days")
     }),
 
     // -- sub-document near-dup pairs via shared CDC chunks: catches "doc
@@ -4723,6 +4761,23 @@ object SparkEntry {
           FROM orders JOIN bands
             ON o_totalprice >= lo AND o_totalprice < hi
           GROUP BY band_id ORDER BY band_id""",
+    // the oracle joins on the RAW overlap inequality — the bucketized
+    // Spark plan must produce exactly the pairs the predicate defines
+    "q_interval_join" ->
+      """WITH a AS (
+           SELECT o_orderkey AS a_id, o_custkey % 50 AS k,
+                  ((o_orderkey * 37) % 1000)::DOUBLE AS a_lo,
+                  ((o_orderkey * 37) % 1000)::DOUBLE + 1.0 + (o_orderkey % 20)::DOUBLE AS a_hi
+           FROM orders WHERE o_orderkey % 3 = 0),
+         b AS (
+           SELECT o_orderkey AS b_id, o_custkey % 50 AS k,
+                  ((o_orderkey * 53) % 1000)::DOUBLE AS b_lo,
+                  ((o_orderkey * 53) % 1000)::DOUBLE + 1.0 + (o_orderkey % 13)::DOUBLE AS b_hi
+           FROM orders WHERE o_orderkey % 3 = 1)
+         SELECT a.k, count(*) AS n_pairs,
+                sum(a_id)::BIGINT AS sum_a, sum(b_id)::BIGINT AS sum_b
+         FROM a JOIN b ON a.k = b.k AND a_lo < b_hi AND b_lo < a_hi
+         GROUP BY a.k ORDER BY a.k""",
     // DuckDB's native ASOF LEFT JOIN against the composed Spark form;
     // clicks pre-deduped per (user, µs) identically on both sides
     "q_asof_click" ->
@@ -5332,6 +5387,40 @@ object SparkEntry {
                 floor((n_active::DOUBLE / n0::DOUBLE) * 1e4 + 0.5) / 1e4 AS frac
          FROM cells JOIN base ON base.cohort = cells.cohort
          ORDER BY cells.cohort, week_offset""",
+    // the censoring rule, the at-risk reverse-cumulative, and the exp Σ ln
+    // product all mirrored; zero factors handled by flag, not ln(0)
+    "q_survival" ->
+      """WITH pu AS (
+           SELECT user_id AS k, min(ts::DATE) AS first_d, max(ts::DATE) AS last_d
+           FROM events GROUP BY 1),
+         hz AS (SELECT max(last_d) AS end_d FROM pu),
+         lt AS (
+           SELECT date_diff('day', first_d, last_d) AS t_days,
+                  date_diff('day', last_d, end_d) >= 7 AS churned
+           FROM pu CROSS JOIN hz),
+         byt AS (
+           SELECT t_days, count(*) AS n_ending,
+                  sum(CASE WHEN churned THEN 1 ELSE 0 END) AS d_churn
+           FROM lt GROUP BY 1),
+         r AS (
+           SELECT t_days, n_ending, d_churn,
+                  sum(n_ending) OVER (ORDER BY t_days
+                    ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS n_at_risk
+           FROM byt),
+         f AS (
+           SELECT t_days, n_at_risk, d_churn,
+                  1.0 - d_churn::DOUBLE / n_at_risk::DOUBLE AS fac
+           FROM r),
+         c AS (
+           SELECT t_days, n_at_risk, d_churn,
+                  max(CASE WHEN fac <= 0.0 THEN 1 ELSE 0 END) OVER w AS hit0,
+                  sum(CASE WHEN fac > 0.0 THEN ln(fac) ELSE 0.0 END) OVER w AS lns
+           FROM f
+           WINDOW w AS (ORDER BY t_days ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))
+         SELECT t_days, n_at_risk::BIGINT AS n_at_risk, d_churn::BIGINT AS d_churn,
+                CASE WHEN hit0 = 1 THEN 0.0
+                     ELSE floor(exp(lns) * 1e6 + 0.5) / 1e6 END AS surv_r
+         FROM c ORDER BY t_days""",
     "q_chunk_dedup" ->
       """WITH t0 AS (
            SELECT doc_id,

@@ -145,6 +145,71 @@ object Journeys {
           col("n_active").cast("double") / col("n0").cast("double"), 4).as("frac"))
   }
 
+  /** Kaplan–Meier user-lifetime survival curve WITH right-censoring — the
+    * churn statistic naive "average lifetime" gets wrong: users still
+    * active near the corpus end haven't churned, and dropping OR counting
+    * them as churned both bias the estimate. A user's lifetime is
+    * `last − first` active day; users whose last activity falls within
+    * `censorDays` of the corpus end are CENSORED (they leave the at-risk
+    * pool at their lifetime without contributing a churn event). The
+    * estimator: S(t) = Π_{u ≤ t} (1 − d_u / n_u) over distinct observed
+    * lifetimes, d = churn events at u, n = at-risk (lifetime ≥ u).
+    *
+    * Scale shape: one partial-agg groupBy reduces the event stream to the
+    * USER relation (first/last day per key); everything after —
+    * lifetime-domain counts, the reverse-cumulative at-risk pool, and the
+    * ln-sum cumulative product (exp Σ ln, so the window carries a sum,
+    * not a product) — runs over metadata-sized relations. The cumulative
+    * windows order by lifetime over ONE unpartitioned frame of
+    * |distinct lifetimes| rows (a day-domain axis, bounded by the corpus
+    * time span, never by users or events).
+    *
+    * Returns (t_days, n_at_risk, d_churn, surv_r 6 dp) per distinct
+    * observed lifetime.
+    */
+  def survivalCurve(
+      events: DataFrame,
+      censorDays: Int = 7,
+      keyCol: String = "user_id",
+      tsCol: String = "ts_t"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events
+      .select(col(keyCol).as("k"), to_date(col(tsCol)).as("d"))
+      .groupBy(col("k"))
+      .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+    val horizon = perUser.agg(max(col("last_d")).as("end_d"))
+    val lifetimes = perUser
+      .crossJoin(broadcast(horizon))
+      .select(
+        datediff(col("last_d"), col("first_d")).as("t_days"),
+        (datediff(col("end_d"), col("last_d")) >= censorDays).as("churned"))
+    val byT = lifetimes
+      .groupBy(col("t_days"))
+      .agg(
+        count(lit(1)).as("n_ending"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("d_churn"))
+    val wAsc = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    byT
+      // at-risk = everyone whose lifetime reaches t = total − Σ_{u<t} ending
+      .withColumn("n_at_risk",
+        sum(col("n_ending")).over(Window.orderBy(col("t_days"))
+          .rowsBetween(Window.currentRow, Window.unboundedFollowing)))
+      .withColumn("__f",
+        lit(1.0) - col("d_churn").cast("double") / col("n_at_risk").cast("double"))
+      // a factor of exactly 0 (everyone at risk churns at t) zeroes the
+      // curve from t on — handled by flag, not ln(0), which some engines
+      // reject
+      .withColumn("__zero",
+        max(when(col("__f") <= 0.0, 1).otherwise(0)).over(wAsc))
+      .withColumn("__lnS",
+        sum(when(col("__f") > 0.0, log(col("__f"))).otherwise(lit(0.0))).over(wAsc))
+      .select(
+        col("t_days"), col("n_at_risk"), col("d_churn"),
+        when(col("__zero") === 1, lit(0.0))
+          .otherwise(graft.functions.Portable.pround(exp(col("__lnS")), 6)).as("surv_r"))
+  }
+
   /** Top-k most common session PATHS: each session's ordered event-type
     * sequence (capped at `maxLen` steps — long sessions keep their first
     * `maxLen` events, the standard path-analysis truncation that bounds

@@ -41,4 +41,48 @@ object RangeJoin {
       .where(col(valueCol) >= col(loCol) && col(valueCol) < col(hiCol))
       .drop("__bucket")
   }
+
+  /** Interval-OVERLAP join: pairs of half-open intervals [lLo, lHi) ×
+    * [rLo, rHi) that intersect, optionally within equi `keys` — the
+    * session-vs-session / span-vs-span case [[bucketedRangeJoin]]'s
+    * point-in-range shape can't express. A direct `lLo < rHi AND rLo <
+    * lHi` join is inequality-only, which Spark plans as a nested loop.
+    *
+    * Bucketized: BOTH sides explode into the fixed-width cells their span
+    * covers and equi-join on (keys, cell). A pair sharing several cells
+    * would duplicate, so each surviving pair is claimed by exactly ONE
+    * cell — the one containing the overlap's start `greatest(lLo, rLo)`
+    * (both intervals necessarily cover it, so both replicated into it):
+    * exact dedup with no distinct/shuffle. Replication is span/width per
+    * row; pick `bucketWidth` near the median span, as for the point form.
+    *
+    * Left/right non-key column names must be disjoint (the join output
+    * carries both).
+    */
+  def overlapJoin(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      lLo: String, lHi: String,
+      rLo: String, rHi: String,
+      bucketWidth: Double): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth ($bucketWidth) must be positive")
+    def cells(df: DataFrame, lo: String, hi: String): DataFrame =
+      df
+        // empty intervals overlap nothing — and sequence(a, b) with b < a
+        // would generate DESCENDING cells
+        .where(col(hi) > col(lo))
+        .withColumn("__cell",
+          explode(sequence(
+            floor(col(lo) / bucketWidth).cast("long"),
+            // hi is EXCLUSIVE: an interval ending exactly on a cell edge
+            // does not enter that cell
+            floor((col(hi) - lit(1e-9)) / bucketWidth).cast("long"))))
+    cells(left, lLo, lHi)
+      .join(cells(right, rLo, rHi), keys :+ "__cell")
+      .where(
+        col(lLo) < col(rHi) && col(rLo) < col(lHi) &&
+          col("__cell") === floor(greatest(col(lLo), col(rLo)) / bucketWidth).cast("long"))
+      .drop("__cell")
+  }
 }

@@ -83,6 +83,27 @@ class JourneysSpec extends SparkSpec {
     assert(got(("z", "x")) == ((1L, 0.3333, 1.0, 1.0)))
   }
 
+  test("survivalCurve: censoring removes from at-risk without a churn event; KM product exact") {
+    def t(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
+    // corpus end = 2024-01-31 (u4/u5's last day)
+    val ev = Seq(
+      (1L, t("2024-01-01")),                        // t=0, churned (30d before end)
+      (2L, t("2024-01-01")), (2L, t("2024-01-11")), // t=10, churned (20d)
+      (3L, t("2024-01-06")), (3L, t("2024-01-29")), // t=23, last 2d before end -> CENSORED
+      (4L, t("2024-01-01")), (4L, t("2024-01-31")), // t=30, censored
+      (5L, t("2024-01-31"))                         // t=0, censored
+    ).toDF("user_id", "ts_t")
+    val got = Journeys.survivalCurve(ev, censorDays = 7)
+      .orderBy("t_days").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // S(0)=1-1/5=0.8; S(10)=0.8*(1-1/3)=0.533333; censored-only rows keep S
+    assert(got.toSeq == Seq(
+      (0, 5L, 1L, 0.8),
+      (10, 3L, 1L, 0.533333),
+      (23, 2L, 0L, 0.533333),
+      (30, 1L, 0L, 0.533333)), got.toSeq.toString)
+  }
+
   test("retentionCohorts: offsets anchor to each user's own first week") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(

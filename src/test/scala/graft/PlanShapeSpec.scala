@@ -133,6 +133,68 @@ class PlanShapeSpec extends SparkSpec {
     assert(bucketed.count() == naive.count())
   }
 
+  test("AQE splits a hot-key join partition at runtime (skew=true in the final plan)") {
+    // the runtime half of the skew story: Salting is the declarative fix
+    // (q_token_freq_salted); AQE's OptimizeSkewedJoin is the automatic
+    // one — pin that it actually fires on a skewed sort-merge join
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.adaptive.enabled",
+      "spark.sql.adaptive.skewJoin.enabled",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+      "spark.sql.autoBroadcastJoinThreshold")
+    val saved = keys.map(k => k -> scala.util.Try(conf.get(k)).toOption).toMap
+    try {
+      conf.set("spark.sql.adaptive.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+      conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "16KB")
+      conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force SMJ
+      // one key owns 75% of the left side
+      val left = spark.range(0, 40000)
+        .select(when(col("id") < 30000, lit(7L)).otherwise(col("id") % 1000).as("k"),
+          col("id").as("v"))
+      val right = spark.range(0, 2000).select((col("id") % 1000).as("k"), col("id").as("w"))
+      val joined = left.join(right, "k")
+      // execute THIS df's queryExecution (count() would build a separate
+      // plan and leave this one un-finalized)
+      joined.collect()
+      val finalPlan = joined.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("skew=true"),
+        s"OptimizeSkewedJoin should have split the hot partition:\n$finalPlan")
+    } finally {
+      saved.foreach { case (k, v) => v.fold(conf.unset(k))(conf.set(k, _)) }
+    }
+  }
+
+  test("interval-overlap join: equi-join on cells, == the naive inequality join, no dup pairs") {
+    val orders = spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+    val a = orders.where(col("o_orderkey") % 3 === 0)
+      .select(col("o_orderkey").as("a_id"), (col("o_custkey") % 10).as("k"),
+        ((col("o_orderkey") * 37) % 500).cast("double").as("a_lo"))
+      .withColumn("a_hi", col("a_lo") + lit(1.0) + (col("a_id") % 20).cast("double"))
+    val b = orders.where(col("o_orderkey") % 3 === 1)
+      .select(col("o_orderkey").as("b_id"), (col("o_custkey") % 10).as("k"),
+        ((col("o_orderkey") * 53) % 500).cast("double").as("b_lo"))
+      .withColumn("b_hi", col("b_lo") + lit(1.0) + (col("b_id") % 13).cast("double"))
+    val bucketed = graft.operators.RangeJoin
+      .overlapJoin(a, b, Seq("k"), "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 16.0)
+    val plan = bucketed.queryExecution.executedPlan.toString
+    assert(plan.contains("HashJoin") && !plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"overlap join must be a hash equi-join on (keys, cell):\n$plan")
+    // exactness incl. the one-cell-claims-each-pair dedup: pair sets equal
+    val naive = a.join(b,
+      a("k") === b("k") && col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    val got = bucketed.select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size, "bucketization must not duplicate a pair")
+    assert(got.toSet == naive.toSet && got.length == naive.length,
+      s"pair sets differ: got ${got.length}, naive ${naive.length}")
+  }
+
   test("jaro linkage: distinct-name relation broadcasts, similarity inside codegen") {
     val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
     val linked = graft.operators.Linkage.nameMatches(part, "p_name")
