@@ -95,7 +95,13 @@ object ExplainAudit {
     "q_search_phrase_indexed", "q_search_tfidf", "q_semi_customers",
     "q_session_window", "q_sessions", "q_setops", "q_token_count",
     "q_tokenize", "q_topk_orders", "q_topk_per_letter", "q_window_funcs",
-    "q_window_orders", "q_window_rolling")
+    "q_window_orders", "q_window_rolling",
+    // round 12: SCD2 history, privacy/stats additions, graded nDCG, DSIR
+    // importance resampling, Hilbert layout, interval-overlap join,
+    // Kaplan–Meier survival
+    "q_scd2_history", "q_l_diversity", "q_corr_matrix", "q_ndcg_eval",
+    "q_dsir_weights", "q_dsir_select", "q_hilbert_layout", "q_interval_join",
+    "q_survival")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

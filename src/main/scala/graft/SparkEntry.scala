@@ -2246,6 +2246,27 @@ object SparkEntry {
         .orderBy("part", "bin")
     }),
 
+    // -- compaction EXECUTION: the rewrite half of OPTIMIZE — documents
+    //    scattered as 40 small parquet files, small-file bins planned
+    //    (compactionPlan) and rewritten one-file-per-bin; the returned
+    //    post-compaction table must be row-identical to the original, so
+    //    the oracle is the DIRECT documents read (same lossless-rewrite
+    //    discipline as the format roundtrips)
+    "q_compaction_exec" -> ((s, dir) => {
+      val small = scratch("compact-src", dir)
+      val out = scratch("compact-out", dir)
+      t(s, dir, "documents").repartition(40, col("doc_id"))
+        .write.mode("overwrite").parquet(small)
+      operators.Layout
+        .compactExecute(s, small, out, targetBytes = 64 * 1024)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"),
+          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")).as("sum_text_md5"))
+        .orderBy("lang")
+    }),
+
     // -- two-sample Kolmogorov-Smirnov drift test: D = max CDF gap between
     //    even- and odd-orderkey price distributions per priority (null
     //    drift — D should be small); tie-correct, value-range-chunked cumsum
@@ -5143,6 +5164,12 @@ object SparkEntry {
                 sum(bytes)::BIGINT AS total_bytes,
                 array_to_string(list_sort(list(path)), ' ') AS files_str
          FROM u GROUP BY 1, 2, 3 ORDER BY part, bin""",
+    // the rewrite is LOSSLESS, so the oracle is the direct documents read
+    "q_compaction_exec" ->
+      """SELECT lang, count(*) AS n_docs,
+                sum(n_chars)::BIGINT AS sum_chars,
+                sum(('0x' || substr(md5(text), 1, 8))::BIGINT)::BIGINT AS sum_text_md5
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q_ks_drift" ->
       """WITH s AS (SELECT o_orderpriority AS g, o_totalprice::DOUBLE AS v,
                            1 + o_orderkey % 2 AS smp

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -96,6 +96,59 @@ object Layout {
         count(lit(1)).as("n_files"),
         sum(col(bytesCol)).as("total_bytes"),
         array_join(sort_array(collect_list(col(pathCol))), " ").as("files_str"))
+  }
+
+  /** EXECUTE a [[compactionPlan]] over a real parquet directory — the
+    * rewrite half of OPTIMIZE: list the directory's files (driver-side
+    * FILE METADATA, the planner's input by definition — ~800k rows at
+    * 100 TB with 128 MB files, exactly what a table format's manifest
+    * holds; the DATA below never touches the driver), plan bins with
+    * [[compactionPlan]], rewrite each `compact` bin's rows as ONE output
+    * file (rows are routed to their bin via a broadcast (file → bin) map
+    * on `input_file_name`, then `repartition(bin)` + `partitionBy(bin)`
+    * puts each bin in exactly one task ⇒ exactly one file), and leave
+    * `keep` files untouched in place.
+    *
+    * Returns the POST-compaction table: kept files ∪ the compacted
+    * rewrite — which must be row-identical to the input directory (the
+    * invariant the spec and the oracle row pin).
+    */
+  def compactExecute(
+      spark: SparkSession,
+      srcDir: String,
+      outDir: String,
+      targetBytes: Long): DataFrame = {
+    import org.apache.hadoop.fs.Path
+    val src = new Path(srcDir)
+    val fs = src.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val listed = fs.listStatus(src).toSeq
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => (f.getPath.getName, f.getLen))
+    require(listed.nonEmpty, s"no parquet files under $srcDir")
+    import spark.implicits._
+    val meta = listed.toDF("path", "bytes").withColumn("part", lit("all"))
+    val plan = compactionPlan(meta, targetBytes)
+    val assign = plan
+      .where(col("action") === "compact")
+      .select(col("bin"), explode(split(col("files_str"), " ")).as("__fname"))
+    val keepNames = plan
+      .where(col("action") === "keep")
+      .select(explode(split(col("files_str"), " ")).as("__fname"))
+    val data = spark.read.parquet(srcDir)
+      .withColumn("__fname", element_at(split(input_file_name(), "/"), -1))
+    // planning decision off the metadata relation (driver-sized, like the
+    // listing itself): nothing to rewrite → the table IS the result
+    if (plan.where(col("action") === "compact").isEmpty) return data.drop("__fname")
+    data
+      .join(broadcast(assign), Seq("__fname"))
+      .drop("__fname")
+      .repartition(col("bin"))
+      .write.mode("overwrite").partitionBy("bin").parquet(outDir)
+    val kept = data
+      .join(broadcast(keepNames), Seq("__fname"))
+      .drop("__fname")
+    val compacted = spark.read.parquet(outDir).drop("bin")
+    kept.unionByName(compacted)
   }
 
   /** Zone-map prune effectiveness: given a file assignment (any

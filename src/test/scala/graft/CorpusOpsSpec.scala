@@ -655,6 +655,32 @@ class CorpusOpsSpec extends SparkSpec {
       plan.map(_.toSeq).toSet)
   }
 
+  test("compactExecute: rewrite is lossless, one file per bin, all-keep is a no-op") {
+    import graft.operators.Layout
+    val src = java.nio.file.Files.createTempDirectory("graft-compact-src").toString
+    val out = java.nio.file.Files.createTempDirectory("graft-compact-out").toString
+    val rows = (1L to 400L).map(i => (i, s"doc body number $i", i % 7))
+    rows.toDF("id", "body", "grp").repartition(10, col("id"))
+      .write.mode("overwrite").parquet(src)
+    def parquets(d: String) =
+      new java.io.File(d).listFiles((_, n) => n.endsWith(".parquet"))
+    assert(parquets(src).length == 10)
+    // generous target: every file is small -> all compact
+    val got = Layout.compactExecute(spark, src, out, targetBytes = 10L * 1024 * 1024)
+      .select("id", "body", "grp").collect().map(_.toSeq).toSet
+    assert(got == rows.map(p => Seq(p._1, p._2, p._3)).toSet, "rewrite must be lossless")
+    // one file per bin directory, fewer files than before
+    val binDirs = new java.io.File(out).listFiles((f, n) => n.startsWith("bin="))
+    assert(binDirs.nonEmpty && binDirs.length < 10, s"expected fewer bins: ${binDirs.length}")
+    binDirs.foreach { d =>
+      assert(parquets(d.toString).length == 1, s"exactly one file per bin in $d")
+    }
+    // target below every file size -> all keep -> table returned unchanged
+    val noop = Layout.compactExecute(spark, src, out + "-n", targetBytes = 1)
+      .select("id", "body", "grp").collect().map(_.toSeq).toSet
+    assert(noop == got)
+  }
+
   test("groupedOls: exact line recovered, r2=1; noisy r2<1; constant-x guarded") {
     val exact = (1 to 10).map(i => ("a", i.toDouble, 3.0 * i + 7.0))
     val noisy = (1 to 10).map(i => ("b", i.toDouble, 2.0 * i + (if (i % 2 == 0) 1.0 else -1.0)))
