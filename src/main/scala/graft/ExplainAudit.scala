@@ -163,6 +163,19 @@ object ExplainAudit {
       "q_kmeans_full" -> ((s: SparkSession, dir: String) => {
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
         graft.operators.Similarity.lloydStep(emb, emb.where(col("vec_id") < 8))
+      }),
+      // round 12: one power-iteration round body — per-row dot against the
+      // broadcast-literal v (plan shape independent of v's values), then
+      // the d-sized per-component partial-agg sum
+      "q_pca_power" -> ((s: SparkSession, dir: String) => {
+        val data = s.read.parquet(s"$dir/embeddings.parquet")
+          .select(transform(col("embedding"), x => x.cast("double")).as("x"))
+        val vLit = array(Seq.fill(64)(lit(0.5)): _*)
+        data
+          .withColumn("__dot", graft.operators.Similarity.dot(col("x"), vLit))
+          .select(posexplode(transform(col("x"), e => e * col("__dot"))).as(Seq("pos", "wv")))
+          .groupBy(col("pos"))
+          .agg(sum(col("wv")).as("w"))
       }))
   }
 

@@ -2705,6 +2705,15 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // -- top principal component by power iteration: 3 rounds of
+    //    w = Xᵀ(Xv) — one corpus pass per round, d-sized driver state,
+    //    per-round 6-dp quantization so the unrolled oracle replays
+    //    every round exactly
+    "q_pca_power" -> ((s, dir) => {
+      operators.Similarity
+        .powerIteration(t(s, dir, "embeddings"), rounds = 3)
+    }),
+
     // -- CDC MERGE apply: fold a changelog (deletes, multi-version
     //    updates, inserts; synthesized deterministically from orders so
     //    the oracle can mirror it) into the base snapshot — latest seq
@@ -5838,6 +5847,7 @@ object SparkEntry {
                      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm) >= 0.25)
          SELECT m.vec_id, cell, (d.vec_id IS NULL) AS keep
          FROM m LEFT JOIN d ON d.vec_id = m.vec_id ORDER BY m.vec_id""",
+    "q_pca_power" -> PcaPowerSql(64, 3),
     "q_cdc_apply" ->
       """WITH base AS (
            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0 AS seq, 'I' AS op FROM orders),
@@ -5873,6 +5883,41 @@ object SparkEntry {
                 next_seq IS NULL AS is_current
          FROM v WHERE op <> 'D'
          ORDER BY o_orderkey, valid_from""")
+
+  /** Unrolled-round mirror of Similarity.powerIteration over embeddings:
+    * the per-round 6-dp quantization makes each round's input exact, so
+    * the only float drift is inside one round's sums — absorbed by the
+    * quantization (the kmeans-oracle discipline).
+    */
+  private def PcaPowerSql(d: Int, rounds: Int): String = {
+    val roundCtes = (1 to rounds).map { r =>
+      val prev = if (r == 1) "v0" else s"v${r - 1}"
+      s"""d$r AS (SELECT e.vec_id,
+                       list_sum(list_transform(range(1, ${d + 1}), k -> e.x[k] * vl$r.v[k])) AS dot
+                FROM e CROSS JOIN (SELECT list(v ORDER BY pos) AS v FROM $prev) vl$r),
+         w$r AS (SELECT p.pos, sum(e.x[p.pos] * dd.dot) AS w
+                FROM e JOIN d$r dd USING (vec_id) CROSS JOIN p GROUP BY p.pos),
+         n$r AS (SELECT sqrt(sum(w * w)) AS nw FROM w$r),
+         v$r AS (SELECT pos, floor(w / nw * 1e6 + 0.5) / 1e6 AS v FROM w$r CROSS JOIN n$r)"""
+    }.mkString(",\n         ")
+    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS x FROM embeddings),
+         p AS (SELECT unnest(range(1, ${d + 1})) AS pos),
+         v0 AS (SELECT pos,
+                       ((('0x' || substr(md5('pca:' || (pos - 1)::VARCHAR), 1, 15))::BIGINT % 1000 + 1)
+                        / 1000.0) AS v
+                FROM p),
+         $roundCtes,
+         pn AS (SELECT sqrt(sum(v * v)) AS nv FROM v${rounds - 1}),
+         lam AS (SELECT nw / nv AS lambda FROM n$rounds CROSS JOIN pn),
+         tot AS (SELECT sum(list_sum(list_transform(range(1, ${d + 1}), k -> x[k] * x[k]))) AS total
+                 FROM e)
+         SELECT $d AS dims, $rounds AS n_rounds,
+                floor(lambda * 1e4 + 0.5) / 1e4 AS eig_r,
+                floor(lambda / total * 1e6 + 0.5) / 1e6 AS evr_r,
+                (SELECT string_agg(floor(v * 1e6 + 0.5)::BIGINT::VARCHAR, ' ' ORDER BY pos)
+                 FROM v$rounds) AS vec_q
+         FROM lam CROSS JOIN tot"""
+  }
 
   /** CTE-chain mirror of Layout.hilbertKey over orders: per-level
     * expressions come from the SAME Layout.hilbertStepSql generator the

@@ -662,6 +662,73 @@ object Similarity {
         col("col.cos").cast("bigint").as("adc_q"))
   }
 
+  /** Top principal component by POWER ITERATION — the d-bounded
+    * eigen-solver a 100 TB embedding table can actually run: each round
+    * is ONE pass over the corpus computing w = Xᵀ(Xv) (per-row dot
+    * against the broadcast-literal v, then a per-component partial-agg
+    * sum — nothing larger than d ever leaves the executors), followed by
+    * d-sized driver normalization, exactly the bounded driver-loop state
+    * the k-means trainer holds. The per-round vector is QUANTIZED (6 dp)
+    * before re-broadcast — [[lloydStep]]'s fixed-point discipline — so
+    * the DuckDB oracle replays every round exactly and float summation
+    * drift cannot compound across rounds.
+    *
+    * v₀ is the deterministic md5 vector (component j ←
+    * (hash60("salt:j") mod 1000 + 1)/1000 — strictly positive, so it
+    * cannot be orthogonal to a nonnegative-weight top component and the
+    * oracle replays it); the corpus is checkpointed once before the loop
+    * ([[Graph.pagerank]] pattern). Returns ONE row:
+    * (dims, rounds, eig_r, evr_r, vec_q) — the Rayleigh-quotient
+    * eigenvalue estimate ‖w‖, its share of total variance Σ‖x‖²
+    * (explained-variance ratio), and the unit eigenvector as space-joined
+    * 1e6-quantized integers ([[kmeansIterate]]'s rendering).
+    */
+  def powerIteration(
+      emb: DataFrame,
+      rounds: Int = 3,
+      vecCol: String = "embedding",
+      salt: String = "pca"): DataFrame = {
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    val data = emb
+      .select(transform(col(vecCol), x => x.cast("double")).as("x"))
+      .localCheckpoint(true)
+    val d = data.select(size(col("x"))).first().getInt(0)
+    var v: Array[Double] = Array.tabulate(d)(j => (Similarity.hashMod1000(s"$salt:$j") + 1) / 1000.0)
+    var lambda = 0.0
+    for (_ <- 1 to rounds) {
+      val vLit = array(v.map(lit).toIndexedSeq: _*)
+      val w = data
+        .withColumn("__dot", dot(col("x"), vLit))
+        .select(posexplode(transform(col("x"), e => e * col("__dot"))).as(Seq("pos", "wv")))
+        .groupBy(col("pos"))
+        .agg(sum(col("wv")).as("w"))
+        .orderBy("pos")
+        .collect().map(_.getDouble(1)) // d-sized driver state, like centroids
+      val nrm = math.sqrt(w.map(x => x * x).sum)
+      lambda = nrm / math.sqrt(v.map(x => x * x).sum)
+      v = w.map(x => math.floor(x / nrm * 1e6 + 0.5) / 1e6)
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val total = data
+      .select(dot(col("x"), col("x")).as("sq"))
+      .agg(sum(col("sq"))).first().getDouble(0)
+    Seq((d, rounds)).toDF("dims", "n_rounds")
+      .withColumn("eig_r", lit(math.floor(lambda * 1e4 + 0.5) / 1e4))
+      .withColumn("evr_r", lit(math.floor(lambda / total * 1e6 + 0.5) / 1e6))
+      .withColumn("vec_q", lit(v.map(x => math.floor(x * 1e6 + 0.5).toLong).mkString(" ")))
+  }
+
+  /** Deterministic [1..1000] draw from the md5 60-bit prefix (oracle:
+    * ('0x' || substr(md5(s), 1, 15))::BIGINT % 1000).
+    */
+  private def hashMod1000(s: String): Long = {
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    val hex = digest.digest(s.getBytes("UTF-8"))
+      .map(b => f"${b & 0xff}%02x").mkString.take(15)
+    java.lang.Long.parseLong(hex, 16) % 1000L
+  }
+
   def ivfAssign(
       corpus: DataFrame,
       centroids: DataFrame,

@@ -86,4 +86,20 @@ class KmeansSpec extends SparkSpec {
       .collect().map(_.toString).toSet
     assert(fixed == conv, "a converged loop must be a fixpoint of further iterations")
   }
+
+  test("powerIteration recovers a planted rank-1 component exactly; deterministic") {
+    // x_i = i * (3, 4): pure rank-1, top eigenvector (0.6, 0.8),
+    // eigenvalue 25 * sum(i^2), explained variance ratio exactly 1
+    val planted = (1 to 50).map(i => (i.toLong, Array(3f * i, 4f * i)))
+      .toDF("vec_id", "embedding")
+    val row = Similarity.powerIteration(planted, rounds = 3).collect().head
+    assert(row.getInt(0) == 2 && row.getInt(1) == 3)
+    val sumSq = (1 to 50).map(i => i.toLong * i).sum.toDouble
+    assert(math.abs(row.getDouble(2) - 25.0 * sumSq) < 0.01,
+      s"eigenvalue ${row.getDouble(2)} vs ${25.0 * sumSq}")
+    assert(row.getDouble(3) >= 0.999999, s"rank-1 data explains everything: ${row.getDouble(3)}")
+    assert(row.getString(4) == "600000 800000", s"unit eigenvector: ${row.getString(4)}")
+    val again = Similarity.powerIteration(planted, rounds = 3).collect().head
+    assert(row.toString == again.toString, "must be rerun-identical")
+  }
 }
