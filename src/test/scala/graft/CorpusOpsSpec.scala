@@ -140,6 +140,30 @@ class CorpusOpsSpec extends SparkSpec {
     }
   }
 
+  test("hilbertKey fuzz: 300 random points at bits=8 match the in-memory xy2d") {
+    def xy2d(bits: Int, x0: Long, y0: Long): Long = {
+      val n = 1L << bits
+      var (x, y, d) = (x0, y0, 0L)
+      var s = n / 2
+      while (s > 0) {
+        val rx = if ((x & s) > 0) 1L else 0L
+        val ry = if ((y & s) > 0) 1L else 0L
+        d += s * s * ((3 * rx) ^ ry)
+        if (ry == 0) {
+          if (rx == 1) { x = n - 1 - x; y = n - 1 - y }
+          val t = x; x = y; y = t
+        }
+        s /= 2
+      }
+      d
+    }
+    val rnd = new scala.util.Random(42)
+    val pts = Seq.fill(300)((rnd.nextInt(256).toLong, rnd.nextInt(256).toLong)).distinct
+    val got = Layout.hilbertKey(pts.toDF("x", "y"), "x", "y", bits = 8)
+      .as[(Long, Long, Long)].collect().map { case (x, y, d) => ((x, y), d) }.toMap
+    for ((x, y) <- pts) assert(got((x, y)) == xy2d(8, x, y), s"hilbert8($x,$y)")
+  }
+
   // ----------------------------------------------------------- triangles
 
   test("triangle counts: K4 has 4 triangles, 3 through each node") {

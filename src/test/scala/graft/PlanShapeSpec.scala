@@ -195,6 +195,30 @@ class PlanShapeSpec extends SparkSpec {
       s"pair sets differ: got ${got.length}, naive ${naive.length}")
   }
 
+  test("interval-overlap join fuzz: random intervals (incl. empty) == naive join, 3 widths") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    def mk(n: Int, pre: String) = (1 to n).map { i =>
+      val lo = rnd.nextInt(200).toDouble
+      // ~10% deliberately EMPTY (hi <= lo) — they must match nothing
+      val hi = if (rnd.nextInt(10) == 0) lo - 1.0 else lo + 1.0 + rnd.nextInt(30)
+      (i.toLong, rnd.nextInt(4).toLong, lo, hi)
+    }.toDF(s"${pre}_id", "k", s"${pre}_lo", s"${pre}_hi")
+    val a = mk(80, "a").localCheckpoint(true)
+    val b = mk(60, "b").localCheckpoint(true)
+    val naive = a.join(b, Seq("k"))
+      .where(col("a_lo") < col("b_hi") && col("b_lo") < col("a_hi") &&
+        col("a_hi") > col("a_lo") && col("b_hi") > col("b_lo"))
+      .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (w <- Seq(4.0, 16.0, 100.0)) {
+      val got = graft.operators.RangeJoin
+        .overlapJoin(a, b, Seq("k"), "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = w)
+        .select("a_id", "b_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+      assert(got.length == got.toSet.size, s"width $w duplicated a pair")
+      assert(got.toSet == naive, s"width $w: ${got.length} vs naive ${naive.size}")
+    }
+  }
+
   test("jaro linkage: distinct-name relation broadcasts, similarity inside codegen") {
     val part = spark.read.parquet("/root/testdata/sf0.001/part.parquet")
     val linked = graft.operators.Linkage.nameMatches(part, "p_name")
