@@ -163,6 +163,40 @@ object ScaleBench {
         s"""{"pipeline":"sessionization","factor":$f,"sec":${f"$vSec%.3f"},"users":$nSess}""")
       ev.unpersist()
 
+      // interval-overlap join as the KEY SPACE grows (replicas take fresh
+      // equi-keys, the event-log axis): per-(key, cell) occupancy stays
+      // constant, so pairs and wall time must grow linearly — cell
+      // replication (span/width) is the plan's only amplification and is
+      // factor-independent. Same synthesis as q_interval_join.
+      val ordsIv = spark.read.parquet(s"$sfDir/orders.parquet")
+        .select(col("o_orderkey"), col("o_custkey"))
+      def ivSide(mod: Int, mult: Int, spanMod: Int, pre: String) = ordsIv
+        .where(col("o_orderkey") % 3 === mod)
+        .select(
+          col("o_orderkey").as(s"${pre}_id"),
+          (col("o_custkey") % 50).as("k"),
+          ((col("o_orderkey") * mult) % 1000).cast("double").as(s"${pre}_lo"))
+        .withColumn(s"${pre}_hi",
+          col(s"${pre}_lo") + lit(1.0) + (col(s"${pre}_id") % spanMod).cast("double"))
+      val aIv = replicated(ivSide(0, 37, 20, "a"), "k", f, offset = 50L).localCheckpoint(true)
+      val bIv = replicated(ivSide(1, 53, 13, "b"), "k", f, offset = 50L).localCheckpoint(true)
+      var ivPairs = 0L
+      val ivSec = time {
+        ivPairs = graft.operators.RangeJoin
+          .overlapJoin(aIv, bIv, Seq("k"), "a_lo", "a_hi", "b_lo", "b_hi", bucketWidth = 16.0)
+          .count()
+      }
+      val ivMaxCell = aIv
+        .withColumn("__cell", explode(sequence(
+          floor(col("a_lo") / 16.0).cast("long"),
+          floor((col("a_hi") - lit(1e-9)) / 16.0).cast("long"))))
+        .groupBy(col("k"), col("__cell")).count()
+        .agg(max(col("count"))).head().getLong(0)
+      println(
+        s"""{"pipeline":"interval_join","factor":$f,"sec":${f"$ivSec%.3f"},""" +
+        s""""pairs":$ivPairs,"max_cell":$ivMaxCell}""")
+      aIv.unpersist(); bIv.unpersist()
+
       // heavy hitters as KEY CARDINALITY grows: replicating by user
       // multiplies the distinct-key space by the factor. The exact path's
       // aggregation state grows with it; the SpaceSaving sketch holds 64

@@ -420,15 +420,15 @@ object TextAnalysis {
     * multiplicity kept), hashed into `buckets` cells via the portable md5
     * hash; both distributions are add-one smoothed over the bucket space.
     *
-    * Scale shape: the feature stream is materialized once
-    * (localCheckpoint) and consumed by three aggregates — raw bucket
-    * counts, target bucket counts (target = rows matching `targetFilter`,
-    * restricted with an equi-join on the id), and the per-doc score. The
-    * per-bucket log-ratio relation is BUCKETS-sized (a few hundred rows)
-    * and broadcast into the scoring join, so the only corpus-sized
-    * shuffles are the bucket-count partial aggregates. At 100 TB the
-    * target slice is typically a small curated corpus — its counts are
-    * metadata-sized by construction.
+    * Scale shape: the target-filter verdict rides the feature stream from
+    * birth (features derive from docs, so it costs nothing), which makes
+    * BOTH distributions fall out of ONE grouped pass — count and
+    * conditional count per bucket, no join against a target-id relation
+    * and no second aggregate. The stream is materialized once
+    * (localCheckpoint) and scanned exactly twice: bucket counts, then the
+    * per-doc score against the broadcast BUCKETS-sized log-ratio relation.
+    * The only corpus-sized shuffles are that one bucket-count partial
+    * aggregate and the per-doc score aggregate.
     *
     * Returns (idCol, n_feats, logw_r 4 dp); docs with no features score 0.
     */
@@ -439,33 +439,41 @@ object TextAnalysis {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(buckets >= 2, s"buckets ($buckets) must be >= 2")
-    val toks = Tokenize.tokenArray(col(textCol))
+    // tokenize ONCE into a bound column: the bigram lambda's element_at
+    // calls would otherwise re-evaluate the whole tokenizer expression
+    // per element (higher-order lambdas defeat subexpression elimination)
+    val toks = col("__toks")
     val bigrams = when(size(toks) >= 2,
       transform(sequence(lit(1), size(toks) - 1),
         i => concat(element_at(toks, i), lit(" "), element_at(toks, i + 1))))
       .otherwise(array().cast("array<string>"))
+    // the target flag RIDES the feature stream from birth (features derive
+    // from docs, so the filter verdict is free here) — both distributions
+    // then come from ONE grouped pass over the stream, no joins
     val feats = docs
-      .select(col(idCol), explode(concat(toks, bigrams)).as("__f"))
+      .select(col(idCol), targetFilter.as("__tgt"),
+        Tokenize.tokenArray(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__tgt"),
+        explode(concat(toks, bigrams)).as("__f"))
       .withColumn("__b",
         conv(substring(md5(concat(lit("dsir:"), col("__f"))), 1, 15), 16, 10)
           .cast("long") % buckets)
-      .select(col(idCol), col("__b"))
+      .select(col(idCol), col("__tgt"), col("__b"))
       .localCheckpoint(true)
-    val rawCnt = feats.groupBy(col("__b")).agg(count(lit(1)).as("__nr"))
-    val tgtCnt = feats
-      .join(docs.where(targetFilter).select(col(idCol)), Seq(idCol))
-      .groupBy(col("__b")).agg(count(lit(1)).as("__nt"))
-      .localCheckpoint(true)
-    // bucket-space log ratios: BUCKETS-sized (totals fold off the bucket
-    // counts, so the corpus is not re-scanned for the scalars); the join
-    // legs are renamed because each count relation also feeds its own
-    // total — a self-reference Spark would otherwise flag ambiguous
-    val ratios = rawCnt.withColumnRenamed("__nr", "__nrj")
-      .join(tgtCnt.withColumnRenamed("__nt", "__ntj"), Seq("__b"), "left")
-      .crossJoin(broadcast(rawCnt.agg(sum(col("__nr")).as("__Nr"))))
-      .crossJoin(broadcast(tgtCnt.agg(sum(col("__nt")).as("__Nt"))))
+    val cnt = feats
+      .groupBy(col("__b"))
+      .agg(
+        count(lit(1)).as("__nr"),
+        sum(when(col("__tgt"), 1L).otherwise(0L)).as("__nt"))
+      .localCheckpoint(true) // BUCKETS-sized; consumed by ratios AND totals
+    // bucket-space log ratios: totals fold off the bucket counts (no
+    // corpus re-scan); join legs renamed around the totals self-reference
+    val ratios = cnt
+      .select(col("__b"), col("__nr").as("__nrj"), col("__nt").as("__ntj"))
+      .crossJoin(broadcast(
+        cnt.agg(sum(col("__nr")).as("__Nr"), sum(col("__nt")).as("__Nt"))))
       .select(col("__b"),
-        (log((coalesce(col("__ntj"), lit(0L)) + 1).cast("double") /
+        (log((col("__ntj") + 1).cast("double") /
              (col("__Nt") + buckets).cast("double")) -
          log((col("__nrj") + 1).cast("double") /
              (col("__Nr") + buckets).cast("double"))).as("__llr"))
