@@ -295,6 +295,19 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // -- KMV sketch SET ALGEBRA: pairwise source-vocabulary overlap from
+    //    the per-source sketches alone — union NDV, Jaccard, and
+    //    intersection NDV with NO corpus-sized join (q_source_overlap's
+    //    100 TB form); md5 determinism means even the estimates replay
+    //    exactly in the oracle
+    "q_ndv_overlap" -> ((s, dir) => {
+      operators.Stats
+        .kmvOverlap(
+          Tokenize.tokens(t(s, dir, "documents").select("doc_id", "source", "text"),
+            "text", Seq("doc_id", "source")),
+          "source", k = 64)
+    }),
+
     // -- heavy-hitter key profile: the pre-join skew diagnosis that
     //    decides between salting and AQE skew handling; exact counts,
     //    partial-agg + TakeOrderedAndProject, no window over data rows
@@ -3173,6 +3186,46 @@ object SparkEntry {
          FROM events
          GROUP BY 1, 2 ORDER BY hour_bucket, cnt DESC, event_type""",
     // per-group KMV: bottom-16 per source, same deterministic replay
+    // the KMV set operations replayed: per-source bottom-64 samples,
+    // union-bottom-64 re-rank, membership via count(DISTINCT source)=2,
+    // same estimator formulas and rounding as Stats.kmvOverlap
+    "q_ndv_overlap" ->
+      """WITH tk AS (
+           SELECT source,
+                  regexp_replace(lower(unnest(regexp_split_to_array(text, '\s+'))), '[^a-z]', '', 'g') AS w
+           FROM documents),
+         tok2 AS (SELECT source, w AS word FROM tk WHERE w <> ''),
+         hh AS (SELECT DISTINCT source, word,
+                       ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+                FROM tok2),
+         smp AS (SELECT source, word, h FROM (
+                   SELECT source, word, h,
+                          row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+                   FROM hh) z WHERE rn <= 64),
+         p AS (SELECT a.source AS g1, b2.source AS g2
+               FROM (SELECT DISTINCT source FROM smp) a
+               JOIN (SELECT DISTINCT source FROM smp) b2 ON a.source < b2.source),
+         u AS (SELECT p.g1, p.g2, s.word, s.h, count(DISTINCT s.source) AS nsrc
+               FROM p JOIN smp s ON s.source IN (p.g1, p.g2)
+               GROUP BY p.g1, p.g2, s.word, s.h),
+         r AS (SELECT g1, g2, word, h, nsrc,
+                      row_number() OVER (PARTITION BY g1, g2 ORDER BY h) AS rn,
+                      count(*) OVER (PARTITION BY g1, g2) AS nu
+               FROM u),
+         bt AS (SELECT g1, g2, max(nu) AS nu, count(*) AS nb,
+                       max(CASE WHEN rn = least(64, nu) THEN h END) AS kth,
+                       sum(CASE WHEN nsrc = 2 THEN 1 ELSE 0 END) AS nboth
+                FROM r WHERE rn <= 64 GROUP BY 1, 2)
+         SELECT g1, g2, union_ndv_r, jaccard_r,
+                floor((jaccard_r * union_ndv_r) * 1e4 + 0.5) / 1e4 AS inter_ndv_r
+         FROM (
+           SELECT g1, g2,
+                  CASE WHEN nu < 64 THEN nu::DOUBLE
+                       ELSE floor((63.0 / (kth::DOUBLE / 1152921504606846976.0)) * 1e4 + 0.5) / 1e4
+                  END AS union_ndv_r,
+                  floor((nboth::DOUBLE / nb) * 1e6 + 0.5) / 1e6 AS jaccard_r
+           FROM bt) z
+         ORDER BY g1, g2""",
     "q_ndv_per_source" ->
       """WITH tk AS (
            SELECT source,

@@ -398,6 +398,73 @@ object Stats {
           Portable.pround(col("class_size").cast("double") / col("__total"), 6).as("share_r")): _*)
   }
 
+  /** Pairwise source-overlap NDV from KMV SKETCH SET ALGEBRA — the
+    * 100 TB form of [[sourceOverlap]]: that operator equi-joins the two
+    * sources' full vocabularies; this one never joins corpus-sized data
+    * at all. One grouped `kmv_ndv` pass reduces every source to its
+    * bottom-k-by-md5 sketch, and the classic KMV set operations run on
+    * the (sources × k)-sized sketch relation alone:
+    *
+    *   - the bottom-k of the UNION of two sketches is a valid KMV sketch
+    *     of the union set (union threshold ≤ each input's threshold), so
+    *     the union NDV falls out of the (k−1)/kth-hash estimator;
+    *   - the fraction of those union-bottom-k keys present in BOTH input
+    *     sketches is an unbiased Jaccard estimate (membership below the
+    *     union threshold is decided exactly by each sample);
+    *   - intersection NDV = Jaccard × union NDV (inclusion–exclusion in
+    *     estimator form).
+    *
+    * Because the md5 order is deterministic, the estimates — unlike
+    * HLL's — replay EXACTLY in the oracle. The per-pair rank window runs
+    * over ≤ 2k sketch entries, never data. Returns (g1, g2,
+    * union_ndv_r, jaccard_r, inter_ndv_r) for g1 < g2.
+    */
+  def kmvOverlap(
+      tokens: DataFrame,
+      groupCol: String,
+      k: Int = 256,
+      keyCol: String = "word"): DataFrame = {
+    require(k >= 2, s"k ($k) must be >= 2")
+    val hashSpace = math.pow(2.0, 60)
+    val sk = tokens
+      .groupBy(col(groupCol).as("g"))
+      .agg(expr(s"kmv_ndv($keyCol, $k)").as("r"))
+      .select(col("g"), col("r.ndv_est").as("nd"), col("r.sample").as("s"))
+      .localCheckpoint(true) // one row per source
+    val pairs = sk.select(col("g").as("g1"), col("s").as("s1"))
+      .crossJoin(sk.select(col("g").as("g2"), col("s").as("s2")))
+      .where(col("g1") < col("g2"))
+    val wRank = Window.partitionBy(col("g1"), col("g2")).orderBy(col("__h"))
+    val wPair = Window.partitionBy(col("g1"), col("g2"))
+    val ranked = pairs
+      .select(col("g1"), col("g2"), col("s1"), col("s2"),
+        explode(array_union(col("s1"), col("s2"))).as("__w"))
+      .withColumn("__h",
+        conv(substring(md5(col("__w")), 1, 15), 16, 10).cast("long"))
+      .withColumn("__rn", row_number().over(wRank))
+      .withColumn("__nu", count(lit(1)).over(wPair))
+    ranked
+      .where(col("__rn") <= k)
+      .groupBy(col("g1"), col("g2"))
+      .agg(
+        max(col("__nu")).as("__nu"),
+        max(when(col("__rn") === least(lit(k), col("__nu")), col("__h"))).as("__kth"),
+        count(lit(1)).as("__nb"),
+        sum(when(
+          array_contains(col("s1"), col("__w")) && array_contains(col("s2"), col("__w")),
+          1L).otherwise(0L)).as("__both"))
+      .select(
+        col("g1"), col("g2"),
+        when(col("__nu") < k, col("__nu").cast("double"))
+          .otherwise(Portable.pround(
+            lit((k - 1).toDouble) / (col("__kth").cast("double") / hashSpace), 4))
+          .as("union_ndv_r"),
+        Portable.pround(col("__both").cast("double") / col("__nb"), 6).as("jaccard_r"))
+      .withColumn("inter_ndv_r",
+        Portable.pround(col("jaccard_r") * col("union_ndv_r"), 4))
+      .orderBy("g1", "g2")
+  }
+
   /** Pairwise Pearson correlation matrix over numeric columns — the
     * feature-redundancy screen run before any modeling/weighting step
     * (two correlated quality signals should not vote twice). One

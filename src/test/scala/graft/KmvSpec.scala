@@ -83,4 +83,25 @@ class KmvSpec extends AnyFunSuite {
     assert(math.abs(est - 5000.0) / 5000.0 < 0.20,
       s"KMV estimate $est too far from 5000 (std err ~1/sqrt(k-2) ≈ 6%)")
   }
+
+  test("kmvOverlap: sketch set algebra lands near known union/Jaccard; exact below k") {
+    import spark.implicits._
+    // A = w0..w2999, B = w2000..w4999 -> union 5000, intersection 1000,
+    // Jaccard 0.2
+    val rows = (0 until 3000).map(i => ("A", s"w$i")) ++
+      (2000 until 5000).map(i => ("B", s"w$i"))
+    val df = rows.toDF("source", "word")
+    val got = graft.operators.Stats.kmvOverlap(df, "source", k = 256)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).head
+    assert(got._1 == "A" && got._2 == "B")
+    assert(math.abs(got._3 - 5000.0) / 5000.0 < 0.15, s"union est ${got._3} vs 5000")
+    assert(math.abs(got._4 - 0.2) < 0.08, s"jaccard est ${got._4} vs 0.2")
+    assert(math.abs(got._5 - 1000.0) / 1000.0 < 0.35, s"intersection est ${got._5} vs 1000")
+    // below k on both sides: everything exact
+    val small = ((0 until 30).map(i => ("A", s"x$i")) ++ (20 until 50).map(i => ("B", s"x$i")))
+      .toDF("source", "word")
+    val ex = graft.operators.Stats.kmvOverlap(small, "source", k = 256)
+      .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4))).head
+    assert(ex._1 == 50.0 && ex._2 == 0.2 && ex._3 == 10.0, s"exact mode: $ex")
+  }
 }
