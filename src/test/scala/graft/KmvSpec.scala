@@ -75,6 +75,45 @@ class KmvSpec extends AnyFunSuite {
     assert(got == want, s"streaming sketch $got != batch sketch $want")
   }
 
+  test("WINDOWED kmv_ndv under a watermark == batch per-window NDV (distinct users/hour)") {
+    import spark.implicits._
+    // the "distinct users per hour" shape: the sketch composes with
+    // event-time windows + watermark exactly like any built-in aggregate,
+    // with k entries of state per open window instead of the key set
+    val dir = java.nio.file.Files.createTempDirectory("graft-kmv-win")
+    val rows = (0 until 4000).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-05-01 ${i % 6}%02d:${(i * 7) % 60}%02d:00"),
+        s"user_${(i * 13) % 900}")
+    }
+    rows.toDF("ts", "u").coalesce(2).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.StringType))))
+      .parquet(dir.toString)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(expr("kmv_ndv(u, 64)").as("r"))
+      .select(col("w.start").as("h"), col("r.ndv_est").as("ndv"),
+        array_join(col("r.sample"), " ").as("smp"))
+    val q = stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .format("memory").queryName("kmv_win").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("kmv_win").orderBy("h")
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1), r.getString(2))).toSeq
+    val want = spark.read.parquet(dir.toString)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(expr("kmv_ndv(u, 64)").as("r"))
+      .select(col("w.start").as("h"), col("r.ndv_est").as("ndv"),
+        array_join(col("r.sample"), " ").as("smp"))
+      .orderBy("h")
+      .collect().map(r => (r.getTimestamp(0), r.getDouble(1), r.getString(2))).toSeq
+    assert(got.size == 6 && got == want,
+      s"windowed streaming sketch must equal batch: ${got.size} windows")
+  }
+
   test("k=256 estimate lands within 20% of a 5000-key truth") {
     import spark.implicits._
     val df = (0 until 5000).flatMap(i => Seq.fill(3)(s"key_$i")).toDF("k").repartition(8)
