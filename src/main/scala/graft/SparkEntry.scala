@@ -2718,6 +2718,15 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // -- kNN majority-vote label eval: neighbor-vote label noise /
+    //    class-separability check (labelAudit's confident-learning
+    //    sibling); rankings via bounded CosTopK, mode via min_by argmax
+    "q_knn_label_eval" -> ((s, dir) => {
+      operators.Similarity
+        .knnLabelEval(t(s, dir, "embeddings"), kNeighbors = 5, nQueries = 50)
+        .orderBy("true_label")
+    }),
+
     // -- top principal component by power iteration: 3 rounds of
     //    w = Xᵀ(Xv) — one corpus pass per round, d-sized driver state,
     //    per-round 6-dp quantization so the unrolled oracle replays
@@ -5900,6 +5909,32 @@ object SparkEntry {
                      i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE)) / (a.nrm * b.nrm) >= 0.25)
          SELECT m.vec_id, cell, (d.vec_id IS NULL) AS keep
          FROM m LEFT JOIN d ON d.vec_id = m.vec_id ORDER BY m.vec_id""",
+    // brute-force ranking mirrored with the q_embed_cosine_topk rank key
+    // (floor-rounded cos DESC, id ASC); vote mode = (count DESC, label ASC)
+    "q_knn_label_eval" ->
+      """WITH e AS (
+           SELECT vec_id, embedding, label,
+                  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+           FROM embeddings),
+         q AS (SELECT vec_id AS q_id, embedding AS qv, nrm AS qn, label AS ql
+               FROM e WHERE vec_id < 50),
+         p AS (SELECT q_id, e.vec_id, e.label AS nl,
+                      floor((list_sum(list_transform(range(1, len(e.embedding) + 1),
+                            i -> qv[i]::DOUBLE * e.embedding[i]::DOUBLE)) / (qn * e.nrm)) * 1e6 + 0.5) / 1e6 AS cos_r
+               FROM q CROSS JOIN e WHERE e.vec_id <> q_id),
+         tk AS (SELECT q_id, nl FROM (
+                  SELECT q_id, nl,
+                         row_number() OVER (PARTITION BY q_id ORDER BY cos_r DESC, vec_id) AS rnk
+                  FROM p) r WHERE rnk <= 5),
+         v AS (SELECT q_id, nl, count(*) AS c FROM tk GROUP BY 1, 2),
+         pr AS (SELECT q_id, nl AS pred FROM v
+                QUALIFY row_number() OVER (PARTITION BY q_id ORDER BY c DESC, nl) = 1)
+         SELECT ql AS true_label, count(*) AS n_queries,
+                sum(CASE WHEN pred = ql THEN 1 ELSE 0 END)::BIGINT AS n_correct,
+                floor((sum(CASE WHEN pred = ql THEN 1 ELSE 0 END)::DOUBLE / count(*)) * 1e6 + 0.5) / 1e6 AS acc_r
+         FROM pr JOIN q USING (q_id)
+         GROUP BY 1 ORDER BY 1""",
     "q_pca_power" -> PcaPowerSql(64, 3),
     "q_cdc_apply" ->
       """WITH base AS (

@@ -662,6 +662,49 @@ object Similarity {
         col("col.cos").cast("bigint").as("adc_q"))
   }
 
+  /** kNN majority-vote label evaluation — the NEIGHBOR-VOTE complement to
+    * [[labelAudit]]'s centroid margins (confident-learning's other
+    * classic signal): for each query vector, the majority label among its
+    * k nearest neighbors (self excluded); disagreement with the vector's
+    * own label flags label noise, and per-label accuracy summarizes how
+    * separable each class actually is in embedding space.
+    *
+    * Scale shape: rankings ride [[bruteForceTopK]] (broadcast queries +
+    * bounded CosTopK partial top-k — never a window over the corpus
+    * axis); neighbor labels join back on the (queries × k)-sized id
+    * relation; the vote is a count + min_by-over-(count DESC, label ASC)
+    * argmax — the q_mode_brand deterministic-mode shape, no window.
+    * Returns (true_label, n_queries, n_correct, acc_r).
+    */
+  def knnLabelEval(
+      emb: DataFrame,
+      kNeighbors: Int = 5,
+      nQueries: Long = 50,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding",
+      labelCol: String = "label"): DataFrame = {
+    require(kNeighbors >= 1, s"kNeighbors ($kNeighbors) must be >= 1")
+    val queries = emb.where(col(idCol) < nQueries)
+    val nbrs = bruteForceTopK(emb, queries, kNeighbors, idCol, vecCol)
+      .join(emb.select(col(idCol), col(labelCol).as("__nl")), Seq(idCol))
+    val votes = nbrs
+      .groupBy(col("q_id"), col("__nl"))
+      .agg(count(lit(1)).as("__c"))
+    val pred = votes
+      .groupBy(col("q_id"))
+      .agg(min_by(col("__nl"),
+        struct((-col("__c")).as("nc"), col("__nl").as("l"))).as("__pred"))
+    pred
+      .join(queries.select(col(idCol).as("q_id"), col(labelCol).as("__ql")), Seq("q_id"))
+      .groupBy(col("__ql").as("true_label"))
+      .agg(
+        count(lit(1)).as("n_queries"),
+        sum(when(col("__pred") === col("__ql"), 1L).otherwise(0L)).as("n_correct"))
+      .withColumn("acc_r",
+        graft.functions.Portable.pround(
+          col("n_correct").cast("double") / col("n_queries"), 6))
+  }
+
   /** Top principal component by POWER ITERATION — the d-bounded
     * eigen-solver a 100 TB embedding table can actually run: each round
     * is ONE pass over the corpus computing w = Xᵀ(Xv) (per-row dot

@@ -37,6 +37,22 @@ class LabelAuditSpec extends SparkSpec {
     }
   }
 
+  test("knnLabelEval: planted mislabel drags its label's accuracy; clean label stays 1.0") {
+    // every vector is a query (nQueries high). Label 0's cluster is clean
+    // except vec 99, whose neighbors are all label 1 -> it votes wrong;
+    // the three true label-0 vectors vote right -> acc 3/4. Label 1's
+    // queries all sit in their own cluster BUT vec 99 (label 0) is inside
+    // it; with k=3 the vote is still majority-1 -> acc 1.0.
+    val got = Similarity.knnLabelEval(fixture, kNeighbors = 3, nQueries = 1000)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(0) == ((4L, 3L, 0.75)), s"label 0: ${got(0)}")
+    assert(got(1) == ((3L, 3L, 1.0)), s"label 1: ${got(1)}")
+    // deterministic on rerun
+    val again = Similarity.knnLabelEval(fixture, kNeighbors = 3, nQueries = 1000)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got == again)
+  }
+
   test("embedHygiene: ragged dims, zero vectors, and NaNs all surface per label") {
     import spark.implicits._
     val df = Seq(
