@@ -2538,6 +2538,25 @@ object SparkEntry {
         .orderBy("epoch", "shard")
     }),
 
+    // -- deterministic mixture INTERLEAVE: stride-scheduled global
+    //    training order ((rank + φ_g)/w_g ascending) — any prefix holds
+    //    each source in weight proportion; output pins the first-200
+    //    schedule per language (count + order checksum)
+    "q_mixture_interleave" -> ((s, dir) => {
+      Sampling
+        .mixtureInterleave(t(s, dir, "documents"), "lang",
+          weights = Map("en" -> 3.0, "zh" -> 0.5))
+        .orderBy("sched_key", "lang", "doc_id")
+        .limit(200)
+        .groupBy(col("lang"))
+        .agg(
+          count(lit(1)).as("n_prefix"),
+          md5(array_join(
+            transform(array_sort(collect_list(struct(col("sched_key"), col("doc_id")))),
+              x => x.getField("doc_id").cast("string")), " ")).as("order_md5"))
+        .orderBy("lang")
+    }),
+
     // -- character-distribution entropy (gibberish detector): 26 bound
     //    translate-count columns + a literal-ordered -p ln p fold
     "q_char_entropy" -> ((s, dir) => {
@@ -5649,6 +5668,28 @@ object SparkEntry {
          SELECT epoch, shard, count(*) AS n_docs,
                 md5(string_agg(doc_id::VARCHAR, ' ' ORDER BY hx, doc_id)) AS order_md5
          FROM s GROUP BY 1, 2 ORDER BY 1, 2""",
+    // stride schedule replayed: per-lang md5 rank, phase, key, prefix-200
+    "q_mixture_interleave" ->
+      """WITH r AS (
+           SELECT lang, doc_id,
+                  ('0x' || substr(md5('mix:' || doc_id::VARCHAR), 1, 13))::BIGINT AS rk
+           FROM documents),
+         rn AS (
+           SELECT lang, doc_id,
+                  row_number() OVER (PARTITION BY lang ORDER BY rk, doc_id) - 1 AS rnk
+           FROM r),
+         k AS (
+           SELECT lang, doc_id,
+                  floor(((rnk::DOUBLE +
+                          floor((('0x' || substr(md5('mix-phi:' || lang), 1, 13))::BIGINT::DOUBLE
+                                 / 4503599627370496.0) * 1e6 + 0.5) / 1e6)
+                         / (CASE lang WHEN 'en' THEN 3.0 WHEN 'zh' THEN 0.5 ELSE 1.0 END))
+                        * 1e6 + 0.5) / 1e6 AS sched_key
+           FROM rn),
+         pre AS (SELECT * FROM k ORDER BY sched_key, lang, doc_id LIMIT 200)
+         SELECT lang, count(*) AS n_prefix,
+                md5(string_agg(doc_id::VARCHAR, ' ' ORDER BY sched_key, doc_id)) AS order_md5
+         FROM pre GROUP BY 1 ORDER BY 1""",
     "q_char_entropy" -> CharEntropySql,
     "q_event_transitions" ->
       """WITH x AS (

@@ -167,6 +167,66 @@ object Sampling {
       .select(col(groupCol), col(idCol), col("n_tok"), col("__rk").as("rk"))
   }
 
+  /** Deterministic MIXTURE INTERLEAVE — the loader-order counterpart of
+    * [[CorpusClean.mixtureSample]]/[[temperatureMixture]]: those decide
+    * HOW MUCH of each source to train on; this decides the ORDER, as a
+    * stride schedule (lottery/stride scheduling): source g's i-th
+    * document (in deterministic md5 order) is scheduled at key
+    * (i + φ_g) / w_g, and the global training order is ascending key.
+    * Any prefix of the schedule then contains each source in proportion
+    * to its weight to within one document per source — smooth
+    * interleaving, not front-loaded blocks — and the whole schedule is a
+    * pure function of (salt, ids), so reruns, resumes, and the oracle
+    * replay it exactly. φ_g is a per-source md5 phase so equal-weight
+    * sources don't tick in lockstep.
+    *
+    * Scale shape: the per-source rank uses the two-pass chunked-prefix
+    * form ([[tokenBudgetSample]]'s discipline — top hash bits chunk each
+    * source, per-(source, chunk) bases broadcast back, the rank window
+    * only ever sorts one chunk), so no source-sized window partition
+    * exists; the schedule key is then map-side arithmetic. Consumers
+    * take prefixes with orderBy(key).limit(n) = TakeOrderedAndProject.
+    *
+    * Returns (groupCol, idCol, rank_in_group, sched_key 6 dp).
+    */
+  def mixtureInterleave(
+      docs: DataFrame,
+      groupCol: String,
+      weights: Map[String, Double],
+      defaultWeight: Double = 1.0,
+      idCol: String = "doc_id",
+      salt: String = "mix"): DataFrame = {
+    require((weights.values ++ Seq(defaultWeight)).forall(_ > 0.0), "weights must be > 0")
+    val rk = conv(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val base = docs
+      .select(col(groupCol), col(idCol))
+      .withColumn("__rk", rk)
+      .withColumn("__chunk", shiftright(col("__rk"), 40).cast("int"))
+    val wChunks = Window.partitionBy(col(groupCol)).orderBy(col("__chunk"))
+    val bases = base
+      .groupBy(col(groupCol), col("__chunk"))
+      .agg(count(lit(1)).as("__cn"))
+      .withColumn("__base", sum(col("__cn")).over(wChunks) - col("__cn"))
+      .select(col(groupCol), col("__chunk"), col("__base"))
+    val wLocal = Window.partitionBy(col(groupCol), col("__chunk"))
+      .orderBy(col("__rk"), col(idCol))
+    val w = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, v)) =>
+      when(col(groupCol) === lit(k), lit(v)).otherwise(acc)
+    }
+    val phi = graft.functions.Portable.pround(
+      conv(substring(md5(concat(lit(s"$salt-phi:"), col(groupCol))), 1, 13), 16, 10)
+        .cast("double") / lit(4503599627370496.0), 6)
+    base
+      .join(broadcast(bases), Seq(groupCol, "__chunk"))
+      .withColumn("__rank", col("__base") + row_number().over(wLocal) - 1)
+      .select(
+        col(groupCol), col(idCol),
+        col("__rank").as("rank_in_group"),
+        graft.functions.Portable.pround(
+          (col("__rank").cast("double") + phi) / w, 6).as("sched_key"))
+  }
+
   /** Deterministic train/validation/test split: each row lands in exactly
     * one named split, decided by its id's md5 against cumulative
     * fraction thresholds — a pure map-side CASE, no shuffle, no RNG

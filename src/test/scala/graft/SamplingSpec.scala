@@ -184,6 +184,34 @@ class WeightedSampleSpec extends SparkSpec {
     assert(z.forall(_ >= 50))
   }
 
+  test("mixtureInterleave: prefix proportions track weights within 1/source; chunked rank == window rank") {
+    import spark.implicits._
+    val rows = (1 to 900).map(i => (i.toLong, if (i <= 600) "a" else "b"))
+    val df = rows.toDF("doc_id", "lang")
+    val sched = Sampling.mixtureInterleave(df, "lang", Map("a" -> 3.0, "b" -> 1.0))
+      .orderBy("sched_key", "lang", "doc_id")
+    val prefix = sched.limit(400).select("lang").as[String].collect()
+    val nA = prefix.count(_ == "a")
+    // stride scheduling: 3:1 weights -> 300 a / 100 b in any 400-prefix,
+    // within one tick per source
+    assert(math.abs(nA - 300) <= 2, s"prefix share drifted: $nA a of 400")
+    // the chunked-prefix rank must equal the plain window row_number
+    import org.apache.spark.sql.expressions.Window
+    val rk = conv(substring(md5(concat(lit("mix:"), col("doc_id").cast("string"))), 1, 13), 16, 10)
+      .cast("long")
+    val mirror = df.withColumn("__rk", rk)
+      .withColumn("r", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("__rk"), col("doc_id"))) - 1)
+      .select(col("doc_id"), col("r")).as[(Long, Int)].collect().toMap
+    val got = Sampling.mixtureInterleave(df, "lang", Map("a" -> 3.0, "b" -> 1.0))
+      .select(col("doc_id"), col("rank_in_group")).as[(Long, Long)].collect().toMap
+    assert(got.forall { case (id, rnk) => rnk == mirror(id).toLong }, "chunked rank != window rank")
+    // rerun-identical schedule
+    val again = Sampling.mixtureInterleave(df, "lang", Map("a" -> 3.0, "b" -> 1.0))
+      .orderBy("sched_key", "lang", "doc_id").limit(400).select("doc_id").as[Long].collect()
+    assert(sched.limit(400).select("doc_id").as[Long].collect().toSeq == again.toSeq)
+  }
+
   test("gumbelTopK == independent in-memory Gumbel-max mirror; rerun-stable; weights tilt") {
     import spark.implicits._
     val lw = docs.select(col("doc_id"), (col("n_chars").cast("double") / 1000.0).as("logw"))
