@@ -2768,6 +2768,24 @@ object SparkEntry {
         .orderBy("o_orderkey")
     }),
 
+    // -- TEMPORAL join against the SCD2 history: each fact (at seq
+    //    key%3) enriched with the dimension version current AT ITS OWN
+    //    sequence — deletion gaps and pre-history facts surface as NULLs,
+    //    not today's values; plain key equi-join, version chains bounded
+    "q_temporal_join" -> ((s, dir) => {
+      val base = cdcBase(s, dir)
+      val hist = operators.ChangeData
+        .scdType2(base, cdcChangelog(base), "o_orderkey")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("o_totalprice"),
+          col("valid_from"), col("valid_to"))
+      val facts = base.select(col("o_orderkey"), (col("o_orderkey") % 3).as("fact_seq"))
+      operators.ChangeData
+        .temporalJoin(facts, hist, "o_orderkey", "fact_seq")
+        .select(col("o_orderkey"), col("fact_seq"), col("o_orderstatus"),
+          round(col("o_totalprice"), 2).as("price"), col("valid_from"))
+        .orderBy("o_orderkey")
+    }),
+
     // -- SCD Type 2 history build: every version a key ever had as its
     //    own row, framed by (valid_from, valid_to) sequences; same
     //    synthesized changelog as q_cdc_apply so the two operators
@@ -5998,6 +6016,25 @@ object SparkEntry {
          FROM u
          QUALIFY row_number() OVER (PARTITION BY o_orderkey ORDER BY seq DESC) = 1 AND op <> 'D'
          ORDER BY o_orderkey""",
+    // the point-in-time predicate mirrored on the same history CTE;
+    // exactly one version (or none) matches per fact
+    "q_temporal_join" ->
+      s"""WITH $CdcChangelogCte,
+         v AS (
+           SELECT *, lead(seq) OVER (PARTITION BY o_orderkey ORDER BY seq) AS next_seq
+           FROM u),
+         hist AS (
+           SELECT o_orderkey AS hk, o_orderstatus, o_totalprice,
+                  seq AS valid_from, next_seq AS valid_to
+           FROM v WHERE op <> 'D'),
+         f AS (SELECT o_orderkey, o_orderkey % 3 AS fact_seq FROM orders)
+         SELECT f.o_orderkey, f.fact_seq, h.o_orderstatus,
+                floor((h.o_totalprice) * 1e2 + 0.5) / 1e2 AS price,
+                h.valid_from
+         FROM f LEFT JOIN hist h
+           ON h.hk = f.o_orderkey AND f.fact_seq >= h.valid_from
+              AND (h.valid_to IS NULL OR f.fact_seq < h.valid_to)
+         ORDER BY f.o_orderkey""",
     // the lead() closing each version runs over ALL events (D included)
     // BEFORE the D filter — a delete closes the chain without opening a
     // version, mirroring ChangeData.scdType2's withColumn-then-where order

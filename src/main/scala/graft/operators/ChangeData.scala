@@ -87,6 +87,37 @@ object ChangeData {
         :+ col("__next").isNull.as("is_current"): _*)
   }
 
+  /** TEMPORAL (point-in-time) join against an [[scdType2]] history — the
+    * reason the history exists: enrich each fact with the dimension
+    * version that was CURRENT at the fact's own sequence time, never the
+    * latest one (the classic as-of-load correctness bug: joining facts to
+    * today's dimension rewrites history). A fact at sequence s matches
+    * the version with `valid_from <= s < valid_to` (open-ended current
+    * version matches everything from its valid_from on); facts before
+    * the key's first version, or inside a deletion gap, get NULL
+    * dimension columns (left join) — auditable, not silently dropped.
+    *
+    * Scale shape: a plain equi-join ON THE KEY with the interval
+    * predicate as a join-level filter — no range bucketization needed
+    * because version chains are changelog-depth-sized (a handful of
+    * rows per key), so the per-key cross-check is bounded; Spark plans
+    * it as an ordinary shuffled/broadcast hash join on the key. Exactly
+    * one version matches per fact (chains partition the sequence axis).
+    */
+  def temporalJoin(
+      facts: DataFrame,
+      history: DataFrame,
+      keyCol: String,
+      factSeqCol: String): DataFrame = {
+    val h = history.withColumnRenamed(keyCol, "__hk")
+    facts.join(h,
+      facts(keyCol) === h("__hk") &&
+        facts(factSeqCol) >= h("valid_from") &&
+        (h("valid_to").isNull || facts(factSeqCol) < h("valid_to")),
+      "left")
+      .drop("__hk")
+  }
+
   /** Incremental materialized-view maintenance with RETRACTIONS (the
     * differential/Flink changelog model): the view is a per-key
     * (n, total) aggregate; a delta stream of (keys, value, weight) rows

@@ -109,6 +109,25 @@ class ChangeDataSpec extends SparkSpec {
     assert(current == snapshot)
   }
 
+  test("temporalJoin: each fact sees the version current at ITS seq; gaps and pre-history are NULL") {
+    val hist = ChangeData.scdType2(base, changes, "k")
+    val facts = Seq(
+      (3L, 0L),   // version "c" [0,1)
+      (3L, 2L),   // deleted at 2 -> NULL (not today's value — there is none)
+      (4L, 1L),   // deletion GAP [1,2) -> NULL
+      (4L, 2L),   // reborn "d2" [2,∞)
+      (1L, 5L),   // open-ended current version "a"
+      (99L, 0L)   // key with no history at all -> NULL
+    ).toDF("k", "fs")
+    val got = ChangeData.temporalJoin(facts, hist, "k", "fs")
+      .select("k", "fs", "s")
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), if (r.isNullAt(2)) null else r.getString(2)))
+      .toMap
+    assert(got.size == 6, s"exactly one row per fact: $got")
+    assert(got((3L, 0L)) == "c" && got((4L, 2L)) == "d2" && got((1L, 5L)) == "a", got.toString)
+    assert(got((3L, 2L)) == null && got((4L, 1L)) == null && got((99L, 0L)) == null, got.toString)
+  }
+
   test("corpusDiff: added/removed/changed partition; unchanged docs never surface") {
     val v1 = Seq((1L, "alpha"), (2L, "beta"), (3L, "gamma"), (4L, "delta"))
       .toDF("doc_id", "text")
