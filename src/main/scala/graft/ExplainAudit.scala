@@ -177,6 +177,16 @@ object ExplainAudit {
           .select(posexplode(transform(col("x"), e => e * col("__dot"))).as(Seq("pos", "wv")))
           .groupBy(col("pos"))
           .agg(sum(col("wv")).as("w"))
+      }),
+      // round 12: the deflation pass between components — map-side dot
+      // bound once, then the indexed projection (no per-element re-eval)
+      "q_pca_top2" -> ((s: SparkSession, dir: String) => {
+        val data = s.read.parquet(s"$dir/embeddings.parquet")
+          .select(transform(col("embedding"), x => x.cast("double")).as("x"))
+        val vLit = array(Seq.fill(64)(lit(0.5)): _*)
+        data
+          .withColumn("__d", graft.operators.Similarity.dot(col("x"), vLit))
+          .select(transform(col("x"), (e, i) => e - col("__d") * element_at(vLit, i + 1)).as("x"))
       }))
   }
 

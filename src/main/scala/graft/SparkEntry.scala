@@ -2755,6 +2755,16 @@ object SparkEntry {
         .powerIteration(t(s, dir, "embeddings"), rounds = 3)
     }),
 
+    // -- top-2 principal components via DEFLATION: extract, project out
+    //    with the quantized vector (bit-identical deflated stream — the
+    //    per-row dot is the same left fold both engines run), repeat;
+    //    EVRs share the original total variance so they add up
+    "q_pca_top2" -> ((s, dir) => {
+      operators.Similarity
+        .powerIterationTop(t(s, dir, "embeddings"), components = 2, rounds = 3)
+        .orderBy("component")
+    }),
+
     // -- CDC MERGE apply: fold a changelog (deletes, multi-version
     //    updates, inserts; synthesized deterministically from orders so
     //    the oracle can mirror it) into the base snapshot — latest seq
@@ -5995,6 +6005,7 @@ object SparkEntry {
          FROM pr JOIN q USING (q_id)
          GROUP BY 1 ORDER BY 1""",
     "q_pca_power" -> PcaPowerSql(64, 3),
+    "q_pca_top2" -> PcaTopSql(64, 3, 2),
     "q_cdc_apply" ->
       """WITH base AS (
            SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice, 0 AS seq, 'I' AS op FROM orders),
@@ -6058,15 +6069,15 @@ object SparkEntry {
   private def PcaPowerSql(d: Int, rounds: Int): String = {
     val roundCtes = (1 to rounds).map { r =>
       val prev = if (r == 1) "v0" else s"v${r - 1}"
-      s"""d$r AS (SELECT e.vec_id,
+      s"""d$r AS MATERIALIZED (SELECT e.vec_id,
                        list_sum(list_transform(range(1, ${d + 1}), k -> e.x[k] * vl$r.v[k])) AS dot
                 FROM e CROSS JOIN (SELECT list(v ORDER BY pos) AS v FROM $prev) vl$r),
-         w$r AS (SELECT p.pos, sum(e.x[p.pos] * dd.dot) AS w
+         w$r AS MATERIALIZED (SELECT p.pos, sum(e.x[p.pos] * dd.dot) AS w
                 FROM e JOIN d$r dd USING (vec_id) CROSS JOIN p GROUP BY p.pos),
          n$r AS (SELECT sqrt(sum(w * w)) AS nw FROM w$r),
-         v$r AS (SELECT pos, floor(w / nw * 1e6 + 0.5) / 1e6 AS v FROM w$r CROSS JOIN n$r)"""
+         v$r AS MATERIALIZED (SELECT pos, floor(w / nw * 1e6 + 0.5) / 1e6 AS v FROM w$r CROSS JOIN n$r)"""
     }.mkString(",\n         ")
-    s"""WITH e AS (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS x FROM embeddings),
+    s"""WITH e AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS x FROM embeddings),
          p AS (SELECT unnest(range(1, ${d + 1})) AS pos),
          v0 AS (SELECT pos,
                        ((('0x' || substr(md5('pca:' || (pos - 1)::VARCHAR), 1, 15))::BIGINT % 1000 + 1)
@@ -6083,6 +6094,64 @@ object SparkEntry {
                 (SELECT string_agg(floor(v * 1e6 + 0.5)::BIGINT::VARCHAR, ' ' ORDER BY pos)
                  FROM v$rounds) AS vec_q
          FROM lam CROSS JOIN tot"""
+  }
+
+  /** Unrolled mirror of Similarity.powerIterationTop: per component, the
+    * same quantized round CTEs as PcaPowerSql (salt pca<c>), then a
+    * deflation CTE (x − (x·v)v with the quantized v — bit-identical
+    * cross-engine because the per-row dot is the same left fold) feeding
+    * the next component's rounds.
+    */
+  private def PcaTopSql(d: Int, rounds: Int, components: Int): String = {
+    def v0(c: Int) =
+      s"""q${c}v0 AS (SELECT pos,
+                 ((('0x' || substr(md5('pca$c:' || (pos - 1)::VARCHAR), 1, 15))::BIGINT % 1000 + 1)
+                  / 1000.0) AS v
+          FROM p)"""
+    def roundCtes(c: Int, src: String) = (1 to rounds).map { r =>
+      val prev = if (r == 1) s"q${c}v0" else s"q${c}v${r - 1}"
+      s"""q${c}d$r AS MATERIALIZED (SELECT e.vec_id,
+                  list_sum(list_transform(range(1, ${d + 1}), k -> e.x[k] * vl.v[k])) AS dot
+           FROM $src e CROSS JOIN (SELECT list(v ORDER BY pos) AS v FROM $prev) vl),
+         q${c}w$r AS MATERIALIZED (SELECT p.pos, sum(e.x[p.pos] * dd.dot) AS w
+           FROM $src e JOIN q${c}d$r dd USING (vec_id) CROSS JOIN p GROUP BY p.pos),
+         q${c}n$r AS (SELECT sqrt(sum(w * w)) AS nw FROM q${c}w$r),
+         q${c}v$r AS MATERIALIZED (SELECT pos, floor(w / nw * 1e6 + 0.5) / 1e6 AS v FROM q${c}w$r CROSS JOIN q${c}n$r)"""
+    }.mkString(",\n         ")
+    // deflCte(name, src, vFrom): name = src − (src·v)v with v = vFrom's
+    // final quantized vector
+    def deflCte(name: String, src: String, vFrom: String) =
+      s"""$name AS MATERIALIZED (SELECT z.vec_id,
+                list_transform(range(1, ${d + 1}), i -> z.x[i] - z.dot * vl.v[i]) AS x
+         FROM (SELECT e.vec_id, e.x,
+                      list_sum(list_transform(range(1, ${d + 1}), k -> e.x[k] * vf.v[k])) AS dot
+               FROM $src e CROSS JOIN (SELECT list(v ORDER BY pos) AS v FROM $vFrom) vf) z
+              CROSS JOIN (SELECT list(v ORDER BY pos) AS v FROM $vFrom) vl)"""
+    val ctes = new scala.collection.mutable.ArrayBuffer[String]
+    for (c <- 1 to components) {
+      // component c reads e{c-1}; e{c-1} (for c > 1) is e{c-2} deflated by
+      // component (c-1)'s final vector
+      if (c > 1) ctes += deflCte(s"e${c - 1}", s"e${c - 2}", s"q${c - 1}v$rounds")
+      ctes += v0(c)
+      ctes += roundCtes(c, s"e${c - 1}")
+    }
+    val lamSel = (1 to components).map { c =>
+      s"""SELECT $c AS component, $d AS dims, $rounds AS n_rounds,
+                floor((n$c.nw / pn$c.nv) * 1e4 + 0.5) / 1e4 AS eig_r,
+                floor(((n$c.nw / pn$c.nv) / tot.total) * 1e6 + 0.5) / 1e6 AS evr_r,
+                (SELECT string_agg(floor(v * 1e6 + 0.5)::BIGINT::VARCHAR, ' ' ORDER BY pos)
+                 FROM q${c}v$rounds) AS vec_q
+         FROM (SELECT nw FROM q${c}n$rounds) n$c
+         CROSS JOIN (SELECT sqrt(sum(v * v)) AS nv FROM q${c}v${rounds - 1}) pn$c
+         CROSS JOIN tot"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH e0 AS MATERIALIZED (SELECT vec_id, list_transform(embedding, x -> x::DOUBLE) AS x FROM embeddings),
+         p AS (SELECT unnest(range(1, ${d + 1})) AS pos),
+         tot AS (SELECT sum(list_sum(list_transform(range(1, ${d + 1}), k -> x[k] * x[k]))) AS total
+                 FROM e0),
+         ${ctes.mkString(",\n         ")}
+         $lamSel
+         ORDER BY component"""
   }
 
   /** CTE-chain mirror of Layout.hilbertKey over orders: per-level

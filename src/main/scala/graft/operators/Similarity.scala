@@ -736,6 +736,24 @@ object Similarity {
       .select(transform(col(vecCol), x => x.cast("double")).as("x"))
       .localCheckpoint(true)
     val d = data.select(size(col("x"))).first().getInt(0)
+    val (v, lambda) = powerRounds(data, d, rounds, salt)
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val total = data
+      .select(dot(col("x"), col("x")).as("sq"))
+      .agg(sum(col("sq"))).first().getDouble(0)
+    Seq((d, rounds)).toDF("dims", "n_rounds")
+      .withColumn("eig_r", lit(math.floor(lambda * 1e4 + 0.5) / 1e4))
+      .withColumn("evr_r", lit(math.floor(lambda / total * 1e6 + 0.5) / 1e6))
+      .withColumn("vec_q", lit(v.map(x => math.floor(x * 1e6 + 0.5).toLong).mkString(" ")))
+  }
+
+  /** The shared power-iteration core: `rounds` quantized rounds on `data`
+    * ((x: array<double>) relation), returning the 6-dp unit vector and
+    * the final Rayleigh eigenvalue estimate.
+    */
+  private def powerRounds(
+      data: DataFrame, d: Int, rounds: Int, salt: String): (Array[Double], Double) = {
     var v: Array[Double] = Array.tabulate(d)(j => (Similarity.hashMod1000(s"$salt:$j") + 1) / 1000.0)
     var lambda = 0.0
     for (_ <- 1 to rounds) {
@@ -751,15 +769,55 @@ object Similarity {
       lambda = nrm / math.sqrt(v.map(x => x * x).sum)
       v = w.map(x => math.floor(x / nrm * 1e6 + 0.5) / 1e6)
     }
-    val spark = emb.sparkSession
-    import spark.implicits._
+    (v, lambda)
+  }
+
+  /** TOP-k principal components by power iteration WITH DEFLATION — one
+    * component at a time: extract the current top component
+    * ([[powerIteration]]'s quantized rounds), then project it out of
+    * every vector (x ← x − (x·v)v with the QUANTIZED v shipped as
+    * literals, so the deflated stream is bit-identical cross-engine:
+    * the per-row dot is the same left-fold both engines run) and
+    * repeat. Explained-variance ratios are all against the ORIGINAL
+    * total variance, so they add up across components.
+    *
+    * Scale shape: per component, `rounds` single-pass corpus scans
+    * (d-bounded state, as before) plus ONE map-side deflation pass
+    * re-checkpointed — the corpus never grows, and everything driver-side
+    * stays d-sized. Returns one row per component:
+    * (component, dims, n_rounds, eig_r, evr_r, vec_q).
+    */
+  def powerIterationTop(
+      emb: DataFrame,
+      components: Int = 2,
+      rounds: Int = 3,
+      vecCol: String = "embedding",
+      salt: String = "pca"): DataFrame = {
+    require(components >= 1 && rounds >= 1, s"components/rounds must be >= 1")
+    var data = emb
+      .select(transform(col(vecCol), x => x.cast("double")).as("x"))
+      .localCheckpoint(true)
+    val d = data.select(size(col("x"))).first().getInt(0)
     val total = data
       .select(dot(col("x"), col("x")).as("sq"))
       .agg(sum(col("sq"))).first().getDouble(0)
-    Seq((d, rounds)).toDF("dims", "n_rounds")
-      .withColumn("eig_r", lit(math.floor(lambda * 1e4 + 0.5) / 1e4))
-      .withColumn("evr_r", lit(math.floor(lambda / total * 1e6 + 0.5) / 1e6))
-      .withColumn("vec_q", lit(v.map(x => math.floor(x * 1e6 + 0.5).toLong).mkString(" ")))
+    val rows = (1 to components).map { c =>
+      val (v, lambda) = powerRounds(data, d, rounds, s"$salt$c")
+      if (c < components) {
+        val vLit = array(v.map(lit).toIndexedSeq: _*)
+        data = data
+          .withColumn("__d", dot(col("x"), vLit))
+          .select(transform(col("x"), (e, i) => e - col("__d") * element_at(vLit, i + 1)).as("x"))
+          .localCheckpoint(true)
+      }
+      (c, d, rounds,
+        math.floor(lambda * 1e4 + 0.5) / 1e4,
+        math.floor(lambda / total * 1e6 + 0.5) / 1e6,
+        v.map(x => math.floor(x * 1e6 + 0.5).toLong).mkString(" "))
+    }
+    val spark = emb.sparkSession
+    import spark.implicits._
+    rows.toDF("component", "dims", "n_rounds", "eig_r", "evr_r", "vec_q")
   }
 
   /** Deterministic [1..1000] draw from the md5 60-bit prefix (oracle:

@@ -102,4 +102,29 @@ class KmeansSpec extends SparkSpec {
     val again = Similarity.powerIteration(planted, rounds = 3).collect().head
     assert(row.toString == again.toString, "must be rerun-identical")
   }
+
+  test("powerIterationTop: deflation recovers both planted axes; EVRs split 0.8/0.2 and sum to 1") {
+    // rank-2 with orthogonal axis groups: (2i, 0) and (0, i) -> eigvecs
+    // e1 (lambda 4*sum i^2) then e2 (lambda sum i^2); EVR 4/5 and 1/5
+    val planted = ((1 to 30).map(i => (i.toLong, Array(2f * i, 0f))) ++
+      (1 to 30).map(i => (100L + i, Array(0f, i.toFloat))))
+      .toDF("vec_id", "embedding")
+    // power iteration converges GEOMETRICALLY (rate lambda2/lambda1 = 1/4
+    // per round), so after finitely many rounds the axes are recovered to
+    // tolerance, not exactly — assert alignment, spectrum, and EVR split
+    val rows = Similarity.powerIterationTop(planted, components = 2, rounds = 8)
+      .orderBy("component").collect()
+    val sumSq = (1 to 30).map(i => i.toLong * i).sum.toDouble
+    assert(rows.length == 2)
+    val c1 = rows(0); val c2 = rows(1)
+    def vec(r: org.apache.spark.sql.Row) = r.getString(5).split(" ").map(_.toDouble / 1e6)
+    val (v1, v2) = (vec(c1), vec(c2))
+    assert(math.abs(v1(0)) > 0.9999 && math.abs(v2(1)) > 0.9999,
+      s"axes recovered: ${v1.toSeq} / ${v2.toSeq}")
+    assert(math.abs(v1(0) * v2(0) + v1(1) * v2(1)) < 1e-3, "components near-orthogonal")
+    assert(math.abs(c1.getDouble(3) - 4.0 * sumSq) / (4.0 * sumSq) < 0.01, s"lambda1 ${c1.getDouble(3)}")
+    assert(math.abs(c2.getDouble(3) - sumSq) / sumSq < 0.02, s"lambda2 ${c2.getDouble(3)}")
+    assert(math.abs(c1.getDouble(4) - 0.8) < 0.01 && math.abs(c2.getDouble(4) - 0.2) < 0.01,
+      s"EVRs against the ORIGINAL variance: ${c1.getDouble(4)} / ${c2.getDouble(4)}")
+  }
 }
