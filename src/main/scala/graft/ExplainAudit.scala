@@ -102,7 +102,7 @@ object ExplainAudit {
     "q_scd2_history", "q_l_diversity", "q_corr_matrix", "q_ndcg_eval",
     "q_dsir_weights", "q_dsir_select", "q_hilbert_layout", "q_interval_join",
     "q_survival", "q_compaction_exec", "q_ndv_overlap", "q_knn_label_eval",
-    "q_mixture_interleave", "q_temporal_join")
+    "q_mixture_interleave", "q_temporal_join", "q_search_suffix")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

@@ -2025,6 +2025,15 @@ object SparkEntry {
         prefix = "s", k = 20)
     }),
 
+    // -- leading-wildcard (suffix) search *ing: the reversed-term trick —
+    //    over the reversed vocabulary the unsargable trailing pattern
+    //    becomes a stat-prunable LEADING prefix
+    "q_search_suffix" -> ((s, dir) => {
+      Search.suffixQuery(
+        InvertedIndex.postings(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))),
+        suffix = "er", k = 20)
+    }),
+
     // -- per-domain document cap (crawl curation): ≤ 10 docs per source in
     //    deterministic md5 order, selected by the bounded partial top-k —
     //    never a whole-domain window partition
@@ -5082,6 +5091,13 @@ object SparkEntry {
       s"""WITH $TokCte,
           p AS (SELECT word, count(DISTINCT doc_id)::INT AS df FROM tok GROUP BY word)
           SELECT word, df FROM p WHERE word LIKE 's%'
+          ORDER BY df DESC, word LIMIT 20""",
+    // the oracle states the SEMANTICS (ends_with); the engine serves it
+    // as a leading prefix over the reversed vocabulary
+    "q_search_suffix" ->
+      s"""WITH $TokCte,
+          p AS (SELECT word, count(DISTINCT doc_id)::INT AS df FROM tok GROUP BY word)
+          SELECT word, df FROM p WHERE word LIKE '%er'
           ORDER BY df DESC, word LIMIT 20""",
     "q_source_cap" ->
       """WITH r AS (SELECT source, doc_id,

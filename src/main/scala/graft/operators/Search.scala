@@ -805,6 +805,31 @@ object Search {
       .limit(k)
   }
 
+  /** Leading-wildcard (SUFFIX) search — `*ing` — via the REVERSED-term
+    * trick (Lucene's ReversedWildcardFilter): a trailing pattern is
+    * unsargable (no column stat prunes `LIKE '%ing'`), but over a
+    * reversed vocabulary the same query becomes a LEADING prefix
+    * (`reverse(word) LIKE 'gni%'`), which prunes on min/max stats
+    * exactly like [[prefixQuery]]. The reversal happens in the engine on
+    * the vocabulary-sized postings relation (at 100 TB the reversed term
+    * column is materialized WITH the index, making the scan-side
+    * predicate a plain prefix on a sorted column).
+    *
+    * Returns the top-k matching vocabulary terms (df DESC, word ASC)
+    * with their df — [[prefixQuery]]'s contract mirrored at the other
+    * end of the word.
+    */
+  def suffixQuery(postings: DataFrame, suffix: String, k: Int = 20): DataFrame = {
+    val sfx = cleanedTerms0(Seq(suffix)).headOption.getOrElse(
+      sys.error(s"suffix '$suffix' cleans to no bytes"))
+    postings
+      .withColumn("__rw", reverse(col("word")))
+      .where(col("__rw").startsWith(sfx.reverse))
+      .select(col("word"), col("df"))
+      .orderBy(desc("df"), asc("word"))
+      .limit(k)
+  }
+
   /** Cleaned phrase terms, order- and duplicate-preserving. */
   private def cleanedTerms0(words: Seq[String]): Seq[String] =
     words

@@ -146,6 +146,24 @@ class SearchSpec extends SparkSpec {
     assert(got._3 < 1.0, s"misordered graded ranking must lose nDCG: $got")
   }
 
+  test("suffixQuery: reversed-prefix serving == direct ends_with semantics") {
+    val toks = Tokenize.tokens(Seq(
+      (1L, "running swimming ran walk"),
+      (2L, "running talking walked"),
+      (3L, "sing thing wing")).toDF("doc_id", "text"), "text", Seq("doc_id"))
+    val postings = InvertedIndex.postings(toks)
+    val got = Search.suffixQuery(postings, "ing", k = 10)
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    // direct semantic mirror: vocabulary terms ending in "ing"
+    val want = postings.where(org.apache.spark.sql.functions.col("word").endsWith("ing"))
+      .select("word", "df")
+      .orderBy(org.apache.spark.sql.functions.desc("df"), org.apache.spark.sql.functions.asc("word"))
+      .collect().map(r => (r.getString(0), r.getInt(1))).toSeq
+    assert(got == want && got.nonEmpty, s"got $got")
+    assert(got.head == (("running", 2)), s"df-ranked first: ${got.head}")
+    assert(!got.exists(_._1 == "walk") && !got.exists(_._1 == "walked"))
+  }
+
   test("snippets: window clamps at doc start, all matched terms uppercase") {
     val docs = Seq(
       (1L, "spark leads the doc and more words follow here"),
