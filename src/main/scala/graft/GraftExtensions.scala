@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CleanToken, KmvNdvAgg, RewriteSortedCollectSet, SortedDistinctSetAgg, SpaceSavingAgg}
+import graft.plans.{CleanToken, CountMinAgg, KmvNdvAgg, RewriteSortedCollectSet, SortedDistinctSetAgg, SpaceSavingAgg}
 
 /** Engine extensions, installable on any session:
   *
@@ -37,6 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_ndv"),
       new ExpressionInfo(classOf[KmvNdvAgg].getName, "kmv_ndv"),
       (exprs: Seq[Expression]) => KmvNdvAgg(exprs(0), exprs(1)).toAggregateExpression()))
+    // Count-Min point-frequency sketch: depth×width counters, min-probe —
+    // order-independent element-wise-add merge, SQL-replayable salted-md5
+    // buckets (see graft.plans.CountMinAgg)
+    e.injectFunction((
+      FunctionIdentifier("cms_counts"),
+      new ExpressionInfo(classOf[CountMinAgg].getName, "cms_counts"),
+      (exprs: Seq[Expression]) => CountMinAgg(exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
     e.injectFunction((
       FunctionIdentifier("graft_clean_token"),
       new ExpressionInfo(classOf[CleanToken].getName, "graft_clean_token"),

@@ -249,6 +249,38 @@ object SparkEntry {
         .orderBy(desc("cnt"), asc("word"))
     }),
 
+    // -- point-frequency sketch via Count-Min (native cms_counts
+    //    aggregate): a 4×512 counter matrix, row-salted md5 buckets,
+    //    estimate = min over rows — never an undercount. One pass
+    //    computes the sketch AND the exact probe counts (conditional
+    //    sums in the same agg), so the overcount column is audited
+    //    in-query. Element-wise-add merge is order-independent, so the
+    //    matrix is deterministic under any partitioning and the oracle
+    //    rebuilds every counter in SQL (unlike Spark's built-in
+    //    count_min_sketch, whose murmur layout is opaque). At 100 TB
+    //    the exact per-key count needs a key-cardinality shuffle; this
+    //    ships one 2048-long array up the exchange.
+    "q_cms_freq" -> ((s, dir) => {
+      val D = 4; val W = 512
+      val probes = Seq("the", "of", "and", "data", "zyzzyva")
+      val toks = Tokenize.tokens(t(s, dir, "documents").select("doc_id", "text"),
+        "text", Seq("doc_id"))
+      val aggs = expr(s"cms_counts(word, $D, $W)").as("m") +:
+        probes.map(p => sum(when(col("word") === p, 1L).otherwise(0L)).as(s"x_$p"))
+      val one = toks.agg(aggs.head, aggs.tail: _*)
+      val rows = probes.map { p =>
+        val cells = (0 until D).map { d =>
+          element_at(col("m"), d * W + graft.plans.CmsSketch.bucket(
+            d, org.apache.spark.unsafe.types.UTF8String.fromString(p), W) + 1)
+        }
+        struct(lit(p).as("word"), least(cells: _*).as("est"), col(s"x_$p").as("exact"))
+      }
+      one.select(explode(array(rows: _*)).as("e"))
+        .select(col("e.word").as("word"), col("e.est").as("est"),
+          col("e.exact").as("exact"), (col("e.est") - col("e.exact")).as("overcount"))
+        .orderBy("word")
+    }),
+
     // -- distinct-count sketch via KMV (native kmv_ndv aggregate):
     //    bottom-64-by-md5 distinct user keys + the (k−1)/R estimate.
     //    Deterministic under ANY partitioning/merge order (bottom-k of a
@@ -1397,6 +1429,22 @@ object SparkEntry {
         .orderBy("v1", "v2")
     }),
 
+    // -- mutual (reciprocal) best-match between two embedding sets — the
+    //    bitext-mining core: even vec_ids as side A, odd as side B; a pair
+    //    survives only if each is the other's top-1 cosine. One broadcast
+    //    pair relation, both direction ranks as two windows over it;
+    //    reciprocity caps any hub vector at one edge, so the output is a
+    //    partial matching. (At 100 TB the pair relation comes from the
+    //    LSH/IVF candidate generators; the reciprocity filter is the same.)
+    "q_mutual_match" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .mutualTopMatch(
+          emb.where(col("vec_id") % 2 === 0),
+          emb.where(col("vec_id") % 2 === 1))
+        .orderBy("a_id")
+    }),
+
     // -- multi-probe variant: ONE table, each vector also probes the 4
     //    buckets one sign-bit away — the cheap-recall lever when a second
     //    table is too expensive (cap mirrored; singletons kept since they
@@ -2061,6 +2109,42 @@ object SparkEntry {
           round(TextAnalysis.hashedLinearScore(col("text"), buckets = 512), 6).as("score"))
         .withColumn("keep", when(col("score") > 0.0, 1).otherwise(0))
         .orderBy("doc_id")
+    }),
+
+    // -- calibration eval of the hashed linear classifier (reliability
+    //    diagram + expected calibration error): confidence = (score+1)/2
+    //    binned into 10 equal-width bins; per-bin mean confidence vs the
+    //    observed rate of the mostly-alphabetic label; ECE = Σ n/N·|gap|
+    //    rides every row as a windowed total over the 10 bin rows. The
+    //    miscalibration a threshold-only eval (q_classifier_score) can't
+    //    see — the decision dial for "can I trust score=0.7 as 70%?".
+    //    One groupBy over a map-side-scored scan; the window is over 10
+    //    rows. ECE is computed FROM the rounded bin aggregates, so both
+    //    engines sum identical rationals.
+    "q_calibration_ece" -> ((s, dir) => {
+      val ws = split(col("text"), "\\s+")
+      val scored = t(s, dir, "documents").select(
+        round(TextAnalysis.hashedLinearScore(col("text"), buckets = 512), 6).as("score"),
+        (size(filter(ws, x => x.rlike("[A-Za-z]"))).cast("double")
+          / size(ws).cast("double") >= 0.8).cast("int").as("label"))
+        .withColumn("conf", (col("score") + 1.0) / 2.0)
+      operators.Stats.reliability(scored, "conf", "label").orderBy("bin")
+    }),
+
+    // -- inter-annotator agreement (Cohen's kappa) between two cheap
+    //    quality raters: the hashed linear classifier (score>0) vs the
+    //    mostly-alphabetic rule — chance-corrected agreement from the
+    //    2×2 confusion counts, one map-side-scored aggregate, single row.
+    //    The "are my weak labelers actually measuring the same thing?"
+    //    check run before trusting either as training-filter truth.
+    "q_rater_kappa" -> ((s, dir) => {
+      val ws = split(col("text"), "\\s+")
+      val rated = t(s, dir, "documents").select(
+        (round(TextAnalysis.hashedLinearScore(col("text"), buckets = 512), 6) > 0.0)
+          .cast("int").as("r1"),
+        (size(filter(ws, x => x.rlike("[A-Za-z]"))).cast("double")
+          / size(ws).cast("double") >= 0.8).cast("int").as("r2"))
+      operators.Stats.cohenKappa(rated, "r1", "r2")
     }),
 
     // -- ANALYZE-style one-pass column statistics over lineitem
@@ -3323,6 +3407,25 @@ object SparkEntry {
                  END AS ndv_est,
                  (SELECT string_agg(key, ' ' ORDER BY h) FROM b) AS sample
           FROM e""",
+    // the CMS is deterministic, so the oracle rebuilds the counter matrix:
+    // same row-salted 60-bit md5-prefix bucket, same min-probe estimate
+    "q_cms_freq" ->
+      s"""WITH $TokCte,
+          ds AS (SELECT unnest(range(4)) AS d),
+          b AS (SELECT ds.d,
+                       ('0x' || substr(md5(ds.d::VARCHAR || ':' || word), 1, 15))::BIGINT % 512 AS bkt,
+                       count(*) AS c
+                FROM tok CROSS JOIN ds GROUP BY 1, 2),
+          p AS (SELECT unnest(['the','of','and','data','zyzzyva']) AS word),
+          pb AS (SELECT p.word, ds.d,
+                        ('0x' || substr(md5(ds.d::VARCHAR || ':' || p.word), 1, 15))::BIGINT % 512 AS bkt
+                 FROM p CROSS JOIN ds),
+          e AS (SELECT pb.word, min(coalesce(b.c, 0)) AS est
+                FROM pb LEFT JOIN b ON pb.d = b.d AND pb.bkt = b.bkt GROUP BY 1),
+          x AS (SELECT word, count(*) AS exact FROM tok GROUP BY 1)
+          SELECT e.word, e.est, coalesce(x.exact, 0) AS exact,
+                 e.est - coalesce(x.exact, 0) AS overcount
+          FROM e LEFT JOIN x USING (word) ORDER BY word""",
     // capacity > vocabulary => the sketch never evicts and is exact
     "q_heavy_keys_sketch" ->
       s"""WITH $TokCte
@@ -4443,6 +4546,28 @@ object SparkEntry {
             JOIN e ea ON ea.vec_id = a.vec_id
             JOIN e ec ON ec.vec_id = c.vec_id) p
           WHERE cos >= 0.25 ORDER BY v1, v2""",
+    // both direction ranks from ONE pair relation; 6-dp rank rounding and
+    // partner-id tie-break mirror the Spark windows exactly
+    "q_mutual_match" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+           FROM embeddings),
+         a AS (SELECT vec_id AS a_id, embedding AS av, nrm AS an FROM e WHERE vec_id % 2 = 0),
+         b AS (SELECT vec_id AS b_id, embedding AS bv, nrm AS bn FROM e WHERE vec_id % 2 = 1),
+         p AS (SELECT a_id, b_id,
+                      list_sum(list_transform(range(1, len(av) + 1),
+                           i -> av[i]::DOUBLE * bv[i]::DOUBLE)) / (an * bn) AS cos
+               FROM a CROSS JOIN b),
+         r AS (SELECT a_id, b_id, cos,
+                      row_number() OVER (PARTITION BY a_id
+                        ORDER BY floor(cos * 1e6 + 0.5) / 1e6 DESC, b_id) AS ra,
+                      row_number() OVER (PARTITION BY b_id
+                        ORDER BY floor(cos * 1e6 + 0.5) / 1e6 DESC, a_id) AS rb
+               FROM p)
+         SELECT a_id, b_id, floor(cos * 1e4 + 0.5) / 1e4 AS cos_r
+         FROM r WHERE ra = 1 AND rb = 1 ORDER BY a_id""",
     "q_ann_ivf" ->
       """WITH e AS (
            SELECT vec_id, embedding,
@@ -5128,6 +5253,59 @@ object SparkEntry {
                  FROM toks_arr)
           SELECT doc_id, score, CASE WHEN score > 0.0 THEN 1 ELSE 0 END AS keep
           FROM sc ORDER BY doc_id""",
+    // ECE from the ROUNDED bin aggregates, so both engines sum identical
+    // rationals; the classifier score is the q_classifier_score mirror
+    "q_calibration_ece" ->
+      s"""WITH $ToksArrCte,
+          base AS (SELECT d.doc_id,
+                     CASE WHEN len(t.toks) = 0 THEN 0.0
+                          ELSE floor((list_sum(list_transform(t.toks,
+                                 w -> (('0x' || substr(md5(w), 1, 8))::BIGINT % 512) % 101 - 50))::DOUBLE
+                               / (50.0 * len(t.toks))) * 1e6 + 0.5) / 1e6 END AS score,
+                     (len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                          x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                      / len(regexp_split_to_array(d.text, '\\s+')) >= 0.8)::INT AS label
+                   FROM documents d JOIN toks_arr t USING (doc_id)),
+          c AS (SELECT least(floor(((score + 1.0) / 2.0) * 10), 9)::INT AS bin,
+                       (score + 1.0) / 2.0 AS conf, label
+                FROM base),
+          b AS (SELECT bin, count(*) AS n,
+                       floor(avg(conf) * 1e4 + 0.5) / 1e4 AS conf_r,
+                       floor(avg(label) * 1e4 + 0.5) / 1e4 AS acc_r
+                FROM c GROUP BY bin),
+          g AS (SELECT bin, n, conf_r, acc_r,
+                       floor(abs(conf_r - acc_r) * 1e4 + 0.5) / 1e4 AS gap_r
+                FROM b)
+          SELECT bin, n, conf_r, acc_r, gap_r,
+                 floor((sum(n * gap_r) OVER () / sum(n) OVER ()) * 1e6 + 0.5) / 1e6 AS ece_r
+          FROM g ORDER BY bin""",
+    // kappa from the rounded po/pe, mirroring the Spark arithmetic exactly
+    "q_rater_kappa" ->
+      s"""WITH $ToksArrCte,
+          base AS (SELECT
+                     (CASE WHEN len(t.toks) = 0 THEN 0.0
+                           ELSE floor((list_sum(list_transform(t.toks,
+                                  w -> (('0x' || substr(md5(w), 1, 8))::BIGINT % 512) % 101 - 50))::DOUBLE
+                                / (50.0 * len(t.toks))) * 1e6 + 0.5) / 1e6 END > 0.0)::INT AS r1,
+                     (len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                          x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                      / len(regexp_split_to_array(d.text, '\\s+')) >= 0.8)::INT AS r2
+                   FROM documents d JOIN toks_arr t USING (doc_id)),
+          c AS (SELECT count(*)::BIGINT AS n,
+                       sum((r1 = 1 AND r2 = 1)::INT)::BIGINT AS n11,
+                       sum((r1 = 1 AND r2 = 0)::INT)::BIGINT AS n10,
+                       sum((r1 = 0 AND r2 = 1)::INT)::BIGINT AS n01,
+                       sum((r1 = 0 AND r2 = 0)::INT)::BIGINT AS n00
+                FROM base),
+          p AS (SELECT n, n11, n10, n01, n00,
+                       floor(((n11 + n00)::DOUBLE / n) * 1e6 + 0.5) / 1e6 AS po_r,
+                       floor((((n11 + n10) * (n11 + n01)
+                               + (n01 + n00) * (n10 + n00))::DOUBLE
+                              / (n::DOUBLE * n)) * 1e6 + 0.5) / 1e6 AS pe_r
+                FROM c)
+          SELECT n, n11, n10, n01, n00, po_r, pe_r,
+                 floor(((po_r - pe_r) / (1.0 - pe_r)) * 1e6 + 0.5) / 1e6 AS kappa_r
+          FROM p""",
     "q_column_stats" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey", "l_suppkey")
       cols.map { c =>

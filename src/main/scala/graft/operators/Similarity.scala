@@ -1122,4 +1122,48 @@ object Similarity {
       .join(dropped.withColumn("__dup", lit(1)), Seq(idCol), "left_outer")
       .select(col(idCol), col("cell"), col("__dup").isNull.as("keep"))
   }
+
+  /** Mutual (reciprocal) best-match between two embedding sets — the core
+    * of margin-based bitext mining (Artetxe & Schwenk, "Margin-based
+    * Parallel Corpus Mining with Multilingual Sentence Embeddings", ACL
+    * 2019): a pair (a, b) is kept only when b is a's top-1 cosine match
+    * in B AND a is b's top-1 in A. Reciprocity kills the hubness failure
+    * of one-directional retrieval (a hub vector that is "everyone's
+    * nearest neighbor" can win at most its own single mutual edge), so
+    * the output is a partial matching: every a and every b appears at
+    * most once.
+    *
+    * Plan: ONE pair relation (broadcast the smaller B side; the corpus A
+    * scan never shuffles), then BOTH direction ranks as two window
+    * columns over that same relation — no second cosine pass. Ranking is
+    * on 6-dp-rounded cosine with partner-id ASC tie-break, so the match
+    * is deterministic cross-engine.
+    *
+    * At 100 TB the exact cross pair relation is replaced by the bucketed
+    * candidate generators already in this file (withLshBucket /
+    * ivfSearch): run THIS operator's two-window reciprocity filter over
+    * their candidate pairs instead — the windows partition by vector id,
+    * so no partition ever exceeds a vector's candidate count.
+    */
+  def mutualTopMatch(
+      a: DataFrame,
+      b: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ea = a.select(col(idCol).as("a_id"), col(vecCol).as("av")).withColumn("an", norm("av"))
+    val eb = b.select(col(idCol).as("b_id"), col(vecCol).as("bv")).withColumn("bn", norm("bv"))
+    val pairs = ea
+      .crossJoin(broadcast(eb))
+      .withColumn("cos", dot(col("av"), col("bv")) / (col("an") * col("bn")))
+      .select(col("a_id"), col("b_id"), col("cos"))
+    val key = round(col("cos"), 6)
+    val ra = row_number().over(Window.partitionBy(col("a_id")).orderBy(key.desc, col("b_id").asc))
+    val rb = row_number().over(Window.partitionBy(col("b_id")).orderBy(key.desc, col("a_id").asc))
+    pairs
+      .withColumn("ra", ra)
+      .withColumn("rb", rb)
+      .where(col("ra") === 1 && col("rb") === 1)
+      .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_r"))
+  }
 }

@@ -765,4 +765,69 @@ object Stats {
         Portable.pround(avg(col(valueCol)), 4).as("raw_mean"),
         Portable.pround(avg(col("__clip")), 4).as("wins_mean"))
   }
+
+  /** Reliability diagram + expected calibration error (Naeini et al.,
+    * "Obtaining Well Calibrated Probabilities Using Bayesian Binning",
+    * AAAI 2015 — the standard ECE form): `confCol` ∈ [0,1] binned into
+    * `bins` equal-width bins; per bin the mean confidence vs the observed
+    * `labelCol` rate; ECE = Σ n/N·|conf−acc| rides every row as a
+    * windowed total. ECE is computed FROM the 4-dp-rounded bin aggregates
+    * so replays sum identical rationals regardless of partial-agg order.
+    *
+    * One groupBy over a map-side-scored scan; the window spans `bins`
+    * rows, never the data — the 100 TB cost is the scan.
+    *
+    * Returns (bin, n, conf_r, acc_r, gap_r, ece_r).
+    */
+  def reliability(
+      df: DataFrame,
+      confCol: String,
+      labelCol: String,
+      bins: Int = 10): DataFrame = {
+    val binned = df
+      .withColumn("__bin",
+        least(floor(col(confCol) * bins), lit((bins - 1).toDouble)).cast("int"))
+    val agg = binned
+      .groupBy(col("__bin").as("bin"))
+      .agg(count(lit(1)).as("n"),
+        Portable.pround(avg(col(confCol)), 4).as("conf_r"),
+        Portable.pround(avg(col(labelCol)), 4).as("acc_r"))
+      .withColumn("gap_r", Portable.pround(abs(col("conf_r") - col("acc_r")), 4))
+      // materialized once (≤ bins rows): both the output and the ECE
+      // total consume it, and lazy reuse would re-run the corpus scan
+      .localCheckpoint(true)
+    // the scalar total joins back broadcast rather than through an
+    // all-rows-to-one-partition window
+    val tot = agg.agg(Portable.pround(
+      sum(col("n").cast("double") * col("gap_r"))
+        / sum(col("n").cast("double")), 6).as("ece_r"))
+    agg
+      .crossJoin(broadcast(tot))
+      .select("bin", "n", "conf_r", "acc_r", "gap_r", "ece_r")
+  }
+
+  /** Cohen's kappa (Cohen 1960): chance-corrected agreement between two
+    * binary raters, from the 2×2 confusion counts — one map-side
+    * conditional-sum aggregate, single row, nothing key-sized. po/pe are
+    * rounded before the kappa division so replays divide identical
+    * rationals.
+    *
+    * Returns (n, n11, n10, n01, n00, po_r, pe_r, kappa_r).
+    */
+  def cohenKappa(df: DataFrame, r1Col: String, r2Col: String): DataFrame =
+    df
+      .agg(count(lit(1)).as("n"),
+        sum((col(r1Col) === 1 && col(r2Col) === 1).cast("long")).as("n11"),
+        sum((col(r1Col) === 1 && col(r2Col) === 0).cast("long")).as("n10"),
+        sum((col(r1Col) === 0 && col(r2Col) === 1).cast("long")).as("n01"),
+        sum((col(r1Col) === 0 && col(r2Col) === 0).cast("long")).as("n00"))
+      .withColumn("po_r", Portable.pround(
+        (col("n11") + col("n00")).cast("double") / col("n"), 6))
+      .withColumn("pe_r", Portable.pround(
+        ((col("n11") + col("n10")) * (col("n11") + col("n01"))
+          + (col("n01") + col("n00")) * (col("n10") + col("n00"))).cast("double")
+          / (col("n").cast("double") * col("n")), 6))
+      .withColumn("kappa_r", Portable.pround(
+        (col("po_r") - col("pe_r")) / (lit(1.0) - col("pe_r")), 6))
+      .select("n", "n11", "n10", "n01", "n00", "po_r", "pe_r", "kappa_r")
 }

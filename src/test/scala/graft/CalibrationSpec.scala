@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Stats
+
+/** [[Stats.reliability]] (ECE) and [[Stats.cohenKappa]]: textbook values
+  * on hand-built confusions, zero ECE when calibrated, bin-edge handling.
+  */
+class CalibrationSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("cohenKappa reproduces the textbook 2x2 example") {
+    // n11=20 n10=5 n01=10 n00=15 → po=0.7, pe=0.5, kappa=0.4
+    val df = (Seq.fill(20)((1, 1)) ++ Seq.fill(5)((1, 0)) ++
+      Seq.fill(10)((0, 1)) ++ Seq.fill(15)((0, 0))).toDF("r1", "r2")
+    val r = Stats.cohenKappa(df, "r1", "r2").collect().head
+    assert(r.getAs[Long]("n") == 50 && r.getAs[Long]("n11") == 20)
+    assert(r.getAs[Double]("po_r") == 0.7)
+    assert(r.getAs[Double]("pe_r") == 0.5)
+    assert(r.getAs[Double]("kappa_r") == 0.4)
+  }
+
+  test("perfect agreement gives kappa 1, independent-looking raters give ~0") {
+    val perfect = Seq.fill(30)((1, 1)) ++ Seq.fill(30)((0, 0))
+    assert(Stats.cohenKappa(perfect.toDF("r1", "r2"), "r1", "r2")
+      .collect().head.getAs[Double]("kappa_r") == 1.0)
+    // exactly proportional cells: po == pe → kappa == 0
+    val indep = Seq.fill(16)((1, 1)) ++ Seq.fill(24)((1, 0)) ++
+      Seq.fill(24)((0, 1)) ++ Seq.fill(36)((0, 0))
+    assert(Stats.cohenKappa(indep.toDF("r1", "r2"), "r1", "r2")
+      .collect().head.getAs[Double]("kappa_r") == 0.0)
+  }
+
+  test("a perfectly calibrated scorer has ECE 0; a confidently wrong one does not") {
+    // bin [0.7,0.8): 10 rows at conf 0.75, 7.5 can't be hit exactly —
+    // use conf 0.7 with 7/10 positive and conf 0.2 with 2/10 positive
+    val calibrated =
+      (Seq.fill(7)((0.7, 1)) ++ Seq.fill(3)((0.7, 0)) ++
+        Seq.fill(2)((0.2, 1)) ++ Seq.fill(8)((0.2, 0))).toDF("conf", "label")
+    val e1 = Stats.reliability(calibrated, "conf", "label")
+      .collect().head.getAs[Double]("ece_r")
+    assert(e1 == 0.0, s"calibrated scorer must have ECE 0, got $e1")
+
+    val wrong = Seq.fill(10)((0.95, 0)).toDF("conf", "label")
+    val e2 = Stats.reliability(wrong, "conf", "label")
+      .collect().head.getAs[Double]("ece_r")
+    assert(e2 == 0.95, s"confidently wrong scorer: ECE 0.95, got $e2")
+  }
+
+  test("conf exactly 1.0 lands in the top bin, not an overflow bin") {
+    val df = Seq((1.0, 1), (0.05, 0)).toDF("conf", "label")
+    val bins = Stats.reliability(df, "conf", "label")
+      .collect().map(r => r.getAs[Int]("bin")).toSet
+    assert(bins == Set(0, 9), s"got bins $bins")
+  }
+}

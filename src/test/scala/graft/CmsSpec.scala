@@ -1,0 +1,109 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.plans.CmsSketch
+import org.apache.spark.unsafe.types.UTF8String
+
+/** [[graft.plans.CountMinAgg]] (`cms_counts`): overcount-only estimates,
+  * CMS error bound in practice, order-independence under repartitioning,
+  * decomposed-merge identity, and batch==streaming.
+  */
+class CmsSpec extends AnyFunSuite {
+
+  private lazy val spark: SparkSession = {
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
+    val s = SparkSession
+      .builder()
+      .master("local[4]")
+      .appName("graft-cms-test")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .withExtensions(new GraftExtensions)
+      .getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+
+  private val D = 4
+  private val W = 256
+
+  private def matrix(df: org.apache.spark.sql.DataFrame): Seq[Long] = df
+    .agg(expr(s"cms_counts(k, $D, $W)").as("m"))
+    .collect().head.getSeq[Long](0)
+
+  private def probe(m: Seq[Long], key: String): Long =
+    (0 until D).map(d => m(d * W + CmsSketch.bucket(d, UTF8String.fromString(key), W))).min
+
+  /** Zipf-ish deterministic stream: key_j occurs ~N/(j+1) times. */
+  private def zipf(n: Int, keys: Int): Seq[String] =
+    (0 until n).map(i => s"key_${i % ((i % keys) + 1)}")
+
+  test("estimate is NEVER an undercount, for every key in the stream and absent keys stay small") {
+    import spark.implicits._
+    val data = zipf(20000, 120)
+    val m = matrix(data.toDF("k"))
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    exact.foreach { case (k, x) =>
+      assert(probe(m, k) >= x, s"CMS undercounted $k: ${probe(m, k)} < $x")
+    }
+    // total mass invariant: every row of the matrix sums to N
+    (0 until D).foreach { d =>
+      assert(m.slice(d * W, (d + 1) * W).sum == 20000L, s"row $d mass")
+    }
+  }
+
+  test("observed error respects the CMS bound: overcount <= e/W * N for >=95% of keys") {
+    import spark.implicits._
+    val n = 20000
+    val data = zipf(n, 120)
+    val m = matrix(data.toDF("k"))
+    val exact = data.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val bound = math.ceil(math.E / W * n).toLong
+    val within = exact.count { case (k, x) => probe(m, k) - x <= bound }
+    assert(within >= (exact.size * 95) / 100,
+      s"only $within/${exact.size} keys within the e/W*N=$bound bound")
+  }
+
+  test("the matrix is deterministic under any partitioning / arrival order") {
+    import spark.implicits._
+    val base = zipf(8000, 90)
+    val a = matrix(base.toDF("k").repartition(1))
+    val b = matrix(base.toDF("k").repartition(8))
+    val c = matrix(scala.util.Random.javaRandomToRandom(new java.util.Random(11))
+      .shuffle(base).toDF("k").repartition(3))
+    assert(a == b && b == c, "element-wise-add merge must be order-independent")
+  }
+
+  test("merge identity: sketch(A union B) == sketch(A) + sketch(B) element-wise") {
+    import spark.implicits._
+    val a = zipf(5000, 70)
+    val b = (0 until 3000).map(i => s"other_${i % 40}")
+    val whole = matrix((a ++ b).toDF("k"))
+    val parts = matrix(a.toDF("k")).zip(matrix(b.toDF("k"))).map { case (x, y) => x + y }
+    assert(whole == parts.toSeq, "decomposed build must equal the one-shot build")
+  }
+
+  test("cms_counts runs UNCHANGED in Structured Streaming (Complete mode) == batch") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-stream")
+    zipf(6000, 80).toDF("k").coalesce(2).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType))))
+      .parquet(dir.toString)
+      .agg(expr(s"cms_counts(k, $D, $W)").as("m"))
+    val q = stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .format("memory").queryName("cms_stream").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("cms_stream").collect().head.getSeq[Long](0)
+    val want = matrix(spark.read.parquet(dir.toString).toDF("k"))
+    assert(got == want, "streaming sketch must equal the batch sketch exactly")
+  }
+}
