@@ -2015,6 +2015,20 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // -- HITS hubs & authorities over the DIRECTED customer→supplier
+    //    graph (3 rounds): the eigenvector pair PageRank can't express —
+    //    hub = breadth-of-buying, authority = bought-by-broad-buyers.
+    //    Edges materialized once; each half-round shuffles only the
+    //    node-sized score relation; L1 normalizers are broadcast scalars.
+    "q_hits" -> ((s, dir) => {
+      val e0 = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .select(concat(lit("c"), col("o_custkey")).as("src"),
+          concat(lit("s"), col("l_suppkey")).as("dst"))
+        .distinct()
+      operators.Graph.hits(e0, iters = 3).orderBy("node")
+    }),
+
     // -- degree histogram of the same graph (degree → node count)
     "q_graph_degree" -> ((s, dir) => {
       operators.Graph
@@ -2145,6 +2159,30 @@ object SparkEntry {
         (size(filter(ws, x => x.rlike("[A-Za-z]"))).cast("double")
           / size(ws).cast("double") >= 0.8).cast("int").as("r2"))
       operators.Stats.cohenKappa(rated, "r1", "r2")
+    }),
+
+    // -- Welch's unequal-variance t-test between every source pair on
+    //    document length: the A/B significance check with mean/variance
+    //    derived from EXACT decimal sums, so no float partial-agg order
+    //    can flip a bit — one grouped scan + a groups²-sized self-join.
+    "q_welch_ttest" -> ((s, dir) => {
+      operators.Stats
+        .welchTTest(t(s, dir, "documents"), "source", "n_chars")
+        .orderBy("g1", "g2")
+    }),
+
+    // -- Jensen–Shannon divergence between every pair of per-source
+    //    token distributions: the symmetric, always-finite (≤ ln 2)
+    //    vocabulary-drift number; disjoint-support mass folded in
+    //    analytically (½p·ln2), so ONE inner self-join on word — no
+    //    outer join, vocab-sized work.
+    "q_source_jsd" -> ((s, dir) => {
+      operators.Stats
+        .jsDivergence(
+          Tokenize.tokens(t(s, dir, "documents").select("doc_id", "source", "text"),
+            "text", Seq("doc_id", "source")),
+          "source")
+        .orderBy("g1", "g2")
     }),
 
     // -- ANALYZE-style one-pass column statistics over lineitem
@@ -5170,6 +5208,7 @@ object SparkEntry {
           SELECT doc_id, lang, n_ws, cum_ws::BIGINT AS cum_ws
           FROM c WHERE cum_ws - n_ws < budget ORDER BY doc_id""",
     "q_pagerank" -> pagerankSql(iters = 5, d = 0.85),
+    "q_hits" -> hitsSql(iters = 3),
     "q_graph_degree" ->
       s"""WITH $GraphEdgesCte,
           deg AS (SELECT src AS node, count(*) AS degree FROM e GROUP BY src)
@@ -5306,6 +5345,47 @@ object SparkEntry {
           SELECT n, n11, n10, n01, n00, po_r, pe_r,
                  floor(((po_r - pe_r) / (1.0 - pe_r)) * 1e6 + 0.5) / 1e6 AS kappa_r
           FROM p""",
+    // mean/variance from EXACT integer sums (s1, s2) — the scalar double
+    // arithmetic then replays identically; same op order as the Spark side
+    "q_welch_ttest" ->
+      """WITH g AS (SELECT source AS g, count(*)::BIGINT AS n,
+                           sum(n_chars::HUGEINT)::DOUBLE AS s1d,
+                           sum((n_chars::HUGEINT) * (n_chars::HUGEINT))::DOUBLE AS s2d
+                    FROM documents GROUP BY source),
+          s AS (SELECT g, n, s1d / n AS m,
+                       (s2d - s1d * s1d / n) / (n - 1) AS v
+                FROM g)
+          SELECT a.g AS g1, b.g AS g2, a.n AS n1, b.n AS n2,
+                 floor((a.m - b.m) * 1e4 + 0.5) / 1e4 AS diff_r,
+                 floor(((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n)) * 1e4 + 0.5) / 1e4 AS t_r,
+                 floor(((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n)
+                        / ((a.v / a.n) * (a.v / a.n) / (a.n - 1)
+                           + (b.v / b.n) * (b.v / b.n) / (b.n - 1))) * 1e2 + 0.5) / 1e2 AS df_r
+          FROM s a JOIN s b ON a.g < b.g
+          ORDER BY g1, g2""",
+    // shared terms by inner join; disjoint-support mass enters as
+    // ½ln2·(1−Σp_shared) analytically — mirror of Stats.jsDivergence
+    "q_source_jsd" ->
+      """WITH tk AS (SELECT source,
+                            regexp_replace(lower(unnest(regexp_split_to_array(text, '\s+'))), '[^a-z]', '', 'g') AS w
+                     FROM documents),
+          tok2 AS (SELECT source AS g, w FROM tk WHERE w <> ''),
+          c AS (SELECT g, w, count(*) AS c FROM tok2 GROUP BY 1, 2),
+          t AS (SELECT g, sum(c) AS t FROM c GROUP BY g),
+          p AS (SELECT c.g, c.w, c.c::DOUBLE / t.t AS p FROM c JOIN t USING (g)),
+          j AS (SELECT a.g AS g1, b.g AS g2, count(*) AS n_shared,
+                       sum(0.5 * a.p * ln(2.0 * a.p / (a.p + b.p))
+                           + 0.5 * b.p * ln(2.0 * b.p / (a.p + b.p))) AS sh,
+                       sum(a.p) AS sp, sum(b.p) AS sq
+                FROM p a JOIN p b ON a.w = b.w AND a.g < b.g
+                GROUP BY 1, 2),
+          pr AS (SELECT a.g AS g1, b.g AS g2 FROM t a JOIN t b ON a.g < b.g)
+          SELECT pr.g1, pr.g2, coalesce(j.n_shared, 0)::BIGINT AS n_shared,
+                 floor((coalesce(j.sh, 0.0)
+                        + 0.5 * ln(2.0) * (1.0 - coalesce(j.sp, 0.0))
+                        + 0.5 * ln(2.0) * (1.0 - coalesce(j.sq, 0.0))) * 1e6 + 0.5) / 1e6 AS jsd_r
+          FROM pr LEFT JOIN j ON pr.g1 = j.g1 AND pr.g2 = j.g2
+          ORDER BY pr.g1, pr.g2""",
     "q_column_stats" -> {
       val cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_partkey", "l_suppkey")
       cols.map { c =>
@@ -6693,6 +6773,32 @@ object SparkEntry {
         pr0 AS (SELECT node, tele AS pr FROM tele),
         $steps
         SELECT node, floor((pr) * 1e6 + 0.5) / 1e6 AS ppr FROM pr$iters ORDER BY node"""
+  }
+
+  /** Unrolled fixed-iteration HITS (mirror of Graph.hits): per round,
+    * authorities from the PREVIOUS hub vector, hubs from the UPDATED
+    * authorities, each L1-normalized via a scalar subquery.
+    */
+  private def hitsSql(iters: Int): String = {
+    val rounds = (1 to iters).map { k =>
+      s"""a${k}r AS (SELECT e0.dst AS node, sum(h.hub) AS v
+                     FROM e0 JOIN h${k - 1} h ON e0.src = h.node GROUP BY e0.dst),
+          a$k AS (SELECT node, v / (SELECT sum(v) FROM a${k}r) AS auth FROM a${k}r),
+          h${k}r AS (SELECT e0.src AS node, sum(a.auth) AS v
+                     FROM e0 JOIN a$k a ON e0.dst = a.node GROUP BY e0.src),
+          h$k AS (SELECT node, v / (SELECT sum(v) FROM h${k}r) AS hub FROM h${k}r)"""
+    }.mkString(",\n")
+    s"""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+                    FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
+        nodes AS (SELECT src AS node FROM e0 UNION SELECT dst FROM e0),
+        h0 AS (SELECT node, 1.0 AS hub FROM nodes),
+        $rounds
+        SELECT n.node,
+               floor((coalesce(h.hub, 0.0)) * 1e6 + 0.5) / 1e6 AS hub_r,
+               floor((coalesce(a.auth, 0.0)) * 1e6 + 0.5) / 1e6 AS auth_r
+        FROM nodes n LEFT JOIN h$iters h ON n.node = h.node
+                     LEFT JOIN a$iters a ON n.node = a.node
+        ORDER BY n.node"""
   }
 
   private def pagerankSql(iters: Int, d: Double): String = {

@@ -255,4 +255,59 @@ object Graph {
   def pagerankRounded(edges: DataFrame, iters: Int = 5, d: Double = 0.85): DataFrame =
     pagerank(edges, iters, d)
       .select(col("node"), Portable.pround(col("pr"), 6).as("pr"))
+
+  /** HITS hubs & authorities (Kleinberg, JACM 1999) over a DIRECTED edge
+    * relation: per round, auth(v) = Σ_{u→v} hub(u) then hub(u) =
+    * Σ_{u→v} auth(v) (the updated auth, per the original algorithm),
+    * each L1-normalized. The eigenvector pair PageRank can't express:
+    * PageRank scores a node for being POINTED AT through random-walk
+    * mass; HITS separates "points at good things" (hub) from "is pointed
+    * at by good hubs" (authority) — on a directed customer→supplier
+    * graph that's breadth-of-buying vs being-bought-by-broad-buyers.
+    *
+    * Scale shape = [[pagerank]]'s: the edge relation is materialized
+    * ONCE; each round shuffles only the node-sized hub/auth relations
+    * through the contribution join + partial-agg sum, and the L1
+    * normalizer is a broadcast scalar. Nodes on one side only (pure
+    * sources / pure sinks) surface with score 0, not dropped.
+    *
+    * Returns (node, hub_r, auth_r), 6-dp rounded.
+    */
+  def hits(edges: DataFrame, iters: Int = 3): DataFrame = {
+    val e = edges.select(col("src"), col("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .distinct()
+      .localCheckpoint(true)
+    def l1(df: DataFrame, c: String): DataFrame = {
+      // materialize the node-sized raw scores ONCE: both the normalizer
+      // scalar and the normalized output consume them, and lazy reuse
+      // would re-run the contribution join per consumer — compounding
+      // 2× per half-round across the iteration chain
+      val m = df.localCheckpoint(true)
+      val tot = broadcast(m.agg(sum(col(c)).as("__tot")))
+      m.crossJoin(tot).select(col("node"), (col(c) / col("__tot")).as(c))
+    }
+    val init = nodes.withColumn("hub", lit(1.0))
+    val (hubN, authN) = (1 to iters).foldLeft((init, init.withColumnRenamed("hub", "auth"))) {
+      case ((hub, _), _) =>
+        val auth = l1(
+          e.join(hub.withColumnRenamed("node", "src"), Seq("src"))
+            .groupBy(col("dst").as("node"))
+            .agg(sum(col("hub")).as("auth")),
+          "auth")
+        val hub2 = l1(
+          e.join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
+            .groupBy(col("src").as("node"))
+            .agg(sum(col("auth")).as("hub")),
+          "hub")
+        (hub2, auth)
+    }
+    nodes
+      .join(hubN, Seq("node"), "left_outer")
+      .join(authN, Seq("node"), "left_outer")
+      .select(col("node"),
+        Portable.pround(coalesce(col("hub"), lit(0.0)), 6).as("hub_r"),
+        Portable.pround(coalesce(col("auth"), lit(0.0)), 6).as("auth_r"))
+  }
 }

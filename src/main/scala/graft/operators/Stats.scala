@@ -806,6 +806,98 @@ object Stats {
       .select("bin", "n", "conf_r", "acc_r", "gap_r", "ece_r")
   }
 
+  /** Welch's unequal-variance t-test between every pair of groups (Welch,
+    * Biometrika 1947) over an INTEGER-valued measure column: t statistic
+    * and Welch–Satterthwaite degrees of freedom — the A/B significance
+    * check that doesn't assume equal variances (the plain pooled t does,
+    * and group sizes here are wildly unequal).
+    *
+    * Determinism discipline: mean and variance are derived from EXACT
+    * decimal sums (Σx, Σx² — both exact in any summation order), then the
+    * scalar double arithmetic is identical cross-engine; nothing depends
+    * on float partial-agg order. One grouped pass (group-sized result) +
+    * a groups²-sized self-join — the corpus is scanned once.
+    *
+    * Returns (g1, g2, n1, n2, diff_r, t_r, df_r).
+    */
+  def welchTTest(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val x = col(valueCol).cast("decimal(19,0)")
+    val g = df
+      .groupBy(col(groupCol).as("g"))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("decimal(38,0)").as("s1"),
+        sum(x * x).as("s2"))
+      .select(col("g"), col("n"),
+        (col("s1").cast("double") / col("n")).as("m"),
+        ((col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double") / col("n"))
+          / (col("n") - 1)).as("v"))
+      .localCheckpoint(true)
+    val a = g.select(col("g").as("g1"), col("n").as("n1"), col("m").as("m1"), col("v").as("v1"))
+    val b = g.select(col("g").as("g2"), col("n").as("n2"), col("m").as("m2"), col("v").as("v2"))
+    val se1 = col("v1") / col("n1")
+    val se2 = col("v2") / col("n2")
+    a.join(broadcast(b), col("g1") < col("g2"))
+      .select(col("g1"), col("g2"), col("n1"), col("n2"),
+        Portable.pround(col("m1") - col("m2"), 4).as("diff_r"),
+        Portable.pround((col("m1") - col("m2")) / sqrt(se1 + se2), 4).as("t_r"),
+        Portable.pround((se1 + se2) * (se1 + se2)
+          / (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1)), 2).as("df_r"))
+  }
+
+  /** Jensen–Shannon divergence between every pair of per-group token
+    * distributions (Lin, IEEE IT 1991): JSD(p,q) = ½KL(p‖m) + ½KL(q‖m),
+    * m = ½(p+q) — the SYMMETRIC, always-finite drift measure between
+    * source vocabularies (KL itself blows up on any word one source
+    * lacks; JSD caps at ln 2). The domain-mixing dial: "how different is
+    * source A's language from B's" as one number per pair.
+    *
+    * Disjoint-support mass needs no outer join: a word only in p
+    * contributes ½p·ln2, so JSD = Σ_shared[½p·ln(2p/(p+q)) +
+    * ½q·ln(2q/(p+q))] + ½ln2·(1−Σ_shared p) + ½ln2·(1−Σ_shared q) — one
+    * INNER self-join of the (group, word, count) relation on word +
+    * one pair-grouped partial-agg sum. Probabilities are rationals from
+    * exact counts; work is vocab-sized, never corpus-sized.
+    *
+    * Returns (g1, g2, n_shared, jsd_r) — jsd in nats, ∈ [0, ln 2].
+    */
+  def jsDivergence(tokens: DataFrame, groupCol: String, wordCol: String = "word"): DataFrame = {
+    val counts = tokens
+      .groupBy(col(groupCol).as("g"), col(wordCol).as("w"))
+      .agg(count(lit(1)).as("c"))
+      // vocab×groups-sized; totals AND the probability join consume it —
+      // materialize so the corpus tokenization scan runs once
+      .localCheckpoint(true)
+    val totals = counts.groupBy(col("g")).agg(sum(col("c")).as("t"))
+    val wc = counts
+      .join(broadcast(totals), Seq("g"))
+      .select(col("g"), col("w"), (col("c").cast("double") / col("t")).as("p"))
+      .localCheckpoint(true)
+    val a = wc.select(col("g").as("g1"), col("w"), col("p"))
+    val b = wc.select(col("g").as("g2"), col("w"), col("p").as("q"))
+    val ln2 = math.log(2.0)
+    val shared = a.join(b, Seq("w"))
+      .where(col("g1") < col("g2"))
+      .groupBy(col("g1"), col("g2"))
+      .agg(count(lit(1)).as("n_shared"),
+        sum(lit(0.5) * col("p") * log(lit(2.0) * col("p") / (col("p") + col("q")))
+          + lit(0.5) * col("q") * log(lit(2.0) * col("q") / (col("p") + col("q")))).as("sh"),
+        sum(col("p")).as("sp"),
+        sum(col("q")).as("sq"))
+    // seed every group pair from the (tiny) totals relation: a pair with
+    // NO shared word is maximal drift (jsd = ln 2), not a missing row
+    val pairs = totals.select(col("g").as("g1"))
+      .join(totals.select(col("g").as("g2")), col("g1") < col("g2"))
+    pairs
+      .join(shared, Seq("g1", "g2"), "left_outer")
+      .select(col("g1"), col("g2"),
+        coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        Portable.pround(
+          coalesce(col("sh"), lit(0.0))
+            + lit(0.5 * ln2) * (lit(1.0) - coalesce(col("sp"), lit(0.0)))
+            + lit(0.5 * ln2) * (lit(1.0) - coalesce(col("sq"), lit(0.0))), 6).as("jsd_r"))
+  }
+
   /** Cohen's kappa (Cohen 1960): chance-corrected agreement between two
     * binary raters, from the 2×2 confusion counts — one map-side
     * conditional-sum aggregate, single row, nothing key-sized. po/pe are

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.Stats
+
+/** [[Stats.welchTTest]] and [[Stats.jsDivergence]]: textbook values on
+  * hand-computed inputs, plus the identity / disjoint-support edges.
+  */
+class DriftStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("welchTTest reproduces the hand-computed unequal-variance example") {
+    // A=[1,2,3]: m=2, v=1; B=[2,4,6,8]: m=5, v=20/3
+    // se = 1/3 + 5/3 = 2 → t = −3/√2 = −2.1213…; Welch df = 4.0755 → 4.08
+    val df = (Seq(("A", 1L), ("A", 2L), ("A", 3L)) ++
+      Seq(("B", 2L), ("B", 4L), ("B", 6L), ("B", 8L))).toDF("g", "x")
+    val r = Stats.welchTTest(df, "g", "x").collect().head
+    assert(r.getAs[String]("g1") == "A" && r.getAs[String]("g2") == "B")
+    assert(r.getAs[Long]("n1") == 3 && r.getAs[Long]("n2") == 4)
+    assert(r.getAs[Double]("diff_r") == -3.0)
+    assert(r.getAs[Double]("t_r") == -2.1213, s"t: ${r.getAs[Double]("t_r")}")
+    assert(r.getAs[Double]("df_r") == 4.08, s"df: ${r.getAs[Double]("df_r")}")
+  }
+
+  test("welchTTest: identical groups give t = 0") {
+    val df = (1 to 10).flatMap(i => Seq(("A", i.toLong), ("B", i.toLong))).toDF("g", "x")
+    val r = Stats.welchTTest(df, "g", "x").collect().head
+    assert(r.getAs[Double]("t_r") == 0.0 && r.getAs[Double]("diff_r") == 0.0)
+  }
+
+  test("jsDivergence: identical distributions → 0; disjoint vocabularies → ln 2") {
+    val same = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "y")).toDF("g", "word")
+    val r1 = Stats.jsDivergence(same, "g").collect().head
+    assert(r1.getAs[Double]("jsd_r") == 0.0 && r1.getAs[Long]("n_shared") == 2)
+
+    val disjoint = Seq(("A", "x"), ("A", "y"), ("B", "u"), ("B", "v")).toDF("g", "word")
+    val r2 = Stats.jsDivergence(disjoint, "g").collect().head
+    assert(r2.getAs[Long]("n_shared") == 0)
+    assert(r2.getAs[Double]("jsd_r") == 0.693147, s"ln2: ${r2.getAs[Double]("jsd_r")}")
+  }
+
+  test("jsDivergence: hand-computed half-overlap value") {
+    // p = {x: 1/2, y: 1/2}, q = {x: 1/2, z: 1/2}
+    // shared x: p=q → term 0; y,z each contribute ½·½·ln2 → jsd = ½ln2
+    val df = Seq(("A", "x"), ("A", "y"), ("B", "x"), ("B", "z")).toDF("g", "word")
+    val r = Stats.jsDivergence(df, "g").collect().head
+    assert(r.getAs[Long]("n_shared") == 1)
+    assert(r.getAs[Double]("jsd_r") == 0.346574, s"½ln2: ${r.getAs[Double]("jsd_r")}")
+  }
+}

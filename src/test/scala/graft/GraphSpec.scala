@@ -104,4 +104,28 @@ class GraphSpec extends SparkSpec {
     val degSum = Graph.degrees(e).agg(sum("degree")).head().getLong(0)
     assert(degSum == e.count(), "sum of degrees == directed edge count of the symmetrized graph")
   }
+
+  test("HITS matches the hand-unrolled values on a 2x2 bipartite graph") {
+    // c1→{s1,s2}, c2→{s1}; two rounds by hand:
+    //   a1: s1=2/3 s2=1/3; h1: c1=3/5 c2=2/5
+    //   a2: s1=5/8 s2=3/8; h2: c1=8/13 c2=5/13
+    val e = Seq(("c1", "s1"), ("c1", "s2"), ("c2", "s1")).toDF("src", "dst")
+    val got = Graph.hits(e, iters = 2)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(got("s1") == (0.0, 0.625) && got("s2") == (0.0, 0.375),
+      s"authorities: $got")
+    assert(got("c1") == (0.615385, 0.0) && got("c2") == (0.384615, 0.0),
+      s"hubs: $got")
+  }
+
+  test("HITS scores are L1-normalized and pure sources/sinks score 0 on the other axis") {
+    val e = rawEdges.toDF("src", "dst") // directed path + pendant
+    val rows = Graph.hits(e, iters = 3).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getDouble(2)))
+    assert(math.abs(rows.map(_._2).sum - 1.0) < 1e-4, "hub mass sums to 1")
+    assert(math.abs(rows.map(_._3).sum - 1.0) < 1e-4, "auth mass sums to 1")
+    val m = rows.map(t => t._1 -> (t._2, t._3)).toMap
+    assert(m("a")._2 == 0.0, "a has no in-edges: zero authority")
+    assert(m("d")._1 == 0.0 && m("e")._1 == 0.0, "sinks have zero hub score")
+  }
 }
