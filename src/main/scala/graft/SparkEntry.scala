@@ -1445,6 +1445,20 @@ object SparkEntry {
         .orderBy("a_id")
     }),
 
+    // -- MMR diversified top-k (Carbonell & Goldstein SIGIR'98): greedy
+    //    λ·rel − (1−λ)·max-sim-to-selected over the top-20 candidates by
+    //    cosine to the vec_id=0 query — k diverse exemplars instead of k
+    //    near-copies. Distributed part = scoring + bounded top-n cut;
+    //    greedy rounds run over the checkpointed n-candidate relation
+    //    (1-row collect per round, BPE-loop discipline). 6-dp rounded
+    //    scores + id tie-break ⇒ the selection replays exactly.
+    "q_mmr_select" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .mmrSelect(emb, emb.where(col("vec_id") === 0), n = 20, k = 4, lambda = 0.7)
+        .orderBy("rank")
+    }),
+
     // -- multi-probe variant: ONE table, each vector also probes the 4
     //    buckets one sign-bit away — the cheap-recall lever when a second
     //    table is too expensive (cap mirrored; singletons kept since they
@@ -5209,6 +5223,7 @@ object SparkEntry {
           FROM c WHERE cum_ws - n_ws < budget ORDER BY doc_id""",
     "q_pagerank" -> pagerankSql(iters = 5, d = 0.85),
     "q_hits" -> hitsSql(iters = 3),
+    "q_mmr_select" -> mmrSql(n = 20, k = 4, lambda = 0.7),
     "q_graph_degree" ->
       s"""WITH $GraphEdgesCte,
           deg AS (SELECT src AS node, count(*) AS degree FROM e GROUP BY src)
@@ -6773,6 +6788,51 @@ object SparkEntry {
         pr0 AS (SELECT node, tele AS pr FROM tele),
         $steps
         SELECT node, floor((pr) * 1e6 + 0.5) / 1e6 AS ppr FROM pr$iters ORDER BY node"""
+  }
+
+  /** Unrolled greedy MMR (mirror of Similarity.mmrSelect): per round,
+    * the argmax of λ·rel_r − (1−λ)·max sim_r to the selected-so-far,
+    * scalar-subquery form; λ and (1−λ) are emitted as the EXACT Scala
+    * doubles (1.0−0.7 is 0.30000000000000004, not 0.3).
+    */
+  private def mmrSql(n: Int, k: Int, lambda: Double): String = {
+    val lam = lambda.toString
+    val oml = (1.0 - lambda).toString
+    val rounds = (2 to k).map { r =>
+      s"""m$r AS (SELECT c.vec_id,
+                    floor(($lam * c.rel_r - $oml * (
+                        SELECT max(p.sim_r) FROM pairs p
+                        WHERE p.a = c.vec_id
+                          AND p.b IN (SELECT vec_id FROM sel${r - 1}))) * 1e6 + 0.5) / 1e6
+                      AS score_r
+               FROM cand c
+               WHERE c.vec_id NOT IN (SELECT vec_id FROM sel${r - 1})),
+          s$r AS (SELECT vec_id, score_r FROM m$r ORDER BY score_r DESC, vec_id LIMIT 1),
+          sel$r AS (SELECT vec_id FROM sel${r - 1} UNION ALL SELECT vec_id FROM s$r)"""
+    }.mkString(",\n")
+    val out = (1 to k)
+      .map(r => s"SELECT $r AS rank, vec_id, score_r FROM s$r")
+      .mkString(" UNION ALL ")
+    s"""WITH e AS (
+          SELECT vec_id, embedding,
+                 sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                      i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+          FROM embeddings),
+        q AS (SELECT embedding AS qv, nrm AS qn FROM e WHERE vec_id = 0),
+        cand AS (SELECT vec_id, embedding, nrm,
+                        floor((list_sum(list_transform(range(1, len(embedding) + 1),
+                             i -> embedding[i]::DOUBLE * qv[i]::DOUBLE)) / (nrm * qn)) * 1e6 + 0.5) / 1e6 AS rel_r
+                 FROM e CROSS JOIN q
+                 ORDER BY rel_r DESC, vec_id LIMIT $n),
+        pairs AS (SELECT a.vec_id AS a, b.vec_id AS b,
+                         floor((list_sum(list_transform(range(1, len(a.embedding) + 1),
+                              i -> a.embedding[i]::DOUBLE * b.embedding[i]::DOUBLE))
+                           / (a.nrm * b.nrm)) * 1e6 + 0.5) / 1e6 AS sim_r
+                  FROM cand a JOIN cand b ON a.vec_id <> b.vec_id),
+        s1 AS (SELECT vec_id, rel_r AS score_r FROM cand ORDER BY rel_r DESC, vec_id LIMIT 1),
+        sel1 AS (SELECT vec_id FROM s1),
+        $rounds
+        $out ORDER BY rank"""
   }
 
   /** Unrolled fixed-iteration HITS (mirror of Graph.hits): per round,

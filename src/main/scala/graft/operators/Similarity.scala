@@ -1123,6 +1123,77 @@ object Similarity {
       .select(col(idCol), col("cell"), col("__dup").isNull.as("keep"))
   }
 
+  /** Maximal Marginal Relevance selection (Carbonell & Goldstein, SIGIR
+    * 1998): greedily pick `k` items maximizing λ·rel(d) − (1−λ)·max_{s∈S}
+    * sim(d, s) — the diversity-aware top-k that plain relevance ranking
+    * can't express (it returns k near-copies of the best hit; MMR's
+    * second term penalizes each candidate by its similarity to what's
+    * ALREADY selected). The training-data use: pick k diverse exemplars,
+    * not k duplicates.
+    *
+    * Scale split: the DISTRIBUTED work is relevance scoring (map-side
+    * cosine vs the broadcast query vector) and the bounded top-`n`
+    * candidate cut; the greedy loop then runs over the checkpointed
+    * n-candidate relation — per round ONE argmax job over ≤ n rows with
+    * a 1-row collect, mirroring the BPE-trainer driver-loop discipline
+    * (driver state = selected ids, bounded by the algorithm constant k,
+    * never corpus-sized). All comparisons are on 6-dp-rounded scores
+    * with id-ASC tie-break, so the selection replays exactly
+    * cross-engine.
+    *
+    * Returns (rank, idCol, score_r): rank 1 = pure relevance pick,
+    * later ranks score λ·rel − (1−λ)·maxsim.
+    */
+  def mmrSelect(
+      corpus: DataFrame,
+      query: DataFrame,
+      n: Int = 20,
+      k: Int = 4,
+      lambda: Double = 0.7,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val spark = corpus.sparkSession
+    val q = query.select(col(vecCol).as("qv")).withColumn("qn", norm("qv"))
+    val cand = corpus
+      .select(col(idCol), col(vecCol).as("ev"))
+      .withColumn("en", norm("ev"))
+      .crossJoin(broadcast(q))
+      .withColumn("rel_r", round(dot(col("ev"), col("qv")) / (col("en") * col("qn")), 6))
+      .select(col(idCol), col("ev"), col("en"), col("rel_r"))
+      .orderBy(col("rel_r").desc, col(idCol).asc)
+      .limit(n)
+      .localCheckpoint(true)
+    val pairs = cand.select(col(idCol).as("a"), col("ev").as("va"), col("en").as("na"))
+      .crossJoin(cand.select(col(idCol).as("b"), col("ev").as("vb"), col("en").as("nb")))
+      .where(col("a") =!= col("b"))
+      .select(col("a"), col("b"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("sim_r"))
+      .localCheckpoint(true)
+    val rels = cand.select(col(idCol), col("rel_r"))
+
+    val first = rels.orderBy(col("rel_r").desc, col(idCol).asc).limit(1)
+      .select(col(idCol), col("rel_r").as("score_r")).collect().head
+    var picked = Vector((first.getLong(0), first.getDouble(1)))
+    while (picked.size < k) {
+      val sel = picked.map(_._1)
+      val next = pairs
+        .where(col("b").isin(sel: _*) && !col("a").isin(sel: _*))
+        .groupBy(col("a").as(idCol))
+        .agg(max(col("sim_r")).as("maxsim_r"))
+        .join(rels, Seq(idCol))
+        .select(col(idCol),
+          round(lit(lambda) * col("rel_r") - lit(1.0 - lambda) * col("maxsim_r"), 6)
+            .as("score_r"))
+        .orderBy(col("score_r").desc, col(idCol).asc)
+        .limit(1).collect().head
+      picked = picked :+ ((next.getLong(0), next.getDouble(1)))
+    }
+    import spark.implicits._
+    picked.zipWithIndex
+      .map { case ((id, s), i) => (i + 1, id, s) }
+      .toDF("rank", idCol, "score_r")
+  }
+
   /** Mutual (reciprocal) best-match between two embedding sets — the core
     * of margin-based bitext mining (Artetxe & Schwenk, "Margin-based
     * Parallel Corpus Mining with Multilingual Sentence Embeddings", ACL

@@ -41,6 +41,24 @@ class MutualMatchSpec extends SparkSpec {
     assert(rows.length <= 30, "matching cannot exceed the smaller side")
   }
 
+  test("mmrSelect: the diverse equal-relevance candidate beats the exact duplicate") {
+    // query (1,0); a=(3,1) id 1, b=(6,2) id 2 (exact dup of a, sim 1),
+    // c=(3,-1) id 3 (equally relevant, sim(c,a)=0.8). All rel_r equal
+    // (0.948683) → first pick = min id = 1. λ=0.5 round 2:
+    //   b: ½·0.948683 − ½·1.0 = −0.025658   c: ½·0.948683 − ½·0.8 = 0.074342
+    // → c (diversity) wins rank 2, the duplicate drops to rank 3.
+    val corpus = Seq(
+      (1L, Array(3.0f, 1.0f)),
+      (2L, Array(6.0f, 2.0f)),
+      (3L, Array(3.0f, -1.0f))
+    ).toDF("vec_id", "embedding")
+    val query = Seq((0L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(corpus, query, n = 3, k = 3, lambda = 0.5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toList
+    assert(got == List((1, 1L, 0.948683), (2, 3L, 0.074342), (3, 2L, -0.025658)),
+      s"got $got")
+  }
+
   test("identical sets under distinct ids match one-to-one with cos 1.0") {
     val a = Seq((1L, Array(1.0f, 2.0f, 3.0f)), (2L, Array(-1.0f, 0.5f, 0.0f)))
       .toDF("vec_id", "embedding")
