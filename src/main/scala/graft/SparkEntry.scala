@@ -824,6 +824,21 @@ object SparkEntry {
         .orderBy(desc("rrf_r"), asc("doc_id"))
     }),
 
+    // -- truncated rank-biased overlap between the BM25 and TF-IDF
+    //    rankings of the same query (Webber TOIS'10): top-weighted
+    //    ranking agreement (geometric p-decay — Kendall/Spearman weight
+    //    all positions equally). Each shared doc's contribution is a
+    //    PRECOMPUTED constant indexed by max(ra, rb), so the metric is
+    //    one equijoin of two ≤k-row rank relations + an array lookup.
+    "q_rbo_rankers" -> ((s, dir) => {
+      val toks = Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))
+      val terms = Seq("spark", "vector", "window")
+      Search.rboEval(
+        Search.rankResults(Search.bm25Query(toks, terms)),
+        Search.rankResults(Search.tfidfQuery(toks, terms)),
+        k = 10, p = 0.9)
+    }),
+
     // -- unordered proximity search: docs where 'spark', 'vector', and
     //    'window' all fit inside a 10-token span, with the minimal span —
     //    the relevance signal between AND and exact phrase
@@ -925,6 +940,14 @@ object SparkEntry {
     // -- exact dedup on content hash
     "q_dedup_exact" -> ((s, dir) =>
       Dedup.exact(t(s, dir, "documents")).orderBy("keep_id")),
+
+    // -- per-doc duplication EXPOSURE: fraction of a doc's distinct
+    //    5-gram shingles appearing in ≥1 OTHER doc — the "how much of me
+    //    is boilerplate" score pairwise dedup verdicts can't give. One
+    //    shingle-keyed shuffle; the shingle df rides that exchange as a
+    //    window count (the pagerank eDeg discipline), then one doc agg.
+    "q_dup_exposure" -> ((s, dir) =>
+      Dedup.dupExposure(t(s, dir, "documents"), k = 5).orderBy("doc_id")),
 
     // -- token counting (whitespace + BPE-ish) per language
     "q_token_count" -> ((s, dir) => {
@@ -4179,6 +4202,16 @@ object SparkEntry {
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY text ORDER BY keep_id""",
+    // shingles are distinct per doc, so the per-shingle window count IS
+    // its doc frequency — mirror of Dedup.dupExposure
+    "q_dup_exposure" ->
+      s"""WITH ${shinglesCte(5)},
+          ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
+          d AS (SELECT doc_id, count(*) OVER (PARTITION BY s) AS sdf FROM ex)
+          SELECT doc_id, count(*)::BIGINT AS n_shingles,
+                 sum((sdf > 1)::INT)::BIGINT AS n_shared,
+                 floor((sum((sdf > 1)::INT)::DOUBLE / count(*)) * 1e4 + 0.5) / 1e4 AS exposure_r
+          FROM d GROUP BY doc_id ORDER BY doc_id""",
     "q_token_count" ->
       """SELECT lang, count(*) AS n_docs, sum(n_ws)::BIGINT AS sum_ws, sum(n_bpe)::BIGINT AS sum_bpe,
                 floor((avg(n_ws)) * 1e2 + 0.5) / 1e2 AS avg_ws
@@ -5224,6 +5257,7 @@ object SparkEntry {
     "q_pagerank" -> pagerankSql(iters = 5, d = 0.85),
     "q_hits" -> hitsSql(iters = 3),
     "q_mmr_select" -> mmrSql(n = 20, k = 4, lambda = 0.7),
+    "q_rbo_rankers" -> rboSql(k = 10, p = 0.9),
     "q_graph_degree" ->
       s"""WITH $GraphEdgesCte,
           deg AS (SELECT src AS node, count(*) AS degree FROM e GROUP BY src)
@@ -6788,6 +6822,48 @@ object SparkEntry {
         pr0 AS (SELECT node, tele AS pr FROM tele),
         $steps
         SELECT node, floor((pr) * 1e6 + 0.5) / 1e6 AS ppr FROM pr$iters ORDER BY node"""
+  }
+
+  /** RBO oracle (mirror of Search.rboEval over bm25Query vs tfidfQuery):
+    * both rank CTEs use the 6-dp-rounded-score windows of rankResults;
+    * the per-depth weights are the IDENTICAL Scala doubles via
+    * Search.rboWeights — no SQL pow().
+    */
+  private def rboSql(k: Int, p: Double): String = {
+    val w = Search.rboWeights(k, p)
+    val vals = (1 to k).map(d => s"($d, ${w(d - 1)})").mkString(", ")
+    s"""WITH $TokCte,
+        dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+        stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+        tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+               WHERE word IN ('spark', 'vector', 'window') GROUP BY doc_id, word),
+        dfs AS (SELECT word, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY word),
+        bscore AS (
+          SELECT doc_id,
+                 sum(idf * (tf * (1.2 + 1.0)) /
+                     (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+          FROM (SELECT tf.doc_id, tf.tf, dl.dl, n_docs, avgdl,
+                       ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) AS idf
+                FROM tf JOIN dfs USING (word)
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats) u
+          GROUP BY doc_id),
+        lex AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY floor(score * 1e6 + 0.5) / 1e6 DESC, doc_id) AS ra
+                FROM bscore),
+        n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
+        tscore AS (SELECT doc_id, sum(tf * ln(n_docs::DOUBLE / df_t)) AS score
+                   FROM tf JOIN dfs USING (word) CROSS JOIN n GROUP BY doc_id),
+        tfr AS (SELECT doc_id,
+                       row_number() OVER (ORDER BY floor(score * 1e6 + 0.5) / 1e6 DESC, doc_id) AS rb
+                FROM tscore),
+        rw AS (SELECT * FROM (VALUES $vals) AS t(m, w)),
+        j AS (SELECT greatest(lex.ra, tfr.rb) AS m
+              FROM lex JOIN tfr USING (doc_id)
+              WHERE lex.ra <= $k AND tfr.rb <= $k)
+        SELECT count(*)::BIGINT AS n_shared,
+               floor((coalesce(sum(rw.w), 0.0)) * 1e6 + 0.5) / 1e6 AS rbo_r
+        FROM j JOIN rw ON rw.m = j.m"""
   }
 
   /** Unrolled greedy MMR (mirror of Similarity.mmrSelect): per round,

@@ -913,4 +913,40 @@ object Dedup {
           .reduce(_ + _)
           .as("simhash"))
   }
+
+  /** Per-document duplication EXPOSURE: the fraction of a doc's distinct
+    * k-gram shingles that also appear in at least one OTHER document —
+    * the doc-granular "how much of me is boilerplate/copied" score that
+    * pairwise dedup verdicts can't give (a doc can evade every pair
+    * threshold yet be 60% assembled from corpus-common spans). This is
+    * the cross-doc complement of `withRepetitionMetrics` (within-doc
+    * duplicate k-grams) and the scoring twin of decontamination's k-gram
+    * join.
+    *
+    * Plan: one shingle-keyed shuffle; the shingle's doc-frequency rides
+    * that same exchange as a whole-partition window count (the
+    * [[graft.operators.Graph.pagerank]] eDeg discipline — no second scan,
+    * no join-back), then one doc-keyed partial agg. Nothing pairwise,
+    * nothing quadratic; a universal shingle concentrates its postings in
+    * one task, bounded by its corpus df exactly like any heavy key here.
+    *
+    * Returns (idCol, n_shingles, n_shared, exposure_r). Docs whose text
+    * yields zero shingles carry no row (no shingles → no exposure).
+    */
+  def dupExposure(
+      docs: DataFrame,
+      k: Int = 5,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val sh = TextAnalysis.withShingles(docs, textCol, k)
+      .select(col(idCol), explode(col("shingles")).as("sh"))
+    sh
+      .withColumn("sdf", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("sdf") > 1).cast("long")).as("n_shared"))
+      .withColumn("exposure_r", graft.functions.Portable.pround(
+        col("n_shared").cast("double") / col("n_shingles"), 4))
+  }
 }

@@ -845,4 +845,43 @@ object Search {
     */
   private def cleanedTerms(words: Seq[String]): Seq[String] =
     cleanedTerms0(words).distinct
+
+  /** Truncated rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010)
+    * between two rankings: RBO@k = Σ_{d=1..k} (1−p)·p^{d−1}·(overlap@d)/d
+    * — the top-weighted ranking-similarity number (Kendall/Spearman weight
+    * every position equally; RBO's geometric decay matches "users read
+    * from the top"). A doc at ranks (ra, rb) joins the overlap at every
+    * depth d ≥ max(ra, rb), so its total contribution is the CONSTANT
+    * Σ_{d=max(ra,rb)..k} (1−p)p^{d−1}/d — precomputed per depth and
+    * shipped as a k-element literal array: the whole metric is one
+    * equijoin of two ≤k-row rank relations + an array lookup + one sum.
+    * No per-depth pass, nothing corpus-sized.
+    *
+    * `a`/`b` are (idCol, rank) relations (1-based, as [[rankResults]]
+    * emits). Weights are Scala-computed doubles; the oracle embeds the
+    * same literals, so no cross-engine pow() is evaluated.
+    *
+    * Returns ONE row (n_shared, rbo_r) — rbo_r ∈ [0, 1], 6-dp.
+    */
+  def rboEval(
+      a: DataFrame,
+      b: DataFrame,
+      k: Int = 10,
+      p: Double = 0.9,
+      idCol: String = "doc_id"): DataFrame = {
+    val weights = rboWeights(k, p)
+    val wArr = array(weights.map(lit): _*)
+    a.select(col(idCol), col("rank").as("ra")).where(col("ra") <= k)
+      .join(b.select(col(idCol), col("rank").as("rb")).where(col("rb") <= k), Seq(idCol))
+      .select(element_at(wArr, greatest(col("ra"), col("rb")).cast("int")).as("w"))
+      .agg(count(lit(1)).as("n_shared"),
+        graft.functions.Portable.pround(coalesce(sum(col("w")), lit(0.0)), 6).as("rbo_r"))
+  }
+
+  /** Per-first-appearance-depth RBO weight: w(d0) = Σ_{d=d0..k}
+    * (1−p)p^{d−1}/d. Shared with the oracle generator so both engines
+    * look up the IDENTICAL doubles.
+    */
+  def rboWeights(k: Int, p: Double): Seq[Double] =
+    (1 to k).map(d0 => (d0 to k).map(d => (1 - p) * math.pow(p, d - 1) / d).sum)
 }

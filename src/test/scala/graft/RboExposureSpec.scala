@@ -1,0 +1,54 @@
+package graft
+
+import graft.operators.{Dedup, Search}
+
+/** [[Search.rboEval]] and [[Dedup.dupExposure]]: hand-computed values,
+  * identity/disjoint edges, and the weight-table identity.
+  */
+class RboExposureSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("rboEval reproduces the hand-computed overlap at k=3, p=0.5") {
+    // weights: w(1)=2/3, w(2)=1/6, w(3)=1/24·... computed: Σ(0.5·0.5^{d−1}/d)
+    // A=[1,2,3], B=[1,3,4]: doc 1 at m=1 (w=0.666667), doc 3 at m=3
+    // (w=0.041667) → rbo = 0.708333
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val b = Seq((1L, 1), (3L, 2), (4L, 3)).toDF("doc_id", "rank")
+    val r = Search.rboEval(a, b, k = 3, p = 0.5).collect().head
+    assert(r.getAs[Long]("n_shared") == 2)
+    assert(r.getAs[Double]("rbo_r") == 0.708333, s"got ${r.getAs[Double]("rbo_r")}")
+  }
+
+  test("rboEval: identical rankings hit the truncated maximum; disjoint hit 0") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("doc_id", "rank")
+    val same = Search.rboEval(a, a, k = 3, p = 0.5).collect().head
+    // truncated max = (1−p)Σp^{d−1} = 0.5 + 0.25 + 0.125
+    assert(same.getAs[Double]("rbo_r") == 0.875)
+    val c = Seq((7L, 1), (8L, 2), (9L, 3)).toDF("doc_id", "rank")
+    val none = Search.rboEval(a, c, k = 3, p = 0.5).collect().head
+    assert(none.getAs[Long]("n_shared") == 0 && none.getAs[Double]("rbo_r") == 0.0)
+  }
+
+  test("dupExposure: copied docs read 1.0, the unique doc reads 0.0") {
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"), // exact copy of 1
+      (3L, "one two three four five six seven")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupExposure(docs, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == (2L, 2L, 1.0) && got(2L) == (2L, 2L, 1.0), s"copies: $got")
+    assert(got(3L) == (3L, 0L, 0.0), s"unique: $got")
+  }
+
+  test("dupExposure: partial overlap scores the shared fraction exactly") {
+    // doc 1: tokens a..f → shingles {a-e, b-f}; doc 2 shares ONLY b-f
+    val docs = Seq(
+      (1L, "aa bb cc dd ee ff"),
+      (2L, "bb cc dd ee ff gg")
+    ).toDF("doc_id", "text")
+    val got = Dedup.dupExposure(docs, k = 5)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(1L) == (2L, 1L, 0.5) && got(2L) == (2L, 1L, 0.5), s"got $got")
+  }
+}
