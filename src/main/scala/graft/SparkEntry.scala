@@ -824,6 +824,22 @@ object SparkEntry {
         .orderBy(desc("rrf_r"), asc("doc_id"))
     }),
 
+    // -- percolation (reverse search): match a registry of 5 stored
+    //    conjunctive queries against every doc in ONE corpus pass —
+    //    the alerting/routing primitive. Registry broadcast; corpus work
+    //    is one distinct + one (qid, doc) partial agg; a doc matches
+    //    when its matched-term count equals the query's term count.
+    "q_percolate" -> ((s, dir) => {
+      val toks = Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))
+      Search.percolate(toks, Seq(
+        1 -> Seq("spark", "window"),
+        2 -> Seq("vector", "index"),
+        3 -> Seq("the", "of", "and"),
+        4 -> Seq("zyzzyva"),
+        5 -> Seq("data", "pipeline")))
+        .orderBy("qid", "doc_id")
+    }),
+
     // -- truncated rank-biased overlap between the BM25 and TF-IDF
     //    rankings of the same query (Webber TOIS'10): top-weighted
     //    ranking agreement (geometric p-decay — Kendall/Spearman weight
@@ -1466,6 +1482,19 @@ object SparkEntry {
           emb.where(col("vec_id") % 2 === 0),
           emb.where(col("vec_id") % 2 === 1))
         .orderBy("a_id")
+    }),
+
+    // -- per-cluster MEDOID: within each IVF cell (vec_id<8 centroids),
+    //    the member maximizing summed cosine to its cellmates — the
+    //    cluster's REAL exemplar (centroids are synthetic means), the
+    //    coreset-selection primitive. Σ|cell|² pair space, maxCell guard,
+    //    per-cell argmax as map-side max_by; singletons are their own
+    //    medoid at sum 0.
+    "q_cell_medoid" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .cellMedoid(emb, emb.where(col("vec_id") < 8))
+        .orderBy("cell")
     }),
 
     // -- MMR diversified top-k (Carbonell & Goldstein SIGIR'98): greedy
@@ -5258,6 +5287,58 @@ object SparkEntry {
     "q_hits" -> hitsSql(iters = 3),
     "q_mmr_select" -> mmrSql(n = 20, k = 4, lambda = 0.7),
     "q_rbo_rankers" -> rboSql(k = 10, p = 0.9),
+    // duplicate terms in a doc count once (DISTINCT doc, word); conjunctive
+    // match = matched-term count equals the stored query's term count
+    "q_percolate" ->
+      s"""WITH $TokCte,
+          reg AS (SELECT * FROM (VALUES
+                    (1, 'spark', 2), (1, 'window', 2),
+                    (2, 'vector', 2), (2, 'index', 2),
+                    (3, 'the', 3), (3, 'of', 3), (3, 'and', 3),
+                    (4, 'zyzzyva', 1),
+                    (5, 'data', 2), (5, 'pipeline', 2)) AS t(qid, word, n_terms)),
+          dw AS (SELECT DISTINCT doc_id, word FROM tok),
+          m AS (SELECT qid, doc_id, count(*) AS c, max(n_terms) AS nt
+                FROM dw JOIN reg USING (word) GROUP BY 1, 2)
+          SELECT qid, doc_id FROM m WHERE c = nt ORDER BY qid, doc_id""",
+    // same cell-assignment mirror as q_ann_ivf; summed in-cell cosines,
+    // singleton cells seeded at 0, per-cell argmax with id tie-break
+    "q_cell_medoid" ->
+      """WITH e AS (
+           SELECT vec_id, embedding,
+                  sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                       i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+           FROM embeddings),
+         c AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+         p AS (
+           SELECT e.vec_id, c_id,
+                  list_sum(list_transform(range(1, len(e.embedding) + 1),
+                       i -> e.embedding[i]::DOUBLE * cv[i]::DOUBLE)) / (e.nrm * cn) AS cos
+           FROM e CROSS JOIN c),
+         asn AS (SELECT vec_id, cell FROM (
+                   SELECT vec_id, c_id AS cell,
+                          row_number() OVER (PARTITION BY vec_id
+                            ORDER BY floor(cos * 1e6 + 0.5) / 1e6 DESC, c_id) AS rn
+                   FROM p) r WHERE rn = 1),
+         mem AS (SELECT a.vec_id, a.cell, e.embedding, e.nrm
+                 FROM asn a JOIN e ON e.vec_id = a.vec_id),
+         keep AS (SELECT cell FROM mem GROUP BY cell HAVING count(*) <= 4096),
+         km AS (SELECT mem.* FROM mem JOIN keep USING (cell)),
+         s AS (SELECT m1.cell, m1.vec_id AS v,
+                      floor((sum(list_sum(list_transform(range(1, len(m1.embedding) + 1),
+                           i -> m1.embedding[i]::DOUBLE * m2.embedding[i]::DOUBLE))
+                        / (m1.nrm * m2.nrm))) * 1e6 + 0.5) / 1e6 AS sumcos_r
+               FROM km m1 JOIN km m2 ON m1.cell = m2.cell AND m1.vec_id <> m2.vec_id
+               GROUP BY 1, 2),
+         am AS (SELECT km.cell, km.vec_id AS v, coalesce(s.sumcos_r, 0.0) AS sumcos_r
+                FROM km LEFT JOIN s ON s.cell = km.cell AND s.v = km.vec_id),
+         n AS (SELECT cell, count(*) AS n_members FROM km GROUP BY cell)
+         SELECT cell, v AS medoid_id, n_members, sumcos_r FROM (
+           SELECT a.cell, a.v, a.sumcos_r, n.n_members,
+                  row_number() OVER (PARTITION BY a.cell
+                    ORDER BY a.sumcos_r DESC, a.v) AS rn
+           FROM am a JOIN n USING (cell)) z
+         WHERE rn = 1 ORDER BY cell""",
     "q_graph_degree" ->
       s"""WITH $GraphEdgesCte,
           deg AS (SELECT src AS node, count(*) AS degree FROM e GROUP BY src)

@@ -846,6 +846,45 @@ object Search {
   private def cleanedTerms(words: Seq[String]): Seq[String] =
     cleanedTerms0(words).distinct
 
+  /** Percolation (reverse search, Elasticsearch's percolator model): match
+    * a REGISTRY of stored conjunctive queries against every document in
+    * ONE pass — the alerting/routing primitive ("which saved searches
+    * does this doc trigger?"), inverted from the usual search direction.
+    * Running each stored query separately scans the corpus |registry|
+    * times; percolation explodes the registry into (qid, term) rows,
+    * broadcast-joins it to the DISTINCT (doc, word) relation, and a doc
+    * matches a query when its matched-term count equals the query's term
+    * count (conjunctive semantics, duplicate terms in a doc counted
+    * once).
+    *
+    * Scale: the registry is broadcast (an alerting registry is ~10⁴–10⁶
+    * tiny rows); the corpus-sized work is one distinct + one
+    * (qid, doc)-keyed partial agg bounded by per-term match volume.
+    *
+    * Returns (qid, idCol) for every (stored query, matching doc).
+    */
+  def percolate(
+      tokens: DataFrame,
+      queries: Seq[(Int, Seq[String])],
+      idCol: String = "doc_id"): DataFrame = {
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val reg = queries
+      .flatMap { case (qid, ts) =>
+        val cleaned = cleanedTerms(ts)
+        cleaned.map(t => (qid, t, cleaned.size))
+      }
+      .toDF("qid", "word", "n_terms")
+    tokens
+      .select(col(idCol), col("word"))
+      .distinct()
+      .join(broadcast(reg), Seq("word"))
+      .groupBy(col("qid"), col(idCol))
+      .agg(count(lit(1)).as("__matched"), first(col("n_terms")).as("__nt"))
+      .where(col("__matched") === col("__nt"))
+      .select(col("qid"), col(idCol))
+  }
+
   /** Truncated rank-biased overlap (Webber, Moffat & Zobel, TOIS 2010)
     * between two rankings: RBO@k = Σ_{d=1..k} (1−p)·p^{d−1}·(overlap@d)/d
     * — the top-weighted ranking-similarity number (Kendall/Spearman weight

@@ -1123,6 +1123,60 @@ object Similarity {
       .select(col(idCol), col("cell"), col("__dup").isNull.as("keep"))
   }
 
+  /** Per-cluster MEDOID: within each IVF cell, the member maximizing the
+    * summed cosine to its cellmates — the cluster's actual exemplar
+    * (kmeans centroids are synthetic mean vectors; a medoid is a REAL
+    * data point you can ship as the cluster's representative — the
+    * coreset/dataset-distillation selection primitive). SemDeDup decides
+    * who to DROP per cell; this decides who SPEAKS for it.
+    *
+    * Same cost bound as [[semDedup]]: pairs exist only within a cell
+    * (Σ|cell|², never N², maxCell-guarded), summed cosines are one
+    * per-(cell, member) partial agg, the per-cell argmax is a map-side
+    * max_by on the (rounded sum, −id) key — no window. Singleton cells
+    * surface with themselves as medoid and sum 0.
+    *
+    * Returns (cell, medoid_id, n_members, sumcos_r).
+    */
+  def cellMedoid(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      maxCell: Int = 1 << 12,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val member = corpus
+      .select(col(idCol), col(vecCol))
+      .withColumn("nrm", norm(vecCol))
+      .join(ivfAssign(corpus, centroids, idCol, vecCol).select(col(idCol), col("cell")), Seq(idCol))
+      .localCheckpoint(true)
+    val keep = member
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("__cn"))
+      .where(col("__cn") <= maxCell)
+      .select(col("cell"))
+    val pruned = member.join(keep, Seq("cell"), "left_semi")
+    val sums = pruned
+      .select(col("cell"), col(idCol).as("v"), col(vecCol).as("va"), col("nrm").as("na"))
+      .join(
+        pruned.select(col("cell"), col(idCol).as("u"), col(vecCol).as("vb"), col("nrm").as("nb")),
+        Seq("cell"))
+      .where(col("v") =!= col("u"))
+      .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
+      .groupBy(col("cell"), col("v"))
+      .agg(round(sum(col("cos")), 6).as("sumcos_r"))
+    // singleton cells have no pairs: seed every member with sum 0 so they
+    // surface as their own medoid
+    pruned.select(col("cell"), col(idCol).as("v"))
+      .join(sums, Seq("cell", "v"), "left_outer")
+      .withColumn("sumcos_r", coalesce(col("sumcos_r"), lit(0.0)))
+      .groupBy(col("cell"))
+      .agg(count(lit(1)).as("n_members"),
+        max_by(struct(col("v"), col("sumcos_r")),
+          struct(col("sumcos_r").as("k1"), (-col("v")).as("k2"))).as("best"))
+      .select(col("cell"), col("best.v").as("medoid_id"),
+        col("n_members"), col("best.sumcos_r").as("sumcos_r"))
+  }
+
   /** Maximal Marginal Relevance selection (Carbonell & Goldstein, SIGIR
     * 1998): greedily pick `k` items maximizing λ·rel(d) − (1−λ)·max_{s∈S}
     * sim(d, s) — the diversity-aware top-k that plain relevance ranking
