@@ -2227,6 +2227,19 @@ object SparkEntry {
       operators.Stats.cohenKappa(rated, "r1", "r2")
     }),
 
+    // -- Population Stability Index between the even-id (reference) and
+    //    odd-id (current) document halves on n_chars, 10 reference-
+    //    quantile bins: the deployment drift dial with per-bin terms
+    //    localizing WHICH quantile band moved. Laplace-smoothed rational
+    //    shares; psi from the ROUNDED per-bin terms.
+    "q_psi_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Stats
+        .psi(docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1),
+          "n_chars", bins = 10)
+        .orderBy("bin")
+    }),
+
     // -- Welch's unequal-variance t-test between every source pair on
     //    document length: the A/B significance check with mean/variance
     //    derived from EXACT decimal sums, so no float partial-agg order
@@ -5475,6 +5488,29 @@ object SparkEntry {
           SELECT n, n11, n10, n01, n00, po_r, pe_r,
                  floor(((po_r - pe_r) / (1.0 - pe_r)) * 1e6 + 0.5) / 1e6 AS kappa_r
           FROM p""",
+    // reference-side quantile_cont boundaries (the q_histogram_equidepth
+    // pin), Laplace-smoothed rational shares, psi from ROUNDED terms
+    "q_psi_drift" ->
+      """WITH b AS (SELECT list_transform(
+                             quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]),
+                             x -> floor(x * 1e6 + 0.5) / 1e6) AS bs
+                    FROM documents WHERE doc_id % 2 = 0),
+          rb AS (SELECT len(list_filter(bs, x -> x <= n_chars))::INT AS bin, count(*) AS n
+                 FROM documents CROSS JOIN b WHERE doc_id % 2 = 0 GROUP BY 1),
+          cb AS (SELECT len(list_filter(bs, x -> x <= n_chars))::INT AS bin, count(*) AS n
+                 FROM documents CROSS JOIN b WHERE doc_id % 2 = 1 GROUP BY 1),
+          bins AS (SELECT unnest(range(10))::INT AS bin),
+          j AS (SELECT bins.bin, coalesce(rb.n, 0) AS n_ref, coalesce(cb.n, 0) AS n_cur
+                FROM bins LEFT JOIN rb USING (bin) LEFT JOIN cb USING (bin)),
+          t AS (SELECT sum(n_ref) AS tr, sum(n_cur) AS tc FROM j),
+          terms AS (SELECT bin, n_ref, n_cur,
+                           floor((((n_cur + 1)::DOUBLE / (tc + 10) - (n_ref + 1)::DOUBLE / (tr + 10))
+                                  * ln(((n_cur + 1)::DOUBLE / (tc + 10))
+                                       / ((n_ref + 1)::DOUBLE / (tr + 10)))) * 1e6 + 0.5) / 1e6 AS term_r
+                    FROM j CROSS JOIN t)
+          SELECT bin, n_ref::BIGINT AS n_ref, n_cur::BIGINT AS n_cur, term_r,
+                 (SELECT floor(sum(term_r) * 1e6 + 0.5) / 1e6 FROM terms) AS psi_r
+          FROM terms ORDER BY bin""",
     // mean/variance from EXACT integer sums (s1, s2) — the scalar double
     // arithmetic then replays identically; same op order as the Spark side
     "q_welch_ttest" ->

@@ -806,6 +806,58 @@ object Stats {
       .select("bin", "n", "conf_r", "acc_r", "gap_r", "ece_r")
   }
 
+  /** Population Stability Index (the scorecard-monitoring standard; see
+    * e.g. Yurdakul 2018 for its statistical treatment): PSI =
+    * Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref), with bins fixed as the
+    * REFERENCE side's quantile boundaries — the deployment drift dial
+    * ("did the feature distribution my filter was tuned on move?"),
+    * conventionally read as <0.1 stable / 0.1–0.25 shifting / >0.25
+    * drifted. Complements KS (max pointwise CDF gap) and JSD (token
+    * distributions): PSI localizes WHICH quantile band the drift lives
+    * in, via the per-bin terms this returns alongside the total.
+    *
+    * Shares are Laplace-smoothed ((n+1)/(N+bins)) so an empty bin stays
+    * finite AND the probabilities remain exact rationals — with the 6-dp
+    * rounded per-bin terms summed into the total, the whole statistic
+    * replays cross-engine. One percentile pass on the reference, one
+    * binned partial-agg count per side (the boundary array broadcast),
+    * bins-sized everything after.
+    *
+    * Returns (bin, n_ref, n_cur, term_r, psi_r) — psi_r constant across
+    * the bins rows, computed FROM the rounded terms.
+    */
+  def psi(ref: DataFrame, cur: DataFrame, c: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins ($bins) must be >= 2")
+    val fracs = (1 until bins).map(i => i.toDouble / bins)
+    val bounds = ref.agg(expr(s"percentile($c, array(${fracs.mkString(", ")}))").as("__bs"))
+    def binned(df: DataFrame) = df
+      .select(col(c).cast("double").as("__v"))
+      .crossJoin(broadcast(bounds))
+      .withColumn("bin",
+        size(filter(transform(col("__bs"), b => Portable.pround(b, 6)), b => b <= col("__v"))))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val joined = (0 until bins).toDF("bin")
+      .join(binned(ref).withColumnRenamed("n", "n_ref"), Seq("bin"), "left_outer")
+      .join(binned(cur).withColumnRenamed("n", "n_cur"), Seq("bin"), "left_outer")
+      .na.fill(0L, Seq("n_ref", "n_cur"))
+      .localCheckpoint(true)
+    val tot = broadcast(joined.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc")))
+    val terms = joined
+      .crossJoin(tot)
+      .withColumn("p_ref", (col("n_ref") + 1).cast("double") / (col("tr") + bins))
+      .withColumn("p_cur", (col("n_cur") + 1).cast("double") / (col("tc") + bins))
+      .withColumn("term_r", Portable.pround(
+        (col("p_cur") - col("p_ref")) * log(col("p_cur") / col("p_ref")), 6))
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("term_r"))
+      .localCheckpoint(true)
+    val psiTot = broadcast(terms.agg(Portable.pround(sum(col("term_r")), 6).as("psi_r")))
+    terms.crossJoin(psiTot)
+  }
+
   /** Welch's unequal-variance t-test between every pair of groups (Welch,
     * Biometrika 1947) over an INTEGER-valued measure column: t statistic
     * and Welch–Satterthwaite degrees of freedom — the A/B significance

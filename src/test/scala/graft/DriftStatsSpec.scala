@@ -38,6 +38,27 @@ class DriftStatsSpec extends SparkSpec {
     assert(r2.getAs[Double]("jsd_r") == 0.693147, s"ln2: ${r2.getAs[Double]("jsd_r")}")
   }
 
+  test("psi: identical halves read 0; a planted +50 shift trips the 0.25 drift bar") {
+    val ref = (0 until 200).map(i => i % 100).toDF("v")
+    val same = Stats.psi(ref, ref, "v", bins = 10).collect()
+    assert(same.length == 10, "one row per bin")
+    assert(same.head.getAs[Double]("psi_r") == 0.0, "identical → 0")
+    assert(same.map(_.getAs[Int]("bin")).sorted.toSeq == (0 until 10))
+
+    val cur = (0 until 200).map(i => i % 100 + 50).toDF("v")
+    val drift = Stats.psi(ref, cur, "v", bins = 10).collect().head.getAs[Double]("psi_r")
+    assert(drift > 0.25, s"a half-range shift must read as major drift, got $drift")
+  }
+
+  test("psi: a bin empty on one side stays finite via the Laplace smoothing") {
+    val ref = (0 until 100).toDF("v")
+    val cur = (0 until 100).map(_ => 1).toDF("v") // everything in the lowest bin
+    val rows = Stats.psi(ref, cur, "v", bins = 10).collect()
+    assert(rows.forall(r => !r.getAs[Double]("term_r").isNaN
+      && !r.getAs[Double]("term_r").isInfinite), "no NaN/Inf terms")
+    assert(rows.head.getAs[Double]("psi_r") > 1.0, "total collapse is extreme drift")
+  }
+
   test("jsDivergence: hand-computed half-overlap value") {
     // p = {x: 1/2, y: 1/2}, q = {x: 1/2, z: 1/2}
     // shared x: p=q → term 0; y,z each contribute ½·½·ln2 → jsd = ½ln2
