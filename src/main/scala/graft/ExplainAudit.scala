@@ -102,7 +102,15 @@ object ExplainAudit {
     "q_scd2_history", "q_l_diversity", "q_corr_matrix", "q_ndcg_eval",
     "q_dsir_weights", "q_dsir_select", "q_hilbert_layout", "q_interval_join",
     "q_survival", "q_compaction_exec", "q_ndv_overlap", "q_knn_label_eval",
-    "q_mixture_interleave", "q_temporal_join", "q_search_suffix")
+    "q_mixture_interleave", "q_temporal_join", "q_search_suffix",
+    // round 12 second wave: the mergeable-CMS probe, bitext mutual match,
+    // calibration/kappa/RBO evals, HITS (checkpoint-built like pagerank —
+    // the audited plan is the final score join), drift stats (Welch/JSD/
+    // PSI), duplication exposure, percolation, cell medoid
+    "q_cms_freq", "q_mutual_match", "q_calibration_ece", "q_rater_kappa",
+    "q_hits", "q_welch_ttest", "q_source_jsd", "q_rbo_rankers",
+    "q_dup_exposure", "q_percolate", "q_cell_medoid", "q_psi_drift",
+    "q_front_coding", "q_cms_per_lang")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan
@@ -164,6 +172,41 @@ object ExplainAudit {
       "q_kmeans_full" -> ((s: SparkSession, dir: String) => {
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
         graft.operators.Similarity.lloydStep(emb, emb.where(col("vec_id") < 8))
+      }),
+      // round 12: one MMR greedy round body — the argmax scoring plan
+      // over the candidate/pair relations (checkpointed in the real loop)
+      // with a literal selected set; plan shape independent of the ids
+      "q_mmr_select" -> ((s: SparkSession, dir: String) => {
+        import graft.operators.Similarity
+        import graft.functions.Portable
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val q = emb.where(col("vec_id") === 0)
+          .select(col("embedding").as("qv"))
+          .withColumn("qn", Similarity.norm("qv"))
+        val cand = emb.select(col("vec_id"), col("embedding").as("ev"))
+          .withColumn("en", Similarity.norm("ev"))
+          .crossJoin(broadcast(q))
+          .withColumn("rel_r",
+            Portable.pround(Similarity.dot(col("ev"), col("qv")) / (col("en") * col("qn")), 6))
+          .select(col("vec_id"), col("ev"), col("en"), col("rel_r"))
+          .orderBy(col("rel_r").desc, col("vec_id").asc)
+          .limit(20)
+        val pairs = cand.select(col("vec_id").as("a"), col("ev").as("va"), col("en").as("na"))
+          .crossJoin(cand.select(col("vec_id").as("b"), col("ev").as("vb"), col("en").as("nb")))
+          .where(col("a") =!= col("b"))
+          .select(col("a"), col("b"),
+            Portable.pround(Similarity.dot(col("va"), col("vb")) / (col("na") * col("nb")), 6)
+              .as("sim_r"))
+        pairs
+          .where(col("b").isin(0L) && !col("a").isin(0L))
+          .groupBy(col("a").as("vec_id"))
+          .agg(max(col("sim_r")).as("maxsim_r"))
+          .join(cand.select(col("vec_id"), col("rel_r")), Seq("vec_id"))
+          .select(col("vec_id"),
+            Portable.pround(lit(0.7) * col("rel_r") - lit(0.3) * col("maxsim_r"), 6)
+              .as("score_r"))
+          .orderBy(col("score_r").desc, col("vec_id").asc)
+          .limit(1)
       }),
       // round 12: one power-iteration round body — per-row dot against the
       // broadcast-literal v (plan shape independent of v's values), then

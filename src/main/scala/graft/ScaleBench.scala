@@ -111,6 +111,15 @@ object ScaleBench {
       val (ssMax, ssDrop, ssBound) =
         bucketStats(Dedup.setsimBucketSizes(d, threshold = 0.5, shingleK = 3))
       report("setsim_join", f, ssSec, ssPairs, ssMax, ssDrop, ssBound)
+
+      // duplication EXPOSURE under the same duplicate-dense load: every
+      // shingle's df multiplies by the factor, so the per-shingle window
+      // partitions grow linearly and wall time should track data volume —
+      // nothing pairwise exists anywhere in the plan
+      var dxRows = 0L
+      val dxSec = time { dxRows = Dedup.dupExposure(d, k = 5).count() }
+      println(
+        s"""{"pipeline":"dup_exposure","factor":$f,"sec":${f"$dxSec%.3f"},"docs":$dxRows}""")
       d.unpersist()
 
       val e = replicated(embs, "vec_id", f).localCheckpoint(true)

@@ -281,6 +281,30 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    // -- the CMS GROUPED (per-lang 4×256 sketches, like the grouped
+    //    KMV/SpaceSaving forms): partial matrices merge per (group, task);
+    //    per-lang probe estimates vs the same-pass exact counts.
+    "q_cms_per_lang" -> ((s, dir) => {
+      val D = 4; val W = 256
+      val probes = Seq("the", "data")
+      val toks = Tokenize.tokens(t(s, dir, "documents").select("doc_id", "lang", "text"),
+        "text", Seq("doc_id", "lang"))
+      val aggs = expr(s"cms_counts(word, $D, $W)").as("m") +:
+        probes.map(p => sum(when(col("word") === p, 1L).otherwise(0L)).as(s"x_$p"))
+      val g = toks.groupBy(col("lang")).agg(aggs.head, aggs.tail: _*)
+      val rows = probes.map { p =>
+        val cells = (0 until D).map { d =>
+          element_at(col("m"), d * W + graft.plans.CmsSketch.bucket(
+            d, org.apache.spark.unsafe.types.UTF8String.fromString(p), W) + 1)
+        }
+        struct(lit(p).as("word"), least(cells: _*).as("est"), col(s"x_$p").as("exact"))
+      }
+      g.select(col("lang"), explode(array(rows: _*)).as("e"))
+        .select(col("lang"), col("e.word").as("word"), col("e.est").as("est"),
+          col("e.exact").as("exact"), (col("e.est") - col("e.exact")).as("overcount"))
+        .orderBy("lang", "word")
+    }),
+
     // -- distinct-count sketch via KMV (native kmv_ndv aggregate):
     //    bottom-64-by-md5 distinct user keys + the (k−1)/R estimate.
     //    Deterministic under ANY partitioning/merge order (bottom-k of a
@@ -2136,6 +2160,18 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // -- front-coding size estimate for the per-letter term dictionary
+    //    (Managing Gigabytes §4.1): adjacent sorted words share prefixes;
+    //    the window partitions by FIRST LETTER — the reference's a.txt…
+    //    z.txt split — so each chain is one letter file's vocabulary.
+    //    The dictionary-side companion of q_delta_postings.
+    "q_front_coding" -> ((s, dir) => {
+      InvertedIndex
+        .frontCodingStats(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")))
+        .orderBy("letter")
+    }),
+
     // -- gap-encoded postings + varint byte cost: the Lucene-style index
     //    compression, computed in-place over the posting arrays
     "q_postings_delta" -> ((s, dir) => {
@@ -3524,6 +3560,30 @@ object SparkEntry {
                  END AS ndv_est,
                  (SELECT string_agg(key, ' ' ORDER BY h) FROM b) AS sample
           FROM e""",
+    // grouped CMS: per-lang counter matrices rebuilt the same way
+    "q_cms_per_lang" ->
+      """WITH tk AS (SELECT lang,
+                            regexp_replace(lower(unnest(regexp_split_to_array(text, '\s+'))), '[^a-z]', '', 'g') AS w
+                     FROM documents),
+          tok2 AS (SELECT lang, w AS word FROM tk WHERE w <> ''),
+          ds AS (SELECT unnest(range(4)) AS d),
+          b AS (SELECT lang, ds.d,
+                       ('0x' || substr(md5(ds.d::VARCHAR || ':' || word), 1, 15))::BIGINT % 256 AS bkt,
+                       count(*) AS c
+                FROM tok2 CROSS JOIN ds GROUP BY 1, 2, 3),
+          p AS (SELECT unnest(['the', 'data']) AS word),
+          langs AS (SELECT DISTINCT lang FROM tok2),
+          pb AS (SELECT langs.lang, p.word, ds.d,
+                        ('0x' || substr(md5(ds.d::VARCHAR || ':' || p.word), 1, 15))::BIGINT % 256 AS bkt
+                 FROM langs CROSS JOIN p CROSS JOIN ds),
+          e AS (SELECT pb.lang, pb.word, min(coalesce(b.c, 0)) AS est
+                FROM pb LEFT JOIN b ON pb.lang = b.lang AND pb.d = b.d AND pb.bkt = b.bkt
+                GROUP BY 1, 2),
+          x AS (SELECT lang, word, count(*) AS exact FROM tok2 GROUP BY 1, 2)
+          SELECT e.lang, e.word, e.est, coalesce(x.exact, 0) AS exact,
+                 e.est - coalesce(x.exact, 0) AS overcount
+          FROM e LEFT JOIN x ON x.lang = e.lang AND x.word = e.word
+          ORDER BY e.lang, e.word""",
     // the CMS is deterministic, so the oracle rebuilds the counter matrix:
     // same row-salted 60-bit md5-prefix bucket, same min-probe estimate
     "q_cms_freq" ->
@@ -5377,6 +5437,25 @@ object SparkEntry {
                  least(32, len(toks) - st)::INT AS n_chunk,
                  md5(array_to_string(list_slice(toks, st + 1, st + 32), ' ')) AS chunk_md5
           FROM s ORDER BY doc_id, chunk_id""",
+    // LCP positionally (prefix equality is monotone → filter counts it);
+    // 1 byte prefix-length overhead per word — mirror of frontCodingStats
+    "q_front_coding" ->
+      s"""WITH $TokCte,
+          v AS (SELECT DISTINCT word FROM tok),
+          l AS (SELECT word, substr(word, 1, 1) AS letter,
+                       lag(word) OVER (PARTITION BY substr(word, 1, 1) ORDER BY word) AS prev
+                FROM v),
+          c AS (SELECT letter, word,
+                       CASE WHEN prev IS NULL THEN 0
+                            ELSE len(list_filter(range(1, least(len(word), len(prev)) + 1),
+                                                 i -> substr(word, 1, i) = substr(prev, 1, i)))
+                       END AS lcp
+                FROM l)
+          SELECT letter, count(*)::BIGINT AS n_words,
+                 sum(len(word))::BIGINT AS raw_bytes,
+                 sum(len(word) - lcp + 1)::BIGINT AS coded_bytes,
+                 floor((sum(len(word) - lcp + 1)::DOUBLE / sum(len(word))) * 1e4 + 0.5) / 1e4 AS ratio_r
+          FROM c GROUP BY letter ORDER BY letter""",
     "q_postings_delta" ->
       s"""WITH $TokCte,
           p AS (SELECT word, list_sort(list_distinct(list(doc_id))) AS ids FROM tok GROUP BY word),

@@ -346,4 +346,43 @@ object InvertedIndex {
       .agg(flatten(array_sort(collect_list(struct(col("shard"), col("doc_ids")))).getField("doc_ids")).as("doc_ids"))
       .withColumn("df", size(col("doc_ids")))
       .withColumn("letter", substring(col("word"), 1, 1))
+
+  /** Front-coding size estimate for the per-letter term DICTIONARY
+    * (Witten/Moffat/Bell, "Managing Gigabytes" §4.1 — the standard
+    * sorted-dictionary compression): lexicographically adjacent words
+    * share prefixes, so each word stores only (shared-prefix length,
+    * suffix). The dictionary-side companion of [[deltaPostings]] (which
+    * sizes the POSTING side): together they estimate the full on-disk
+    * letter-file footprint under the classic layout.
+    *
+    * The window partitions by FIRST LETTER — exactly the reference's
+    * a.txt…z.txt file split, so each chain is one letter file's sorted
+    * vocabulary and per-partition state is letter-vocabulary-bounded.
+    * LCP is computed positionally (prefix equality is monotone, so
+    * size(filter(...)) counts it exactly); coded bytes charge
+    * 1 byte of prefix-length overhead per word.
+    *
+    * Returns (letter, n_words, raw_bytes, coded_bytes, ratio_r).
+    */
+  def frontCodingStats(vocab: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byLetter = Window.partitionBy(col("letter")).orderBy(col("word"))
+    vocab
+      .select(col("word"))
+      .distinct()
+      .withColumn("letter", substring(col("word"), 1, 1))
+      .withColumn("prev", lag(col("word"), 1).over(byLetter))
+      .withColumn("lcp",
+        when(col("prev").isNull, lit(0)).otherwise(
+          size(filter(
+            sequence(lit(1), least(length(col("word")), length(col("prev")))),
+            i => col("word").substr(lit(1), i) === col("prev").substr(lit(1), i)))))
+      .groupBy(col("letter"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(length(col("word"))).cast("long").as("raw_bytes"),
+        sum(length(col("word")) - col("lcp") + 1).cast("long").as("coded_bytes"))
+      .withColumn("ratio_r", graft.functions.Portable.pround(
+        col("coded_bytes").cast("double") / col("raw_bytes"), 4))
+  }
 }

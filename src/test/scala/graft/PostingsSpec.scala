@@ -61,4 +61,31 @@ class PostingsSpec extends SparkSpec {
       .toSeq
     assert(snapshot() == snapshot())
   }
+
+  test("frontCodingStats: hand-computed LCP chain and the singleton letter") {
+    import spark.implicits._
+    // sorted chain inter → internal → internet: LCPs 5 then 6
+    // raw = 5+8+8 = 21, coded = 6+4+3 = 13 → ratio 0.619
+    val vocab = Seq("inter", "internal", "internet", "b").toDF("word")
+    val got = InvertedIndex.frontCodingStats(vocab)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got("i") == (3L, 21L, 13L, 0.619), s"got $got")
+    // a chain of one: no prefix to share, 1 byte overhead
+    assert(got("b") == (1L, 1L, 2L, 2.0), s"got $got")
+  }
+
+  test("frontCodingStats: coded bytes never exceed raw + one byte per word") {
+    import spark.implicits._
+    val vocab = Tokenize
+      .tokens(spark.read.parquet("/root/testdata/sf0.001/documents.parquet"),
+        "text", Seq("doc_id"))
+    val rows = InvertedIndex.frontCodingStats(vocab).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, raw, coded) = (r.getLong(1), r.getLong(2), r.getLong(3))
+      assert(coded <= raw + n, s"letter ${r.getString(0)}: $coded > $raw + $n")
+      assert(coded >= n, "every word keeps at least its length byte")
+    }
+  }
 }
