@@ -1521,6 +1521,22 @@ object SparkEntry {
         .orderBy("cell")
     }),
 
+    // -- c-TF-IDF cluster labeling (BERTopic shape): top-5 terms per IVF
+    //    cell whose in-cell frequency is high and cluster-df low — the
+    //    human-readable "what is this cluster about?" label. (cell, word)-
+    //    sized work after one token join; rank windows over per-cell
+    //    vocabularies. vec_id ≡ doc_id on this corpus (the q_hybrid_search
+    //    alignment).
+    "q_cluster_terms" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      val asn = Similarity.ivfAssign(emb, emb.where(col("vec_id") < 8))
+        .select(col("vec_id").as("doc_id"), col("cell"))
+      Similarity
+        .clusterTopTerms(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")), asn, k = 5)
+        .orderBy("cell", "rank")
+    }),
+
     // -- MMR diversified top-k (Carbonell & Goldstein SIGIR'98): greedy
     //    λ·rel − (1−λ)·max-sim-to-selected over the top-20 candidates by
     //    cosine to the vec_id=0 query — k diverse exemplars instead of k
@@ -5374,6 +5390,39 @@ object SparkEntry {
           m AS (SELECT qid, doc_id, count(*) AS c, max(n_terms) AS nt
                 FROM dw JOIN reg USING (word) GROUP BY 1, 2)
           SELECT qid, doc_id FROM m WHERE c = nt ORDER BY qid, doc_id""",
+    // same cell-assignment mirror; c-TF-IDF score on the (cell, word)
+    // counts with smoothed cluster-idf, QUALIFY-style top-5 per cell
+    "q_cluster_terms" ->
+      s"""WITH $TokCte,
+          e AS (
+            SELECT vec_id, embedding,
+                   sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                        i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+            FROM embeddings),
+          c AS (SELECT vec_id AS c_id, embedding AS cv, nrm AS cn FROM e WHERE vec_id < 8),
+          p AS (
+            SELECT e.vec_id, c_id,
+                   list_sum(list_transform(range(1, len(e.embedding) + 1),
+                        i -> e.embedding[i]::DOUBLE * cv[i]::DOUBLE)) / (e.nrm * cn) AS cos
+            FROM e CROSS JOIN c),
+          asn AS (SELECT vec_id AS doc_id, cell FROM (
+                    SELECT vec_id, c_id AS cell,
+                           row_number() OVER (PARTITION BY vec_id
+                             ORDER BY floor(cos * 1e6 + 0.5) / 1e6 DESC, c_id) AS rn
+                    FROM p) r WHERE rn = 1),
+          tf AS (SELECT asn.cell, tok.word, count(*) AS tf
+                 FROM tok JOIN asn ON tok.doc_id = asn.doc_id GROUP BY 1, 2),
+          cdf AS (SELECT word, count(*) AS cw FROM tf GROUP BY word),
+          n AS (SELECT count(DISTINCT cell) AS n_cells FROM tf),
+          sc AS (SELECT tf.cell, tf.word, tf.tf,
+                        floor((tf.tf * ln((1.0 + n_cells) / (1.0 + cw))) * 1e6 + 0.5) / 1e6 AS score_r
+                 FROM tf JOIN cdf USING (word) CROSS JOIN n)
+          SELECT cell, rank, word, tf, score_r FROM (
+            SELECT cell, word, tf, score_r,
+                   row_number() OVER (PARTITION BY cell
+                     ORDER BY score_r DESC, word) AS rank
+            FROM sc) z
+          WHERE rank <= 5 ORDER BY cell, rank""",
     // same cell-assignment mirror as q_ann_ivf; summed in-cell cosines,
     // singleton cells seeded at 0, per-cell argmax with id tie-break
     "q_cell_medoid" ->

@@ -1123,6 +1123,50 @@ object Similarity {
       .select(col(idCol), col("cell"), col("__dup").isNull.as("keep"))
   }
 
+  /** Class-based TF-IDF cluster labeling (the BERTopic c-TF-IDF shape,
+    * Grootendorst 2022): for each cluster, the terms whose in-cluster
+    * frequency is high while their CLUSTER-level document frequency is
+    * low — "what is this embedding cluster about?", the human-readable
+    * label an IVF cell/kmeans cluster otherwise lacks. Treats each
+    * cluster as one pseudo-document: score = tf_cell · ln((1+n_cells)/
+    * (1+cells_containing_word)), smoothed so cluster-universal terms
+    * can't divide by zero and get near-zero weight.
+    *
+    * Work is (cell, word)-sized after one token join: per-(cell, word)
+    * partial-agg counts, a vocab-sized cluster-df relation, a broadcast
+    * scalar cell count, and a top-k rank window whose partitions are
+    * per-CELL vocabularies — never the corpus. Scores rank on the 6-dp
+    * rounded value with word-ASC ties, so the labels replay exactly.
+    *
+    * Returns (cell, rank, word, tf, score_r), rank 1..k per cell.
+    */
+  def clusterTopTerms(
+      tokens: DataFrame,
+      assignment: DataFrame,
+      k: Int = 5,
+      idCol: String = "doc_id"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = tokens
+      .join(assignment.select(col(idCol), col("cell")), Seq(idCol))
+      .groupBy(col("cell"), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    val cdf = tf.groupBy(col("word")).agg(count(lit(1)).as("cw"))
+    val nCells = broadcast(tf.select(col("cell")).distinct()
+      .agg(count(lit(1)).as("n_cells")))
+    val scored = tf
+      .join(cdf, Seq("word"))
+      .crossJoin(nCells)
+      .withColumn("score_r", round(
+        col("tf") * log((lit(1.0) + col("n_cells")) / (lit(1.0) + col("cw"))), 6))
+    val byCell = Window.partitionBy(col("cell"))
+      .orderBy(col("score_r").desc, col("word").asc)
+    scored
+      .withColumn("rank", row_number().over(byCell))
+      .where(col("rank") <= k)
+      .select(col("cell"), col("rank"), col("word"), col("tf"), col("score_r"))
+  }
+
   /** Per-cluster MEDOID: within each IVF cell, the member maximizing the
     * summed cosine to its cellmates — the cluster's actual exemplar
     * (kmeans centroids are synthetic mean vectors; a medoid is a REAL

@@ -50,6 +50,22 @@ class PercolateMedoidSpec extends SparkSpec {
     assert(got(200L) == (4L, 1L, 0.0), s"singleton: $got")
   }
 
+  test("clusterTopTerms: distinctive terms outrank cluster-universal ones") {
+    // cell A: apple×3 + common; cell B: banana×2 + common.
+    // score(apple|A) = 3·ln(3/2) = 1.216395, score(common|·) = ln(3/3)·tf = 0
+    val toks = Seq(
+      (1L, "apple"), (1L, "apple"), (2L, "apple"), (2L, "common"),
+      (3L, "banana"), (4L, "banana"), (4L, "common")
+    ).toDF("doc_id", "word")
+    val asn = Seq((1L, 10L), (2L, 10L), (3L, 20L), (4L, 20L)).toDF("doc_id", "cell")
+    val got = Similarity.clusterTopTerms(toks, asn, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+      .toList.sortBy(t => (t._1, t._2))
+    assert(got == List(
+      (10L, 1, "apple", 3L, 1.216395), (10L, 2, "common", 1L, 0.0),
+      (20L, 1, "banana", 2L, 0.81093), (20L, 2, "common", 1L, 0.0)), s"got $got")
+  }
+
   test("cellMedoid: maxCell drops over-full cells entirely") {
     val corpus = (1L to 6L).map(i => (i, Array(1.0f, i * 0.01f))).toDF("vec_id", "embedding")
     val centroids = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
