@@ -1031,6 +1031,12 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // -- code-switching detector: langId per text HALF; disagreeing
+    //    halves flag the mixed-language docs the single doc-level label
+    //    hides (they poison language-filtered training splits)
+    "q_code_switch" -> ((s, dir) =>
+      TextAnalysis.codeSwitch(t(s, dir, "documents")).orderBy("doc_id")),
+
     // -- language-ID eval: confusion matrix of the marker heuristic
     //    against the labeled lang column + per-truth fractions — the
     //    accuracy audit run before trusting the classifier downstream
@@ -4360,6 +4366,19 @@ object SparkEntry {
                  floor((avg(ln(wf::DOUBLE / tot::DOUBLE))) * 1e4 + 0.5) / 1e4 AS mean_lp
           FROM tok JOIN vocab USING (word) CROSS JOIN tot
           GROUP BY doc_id ORDER BY doc_id""",
+    // two independent langId chains over the character halves; unknown is
+    // a first-class label in the disagreement flag
+    "q_code_switch" ->
+      s"""WITH ${langIdHalfCte("h", "substr(text, 1, len(text) // 2)")},
+          ${langIdHalfCte("t", "substr(text, (len(text) // 2) + 1)")}
+          SELECT d.doc_id,
+                 coalesce(hb.ml, 'unknown') AS lang_head,
+                 coalesce(tb.ml, 'unknown') AS lang_tail,
+                 (coalesce(hb.ml, 'unknown') <> coalesce(tb.ml, 'unknown'))::INT AS mixed
+          FROM documents d
+          LEFT JOIN hbest hb ON d.doc_id = hb.doc_id
+          LEFT JOIN tbest tb ON d.doc_id = tb.doc_id
+          ORDER BY d.doc_id""",
     "q_lang_id" ->
       s"""WITH $TokCte,
           hits AS (
@@ -7068,6 +7087,28 @@ object SparkEntry {
         $steps
         SELECT node, floor((pr) * 1e6 + 0.5) / 1e6 AS ppr FROM pr$iters ORDER BY node"""
   }
+
+  /** One langId CTE chain over a derived text expression, CTE names
+    * prefixed so two instances (head/tail halves) coexist — mirror of
+    * TextAnalysis.langId over TextAnalysis.codeSwitch's halves.
+    */
+  private def langIdHalfCte(p: String, srcExpr: String): String =
+    s"""${p}src AS (SELECT doc_id, $srcExpr AS text FROM documents),
+        ${p}tok AS (
+          SELECT doc_id, w AS word FROM (
+            SELECT doc_id,
+                   regexp_replace(lower(unnest(regexp_split_to_array(text, '\\s+'))), '[^a-z]', '', 'g') AS w
+            FROM ${p}src) u WHERE w <> ''),
+        ${p}hits AS (SELECT doc_id, ml, count(*) AS hits FROM (
+            SELECT doc_id, CASE WHEN word IN ('the','and','is','of') THEN 'en'
+                                WHEN word IN ('le','et','dans','les') THEN 'fr'
+                                WHEN word IN ('der','und','nicht','das') THEN 'de'
+                                WHEN word IN ('el','y','que','los') THEN 'es' END AS ml
+            FROM ${p}tok) m WHERE ml IS NOT NULL GROUP BY doc_id, ml),
+        ${p}best AS (SELECT doc_id, ml FROM (
+            SELECT doc_id, ml,
+                   row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, ml) AS rn
+            FROM ${p}hits) b WHERE rn = 1)"""
 
   /** RBO oracle (mirror of Search.rboEval over bm25Query vs tfidfQuery):
     * both rank CTEs use the 6-dp-rounded-score windows of rankResults;

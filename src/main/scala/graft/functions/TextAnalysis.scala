@@ -117,6 +117,34 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("pred0"), lit("unknown")).as("pred_lang"))
   }
 
+  /** Code-switching (mixed-language document) detector: [[langId]] run
+    * independently on each HALF of the text; a clean monolingual doc
+    * predicts the same language twice, a concatenation of two languages
+    * (scraped page + boilerplate, interleaved translations, wrong-merge
+    * artifacts) disagrees. The doc-level language label hides exactly
+    * this failure — a 50/50 en/fr doc still gets ONE confident label —
+    * and mixed docs poison language-filtered training splits.
+    *
+    * The split is by character midpoint (cheap, deterministic, identical
+    * cross-engine); a word cut in half at the boundary loses at most one
+    * marker token per side. Costs two langId passes over half the text
+    * each — same total token volume as one pass.
+    *
+    * Returns (idCol, lang_head, lang_tail, mixed) — mixed = 1 when the
+    * halves disagree (unknown counts as a language: a half with no
+    * markers disagreeing with a confident half IS suspicious).
+    */
+  def codeSwitch(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val half = (length(col(textCol)) / 2).cast("int")
+    val head = docs.select(col(idCol),
+      col(textCol).substr(lit(1), half).as(textCol))
+    val tail = docs.select(col(idCol),
+      col(textCol).substr(half + 1, length(col(textCol))).as(textCol))
+    langId(head, idCol, textCol).withColumnRenamed("pred_lang", "lang_head")
+      .join(langId(tail, idCol, textCol).withColumnRenamed("pred_lang", "lang_tail"), Seq(idCol))
+      .withColumn("mixed", (col("lang_head") =!= col("lang_tail")).cast("int"))
+  }
+
   /** Order-preserving word k-gram shingles (distinct) from an ALREADY
     * MATERIALIZED token-array column. Short-but-nonempty docs (<k tokens)
     * collapse to a single whole-document shingle so every real doc

@@ -794,4 +794,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(curve.map(_._2).sum == vocab)
     assert(curve.map(_._3).toSeq == curve.map(_._2).scanLeft(0L)(_ + _).drop(1).toSeq)
   }
+
+  test("codeSwitch: concatenated-language docs flag, monolingual and empty-marker docs don't") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "the and is of the and is of"),  // en | en → clean
+      (2L, "the and is of le et dans les"), // en | fr → mixed
+      (3L, "zzz qqq xxx yyy"),              // unknown | unknown → clean
+      (4L, "the and is of zzz qqq xxx yy")  // en | unknown → mixed
+    ).toDF("doc_id", "text")
+    val got = graft.functions.TextAnalysis.codeSwitch(docs)
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getString(2), r.getInt(3))).toMap
+    assert(got(1L) == ("en", "en", 0), s"got $got")
+    assert(got(2L) == ("en", "fr", 1), s"got $got")
+    assert(got(3L) == ("unknown", "unknown", 0), s"got $got")
+    assert(got(4L)._1 == "en" && got(4L)._3 == 1, s"got $got")
+  }
 }
