@@ -2285,6 +2285,28 @@ object SparkEntry {
       operators.Stats.cohenKappa(rated, "r1", "r2")
     }),
 
+    // -- approximate query processing: Horvitz–Thompson revenue estimate
+    //    from a deterministic 10% sample (md5-threshold draw, weight 1/p)
+    //    beside the exact total — the AQP accuracy dial measured, not
+    //    assumed. One scan computes both here for the audit; production
+    //    scans ONLY the sample (10× less IO for ~0.3% error at this SF).
+    "q_aqp_revenue" -> ((s, dir) => {
+      val p = 0.1
+      val ins = Sampling.sampleHash(
+        concat_ws(":", col("l_orderkey"), col("l_linenumber")), "aqp") <
+        lit(Sampling.threshold(p))
+      t(s, dir, "lineitem")
+        .withColumn("rev", col("l_extendedprice") * (lit(1.0) - col("l_discount")))
+        .agg(
+          count(lit(1)).as("n_total"),
+          sum(when(ins, 1L).otherwise(0L)).as("n_sample"),
+          round(sum(col("rev")), 2).as("exact_r"),
+          round(sum(when(ins, col("rev")).otherwise(lit(0.0))) / p, 2).as("est_r"))
+        .withColumn("rel_err_r",
+          round(abs(col("est_r") - col("exact_r")) / col("exact_r"), 6))
+        .select("n_total", "n_sample", "exact_r", "est_r", "rel_err_r")
+    }),
+
     // -- Population Stability Index between the even-id (reference) and
     //    odd-id (current) document halves on n_chars, 10 reference-
     //    quantile bins: the deployment drift dial with per-bin terms
@@ -5635,6 +5657,20 @@ object SparkEntry {
           SELECT n, n11, n10, n01, n00, po_r, pe_r,
                  floor(((po_r - pe_r) / (1.0 - pe_r)) * 1e6 + 0.5) / 1e6 AS kappa_r
           FROM p""",
+    // same md5-threshold draw; relative error from the ROUNDED estimates
+    "q_aqp_revenue" ->
+      s"""WITH s AS (SELECT l_extendedprice * (1.0 - l_discount) AS rev,
+                            (('0x' || substr(md5('aqp:' || l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR), 1, 8))::BIGINT
+                             < ${Sampling.threshold(0.1)}) AS ins
+                     FROM lineitem),
+          a AS (SELECT count(*)::BIGINT AS n_total,
+                       sum(CASE WHEN ins THEN 1 ELSE 0 END)::BIGINT AS n_sample,
+                       floor((sum(rev)) * 1e2 + 0.5) / 1e2 AS exact_r,
+                       floor((sum(CASE WHEN ins THEN rev ELSE 0.0 END) / 0.1) * 1e2 + 0.5) / 1e2 AS est_r
+                FROM s)
+          SELECT n_total, n_sample, exact_r, est_r,
+                 floor((abs(est_r - exact_r) / exact_r) * 1e6 + 0.5) / 1e6 AS rel_err_r
+          FROM a""",
     // reference-side quantile_cont boundaries (the q_histogram_equidepth
     // pin), Laplace-smoothed rational shares, psi from ROUNDED terms
     "q_psi_drift" ->
