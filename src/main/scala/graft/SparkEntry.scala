@@ -1031,6 +1031,13 @@ object SparkEntry {
     "q_lang_id" -> ((s, dir) =>
       TextAnalysis.langId(t(s, dir, "documents")).orderBy("doc_id")),
 
+    // -- Flesch–Kincaid grade from deterministic structural counts
+    //    (sentences / cleaned tokens / vowel-group syllables): the classic
+    //    readability feature, integer counts until two final divisions —
+    //    map-side, no shuffle
+    "q_readability" -> ((s, dir) =>
+      TextAnalysis.readability(t(s, dir, "documents")).orderBy("doc_id")),
+
     // -- code-switching detector: langId per text HALF; disagreeing
     //    halves flag the mixed-language docs the single doc-level label
     //    hides (they poison language-filtered training splits)
@@ -2328,6 +2335,18 @@ object SparkEntry {
       operators.Stats
         .welchTTest(t(s, dir, "documents"), "source", "n_chars")
         .orderBy("g1", "g2")
+    }),
+
+    // -- per-source unigram entropy + perplexity (lexical diversity for
+    //    mixture design; type/token columns give TTR for free). Vocab-
+    //    sized after one token count; ppl from the ROUNDED entropy.
+    "q_source_entropy" -> ((s, dir) => {
+      operators.Stats
+        .tokenEntropy(
+          Tokenize.tokens(t(s, dir, "documents").select("doc_id", "source", "text"),
+            "text", Seq("doc_id", "source")),
+          "source")
+        .orderBy("source")
     }),
 
     // -- Jensen–Shannon divergence between every pair of per-source
@@ -4388,6 +4407,28 @@ object SparkEntry {
                  floor((avg(ln(wf::DOUBLE / tot::DOUBLE))) * 1e4 + 0.5) / 1e4 AS mean_lp
           FROM tok JOIN vocab USING (word) CROSS JOIN tot
           GROUP BY doc_id ORDER BY doc_id""",
+    // same structural counts: [.!?]+ sentence runs, cleaned tokens,
+    // [aeiouy]+ vowel-group syllables; grade from integer counts
+    "q_readability" ->
+      """WITH t AS (
+           SELECT doc_id,
+                  greatest(1, len(list_filter(regexp_split_to_array(text, '[.!?]+'),
+                                              s -> len(trim(s)) > 0)))::BIGINT AS n_sentences,
+                  list_filter(
+                    list_transform(regexp_split_to_array(text, '\s+'),
+                                   x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                    w -> w <> '') AS toks
+           FROM documents),
+         c AS (SELECT doc_id, n_sentences,
+                      len(toks)::BIGINT AS n_words,
+                      coalesce(list_sum(list_transform(toks,
+                        w -> len(regexp_extract_all(w, '[aeiouy]+')))), 0)::BIGINT AS n_syllables
+               FROM t)
+         SELECT doc_id, n_sentences, n_words, n_syllables,
+                floor((0.39 * (greatest(1, n_words)::DOUBLE / n_sentences)
+                       + 11.8 * (n_syllables::DOUBLE / greatest(1, n_words))
+                       - 15.59) * 1e4 + 0.5) / 1e4 AS fk_r
+         FROM c ORDER BY doc_id""",
     // two independent langId chains over the character halves; unknown is
     // a first-class label in the disagreement flag
     "q_code_switch" ->
@@ -5712,6 +5753,20 @@ object SparkEntry {
                            + (b.v / b.n) * (b.v / b.n) / (b.n - 1))) * 1e2 + 0.5) / 1e2 AS df_r
           FROM s a JOIN s b ON a.g < b.g
           ORDER BY g1, g2""",
+    // exact-count rationals; perplexity exponentiates the ROUNDED entropy
+    "q_source_entropy" ->
+      """WITH tk AS (SELECT source,
+                            regexp_replace(lower(unnest(regexp_split_to_array(text, '\s+'))), '[^a-z]', '', 'g') AS w
+                     FROM documents),
+          tok2 AS (SELECT source, w AS word FROM tk WHERE w <> ''),
+          c AS (SELECT source, word, count(*) AS c FROM tok2 GROUP BY 1, 2),
+          t AS (SELECT source, sum(c) AS t, count(*) AS n_types FROM c GROUP BY source),
+          h AS (SELECT c.source, t.t::BIGINT AS n_tokens, t.n_types,
+                       floor((-sum((c.c::DOUBLE / t.t) * ln(c.c::DOUBLE / t.t))) * 1e6 + 0.5) / 1e6 AS h_r
+                FROM c JOIN t USING (source) GROUP BY 1, 2, 3)
+          SELECT source, n_tokens, n_types, h_r,
+                 floor((exp(h_r)) * 1e4 + 0.5) / 1e4 AS ppl_r
+          FROM h ORDER BY source""",
     // shared terms by inner join; disjoint-support mass enters as
     // ½ln2·(1−Σp_shared) analytically — mirror of Stats.jsDivergence
     "q_source_jsd" ->

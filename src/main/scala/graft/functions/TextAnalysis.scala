@@ -117,6 +117,37 @@ object TextAnalysis {
       .select(col(idCol), coalesce(col("pred0"), lit("unknown")).as("pred_lang"))
   }
 
+  /** Flesch–Kincaid grade level (Kincaid et al. 1975) from deterministic
+    * structural counts — the classic readability feature of quality
+    * pipelines (alongside the Gopher/CCNet families): sentences = runs
+    * split on [.!?]+ (non-blank), words = cleaned alpha tokens, syllables
+    * = vowel-group runs [aeiouy]+ per word (the standard cheap syllable
+    * proxy). grade = 0.39·(words/sentences) + 11.8·(syllables/words) −
+    * 15.59. Everything is an integer count until two final divisions, so
+    * the score replays exactly; zero guards clamp sentences/words at 1.
+    *
+    * Map-side only — three codegen'd expressions per row, no shuffle.
+    *
+    * Returns (idCol, n_sentences, n_words, n_syllables, fk_r).
+    */
+  def readability(docs: DataFrame, idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val toks = Tokenize.tokenArray(col(textCol))
+    val sentences = greatest(lit(1),
+      size(filter(split(col(textCol), "[.!?]+"), s => length(trim(s)) > 0)))
+    val words = greatest(lit(1), size(toks))
+    val syllables = aggregate(toks, lit(0),
+      (acc, w) => acc + size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))))
+    docs.select(
+      col(idCol),
+      sentences.cast("long").as("n_sentences"),
+      size(toks).cast("long").as("n_words"),
+      syllables.cast("long").as("n_syllables"))
+      .withColumn("fk_r", Portable.pround(
+        lit(0.39) * (greatest(lit(1L), col("n_words")).cast("double") / col("n_sentences"))
+          + lit(11.8) * (col("n_syllables").cast("double") / greatest(lit(1L), col("n_words")))
+          - lit(15.59), 4))
+  }
+
   /** Code-switching (mixed-language document) detector: [[langId]] run
     * independently on each HALF of the text; a clean monolingual doc
     * predicts the same language twice, a concatenation of two languages

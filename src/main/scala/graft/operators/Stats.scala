@@ -897,6 +897,37 @@ object Stats {
           / (se1 * se1 / (col("n1") - 1) + se2 * se2 / (col("n2") - 1)), 2).as("df_r"))
   }
 
+  /** Per-group unigram token entropy H = −Σ p·ln p (nats) and its
+    * perplexity e^H — the corpus-level lexical-diversity dial (a source
+    * of boilerplate repeats few types: low entropy; diverse prose runs
+    * high), reported beside type count and token mass so the type-token
+    * ratio rides along. The group-level complement of the per-doc char
+    * entropy gate: THAT flags gibberish documents, THIS profiles whole
+    * sources for mixture design.
+    *
+    * Probabilities are rationals from exact counts; perplexity is
+    * computed from the ROUNDED entropy so both engines exponentiate the
+    * identical double. Work is vocab-sized after one token count.
+    *
+    * Returns (groupCol, n_tokens, n_types, h_r, ppl_r).
+    */
+  def tokenEntropy(tokens: DataFrame, groupCol: String, wordCol: String = "word"): DataFrame = {
+    val counts = tokens
+      .groupBy(col(groupCol).as("g"), col(wordCol).as("w"))
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint(true)
+    val totals = counts.groupBy(col("g"))
+      .agg(sum(col("c")).as("t"), count(lit(1)).as("n_types"))
+    counts
+      .join(broadcast(totals), Seq("g"))
+      .withColumn("p", col("c").cast("double") / col("t"))
+      .groupBy(col("g").as(groupCol))
+      .agg(first(col("t")).as("n_tokens"),
+        first(col("n_types")).as("n_types"),
+        Portable.pround(-sum(col("p") * log(col("p"))), 6).as("h_r"))
+      .withColumn("ppl_r", Portable.pround(exp(col("h_r")), 4))
+  }
+
   /** Jensen–Shannon divergence between every pair of per-group token
     * distributions (Lin, IEEE IT 1991): JSD(p,q) = ½KL(p‖m) + ½KL(q‖m),
     * m = ½(p+q) — the SYMMETRIC, always-finite drift measure between

@@ -795,6 +795,21 @@ class CorpusOpsSpec extends SparkSpec {
     assert(curve.map(_._3).toSeq == curve.map(_._2).scanLeft(0L)(_ + _).drop(1).toSeq)
   }
 
+  test("readability: hand-computed Flesch-Kincaid grades and the degenerate-text clamp") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The cat sat."),                    // 1 sentence, 3 words, 3 syllables → −2.62
+      (2L, "Hello world. How are you? Fine!"), // 3 / 6 / 9 → 2.89
+      (3L, "!!!")                              // no words: clamps, fk = 0.39 − 15.59
+    ).toDF("doc_id", "text")
+    val got = graft.functions.TextAnalysis.readability(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getDouble(4))).toMap
+    assert(got(1L) == (1L, 3L, 3L, -2.62), s"got $got")
+    assert(got(2L) == (3L, 6L, 9L, 2.89), s"got $got")
+    assert(got(3L) == (1L, 0L, 0L, -15.2), s"got $got")
+  }
+
   test("codeSwitch: concatenated-language docs flag, monolingual and empty-marker docs don't") {
     import spark.implicits._
     val docs = Seq(

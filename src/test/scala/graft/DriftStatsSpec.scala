@@ -59,6 +59,16 @@ class DriftStatsSpec extends SparkSpec {
     assert(rows.head.getAs[Double]("psi_r") > 1.0, "total collapse is extreme drift")
   }
 
+  test("tokenEntropy: uniform four types → ln 4 / ppl 4; single type → 0 / 1") {
+    val toks = (Seq("a", "b", "c", "d").flatMap(w => Seq(("u", w), ("u", w)))
+      ++ Seq.fill(5)(("m", "x"))).toDF("source", "word")
+    val got = Stats.tokenEntropy(toks, "source")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got("u") == (8L, 4L, 1.386294, 4.0), s"got $got")
+    assert(got("m") == (5L, 1L, 0.0, 1.0), s"got $got")
+  }
+
   test("jsDivergence: hand-computed half-overlap value") {
     // p = {x: 1/2, y: 1/2}, q = {x: 1/2, z: 1/2}
     // shared x: p=q → term 0; y,z each contribute ½·½·ln2 → jsd = ½ln2
