@@ -233,6 +233,16 @@ object SparkEntry {
         .orderBy("event_type")
     }),
 
+    // -- burstiness (Fano factor) of per-hour counts per event type:
+    //    Poisson arrivals sit at F≈1, bot storms/batch replays ≫1,
+    //    heartbeats <1 — the traffic-shape dial a mean-rate view can't
+    //    see. Exact integer sums (the Welch discipline), two partial-agg
+    //    passes, active-bucket semantics.
+    "q_burstiness" -> ((s, dir) =>
+      operators.TimeSeries
+        .burstiness(graft.sources.EventsSource.events(s, dir))
+        .orderBy("event_type")),
+
     // -- heavy hitters via the MERGEABLE SpaceSaving sketch (native
     //    TypedImperativeAggregate, spacesaving_topk): capacity-bounded
     //    per-task state, partial sketches merge up the exchange — nothing
@@ -3545,6 +3555,23 @@ object SparkEntry {
          FROM events CROSS JOIN t
          GROUP BY 1 ORDER BY 1""",
     // grouped no-eviction sketch == exact per-group counts
+    // exact-sum mean/variance over the active hour buckets; fano from the
+    // ROUNDED pieces — mirror of TimeSeries.burstiness
+    "q_burstiness" ->
+      """WITH c AS (SELECT event_type, strftime(ts::TIMESTAMP, '%Y-%m-%d %H') AS b,
+                           count(*) AS c
+                    FROM events GROUP BY 1, 2),
+          g AS (SELECT event_type, count(*)::BIGINT AS n_buckets,
+                       sum(c)::BIGINT AS s1, sum(c * c)::BIGINT AS s2
+                FROM c GROUP BY event_type HAVING count(*) >= 2),
+          m AS (SELECT event_type, n_buckets, s1 AS n_events,
+                       floor((s1::DOUBLE / n_buckets) * 1e4 + 0.5) / 1e4 AS mean_r,
+                       floor(((s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n_buckets)
+                              / (n_buckets - 1)) * 1e4 + 0.5) / 1e4 AS var_r
+                FROM g)
+          SELECT event_type, n_buckets, n_events, mean_r, var_r,
+                 floor((var_r / mean_r) * 1e4 + 0.5) / 1e4 AS fano_r
+          FROM m ORDER BY event_type""",
     "q_heavy_keys_per_hour" ->
       """SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d %H') AS hour_bucket,
                 event_type, count(*) AS cnt, 0::BIGINT AS err

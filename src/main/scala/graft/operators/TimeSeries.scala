@@ -138,4 +138,51 @@ object TimeSeries {
       .withColumn("is_anomaly", (abs(col("z_r")) > thr).cast("int"))
       .select(col(keyCol), col(tieCol), col(valueCol), col("z_r"), col("is_anomaly"))
   }
+
+  /** Burstiness (Fano factor / index of dispersion) of per-bucket event
+    * counts, per key: F = Var(c)/Mean(c) over the key's ACTIVE time
+    * buckets. A Poisson (memoryless) arrival process sits at F ≈ 1;
+    * F ≫ 1 is bursty (bot storms, batch jobs, replay floods), F < 1 is
+    * more regular than chance (schedulers, heartbeats) — the traffic-
+    * shape dial a mean-rate dashboard can't see.
+    *
+    * Mean/variance come from EXACT integer sums of the bucket counts
+    * (the [[graft.operators.Stats.welchTTest]] discipline), so the
+    * statistic replays bit-identically. Two partial-agg passes — (key,
+    * bucket) then key — nothing key-cardinality-sized beyond the counts.
+    * Buckets with zero events don't exist in the count relation, so this
+    * is the ACTIVE-bucket Fano (documented choice: including empty
+    * buckets needs the key's span spine — resampleFfill's job).
+    *
+    * Keys with <2 active buckets are dropped (variance undefined).
+    *
+    * Returns (keyCol, n_buckets, n_events, mean_r, var_r, fano_r).
+    */
+  def burstiness(
+      events: DataFrame,
+      keyCol: String = "event_type",
+      tsCol: String = "ts_t",
+      bucketFmt: String = "yyyy-MM-dd HH"): DataFrame = {
+    val cnt = events
+      .withColumn("__b", date_format(col(tsCol), bucketFmt))
+      .groupBy(col(keyCol), col("__b"))
+      .agg(count(lit(1)).as("c"))
+    cnt
+      .groupBy(col(keyCol))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(col("c")).as("s1"),
+        sum(col("c") * col("c")).as("s2"))
+      .where(col("n_buckets") >= 2)
+      .withColumn("mean_r", graft.functions.Portable.pround(
+        col("s1").cast("double") / col("n_buckets"), 4))
+      .withColumn("var_r", graft.functions.Portable.pround(
+        (col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double") / col("n_buckets"))
+          / (col("n_buckets") - 1), 4))
+      .withColumn("fano_r", graft.functions.Portable.pround(
+        col("var_r") / col("mean_r"), 4))
+      .select(col(keyCol), col("n_buckets"), col("s1").as("n_events"),
+        col("mean_r"), col("var_r"), col("fano_r"))
+  }
 }

@@ -91,4 +91,21 @@ class TimeSeriesSpec extends SparkSpec {
     // hour 1 has no baseline for either key -> absent entirely
     assert(got.toSeq == Seq(("02", "b", 2.0, 1), ("03", "a", 3.0, 1)), s"got ${got.toSeq}")
   }
+
+  test("burstiness: constant rate reads Fano 0, a burst reads high, singletons drop") {
+    import spark.implicits._
+    def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-05-01 $h%02d:$m%02d:00")
+    val rows =
+      (0 until 4).flatMap(h => (0 until 3).map(m => ("reg", at(h, m)))) ++     // 3,3,3,3
+        (Seq(("burst", at(0, 0)), ("burst", at(1, 0))) ++
+          (0 until 10).map(m => ("burst", at(2, m)))) ++                        // 1,1,10
+        (0 until 5).map(m => ("single", at(0, m)))                              // one bucket
+    val got = TimeSeries.burstiness(rows.toDF("event_type", "ts_t"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+    assert(got("reg") == (4L, 12L, 3.0, 0.0, 0.0), s"got $got")
+    // mean 4, var (102 − 48)/2 = 27, fano 6.75
+    assert(got("burst") == (3L, 12L, 4.0, 27.0, 6.75), s"got $got")
+    assert(!got.contains("single"), "variance undefined on one bucket")
+  }
 }
