@@ -2302,6 +2302,38 @@ object SparkEntry {
       operators.Stats.cohenKappa(rated, "r1", "r2")
     }),
 
+    // -- Benford first-digit audit on prices: observed vs log10(1+1/d),
+    //    χ² riding the rows; digit via INTEGER string math (log10 would
+    //    misbin powers of 10 cross-engine). The data-forensics classic.
+    "q_benford" -> ((s, dir) =>
+      operators.Stats.benford(t(s, dir, "lineitem"), "l_extendedprice").orderBy("digit")),
+
+    // -- functional-dependency profiling: candidate FDs checked by one
+    //    partial-agg groupBy each — violating-group counts say HOW broken
+    //    a near-FD is, not just that it is
+    "q_fd_check" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem"); val n = t(s, dir, "nation")
+      operators.Stats.fdCheck(o, "o_orderkey", "o_custkey")
+        .unionByName(operators.Stats.fdCheck(n, "n_nationkey", "n_regionkey"))
+        .unionByName(operators.Stats.fdCheck(o, "o_custkey", "o_orderpriority"))
+        .unionByName(operators.Stats.fdCheck(li, "l_partkey", "l_suppkey"))
+        .orderBy("fd")
+    }),
+
+    // -- inclusion-dependency (foreign-key) discovery: distinct-project
+    //    each side + one anti join per candidate — orphan counts, never
+    //    row-sized; includes the REVERSE direction that fails (orders
+    //    without lineitems)
+    "q_fk_discovery" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      val c = t(s, dir, "customer"); val n = t(s, dir, "nation")
+      operators.Stats.inclusionCheck(li, "l_orderkey", o, "o_orderkey")
+        .unionByName(operators.Stats.inclusionCheck(o, "o_custkey", c, "c_custkey"))
+        .unionByName(operators.Stats.inclusionCheck(c, "c_nationkey", n, "n_nationkey"))
+        .unionByName(operators.Stats.inclusionCheck(o, "o_orderkey", li, "l_orderkey"))
+        .orderBy("ind")
+    }),
+
     // -- approximate query processing: Horvitz–Thompson revenue estimate
     //    from a deterministic 10% sample (md5-threshold draw, weight 1/p)
     //    beside the exact total — the AQP accuracy dial measured, not
@@ -5725,6 +5757,21 @@ object SparkEntry {
           SELECT n, n11, n10, n01, n00, po_r, pe_r,
                  floor(((po_r - pe_r) / (1.0 - pe_r)) * 1e6 + 0.5) / 1e6 AS kappa_r
           FROM p""",
+    "q_benford" -> benfordSql,
+    "q_fd_check" ->
+      s"""SELECT * FROM (
+            ${fdSql("orders", "o_orderkey", "o_custkey")}
+            UNION ALL ${fdSql("nation", "n_nationkey", "n_regionkey")}
+            UNION ALL ${fdSql("orders", "o_custkey", "o_orderpriority")}
+            UNION ALL ${fdSql("lineitem", "l_partkey", "l_suppkey")}) u
+          ORDER BY fd""",
+    "q_fk_discovery" ->
+      s"""SELECT * FROM (
+            ${indSql("lineitem", "l_orderkey", "orders", "o_orderkey")}
+            UNION ALL ${indSql("orders", "o_custkey", "customer", "c_custkey")}
+            UNION ALL ${indSql("customer", "c_nationkey", "nation", "n_nationkey")}
+            UNION ALL ${indSql("orders", "o_orderkey", "lineitem", "l_orderkey")}) u
+          ORDER BY ind""",
     // same md5-threshold draw; relative error from the ROUNDED estimates
     "q_aqp_revenue" ->
       s"""WITH s AS (SELECT l_extendedprice * (1.0 - l_discount) AS rev,
@@ -7205,6 +7252,48 @@ object SparkEntry {
         $steps
         SELECT node, floor((pr) * 1e6 + 0.5) / 1e6 AS ppr FROM pr$iters ORDER BY node"""
   }
+
+  /** Benford oracle (mirror of Stats.benford on lineitem prices): digit
+    * via integer string math, expected shares embedded as the IDENTICAL
+    * Scala doubles, χ² from the rounded per-digit terms.
+    */
+  private def benfordSql: String = {
+    val exp = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+    val expVals = (1 to 9).map(d => s"($d, ${exp(d - 1)})").mkString(", ")
+    s"""WITH d AS (SELECT substr((floor(abs(l_extendedprice) * 100 + 0.5)::BIGINT)::VARCHAR, 1, 1)::INT AS digit
+                   FROM lineitem
+                   WHERE l_extendedprice IS NOT NULL AND abs(l_extendedprice) >= 0.01),
+        g AS (SELECT digit, count(*)::BIGINT AS n FROM d GROUP BY digit),
+        t AS (SELECT sum(n) AS t FROM g),
+        e AS (SELECT * FROM (VALUES $expVals) AS v(digit, expected)),
+        m AS (SELECT g.digit, g.n,
+                     floor((g.n::DOUBLE / t.t) * 1e6 + 0.5) / 1e6 AS share_r,
+                     floor(e.expected * 1e6 + 0.5) / 1e6 AS expected_r, t.t
+              FROM g JOIN e ON e.digit = g.digit CROSS JOIN t),
+        w AS (SELECT digit, n, share_r, expected_r,
+                     floor(((share_r - expected_r) * (share_r - expected_r)
+                            / expected_r * t) * 1e6 + 0.5) / 1e6 AS term
+              FROM m)
+        SELECT digit, n, share_r, expected_r,
+               (SELECT floor(sum(term) * 1e4 + 0.5) / 1e4 FROM w) AS chi2_r
+        FROM w ORDER BY digit"""
+  }
+
+  /** One FD-check leg (mirror of Stats.fdCheck). */
+  private def fdSql(tbl: String, lhs: String, rhs: String): String =
+    s"""SELECT '$lhs -> $rhs' AS fd, count(*)::BIGINT AS n_groups,
+               sum((d > 1)::INT)::BIGINT AS n_violating,
+               (sum((d > 1)::INT) = 0)::INT AS holds
+        FROM (SELECT $lhs, count(DISTINCT $rhs) AS d FROM $tbl GROUP BY 1) g"""
+
+  /** One inclusion-dependency leg (mirror of Stats.inclusionCheck). */
+  private def indSql(aTbl: String, aCol: String, bTbl: String, bCol: String): String =
+    s"""SELECT '$aCol <= $bCol' AS ind,
+               (SELECT count(DISTINCT $aCol) FROM $aTbl WHERE $aCol IS NOT NULL)::BIGINT AS n_distinct,
+               (SELECT count(*) FROM (SELECT DISTINCT $aCol AS v FROM $aTbl WHERE $aCol IS NOT NULL) a
+                WHERE NOT EXISTS (SELECT 1 FROM $bTbl b WHERE b.$bCol = a.v))::BIGINT AS n_orphans,
+               ((SELECT count(*) FROM (SELECT DISTINCT $aCol AS v FROM $aTbl WHERE $aCol IS NOT NULL) a
+                 WHERE NOT EXISTS (SELECT 1 FROM $bTbl b WHERE b.$bCol = a.v)) = 0)::INT AS holds"""
 
   /** One langId CTE chain over a derived text expression, CTE names
     * prefixed so two instances (head/tail halves) coexist — mirror of

@@ -806,6 +806,80 @@ object Stats {
       .select("bin", "n", "conf_r", "acc_r", "gap_r", "ece_r")
   }
 
+  /** Benford first-digit audit (Benford 1938; the fraud/data-forensics
+    * standard): the observed first-significant-digit distribution of a
+    * positive numeric column against Benford's law p(d) = log₁₀(1+1/d),
+    * with the χ² statistic riding every row — fabricated or synthetic
+    * values rarely match the law real-world magnitudes follow.
+    *
+    * The first digit is extracted via INTEGER string math (value → cents
+    * long → first char), never log10 — log10(1000) landing at 2.9999…
+    * on one engine and 3.0 on the other would misbin every power of 10.
+    * χ² is computed from the ROUNDED per-digit shares. One partial-agg
+    * pass; 9-row result.
+    *
+    * Returns (digit, n, share_r, expected_r, chi2_r) — chi2 constant
+    * across the 9 rows.
+    */
+  def benford(df: DataFrame, c: String): DataFrame = {
+    val cents = Portable.pround(abs(col(c)) * 100, 0).cast("long")
+    val digits = df
+      .where(col(c).isNotNull && abs(col(c)) >= 0.01)
+      .select(substring(cents.cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    val tot = broadcast(digits.agg(sum(col("n")).as("t")))
+    val expected = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
+    val expArr = array(expected.map(lit): _*)
+    val terms = digits
+      .crossJoin(tot)
+      .withColumn("share_r", Portable.pround(col("n").cast("double") / col("t"), 6))
+      .withColumn("expected_r", Portable.pround(element_at(expArr, col("digit")), 6))
+      .withColumn("__term", Portable.pround(
+        (col("share_r") - col("expected_r")) * (col("share_r") - col("expected_r"))
+          / col("expected_r") * col("t"), 6))
+      .localCheckpoint(true)
+    val chi2 = broadcast(terms.agg(Portable.pround(sum(col("__term")), 4).as("chi2_r")))
+    terms.crossJoin(chi2)
+      .select(col("digit"), col("n"), col("share_r"), col("expected_r"), col("chi2_r"))
+  }
+
+  /** Functional-dependency check lhs → rhs (the data-profiling primitive,
+    * Abedjan et al., "Profiling relational data", VLDBJ 2015): holds iff
+    * every lhs value maps to exactly ONE rhs value. One partial-agg
+    * groupBy over the (lhs, rhs) projection — the violating-group count
+    * says HOW broken a near-FD is, not just that it is.
+    *
+    * Returns ONE row (fd, n_groups, n_violating, holds).
+    */
+  def fdCheck(df: DataFrame, lhs: String, rhs: String): DataFrame =
+    df
+      .groupBy(col(lhs))
+      .agg(countDistinct(col(rhs)).as("__d"))
+      .agg(
+        count(lit(1)).as("n_groups"),
+        sum((col("__d") > 1).cast("long")).as("n_violating"))
+      .select(lit(s"$lhs -> $rhs").as("fd"), col("n_groups"), col("n_violating"),
+        (col("n_violating") === 0).cast("int").as("holds"))
+
+  /** Inclusion-dependency check a.aCol ⊆ b.bCol (foreign-key discovery):
+    * counts the DISTINCT orphan values on the left not present on the
+    * right — a distinct-project on each side plus one anti join, never
+    * row-sized. Returns ONE row (ind, n_distinct, n_orphans, holds).
+    */
+  def inclusionCheck(a: DataFrame, aCol: String, b: DataFrame, bCol: String): DataFrame = {
+    val av = a.select(col(aCol).as("__v")).where(col("__v").isNotNull).distinct()
+      .localCheckpoint(true)
+    val bv = b.select(col(bCol).as("__v")).where(col("__v").isNotNull).distinct()
+    val orphans = av.join(bv, Seq("__v"), "left_anti")
+      .agg(count(lit(1)).as("n_orphans"))
+    av.agg(count(lit(1)).as("n_distinct"))
+      .crossJoin(broadcast(orphans))
+      .select(lit(s"$aCol <= $bCol").as("ind"), col("n_distinct"), col("n_orphans"),
+        (col("n_orphans") === 0).cast("int").as("holds"))
+  }
+
   /** Population Stability Index (the scorecard-monitoring standard; see
     * e.g. Yurdakul 2018 for its statistical treatment): PSI =
     * Σ_bins (p_cur − p_ref)·ln(p_cur/p_ref), with bins fixed as the

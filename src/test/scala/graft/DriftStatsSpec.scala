@@ -69,6 +69,33 @@ class DriftStatsSpec extends SparkSpec {
     assert(got("m") == (5L, 1L, 0.0, 1.0), s"got $got")
   }
 
+  test("benford: digits via integer string math, shares vs the law, chi2 rides rows") {
+    val df = Seq(1.00, 1.50, 2.00, 9.99, 0.005, 123.45).toDF("v") // 0.005 → below 0.01 cutoff? no: |0.005|<0.01 dropped
+    val rows = Stats.benford(df, "v").collect()
+    val byDigit = rows.map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(byDigit == Map(1 -> 3L, 2 -> 1L, 9 -> 1L), s"got $byDigit") // 1.00,1.50,123.45 → 1
+    assert(rows.map(_.getDouble(2)).sum == 1.0, "shares sum to 1")
+    assert(rows.map(_.getDouble(4)).distinct.length == 1, "chi2 constant across rows")
+    val exp1 = rows.find(_.getInt(0) == 1).get.getDouble(3)
+    assert(exp1 == 0.30103, s"expected share of digit 1: $exp1") // log10(2) rounded 6dp
+  }
+
+  test("fdCheck and inclusionCheck: hand-built hold/violate cases") {
+    val fd = Seq((1, "a"), (1, "a"), (2, "b"), (2, "c")).toDF("l", "r")
+    val f = Stats.fdCheck(fd, "l", "r").collect().head
+    assert(f.getString(0) == "l -> r" && f.getLong(1) == 2 && f.getLong(2) == 1
+      && f.getInt(3) == 0, s"got $f")
+    val ok = Stats.fdCheck(Seq((1, "a"), (2, "b")).toDF("l", "r"), "l", "r").collect().head
+    assert(ok.getInt(3) == 1)
+
+    val a = Seq(1, 2, 3).toDF("x"); val b = Seq(1, 2).toDF("y")
+    val i = Stats.inclusionCheck(a, "x", b, "y").collect().head
+    assert(i.getString(0) == "x <= y" && i.getLong(1) == 3 && i.getLong(2) == 1
+      && i.getInt(3) == 0, s"got $i")
+    val j = Stats.inclusionCheck(b, "y", a, "x").collect().head
+    assert(j.getLong(2) == 0 && j.getInt(3) == 1)
+  }
+
   test("jsDivergence: hand-computed half-overlap value") {
     // p = {x: 1/2, y: 1/2}, q = {x: 1/2, z: 1/2}
     // shared x: p=q → term 0; y,z each contribute ½·½·ln2 → jsd = ½ln2
