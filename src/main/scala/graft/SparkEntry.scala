@@ -2369,6 +2369,18 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // -- QQ drift table: exact deciles of n_chars, even-id snapshot vs
+    //    odd-id, aligned with per-decile deltas — PSI's complement in
+    //    VALUE space ("p90 length grew 400 chars" is actionable where a
+    //    PSI term is not)
+    "q_qq_drift" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      operators.Stats
+        .qqDrift(docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1),
+          "n_chars", bins = 10)
+        .orderBy("decile")
+    }),
+
     // -- Welch's unequal-variance t-test between every source pair on
     //    document length: the A/B significance check with mean/variance
     //    derived from EXACT decimal sums, so no float partial-agg order
@@ -5786,6 +5798,23 @@ object SparkEntry {
           SELECT n_total, n_sample, exact_r, est_r,
                  floor((abs(est_r - exact_r) / exact_r) * 1e6 + 0.5) / 1e6 AS rel_err_r
           FROM a""",
+    // positional zip of the two quantile_cont arrays; delta from the
+    // ROUNDED quantiles
+    "q_qq_drift" ->
+      """WITH r AS (SELECT quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qr
+                    FROM documents WHERE doc_id % 2 = 0),
+          c AS (SELECT quantile_cont(n_chars, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qc
+                FROM documents WHERE doc_id % 2 = 1),
+          z AS (SELECT generate_subscripts(qr, 1)::INT AS decile,
+                       unnest(qr) AS rv, unnest(qc) AS cv
+                FROM r CROSS JOIN c),
+          m AS (SELECT decile,
+                       floor(rv * 1e4 + 0.5) / 1e4 AS ref_q_r,
+                       floor(cv * 1e4 + 0.5) / 1e4 AS cur_q_r
+                FROM z)
+          SELECT decile, ref_q_r, cur_q_r,
+                 floor((cur_q_r - ref_q_r) * 1e4 + 0.5) / 1e4 AS delta_r
+          FROM m ORDER BY decile""",
     // reference-side quantile_cont boundaries (the q_histogram_equidepth
     // pin), Laplace-smoothed rational shares, psi from ROUNDED terms
     "q_psi_drift" ->

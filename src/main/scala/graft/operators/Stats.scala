@@ -932,6 +932,31 @@ object Stats {
     terms.crossJoin(psiTot)
   }
 
+  /** Quantile–quantile drift table between two snapshots: the exact
+    * deciles of `c` on each side, aligned, with per-decile deltas —
+    * [[psi]]'s complement in VALUE space (PSI says which quantile band's
+    * POPULATION moved; this says how far the band's BOUNDARY moved, in
+    * the column's own units — "p90 document length grew 400 chars" is
+    * actionable where a PSI term is not). Two percentile passes, a
+    * bins-sized zip, nothing else.
+    *
+    * Returns (decile, ref_q_r, cur_q_r, delta_r) — delta from the
+    * ROUNDED quantiles.
+    */
+  def qqDrift(ref: DataFrame, cur: DataFrame, c: String, bins: Int = 10): DataFrame = {
+    require(bins >= 2, s"bins ($bins) must be >= 2")
+    val fracs = (1 until bins).map(i => i.toDouble / bins)
+    val arr = s"array(${fracs.mkString(", ")})"
+    val r = ref.agg(expr(s"percentile($c, $arr)").as("qr"))
+    val u = cur.agg(expr(s"percentile($c, $arr)").as("qc"))
+    r.crossJoin(u)
+      .select(posexplode(arrays_zip(col("qr"), col("qc"))).as(Seq("pos", "z")))
+      .select((col("pos") + 1).cast("int").as("decile"),
+        Portable.pround(col("z.qr"), 4).as("ref_q_r"),
+        Portable.pround(col("z.qc"), 4).as("cur_q_r"))
+      .withColumn("delta_r", Portable.pround(col("cur_q_r") - col("ref_q_r"), 4))
+  }
+
   /** Welch's unequal-variance t-test between every pair of groups (Welch,
     * Biometrika 1947) over an INTEGER-valued measure column: t statistic
     * and Welch–Satterthwaite degrees of freedom — the A/B significance

@@ -69,6 +69,16 @@ class DriftStatsSpec extends SparkSpec {
     assert(got("m") == (5L, 1L, 0.0, 1.0), s"got $got")
   }
 
+  test("qqDrift: identical snapshots read zero delta; a +50 shift reads +50 everywhere") {
+    val ref = (0 to 100).toDF("v")
+    val same = Stats.qqDrift(ref, ref, "v").collect()
+    assert(same.length == 9 && same.forall(_.getDouble(3) == 0.0))
+    assert(same.find(_.getInt(0) == 5).get.getDouble(1) == 50.0, "median of 0..100")
+    val cur = (0 to 100).map(_ + 50).toDF("v")
+    val shift = Stats.qqDrift(ref, cur, "v").collect()
+    assert(shift.forall(_.getDouble(3) == 50.0), "uniform shift moves every decile by 50")
+  }
+
   test("benford: digits via integer string math, shares vs the law, chi2 rides rows") {
     val df = Seq(1.00, 1.50, 2.00, 9.99, 0.005, 123.45).toDF("v") // 0.005 → below 0.01 cutoff? no: |0.005|<0.01 dropped
     val rows = Stats.benford(df, "v").collect()
