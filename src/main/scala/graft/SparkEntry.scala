@@ -450,6 +450,22 @@ object SparkEntry {
         .orderBy("o_custkey", "cum_n")
     }),
 
+    // -- value-RANGE framed window: per customer, revenue and order count
+    //    in the 30 days ENDING at each order (epoch-day ordering). The
+    //    frame a rows-window can't express when per-day row counts vary;
+    //    ties on day share one frame, so the result is order-independent.
+    "q_window_range" -> ((s, dir) => {
+      val w = Window.partitionBy(col("o_custkey")).orderBy(col("day")).rangeBetween(-29, 0)
+      t(s, dir, "orders")
+        .withColumn("day",
+          datediff(col("o_orderdate"), lit("1970-01-01").cast("date")).cast("long"))
+        .withColumn("rev30_r", round(sum(col("o_totalprice")).over(w), 2))
+        .withColumn("n30", count(lit(1)).over(w))
+        .where(col("o_custkey") < 200)
+        .select(col("o_custkey"), col("o_orderkey"), col("day"), col("rev30_r"), col("n30"))
+        .orderBy("o_custkey", "day", "o_orderkey")
+    }),
+
     // -- window-function breadth: lead/lag/ntile/percent_rank in one pass
     //    (unique (date, key) order makes every value deterministic)
     "q_window_funcs" -> ((s, dir) => {
@@ -3769,6 +3785,21 @@ object SparkEntry {
          floor((sum(l_extendedprice * (1 - l_discount))) * 1e2 + 0.5) / 1e2 AS revenue, count(*) AS n
          FROM lineitem JOIN part ON l_partkey = p_partkey
          GROUP BY p_brand ORDER BY p_brand""",
+    // same RANGE frame; ties on day share one frame on both engines
+    "q_window_range" ->
+      """WITH d AS (SELECT o_custkey, o_orderkey, o_totalprice,
+                           date_diff('day', DATE '1970-01-01', o_orderdate::DATE)::BIGINT AS day
+                    FROM orders),
+          w AS (SELECT o_custkey, o_orderkey, day,
+                       sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY day
+                         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS s,
+                       count(*) OVER (PARTITION BY o_custkey ORDER BY day
+                         RANGE BETWEEN 29 PRECEDING AND CURRENT ROW) AS n30
+                FROM d)
+          SELECT o_custkey, o_orderkey, day,
+                 floor(s * 1e2 + 0.5) / 1e2 AS rev30_r, n30
+          FROM w WHERE o_custkey < 200
+          ORDER BY o_custkey, day, o_orderkey""",
     "q_window_orders" ->
       """SELECT o_custkey, o_orderkey, rn FROM (
            SELECT o_custkey, o_orderkey,
