@@ -2385,6 +2385,14 @@ object SparkEntry {
         .orderBy("bin")
     }),
 
+    // -- Spearman rank correlation of quantity vs extended price:
+    //    monotone association on exact HALF-INTEGER average ranks (all
+    //    sums exact in doubles → deterministic without rounding tricks);
+    //    ranks via the ksTest chunked-prefix form — no full-table sort
+    "q_spearman" -> ((s, dir) => {
+      operators.Stats.spearman(t(s, dir, "lineitem"), "l_quantity", "l_extendedprice")
+    }),
+
     // -- QQ drift table: exact deciles of n_chars, even-id snapshot vs
     //    odd-id, aligned with per-decile deltas — PSI's complement in
     //    VALUE space ("p90 length grew 400 chars" is actionable where a
@@ -5829,6 +5837,22 @@ object SparkEntry {
           SELECT n_total, n_sample, exact_r, est_r,
                  floor((abs(est_r - exact_r) / exact_r) * 1e6 + 0.5) / 1e6 AS rel_err_r
           FROM a""",
+    // average ranks from distinct-value cumulative counts (ties share the
+    // mean rank); all rank sums exact half-integers — same formula order
+    "q_spearman" ->
+      """WITH d AS (SELECT l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y FROM lineitem),
+          rx AS (SELECT x AS v, count(*) AS c FROM d GROUP BY x),
+          rx2 AS (SELECT v, (sum(c) OVER (ORDER BY v) - c) + (c + 1) / 2.0 AS r FROM rx),
+          ry AS (SELECT y AS v, count(*) AS c FROM d GROUP BY y),
+          ry2 AS (SELECT v, (sum(c) OVER (ORDER BY v) - c) + (c + 1) / 2.0 AS r FROM ry),
+          j AS (SELECT rx2.r AS ra, ry2.r AS rb
+                FROM d JOIN rx2 ON d.x = rx2.v JOIN ry2 ON d.y = ry2.v),
+          s AS (SELECT count(*)::BIGINT AS n, sum(ra) AS sa, sum(rb) AS sb,
+                       sum(ra * ra) AS saa, sum(rb * rb) AS sbb, sum(ra * rb) AS sab
+                FROM j)
+          SELECT n, floor(((n * sab - sa * sb)
+                           / sqrt((n * saa - sa * sa) * (n * sbb - sb * sb))) * 1e6 + 0.5) / 1e6 AS rho_r
+          FROM s""",
     // positional zip of the two quantile_cont arrays; delta from the
     // ROUNDED quantiles
     "q_qq_drift" ->

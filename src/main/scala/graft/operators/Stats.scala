@@ -932,6 +932,64 @@ object Stats {
     terms.crossJoin(psiTot)
   }
 
+  /** Spearman rank correlation ρ between two numeric columns: Pearson on
+    * AVERAGE ranks — the monotone-association measure Pearson misses
+    * (ρ = 1 for ANY monotone relation, linear or not) and the robust one
+    * (a single outlier moves its rank by at most 1). corrMatrix's
+    * nonlinear sibling.
+    *
+    * Scale + determinism: ranks come from per-DISTINCT-VALUE counts with
+    * cumulative sums in the two-pass chunked prefix form chunked on the
+    * value range (the [[ksTest]] discipline — no full-table sort, no
+    * single-partition window over rows; in-chunk windows are bounded by
+    * the chunk's distinct values). Average ranks are HALF-INTEGERS, so
+    * every sum of ranks/squares/products is exact in doubles below 2^53
+    * — the final ρ is deterministic under any partial-agg order without
+    * rounding tricks. Three scans (rows + one rank build per column),
+    * value-distinct-sized everything else.
+    *
+    * Returns ONE row (n, rho_r).
+    */
+  def spearman(
+      df: DataFrame,
+      xCol: String,
+      yCol: String,
+      chunkWidth: Double = 1000.0): DataFrame = {
+    require(chunkWidth > 0, s"chunkWidth ($chunkWidth) must be positive")
+    def ranks(c: String): DataFrame = {
+      val perValue = df
+        .groupBy(col(c).cast("double").as("__v"))
+        .agg(count(lit(1)).as("__c"))
+        .withColumn("__chunk", floor(col("__v") / chunkWidth).cast("long"))
+      val wChunks = Window.orderBy(col("__chunk"))
+      val bases = perValue
+        .groupBy(col("__chunk")).agg(sum(col("__c")).as("__s"))
+        .withColumn("__b", sum(col("__s")).over(wChunks) - col("__s"))
+        .select(col("__chunk"), col("__b"))
+      val wLocal = Window.partitionBy(col("__chunk")).orderBy(col("__v"))
+      perValue
+        .join(broadcast(bases), Seq("__chunk"))
+        .withColumn("__cum", col("__b") + sum(col("__c")).over(wLocal))
+        .select(col("__v").as(s"${c}__v"),
+          ((col("__cum") - col("__c")).cast("double")
+            + (col("__c") + 1).cast("double") / 2.0).as(s"${c}__r"))
+    }
+    df
+      .select(col(xCol).cast("double").as(s"${xCol}__v"),
+        col(yCol).cast("double").as(s"${yCol}__v"))
+      .join(ranks(xCol), Seq(s"${xCol}__v"))
+      .join(ranks(yCol), Seq(s"${yCol}__v"))
+      .agg(count(lit(1)).as("n"),
+        sum(col(s"${xCol}__r")).as("sa"), sum(col(s"${yCol}__r")).as("sb"),
+        sum(col(s"${xCol}__r") * col(s"${xCol}__r")).as("saa"),
+        sum(col(s"${yCol}__r") * col(s"${yCol}__r")).as("sbb"),
+        sum(col(s"${xCol}__r") * col(s"${yCol}__r")).as("sab"))
+      .select(col("n"), Portable.pround(
+        (col("n") * col("sab") - col("sa") * col("sb"))
+          / sqrt((col("n") * col("saa") - col("sa") * col("sa"))
+            * (col("n") * col("sbb") - col("sb") * col("sb"))), 6).as("rho_r"))
+  }
+
   /** Quantile–quantile drift table between two snapshots: the exact
     * deciles of `c` on each side, aligned, with per-decile deltas —
     * [[psi]]'s complement in VALUE space (PSI says which quantile band's

@@ -69,6 +69,19 @@ class DriftStatsSpec extends SparkSpec {
     assert(got("m") == (5L, 1L, 0.0, 1.0), s"got $got")
   }
 
+  test("spearman: monotone-but-nonlinear reads 1, reversed reads -1, ties share mean ranks") {
+    val mono = (1 to 50).map(i => (i.toDouble, math.exp(i / 10.0))).toDF("x", "y")
+    assert(Stats.spearman(mono, "x", "y").collect().head.getDouble(1) == 1.0,
+      "any monotone relation is rho 1 — the property Pearson lacks")
+    val rev = (1 to 50).map(i => (i.toDouble, -i.toDouble)).toDF("x", "y")
+    assert(Stats.spearman(rev, "x", "y").collect().head.getDouble(1) == -1.0)
+    // tie block: x [1,2,2,3] / y [10,20,20,30] — tied pairs share mean
+    // ranks on both axes, still a perfect monotone association
+    val ties = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 30.0)).toDF("x", "y")
+    val r = Stats.spearman(ties, "x", "y").collect().head
+    assert(r.getLong(0) == 4 && r.getDouble(1) == 1.0, s"got $r")
+  }
+
   test("qqDrift: identical snapshots read zero delta; a +50 shift reads +50 everywhere") {
     val ref = (0 to 100).toDF("v")
     val same = Stats.qqDrift(ref, ref, "v").collect()
