@@ -875,12 +875,14 @@ object Search {
         cleaned.map(t => (qid, t, cleaned.size))
       }
       .toDF("qid", "word", "n_terms")
+    // countDistinct folds the per-doc term dedup INTO the one (qid, doc)
+    // aggregation — no separate distinct shuffle; duplicate terms in a
+    // doc still count once
     tokens
       .select(col(idCol), col("word"))
-      .distinct()
       .join(broadcast(reg), Seq("word"))
       .groupBy(col("qid"), col(idCol))
-      .agg(count(lit(1)).as("__matched"), first(col("n_terms")).as("__nt"))
+      .agg(countDistinct(col("word")).as("__matched"), first(col("n_terms")).as("__nt"))
       .where(col("__matched") === col("__nt"))
       .select(col("qid"), col(idCol))
   }
