@@ -2318,6 +2318,15 @@ object SparkEntry {
       operators.Stats.cohenKappa(rated, "r1", "r2")
     }),
 
+    // -- DP-shaped noisy release of per-lang doc counts: sensitivity-1
+    //    count + Laplace(1/ε) via a deterministic per-cell inverse-CDF
+    //    draw (real DP = secret salt; the mechanism dataflow is what's
+    //    pinned). Clamped at zero. Protects the OUTPUT where
+    //    k-anon/l-diversity audit the data.
+    "q_dp_counts" -> ((s, dir) =>
+      operators.Stats.dpNoisyCounts(t(s, dir, "documents"), "lang", eps = 1.0)
+        .orderBy("lang")),
+
     // -- Benford first-digit audit on prices: observed vs log10(1+1/d),
     //    χ² riding the rows; digit via INTEGER string math (log10 would
     //    misbin powers of 10 cross-engine). The data-forensics classic.
@@ -5808,6 +5817,19 @@ object SparkEntry {
           SELECT n, n11, n10, n01, n00, po_r, pe_r,
                  floor(((po_r - pe_r) / (1.0 - pe_r)) * 1e6 + 0.5) / 1e6 AS kappa_r
           FROM p""",
+    // same md5-uniform → inverse-CDF Laplace draw, clamped release
+    "q_dp_counts" ->
+      """WITH g AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
+          d AS (SELECT lang, n,
+                       greatest(('0x' || substr(md5('dp:' || lang), 1, 13))::BIGINT
+                                / 4503599627370496.0, pow(2.0, -52)) AS u
+                FROM g),
+          m AS (SELECT lang, n,
+                       floor((-1.0 * sign(u - 0.5) * ln(1.0 - 2.0 * abs(u - 0.5))) * 1e4 + 0.5) / 1e4 AS noise_r
+                FROM d)
+          SELECT lang, n, noise_r,
+                 floor((greatest(n + noise_r, 0.0)) * 1e4 + 0.5) / 1e4 AS released_r
+          FROM m ORDER BY lang""",
     "q_benford" -> benfordSql,
     "q_fd_check" ->
       s"""SELECT * FROM (

@@ -806,6 +806,48 @@ object Stats {
       .select("bin", "n", "conf_r", "acc_r", "gap_r", "ece_r")
   }
 
+  /** Differential-privacy-SHAPED noisy counts (Dwork et al. 2006): per
+    * group, count + Laplace(1/ε) noise via the inverse CDF — the release
+    * mechanism for count statistics over sensitive corpora (each count
+    * has sensitivity 1, so Laplace(1/ε) gives ε-DP). The noise draw here
+    * is DETERMINISTIC — a per-(salt, group) md5 uniform through
+    * x = −(1/ε)·sgn(u−½)·ln(1−2|u−½|) — so the release replays exactly
+    * for the oracle and for reruns. REAL DP requires the salt to be a
+    * secret random seed (a public salt lets anyone re-derive the noise);
+    * the DATAFLOW — per-cell draw, inverse CDF, clamped-at-zero release —
+    * is exactly what a production mechanism runs, which is what this
+    * pins. Beside [[kAnonymity]]/[[lDiversity]] (which audit the data),
+    * this protects the OUTPUT.
+    *
+    * One partial-agg count; the noise is a map-side projection over the
+    * group-cardinality result.
+    *
+    * Returns (groupCol, n, noise_r, released_r) — released clamped ≥ 0,
+    * both 4-dp.
+    */
+  def dpNoisyCounts(
+      df: DataFrame,
+      groupCol: String,
+      eps: Double = 1.0,
+      salt: String = "dp"): DataFrame = {
+    require(eps > 0, s"eps ($eps) must be positive")
+    // 52-bit md5 prefix → u ∈ [2^-52, 1): never exactly 0 or 1, so the
+    // ln argument stays positive
+    val u = greatest(
+      conv(substring(md5(concat(lit(s"$salt:"), col(groupCol).cast("string"))), 1, 13), 16, 10)
+        .cast("double") / lit(4503599627370496.0),
+      lit(math.pow(2.0, -52)))
+    val centered = u - lit(0.5)
+    val noise = -lit(1.0 / eps) * signum(centered) *
+      log(lit(1.0) - lit(2.0) * abs(centered))
+    df
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("noise_r", Portable.pround(noise, 4))
+      .withColumn("released_r", Portable.pround(
+        greatest(col("n") + col("noise_r"), lit(0.0)), 4))
+  }
+
   /** Benford first-digit audit (Benford 1938; the fraud/data-forensics
     * standard): the observed first-significant-digit distribution of a
     * positive numeric column against Benford's law p(d) = log₁₀(1+1/d),

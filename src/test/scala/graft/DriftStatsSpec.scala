@@ -69,6 +69,26 @@ class DriftStatsSpec extends SparkSpec {
     assert(got("m") == (5L, 1L, 0.0, 1.0), s"got $got")
   }
 
+  test("dpNoisyCounts: deterministic replay, 1/eps noise scale, zero clamp") {
+    val df = (Seq.fill(100)("big") ++ Seq.fill(1)("tiny")).toDF("g")
+    val a = Stats.dpNoisyCounts(df, "g", eps = 1.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    val b = Stats.dpNoisyCounts(df, "g", eps = 1.0)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSet
+    assert(a == b, "same salt → identical release (the rerun/oracle property)")
+    assert(a.forall(_._4 >= 0.0), "released counts clamp at zero")
+    // a different salt draws different noise; smaller eps scales it 1/eps
+    val c = Stats.dpNoisyCounts(df, "g", eps = 1.0, salt = "other")
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    val a2 = a.map(t => t._1 -> t._3).toMap
+    assert(c != a2, "salt changes the draw")
+    val wide = Stats.dpNoisyCounts(df, "g", eps = 0.1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    a2.foreach { case (g, n1) =>
+      assert(math.abs(wide(g) - 10.0 * n1) < 1e-3, s"noise scales by 1/eps: $n1 vs ${wide(g)}")
+    }
+  }
+
   test("spearman: monotone-but-nonlinear reads 1, reversed reads -1, ties share mean ranks") {
     val mono = (1 to 50).map(i => (i.toDouble, math.exp(i / 10.0))).toDF("x", "y")
     assert(Stats.spearman(mono, "x", "y").collect().head.getDouble(1) == 1.0,
