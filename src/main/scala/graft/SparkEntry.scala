@@ -7510,18 +7510,18 @@ object SparkEntry {
         $out ORDER BY rank"""
   }
 
-  /** Unrolled fixed-iteration HITS (mirror of Graph.hits): per round,
-    * authorities from the PREVIOUS hub vector, hubs from the UPDATED
-    * authorities, each L1-normalized via a scalar subquery.
+  /** Unrolled fixed-iteration HITS (mirror of Graph.hits): authorities
+    * from the previous hub vector, hubs from the UPDATED authorities,
+    * iterated UNNORMALIZED (integer-valued sums — exact) with ONE final
+    * L1 normalization, which scale-invariance makes identical to the
+    * textbook per-round form.
     */
   private def hitsSql(iters: Int): String = {
     val rounds = (1 to iters).map { k =>
-      s"""a${k}r AS (SELECT e0.dst AS node, sum(h.hub) AS v
-                     FROM e0 JOIN h${k - 1} h ON e0.src = h.node GROUP BY e0.dst),
-          a$k AS (SELECT node, v / (SELECT sum(v) FROM a${k}r) AS auth FROM a${k}r),
-          h${k}r AS (SELECT e0.src AS node, sum(a.auth) AS v
-                     FROM e0 JOIN a$k a ON e0.dst = a.node GROUP BY e0.src),
-          h$k AS (SELECT node, v / (SELECT sum(v) FROM h${k}r) AS hub FROM h${k}r)"""
+      s"""a$k AS (SELECT e0.dst AS node, sum(h.hub) AS auth
+                  FROM e0 JOIN h${k - 1} h ON e0.src = h.node GROUP BY e0.dst),
+          h$k AS (SELECT e0.src AS node, sum(a.auth) AS hub
+                  FROM e0 JOIN a$k a ON e0.dst = a.node GROUP BY e0.src)"""
     }.mkString(",\n")
     s"""WITH e0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
                     FROM orders JOIN lineitem ON o_orderkey = l_orderkey),
@@ -7529,8 +7529,8 @@ object SparkEntry {
         h0 AS (SELECT node, 1.0 AS hub FROM nodes),
         $rounds
         SELECT n.node,
-               floor((coalesce(h.hub, 0.0)) * 1e6 + 0.5) / 1e6 AS hub_r,
-               floor((coalesce(a.auth, 0.0)) * 1e6 + 0.5) / 1e6 AS auth_r
+               floor((coalesce(h.hub, 0.0) / (SELECT sum(hub) FROM h$iters)) * 1e6 + 0.5) / 1e6 AS hub_r,
+               floor((coalesce(a.auth, 0.0) / (SELECT sum(auth) FROM a$iters)) * 1e6 + 0.5) / 1e6 AS auth_r
         FROM nodes n LEFT JOIN h$iters h ON n.node = h.node
                      LEFT JOIN a$iters a ON n.node = a.node
         ORDER BY n.node"""
