@@ -88,6 +88,44 @@ class CmsSpec extends AnyFunSuite {
     assert(whole == parts.toSeq, "decomposed build must equal the one-shot build")
   }
 
+  test("WINDOWED cms_counts under a watermark == batch per-window matrices") {
+    import spark.implicits._
+    // per-hour frequency sketches: the matrix composes with event-time
+    // windows + watermark like any built-in aggregate, with depth·width
+    // longs of state per open window instead of the key set
+    val dir = java.nio.file.Files.createTempDirectory("graft-cms-win")
+    val rows = (0 until 3000).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-05-01 ${i % 4}%02d:${(i * 11) % 60}%02d:00"),
+        s"key_${i % ((i % 50) + 1)}")
+    }
+    rows.toDF("ts", "k").coalesce(2).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType))))
+      .parquet(dir.toString)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(expr(s"cms_counts(k, $D, $W)").as("m"))
+      .select(col("w.start").as("h"), col("m"))
+    val q = stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .format("memory").queryName("cms_win").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("cms_win").orderBy("h")
+      .collect().map(r => (r.getTimestamp(0), r.getSeq[Long](1))).toSeq
+    val want = spark.read.parquet(dir.toString)
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(expr(s"cms_counts(k, $D, $W)").as("m"))
+      .select(col("w.start").as("h"), col("m"))
+      .orderBy("h")
+      .collect().map(r => (r.getTimestamp(0), r.getSeq[Long](1))).toSeq
+    assert(got.map(_._1) == want.map(_._1) && got.map(_._2) == want.map(_._2),
+      "per-window streaming matrices must equal the batch matrices exactly")
+    assert(got.length == 4, s"four hour windows, got ${got.length}")
+  }
+
   test("cms_counts runs UNCHANGED in Structured Streaming (Complete mode) == batch") {
     import spark.implicits._
     val dir = java.nio.file.Files.createTempDirectory("graft-cms-stream")
