@@ -1486,6 +1486,27 @@ object SparkEntry {
         .orderBy("doc1", "doc2")
     }),
 
+    // -- dedup threshold-tuning table: the exact setsim pairs (floor 0.5)
+    //    banded by Jaccard decile, with "pairs a threshold of band/10
+    //    would still match" as a cumulative column — the what-if sweep
+    //    run BEFORE committing a dedup threshold, from ONE pair pass.
+    //    Cumulation via a bands²-sized self-join (≤ 36 rows), no
+    //    single-partition window.
+    "q_dedup_threshold_sweep" -> ((s, dir) => {
+      val banded = Dedup
+        .prefixJaccardJoin(t(s, dir, "documents"), threshold = 0.5, shingleK = 3)
+        .withColumn("band", least(floor(col("jaccard") * 10), lit(9.0)).cast("int"))
+        .groupBy(col("band"))
+        .agg(count(lit(1)).as("n_pairs"))
+        .localCheckpoint(true)
+      banded
+        .join(banded.select(col("band").as("b2"), col("n_pairs").as("n2")),
+          col("b2") >= col("band"))
+        .groupBy(col("band"))
+        .agg(first(col("n_pairs")).as("n_pairs"), sum(col("n2")).as("n_at_or_above"))
+        .orderBy("band")
+    }),
+
     // -- label-noise audit: own-centroid vs nearest-foreign-centroid
     //    cosine margin per labeled vector; negative margin = mislabel
     //    suspect (confident-learning shape, broadcast centroids, max_by)
@@ -4892,6 +4913,23 @@ object SparkEntry {
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(a.shingles) > 0 AND len(b.shingles) > 0) p
           WHERE jaccard >= 0.5 ORDER BY doc1, doc2""",
+    // brute-force jaccard pairs (the q_setsim_join proof pattern) banded
+    // the same way; cumulative via the band self-join
+    "q_dedup_threshold_sweep" ->
+      s"""WITH ${shinglesCte(3)},
+          p AS (
+            SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                   len(list_intersect(a.shingles, b.shingles))::DOUBLE /
+                   (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
+            FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+            WHERE len(a.shingles) > 0 AND len(b.shingles) > 0),
+          r AS (SELECT floor((jaccard) * 1e4 + 0.5) / 1e4 AS j FROM p
+                WHERE jaccard >= 0.5),
+          g AS (SELECT least(floor(j * 10), 9)::INT AS band, count(*)::BIGINT AS n_pairs
+                FROM r GROUP BY 1)
+          SELECT a.band, any_value(a.n_pairs) AS n_pairs, sum(b.n_pairs)::BIGINT AS n_at_or_above
+          FROM g a JOIN g b ON b.band >= a.band
+          GROUP BY a.band ORDER BY a.band""",
     // the cos <= 0.6 dup-band filter precedes the rank, mirroring the
     // pre-aggregate filter in the Spark plan
     "q_hard_negatives" ->

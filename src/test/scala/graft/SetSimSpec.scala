@@ -144,4 +144,27 @@ class SetSimSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
     assert(got.toSeq == Seq((200L, 1L, 0.5)), s"exact ratio at the 0.5 bar: ${got.toSeq}")
   }
+
+  test("threshold sweep bands: the q_dedup_threshold_sweep composition on hand pairs") {
+    import spark.implicits._
+    // pair (1,2): identical → jaccard 1.0, band 9
+    // pair (3,4): shingles {abc,bcd,cde} vs {abc,bcd,cdf} → 2/4 = 0.5, band 5
+    val docs = Seq(
+      (1L, "aa bb cc dd"), (2L, "aa bb cc dd"),
+      (3L, "a b c d e"), (4L, "a b c d f")
+    ).toDF("doc_id", "text")
+    val banded = Dedup.prefixJaccardJoin(docs, threshold = 0.5, shingleK = 3)
+      .withColumn("band", least(floor(col("jaccard") * 10), lit(9.0)).cast("int"))
+      .groupBy(col("band")).agg(count(lit(1)).as("n_pairs"))
+      .localCheckpoint(true)
+    val got = banded
+      .join(banded.select(col("band").as("b2"), col("n_pairs").as("n2")),
+        col("b2") >= col("band"))
+      .groupBy(col("band"))
+      .agg(first(col("n_pairs")).as("n"), sum(col("n2")).as("cum"))
+      .orderBy("band")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toList
+    assert(got == List((5, 1L, 2L), (9, 1L, 1L)),
+      s"band rows + at-or-above cumulation: $got")
+  }
 }
