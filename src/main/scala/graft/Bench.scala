@@ -170,8 +170,16 @@ object Bench {
 
     fence()
 
-    // flagship: full inverted-index build over the sf documents table
-    timed("index_build") {
+    // flagship: full inverted-index build over the sf documents table.
+    // best-of-2-adaptive-3 like every sweep query (r12 flagged this entry
+    // doubling round-over-round on unchanged code — a single sample right
+    // after the ref-corpus workload carries whatever JIT/load shadow is
+    // around; the min-of-N discipline the rest of the sweep already has
+    // is the fix). The ref-corpus warm entry above is already min-of-5;
+    // the cold entry is inherently a single unrepeatable sample (one true
+    // cold run exists per JVM) and stays one — read it as "startup +
+    // first-touch", not steady-state throughput.
+    timedBest2("index_build") {
       run(
         operators.InvertedIndex.rankedGlobal(
           operators.InvertedIndex.postings(

@@ -1123,19 +1123,34 @@ object SparkEntry {
 
     // -- vocabulary coverage curve: token-mass OOV rate under the top-n
     //    vocabulary for n in {5, 10, 20} — the tokenizer-design table
-    //    (how small a vocab still covers the corpus)
+    //    (how small a vocab still covers the corpus). The query only ever
+    //    needs the top max(n) vocabulary, so it's a TakeOrderedAndProject
+    //    over the word counts (distributed partial top-k, the
+    //    q_search_prefix discipline) — NEVER a row_number window over the
+    //    whole vocabulary, whose Exchange SinglePartition sort was the
+    //    r12-flagged one-task scale-killer. The 20 winners collapse to a
+    //    single sorted array (a ≤20-row aggregate) and each coverage row
+    //    is a prefix-slice sum of that array beside the corpus-wide total.
     "q_oov_rate" -> ((s, dir) => {
       val vocab = Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))
         .groupBy(col("word")).agg(count(lit(1)).as("freq"))
-      val ranked = vocab.withColumn("rk",
-        row_number().over(Window.orderBy(desc("freq"), asc("word"))))
-      ranked
-        .select(col("freq"), col("rk"),
-          explode(array(lit(5), lit(10), lit(20))).as("vocab_size"))
-        .groupBy(col("vocab_size"))
-        .agg(
-          sum(when(col("rk") <= col("vocab_size"), col("freq")).otherwise(0L)).as("covered_tokens"),
-          sum(col("freq")).as("total_tokens"))
+      val total = vocab.agg(sum(col("freq")).as("total_tokens"))
+      val tops = vocab
+        .orderBy(desc("freq"), asc("word"))
+        .limit(20)
+        .agg(collect_list(struct(col("freq"), col("word"))).as("tops"))
+        .select(expr(
+          """array_sort(tops, (a, b) ->
+             CASE WHEN a.freq > b.freq THEN -1 WHEN a.freq < b.freq THEN 1
+                  WHEN a.word < b.word THEN -1 WHEN a.word > b.word THEN 1
+                  ELSE 0 END)""").as("tops"))
+      total.crossJoin(tops)
+        .select(explode(array(lit(5), lit(10), lit(20))).as("vocab_size"),
+          col("tops"), col("total_tokens"))
+        .select(col("vocab_size"),
+          expr("aggregate(slice(tops, 1, vocab_size), CAST(0 AS BIGINT), (acc, x) -> acc + x.freq)")
+            .as("covered_tokens"),
+          col("total_tokens"))
         .withColumn("oov_rate_r",
           graft.functions.Portable.pround(
             lit(1.0) - col("covered_tokens").cast("double") / col("total_tokens"), 4))
@@ -4256,7 +4271,7 @@ object SparkEntry {
             GROUP BY doc_id),
           lex AS (SELECT doc_id,
                          row_number() OVER (ORDER BY floor(score * 1e6 + 0.5) / 1e6 DESC, doc_id) AS r1
-                  FROM bscore),
+                  FROM bscore QUALIFY r1 <= 1000),
           e AS (SELECT vec_id, embedding,
                        sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
                             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
@@ -5900,7 +5915,8 @@ object SparkEntry {
     // average ranks from distinct-value cumulative counts (ties share the
     // mean rank); all rank sums exact half-integers — same formula order
     "q_spearman" ->
-      """WITH d AS (SELECT l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y FROM lineitem),
+      """WITH d AS (SELECT l_quantity::DOUBLE AS x, l_extendedprice::DOUBLE AS y FROM lineitem
+                    WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL),
           rx AS (SELECT x AS v, count(*) AS c FROM d GROUP BY x),
           rx2 AS (SELECT v, (sum(c) OVER (ORDER BY v) - c) + (c + 1) / 2.0 AS r FROM rx),
           ry AS (SELECT y AS v, count(*) AS c FROM d GROUP BY y),
@@ -5959,7 +5975,8 @@ object SparkEntry {
       """WITH g AS (SELECT source AS g, count(*)::BIGINT AS n,
                            sum(n_chars::HUGEINT)::DOUBLE AS s1d,
                            sum((n_chars::HUGEINT) * (n_chars::HUGEINT))::DOUBLE AS s2d
-                    FROM documents GROUP BY source),
+                    FROM documents GROUP BY source
+                    HAVING count(*) >= 2),
           s AS (SELECT g, n, s1d / n AS m,
                        (s2d - s1d * s1d / n) / (n - 1) AS v
                 FROM g)
@@ -7399,7 +7416,11 @@ object SparkEntry {
 
   /** Benford oracle (mirror of Stats.benford on lineitem prices): digit
     * via integer string math, expected shares embedded as the IDENTICAL
-    * Scala doubles, χ² from the rounded per-digit terms.
+    * Scala doubles, χ² from the rounded per-digit terms. Shares the
+    * operator's two-decimal granularity contract — the digit comes from
+    * the half-up CENTS rounding, so both engines misbin a sub-cent value
+    * near a magnitude boundary IDENTICALLY (and Stats.benford's scaladoc
+    * tells finer columns to rescale before calling).
     */
   private def benfordSql: String = {
     val exp = (1 to 9).map(d => math.log10(1.0 + 1.0 / d))
@@ -7487,13 +7508,13 @@ object SparkEntry {
           GROUP BY doc_id),
         lex AS (SELECT doc_id,
                        row_number() OVER (ORDER BY floor(score * 1e6 + 0.5) / 1e6 DESC, doc_id) AS ra
-                FROM bscore),
+                FROM bscore QUALIFY ra <= 1000),
         n AS (SELECT count(DISTINCT doc_id) AS n_docs FROM tok),
         tscore AS (SELECT doc_id, sum(tf * ln(n_docs::DOUBLE / df_t)) AS score
                    FROM tf JOIN dfs USING (word) CROSS JOIN n GROUP BY doc_id),
         tfr AS (SELECT doc_id,
                        row_number() OVER (ORDER BY floor(score * 1e6 + 0.5) / 1e6 DESC, doc_id) AS rb
-                FROM tscore),
+                FROM tscore QUALIFY rb <= 1000),
         rw AS (SELECT * FROM (VALUES $vals) AS t(m, w)),
         j AS (SELECT greatest(lex.ra, tfr.rb) AS m
               FROM lex JOIN tfr USING (doc_id)

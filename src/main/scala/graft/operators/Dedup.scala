@@ -480,6 +480,21 @@ object Dedup {
     * is ONE shuffle: group (band, slice) → sorted member list → in-bucket
     * index-lambda pair expansion → exact hamming filter → distinct; no
     * self-join materializes both sides.
+    *
+    * NO-SILENT-CAPS audit: pass `dropAudit` and the operator itself
+    * reports, from the very run that produced the pairs, how much the
+    * `maxBucket` cap cut — `dropped_buckets` / `dropped_members` (the
+    * saturated buckets and the postings inside them: the recall the cap
+    * spent) and `retained_pair_bound` (Σ n·(n−1)/2 over kept buckets:
+    * the work it admitted). Metrics ride the bucket relation as an
+    * `observe()` — zero extra scans, zero extra shuffles — so a
+    * production run doesn't need the separate [[simhashBucketSizes]]
+    * diagnostic pass ScaleBench uses (ObserveSpec pins the two agree).
+    * Caveat (measured): when the query returns ZERO pairs, AQE's
+    * empty-relation propagation can eliminate the plan above the bucket
+    * stage and the Observation completes without metrics — treat an
+    * empty metric map on an empty result as "fall back to the
+    * diagnostic relation", not as zero drops.
     */
   def simhashPairs(
       sigs: DataFrame,
@@ -488,14 +503,19 @@ object Dedup {
       sigBits: Int = 60,
       maxBucket: Int = 1 << 12,
       idCol: String = "doc_id",
-      sigCol: String = "simhash"): DataFrame = {
+      sigCol: String = "simhash",
+      dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxDist < bands,
       s"pigeonhole needs maxDist ($maxDist) < bands ($bands) for exact recall")
     require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least one pair")
     val banded = simhashBanded(sigs, bands, sigBits, idCol, sigCol)
-    banded
+    val buckets = banded
       .groupBy(col("band_idx"), col("band_val"))
       .agg(array_sort(collect_list(col("m"))).as("members"))
+    dropAudit.fold(buckets) { o =>
+      val ms = dropMetrics(size(col("members")), maxBucket)
+      buckets.observe(o, ms.head, ms.tail: _*)
+    }
       .where(size(col("members")).between(2, maxBucket))
       // members are (id, sig) structs sorted id ASC (ids unique per bucket),
       // so the index-lambda expansion emits each in-bucket pair once with
@@ -510,6 +530,25 @@ object Dedup {
       .where(col("p.hamming") <= maxDist)
       .select(col("p.doc1"), col("p.doc2"), col("p.hamming").cast("int").as("hamming"))
       .distinct()
+  }
+
+  /** The cap-audit metric columns every bucketed pair generator observes
+    * when a `dropAudit` Observation is passed: given the bucket's member
+    * count `n` and the cap, (dropped_buckets, dropped_members,
+    * retained_pair_bound) — the same three numbers ScaleBench derives
+    * from the `*BucketSizes` diagnostic relations, computed here ON the
+    * production run itself (n up to corpus order, so everything counts
+    * in longs).
+    */
+  private def dropMetrics(n: Column, maxBucket: Int): Seq[Column] = {
+    val nl = n.cast("long")
+    Seq(
+      sum(when(nl > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+      sum(when(nl > maxBucket, nl).otherwise(0L)).as("dropped_members"),
+      // n·(n−1) is even — shiftright keeps the arithmetic integral
+      // (Column `/` is double division)
+      sum(when(nl.between(2, maxBucket), shiftright(nl * (nl - 1), 1)).otherwise(0L))
+        .as("retained_pair_bound"))
   }
 
   /** The pigeonhole band relation [[simhashPairs]] buckets on: one row per
@@ -824,7 +863,8 @@ object Dedup {
       shingleK: Int = 2,
       maxBucket: Int = 1 << 16,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
+      textCol: String = "text",
+      dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold outside (0,1]")
     require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least one pair")
     // the whole join runs in HASHED shingle space: 60 portable md5 bits as
@@ -847,9 +887,15 @@ object Dedup {
     //    Jaccard ≥ t needs overlap·(1+t) ≥ t·(sz₁+sz₂) — the 1e-9 slack
     //    keeps double rounding from clipping an exact-boundary TRUE pair;
     //    slack only ever ADMITS a candidate, and verification is exact.
-    val cands = prefix
+    val buckets = prefix
       .groupBy(col("h"))
       .agg(array_sort(collect_list(struct(col("id"), col("sz"), (col("pos0") + 1).as("pos")))).as("ms"))
+    // same no-silent-caps audit as simhashPairs: when an Observation is
+    // passed, the cut mass rides this very run as observe() metrics
+    val cands = dropAudit.fold(buckets) { o =>
+      val ms = dropMetrics(size(col("ms")), maxBucket)
+      buckets.observe(o, ms.head, ms.tail: _*)
+    }
       .where(size(col("ms")).between(2, maxBucket))
       .select(explode_outer(expr(
         s"""flatten(transform(ms, (x, i) ->
@@ -923,12 +969,17 @@ object Dedup {
     * duplicate k-grams) and the scoring twin of decontamination's k-gram
     * join.
     *
-    * Plan: one shingle-keyed shuffle; the shingle's doc-frequency rides
-    * that same exchange as a whole-partition window count (the
-    * [[graft.operators.Graph.pagerank]] eDeg discipline — no second scan,
-    * no join-back), then one doc-keyed partial agg. Nothing pairwise,
-    * nothing quadratic; a universal shingle concentrates its postings in
-    * one task, bounded by its corpus df exactly like any heavy key here.
+    * Plan: the shingle doc-frequency is a `groupBy(sh).count` — a
+    * PARTIALLY AGGREGATED count, so a ubiquitous boilerplate 5-gram is
+    * combined map-side into one row per task before its counts ever
+    * shuffle — joined back to the posting stream on the same shingle
+    * key, then one doc-keyed partial agg. (The r12 form counted df with
+    * a whole-partition window on that key instead: no map-side combine,
+    * so every posting of the hot shingle serialized through a single
+    * window task — and a window partition is the one thing AQE's
+    * skew-join splitter can never subdivide, while the join-back below
+    * is a plain sort-merge join AQE CAN split on skew.) Nothing
+    * pairwise, nothing quadratic.
     *
     * Returns (idCol, n_shingles, n_shared, exposure_r). Docs whose text
     * yields zero shingles carry no row (no shingles → no exposure).
@@ -938,7 +989,6 @@ object Dedup {
       k: Int = 5,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     // Measured decision: shuffling the raw ~30-byte shingle strings beats
     // pre-hashing them to 8-byte md5-prefix longs at this scale (6.2 s vs
     // 7.4 s at sf0.1 — the per-shingle md5 costs more than the shuffle
@@ -948,8 +998,9 @@ object Dedup {
     // exact strings).
     val sh = TextAnalysis.withShingles(docs, textCol, k)
       .select(col(idCol), explode(col("shingles")).as("sh"))
+    val sdf = sh.groupBy(col("sh")).agg(count(lit(1)).as("sdf"))
     sh
-      .withColumn("sdf", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .join(sdf, Seq("sh"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_shingles"),
         sum((col("sdf") > 1).cast("long")).as("n_shared"))

@@ -767,20 +767,41 @@ object Search {
       .limit(k)
   }
 
-  /** Rank a scored result relation for [[rrfFuse]]: row_number over
-    * (6-dp-rounded score DESC, id ASC). The window is RESULT-sized (a
-    * query's candidates), not corpus-sized; rounding before ranking makes
-    * tie order cross-engine deterministic.
+  /** TRUNCATED ranking of a scored result relation for [[rrfFuse]] /
+    * [[rboEval]]: the top `n` results by (6-dp-rounded score DESC,
+    * id ASC), 1-based ranks — the IR-standard "retrieve top-n per
+    * ranker, then fuse" contract (Cormack et al. 2009 fuse top-1000
+    * runs, not full rankings).
+    *
+    * The r12 form ranked the ENTIRE match set with a global row_number
+    * window — for a common-term query that match set is corpus-order, so
+    * the plan was an `Exchange SinglePartition` one-task sort of
+    * everything the query touched (the q_oov_rate shape the global-window
+    * lint now rejects). Here the cut is a TakeOrderedAndProject
+    * (per-partition top-n heaps + one n-row merge) and ranks are
+    * assigned by position in the collected n-row array — no window
+    * operator anywhere, and everything after the cut is bounded by the
+    * constant `n`. Rounding before ranking keeps tie order cross-engine
+    * deterministic; consumers that need rank ≤ k just need n ≥ k.
     */
   def rankResults(
       scored: DataFrame,
+      n: Int = 1000,
       idCol: String = "doc_id",
-      scoreCol: String = "score"): DataFrame =
-    scored.select(col(idCol),
+      scoreCol: String = "score"): DataFrame = {
+    require(n > 0, s"n ($n) must be positive")
+    scored.select(col(idCol).as("__id"),
       graft.functions.Portable.pround(col(scoreCol).cast("double"), 6).as("__s"))
-      .withColumn("rank",
-        row_number().over(Window.orderBy(col("__s").desc, col(idCol).asc)))
-      .select(col(idCol), col("rank"))
+      .orderBy(col("__s").desc, col("__id").asc)
+      .limit(n)
+      .agg(collect_list(struct(col("__s"), col("__id"))).as("xs"))
+      .select(posexplode(expr(
+        """array_sort(xs, (a, b) ->
+           CASE WHEN a.__s > b.__s THEN -1 WHEN a.__s < b.__s THEN 1
+                WHEN a.__id < b.__id THEN -1 WHEN a.__id > b.__id THEN 1
+                ELSE 0 END)""")).as(Seq("__pos", "e")))
+      .select(col("e.__id").as(idCol), (col("__pos") + 1).cast("int").as("rank"))
+  }
 
   /** Vocabulary prefix search over the index: the words starting with
     * `prefix` ranked by document frequency — the query-autocomplete /

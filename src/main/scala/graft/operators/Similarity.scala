@@ -1269,10 +1269,17 @@ object Similarity {
       .localCheckpoint(true)
     val rels = cand.select(col(idCol), col("rel_r"))
 
-    val first = rels.orderBy(col("rel_r").desc, col(idCol).asc).limit(1)
-      .select(col(idCol), col("rel_r").as("score_r")).collect().head
-    var picked = Vector((first.getLong(0), first.getDouble(1)))
-    while (picked.size < k) {
+    // ids are read GENERICALLY (Row.get, re-entering the plan as isin
+    // literals) so any id type works, and every round's 1-row argmax may
+    // legitimately come back EMPTY — fewer than k candidates exist, or
+    // the pair relation ran dry — in which case the greedy loop stops
+    // with what it has instead of .head-ing an empty array.
+    var picked = Vector.empty[(Any, Double)]
+    rels.orderBy(col("rel_r").desc, col(idCol).asc).limit(1)
+      .select(col(idCol), col("rel_r").as("score_r")).collect().headOption
+      .foreach(r => picked = Vector((r.get(0), r.getDouble(1))))
+    var exhausted = picked.isEmpty
+    while (picked.size < k && !exhausted) {
       val sel = picked.map(_._1)
       val next = pairs
         .where(col("b").isin(sel: _*) && !col("a").isin(sel: _*))
@@ -1283,13 +1290,23 @@ object Similarity {
           round(lit(lambda) * col("rel_r") - lit(1.0 - lambda) * col("maxsim_r"), 6)
             .as("score_r"))
         .orderBy(col("score_r").desc, col(idCol).asc)
-        .limit(1).collect().head
-      picked = picked :+ ((next.getLong(0), next.getDouble(1)))
+        .limit(1).collect().headOption
+      next match {
+        case Some(r) => picked = picked :+ ((r.get(0), r.getDouble(1)))
+        case None    => exhausted = true
+      }
     }
-    import spark.implicits._
-    picked.zipWithIndex
-      .map { case ((id, s), i) => (i + 1, id, s) }
-      .toDF("rank", idCol, "score_r")
+    val idField = cand.schema(idCol)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank", org.apache.spark.sql.types.IntegerType,
+        nullable = false),
+      idField.copy(name = idCol),
+      org.apache.spark.sql.types.StructField("score_r", org.apache.spark.sql.types.DoubleType,
+        nullable = false)))
+    val rows = picked.zipWithIndex.map { case ((id, s), i) =>
+      org.apache.spark.sql.Row(i + 1, id, s)
+    }
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
   }
 
   /** Mutual (reciprocal) best-match between two embedding sets — the core

@@ -860,6 +860,15 @@ object Stats {
     * χ² is computed from the ROUNDED per-digit shares. One partial-agg
     * pass; 9-row result.
     *
+    * GRANULARITY CONTRACT: the column is read at two-decimal (currency)
+    * granularity — values are half-up rounded to cents before the digit
+    * is taken, and |value| < 0.005 rows are excluded. A sub-cent value
+    * near a magnitude boundary is therefore binned by its ROUNDED cents
+    * (0.0999 → 10 cents → digit 1, not the unrounded 9): exact for the
+    * ≤2-dp monetary columns this audits, deliberate for anything finer —
+    * rescale finer columns (×10^k) before calling rather than trusting a
+    * cross-engine double→string of the raw value.
+    *
     * Returns (digit, n, share_r, expected_r, chi2_r) — chi2 constant
     * across the 9 rows.
     */
@@ -990,6 +999,12 @@ object Stats {
     * rounding tricks. Three scans (rows + one rank build per column),
     * value-distinct-sized everything else.
     *
+    * NULL discipline: rows where EITHER column is NULL are dropped ONCE
+    * up front, and both rank relations are built from that paired
+    * projection — ranking a column over all rows and then inner-joining
+    * would rank against values the pairing discards (and a NULL value's
+    * NULL chunk would ride the chunk prefix sum differently per engine).
+    *
     * Returns ONE row (n, rho_r).
     */
   def spearman(
@@ -998,9 +1013,13 @@ object Stats {
       yCol: String,
       chunkWidth: Double = 1000.0): DataFrame = {
     require(chunkWidth > 0, s"chunkWidth ($chunkWidth) must be positive")
+    val paired = df
+      .select(col(xCol).cast("double").as(s"${xCol}__v"),
+        col(yCol).cast("double").as(s"${yCol}__v"))
+      .where(col(s"${xCol}__v").isNotNull && col(s"${yCol}__v").isNotNull)
     def ranks(c: String): DataFrame = {
-      val perValue = df
-        .groupBy(col(c).cast("double").as("__v"))
+      val perValue = paired
+        .groupBy(col(s"${c}__v").as("__v"))
         .agg(count(lit(1)).as("__c"))
         .withColumn("__chunk", floor(col("__v") / chunkWidth).cast("long"))
       val wChunks = Window.orderBy(col("__chunk"))
@@ -1016,9 +1035,7 @@ object Stats {
           ((col("__cum") - col("__c")).cast("double")
             + (col("__c") + 1).cast("double") / 2.0).as(s"${c}__r"))
     }
-    df
-      .select(col(xCol).cast("double").as(s"${xCol}__v"),
-        col(yCol).cast("double").as(s"${yCol}__v"))
+    paired
       .join(ranks(xCol), Seq(s"${xCol}__v"))
       .join(ranks(yCol), Seq(s"${yCol}__v"))
       .agg(count(lit(1)).as("n"),
@@ -1078,6 +1095,11 @@ object Stats {
       .agg(count(lit(1)).as("n"),
         sum(x).cast("decimal(38,0)").as("s1"),
         sum(x * x).as("s2"))
+      // singleton groups have no sample variance: (n-1)=0 would make v
+      // Inf/NaN and poison every pair the group joins into, with
+      // engine-dependent NaN semantics — drop them (burstiness's HAVING
+      // discipline; the oracle carries the same HAVING count(*) >= 2)
+      .where(col("n") >= 2)
       .select(col("g"), col("n"),
         (col("s1").cast("double") / col("n")).as("m"),
         ((col("s2").cast("double")

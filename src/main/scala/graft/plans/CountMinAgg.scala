@@ -95,11 +95,15 @@ case class CountMinAgg(
   extends TypedImperativeAggregate[CmsSketch]
   with TernaryLike[Expression] {
 
-  private def intLit(e: Expression, what: String, lo: Int, hi: Int): Int = e match {
-    case Literal(v: Int, IntegerType) if v >= lo && v <= hi => v
-    case other => throw new IllegalArgumentException(
-      s"cms_counts $what must be an INT literal in [$lo,$hi], got $other")
-  }
+  // checkInputDataTypes admits any FOLDABLE int (so `2+2` passes analysis)
+  // — evaluate the constant rather than pattern-matching a bare Literal
+  // node, which deferred the failure to a per-task execution throw
+  private def intLit(e: Expression, what: String, lo: Int, hi: Int): Int =
+    (if (e.foldable) e.eval() else null) match {
+      case v: Int if v >= lo && v <= hi => v
+      case _ => throw new IllegalArgumentException(
+        s"cms_counts $what must be a foldable INT in [$lo,$hi], got ${e.sql}")
+    }
   private lazy val depth: Int = intLit(second, "depth", 1, 16)
   private lazy val width: Int = intLit(third, "width", 2, 1 << 20)
 

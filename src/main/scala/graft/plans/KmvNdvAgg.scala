@@ -100,11 +100,14 @@ case class KmvNdvAgg(
   extends TypedImperativeAggregate[KmvSketch]
   with BinaryLike[Expression] {
 
-  private lazy val k: Int = right match {
-    case Literal(v: Int, IntegerType) if v >= 2 => v
-    case other => throw new IllegalArgumentException(
-      s"kmv_ndv k must be an INT literal >= 2, got $other")
-  }
+  // evaluate any foldable int constant (`16`, `8*2`) — matching only a
+  // bare Literal node would pass analysis then throw per-task
+  private lazy val k: Int =
+    (if (right.foldable) right.eval() else null) match {
+      case v: Int if v >= 2 => v
+      case _ => throw new IllegalArgumentException(
+        s"kmv_ndv k must be a foldable INT >= 2, got ${right.sql}")
+    }
 
   override def createAggregationBuffer(): KmvSketch = new KmvSketch(k)
 

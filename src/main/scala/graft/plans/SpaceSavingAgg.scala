@@ -212,11 +212,14 @@ case class SpaceSavingAgg(
   extends TypedImperativeAggregate[SpaceSavingSketch]
   with BinaryLike[Expression] {
 
-  private lazy val capacity: Int = right match {
-    case Literal(v: Int, IntegerType) if v >= 1 => v
-    case other => throw new IllegalArgumentException(
-      s"spacesaving_topk capacity must be a positive INT literal, got $other")
-  }
+  // evaluate any foldable int constant (`32`, `16*2`) — matching only a
+  // bare Literal node would pass analysis then throw per-task
+  private lazy val capacity: Int =
+    (if (right.foldable) right.eval() else null) match {
+      case v: Int if v >= 1 => v
+      case _ => throw new IllegalArgumentException(
+        s"spacesaving_topk capacity must be a foldable positive INT, got ${right.sql}")
+    }
 
   override def createAggregationBuffer(): SpaceSavingSketch = new SpaceSavingSketch(capacity)
 

@@ -73,11 +73,23 @@ object LetterSink {
     writeExact(graft.operators.InvertedIndex.mergeIndexes(existing, delta), outDir)
   }
 
-  /** Distributed sink: dir-per-letter text write (`letter=a/part-*.txt`). */
+  /** Distributed sink: dir-per-letter text write (`letter=a/part-*.txt`).
+    *
+    * The in-partition sort leads with `letter` deliberately: the dynamic
+    * partitioned write requires rows clustered by the partition column,
+    * and when the child ordering doesn't already provide that, the
+    * planner inserts its OWN sort on `letter` alone — which is not
+    * guaranteed stable, so the (df DESC, word ASC) line order inside
+    * each letter could be scrambled. Leading with `letter` satisfies the
+    * write requirement up front, no extra sort is planned, and each
+    * letter's file carries the exact reference line order — pinned
+    * byte-equal to [[writeExact]] on both golden corpora by
+    * LetterSinkSpec's parity test.
+    */
   def writePartitioned(postings: DataFrame, outDir: String): Unit =
     formatted(postings)
       .repartition(26, col("letter"))
-      .sortWithinPartitions(desc("df"), asc("word"))
+      .sortWithinPartitions(asc("letter"), desc("df"), asc("word"))
       .select("letter", "line")
       .write
       .mode("overwrite")

@@ -88,6 +88,24 @@ class CmsSpec extends AnyFunSuite {
     assert(whole == parts.toSeq, "decomposed build must equal the one-shot build")
   }
 
+  test("foldable non-literal shape params work; non-foldable params fail AT ANALYSIS") {
+    import spark.implicits._
+    // checkInputDataTypes accepts any foldable INT, so `2+2` must resolve
+    // (constant-evaluated), not pass analysis and then throw per-task —
+    // same contract for all three sketch aggregates
+    val df = Seq("a", "b", "a").toDF("k")
+    assert(df.agg(expr(s"cms_counts(k, 2 + 2, 128 * 2)"))
+      .collect().head.getSeq[Long](0).length == 4 * 256)
+    assert(df.agg(expr("spacesaving_topk(k, 16 * 2)")).collect().head.getSeq[Any](0).nonEmpty)
+    assert(df.agg(expr("kmv_ndv(k, 8 + 8)")).collect().length == 1)
+    // a non-constant width is rejected when the plan is built, not at runtime
+    val err = intercept[Exception] {
+      Seq(("a", 4)).toDF("k", "w").agg(expr("cms_counts(k, 4, w)")).collect()
+    }
+    assert(err.getMessage.contains("foldable") || err.getMessage.toLowerCase.contains("cms_counts"),
+      s"analysis-time rejection expected, got: ${err.getMessage}")
+  }
+
   test("WINDOWED cms_counts under a watermark == batch per-window matrices") {
     import spark.implicits._
     // per-hour frequency sketches: the matrix composes with event-time

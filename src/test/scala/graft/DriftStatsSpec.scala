@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.Stats
 
 /** [[Stats.welchTTest]] and [[Stats.jsDivergence]]: textbook values on
@@ -100,6 +102,35 @@ class DriftStatsSpec extends SparkSpec {
     val ties = Seq((1.0, 10.0), (2.0, 20.0), (2.0, 20.0), (3.0, 30.0)).toDF("x", "y")
     val r = Stats.spearman(ties, "x", "y").collect().head
     assert(r.getLong(0) == 4 && r.getDouble(1) == 1.0, s"got $r")
+  }
+
+  test("spearman: NULL in either column drops the PAIR; ranks come from the paired subset") {
+    // x has a null, y has a null on a different row — both rows must be
+    // excluded before EITHER column is ranked, so the result equals
+    // spearman over the pre-filtered pairs (the r12 form ranked each
+    // column over all its non-null rows, so a row dropped by the OTHER
+    // column still shifted every rank)
+    val raw = Seq[(java.lang.Double, java.lang.Double)](
+      (1.0, 5.0), (2.0, null), (null, 7.0), (3.0, 9.0), (4.0, 11.0), (5.0, 20.0))
+      .toDF("x", "y")
+    val filtered = raw.where(col("x").isNotNull && col("y").isNotNull)
+    val got  = Stats.spearman(raw, "x", "y").collect().head
+    val want = Stats.spearman(filtered, "x", "y").collect().head
+    assert(got.getLong(0) == 4, s"4 complete pairs, got ${got.getLong(0)}")
+    assert(got == want, s"nullable input must rank over the paired subset: $got vs $want")
+    assert(got.getDouble(1) == 1.0, "the complete pairs are monotone")
+  }
+
+  test("welchTTest: singleton groups are dropped, never poisoning pairs with NaN variance") {
+    val df = ((1 to 5).map(i => ("a", 10L + i)) ++ (1 to 5).map(i => ("b", 20L + 2 * i))
+      ++ Seq(("solo", 99L))).toDF("g", "x")
+    val rows = Stats.welchTTest(df, "g", "x").collect()
+    val groups = rows.flatMap(r => Seq(r.getString(0), r.getString(1))).toSet
+    assert(!groups.contains("solo"), "an n=1 group has no sample variance and must be dropped")
+    assert(rows.length == 1, s"only (a, b) survives: ${rows.mkString(", ")}")
+    rows.foreach { r =>
+      assert(!r.getDouble(5).isNaN && !r.getDouble(6).isNaN, s"t/df must be finite: $r")
+    }
   }
 
   test("qqDrift: identical snapshots read zero delta; a +50 shift reads +50 everywhere") {

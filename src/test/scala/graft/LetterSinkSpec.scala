@@ -33,4 +33,33 @@ class LetterSinkSpec extends SparkSpec {
     assert(lines.nonEmpty && lines.forall(_.matches("[a-z]+:\\[[0-9 ]+\\]")))
     assert(lines.forall(_.startsWith("s")))
   }
+
+  test("writePartitioned content == writeExact bytes per letter, on both golden corpora") {
+    // the cluster-scale write path inherits the golden guarantee: for each
+    // letter, the concatenated part files (filename order) must be BYTE
+    // EQUAL to writeExact's <letter>.txt — same lines, same (df DESC, word
+    // ASC) order, same trailing newline; a letter with no postings has no
+    // letter= dir and writeExact's file is empty
+    val refBase = "/root/reference/checker"
+    for ((manifest, tag) <- Seq("test_small.txt" -> "small", "test.txt" -> "large")) {
+      val postings = Engine.indexFromManifest(spark, s"$refBase/$manifest", refBase)
+      val exactDir = Files.createTempDirectory(s"graft-parity-exact-$tag").toString
+      val partDir  = Files.createTempDirectory(s"graft-parity-part-$tag").toString
+      LetterSink.writeExact(postings, exactDir)
+      LetterSink.writePartitioned(postings, partDir)
+      ('a' to 'z').foreach { ch =>
+        val exact = new String(
+          Files.readAllBytes(java.nio.file.Paths.get(exactDir, s"$ch.txt")), "UTF-8")
+        val d = new java.io.File(partDir, s"letter=$ch")
+        val part =
+          if (!d.isDirectory) ""
+          else d.listFiles()
+            .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+            .sortBy(_.getName)
+            .map(f => new String(Files.readAllBytes(f.toPath), "UTF-8"))
+            .mkString
+        assert(part == exact, s"$tag: letter '$ch' distributed bytes != exact bytes")
+      }
+    }
+  }
 }

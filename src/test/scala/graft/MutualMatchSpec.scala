@@ -1,5 +1,7 @@
 package graft
 
+import org.apache.spark.sql.functions._
+
 import graft.operators.Similarity
 
 /** [[Similarity.mutualTopMatch]]: reciprocity yields exactly the known
@@ -57,6 +59,22 @@ class MutualMatchSpec extends SparkSpec {
       .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toList
     assert(got == List((1, 1L, 0.948683), (2, 3L, 0.074342), (3, 2L, -0.025658)),
       s"got $got")
+  }
+
+  test("mmrSelect: fewer candidates than k stops gracefully; string ids work; empty corpus is empty") {
+    // 2 candidates, k=4 — the greedy loop must stop at 2 picks instead of
+    // .head-ing an empty argmax round; ids are STRINGS, so the generic
+    // Row.get path is exercised (the r12 form hard-cast getLong)
+    val corpus = Seq(("docA", Array(3.0f, 1.0f)), ("docB", Array(3.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val query = Seq(("q", Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mmrSelect(corpus, query, n = 3, k = 4, lambda = 0.5)
+      .collect().map(r => (r.getInt(0), r.getString(1))).toList
+    assert(got.map(_._1) == List(1, 2), s"two picks for two candidates: $got")
+    assert(got.map(_._2).toSet == Set("docA", "docB"), s"got $got")
+    // empty corpus: zero rows, correct schema, no crash
+    val empty = Similarity.mmrSelect(corpus.where(lit(false)), query, n = 3, k = 2)
+    assert(empty.collect().isEmpty && empty.columns.toSeq == Seq("rank", "vec_id", "score_r"))
   }
 
   test("identical sets under distinct ids match one-to-one with cos 1.0") {

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.Observation
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Dedup, Tokenize}
+
+/** The production pair generators' NO-SILENT-CAPS audit trail: when a
+  * bucket saturates `maxBucket`, [[Dedup.simhashPairs]] /
+  * [[Dedup.prefixJaccardJoin]] must report the cut — dropped buckets,
+  * dropped member mass, retained pair bound — as observe() metrics from
+  * the very run that produced the pairs, and those numbers must MATCH
+  * what ScaleBench computes from the separate `*BucketSizes` diagnostic
+  * pass (same definitions: dropped = buckets with n > cap, retained
+  * bound = Σ n·(n−1)/2 over 2 ≤ n ≤ cap).
+  */
+class ObserveSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ScaleBench.bucketStats, verbatim semantics
+  private def diagStats(sizes: org.apache.spark.sql.DataFrame, cap: Int): (Long, Long, Long) = {
+    val r = sizes.agg(
+      sum(when(col("n") > cap, 1L).otherwise(0L)),
+      sum(when(col("n") > cap, col("n")).otherwise(0L)),
+      sum(when(col("n").between(2, cap), expr("n * (n - 1) DIV 2")).otherwise(0L))).head()
+    (r.getLong(0), r.getLong(1), r.getLong(2))
+  }
+
+  private def metrics(o: Observation): (Long, Long, Long) = {
+    val m = o.get
+    (m("dropped_buckets").asInstanceOf[Long],
+      m("dropped_members").asInstanceOf[Long],
+      m("retained_pair_bound").asInstanceOf[Long])
+  }
+
+  // 30 identical docs (one planted hot signature bucket in EVERY band) +
+  // 20 distinct docs for background mass + one SURVIVING near-dup pair
+  // (a bucket of 2 below the cap) so the pair result is non-empty — an
+  // all-empty result lets AQE propagate an empty relation over the
+  // CollectMetrics node and the observation completes with no metrics
+  private lazy val planted = {
+    val hot  = (0 until 30).map(i => (i.toLong, "the quick brown fox jumps over the lazy dog again and again"))
+    val cold = (0 until 20).map(i =>
+      (100L + i, s"unique document number $i carrying words w${i}a w${i}b w${i}c w${i}d w${i}e"))
+    val pair = Seq(
+      (200L, "reusable boilerplate paragraph shared by exactly two documents here"),
+      (201L, "reusable boilerplate paragraph shared by exactly two documents here"))
+    (hot ++ cold ++ pair).toDF("doc_id", "text").localCheckpoint(true)
+  }
+
+  test("simhashPairs reports its cap cut via observe(), matching the diagnostic pass") {
+    val cap  = 8
+    val sigs = Dedup.simhash(Tokenize.tokens(planted, "text", Seq("doc_id")), bits = 60)
+      .localCheckpoint(true)
+    val o = Observation("simhash_drop_audit")
+    val pairs = Dedup.simhashPairs(sigs, maxDist = 3, bands = 6, sigBits = 60,
+      maxBucket = cap, dropAudit = Some(o))
+    pairs.collect() // run the production query; metrics ride this job
+    val got  = metrics(o)
+    val want = diagStats(Dedup.simhashBucketSizes(sigs), cap)
+    assert(want._1 >= 6, s"the 30-copy plant must saturate every band's bucket: $want")
+    assert(got == want, s"operator metrics $got != diagnostic pass $want")
+  }
+
+  test("prefixJaccardJoin reports its cap cut via observe(), matching the diagnostic pass") {
+    val cap = 8
+    val o = Observation("setsim_drop_audit")
+    val pairs = Dedup.prefixJaccardJoin(planted, threshold = 0.5, shingleK = 3,
+      maxBucket = cap, dropAudit = Some(o))
+    pairs.collect()
+    val got  = metrics(o)
+    val want = diagStats(Dedup.setsimBucketSizes(planted, threshold = 0.5, shingleK = 3), cap)
+    assert(want._1 >= 1, s"the 30-copy plant must saturate its prefix bucket: $want")
+    assert(got == want, s"operator metrics $got != diagnostic pass $want")
+  }
+
+  test("no saturation -> zero dropped, and the audit costs no extra plan nodes") {
+    val cap  = 4096
+    val sigs = Dedup.simhash(Tokenize.tokens(planted, "text", Seq("doc_id")), bits = 60)
+      .localCheckpoint(true)
+    val o = Observation("simhash_no_drop")
+    val audited = Dedup.simhashPairs(sigs, maxBucket = cap, dropAudit = Some(o))
+    val n = audited.count()
+    val (d, dm, bound) = metrics(o)
+    assert(d == 0L && dm == 0L, s"nothing may drop under a roomy cap: ($d, $dm)")
+    assert(bound >= n, s"retained pair bound ($bound) must bound emitted pairs ($n)")
+    // audit adds a CollectMetrics node, never an exchange: shuffle count
+    // must equal the unaudited operator's
+    def exchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "(?<!Broadcast)Exchange ".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+    val bare = Dedup.simhashPairs(sigs, maxBucket = cap)
+    assert(exchanges(audited) == exchanges(bare),
+      "dropAudit must not change the shuffle structure")
+  }
+}

@@ -51,4 +51,35 @@ class RboExposureSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
     assert(got(1L) == (2L, 1L, 0.5) && got(2L) == (2L, 1L, 0.5), s"got $got")
   }
+
+  test("dupExposure: partial-agg df form == the r12 window-count form, and the plan shows it") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // equality pin for the round-13 reshape: the shingle doc-frequency now
+    // comes from groupBy(sh).count joined back (map-side combinable, and a
+    // skewed join AQE can split) instead of a whole-partition window count
+    // (no partial agg, unsplittable hot-shingle task). Same output, better
+    // plan — prove BOTH on real corpus data.
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    val got = Dedup.dupExposure(docs, k = 5)
+    // the r12 form, inlined verbatim
+    val sh = graft.functions.TextAnalysis.withShingles(docs, "text", 5)
+      .select(col("doc_id"), explode(col("shingles")).as("sh"))
+    val want = sh
+      .withColumn("sdf", count(lit(1)).over(Window.partitionBy(col("sh"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum((col("sdf") > 1).cast("long")).as("n_shared"))
+      .withColumn("exposure_r", graft.functions.Portable.pround(
+        col("n_shared").cast("double") / col("n_shingles"), 4))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3))).toSeq
+    assert(rows(got) == rows(want), "reshaped dupExposure must equal the window form")
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"no window count may remain in the df path:\n$plan")
+    // the df count must partially aggregate below its exchange: two
+    // HashAggregates on the shingle key (partial + final)
+    assert("HashAggregate\\(keys=\\[sh".r.findAllIn(plan).length >= 2,
+      s"shingle df must be a partial-agg groupBy count:\n$plan")
+  }
 }

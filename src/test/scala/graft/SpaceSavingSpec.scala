@@ -125,6 +125,47 @@ class SpaceSavingSpec extends AnyFunSuite {
     assert(got == want, s"streaming sketch != batch sketch:\n  $got\n  $want")
   }
 
+  test("WINDOWED spacesaving_topk under a watermark == batch per-window sketches") {
+    import spark.implicits._
+    // the event-time-windowed streaming twin of q_heavy_keys_per_hour
+    // (CmsSpec's windowed discipline, completing the mergeable triad: KMV
+    // and CMS already carry this pin): per-hour heavy-hitter sketches
+    // compose with windows + watermark like any built-in aggregate, with
+    // capacity-bounded state per open window instead of the key set. The
+    // key mix varies per row (i % ((i % 50) + 1)) so windows see different
+    // distributions; capacity 64 covers each window's key space, so both
+    // sides are exact and must agree EXACTLY.
+    val dir = java.nio.file.Files.createTempDirectory("graft-ss-win")
+    val rows = (0 until 3000).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-05-01 ${i % 4}%02d:${(i * 11) % 60}%02d:00"),
+        s"key_${i % ((i % 50) + 1)}")
+    }
+    rows.toDF("ts", "k").coalesce(2).write.mode("overwrite").parquet(dir.toString)
+    def sketch(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy(window(col("ts"), "1 hour").as("w"))
+      .agg(expr("spacesaving_topk(k, 64)").as("sk"))
+      .select(col("w.start").as("h"), explode(col("sk")).as("e"))
+      .select(col("h"), col("e.key"), col("e.est"), col("e.err"))
+    val stream = sketch(spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType))))
+      .parquet(dir.toString)
+      .withWatermark("ts", "1 hour"))
+    val q = stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .format("memory").queryName("ss_win").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def rows2(df: org.apache.spark.sql.DataFrame) = df
+      .collect().map(r => (r.getTimestamp(0).getTime, r.getString(1), r.getLong(2), r.getLong(3)))
+      .sorted.toSeq
+    val got  = rows2(spark.table("ss_win"))
+    val want = rows2(sketch(spark.read.parquet(dir.toString)))
+    assert(got.map(_._1).distinct.length == 4, "four hour windows expected")
+    assert(got == want, "per-window streaming sketches must equal the batch sketches exactly")
+  }
+
   test("under eviction: overestimate invariant, per-key error bound, heavy-hitter recall") {
     import spark.implicits._
     val capacity = 16
