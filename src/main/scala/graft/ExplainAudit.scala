@@ -112,7 +112,11 @@ object ExplainAudit {
     "q_dup_exposure", "q_percolate", "q_cell_medoid", "q_psi_drift",
     "q_front_coding", "q_cms_per_lang", "q_cluster_terms", "q_code_switch", "q_aqp_revenue",
     "q_readability", "q_source_entropy", "q_burstiness",
-    "q_benford", "q_fd_check", "q_fk_discovery", "q_qq_drift", "q_window_range", "q_spearman", "q_dp_counts", "q_dedup_threshold_sweep")
+    "q_benford", "q_fd_check", "q_fk_discovery", "q_qq_drift", "q_window_range", "q_spearman", "q_dp_counts", "q_dedup_threshold_sweep",
+    // round 13: the bottom-k mergeable quantile sample family (flat,
+    // QQ-drift, per-hour), PRF query expansion, clustering depth
+    "q_sample_quantiles", "q_qq_drift_sketch", "q_search_prf",
+    "q_quantiles_per_hour", "q_clustering_depth")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

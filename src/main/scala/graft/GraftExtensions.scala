@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{CleanToken, CountMinAgg, KmvNdvAgg, RewriteSortedCollectSet, SortedDistinctSetAgg, SpaceSavingAgg}
+import graft.plans.{BottomKSampleAgg, CleanToken, CountMinAgg, KmvNdvAgg, RewriteSortedCollectSet, SortedDistinctSetAgg, SpaceSavingAgg}
 
 /** Engine extensions, installable on any session:
   *
@@ -44,6 +44,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("cms_counts"),
       new ExpressionInfo(classOf[CountMinAgg].getName, "cms_counts"),
       (exprs: Seq[Expression]) => CountMinAgg(exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
+    // deterministic bottom-k row sample: mergeable k-bounded uniform
+    // sample of (key-hashed) rows — the quantile member of the sketch
+    // family (see graft.plans.BottomKSampleAgg)
+    e.injectFunction((
+      FunctionIdentifier("bottomk_sample"),
+      new ExpressionInfo(classOf[BottomKSampleAgg].getName, "bottomk_sample"),
+      (exprs: Seq[Expression]) =>
+        BottomKSampleAgg(exprs(0), exprs(1), exprs(2)).toAggregateExpression()))
     e.injectFunction((
       FunctionIdentifier("graft_clean_token"),
       new ExpressionInfo(classOf[CleanToken].getName, "graft_clean_token"),

@@ -113,10 +113,11 @@ object ScaleBench {
       report("setsim_join", f, ssSec, ssPairs, ssMax, ssDrop, ssBound)
 
       // duplication EXPOSURE under the same duplicate-dense load: every
-      // shingle's df multiplies by the factor, but (r13) the df is a
-      // partially-aggregated groupBy count joined back — the hot shingle
-      // combines map-side, so wall time should track data volume with NO
-      // single-task window straggler; nothing pairwise exists in the plan
+      // shingle's df multiplies by the factor, but (r13) shared counts
+      // come via the df-1 complement on a partially-aggregated
+      // groupBy(sh) — the hot shingle combines map-side, so wall time
+      // should track data volume with NO single-task window straggler;
+      // nothing pairwise exists in the plan
       var dxRows = 0L
       val dxSec = time { dxRows = Dedup.dupExposure(d, k = 5).count() }
       println(

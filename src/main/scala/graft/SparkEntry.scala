@@ -361,6 +361,73 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // -- the BOTTOM-K row sample as a GROUPED quantile sketch: per-source
+    //    quartiles/p90 of document length read off a k=64 deterministic
+    //    uniform sample (md5-bottom-k by doc_id, value tiebreak) — the
+    //    mergeable quantile member of the sketch family; k-bounded state
+    //    per (group, task), partial samples merge up the exchange, and
+    //    the md5 determinism means sample AND estimates replay exactly
+    //    in the oracle even in eviction mode (sources here have ~100
+    //    docs > k=64, so this IS eviction mode)
+    "q_sample_quantiles" -> ((s, dir) => {
+      t(s, dir, "documents")
+        .groupBy(col("source"))
+        .agg(expr("bottomk_sample(cast(doc_id AS string), cast(n_chars AS double), 64)").as("sm"))
+        .select(col("source"), array_sort(col("sm")).as("ss"))
+        .select(col("source"), col("ss"),
+          explode(array(lit(0.25), lit(0.5), lit(0.75), lit(0.9))).as("q"))
+        .select(col("source"), col("q"),
+          element_at(col("ss"),
+            greatest(lit(1), ceil(col("q") * size(col("ss"))).cast("int"))).as("est"),
+          size(col("ss")).cast("long").as("n_sample"))
+        .orderBy("source", "q")
+    }),
+
+    // -- per-HOUR value quantiles from grouped bottom-k samples: p50/p95
+    //    of the event value per hour bucket — q_heavy_keys_per_hour's
+    //    quantile sibling (per-window heavy keys there, per-window value
+    //    distribution here); k=32 sample per bucket, partial samples
+    //    merge per (bucket, task), estimates replay exactly
+    "q_quantiles_per_hour" -> ((s, dir) => {
+      graft.sources.EventsSource.events(s, dir)
+        .where(col("value").isNotNull)
+        .withColumn("hour_bucket", date_format(col("ts_t"), "yyyy-MM-dd HH"))
+        .groupBy(col("hour_bucket"))
+        .agg(expr("bottomk_sample(cast(event_id AS string), value, 32)").as("sm"))
+        .select(col("hour_bucket"), array_sort(col("sm")).as("ss"))
+        .select(col("hour_bucket"), explode(array(lit(0.5), lit(0.95))).as("q"), col("ss"))
+        .select(col("hour_bucket"), col("q"),
+          element_at(col("ss"),
+            greatest(lit(1), ceil(col("q") * size(col("ss"))).cast("int"))).as("est"),
+          size(col("ss")).cast("long").as("n_sample"))
+        .orderBy("hour_bucket", "q")
+    }),
+
+    // -- QQ drift read off two bottom-k samples: the decile table of
+    //    q_qq_drift computed WITHOUT the exact full-data percentile pass
+    //    — the 100 TB form (exact percentile() buffers value mass per
+    //    group; two k=128 samples ship 128 doubles each up one exchange).
+    //    Coordinated md5 hashing keeps both snapshots' samples
+    //    deterministic, so the oracle replays estimate-for-estimate.
+    "q_qq_drift_sketch" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      def sk(snapshot: org.apache.spark.sql.DataFrame) = snapshot
+        .agg(expr("bottomk_sample(cast(doc_id AS string), cast(n_chars AS double), 128)").as("sm"))
+        .select(array_sort(col("sm")).as("ss"), size(col("sm")).as("n"))
+      val r = sk(docs.where(col("doc_id") % 2 === 0)).select(col("ss").as("rs"), col("n").as("rn"))
+      val c = sk(docs.where(col("doc_id") % 2 === 1)).select(col("ss").as("cs"), col("n").as("cn"))
+      r.crossJoin(c)
+        .select(explode(array((1 to 9).map(lit): _*)).as("decile"),
+          col("rs"), col("rn"), col("cs"), col("cn"))
+        .select(col("decile"),
+          element_at(col("rs"),
+            greatest(lit(1), ceil(col("decile") / lit(10.0) * col("rn")).cast("int"))).as("ref_q"),
+          element_at(col("cs"),
+            greatest(lit(1), ceil(col("decile") / lit(10.0) * col("cn")).cast("int"))).as("cur_q"))
+        .withColumn("delta", col("cur_q") - col("ref_q"))
+        .orderBy("decile")
+    }),
+
     // -- KMV sketch SET ALGEBRA: pairwise source-vocabulary overlap from
     //    the per-source sketches alone — union NDV, Jaccard, and
     //    intersection NDV with NO corpus-sized join (q_source_overlap's
@@ -872,6 +939,18 @@ object SparkEntry {
       Search
         .rrfFuse(Seq(lex, ann), k = 15)
         .orderBy(desc("rrf_r"), asc("doc_id"))
+    }),
+
+    // -- pseudo-relevance-feedback expansion: BM25 top-5 docs lift the 5
+    //    best new terms (feedback tf × corpus idf), rescore with the
+    //    expanded set — the recall lever when the literal query
+    //    vocabulary undershoots. Both cuts are bounded TakeOrdereds; the
+    //    data-dependent term set joins as a broadcast relation.
+    "q_search_prf" -> ((s, dir) => {
+      Search.prfExpand(
+        Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")),
+        Seq("spark", "vector", "window"),
+        fbDocs = 5, expandTerms = 5, k = 15)
     }),
 
     // -- percolation (reverse search): match a registry of 5 stored
@@ -2691,6 +2770,39 @@ object SparkEntry {
         .orderBy("part", "bin")
     }),
 
+    // -- clustering DEPTH: per-partition overlap profile of the file
+    //    key-ranges (for each file, how many sibling files' [min,max]
+    //    zones intersect its own) — the metric that says whether zone-map
+    //    pruning will actually prune (depth ≈ 0 ⇒ point lookups touch one
+    //    file) and whether OPTIMIZE/Z-order is due (the Delta/Iceberg
+    //    clustering-depth signal). File METADATA only, never data; the
+    //    pairwise overlap reuses the bucketed interval join (equi-join on
+    //    cells, no nested loop) rather than an O(files²) theta-join.
+    "q_clustering_depth" -> ((s, dir) => {
+      val files = t(s, dir, "documents").select(
+        col("lang").as("part"),
+        format_string("f%05d", col("doc_id")).as("path"),
+        (col("doc_id") * 37 % 500).cast("double").as("mn"),
+        ((col("doc_id") * 37 % 500) + 1 + (col("n_chars") % 60)).cast("double").as("mx"))
+      val a = files.select(col("part"), col("path").as("a_path"),
+        col("mn").as("a_mn"), col("mx").as("a_mx"))
+      val b = files.select(col("part"), col("path").as("b_path"),
+        col("mn").as("b_mn"), col("mx").as("b_mx"))
+      val depth = operators.RangeJoin
+        .overlapJoin(a, b, Seq("part"), "a_mn", "a_mx", "b_mn", "b_mx", bucketWidth = 64.0)
+        .where(col("a_path") =!= col("b_path"))
+        .groupBy(col("part"), col("a_path").as("path"))
+        .agg(count(lit(1)).as("d"))
+      files
+        .join(depth, Seq("part", "path"), "left_outer")
+        .na.fill(0L, Seq("d"))
+        .groupBy(col("part"))
+        .agg(count(lit(1)).as("n_files"),
+          graft.functions.Portable.pround(avg(col("d")), 4).as("avg_depth_r"),
+          max(col("d")).as("max_depth"))
+        .orderBy("part")
+    }),
+
     // -- compaction EXECUTION: the rewrite half of OPTIMIZE — documents
     //    scattered as 40 small parquet files, small-file bins planned
     //    (compactionPlan) and rewritten one-file-per-bin; the returned
@@ -3750,6 +3862,53 @@ object SparkEntry {
                 least(g.nd, 16) AS n_sample
          FROM g JOIN kth USING (source)
          ORDER BY source""",
+    // the bottom-k row sample is deterministic (same 60-bit md5-prefix
+    // hash as KMV, (h, v) tiebreak), so the oracle replays the SAMPLE —
+    // and therefore every quantile estimate — exactly, in eviction mode
+    "q_sample_quantiles" ->
+      """WITH s AS (
+           SELECT source, n_chars::DOUBLE AS v,
+                  ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+           FROM documents
+           QUALIFY row_number() OVER (PARTITION BY source ORDER BY h, v) <= 64),
+         g AS (SELECT source, list(v ORDER BY v) AS ss, count(*) AS n FROM s GROUP BY source),
+         qs AS (SELECT source, ss, n, unnest([0.25, 0.5, 0.75, 0.9]) AS q FROM g)
+         SELECT source, q, ss[greatest(1, ceil(q * n)::INT)] AS est, n::BIGINT AS n_sample
+         FROM qs ORDER BY source, q""",
+    // grouped bottom-32 per hour bucket, same QUALIFY replay per group
+    "q_quantiles_per_hour" ->
+      """WITH s AS (
+           SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d %H') AS hour_bucket,
+                  value AS v,
+                  ('0x' || substr(md5(event_id::VARCHAR), 1, 15))::BIGINT AS h
+           FROM events WHERE value IS NOT NULL
+           QUALIFY row_number() OVER (PARTITION BY hour_bucket ORDER BY h, v) <= 32),
+         g AS (SELECT hour_bucket, list(v ORDER BY v) AS ss, count(*) AS n
+               FROM s GROUP BY hour_bucket),
+         qs AS (SELECT hour_bucket, ss, n, unnest([0.5, 0.95]) AS q FROM g)
+         SELECT hour_bucket, q, ss[greatest(1, ceil(q * n)::INT)] AS est, n::BIGINT AS n_sample
+         FROM qs ORDER BY hour_bucket, q""",
+    // the sample-based QQ drift replays exactly too: both snapshots'
+    // bottom-128 samples rebuilt via QUALIFY, same disc-quantile indexing
+    "q_qq_drift_sketch" ->
+      """WITH r AS (SELECT n_chars::DOUBLE AS v,
+                           ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+                    FROM documents WHERE doc_id % 2 = 0
+                    QUALIFY row_number() OVER (ORDER BY h, v) <= 128),
+         rg AS (SELECT list(v ORDER BY v) AS rs, count(*) AS rn FROM r),
+         c AS (SELECT n_chars::DOUBLE AS v,
+                      ('0x' || substr(md5(doc_id::VARCHAR), 1, 15))::BIGINT AS h
+               FROM documents WHERE doc_id % 2 = 1
+               QUALIFY row_number() OVER (ORDER BY h, v) <= 128),
+         cg AS (SELECT list(v ORDER BY v) AS cs, count(*) AS cn FROM c),
+         d AS (SELECT unnest([1, 2, 3, 4, 5, 6, 7, 8, 9]) AS decile, rs, rn, cs, cn
+               FROM rg CROSS JOIN cg)
+         SELECT decile,
+                rs[greatest(1, ceil(decile / 10.0 * rn)::INT)] AS ref_q,
+                cs[greatest(1, ceil(decile / 10.0 * cn)::INT)] AS cur_q,
+                cs[greatest(1, ceil(decile / 10.0 * cn)::INT)]
+                  - rs[greatest(1, ceil(decile / 10.0 * rn)::INT)] AS delta
+         FROM d ORDER BY decile""",
     // the KMV sketch is deterministic, so the oracle replays it exactly:
     // same 60-bit md5-prefix hash, same bottom-64, same (k-1)/R estimate
     "q_ndv_sketch" ->
@@ -4294,6 +4453,59 @@ object SparkEntry {
                   + CASE WHEN r2 IS NOT NULL THEN 1 ELSE 0 END) AS n_lists,
                  floor((coalesce(1.0 / (60 + r1), 0) + coalesce(1.0 / (60 + r2), 0)) * 1e8 + 0.5) / 1e8 AS rrf_r
           FROM f ORDER BY rrf_r DESC, doc_id LIMIT 15""",
+    // PRF expansion: base BM25 (identical arithmetic to q_search_bm25's
+    // oracle), rounded-score top-5 feedback cut, feedback-tf × ln(N/df)
+    // expansion weights, UNION'd term set, rescore — every cut uses the
+    // same floor rounding + id/word tiebreaks as the Spark plan
+    "q_search_prf" ->
+      s"""WITH $TokCte,
+          dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+          stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+          btf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+                  WHERE word IN ('spark', 'vector', 'window') GROUP BY doc_id, word),
+          bdf AS (SELECT word, count(DISTINCT doc_id) AS df_t FROM btf GROUP BY word),
+          bscore AS (
+            SELECT doc_id,
+                   sum(idf * (tf * (1.2 + 1.0)) /
+                       (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+            FROM (SELECT btf.doc_id, btf.tf, dl.dl, n_docs, avgdl,
+                         ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) AS idf
+                  FROM btf JOIN bdf USING (word)
+                  JOIN dl ON dl.doc_id = btf.doc_id
+                  CROSS JOIN stats) u
+            GROUP BY doc_id),
+          fb AS (SELECT doc_id FROM (
+                   SELECT doc_id, floor(score * 1e6 + 0.5) / 1e6 AS s FROM bscore) z
+                 ORDER BY s DESC, doc_id LIMIT 5),
+          fbtf AS (SELECT word, count(*) AS fbtf
+                   FROM tok JOIN fb USING (doc_id)
+                   WHERE word NOT IN ('spark', 'vector', 'window')
+                   GROUP BY word),
+          cdf AS (SELECT tok.word, count(DISTINCT tok.doc_id) AS cdf
+                  FROM tok JOIN (SELECT word FROM fbtf) c ON tok.word = c.word
+                  GROUP BY tok.word),
+          ex AS (SELECT word FROM (
+                   SELECT f.word,
+                          floor((f.fbtf * ln(s.n_docs::DOUBLE / c.cdf)) * 1e6 + 0.5) / 1e6 AS w
+                   FROM fbtf f JOIN cdf c ON f.word = c.word CROSS JOIN stats s) z
+                 ORDER BY w DESC, word LIMIT 5),
+          at AS (SELECT word FROM ex
+                 UNION SELECT unnest(['spark', 'vector', 'window']) AS word),
+          tf2 AS (SELECT doc_id, tok.word, count(*) AS tf
+                  FROM tok JOIN at ON tok.word = at.word GROUP BY doc_id, tok.word),
+          df2 AS (SELECT word, count(DISTINCT doc_id) AS df_t FROM tf2 GROUP BY word),
+          sc AS (
+            SELECT doc_id,
+                   sum(idf * (tf * (1.2 + 1.0)) /
+                       (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))) AS score
+            FROM (SELECT tf2.doc_id, tf2.tf, dl.dl, n_docs, avgdl,
+                         ln((n_docs - df2.df_t + 0.5) / (df2.df_t + 0.5) + 1.0) AS idf
+                  FROM tf2 JOIN df2 USING (word)
+                  JOIN dl ON dl.doc_id = tf2.doc_id
+                  CROSS JOIN stats) u
+            GROUP BY doc_id)
+          SELECT doc_id, floor(score * 1e4 + 0.5) / 1e4 AS score_r
+          FROM sc ORDER BY score_r DESC, doc_id LIMIT 15""",
     "q_random_proj" -> randomProjSql(m = 8, seedOffset = 500),
     "q_search_near" ->
       """WITH toks0 AS (
@@ -5982,11 +6194,13 @@ object SparkEntry {
                 FROM g)
           SELECT a.g AS g1, b.g AS g2, a.n AS n1, b.n AS n2,
                  floor((a.m - b.m) * 1e4 + 0.5) / 1e4 AS diff_r,
+                 -- (WHERE below mirrors the zero-combined-variance drop)
                  floor(((a.m - b.m) / sqrt(a.v / a.n + b.v / b.n)) * 1e4 + 0.5) / 1e4 AS t_r,
                  floor(((a.v / a.n + b.v / b.n) * (a.v / a.n + b.v / b.n)
                         / ((a.v / a.n) * (a.v / a.n) / (a.n - 1)
                            + (b.v / b.n) * (b.v / b.n) / (b.n - 1))) * 1e2 + 0.5) / 1e2 AS df_r
           FROM s a JOIN s b ON a.g < b.g
+          WHERE a.v / a.n + b.v / b.n > 0.0
           ORDER BY g1, g2""",
     // exact-count rationals; perplexity exponentiates the ROUNDED entropy
     "q_source_entropy" ->
@@ -6175,6 +6389,23 @@ object SparkEntry {
                 floor((avg(least(greatest(l_extendedprice, b_lo), b_hi))) * 1e4 + 0.5) / 1e4 AS wins_mean
          FROM lineitem l JOIN b ON b.l_returnflag = l.l_returnflag
          GROUP BY 1 ORDER BY 1""",
+    // file-metadata self overlap (strict <, same synthesized zones),
+    // depth 0 files kept via the left join
+    "q_clustering_depth" ->
+      """WITH f AS (SELECT lang AS part, printf('f%05d', doc_id) AS path,
+                           (doc_id * 37 % 500)::DOUBLE AS mn,
+                           ((doc_id * 37 % 500) + 1 + (n_chars % 60))::DOUBLE AS mx
+                    FROM documents),
+         p AS (SELECT a.part, a.path, count(*) AS d
+               FROM f a JOIN f b ON a.part = b.part AND a.path <> b.path
+                                 AND a.mn < b.mx AND b.mn < a.mx
+               GROUP BY 1, 2),
+         j AS (SELECT f.part, f.path, coalesce(p.d, 0) AS d
+               FROM f LEFT JOIN p ON p.part = f.part AND p.path = f.path)
+         SELECT part, count(*)::BIGINT AS n_files,
+                floor((avg(d)) * 1e4 + 0.5) / 1e4 AS avg_depth_r,
+                max(d)::BIGINT AS max_depth
+         FROM j GROUP BY part ORDER BY part""",
     "q_compaction_plan" ->
       """WITH f AS (
            SELECT lang AS part, printf('f%05d', doc_id) AS path, n_chars AS bytes

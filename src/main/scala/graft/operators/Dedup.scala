@@ -969,17 +969,29 @@ object Dedup {
     * duplicate k-grams) and the scoring twin of decontamination's k-gram
     * join.
     *
-    * Plan: the shingle doc-frequency is a `groupBy(sh).count` — a
-    * PARTIALLY AGGREGATED count, so a ubiquitous boilerplate 5-gram is
-    * combined map-side into one row per task before its counts ever
-    * shuffle — joined back to the posting stream on the same shingle
-    * key, then one doc-keyed partial agg. (The r12 form counted df with
-    * a whole-partition window on that key instead: no map-side combine,
-    * so every posting of the hot shingle serialized through a single
-    * window task — and a window partition is the one thing AQE's
-    * skew-join splitter can never subdivide, while the join-back below
-    * is a plain sort-merge join AQE CAN split on skew.) Nothing
-    * pairwise, nothing quadratic.
+    * Plan — shingle ONCE, store the posting stream, aggregate twice,
+    * every aggregate PARTIAL: a doc's shared-shingle count is its total
+    * minus its GLOBALLY-UNIQUE shingles (df = 1), and a df-1 shingle has
+    * exactly one owner, so `groupBy(sh).agg(count, min(owner))` — both
+    * map-side combinable, a ubiquitous boilerplate 5-gram collapses to
+    * one row per task before it ever shuffles — followed by a doc-keyed
+    * count of the df-1 rows gives n_unique per doc, while n_shingles is
+    * a doc-keyed count over the same stored stream. The exploded stream
+    * is eagerly `localCheckpoint`ed (the [[minhashCandidates]] pattern)
+    * because it feeds BOTH aggregations: shingle construction (regex
+    * tokenize + per-gram concat) is the dominant cost and a DAG fork
+    * would recompute it per consumer; the checkpoint writes the postings
+    * once — the same volume the r12 window form's shuffle wrote.
+    *
+    * Measured at sf0.1 (warm, local[32]): r12 whole-partition window
+    * count 6.5 s but with an UNSPLITTABLE hot-shingle window task (no
+    * map-side combine — the r12-flagged scale defect); naive
+    * `groupBy(sh).count` joined back to a re-exploded stream 12.6 s;
+    * complement form with a re-shingled totals branch 11.7 s; this
+    * checkpointed complement form 6.8 s best-of-3 — the window form's
+    * cost with the partial-agg, AQE-splittable plan. Nothing pairwise, nothing
+    * quadratic; the final doc-keyed join aligns two doc-cardinality
+    * relations, never postings.
     *
     * Returns (idCol, n_shingles, n_shared, exposure_r). Docs whose text
     * yields zero shingles carry no row (no shingles → no exposure).
@@ -998,12 +1010,21 @@ object Dedup {
     // exact strings).
     val sh = TextAnalysis.withShingles(docs, textCol, k)
       .select(col(idCol), explode(col("shingles")).as("sh"))
-    val sdf = sh.groupBy(col("sh")).agg(count(lit(1)).as("sdf"))
-    sh
-      .join(sdf, Seq("sh"))
+      .localCheckpoint(true)
+    val totals = sh
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_shingles"),
-        sum((col("sdf") > 1).cast("long")).as("n_shared"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val unique = sh
+      .groupBy(col("sh"))
+      .agg(count(lit(1)).as("sdf"), min(col(idCol)).as("owner"))
+      .where(col("sdf") === 1)
+      .groupBy(col("owner").as(idCol))
+      .agg(count(lit(1)).as("n_unique"))
+    totals
+      .join(unique, Seq(idCol), "left_outer")
+      .na.fill(0L, Seq("n_unique"))
+      .select(col(idCol), col("n_shingles"),
+        (col("n_shingles") - col("n_unique")).as("n_shared"))
       .withColumn("exposure_r", graft.functions.Portable.pround(
         col("n_shared").cast("double") / col("n_shingles"), 4))
   }

@@ -506,6 +506,90 @@ object Search {
       .agg(sum(col("w")).as("score"))
   }
 
+  /** Pseudo-relevance-feedback query expansion (Rocchio 1971 / the RM
+    * relevance-model family, Lavrenko & Croft SIGIR'01): run the base
+    * BM25 query, treat its top `fbDocs` results as pseudo-relevant, lift
+    * the `expandTerms` highest-weight NEW terms out of them (feedback-set
+    * tf × corpus ln(N/df) idf — rare-but-frequent-in-feedback wins;
+    * original terms excluded), and rescore with the expanded term set —
+    * the classical recall lever when the literal query vocabulary
+    * undershoots (synonyms/related phrasing score zero under plain BM25).
+    *
+    * Plan: the feedback cut is a TakeOrderedAndProject over the base
+    * scores (rounded-score DESC, id ASC — deterministic cross-engine)
+    * broadcast into the token stream; term statistics are
+    * feedback-vocabulary-sized; the expansion cut is another bounded
+    * TakeOrdered; the rescore joins tokens against the ≤(|terms|+e)-row
+    * BROADCAST term relation (data-dependent terms can't be an IN-literal
+    * pushdown, so this is the relation-shaped twin of [[bm25Query]] with
+    * identical arithmetic). Two corpus scans (base + rescore), everything
+    * between them bounded — no collect, no window.
+    *
+    * Returns the top `k` (idCol, score_r) under the expanded query.
+    */
+  def prfExpand(
+      tokens: DataFrame,
+      words: Seq[String],
+      fbDocs: Int = 5,
+      expandTerms: Int = 5,
+      k: Int = 15,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    require(fbDocs > 0 && expandTerms > 0 && k > 0, "fbDocs, expandTerms, k must be positive")
+    import graft.functions.Portable
+    val terms   = cleanedTerms(words)
+    val docLens = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats   = docLens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    // 1. pseudo-relevant docs: bounded top-fb cut on the ROUNDED base score
+    val fb = bm25Query(tokens, words, k1, b, idCol)
+      .select(col(idCol), Portable.pround(col("score"), 6).as("s"))
+      .orderBy(col("s").desc, col(idCol).asc)
+      .limit(fbDocs)
+      .select(col(idCol))
+    // 2. expansion terms: feedback-set tf × corpus idf, originals excluded
+    val fbTf = tokens
+      .join(broadcast(fb), Seq(idCol))
+      .where(!col("word").isin(terms: _*))
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("fbtf"))
+    val candDf = tokens
+      .join(broadcast(fbTf.select(col("word"))), Seq("word"))
+      .groupBy(col("word"))
+      .agg(countDistinct(col(idCol)).as("cdf"))
+    val expanded = fbTf
+      .join(candDf, Seq("word"))
+      .crossJoin(broadcast(stats.select(col("n_docs"))))
+      .select(col("word"), Portable.pround(
+        col("fbtf") * log(col("n_docs").cast("double") / col("cdf")), 6).as("w"))
+      .orderBy(col("w").desc, col("word").asc)
+      .limit(expandTerms)
+      .select(col("word"))
+    // 3. rescore with original ∪ expansion terms as a broadcast relation —
+    //    arithmetic identical to bm25Query
+    val spark = tokens.sparkSession
+    import spark.implicits._
+    val allTerms = terms.toDF("word").unionByName(expanded).distinct()
+    val tf = tokens
+      .join(broadcast(allTerms), Seq("word"))
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("word")).agg(countDistinct(col(idCol)).as("df_t"))
+    tf.join(broadcast(dfs), Seq("word"))
+      .join(docLens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5) + 1.0))
+      .withColumn("w",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("w")).as("score"))
+      .select(col(idCol), Portable.pround(col("score"), 4).as("score_r"))
+      .orderBy(col("score_r").desc, col(idCol).asc)
+      .limit(k)
+  }
+
   /** BM25 served FROM THE INDEX (tf-bearing postings + doc-length sidecar,
     * [[InvertedIndex.tfPostings]]/[[InvertedIndex.docLengths]]) instead of
     * re-tokenizing the corpus: the `word IN` filter prunes the postings

@@ -1044,9 +1044,15 @@ object Stats {
         sum(col(s"${yCol}__r") * col(s"${yCol}__r")).as("sbb"),
         sum(col(s"${xCol}__r") * col(s"${yCol}__r")).as("sab"))
       .select(col("n"), Portable.pround(
-        (col("n") * col("sab") - col("sa") * col("sb"))
-          / sqrt((col("n") * col("saa") - col("sa") * col("sa"))
-            * (col("n") * col("sbb") - col("sb") * col("sb"))), 6).as("rho_r"))
+        when(
+          (col("n") * col("saa") - col("sa") * col("sa"))
+            * (col("n") * col("sbb") - col("sb") * col("sb")) > 0.0,
+          (col("n") * col("sab") - col("sa") * col("sb"))
+            / sqrt((col("n") * col("saa") - col("sa") * col("sa"))
+              * (col("n") * col("sbb") - col("sb") * col("sb")))),
+        6).as("rho_r"))
+    // ^ a CONSTANT column has zero rank variance: ρ is undefined and the
+    //   ANSI-mode division would throw — report NULL instead
   }
 
   /** Quantile–quantile drift table between two snapshots: the exact
@@ -1111,6 +1117,12 @@ object Stats {
     val se1 = col("v1") / col("n1")
     val se2 = col("v2") / col("n2")
     a.join(broadcast(b), col("g1") < col("g2"))
+      // two CONSTANT groups (both sample variances 0) have no test
+      // statistic: t's denominator √(se₁+se₂) is 0 and under ANSI mode
+      // the division THROWS instead of yielding Inf — drop the pair (the
+      // oracle carries the same predicate); any within-group variance on
+      // either side keeps the pair
+      .where(se1 + se2 > 0.0)
       .select(col("g1"), col("g2"), col("n1"), col("n2"),
         Portable.pround(col("m1") - col("m2"), 4).as("diff_r"),
         Portable.pround((col("m1") - col("m2")) / sqrt(se1 + se2), 4).as("t_r"),

@@ -133,6 +133,21 @@ class DriftStatsSpec extends SparkSpec {
     }
   }
 
+  test("degenerate inputs don't crash under ANSI mode: constant groups / constant columns") {
+    // two constant groups: se1+se2 = 0, t's denominator is 0 — under
+    // ANSI the raw division THROWS; the pair must be dropped instead
+    val const = (Seq.fill(4)(("a", 10L)) ++ Seq.fill(4)(("b", 20L)) ++
+      (1 to 4).map(i => ("c", 30L + i))).toDF("g", "x")
+    val pairs = Stats.welchTTest(const, "g", "x").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(!pairs.contains(("a", "b")), "zero-combined-variance pair must be dropped")
+    assert(pairs == Set(("a", "c"), ("b", "c")), s"variance-carrying pairs survive: $pairs")
+    // constant column: zero rank variance, rho undefined — NULL, not a throw
+    val flat = (1 to 20).map(i => (5.0, i.toDouble)).toDF("x", "y")
+    val r = Stats.spearman(flat, "x", "y").collect().head
+    assert(r.getLong(0) == 20 && r.isNullAt(1), s"rho must be NULL on a constant column: $r")
+  }
+
   test("qqDrift: identical snapshots read zero delta; a +50 shift reads +50 everywhere") {
     val ref = (0 to 100).toDF("v")
     val same = Stats.qqDrift(ref, ref, "v").collect()

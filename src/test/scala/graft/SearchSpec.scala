@@ -281,6 +281,33 @@ class SearchSpec extends SparkSpec {
     assert(got.map(_._2).sorted.reverse.toSeq == got.map(_._2).toSeq, "descending order")
   }
 
+  test("prfExpand: an expansion-only doc invisible to base BM25 enters the expanded results") {
+    // 'cluster' co-occurs with 'spark' in every feedback doc, so PRF must
+    // lift it — and doc 10, which says only 'cluster', scores ZERO under
+    // the base query but must appear after expansion. Filler docs keep
+    // the corpus idf meaningful.
+    val corpus = (Seq(
+      (1L, "spark cluster cluster runs the job"),
+      (2L, "spark cluster cluster scales out"),
+      (3L, "spark cluster cluster schedules work"),
+      (10L, "cluster cluster cluster maintenance notes")
+    ) ++ (20L to 29L).map(i => (i, s"filler document number about topic$i words"))).toDF("doc_id", "text")
+    val toks = Tokenize.tokens(corpus, "text", Seq("doc_id"))
+    val base = Search.bm25Query(toks, Seq("spark")).collect().map(_.getLong(0)).toSet
+    assert(!base.contains(10L), "doc 10 has no base term")
+    val got = Search.prfExpand(toks, Seq("spark"), fbDocs = 3, expandTerms = 1, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.map(_._1).contains(10L),
+      s"expansion must surface the cluster-only doc: ${got.toSeq}")
+    assert(got.map(_._1).toSet.intersect(Set(1L, 2L, 3L)) == Set(1L, 2L, 3L),
+      "feedback docs still rank")
+    // deterministic: same result on a re-run over a different partitioning
+    val again = Search.prfExpand(Tokenize.tokens(corpus.repartition(7), "text", Seq("doc_id")),
+      Seq("spark"), fbDocs = 3, expandTerms = 1, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == again.toSeq, "PRF must be partitioning-independent")
+  }
+
   test("query terms go through the reference tokenizer (case, punctuation)") {
     val got = Search.andQuery(postings, Seq("SPARK!", "jo-ins")).as[Long].collect().toSeq
     assert(got == Seq(2L, 4L))
