@@ -116,7 +116,9 @@ object ExplainAudit {
     // round 13: the bottom-k mergeable quantile sample family (flat,
     // QQ-drift, per-hour), PRF query expansion, clustering depth
     "q_sample_quantiles", "q_qq_drift_sketch", "q_search_prf",
-    "q_quantiles_per_hour", "q_clustering_depth")
+    "q_quantiles_per_hour", "q_clustering_depth", "q_t_closeness", "q_brier",
+    "q_ucc_discovery", "q_mrl_recall", "q_seasonality", "q_conformal",
+    "q_collocations_g2", "q_clustering_coeff")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

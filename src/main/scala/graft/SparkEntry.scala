@@ -243,6 +243,32 @@ object SparkEntry {
         .burstiness(graft.sources.EventsSource.events(s, dir))
         .orderBy("event_type")),
 
+    // -- hour-of-day seasonality (one-way ANOVA η² per event type):
+    //    strength = 1 − SS_within/SS_total over observed hourly buckets
+    //    grouped by hour-of-day, plus the peak hour — "is volume
+    //    schedule-driven?" (burstiness' periodic complement). Exact
+    //    integer sufficient statistics; ≤24-row combine per key.
+    "q_seasonality" -> ((s, dir) =>
+      operators.TimeSeries
+        .seasonality(graft.sources.EventsSource.events(s, dir))
+        .orderBy("event_type")),
+
+    // -- split-conformal coverage audit: q̂ = ⌈(n_cal+1)(1−α)⌉-th
+    //    smallest calibration |conf − label| via the chunked-prefix
+    //    order-statistic (no residual-sized window), deterministic hash
+    //    split, eval coverage vs the 1−α guarantee — the "is 90% really
+    //    90%" audit on the quality classifier's confidences
+    "q_conformal" -> ((s, dir) => {
+      val ws = split(col("text"), "\\s+")
+      val scored = t(s, dir, "documents").select(
+        col("doc_id"),
+        round(TextAnalysis.hashedLinearScore(col("text"), buckets = 512), 6).as("score"),
+        (size(filter(ws, x => x.rlike("[A-Za-z]"))).cast("double")
+          / size(ws).cast("double") >= 0.8).cast("int").as("label"))
+        .withColumn("conf", (col("score") + 1.0) / 2.0)
+      operators.Stats.conformalCoverage(scored, "conf", "label", "doc_id")
+    }),
+
     // -- heavy hitters via the MERGEABLE SpaceSaving sketch (native
     //    TypedImperativeAggregate, spacesaving_topk): capacity-bounded
     //    per-task state, partial sketches merge up the exchange — nothing
@@ -1767,6 +1793,20 @@ object SparkEntry {
         .orderBy("q_id")
     }),
 
+    // -- Matryoshka truncation eval: recall@10 of prefix-dim search
+    //    (8/16/32/64, re-normalized) vs full-dim truth — how small an
+    //    index dimension still retrieves what the full vectors would;
+    //    truth computed once (checkpointed), every search the bounded
+    //    partial top-k, one row per dim
+    "q_mrl_recall" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity.mrlRecallEval(
+        emb.where(col("vec_id") >= 10),
+        emb.where(col("vec_id") < 10),
+        dims = Seq(8, 16, 32, 64), k = 10)
+        .orderBy("dim")
+    }),
+
     // -- IVF-PQ ADC search: queries probe their 2 max-cosine cells, then
     //    score members by SUMMED SUBSPACE TABLE DISTANCES over the PQ codes
     //    (the compressed-domain scan pqEncode's codes exist for); distances
@@ -2417,6 +2457,20 @@ object SparkEntry {
       operators.Stats.reliability(scored, "conf", "label").orderBy("bin")
     }),
 
+    // -- Murphy decomposition of the Brier score over the SAME scored
+    //    relation as q_calibration_ece: REL − RES + UNC — is the score
+    //    bad because of CALIBRATION (remap fixes it) or RESOLUTION (the
+    //    model can't separate)? One corpus scan, bins-sized after.
+    "q_brier" -> ((s, dir) => {
+      val ws = split(col("text"), "\\s+")
+      val scored = t(s, dir, "documents").select(
+        round(TextAnalysis.hashedLinearScore(col("text"), buckets = 512), 6).as("score"),
+        (size(filter(ws, x => x.rlike("[A-Za-z]"))).cast("double")
+          / size(ws).cast("double") >= 0.8).cast("int").as("label"))
+        .withColumn("conf", (col("score") + 1.0) / 2.0)
+      operators.Stats.brierDecomposition(scored, "conf", "label")
+    }),
+
     // -- inter-annotator agreement (Cohen's kappa) between two cheap
     //    quality raters: the hashed linear classifier (score>0) vs the
     //    mostly-alphabetic rule — chance-corrected agreement from the
@@ -2458,6 +2512,20 @@ object SparkEntry {
         .unionByName(operators.Stats.fdCheck(o, "o_custkey", "o_orderpriority"))
         .unionByName(operators.Stats.fdCheck(li, "l_partkey", "l_suppkey"))
         .orderBy("fd")
+    }),
+
+    // -- unique-column-combination (candidate-key) discovery: fdCheck's
+    //    profiling twin — per candidate set, one partial-agg groupBy;
+    //    duplicate-group count + max multiplicity grade HOW non-unique a
+    //    near-key is. True keys (orderkey; orderkey+linenumber) and
+    //    non-keys (custkey; partkey+suppkey) both covered.
+    "q_ucc_discovery" -> ((s, dir) => {
+      val o = t(s, dir, "orders"); val li = t(s, dir, "lineitem")
+      operators.Stats.uccCheck(o, Seq("o_orderkey"))
+        .unionByName(operators.Stats.uccCheck(o, Seq("o_custkey")))
+        .unionByName(operators.Stats.uccCheck(li, Seq("l_orderkey", "l_linenumber")))
+        .unionByName(operators.Stats.uccCheck(li, Seq("l_partkey", "l_suppkey")))
+        .orderBy("ucc")
     }),
 
     // -- inclusion-dependency (foreign-key) discovery: distinct-project
@@ -2629,6 +2697,17 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // -- local clustering coefficient per brand node: the normalized
+    //    triangle dial (what fraction of a node's neighbor pairs are
+    //    themselves linked) — degree from one explode-agg, triangles
+    //    reused, deg<2 nodes dropped (undefined), 0-triangle kept at 0
+    "q_clustering_coeff" -> ((s, dir) => {
+      operators.Graph
+        .clusteringCoefficients(
+          operators.Graph.brandCooccurrenceEdges(t(s, dir, "lineitem"), t(s, dir, "part")))
+        .orderBy("node")
+    }),
+
     // -- vocabulary growth (Heaps' law): new + cumulative vocab per
     //    50-doc prefix of the corpus
     "q_vocab_growth" -> ((s, dir) => {
@@ -2642,6 +2721,18 @@ object SparkEntry {
     "q_token_pmi" -> ((s, dir) => {
       operators.Cooccurrence
         .pmiPairs(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")),
+          minPair = 5, minDf = 2, maxDfFrac = 0.9)
+        .orderBy("w1", "w2")
+    }),
+
+    // -- collocation significance via Dunning's G² over the same banded
+    //    pair relation: evidence-weighted where PMI is not (a 500-of-600
+    //    co-occurrence outranks a 3-of-3) — exact 2×2 document cells,
+    //    four fixed-order ln terms, map-side
+    "q_collocations_g2" -> ((s, dir) => {
+      operators.Cooccurrence
+        .g2Collocations(
           Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")),
           minPair = 5, minDf = 2, maxDfFrac = 0.9)
         .orderBy("w1", "w2")
@@ -2879,6 +2970,19 @@ object SparkEntry {
             .withColumn("len_bucket", floor(col("n_chars") / 200)),
           Seq("source", "len_bucket"), sensitiveCol = "lang", l = 4)
         .orderBy("source", "len_bucket")
+    }),
+
+    // -- t-closeness audit: the distribution-skew leak k-anon and
+    //    l-diversity both miss — per (lang, source) class, ordered EMD
+    //    between the class's document-length distribution (50-char
+    //    buckets) and the global one; exact-integer cumulative gaps, one
+    //    double division at the end
+    "q_t_closeness" -> ((s, dir) => {
+      operators.Stats
+        .tCloseness(
+          t(s, dir, "documents").withColumn("len_bucket", floor(col("n_chars") / 50)),
+          Seq("lang", "source"), sensitiveCol = "len_bucket", t = 0.2)
+        .orderBy("lang", "source")
     }),
 
     // -- pairwise Pearson correlation matrix: all 6 lineitem pairs from
@@ -3797,6 +3901,31 @@ object SparkEntry {
           SELECT event_type, n_buckets, n_events, mean_r, var_r,
                  floor((var_r / mean_r) * 1e4 + 0.5) / 1e4 AS fano_r
           FROM m ORDER BY event_type""",
+    // η² from exact per-hod integer sufficient statistics; peak via
+    // (mean DESC, hod) row_number; strength from the double SS ratio
+    "q_seasonality" ->
+      """WITH b AS (SELECT event_type, strftime(ts::TIMESTAMP, '%Y-%m-%d %H') AS bkt,
+                           extract(hour FROM ts::TIMESTAMP)::INT AS hod, count(*) AS c
+                    FROM events GROUP BY 1, 2, 3),
+         h AS (SELECT event_type, hod, count(*) AS nh, sum(c) AS s1, sum(c * c) AS s2
+               FROM b GROUP BY 1, 2),
+         m AS (SELECT event_type, hod, nh, s1, s2,
+                      floor((s1::DOUBLE / nh) * 1e6 + 0.5) / 1e6 AS mean_r FROM h),
+         pk AS (SELECT event_type, hod AS peak_hod, mean_r AS peak_mean_r FROM (
+                  SELECT event_type, hod, mean_r,
+                         row_number() OVER (PARTITION BY event_type
+                                            ORDER BY mean_r DESC, hod) AS rn
+                  FROM m) z WHERE rn = 1),
+         g AS (SELECT event_type, sum(nh)::BIGINT AS n_buckets,
+                      sum(s1)::BIGINT AS t1, sum(s2)::BIGINT AS t2,
+                      sum(s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / nh) AS ssw
+               FROM m GROUP BY 1),
+         f AS (SELECT g.event_type, n_buckets, peak_hod, peak_mean_r, ssw,
+                      t2::DOUBLE - t1::DOUBLE * t1::DOUBLE / n_buckets AS sst
+               FROM g JOIN pk USING (event_type))
+         SELECT event_type, n_buckets, peak_hod, peak_mean_r,
+                floor((CASE WHEN sst > 0.0 THEN 1.0 - ssw / sst ELSE 0.0 END) * 1e4 + 0.5) / 1e4 AS strength_r
+         FROM f ORDER BY event_type""",
     "q_heavy_keys_per_hour" ->
       """SELECT strftime(ts::TIMESTAMP, '%Y-%m-%d %H') AS hour_bucket,
                 event_type, count(*) AS cnt, 0::BIGINT AS err
@@ -6055,6 +6184,68 @@ object SparkEntry {
           SELECT bin, n, conf_r, acc_r, gap_r,
                  floor((sum(n * gap_r) OVER () / sum(n) OVER ()) * 1e6 + 0.5) / 1e6 AS ece_r
           FROM g ORDER BY bin""",
+    // split-conformal replay: same md5 split threshold, same 6-dp
+    // residuals, k-th order statistic via row_number (the oracle may
+    // window what the Spark plan does with chunked prefixes)
+    "q_conformal" ->
+      s"""WITH $ToksArrCte,
+          base AS (SELECT d.doc_id,
+                     CASE WHEN len(t.toks) = 0 THEN 0.0
+                          ELSE floor((list_sum(list_transform(t.toks,
+                                 w -> (('0x' || substr(md5(w), 1, 8))::BIGINT % 512) % 101 - 50))::DOUBLE
+                               / (50.0 * len(t.toks))) * 1e6 + 0.5) / 1e6 END AS score,
+                     (len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                          x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                      / len(regexp_split_to_array(d.text, '\\s+')) >= 0.8)::INT AS label
+                   FROM documents d JOIN toks_arr t USING (doc_id)),
+          s AS (SELECT doc_id,
+                       floor(abs((score + 1.0) / 2.0 - label) * 1e6 + 0.5) / 1e6 AS r,
+                       ('0x' || substr(md5('conformal:' || doc_id::VARCHAR), 1, 8))::BIGINT
+                         < ${operators.Sampling.threshold(0.8)} AS is_cal
+                FROM base),
+          cal AS (SELECT r FROM s WHERE is_cal),
+          n AS (SELECT count(*)::BIGINT AS n_cal FROM cal),
+          k AS (SELECT n_cal, ceil((n_cal + 1) * ${1.0 - 0.1}) AS k FROM n),
+          q AS (SELECT r AS qhat_r FROM (
+                  SELECT r, row_number() OVER (ORDER BY r) AS rn FROM cal) z
+                CROSS JOIN k WHERE rn >= k ORDER BY r LIMIT 1),
+          e AS (SELECT r FROM s WHERE NOT is_cal),
+          ne AS (SELECT count(*)::BIGINT AS n_eval FROM e),
+          cov AS (SELECT floor(avg((e.r <= q.qhat_r)::INT) * 1e4 + 0.5) / 1e4 AS coverage_r
+                  FROM e CROSS JOIN q)
+          SELECT n_cal, n_eval, qhat_r, ${1.0 - 0.1} AS target, coverage_r
+          FROM k CROSS JOIN ne CROSS JOIN q CROSS JOIN cov""",
+    // Murphy decomposition from the SAME rounded bin aggregates as the
+    // ECE oracle; obar from rounded acc, unc/brier from rounded pieces
+    "q_brier" ->
+      s"""WITH $ToksArrCte,
+          base AS (SELECT d.doc_id,
+                     CASE WHEN len(t.toks) = 0 THEN 0.0
+                          ELSE floor((list_sum(list_transform(t.toks,
+                                 w -> (('0x' || substr(md5(w), 1, 8))::BIGINT % 512) % 101 - 50))::DOUBLE
+                               / (50.0 * len(t.toks))) * 1e6 + 0.5) / 1e6 END AS score,
+                     (len(list_filter(regexp_split_to_array(d.text, '\\s+'),
+                          x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+                      / len(regexp_split_to_array(d.text, '\\s+')) >= 0.8)::INT AS label
+                   FROM documents d JOIN toks_arr t USING (doc_id)),
+          c AS (SELECT least(floor(((score + 1.0) / 2.0) * 10), 9)::INT AS bin,
+                       (score + 1.0) / 2.0 AS conf, label
+                FROM base),
+          b AS (SELECT bin, count(*) AS n,
+                       floor(avg(conf) * 1e4 + 0.5) / 1e4 AS conf_r,
+                       floor(avg(label) * 1e4 + 0.5) / 1e4 AS acc_r
+                FROM c GROUP BY bin),
+          o AS (SELECT floor((sum(n * acc_r) / sum(n)) * 1e6 + 0.5) / 1e6 AS obar_r FROM b),
+          m AS (SELECT sum(n)::BIGINT AS n, max(obar_r) AS obar_r,
+                       floor((sum(n * (conf_r - acc_r) * (conf_r - acc_r)) / sum(n)) * 1e6 + 0.5) / 1e6 AS rel_r,
+                       floor((sum(n * (acc_r - obar_r) * (acc_r - obar_r)) / sum(n)) * 1e6 + 0.5) / 1e6 AS res_r
+                FROM b CROSS JOIN o),
+          u AS (SELECT n, obar_r, rel_r, res_r,
+                       floor((obar_r * (1.0 - obar_r)) * 1e6 + 0.5) / 1e6 AS unc_r
+                FROM m)
+          SELECT n, obar_r, rel_r, res_r, unc_r,
+                 floor((rel_r - res_r + unc_r) * 1e6 + 0.5) / 1e6 AS brier_r
+          FROM u""",
     // kappa from the rounded po/pe, mirroring the Spark arithmetic exactly
     "q_rater_kappa" ->
       s"""WITH $ToksArrCte,
@@ -6082,6 +6273,37 @@ object SparkEntry {
           SELECT n, n11, n10, n01, n00, po_r, pe_r,
                  floor(((po_r - pe_r) / (1.0 - pe_r)) * 1e6 + 0.5) / 1e6 AS kappa_r
           FROM p""",
+    // ordered EMD per class: exact-HUGEINT cumulative gaps (mirror of the
+    // decimal(38,0) Spark form), one double division, violates from the
+    // ROUNDED emd
+    "q_t_closeness" ->
+      """WITH b AS (SELECT lang, source, (n_chars // 50) AS v
+                    FROM documents WHERE n_chars IS NOT NULL),
+         g AS (SELECT v, count(*) AS gc FROM b GROUP BY v),
+         t0 AS (SELECT count(*) AS m, sum(gc) AS n FROM g),
+         cls AS (SELECT lang, source, count(*) AS class_size FROM b GROUP BY 1, 2),
+         cc AS (SELECT lang, source, v, count(*) AS c FROM b GROUP BY 1, 2, 3),
+         grid AS (SELECT cls.lang, cls.source, cls.class_size, g.v, g.gc,
+                         coalesce(cc.c, 0) AS c
+                  FROM cls CROSS JOIN g
+                  LEFT JOIN cc ON cc.lang = cls.lang AND cc.source = cls.source
+                              AND cc.v = g.v),
+         cum AS (SELECT lang, source, class_size,
+                        sum(c) OVER (PARTITION BY lang, source ORDER BY v) AS cc2,
+                        sum(gc) OVER (PARTITION BY lang, source ORDER BY v) AS cg
+                 FROM grid),
+         s AS (SELECT lang, source, class_size,
+                      sum(abs(n::HUGEINT * cc2::HUGEINT - class_size::HUGEINT * cg::HUGEINT)) AS sm,
+                      max(n) AS gn, max(m) AS gm
+               FROM cum CROSS JOIN t0 GROUP BY 1, 2, 3),
+         e AS (SELECT lang, source, class_size,
+                      floor((CASE WHEN gm > 1
+                                  THEN sm::DOUBLE / (class_size::DOUBLE * gn) / (gm - 1)
+                                  ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS emd_r
+               FROM s)
+         SELECT lang, source, class_size::BIGINT AS class_size, emd_r,
+                (emd_r > 0.2)::INT AS violates
+         FROM e ORDER BY lang, source""",
     // same md5-uniform → inverse-CDF Laplace draw, clamped release
     "q_dp_counts" ->
       """WITH g AS (SELECT lang, count(*)::BIGINT AS n FROM documents GROUP BY lang),
@@ -6103,6 +6325,14 @@ object SparkEntry {
             UNION ALL ${fdSql("orders", "o_custkey", "o_orderpriority")}
             UNION ALL ${fdSql("lineitem", "l_partkey", "l_suppkey")}) u
           ORDER BY fd""",
+    "q_ucc_discovery" ->
+      s"""SELECT * FROM (
+            ${uccSql("orders", Seq("o_orderkey"))}
+            UNION ALL ${uccSql("orders", Seq("o_custkey"))}
+            UNION ALL ${uccSql("lineitem", Seq("l_orderkey", "l_linenumber"))}
+            UNION ALL ${uccSql("lineitem", Seq("l_partkey", "l_suppkey"))}) u
+          ORDER BY ucc""",
+    "q_mrl_recall" -> mrlSql(Seq(8, 16, 32, 64), k = 10),
     "q_fk_discovery" ->
       s"""SELECT * FROM (
             ${indSql("lineitem", "l_orderkey", "orders", "o_orderkey")}
@@ -6290,6 +6520,26 @@ object SparkEntry {
                   JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
           n AS (SELECT unnest([a, b, c]) AS node FROM tri)
           SELECT node, count(*)::BIGINT AS n_tri FROM n GROUP BY node ORDER BY node""",
+    // degree + the same oriented triangle enumeration, left join keeps
+    // triangle-free nodes at cc 0; deg<2 dropped
+    "q_clustering_coeff" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+                     FROM lineitem JOIN part ON l_partkey = p_partkey),
+          e AS (SELECT DISTINCT a.brand AS src, b.brand AS dst
+                FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand),
+          d AS (SELECT node, count(*) AS deg FROM (
+                  SELECT src AS node FROM e UNION ALL SELECT dst FROM e) u
+                GROUP BY node),
+          tri AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                  FROM e e1
+                  JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+                  JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst),
+          t AS (SELECT node, count(*) AS n_tri FROM (
+                  SELECT unnest([a, b, c]) AS node FROM tri) n GROUP BY node)
+          SELECT d.node, d.deg::BIGINT AS deg, coalesce(t.n_tri, 0)::BIGINT AS n_tri,
+                 floor((2.0 * coalesce(t.n_tri, 0) / (d.deg::DOUBLE * (d.deg - 1))) * 1e6 + 0.5) / 1e6 AS cc_r
+          FROM d LEFT JOIN t ON t.node = d.node
+          WHERE d.deg >= 2 ORDER BY d.node""",
     "q_vocab_growth" ->
       s"""WITH $TokCte,
           f AS (SELECT word, min(doc_id) AS first_doc FROM tok GROUP BY word),
@@ -6318,6 +6568,35 @@ object SparkEntry {
                  JOIN band bb ON bb.word = p.w2
                  CROSS JOIN nd
           ORDER BY w1, w2""",
+    // Dunning G² over the identical banded pair relation; four CASE ln
+    // terms combined in the same fixed order as the Spark expression
+    "q_collocations_g2" ->
+      s"""WITH $TokCte,
+          dt AS (SELECT DISTINCT doc_id, word FROM tok),
+          nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n_docs FROM dt),
+          dfs AS (SELECT word, count(*) AS df_w FROM dt GROUP BY word),
+          band AS (SELECT word, df_w FROM dfs CROSS JOIN nd
+                   WHERE df_w >= 2 AND df_w <= n_docs * 0.9),
+          p AS (SELECT a.word AS w1, b.word AS w2, count(*) AS n_xy
+                FROM dt a
+                JOIN dt b ON a.doc_id = b.doc_id AND a.word < b.word
+                JOIN band ba ON ba.word = a.word
+                JOIN band bb ON bb.word = b.word
+                GROUP BY 1, 2 HAVING count(*) >= 5),
+          c AS (SELECT w1, w2, n_xy, ba.df_w AS n_x, bb.df_w AS n_y, n_docs,
+                       (ba.df_w - n_xy) AS k12, (bb.df_w - n_xy) AS k21,
+                       (n_docs - ba.df_w - bb.df_w + n_xy) AS k22
+                FROM p JOIN band ba ON ba.word = p.w1
+                       JOIN band bb ON bb.word = p.w2
+                       CROSS JOIN nd)
+          SELECT w1, w2, n_xy::BIGINT AS n_xy, n_x::BIGINT AS n_x, n_y::BIGINT AS n_y,
+                 floor((2.0 * (
+                     (CASE WHEN n_xy > 0 THEN n_xy::DOUBLE * ln(n_xy::DOUBLE * n_docs / (n_x::DOUBLE * n_y::DOUBLE)) ELSE 0.0 END)
+                   + (CASE WHEN k12 > 0 THEN k12::DOUBLE * ln(k12::DOUBLE * n_docs / (n_x::DOUBLE * (n_docs - n_y)::DOUBLE)) ELSE 0.0 END)
+                   + (CASE WHEN k21 > 0 THEN k21::DOUBLE * ln(k21::DOUBLE * n_docs / ((n_docs - n_x)::DOUBLE * n_y::DOUBLE)) ELSE 0.0 END)
+                   + (CASE WHEN k22 > 0 THEN k22::DOUBLE * ln(k22::DOUBLE * n_docs / ((n_docs - n_x)::DOUBLE * (n_docs - n_y)::DOUBLE)) ELSE 0.0 END)
+                 )) * 1e4 + 0.5) / 1e4 AS g2_r
+          FROM c ORDER BY w1, w2""",
     "q_histogram_equidepth" ->
       """WITH b AS (SELECT list_transform(
                              quantile_cont(l_quantity, [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]),
@@ -7681,6 +7960,66 @@ object SparkEntry {
                sum((d > 1)::INT)::BIGINT AS n_violating,
                (sum((d > 1)::INT) = 0)::INT AS holds
         FROM (SELECT $lhs, count(DISTINCT $rhs) AS d FROM $tbl GROUP BY 1) g"""
+
+  /** One unique-column-combination leg (mirror of Stats.uccCheck). */
+  private def uccSql(tbl: String, cols: Seq[String]): String = {
+    val cl = cols.mkString(", ")
+    s"""SELECT '${cols.mkString(",")}' AS ucc,
+               sum(c)::BIGINT AS n_rows, count(*)::BIGINT AS n_groups,
+               sum((c > 1)::INT)::BIGINT AS n_dup_groups, max(c)::BIGINT AS max_mult,
+               (sum((c > 1)::INT) = 0)::INT AS is_unique
+        FROM (SELECT $cl, count(*) AS c FROM $tbl GROUP BY $cl) g"""
+  }
+
+  /** Matryoshka-recall oracle (mirror of Similarity.mrlRecallEval):
+    * full-dim brute-force truth, per-prefix-dim re-normalized top-k,
+    * rounded-cosine + id tiebreak everywhere.
+    */
+  private def mrlSql(dims: Seq[Int], k: Int): String = {
+    val dimCtes = dims.map { d =>
+      s"""qd$d AS (SELECT vec_id AS q_id, embedding AS qv,
+                         sqrt(list_sum(list_transform(range(1, $d + 1),
+                              i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS qn
+                  FROM embeddings WHERE vec_id < 10),
+          cd$d AS (SELECT vec_id, embedding AS cv,
+                          sqrt(list_sum(list_transform(range(1, $d + 1),
+                               i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS cn
+                   FROM embeddings WHERE vec_id >= 10),
+          t$d AS (SELECT q_id, vec_id FROM (
+                    SELECT qd$d.q_id, cd$d.vec_id,
+                           row_number() OVER (PARTITION BY qd$d.q_id
+                             ORDER BY floor((list_sum(list_transform(range(1, $d + 1),
+                                    i -> qd$d.qv[i]::DOUBLE * cd$d.cv[i]::DOUBLE))
+                                  / (qd$d.qn * cd$d.cn)) * 1e6 + 0.5) / 1e6 DESC,
+                                cd$d.vec_id) AS rn
+                    FROM qd$d CROSS JOIN cd$d) z
+                  WHERE rn <= $k),
+          h$d AS (SELECT $d AS dim, count(*) AS hits
+                  FROM t$d JOIN bf USING (q_id, vec_id))"""
+    }.mkString(",\n")
+    val unioned = dims.map(d => s"SELECT dim, hits FROM h$d").mkString(" UNION ALL ")
+    s"""WITH q AS (SELECT vec_id AS q_id, embedding AS qv,
+                         sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                              i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS qn
+                  FROM embeddings WHERE vec_id < 10),
+          c AS (SELECT vec_id, embedding AS cv,
+                       sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                            i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS cn
+                FROM embeddings WHERE vec_id >= 10),
+          bf AS (SELECT q_id, vec_id FROM (
+                   SELECT q.q_id, c.vec_id,
+                          row_number() OVER (PARTITION BY q.q_id
+                            ORDER BY floor((list_sum(list_transform(range(1, len(q.qv) + 1),
+                                   i -> q.qv[i]::DOUBLE * c.cv[i]::DOUBLE))
+                                 / (q.qn * c.cn)) * 1e6 + 0.5) / 1e6 DESC, c.vec_id) AS rn
+                   FROM q CROSS JOIN c) z
+                 WHERE rn <= $k),
+          nq AS (SELECT count(*) AS n_queries FROM q),
+          $dimCtes
+          SELECT dim, n_queries, hits,
+                 floor((hits::DOUBLE / (n_queries * $k)) * 1e4 + 0.5) / 1e4 AS recall_r
+          FROM ($unioned) u CROSS JOIN nq ORDER BY dim"""
+  }
 
   /** One inclusion-dependency leg (mirror of Stats.inclusionCheck). */
   private def indSql(aTbl: String, aCol: String, bTbl: String, bCol: String): String =

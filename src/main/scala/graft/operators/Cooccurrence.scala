@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
@@ -31,7 +31,61 @@ object Cooccurrence {
       idCol: String = "doc_id",
       minPair: Long = 5,
       minDf: Long = 2,
+      maxDfFrac: Double = 0.9): DataFrame =
+    pairStats(tokens, idCol, minPair, minDf, maxDfFrac)
+      .select(
+        col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+        Portable.pround(
+          log(col("n_xy").cast("double") * col("n_docs") / (col("n_x") * col("n_y"))),
+          6).as("pmi"))
+
+  /** Collocation SIGNIFICANCE via Dunning's log-likelihood ratio G²
+    * (Dunning, Computational Linguistics 1993) over the same banded
+    * pair relation: G² = 2·Σ O·ln(O/E) across the 2×2 document
+    * contingency of (has w1, has w2) — the test PMI can't be: PMI ranks
+    * a 3-of-3 co-occurrence above a 500-of-600 one (it ignores
+    * evidence), G² grows with support, which is why collocation
+    * extraction standardized on it for sparse counts. Exact integer
+    * cells; the four ln terms combine in one fixed-order map-side
+    * expression (zero cells contribute 0), so the statistic replays
+    * bit-for-bit.
+    *
+    * Returns (w1, w2, n_xy, n_x, n_y, g2_r) — g2_r 4-dp rounded.
+    */
+  def g2Collocations(
+      tokens: DataFrame,
+      idCol: String = "doc_id",
+      minPair: Long = 5,
+      minDf: Long = 2,
       maxDfFrac: Double = 0.9): DataFrame = {
+    val n = col("n_docs") // double
+    def term(k: Column, row: Column, c: Column): Column =
+      when(k > 0,
+        k.cast("double") * log(k.cast("double") * n / (row.cast("double") * c.cast("double"))))
+        .otherwise(0.0)
+    val k11 = col("n_xy")
+    val k12 = col("n_x") - col("n_xy")
+    val k21 = col("n_y") - col("n_xy")
+    val k22 = n - col("n_x") - col("n_y") + col("n_xy")
+    pairStats(tokens, idCol, minPair, minDf, maxDfFrac)
+      .select(col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
+        Portable.pround(
+          lit(2.0) * (term(k11, col("n_x"), col("n_y"))
+            + term(k12, col("n_x"), n - col("n_y"))
+            + term(k21, n - col("n_x"), col("n_y"))
+            + term(k22, n - col("n_x"), n - col("n_y"))), 4).as("g2_r"))
+  }
+
+  /** The shared banded document-co-occurrence relation both association
+    * measures select from: (w1, w2, n_xy, n_x, n_y, n_docs) with
+    * w1 < w2, pair count ≥ minPair, both words inside the df band.
+    */
+  private def pairStats(
+      tokens: DataFrame,
+      idCol: String,
+      minPair: Long,
+      minDf: Long,
+      maxDfFrac: Double): DataFrame = {
     // dt is referenced four times below (both pair-join sides, the df
     // aggregate, the doc count); left lazy, every reference re-tokenizes
     // and re-dedups the corpus (round 7's first audit: a 917-node plan).
@@ -59,10 +113,5 @@ object Cooccurrence {
       .join(band.select(col("word").as("w1"), col("df_w").as("n_x")), Seq("w1"))
       .join(band.select(col("word").as("w2"), col("df_w").as("n_y")), Seq("w2"))
       .crossJoin(broadcast(nd))
-      .select(
-        col("w1"), col("w2"), col("n_xy"), col("n_x"), col("n_y"),
-        Portable.pround(
-          log(col("n_xy").cast("double") * col("n_docs") / (col("n_x") * col("n_y"))),
-          6).as("pmi"))
   }
 }

@@ -206,6 +206,34 @@ object Graph {
       .agg(count(lit(1)).as("n_tri"))
   }
 
+  /** Local clustering coefficient per node (Watts & Strogatz, Nature
+    * 1998): C(v) = 2·tri(v) / (deg(v)·(deg(v)−1)) — what fraction of a
+    * node's neighbor pairs are themselves connected. [[triangleCounts]]'
+    * normalized sibling and the standard "is this graph clumpy or
+    * stringy" per-node dial (near-dup brand/entity graphs are clumpy;
+    * citation chains are stringy). Degrees come from one explode-agg
+    * over the distinct undirected edge list; triangles reuse the
+    * oriented-wedge join; nodes with deg < 2 have no neighbor pair and
+    * are dropped (C undefined), zero-triangle nodes keep C = 0 via the
+    * left join.
+    *
+    * Returns (node, deg, n_tri, cc_r).
+    */
+  def clusteringCoefficients(edges: DataFrame): DataFrame = {
+    val deg = edges
+      .select(explode(array(col("src"), col("dst"))).as("node"))
+      .groupBy(col("node"))
+      .agg(count(lit(1)).as("deg"))
+    deg
+      .join(triangleCounts(edges), Seq("node"), "left_outer")
+      .na.fill(0L, Seq("n_tri"))
+      .where(col("deg") >= 2)
+      .select(col("node"), col("deg"), col("n_tri"),
+        graft.functions.Portable.pround(
+          lit(2.0) * col("n_tri") / (col("deg").cast("double") * (col("deg") - 1)), 6)
+          .as("cc_r"))
+  }
+
   /** The brand co-occurrence graph: two part brands are linked when some
     * order contains line items of both — the "products bought together"
     * projection of the order bipartite graph, and a natural triangle-rich

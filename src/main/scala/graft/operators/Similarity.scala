@@ -890,6 +890,47 @@ object Similarity {
         Portable.pround(coalesce(col("__h"), lit(0L)).cast("double") / k, 4).as("recall_r"))
   }
 
+  /** Matryoshka truncation eval (Kusupati et al., "Matryoshka
+    * Representation Learning", NeurIPS 2022 — serving truncated-prefix
+    * embeddings to cut index cost): for each prefix dimension d,
+    * recall@k of brute-force search in the d-dim PREFIX space
+    * (re-normalized, as MRL serves it) against full-dimension truth —
+    * the design table that says how small an index dimension still
+    * retrieves what the full vectors would.
+    *
+    * Shape: the full-dim truth is computed once and checkpointed (each
+    * prefix dim joins against it); every search is the bounded
+    * [[bruteForceTopK]] partial top-k (rounded-cosine, id tiebreak — no
+    * window, deterministic cross-engine); per-dim output is one row.
+    *
+    * Returns (dim, n_queries, hits, recall_r) — recall averaged over
+    * queries as total hits / (n_queries·k).
+    */
+  def mrlRecallEval(
+      corpus: DataFrame,
+      queries: DataFrame,
+      dims: Seq[Int],
+      k: Int,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(dims.nonEmpty && k > 0, "need prefix dims and k > 0")
+    val truth = bruteForceTopK(corpus, queries, k, idCol, vecCol)
+      .select(col("q_id"), col(idCol))
+      .localCheckpoint(true)
+    val nq = broadcast(queries.agg(count(lit(1)).as("n_queries")))
+    dims.map { d =>
+      def tr(df: DataFrame) = df.select(col(idCol), slice(col(vecCol), 1, d).as(vecCol))
+      bruteForceTopK(tr(corpus), tr(queries), k, idCol, vecCol)
+        .select(col("q_id"), col(idCol))
+        .join(truth, Seq("q_id", idCol))
+        .agg(count(lit(1)).as("hits"))
+        .crossJoin(nq)
+        .select(lit(d).as("dim"), col("n_queries"), col("hits"),
+          graft.functions.Portable.pround(
+            col("hits").cast("double") / (col("n_queries") * k), 4).as("recall_r"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Embedding-table hygiene audit: per label, the structural checks a
     * pipeline runs before touching vector math — row count, dimension
     * consistency (min/max array length: a single ragged vector poisons

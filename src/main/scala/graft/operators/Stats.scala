@@ -806,6 +806,181 @@ object Stats {
       .select("bin", "n", "conf_r", "acc_r", "gap_r", "ece_r")
   }
 
+  /** t-closeness audit (Li, Li & Venkatasubramanian, ICDE 2007) — the
+    * distribution-skew attack [[kAnonymity]] and [[lDiversity]] both
+    * miss: a class can be large AND diverse yet still leak because its
+    * sensitive-value DISTRIBUTION differs sharply from the global one
+    * (class of 500 with 90% of mass in the top length bucket vs 10%
+    * globally → membership shifts an attacker's posterior). Per QI
+    * class: Earth Mover's Distance between the class's distribution over
+    * the ORDERED sensitive domain and the global distribution, the
+    * paper's ordered-attribute form EMD = Σᵢ |Σ_{j≤i}(p_j − q_j)| /
+    * (m−1).
+    *
+    * Determinism discipline: the cumulative gap is kept as EXACT
+    * integers — |N·cumC − size·cumG| in decimal(38,0), where cumC/cumG
+    * are integer running counts — so the per-class sum is
+    * partial-agg-order independent; ONE double division at the end.
+    * Plan: two grouped counts (class × value, global value), a
+    * (classes × domain) grid via broadcast of the domain-sized global
+    * relation, a window PARTITIONED BY CLASS over the m-row domain
+    * (never the data), class-sized output. The corpus is scanned twice
+    * (class-value counts, class sizes) — both partial-agged.
+    *
+    * Returns one row per QI class: (qiCols…, class_size, emd_r,
+    * violates) with violates = emd_r > t on the ROUNDED value.
+    */
+  def tCloseness(
+      df: DataFrame,
+      qiCols: Seq[String],
+      sensitiveCol: String,
+      t: Double): DataFrame = {
+    require(qiCols.nonEmpty && t > 0, s"need QI columns and t > 0 (t=$t)")
+    val qi   = qiCols.map(col)
+    val base = df.where(col(sensitiveCol).isNotNull)
+    val glob = base.groupBy(col(sensitiveCol).as("__v")).agg(count(lit(1)).as("__gc"))
+    val domM = glob.agg(count(lit(1)).as("__m"), sum(col("__gc")).as("__n"))
+    val cls  = base.groupBy(qi: _*).agg(count(lit(1)).as("class_size"))
+    val cc   = base.groupBy(qi :+ col(sensitiveCol).as("__v"): _*).agg(count(lit(1)).as("__c"))
+    val w    = Window.partitionBy(qi: _*).orderBy(col("__v"))
+    cls
+      .crossJoin(broadcast(glob))
+      .join(cc, qiCols :+ "__v", "left_outer")
+      .na.fill(0L, Seq("__c"))
+      .withColumn("__cc", sum(col("__c")).over(w))
+      .withColumn("__cg", sum(col("__gc")).over(w))
+      .crossJoin(broadcast(domM))
+      .withColumn("__term", abs(
+        col("__n").cast("decimal(38,0)") * col("__cc")
+          - col("class_size").cast("decimal(38,0)") * col("__cg")))
+      .groupBy(qi :+ col("class_size"): _*)
+      .agg(sum(col("__term")).as("__s"), max(col("__n")).as("__gn"), max(col("__m")).as("__gm"))
+      .withColumn("emd_r", Portable.pround(
+        when(col("__gm") > 1,
+          col("__s").cast("double") / (col("class_size").cast("double") * col("__gn"))
+            / (col("__gm") - 1))
+          .otherwise(0.0), 6))
+      .select(qi ++ Seq(col("class_size"), col("emd_r"),
+        (col("emd_r") > t).cast("int").as("violates")): _*)
+  }
+
+  /** Murphy decomposition of the Brier score (Murphy, J. Appl. Meteor.
+    * 1973) from the SAME binned aggregates as [[reliability]]:
+    * reliability REL = Σ nₖ(conf̄ₖ − accₖ)²/N (miscalibration — what ECE
+    * measures, squared), resolution RES = Σ nₖ(accₖ − ō)²/N (how much
+    * the forecasts separate outcomes — the part you WANT), uncertainty
+    * UNC = ō(1−ō) (the data's irreducible floor), and the binned Brier
+    * estimate REL − RES + UNC. ECE says "how wrong are the
+    * probabilities"; this says whether the score is bad because of
+    * CALIBRATION (fixable by remapping) or lack of RESOLUTION (needs a
+    * better model) — the model-triage split.
+    *
+    * Every component is derived FROM the 4-dp-rounded per-bin
+    * aggregates (ō from rounded accₖ, then rounded itself before UNC) —
+    * the [[reliability]] replay discipline, so both engines combine
+    * identical rationals. One corpus scan; everything after is
+    * bins-sized.
+    *
+    * Returns ONE row (n, obar_r, rel_r, res_r, unc_r, brier_r).
+    */
+  def brierDecomposition(
+      df: DataFrame,
+      confCol: String,
+      labelCol: String,
+      bins: Int = 10): DataFrame = {
+    val agg = df
+      .withColumn("__bin",
+        least(floor(col(confCol) * bins), lit((bins - 1).toDouble)).cast("int"))
+      .groupBy(col("__bin"))
+      .agg(count(lit(1)).as("n"),
+        Portable.pround(avg(col(confCol)), 4).as("conf_r"),
+        Portable.pround(avg(col(labelCol)), 4).as("acc_r"))
+      .localCheckpoint(true)
+    val obar = agg.agg(Portable.pround(
+      sum(col("n").cast("double") * col("acc_r")) / sum(col("n").cast("double")), 6).as("obar_r"))
+    agg
+      .crossJoin(broadcast(obar))
+      .agg(
+        sum(col("n")).as("n"),
+        max(col("obar_r")).as("obar_r"),
+        Portable.pround(
+          sum(col("n").cast("double") * (col("conf_r") - col("acc_r"))
+            * (col("conf_r") - col("acc_r"))) / sum(col("n").cast("double")), 6).as("rel_r"),
+        Portable.pround(
+          sum(col("n").cast("double") * (col("acc_r") - col("obar_r"))
+            * (col("acc_r") - col("obar_r"))) / sum(col("n").cast("double")), 6).as("res_r"))
+      .withColumn("unc_r", Portable.pround(col("obar_r") * (lit(1.0) - col("obar_r")), 6))
+      .withColumn("brier_r", Portable.pround(
+        col("rel_r") - col("res_r") + col("unc_r"), 6))
+  }
+
+  /** Split-conformal coverage check (Vovk et al.; Angelopoulos & Bates,
+    * "A Gentle Introduction to Conformal Prediction", 2023): hash-split
+    * the scored rows into calibration/eval, take q̂ = the k-th smallest
+    * calibration nonconformity (|conf − label|, 6-dp rounded) with
+    * k = ⌈(n_cal+1)(1−α)⌉, and measure eval coverage P(residual ≤ q̂) —
+    * the finite-sample ≥ 1−α guarantee any "the classifier is 90% sure"
+    * claim should be audited against before thresholds ship.
+    *
+    * Scale shape: the k-th order statistic comes from per-DISTINCT-value
+    * counts + the two-pass chunked prefix sum (the [[spearman]]/ksTest
+    * discipline — the only global window is over the ≤(1/chunkWidth+1)
+    * CHUNK rows, never residuals); the split is the deterministic
+    * [[graft.operators.Sampling.sampleHash]] draw, so split, q̂ and
+    * coverage all replay exactly cross-engine. If k exceeds n_cal (tiny
+    * calibration sets) q̂ is +∞ — trivially covered, reported as such.
+    *
+    * Returns ONE row (n_cal, n_eval, qhat_r, target, coverage_r).
+    */
+  def conformalCoverage(
+      scored: DataFrame,
+      confCol: String,
+      labelCol: String,
+      idCol: String,
+      calFrac: Double = 0.8,
+      alpha: Double = 0.1,
+      chunkWidth: Double = 0.05,
+      salt: String = "conformal"): DataFrame = {
+    require(calFrac > 0 && calFrac < 1 && alpha > 0 && alpha < 1 && chunkWidth > 0,
+      "need calFrac, alpha in (0,1) and positive chunkWidth")
+    import graft.operators.Sampling
+    val base = scored.select(
+      Portable.pround(abs(col(confCol) - col(labelCol)), 6).as("__r"),
+      (Sampling.sampleHash(col(idCol), salt) < lit(Sampling.threshold(calFrac)))
+        .as("__cal"))
+    val cal  = base.where(col("__cal"))
+    val nCal = cal.agg(count(lit(1)).as("n_cal"))
+    val perV = cal.groupBy(col("__r")).agg(count(lit(1)).as("__c"))
+      .withColumn("__chunk", floor(col("__r") / chunkWidth).cast("long"))
+    val wChunks = Window.orderBy(col("__chunk"))
+    val bases = perV.groupBy(col("__chunk")).agg(sum(col("__c")).as("__s"))
+      .withColumn("__base", sum(col("__s")).over(wChunks) - col("__s"))
+      .select(col("__chunk"), col("__base"))
+    val wLocal = Window.partitionBy(col("__chunk")).orderBy(col("__r"))
+    val qhat = perV
+      .join(broadcast(bases), Seq("__chunk"))
+      .withColumn("__cum", col("__base") + sum(col("__c")).over(wLocal))
+      .crossJoin(broadcast(nCal))
+      .where(col("__cum") >= ceil((col("n_cal") + 1) * lit(1.0 - alpha)))
+      .orderBy(col("__r").asc)
+      .limit(1)
+      .select(col("__r").as("qhat_r"), col("n_cal"))
+      // k > n_cal (tiny calibration set): conformal q̂ is +∞ — the
+      // sentinel loses to any real order statistic in the min below
+      .unionByName(nCal.select(lit(Double.PositiveInfinity).as("qhat_r"), col("n_cal")))
+      .orderBy(col("qhat_r").asc)
+      .limit(1)
+    base.where(!col("__cal"))
+      .crossJoin(broadcast(qhat))
+      .agg(
+        max(col("n_cal")).as("n_cal"),
+        count(lit(1)).as("n_eval"),
+        max(col("qhat_r")).as("qhat_r"),
+        Portable.pround(avg((col("__r") <= col("qhat_r")).cast("double")), 4).as("coverage_r"))
+      .select(col("n_cal"), col("n_eval"), col("qhat_r"),
+        lit(1.0 - alpha).as("target"), col("coverage_r"))
+  }
+
   /** Differential-privacy-SHAPED noisy counts (Dwork et al. 2006): per
     * group, count + Laplace(1/ε) noise via the inverse CDF — the release
     * mechanism for count statistics over sensitive corpora (each count
@@ -913,6 +1088,30 @@ object Stats {
         sum((col("__d") > 1).cast("long")).as("n_violating"))
       .select(lit(s"$lhs -> $rhs").as("fd"), col("n_groups"), col("n_violating"),
         (col("n_violating") === 0).cast("int").as("holds"))
+
+  /** Unique-column-combination check (key discovery — the other half of
+    * [[fdCheck]]'s profiling pair, Abedjan et al. VLDBJ 2015): a column
+    * set is a candidate KEY iff no value combination repeats. One
+    * partial-agg groupBy over the projection; the duplicate-group count
+    * and max multiplicity say HOW non-unique a near-key is (max_mult = 2
+    * on 1 group: one dirty pair; max_mult = 10⁴: not a key at all).
+    *
+    * Returns ONE row (ucc, n_rows, n_groups, n_dup_groups, max_mult,
+    * is_unique).
+    */
+  def uccCheck(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need candidate key columns")
+    df.groupBy(cols.map(col): _*)
+      .agg(count(lit(1)).as("__c"))
+      .agg(
+        sum(col("__c")).as("n_rows"),
+        count(lit(1)).as("n_groups"),
+        sum((col("__c") > 1).cast("long")).as("n_dup_groups"),
+        max(col("__c")).as("max_mult"))
+      .select(lit(cols.mkString(",")).as("ucc"),
+        col("n_rows").cast("long").as("n_rows"), col("n_groups"), col("n_dup_groups"),
+        col("max_mult"), (col("n_dup_groups") === 0).cast("int").as("is_unique"))
+  }
 
   /** Inclusion-dependency check a.aCol ⊆ b.bCol (foreign-key discovery):
     * counts the DISTINCT orphan values on the left not present on the

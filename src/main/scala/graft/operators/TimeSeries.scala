@@ -185,4 +185,57 @@ object TimeSeries {
       .select(col(keyCol), col("n_buckets"), col("s1").as("n_events"),
         col("mean_r"), col("var_r"), col("fano_r"))
   }
+
+  /** Hour-of-day SEASONALITY profile per key — the one-way-ANOVA (η²)
+    * answer to "is this stream's hourly volume driven by time of day?":
+    * per key, seasonality strength = 1 − SS_within/SS_total over the
+    * observed hourly buckets grouped by hour-of-day, plus the peak hour
+    * and its mean. Strength ≈ 1 ⇒ the hour-of-day profile explains the
+    * volume (schedule your compactions/backfills off-peak); ≈ 0 ⇒ volume
+    * is aperiodic and [[burstiness]]'s Fano factor is the right lens.
+    *
+    * All sufficient statistics are EXACT integer sums (per-hod n, Σc,
+    * Σc²); the SS terms become doubles only in the final ≤24-row
+    * combine. Buckets are the OBSERVED (key, day-hour) cells — an hour
+    * with zero events contributes no bucket (documented; a dense-grid
+    * variant would cross-join the day×hod domain).
+    *
+    * Returns (keyCol, n_buckets, peak_hod, peak_mean_r, strength_r).
+    */
+  def seasonality(
+      events: DataFrame,
+      keyCol: String = "event_type",
+      tsCol: String = "ts_t"): DataFrame = {
+    val cnt = events
+      .withColumn("__b", date_format(col(tsCol), "yyyy-MM-dd HH"))
+      .withColumn("__hod", hour(col(tsCol)))
+      .groupBy(col(keyCol), col("__b"), col("__hod"))
+      .agg(count(lit(1)).as("c"))
+    val perHod = cnt
+      .groupBy(col(keyCol), col("__hod"))
+      .agg(count(lit(1)).as("nh"), sum(col("c")).as("s1"), sum(col("c") * col("c")).as("s2"))
+      .withColumn("mean_r", graft.functions.Portable.pround(
+        col("s1").cast("double") / col("nh"), 6))
+    perHod
+      .groupBy(col(keyCol))
+      .agg(
+        sum(col("nh")).as("n_buckets"),
+        sum(col("s1")).as("t1"),
+        sum(col("s2")).as("t2"),
+        sum(col("s2").cast("double")
+          - col("s1").cast("double") * col("s1").cast("double") / col("nh")).as("__ssw"),
+        // peak hour: (mean DESC, hod ASC) — the struct ordering is total
+        // because hods are distinct within a key
+        max_by(struct(col("__hod"), col("mean_r")),
+          struct(col("mean_r"), -col("__hod"))).as("__peak"))
+      .withColumn("__sst",
+        col("t2").cast("double")
+          - col("t1").cast("double") * col("t1").cast("double") / col("n_buckets"))
+      .select(col(keyCol), col("n_buckets"),
+        col("__peak.__hod").as("peak_hod"),
+        col("__peak.mean_r").as("peak_mean_r"),
+        graft.functions.Portable.pround(
+          when(col("__sst") > 0.0, lit(1.0) - col("__ssw") / col("__sst")).otherwise(0.0), 4)
+          .as("strength_r"))
+  }
 }

@@ -85,7 +85,8 @@ class AuditLintSpec extends AnyFunSuite {
     // CHUNK (a partial agg already collapsed the per-value relation to
     // its value-range chunks) — the two-pass chunked-prefix discipline's
     // own bounded second pass
-    "q_spearman" -> "chunked-prefix ranks: window over per-chunk totals, not rows",
+    "q_spearman"  -> "chunked-prefix ranks: window over per-chunk totals, not rows",
+    "q_conformal" -> "chunked-prefix order statistic: window over per-chunk totals, not residuals",
     // bounded-domain cumulatives: the window input is one row per
     // calendar day / log-spaced bucket / source — metadata cardinality
     "q_survival"     -> "Kaplan-Meier product over the per-DAY event table (day-domain)",
@@ -97,6 +98,13 @@ class AuditLintSpec extends AnyFunSuite {
     ExplainAudit.pipelines.foreach { name =>
       val gw = globalWindows(SparkEntry.queries(name)(spark, sfDir))
       if (gw.nonEmpty) flagged(name) = gw
+    }
+    // the driver-loop queries' representative-iteration bodies are plans
+    // too — a loop BODY with a global window repeats the one-task sort
+    // every round, which is strictly worse than doing it once
+    ExplainAudit.iterativeBodies.foreach { case (name, mk) =>
+      val gw = globalWindows(mk(spark, sfDir))
+      if (gw.nonEmpty) flagged(s"$name (iteration body)") = gw
     }
     val unexplained = flagged.keySet -- globalWindowWhitelist.keySet
     assert(unexplained.isEmpty,

@@ -46,6 +46,28 @@ class CalibrationSpec extends SparkSpec {
     assert(e2 == 0.95, s"confidently wrong scorer: ECE 0.95, got $e2")
   }
 
+  test("brierDecomposition: REL-RES+UNC reproduces the exact Brier score on constant-conf bins") {
+    // calibrated scorer (conf == acc per bin): REL = 0,
+    // RES = Σ n(acc-ō)²/N = 0.0625, UNC = 0.45·0.55 = 0.2475,
+    // brier = 0.185 — equals the direct mean (conf−label)² because conf
+    // is constant within each bin
+    val calibrated =
+      (Seq.fill(7)((0.7, 1)) ++ Seq.fill(3)((0.7, 0)) ++
+        Seq.fill(2)((0.2, 1)) ++ Seq.fill(8)((0.2, 0))).toDF("conf", "label")
+    val r = Stats.brierDecomposition(calibrated, "conf", "label").collect().head
+    assert(r.getAs[Long]("n") == 20)
+    assert(r.getAs[Double]("obar_r") == 0.45)
+    assert(r.getAs[Double]("rel_r") == 0.0, "calibrated -> zero reliability term")
+    assert(r.getAs[Double]("res_r") == 0.0625)
+    assert(r.getAs[Double]("unc_r") == 0.2475)
+    assert(r.getAs[Double]("brier_r") == 0.185)
+    // confidently wrong: all reliability, no resolution, no uncertainty
+    val wrong = Seq.fill(10)((0.95, 0)).toDF("conf", "label")
+    val w = Stats.brierDecomposition(wrong, "conf", "label").collect().head
+    assert(w.getAs[Double]("rel_r") == 0.9025 && w.getAs[Double]("res_r") == 0.0
+      && w.getAs[Double]("unc_r") == 0.0 && w.getAs[Double]("brier_r") == 0.9025)
+  }
+
   test("conf exactly 1.0 lands in the top bin, not an overflow bin") {
     val df = Seq((1.0, 1), (0.05, 0)).toDF("conf", "label")
     val bins = Stats.reliability(df, "conf", "label")

@@ -582,6 +582,63 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got == Set(("en", "book", 1L, 0.090909), ("de", "web", 2L, 0.181818)), s"got $got")
   }
 
+  test("g2Collocations: hand-computed Dunning G2; exact independence reads 0") {
+    import graft.operators.{Cooccurrence, Tokenize}
+    // 10 docs (common filler 'zz' keeps every doc in the universe):
+    // aa in docs 1-6, bb in docs 1-5 and 7 -> n_xy=5, n_x=n_y=6, N=10
+    // -> G2 = 3.5548 (computed independently). cc in 1-5, dd in {1,2,6,7}
+    // -> n_xy=2 == 5*4/10 exactly independent -> G2 = 0.
+    val docs = (1 to 10).map { i =>
+      val words = Seq("zz") ++
+        (if (i <= 6) Seq("aa") else Nil) ++
+        (if (i <= 5 || i == 7) Seq("bb") else Nil) ++
+        (if (i <= 5) Seq("cc") else Nil) ++
+        (if (i <= 2 || i == 6 || i == 7) Seq("dd") else Nil)
+      (i.toLong, words.mkString(" "))
+    }.toDF("doc_id", "text")
+    val got = Cooccurrence
+      .g2Collocations(Tokenize.tokens(docs, "text", Seq("doc_id")), minPair = 2)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getDouble(5)).toMap
+    assert(got(("aa", "bb")) == 3.5548, s"got $got")
+    assert(got(("cc", "dd")) == 0.0, s"independence must read exactly 0: $got")
+    // evidence weighting: the same proportions at 3x the support
+    // triple-ish the statistic (PMI would be identical) — monotone check
+    assert(got(("aa", "bb")) > got(("cc", "dd")))
+  }
+
+  test("uccCheck: true key reads unique, near-key grades its duplication exactly") {
+    val df = Seq((1, "a"), (2, "a"), (3, "b"), (3, "b"), (3, "c")).toDF("id", "v")
+    val key = Stats.uccCheck(df.where(col("id") =!= 3), Seq("id")).collect().head
+    assert(key.getAs[Long]("n_dup_groups") == 0 && key.getAs[Int]("is_unique") == 1)
+    val near = Stats.uccCheck(df, Seq("id", "v")).collect().head
+    // (3,b) repeats once: 5 rows, 4 groups, 1 dup group, max multiplicity 2
+    assert((near.getAs[Long]("n_rows"), near.getAs[Long]("n_groups"),
+      near.getAs[Long]("n_dup_groups"), near.getAs[Long]("max_mult"),
+      near.getAs[Int]("is_unique")) == (5L, 4L, 1L, 2L, 0), s"got $near")
+  }
+
+  test("tCloseness: hand-computed ordered EMD, and a single-value domain reads 0") {
+    // class a: values [1,1,2] (p = 2/3, 1/3, 0), class b: [2,2,3]
+    // (p = 0, 2/3, 1/3); global q = (2/6, 3/6, 1/6). Ordered EMD for
+    // both classes: (|1/3| + |1/6| + 0) / (3-1) = 0.25 — hand-checked
+    // via the integer form |N·cumC − size·cumG| = (6, 3, 0), 9/18/2.
+    val df = Seq(("a", 1), ("a", 1), ("a", 2), ("b", 2), ("b", 2), ("b", 3))
+      .toDF("g", "v")
+    val got = Stats.tCloseness(df, Seq("g"), "v", t = 0.2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getInt(3))).toSet
+    assert(got == Set(("a", 3L, 0.25, 1), ("b", 3L, 0.25, 1)), s"got $got")
+    // below-threshold classes flag 0
+    val loose = Stats.tCloseness(df, Seq("g"), "v", t = 0.3)
+      .collect().map(_.getInt(3)).toSet
+    assert(loose == Set(0))
+    // degenerate single-value domain: every distribution identical, emd
+    // 0, and the (m-1) division must not throw
+    val flat = Seq(("a", 7), ("b", 7), ("b", 7)).toDF("g", "v")
+    val z = Stats.tCloseness(flat, Seq("g"), "v", t = 0.1)
+      .collect().map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(z == Map("a" -> 0.0, "b" -> 0.0), s"got $z")
+  }
+
   test("corrMatrix: one pass yields exact pairwise correlations, upper triangle only") {
     // y = 2x (corr 1), z = -x (corr -1), w uncorrelated-by-construction:
     // w = (1,-1,1,-1) against x = (1,2,3,4) -> corr(x, w) = sum dev products

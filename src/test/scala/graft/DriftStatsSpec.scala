@@ -148,6 +148,28 @@ class DriftStatsSpec extends SparkSpec {
     assert(r.getLong(0) == 20 && r.isNullAt(1), s"rho must be NULL on a constant column: $r")
   }
 
+  test("conformalCoverage == the literal k-th order statistic recomputed from the same split") {
+    import graft.operators.Sampling
+    val scored = (1 to 300).map(i => (i.toLong, (i % 100) / 100.0, if (i % 3 == 0) 1 else 0))
+      .toDF("id", "conf", "label")
+    val got = Stats.conformalCoverage(scored, "conf", "label", "id").collect().head
+    // independent replay: same hash split, residuals sorted, k-th smallest
+    val withR = scored.select(col("id"),
+      graft.functions.Portable.pround(abs(col("conf") - col("label")), 6).as("r"),
+      (Sampling.sampleHash(col("id"), "conformal") < lit(Sampling.threshold(0.8))).as("cal"))
+      .collect().map(r => (r.getDouble(1), r.getBoolean(2)))
+    val calR  = withR.filter(_._2).map(_._1).sorted
+    val evalR = withR.filterNot(_._2).map(_._1)
+    val k     = math.ceil((calR.length + 1) * (1.0 - 0.1)).toInt
+    val qhat  = calR(k - 1)
+    val cov   = math.floor(evalR.count(_ <= qhat).toDouble / evalR.length * 1e4 + 0.5) / 1e4
+    assert(got.getLong(0) == calR.length && got.getLong(1) == evalR.length)
+    assert(got.getDouble(2) == qhat, s"qhat: got ${got.getDouble(2)}, want $qhat")
+    assert(got.getDouble(4) == cov, s"coverage: got ${got.getDouble(4)}, want $cov")
+    assert(got.getDouble(3) == 0.9 && got.getDouble(4) >= 0.8,
+      "coverage should sit near the 1-alpha target")
+  }
+
   test("qqDrift: identical snapshots read zero delta; a +50 shift reads +50 everywhere") {
     val ref = (0 to 100).toDF("v")
     val same = Stats.qqDrift(ref, ref, "v").collect()

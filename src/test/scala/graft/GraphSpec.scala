@@ -105,6 +105,21 @@ class GraphSpec extends SparkSpec {
     assert(degSum == e.count(), "sum of degrees == directed edge count of the symmetrized graph")
   }
 
+  test("clusteringCoefficients: triangle+pendant hand case; a 4-cycle reads 0 everywhere") {
+    // triangle 1-2-3 plus pendant edge 1-4: deg(1)=3 cc=2/6, deg(2)=deg(3)=2
+    // cc=1, deg(4)=1 dropped (no neighbor pair)
+    val tri = Seq(("1", "2"), ("1", "3"), ("2", "3"), ("1", "4")).toDF("src", "dst")
+    val got = Graph.clusteringCoefficients(tri)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got == Map("1" -> (3L, 1L, 0.333333), "2" -> (2L, 1L, 1.0), "3" -> (2L, 1L, 1.0)),
+      s"got $got")
+    // square a-b-c-d-a: every node deg 2, zero triangles, cc exactly 0
+    val square = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("a", "d")).toDF("src", "dst")
+    val sq = Graph.clusteringCoefficients(square)
+      .collect().map(r => r.getString(0) -> r.getDouble(3)).toMap
+    assert(sq == Map("a" -> 0.0, "b" -> 0.0, "c" -> 0.0, "d" -> 0.0), s"got $sq")
+  }
+
   test("HITS matches the hand-unrolled values on a 2x2 bipartite graph") {
     // c1→{s1,s2}, c2→{s1}; two rounds by hand:
     //   a1: s1=2/3 s2=1/3; h1: c1=3/5 c2=2/5

@@ -278,4 +278,21 @@ class SimilarityRecallSpec extends SparkSpec {
     assert(lim.forall(r => (r.getDouble(2) * 5).round == r.getLong(1)),
       "recall must equal hits/k exactly")
   }
+
+  test("mrlRecallEval: full-dim row is exact; a prefix-degenerate corpus drops recall") {
+    import spark.implicits._
+    // query (1,0,0,0). Full-dim truth at k=1 is doc 2 (cos ~1); doc 1's
+    // PREFIX-2 is (0.5,0) -> renormalized cos 1.0, tying doc 2 at the
+    // rounded value, and the id tiebreak hands the prefix search doc 1 ->
+    // recall 0 at dim 2, recall 1 at dim 4.
+    val corpus = Seq(
+      (1L, Array(0.5f, 0.0f, -5.0f, 0.0f)),
+      (2L, Array(1.0f, 0.0f, 0.0f, 0.01f))
+    ).toDF("vec_id", "embedding")
+    val queries = Seq((0L, Array(1.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.mrlRecallEval(corpus, queries, dims = Seq(2, 4), k = 1)
+      .collect().map(r => r.getInt(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got(4) == (1L, 1.0), s"full-dim prefix must reproduce the truth: $got")
+    assert(got(2) == (0L, 0.0), s"degenerate prefix must miss: $got")
+  }
 }

@@ -92,6 +92,27 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.toSeq == Seq(("02", "b", 2.0, 1), ("03", "a", 3.0, 1)), s"got ${got.toSeq}")
   }
 
+  test("seasonality: hod-driven stream reads strength 1, hod-independent variance reads 0") {
+    import spark.implicits._
+    def day(d: Int, h: Int, m: Int) = Timestamp.valueOf(f"2024-05-0$d $h%02d:$m%02d:00")
+    // "sched": hod 0 always 2 events, hod 1 always 6 — zero within-hod
+    // variance, all variance between hods -> strength 1, peak hod 1 mean 6
+    val sched = (1 to 3).flatMap { d =>
+      (0 until 2).map(m => ("sched", day(d, 0, m))) ++
+        (0 until 6).map(m => ("sched", day(d, 1, m)))
+    }
+    // "flat": hod 0 days (1,3), hod 1 days (3,1) — hod means equal (2, 2),
+    // SS_within == SS_total -> strength 0
+    val flat =
+      Seq.fill(1)(("flat", day(1, 0, 0))) ++ (0 until 3).map(m => ("flat", day(2, 0, m))) ++
+        (0 until 3).map(m => ("flat", day(1, 1, m))) ++ Seq.fill(1)(("flat", day(2, 1, 0)))
+    val got = TimeSeries.seasonality((sched ++ flat).toDF("event_type", "ts_t"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getInt(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got("sched") == (6L, 1, 6.0, 1.0), s"got $got")
+    assert(got("flat") == (4L, 0, 2.0, 0.0), s"got $got")
+  }
+
   test("burstiness: constant rate reads Fano 0, a burst reads high, singletons drop") {
     import spark.implicits._
     def at(h: Int, m: Int) = Timestamp.valueOf(f"2024-05-01 $h%02d:$m%02d:00")
