@@ -159,6 +159,30 @@ object SparkEntry {
     "q_format_roundtrip_csv" -> ((s, dir) => formatRoundtrip(s, dir, "csv")),
     "q_format_roundtrip_orc" -> ((s, dir) => formatRoundtrip(s, dir, "orc")),
 
+    // -- SCHEMA EVOLUTION roundtrip: two parquet batches written with
+    //    DIFFERENT schemas (the later one grew a `source` column — the
+    //    routine additive migration), read back through mergeSchema into
+    //    the unified schema with the old batch's new column NULL —
+    //    aggregates over the union must see every row and account the
+    //    missing-column mass exactly (the oracle derives the same from
+    //    the source table, so a dropped row or phantom null breaks it)
+    "q_schema_evolution" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val out = java.nio.file.Files.createTempDirectory("graft-schevo").toString
+      docs.where(col("doc_id") < 250)
+        .select("doc_id", "lang", "n_chars")
+        .write.mode("overwrite").parquet(s"$out/b1")
+      docs.where(col("doc_id") >= 250)
+        .select("doc_id", "lang", "n_chars", "source")
+        .write.mode("overwrite").parquet(s"$out/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/b1", s"$out/b2")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("source").isNull.cast("long")).as("n_missing_source"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy("lang")
+    }),
+
     "q_scan_project" -> ((s, dir) => {
       t(s, dir, "documents")
         .where(col("n_chars") > 100)
@@ -454,6 +478,31 @@ object SparkEntry {
         .orderBy("decile")
     }),
 
+    // -- INCREMENTAL sketch-store maintenance: the per-source KMV store
+    //    built on batch 1 is updated by RE-FEEDING its retained sample
+    //    together with batch 2's raw keys — bottom-k mergeability means
+    //    KMV(sample(A) ∪ B) == KMV(A ∪ B) exactly, so the continuously
+    //    maintained store equals the full recomputation (which is what
+    //    the oracle replays). The 100 TB pattern: nightly sketch tables
+    //    updated per ingest batch, never re-scanning the corpus.
+    "q_ndv_incremental" -> ((s, dir) => {
+      val toks = Tokenize.tokens(t(s, dir, "documents").select("doc_id", "source", "text"),
+        "text", Seq("doc_id", "source"))
+      val store1 = toks.where(col("doc_id") < 250)
+        .groupBy(col("source"))
+        .agg(expr("kmv_ndv(word, 16)").as("r"))
+        .select(col("source"), col("r.sample").as("sample"))
+        .localCheckpoint(true) // the materialized store (parquet in production)
+      store1
+        .select(col("source"), explode(col("sample")).as("word"))
+        .unionByName(toks.where(col("doc_id") >= 250).select(col("source"), col("word")))
+        .groupBy(col("source"))
+        .agg(expr("kmv_ndv(word, 16)").as("r"))
+        .select(col("source"), col("r.ndv_est").as("ndv_est"),
+          size(col("r.sample")).cast("long").as("n_sample"))
+        .orderBy("source")
+    }),
+
     // -- KMV sketch SET ALGEBRA: pairwise source-vocabulary overlap from
     //    the per-source sketches alone — union NDV, Jaccard, and
     //    intersection NDV with NO corpus-sized join (q_source_overlap's
@@ -474,6 +523,15 @@ object SparkEntry {
       operators.Stats
         .heavyHitters(graft.sources.EventsSource.events(s, dir), "user_id", k = 20)
         .orderBy(desc("cnt"), asc("user_id"))
+    }),
+
+    // -- salting ADVISOR: per hot key, the salt factor that brings its
+    //    heaviest sub-partition under target — the metadata-sized plan
+    //    q_key_skew's diagnosis feeds into saltedCount/saltedJoin
+    "q_salt_plan" -> ((s, dir) => {
+      graft.plans.Salting
+        .saltPlan(graft.sources.EventsSource.events(s, dir), "event_type", targetRows = 1000L)
+        .orderBy("event_type")
     }),
 
     // -- manual semi-join reduction: orders bloom-pruned by rich
@@ -1117,6 +1175,21 @@ object SparkEntry {
     //    is boilerplate" score pairwise dedup verdicts can't give. One
     //    shingle-keyed shuffle; the shingle df rides that exchange as a
     //    window count (the pagerank eDeg discipline), then one doc agg.
+    // -- boilerplate LEADERBOARD: the most-copied exact 5-gram spans
+    //    across the corpus (df + lowest example doc) — dupExposure says
+    //    WHICH DOCS are assembled from corpus-common spans; this says
+    //    WHICH SPANS, i.e. what to strip. One partial-agg groupBy + a
+    //    bounded TakeOrdered; nothing pairwise.
+    "q_top_boilerplate" -> ((s, dir) => {
+      TextAnalysis.withShingles(t(s, dir, "documents"), "text", 5)
+        .select(col("doc_id"), explode(col("shingles")).as("sh"))
+        .groupBy(col("sh"))
+        .agg(count(lit(1)).as("df"), min(col("doc_id")).as("example_doc"))
+        .where(col("df") >= 2)
+        .orderBy(desc("df"), asc("sh"))
+        .limit(20)
+    }),
+
     "q_dup_exposure" -> ((s, dir) =>
       Dedup.dupExposure(t(s, dir, "documents"), k = 5).orderBy("doc_id")),
 
@@ -2457,6 +2530,18 @@ object SparkEntry {
       operators.Stats.reliability(scored, "conf", "label").orderBy("bin")
     }),
 
+    // -- exact ROC AUC (Mann–Whitney rank-sum form): does the hashed
+    //    classifier score ORDER long docs above short ones? (median-split
+    //    label — both classes populated, unlike the alphabetic-ratio
+    //    label that is all-positive on this corpus). All-integer 2PN·AUC
+    //    via chunked-prefix negBelow, one double division.
+    "q_auc" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        round(TextAnalysis.hashedLinearScore(col("text"), buckets = 512), 6).as("score"),
+        (col("n_chars") >= 300).cast("int").as("label"))
+      operators.Stats.rocAuc(scored, "score", "label")
+    }),
+
     // -- Murphy decomposition of the Brier score over the SAME scored
     //    relation as q_calibration_ece: REL − RES + UNC — is the score
     //    bad because of CALIBRATION (remap fixes it) or RESOLUTION (the
@@ -2595,6 +2680,17 @@ object SparkEntry {
         .qqDrift(docs.where(col("doc_id") % 2 === 0), docs.where(col("doc_id") % 2 === 1),
           "n_chars", bins = 10)
         .orderBy("decile")
+    }),
+
+    // -- deterministic Poisson-bootstrap CI on the per-lang mean length:
+    //    error bars for a reported metric, md5 weights so every replica
+    //    mean (and hence the interval) replays exactly — integer
+    //    weights × integer values keep all replica sums exact
+    "q_bootstrap_ci" -> ((s, dir) => {
+      operators.Stats
+        .bootstrapMeanCi(t(s, dir, "documents").select("doc_id", "lang", "n_chars"),
+          "lang", "n_chars", "doc_id", b = 32)
+        .orderBy("lang")
     }),
 
     // -- Welch's unequal-variance t-test between every source pair on
@@ -3822,6 +3918,14 @@ object SparkEntry {
     // every integer sum are LOAD-BEARING: DuckDB sum(BIGINT) is HUGEINT,
     // which the driver's comparator hashes differently from int64 — this
     // exact omission was r11's only hash-red row.
+    // the merged read must equal this source-table derivation: rows from
+    // the pre-migration batch are exactly the doc_id < 250 rows and are
+    // the only NULL-source rows
+    "q_schema_evolution" ->
+      """SELECT lang, count(*) AS n,
+                sum((doc_id < 250)::INT)::BIGINT AS n_missing_source,
+                sum(n_chars)::BIGINT AS sum_chars
+         FROM documents GROUP BY lang ORDER BY lang""",
     "q_format_roundtrip_json" -> formatRoundtripOracle("json"),
     "q_format_roundtrip_csv" -> formatRoundtripOracle("csv"),
     "q_format_roundtrip_orc" -> formatRoundtripOracle("orc"),
@@ -3972,25 +4076,10 @@ object SparkEntry {
                   floor((nboth::DOUBLE / nb) * 1e6 + 0.5) / 1e6 AS jaccard_r
            FROM bt) z
          ORDER BY g1, g2""",
-    "q_ndv_per_source" ->
-      """WITH tk AS (
-           SELECT source,
-                  regexp_replace(lower(unnest(regexp_split_to_array(text, '\s+'))), '[^a-z]', '', 'g') AS w
-           FROM documents),
-         tok2 AS (SELECT source, w AS word FROM tk WHERE w <> ''),
-         h AS (SELECT DISTINCT source, word,
-                      ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
-               FROM tok2),
-         b AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
-         g AS (SELECT source, count(*) AS nd FROM h GROUP BY source),
-         kth AS (SELECT source, max(h) AS kh FROM b WHERE rn <= 16 GROUP BY source)
-         SELECT g.source,
-                CASE WHEN g.nd < 16 THEN g.nd::DOUBLE
-                     ELSE floor((15.0 / (kth.kh::DOUBLE / 1152921504606846976.0)) * 1e4 + 0.5) / 1e4
-                END AS ndv_est,
-                least(g.nd, 16) AS n_sample
-         FROM g JOIN kth USING (source)
-         ORDER BY source""",
+    "q_ndv_per_source" -> ndvPerSourceSql,
+    // mergeability makes the incrementally maintained store EQUAL the
+    // full recomputation — so the oracle IS the full computation
+    "q_ndv_incremental" -> ndvPerSourceSql,
     // the bottom-k row sample is deterministic (same 60-bit md5-prefix
     // hash as KMV, (h, v) tiebreak), so the oracle replays the SAMPLE —
     // and therefore every quantile estimate — exactly, in eviction mode
@@ -4099,6 +4188,12 @@ object SparkEntry {
       s"""WITH $TokCte
           SELECT word, count(*) AS cnt, 0::BIGINT AS err
           FROM tok GROUP BY word ORDER BY cnt DESC, word""",
+    "q_salt_plan" ->
+      """WITH g AS (SELECT event_type, count(*) AS cnt FROM events GROUP BY 1)
+         SELECT event_type, cnt::BIGINT AS cnt,
+                ceil(cnt::DOUBLE / 1000)::BIGINT AS n_salts,
+                ceil(cnt::DOUBLE / ceil(cnt::DOUBLE / 1000))::BIGINT AS rows_per_task
+         FROM g WHERE cnt > 1000 ORDER BY event_type""",
     "q_key_skew" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
          t AS (SELECT count(*)::DOUBLE AS total FROM events)
@@ -4865,6 +4960,14 @@ object SparkEntry {
          FROM documents GROUP BY text ORDER BY keep_id""",
     // shingles are distinct per doc, so the per-shingle window count IS
     // its doc frequency — mirror of Dedup.dupExposure
+    // same shingle enumeration, df + min-doc leaderboard, top-20 by
+    // (df DESC, shingle ASC)
+    "q_top_boilerplate" ->
+      s"""WITH ${shinglesCte(5)},
+          ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh)
+          SELECT s AS sh, count(*)::BIGINT AS df, min(doc_id) AS example_doc
+          FROM ex GROUP BY s HAVING count(*) >= 2
+          ORDER BY df DESC, sh LIMIT 20""",
     "q_dup_exposure" ->
       s"""WITH ${shinglesCte(5)},
           ex AS (SELECT doc_id, unnest(shingles) AS s FROM sh),
@@ -6184,6 +6287,26 @@ object SparkEntry {
           SELECT bin, n, conf_r, acc_r, gap_r,
                  floor((sum(n * gap_r) OVER () / sum(n) OVER ()) * 1e6 + 0.5) / 1e6 AS ece_r
           FROM g ORDER BY bin""",
+    // rank-sum AUC replay: per-distinct-score (pos, neg) counts, integer
+    // 2PN·AUC with a cumulative negatives window, one double division
+    "q_auc" ->
+      s"""WITH $ToksArrCte,
+          base AS (SELECT d.doc_id,
+                     CASE WHEN len(t.toks) = 0 THEN 0.0
+                          ELSE floor((list_sum(list_transform(t.toks,
+                                 w -> (('0x' || substr(md5(w), 1, 8))::BIGINT % 512) % 101 - 50))::DOUBLE
+                               / (50.0 * len(t.toks))) * 1e6 + 0.5) / 1e6 END AS score,
+                     (d.n_chars >= 300)::INT AS label
+                   FROM documents d JOIN toks_arr t USING (doc_id)),
+          s AS (SELECT score AS sc, sum((label = 1)::INT) AS p, sum((label <> 1)::INT) AS n
+                FROM base GROUP BY score),
+          c AS (SELECT sc, p, n, (sum(n) OVER (ORDER BY sc) - n) AS neg_below FROM s),
+          u AS (SELECT sum(p)::BIGINT AS n_pos, sum(n)::BIGINT AS n_neg,
+                       sum(p * (2 * neg_below + n)) AS u2
+                FROM c)
+          SELECT n_pos, n_neg,
+                 floor((u2::DOUBLE / (2.0 * n_pos * n_neg)) * 1e6 + 0.5) / 1e6 AS auc_r
+          FROM u""",
     // split-conformal replay: same md5 split threshold, same 6-dp
     // residuals, k-th order statistic via row_number (the oracle may
     // window what the Spark plan does with chunked prefixes)
@@ -6411,6 +6534,7 @@ object SparkEntry {
           SELECT bin, n_ref::BIGINT AS n_ref, n_cur::BIGINT AS n_cur, term_r,
                  (SELECT floor(sum(term_r) * 1e6 + 0.5) / 1e6 FROM terms) AS psi_r
           FROM terms ORDER BY bin""",
+    "q_bootstrap_ci" -> bootstrapSql,
     // mean/variance from EXACT integer sums (s1, s2) — the scalar double
     // arithmetic then replays identically; same op order as the Spark side
     "q_welch_ttest" ->
@@ -7960,6 +8084,58 @@ object SparkEntry {
                sum((d > 1)::INT)::BIGINT AS n_violating,
                (sum((d > 1)::INT) = 0)::INT AS holds
         FROM (SELECT $lhs, count(DISTINCT $rhs) AS d FROM $tbl GROUP BY 1) g"""
+
+  /** Per-source KMV oracle (shared by q_ndv_per_source and
+    * q_ndv_incremental — mergeability makes the incremental store equal
+    * this full recomputation): deterministic bottom-16-by-md5 replay.
+    */
+  private def ndvPerSourceSql: String =
+    """WITH tk AS (
+         SELECT source,
+                regexp_replace(lower(unnest(regexp_split_to_array(text, '\s+'))), '[^a-z]', '', 'g') AS w
+         FROM documents),
+       tok2 AS (SELECT source, w AS word FROM tk WHERE w <> ''),
+       h AS (SELECT DISTINCT source, word,
+                    ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+             FROM tok2),
+       b AS (SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn FROM h),
+       g AS (SELECT source, count(*) AS nd FROM h GROUP BY source),
+       kth AS (SELECT source, max(h) AS kh FROM b WHERE rn <= 16 GROUP BY source)
+       SELECT g.source,
+              CASE WHEN g.nd < 16 THEN g.nd::DOUBLE
+                   ELSE floor((15.0 / (kth.kh::DOUBLE / 1152921504606846976.0)) * 1e4 + 0.5) / 1e4
+              END AS ndv_est,
+              least(g.nd, 16) AS n_sample
+       FROM g JOIN kth USING (source)
+       ORDER BY source"""
+
+  /** Deterministic-bootstrap oracle (mirror of Stats.bootstrapMeanCi):
+    * identical Poisson(1) CDF breakpoints emitted as the SAME Scala
+    * doubles, same md5 uniform, integer replica sums, disc quantiles.
+    */
+  private def bootstrapSql: String = {
+    val cdf = (0 to 8).map { k =>
+      (0 to k).map { i =>
+        var f = 1.0; (1 to i).foreach(f *= _); 1.0 / f
+      }.sum * math.exp(-1.0)
+    }
+    val cases = cdf.zipWithIndex.map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
+    s"""WITH e AS (SELECT lang, n_chars, doc_id, unnest(range(0, 32)) AS rep FROM documents),
+        x AS (SELECT lang, rep, n_chars,
+                     ('0x' || substr(md5('boot:' || rep::VARCHAR || ':' || doc_id::VARCHAR), 1, 13))::BIGINT
+                       / 4503599627370496.0 AS u
+              FROM e),
+        w AS (SELECT lang, rep, n_chars, CASE $cases ELSE 9 END AS w FROM x),
+        g AS (SELECT lang, rep, sum(w * n_chars) AS swx, sum(w) AS sw FROM w GROUP BY 1, 2),
+        m AS (SELECT lang, rep, swx::DOUBLE / sw AS m FROM g WHERE sw > 0),
+        a AS (SELECT lang, list(m ORDER BY m) AS ms FROM m GROUP BY lang),
+        base AS (SELECT lang, count(*)::BIGINT AS n, sum(n_chars) AS s FROM documents GROUP BY lang)
+        SELECT base.lang, n,
+               floor((s::DOUBLE / n) * 1e4 + 0.5) / 1e4 AS mean_r,
+               floor((ms[greatest(1, ceil(0.025 * len(ms))::INT)]) * 1e4 + 0.5) / 1e4 AS lo_r,
+               floor((ms[greatest(1, ceil(0.975 * len(ms))::INT)]) * 1e4 + 0.5) / 1e4 AS hi_r
+        FROM base JOIN a USING (lang) ORDER BY lang"""
+  }
 
   /** One unique-column-combination leg (mirror of Stats.uccCheck). */
   private def uccSql(tbl: String, cols: Seq[String]): String = {

@@ -522,8 +522,14 @@ object Search {
     * TakeOrdered; the rescore joins tokens against the ≤(|terms|+e)-row
     * BROADCAST term relation (data-dependent terms can't be an IN-literal
     * pushdown, so this is the relation-shaped twin of [[bm25Query]] with
-    * identical arithmetic). Two corpus scans (base + rescore), everything
-    * between them bounded — no collect, no window.
+    * identical arithmetic). Five token-stream passes total (base tf +
+    * doc lengths + feedback tf + candidate df + rescore tf — PRF's
+    * price is the extra feedback/rescore scans); the DOC-cardinality
+    * length sidecar and the two bounded cuts are checkpointed because
+    * each is referenced by several downstream joins and a lazy
+    * reference re-derives its whole upstream per use (the pmiPairs
+    * lesson — the un-checkpointed form planned 48 shuffle exchanges,
+    * this one 7). No collect, no window.
     *
     * Returns the top `k` (idCol, score_r) under the expanded query.
     */
@@ -539,14 +545,31 @@ object Search {
     require(fbDocs > 0 && expandTerms > 0 && k > 0, "fbDocs, expandTerms, k must be positive")
     import graft.functions.Portable
     val terms   = cleanedTerms(words)
-    val docLens = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val docLens = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("dl")).localCheckpoint(true)
     val stats   = docLens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
-    // 1. pseudo-relevant docs: bounded top-fb cut on the ROUNDED base score
-    val fb = bm25Query(tokens, words, k1, b, idCol)
+    // 1. pseudo-relevant docs: bounded top-fb cut on the ROUNDED base
+    //    score — bm25 inlined on the SHARED docLens sidecar
+    val baseTf = tokens
+      .where(col("word").isin(terms: _*))
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val baseDfs = baseTf.groupBy(col("word")).agg(countDistinct(col(idCol)).as("df_t"))
+    val fb = baseTf
+      .join(broadcast(baseDfs), Seq("word"))
+      .join(docLens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5) + 1.0))
+      .withColumn("w",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col(idCol))
+      .agg(sum(col("w")).as("score"))
       .select(col(idCol), Portable.pround(col("score"), 6).as("s"))
       .orderBy(col("s").desc, col(idCol).asc)
       .limit(fbDocs)
       .select(col(idCol))
+      .localCheckpoint(true)
     // 2. expansion terms: feedback-set tf × corpus idf, originals excluded
     val fbTf = tokens
       .join(broadcast(fb), Seq(idCol))
@@ -565,6 +588,7 @@ object Search {
       .orderBy(col("w").desc, col("word").asc)
       .limit(expandTerms)
       .select(col("word"))
+      .localCheckpoint(true)
     // 3. rescore with original ∪ expansion terms as a broadcast relation —
     //    arithmetic identical to bm25Query
     val spark = tokens.sparkSession

@@ -914,6 +914,120 @@ object Stats {
         col("rel_r") - col("res_r") + col("unc_r"), 6))
   }
 
+  /** Exact ROC AUC via the rank-sum identity (Mann–Whitney U): AUC =
+    * P(score⁺ > score⁻) + ½P(tie) — the threshold-free ranking metric
+    * every classifier eval leads with (ECE says "are the probabilities
+    * honest", AUC says "does the score ORDER the classes at all").
+    *
+    * Scale + determinism: reduce to per-DISTINCT-SCORE (pos, neg)
+    * counts, then AUC·2PN = Σ_s pos(s)·(2·negBelow(s) + neg(s)) — ALL
+    * INTEGER (the ½-tie term stays integral in 2× units), with
+    * negBelow from the two-pass chunked prefix over the score-value
+    * domain (the [[spearman]]/ksTest discipline: no full-table sort, the
+    * only global window spans chunk totals). One double division at the
+    * end.
+    *
+    * Returns ONE row (n_pos, n_neg, auc_r).
+    */
+  def rocAuc(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      chunkWidth: Double = 0.05): DataFrame = {
+    require(chunkWidth > 0, s"chunkWidth ($chunkWidth) must be positive")
+    val perS = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).cast("double").as("__s"))
+      .agg(sum((col(labelCol) === 1).cast("long")).as("__p"),
+        sum((col(labelCol) =!= 1).cast("long")).as("__n"))
+      .withColumn("__chunk", floor(col("__s") / chunkWidth).cast("long"))
+    val wChunks = Window.orderBy(col("__chunk"))
+    val bases = perS.groupBy(col("__chunk")).agg(sum(col("__n")).as("__cn"))
+      .withColumn("__base", sum(col("__cn")).over(wChunks) - col("__cn"))
+      .select(col("__chunk"), col("__base"))
+    val wLocal = Window.partitionBy(col("__chunk")).orderBy(col("__s"))
+    perS
+      .join(broadcast(bases), Seq("__chunk"))
+      .withColumn("__negBelow", col("__base") + sum(col("__n")).over(wLocal) - col("__n"))
+      .agg(
+        sum(col("__p")).as("n_pos"),
+        sum(col("__n")).as("n_neg"),
+        sum(col("__p") * (lit(2) * col("__negBelow") + col("__n"))).as("__u2"))
+      .select(col("n_pos"), col("n_neg"),
+        Portable.pround(
+          // single-class input has no ranking to measure: NULL, not an
+          // ANSI divide-by-zero throw
+          when(col("n_pos") > 0 && col("n_neg") > 0,
+            col("__u2").cast("double") / (lit(2.0) * col("n_pos") * col("n_neg"))),
+          6).as("auc_r"))
+  }
+
+  /** DETERMINISTIC Poisson bootstrap confidence interval for a group
+    * mean (Efron 1979; the Poisson(1)-weight form is the streaming/
+    * map-reduce standard — Chamandy et al., "Estimating Uncertainty for
+    * Massive Data Streams", Google TR 2012): every metric a pipeline
+    * reports deserves an error bar, and at corpus scale the only
+    * tractable bootstrap is weight-per-row, not resample-and-copy. Each
+    * of `b` replicas draws per-row Poisson(1) weights through the
+    * engine's md5 inverse-CDF discipline (same construction as
+    * dpNoisyCounts), so the ENTIRE interval — every replica mean, hence
+    * the quantile endpoints — replays exactly cross-engine and across
+    * reruns (error bars that move between identical runs are noise, not
+    * measurement).
+    *
+    * Determinism detail: weights and values are integers, so every
+    * replica's Σw·x and Σw are EXACT in doubles below 2^53 — replica
+    * means are rationals, immune to partial-agg order. The per-group
+    * state after the replica aggregate is b means (sorted array, CI by
+    * disc indices ⌈0.025·b'⌉ / ⌈0.975·b'⌉ over the b' surviving
+    * replicas); work is b× the scan, never data² — at 100 TB run it on
+    * the metric's GROUPED aggregates or a deterministic sample, same as
+    * any bootstrap.
+    *
+    * Returns (groupCol, n, mean_r, lo_r, hi_r).
+    */
+  def bootstrapMeanCi(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      idCol: String,
+      b: Int = 32,
+      salt: String = "boot"): DataFrame = {
+    require(b >= 4, s"b ($b) must be at least 4")
+    // Poisson(1) CDF breakpoints as SCALA doubles (k = 0..8, tail mass
+    // to w = 9) — emitted verbatim into the oracle, so both engines
+    // compare the identical constants against the identical md5 uniform
+    val cdf = (0 to 8).map { k =>
+      (0 to k).map { i =>
+        var f = 1.0; (1 to i).foreach(f *= _); 1.0 / f
+      }.sum * math.exp(-1.0)
+    }
+    val u = conv(substring(md5(concat(
+      lit(s"$salt:"), col("__rep").cast("string"), lit(":"), col(idCol).cast("string"))),
+      1, 13), 16, 10).cast("double") / lit(4503599627370496.0)
+    val w = cdf.zipWithIndex.foldRight(lit(9): Column) {
+      case ((c, k), acc) => when(u < c, k).otherwise(acc)
+    }
+    val replicas = df
+      .withColumn("__rep", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__w", w)
+      .groupBy(col(groupCol), col("__rep"))
+      .agg(sum(col("__w") * col(valueCol)).as("__swx"), sum(col("__w")).as("__sw"))
+      .where(col("__sw") > 0)
+      .withColumn("__m", col("__swx").cast("double") / col("__sw"))
+      .groupBy(col(groupCol))
+      .agg(sort_array(collect_list(col("__m"))).as("__ms"))
+    val base = df.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("__s"))
+    base.join(replicas, Seq(groupCol))
+      .select(col(groupCol), col("n"),
+        Portable.pround(col("__s").cast("double") / col("n"), 4).as("mean_r"),
+        Portable.pround(element_at(col("__ms"),
+          greatest(lit(1), ceil(lit(0.025) * size(col("__ms"))).cast("int"))), 4).as("lo_r"),
+        Portable.pround(element_at(col("__ms"),
+          greatest(lit(1), ceil(lit(0.975) * size(col("__ms"))).cast("int"))), 4).as("hi_r"))
+  }
+
   /** Split-conformal coverage check (Vovk et al.; Angelopoulos & Bates,
     * "A Gentle Introduction to Conformal Prediction", 2023): hash-split
     * the scored rows into calibration/eval, take q̂ = the k-th smallest

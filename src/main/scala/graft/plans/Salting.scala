@@ -32,6 +32,25 @@ object Salting {
       .groupBy(col(keyCol))
       .agg(sum(col("__partial")).as("n"))
 
+  /** Salting ADVISOR — the metadata-sized planner feeding the two
+    * executors above: per key whose row count exceeds `targetRows`, the
+    * salt factor that brings its heaviest sub-partition back under
+    * target (n_salts = ⌈cnt/target⌉) and the resulting per-task rows.
+    * Run it on the key histogram BEFORE the big aggregation/join (the
+    * [[graft.operators.Stats.joinCardinality]] companion): keys absent
+    * from the plan don't need salting, and the plan's output is
+    * hot-key-count-sized, never data-sized.
+    */
+  def saltPlan(df: DataFrame, keyCol: String, targetRows: Long): DataFrame = {
+    require(targetRows > 0, s"targetRows ($targetRows) must be positive")
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("cnt"))
+      .where(col("cnt") > targetRows)
+      .withColumn("n_salts", ceil(col("cnt").cast("double") / targetRows).cast("long"))
+      .withColumn("rows_per_task",
+        ceil(col("cnt").cast("double") / col("n_salts")).cast("long"))
+  }
+
   /** Skew-resistant equi-join: salt the big side deterministically and
     * replicate the small side once per salt, so a hot join key spreads over
     * `salts` tasks. Result == big.join(small, key).

@@ -76,6 +76,19 @@ class AuditLintSpec extends AnyFunSuite {
       s"queries audited as BOTH static and iterative: ${doubled.toSeq.sorted.mkString(", ")}")
   }
 
+  test("every query carries a DuckDB oracle, and no oracle is orphaned") {
+    // the driver downgrades an oracle-less query to a weaker rows-only
+    // check — make shipping one a build failure, not a silent downgrade
+    val queries = SparkEntry.queries.keySet
+    val oracles = SparkEntry.oracleSql.keySet
+    val missing = queries -- oracles
+    assert(missing.isEmpty,
+      s"queries with NO oracleSql entry (rows-only downgrade): ${missing.toSeq.sorted.mkString(", ")}")
+    val stale = oracles -- queries
+    assert(stale.isEmpty,
+      s"oracleSql entries for queries that no longer exist: ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
   /** Queries allowed a global window, each with the reason its windowed
     * relation is METADATA-SIZED (bounded by a constant of the query, not
     * by corpus/vocabulary cardinality).
@@ -87,6 +100,7 @@ class AuditLintSpec extends AnyFunSuite {
     // own bounded second pass
     "q_spearman"  -> "chunked-prefix ranks: window over per-chunk totals, not rows",
     "q_conformal" -> "chunked-prefix order statistic: window over per-chunk totals, not residuals",
+    "q_auc"       -> "chunked-prefix negBelow: window over per-chunk totals, not rows",
     // bounded-domain cumulatives: the window input is one row per
     // calendar day / log-spaced bucket / source — metadata cardinality
     "q_survival"     -> "Kaplan-Meier product over the per-DAY event table (day-domain)",

@@ -68,6 +68,17 @@ class CalibrationSpec extends SparkSpec {
       && w.getAs[Double]("unc_r") == 0.0 && w.getAs[Double]("brier_r") == 0.9025)
   }
 
+  test("rocAuc: separation reads 1, anti-separation 0, ties half-credit, hand case 0.875") {
+    def auc(rows: Seq[(Double, Int)]): Double =
+      Stats.rocAuc(rows.toDF("score", "label"), "score", "label")
+        .collect().head.getDouble(2)
+    assert(auc(Seq((0.8, 1), (0.9, 1), (0.1, 0), (0.2, 0))) == 1.0)
+    assert(auc(Seq((0.1, 1), (0.2, 1), (0.8, 0), (0.9, 0))) == 0.0)
+    assert(auc(Seq((0.5, 1), (0.5, 1), (0.5, 0))) == 0.5, "all-tie scores read exactly 1/2")
+    // pairs: .9>.5, .9>.7, .7>.5 and one .7/.7 tie -> 3.5/4
+    assert(auc(Seq((0.9, 1), (0.7, 1), (0.5, 0), (0.7, 0))) == 0.875)
+  }
+
   test("conf exactly 1.0 lands in the top bin, not an overflow bin") {
     val df = Seq((1.0, 1), (0.05, 0)).toDF("conf", "label")
     val bins = Stats.reliability(df, "conf", "label")

@@ -170,6 +170,22 @@ class DriftStatsSpec extends SparkSpec {
       "coverage should sit near the 1-alpha target")
   }
 
+  test("bootstrapMeanCi: rerun-identical, constant group collapses to a zero-width interval") {
+    val df = ((1 to 100).map(i => (i.toLong, "var", (i % 37).toLong))
+      ++ (101 to 140).map(i => (i.toLong, "const", 7L))).toDF("id", "g", "v")
+    def run() = Stats.bootstrapMeanCi(df, "g", "v", "id", b = 32)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val a = run(); val bb = run()
+    assert(a == bb, "deterministic draws: identical intervals on rerun")
+    val (n, m, lo, hi) = a("const")
+    assert(n == 40 && m == 7.0 && lo == 7.0 && hi == 7.0,
+      s"constant values: every replica mean is 7 -> zero-width CI, got ${a("const")}")
+    val (nv, mv, lov, hiv) = a("var")
+    assert(lov <= mv && mv <= hiv && lov < hiv,
+      s"variable group: mean inside a positive-width interval, got ${a("var")}")
+  }
+
   test("qqDrift: identical snapshots read zero delta; a +50 shift reads +50 everywhere") {
     val ref = (0 to 100).toDF("v")
     val same = Stats.qqDrift(ref, ref, "v").collect()

@@ -114,6 +114,26 @@ class KmvSpec extends AnyFunSuite {
       s"windowed streaming sketch must equal batch: ${got.size} windows")
   }
 
+  test("incremental store maintenance: KMV(sample(A) UNION B) == KMV(A UNION B) exactly") {
+    import spark.implicits._
+    // bottom-k mergeability: re-feeding the retained sample together with
+    // the next batch's raw keys equals the full recomputation — the
+    // q_ndv_incremental sketch-warehouse invariant, pinned sketch-exact
+    val a = (0 until 3000).map(i => s"key_${i % 400}").toDF("k")
+    val b = (0 until 2000).map(i => s"key_${200 + (i % 500)}").toDF("k")
+    val storeSample = a.agg(expr("kmv_ndv(k, 16)").as("r"))
+      .select(explode(col("r.sample")).as("k"))
+    val incr = storeSample.unionByName(b)
+      .agg(expr("kmv_ndv(k, 16)").as("r"))
+      .select(col("r.ndv_est"), col("r.sample"))
+      .collect().map(r => (r.getDouble(0), r.getSeq[String](1))).head
+    val full = a.unionByName(b)
+      .agg(expr("kmv_ndv(k, 16)").as("r"))
+      .select(col("r.ndv_est"), col("r.sample"))
+      .collect().map(r => (r.getDouble(0), r.getSeq[String](1))).head
+    assert(incr == full, s"incremental $incr != full $full")
+  }
+
   test("k=256 estimate lands within 20% of a 5000-key truth") {
     import spark.implicits._
     val df = (0 until 5000).flatMap(i => Seq.fill(3)(s"key_$i")).toDF("k").repartition(8)

@@ -58,6 +58,15 @@ class PlansSpec extends SparkSpec {
     assert(salted.nonEmpty && salted.toSeq == plain.toSeq)
   }
 
+  test("saltPlan: only keys over target surface, factors bring per-task rows under target") {
+    import spark.implicits._
+    val df = (Seq.fill(2500)("hot") ++ Seq.fill(500)("ok")).toDF("k")
+    val got = Salting.saltPlan(df, "k", targetRows = 1000L)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq == Seq(("hot", 2500L, 3L, 834L)), s"got ${got.toSeq}")
+    assert(got.forall(t => t._4 <= 1000L), "recommended factor must land under target")
+  }
+
   test("salted join equals plain join") {
     val li   = spark.read.parquet(s"$dir/lineitem.parquet").select("l_orderkey", "l_linenumber", "l_quantity")
     val o    = spark.read.parquet(s"$dir/orders.parquet").select(col("o_orderkey").as("l_orderkey"), col("o_orderstatus"))
