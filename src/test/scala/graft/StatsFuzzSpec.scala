@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.{Sampling, Stats}
+
+/** Randomized brute-force mirrors for the round-13 statistics: the
+  * distributed chunked-prefix / integer-exact forms must equal the
+  * obvious O(n²)/sort-everything in-memory computations on arbitrary
+  * small inputs — ties, duplicates, skew and degenerate shapes included.
+  */
+class StatsFuzzSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def pround(x: Double, dp: Int): Double = {
+    val m = math.pow(10, dp)
+    math.floor(x * m + 0.5) / m
+  }
+
+  test("rocAuc fuzz: == the pairwise P(s+ > s-) + half-ties count, 25 random sets") {
+    val rnd = new java.util.Random(20260814L)
+    for (case_ <- 0 until 25) {
+      val n = 10 + rnd.nextInt(80)
+      // small score domain forces heavy ties; occasional negative scores
+      val rows = (0 until n).map { _ =>
+        ((rnd.nextInt(9) - 2) / 4.0, if (rnd.nextBoolean()) 1 else 0)
+      }
+      val pos = rows.filter(_._2 == 1).map(_._1)
+      val neg = rows.filter(_._2 == 0).map(_._1)
+      val got = Stats.rocAuc(rows.toDF("score", "label"), "score", "label").collect().head
+      if (pos.isEmpty || neg.isEmpty) {
+        assert(got.isNullAt(2), s"case $case_: single-class must read NULL")
+      } else {
+        val u = (for (p <- pos; q <- neg)
+          yield if (p > q) 1.0 else if (p == q) 0.5 else 0.0).sum
+        val want = pround(u / (pos.size.toDouble * neg.size), 6)
+        assert(got.getDouble(2) == want,
+          s"case $case_: got ${got.getDouble(2)}, brute force $want (P=${pos.size}, N=${neg.size})")
+      }
+    }
+  }
+
+  test("tCloseness fuzz: == the direct ordered-EMD over rationals, 20 random tables") {
+    val rnd = new java.util.Random(7L)
+    for (case_ <- 0 until 20) {
+      val nGroups = 2 + rnd.nextInt(4)
+      val domain  = 1 + rnd.nextInt(6)
+      val rows = (0 until (20 + rnd.nextInt(100))).map { _ =>
+        (s"g${rnd.nextInt(nGroups)}", rnd.nextInt(domain))
+      }
+      val got = Stats.tCloseness(rows.toDF("g", "v"), Seq("g"), "v", t = 0.15)
+        .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+      // brute force: per class, EMD = sum |cum(p - q)| / (m - 1)
+      val all = rows.groupBy(_._2).view.mapValues(_.size).toMap
+      val dom = all.keys.toSeq.sorted
+      val n = rows.size.toDouble
+      rows.groupBy(_._1).foreach { case (g, rs) =>
+        val cnt = rs.groupBy(_._2).view.mapValues(_.size).toMap
+        val sz = rs.size.toDouble
+        var cum = 0.0
+        var s = 0.0
+        dom.foreach { v =>
+          cum += cnt.getOrElse(v, 0) / sz - all(v) / n
+          s += math.abs(cum)
+        }
+        val want = if (dom.size > 1) pround(s / (dom.size - 1), 6) else 0.0
+        val (gotN, gotE) = got(g)
+        assert(gotN == rs.size, s"case $case_/$g size")
+        // the engine computes |N·cumC − size·cumG|/(size·N) exactly; the
+        // double mirror accumulates rounding — compare at 1e-9
+        assert(math.abs(gotE - want) < 1e-6 + 1e-9,
+          s"case $case_/$g: got $gotE, brute $want")
+      }
+    }
+  }
+
+  test("conformalCoverage fuzz: q-hat is the literal order statistic on 15 random score sets") {
+    val rnd = new java.util.Random(99L)
+    for (case_ <- 0 until 15) {
+      val n = 40 + rnd.nextInt(200)
+      val rows = (1 to n).map(i => (i.toLong, rnd.nextInt(20) / 20.0, rnd.nextInt(2)))
+      val df = rows.toDF("id", "conf", "label")
+      val got = Stats.conformalCoverage(df, "conf", "label", "id").collect().head
+      val withSplit = df.select(col("id"),
+        graft.functions.Portable.pround(abs(col("conf") - col("label")), 6).as("r"),
+        (Sampling.sampleHash(col("id"), "conformal") < lit(Sampling.threshold(0.8))).as("cal"))
+        .collect().map(r => (r.getDouble(1), r.getBoolean(2)))
+      val calR  = withSplit.filter(_._2).map(_._1).sorted
+      val evalR = withSplit.filterNot(_._2).map(_._1)
+      val k = math.ceil((calR.length + 1) * (1.0 - 0.1)).toInt
+      val qhat = if (k <= calR.length) calR(k - 1) else Double.PositiveInfinity
+      assert(got.getLong(0) == calR.length && got.getLong(1) == evalR.length, s"case $case_ sizes")
+      assert(got.getDouble(2) == qhat, s"case $case_: qhat ${got.getDouble(2)} != $qhat")
+      if (evalR.nonEmpty) {
+        val cov = pround(evalR.count(_ <= qhat).toDouble / evalR.length, 4)
+        assert(got.getDouble(4) == cov, s"case $case_: coverage ${got.getDouble(4)} != $cov")
+      }
+    }
+  }
+}
