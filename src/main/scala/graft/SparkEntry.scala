@@ -267,6 +267,33 @@ object SparkEntry {
         .burstiness(graft.sources.EventsSource.events(s, dir))
         .orderBy("event_type")),
 
+    // -- difference-in-differences launch readout: purchase events
+    //    (treated) vs everything else across the mid-month boundary —
+    //    the control trend subtracts out what moved BOTH groups; four
+    //    cell means from one partial-agg pass, DiD from rounded means
+    "q_diff_in_diff" -> ((s, dir) => {
+      operators.Stats.diffInDiff(
+        graft.sources.EventsSource.events(s, dir)
+          .withColumn("treated", col("event_type") === "purchase")
+          .withColumn("post", col("ts_t") >= lit("2024-01-16").cast("timestamp")),
+        "treated", "post", "value")
+    }),
+
+    // -- CUPED variance reduction: per-user pre-period mean value as the
+    //    covariate for the post-period metric — θ, var(Y), var(Y') and
+    //    the ρ² reduction from one pass of five sufficient sums (the
+    //    sample-size lever every experiment platform ships)
+    "q_cuped" -> ((s, dir) => {
+      val e = graft.sources.EventsSource.events(s, dir)
+        .where(col("value").isNotNull)
+      val cut = lit("2024-01-16").cast("timestamp")
+      val pre = e.where(col("ts_t") < cut)
+        .groupBy(col("user_id")).agg(avg(col("value")).as("x"))
+      val post = e.where(col("ts_t") >= cut)
+        .groupBy(col("user_id")).agg(avg(col("value")).as("y"))
+      operators.Stats.cupedAdjust(pre.join(post, Seq("user_id")), "x", "y")
+    }),
+
     // -- hour-of-day seasonality (one-way ANOVA η² per event type):
     //    strength = 1 − SS_within/SS_total over observed hourly buckets
     //    grouped by hour-of-day, plus the peak hour — "is volume
@@ -4005,6 +4032,54 @@ object SparkEntry {
           SELECT event_type, n_buckets, n_events, mean_r, var_r,
                  floor((var_r / mean_r) * 1e4 + 0.5) / 1e4 AS fano_r
           FROM m ORDER BY event_type""",
+    // five sufficient sums over 6-dp-rounded per-user means, the same
+    // scalar arithmetic order; theta/variances/rho^2 all derived
+    "q_cuped" ->
+      """WITH pre AS (SELECT user_id,
+                             floor(avg(value) * 1e6 + 0.5) / 1e6 AS x
+                      FROM events WHERE value IS NOT NULL AND ts::TIMESTAMP < TIMESTAMP '2024-01-16'
+                      GROUP BY user_id),
+         post AS (SELECT user_id,
+                         floor(avg(value) * 1e6 + 0.5) / 1e6 AS y
+                  FROM events WHERE value IS NOT NULL AND ts::TIMESTAMP >= TIMESTAMP '2024-01-16'
+                  GROUP BY user_id),
+         j AS (SELECT x, y FROM pre JOIN post USING (user_id)),
+         s AS (SELECT count(*)::BIGINT AS n,
+                      sum(x) AS sx, sum(y) AS sy,
+                      sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+               FROM j),
+         v AS (SELECT n,
+                      (sxx - sx * sx / n) / (n - 1) AS vx,
+                      (syy - sy * sy / n) / (n - 1) AS vy,
+                      (sxy - sx * sy / n) / (n - 1) AS cxy
+               FROM s WHERE n >= 2),
+         r AS (SELECT n,
+                      floor((CASE WHEN vx > 0 THEN cxy / vx ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS theta_r,
+                      floor((vy) * 1e6 + 0.5) / 1e6 AS var_y_r,
+                      floor((CASE WHEN vx > 0 THEN vy - cxy * cxy / vx ELSE vy END) * 1e6 + 0.5) / 1e6 AS var_adj_r
+               FROM v)
+         SELECT n, theta_r, var_y_r, var_adj_r,
+                floor((CASE WHEN var_y_r > 0 THEN 1.0 - var_adj_r / var_y_r ELSE 0.0 END) * 1e4 + 0.5) / 1e4 AS reduction_r
+         FROM r""",
+    // four cells from one grouped pass; DiD from the ROUNDED means
+    "q_diff_in_diff" ->
+      """WITH c AS (SELECT (event_type = 'purchase')::INT AS t,
+                           (ts::TIMESTAMP >= TIMESTAMP '2024-01-16')::INT AS p,
+                           count(*) AS n, sum(value) AS s
+                    FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+         w AS (SELECT
+                 max(CASE WHEN t = 0 AND p = 0 THEN n END)::BIGINT AS n_00,
+                 max(CASE WHEN t = 0 AND p = 1 THEN n END)::BIGINT AS n_01,
+                 max(CASE WHEN t = 1 AND p = 0 THEN n END)::BIGINT AS n_10,
+                 max(CASE WHEN t = 1 AND p = 1 THEN n END)::BIGINT AS n_11,
+                 floor((max(CASE WHEN t = 0 AND p = 0 THEN s / n END)) * 1e4 + 0.5) / 1e4 AS m_00_r,
+                 floor((max(CASE WHEN t = 0 AND p = 1 THEN s / n END)) * 1e4 + 0.5) / 1e4 AS m_01_r,
+                 floor((max(CASE WHEN t = 1 AND p = 0 THEN s / n END)) * 1e4 + 0.5) / 1e4 AS m_10_r,
+                 floor((max(CASE WHEN t = 1 AND p = 1 THEN s / n END)) * 1e4 + 0.5) / 1e4 AS m_11_r
+               FROM c)
+         SELECT n_00, n_01, n_10, n_11, m_00_r, m_01_r, m_10_r, m_11_r,
+                floor(((m_11_r - m_10_r) - (m_01_r - m_00_r)) * 1e4 + 0.5) / 1e4 AS did_r
+         FROM w""",
     // η² from exact per-hod integer sufficient statistics; peak via
     // (mean DESC, hod) row_number; strength from the double SS ratio
     "q_seasonality" ->

@@ -914,6 +914,90 @@ object Stats {
         col("rel_r") - col("res_r") + col("unc_r"), 6))
   }
 
+  /** Difference-in-differences estimate (Card & Krueger AER'94 made it
+    * the applied-econ workhorse; in pipelines it's the launch-impact
+    * readout): DiD = (T,post − T,pre) − (C,post − C,pre) over the four
+    * cell means — the control's trend subtracts out whatever moved both
+    * groups, which a naive before/after cannot do. Cell means derive
+    * from EXACT sums (Σv per cell via decimal for integer-valued v;
+    * double Σ for fractional v is the caller's precision), so the
+    * estimate replays deterministically; one partial-agg pass, 4-cell
+    * state.
+    *
+    * Returns ONE row (n_00..n_11, m_00_r..m_11_r, did_r) where the first
+    * index is treated and the second is post.
+    */
+  def diffInDiff(
+      df: DataFrame,
+      treatedCol: String,
+      postCol: String,
+      valueCol: String): DataFrame = {
+    val cells = df
+      .where(col(valueCol).isNotNull)
+      .groupBy(col(treatedCol).cast("int").as("__t"), col(postCol).cast("int").as("__p"))
+      .agg(count(lit(1)).as("__n"), sum(col(valueCol).cast("double")).as("__s"))
+      .withColumn("__m", col("__s") / col("__n"))
+    def cell(t: Int, p: Int, c: String) =
+      max(when(col("__t") === t && col("__p") === p, col(c))).as(s"__${c.drop(2)}_$t$p")
+    cells
+      .agg(
+        cell(0, 0, "__n"), cell(0, 1, "__n"), cell(1, 0, "__n"), cell(1, 1, "__n"),
+        cell(0, 0, "__m"), cell(0, 1, "__m"), cell(1, 0, "__m"), cell(1, 1, "__m"))
+      .select(
+        col("__n_00").as("n_00"), col("__n_01").as("n_01"),
+        col("__n_10").as("n_10"), col("__n_11").as("n_11"),
+        Portable.pround(col("__m_00"), 4).as("m_00_r"),
+        Portable.pround(col("__m_01"), 4).as("m_01_r"),
+        Portable.pround(col("__m_10"), 4).as("m_10_r"),
+        Portable.pround(col("__m_11"), 4).as("m_11_r"))
+      // DiD from the ROUNDED cell means, so both engines subtract the
+      // identical rationals
+      .withColumn("did_r", Portable.pround(
+        (col("m_11_r") - col("m_10_r")) - (col("m_01_r") - col("m_00_r")), 4))
+  }
+
+  /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013 —
+    * the industry-standard A/B sensitivity lever): adjust the metric by
+    * a pre-experiment covariate, Y' = Y − θ(X − X̄) with
+    * θ = cov(X,Y)/var(X); the adjusted variance is ANALYTICALLY
+    * var(Y)·(1 − ρ²), so the whole readout — θ, both variances, the
+    * reduction — derives from ONE pass of five sufficient sums over the
+    * per-unit relation (no second adjusted-value scan). The reduction
+    * factor is exactly ρ²: a pre-period covariate correlated 0.7 with
+    * the metric halves the variance, i.e. halves the sample size every
+    * experiment needs.
+    *
+    * Per-unit x/y are rounded before the sums so both engines combine
+    * identical rationals; sample (n−1) denominators; var(X) = 0 (a
+    * constant covariate) yields θ = 0 and no reduction rather than a
+    * divide-by-zero.
+    *
+    * Returns ONE row (n, theta_r, var_y_r, var_adj_r, reduction_r).
+    */
+  def cupedAdjust(perUnit: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val x = Portable.pround(col(xCol).cast("double"), 6)
+    val y = Portable.pround(col(yCol).cast("double"), 6)
+    perUnit
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("__sx"), sum(y).as("__sy"),
+        sum(x * x).as("__sxx"), sum(y * y).as("__syy"), sum(x * y).as("__sxy"))
+      .where(col("n") >= 2)
+      .withColumn("__vx", (col("__sxx") - col("__sx") * col("__sx") / col("n")) / (col("n") - 1))
+      .withColumn("__vy", (col("__syy") - col("__sy") * col("__sy") / col("n")) / (col("n") - 1))
+      .withColumn("__cxy", (col("__sxy") - col("__sx") * col("__sy") / col("n")) / (col("n") - 1))
+      .withColumn("theta_r", Portable.pround(
+        when(col("__vx") > 0, col("__cxy") / col("__vx")).otherwise(0.0), 6))
+      .withColumn("var_y_r", Portable.pround(col("__vy"), 6))
+      .withColumn("var_adj_r", Portable.pround(
+        when(col("__vx") > 0,
+          col("__vy") - col("__cxy") * col("__cxy") / col("__vx")).otherwise(col("__vy")), 6))
+      .withColumn("reduction_r", Portable.pround(
+        when(col("var_y_r") > 0,
+          lit(1.0) - col("var_adj_r") / col("var_y_r")).otherwise(0.0), 4))
+      .select(col("n"), col("theta_r"), col("var_y_r"), col("var_adj_r"), col("reduction_r"))
+  }
+
   /** Exact ROC AUC via the rank-sum identity (Mann–Whitney U): AUC =
     * P(score⁺ > score⁻) + ½P(tie) — the threshold-free ranking metric
     * every classifier eval leads with (ECE says "are the probabilities

@@ -186,6 +186,33 @@ class DriftStatsSpec extends SparkSpec {
       s"variable group: mean inside a positive-width interval, got ${a("var")}")
   }
 
+  test("diffInDiff: hand-built parallel-trends case isolates exactly the treatment bump") {
+    // control: 10 -> 14 (trend +4); treated: 20 -> 29 (trend +4, bump +5)
+    // naive before/after on treated reads +9; DiD reads the bump: +5
+    val rows =
+      Seq.fill(3)((0, 0, 10.0)) ++ Seq.fill(5)((0, 1, 14.0)) ++
+        Seq.fill(4)((1, 0, 20.0)) ++ Seq.fill(2)((1, 1, 29.0))
+    val r = Stats.diffInDiff(rows.toDF("treated", "post", "v"), "treated", "post", "v")
+      .collect().head
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) == (3L, 5L, 4L, 2L))
+    assert(r.getAs[Double]("m_11_r") == 29.0 && r.getAs[Double]("m_00_r") == 10.0)
+    assert(r.getAs[Double]("did_r") == 5.0, s"got ${r.getAs[Double]("did_r")}")
+  }
+
+  test("cupedAdjust: perfect covariate removes all variance; independent one removes none") {
+    // y = 2x + 3 exactly: rho^2 = 1 -> var_adj 0, reduction 1, theta 2
+    val perfect = (1 to 20).map(i => (i.toDouble, 2.0 * i + 3.0)).toDF("x", "y")
+    val p = Stats.cupedAdjust(perfect, "x", "y").collect().head
+    assert(p.getAs[Double]("theta_r") == 2.0 && p.getAs[Double]("var_adj_r") == 0.0
+      && p.getAs[Double]("reduction_r") == 1.0, s"got $p")
+    // constant covariate: theta 0, adjusted variance == raw variance
+    val flat = (1 to 20).map(i => (5.0, i.toDouble)).toDF("x", "y")
+    val f = Stats.cupedAdjust(flat, "x", "y").collect().head
+    assert(f.getAs[Double]("theta_r") == 0.0
+      && f.getAs[Double]("var_adj_r") == f.getAs[Double]("var_y_r")
+      && f.getAs[Double]("reduction_r") == 0.0, s"got $f")
+  }
+
   test("qqDrift: identical snapshots read zero delta; a +50 shift reads +50 everywhere") {
     val ref = (0 to 100).toDF("v")
     val same = Stats.qqDrift(ref, ref, "v").collect()
