@@ -120,7 +120,7 @@ object ExplainAudit {
     "q_ucc_discovery", "q_mrl_recall", "q_seasonality", "q_conformal",
     "q_collocations_g2", "q_clustering_coeff", "q_ndv_incremental", "q_salt_plan",
     "q_schema_evolution", "q_top_boilerplate", "q_bootstrap_ci", "q_auc",
-    "q_diff_in_diff", "q_cuped")
+    "q_diff_in_diff", "q_cuped", "q_mde")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

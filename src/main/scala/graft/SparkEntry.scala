@@ -279,6 +279,15 @@ object SparkEntry {
         "treated", "post", "value")
     }),
 
+    // -- experiment sizing: per-source minimum detectable effect on mean
+    //    doc length at α=0.05 / power 0.8 — "is this group big enough to
+    //    test on"; exact-sum variance, shared z constants
+    "q_mde" -> ((s, dir) => {
+      operators.Stats
+        .minDetectableEffect(t(s, dir, "documents"), "source", "n_chars")
+        .orderBy("source")
+    }),
+
     // -- CUPED variance reduction: per-user pre-period mean value as the
     //    covariate for the post-period metric — θ, var(Y), var(Y') and
     //    the ρ² reduction from one pass of five sufficient sums (the
@@ -4032,6 +4041,23 @@ object SparkEntry {
           SELECT event_type, n_buckets, n_events, mean_r, var_r,
                  floor((var_r / mean_r) * 1e4 + 0.5) / 1e4 AS fano_r
           FROM m ORDER BY event_type""",
+    // exact-HUGEINT sums (the welch discipline), shared z-sum constant
+    "q_mde" ->
+      s"""WITH g AS (SELECT source, count(*)::BIGINT AS n,
+                            sum(n_chars::HUGEINT)::DOUBLE AS s1d,
+                            sum((n_chars::HUGEINT) * (n_chars::HUGEINT))::DOUBLE AS s2d
+                     FROM documents GROUP BY source HAVING count(*) >= 2),
+          v AS (SELECT source, n, s1d / n AS m,
+                       (s2d - s1d * s1d / n) / (n - 1) AS vv
+                FROM g),
+          f AS (SELECT source, n,
+                       floor(m * 1e4 + 0.5) / 1e4 AS mean_r,
+                       floor(vv * 1e4 + 0.5) / 1e4 AS var_r,
+                       floor((${1.959963984540054 + 0.8416212335729142} * sqrt(2.0 * vv / n)) * 1e4 + 0.5) / 1e4 AS mde_r
+                FROM v WHERE vv > 0.0 AND m > 0.0)
+          SELECT source, n, mean_r, var_r, mde_r,
+                 floor((mde_r / mean_r) * 1e6 + 0.5) / 1e6 AS mde_rel_r
+          FROM f ORDER BY source""",
     // five sufficient sums over 6-dp-rounded per-user means, the same
     // scalar arithmetic order; theta/variances/rho^2 all derived
     "q_cuped" ->

@@ -956,6 +956,50 @@ object Stats {
         (col("m_11_r") - col("m_10_r")) - (col("m_01_r") - col("m_00_r")), 4))
   }
 
+  /** Minimum detectable effect per group (the experiment-sizing readout;
+    * standard two-sample normal-approximation power formula): at
+    * significance α (two-sided) and power 1−β, an equal-split experiment
+    * over this group can detect a mean shift of
+    * MDE = (z_{1−α/2} + z_{1−β})·√(2σ²/n) — the "is this group even big
+    * enough to test on" dial that belongs next to [[welchTTest]] (did it
+    * move), [[cupedAdjust]] (shrink σ²) and [[bootstrapMeanCi]] (error
+    * bars). σ² from EXACT integer sums (the Welch discipline); the z
+    * constants are Scala literals shared verbatim with the oracle; also
+    * reported relative to the mean (mde_rel_r) since "±38 chars" means
+    * nothing without scale.
+    *
+    * Returns one row per group: (groupCol, n, mean_r, var_r, mde_r,
+    * mde_rel_r).
+    */
+  def minDetectableEffect(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      zAlpha: Double = 1.959963984540054, // z_{0.975}
+      zBeta: Double = 0.8416212335729142  // z_{0.80}
+  ): DataFrame = {
+    val x = col(valueCol).cast("decimal(19,0)")
+    df
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(x).cast("decimal(38,0)").as("__s1"),
+        sum(x * x).as("__s2"))
+      .where(col("n") >= 2)
+      .withColumn("__m", col("__s1").cast("double") / col("n"))
+      .withColumn("__v",
+        (col("__s2").cast("double")
+          - col("__s1").cast("double") * col("__s1").cast("double") / col("n"))
+          / (col("n") - 1))
+      .where(col("__v") > 0.0 && col("__m") > 0.0)
+      .withColumn("mde_r", Portable.pround(
+        lit(zAlpha + zBeta) * sqrt(lit(2.0) * col("__v") / col("n")), 4))
+      .select(col(groupCol), col("n"),
+        Portable.pround(col("__m"), 4).as("mean_r"),
+        Portable.pround(col("__v"), 4).as("var_r"),
+        col("mde_r"),
+        Portable.pround(col("mde_r") / Portable.pround(col("__m"), 4), 6).as("mde_rel_r"))
+  }
+
   /** CUPED variance reduction (Deng, Xu, Kohavi & Walker, WSDM 2013 —
     * the industry-standard A/B sensitivity lever): adjust the metric by
     * a pre-experiment covariate, Y' = Y − θ(X − X̄) with

@@ -213,6 +213,20 @@ class DriftStatsSpec extends SparkSpec {
       && f.getAs[Double]("reduction_r") == 0.0, s"got $f")
   }
 
+  test("minDetectableEffect: hand-computed MDE; bigger groups detect smaller effects") {
+    // group a: 1..9 -> n=9, mean 5, var 7.5; mde = 2.8016*sqrt(15/9)
+    val df = ((1 to 9).map(i => ("a", i.toLong))
+      ++ (1 to 36).map(i => ("b", (i % 9 + 1).toLong))).toDF("g", "x")
+    val got = Stats.minDetectableEffect(df, "g", "x")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toMap
+    val z = 1.959963984540054 + 0.8416212335729142
+    val wantA = math.floor(z * math.sqrt(2.0 * 7.5 / 9) * 1e4 + 0.5) / 1e4
+    assert(got("a") == (9L, 5.0, 7.5, wantA), s"got ${got("a")}, want mde $wantA")
+    // 4x the rows (same distribution): MDE halves
+    assert(got("b")._4 < got("a")._4 / 1.9, s"got $got")
+  }
+
   test("qqDrift: identical snapshots read zero delta; a +50 shift reads +50 everywhere") {
     val ref = (0 to 100).toDF("v")
     val same = Stats.qqDrift(ref, ref, "v").collect()
