@@ -166,9 +166,13 @@ object SparkEntry {
     //    aggregates over the union must see every row and account the
     //    missing-column mass exactly (the oracle derives the same from
     //    the source table, so a dropped row or phantom null breaks it)
+    //    Scratch path is FIXED per sf dir (the formatRoundtrip pattern):
+    //    mode("overwrite") makes repeated bench/verify invocations reuse
+    //    the same two batches instead of leaking a fresh tempdir pair of
+    //    the documents table per run (r13 advice).
     "q_schema_evolution" -> ((s, dir) => {
       val docs = t(s, dir, "documents")
-      val out = java.nio.file.Files.createTempDirectory("graft-schevo").toString
+      val out = s"${sys.props("java.io.tmpdir")}/graft-scratch/schevo-${dir.replaceAll("[^A-Za-z0-9.]", "_")}"
       docs.where(col("doc_id") < 250)
         .select("doc_id", "lang", "n_chars")
         .write.mode("overwrite").parquet(s"$out/b1")
@@ -4058,26 +4062,28 @@ object SparkEntry {
           SELECT source, n, mean_r, var_r, mde_r,
                  floor((mde_r / mean_r) * 1e6 + 0.5) / 1e6 AS mde_rel_r
           FROM f ORDER BY source""",
-    // five sufficient sums over 6-dp-rounded per-user means, the same
-    // scalar arithmetic order; theta/variances/rho^2 all derived
+    // five sufficient sums as EXACT integer (HUGEINT) additions of the
+    // 6-dp-rounded per-user means scaled by 1e6 (floor(v*1e6+0.5) is the
+    // pround numerator) — partial-agg-order-proof on both engines; the
+    // scale factors divide back out in the same scalar double op order
     "q_cuped" ->
       """WITH pre AS (SELECT user_id,
-                             floor(avg(value) * 1e6 + 0.5) / 1e6 AS x
+                             floor(avg(value) * 1e6 + 0.5)::HUGEINT AS xi
                       FROM events WHERE value IS NOT NULL AND ts::TIMESTAMP < TIMESTAMP '2024-01-16'
                       GROUP BY user_id),
          post AS (SELECT user_id,
-                         floor(avg(value) * 1e6 + 0.5) / 1e6 AS y
+                         floor(avg(value) * 1e6 + 0.5)::HUGEINT AS yi
                   FROM events WHERE value IS NOT NULL AND ts::TIMESTAMP >= TIMESTAMP '2024-01-16'
                   GROUP BY user_id),
-         j AS (SELECT x, y FROM pre JOIN post USING (user_id)),
+         j AS (SELECT xi, yi FROM pre JOIN post USING (user_id)),
          s AS (SELECT count(*)::BIGINT AS n,
-                      sum(x) AS sx, sum(y) AS sy,
-                      sum(x * x) AS sxx, sum(y * y) AS syy, sum(x * y) AS sxy
+                      sum(xi) AS sx, sum(yi) AS sy,
+                      sum(xi * xi) AS sxx, sum(yi * yi) AS syy, sum(xi * yi) AS sxy
                FROM j),
          v AS (SELECT n,
-                      (sxx - sx * sx / n) / (n - 1) AS vx,
-                      (syy - sy * sy / n) / (n - 1) AS vy,
-                      (sxy - sx * sy / n) / (n - 1) AS cxy
+                      (sxx::DOUBLE / 1e12 - (sx::DOUBLE / 1e6) * (sx::DOUBLE / 1e6) / n) / (n - 1) AS vx,
+                      (syy::DOUBLE / 1e12 - (sy::DOUBLE / 1e6) * (sy::DOUBLE / 1e6) / n) / (n - 1) AS vy,
+                      (sxy::DOUBLE / 1e12 - (sx::DOUBLE / 1e6) * (sy::DOUBLE / 1e6) / n) / (n - 1) AS cxy
                FROM s WHERE n >= 2),
          r AS (SELECT n,
                       floor((CASE WHEN vx > 0 THEN cxy / vx ELSE 0.0 END) * 1e6 + 0.5) / 1e6 AS theta_r,
@@ -8221,7 +8227,8 @@ object SparkEntry {
       }.sum * math.exp(-1.0)
     }
     val cases = cdf.zipWithIndex.map { case (c, k) => s"WHEN u < $c THEN $k" }.mkString(" ")
-    s"""WITH e AS (SELECT lang, n_chars, doc_id, unnest(range(0, 32)) AS rep FROM documents),
+    s"""WITH nn AS (SELECT lang, n_chars, doc_id FROM documents WHERE n_chars IS NOT NULL),
+        e AS (SELECT lang, n_chars, doc_id, unnest(range(0, 32)) AS rep FROM nn),
         x AS (SELECT lang, rep, n_chars,
                      ('0x' || substr(md5('boot:' || rep::VARCHAR || ':' || doc_id::VARCHAR), 1, 13))::BIGINT
                        / 4503599627370496.0 AS u
@@ -8230,7 +8237,7 @@ object SparkEntry {
         g AS (SELECT lang, rep, sum(w * n_chars) AS swx, sum(w) AS sw FROM w GROUP BY 1, 2),
         m AS (SELECT lang, rep, swx::DOUBLE / sw AS m FROM g WHERE sw > 0),
         a AS (SELECT lang, list(m ORDER BY m) AS ms FROM m GROUP BY lang),
-        base AS (SELECT lang, count(*)::BIGINT AS n, sum(n_chars) AS s FROM documents GROUP BY lang)
+        base AS (SELECT lang, count(*)::BIGINT AS n, sum(n_chars) AS s FROM nn GROUP BY lang)
         SELECT base.lang, n,
                floor((s::DOUBLE / n) * 1e4 + 0.5) / 1e4 AS mean_r,
                floor((ms[greatest(1, ceil(0.025 * len(ms))::INT)]) * 1e4 + 0.5) / 1e4 AS lo_r,

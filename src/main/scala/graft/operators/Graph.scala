@@ -195,6 +195,15 @@ object Graph {
     // 3x). Materialize once — the [[pagerank]] / Dedup.duplicateGroups
     // pattern; on a cluster, durable checkpoint plays the same role.
     val e = orientedEdges(edges).localCheckpoint(true)
+    triangleCountsOriented(e)
+  }
+
+  /** [[triangleCounts]] body over an ALREADY oriented+deduped (and
+    * materialized) src<dst edge list — shared with
+    * [[clusteringCoefficients]] so both legs (degrees and triangles)
+    * derive from the SAME canonical relation.
+    */
+  private def triangleCountsOriented(e: DataFrame): DataFrame = {
     val wedges = e.select(col("src").as("a"), col("dst").as("b"))
       .join(e.select(col("src").as("a"), col("dst").as("c")), Seq("a"))
       .where(col("b") < col("c"))
@@ -212,7 +221,12 @@ object Graph {
     * normalized sibling and the standard "is this graph clumpy or
     * stringy" per-node dial (near-dup brand/entity graphs are clumpy;
     * citation chains are stringy). Degrees come from one explode-agg
-    * over the distinct undirected edge list; triangles reuse the
+    * over [[orientedEdges]] — the SAME deduped src<dst relation the
+    * triangle legs join on (r13 advice: deriving degrees from the raw
+    * input silently inflated cc_r for duplicated / bidirectional /
+    * self-loop edge lists, while triangles dedup internally — now both
+    * honor the any-edge-relation contract). The oriented list is
+    * checkpointed once and feeds both legs; triangles reuse the
     * oriented-wedge join; nodes with deg < 2 have no neighbor pair and
     * are dropped (C undefined), zero-triangle nodes keep C = 0 via the
     * left join.
@@ -220,12 +234,13 @@ object Graph {
     * Returns (node, deg, n_tri, cc_r).
     */
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
-    val deg = edges
+    val e = orientedEdges(edges).localCheckpoint(true)
+    val deg = e
       .select(explode(array(col("src"), col("dst"))).as("node"))
       .groupBy(col("node"))
       .agg(count(lit(1)).as("deg"))
     deg
-      .join(triangleCounts(edges), Seq("node"), "left_outer")
+      .join(triangleCountsOriented(e), Seq("node"), "left_outer")
       .na.fill(0L, Seq("n_tri"))
       .where(col("deg") >= 2)
       .select(col("node"), col("deg"), col("n_tri"),

@@ -1011,25 +1011,45 @@ object Stats {
     * the metric halves the variance, i.e. halves the sample size every
     * experiment needs.
     *
-    * Per-unit x/y are rounded before the sums so both engines combine
-    * identical rationals; sample (n−1) denominators; var(X) = 0 (a
-    * constant covariate) yields θ = 0 and no reduction rather than a
-    * divide-by-zero.
+    * Per-unit x/y are rounded to 6 dp and SCALED TO INTEGERS before the
+    * sums — the five sufficient sums are decimal(38,0) additions of
+    * exact integers (the [[welchTTest]] discipline), so no partial-agg
+    * order can flip a bit and both engines provably combine identical
+    * rationals (r13 advice: double sums of 6-dp-rounded inputs were NOT
+    * order-independent, only empirically stable). The scale factors
+    * divide back out in one scalar double step per statistic; sample
+    * (n−1) denominators; var(X) = 0 (a constant covariate) yields θ = 0
+    * and no reduction rather than a divide-by-zero.
     *
     * Returns ONE row (n, theta_r, var_y_r, var_adj_r, reduction_r).
     */
   def cupedAdjust(perUnit: DataFrame, xCol: String, yCol: String): DataFrame = {
-    val x = Portable.pround(col(xCol).cast("double"), 6)
-    val y = Portable.pround(col(yCol).cast("double"), 6)
+    // floor(v·1e6 + 0.5) is exactly Portable.pround's integer numerator:
+    // the 6-dp-rounded value scaled by 1e6, exact in decimal(19,0)
+    val xi = floor(col(xCol).cast("double") * 1e6 + 0.5).cast("decimal(19,0)")
+    val yi = floor(col(yCol).cast("double") * 1e6 + 0.5).cast("decimal(19,0)")
     perUnit
       .where(col(xCol).isNotNull && col(yCol).isNotNull)
       .agg(count(lit(1)).as("n"),
-        sum(x).as("__sx"), sum(y).as("__sy"),
-        sum(x * x).as("__sxx"), sum(y * y).as("__syy"), sum(x * y).as("__sxy"))
+        sum(xi).cast("decimal(38,0)").as("__sx"), sum(yi).cast("decimal(38,0)").as("__sy"),
+        sum(xi * yi).cast("decimal(38,0)").as("__sxy"),
+        sum(xi * xi).cast("decimal(38,0)").as("__sxx"),
+        sum(yi * yi).cast("decimal(38,0)").as("__syy"))
       .where(col("n") >= 2)
-      .withColumn("__vx", (col("__sxx") - col("__sx") * col("__sx") / col("n")) / (col("n") - 1))
-      .withColumn("__vy", (col("__syy") - col("__sy") * col("__sy") / col("n")) / (col("n") - 1))
-      .withColumn("__cxy", (col("__sxy") - col("__sx") * col("__sy") / col("n")) / (col("n") - 1))
+      // one scalar double expression per statistic, scales divided out in
+      // the SAME op order the oracle SQL writes textually
+      .withColumn("__vx",
+        (col("__sxx").cast("double") / 1e12
+          - (col("__sx").cast("double") / 1e6) * (col("__sx").cast("double") / 1e6) / col("n"))
+          / (col("n") - 1))
+      .withColumn("__vy",
+        (col("__syy").cast("double") / 1e12
+          - (col("__sy").cast("double") / 1e6) * (col("__sy").cast("double") / 1e6) / col("n"))
+          / (col("n") - 1))
+      .withColumn("__cxy",
+        (col("__sxy").cast("double") / 1e12
+          - (col("__sx").cast("double") / 1e6) * (col("__sy").cast("double") / 1e6) / col("n"))
+          / (col("n") - 1))
       .withColumn("theta_r", Portable.pround(
         when(col("__vx") > 0, col("__cxy") / col("__vx")).otherwise(0.0), 6))
       .withColumn("var_y_r", Portable.pround(col("__vy"), 6))
@@ -1136,7 +1156,13 @@ object Stats {
     val w = cdf.zipWithIndex.foldRight(lit(9): Column) {
       case ((c, k), acc) => when(u < c, k).otherwise(acc)
     }
-    val replicas = df
+    // NULL metric rows would contribute their Poisson weight to Σw but
+    // nothing to Σw·x (and inflate n but not Σx), biasing every replica
+    // mean — drop them up front so weights, counts and sums all see the
+    // same row set (the diffInDiff / minDetectableEffect discipline;
+    // r13 advice)
+    val nn = df.where(col(valueCol).isNotNull)
+    val replicas = nn
       .withColumn("__rep", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("__w", w)
       .groupBy(col(groupCol), col("__rep"))
@@ -1145,7 +1171,7 @@ object Stats {
       .withColumn("__m", col("__swx").cast("double") / col("__sw"))
       .groupBy(col(groupCol))
       .agg(sort_array(collect_list(col("__m"))).as("__ms"))
-    val base = df.groupBy(col(groupCol))
+    val base = nn.groupBy(col(groupCol))
       .agg(count(lit(1)).as("n"), sum(col(valueCol)).as("__s"))
     base.join(replicas, Seq(groupCol))
       .select(col(groupCol), col("n"),
