@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{BottomKSampleAgg, CleanToken, CountMinAgg, KmvNdvAgg, RewriteSortedCollectSet, SortedDistinctSetAgg, SpaceSavingAgg}
+import graft.plans.{BottomKSampleAgg, CleanToken, CountMinAgg, KmvNdvAgg, PruneInferredGenerateFilter, RewriteSortedCollectSet, SortedDistinctSetAgg, SpaceSavingAgg}
 
 /** Engine extensions, installable on any session:
   *
@@ -77,5 +77,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
           exprs(0), exprs(1))))
     e.injectOptimizerRule(_ => RewriteSortedCollectSet)
+    // strip the inferred pre-Generate size/isnotnull filter when it
+    // re-derives an expensive generator input (it doubled the map-side
+    // tokenize+shingle work on the hottest queries — see the rule's doc)
+    e.injectOptimizerRule(_ => PruneInferredGenerateFilter)
   }
 }
