@@ -60,6 +60,13 @@ object Bench {
     }
 
     val results = scala.collection.mutable.LinkedHashMap[String, Double]()
+    // every timing sample behind each best-of-N number, persisted in the
+    // artifact (r13 verdict task 2): a shipped "best" with its spread
+    // makes load-noise adjudication possible from the artifact alone —
+    // min ≈ steady state, median−min = the load/JIT shadow of that run
+    val samples = scala.collection.mutable.LinkedHashMap[String, Seq[Double]]()
+    def record(name: String, s: Seq[Double]): Unit =
+      samples(name) = samples.getOrElse(name, Seq.empty) ++ s
 
     /** Release the previous query's checkpoint/persist blocks, then fence.
       *
@@ -100,6 +107,7 @@ object Bench {
       var failed = false
       val elapsed = time { try body catch { case _: Throwable => failed = true } }
       results(name) = if (failed) -1.0 else elapsed
+      if (!failed) record(name, Seq(elapsed))
     }
 
     /** Best-of-2 per query, with an adaptive THIRD run when the first two
@@ -133,10 +141,13 @@ object Bench {
       val second  = time { try body catch { case _: Throwable => failed = true } }
       if (failed) { results(name) = -1.0; return }
       val best2 = math.min(first, second)
-      if (math.max(first, second) <= best2 * 1.5) { results(name) = best2; return }
+      if (math.max(first, second) <= best2 * 1.5) {
+        results(name) = best2; record(name, Seq(first, second)); return
+      }
       clearRddStorage()
       val third = time { try body catch { case _: Throwable => failed = true } }
       results(name) = if (failed) -1.0 else math.min(best2, third)
+      if (!failed) record(name, Seq(first, second, third))
     }
 
     // warm the JVM + parquet footers once so per-query numbers measure the
@@ -166,6 +177,7 @@ object Bench {
         time(try run(refPlan) catch { case _: Throwable => () })
       }
       results("index_build_ref_corpus") = warms.min
+      record("index_build_ref_corpus", warms)
     }
 
     fence()
@@ -206,8 +218,14 @@ object Bench {
     val failedNames = results.collect { case (k, v) if v < 0 => k }.toSeq
     val failedJson =
       s""","failed":${failedNames.size},"failed_queries":[${failedNames.map("\"" + _ + "\"").mkString(",")}]"""
+    // per-query raw samples ride the artifact so min/median/spread are
+    // recoverable without re-running; a loaded sweep is then self-evident
+    // (large spread) instead of needing a quiet re-run to adjudicate
+    val samplesJson = samples.map { case (k, vs) =>
+      "\"" + k + "\":[" + vs.map(fmt).mkString(",") + "]"
+    }.mkString("{", ",", "}")
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,"samples":$samplesJson,"sf":"$sfDir"}"""
     println(full)
     // The driver's stdout-tail capture truncates the front of long lines
     // (rounds 3-4 lost the first ~45 queries of the map), so the complete

@@ -1480,6 +1480,14 @@ object Stats {
       yCol: String,
       chunkWidth: Double = 1000.0): DataFrame = {
     require(chunkWidth > 0, s"chunkWidth ($chunkWidth) must be positive")
+    // Measured trade (r14, sf0.1 lineitem, quiet load): the r13 null-
+    // discipline reshape costs ~12% (1.62 → 1.82 s) because each of the
+    // three scans now reads BOTH columns through the null filter where the
+    // r12 form's rank builds each read one — the price of ranking only
+    // paired rows, which correctness requires. localCheckpoint'ing the
+    // paired projection to de-duplicate the scans measured SLOWER (1.97 s
+    // min-of-5): materializing ~6M two-double rows costs more than two
+    // extra cheap columnar scans. Left lazy deliberately.
     val paired = df
       .select(col(xCol).cast("double").as(s"${xCol}__v"),
         col(yCol).cast("double").as(s"${yCol}__v"))
