@@ -42,7 +42,7 @@ object ExplainAudit {
     "q_classifier_score", "q_column_stats", "q_zorder_layout",
     "q_triangle_count", "q_vocab_growth",
     "q_token_pmi", "q_histogram_equidepth", "q_curate_pipeline",
-    "q_setsim_join", "q_cdc_apply", "q_semdedup", "q_resample_ffill",
+    "q_setsim_join", "q_setsim_capped", "q_cdc_apply", "q_semdedup", "q_resample_ffill",
     "q_bpe_pairs", "q_weighted_sample", "q_embed_int8",
     "q_bigram_lm", "q_cdc_chunks", "q_event_transitions",
     "q_hash_split", "q_epoch_shuffle", "q_char_entropy", "q_ppr_seeds", "q_multimodal_audio_ds",

@@ -1719,6 +1719,19 @@ object SparkEntry {
         .orderBy("doc1", "doc2")
     }),
 
+    // -- BOUNDED-WORK exact setsim (r13 task 4): the df>5 stop-shingle
+    //    cut removes hot shingles from every doc's set, so the result is
+    //    the exact Jaccard join over the informative shingle space and
+    //    every prefix bucket is ≤ dfCap members — candidate work bounded
+    //    by dfCap²/2 per bucket REGARDLESS of corpus duplication. The cut
+    //    itself is deterministic and fully mirrored in the oracle; the
+    //    dropped mass is observe()-audited (ObserveSpec)
+    "q_setsim_capped" -> ((s, dir) => {
+      Dedup
+        .prefixJaccardJoin(t(s, dir, "documents"), threshold = 0.5, shingleK = 3, dfCap = 5)
+        .orderBy("doc1", "doc2")
+    }),
+
     // -- dedup threshold-tuning table: the exact setsim pairs (floor 0.5)
     //    banded by Jaccard decile, with "pairs a threshold of band/10
     //    would still match" as a cumulative column — the what-if sweep
@@ -5478,6 +5491,21 @@ object SparkEntry {
                    (len(a.shingles) + len(b.shingles) - len(list_intersect(a.shingles, b.shingles))) AS jaccard
             FROM sh a JOIN sh b ON a.doc_id < b.doc_id
             WHERE len(a.shingles) > 0 AND len(b.shingles) > 0) p
+          WHERE jaccard >= 0.5 ORDER BY doc1, doc2""",
+    // the stop-shingle cut mirrored exactly: per-shingle df over the
+    // distinct per-doc shingle relation, sets filtered to df <= 5, docs
+    // with empty filtered sets dropped, exact Jaccard over what remains
+    "q_setsim_capped" ->
+      s"""WITH ${shinglesCte(3)},
+          ex AS (SELECT doc_id, unnest(shingles) AS g FROM sh),
+          dfreq AS (SELECT g, count(*) AS df FROM ex GROUP BY g),
+          kept AS (SELECT doc_id, list(g) AS ks
+                   FROM ex JOIN dfreq USING (g) WHERE df <= 5 GROUP BY doc_id)
+          SELECT doc1, doc2, floor((jaccard) * 1e4 + 0.5) / 1e4 AS jaccard FROM (
+            SELECT a.doc_id AS doc1, b.doc_id AS doc2,
+                   len(list_intersect(a.ks, b.ks))::DOUBLE /
+                   (len(a.ks) + len(b.ks) - len(list_intersect(a.ks, b.ks))) AS jaccard
+            FROM kept a JOIN kept b ON a.doc_id < b.doc_id) p
           WHERE jaccard >= 0.5 ORDER BY doc1, doc2""",
     // brute-force jaccard pairs (the q_setsim_join proof pattern) banded
     // the same way; cumulative via the band self-join

@@ -99,7 +99,8 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 16,
       bands: Int = 8,
-      maxBucket: Int = 1 << 12): DataFrame = {
+      maxBucket: Int = 1 << 12,
+      dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     // ONE corpus tokenization pass, materialized: the signature index
     // computes shingles + signature + band keys together and the
     // checkpointed relation serves candidate banding AND both verify-join
@@ -110,7 +111,7 @@ object Dedup {
     // moreLikeThis re-computation trap all over again).
     val base = minhashIndex(docs, idCol, textCol, shingleK, numHashes, bands)
     // pairs feed the doc-set restriction AND the verify join → checkpoint
-    val pairs = candidatesFromIndex(base, idCol, maxBucket).localCheckpoint(true)
+    val pairs = candidatesFromIndex(base, idCol, maxBucket, dropAudit).localCheckpoint(true)
     // restrict BOTH verify sides to docs that appear in a candidate pair
     // BEFORE joining: without this, each side join shuffles the whole
     // index's (sh, sig) arrays for a pair-count-sized output (measured
@@ -247,7 +248,8 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 16,
       bands: Int = 8,
-      maxBucket: Int = 1 << 12): DataFrame = {
+      maxBucket: Int = 1 << 12,
+      dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands) — otherwise trailing hashes are silently unused")
     require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least one pair")
@@ -262,13 +264,17 @@ object Dedup {
     // the scan filter (measured 3x on q_dedup_minhash); the token array is a
     // single pass and safe to push.
     val banded = bandedDocs(docs, idCol, textCol, shingleK, numHashes, bands)
-    pairsFromBanded(banded, idCol, maxBucket)
+    pairsFromBanded(banded, idCol, maxBucket, dropAudit)
   }
 
   /** Candidate-pair expansion over a (idCol, band_key) relation — the
     * shared back half of [[minhashCandidates]] and [[candidatesFromIndex]].
     */
-  private def pairsFromBanded(banded: DataFrame, idCol: String, maxBucket: Int): DataFrame = {
+  private def pairsFromBanded(
+      banded: DataFrame,
+      idCol: String,
+      maxBucket: Int,
+      dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     import org.apache.spark.sql.GraftBridge
     // one row per (doc, band) ⇒ ids are already distinct per bucket; the
     // fused sorted-distinct aggregate gives an ASC list, so the index-lambda
@@ -276,9 +282,14 @@ object Dedup {
     val sortedIds = GraftBridge.column(
       graft.plans.SortedDistinctSetAgg(
         GraftBridge.expression(col(idCol).cast("bigint"))).toAggregateExpression())
-    banded
+    val buckets = banded
       .groupBy(col("band_key"))
       .agg(sortedIds.as("ids"))
+    // the simhashPairs no-silent-caps discipline: cut mass rides the run
+    dropAudit.fold(buckets) { o =>
+      val ms = dropMetrics(size(col("ids")), maxBucket)
+      buckets.observe(o, ms.head, ms.tail: _*)
+    }
       .where(size(col("ids")).between(2, maxBucket))
       .select(explode_outer(expr(
         "flatten(transform(ids, (x, i) -> transform(slice(ids, i + 2, size(ids)), y -> named_struct('doc1', x, 'doc2', y))))"))
@@ -325,11 +336,12 @@ object Dedup {
   def candidatesFromIndex(
       index: DataFrame,
       idCol: String = "doc_id",
-      maxBucket: Int = 1 << 12): DataFrame = {
+      maxBucket: Int = 1 << 12,
+      dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least one pair")
     pairsFromBanded(
       index.select(col(idCol), explode_outer(col("band_keys")).as("band_key")),
-      idCol, maxBucket)
+      idCol, maxBucket, dropAudit)
   }
 
   /** (idCol, band_key) rows for every non-empty doc — the shared banding
@@ -392,7 +404,8 @@ object Dedup {
       shingleK: Int = 3,
       numHashes: Int = 16,
       bands: Int = 8,
-      maxBucket: Int = 1 << 12): DataFrame = {
+      maxBucket: Int = 1 << 12,
+      dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(numHashes % bands == 0,
       s"numHashes ($numHashes) must be divisible by bands ($bands)")
     require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold outside (0,1]")
@@ -403,11 +416,26 @@ object Dedup {
     // collect_set skips the nulls the `when` leaves on the other side; the
     // engine's optimizer rule fuses sort_array(collect_set(..)) to the
     // one-pass sorted-set aggregate when extensions are installed
-    val buckets = nb.unionByName(cb)
+    val buckets0 = nb.unionByName(cb)
       .groupBy(col("band_key"))
       .agg(
         sort_array(collect_set(when(col("__new"), col(idCol)))).as("nids"),
         sort_array(collect_set(when(!col("__new"), col(idCol)))).as("cids"))
+    // product-cap audit (the dropMetrics discipline adapted to the
+    // new × corpus shape): a bucket is ELIGIBLE when both sides are
+    // non-empty, DROPPED when its n1·n2 candidate product exceeds the
+    // cap; retained_pair_bound sums the kept products
+    val buckets = dropAudit.fold(buckets0) { o =>
+      val n1 = size(col("nids")).cast("long")
+      val n2 = size(col("cids")).cast("long")
+      val eligible = n1 >= 1L && n2 >= 1L
+      buckets0.observe(o,
+        sum(when(eligible && n1 * n2 > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
+        sum(when(eligible && n1 * n2 > maxBucket, n1 + n2).otherwise(0L)).as("dropped_members"),
+        sum(when(eligible && n1 * n2 <= maxBucket, n1 * n2).otherwise(0L))
+          .as("retained_pair_bound"))
+    }
+    val bucketsKept = buckets
       .where(size(col("nids")) >= 1 && size(col("cids")) >= 1 &&
         // the product must be computed in 64 bits: size() is Int, and a
         // degenerate band with >~46k ids per side would overflow the Int
@@ -415,7 +443,7 @@ object Dedup {
         // DuckDB oracle computes the product in BIGINT, so the long cast
         // also keeps both engines choosing the same buckets)
         size(col("nids")).cast("long") * size(col("cids")).cast("long") <= maxBucket)
-    val cand = buckets
+    val cand = bucketsKept
       .select(explode_outer(expr(
         "flatten(transform(nids, n -> transform(cids, c -> named_struct('new_id', n, 'corpus_id', c))))"))
         .as("p"))
@@ -540,7 +568,7 @@ object Dedup {
     * production run itself (n up to corpus order, so everything counts
     * in longs).
     */
-  private def dropMetrics(n: Column, maxBucket: Int): Seq[Column] = {
+  private[operators] def dropMetrics(n: Column, maxBucket: Int): Seq[Column] = {
     val nl = n.cast("long")
     Seq(
       sum(when(nl > maxBucket, 1L).otherwise(0L)).as("dropped_buckets"),
@@ -769,7 +797,9 @@ object Dedup {
       threshold: Double,
       shingleK: Int,
       idCol: String,
-      textCol: String): DataFrame = {
+      textCol: String,
+      dfCap: Int = Int.MaxValue,
+      stopAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val sh = TextAnalysis
       .withShingles(docs.select(col(idCol), col(textCol)), textCol, shingleK, "__sh")
       .select(col(idCol).as("id"), explode_outer(col("__sh")).as("shingle"))
@@ -778,9 +808,29 @@ object Dedup {
       .where(col("shingle").isNotNull)
       .select(col("id"),
         conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
-    val dfreq = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
-    sh
-      .join(dfreq, Seq("h"))
+    val dfreq0 = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
+    // stop-shingle audit: the cut's mass rides the run itself (the
+    // simhashPairs dropAudit discipline) — how many distinct shingles the
+    // cap removed, how many doc-occurrences went with them, and the
+    // hottest df seen, so a capped run always DECLARES what it ignored
+    val dfreq = stopAudit.fold(dfreq0) { o =>
+      dfreq0.observe(o,
+        count(when(col("df") > dfCap, 1)).as("n_stop_shingles"),
+        coalesce(sum(when(col("df") > dfCap, col("df"))), lit(0L)).as("n_dropped_occurrences"),
+        count(lit(1)).as("n_distinct_shingles"),
+        max(col("df")).as("max_df"))
+    }
+    // bounded-work mode (dfCap < MaxValue): shingles hotter than dfCap are
+    // excluded from every doc's set BEFORE ordering — similarity becomes
+    // exact Jaccard over the informative (df ≤ cap) shingle space, the
+    // standard stop-token trade in AllPairs joins. Every prefix bucket is
+    // then ≤ dfCap members by construction, so in-bucket expansion is
+    // bounded by dfCap·(dfCap−1)/2 pairs per bucket — a DECLARED bound
+    // instead of a data-dependent one. Docs whose whole set is hot drop
+    // out (their filtered set is ∅ — same discipline as token-less docs).
+    val attached = sh.join(dfreq, Seq("h"))
+    val kept = if (dfCap == Int.MaxValue) attached else attached.where(col("df") <= dfCap)
+    kept
       .groupBy(col("id"))
       .agg(array_distinct(sort_array(collect_list(struct(col("df"), col("h"))))).as("ord"))
       .select(
@@ -854,6 +904,20 @@ object Dedup {
     * bites). That is a property of the data, not the algorithm — the
     * same reason MinHash pipelines shingle at k ≥ 3.
     *
+    * BOUNDED-WORK MODE (`dfCap` < MaxValue): true pair density is
+    * quadratic in a duplicate-dense corpus — no exact all-pairs-above-t
+    * join can beat its own output size (the 50× ScaleBench trajectory is
+    * workload-inherent). The declared lever is the stop-shingle cut:
+    * shingles with df > dfCap are removed from every doc's SET before
+    * ordering, making the result the exact Jaccard join over the
+    * informative (df ≤ dfCap) shingle space — deterministic, oracle-
+    * mirrorable semantics, not a best-effort truncation. Every prefix
+    * bucket is then ≤ dfCap members, so candidate work is bounded by
+    * dfCap·(dfCap−1)/2 per bucket regardless of corpus duplication; docs
+    * whose entire set is hot drop out like token-less docs. Pass
+    * `stopAudit` to surface the cut (distinct shingles stopped, doc-
+    * occurrences dropped, max df) as observe() metrics on the run itself.
+    *
     * Returns (doc1, doc2, jaccard) with doc1 < doc2, jaccard exact
     * (rounded to 4dp for cross-engine hashing).
     */
@@ -864,9 +928,12 @@ object Dedup {
       maxBucket: Int = 1 << 16,
       idCol: String = "doc_id",
       textCol: String = "text",
-      dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+      dropAudit: Option[org.apache.spark.sql.Observation] = None,
+      dfCap: Int = Int.MaxValue,
+      stopAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(threshold > 0.0 && threshold <= 1.0, s"threshold $threshold outside (0,1]")
     require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least one pair")
+    require(dfCap >= 1, s"dfCap ($dfCap) must keep at least singleton shingles")
     // the whole join runs in HASHED shingle space: 60 portable md5 bits as
     // a bigint (the same word hash simhash uses). Strings exist only during
     // shingle generation — every shuffle key, sort key, prefix bucket, and
@@ -875,7 +942,7 @@ object Dedup {
     // engines compute the identical md5, so even a (≈2⁻⁶⁰) collision
     // yields the SAME result on both sides; the spec's string-space
     // brute-force equality would surface one if it ever mattered.
-    val ordered = setsimOrdered(docs, threshold, shingleK, idCol, textCol)
+    val ordered = setsimOrdered(docs, threshold, shingleK, idCol, textCol, dfCap, stopAudit)
     val prefix = setsimPrefix(ordered)
     // in-bucket expansion emits each candidate once (members sorted id ASC,
     // ids unique per bucket) with TWO sound pruners applied inside the

@@ -377,7 +377,8 @@ object Multimodal {
   def imageNearDupPairs(
       media: Dataset[MediaRecord],
       maxDist: Int = 3,
-      maxBucket: Int = 1 << 12): DataFrame = {
+      maxBucket: Int = 1 << 12,
+      dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxDist < 4, s"pigeonhole over 4 bands needs maxDist ($maxDist) < 4")
     require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least one pair")
     imageDHash(media)
@@ -392,6 +393,7 @@ object Multimodal {
       .select(col("m"), col("bnd.band_idx"), col("bnd.band_val"))
       .groupBy(col("band_idx"), col("band_val"))
       .agg(array_sort(collect_list(col("m"))).as("members"))
+      .transform(observeDrops(dropAudit, maxBucket))
       .where(size(col("members")).between(2, maxBucket))
       .select(explode_outer(expr(
         """flatten(transform(members, (x, i) ->
@@ -403,6 +405,20 @@ object Multimodal {
       .select(col("p.id1"), col("p.id2"), col("p.hamming").cast("int").as("hamming"))
       .distinct()
   }
+
+  /** The Dedup no-silent-caps audit over a (…, members) bucket relation:
+    * when an Observation is passed, the cap's cut mass (dropped buckets,
+    * dropped members, retained pair bound) rides the production run as
+    * observe() metrics — zero extra scans or shuffles.
+    */
+  private def observeDrops(
+      dropAudit: Option[org.apache.spark.sql.Observation],
+      maxBucket: Int,
+      membersCol: String = "members")(buckets: DataFrame): DataFrame =
+    dropAudit.fold(buckets) { o =>
+      val ms = Dedup.dropMetrics(size(col(membersCol)), maxBucket)
+      buckets.observe(o, ms.head, ms.tail: _*)
+    }
 
   /** 64-bit acoustic fingerprint over REAL decoded PCM — the audio
     * modality's [[imageDHash]]: the energy-delta hash (the shape behind
@@ -468,7 +484,8 @@ object Multimodal {
   def audioNearDupPairs(
       media: Dataset[MediaRecord],
       maxDist: Int = 3,
-      maxBucket: Int = 1 << 12): DataFrame = {
+      maxBucket: Int = 1 << 12,
+      dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxDist < 4, s"pigeonhole over 4 bands needs maxDist ($maxDist) < 4")
     require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least one pair")
     audioFingerprint(media)
@@ -483,6 +500,7 @@ object Multimodal {
       .select(col("m"), col("bnd.band_idx"), col("bnd.band_val"))
       .groupBy(col("band_idx"), col("band_val"))
       .agg(array_sort(collect_list(col("m"))).as("members"))
+      .transform(observeDrops(dropAudit, maxBucket))
       .where(size(col("members")).between(2, maxBucket))
       .select(explode_outer(expr(
         """flatten(transform(members, (x, i) ->
@@ -544,7 +562,8 @@ object Multimodal {
       media: Dataset[MediaRecord],
       stride: Int = 4,
       minShared: Int = 2,
-      maxBucket: Int = 1 << 12): DataFrame = {
+      maxBucket: Int = 1 << 12,
+      dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(stride >= 1 && minShared >= 1, s"stride ($stride)/minShared ($minShared) must be >= 1")
     import media.sparkSession.implicits._
     // frame_idx < 1000 always (GIF clips are seconds, not hours), so the
@@ -558,6 +577,7 @@ object Multimodal {
       .distinct()
     fh.groupBy(col("dhash_hi"), col("dhash_lo"))
       .agg(array_sort(collect_set(col("vid"))).as("vids"))
+      .transform(observeDrops(dropAudit, maxBucket, membersCol = "vids"))
       .where(size(col("vids")).between(2, maxBucket))
       .select(explode_outer(expr(
         """flatten(transform(vids, (x, i) ->

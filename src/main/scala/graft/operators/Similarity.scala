@@ -232,7 +232,8 @@ object Similarity {
       maxBucket: Int = 1 << 12,
       probes: Int = 0,
       idCol: String = "vec_id",
-      vecCol: String = "embedding"): DataFrame = {
+      vecCol: String = "embedding",
+      dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least one pair")
     require(probes >= 0 && probes <= planes, s"probes ($probes) must be in [0, planes]")
     val base = df.select(col(idCol), col(vecCol)).withColumn("nrm", norm(vecCol))
@@ -253,9 +254,14 @@ object Similarity {
     // and the semi-join prunes saturated-ORIGIN vectors off both sides
     // before any pair materializes. With probing, singleton buckets stay
     // (their member can still pair through a neighbor's probe).
-    val keep = banded
+    val counts = banded
       .groupBy(col("tbl"), col("bucket"))
       .agg(count(lit(1)).as("__bn"))
+    // the Dedup no-silent-caps discipline: cut mass rides the run itself
+    val keep = dropAudit.fold(counts) { o =>
+      val ms = Dedup.dropMetrics(col("__bn"), maxBucket)
+      counts.observe(o, ms.head, ms.tail: _*)
+    }
       .where(col("__bn").between(if (probes == 0) 2 else 1, maxBucket))
       .select(col("tbl"), col("bucket"))
     val pruned = banded.join(keep, Seq("tbl", "bucket"), "left_semi")

@@ -132,6 +132,68 @@ class AuditLintSpec extends AnyFunSuite {
         stale.toSeq.sorted.mkString(", "))
   }
 
+  // ---------------------------------------------------------------- caps
+
+  /** PUBLIC operator defs whose parameter list takes a bucket/df cap but
+    * offers no Observation hook — i.e. an operator that can silently drop
+    * mass with no way to audit the cut from the run itself. Private defs
+    * are exempt (they inherit the audit through their public callers).
+    */
+  private def capDefsWithoutAudit(src: String): Seq[String] = {
+    val defRe = """(?m)^(\s*)((?:private|protected)[^\n]*\s)?def\s+(\w+)\s*\(""".r
+    defRe.findAllMatchIn(src).flatMap { m =>
+      val visibility = Option(m.group(2)).getOrElse("")
+      val name = m.group(3)
+      // walk the balanced parameter list from the opening paren
+      val start = m.end - 1
+      var depth = 0
+      var i = start
+      while (i < src.length && (depth > 0 || i == start)) {
+        src.charAt(i) match {
+          case '(' => depth += 1
+          case ')' => depth -= 1
+          case _ =>
+        }
+        i += 1
+      }
+      val params = src.substring(start, math.min(i, src.length))
+      val takesCap = params.contains("maxBucket: Int") || params.contains("dfCap: Int")
+      val hasAudit = params.contains("Observation")
+      val isPublic = !visibility.contains("private") && !visibility.contains("protected")
+      if (takesCap && isPublic && !hasAudit) Some(name) else None
+    }.toSeq
+  }
+
+  test("cap lint: every public cap-taking operator offers the observe() drop audit") {
+    val opDir = new java.io.File("src/main/scala/graft")
+    assert(opDir.isDirectory, s"source dir not found from ${sys.props("user.dir")}")
+    def scalaFiles(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles.toSeq.flatMap(scalaFiles)
+      else if (f.getName.endsWith(".scala")) Seq(f) else Seq.empty
+    val offenders = scalaFiles(opDir).flatMap { f =>
+      val src = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+      capDefsWithoutAudit(src).map(n => s"${f.getName}:$n")
+    }
+    assert(offenders.isEmpty,
+      s"cap-taking operators with NO Observation audit hook (add a dropAudit/stopAudit " +
+        s"param and observe the cut — the Dedup.dropMetrics discipline): " +
+        offenders.sorted.mkString(", "))
+  }
+
+  test("the cap lint flags a seeded cap-without-observe operator") {
+    val seeded =
+      """object Bad {
+        |  def hotPairs(df: DataFrame, maxBucket: Int = 4096): DataFrame = {
+        |    df
+        |  }
+        |  private def helper(maxBucket: Int): Int = maxBucket
+        |  def audited(df: DataFrame, maxBucket: Int,
+        |      dropAudit: Option[org.apache.spark.sql.Observation]): DataFrame = df
+        |}""".stripMargin
+    assert(capDefsWithoutAudit(seeded) == Seq("hotPairs"),
+      s"detector must flag exactly the public unaudited def: ${capDefsWithoutAudit(seeded)}")
+  }
+
   test("the lint flags a seeded violation (vocabulary-wide row_number)") {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet")
     val bad = graft.operators.Tokenize.tokens(docs, "text", Seq("doc_id"))

@@ -74,6 +74,33 @@ class ObserveSpec extends SparkSpec {
     assert(got == want, s"operator metrics $got != diagnostic pass $want")
   }
 
+  test("prefixJaccardJoin dfCap mode reports the stop-shingle cut via observe()") {
+    val cap = 8
+    val o = Observation("setsim_stop_audit")
+    val pairs = Dedup.prefixJaccardJoin(planted, threshold = 0.5, shingleK = 3,
+      dfCap = cap, stopAudit = Some(o))
+    assert(pairs.count() >= 1, "the surviving boilerplate pair must still match under the cap")
+    val m = o.get
+    // diagnostic recount with the same definitions: df over the distinct
+    // per-doc shingle relation
+    val ex = graft.functions.TextAnalysis
+      .withShingles(planted.select("doc_id", "text"), "text", 3, "__sh")
+      .select(col("doc_id"), explode(col("__sh")).as("g"))
+    val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("n"))
+    val want = dfreq.agg(
+      sum(when(col("n") > cap, 1L).otherwise(0L)),
+      sum(when(col("n") > cap, col("n")).otherwise(0L)),
+      count(lit(1)), max(col("n"))).head()
+    assert(m("n_stop_shingles") == want.getLong(0),
+      s"stopped-shingle count ${m("n_stop_shingles")} != diagnostic ${want.getLong(0)}")
+    assert(m("n_dropped_occurrences") == want.getLong(1),
+      s"dropped occurrence mass ${m("n_dropped_occurrences")} != diagnostic ${want.getLong(1)}")
+    assert(m("n_distinct_shingles") == want.getLong(2))
+    assert(m("max_df") == want.getLong(3))
+    // the 30-copy plant guarantees the cut is non-trivial here
+    assert(want.getLong(0) >= 1, s"planted hot shingles must exceed the cap: $want")
+  }
+
   test("no saturation -> zero dropped, and the audit costs no extra plan nodes") {
     val cap  = 4096
     val sigs = Dedup.simhash(Tokenize.tokens(planted, "text", Seq("doc_id")), bits = 60)

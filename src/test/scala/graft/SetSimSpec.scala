@@ -105,6 +105,46 @@ class SetSimSpec extends SparkSpec {
     }
   }
 
+  test("dfCap stop-shingle mode == brute force over the df-filtered sets") {
+    // brute-force mirror of the capped semantics: per-shingle df over the
+    // distinct per-doc shingle relation, sets filtered to df <= cap, docs
+    // with empty filtered sets dropped, exact Jaccard over what remains
+    def bruteCapped(d: org.apache.spark.sql.DataFrame, thr: Double, k: Int, cap: Int) = {
+      val ex = TextAnalysis.withShingles(d, "text", k, "__sh")
+        .select(col("doc_id").as("id"), explode(col("__sh")).as("g"))
+      val dfreq = ex.groupBy(col("g")).agg(count(lit(1)).as("df"))
+      val sets = ex.join(dfreq, Seq("g")).where(col("df") <= cap)
+        .groupBy(col("id")).agg(sort_array(collect_set(col("g"))).as("set"))
+      sets.as("a").join(sets.as("b"), col("a.id") < col("b.id"))
+        .select(col("a.id").as("doc1"), col("b.id").as("doc2"),
+          (size(array_intersect(col("a.set"), col("b.set"))).cast("double") /
+            (size(col("a.set")) + size(col("b.set")) -
+              size(array_intersect(col("a.set"), col("b.set")))).cast("double")).as("j"))
+        .where(col("j") >= thr)
+        .select(col("doc1"), col("doc2"),
+          graft.functions.Portable.pround(col("j"), 4).as("jaccard"))
+    }
+    // plant a hot boilerplate shingle shared by 5 docs so cap=3 cuts it
+    val hot = (9100L until 9105L).map(i =>
+      (i, s"shared boilerplate trigram here plus unique u${i}a u${i}b")).toDF("doc_id", "text")
+    val corpus = docs.unionByName(hot)
+    for (cap <- Seq(2, 3)) {
+      val got = Dedup.prefixJaccardJoin(corpus, threshold = 0.3, shingleK = 3, dfCap = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = bruteCapped(corpus, 0.3, 3, cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got == want, s"cap $cap: capped join diverged from filtered brute force")
+    }
+    // and the cap genuinely changes the result on this corpus (the hot
+    // shingles ARE the planted docs' overlap)
+    val uncapped = Dedup.prefixJaccardJoin(corpus, threshold = 0.3, shingleK = 3)
+      .where(col("doc1") >= 9100L).count()
+    val capped = Dedup.prefixJaccardJoin(corpus, threshold = 0.3, shingleK = 3, dfCap = 3)
+      .where(col("doc1") >= 9100L).count()
+    assert(uncapped > capped,
+      s"planted hot-shingle pairs must drop under the cap ($uncapped -> $capped)")
+  }
+
   test("token-less docs are excluded, not matched to each other") {
     val empties = Seq((8001L, "123 456 !!!"), (8002L, "789 ... ???")).toDF("doc_id", "text")
     val got = Dedup
