@@ -112,6 +112,29 @@ object ScaleBench {
         bucketStats(Dedup.setsimBucketSizes(d, threshold = 0.5, shingleK = 3))
       report("setsim_join", f, ssSec, ssPairs, ssMax, ssDrop, ssBound)
 
+      // the bounded-work mode (r14): the df > 100 stop-shingle cut keeps
+      // every prefix bucket ≤ 100 members regardless of replication —
+      // per-bucket candidate work is a DECLARED 100·99/2 bound, so the
+      // 50× trajectory should flatten toward the data-linear floor while
+      // the uncapped exact join above pays true pair density. Base-df-1
+      // shingles replicate to df = factor ≤ 100, so replica duplicate
+      // families keep their rare shingles and still pair.
+      val stopO = new org.apache.spark.sql.Observation(s"setsim_capped_$f")
+      var capPairs = 0L
+      val capSec = time {
+        capPairs = Dedup
+          .prefixJaccardJoin(d, threshold = 0.5, shingleK = 3, maxBucket = cap,
+            dfCap = 100, stopAudit = Some(stopO))
+          .count()
+      }
+      val sm = stopO.get
+      println(
+        s"""{"pipeline":"setsim_capped","factor":$f,"sec":${f"$capSec%.3f"},""" +
+        s""""pairs":$capPairs,"df_cap":100,"per_bucket_pair_bound":4950,""" +
+        s""""stop_shingles":${sm.getOrElse("n_stop_shingles", 0L)},""" +
+        s""""dropped_occurrences":${sm.getOrElse("n_dropped_occurrences", 0L)},""" +
+        s""""max_df":${sm.getOrElse("max_df", 0L)}}""")
+
       // duplication EXPOSURE under the same duplicate-dense load: every
       // shingle's df multiplies by the factor, but (r13) shared counts
       // come via the df-1 complement on a partially-aggregated
@@ -122,6 +145,63 @@ object ScaleBench {
       val dxSec = time { dxRows = Dedup.dupExposure(d, k = 5).count() }
       println(
         s"""{"pipeline":"dup_exposure","factor":$f,"sec":${f"$dxSec%.3f"},"docs":$dxRows}""")
+
+      // the cluster-default key mode (r14): identical output through an
+      // xxhash64 long shuffle key — on localhost the hash work is the
+      // only delta (the r13 measured trade), on a network-bound cluster
+      // the 8-byte key is the win; this line records both modes so the
+      // trade stays measured, not asserted
+      var dxhRows = 0L
+      val dxhSec = time { dxhRows = Dedup.dupExposure(d, k = 5, hashKeys = true).count() }
+      println(
+        s"""{"pipeline":"dup_exposure_hashed","factor":$f,"sec":${f"$dxhSec%.3f"},"docs":$dxhRows}""")
+
+      // video near-dup under duplicate-dense replication (r13 task 3):
+      // replicate the MEDIA records (bytes identical, ids shifted) so
+      // every frame-hash bucket grows ∝ factor — the same adversarial
+      // axis as the text pair generators; the maxBucket cap is what
+      // bounds the in-bucket pair expansion
+      val media = graft.operators.Multimodal.demoMediaFromDocuments(spark, sfDir)
+      import spark.implicits._
+      val vrep = replicated(media.toDF(), "media_id", f)
+        .as[graft.operators.Multimodal.MediaRecord]
+        .filter(_.kind == "video")
+        .localCheckpoint(true)
+      val vidO = new org.apache.spark.sql.Observation(s"video_neardup_$f")
+      var vPairs = 0L
+      val vdSec = time {
+        vPairs = graft.operators.Multimodal
+          .videoNearDupPairs(vrep, maxBucket = cap, dropAudit = Some(vidO))
+          .count()
+      }
+      val vm = vidO.get
+      println(
+        s"""{"pipeline":"video_near_dup","factor":$f,"sec":${f"$vdSec%.3f"},""" +
+        s""""pairs":$vPairs,"buckets_dropped":${vm.getOrElse("dropped_buckets", 0L)},""" +
+        s""""retained_pair_bound":${vm.getOrElse("retained_pair_bound", 0L)}}""")
+      vrep.unpersist()
+
+      // pagerank as the GRAPH grows (r13 task 3): replicate the edge list
+      // under shifted node ids — f disjoint copies of the same graph, so
+      // node count, edge count and per-iteration shuffle all scale
+      // linearly while degrees stay constant; wall time should track data
+      // volume (iterations are fixed at 5)
+      val baseEdges = graft.operators.Graph.customerSupplierEdges(
+        spark.read.parquet(s"$sfDir/orders.parquet"),
+        spark.read.parquet(s"$sfDir/lineitem.parquet"))
+        .localCheckpoint(true)
+      val redges = if (f == 1) baseEdges
+        else (0 until f).map { r =>
+          baseEdges.select(
+            concat(lit(s"r$r|"), col("src")).as("src"),
+            concat(lit(s"r$r|"), col("dst")).as("dst"))
+        }.reduce(_ unionAll _).localCheckpoint(true)
+      var prNodes = 0L
+      val prSec = time {
+        prNodes = graft.operators.Graph.pagerankRounded(redges, iters = 5).count()
+      }
+      println(
+        s"""{"pipeline":"pagerank","factor":$f,"sec":${f"$prSec%.3f"},"nodes":$prNodes}""")
       d.unpersist()
 
       val e = replicated(embs, "vec_id", f).localCheckpoint(true)

@@ -1067,16 +1067,27 @@ object Dedup {
       docs: DataFrame,
       k: Int = 5,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    // Measured decision: shuffling the raw ~30-byte shingle strings beats
-    // pre-hashing them to 8-byte md5-prefix longs at this scale (6.2 s vs
-    // 7.4 s at sf0.1 — the per-shingle md5 costs more than the shuffle
-    // bytes it saves on localhost). On a real network-bound cluster the
-    // trade flips; swap the key to an xxhash64(sh) column there (cheap,
-    // but not oracle-replayable, which is why the shipped form stays
-    // exact strings).
-    val sh = TextAnalysis.withShingles(docs, textCol, k)
-      .select(col(idCol), explode(col("shingles")).as("sh"))
+      textCol: String = "text",
+      hashKeys: Boolean = false): DataFrame = {
+    // Measured decision (kept from r13): on LOCALHOST, shuffling the raw
+    // ~30-byte shingle strings beats pre-hashing to md5-prefix longs
+    // (6.2 s vs 7.4 s at sf0.1 — per-shingle md5 costs more than the
+    // shuffle bytes it saves when the "network" is memcpy). On a real
+    // network-bound cluster the trade flips, so the cluster default is
+    // `hashKeys = true`: the shuffle key becomes xxhash64(sh) — one
+    // cheap codegen'd hash (not md5), 8 bytes on the wire instead of ~30.
+    // Collision bound: with v distinct shingles, expected colliding
+    // PAIRS ≈ v²/2⁶⁵ (birthday) — ~0.003 at v = 10⁹, ~27 at v = 10¹²;
+    // a collision merges two shingles' df, which can only move a doc's
+    // n_unique down by the collided count, so per-doc exposure error is
+    // ≤ (collisions touching the doc)/n_shingles — negligible at any
+    // corpus size a 64-bit key space fits. DupExposureSpec pins
+    // hashed == exact output on real corpora; the oracled query ships
+    // the exact-string form because xxhash64 is not DuckDB-replayable.
+    val exploded = TextAnalysis.withShingles(docs, textCol, k)
+      .select(col(idCol), explode(col("shingles")).as("__s"))
+    val sh = (if (hashKeys) exploded.select(col(idCol), xxhash64(col("__s")).as("sh"))
+              else exploded.withColumnRenamed("__s", "sh"))
       .localCheckpoint(true)
     val totals = sh
       .groupBy(col(idCol))
