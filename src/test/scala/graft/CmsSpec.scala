@@ -57,6 +57,47 @@ class CmsSpec extends AnyFunSuite {
     }
   }
 
+  test("fuzz: 150 random streams, splits and merge orders == one-shot sketch exactly") {
+    // unit-level (no Spark), the SpaceSavingSpec discipline: element-wise
+    // counter addition is the merge rule, so ANY split of the stream into
+    // partial sketches merged in ANY order must reproduce the one-shot
+    // matrix bit-for-bit — and every in-stream key must still probe >= its
+    // true count
+    val rnd = new java.util.Random(20260814L)
+    for (case_ <- 0 until 150) {
+      val depth   = 2 + rnd.nextInt(4)            // 2..5
+      val width   = 16 << rnd.nextInt(4)          // 16..128
+      val nKeys   = 2 + rnd.nextInt(300)
+      val nEvents = 20 + rnd.nextInt(3000)
+      val stream = Seq.fill(nEvents) {
+        var i = 0
+        while (i < nKeys - 1 && rnd.nextDouble() > 0.35) i += 1
+        s"k$i"
+      }
+      val oneShot = new CmsSketch(depth, width)
+      stream.foreach(s => oneShot.add(UTF8String.fromString(s)))
+      val nParts = 1 + rnd.nextInt(6)
+      val parts = Array.fill(nParts)(new CmsSketch(depth, width))
+      stream.foreach(s => parts(rnd.nextInt(nParts)).add(UTF8String.fromString(s)))
+      val order = scala.util.Random.javaRandomToRandom(rnd).shuffle(parts.toList)
+      val merged = order.reduceLeft { (a, b) => a.merge(b); a }
+      assert(merged.counters.toSeq == oneShot.counters.toSeq,
+        s"case $case_ (d=$depth w=$width parts=$nParts): merged matrix != one-shot")
+      val truth = stream.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      truth.foreach { case (k, t) =>
+        val est = (0 until depth)
+          .map(d => merged.counters(d * width + CmsSketch.bucket(d, UTF8String.fromString(k), width)))
+          .min
+        assert(est >= t, s"case $case_: $k undercounted ($est < $t)")
+      }
+      // total mass invariant per row survives the merge
+      (0 until depth).foreach { d =>
+        assert(merged.counters.slice(d * width, (d + 1) * width).sum == nEvents.toLong,
+          s"case $case_: row $d mass")
+      }
+    }
+  }
+
   test("observed error respects the CMS bound: overcount <= e/W * N for >=95% of keys") {
     import spark.implicits._
     val n = 20000

@@ -134,6 +134,53 @@ class KmvSpec extends AnyFunSuite {
     assert(incr == full, s"incremental $incr != full $full")
   }
 
+  test("fuzz: 150 random streams — split/merge-order == one-shot, and the re-feed invariant") {
+    // unit-level fuzz of BOTH mergeability claims (r13 task 7):
+    //  1. any split of a stream into partial sketches, merged in any
+    //     order, equals the one-shot sketch's exact (hash -> key) content;
+    //  2. the q_ndv_incremental warehouse invariant — re-feeding batch A's
+    //     RETAINED SAMPLE with batch B's raw keys equals sketching
+    //     A UNION B from scratch — including eviction mode (k < distinct)
+    import graft.plans.KmvSketch
+    import org.apache.spark.unsafe.types.UTF8String
+    val rnd = new java.util.Random(20260815L)
+    def entries(s: KmvSketch): Seq[(Long, String)] = {
+      val b = Seq.newBuilder[(Long, String)]
+      val it = s.m.entrySet().iterator()
+      while (it.hasNext) { val e = it.next(); b += ((e.getKey.longValue(), e.getValue.toString)) }
+      b.result()
+    }
+    for (case_ <- 0 until 150) {
+      val k = 2 + rnd.nextInt(31) // 2..32
+      val nKeys = 2 + rnd.nextInt(200)
+      val mk = () => Seq.fill(20 + rnd.nextInt(800))(s"key_${rnd.nextInt(nKeys)}")
+      val a = mk()
+      val b = mk()
+      // 1. split/merge-order independence over the concatenated stream
+      val stream = a ++ b
+      val oneShot = new KmvSketch(k)
+      stream.foreach(s => oneShot.add(UTF8String.fromString(s)))
+      val nParts = 1 + rnd.nextInt(6)
+      val parts = Array.fill(nParts)(new KmvSketch(k))
+      stream.foreach(s => parts(rnd.nextInt(nParts)).add(UTF8String.fromString(s)))
+      val order = scala.util.Random.javaRandomToRandom(rnd).shuffle(parts.toList)
+      val merged = order.reduceLeft { (x, y) => x.merge(y); x }
+      assert(entries(merged) == entries(oneShot),
+        s"case $case_ (k=$k parts=$nParts): merged content != one-shot")
+      assert(merged.estimate == oneShot.estimate)
+      // 2. incremental re-feed == full recomputation, randomized feed order
+      val skA = new KmvSketch(k)
+      a.foreach(s => skA.add(UTF8String.fromString(s)))
+      val refeed = scala.util.Random.javaRandomToRandom(rnd)
+        .shuffle(entries(skA).map(_._2) ++ b)
+      val incr = new KmvSketch(k)
+      refeed.foreach(s => incr.add(UTF8String.fromString(s)))
+      assert(entries(incr) == entries(oneShot),
+        s"case $case_ (k=$k): re-fed sample+batch != full recomputation")
+      assert(incr.estimate == oneShot.estimate)
+    }
+  }
+
   test("k=256 estimate lands within 20% of a 5000-key truth") {
     import spark.implicits._
     val df = (0 until 5000).flatMap(i => Seq.fill(3)(s"key_$i")).toDF("k").repartition(8)

@@ -62,4 +62,56 @@ class LetterSinkSpec extends SparkSpec {
       }
     }
   }
+
+  /** Concatenated part-file bytes for one letter of a partitioned snapshot. */
+  private def partBytes(dir: String, ch: Char): String = {
+    val d = new java.io.File(dir, s"letter=$ch")
+    if (!d.isDirectory) ""
+    else d.listFiles()
+      .filter(f => f.isFile && !f.getName.startsWith(".") && !f.getName.startsWith("_"))
+      .sortBy(_.getName)
+      .map(f => new String(Files.readAllBytes(f.toPath), "UTF-8"))
+      .mkString
+  }
+
+  test("mergePartitioned == mergeExact per letter, snapshots immutable, on both golden corpora") {
+    val refBase = "/root/reference/checker"
+    for ((manifest, tag) <- Seq("test_small.txt" -> "small", "test.txt" -> "large")) {
+      // base snapshot: the golden corpus index, written exact (the DSv2
+      // reader consumes the reference's own a.txt..z.txt format)
+      val postings = Engine.indexFromManifest(spark, s"$refBase/$manifest", refBase)
+      val baseDir = Files.createTempDirectory(s"graft-merge-base-$tag").toString
+      LetterSink.writeExact(postings, baseDir)
+      val baseSnapshot = ('a' to 'z').map { ch =>
+        ch -> new String(
+          Files.readAllBytes(java.nio.file.Paths.get(baseDir, s"$ch.txt")), "UTF-8")
+      }.toMap
+      // delta: a small synthetic batch with one overlapping and one new word
+      import spark.implicits._
+      val delta = InvertedIndex.postings(
+        Tokenize.tokens(
+          Seq((90001L, "the zebra quibbles"), (90002L, "zebra zebra alike"))
+            .toDF("doc_id", "text"),
+          "text", Seq("doc_id")))
+      val exactDir = Files.createTempDirectory(s"graft-merge-exact-$tag").toString
+      val partDir  = Files.createTempDirectory(s"graft-merge-part-$tag").toString
+      LetterSink.mergeExact(spark, baseDir, delta, exactDir)
+      LetterSink.mergePartitioned(spark, baseDir, delta, partDir)
+      ('a' to 'z').foreach { ch =>
+        val exact = new String(
+          Files.readAllBytes(java.nio.file.Paths.get(exactDir, s"$ch.txt")), "UTF-8")
+        assert(partBytes(partDir, ch) == exact,
+          s"$tag: letter '$ch' merged distributed bytes != merged exact bytes")
+      }
+      // the merge really merged (the delta's words are in the z/q buckets)
+      assert(partBytes(partDir, 'z').contains("zebra:["),
+        s"$tag: merged snapshot must contain the delta's new word")
+      // snapshot immutability: the input dir's bytes are untouched
+      ('a' to 'z').foreach { ch =>
+        val now = new String(
+          Files.readAllBytes(java.nio.file.Paths.get(baseDir, s"$ch.txt")), "UTF-8")
+        assert(now == baseSnapshot(ch), s"$tag: merge mutated the input snapshot ($ch.txt)")
+      }
+    }
+  }
 }
