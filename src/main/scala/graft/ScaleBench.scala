@@ -79,10 +79,26 @@ object ScaleBench {
     val docs = spark.read.parquet(s"$sfDir/documents.parquet").select("doc_id", "text")
     val embs = spark.read.parquet(s"$sfDir/embeddings.parquet").select("vec_id", "embedding")
 
+    // Release every persistent RDD EXCEPT the given keeper ids. The pair
+    // generators (setsimOrdered, dupExposure, cosineNearDupPairs, the
+    // pagerank loop) each pin internal localCheckpoints that nothing
+    // unpersists once the call returns; across 17 pipelines × 3 factors
+    // those scratch blocks accumulated past the heap at factor 50 (the
+    // first r14 run OOMed there) — so every section boundary clears all
+    // checkpoints it didn't create.
+    def clearExcept(keepIds: Set[Int]): Unit = {
+      spark.sparkContext.getPersistentRDDs
+        .filterNot { case (id, _) => keepIds.contains(id) }
+        .values.foreach(_.unpersist(blocking = true))
+      System.gc()
+    }
+
     factors.foreach { f =>
       // materialize the replicated input first: the timed region measures
       // the pair generator over an existing table, not the replication
       val d = replicated(docs, "doc_id", f).localCheckpoint(true)
+      // ids persisted so far (d itself) survive the intra-section clears
+      val dIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
       val sigs = Dedup
         .simhash(Tokenize.tokens(d, "text", Seq("doc_id")), bits = 60)
         .localCheckpoint(true)
@@ -111,6 +127,7 @@ object ScaleBench {
       val (ssMax, ssDrop, ssBound) =
         bucketStats(Dedup.setsimBucketSizes(d, threshold = 0.5, shingleK = 3))
       report("setsim_join", f, ssSec, ssPairs, ssMax, ssDrop, ssBound)
+      clearExcept(dIds)
 
       // the bounded-work mode (r14): the df > 100 stop-shingle cut keeps
       // every prefix bucket ≤ 100 members regardless of replication —
@@ -134,6 +151,7 @@ object ScaleBench {
         s""""stop_shingles":${sm.getOrElse("n_stop_shingles", 0L)},""" +
         s""""dropped_occurrences":${sm.getOrElse("n_dropped_occurrences", 0L)},""" +
         s""""max_df":${sm.getOrElse("max_df", 0L)}}""")
+      clearExcept(dIds)
 
       // duplication EXPOSURE under the same duplicate-dense load: every
       // shingle's df multiplies by the factor, but (r13) shared counts
@@ -145,6 +163,7 @@ object ScaleBench {
       val dxSec = time { dxRows = Dedup.dupExposure(d, k = 5).count() }
       println(
         s"""{"pipeline":"dup_exposure","factor":$f,"sec":${f"$dxSec%.3f"},"docs":$dxRows}""")
+      clearExcept(dIds)
 
       // the cluster-default key mode (r14): identical output through an
       // xxhash64 long shuffle key — on localhost the hash work is the
@@ -155,6 +174,12 @@ object ScaleBench {
       val dxhSec = time { dxhRows = Dedup.dupExposure(d, k = 5, hashKeys = true).count() }
       println(
         s"""{"pipeline":"dup_exposure_hashed","factor":$f,"sec":${f"$dxhSec%.3f"},"docs":$dxhRows}""")
+      // d's last consumer was the exposure pair above — release it (and
+      // every remaining scratch block) BEFORE the media/graph sections so
+      // the factor-50 iteration never holds the replicated corpus and the
+      // replicated media/edges at once
+      d.unpersist()
+      clearExcept(Set.empty)
 
       // video near-dup under duplicate-dense replication (r13 task 3):
       // replicate the MEDIA records (bytes identical, ids shifted) so
@@ -180,6 +205,7 @@ object ScaleBench {
         s""""pairs":$vPairs,"buckets_dropped":${vm.getOrElse("dropped_buckets", 0L)},""" +
         s""""retained_pair_bound":${vm.getOrElse("retained_pair_bound", 0L)}}""")
       vrep.unpersist()
+      clearExcept(Set.empty)
 
       // pagerank as the GRAPH grows (r13 task 3): replicate the edge list
       // under shifted node ids — f disjoint copies of the same graph, so
@@ -202,7 +228,9 @@ object ScaleBench {
       }
       println(
         s"""{"pipeline":"pagerank","factor":$f,"sec":${f"$prSec%.3f"},"nodes":$prNodes}""")
-      d.unpersist()
+      // everything here (edge checkpoints + the pagerank loop's own
+      // per-iteration checkpoints) is per-factor scratch
+      clearExcept(Set.empty)
 
       val e = replicated(embs, "vec_id", f).localCheckpoint(true)
       val n = e.count()
@@ -226,6 +254,7 @@ object ScaleBench {
       val (pMax, pDrop, pBound) = bucketStats(Similarity.lshBucketSizes(e, planes, tables = 1))
       report("embedding_neardup_probe", f, pSec, pPairs, pMax, pDrop, pBound)
       e.unpersist()
+      clearExcept(Set.empty) // cosineNearDupPairs checkpoints its banded relation internally
 
       // events sessionization: replicate by USER (each replica is a new
       // user with an identical event pattern), so both the window-state
@@ -327,6 +356,7 @@ object ScaleBench {
         s"""{"pipeline":"ndv_sketch","factor":$f,"sketch_sec":${f"$kvSec%.3f"},""" +
         s""""exact_sec":${f"$exNdvSec%.3f"},"est":${f"$ndvEst%.1f"},"true":$ndvTrue}""")
       evHeavy.unpersist()
+      clearExcept(Set.empty)
     }
     spark.stop()
   }

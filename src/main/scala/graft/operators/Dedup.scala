@@ -368,9 +368,18 @@ object Dedup {
       textCol: String,
       shingleK: Int,
       numHashes: Int): DataFrame = {
+    // Non-empty guard as a CHEAP equivalent predicate (r14): the cleaned
+    // token set is non-empty iff the text contains at least one ASCII
+    // letter (CleanToken keeps exactly the bytes [A-Za-z], lowercased), so
+    // `rlike '[A-Za-z]'` is EXACTLY equivalent to size(tokenArray(..)) > 0
+    // — but costs one regex find per row instead of the full
+    // split+clean+filter tokenize the old predicate paid when pushdown
+    // carried it to the scan (the r13 plans showed the whole tokenize tree
+    // inside this Filter, i.e. every minhash doc tokenized TWICE).
+    // MinhashEquivalenceSpec pins predicate equality on real corpora.
     val nonEmpty = docs
       .select(col(idCol), col(textCol))
-      .where(size(Tokenize.tokenArray(col(textCol))) > 0)
+      .where(col(textCol).rlike("[A-Za-z]"))
     val withDigests = (0 until numHashes / SlicesPerDigest)
       .foldLeft(TextAnalysis.withShingles(nonEmpty, textCol, shingleK, "__sh")) { (d, g) =>
         d.withColumn(s"__mh$g", transform(col("__sh"), s => md5(concat(lit(s"$g:"), s))))
