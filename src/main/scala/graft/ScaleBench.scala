@@ -44,6 +44,13 @@ object ScaleBench {
     val factors = if (args.nonEmpty) args.toSeq.map(_.toInt) else Seq(1, 10, 50)
     val cpus    = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val cap     = 1 << 12
+    // optional pipeline filter (comma list of pipeline names): re-run a
+    // subset without paying the whole sweep — e.g. a memory-hungry
+    // pipeline under a bigger SPARK_DRIVER_MEM without perturbing the
+    // other lines' heap profile
+    val only = sys.env.get("SPARK_GRAFT_SCALE_ONLY")
+      .map(_.split(",").map(_.trim).filter(_.nonEmpty).toSet)
+    def want(p: String): Boolean = only.forall(_.contains(p))
     SparkSession.clearActiveSession()
     SparkSession.clearDefaultSession()
     val spark = SparkSession.builder()
@@ -94,11 +101,14 @@ object ScaleBench {
     }
 
     factors.foreach { f =>
+      val wantD = Seq("simhash_pairs", "setsim_join", "setsim_capped",
+        "dup_exposure", "dup_exposure_hashed").exists(want)
       // materialize the replicated input first: the timed region measures
       // the pair generator over an existing table, not the replication
-      val d = replicated(docs, "doc_id", f).localCheckpoint(true)
+      val d = if (wantD) replicated(docs, "doc_id", f).localCheckpoint(true) else null
       // ids persisted so far (d itself) survive the intra-section clears
       val dIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
+      if (want("simhash_pairs")) {
       val sigs = Dedup
         .simhash(Tokenize.tokens(d, "text", Seq("doc_id")), bits = 60)
         .localCheckpoint(true)
@@ -111,6 +121,7 @@ object ScaleBench {
       val (sMax, sDrop, sBound) = bucketStats(Dedup.simhashBucketSizes(sigs))
       report("simhash_pairs", f, sSec, pairs, sMax, sDrop, sBound)
       sigs.unpersist()
+      }
 
       // the exact prefix-filter join — the single slowest sweep query and
       // the one whose Σbucket² behavior most needs the measured answer:
@@ -118,6 +129,7 @@ object ScaleBench {
       // rarest shingle, so prefix buckets grow ∝ factor and the maxBucket
       // cap is what keeps the in-bucket expansion sub-quadratic. Same
       // q_setsim_join parameters (t=0.5, k=3) with the sweep's cap.
+      if (want("setsim_join")) {
       var ssPairs = 0L
       val ssSec = time {
         ssPairs = Dedup
@@ -128,6 +140,7 @@ object ScaleBench {
         bucketStats(Dedup.setsimBucketSizes(d, threshold = 0.5, shingleK = 3))
       report("setsim_join", f, ssSec, ssPairs, ssMax, ssDrop, ssBound)
       clearExcept(dIds)
+      }
 
       // the bounded-work mode (r14): the df > 100 stop-shingle cut keeps
       // every prefix bucket ≤ 100 members regardless of replication —
@@ -136,6 +149,7 @@ object ScaleBench {
       // the uncapped exact join above pays true pair density. Base-df-1
       // shingles replicate to df = factor ≤ 100, so replica duplicate
       // families keep their rare shingles and still pair.
+      if (want("setsim_capped")) {
       val stopO = new org.apache.spark.sql.Observation(s"setsim_capped_$f")
       var capPairs = 0L
       val capSec = time {
@@ -152,6 +166,7 @@ object ScaleBench {
         s""""dropped_occurrences":${sm.getOrElse("n_dropped_occurrences", 0L)},""" +
         s""""max_df":${sm.getOrElse("max_df", 0L)}}""")
       clearExcept(dIds)
+      }
 
       // duplication EXPOSURE under the same duplicate-dense load: every
       // shingle's df multiplies by the factor, but (r13) shared counts
@@ -159,26 +174,30 @@ object ScaleBench {
       // groupBy(sh) — the hot shingle combines map-side, so wall time
       // should track data volume with NO single-task window straggler;
       // nothing pairwise exists in the plan
+      if (want("dup_exposure")) {
       var dxRows = 0L
       val dxSec = time { dxRows = Dedup.dupExposure(d, k = 5).count() }
       println(
         s"""{"pipeline":"dup_exposure","factor":$f,"sec":${f"$dxSec%.3f"},"docs":$dxRows}""")
       clearExcept(dIds)
+      }
 
       // the cluster-default key mode (r14): identical output through an
       // xxhash64 long shuffle key — on localhost the hash work is the
       // only delta (the r13 measured trade), on a network-bound cluster
       // the 8-byte key is the win; this line records both modes so the
       // trade stays measured, not asserted
+      if (want("dup_exposure_hashed")) {
       var dxhRows = 0L
       val dxhSec = time { dxhRows = Dedup.dupExposure(d, k = 5, hashKeys = true).count() }
       println(
         s"""{"pipeline":"dup_exposure_hashed","factor":$f,"sec":${f"$dxhSec%.3f"},"docs":$dxhRows}""")
+      }
       // d's last consumer was the exposure pair above — release it (and
       // every remaining scratch block) BEFORE the media/graph sections so
       // the factor-50 iteration never holds the replicated corpus and the
       // replicated media/edges at once
-      d.unpersist()
+      if (wantD) d.unpersist()
       clearExcept(Set.empty)
 
       // video near-dup under duplicate-dense replication (r13 task 3):
@@ -186,6 +205,7 @@ object ScaleBench {
       // every frame-hash bucket grows ∝ factor — the same adversarial
       // axis as the text pair generators; the maxBucket cap is what
       // bounds the in-bucket pair expansion
+      if (want("video_near_dup")) {
       val media = graft.operators.Multimodal.demoMediaFromDocuments(spark, sfDir)
       import spark.implicits._
       val vrep = replicated(media.toDF(), "media_id", f)
@@ -206,12 +226,14 @@ object ScaleBench {
         s""""retained_pair_bound":${vm.getOrElse("retained_pair_bound", 0L)}}""")
       vrep.unpersist()
       clearExcept(Set.empty)
+      }
 
       // pagerank as the GRAPH grows (r13 task 3): replicate the edge list
       // under shifted node ids — f disjoint copies of the same graph, so
       // node count, edge count and per-iteration shuffle all scale
       // linearly while degrees stay constant; wall time should track data
       // volume (iterations are fixed at 5)
+      if (want("pagerank")) {
       val baseEdges = graft.operators.Graph.customerSupplierEdges(
         spark.read.parquet(s"$sfDir/orders.parquet"),
         spark.read.parquet(s"$sfDir/lineitem.parquet"))
@@ -231,7 +253,9 @@ object ScaleBench {
       // everything here (edge checkpoints + the pagerank loop's own
       // per-iteration checkpoints) is per-factor scratch
       clearExcept(Set.empty)
+      }
 
+      if (want("embedding_neardup") || want("embedding_neardup_probe")) {
       val e = replicated(embs, "vec_id", f).localCheckpoint(true)
       val n = e.count()
       val planes = Similarity.planesFor(n)
@@ -255,6 +279,7 @@ object ScaleBench {
       report("embedding_neardup_probe", f, pSec, pPairs, pMax, pDrop, pBound)
       e.unpersist()
       clearExcept(Set.empty) // cosineNearDupPairs checkpoints its banded relation internally
+      }
 
       // events sessionization: replicate by USER (each replica is a new
       // user with an identical event pattern), so both the window-state
@@ -262,6 +287,7 @@ object ScaleBench {
       // scale axis a 100 TB event log actually grows along. The per-user
       // window frame stays constant-size, so wall time should scale with
       // data, not quadratically.
+      if (want("sessionization")) {
       val ev = replicated(
         graft.sources.EventsSource.events(spark, sfDir)
           .select("user_id", "event_id", "ts_us"),
@@ -282,12 +308,14 @@ object ScaleBench {
       println(
         s"""{"pipeline":"sessionization","factor":$f,"sec":${f"$vSec%.3f"},"users":$nSess}""")
       ev.unpersist()
+      }
 
       // interval-overlap join as the KEY SPACE grows (replicas take fresh
       // equi-keys, the event-log axis): per-(key, cell) occupancy stays
       // constant, so pairs and wall time must grow linearly — cell
       // replication (span/width) is the plan's only amplification and is
       // factor-independent. Same synthesis as q_interval_join.
+      if (want("interval_join")) {
       val ordsIv = spark.read.parquet(s"$sfDir/orders.parquet")
         .select(col("o_orderkey"), col("o_custkey"))
       def ivSide(mod: Int, mult: Int, spanMod: Int, pre: String) = ordsIv
@@ -316,12 +344,14 @@ object ScaleBench {
         s"""{"pipeline":"interval_join","factor":$f,"sec":${f"$ivSec%.3f"},""" +
         s""""pairs":$ivPairs,"max_cell":$ivMaxCell}""")
       aIv.unpersist(); bIv.unpersist()
+      }
 
       // heavy hitters as KEY CARDINALITY grows: replicating by user
       // multiplies the distinct-key space by the factor. The exact path's
       // aggregation state grows with it; the SpaceSaving sketch holds 64
       // entries per task regardless — the raw-stream shape where the
       // distinct keys of 100 TB don't fit anywhere
+      if (want("heavy_hitters") || want("ndv_sketch")) {
       val evHeavy = replicated(
         graft.sources.EventsSource.events(spark, sfDir).select("user_id", "event_id"),
         "user_id", f)
@@ -356,6 +386,7 @@ object ScaleBench {
         s"""{"pipeline":"ndv_sketch","factor":$f,"sketch_sec":${f"$kvSec%.3f"},""" +
         s""""exact_sec":${f"$exNdvSec%.3f"},"est":${f"$ndvEst%.1f"},"true":$ndvTrue}""")
       evHeavy.unpersist()
+      }
       clearExcept(Set.empty)
     }
     spark.stop()
