@@ -1325,11 +1325,18 @@ object SparkEntry {
     //    the corpus bigram counts — the bigram LM's serving view; rank
     //    window bounded by the per-context vocabulary
     "q_next_word" -> ((s, dir) => {
+      // the <2-token guard lives INSIDE the explode input (empty array →
+      // zero rows) instead of a where(size(toks)>=2): the pushed-down
+      // where re-derived the whole tokenize tree in a scan filter
+      // (sequence(1, size-1) is DESCENDING for size<2, so the guard is
+      // semantically required — this form keeps it while the
+      // PruneInferredGenerateFilter rule strips the redundant inferred
+      // pre-Generate filter)
       val toks = t(s, dir, "documents")
         .select(col("doc_id"), Tokenize.tokenArray(col("text")).as("toks"))
-        .where(size(col("toks")) >= 2)
       val big = toks.select(explode(expr(
-        "transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2))")).as("b"))
+        """CASE WHEN size(toks) < 2 THEN array()
+           ELSE transform(sequence(1, size(toks) - 1), i -> struct(toks[i-1] AS w1, toks[i] AS w2)) END""")).as("b"))
         .select(col("b.w1"), col("b.w2"))
       val w = Window.partitionBy(col("w1")).orderBy(desc("c"), asc("w2"))
       big.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c"))
