@@ -324,12 +324,15 @@ object SparkEntry {
     //    90%" audit on the quality classifier's confidences
     "q_conformal" -> ((s, dir) => {
       val ws = split(col("text"), "\\s+")
+      // coalesce: see q_auc — folds conformalCoverage's isnotnull guard
       val scored = t(s, dir, "documents").select(
         col("doc_id"),
-        round(TextAnalysis.hashedLinearScore(col("text"), buckets = 512), 6).as("score"),
+        coalesce(round(TextAnalysis.hashedLinearScore(col("text"), buckets = 512), 6),
+          lit(0.0)).as("score"),
         (size(filter(ws, x => x.rlike("[A-Za-z]"))).cast("double")
           / size(ws).cast("double") >= 0.8).cast("int").as("label"))
-        .withColumn("conf", (col("score") + 1.0) / 2.0)
+        // the divide makes conf statically nullable again — re-pin it
+        .withColumn("conf", coalesce((col("score") + 1.0) / 2.0, lit(0.0)))
       operators.Stats.conformalCoverage(scored, "conf", "label", "doc_id")
     }),
 
@@ -2596,8 +2599,14 @@ object SparkEntry {
     //    label that is all-positive on this corpus). All-integer 2PN·AUC
     //    via chunked-prefix negBelow, one double division.
     "q_auc" -> ((s, dir) => {
+      // coalesce keeps the rounded score STATICALLY non-nullable (round's
+      // floor/divide form is nullable to Catalyst even over a non-null
+      // child), so rocAuc's isnotnull guard folds away instead of pushing
+      // a scan filter that re-derives the whole scoring expression per
+      // row (the r13/r14 audited-plan residual)
       val scored = t(s, dir, "documents").select(
-        round(TextAnalysis.hashedLinearScore(col("text"), buckets = 512), 6).as("score"),
+        coalesce(round(TextAnalysis.hashedLinearScore(col("text"), buckets = 512), 6),
+          lit(0.0)).as("score"),
         (col("n_chars") >= 300).cast("int").as("label"))
       operators.Stats.rocAuc(scored, "score", "label")
     }),

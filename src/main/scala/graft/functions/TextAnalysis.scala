@@ -214,9 +214,19 @@ object TextAnalysis {
     val wInt = (w: Column) =>
       (conv(substring(md5(w), 1, 8), 16, 10).cast("long") % buckets) % 101 - 50L
     val n = size(toks)
-    when(n === 0, lit(0.0)).otherwise(
-      aggregate(toks, lit(0L), (acc, w) => acc + wInt(w)).cast("double")
-        / (lit(50.0) * n.cast("double")))
+    // coalesce makes the column STATICALLY NON-NULLABLE (null text scores
+    // 0.0, the same convention as token-less docs). This is a plan fix as
+    // much as a semantic one: consumers that null-filter their score
+    // column (rocAuc, conformalCoverage) otherwise push an isnotnull
+    // predicate to the scan, where NullPropagation rewrites it into a
+    // CASE that re-evaluates this whole expression per row — with a
+    // non-nullable column Catalyst folds the filter away statically
+    // (r14; seen in the r13/r14 q_auc and q_conformal audited plans).
+    coalesce(
+      when(n === 0, lit(0.0)).otherwise(
+        aggregate(toks, lit(0L), (acc, w) => acc + wInt(w)).cast("double")
+          / (lit(50.0) * n.cast("double"))),
+      lit(0.0))
   }
 
   def shinglesFromToks(toks: Column, k: Int): Column = {

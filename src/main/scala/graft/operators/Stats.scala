@@ -1088,7 +1088,14 @@ object Stats {
       .groupBy(col(scoreCol).cast("double").as("__s"))
       .agg(sum((col(labelCol) === 1).cast("long")).as("__p"),
         sum((col(labelCol) =!= 1).cast("long")).as("__n"))
-      .withColumn("__chunk", floor(col("__s") / chunkWidth).cast("long"))
+      // coalesce pins __chunk statically non-nullable (floor-of-divide is
+      // nullable to Catalyst even over a non-null key): otherwise the
+      // bases join's inferred isnotnull(__chunk) pushes below the
+      // aggregate, substituting the WHOLE grouping expression into a scan
+      // filter — on an expensive score expression that re-derives it per
+      // row (the r14 q_auc audited-plan residual)
+      .withColumn("__chunk",
+        coalesce(floor(col("__s") / chunkWidth).cast("long"), lit(0L)))
     val wChunks = Window.orderBy(col("__chunk"))
     val bases = perS.groupBy(col("__chunk")).agg(sum(col("__n")).as("__cn"))
       .withColumn("__base", sum(col("__cn")).over(wChunks) - col("__cn"))
@@ -1219,7 +1226,10 @@ object Stats {
     val cal  = base.where(col("__cal"))
     val nCal = cal.agg(count(lit(1)).as("n_cal"))
     val perV = cal.groupBy(col("__r")).agg(count(lit(1)).as("__c"))
-      .withColumn("__chunk", floor(col("__r") / chunkWidth).cast("long"))
+      // coalesce: see rocAuc — folds the join-inferred isnotnull instead
+      // of letting it re-derive the nonconformity expression at the scan
+      .withColumn("__chunk",
+        coalesce(floor(col("__r") / chunkWidth).cast("long"), lit(0L)))
     val wChunks = Window.orderBy(col("__chunk"))
     val bases = perV.groupBy(col("__chunk")).agg(sum(col("__c")).as("__s"))
       .withColumn("__base", sum(col("__s")).over(wChunks) - col("__s"))
