@@ -107,7 +107,7 @@ object ExplainAudit {
     // calibration/kappa/RBO evals, HITS (checkpoint-built like pagerank —
     // the audited plan is the final score join), drift stats (Welch/JSD/
     // PSI), duplication exposure, percolation, cell medoid
-    "q_cms_freq", "q_mutual_match", "q_calibration_ece", "q_rater_kappa",
+    "q_cms_freq", "q_join_size_est", "q_mutual_match", "q_calibration_ece", "q_rater_kappa",
     "q_hits", "q_welch_ttest", "q_source_jsd", "q_rbo_rankers",
     "q_dup_exposure", "q_percolate", "q_cell_medoid", "q_psi_drift",
     "q_front_coding", "q_cms_per_lang", "q_cluster_terms", "q_code_switch", "q_aqp_revenue",

@@ -384,6 +384,17 @@ object SparkEntry {
         .orderBy("word")
     }),
 
+    // -- sketch-based JOIN-SIZE estimate (CMS inner product, the AGMS
+    //    lineage): all events × purchase events on user_id — the
+    //    pre-shuffle cardinality check a planner runs from two
+    //    constant-state sketch passes, audited against the exact
+    //    Σ n_l(k)·n_r(k) in the same row. Overcount-only by construction.
+    "q_join_size_est" -> ((s, dir) => {
+      val ev = graft.sources.EventsSource.events(s, dir)
+      operators.Stats.cmsJoinSize(
+        ev, ev.where(col("event_type") === "purchase"), "user_id")
+    }),
+
     // -- the CMS GROUPED (per-lang 4×256 sketches, like the grouped
     //    KMV/SpaceSaving forms): partial matrices merge per (group, task);
     //    per-lang probe estimates vs the same-pass exact counts.
@@ -4319,6 +4330,34 @@ object SparkEntry {
           SELECT e.word, e.est, coalesce(x.exact, 0) AS exact,
                  e.est - coalesce(x.exact, 0) AS overcount
           FROM e LEFT JOIN x USING (word) ORDER BY word""",
+    // CMS inner-product join size: identical md5-salted buckets replayed
+    // per depth row, bucket-wise dot products, min over rows; truth from
+    // the exact per-key count join — all integer until the final ratio
+    "q_join_size_est" ->
+      """WITH ea AS (SELECT user_id::VARCHAR AS k FROM events),
+         eb AS (SELECT user_id::VARCHAR AS k FROM events WHERE event_type = 'purchase'),
+         ds AS (SELECT unnest(range(4)) AS d),
+         ba AS (SELECT ds.d,
+                       ('0x' || substr(md5(ds.d::VARCHAR || ':' || k), 1, 15))::BIGINT % 512 AS bkt,
+                       count(*) AS c
+                FROM ea CROSS JOIN ds GROUP BY 1, 2),
+         bb AS (SELECT ds.d,
+                       ('0x' || substr(md5(ds.d::VARCHAR || ':' || k), 1, 15))::BIGINT % 512 AS bkt,
+                       count(*) AS c
+                FROM eb CROSS JOIN ds GROUP BY 1, 2),
+         dot AS (SELECT ba.d, sum(ba.c * bb.c)::BIGINT AS dp
+                 FROM ba JOIN bb ON ba.d = bb.d AND ba.bkt = bb.bkt GROUP BY 1),
+         est AS (SELECT min(dp)::BIGINT AS est_size FROM dot),
+         tru AS (SELECT coalesce(sum(ca.c * cb.c), 0)::BIGINT AS true_size
+                 FROM (SELECT k, count(*) AS c FROM ea GROUP BY 1) ca
+                 JOIN (SELECT k, count(*) AS c FROM eb GROUP BY 1) cb USING (k)),
+         n AS (SELECT (SELECT count(*) FROM ea)::BIGINT AS n_left,
+                      (SELECT count(*) FROM eb)::BIGINT AS n_right)
+         SELECT n_left, n_right, true_size, est_size,
+                CASE WHEN true_size > 0
+                     THEN floor((est_size::DOUBLE / true_size) * 1e4 + 0.5) / 1e4
+                END AS over_r
+         FROM n CROSS JOIN tru CROSS JOIN est""",
     // capacity > vocabulary => the sketch never evicts and is exact
     "q_heavy_keys_sketch" ->
       s"""WITH $TokCte

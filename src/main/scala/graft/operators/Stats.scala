@@ -1723,4 +1723,53 @@ object Stats {
       .withColumn("kappa_r", Portable.pround(
         (col("po_r") - col("pe_r")) / (lit(1.0) - col("pe_r")), 6))
       .select("n", "n11", "n10", "n01", "n00", "po_r", "pe_r", "kappa_r")
+
+  /** Sketch-based equi-join SIZE estimate via the Count-Min inner product
+    * (Cormode & Muthukrishnan, "An Improved Data Stream Summary: The
+    * Count-Min Sketch", J. Algorithms 2005 §4.2 — the AGMS lineage): for
+    * join size J = Σ_k n_left(k)·n_right(k), each CMS row's bucket-wise
+    * dot product Σ_w m_l[d][w]·m_r[d][w] is an OVERCOUNT-ONLY estimate
+    * (colliding keys only add positive mass), so min over the depth rows
+    * upper-bounds J with the usual e/W·N_l·N_r expected slack. This is
+    * the pre-shuffle cardinality check a 100 TB planner runs: two
+    * sketch passes (constant d×w state per task, merged exactly —
+    * CmsSpec's 150-case fuzz) instead of the join itself.
+    *
+    * This AUDIT form also computes the exact J (one key-grouped join —
+    * affordable at test scale) so the estimate's quality is measured,
+    * not assumed; at scale, drop the truth side and keep the two sketch
+    * aggregates. All arithmetic integral until the final ratio; the
+    * md5-salted buckets replay exactly in the DuckDB oracle.
+    *
+    * Returns ONE row (n_left, n_right, true_size, est_size, over_r) with
+    * over_r = est/true (4 dp) — NULL when the true join is empty.
+    */
+  def cmsJoinSize(
+      left: DataFrame,
+      right: DataFrame,
+      keyCol: String,
+      depth: Int = 4,
+      width: Int = 512): DataFrame = {
+    require(depth >= 1 && width >= 2, s"depth ($depth) / width ($width) out of range")
+    val a = left.select(col(keyCol).cast("string").as("k"))
+    val b = right.select(col(keyCol).cast("string").as("k"))
+    val ma = a.agg(expr(s"cms_counts(k, $depth, $width)").as("ma"),
+      count(lit(1)).as("n_left"))
+    val mb = b.agg(expr(s"cms_counts(k, $depth, $width)").as("mb"),
+      count(lit(1)).as("n_right"))
+    val truth = a.groupBy(col("k")).agg(count(lit(1)).as("ca"))
+      .join(b.groupBy(col("k")).agg(count(lit(1)).as("cb")), Seq("k"))
+      .agg(coalesce(sum(col("ca") * col("cb")), lit(0L)).as("true_size"))
+    ma.crossJoin(broadcast(mb)).crossJoin(broadcast(truth))
+      .select(col("n_left"), col("n_right"), col("true_size"),
+        expr(
+          s"""array_min(transform(sequence(0, ${depth - 1}), d ->
+              aggregate(zip_with(slice(ma, d * $width + 1, $width),
+                                 slice(mb, d * $width + 1, $width),
+                                 (x, y) -> x * y),
+                        0L, (acc, v) -> acc + v)))""").as("est_size"))
+      .withColumn("over_r", Portable.pround(
+        when(col("true_size") > 0,
+          col("est_size").cast("double") / col("true_size")), 4))
+  }
 }

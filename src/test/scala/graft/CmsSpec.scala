@@ -147,6 +147,30 @@ class CmsSpec extends AnyFunSuite {
       s"analysis-time rejection expected, got: ${err.getMessage}")
   }
 
+  test("cmsJoinSize: overcount-only estimate, exact on a collision-free key space") {
+    import spark.implicits._
+    // skewed multiplicities on both sides: join size = sum n_l(k)*n_r(k)
+    val left  = (0 until 5000).map(i => s"u${i % 300}").toDF("k")
+    val right = (0 until 2000).map(i => s"u${100 + (i % 400)}").toDF("k")
+    val r = graft.operators.Stats.cmsJoinSize(left, right, "k").head()
+    val (nTrue, est) = (r.getLong(2), r.getLong(3))
+    val exact = left.groupBy("k").count().withColumnRenamed("count", "ca")
+      .join(right.groupBy("k").count().withColumnRenamed("count", "cb"), "k")
+      .agg(sum(col("ca") * col("cb"))).head().getLong(0)
+    assert(nTrue == exact, s"audit truth $nTrue != recomputed $exact")
+    assert(est >= nTrue, s"CMS inner product must never undercount: $est < $nTrue")
+    // CMS expected slack: e/W * N_l * N_r added mass per row; with 4 rows
+    // the min is comfortably inside 3x of that bound on this key space
+    val slack = math.E / 512.0 * 5000.0 * 2000.0
+    assert(est - nTrue <= 3 * slack, s"overcount ${est - nTrue} beyond 3x CMS slack $slack")
+    // a SINGLE-key stream cannot collide with anything: estimate exact
+    val one  = Seq.fill(700)("only").toDF("k")
+    val one2 = Seq.fill(300)("only").toDF("k")
+    val rr = graft.operators.Stats.cmsJoinSize(one, one2, "k").head()
+    assert(rr.getLong(2) == 210000L && rr.getLong(3) == 210000L,
+      s"single-key join must estimate exactly: $rr")
+  }
+
   test("WINDOWED cms_counts under a watermark == batch per-window matrices") {
     import spark.implicits._
     // per-hour frequency sketches: the matrix composes with event-time
