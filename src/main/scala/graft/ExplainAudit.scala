@@ -120,7 +120,13 @@ object ExplainAudit {
     "q_ucc_discovery", "q_mrl_recall", "q_seasonality", "q_conformal",
     "q_collocations_g2", "q_clustering_coeff", "q_ndv_incremental", "q_salt_plan",
     "q_schema_evolution", "q_top_boilerplate", "q_bootstrap_ci", "q_auc",
-    "q_diff_in_diff", "q_cuped", "q_mde")
+    "q_diff_in_diff", "q_cuped", "q_mde",
+    // round 14: community/backbone graph ops — LPA's audited plan is the
+    // final two lazy rounds downstream of the checkpointed edge/label
+    // relations (the q_pagerank convention); q_kcore checkpoints every
+    // peel round, so its final static plan is a bare degree agg — the
+    // peel-round BODY is audited in iterativeBodies instead
+    "q_label_prop")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan
@@ -240,6 +246,20 @@ object ExplainAudit {
         data
           .withColumn("__d", graft.operators.Similarity.dot(col("x"), vLit))
           .select(transform(col("x"), (e, i) => e - col("__d") * element_at(vLit, i + 1)).as("x"))
+      }),
+      // round 14: one k-core peel round — the real loop checkpoints each
+      // round, so the final static plan shows only the last degree agg;
+      // the peel body (partial-agg degree count + two node-sized
+      // semi-joins) is what must stay scale-shaped
+      "q_kcore" -> ((s: SparkSession, dir: String) => {
+        import graft.operators.Graph
+        Graph.kCorePeel(
+          Graph.undirected(Graph.sameNationEdges(
+            s.read.parquet(s"$dir/orders.parquet"),
+            s.read.parquet(s"$dir/lineitem.parquet"),
+            s.read.parquet(s"$dir/customer.parquet"),
+            s.read.parquet(s"$dir/supplier.parquet"))),
+          k = 4)
       }))
   }
 

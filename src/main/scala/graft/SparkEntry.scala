@@ -2884,6 +2884,33 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // -- community detection: synchronous label propagation with the
+    //    self-vote stabilizer (pure sync LPA 2-cycles on bipartite
+    //    structure) over the SPARSE same-nation trade graph — 51
+    //    communities at 5 rounds; integer votes + total tie order make
+    //    the fixed-iteration result replay exactly in the oracle
+    "q_label_prop" -> ((s, dir) => {
+      operators.Graph
+        .labelPropagation(
+          operators.Graph.sameNationEdges(t(s, dir, "orders"), t(s, dir, "lineitem"),
+            t(s, dir, "customer"), t(s, dir, "supplier")),
+          iters = 5)
+        .orderBy("node")
+    }),
+
+    // -- dense-backbone extraction: the 4-core of the same-nation trade
+    //    graph by iterative peeling (4 cascading peels at sf0.01; 6
+    //    rounds certifies the fixpoint) — per round one partial-agg
+    //    degree count + two node-sized semi-joins
+    "q_kcore" -> ((s, dir) => {
+      operators.Graph
+        .kCore(
+          operators.Graph.sameNationEdges(t(s, dir, "orders"), t(s, dir, "lineitem"),
+            t(s, dir, "customer"), t(s, dir, "supplier")),
+          k = 4, rounds = 6)
+        .orderBy("node")
+    }),
+
     // -- vocabulary growth (Heaps' law): new + cumulative vocab per
     //    50-doc prefix of the corpus
     "q_vocab_growth" -> ((s, dir) => {
@@ -6854,6 +6881,10 @@ object SparkEntry {
                  floor((2.0 * coalesce(t.n_tri, 0) / (d.deg::DOUBLE * (d.deg - 1))) * 1e6 + 0.5) / 1e6 AS cc_r
           FROM d LEFT JOIN t ON t.node = d.node
           WHERE d.deg >= 2 ORDER BY d.node""",
+    // unrolled fixed-iteration LPA / k-core peeling over the same-nation
+    // trade graph (mirrors of Graph.labelPropagation / Graph.kCore)
+    "q_label_prop" -> labelPropSql(iters = 5),
+    "q_kcore" -> kCoreSql(k = 4, rounds = 6),
     "q_vocab_growth" ->
       s"""WITH $TokCte,
           f AS (SELECT word, min(doc_id) AS first_doc FROM tok GROUP BY word),
@@ -8530,6 +8561,61 @@ object SparkEntry {
         FROM nodes n LEFT JOIN h$iters h ON n.node = h.node
                      LEFT JOIN a$iters a ON n.node = a.node
         ORDER BY n.node"""
+  }
+
+  /** The same-nation trade graph CTE (mirror of Graph.sameNationEdges +
+    * the consumer-side symmetrization): directed c→s edges where the
+    * customer's and supplier's nation agree, then both directions.
+    */
+  private val NationEdgesCte =
+    """ne0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+               FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+               JOIN customer ON c_custkey = o_custkey
+               JOIN supplier ON s_suppkey = l_suppkey
+               WHERE c_nationkey = s_nationkey),
+       ne AS (SELECT src, dst FROM ne0 UNION SELECT dst AS src, src AS dst FROM ne0)"""
+
+  /** Unrolled fixed-iteration self-vote label propagation (mirror of
+    * Graph.labelPropagation): per round, plurality over neighbor labels
+    * plus the node's own, ties to the smallest label — integer votes and
+    * a total order, so the replay is exact.
+    */
+  private def labelPropSql(iters: Int): String = {
+    val steps = (1 to iters).map { r =>
+      s"""lab$r AS (
+            SELECT node, nl AS label FROM (
+              SELECT v.node, v.nl,
+                     row_number() OVER (PARTITION BY v.node
+                                        ORDER BY count(*) DESC, v.nl) AS rn
+              FROM (SELECT ne.src AS node, l.label AS nl
+                    FROM ne JOIN lab${r - 1} l ON ne.dst = l.node
+                    UNION ALL SELECT node, label FROM lab${r - 1}) v
+              GROUP BY v.node, v.nl) q
+            WHERE rn = 1)"""
+    }.mkString(",\n")
+    s"""WITH $NationEdgesCte,
+        lab0 AS (SELECT DISTINCT src AS node, src AS label FROM ne),
+        $steps
+        SELECT node, label FROM lab$iters ORDER BY node"""
+  }
+
+  /** Unrolled k-core peeling (mirror of Graph.kCore): each round keeps
+    * nodes with degree >= k and the edges both of whose endpoints
+    * survive; peeling is monotone, so rounds >= the cascade depth is a
+    * fixpoint.
+    */
+  private def kCoreSql(k: Int, rounds: Int): String = {
+    val steps = (1 to rounds).map { r =>
+      s"""keep$r AS (SELECT src FROM ke${r - 1} GROUP BY src HAVING count(*) >= $k),
+          ke$r AS (SELECT c.src, c.dst FROM ke${r - 1} c
+                   JOIN keep$r a ON c.src = a.src
+                   JOIN keep$r b ON c.dst = b.src)"""
+    }.mkString(",\n")
+    s"""WITH $NationEdgesCte,
+        ke0 AS (SELECT src, dst FROM ne),
+        $steps
+        SELECT src AS node, count(*)::BIGINT AS deg
+        FROM ke$rounds GROUP BY src ORDER BY node"""
   }
 
   private def pagerankSql(iters: Int, d: Double): String = {

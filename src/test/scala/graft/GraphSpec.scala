@@ -143,4 +143,53 @@ class GraphSpec extends SparkSpec {
     assert(m("a")._2 == 0.0, "a has no in-edges: zero authority")
     assert(m("d")._1 == 0.0 && m("e")._1 == 0.0, "sinks have zero hub score")
   }
+
+  test("labelPropagation separates two bridged triangles (hand-traced)") {
+    // triangles {a,b,c} and {d,e,f} joined by bridge c—d. Hand trace of
+    // the self-vote sync rounds (votes DESC, label ASC):
+    //   r1: everyone ties at 1 vote → min(self ∪ neighbors):
+    //       a,b,c→a  d→c  e,f→d
+    //   r2: a,b,c→a  d,e,f→d   r3: unchanged (fixpoint)
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c"),
+      ("d", "e"), ("e", "f"), ("d", "f"), ("c", "d")).toDF("src", "dst")
+    val got = Graph.labelPropagation(e, iters = 4)
+      .as[(String, String)].collect().toMap
+    assert(got == Map("a" -> "a", "b" -> "a", "c" -> "a",
+      "d" -> "d", "e" -> "d", "f" -> "d"), s"got $got")
+  }
+
+  test("labelPropagation self-vote reaches a fixpoint on bipartite structure (no 2-cycle)") {
+    // K2,3: pure synchronous LPA provably flips between two standing
+    // label sets on complete bipartite graphs forever; the self-vote
+    // form must converge (iters and iters+1 agree) to one community
+    val e = (for { l <- Seq("a", "b"); r <- Seq("x", "y", "z") } yield (l, r))
+      .toDF("src", "dst")
+    val at3 = Graph.labelPropagation(e, iters = 3).as[(String, String)].collect().toMap
+    val at4 = Graph.labelPropagation(e, iters = 4).as[(String, String)].collect().toMap
+    assert(at3 == at4, s"oscillation: $at3 vs $at4")
+    assert(at3.values.toSet.size == 1, s"K2,3 is one community: $at3")
+  }
+
+  test("kCore peels the cascading chain off a triangle (hand case)") {
+    // triangle a,b,c plus chain c—d—e at k=2: e (deg 1) peels first,
+    // which drops d to deg 1 — the 2-round cascade — leaving the
+    // triangle, every survivor at degree exactly 2
+    val e = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d"), ("d", "e"))
+      .toDF("src", "dst")
+    val got = Graph.kCore(e, k = 2, rounds = 4)
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("a" -> 2L, "b" -> 2L, "c" -> 2L), s"got $got")
+  }
+
+  test("kCore at the query's rounds is a fixpoint on the sf0.001 same-nation graph") {
+    val edges = Graph.sameNationEdges(
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet"),
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet"),
+      spark.read.parquet("/root/testdata/sf0.001/customer.parquet"),
+      spark.read.parquet("/root/testdata/sf0.001/supplier.parquet"))
+    val at6 = Graph.kCore(edges, k = 4, rounds = 6).as[(String, Long)].collect().toMap
+    val at7 = Graph.kCore(edges, k = 4, rounds = 7).as[(String, Long)].collect().toMap
+    assert(at6 == at7, "one extra peel round changed the core: rounds=6 is not the fixpoint")
+    assert(at6.values.forall(_ >= 4), "a surviving node has degree < k")
+  }
 }
