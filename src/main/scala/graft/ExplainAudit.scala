@@ -126,7 +126,10 @@ object ExplainAudit {
     // relations (the q_pagerank convention); q_kcore checkpoints every
     // peel round, so its final static plan is a bare degree agg — the
     // peel-round BODY is audited in iterativeBodies instead
-    "q_label_prop")
+    "q_label_prop",
+    // round 14: distribution-free stats (chunked-prefix ranks; calendar-
+    // bounded pairwise trend tests)
+    "q_kruskal_wallis", "q_mann_kendall", "q_theil_sen")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

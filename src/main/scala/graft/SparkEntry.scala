@@ -2783,6 +2783,33 @@ object SparkEntry {
         .orderBy("g1", "g2")
     }),
 
+    // -- Kruskal–Wallis rank ANOVA across return flags on l_quantity:
+    //    the distribution-free H (+ tie-corrected H') — pooled average
+    //    ranks from the value-domain aggregate via the chunked-prefix
+    //    discipline, half-integer-exact sufficient sums
+    "q_kruskal_wallis" -> ((s, dir) => {
+      operators.Stats
+        .kruskalWallis(t(s, dir, "lineitem"), "l_returnflag", "l_quantity",
+          chunkWidth = 10.0)
+    }),
+
+    // -- Mann–Kendall monotone-trend z per nation over the MONTHLY
+    //    revenue series: pairwise signs on exact decimal sums, pair
+    //    count bounded by the calendar (80 months), never the corpus
+    "q_mann_kendall" -> ((s, dir) => {
+      operators.Stats
+        .mannKendall(nationMonthlyRevenue(s, dir), "nation", "mth", "rev")
+        .orderBy("nation")
+    }),
+
+    // -- Theil–Sen robust slope per nation over the same monthly series:
+    //    median of pairwise slopes (outlier-immune where OLS is not)
+    "q_theil_sen" -> ((s, dir) => {
+      operators.Stats
+        .theilSen(nationMonthlyRevenue(s, dir), "nation", "mth", "rev")
+        .orderBy("nation")
+    }),
+
     // -- per-source unigram entropy + perplexity (lexical diversity for
     //    mixture design; type/token columns give TTR for free). Vocab-
     //    sized after one token count; ppl from the ROUNDED entropy.
@@ -6773,6 +6800,74 @@ object SparkEntry {
           FROM s a JOIN s b ON a.g < b.g
           WHERE a.v / a.n + b.v / b.n > 0.0
           ORDER BY g1, g2""",
+    // pooled half-integer average ranks from the per-value aggregate;
+    // H from exact sums in the operator's op order, H' from ROUNDED h_r
+    "q_kruskal_wallis" ->
+      """WITH r0 AS (SELECT l_returnflag AS g, l_quantity::DOUBLE AS v FROM lineitem
+                     WHERE l_returnflag IS NOT NULL AND l_quantity IS NOT NULL),
+          gv AS (SELECT g, v, count(*) AS cgv FROM r0 GROUP BY 1, 2),
+          pv AS (SELECT v, sum(cgv)::BIGINT AS c FROM gv GROUP BY v),
+          rk AS (SELECT v, c,
+                        (sum(c) OVER (ORDER BY v
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)::DOUBLE
+                          + (c + 1)::DOUBLE / 2.0 AS rnk
+                 FROM pv),
+          pg AS (SELECT g, sum(cgv)::BIGINT AS ng, sum(cgv::DOUBLE * rk.rnk) AS rg
+                 FROM gv JOIN rk USING (v) GROUP BY g),
+          tt AS (SELECT sum(c::HUGEINT * c * c - c) AS t FROM pv),
+          ag AS (SELECT sum(ng)::BIGINT AS n, count(*)::BIGINT AS k_groups,
+                        sum(rg * rg / ng::DOUBLE) AS sr
+                 FROM pg),
+          h AS (SELECT n, k_groups,
+                       floor((12.0 / (n::DOUBLE * (n + 1)::DOUBLE) * sr
+                              - 3.0 * (n + 1)::DOUBLE) * 1e6 + 0.5) / 1e6 AS h_r,
+                       t
+                FROM ag CROSS JOIN tt)
+          SELECT n, k_groups, h_r,
+                 floor((CASE WHEN t::DOUBLE < n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE
+                        THEN h_r / (1.0 - t::DOUBLE
+                               / (n::DOUBLE * n::DOUBLE * n::DOUBLE - n::DOUBLE))
+                        ELSE NULL END) * 1e6 + 0.5) / 1e6 AS h_tie_r
+          FROM h""",
+    // pairwise signs on exact decimal month sums; integer S and tie
+    // terms, one fixed-order z expression
+    "q_mann_kendall" ->
+      s"""WITH $NationMonthlyCte,
+          p AS (SELECT a.nation, sum(sign(b.rev - a.rev))::BIGINT AS s
+                FROM ser a JOIN ser b ON a.nation = b.nation AND a.mth < b.mth
+                GROUP BY a.nation),
+          g AS (SELECT nation, count(*)::BIGINT AS n FROM ser GROUP BY nation),
+          tc AS (SELECT nation, sum(c * (c - 1) * (2 * c + 5))::BIGINT AS tt
+                 FROM (SELECT nation, rev, count(*) AS c FROM ser GROUP BY 1, 2) q
+                 GROUP BY nation),
+          v AS (SELECT g.nation, g.n, p.s,
+                       (g.n::DOUBLE * (g.n - 1)::DOUBLE * (2 * g.n + 5)::DOUBLE
+                          - tc.tt::DOUBLE) / 18.0 AS vr
+                FROM g JOIN p USING (nation) JOIN tc USING (nation))
+          SELECT nation, n, s,
+                 floor((CASE WHEN vr > 0.0 THEN
+                          CASE WHEN s > 0 THEN (s - 1)::DOUBLE / sqrt(vr)
+                               WHEN s < 0 THEN (s + 1)::DOUBLE / sqrt(vr)
+                               ELSE 0.0 END
+                        ELSE NULL END) * 1e6 + 0.5) / 1e6 AS z_r
+          FROM v ORDER BY nation""",
+    // median of pairwise slopes; midpoint rule over the partitioned rank
+    "q_theil_sen" ->
+      s"""WITH $NationMonthlyCte,
+          p AS (SELECT a.nation,
+                       (b.rev::DOUBLE - a.rev::DOUBLE) / (b.mth - a.mth)::DOUBLE AS sl
+                FROM ser a JOIN ser b ON a.nation = b.nation AND a.mth < b.mth),
+          r AS (SELECT nation, sl,
+                       row_number() OVER (PARTITION BY nation ORDER BY sl) AS rn,
+                       count(*) OVER (PARTITION BY nation) AS m
+                FROM p),
+          med AS (SELECT nation, max(m)::BIGINT AS n_pairs, avg(sl) AS md
+                  FROM r WHERE rn = (m + 1) // 2 OR rn = m // 2 + 1
+                  GROUP BY nation),
+          g AS (SELECT nation, count(*)::BIGINT AS n FROM ser GROUP BY nation)
+          SELECT g.nation, g.n, med.n_pairs,
+                 floor(med.md * 1e6 + 0.5) / 1e6 AS slope_r
+          FROM g JOIN med USING (nation) ORDER BY nation""",
     // exact-count rationals; perplexity exponentiates the ROUNDED entropy
     "q_source_entropy" ->
       """WITH tk AS (SELECT source,
@@ -8562,6 +8657,28 @@ object SparkEntry {
                      LEFT JOIN a$iters a ON n.node = a.node
         ORDER BY n.node"""
   }
+
+  /** Per-nation MONTHLY revenue series — the bounded (calendar-sized)
+    * trend-test input shared by q_mann_kendall / q_theil_sen. Revenue is
+    * summed as DECIMAL(18,2) — Mann–Kendall's pairwise SIGNS demand
+    * exact ties, which a float partial-agg order can't guarantee.
+    */
+  private def nationMonthlyRevenue(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "orders")
+      .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"),
+        (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mth"))
+      .agg(sum(col("o_totalprice").cast("decimal(18,2)")).as("rev"))
+
+  /** The monthly-series CTE mirror of [[nationMonthlyRevenue]]. */
+  private val NationMonthlyCte =
+    """ser AS (SELECT n_name AS nation,
+                      (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mth,
+                      sum(o_totalprice::DECIMAL(18,2)) AS rev
+               FROM orders JOIN customer ON o_custkey = c_custkey
+               JOIN nation ON c_nationkey = n_nationkey
+               GROUP BY 1, 2)"""
 
   /** The same-nation trade graph CTE (mirror of Graph.sameNationEdges +
     * the consumer-side symmetrization): directed c→s edges where the

@@ -1772,4 +1772,180 @@ object Stats {
         when(col("true_size") > 0,
           col("est_size").cast("double") / col("true_size")), 4))
   }
+
+  /** Kruskal–Wallis rank ANOVA (Kruskal & Wallis, JASA 1952): does at
+    * least one of k groups stochastically dominate, measured on RANKS —
+    * the distribution-free complement to the parametric Welch/seasonality
+    * F-family, and the right test when the metric is heavy-tailed
+    * (latency, revenue) where means mislead. Tie-corrected:
+    *
+    *   H  = 12/(N(N+1)) · Σ_g R_g²/n_g − 3(N+1)
+    *   H' = H / (1 − Σ_v (t_v³−t_v)/(N³−N))
+    *
+    * Scale shape = [[spearman]]'s chunked-prefix ranking: pooled average
+    * ranks come from the per-VALUE aggregate (value-domain-sized, never
+    * row-sized) via the two-pass chunk discipline — a bounded global
+    * window over per-chunk totals plus a per-chunk local window — so no
+    * row-count relation is ever globally sorted. Average ranks are
+    * HALF-INTEGERS, exact in doubles, and every sufficient sum (R_g,
+    * n_g, tie terms) is an exact integer or half-integer « 2^53; the
+    * final H is one fixed-order scalar expression over them, identical
+    * cross-engine before the 6-dp rounding.
+    *
+    * Returns one row: (n, k_groups, h_r, h_tie_r).
+    */
+  def kruskalWallis(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      chunkWidth: Double = 10.0): DataFrame = {
+    require(chunkWidth > 0, s"chunkWidth ($chunkWidth) must be positive")
+    val rows = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("double").as("__v"))
+      .where(col("__g").isNotNull && col("__v").isNotNull)
+    // per-(group,value) then per-value counts: all rank math runs on the
+    // value-domain-sized relation
+    val gv = rows.groupBy(col("__g"), col("__v")).agg(count(lit(1)).as("__cgv"))
+    val perValue = gv.groupBy(col("__v")).agg(sum(col("__cgv")).as("__c"))
+      .withColumn("__chunk", floor(col("__v") / chunkWidth).cast("long"))
+    val wChunks = Window.orderBy(col("__chunk"))
+    val bases = perValue
+      .groupBy(col("__chunk")).agg(sum(col("__c")).as("__s"))
+      .withColumn("__b", sum(col("__s")).over(wChunks) - col("__s"))
+      .select(col("__chunk"), col("__b"))
+    val wLocal = Window.partitionBy(col("__chunk")).orderBy(col("__v"))
+    val ranked = perValue
+      .join(broadcast(bases), Seq("__chunk"))
+      .withColumn("__cum", col("__b") + sum(col("__c")).over(wLocal))
+      .select(col("__v"),
+        ((col("__cum") - col("__c")).cast("double")
+          + (col("__c") + 1).cast("double") / 2.0).as("__rank"),
+        col("__c"))
+    val perGroup = gv
+      .join(ranked.select(col("__v"), col("__rank")), Seq("__v"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__cgv")).as("__ng"),
+        sum(col("__cgv").cast("double") * col("__rank")).as("__rg"))
+    // per-value tie term t³−t in decimal(38,0): exact at any per-value
+    // count (a long c³ overflows past c ≈ 2×10⁶)
+    val ties = broadcast(ranked
+      .select(col("__c").cast("decimal(38,0)").as("__cd"))
+      .agg(sum(col("__cd") * col("__cd") * col("__cd") - col("__cd")).as("__t")))
+    perGroup
+      .agg(sum(col("__ng")).as("n"), count(lit(1)).as("k_groups"),
+        sum(col("__rg") * col("__rg") / col("__ng").cast("double")).as("__sr"))
+      .crossJoin(ties)
+      .withColumn("h_r", Portable.pround(
+        lit(12.0) / (col("n").cast("double") * (col("n") + 1).cast("double"))
+          * col("__sr") - lit(3.0) * (col("n") + 1).cast("double"), 6))
+      // tie-corrected H derives from the ROUNDED h_r (the derive-from-
+      // rounded-pieces parity discipline); all-tied input (every value
+      // equal) has correction factor 0 → H' undefined → NULL
+      .select(col("n"), col("k_groups"), col("h_r"),
+        Portable.pround(
+          when(col("__t").cast("double") <
+            col("n").cast("double") * col("n").cast("double") * col("n").cast("double")
+              - col("n").cast("double"),
+            col("h_r") / (lit(1.0) - col("__t").cast("double")
+              / (col("n").cast("double") * col("n").cast("double") * col("n").cast("double")
+                - col("n").cast("double")))),
+          6).as("h_tie_r"))
+  }
+
+  /** Mann–Kendall trend test (Mann 1945; Kendall 1975) per group: is a
+    * per-period series monotonically trending, judged on pairwise SIGNS
+    * only — the distribution-free workhorse for drift monitoring where a
+    * slope fit is junk (outliers, level shifts):
+    *
+    *   S      = Σ_{i<j} sign(x_j − x_i)
+    *   var(S) = [n(n−1)(2n+5) − Σ_ties t(t−1)(2t+5)] / 18
+    *   z      = (S∓1)/√var(S)   (continuity-corrected, 0 when S=0)
+    *
+    * Input contract: one row per (group, period) — the caller feeds the
+    * per-period AGGREGATE (a metadata-sized series: months, days,
+    * hours), never raw rows, so the within-group pair expansion is
+    * bounded by the calendar, not the corpus (m periods → m(m−1)/2
+    * pairs, e.g. 80 months → 3 160 pairs/group). S and both variance
+    * terms are exact integers; z is one fixed-order scalar expression —
+    * bit-identical cross-engine before the 6-dp rounding.
+    *
+    * Returns (group, n, s, z_r) with group renamed to the input column;
+    * groups with fewer than two periods have no pair and are dropped,
+    * all-tied groups read z_r = NULL (zero variance).
+    */
+  def mannKendall(
+      df: DataFrame,
+      groupCol: String,
+      tCol: String,
+      valueCol: String): DataFrame = {
+    val s0 = df
+      .select(col(groupCol).as("__g"), col(tCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__x"))
+      .where(col("__g").isNotNull && col("__t").isNotNull && col("__x").isNotNull)
+    val sSum = s0.as("a")
+      .join(s0.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__t") < col("b.__t"))
+      .groupBy(col("a.__g").as("__g"))
+      .agg(sum(signum(col("b.__x") - col("a.__x")).cast("long")).as("s"))
+    val perGroup = s0.groupBy(col("__g")).agg(count(lit(1)).as("n"))
+    val tieTerm = s0.groupBy(col("__g"), col("__x")).agg(count(lit(1)).as("__c"))
+      .groupBy(col("__g"))
+      .agg(sum(col("__c") * (col("__c") - 1) * (lit(2) * col("__c") + 5)).as("__tt"))
+    perGroup
+      .join(sSum, Seq("__g"))
+      .join(tieTerm, Seq("__g"))
+      .withColumn("__var",
+        (col("n").cast("double") * (col("n") - 1).cast("double")
+          * (lit(2) * col("n") + 5).cast("double") - col("__tt").cast("double")) / 18.0)
+      .select(col("__g").as(groupCol), col("n"), col("s"),
+        Portable.pround(
+          when(col("__var") > 0.0,
+            when(col("s") > 0, (col("s") - 1).cast("double") / sqrt(col("__var")))
+              .when(col("s") < 0, (col("s") + 1).cast("double") / sqrt(col("__var")))
+              .otherwise(lit(0.0))),
+          6).as("z_r"))
+  }
+
+  /** Theil–Sen robust slope (Theil 1950; Sen, JASA 1968) per group: the
+    * MEDIAN of all pairwise slopes (x_j−x_i)/(t_j−t_i) — up to ~29%
+    * contamination leaves it standing where OLS ([[groupOls]]) is
+    * dragged by a single outlier month. Same bounded-pair input
+    * contract as [[mannKendall]]: one row per (group, period), pairs
+    * bounded by the calendar. The median is the standard midpoint rule
+    * (middle element, or the mean of the two middle elements for an
+    * even pair count) selected by a PARTITIONED rank — equal slope
+    * values make the tie order irrelevant to the selected value, and
+    * the two-element mean is a single IEEE add+halve on both engines.
+    *
+    * Returns (group, n, n_pairs, slope_r); groups with fewer than two
+    * periods have no pair and are dropped.
+    */
+  def theilSen(
+      df: DataFrame,
+      groupCol: String,
+      tCol: String,
+      valueCol: String): DataFrame = {
+    val s0 = df
+      .select(col(groupCol).as("__g"), col(tCol).cast("long").as("__t"),
+        col(valueCol).cast("double").as("__x"))
+      .where(col("__g").isNotNull && col("__t").isNotNull && col("__x").isNotNull)
+    val pairs = s0.as("a")
+      .join(s0.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__t") < col("b.__t"))
+      .select(col("a.__g").as("__g"),
+        ((col("b.__x") - col("a.__x"))
+          / (col("b.__t") - col("a.__t")).cast("double")).as("__sl"))
+    val w = Window.partitionBy(col("__g")).orderBy(col("__sl"))
+    val wg = Window.partitionBy(col("__g"))
+    val perGroup = s0.groupBy(col("__g")).agg(count(lit(1)).as("n"))
+    pairs
+      .withColumn("__rn", row_number().over(w))
+      .withColumn("__m", count(lit(1)).over(wg))
+      .where(col("__rn") === expr("(__m + 1) DIV 2") || col("__rn") === expr("__m DIV 2 + 1"))
+      .groupBy(col("__g"))
+      .agg(max(col("__m")).as("n_pairs"), avg(col("__sl")).as("__med"))
+      .join(perGroup, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n"), col("n_pairs"),
+        Portable.pround(col("__med"), 6).as("slope_r"))
+  }
 }

@@ -97,4 +97,98 @@ class StatsFuzzSpec extends SparkSpec {
       }
     }
   }
+
+  test("kruskalWallis fuzz: == the sort-everything rank ANOVA, 20 random tie-heavy tables") {
+    val rnd = new java.util.Random(1414L)
+    for (case_ <- 0 until 20) {
+      val nGroups = 2 + rnd.nextInt(4)
+      val domain  = 2 + rnd.nextInt(8) // tiny domain → heavy ties
+      val rows = (0 until (20 + rnd.nextInt(120))).map { _ =>
+        (s"g${rnd.nextInt(nGroups)}", rnd.nextInt(domain).toDouble)
+      }
+      val got = Stats.kruskalWallis(rows.toDF("g", "v"), "g", "v", chunkWidth = 2.0)
+        .collect().head
+      // brute force: pooled average ranks by sorting everything
+      val n = rows.size
+      val sorted = rows.map(_._2).sorted
+      val rank = sorted.distinct.map { v =>
+        val below = sorted.count(_ < v); val c = sorted.count(_ == v)
+        v -> (below + (c + 1) / 2.0)
+      }.toMap
+      val byG = rows.groupBy(_._1)
+      val sr = byG.values.map { rs =>
+        val rg = rs.map(r => rank(r._2)).sum
+        rg * rg / rs.size.toDouble
+      }.sum
+      val h = 12.0 / (n.toDouble * (n + 1).toDouble) * sr - 3.0 * (n + 1).toDouble
+      val t = sorted.distinct.map { v =>
+        val c = sorted.count(_ == v).toLong; c * c * c - c
+      }.sum
+      assert(got.getLong(0) == n && got.getLong(1) == byG.size, s"case $case_: n/k")
+      assert(math.abs(got.getDouble(2) - pround(h, 6)) <= 2e-6,
+        s"case $case_: h ${got.getDouble(2)} vs $h")
+      if (t < n.toLong * n * n - n) {
+        val hc = got.getDouble(2) / (1.0 - t.toDouble / (n.toDouble * n * n - n))
+        assert(math.abs(got.getDouble(3) - pround(hc, 6)) <= 2e-6,
+          s"case $case_: h_tie ${got.getDouble(3)} vs $hc")
+      } else assert(got.isNullAt(3), s"case $case_: all-tied must read NULL")
+    }
+  }
+
+  test("mannKendall fuzz: == the pairwise sign loop with tie-corrected variance, 20 random series") {
+    val rnd = new java.util.Random(277L)
+    for (case_ <- 0 until 20) {
+      val nGroups = 1 + rnd.nextInt(3)
+      val series = (0 until nGroups).map { g =>
+        val m = 2 + rnd.nextInt(20)
+        // small value domain → sign ties and tie-corrected variance
+        s"g$g" -> (0 until m).map(t => (t.toLong, rnd.nextInt(5).toDouble))
+      }.toMap
+      val rows = series.toSeq.flatMap { case (g, s) => s.map { case (t, x) => (g, t, x) } }
+      val got = Stats.mannKendall(rows.toDF("g", "t", "x"), "g", "t", "x")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      series.foreach { case (g, s) =>
+        val m = s.size
+        val sStat = (for (i <- s.indices; j <- i + 1 until m)
+          yield math.signum(s(j)._2 - s(i)._2).toLong).sum
+        val tt = s.groupBy(_._2).values.map(_.size.toLong)
+          .map(c => c * (c - 1) * (2 * c + 5)).sum
+        val vr = (m.toDouble * (m - 1).toDouble * (2 * m + 5).toDouble - tt.toDouble) / 18.0
+        val (gn, gs, gz) = got(g)
+        assert(gn == m && gs == sStat, s"case $case_/$g: n/s")
+        if (vr > 0.0) {
+          val z = if (sStat > 0) (sStat - 1).toDouble / math.sqrt(vr)
+            else if (sStat < 0) (sStat + 1).toDouble / math.sqrt(vr) else 0.0
+          assert(gz.contains(pround(z, 6)), s"case $case_/$g: z $gz vs $z")
+        } else assert(gz.isEmpty, s"case $case_/$g: zero variance must read NULL")
+      }
+    }
+  }
+
+  test("theilSen fuzz: == the sorted-slope midpoint median, 20 random series") {
+    val rnd = new java.util.Random(399L)
+    for (case_ <- 0 until 20) {
+      val nGroups = 1 + rnd.nextInt(3)
+      val series = (0 until nGroups).map { g =>
+        val m = 2 + rnd.nextInt(16)
+        // duplicate x values → duplicate (incl. zero) slopes
+        s"g$g" -> (0 until m).map(t => (t.toLong, rnd.nextInt(6).toDouble))
+      }.toMap
+      val rows = series.toSeq.flatMap { case (g, s) => s.map { case (t, x) => (g, t, x) } }
+      val got = Stats.theilSen(rows.toDF("g", "t", "x"), "g", "t", "x")
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+      series.foreach { case (g, s) =>
+        val slopes = (for (i <- s.indices; j <- i + 1 until s.size)
+          yield (s(j)._2 - s(i)._2) / (s(j)._1 - s(i)._1).toDouble).sorted
+        val m = slopes.size
+        val med = if (m % 2 == 1) slopes(m / 2)
+          else (slopes(m / 2 - 1) + slopes(m / 2)) / 2.0
+        val (gn, gp, gs) = got(g)
+        assert(gn == s.size && gp == m, s"case $case_/$g: n/n_pairs")
+        assert(gs == pround(med, 6), s"case $case_/$g: slope $gs vs $med")
+      }
+    }
+  }
 }
