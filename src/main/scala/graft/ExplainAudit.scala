@@ -129,7 +129,9 @@ object ExplainAudit {
     "q_label_prop",
     // round 14: distribution-free stats (chunked-prefix ranks; calendar-
     // bounded pairwise trend tests)
-    "q_kruskal_wallis", "q_mann_kendall", "q_theil_sen")
+    "q_kruskal_wallis", "q_mann_kendall", "q_theil_sen",
+    // round 14: dense-spine lag statistics
+    "q_acf", "q_cusum")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

@@ -271,6 +271,22 @@ object SparkEntry {
         .burstiness(graft.sources.EventsSource.events(s, dir))
         .orderBy("event_type")),
 
+    // -- sample autocorrelation at lags 1..3 per stream over the DENSE
+    //    (zero-filled) hourly series: the hour-to-hour stickiness dial;
+    //    exact integer sufficient sums from one partitioned lag pass
+    "q_acf" -> ((s, dir) =>
+      operators.TimeSeries
+        .acf(graft.sources.EventsSource.events(s, dir), maxLag = 3)
+        .orderBy("event_type", "lag")),
+
+    // -- CUSUM changepoint per stream: argmax |Σ(x−x̄)| over the dense
+    //    hourly series — level-shift localization a local z-window
+    //    can't see; n·S_t stays integer end to end
+    "q_cusum" -> ((s, dir) =>
+      operators.TimeSeries
+        .cusumChangepoint(graft.sources.EventsSource.events(s, dir))
+        .orderBy("event_type")),
+
     // -- difference-in-differences launch readout: purchase events
     //    (treated) vs everything else across the mid-month boundary —
     //    the control trend subtracts out what moved BOTH groups; four
@@ -4139,6 +4155,54 @@ object SparkEntry {
           SELECT event_type, n_buckets, n_events, mean_r, var_r,
                  floor((var_r / mean_r) * 1e4 + 0.5) / 1e4 AS fano_r
           FROM m ORDER BY event_type""",
+    // dense zero-filled hourly spine; exact integer lag sums, one
+    // fixed-order r_k expression (mirror of TimeSeries.acf)
+    "q_acf" ->
+      s"""WITH $DenseHourCte,
+          lg AS (SELECT event_type, h, x,
+                        lag(x, 1) OVER w AS l1, lag(x, 2) OVER w AS l2,
+                        lag(x, 3) OVER w AS l3
+                 FROM ser WINDOW w AS (PARTITION BY event_type ORDER BY h)),
+          ag AS (SELECT event_type, count(*)::BIGINT AS n,
+                        sum(x)::BIGINT AS s1, sum(x * x)::BIGINT AS s2,
+                        sum(x * l1)::BIGINT AS c1, sum(l1)::BIGINT AS a1,
+                        sum(CASE WHEN l1 IS NOT NULL THEN x END)::BIGINT AS b1,
+                        sum(x * l2)::BIGINT AS c2, sum(l2)::BIGINT AS a2,
+                        sum(CASE WHEN l2 IS NOT NULL THEN x END)::BIGINT AS b2,
+                        sum(x * l3)::BIGINT AS c3, sum(l3)::BIGINT AS a3,
+                        sum(CASE WHEN l3 IS NOT NULL THEN x END)::BIGINT AS b3
+                 FROM lg GROUP BY event_type),
+          u AS (SELECT event_type, n, s1, s2, 1::BIGINT AS lag, c1 AS ck, a1 AS ak, b1 AS bk FROM ag
+                UNION ALL SELECT event_type, n, s1, s2, 2, c2, a2, b2 FROM ag
+                UNION ALL SELECT event_type, n, s1, s2, 3, c3, a3, b3 FROM ag),
+          f AS (SELECT event_type, lag, n, ck, ak, bk,
+                       s1::DOUBLE / n::DOUBLE AS m,
+                       s2::DOUBLE - s1::DOUBLE * (s1::DOUBLE / n::DOUBLE) AS den
+                FROM u)
+          SELECT event_type, lag, n AS n_buckets,
+                 floor((CASE WHEN den > 0.0 THEN
+                          (ck::DOUBLE - m * (ak + bk)::DOUBLE
+                             + (n - lag)::DOUBLE * m * m) / den
+                        ELSE NULL END) * 1e6 + 0.5) / 1e6 AS acf_r
+          FROM f ORDER BY event_type, lag""",
+    // integer n·S_t = n·prefix − t·S1; total (|nS| DESC, h ASC) argmax
+    // (mirror of TimeSeries.cusumChangepoint)
+    "q_cusum" ->
+      s"""WITH $DenseHourCte,
+          p AS (SELECT event_type, h, x,
+                       sum(x) OVER (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+                       row_number() OVER (PARTITION BY event_type ORDER BY h) AS t,
+                       count(*) OVER (PARTITION BY event_type) AS n,
+                       sum(x) OVER (PARTITION BY event_type) AS s1
+                FROM ser),
+          q AS (SELECT event_type, h, n, (n * pre - t * s1) AS ns,
+                       row_number() OVER (PARTITION BY event_type
+                          ORDER BY abs(n * pre - t * s1) DESC, h) AS rn
+                FROM p)
+          SELECT event_type, n::BIGINT AS n_buckets, h::BIGINT AS cp_hour,
+                 floor((abs(ns)::DOUBLE / n::DOUBLE) * 1e6 + 0.5) / 1e6 AS mag_r
+          FROM q WHERE rn = 1 ORDER BY event_type""",
     // exact-HUGEINT sums (the welch discipline), shared z-sum constant
     "q_mde" ->
       s"""WITH g AS (SELECT source, count(*)::BIGINT AS n,
@@ -8657,6 +8721,19 @@ object SparkEntry {
                      LEFT JOIN a$iters a ON n.node = a.node
         ORDER BY n.node"""
   }
+
+  /** Dense zero-filled per-stream hourly count series (mirror of
+    * TimeSeries.denseHourlySeries): the regular grid lag statistics
+    * need; generate_series is inclusive like Spark's sequence.
+    */
+  private val DenseHourCte =
+    """hc AS (SELECT event_type, epoch_us(ts::TIMESTAMP) // 3600000000 AS h,
+                     count(*) AS c
+              FROM events GROUP BY 1, 2),
+       sp AS (SELECT event_type, unnest(generate_series(min(h), max(h))) AS h
+              FROM hc GROUP BY event_type),
+       ser AS (SELECT sp.event_type, sp.h, coalesce(hc.c, 0)::BIGINT AS x
+               FROM sp LEFT JOIN hc ON hc.event_type = sp.event_type AND hc.h = sp.h)"""
 
   /** Per-nation MONTHLY revenue series — the bounded (calendar-sized)
     * trend-test input shared by q_mann_kendall / q_theil_sen. Revenue is

@@ -238,4 +238,128 @@ object TimeSeries {
           when(col("__sst") > 0.0, lit(1.0) - col("__ssw") / col("__sst")).otherwise(0.0), 4)
           .as("strength_r"))
   }
+
+  /** DENSE per-key hourly count series: the regular grid [min_h, max_h]
+    * per key with zero-filled gaps — what lag-indexed statistics
+    * ([[acf]], [[cusumChangepoint]]) require, where the ACTIVE-bucket
+    * relations ([[burstiness]]) deliberately are not. The spine is a
+    * per-key `sequence(min_h, max_h)` explode: span-sized (calendar-
+    * bounded metadata), joined once against the (key, hour) counts.
+    * Returns (key, __h, __x) with __x a zero-or-positive exact long.
+    */
+  def denseHourlySeries(
+      events: DataFrame,
+      keyCol: String = "event_type",
+      tsCol: String = "ts_t"): DataFrame = {
+    val cnt = events
+      .withColumn("__h", floor(col(tsCol).cast("long") / 3600L).cast("long"))
+      .groupBy(col(keyCol), col("__h"))
+      .agg(count(lit(1)).as("__c"))
+    val spine = cnt
+      .groupBy(col(keyCol))
+      .agg(min(col("__h")).as("__mn"), max(col("__h")).as("__mx"))
+      .select(col(keyCol), explode(sequence(col("__mn"), col("__mx"))).as("__h"))
+    spine
+      .join(cnt, Seq(keyCol, "__h"), "left_outer")
+      .select(col(keyCol), col("__h"), coalesce(col("__c"), lit(0L)).as("__x"))
+  }
+
+  /** Sample autocorrelation function at lags 1..`maxLag` per key over
+    * the dense hourly count series (Box & Jenkins, "Time Series
+    * Analysis", 1970 — the standard r_k with the FULL-series mean and
+    * denominator):
+    *
+    *   r_k = Σ_{t≤n−k} (x_t − x̄)(x_{t+k} − x̄) / Σ (x_t − x̄)²
+    *
+    * The memory test behind seasonality-period discovery and "is this
+    * stream's volume sticky hour-to-hour" — [[seasonality]] asks the
+    * hour-OF-DAY question, acf asks the adjacent-hour one. Expanded to
+    * sufficient sums: every input (lagged cross-products C_k, window
+    * sums A_k/B_k, S1, S2) is an EXACT integer from one pass of
+    * PARTITIONED lag windows over the span-sized series, and r_k is one
+    * fixed-order scalar expression over them — bit-identical
+    * cross-engine before the 6-dp rounding. Keys whose series has zero
+    * variance (constant counts) read NULL.
+    *
+    * Returns (key, lag, n_buckets, acf_r), one row per key × lag.
+    */
+  def acf(
+      events: DataFrame,
+      keyCol: String = "event_type",
+      tsCol: String = "ts_t",
+      maxLag: Int = 3): DataFrame = {
+    require(maxLag >= 1, s"maxLag ($maxLag) must be >= 1")
+    val ser = denseHourlySeries(events, keyCol, tsCol)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__h"))
+    val lagged = (1 to maxLag).foldLeft(ser) { (d, k) =>
+      d.withColumn(s"__l$k", lag(col("__x"), k).over(w))
+    }
+    val aggs = Seq(
+      count(lit(1)).as("n"),
+      sum(col("__x")).as("s1"),
+      sum(col("__x") * col("__x")).as("s2")) ++
+      (1 to maxLag).flatMap { k =>
+        Seq(
+          sum(col("__x") * col(s"__l$k")).as(s"c$k"),
+          sum(when(col(s"__l$k").isNotNull, col(s"__l$k"))).as(s"a$k"),
+          sum(when(col(s"__l$k").isNotNull, col("__x"))).as(s"b$k"))
+      }
+    val perKey = lagged.groupBy(col(keyCol)).agg(aggs.head, aggs.tail: _*)
+    val rows = (1 to maxLag).map { k =>
+      struct(lit(k.toLong).as("lag"), col(s"c$k").as("ck"),
+        col(s"a$k").as("ak"), col(s"b$k").as("bk"))
+    }
+    perKey
+      .select(col(keyCol), col("n"), col("s1"), col("s2"),
+        explode(array(rows: _*)).as("__r"))
+      .withColumn("__m", col("s1").cast("double") / col("n").cast("double"))
+      .withColumn("__den",
+        col("s2").cast("double") - col("s1").cast("double") * col("__m"))
+      .select(col(keyCol), col("__r.lag").as("lag"), col("n").as("n_buckets"),
+        graft.functions.Portable.pround(
+          when(col("__den") > 0.0,
+            (col("__r.ck").cast("double")
+              - col("__m") * (col("__r.ak") + col("__r.bk")).cast("double")
+              + (col("n") - col("__r.lag")).cast("double") * col("__m") * col("__m"))
+              / col("__den")),
+          6).as("acf_r"))
+  }
+
+  /** CUSUM changepoint locator (Page, Biometrika 1954; the Taylor
+    * cumulative-deviation form): per key, S_t = Σ_{i≤t}(x_i − x̄) over
+    * the dense hourly series, changepoint at argmax |S_t| — the "WHEN
+    * did this stream's level shift" answer that [[rollingZscore]]'s
+    * local window can't give (a slow drift never trips a z-score, but
+    * its cumulative deviation keeps climbing). The estimator is exact
+    * in integers end to end: n·S_t = n·prefix_t − t·S1 never touches a
+    * float, the argmax tie-break (|nS| DESC, hour ASC) is total, and
+    * only the reported magnitude becomes a rounded double. Prefix sums
+    * ride a PARTITIONED window over the span-sized series.
+    *
+    * Returns (key, n_buckets, cp_hour, mag_r): the absolute epoch-hour
+    * of the maximizing prefix and |S_t*| = |nS|/n at 6 dp.
+    */
+  def cusumChangepoint(
+      events: DataFrame,
+      keyCol: String = "event_type",
+      tsCol: String = "ts_t"): DataFrame = {
+    val ser = denseHourlySeries(events, keyCol, tsCol)
+    val w = Window.partitionBy(col(keyCol)).orderBy(col("__h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wk = Window.partitionBy(col(keyCol))
+    val wpick = Window.partitionBy(col(keyCol))
+      .orderBy(abs(col("__ns")).desc, col("__h").asc)
+    ser
+      .withColumn("__pre", sum(col("__x")).over(w))
+      .withColumn("__t", row_number().over(
+        Window.partitionBy(col(keyCol)).orderBy(col("__h"))))
+      .withColumn("__n", count(lit(1)).over(wk))
+      .withColumn("__s1", sum(col("__x")).over(wk))
+      .withColumn("__ns", col("__n") * col("__pre") - col("__t") * col("__s1"))
+      .withColumn("__rn", row_number().over(wpick))
+      .where(col("__rn") === 1)
+      .select(col(keyCol), col("__n").as("n_buckets"), col("__h").as("cp_hour"),
+        graft.functions.Portable.pround(
+          abs(col("__ns")).cast("double") / col("__n").cast("double"), 6).as("mag_r"))
+  }
 }

@@ -129,4 +129,108 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got("burst") == (3L, 12L, 4.0, 27.0, 6.75), s"got $got")
     assert(!got.contains("single"), "variance undefined on one bucket")
   }
+
+  private def pround(x: Double, dp: Int): Double = {
+    val m = math.pow(10, dp)
+    math.floor(x * m + 0.5) / m
+  }
+
+  /** Textbook sample ACF over a dense integer series. */
+  private def refAcf(xs: Seq[Long], k: Int): Option[Double] = {
+    val n = xs.size
+    val m = xs.sum.toDouble / n
+    val den = xs.map(x => (x - m) * (x - m)).sum
+    if (den <= 0.0 || n <= k) None
+    else Some((0 until n - k).map(i => (xs(i) - m) * (xs(i + k) - m)).sum / den)
+  }
+
+  test("denseHourlySeries zero-fills interior gaps per key") {
+    val ev = Seq(
+      ("a", ts("2024-03-01 10:10:00")), ("a", ts("2024-03-01 10:50:00")),
+      ("a", ts("2024-03-01 13:05:00")), // 11:00 and 12:00 are gaps
+      ("b", ts("2024-03-02 00:30:00")))
+      .toDF("event_type", "ts_t")
+    val got = TimeSeries.denseHourlySeries(ev)
+      .orderBy("event_type", "__h")
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(got.toSeq == Seq(("a", 2L), ("a", 0L), ("a", 0L), ("a", 1L), ("b", 1L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("acf fuzz: == the textbook r_k over the densified series, 15 random streams") {
+    val rnd = new java.util.Random(140814L)
+    val base = ts("2024-01-01 00:00:00").getTime
+    for (case_ <- 0 until 15) {
+      // random events inside a random hour span; some hours stay empty
+      val span = 4 + rnd.nextInt(40)
+      val ev = (0 until 20 + rnd.nextInt(120)).map { _ =>
+        ("k", new Timestamp(base + rnd.nextInt(span).toLong * 3600000L
+          + rnd.nextInt(3600000).toLong))
+      }
+      val got = TimeSeries.acf(ev.toDF("event_type", "ts_t"), maxLag = 3)
+        .orderBy("lag").collect()
+        .map(r => r.getLong(1) -> (if (r.isNullAt(3)) None else Some(r.getDouble(3)))).toMap
+      // densify exactly like the operator: hour counts over [min, max]
+      val hours = ev.map(_._2.getTime / 3600000L)
+      val (mn, mx) = (hours.min, hours.max)
+      val cnt = hours.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val xs = (mn to mx).map(h => cnt.getOrElse(h, 0L))
+      (1 to 3).foreach { k =>
+        (refAcf(xs, k), got(k.toLong)) match {
+          case (Some(want), Some(g)) =>
+            assert(math.abs(g - pround(want, 6)) <= 2e-6,
+              s"case $case_ lag $k: $g vs $want (n=${xs.size})")
+          case (None, g) => assert(g.isEmpty, s"case $case_ lag $k: want NULL, got $g")
+          case (want, None) => fail(s"case $case_ lag $k: got NULL, want $want")
+        }
+      }
+    }
+  }
+
+  test("acf reads NULL on a constant (zero-variance) series") {
+    val ev = (0 until 6).map(h =>
+      ("c", new Timestamp(ts("2024-01-01 00:30:00").getTime + h * 3600000L)))
+      .toDF("event_type", "ts_t")
+    val got = TimeSeries.acf(ev, maxLag = 2).collect()
+    assert(got.length == 2 && got.forall(_.isNullAt(3)),
+      "constant series has no autocorrelation to measure")
+  }
+
+  test("cusumChangepoint localizes a hand-built level shift exactly") {
+    // key "s": hourly counts 1,1,1,5,5,5 → mean 3, S_t = (−2,−4,−6,−4,−2,0);
+    // argmax |S| at t=3 (the last low hour), |S|=6
+    val base = ts("2024-01-01 00:00:00").getTime
+    val counts = Seq(1, 1, 1, 5, 5, 5)
+    val ev = counts.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(i => ("s", new Timestamp(base + h * 3600000L + i * 60000L)))
+    }.toDF("event_type", "ts_t")
+    val got = TimeSeries.cusumChangepoint(ev).collect().head
+    assert(got.getLong(1) == 6L, "n_buckets")
+    assert(got.getLong(2) == base / 3600000L + 2, s"cp at the third hour, got ${got.getLong(2)}")
+    assert(got.getDouble(3) == 6.0, s"|S| at the argmax, got ${got.getDouble(3)}")
+  }
+
+  test("cusum fuzz: == the argmax of |prefix − t·mean| with earliest-t ties, 15 random streams") {
+    val rnd = new java.util.Random(5150L)
+    val base = ts("2024-02-01 00:00:00").getTime
+    for (case_ <- 0 until 15) {
+      val span = 3 + rnd.nextInt(30)
+      val ev = (0 until 10 + rnd.nextInt(80)).map { _ =>
+        ("k", new Timestamp(base + rnd.nextInt(span).toLong * 3600000L
+          + rnd.nextInt(3600000).toLong))
+      }
+      val got = TimeSeries.cusumChangepoint(ev.toDF("event_type", "ts_t")).collect().head
+      val hours = ev.map(_._2.getTime / 3600000L)
+      val (mn, mx) = (hours.min, hours.max)
+      val cnt = hours.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val xs = (mn to mx).map(h => cnt.getOrElse(h, 0L))
+      val n = xs.size; val s1 = xs.sum
+      val nS = xs.scanLeft(0L)(_ + _).tail.zipWithIndex
+        .map { case (pre, i) => (n * pre - (i + 1) * s1, i) }
+      val best = nS.minBy { case (v, i) => (-math.abs(v), i) }
+      assert(got.getLong(2) == mn + best._2, s"case $case_: cp hour")
+      assert(got.getDouble(3) == pround(math.abs(best._1).toDouble / n, 6),
+        s"case $case_: magnitude")
+    }
+  }
 }
