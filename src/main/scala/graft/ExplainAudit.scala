@@ -265,6 +265,20 @@ object ExplainAudit {
             s.read.parquet(s"$dir/customer.parquet"),
             s.read.parquet(s"$dir/supplier.parquet"))),
           k = 4)
+      }),
+      // round 14: one ALS half-step — solve one side's factors against
+      // the other's quantized table; the real loop checkpoints each
+      // half-step, so the broadcast factor join + partial-agg decimal
+      // sums are what must stay scale-shaped
+      "q_als_rank1" -> ((s: SparkSession, dir: String) => {
+        val r = s.read.parquet(s"$dir/orders.parquet")
+          .join(s.read.parquet(s"$dir/lineitem.parquet"),
+            col("o_orderkey") === col("l_orderkey"))
+          .groupBy(col("o_custkey").as("__u"), col("l_partkey").as("__i"))
+          .agg(sum(col("l_quantity").cast("long")).as("__r"))
+        val v = r.select(col("__i").as("__k")).distinct()
+          .withColumn("__f6", lit(1000000L))
+        graft.operators.Recommend.alsHalfStep(r, "__u", v, "__i")
       }))
   }
 

@@ -2799,6 +2799,21 @@ object SparkEntry {
         .orderBy("g1", "g2")
     }),
 
+    // -- rank-1 implicit-feedback ALS over the customer×part quantity
+    //    matrix (2 full rounds from v≡1): factors quantized to 6-dp
+    //    scaled longs between half-steps so every solver aggregate is an
+    //    exact decimal sum — the item score that ranks "bought by
+    //    high-engagement buyers", not just "bought a lot"
+    "q_als_rank1" -> ((s, dir) => {
+      val ratings = t(s, dir, "orders")
+        .join(t(s, dir, "lineitem"), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity").cast("long")).as("rt"))
+      operators.Recommend
+        .alsRank1(ratings, "o_custkey", "l_partkey", "rt", iters = 2)
+        .orderBy("l_partkey")
+    }),
+
     // -- Kruskal–Wallis rank ANOVA across return flags on l_quantity:
     //    the distribution-free H (+ tie-corrected H') — pooled average
     //    ranks from the value-domain aggregate via the chunked-prefix
@@ -6864,6 +6879,9 @@ object SparkEntry {
           FROM s a JOIN s b ON a.g < b.g
           WHERE a.v / a.n + b.v / b.n > 0.0
           ORDER BY g1, g2""",
+    // unrolled 2-round rank-1 ALS (mirror of Recommend.alsRank1):
+    // quantized scaled-long factors, exact HUGEINT solver sums
+    "q_als_rank1" -> alsSql(iters = 2),
     // pooled half-integer average ranks from the per-value aggregate;
     // H from exact sums in the operator's op order, H' from ROUNDED h_r
     "q_kruskal_wallis" ->
@@ -8720,6 +8738,33 @@ object SparkEntry {
         FROM nodes n LEFT JOIN h$iters h ON n.node = h.node
                      LEFT JOIN a$iters a ON n.node = a.node
         ORDER BY n.node"""
+  }
+
+  /** Unrolled fixed-iteration rank-1 ALS (mirror of Recommend.alsRank1):
+    * factors quantized to 6-dp scaled BIGINTs between half-steps, both
+    * solver sums exact HUGEINTs, the division one fixed-order scalar op.
+    */
+  private def alsSql(iters: Int): String = {
+    def half(prev: String, out: String, joinKey: String, grpKey: String) =
+      s"""$out AS (SELECT r.$grpKey AS k,
+                CASE WHEN sum(f.f6::HUGEINT * f.f6) > 0
+                     THEN floor(sum(r.rt::HUGEINT * f.f6)::DOUBLE * 1e6
+                                / sum(f.f6::HUGEINT * f.f6)::DOUBLE * 1e6 + 0.5)::BIGINT
+                     ELSE 0 END AS f6
+           FROM r JOIN $prev f ON f.k = r.$joinKey GROUP BY r.$grpKey)"""
+    val steps = (1 to iters).flatMap { it =>
+      Seq(half(s"v${it - 1}", s"u$it", "i", "u"), half(s"u$it", s"v$it", "u", "i"))
+    }.mkString(",\n")
+    s"""WITH r AS (SELECT o_custkey AS u, l_partkey AS i,
+                          sum(l_quantity::BIGINT)::BIGINT AS rt
+                   FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+                   GROUP BY 1, 2),
+        v0 AS (SELECT DISTINCT i AS k, 1000000::BIGINT AS f6 FROM r),
+        $steps,
+        n AS (SELECT i, count(DISTINCT u)::BIGINT AS n_users FROM r GROUP BY i)
+        SELECT v$iters.k AS l_partkey, n.n_users,
+               floor((v$iters.f6::DOUBLE / 1e6) * 1e6 + 0.5) / 1e6 AS v_r
+        FROM v$iters JOIN n ON n.i = v$iters.k ORDER BY l_partkey"""
   }
 
   /** Dense zero-filled per-stream hourly count series (mirror of

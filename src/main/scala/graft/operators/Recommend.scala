@@ -1,0 +1,97 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Collaborative-filtering primitives over relational interaction data —
+  * the "what belongs together" signal a curation pipeline uses to build
+  * contrastive pairs, session-aware mixtures, and popularity-deconfounded
+  * item scores (the raw count ranks what's bought a lot; the factor ranks
+  * what's bought by HIGH-ENGAGEMENT buyers).
+  *
+  * Everything here follows the engine's exact-replay discipline: latent
+  * factors live as 6-dp-SCALED INTEGERS between half-steps, so every
+  * aggregate the solver takes is an exact decimal sum (no float
+  * partial-agg order can flip a bit) and the fixed-iteration result
+  * replays bit-identically in the DuckDB oracle.
+  */
+object Recommend {
+
+  /** Rank-1 alternating least squares for implicit feedback (the scalar
+    * core of Hu, Koren & Volinsky, "Collaborative Filtering for Implicit
+    * Feedback Datasets", ICDM 2008; rank 1 is the power iteration on the
+    * rating matrix's dominant singular pair). Per round, with observed
+    * cells only:
+    *
+    *   u_i = Σ_{j∈J(i)} r_ij·v_j / Σ_{j∈J(i)} v_j²
+    *   v_j = Σ_{i∈I(j)} r_ij·u_i / Σ_{i∈I(j)} u_i²
+    *
+    * Determinism: factors are QUANTIZED to 6 dp after every half-step
+    * and carried as scaled longs, so the next half-step's numerator
+    * (Σ r·v6, integers) and denominator (Σ v6², integers) are exact
+    * decimal(38,0) sums — the [[Stats.welchTTest]] discipline — and the
+    * division `N·1e6/D` is one fixed-order scalar op. The alternative
+    * (raw double factors) leaves both sums at the mercy of partial-agg
+    * order and cannot hash-match cross-engine.
+    *
+    * Scale shape: the ratings relation is materialized ONCE
+    * (checkpoint); each half-step is one broadcastable factor join
+    * (factor tables are user-/item-sized, orders of magnitude below the
+    * interaction relation) plus one partial-agg groupBy — the same
+    * two-shuffle round as [[Graph.pagerank]], and on a cluster the
+    * factor joins stay co-partitioned with the cached ratings. A cell
+    * whose denominator quantizes to 0 (all its factors rounded away)
+    * reads factor 0 instead of an ANSI divide error.
+    *
+    * Returns the ITEM factor table (item, n_users, v_r) after `iters`
+    * full rounds from v ≡ 1 — v_r is the implicit-feedback item score.
+    */
+  def alsRank1(
+      ratings: DataFrame,
+      userCol: String,
+      itemCol: String,
+      ratingCol: String,
+      iters: Int = 2): DataFrame = {
+    require(iters >= 1, s"iters ($iters) must be >= 1")
+    val r = ratings
+      .select(col(userCol).as("__u"), col(itemCol).as("__i"),
+        col(ratingCol).cast("long").as("__r"))
+      .where(col("__u").isNotNull && col("__i").isNotNull && col("__r").isNotNull)
+      .localCheckpoint(true)
+    val nUsers = r.groupBy(col("__i")).agg(countDistinct(col("__u")).as("n_users"))
+    val vInit = r.select(col("__i").as("__k")).distinct()
+      .withColumn("__f6", lit(1000000L))
+    val vFinal = (1 to iters).foldLeft(vInit) { (v, _) =>
+      val u = alsHalfStep(r, "__u", v, "__i").localCheckpoint(true)
+      alsHalfStep(r, "__i", u, "__u").localCheckpoint(true)
+    }
+    vFinal
+      .join(nUsers, col("__k") === col("__i"))
+      .select(col("__k").as(itemCol), col("n_users"),
+        Portable.pround(col("__f6").cast("double") / lit(1e6), 6).as("v_r"))
+  }
+
+  /** One ALS half-step: solve one side's factors against the other's
+    * quantized table — the representative-iteration plan the audit
+    * checks (the real loop hides each half-step behind a checkpoint).
+    * `ratings` carries (__u, __i, __r); `factors` carries (__k, __f6).
+    */
+  def alsHalfStep(
+      ratings: DataFrame,
+      keyCol: String,
+      factors: DataFrame,
+      facKey: String): DataFrame =
+    ratings.join(broadcast(factors.withColumnRenamed("__k", facKey)), Seq(facKey))
+      .groupBy(col(keyCol).as("__k"))
+      .agg(
+        sum(col("__r").cast("decimal(38,0)") * col("__f6")).as("__n"),
+        sum(col("__f6").cast("decimal(38,0)") * col("__f6")).as("__d"))
+      .select(col("__k"),
+        // N/1e6 ÷ D/1e12 = N·1e6/D, quantized straight back to 6 dp
+        when(col("__d") > 0,
+          floor(col("__n").cast("double") * lit(1e6) / col("__d").cast("double")
+            * lit(1e6) + lit(0.5)).cast("long"))
+          .otherwise(lit(0L)).as("__f6"))
+}

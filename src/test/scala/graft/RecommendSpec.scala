@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators.Recommend
+
+/** [[Recommend.alsRank1]]: the quantized half-step schedule must equal an
+  * exact BigInt mirror bit for bit (the whole point of the scaled-long
+  * factor discipline), and hand-traceable shapes must read their known
+  * fixpoints.
+  */
+class RecommendSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def quant(n: BigInt, d: BigInt): Long =
+    if (d > 0) math.floor(n.toDouble * 1e6 / d.toDouble * 1e6 + 0.5).toLong else 0L
+
+  /** Exact integer mirror of the quantized ALS rounds. */
+  private def refAls(cells: Seq[(Int, Int, Long)], iters: Int): Map[Int, Double] = {
+    var v: Map[Int, Long] = cells.map(_._2).distinct.map(_ -> 1000000L).toMap
+    for (_ <- 1 to iters) {
+      val u = cells.groupBy(_._1).map { case (usr, cs) =>
+        usr -> quant(
+          cs.map { case (_, i, r) => BigInt(r) * v(i) }.sum,
+          cs.map { case (_, i, _) => BigInt(v(i)) * v(i) }.sum)
+      }
+      v = cells.groupBy(_._2).map { case (it, cs) =>
+        it -> quant(
+          cs.map { case (uu, _, r) => BigInt(r) * u(uu) }.sum,
+          cs.map { case (uu, _, _) => BigInt(u(uu)) * u(uu) }.sum)
+      }
+    }
+    v.map { case (i, f6) => i -> math.floor(f6.toDouble / 1e6 * 1e6 + 0.5) / 1e6 }
+  }
+
+  test("single-user matrix: item factors settle proportional to the ratings (hand fixpoint)") {
+    // one user, items rated 4 and 1: u solves to the projection 2.5, and
+    // v to (1.6, 0.4) — exactly proportional to the ratings; a second
+    // round reproduces the same pair (fixpoint), traced by hand
+    val ratings = Seq((1, 10, 4L), (1, 20, 1L)).toDF("u", "i", "r")
+    val got = Recommend.alsRank1(ratings, "u", "i", "r", iters = 2)
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    assert(got == Map(10 -> (1L, 1.6), 20 -> (1L, 0.4)), s"got $got")
+  }
+
+  test("alsRank1 fuzz: == the exact BigInt mirror on 15 random implicit matrices") {
+    val rnd = new java.util.Random(808L)
+    for (case_ <- 0 until 15) {
+      val nU = 2 + rnd.nextInt(8); val nI = 2 + rnd.nextInt(8)
+      val cells = (for {
+        u <- 0 until nU; i <- 0 until nI
+        if rnd.nextInt(3) > 0 // ~2/3 observed density
+      } yield (u, i, 1L + rnd.nextInt(50))).toSeq
+      if (cells.nonEmpty) {
+        val iters = 1 + rnd.nextInt(3)
+        val got = Recommend.alsRank1(cells.toDF("u", "i", "r"), "u", "i", "r", iters)
+          .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+        val want = refAls(cells, iters)
+        assert(got == want, s"case $case_ (iters=$iters): $got vs $want")
+        val users = cells.groupBy(_._2).view.mapValues(_.map(_._1).distinct.size).toMap
+        val gotN = Recommend.alsRank1(cells.toDF("u", "i", "r"), "u", "i", "r", 1)
+          .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+        assert(gotN == users, s"case $case_: n_users")
+      }
+    }
+  }
+}
