@@ -131,7 +131,9 @@ object ExplainAudit {
     // bounded pairwise trend tests)
     "q_kruskal_wallis", "q_mann_kendall", "q_theil_sen",
     // round 14: dense-spine lag statistics
-    "q_acf", "q_cusum")
+    "q_acf", "q_cusum",
+    // round 14: MAP eval, LDP randomized response, Good–Turing mass
+    "q_avg_precision", "q_rr_freq", "q_good_turing")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

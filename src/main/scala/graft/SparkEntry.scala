@@ -1005,6 +1005,42 @@ object SparkEntry {
         .orderBy("qid")
     }),
 
+    // -- average precision @10 of the same BM25 ranker (the MAP per-query
+    //    term): rewards putting EVERY relevant doc early, binary
+    //    conjunctive truth set, running precision on a per-qid window
+    "q_avg_precision" -> ((s, dir) => {
+      Search
+        .avgPrecisionEval(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")),
+          Seq(
+            1 -> Seq("spark", "query"),
+            2 -> Seq("vector", "stream", "merge"),
+            3 -> Seq("data", "table", "row")),
+          k = 10)
+        .orderBy("qid")
+    }),
+
+    // -- k-ary randomized response over the language column: local-DP
+    //    released counts + the unbiased de-bias estimate; both coins are
+    //    deterministic md5 draws so the release replays exactly
+    "q_rr_freq" -> ((s, dir) => {
+      operators.Stats
+        .randomizedResponse(t(s, dir, "documents"), "doc_id", "lang", p = 0.75)
+        .orderBy("lang")
+    }),
+
+    // -- Good–Turing frequency-of-frequencies over raw TRIGRAMS:
+    //    adjusted counts r* and the unseen-mass P0 = N1/N — computed on
+    //    the 3-gram domain because the synthetic unigram vocabulary is
+    //    31 saturated types (min count 26: no tail at all), while the
+    //    trigram domain has a real Zipf tail (9 424 hapaxes at sf0.01)
+    "q_good_turing" -> ((s, dir) =>
+      TextAnalysis.goodTuring(
+        t(s, dir, "documents")
+          .select(explode(TextAnalysis.rawShinglesFromToks(
+            Tokenize.tokenArray(col("text")), 3)).as("word")),
+        maxR = 5)),
+
     // -- per-doc keyword extraction: top-3 terms by tf·ln(N/df), score
     //    rounded BEFORE ranking, window bounded by per-doc vocab
     "q_doc_keywords" -> ((s, dir) => {
@@ -4817,6 +4853,106 @@ object SparkEntry {
                  floor(idcg * 1e4 + 0.5) / 1e4 AS idcg_r,
                  floor((dcg / idcg) * 1e4 + 0.5) / 1e4 AS ndcg_r
           FROM d JOIN i USING (qid) ORDER BY d.qid""",
+    // same BM25 ranking + conjunctive truth CTEs as q_retrieval_eval;
+    // AP = Σ P@i over relevant ranks / min(n_rel, k)
+    "q_avg_precision" ->
+      s"""WITH $TokCte,
+          dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+          stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+          q AS (SELECT 1 AS qid, ['spark', 'query'] AS terms
+                UNION ALL SELECT 2, ['vector', 'stream', 'merge']
+                UNION ALL SELECT 3, ['data', 'table', 'row']),
+          tf AS (SELECT q.qid, t.doc_id, t.word, count(*) AS tf
+                 FROM tok t JOIN q ON list_contains(q.terms, t.word)
+                 GROUP BY 1, 2, 3),
+          dfs AS (SELECT qid, word, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY 1, 2),
+          sc AS (SELECT qid, doc_id,
+                        floor((sum(ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0)
+                                   * (tf * (1.2 + 1.0))
+                                   / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))) * 1e4 + 0.5) / 1e4 AS score_r
+                 FROM (SELECT tf.qid, tf.doc_id, tf.tf, dfs.df_t, dl.dl, n_docs, avgdl
+                       FROM tf JOIN dfs ON dfs.qid = tf.qid AND dfs.word = tf.word
+                       JOIN dl ON dl.doc_id = tf.doc_id CROSS JOIN stats) x
+                 GROUP BY 1, 2),
+          tp AS (SELECT qid, doc_id, rnk FROM (
+                   SELECT qid, doc_id,
+                          row_number() OVER (PARTITION BY qid
+                                             ORDER BY score_r DESC, doc_id) AS rnk
+                   FROM sc) r WHERE rnk <= 10),
+          rel AS (SELECT x.qid, t.doc_id
+                  FROM (SELECT qid, terms, len(terms) AS nt FROM q) x
+                  JOIN tok t ON list_contains(x.terms, t.word)
+                  GROUP BY x.qid, t.doc_id, x.nt
+                  HAVING count(DISTINCT t.word) = x.nt),
+          nr AS (SELECT qid, count(*)::BIGINT AS n_rel FROM rel GROUP BY 1),
+          pr AS (SELECT tp.qid, tp.rnk,
+                        CASE WHEN rel.doc_id IS NOT NULL THEN 1 ELSE 0 END AS isrel
+                 FROM tp LEFT JOIN rel ON rel.qid = tp.qid AND rel.doc_id = tp.doc_id),
+          cm AS (SELECT qid, rnk, isrel,
+                        sum(isrel) OVER (PARTITION BY qid ORDER BY rnk) AS cum
+                 FROM pr),
+          a AS (SELECT qid, sum(isrel)::BIGINT AS rel_in_topk,
+                       sum(CASE WHEN isrel = 1 THEN cum::DOUBLE / rnk::DOUBLE END) AS s
+                FROM cm GROUP BY qid)
+          SELECT nr.qid, nr.n_rel, coalesce(a.rel_in_topk, 0) AS rel_in_topk,
+                 floor((coalesce(a.s, 0.0) / least(nr.n_rel, 10)::DOUBLE) * 1e4 + 0.5) / 1e4 AS ap_r
+          FROM nr LEFT JOIN a USING (qid) ORDER BY nr.qid""",
+    // md5-replayed keep/pick coins over the sorted category domain;
+    // estimate de-biased with the Scala-emitted literals
+    "q_rr_freq" ->
+      """WITH r0 AS (SELECT doc_id, lang FROM documents
+                     WHERE doc_id IS NOT NULL AND lang IS NOT NULL),
+          cats AS (SELECT lang AS c, row_number() OVER (ORDER BY lang) - 1 AS idx
+                   FROM (SELECT DISTINCT lang FROM r0) d),
+          kk AS (SELECT count(*)::BIGINT AS k FROM cats),
+          nn AS (SELECT count(*)::BIGINT AS n FROM r0),
+          rep AS (SELECT CASE WHEN ('0x' || substr(md5('rr:' || doc_id), 1, 13))::BIGINT::DOUBLE
+                                   / 4503599627370496.0 < 0.75
+                              THEN r0.lang ELSE c2.c END AS rc
+                  FROM r0 CROSS JOIN kk
+                  JOIN cats c2
+                    ON c2.idx = ('0x' || substr(md5('rrpick:' || doc_id), 1, 13))::BIGINT % kk.k),
+          f AS (SELECT rc AS c, count(*)::BIGINT AS n_reported FROM rep GROUP BY rc),
+          tt AS (SELECT lang AS c, count(*)::BIGINT AS n_true FROM r0 GROUP BY lang)
+          SELECT cats.c AS lang,
+                 coalesce(tt.n_true, 0) AS n_true,
+                 coalesce(f.n_reported, 0) AS n_reported,
+                 floor((coalesce(tt.n_true, 0)::DOUBLE / nn.n::DOUBLE) * 1e6 + 0.5) / 1e6 AS pi_true_r,
+                 floor(((coalesce(f.n_reported, 0)::DOUBLE / nn.n::DOUBLE
+                         - 0.25 / kk.k::DOUBLE) / 0.75) * 1e6 + 0.5) / 1e6 AS pi_est_r
+          FROM cats LEFT JOIN tt USING (c) LEFT JOIN f USING (c)
+          CROSS JOIN kk CROSS JOIN nn
+          ORDER BY lang""",
+    // frequency-of-frequencies over raw trigrams (the rsh enumeration of
+    // q_quality_repetition), filtered to r <= maxR+1 before the N_{r+1}
+    // self-join; exact integer ratios
+    "q_good_turing" ->
+      """WITH toks0 AS (
+           SELECT doc_id,
+                  list_filter(
+                    list_transform(regexp_split_to_array(text, '\s+'),
+                                   x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                    w -> w <> '') AS toks
+           FROM documents),
+          rsh AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                       WHEN len(toks) >= 3
+                       THEN list_transform(range(1, len(toks) - 1),
+                                           i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                       ELSE [array_to_string(toks, ' ')] END AS sh
+           FROM toks0),
+          g AS (SELECT unnest(sh) AS word FROM rsh),
+          c AS (SELECT word, count(*) AS c FROM g GROUP BY word),
+          fof AS (SELECT c AS r, count(*)::BIGINT AS n_r FROM c WHERE c <= 6 GROUP BY c),
+          nt AS (SELECT count(*)::BIGINT AS n FROM g),
+          p0 AS (SELECT n_r AS n1 FROM fof WHERE r = 1)
+          SELECT f.r::BIGINT AS r, f.n_r, coalesce(g.n_r, 0) AS n_next,
+                 floor(((f.r + 1)::DOUBLE * coalesce(g.n_r, 0)::DOUBLE / f.n_r::DOUBLE) * 1e6 + 0.5) / 1e6 AS rstar_r,
+                 floor((p0.n1::DOUBLE / nt.n::DOUBLE) * 1e6 + 0.5) / 1e6 AS p0_r
+          FROM fof f LEFT JOIN fof g ON g.r = f.r + 1
+          CROSS JOIN nt CROSS JOIN p0
+          WHERE f.r <= 5 ORDER BY r""",
     "q_doc_keywords" ->
       s"""WITH $TokCte,
           tf AS (SELECT doc_id, word, count(*) AS tf FROM tok GROUP BY 1, 2),

@@ -918,4 +918,48 @@ object TextAnalysis {
       .limit(k)
       .select(col("word"), col("c1"), col("c2"), col("delta_r"))
   }
+
+  /** Good–Turing frequency smoothing table (Good, Biometrika 1953): the
+    * frequency-of-frequencies N_r, the adjusted count r* = (r+1)·N_{r+1}
+    * / N_r for r = 1..maxR, and the UNSEEN-MASS estimate P₀ = N₁/N —
+    * "how much probability belongs to tokens this corpus has never
+    * seen", the vocabulary-coverage dial behind smoothing choices, OOV
+    * budgeting and corpus-growth planning ([[graft.operators.Stats]]'
+    * vocabGrowth asks how fast types arrive; Good–Turing asks how much
+    * mass is still missing).
+    *
+    * Scale shape: one partial-agg token count (vocabulary-sized), one
+    * count-of-counts over it, filtered to r ≤ maxR+1 BEFORE the
+    * N_{r+1} self-join — so the joined relation is maxR+1 rows
+    * (constant), no window at all; N rides a broadcast scalar. Every
+    * quantity is an exact integer ratio, rounded once.
+    *
+    * Returns (r, n_r, n_next, rstar_r, p0_r), one row per r = 1..maxR
+    * (rows with N_r = 0 don't exist — their r* is undefined); p0_r is
+    * the corpus constant repeated for self-containment.
+    */
+  def goodTuring(tokens: DataFrame, maxR: Int = 5): DataFrame = {
+    require(maxR >= 1, s"maxR ($maxR) must be >= 1")
+    val fof = tokens
+      .groupBy(col("word")).agg(count(lit(1)).as("__c"))
+      .where(col("__c") <= maxR + 1)
+      .groupBy(col("__c").as("r")).agg(count(lit(1)).as("n_r"))
+      .localCheckpoint(true)
+    val nTok = broadcast(tokens.agg(count(lit(1)).as("__n")))
+    val p0 = broadcast(fof.where(col("r") === 1)
+      .select(col("n_r").as("__n1")))
+    fof
+      .where(col("r") <= maxR)
+      .join(fof.select((col("r") - 1).as("r"), col("n_r").as("n_next")), Seq("r"), "left")
+      .na.fill(0L, Seq("n_next"))
+      .crossJoin(nTok)
+      .crossJoin(p0)
+      .select(col("r"), col("n_r"), col("n_next"),
+        Portable.pround(
+          (col("r") + 1).cast("double") * col("n_next").cast("double")
+            / col("n_r").cast("double"), 6).as("rstar_r"),
+        Portable.pround(
+          col("__n1").cast("double") / col("__n").cast("double"), 6).as("p0_r"))
+      .orderBy(col("r"))
+  }
 }

@@ -367,6 +367,59 @@ object Search {
           coalesce(lit(1.0) / col("__first"), lit(0.0)), 4).as("mrr_r"))
   }
 
+  /** Average precision @k of the BM25 ranker (the per-query term of MAP,
+    * the TREC standard): AP = Σ_{i≤k, rel_i} P@i / min(R, k) — unlike
+    * [[retrievalEval]]'s recall/MRR it rewards putting EVERY relevant
+    * doc early, not just the first, and unlike [[ndcgEval]] it stays
+    * binary (relevant = contains ALL query terms, the conjunctive truth
+    * set). The running precision P@i is a cumulative count over a
+    * PARTITIONED (per-qid, ≤k rows) window; n_rel is one count off the
+    * relevance relation. Queries with an empty truth set are dropped
+    * (AP undefined).
+    *
+    * Returns (qid, n_rel, rel_in_topk, ap_r).
+    */
+  def avgPrecisionEval(
+      tokens: DataFrame,
+      queries: Seq[(Int, Seq[String])],
+      k: Int = 10,
+      idCol: String = "doc_id"): DataFrame = {
+    require(queries.nonEmpty && k >= 1, s"need queries and k >= 1 (k=$k)")
+    val top = bm25TopIds(tokens, queries, k, idCol)
+    val rel = queries
+      .map { case (qid, words) =>
+        val terms = cleanedTerms(words).distinct
+        tokens
+          .where(col("word").isin(terms: _*))
+          .groupBy(col(idCol))
+          .agg(countDistinct(col("word")).as("__nt"))
+          .where(col("__nt") === terms.length)
+          .select(lit(qid).as("qid"), col(idCol))
+      }
+      .reduce(_.unionByName(_))
+    val nRel = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
+    val wCum = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("rank"))
+    val ap = top
+      .join(rel.withColumn("__isrel", lit(1L)), Seq("qid", idCol), "left")
+      .na.fill(0L, Seq("__isrel"))
+      .withColumn("__cum", sum(col("__isrel")).over(wCum))
+      .groupBy(col("qid"))
+      .agg(
+        sum(col("__isrel")).as("rel_in_topk"),
+        sum(when(col("__isrel") === 1,
+          col("__cum").cast("double") / col("rank").cast("double"))).as("__s"))
+    nRel
+      .join(ap, Seq("qid"), "left")
+      .select(
+        col("qid"),
+        col("n_rel"),
+        coalesce(col("rel_in_topk"), lit(0L)).as("rel_in_topk"),
+        graft.functions.Portable.pround(
+          coalesce(col("__s"), lit(0.0)) / least(col("n_rel"), lit(k.toLong)).cast("double"),
+          4).as("ap_r"))
+  }
+
   /** nDCG@k of the BM25 ranker with GRADED relevance — the eval metric
     * [[retrievalEval]]'s binary recall/MRR can't express: a doc matching
     * all three query terms should out-rank one matching two, and a ranker

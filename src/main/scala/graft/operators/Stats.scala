@@ -1278,6 +1278,71 @@ object Stats {
     * Returns (groupCol, n, noise_r, released_r) — released clamped ≥ 0,
     * both 4-dp.
     */
+  /** k-ary randomized response (Warner, JASA 1965; the generalized
+    * direct-encoding mechanism of local differential privacy): each row
+    * REPORTS its true category with probability p, otherwise a uniform
+    * draw over the full k-category domain — the collector never sees
+    * trustworthy individual values, yet the aggregate is recoverable:
+    * E[f_c/n] = p·π_c + (1−p)/k, so π̂_c = (f_c/n − (1−p)/k)/p is
+    * unbiased (ε = ln((p + (1−p)/k)/((1−p)/k)) per-row LDP). The
+    * per-pipeline use: ship usage/category telemetry off restricted
+    * corpora while releasing only the perturbed rows.
+    *
+    * Both coins are the engine's deterministic md5 draws (the
+    * [[dpNoisyCounts]] discipline): keep-coin from a 52-bit md5 prefix
+    * of (salt, id), replacement index from an independent salt modulo k
+    * over the SORTED category domain — so the released table, hence the
+    * estimate, replays exactly cross-engine and across reruns. (The
+    * 52-bit modulo's residual bias is ≤ k·2⁻⁵² — far below the
+    * mechanism's own sampling noise, and identical on both engines.)
+    * The category index assignment windows the CATEGORY DOMAIN
+    * (metadata-sized), never the row relation.
+    *
+    * Returns per category (catCol, n_true, n_reported, pi_true_r,
+    * pi_est_r) — the true share only for audit; a production caller
+    * releases the reported counts and the estimate alone.
+    */
+  def randomizedResponse(
+      df: DataFrame,
+      idCol: String,
+      catCol: String,
+      p: Double = 0.75,
+      salt: String = "rr"): DataFrame = {
+    require(p > 0 && p < 1, s"p ($p) must be in (0,1)")
+    val rows = df.select(col(idCol).as("__id"), col(catCol).as("__c"))
+      .where(col("__id").isNotNull && col("__c").isNotNull)
+    val cats = rows.select(col("__c")).distinct()
+      .withColumn("__idx",
+        row_number().over(Window.orderBy(col("__c"))) - 1)
+      .localCheckpoint(true)
+    val kTot = broadcast(cats.agg(count(lit(1)).as("__k"))
+      .crossJoin(rows.agg(count(lit(1)).as("__n"))))
+    val keep = conv(substring(md5(concat(lit(s"$salt:"), col("__id").cast("string"))), 1, 13),
+      16, 10).cast("double") / lit(4503599627370496.0) < lit(p)
+    val pick = conv(substring(md5(concat(lit(s"${salt}pick:"), col("__id").cast("string"))), 1, 13),
+      16, 10).cast("long")
+    val reported = rows
+      .crossJoin(kTot.select(col("__k")))
+      .withColumn("__pick", pick % col("__k"))
+      .join(broadcast(cats.select(col("__c").as("__rc"), col("__idx"))),
+        col("__pick") === col("__idx"))
+      .select(when(keep, col("__c")).otherwise(col("__rc")).as("__rep"))
+      .groupBy(col("__rep").as("__c"))
+      .agg(count(lit(1)).as("n_reported"))
+    val truth = rows.groupBy(col("__c")).agg(count(lit(1)).as("n_true"))
+    cats.select(col("__c"))
+      .join(truth, Seq("__c"), "left")
+      .join(reported, Seq("__c"), "left")
+      .na.fill(0L, Seq("n_true", "n_reported"))
+      .crossJoin(kTot)
+      .select(col("__c").as(catCol), col("n_true"), col("n_reported"),
+        Portable.pround(col("n_true").cast("double") / col("__n").cast("double"), 6)
+          .as("pi_true_r"),
+        Portable.pround(
+          (col("n_reported").cast("double") / col("__n").cast("double")
+            - lit(1.0 - p) / col("__k").cast("double")) / lit(p), 6).as("pi_est_r"))
+  }
+
   def dpNoisyCounts(
       df: DataFrame,
       groupCol: String,

@@ -882,4 +882,22 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(3L) == ("unknown", "unknown", 0), s"got $got")
     assert(got(4L)._1 == "en" && got(4L)._3 == 1, s"got $got")
   }
+
+  test("goodTuring: hand-computed N_r, r* and unseen mass on a fixed count profile") {
+    // counts: a=1, b=1, c=2, d=3 → N=7, N1=2, N2=1, N3=1
+    //   r=1: r* = 2·N2/N1 = 1.0      r=2: r* = 3·N3/N2 = 3.0
+    //   P0 = N1/N = 2/7 = 0.285714…
+    val toks = Seq("a", "b", "c", "c", "d", "d", "d").toDF("word")
+    val got = graft.functions.TextAnalysis.goodTuring(toks, maxR = 2)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    assert(got == Map(
+      1L -> (2L, 1L, 1.0, 0.285714),
+      2L -> (1L, 1L, 3.0, 0.285714)), s"got $got")
+  }
+
+  test("goodTuring: a saturated domain (no counts <= maxR+1) reads empty, not wrong") {
+    val toks = Seq.fill(10)("x").toDF("word")
+    assert(graft.functions.TextAnalysis.goodTuring(toks, maxR = 2).collect().isEmpty)
+  }
 }

@@ -272,4 +272,30 @@ class DriftStatsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_shared") == 1)
     assert(r.getAs[Double]("jsd_r") == 0.346574, s"½ln2: ${r.getAs[Double]("jsd_r")}")
   }
+
+  test("randomizedResponse: deterministic replay, mass conserved, p→1 collapses to the truth") {
+    val rows = ((0 until 120).map(i => (i.toLong, "en"))
+      ++ (120 until 180).map(i => (i.toLong, "fr"))
+      ++ (180 until 200).map(i => (i.toLong, "de"))).toDF("id", "lang")
+    val a = Stats.randomizedResponse(rows, "id", "lang", p = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    val b = Stats.randomizedResponse(rows, "id", "lang", p = 0.5)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).sortBy(_._1).toSeq
+    assert(a == b, "md5 coins must replay identically")
+    assert(a.map(_._2).sum == 200L && a.map(_._3).sum == 200L,
+      "both the true and released tables partition the corpus")
+    assert(a.exists(r => r._2 != r._3),
+      "p=0.5 must actually perturb this skewed corpus")
+    // Σπ̂ telescopes to 1 exactly in rationals; only rounding remains
+    assert(math.abs(a.map(_._5).sum - 1.0) < 1e-5, s"estimates sum to 1: $a")
+    // near-certain keep: released == truth, estimate == true share
+    val tight = Stats.randomizedResponse(rows, "id", "lang", p = 0.9999)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(tight.forall(r => r._2 == r._3), "p=0.9999 keeps every row on this corpus")
+    tight.foreach(r => assert(math.abs(r._5 - r._4) < 1e-3,
+      s"de-bias must collapse to the true share: $r"))
+  }
 }

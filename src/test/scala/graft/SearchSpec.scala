@@ -106,6 +106,46 @@ class SearchSpec extends SparkSpec {
     assert(at1 == ((2L, 1L, 0.5, 1.0)), s"k=1 truncation: $at1")
   }
 
+  test("avgPrecisionEval: front-loaded relevance reads 1.0; interleaving matches the metric mirror") {
+    val toks = Tokenize.tokens(Seq(
+      (1L, "spark query spark"),
+      (2L, "spark query"),
+      (3L, "spark alone here"),
+      (4L, "unrelated words only")).toDF("doc_id", "text"), "text", Seq("doc_id"))
+    val qs = Seq(1 -> Seq("spark", "query"), 2 -> Seq("absentword"))
+    val got = Search.avgPrecisionEval(toks, qs, k = 10)
+      .collect().map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got.keySet == Set(1), "empty truth set emits no row")
+    // both relevant docs lead the ranking: AP = (1/1 + 2/2)/2 = 1.0
+    assert(got(1) == ((2L, 2L, 1.0)), s"got ${got(1)}")
+
+    // interleaved case: the long both-term doc sinks below a one-term
+    // doc under length normalization; AP must equal the metric applied
+    // by hand to the engine's OWN ranking and the independent truth set
+    val longDoc = "spark query " + Seq.fill(40)("filler").mkString(" ")
+    val corpus = Seq(
+      (1L, "spark query"), (2L, "spark spark spark"),
+      (3L, longDoc), (4L, "none of these"))
+    val toks2 = Tokenize.tokens(corpus.toDF("doc_id", "text"), "text", Seq("doc_id"))
+    val q2 = Seq(5 -> Seq("spark", "query"))
+    val gotAp = Search.avgPrecisionEval(toks2, q2, k = 10)
+      .collect().map(r => (r.getLong(1), r.getDouble(3))).head
+    val ranked = Search.bm25Query(toks2, Seq("spark", "query"))
+      .orderBy(org.apache.spark.sql.functions.desc("score"),
+        org.apache.spark.sql.functions.asc("doc_id"))
+      .collect().map(_.getLong(0)).toSeq
+    val rel = corpus.filter { case (_, t) =>
+      t.split(" ").toSet.intersect(Set("spark", "query")).size == 2
+    }.map(_._1).toSet
+    var hits = 0
+    val terms = ranked.zipWithIndex.collect { case (d, i) if rel(d) =>
+      hits += 1; hits.toDouble / (i + 1)
+    }
+    val want = math.floor(terms.sum / math.min(rel.size, 10) * 1e4 + 0.5) / 1e4
+    assert(gotAp == ((rel.size.toLong, want)), s"got $gotAp, mirror $want over ranking $ranked")
+    assert(want < 1.0, "the fixture must actually interleave")
+  }
+
   test("ndcgEval: uniform grades score 1.0; graded misordering matches the metric mirror") {
     // single-term query: every relevant doc has grade 1, so ANY order is
     // ideal -> nDCG is exactly 1.0
