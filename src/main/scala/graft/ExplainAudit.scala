@@ -132,8 +132,10 @@ object ExplainAudit {
     "q_kruskal_wallis", "q_mann_kendall", "q_theil_sen",
     // round 14: dense-spine lag statistics
     "q_acf", "q_cusum",
-    // round 14: MAP eval, LDP randomized response, Good–Turing mass
-    "q_avg_precision", "q_rr_freq", "q_good_turing")
+    // round 14: MAP eval, LDP randomized response, Good–Turing mass,
+    // session-chain stationary distribution (final two lazy rounds
+    // downstream of the checkpointed quantized transition relation)
+    "q_avg_precision", "q_rr_freq", "q_good_turing", "q_markov_stationary")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

@@ -3519,6 +3519,17 @@ object SparkEntry {
         .orderBy("from_type", "to_type")
     }),
 
+    // -- stationary distribution of the session transition chain (8
+    //    quantized power-iteration rounds): where a long browse SPENDS
+    //    its time, not just the one-step hop rates
+    "q_markov_stationary" -> ((s, dir) => {
+      operators.Journeys
+        .markovStationary(
+          operators.Journeys.sessionTransitions(graft.sources.EventsSource.events(s, dir)),
+          iters = 8)
+        .orderBy("state")
+    }),
+
     // -- content-defined chunking: token-hash cut points (rsync/LBFS rule
     //    at token granularity) — boundaries survive upstream insertions,
     //    so chunk hashes match across near-duplicate documents
@@ -7829,6 +7840,7 @@ object SparkEntry {
          SELECT from_type, to_type, n,
                 floor((n::DOUBLE / sum(n) OVER (PARTITION BY from_type)) * 1e4 + 0.5) / 1e4 AS p
          FROM c ORDER BY from_type, to_type""",
+    "q_markov_stationary" -> markovSql(iters = 8),
     "q_cdc_chunks" ->
       """WITH t0 AS (
            SELECT doc_id,
@@ -8874,6 +8886,58 @@ object SparkEntry {
         FROM nodes n LEFT JOIN h$iters h ON n.node = h.node
                      LEFT JOIN a$iters a ON n.node = a.node
         ORDER BY n.node"""
+  }
+
+  /** Unrolled quantized power iteration for the session-chain stationary
+    * distribution (mirror of Journeys.markovStationary): 6-dp scaled
+    * transition probs and iterate, HUGEINT-exact mass sums.
+    */
+  private def markovSql(iters: Int): String = {
+    val steps = (1 to iters).map { i =>
+      s"""pi$i AS (
+            SELECT st.sid, coalesce(m.v, 0)::BIGINT AS pi6 FROM st
+            LEFT JOIN (SELECT p6.t AS sid,
+                              floor(sum(pi.pi6::HUGEINT * p6.p6)::DOUBLE / 1e6 + 0.5)::BIGINT AS v
+                       FROM p6 JOIN pi${i - 1} pi ON pi.sid = p6.f
+                       GROUP BY p6.t) m USING (sid))"""
+    }.mkString(",\n")
+    s"""WITH x AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                  lag(epoch_us(ts)) OVER w AS prev_us
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+        sx AS (
+           SELECT user_id, event_id, event_type, ts_us,
+                  CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000 THEN 1 ELSE 0 END AS new_sess
+           FROM x),
+        rx AS (
+           SELECT user_id, event_type, ts_us, event_id,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM sx),
+        tx AS (
+           SELECT event_type AS from_type,
+                  lead(event_type) OVER w2 AS to_type,
+                  sess_id,
+                  lead(sess_id) OVER w2 AS next_sess
+           FROM rx
+           WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id)),
+        c AS (
+           SELECT from_type AS f, to_type AS t, count(*) AS n
+           FROM tx WHERE to_type IS NOT NULL AND next_sess = sess_id
+           GROUP BY 1, 2),
+        rs AS (SELECT f, sum(n) AS r FROM c GROUP BY f),
+        p6 AS (SELECT c.f, c.t,
+                      floor(c.n::DOUBLE / rs.r::DOUBLE * 1e6 + 0.5)::BIGINT AS p6
+               FROM c JOIN rs USING (f)),
+        st AS (SELECT f AS sid FROM p6 UNION SELECT t FROM p6),
+        kk AS (SELECT count(*)::BIGINT AS k FROM st),
+        pi0 AS (SELECT sid, floor(1e6 / k::DOUBLE + 0.5)::BIGINT AS pi6
+                FROM st CROSS JOIN kk),
+        $steps,
+        tot AS (SELECT sum(pi6)::DOUBLE AS tot FROM pi$iters)
+        SELECT sid AS state, floor((pi6::DOUBLE / tot) * 1e6 + 0.5) / 1e6 AS pi_r
+        FROM pi$iters CROSS JOIN tot ORDER BY state"""
   }
 
   /** Unrolled fixed-iteration rank-1 ALS (mirror of Recommend.alsRank1):

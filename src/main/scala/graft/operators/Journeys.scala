@@ -54,6 +54,64 @@ object Journeys {
           4))
   }
 
+  /** Stationary distribution of the session-transition Markov chain:
+    * where does a long random browse actually SPEND its time — the
+    * steady-state complement to [[sessionTransitions]]' one-step view
+    * (a state can be a popular next-hop yet rarely dwelt in if it only
+    * feeds back into rare states). Computed by fixed-iteration power
+    * iteration π ← πP from uniform; states the chain never re-enters
+    * decay toward 0, absorbing cliques accumulate the mass.
+    *
+    * Determinism = the [[Recommend.alsRank1]] quantization discipline:
+    * transition probabilities AND the iterate are quantized to 6-dp
+    * scaled longs, so each step's mass sums are exact decimal(38,0)
+    * aggregates and the whole trajectory replays bit-identically
+    * cross-engine. (The quantized rows sum to 1e6 ± a few ulps-of-1e-6;
+    * the final report renormalizes — documented, deterministic.) Per
+    * round: one broadcast join of the state-sized iterate against the
+    * checkpointed (states²-bounded) transition relation + one
+    * partial-agg sum — metadata-sized throughout.
+    *
+    * Input: (from_type, to_type, n) — [[sessionTransitions]] output or
+    * any edge-count relation. Returns (state, pi_r), Σ pi_r ≈ 1.
+    */
+  def markovStationary(transitions: DataFrame, iters: Int = 8): DataFrame = {
+    require(iters >= 1, s"iters ($iters) must be >= 1")
+    val t0 = transitions.select(col("from_type").as("__f"), col("to_type").as("__t"),
+      col("n").cast("long").as("__n"))
+    val rowSum = t0.groupBy(col("__f")).agg(sum(col("__n")).as("__r"))
+    val p6 = t0.join(rowSum, Seq("__f"))
+      .select(col("__f"), col("__t"),
+        floor(col("__n").cast("double") / col("__r").cast("double") * lit(1e6) + lit(0.5))
+          .cast("long").as("__p6"))
+      .localCheckpoint(true)
+    val states = p6.select(col("__f").as("__s"))
+      .unionAll(p6.select(col("__t").as("__s")))
+      .distinct()
+      .localCheckpoint(true)
+    val k = broadcast(states.agg(count(lit(1)).as("__k")))
+    val init = states.crossJoin(k)
+      .select(col("__s"),
+        floor(lit(1e6) / col("__k").cast("double") + lit(0.5)).cast("long").as("__pi6"))
+    val piF = (1 to iters).foldLeft(init) { (pi, i) =>
+      val next = p6
+        .join(pi.withColumnRenamed("__s", "__f"), Seq("__f"))
+        .groupBy(col("__t").as("__s"))
+        .agg(sum(col("__pi6").cast("decimal(38,0)") * col("__p6")).as("__m"))
+        .select(col("__s"),
+          floor(col("__m").cast("double") / lit(1e6) + lit(0.5)).cast("long").as("__pi6"))
+      // states with no inbound transition drop out of the join: they hold
+      // mass 0 from here on, reinserted so the state set stays closed
+      val filled = states.join(next, Seq("__s"), "left").na.fill(0L, Seq("__pi6"))
+      if (i % 4 == 0 && i < iters) filled.localCheckpoint(true) else filled
+    }
+    val tot = broadcast(piF.agg(sum(col("__pi6")).as("__tot")))
+    piF.crossJoin(tot)
+      .select(col("__s").as("state"),
+        graft.functions.Portable.pround(
+          col("__pi6").cast("double") / col("__tot").cast("double"), 6).as("pi_r"))
+  }
+
   /** Pairwise association rules over baskets (market-basket analysis):
     * for every ordered item pair (a → b) co-occurring in ≥ `minPairs`
     * baskets, support / confidence / lift — the rule-mining primitive

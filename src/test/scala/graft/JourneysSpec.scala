@@ -140,4 +140,55 @@ class JourneysSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2)))
     assert(got.toSeq == Seq(("view", 1, 3L), ("click", 2, 1L), ("purchase", 3, 1L)))
   }
+
+  test("markovStationary: absorbing state takes all the mass; uniform chain is a fixpoint") {
+    import org.apache.spark.sql.functions.col
+    // a → b, b → b: every round drains a (no inbound), mass settles on b
+    val absorbing = Seq(("a", "b", 10L), ("b", "b", 5L)).toDF("from_type", "to_type", "n")
+    val got1 = Journeys.markovStationary(absorbing, iters = 4)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got1 == Map("a" -> 0.0, "b" -> 1.0), s"got $got1")
+    // symmetric two-state chain: uniform is the exact quantized fixpoint
+    val symmetric = Seq(("a", "b", 3L), ("b", "a", 3L)).toDF("from_type", "to_type", "n")
+    val got2 = Journeys.markovStationary(symmetric, iters = 5)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got2 == Map("a" -> 0.5, "b" -> 0.5), s"got $got2")
+  }
+
+  test("markovStationary fuzz: == the exact quantized BigInt replay on 12 random chains") {
+    import org.apache.spark.sql.functions.col
+    val rnd = new java.util.Random(31415L)
+    def quantReplay(edges: Seq[(String, String, Long)], iters: Int): Map[String, Double] = {
+      val rows = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+      val p6 = edges.map { case (f, t, n) =>
+        (f, t, math.floor(n.toDouble / rows(f).toDouble * 1e6 + 0.5).toLong)
+      }
+      val states = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      var pi: Map[String, Long] =
+        states.map(_ -> math.floor(1e6 / states.size.toDouble + 0.5).toLong).toMap
+      for (_ <- 1 to iters) {
+        val mass = p6.groupBy(_._2).view.mapValues(es =>
+          es.map { case (f, _, p) => BigInt(pi(f)) * p }.sum).toMap
+        pi = states.map(s => s ->
+          mass.get(s).map(m => math.floor(m.toDouble / 1e6 + 0.5).toLong).getOrElse(0L)).toMap
+      }
+      val tot = pi.values.sum.toDouble
+      pi.map { case (s, v) => s -> math.floor(v.toDouble / tot * 1e6 + 0.5) / 1e6 }
+    }
+    for (case_ <- 0 until 12) {
+      val k = 2 + rnd.nextInt(4)
+      val edges = (for {
+        f <- 0 until k; t <- 0 until k
+        if rnd.nextInt(3) > 0
+      } yield (s"s$f", s"s$t", 1L + rnd.nextInt(20))).toSeq
+      val covered = edges.map(_._1).distinct
+      if (edges.nonEmpty && covered.size == k) { // every state emits: rows well-defined
+        val iters = 1 + rnd.nextInt(6)
+        val got = Journeys.markovStationary(
+          edges.toDF("from_type", "to_type", "n"), iters)
+          .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+        assert(got == quantReplay(edges, iters), s"case $case_ (iters=$iters)")
+      }
+    }
+  }
 }
