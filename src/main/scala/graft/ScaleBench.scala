@@ -255,6 +255,43 @@ object ScaleBench {
       clearExcept(Set.empty)
       }
 
+      // label propagation + k-core over the SPARSE same-nation graph,
+      // replicated as f disjoint copies (shifted node ids): community
+      // structure and peel depth are invariant per copy, so rounds stay
+      // fixed and wall time should track edge volume linearly
+      if (want("label_prop") || want("kcore")) {
+      val baseNE = graft.operators.Graph.sameNationEdges(
+        spark.read.parquet(s"$sfDir/orders.parquet"),
+        spark.read.parquet(s"$sfDir/lineitem.parquet"),
+        spark.read.parquet(s"$sfDir/customer.parquet"),
+        spark.read.parquet(s"$sfDir/supplier.parquet"))
+        .localCheckpoint(true)
+      val rne = if (f == 1) baseNE
+        else (0 until f).map { r =>
+          baseNE.select(
+            concat(lit(s"r$r|"), col("src")).as("src"),
+            concat(lit(s"r$r|"), col("dst")).as("dst"))
+        }.reduce(_ unionAll _).localCheckpoint(true)
+      if (want("label_prop")) {
+        var comms = 0L
+        val lpSec = time {
+          comms = graft.operators.Graph.labelPropagation(rne, iters = 5)
+            .select("label").distinct().count()
+        }
+        println(
+          s"""{"pipeline":"label_prop","factor":$f,"sec":${f"$lpSec%.3f"},"communities":$comms}""")
+      }
+      if (want("kcore")) {
+        var core = 0L
+        val kcSec = time {
+          core = graft.operators.Graph.kCore(rne, k = 4, rounds = 6).count()
+        }
+        println(
+          s"""{"pipeline":"kcore","factor":$f,"sec":${f"$kcSec%.3f"},"core_nodes":$core}""")
+      }
+      clearExcept(Set.empty)
+      }
+
       if (want("embedding_neardup") || want("embedding_neardup_probe")) {
       val e = replicated(embs, "vec_id", f).localCheckpoint(true)
       val n = e.count()

@@ -287,6 +287,14 @@ object SparkEntry {
         .cusumChangepoint(graft.sources.EventsSource.events(s, dir))
         .orderBy("event_type")),
 
+    // -- level-shift readout: segment means around the CUSUM argmax +
+    //    Welch t between the segments, exact conditional sums in one
+    //    partial-agg pass off the same checkpointed spine
+    "q_level_shift" -> ((s, dir) =>
+      operators.TimeSeries
+        .levelShift(graft.sources.EventsSource.events(s, dir))
+        .orderBy("event_type")),
+
     // -- difference-in-differences launch readout: purchase events
     //    (treated) vs everything else across the mid-month boundary —
     //    the control trend subtracts out what moved BOTH groups; four
@@ -4265,6 +4273,41 @@ object SparkEntry {
           SELECT event_type, n::BIGINT AS n_buckets, h::BIGINT AS cp_hour,
                  floor((abs(ns)::DOUBLE / n::DOUBLE) * 1e6 + 0.5) / 1e6 AS mag_r
           FROM q WHERE rn = 1 ORDER BY event_type""",
+    // segment exact sums around the cusum argmax; welch-discipline t
+    "q_level_shift" ->
+      s"""WITH $DenseHourCte,
+          p AS (SELECT event_type, h, x,
+                       sum(x) OVER (PARTITION BY event_type ORDER BY h
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pre,
+                       row_number() OVER (PARTITION BY event_type ORDER BY h) AS t,
+                       count(*) OVER (PARTITION BY event_type) AS n,
+                       sum(x) OVER (PARTITION BY event_type) AS s1
+                FROM ser),
+          q AS (SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type
+                          ORDER BY abs(n * pre - t * s1) DESC, h) AS rn
+                FROM p),
+          cp AS (SELECT event_type, h AS cp_hour FROM q WHERE rn = 1),
+          st AS (SELECT ser.event_type, cp.cp_hour,
+                        sum(CASE WHEN ser.h <= cp.cp_hour THEN 1 ELSE 0 END)::BIGINT AS n_pre,
+                        sum(CASE WHEN ser.h <= cp.cp_hour THEN x ELSE 0 END)::BIGINT AS s1p,
+                        sum(CASE WHEN ser.h <= cp.cp_hour THEN x * x ELSE 0 END)::BIGINT AS s2p,
+                        sum(CASE WHEN ser.h > cp.cp_hour THEN 1 ELSE 0 END)::BIGINT AS n_post,
+                        sum(CASE WHEN ser.h > cp.cp_hour THEN x ELSE 0 END)::BIGINT AS s1q,
+                        sum(CASE WHEN ser.h > cp.cp_hour THEN x * x ELSE 0 END)::BIGINT AS s2q
+                 FROM ser JOIN cp USING (event_type)
+                 GROUP BY 1, 2)
+          SELECT event_type, cp_hour::BIGINT AS cp_hour, n_pre, n_post,
+                 floor((CASE WHEN n_pre > 0 THEN s1p::DOUBLE / n_pre END) * 1e4 + 0.5) / 1e4 AS mean_pre_r,
+                 floor((CASE WHEN n_post > 0 THEN s1q::DOUBLE / n_post END) * 1e4 + 0.5) / 1e4 AS mean_post_r,
+                 floor((CASE WHEN n_pre >= 2 AND n_post >= 2
+                             AND (s2p::DOUBLE - s1p::DOUBLE * s1p::DOUBLE / n_pre) / (n_pre - 1) / n_pre
+                               + (s2q::DOUBLE - s1q::DOUBLE * s1q::DOUBLE / n_post) / (n_post - 1) / n_post > 0.0
+                        THEN (s1p::DOUBLE / n_pre - s1q::DOUBLE / n_post)
+                             / sqrt((s2p::DOUBLE - s1p::DOUBLE * s1p::DOUBLE / n_pre) / (n_pre - 1) / n_pre
+                                  + (s2q::DOUBLE - s1q::DOUBLE * s1q::DOUBLE / n_post) / (n_post - 1) / n_post)
+                        END) * 1e4 + 0.5) / 1e4 AS t_r
+          FROM st ORDER BY event_type""",
     // exact-HUGEINT sums (the welch discipline), shared z-sum constant
     "q_mde" ->
       s"""WITH g AS (SELECT source, count(*)::BIGINT AS n,

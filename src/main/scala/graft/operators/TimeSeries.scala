@@ -342,8 +342,14 @@ object TimeSeries {
   def cusumChangepoint(
       events: DataFrame,
       keyCol: String = "event_type",
-      tsCol: String = "ts_t"): DataFrame = {
-    val ser = denseHourlySeries(events, keyCol, tsCol)
+      tsCol: String = "ts_t"): DataFrame =
+    cusumFromSeries(denseHourlySeries(events, keyCol, tsCol), keyCol)
+
+  /** [[cusumChangepoint]] body over an already-built (key, __h, __x)
+    * dense series — shared with [[levelShift]] so both legs run off ONE
+    * materialized spine.
+    */
+  def cusumFromSeries(ser: DataFrame, keyCol: String): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col("__h"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wk = Window.partitionBy(col(keyCol))
@@ -361,5 +367,56 @@ object TimeSeries {
       .select(col(keyCol), col("__n").as("n_buckets"), col("__h").as("cp_hour"),
         graft.functions.Portable.pround(
           abs(col("__ns")).cast("double") / col("__n").cast("double"), 6).as("mag_r"))
+  }
+
+  /** Level-shift readout at the CUSUM changepoint: split each key's
+    * dense hourly series at [[cusumChangepoint]]'s argmax (the last
+    * pre-shift hour by construction — S_t peaks where the deviation run
+    * ends) and report both segment means with Welch's unequal-variance t
+    * between them — "the stream's rate moved at hour H, from a to b,
+    * and the shift is/isn't noise". Locator and test compose from the
+    * engine's existing disciplines: the spine is materialized ONCE and
+    * feeds both legs; all segment statistics are conditional EXACT
+    * integer sums in one partial-agg pass (the [[graft.operators.Stats]]
+    * welchTTest discipline), so the readout replays bit-identically.
+    * Keys where either segment has <2 buckets or the combined variance
+    * is 0 read t_r = NULL.
+    *
+    * Returns (key, cp_hour, n_pre, n_post, mean_pre_r, mean_post_r, t_r).
+    */
+  def levelShift(
+      events: DataFrame,
+      keyCol: String = "event_type",
+      tsCol: String = "ts_t"): DataFrame = {
+    val ser = denseHourlySeries(events, keyCol, tsCol).localCheckpoint(true)
+    val cp = cusumFromSeries(ser, keyCol).select(col(keyCol), col("cp_hour"))
+    val pre = col("__h") <= col("cp_hour")
+    val st = ser
+      .join(cp, Seq(keyCol))
+      .groupBy(col(keyCol), col("cp_hour"))
+      .agg(
+        sum(when(pre, 1L).otherwise(0L)).as("n_pre"),
+        sum(when(pre, col("__x")).otherwise(0L)).as("__s1p"),
+        sum(when(pre, col("__x") * col("__x")).otherwise(0L)).as("__s2p"),
+        sum(when(!pre, 1L).otherwise(0L)).as("n_post"),
+        sum(when(!pre, col("__x")).otherwise(0L)).as("__s1q"),
+        sum(when(!pre, col("__x") * col("__x")).otherwise(0L)).as("__s2q"))
+    val m1 = col("__s1p").cast("double") / col("n_pre")
+    val m2 = col("__s1q").cast("double") / col("n_post")
+    val v1 = ((col("__s2p").cast("double")
+      - col("__s1p").cast("double") * col("__s1p").cast("double") / col("n_pre"))
+      / (col("n_pre") - 1))
+    val v2 = ((col("__s2q").cast("double")
+      - col("__s1q").cast("double") * col("__s1q").cast("double") / col("n_post"))
+      / (col("n_post") - 1))
+    st.select(col(keyCol), col("cp_hour"), col("n_pre"), col("n_post"),
+      graft.functions.Portable.pround(
+        when(col("n_pre") > 0, m1), 4).as("mean_pre_r"),
+      graft.functions.Portable.pround(
+        when(col("n_post") > 0, m2), 4).as("mean_post_r"),
+      graft.functions.Portable.pround(
+        when(col("n_pre") >= 2 && col("n_post") >= 2
+          && v1 / col("n_pre") + v2 / col("n_post") > 0.0,
+          (m1 - m2) / sqrt(v1 / col("n_pre") + v2 / col("n_post"))), 4).as("t_r"))
   }
 }

@@ -210,6 +210,32 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got.getDouble(3) == 6.0, s"|S| at the argmax, got ${got.getDouble(3)}")
   }
 
+  test("levelShift: hand-traced segment means and Welch t around the cusum argmax") {
+    // counts 1,3,2,8,10,12: x̄=6, nS peaks (|−72|) at the third hour →
+    // segments (1,3,2) vs (8,10,12): means 2/10, variances 1/4,
+    // t = −8/√(1/3 + 4/3) = −6.196773… → −6.1968 at 4 dp
+    val base = ts("2024-01-01 00:00:00").getTime
+    val counts = Seq(1, 3, 2, 8, 10, 12)
+    val ev = counts.zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(i => ("s", new Timestamp(base + h * 3600000L + i * 60000L)))
+    }.toDF("event_type", "ts_t")
+    val got = TimeSeries.levelShift(ev).collect().head
+    assert(got.getLong(1) == base / 3600000L + 2, s"cp hour: ${got.getLong(1)}")
+    assert((got.getLong(2), got.getLong(3)) == ((3L, 3L)), "segment sizes")
+    assert((got.getDouble(4), got.getDouble(5)) == ((2.0, 10.0)), "segment means")
+    assert(got.getDouble(6) == -6.1968, s"welch t: ${got.getDouble(6)}")
+  }
+
+  test("levelShift: zero-variance segments read t NULL, means still exact") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    val ev = Seq(1, 1, 1, 5, 5, 5).zipWithIndex.flatMap { case (c, h) =>
+      (0 until c).map(i => ("s", new Timestamp(base + h * 3600000L + i * 60000L)))
+    }.toDF("event_type", "ts_t")
+    val got = TimeSeries.levelShift(ev).collect().head
+    assert((got.getDouble(4), got.getDouble(5)) == ((1.0, 5.0)), "means")
+    assert(got.isNullAt(6), "zero combined variance has no t to report")
+  }
+
   test("cusum fuzz: == the argmax of |prefix − t·mean| with earliest-t ties, 15 random streams") {
     val rnd = new java.util.Random(5150L)
     val base = ts("2024-02-01 00:00:00").getTime
