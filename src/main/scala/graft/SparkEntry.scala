@@ -3527,6 +3527,26 @@ object SparkEntry {
         .orderBy("from_type", "to_type")
     }),
 
+    // -- RFM customer segmentation: quantile scores 1..5 per dimension
+    //    from chunked-prefix strictly-below counts (no customer-axis
+    //    sort), pure integer bucket arithmetic, exact decimal spend
+    "q_rfm" -> ((s, dir) =>
+      operators.Journeys
+        .rfmSegments(t(s, dir, "orders"), asOf = "2001-08-02", buckets = 5)
+        .orderBy("custkey")),
+
+    // -- frequent contiguous 3-step rituals within 24h journey windows
+    //    (support ≥ 60): the length-3 generalization of the transition
+    //    matrix; per-user lead-k windows, (types)³-bounded count
+    //    relation. The 24h gap is the corpus-honest choice: at ~2
+    //    events/user/day the default 30-min sessions are 1-3 events
+    //    (16 trigrams corpus-wide), while daily journeys carry 7 731
+    "q_session_ngrams" -> ((s, dir) =>
+      operators.Journeys
+        .sessionNgrams(graft.sources.EventsSource.events(s, dir), n = 3,
+          minSupport = 60L, gapUs = 86400000000L)
+        .orderBy("g1", "g2", "g3")),
+
     // -- stationary distribution of the session transition chain (8
     //    quantized power-iteration rounds): where a long browse SPENDS
     //    its time, not just the one-step hop rates
@@ -7884,6 +7904,64 @@ object SparkEntry {
                 floor((n::DOUBLE / sum(n) OVER (PARTITION BY from_type)) * 1e4 + 0.5) / 1e4 AS p
          FROM c ORDER BY from_type, to_type""",
     "q_markov_stationary" -> markovSql(iters = 8),
+    // strictly-below counts per metric value; integer DIV bucket math
+    "q_rfm" ->
+      """WITH per AS (SELECT o_custkey AS custkey,
+                             date_diff('day', max(o_orderdate)::DATE, DATE '2001-08-02')::BIGINT AS recency_days,
+                             count(*)::BIGINT AS frequency,
+                             sum(o_totalprice::DECIMAL(18,2))::DOUBLE AS monetary_r
+                      FROM orders GROUP BY 1),
+          nn AS (SELECT count(*)::BIGINT AS n FROM per),
+          cr AS (SELECT v, (sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)::BIGINT AS cb
+                 FROM (SELECT recency_days AS v, count(*) AS c FROM per GROUP BY 1) g),
+          cf AS (SELECT v, (sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)::BIGINT AS cb
+                 FROM (SELECT frequency AS v, count(*) AS c FROM per GROUP BY 1) g),
+          cm AS (SELECT v, (sum(c) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - c)::BIGINT AS cb
+                 FROM (SELECT monetary_r AS v, count(*) AS c FROM per GROUP BY 1) g),
+          sc AS (SELECT per.custkey, per.recency_days, per.frequency, per.monetary_r,
+                        (5 - (5 * cr.cb) // nn.n)::BIGINT AS r_score,
+                        ((5 * cf.cb) // nn.n + 1)::BIGINT AS f_score,
+                        ((5 * cm.cb) // nn.n + 1)::BIGINT AS m_score
+                 FROM per
+                 JOIN cr ON cr.v = per.recency_days
+                 JOIN cf ON cf.v = per.frequency
+                 JOIN cm ON cm.v = per.monetary_r
+                 CROSS JOIN nn)
+          SELECT custkey, recency_days, frequency,
+                 floor(monetary_r * 1e2 + 0.5) / 1e2 AS monetary_r,
+                 r_score, f_score, m_score,
+                 (r_score * 100 + f_score * 10 + m_score)::BIGINT AS rfm
+          FROM sc ORDER BY custkey""",
+    // session CTEs + two leads; same-session contiguity filter
+    "q_session_ngrams" ->
+      """WITH x AS (
+           SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
+                  lag(epoch_us(ts)) OVER w AS prev_us
+           FROM events
+           WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts), event_id)),
+         sx AS (
+           SELECT user_id, event_id, event_type, ts_us,
+                  CASE WHEN prev_us IS NULL OR ts_us - prev_us > 86400000000 THEN 1 ELSE 0 END AS new_sess
+           FROM x),
+         rx AS (
+           SELECT user_id, event_type, ts_us, event_id,
+                  sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+           FROM sx),
+         t3 AS (
+           SELECT event_type AS g1,
+                  lead(event_type, 1) OVER w2 AS g2,
+                  lead(event_type, 2) OVER w2 AS g3,
+                  sess_id,
+                  lead(sess_id, 1) OVER w2 AS s1,
+                  lead(sess_id, 2) OVER w2 AS s2
+           FROM rx
+           WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_us, event_id))
+         SELECT g1, g2, g3, count(*)::BIGINT AS n
+         FROM t3
+         WHERE g2 IS NOT NULL AND s1 = sess_id AND g3 IS NOT NULL AND s2 = sess_id
+         GROUP BY 1, 2, 3 HAVING count(*) >= 60
+         ORDER BY g1, g2, g3""",
     "q_cdc_chunks" ->
       """WITH t0 AS (
            SELECT doc_id,

@@ -54,6 +54,111 @@ object Journeys {
           4))
   }
 
+  /** RFM segmentation (Hughes, "Strategic Database Marketing", 1994 —
+    * the classic recency/frequency/monetary customer grid): per
+    * customer, days since last order, order count, and exact decimal
+    * spend, each scored 1..`buckets` by its QUANTILE position across
+    * the customer base (recency inverted: most recent ⇒ top score).
+    * The triage behind "champions / at-risk / hibernating" audience
+    * cuts — and, pipeline-side, the standard user-weighting input.
+    *
+    * The quantile position comes from strictly-below counts over the
+    * per-VALUE aggregate via the chunked-prefix discipline (the
+    * [[graft.operators.Stats.spearman]] two-pass form — never a global
+    * row sort; an ntile window would one-task the customer axis).
+    * Scores are pure INTEGER arithmetic: score = B·below DIV n (+1),
+    * so ties share a bucket and the assignment replays exactly.
+    *
+    * Returns (custkey, recency_days, frequency, monetary_r, r_score,
+    * f_score, m_score, rfm) with rfm = 100·r + 10·f + m.
+    */
+  def rfmSegments(
+      orders: DataFrame,
+      asOf: String,
+      buckets: Int = 5): DataFrame = {
+    require(buckets >= 2, s"buckets ($buckets) must be >= 2")
+    val per = orders
+      .groupBy(col("o_custkey").as("custkey"))
+      .agg(
+        datediff(to_date(lit(asOf)), to_date(max(col("o_orderdate")))).cast("long")
+          .as("recency_days"),
+        count(lit(1)).as("frequency"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).as("__mon"))
+      .withColumn("monetary_r", col("__mon").cast("double"))
+      .drop("__mon")
+      .localCheckpoint(true) // consumed by the base row + three rank legs
+    val n = broadcast(per.agg(count(lit(1)).as("__n")))
+    def belowCounts(mCol: String, chunkWidth: Double): DataFrame = {
+      val perValue = per.groupBy(col(mCol).as("__v")).agg(count(lit(1)).as("__c"))
+        .withColumn("__chunk", floor(col("__v") / chunkWidth).cast("long"))
+      val wCh = Window.orderBy(col("__chunk"))
+      val bases = perValue.groupBy(col("__chunk")).agg(sum(col("__c")).as("__s"))
+        .withColumn("__b", sum(col("__s")).over(wCh) - col("__s"))
+        .select(col("__chunk"), col("__b"))
+      val wLoc = Window.partitionBy(col("__chunk")).orderBy(col("__v"))
+      perValue.join(broadcast(bases), Seq("__chunk"))
+        .withColumn("__cb", col("__b") + sum(col("__c")).over(wLoc) - col("__c"))
+        .select(col("__v").as(mCol), col("__cb").as(s"__cb_$mCol"))
+    }
+    per
+      .join(belowCounts("recency_days", 64.0), Seq("recency_days"))
+      .join(belowCounts("frequency", 4.0), Seq("frequency"))
+      .join(belowCounts("monetary_r", 65536.0), Seq("monetary_r"))
+      .crossJoin(n)
+      .withColumn("r_score", lit(buckets) - expr(s"($buckets * __cb_recency_days) DIV __n"))
+      .withColumn("f_score", expr(s"($buckets * __cb_frequency) DIV __n") + 1)
+      .withColumn("m_score", expr(s"($buckets * __cb_monetary_r) DIV __n") + 1)
+      .select(col("custkey"), col("recency_days"), col("frequency"),
+        graft.functions.Portable.pround(col("monetary_r"), 2).as("monetary_r"),
+        col("r_score"), col("f_score"), col("m_score"),
+        (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm"))
+  }
+
+  /** Frequent CONTIGUOUS event n-grams within sessions: the length-n
+    * generalization of [[sessionTransitions]] (n=2) — which three-step
+    * rituals do users actually run, the raw material for funnel design
+    * and bot-pattern fingerprints. Windows stay per-user (lead-k over
+    * the session-annotated stream, the same partitioned pass that
+    * builds transitions); the n-gram only emits when ALL n events share
+    * a session, and the count relation is (event-type)ⁿ-bounded before
+    * the support filter. Contiguity is the scale contract: gap-allowed
+    * subsequence mining explodes combinatorially, adjacent runs don't.
+    *
+    * Returns (t1..tn as g1..gn, n) with occurrences >= minSupport.
+    */
+  def sessionNgrams(
+      events: DataFrame,
+      n: Int = 3,
+      minSupport: Long = 5L,
+      gapUs: Long = 1800000000L,
+      keyCol: String = "user_id",
+      tsCol: String = "ts_us",
+      typeCol: String = "event_type",
+      tieCol: String = "event_id"): DataFrame = {
+    require(n >= 2, s"n ($n) must be >= 2")
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(asc(tsCol), asc(tieCol))
+    val cum   = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val base = events
+      .withColumn("prev_us", lag(col(tsCol), 1).over(byKey))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col(tsCol) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(cum))
+    val withLeads = (1 until n).foldLeft(base) { (d, k) =>
+      d.withColumn(s"__t$k", lead(col(typeCol), k).over(byKey))
+        .withColumn(s"__s$k", lead(col("sess_id"), k).over(byKey))
+    }
+    val sameSess = (1 until n)
+      .map(k => col(s"__t$k").isNotNull && col(s"__s$k") === col("sess_id"))
+      .reduce(_ && _)
+    val gramCols = col(typeCol).as("g1") +:
+      (1 until n).map(k => col(s"__t$k").as(s"g${k + 1}"))
+    withLeads
+      .where(sameSess)
+      .groupBy(gramCols: _*)
+      .agg(count(lit(1)).as("n"))
+      .where(col("n") >= minSupport)
+  }
+
   /** Stationary distribution of the session-transition Markov chain:
     * where does a long random browse actually SPEND its time — the
     * steady-state complement to [[sessionTransitions]]' one-step view

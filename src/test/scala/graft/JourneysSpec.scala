@@ -141,6 +141,48 @@ class JourneysSpec extends SparkSpec {
     assert(got.toSeq == Seq(("view", 1, 3L), ("click", 2, 1L), ("purchase", 3, 1L)))
   }
 
+  test("sessionNgrams: contiguous trigrams within one session; a gap breaks the run; support filters") {
+    import java.sql.Timestamp
+    def ev(id: Long, uid: Long, t: String, typ: String) =
+      (id, uid, Timestamp.valueOf(t).getTime * 1000L, typ)
+    // user 1: a,b,c,d in one session → trigrams (a,b,c), (b,c,d)
+    // user 2: a,b then a 2h gap then c,d → NO trigram survives the gap
+    val rows = Seq(
+      ev(1, 1, "2024-01-01 10:00:00", "a"), ev(2, 1, "2024-01-01 10:05:00", "b"),
+      ev(3, 1, "2024-01-01 10:10:00", "c"), ev(4, 1, "2024-01-01 10:15:00", "d"),
+      ev(5, 2, "2024-01-01 10:00:00", "a"), ev(6, 2, "2024-01-01 10:05:00", "b"),
+      ev(7, 2, "2024-01-01 12:30:00", "c"), ev(8, 2, "2024-01-01 12:35:00", "d"))
+      .toDF("event_id", "user_id", "ts_us", "event_type")
+    val got = Journeys.sessionNgrams(rows, n = 3, minSupport = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3))).toSet
+    assert(got == Set(("a", "b", "c", 1L), ("b", "c", "d", 1L)), s"got $got")
+    assert(Journeys.sessionNgrams(rows, n = 3, minSupport = 2L).collect().isEmpty,
+      "support 2 filters the singletons")
+  }
+
+  test("rfmSegments: hand-computed quantile scores on a 5-customer base") {
+    import java.sql.Timestamp
+    def o(ck: Long, d: String, total: Double) = (ck, Timestamp.valueOf(d + " 00:00:00"), total)
+    val orders = Seq(
+      o(1, "2020-01-10", 100.0),
+      o(2, "2020-01-08", 200.0),
+      o(3, "2020-01-06", 300.0),
+      o(4, "2020-01-04", 400.0),
+      o(5, "2020-01-02", 500.0), o(5, "2020-01-01", 100.0))
+      .toDF("o_custkey", "o_orderdate", "o_totalprice")
+    val got = Journeys.rfmSegments(orders, asOf = "2020-01-11", buckets = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(7))).toMap
+    // recencies 1,3,5,7,9 → r 5..1; freq 1×4/2×1 → f 1,1,1,1,5;
+    // monetary 100..600 → m 1..5
+    assert(got == Map(
+      1L -> (1L, 1L, 100.0, 511L),
+      2L -> (3L, 1L, 200.0, 412L),
+      3L -> (5L, 1L, 300.0, 313L),
+      4L -> (7L, 1L, 400.0, 214L),
+      5L -> (9L, 2L, 600.0, 155L)), s"got $got")
+  }
+
   test("markovStationary: absorbing state takes all the mass; uniform chain is a fixpoint") {
     import org.apache.spark.sql.functions.col
     // a → b, b → b: every round drains a (no inbound), mass settles on b
