@@ -2682,6 +2682,31 @@ object SparkEntry {
       operators.Stats.rocAuc(scored, "score", "label")
     }),
 
+    // -- decile gains table over the SAME scored relation as q_auc:
+    //    what acting on the top d deciles GETS you (capture + lift);
+    //    slice from chunked-prefix strictly-above counts, cumulatives
+    //    via a buckets²-bounded self-join
+    "q_gains_table" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        coalesce(round(TextAnalysis.hashedLinearScore(col("text"), buckets = 512), 6),
+          lit(0.0)).as("score"),
+        (col("n_chars") >= 300).cast("int").as("label"))
+      operators.Stats
+        .gainsTable(scored, "score", "label", buckets = 10, chunkWidth = 0.05)
+        .orderBy("decile")
+    }),
+
+    // -- Hill tail-index of the trigram frequency distribution: top-201
+    //    order statistics via TakeOrdered, boundary min broadcast, no
+    //    window — α̂ < 2 means plan for hot keys
+    "q_hill_tail" -> ((s, dir) => {
+      val counts = t(s, dir, "documents")
+        .select(explode(TextAnalysis.rawShinglesFromToks(
+          Tokenize.tokenArray(col("text")), 3)).as("g"))
+        .groupBy(col("g")).agg(count(lit(1)).as("c"))
+      operators.Stats.hillTail(counts, "c", "g", k = 200)
+    }),
+
     // -- Murphy decomposition of the Brier score over the SAME scored
     //    relation as q_calibration_ece: REL − RES + UNC — is the score
     //    bad because of CALIBRATION (remap fixes it) or RESOLUTION (the
@@ -6840,6 +6865,63 @@ object SparkEntry {
           SELECT n_pos, n_neg,
                  floor((u2::DOUBLE / (2.0 * n_pos * n_neg)) * 1e6 + 0.5) / 1e6 AS auc_r
           FROM u""",
+    // same scored base as q_auc; strictly-above slice + self-join cums
+    "q_gains_table" ->
+      s"""WITH $ToksArrCte,
+          base AS (SELECT d.doc_id,
+                     CASE WHEN len(t.toks) = 0 THEN 0.0
+                          ELSE floor((list_sum(list_transform(t.toks,
+                                 w -> (('0x' || substr(md5(w), 1, 8))::BIGINT % 512) % 101 - 50))::DOUBLE
+                               / (50.0 * len(t.toks))) * 1e6 + 0.5) / 1e6 END AS score,
+                     (d.n_chars >= 300)::INT AS label
+                   FROM documents d JOIN toks_arr t USING (doc_id)),
+          tot AS (SELECT count(*)::BIGINT AS n, sum(label)::BIGINT AS np FROM base),
+          s AS (SELECT score AS sc, count(*) AS c, sum(label)::BIGINT AS p
+                FROM base GROUP BY score),
+          cm AS (SELECT sc, c, p,
+                        sum(c) OVER (ORDER BY sc
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_incl
+                 FROM s),
+          pb AS (SELECT ((10 * (tot.n - cum_incl)) // tot.n + 1)::BIGINT AS decile,
+                        sum(c)::BIGINT AS n, sum(p)::BIGINT AS n_pos
+                 FROM cm CROSS JOIN tot GROUP BY 1),
+          fin AS (SELECT a.decile, a.n, a.n_pos,
+                         sum(b.n)::BIGINT AS cum_n, sum(b.n_pos)::BIGINT AS cum_pos
+                  FROM pb a JOIN pb b ON b.decile <= a.decile
+                  GROUP BY 1, 2, 3)
+          SELECT decile, fin.n, n_pos,
+                 floor((n_pos::DOUBLE / fin.n::DOUBLE) * 1e4 + 0.5) / 1e4 AS pos_rate_r,
+                 cum_n, cum_pos,
+                 floor((CASE WHEN tot.np > 0 THEN cum_pos::DOUBLE / tot.np::DOUBLE END) * 1e4 + 0.5) / 1e4 AS capture_r,
+                 floor((CASE WHEN tot.np > 0 THEN (cum_pos::DOUBLE / cum_n::DOUBLE)
+                                / (tot.np::DOUBLE / tot.n::DOUBLE) END) * 1e4 + 0.5) / 1e4 AS lift_r
+          FROM fin CROSS JOIN tot ORDER BY decile""",
+    // top-(k+1) order statistics; boundary ties contribute ln(1)=0
+    "q_hill_tail" ->
+      """WITH toks0 AS (
+           SELECT doc_id,
+                  list_filter(
+                    list_transform(regexp_split_to_array(text, '\s+'),
+                                   x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                    w -> w <> '') AS toks
+           FROM documents),
+          rsh AS (
+           SELECT doc_id,
+                  CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
+                       WHEN len(toks) >= 3
+                       THEN list_transform(range(1, len(toks) - 1),
+                                           i -> array_to_string(list_slice(toks, i, i + 2), ' '))
+                       ELSE [array_to_string(toks, ' ')] END AS sh
+           FROM toks0),
+          g AS (SELECT unnest(sh) AS word FROM rsh),
+          c AS (SELECT word, count(*) AS c FROM g GROUP BY word),
+          top AS (SELECT c::DOUBLE AS v FROM c WHERE c > 0
+                  ORDER BY c DESC, word ASC LIMIT 201),
+          xk AS (SELECT min(v) AS xk1 FROM top),
+          sl AS (SELECT sum(ln(v / xk1)) AS sl FROM top CROSS JOIN xk)
+          SELECT 200::BIGINT AS k, xk.xk1 AS xk1,
+                 floor((CASE WHEN sl > 0.0 THEN 200.0 / sl END) * 1e6 + 0.5) / 1e6 AS alpha_r
+          FROM sl CROSS JOIN xk""",
     // split-conformal replay: same md5 split threshold, same 6-dp
     // residuals, k-th order statistic via row_number (the oracle may
     // window what the Spark plan does with chunked prefixes)

@@ -1278,6 +1278,113 @@ object Stats {
     * Returns (groupCol, n, noise_r, released_r) — released clamped ≥ 0,
     * both 4-dp.
     */
+  /** Hill tail-index estimator (Hill, Annals of Statistics 1975): the
+    * MLE of the Pareto exponent from the top-k order statistics,
+    * α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) — the principled answer to "HOW
+    * heavy is this distribution's tail" where [[zipfFit]]'s log-log
+    * regression describes the whole curve. The heavy-tail dial behind
+    * shuffle-skew planning (α < 2 ⇒ unbounded variance: expect hot
+    * keys; the salting advisor's trigger condition).
+    *
+    * Plan shape: one TakeOrderedAndProject of k+1 rows (total
+    * (value DESC, tie ASC) order), the boundary statistic x_(k+1) as a
+    * broadcast min over that bounded relation, no window anywhere.
+    * Boundary ties cost nothing: any row tied with x_(k+1) contributes
+    * ln(1) = 0, so summing all k+1 rows equals the top-k sum exactly.
+    *
+    * Returns one row (k, xk1, alpha_r); degenerate tails (all top
+    * values equal ⇒ Σ = 0) read NULL.
+    */
+  def hillTail(
+      df: DataFrame,
+      valueCol: String,
+      tieCol: String,
+      k: Int = 200): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val top = df
+      .select(col(valueCol).cast("double").as("__v"), col(tieCol).as("__t"))
+      .where(col("__v").isNotNull && col("__v") > 0)
+      .orderBy(col("__v").desc, col("__t").asc)
+      .limit(k + 1)
+      .localCheckpoint(true) // consumed by the boundary min AND the log sum
+    val xk1 = broadcast(top.agg(min(col("__v")).as("xk1")))
+    top.crossJoin(xk1)
+      .agg(first(col("xk1")).as("xk1"),
+        sum(log(col("__v") / col("xk1"))).as("__sl"))
+      .select(lit(k.toLong).as("k"), col("xk1"),
+        Portable.pround(
+          when(col("__sl") > 0.0, lit(k.toDouble) / col("__sl")), 6).as("alpha_r"))
+  }
+
+  /** Decile gains table (the direct-marketing "lift chart" standard):
+    * rank rows by score DESC, cut into `buckets` quantile slices from
+    * strictly-ABOVE counts, and report per slice the positive rate,
+    * cumulative capture and cumulative lift — the operational readout
+    * of a ranking model ([[rocAuc]] says whether the ranking is good;
+    * the gains table says what you GET by acting on the top d deciles).
+    *
+    * Scale shape: the slice assignment comes from strictly-above counts
+    * over the per-SCORE aggregate via the chunked-prefix discipline
+    * (never a row-axis ntile sort); bucket = B·above DIV N is pure
+    * integer arithmetic, ties share a slice; cumulatives ride a
+    * buckets²-bounded self-join over the B-row relation (no window).
+    * Rates derive from exact integer sums, rounded once.
+    *
+    * Returns (decile, n, n_pos, pos_rate_r, cum_n, cum_pos, capture_r,
+    * lift_r), decile 1 = highest scores.
+    */
+  def gainsTable(
+      df: DataFrame,
+      scoreCol: String,
+      labelCol: String,
+      buckets: Int = 10,
+      chunkWidth: Double = 0.05): DataFrame = {
+    require(buckets >= 2 && chunkWidth > 0,
+      s"buckets ($buckets) / chunkWidth ($chunkWidth) out of range")
+    val rows = df
+      .select(col(scoreCol).cast("double").as("__s"),
+        (col(labelCol) === 1).cast("long").as("__y"))
+      .where(col("__s").isNotNull && col(labelCol).isNotNull)
+    val perScore = rows.groupBy(col("__s"))
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__p"))
+      .withColumn("__chunk", floor(col("__s") / chunkWidth).cast("long"))
+    val wCh = Window.orderBy(col("__chunk"))
+    val bases = perScore.groupBy(col("__chunk")).agg(sum(col("__c")).as("__cs"))
+      .withColumn("__b", sum(col("__cs")).over(wCh) - col("__cs"))
+      .select(col("__chunk"), col("__b"))
+    val wLoc = Window.partitionBy(col("__chunk")).orderBy(col("__s"))
+    val tot = broadcast(rows.agg(count(lit(1)).as("__n"), sum(col("__y")).as("__np")))
+    val perBucket = perScore
+      .join(broadcast(bases), Seq("__chunk"))
+      .withColumn("__cumIncl", col("__b") + sum(col("__c")).over(wLoc))
+      .crossJoin(tot)
+      // strictly-above count = N − cum_incl(score) under ASC order
+      .withColumn("decile",
+        expr(s"($buckets * (__n - __cumIncl)) DIV __n") + 1)
+      .groupBy(col("decile"))
+      .agg(sum(col("__c")).as("n"), sum(col("__p")).as("n_pos"))
+      .localCheckpoint(true) // ≤ buckets rows; feeds base + cumulative legs
+    val cums = perBucket.select(col("decile").as("__d2"),
+        col("n").as("__n2"), col("n_pos").as("__p2"))
+    perBucket
+      .join(cums, col("__d2") <= col("decile"))
+      .groupBy(col("decile"), col("n"), col("n_pos"))
+      .agg(sum(col("__n2")).as("cum_n"), sum(col("__p2")).as("cum_pos"))
+      .crossJoin(tot)
+      .select(col("decile"), col("n"), col("n_pos"),
+        Portable.pround(col("n_pos").cast("double") / col("n").cast("double"), 4)
+          .as("pos_rate_r"),
+        col("cum_n"), col("cum_pos"),
+        Portable.pround(
+          when(col("__np") > 0, col("cum_pos").cast("double") / col("__np").cast("double")),
+          4).as("capture_r"),
+        Portable.pround(
+          when(col("__np") > 0,
+            (col("cum_pos").cast("double") / col("cum_n").cast("double"))
+              / (col("__np").cast("double") / col("__n").cast("double"))),
+          4).as("lift_r"))
+  }
+
   /** k-ary randomized response (Warner, JASA 1965; the generalized
     * direct-encoding mechanism of local differential privacy): each row
     * REPORTS its true category with probability p, otherwise a uniform

@@ -98,6 +98,49 @@ class StatsFuzzSpec extends SparkSpec {
     }
   }
 
+  test("gainsTable fuzz: == the sort-and-slice lift chart, 15 random scored sets") {
+    val rnd = new java.util.Random(4242L)
+    for (case_ <- 0 until 15) {
+      val n = 30 + rnd.nextInt(150)
+      // coarse score domain → slice-boundary ties are the norm
+      val rows = (0 until n).map { _ =>
+        ((rnd.nextInt(21) - 5) / 10.0, if (rnd.nextInt(3) == 0) 1 else 0)
+      }
+      val got = Stats.gainsTable(rows.toDF("s", "y"), "s", "y", buckets = 10, chunkWidth = 0.3)
+        .collect().map(r => r.getLong(0) ->
+          (r.getLong(1), r.getLong(2), r.getLong(4), r.getLong(5), r.getDouble(7))).toMap
+      // brute force: strictly-above counts, integer slice, running sums
+      val above = rows.map(_._1).distinct.map { s =>
+        s -> rows.count(_._1 > s).toLong
+      }.toMap
+      val byDec = rows.groupBy { case (s, _) => 10L * above(s) / n + 1 }
+      val np = rows.count(_._2 == 1).toLong
+      val decs = byDec.keys.toSeq.sorted
+      decs.foreach { d =>
+        val slice = byDec(d)
+        val cumRows = decs.filter(_ <= d).flatMap(byDec)
+        val (cn, cp) = (cumRows.size.toLong, cumRows.count(_._2 == 1).toLong)
+        val lift =
+          if (np > 0) pround((cp.toDouble / cn) / (np.toDouble / n), 4) else Double.NaN
+        assert(got(d) == ((slice.size.toLong, slice.count(_._2 == 1).toLong, cn, cp, lift)),
+          s"case $case_ decile $d: ${got(d)}")
+      }
+      assert(got.keySet == decs.toSet, s"case $case_: slices ${got.keySet} vs $decs")
+    }
+  }
+
+  test("hillTail: mirror of the top-k log-ratio sum; flat top reads NULL") {
+    val counts = Seq(("a", 8L), ("b", 4L), ("c", 4L), ("d", 2L), ("e", 1L), ("f", 1L))
+    val got = Stats.hillTail(counts.toDF("g", "c"), "c", "g", k = 3).collect().head
+    // top-4 = 8,4,4,2 → xk1 = 2; Σ ln = ln4 + ln2 + ln2 + ln1
+    val want = pround(3.0 / (math.log(4.0) + math.log(2.0) + math.log(2.0)), 6)
+    assert(got.getLong(0) == 3L && got.getDouble(1) == 2.0, s"k/xk1: $got")
+    assert(got.getDouble(2) == want, s"alpha ${got.getDouble(2)} vs $want")
+    val flat = Stats.hillTail(Seq(("a", 5L), ("b", 5L), ("c", 5L), ("d", 5L))
+      .toDF("g", "c"), "c", "g", k = 3).collect().head
+    assert(flat.isNullAt(2), "a flat top has no measurable tail")
+  }
+
   test("kruskalWallis fuzz: == the sort-everything rank ANOVA, 20 random tie-heavy tables") {
     val rnd = new java.util.Random(1414L)
     for (case_ <- 0 until 20) {
