@@ -136,7 +136,8 @@ object ExplainAudit {
     // session-chain stationary distribution (final two lazy rounds
     // downstream of the checkpointed quantized transition relation)
     "q_avg_precision", "q_rr_freq", "q_good_turing", "q_markov_stationary",
-    "q_level_shift", "q_session_ngrams", "q_rfm", "q_gains_table", "q_hill_tail")
+    "q_level_shift", "q_session_ngrams", "q_rfm", "q_gains_table", "q_hill_tail",
+    "q_markov_entropy", "q_mcnemar")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

@@ -3583,6 +3583,30 @@ object SparkEntry {
         .orderBy("state")
     }),
 
+    // -- entropy rate of the same chain: −Σ π_i Σ p_ij ln p_ij from the
+    //    ROUNDED stationary vector and transition probs — how
+    //    predictable the next journey step is once the chain mixes
+    "q_markov_entropy" -> ((s, dir) =>
+      operators.Journeys
+        .markovEntropyRate(
+          operators.Journeys.sessionTransitions(graft.sources.EventsSource.events(s, dir)),
+          iters = 8)),
+
+    // -- McNemar's paired comparison of two scorer variants (512- vs
+    //    256-bucket hashed linear) against the length label: judged on
+    //    DISCORDANT pairs only — sign decisions ride the exact integer
+    //    numerator, so the 2×2 cells replay exactly
+    "q_mcnemar" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      val scored = d.select(
+        (TextAnalysis.hashedLinearScore(col("text"), buckets = 512) >= 0)
+          .cast("int").as("pred_a"),
+        (TextAnalysis.hashedLinearScore(col("text"), buckets = 256) >= 0)
+          .cast("int").as("pred_b"),
+        (col("n_chars") >= 300).cast("int").as("label"))
+      operators.Stats.mcnemar(scored, "pred_a", "pred_b", "label")
+    }),
+
     // -- content-defined chunking: token-hash cut points (rsync/LBFS rule
     //    at token granularity) — boundaries survive upstream insertions,
     //    so chunk hashes match across near-duplicate documents
@@ -7986,6 +8010,34 @@ object SparkEntry {
                 floor((n::DOUBLE / sum(n) OVER (PARTITION BY from_type)) * 1e4 + 0.5) / 1e4 AS p
          FROM c ORDER BY from_type, to_type""",
     "q_markov_stationary" -> markovSql(iters = 8),
+    "q_markov_entropy" -> markovEntropySql(iters = 8),
+    // decisions on the exact integer numerator of the hashed score
+    "q_mcnemar" ->
+      s"""WITH $ToksArrCte,
+          base AS (SELECT d.doc_id,
+                     (CASE WHEN len(t.toks) = 0 THEN 0
+                           ELSE list_sum(list_transform(t.toks,
+                                  w -> (('0x' || substr(md5(w), 1, 8))::BIGINT % 512) % 101 - 50))
+                      END >= 0)::INT AS pred_a,
+                     (CASE WHEN len(t.toks) = 0 THEN 0
+                           ELSE list_sum(list_transform(t.toks,
+                                  w -> (('0x' || substr(md5(w), 1, 8))::BIGINT % 256) % 101 - 50))
+                      END >= 0)::INT AS pred_b,
+                     (d.n_chars >= 300)::INT AS label
+                   FROM documents d JOIN toks_arr t USING (doc_id)),
+          ag AS (SELECT count(*)::BIGINT AS n,
+                        sum((pred_a = label)::INT)::BIGINT AS ca,
+                        sum((pred_b = label)::INT)::BIGINT AS cb,
+                        sum((pred_a = label AND pred_b <> label)::INT)::BIGINT AS b,
+                        sum((pred_a <> label AND pred_b = label)::INT)::BIGINT AS c
+                 FROM base)
+          SELECT n, b, c,
+                 floor((ca::DOUBLE / n::DOUBLE) * 1e4 + 0.5) / 1e4 AS acc_a_r,
+                 floor((cb::DOUBLE / n::DOUBLE) * 1e4 + 0.5) / 1e4 AS acc_b_r,
+                 floor((CASE WHEN b + c > 0
+                        THEN (abs(b - c) - 1)::DOUBLE * (abs(b - c) - 1)::DOUBLE
+                             / (b + c)::DOUBLE END) * 1e4 + 0.5) / 1e4 AS chi2_r
+          FROM ag""",
     // strictly-below counts per metric value; integer DIV bucket math
     "q_rfm" ->
       """WITH per AS (SELECT o_custkey AS custkey,
@@ -9095,7 +9147,29 @@ object SparkEntry {
     * distribution (mirror of Journeys.markovStationary): 6-dp scaled
     * transition probs and iterate, HUGEINT-exact mass sums.
     */
-  private def markovSql(iters: Int): String = {
+  private def markovSql(iters: Int): String =
+    s"""WITH ${markovCtes(iters)},
+        tot AS (SELECT sum(pi6)::DOUBLE AS tot FROM pi$iters)
+        SELECT sid AS state, floor((pi6::DOUBLE / tot) * 1e6 + 0.5) / 1e6 AS pi_r
+        FROM pi$iters CROSS JOIN tot ORDER BY state"""
+
+  /** Entropy rate over the same chain: ROUNDED π (6 dp) × ROUNDED row
+    * entropies (p at 4 dp) — mirror of Journeys.markovEntropyRate.
+    */
+  private def markovEntropySql(iters: Int): String =
+    s"""WITH ${markovCtes(iters)},
+        tot AS (SELECT sum(pi6)::DOUBLE AS tot FROM pi$iters),
+        pr AS (SELECT sid, floor((pi6::DOUBLE / tot) * 1e6 + 0.5) / 1e6 AS pi_r
+               FROM pi$iters CROSS JOIN tot),
+        hr AS (SELECT f AS from_type, sum(-p * ln(p)) AS h FROM
+                 (SELECT c.f, floor(c.n::DOUBLE / rs.r::DOUBLE * 1e4 + 0.5) / 1e4 AS p
+                  FROM c JOIN rs USING (f)) q
+               WHERE p > 0 GROUP BY f)
+        SELECT count(*)::BIGINT AS n_states,
+               floor(sum(pr.pi_r * coalesce(hr.h, 0.0)) * 1e6 + 0.5) / 1e6 AS h_rate_r
+        FROM pr LEFT JOIN hr ON hr.from_type = pr.sid"""
+
+  private def markovCtes(iters: Int): String = {
     val steps = (1 to iters).map { i =>
       s"""pi$i AS (
             SELECT st.sid, coalesce(m.v, 0)::BIGINT AS pi6 FROM st
@@ -9104,7 +9178,7 @@ object SparkEntry {
                        FROM p6 JOIN pi${i - 1} pi ON pi.sid = p6.f
                        GROUP BY p6.t) m USING (sid))"""
     }.mkString(",\n")
-    s"""WITH x AS (
+    s"""x AS (
            SELECT user_id, event_id, event_type, epoch_us(ts) AS ts_us,
                   lag(epoch_us(ts)) OVER w AS prev_us
            FROM events
@@ -9137,10 +9211,7 @@ object SparkEntry {
         kk AS (SELECT count(*)::BIGINT AS k FROM st),
         pi0 AS (SELECT sid, floor(1e6 / k::DOUBLE + 0.5)::BIGINT AS pi6
                 FROM st CROSS JOIN kk),
-        $steps,
-        tot AS (SELECT sum(pi6)::DOUBLE AS tot FROM pi$iters)
-        SELECT sid AS state, floor((pi6::DOUBLE / tot) * 1e6 + 0.5) / 1e6 AS pi_r
-        FROM pi$iters CROSS JOIN tot ORDER BY state"""
+        $steps"""
   }
 
   /** Unrolled fixed-iteration rank-1 ALS (mirror of Recommend.alsRank1):

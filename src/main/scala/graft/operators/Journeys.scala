@@ -114,6 +114,44 @@ object Journeys {
         (col("r_score") * 100 + col("f_score") * 10 + col("m_score")).as("rfm"))
   }
 
+  /** Entropy rate of the session-transition chain (Shannon 1948;
+    * H = −Σ_i π_i Σ_j p_ij ln p_ij): how PREDICTABLE the next step of a
+    * journey is once the chain has mixed — the single-number
+    * composition of [[markovStationary]] (where time is spent) and
+    * [[sessionTransitions]] (what happens next from there). Low H ⇒
+    * ritualized traffic (bots, scripted flows); high H ⇒ exploratory.
+    *
+    * Parity discipline: both factors enter ROUNDED (π at 6 dp from the
+    * quantized power iteration, p at 4 dp — the derive-from-rounded-
+    * pieces rule), so both engines combine identical rationals; the
+    * final sum runs over the states²-bounded transition relation.
+    * States with no outgoing edges contribute 0 (their row entropy is
+    * an empty sum).
+    *
+    * Returns one row (n_states, h_rate_r) — nats per step.
+    */
+  def markovEntropyRate(transitions: DataFrame, iters: Int = 8): DataFrame = {
+    val t0 = transitions
+      .select(col("from_type"), col("to_type"), col("n").cast("long").as("n"))
+      .localCheckpoint(true) // feeds the stationary loop AND the row entropies
+    val pi = markovStationary(t0, iters)
+    val rowSum = t0.groupBy(col("from_type")).agg(sum(col("n")).as("__r"))
+    val hRow = t0.join(rowSum, Seq("from_type"))
+      .select(col("from_type"),
+        graft.functions.Portable.pround(
+          col("n").cast("double") / col("__r").cast("double"), 4).as("__p"))
+      .where(col("__p") > 0.0)
+      .groupBy(col("from_type"))
+      .agg(sum(-col("__p") * log(col("__p"))).as("__h"))
+    pi
+      .join(hRow, col("state") === col("from_type"), "left")
+      .na.fill(0.0, Seq("__h"))
+      .agg(count(lit(1)).as("n_states"),
+        sum(col("pi_r") * col("__h")).as("__hr"))
+      .select(col("n_states"),
+        graft.functions.Portable.pround(col("__hr"), 6).as("h_rate_r"))
+  }
+
   /** Frequent CONTIGUOUS event n-grams within sessions: the length-n
     * generalization of [[sessionTransitions]] (n=2) — which three-step
     * rituals do users actually run, the raw material for funnel design

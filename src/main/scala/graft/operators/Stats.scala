@@ -1278,6 +1278,48 @@ object Stats {
     * Returns (groupCol, n, noise_r, released_r) — released clamped ≥ 0,
     * both 4-dp.
     */
+  /** McNemar's paired test (McNemar, Psychometrika 1947; the
+    * continuity-corrected form): do two classifiers scored on the SAME
+    * rows differ, judged only on the DISCORDANT pairs — b (A right, B
+    * wrong) vs c (A wrong, B right), χ² = (|b−c|−1)²/(b+c). The
+    * model-comparison test an unpaired accuracy diff gets wrong: shared
+    * examples correlate the errors, and the concordant mass carries no
+    * information about the difference. One partial-agg pass; every
+    * count is an exact integer, χ² one fixed-order scalar expression.
+    *
+    * Returns one row (n, b, c, acc_a_r, acc_b_r, chi2_r); chi2 reads
+    * NULL when there are no discordant pairs (the test is undefined —
+    * the classifiers are indistinguishable on this sample).
+    */
+  def mcnemar(
+      df: DataFrame,
+      predACol: String,
+      predBCol: String,
+      labelCol: String): DataFrame = {
+    val rows = df
+      .select((col(predACol) === col(labelCol)).cast("long").as("__a"),
+        (col(predBCol) === col(labelCol)).cast("long").as("__b"))
+      .where(col(predACol).isNotNull && col(predBCol).isNotNull && col(labelCol).isNotNull)
+    rows
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("__a")).as("__ca"),
+        sum(col("__b")).as("__cb"),
+        sum(when(col("__a") === 1 && col("__b") === 0, 1L).otherwise(0L)).as("b"),
+        sum(when(col("__a") === 0 && col("__b") === 1, 1L).otherwise(0L)).as("c"))
+      .select(col("n"), col("b"), col("c"),
+        Portable.pround(col("__ca").cast("double") / col("n").cast("double"), 4)
+          .as("acc_a_r"),
+        Portable.pround(col("__cb").cast("double") / col("n").cast("double"), 4)
+          .as("acc_b_r"),
+        Portable.pround(
+          when(col("b") + col("c") > 0,
+            (abs(col("b") - col("c")) - 1).cast("double")
+              * (abs(col("b") - col("c")) - 1).cast("double")
+              / (col("b") + col("c")).cast("double")),
+          4).as("chi2_r"))
+  }
+
   /** Hill tail-index estimator (Hill, Annals of Statistics 1975): the
     * MLE of the Pareto exponent from the top-k order statistics,
     * α̂ = k / Σ_{i≤k} ln(x_(i)/x_(k+1)) — the principled answer to "HOW

@@ -273,6 +273,20 @@ class DriftStatsSpec extends SparkSpec {
     assert(r.getAs[Double]("jsd_r") == 0.346574, s"½ln2: ${r.getAs[Double]("jsd_r")}")
   }
 
+  test("mcnemar: hand-computed discordant cells and continuity-corrected chi2; no discordance reads NULL") {
+    // 4 A-only-right rows, 1 B-only-right, 1 both-right, 1 both-wrong:
+    //   b=4, c=1 → χ² = (|4−1|−1)²/5 = 0.8; acc_a = 5/7, acc_b = 2/7
+    val rows = (Seq.fill(4)((1, 0, 1)) ++ Seq((0, 1, 1), (1, 1, 1), (0, 0, 1)))
+      .toDF("pa", "pb", "y")
+    val got = Stats.mcnemar(rows, "pa", "pb", "y").collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2)) == ((7L, 4L, 1L)), s"cells: $got")
+    assert(got.getDouble(3) == 0.7143 && got.getDouble(4) == 0.2857, s"accs: $got")
+    assert(got.getDouble(5) == 0.8, s"chi2: $got")
+    // identical predictions: zero discordant pairs, test undefined
+    val same = Seq((1, 1, 1), (0, 0, 1), (1, 1, 0)).toDF("pa", "pb", "y")
+    assert(Stats.mcnemar(same, "pa", "pb", "y").collect().head.isNullAt(5))
+  }
+
   test("randomizedResponse: deterministic replay, mass conserved, p→1 collapses to the truth") {
     val rows = ((0 until 120).map(i => (i.toLong, "en"))
       ++ (120 until 180).map(i => (i.toLong, "fr"))

@@ -197,6 +197,16 @@ class JourneysSpec extends SparkSpec {
     assert(got2 == Map("a" -> 0.5, "b" -> 0.5), s"got $got2")
   }
 
+  test("markovEntropyRate: fair coin chain reads ln 2; deterministic cycle reads 0") {
+    val coin = Seq(("a", "a", 1L), ("a", "b", 1L), ("b", "a", 1L), ("b", "b", 1L))
+      .toDF("from_type", "to_type", "n")
+    val h1 = Journeys.markovEntropyRate(coin, iters = 4).collect().head
+    assert(h1.getLong(0) == 2L && h1.getDouble(1) == 0.693147, s"fair coin: $h1")
+    val cycle = Seq(("a", "b", 5L), ("b", "a", 5L)).toDF("from_type", "to_type", "n")
+    val h2 = Journeys.markovEntropyRate(cycle, iters = 4).collect().head
+    assert(h2.getDouble(1) == 0.0, s"deterministic cycle: $h2")
+  }
+
   test("markovStationary fuzz: == the exact quantized BigInt replay on 12 random chains") {
     import org.apache.spark.sql.functions.col
     val rnd = new java.util.Random(31415L)
