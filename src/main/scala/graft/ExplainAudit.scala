@@ -137,7 +137,9 @@ object ExplainAudit {
     // downstream of the checkpointed quantized transition relation)
     "q_avg_precision", "q_rr_freq", "q_good_turing", "q_markov_stationary",
     "q_level_shift", "q_session_ngrams", "q_rfm", "q_gains_table", "q_hill_tail",
-    "q_markov_entropy", "q_mcnemar")
+    "q_markov_entropy", "q_mcnemar",
+    // round 14: signed-rank / ANOVA / degree-mixing stats
+    "q_wilcoxon", "q_anova", "q_assortativity")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

@@ -3038,6 +3038,14 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // -- degree mixing of the same-nation trade graph: do well-connected
+    //    customers trade with well-connected suppliers? One number from
+    //    exact integer degree sums over the symmetrized edge list
+    "q_assortativity" -> ((s, dir) =>
+      operators.Graph.degreeAssortativity(
+        operators.Graph.sameNationEdges(t(s, dir, "orders"), t(s, dir, "lineitem"),
+          t(s, dir, "customer"), t(s, dir, "supplier")))),
+
     // -- vocabulary growth (Heaps' law): new + cumulative vocab per
     //    50-doc prefix of the corpus
     "q_vocab_growth" -> ((s, dir) => {
@@ -3606,6 +3614,31 @@ object SparkEntry {
         (col("n_chars") >= 300).cast("int").as("label"))
       operators.Stats.mcnemar(scored, "pred_a", "pred_b", "label")
     }),
+
+    // -- Wilcoxon signed-rank on paired customer spend (cents) across the
+    //    1998-01-01 split: did per-customer spend shift, rank-judged so no
+    //    whale customer dominates — ranks via the spearman chunked-prefix
+    //    build, W+ and ties on exact decimal sums
+    "q_wilcoxon" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+      val split = lit("1998-01-01").cast("timestamp")
+      val cents = functions.Portable.pround(col("o_totalprice") * 100, 0).cast("long")
+      val paired = o.groupBy(col("o_custkey"))
+        .agg(
+          sum(when(col("o_orderdate") < split, cents).otherwise(0L)).as("__e"),
+          sum(when(col("o_orderdate") >= split, cents).otherwise(0L)).as("__l"),
+          sum(when(col("o_orderdate") < split, 1L).otherwise(0L)).as("__ne"),
+          sum(when(col("o_orderdate") >= split, 1L).otherwise(0L)).as("__nl"))
+        .where(col("__ne") > 0 && col("__nl") > 0)
+        .select((col("__l") - col("__e")).as("d_cents"))
+      operators.Stats.wilcoxonSignedRank(paired, "d_cents")
+    }),
+
+    // -- one-way ANOVA of document length across languages: F and η²
+    //    from exact per-group decimal sums — the k-group mean-difference
+    //    readout (welch answers it pairwise, kruskal on ranks)
+    "q_anova" -> ((s, dir) =>
+      operators.Stats.anovaOneWay(t(s, dir, "documents"), "lang", "n_chars")),
 
     // -- content-defined chunking: token-hash cut points (rsync/LBFS rule
     //    at token granularity) — boundaries survive upstream insertions,
@@ -7378,6 +7411,22 @@ object SparkEntry {
     // trade graph (mirrors of Graph.labelPropagation / Graph.kCore)
     "q_label_prop" -> labelPropSql(iters = 5),
     "q_kcore" -> kCoreSql(k = 4, rounds = 6),
+    // symmetrized list: both margins coincide, r = (mΣjk−(Σj)²)/(mΣj²−(Σj)²)
+    // from exact HUGEINT degree sums
+    "q_assortativity" ->
+      s"""WITH $NationEdgesCte,
+          deg AS (SELECT src AS node, count(*)::BIGINT AS d FROM ne GROUP BY 1),
+          je AS (SELECT a.d AS dj, b.d AS dk
+                 FROM ne JOIN deg a ON ne.src = a.node JOIN deg b ON ne.dst = b.node),
+          ag AS (SELECT count(*)::BIGINT AS m, sum(dj::HUGEINT * dk) AS sjk,
+                        sum(dj::HUGEINT) AS sj, sum(dj::HUGEINT * dj) AS sjj
+                 FROM je)
+          SELECT m,
+                 floor((CASE WHEN m::DOUBLE * sjj::DOUBLE - sj::DOUBLE * sj::DOUBLE > 0
+                        THEN (m::DOUBLE * sjk::DOUBLE - sj::DOUBLE * sj::DOUBLE)
+                             / (m::DOUBLE * sjj::DOUBLE - sj::DOUBLE * sj::DOUBLE) END)
+                       * 1e6 + 0.5) / 1e6 AS r_r
+          FROM ag""",
     "q_vocab_growth" ->
       s"""WITH $TokCte,
           f AS (SELECT word, min(doc_id) AS first_doc FROM tok GROUP BY word),
@@ -8037,6 +8086,56 @@ object SparkEntry {
                  floor((CASE WHEN b + c > 0
                         THEN (abs(b - c) - 1)::DOUBLE * (abs(b - c) - 1)::DOUBLE
                              / (b + c)::DOUBLE END) * 1e4 + 0.5) / 1e4 AS chi2_r
+          FROM ag""",
+    // doubled average rank 2·cum−c+1 is an exact integer; W+ and the tie
+    // term ride HUGEINT sums, z is one fixed-order double expression
+    "q_wilcoxon" ->
+      """WITH per AS (SELECT o_custkey,
+               sum(CASE WHEN o_orderdate < TIMESTAMP '1998-01-01'
+                        THEN floor(o_totalprice * 100 + 0.5)::BIGINT ELSE 0 END) AS e,
+               sum(CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01'
+                        THEN floor(o_totalprice * 100 + 0.5)::BIGINT ELSE 0 END) AS l,
+               sum((o_orderdate < TIMESTAMP '1998-01-01')::INT) AS ne,
+               sum((o_orderdate >= TIMESTAMP '1998-01-01')::INT) AS nl
+             FROM orders GROUP BY 1),
+          d AS (SELECT l - e AS d FROM per WHERE ne > 0 AND nl > 0),
+          nz AS (SELECT count(*)::BIGINT AS n_zero FROM d WHERE d = 0),
+          pv AS (SELECT abs(d) AS a, count(*)::BIGINT AS c,
+                        sum((d > 0)::INT)::BIGINT AS cp
+                 FROM d WHERE d <> 0 GROUP BY 1),
+          r AS (SELECT c, cp, 2 * sum(c) OVER (ORDER BY a) - c + 1 AS d2 FROM pv),
+          ag AS (SELECT coalesce(sum(c), 0)::BIGINT AS n,
+                        sum(cp::HUGEINT * d2::HUGEINT) AS w2,
+                        sum(c::HUGEINT * c * c - c) AS tie
+                 FROM r)
+          SELECT n, n_zero,
+                 w2::DOUBLE / 2.0 AS w_plus,
+                 floor((CASE WHEN n::DOUBLE * (n::DOUBLE + 1.0) * (2.0 * n::DOUBLE + 1.0) / 24.0
+                                  - tie::DOUBLE / 48.0 > 0
+                        THEN (w2::DOUBLE / 2.0 - n::DOUBLE * (n::DOUBLE + 1.0) / 4.0)
+                             / sqrt(n::DOUBLE * (n::DOUBLE + 1.0) * (2.0 * n::DOUBLE + 1.0) / 24.0
+                                    - tie::DOUBLE / 48.0) END) * 1e4 + 0.5) / 1e4 AS z_r
+          FROM ag CROSS JOIN nz""",
+    // per-group decimal sums exact; the k-sized between-group double sum
+    // combines group-level terms only
+    "q_anova" ->
+      """WITH per AS (SELECT lang AS g, count(*)::BIGINT AS n,
+                             sum(n_chars)::HUGEINT AS s,
+                             sum(n_chars::HUGEINT * n_chars) AS ss
+                      FROM documents
+                      WHERE lang IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+          ag AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+                        sum(s) AS t1, sum(ss) AS t2,
+                        sum(s::DOUBLE * s::DOUBLE / n::DOUBLE) AS bg
+                 FROM per)
+          SELECT k, n,
+                 floor((CASE WHEN k > 1 AND n > k AND t2::DOUBLE - bg > 0
+                        THEN ((bg - t1::DOUBLE * t1::DOUBLE / n::DOUBLE) / (k - 1)::DOUBLE)
+                             / ((t2::DOUBLE - bg) / (n - k)::DOUBLE) END) * 1e4 + 0.5) / 1e4 AS f_r,
+                 floor((CASE WHEN t2::DOUBLE - t1::DOUBLE * t1::DOUBLE / n::DOUBLE > 0
+                        THEN (bg - t1::DOUBLE * t1::DOUBLE / n::DOUBLE)
+                             / (t2::DOUBLE - t1::DOUBLE * t1::DOUBLE / n::DOUBLE) END) * 1e4 + 0.5) / 1e4
+                   AS eta2_r
           FROM ag""",
     // strictly-below counts per metric value; integer DIV bucket math
     "q_rfm" ->

@@ -492,4 +492,43 @@ object Graph {
         Portable.pround(coalesce(col("hub"), lit(0.0)) / col("__th"), 6).as("hub_r"),
         Portable.pround(coalesce(col("auth"), lit(0.0)) / col("__ta"), 6).as("auth_r"))
   }
+
+  /** Degree assortativity coefficient (Newman, Phys. Rev. Lett. 2002): the
+    * Pearson correlation of endpoint degrees over the symmetrized edge
+    * list — "do hubs link to hubs" in one number (r > 0: social-network-
+    * like degree mixing; r < 0: hub-and-spoke). Canonicalizes through
+    * [[undirected]] first (the [[clusteringCoefficients]] any-edge-relation
+    * contract — duplicated/directed/self-loop inputs are repaired, not
+    * silently double-counted). On the symmetrized list both endpoint
+    * margins coincide, so r = (mΣjk − (Σj)²) / (mΣj² − (Σj)²) from exact
+    * integer sums: degrees are integers, every product rides a decimal
+    * sum, and the final ratio is one fixed-order scalar expression.
+    *
+    * One exchange for degrees, two degree joins (node-sized relation —
+    * shuffle-joined; at corpus scale the node table exceeds broadcast
+    * range, and AQE may still elect broadcast when it fits), one
+    * partial-agg reduction to a single row (m, r_r); r reads NULL on a
+    * degree-regular graph (zero variance).
+    */
+  def degreeAssortativity(edges: DataFrame): DataFrame = {
+    val e = undirected(edges)
+    val deg = degrees(e)
+    val joined = e
+      .join(deg.select(col("node").as("src"), col("degree").as("__dj")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("degree").as("__dk")), Seq("dst"))
+    val mD = col("m").cast("double")
+    val sj = col("__sj").cast("double")
+    val num = mD * col("__sjk").cast("double") - sj * sj
+    val den = mD * col("__sjj").cast("double") - sj * sj
+    joined
+      .agg(
+        count(lit(1)).as("m"),
+        sum(col("__dj").cast("decimal(20,0)") * col("__dk").cast("decimal(20,0)"))
+          .as("__sjk"),
+        sum(col("__dj").cast("decimal(38,0)")).as("__sj"),
+        sum(col("__dj").cast("decimal(20,0)") * col("__dj").cast("decimal(20,0)"))
+          .as("__sjj"))
+      .select(col("m"),
+        Portable.pround(when(den > 0.0, num / den), 6).as("r_r"))
+  }
 }

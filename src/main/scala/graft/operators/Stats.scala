@@ -2162,4 +2162,113 @@ object Stats {
       .select(col("__g").as(groupCol), col("n"), col("n_pairs"),
         Portable.pround(col("__med"), 6).as("slope_r"))
   }
+
+  /** Wilcoxon signed-rank test (Wilcoxon, Biometrics Bulletin 1945) over an
+    * INTEGER paired-difference column: did the paired measure shift, judged
+    * without any normality assumption — ranks of |d| replace the magnitudes,
+    * so one outlier customer moves the statistic by at most its rank. The
+    * nonparametric sibling of the paired t-test, as [[kruskalWallis]] is to
+    * ANOVA; zeros are dropped (reported as `n_zero`), ties get AVERAGE
+    * ranks with the standard variance correction Σ(t³−t)/48.
+    *
+    * Scale + determinism = the [[spearman]] chunked-prefix discipline: ranks
+    * come from per-DISTINCT-|d| counts cumulated in two passes (chunk bases
+    * via a window over the CHUNK aggregate — metadata-sized — then bounded
+    * in-chunk windows); no full-table sort. The DOUBLED average rank of a
+    * tie block, 2·cum − c + 1, is an exact integer, so W⁺ and the tie term
+    * ride exact decimal sums and the z statistic is one fixed-order scalar
+    * expression — deterministic under any partial-agg order.
+    *
+    * Returns ONE row (n, n_zero, w_plus, z_r): n = nonzero pairs, w_plus =
+    * sum of positive-difference ranks (exact half-integer), z the normal
+    * approximation (NULL when the variance is 0 — e.g. n = 0).
+    */
+  def wilcoxonSignedRank(
+      df: DataFrame,
+      dCol: String,
+      chunkWidth: Double = 1e6): DataFrame = {
+    require(chunkWidth > 0, s"chunkWidth ($chunkWidth) must be positive")
+    val d = df.select(col(dCol).cast("long").as("__d")).where(col("__d").isNotNull)
+    val zeros = d.where(col("__d") === 0L).agg(count(lit(1)).as("n_zero"))
+    val perValue = d.where(col("__d") =!= 0L)
+      .groupBy(abs(col("__d")).as("__a"))
+      .agg(count(lit(1)).as("__c"),
+        sum(when(col("__d") > 0, 1L).otherwise(0L)).as("__cp"))
+      .withColumn("__chunk", floor(col("__a").cast("double") / chunkWidth).cast("long"))
+    val wChunks = Window.orderBy(col("__chunk"))
+    val bases = perValue
+      .groupBy(col("__chunk")).agg(sum(col("__c")).as("__s"))
+      .withColumn("__b", sum(col("__s")).over(wChunks) - col("__s"))
+      .select(col("__chunk"), col("__b"))
+    val wLocal = Window.partitionBy(col("__chunk")).orderBy(col("__a"))
+    val ranked = perValue
+      .join(broadcast(bases), Seq("__chunk"))
+      .withColumn("__cum", col("__b") + sum(col("__c")).over(wLocal))
+      .withColumn("__d2", lit(2L) * col("__cum") - col("__c") + lit(1L))
+    val nD = col("n").cast("double")
+    val sig2 = nD * (nD + 1.0) * (lit(2.0) * nD + 1.0) / 24.0 -
+      col("__tie").cast("double") / 48.0
+    ranked
+      .agg(
+        coalesce(sum(col("__c")), lit(0L)).as("n"),
+        sum(col("__cp").cast("decimal(20,0)") * col("__d2").cast("decimal(20,0)"))
+          .as("__w2"),
+        sum(col("__c").cast("decimal(20,0)") * col("__c").cast("decimal(20,0)")
+          * col("__c").cast("decimal(20,0)") - col("__c").cast("decimal(38,0)"))
+          .as("__tie"))
+      .crossJoin(broadcast(zeros))
+      .select(col("n"), col("n_zero"),
+        (col("__w2").cast("double") / 2.0).as("w_plus"),
+        Portable.pround(
+          when(sig2 > 0.0,
+            (col("__w2").cast("double") / 2.0 - nD * (nD + 1.0) / 4.0) / sqrt(sig2)),
+          4).as("z_r"))
+  }
+
+  /** One-way ANOVA over an INTEGER-valued measure: the F statistic and
+    * effect size η² = SSB/SST for a categorical factor — "does the group
+    * mean differ more than within-group noise explains", the k-group
+    * generalization [[welchTTest]] answers pairwise and [[kruskalWallis]]
+    * answers on ranks. Per-group Σx and Σx² ride EXACT decimal sums (any
+    * summation order), the between-group term Σ S_g²/n_g combines k
+    * group-level doubles (group-cardinality-sized — the [[Portable]]
+    * shuffled-sum caveat applies only within an ulp of a rounding
+    * boundary), and F/η² are fixed-order scalar expressions. One
+    * partial-agg pass over rows, one over groups.
+    *
+    * Returns ONE row (k, n, f_r, eta2_r); F reads NULL when k < 2, n ≤ k,
+    * or SSW = 0 (no within-group variance — F is infinite/undefined).
+    */
+  def anovaOneWay(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val rows = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__x"))
+      .where(col("__g").isNotNull && col("__x").isNotNull)
+    val per = rows
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__x").cast("decimal(38,0)")).as("__s"),
+        sum(col("__x").cast("decimal(20,0)") * col("__x").cast("decimal(20,0)"))
+          .as("__ss"))
+    val t1 = col("__t1").cast("double")
+    val t2 = col("__t2").cast("double")
+    val nD = col("n").cast("double")
+    val ssb = col("__bg") - t1 * t1 / nD
+    val ssw = t2 - col("__bg")
+    val sst = t2 - t1 * t1 / nD
+    per
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("__n")).as("n"),
+        sum(col("__s")).as("__t1"),
+        sum(col("__ss")).as("__t2"),
+        sum(col("__s").cast("double") * col("__s").cast("double")
+          / col("__n").cast("double")).as("__bg"))
+      .select(col("k"), col("n"),
+        Portable.pround(
+          when(col("k") > 1 && col("n") > col("k") && ssw > 0.0,
+            (ssb / (col("k") - 1).cast("double"))
+              / (ssw / (col("n") - col("k")).cast("double"))),
+          4).as("f_r"),
+        Portable.pround(when(sst > 0.0, ssb / sst), 4).as("eta2_r"))
+  }
 }

@@ -312,4 +312,47 @@ class DriftStatsSpec extends SparkSpec {
     tight.foreach(r => assert(math.abs(r._5 - r._4) < 1e-3,
       s"de-bias must collapse to the true share: $r"))
   }
+
+  test("wilcoxonSignedRank: distinct-rank hand case") {
+    // d = [1,−2,3,−4,5,6]: ranks 1..6, W+ = 1+3+5+6 = 15
+    // μ = 10.5, σ² = 6·7·13/24 = 22.75 → z = 4.5/√22.75 = 0.9435
+    val df = Seq(1L, -2L, 3L, -4L, 5L, 6L).toDF("d")
+    val r = Stats.wilcoxonSignedRank(df, "d").collect().head
+    assert(r.getLong(0) == 6 && r.getLong(1) == 0, s"counts: $r")
+    assert(r.getDouble(2) == 15.0, s"w_plus: $r")
+    assert(r.getDouble(3) == 0.9435, s"z: $r")
+  }
+
+  test("wilcoxonSignedRank: zeros dropped, ties get average ranks and the variance correction") {
+    // d = [0, 2, −2, 3, 3]: n=4, |2|-block avg rank 1.5, |3|-block 3.5
+    // W+ = 1.5 + 3.5 + 3.5 = 8.5; Σ(t³−t) = 12 → σ² = 7.5 − 0.25 = 7.25
+    // z = 3.5/√7.25 = 1.2999
+    val df = Seq(0L, 2L, -2L, 3L, 3L).toDF("d")
+    val r = Stats.wilcoxonSignedRank(df, "d").collect().head
+    assert(r.getLong(0) == 4 && r.getLong(1) == 1, s"counts: $r")
+    assert(r.getDouble(2) == 8.5, s"w_plus: $r")
+    assert(r.getDouble(3) == 1.2999, s"z: $r")
+    // chunk boundaries must not change ranks: force one value per chunk
+    val narrow = Stats.wilcoxonSignedRank(df, "d", chunkWidth = 1.0).collect().head
+    assert(narrow == r, s"chunking changed the statistic: $narrow vs $r")
+  }
+
+  test("anovaOneWay: textbook two-group F; degenerate inputs read NULL") {
+    // A=[1,2,3], B=[4,5,6]: SSB=13.5, SSW=4 → F = 13.5/(4/4) = 13.5,
+    // η² = 13.5/17.5 = 0.7714
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("B", 4L), ("B", 5L), ("B", 6L))
+      .toDF("g", "x")
+    val r = Stats.anovaOneWay(df, "g", "x").collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 6, s"sizes: $r")
+    assert(r.getDouble(2) == 13.5, s"F: $r")
+    assert(r.getDouble(3) == 0.7714, s"eta2: $r")
+    // one group: F undefined, zero between-group mass; zero within-group
+    // variance: F undefined, η²=1
+    val one = Stats.anovaOneWay(Seq(("A", 1L), ("A", 2L)).toDF("g", "x"), "g", "x")
+      .collect().head
+    assert(one.isNullAt(2) && one.getDouble(3) == 0.0, s"single group: $one")
+    val sep = Stats.anovaOneWay(Seq(("A", 1L), ("A", 1L), ("B", 2L), ("B", 2L))
+      .toDF("g", "x"), "g", "x").collect().head
+    assert(sep.isNullAt(2) && sep.getDouble(3) == 1.0, s"separated: $sep")
+  }
 }

@@ -192,4 +192,26 @@ class GraphSpec extends SparkSpec {
     assert(at6 == at7, "one extra peel round changed the core: rounds=6 is not the fixpoint")
     assert(at6.values.forall(_ >= 4), "a surviving node has degree < k")
   }
+
+  test("degreeAssortativity: path and star read -1, a regular cycle reads NULL") {
+    // P3: Σjk=8, Σj=6, Σj²=10 over m=4 directed edges → (32−36)/(40−36) = −1
+    val path = Seq(("1", "2"), ("2", "3")).toDF("src", "dst")
+    val p = Graph.degreeAssortativity(path).collect().head
+    assert(p.getLong(0) == 4 && p.getDouble(1) == -1.0, s"path: $p")
+    val star = Seq(("0", "a"), ("0", "b"), ("0", "c")).toDF("src", "dst")
+    val s = Graph.degreeAssortativity(star).collect().head
+    assert(s.getLong(0) == 6 && s.getDouble(1) == -1.0, s"star: $s")
+    // C3 is 2-regular: zero degree variance, r undefined
+    val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
+    val c = Graph.degreeAssortativity(cyc).collect().head
+    assert(c.getLong(0) == 6 && c.isNullAt(1), s"cycle: $c")
+  }
+
+  test("degreeAssortativity repairs dirty input (dupes, self-loops, one-directional)") {
+    val clean = Seq(("1", "2"), ("2", "3")).toDF("src", "dst")
+    val dirty = Seq(("1", "2"), ("1", "2"), ("2", "1"), ("2", "2"), ("2", "3"))
+      .toDF("src", "dst")
+    assert(Graph.degreeAssortativity(dirty).collect().toSeq
+      == Graph.degreeAssortativity(clean).collect().toSeq)
+  }
 }
