@@ -139,7 +139,9 @@ object ExplainAudit {
     "q_level_shift", "q_session_ngrams", "q_rfm", "q_gains_table", "q_hill_tail",
     "q_markov_entropy", "q_mcnemar",
     // round 14: signed-rank / ANOVA / degree-mixing stats
-    "q_wilcoxon", "q_anova", "q_assortativity")
+    "q_wilcoxon", "q_anova", "q_assortativity",
+    // round 14: link prediction, partition modularity, lead-lag xcorr
+    "q_adamic_adar", "q_modularity", "q_xcorr")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

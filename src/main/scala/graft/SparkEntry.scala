@@ -3046,6 +3046,37 @@ object SparkEntry {
         operators.Graph.sameNationEdges(t(s, dir, "orders"), t(s, dir, "lineitem"),
           t(s, dir, "customer"), t(s, dir, "supplier")))),
 
+    // -- Adamic–Adar link prediction on the sparse trade graph: top-20
+    //    non-adjacent pairs by hub-discounted shared counterparties —
+    //    wedge expansion degree-capped BEFORE the self-join (mirrored)
+    "q_adamic_adar" -> ((s, dir) =>
+      operators.Graph.adamicAdar(
+        operators.Graph.sameNationEdges(t(s, dir, "orders"), t(s, dir, "lineitem"),
+          t(s, dir, "customer"), t(s, dir, "supplier")),
+        k = 20, maxHubDegree = 64)),
+
+    // -- modularity profile of nation membership over the UNRESTRICTED
+    //    trade graph: is trade nation-concentrated beyond what degrees
+    //    alone predict? Per-nation within-edge mass vs the null model
+    "q_modularity" -> ((s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select(concat(lit("c"), col("c_custkey")).as("node"),
+          col("c_nationkey").as("label"))
+      val supp = t(s, dir, "supplier")
+        .select(concat(lit("s"), col("s_suppkey")).as("node"),
+          col("s_nationkey").as("label"))
+      operators.Graph.modularity(
+        operators.Graph.customerSupplierEdges(t(s, dir, "orders"), t(s, dir, "lineitem")),
+        cust.unionAll(supp))
+    }),
+
+    // -- lagged cross-correlation of the click and purchase hourly
+    //    series: does click activity LEAD purchases, and by how many
+    //    hours — exact-overlap samples, integer sufficient sums per lag
+    "q_xcorr" -> ((s, dir) =>
+      operators.TimeSeries.crossCorrelation(
+        graft.sources.EventsSource.events(s, dir), "click", "purchase", maxLag = 6)),
+
     // -- vocabulary growth (Heaps' law): new + cumulative vocab per
     //    50-doc prefix of the corpus
     "q_vocab_growth" -> ((s, dir) => {
@@ -7427,6 +7458,60 @@ object SparkEntry {
                              / (m::DOUBLE * sjj::DOUBLE - sj::DOUBLE * sj::DOUBLE) END)
                        * 1e6 + 0.5) / 1e6 AS r_r
           FROM ag""",
+    // hub cut (deg <= 64) mirrored BEFORE the wedge join; rounded scores
+    // rank with a total (aa_r DESC, u, v) tiebreak
+    "q_adamic_adar" ->
+      s"""WITH $NationEdgesCte,
+          deg AS (SELECT src AS node, count(*)::BIGINT AS d FROM ne GROUP BY 1),
+          vz AS (SELECT ne.src AS z, ne.dst AS n, deg.d AS dz
+                 FROM ne JOIN deg ON ne.src = deg.node WHERE deg.d <= 64),
+          w AS (SELECT a.n AS u, b.n AS v, a.dz
+                FROM vz a JOIN vz b ON a.z = b.z WHERE a.n < b.n),
+          nw AS (SELECT u, v, dz FROM w
+                 WHERE NOT EXISTS (SELECT 1 FROM ne WHERE ne.src = w.u AND ne.dst = w.v)),
+          ag AS (SELECT u, v, count(*)::BIGINT AS common,
+                        floor(sum(1.0 / ln(dz::DOUBLE)) * 1e6 + 0.5) / 1e6 AS aa_r
+                 FROM nw GROUP BY u, v)
+          SELECT u, v, common, aa_r FROM ag
+          QUALIFY row_number() OVER (ORDER BY aa_r DESC, u, v) <= 20
+          ORDER BY aa_r DESC, u, v""",
+    // per-nation within-edge mass vs the degree-null model on the
+    // symmetrized list: all integers, one scalar row per label
+    "q_modularity" ->
+      s"""WITH $GraphEdgesCte,
+          lab AS (SELECT 'c' || c_custkey AS node, c_nationkey AS label FROM customer
+                  UNION ALL SELECT 's' || s_suppkey, s_nationkey FROM supplier),
+          tot AS (SELECT count(*)::BIGINT AS m2 FROM e),
+          le AS (SELECT lu.label AS lu, lv.label AS lv, e.src AS src FROM e
+                 JOIN lab lu ON e.src = lu.node JOIN lab lv ON e.dst = lv.node),
+          ag AS (SELECT lu AS label, count(DISTINCT src)::BIGINT AS n_nodes,
+                        count(*)::BIGINT AS d_tot, sum((lu = lv)::INT)::BIGINT AS e_in
+                 FROM le GROUP BY 1)
+          SELECT label, n_nodes, d_tot, e_in,
+                 floor((e_in::DOUBLE / m2::DOUBLE
+                        - (d_tot::DOUBLE / m2::DOUBLE) * (d_tot::DOUBLE / m2::DOUBLE))
+                       * 1e6 + 0.5) / 1e6 AS q_contrib_r
+          FROM ag CROSS JOIN tot ORDER BY label""",
+    // exact-overlap per lag; six integer sufficient sums, one scalar r
+    "q_xcorr" ->
+      s"""WITH $DenseHourCte,
+          x AS (SELECT h, x FROM ser WHERE event_type = 'click'),
+          y AS (SELECT h AS hy, x AS y FROM ser WHERE event_type = 'purchase'),
+          l AS (SELECT unnest(range(0, 7))::BIGINT AS lag),
+          j AS (SELECT l.lag, x.x, y.y
+                FROM x CROSS JOIN l JOIN y ON y.hy = x.h + l.lag),
+          ag AS (SELECT lag, count(*)::BIGINT AS n, sum(x)::BIGINT AS sx,
+                        sum(y)::BIGINT AS sy, sum(x * x)::BIGINT AS sxx,
+                        sum(y * y)::BIGINT AS syy, sum(x * y)::BIGINT AS sxy
+                 FROM j GROUP BY 1)
+          SELECT lag, n,
+                 floor((CASE WHEN n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE > 0.0
+                              AND n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE > 0.0
+                        THEN (n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+                             / sqrt((n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                                    * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) END)
+                       * 1e6 + 0.5) / 1e6 AS r_r
+          FROM ag ORDER BY lag""",
     "q_vocab_growth" ->
       s"""WITH $TokCte,
           f AS (SELECT word, min(doc_id) AS first_doc FROM tok GROUP BY word),

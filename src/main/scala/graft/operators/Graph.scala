@@ -510,6 +510,92 @@ object Graph {
     * partial-agg reduction to a single row (m, r_r); r reads NULL on a
     * degree-regular graph (zero variance).
     */
+  /** Adamic–Adar link prediction (Adamic & Adar, Social Networks 2003):
+    * for each NON-adjacent pair (u, v) sharing at least one neighbor,
+    * AA(u,v) = Σ_{z ∈ N(u)∩N(v)} 1/ln(deg z) — common neighbors weighted
+    * down by how promiscuous they are (a shared rare counterparty is
+    * evidence; a shared hub is not). The top-k pairs are the "these two
+    * will trade next" shortlist. A common neighbor of two distinct nodes
+    * has degree ≥ 2, so ln(deg z) > 0 always.
+    *
+    * Scale discipline: the wedge expansion through z is Σ_z deg(z)² —
+    * quadratic in hub degree — so z is restricted to deg ≤ maxHubDegree
+    * BEFORE the self-join (mirrored in the oracle, the semantic-filter
+    * form of the q_dedup_minhash cap discipline; a hub's 1/ln(deg) terms
+    * carry the least signal, which is the estimator's own argument for
+    * the cut). Per-pair AA sums combine z-level doubles (the [[Portable]]
+    * shuffled-sum caveat); ROUNDED scores then rank with a total (aa_r
+    * DESC, u, v) tiebreak through TakeOrdered — no global sort.
+    *
+    * Returns the top-k rows (u, v, common, aa_r).
+    */
+  def adamicAdar(
+      edges: DataFrame,
+      k: Int = 20,
+      maxHubDegree: Int = 64): DataFrame = {
+    require(k >= 1 && maxHubDegree >= 2,
+      s"k ($k) must be >= 1 and maxHubDegree ($maxHubDegree) >= 2")
+    val e = undirected(edges)
+    val deg = degrees(e)
+    val viaZ = e
+      .join(deg.select(col("node").as("src"), col("degree").as("__dz")), Seq("src"))
+      .where(col("__dz") <= maxHubDegree)
+    val wedges = viaZ.select(col("src").as("__z"), col("dst").as("u"), col("__dz"))
+      .join(viaZ.select(col("src").as("__z"), col("dst").as("v")), Seq("__z"))
+      .where(col("u") < col("v"))
+    wedges
+      .join(e.select(col("src").as("u"), col("dst").as("v")), Seq("u", "v"),
+        "left_anti")
+      .groupBy(col("u"), col("v"))
+      .agg(count(lit(1)).as("common"),
+        sum(lit(1.0) / log(col("__dz").cast("double"))).as("__aa"))
+      .select(col("u"), col("v"), col("common"),
+        Portable.pround(col("__aa"), 6).as("aa_r"))
+      .orderBy(col("aa_r").desc, col("u"), col("v"))
+      .limit(k)
+  }
+
+  /** Modularity profile of a node partition (Newman & Girvan, Phys. Rev.
+    * E 2004): per community c, the within-community edge fraction
+    * e_c = in_c/2m against its degree-null expectation (d_c/2m)² —
+    * q_contrib = e_c − (d_c/2m)², and Q = Σ_c q_contrib. Positive Q:
+    * the partition concentrates edges beyond what degrees alone predict.
+    * Labels come from ANY (node, label) relation — a ground-truth
+    * attribute (nation), [[labelPropagation]] output, k-means cells.
+    *
+    * Both endpoints' labels join onto the symmetrized list (node-sized
+    * relation, shuffle-joined; AQE may elect broadcast); in_c counts
+    * only SAME-label edges, d_c is the label's degree mass — all exact
+    * integers on the directed-both-ways list (2m = |edges|), so each
+    * community row is a fixed-order scalar. Unlabeled endpoints fall
+    * out of the join (reported via the m_total vs labeled mass gap).
+    *
+    * Returns one row per label (label, n_nodes, d_tot, e_in, q_contrib_r)
+    * ordered by label; Q = sum of q_contrib_r.
+    */
+  def modularity(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val e = undirected(edges)
+    val lab = labels.toDF("node", "label")
+    val tot = broadcast(e.agg(count(lit(1)).as("__m2"))) // 2m, a lazy 1-row scalar
+    val labeled = e
+      .join(lab.select(col("node").as("src"), col("label").as("__lu")), Seq("src"))
+      .join(lab.select(col("node").as("dst"), col("label").as("__lv")), Seq("dst"))
+    val m2D = col("__m2").cast("double")
+    labeled
+      .groupBy(col("__lu").as("label"))
+      .agg(
+        countDistinct(col("src")).as("n_nodes"),
+        count(lit(1)).as("d_tot"),
+        sum(when(col("__lu") === col("__lv"), 1L).otherwise(0L)).as("e_in"))
+      .crossJoin(tot)
+      .select(col("label"), col("n_nodes"), col("d_tot"), col("e_in"),
+        Portable.pround(
+          col("e_in").cast("double") / m2D -
+            (col("d_tot").cast("double") / m2D) * (col("d_tot").cast("double") / m2D),
+          6).as("q_contrib_r"))
+      .orderBy("label")
+  }
+
   def degreeAssortativity(edges: DataFrame): DataFrame = {
     val e = undirected(edges)
     val deg = degrees(e)

@@ -419,4 +419,56 @@ object TimeSeries {
           && v1 / col("n_pre") + v2 / col("n_post") > 0.0,
           (m1 - m2) / sqrt(v1 / col("n_pre") + v2 / col("n_post"))), 4).as("t_r"))
   }
+
+  /** Lagged cross-correlation between two keys' dense hourly series:
+    * Pearson r of (x_t, y_{t+lag}) for lag 0..maxLag — does activity in
+    * stream A LEAD stream B, and by how many hours ([[acf]] asks this of
+    * a stream against itself; this asks it across streams — the
+    * "clicks foreshadow purchases" readout). Each lag's sample is the
+    * exact overlap of A's spine with B's shifted spine, so partial
+    * windows never fabricate zeros outside either stream's span.
+    *
+    * One spine build ([[denseHourlySeries]] on the two keys only), a
+    * (maxLag+1)-way explode of the A side, one equi-join on the shifted
+    * hour, one partial-agg pass: all six sufficient sums are exact
+    * integers (counts), r is one fixed-order scalar per lag —
+    * deterministic under any partial-agg order. Span-sized everything.
+    *
+    * Returns (lag, n, r_r) ordered by lag; r reads NULL when either
+    * side's variance is 0 in the overlap.
+    */
+  def crossCorrelation(
+      events: DataFrame,
+      keyA: String,
+      keyB: String,
+      keyCol: String = "event_type",
+      tsCol: String = "ts_t",
+      maxLag: Int = 6): DataFrame = {
+    require(maxLag >= 0, s"maxLag ($maxLag) must be >= 0")
+    val ser = denseHourlySeries(
+      events.where(col(keyCol).isin(keyA, keyB)), keyCol, tsCol)
+    val x = ser.where(col(keyCol) === keyA).select(col("__h"), col("__x"))
+    val y = ser.where(col(keyCol) === keyB)
+      .select(col("__h").as("__hy"), col("__x").as("__y"))
+    val lags = array((0 to maxLag).map(l => lit(l.toLong)): _*)
+    val nD = col("n").cast("double")
+    val dx = nD * col("__sxx").cast("double") -
+      col("__sx").cast("double") * col("__sx").cast("double")
+    val dy = nD * col("__syy").cast("double") -
+      col("__sy").cast("double") * col("__sy").cast("double")
+    val num = nD * col("__sxy").cast("double") -
+      col("__sx").cast("double") * col("__sy").cast("double")
+    x.select(col("__h"), col("__x"), explode(lags).as("lag"))
+      .join(y, col("__hy") === col("__h") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"),
+        sum(col("__x") * col("__y")).as("__sxy"))
+      .select(col("lag"), col("n"),
+        graft.functions.Portable.pround(
+          when(dx > 0.0 && dy > 0.0, num / sqrt(dx * dy)), 6).as("r_r"))
+      .orderBy("lag")
+  }
 }

@@ -13,6 +13,11 @@ class GraphSpec extends SparkSpec {
 
   import spark.implicits._
 
+  private def pround(x: Double, dp: Int): Double = {
+    val m = math.pow(10, dp)
+    math.floor(x * m + 0.5) / m
+  }
+
   // path graph a—b—c—d plus a pendant e off b, symmetrized
   private val rawEdges =
     Seq(("a", "b"), ("b", "c"), ("c", "d"), ("b", "e"))
@@ -205,6 +210,52 @@ class GraphSpec extends SparkSpec {
     val cyc = Seq(("a", "b"), ("b", "c"), ("c", "a")).toDF("src", "dst")
     val c = Graph.degreeAssortativity(cyc).collect().head
     assert(c.getLong(0) == 6 && c.isNullAt(1), s"cycle: $c")
+  }
+
+  test("adamicAdar: C4 hand case; hub cap drops only the hub's wedges") {
+    // cycle 1-2-3-4: non-adjacent diagonals (1,3) and (2,4), each with two
+    // deg-2 common neighbors → AA = 2/ln 2
+    val c4 = Seq(("1", "2"), ("2", "3"), ("3", "4"), ("4", "1")).toDF("src", "dst")
+    val got = Graph.adamicAdar(c4, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    val aa2 = pround(2.0 / math.log(2.0), 6)
+    assert(got.toSeq == Seq(("1", "3", 2L, aa2), ("2", "4", 2L, aa2)), s"c4: ${got.toSeq}")
+    // x,y share hub h (deg 5) and low-deg w (deg 2); h,w share x and y.
+    // Capping at 4 removes only h's wedges: (x,y) loses the hub term,
+    // (h,w) keeps both deg-2 witnesses
+    val hub = Seq(("h", "x"), ("h", "y"), ("h", "p1"), ("h", "p2"), ("h", "p3"),
+      ("w", "x"), ("w", "y")).toDF("src", "dst")
+    val full = Graph.adamicAdar(hub, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(full.toSeq == Seq(
+      ("h", "w", 2L, aa2),
+      ("x", "y", 2L, pround(1.0 / math.log(5.0) + 1.0 / math.log(2.0), 6))),
+      s"uncapped: ${full.toSeq}")
+    val capped = Graph.adamicAdar(hub, k = 2, maxHubDegree = 4)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+    assert(capped.toSeq == Seq(
+      ("h", "w", 2L, aa2),
+      ("x", "y", 1L, pround(1.0 / math.log(2.0), 6))),
+      s"capped: ${capped.toSeq}")
+  }
+
+  test("modularity: disconnected cliques read Q=1/2; a bridge dilutes both sides") {
+    val twoTri = Seq(("a", "b"), ("b", "c"), ("c", "a"),
+      ("d", "e"), ("e", "f"), ("f", "d")).toDF("src", "dst")
+    val labels = Seq(("a", "X"), ("b", "X"), ("c", "X"),
+      ("d", "Y"), ("e", "Y"), ("f", "Y")).toDF("node", "label")
+    val got = Graph.modularity(twoTri, labels)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // per clique: e_in/2m − (d/2m)² = 6/12 − (6/12)² = 0.25 → Q = 0.5
+    assert(got.toSeq == Seq(("X", 3L, 6L, 6L, 0.25), ("Y", 3L, 6L, 6L, 0.25)),
+      s"cliques: ${got.toSeq}")
+    val bridged = twoTri.unionAll(Seq(("c", "d")).toDF("src", "dst"))
+    val gotB = Graph.modularity(bridged, labels)
+      .collect().map(r => (r.getString(0), r.getLong(3), r.getDouble(4)))
+    val contrib = pround(6.0 / 14.0 - (7.0 / 14.0) * (7.0 / 14.0), 6)
+    assert(gotB.toSeq == Seq(("X", 6L, contrib), ("Y", 6L, contrib)),
+      s"bridged: ${gotB.toSeq}")
   }
 
   test("degreeAssortativity repairs dirty input (dupes, self-loops, one-directional)") {

@@ -259,4 +259,35 @@ class TimeSeriesSpec extends SparkSpec {
         s"case $case_: magnitude")
     }
   }
+
+  private def hourlyEvents(key: String, startHour: Long, counts: Seq[Int]) =
+    counts.zipWithIndex.flatMap { case (c, i) =>
+      Seq.fill(c)((key, new Timestamp((startHour + i) * 3600000L)))
+    }
+
+  test("crossCorrelation: a 1-hour-shifted copy reads r=1 exactly at lag 1") {
+    // click hours 0..5 = [1,2,3,1,2,3]; purchase hours 1..6 = same values
+    // → y_{t+1} == x_t over the full 6-point overlap
+    val ev = (hourlyEvents("click", 1000L, Seq(1, 2, 3, 1, 2, 3))
+      ++ hourlyEvents("purchase", 1001L, Seq(1, 2, 3, 1, 2, 3)))
+      .toDF("event_type", "ts_t")
+    val got = TimeSeries.crossCorrelation(ev, "click", "purchase", maxLag = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).toSeq == Seq((0L, 5L), (1L, 6L), (2L, 5L)),
+      s"overlap sizes: ${got.toSeq}")
+    assert(got(1)._3 == 1.0, s"lag-1 r: ${got.toSeq}")
+    assert(got(0)._3 < 1.0 && got(2)._3 < 1.0, s"off-lags: ${got.toSeq}")
+  }
+
+  test("crossCorrelation: zero-variance side reads NULL; empty overlaps are absent rows") {
+    val ev = (hourlyEvents("click", 2000L, Seq(2, 2, 2))
+      ++ hourlyEvents("purchase", 2000L, Seq(1, 2, 1)))
+      .toDF("event_type", "ts_t")
+    val got = TimeSeries.crossCorrelation(ev, "click", "purchase", maxLag = 5)
+      .collect()
+    // constant click series: every present lag has zero x-variance
+    assert(got.forall(_.isNullAt(2)), s"constant series must read NULL: ${got.toSeq}")
+    // purchase spans hours 2000-2002: lags 3+ have no overlap at all
+    assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L), s"lags: ${got.toSeq}")
+  }
 }
