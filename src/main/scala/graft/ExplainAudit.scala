@@ -141,7 +141,9 @@ object ExplainAudit {
     // round 14: signed-rank / ANOVA / degree-mixing stats
     "q_wilcoxon", "q_anova", "q_assortativity",
     // round 14: link prediction, partition modularity, lead-lag xcorr
-    "q_adamic_adar", "q_modularity", "q_xcorr")
+    "q_adamic_adar", "q_modularity", "q_xcorr",
+    // round 14: co-basket neighbors, LOO target encoding, WOE/IV
+    "q_item_cf", "q_target_encode", "q_woe_iv")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

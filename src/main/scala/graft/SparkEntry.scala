@@ -3077,6 +3077,35 @@ object SparkEntry {
       operators.TimeSeries.crossCorrelation(
         graft.sources.EventsSource.events(s, dir), "click", "purchase", maxLag = 6)),
 
+    // -- item-item cosine neighbors from co-baskets: top-3 "bought
+    //    together" per part — within-basket pair expansion only (≤ b²
+    //    per order), minCo floor prunes before the pair relation lands
+    "q_item_cf" -> ((s, dir) =>
+      operators.Recommend.itemItemCosine(t(s, dir, "lineitem"), minCo = 2, k = 3)),
+
+    // -- leave-one-out target encoding of part brand against quantity:
+    //    the anti-leakage categorical feature — each row sees only the
+    //    OTHER rows' mean, shrunk toward the global prior
+    "q_target_encode" -> ((s, dir) => {
+      val r = t(s, dir, "lineitem")
+        .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("okey"), col("l_linenumber").as("line"),
+          col("p_brand").as("cat"), col("l_quantity").cast("long").as("x"))
+      operators.Stats.targetEncodeLoo(r, "cat", "x", smoothing = 10.0)
+        .select(col("okey"), col("line"), col("cat"), col("enc_r"))
+        .orderBy("okey", "line")
+    }),
+
+    // -- WOE/IV of the order-price bin against the urgent-priority
+    //    label: the credit-scoring screening table — zero cells surface
+    //    as NULL (the "merge your bins" signal), never clamped
+    "q_woe_iv" -> ((s, dir) => {
+      val r = t(s, dir, "orders").select(
+        floor(col("o_totalprice") / 50000.0).cast("long").as("bin"),
+        col("o_orderpriority").startsWith("1").as("good"))
+      operators.Stats.woeIv(r, "bin", "good")
+    }),
+
     // -- vocabulary growth (Heaps' law): new + cumulative vocab per
     //    50-doc prefix of the corpus
     "q_vocab_growth" -> ((s, dir) => {
@@ -7512,6 +7541,58 @@ object SparkEntry {
                                     * (n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)) END)
                        * 1e6 + 0.5) / 1e6 AS r_r
           FROM ag ORDER BY lag""",
+    // minCo floor before the pair relation lands; rounded cosines rank
+    // with a (cos DESC, neighbor) total order per item
+    "q_item_cf" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS it FROM lineitem),
+          ni AS (SELECT it, count(*)::BIGINT AS n FROM ob GROUP BY 1),
+          pr AS (SELECT a.it AS i, b.it AS j, count(*)::BIGINT AS co
+                 FROM ob a JOIN ob b ON a.ok = b.ok AND a.it < b.it
+                 GROUP BY 1, 2 HAVING count(*) >= 2),
+          sc AS (SELECT pr.i, pr.j, pr.co,
+                        floor((pr.co::DOUBLE / sqrt(x.n::DOUBLE * y.n::DOUBLE))
+                              * 1e6 + 0.5) / 1e6 AS cos_r
+                 FROM pr JOIN ni x ON pr.i = x.it JOIN ni y ON pr.j = y.it),
+          sym AS (SELECT i AS item, j AS neighbor, co, cos_r FROM sc
+                  UNION ALL SELECT j, i, co, cos_r FROM sc),
+          rk AS (SELECT item, neighbor, co, cos_r,
+                        row_number() OVER (PARTITION BY item
+                                           ORDER BY cos_r DESC, neighbor) AS "rank"
+                 FROM sym)
+          SELECT item, neighbor, co, cos_r, "rank" FROM rk
+          WHERE "rank" <= 3 ORDER BY item, "rank"""",
+    // LOO encode: (S_c − x + m·P)/(n_c − 1 + m), broadcast category table
+    "q_target_encode" ->
+      """WITH r AS (SELECT l_orderkey AS okey, l_linenumber AS line,
+                           p_brand AS cat, l_quantity::BIGINT AS x
+                    FROM lineitem JOIN part ON l_partkey = p_partkey),
+          pc AS (SELECT cat, count(*)::BIGINT AS n, sum(x)::HUGEINT AS s
+                 FROM r GROUP BY 1),
+          g AS (SELECT count(*)::BIGINT AS nt, sum(x)::HUGEINT AS st FROM r)
+          SELECT r.okey, r.line, r.cat,
+                 floor(((pc.s::DOUBLE - r.x::DOUBLE + 10.0 * (g.st::DOUBLE / g.nt::DOUBLE))
+                        / (pc.n::DOUBLE - 1.0 + 10.0)) * 1e6 + 0.5) / 1e6 AS enc_r
+          FROM r JOIN pc USING (cat) CROSS JOIN g ORDER BY okey, line""",
+    // WOE argument is the exact integer cross-ratio g·B/(b·G); IV derives
+    // from the ROUNDED WOE; zero cells read NULL (never clamped)
+    "q_woe_iv" ->
+      """WITH r AS (SELECT floor(o_totalprice / 50000.0)::BIGINT AS bin,
+                           (o_orderpriority LIKE '1%') AS good FROM orders),
+          cells AS (SELECT bin, count(*)::BIGINT AS n,
+                           sum(good::INT)::BIGINT AS n_good
+                    FROM r GROUP BY 1),
+          c2 AS (SELECT bin, n, n_good, n - n_good AS n_bad FROM cells),
+          tot AS (SELECT sum(n_good)::BIGINT AS g, sum(n_bad)::BIGINT AS b FROM c2),
+          w AS (SELECT bin, n, n_good, n_bad, g, b,
+                       floor((CASE WHEN n_good > 0 AND n_bad > 0
+                              THEN ln((n_good::DOUBLE * b::DOUBLE)
+                                      / (n_bad::DOUBLE * g::DOUBLE)) END)
+                             * 1e6 + 0.5) / 1e6 AS woe_r
+                FROM c2 CROSS JOIN tot)
+          SELECT bin, n, n_good, n_bad, woe_r,
+                 floor(((n_good::DOUBLE / g::DOUBLE - n_bad::DOUBLE / b::DOUBLE)
+                        * woe_r) * 1e6 + 0.5) / 1e6 AS iv_r
+          FROM w ORDER BY bin""",
     "q_vocab_growth" ->
       s"""WITH $TokCte,
           f AS (SELECT word, min(doc_id) AS first_doc FROM tok GROUP BY word),

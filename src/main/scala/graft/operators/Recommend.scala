@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
@@ -94,4 +95,54 @@ object Recommend {
           floor(col("__n").cast("double") * lit(1e6) / col("__d").cast("double")
             * lit(1e6) + lit(0.5)).cast("long"))
           .otherwise(lit(0L)).as("__f6"))
+
+  /** Item–item cosine similarity from co-basket counts (Sarwar et al.,
+    * WWW 2001): cos(i,j) = co(i,j)/√(n_i·n_j) over the binary
+    * order–item matrix — the memory-based neighbor model behind "bought
+    * together" and the contrastive-pair miner for training data (the
+    * [[alsRank1]] factor ranks items globally; this ranks each item's
+    * NEIGHBORS). Top-k per item with a (cos DESC, neighbor) total order.
+    *
+    * Scale shape: the pair expansion is the within-basket self-join —
+    * Σ_orders b² where b is basket size, bounded by order structure (a
+    * TPC-H order holds ≤ 7 parts), NEVER the item-vocabulary square; the
+    * `minCo` floor (mirrored in the oracle) prunes noise pairs before
+    * the count relation materializes, and the per-item rank rides a
+    * PARTITIONED window over the already-pruned pair relation. Baskets
+    * with pathological sizes would need the dedup family's cap
+    * discipline — for relational order data the bound is structural.
+    * Cosine is one fixed-order scalar from exact integer counts.
+    *
+    * Returns (item, neighbor, co, cos_r, rank ≤ k) ordered by (item,
+    * rank); pairs below `minCo` baskets never appear.
+    */
+  def itemItemCosine(lineitem: DataFrame, minCo: Long = 2, k: Int = 3): DataFrame = {
+    require(minCo >= 1 && k >= 1, s"minCo ($minCo) and k ($k) must be >= 1")
+    val ob = lineitem
+      .select(col("l_orderkey").as("__ok"), col("l_partkey").as("__it"))
+      .distinct()
+    val ni = ob.groupBy(col("__it")).agg(count(lit(1)).as("__n"))
+    val pairs = ob.as("a")
+      .join(ob.as("b"), col("a.__ok") === col("b.__ok") && col("a.__it") < col("b.__it"))
+      .groupBy(col("a.__it").as("__i"), col("b.__it").as("__j"))
+      .agg(count(lit(1)).as("co"))
+      .where(col("co") >= minCo)
+    val scored = pairs
+      .join(ni.select(col("__it").as("__i"), col("__n").as("__ni")), Seq("__i"))
+      .join(ni.select(col("__it").as("__j"), col("__n").as("__nj")), Seq("__j"))
+      .select(col("__i"), col("__j"), col("co"),
+        Portable.pround(
+          col("co").cast("double")
+            / sqrt(col("__ni").cast("double") * col("__nj").cast("double")),
+          6).as("cos_r"))
+    val sym = scored
+      .select(col("__i").as("item"), col("__j").as("neighbor"), col("co"), col("cos_r"))
+      .unionAll(scored
+        .select(col("__j").as("item"), col("__i").as("neighbor"), col("co"), col("cos_r")))
+    val w = Window.partitionBy(col("item")).orderBy(col("cos_r").desc, col("neighbor"))
+    sym
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .orderBy("item", "rank")
+  }
 }

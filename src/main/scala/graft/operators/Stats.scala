@@ -2225,6 +2225,90 @@ object Stats {
           4).as("z_r"))
   }
 
+  /** Leave-one-out target encoding with prior smoothing (the Micci-Barreca
+    * SIGKDD-Explorations 2001 scheme): each row's category is replaced by
+    * the mean target of the OTHER rows in that category, shrunk toward the
+    * global mean — enc = (S_c − x + m·P)/(n_c − 1 + m). Excluding the row
+    * itself is what blocks target leakage (a category's lone row would
+    * otherwise memorize its own label); the prior keeps rare categories
+    * from exploding. The high-cardinality-categorical feature prep a
+    * one-hot cannot afford.
+    *
+    * Scale + determinism: one partial-agg pass builds the category table
+    * (S_c, n_c — exact decimal sums over the INTEGER target), one scalar
+    * global row broadcasts; the encode itself is a map-side broadcast
+    * join + one fixed-order scalar per row. Nothing row-sized shuffles.
+    *
+    * Returns the input columns + `enc_r` (6 dp).
+    */
+  def targetEncodeLoo(
+      df: DataFrame,
+      catCol: String,
+      valueCol: String,
+      smoothing: Double = 10.0): DataFrame = {
+    require(smoothing > 0, s"smoothing ($smoothing) must be positive")
+    val rows = df.where(col(catCol).isNotNull && col(valueCol).isNotNull)
+    val perCat = rows
+      .groupBy(col(catCol).as("__cat"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col(valueCol).cast("long").cast("decimal(38,0)")).as("__s"))
+    val glob = broadcast(rows.agg(
+      count(lit(1)).as("__nt"),
+      sum(col(valueCol).cast("long").cast("decimal(38,0)")).as("__st")))
+    val prior = col("__st").cast("double") / col("__nt").cast("double")
+    rows
+      .join(broadcast(perCat), col(catCol) === col("__cat"))
+      .crossJoin(glob)
+      .withColumn("enc_r", Portable.pround(
+        (col("__s").cast("double") - col(valueCol).cast("long").cast("double")
+          + lit(smoothing) * prior)
+          / (col("__n").cast("double") - 1.0 + lit(smoothing)),
+        6))
+      .drop("__cat", "__n", "__s", "__nt", "__st")
+  }
+
+  /** Weight-of-evidence / information-value table (the credit-scoring
+    * binning readout; Siddiqi, "Credit Risk Scorecards", 2006): per
+    * feature bin, WOE = ln((g_b/G)/(b_b/B)) and the IV contribution
+    * (g_b/G − b_b/B)·WOE — how strongly the bin separates the binary
+    * label, signed; Σ iv_contrib is the feature's screening score
+    * (< 0.02 useless, > 0.5 suspicious). The supervised complement of
+    * [[psi]]'s unsupervised bin drift.
+    *
+    * One partial-agg pass over rows (bin cells), one broadcast totals
+    * row; WOE's argument is the exact integer cross-ratio g·B/(b·G)
+    * computed in one fixed double order, IV derives from the ROUNDED
+    * WOE per the derive-from-rounded-pieces rule. A bin with a zero
+    * cell reads NULL for both (WOE is ±∞ there — the standard "merge
+    * your bins" signal, surfaced rather than clamped).
+    *
+    * Returns (bin, n, n_good, n_bad, woe_r, iv_r) ordered by bin.
+    */
+  def woeIv(df: DataFrame, binCol: String, goodCol: String): DataFrame = {
+    val cells = df
+      .where(col(binCol).isNotNull && col(goodCol).isNotNull)
+      .groupBy(col(binCol).as("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(goodCol).cast("boolean"), 1L).otherwise(0L)).as("n_good"))
+      .withColumn("n_bad", col("n") - col("n_good"))
+    val tot = broadcast(cells.agg(
+      sum(col("n_good")).as("__g"), sum(col("n_bad")).as("__b")))
+    val woe = log(
+      (col("n_good").cast("double") * col("__b").cast("double"))
+        / (col("n_bad").cast("double") * col("__g").cast("double")))
+    cells
+      .crossJoin(tot)
+      .withColumn("woe_r", Portable.pround(
+        when(col("n_good") > 0 && col("n_bad") > 0, woe), 6))
+      .withColumn("iv_r", Portable.pround(
+        (col("n_good").cast("double") / col("__g").cast("double")
+          - col("n_bad").cast("double") / col("__b").cast("double")) * col("woe_r"),
+        6))
+      .select(col("bin"), col("n"), col("n_good"), col("n_bad"),
+        col("woe_r"), col("iv_r"))
+      .orderBy("bin")
+  }
+
   /** One-way ANOVA over an INTEGER-valued measure: the F statistic and
     * effect size η² = SSB/SST for a categorical factor — "does the group
     * mean differ more than within-group noise explains", the k-group

@@ -337,6 +337,44 @@ class DriftStatsSpec extends SparkSpec {
     assert(narrow == r, s"chunking changed the statistic: $narrow vs $r")
   }
 
+  test("targetEncodeLoo: each row sees only the OTHER rows' mean, shrunk to the prior") {
+    // X=[1,3], Y=[10], m=1 → prior=14/3; enc(X,1)=(4−1+14/3)/2,
+    // enc(X,3)=(4−3+14/3)/2, enc(Y,10)=(10−10+14/3)/1 = prior exactly
+    val df = Seq((1L, "X", 1L), (2L, "X", 3L), (3L, "Y", 10L)).toDF("id", "cat", "x")
+    val got = Stats.targetEncodeLoo(df, "cat", "x", smoothing = 1.0)
+      .orderBy("id").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[Double]("enc_r")))
+    val prior = 14.0 / 3.0
+    def p6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(got.toSeq == Seq(
+      (1L, p6((4.0 - 1.0 + 1.0 * prior) / (2.0 - 1.0 + 1.0))),
+      (2L, p6((4.0 - 3.0 + 1.0 * prior) / (2.0 - 1.0 + 1.0))),
+      (3L, p6((10.0 - 10.0 + 1.0 * prior) / (1.0 - 1.0 + 1.0)))), s"${got.toSeq}")
+    // a lone row in its category reads exactly the prior: no self-leak
+    assert(got(2)._2 == p6(prior), "singleton category must read the prior")
+  }
+
+  test("woeIv: ln3 hand table; a zero cell reads NULL for both WOE and IV") {
+    // bin0: 3 good/1 bad, bin1: 1 good/3 bad, G=B=4 → woe = ±ln3,
+    // iv = (3/4−1/4)·ln3 both bins
+    val df = Seq((0L, true), (0L, true), (0L, true), (0L, false),
+      (1L, true), (1L, false), (1L, false), (1L, false)).toDF("bin", "good")
+    def p6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val got = Stats.woeIv(df, "bin", "good").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val ln3 = p6(math.log(3.0 * 4.0 / (1.0 * 4.0)))
+    assert(got.toSeq == Seq(
+      (0L, 4L, 3L, 1L, ln3, p6((3.0 / 4.0 - 1.0 / 4.0) * ln3)),
+      (1L, 4L, 1L, 3L, p6(math.log(1.0 * 4.0 / (3.0 * 4.0))),
+        p6((1.0 / 4.0 - 3.0 / 4.0) * p6(math.log(1.0 * 4.0 / (3.0 * 4.0)))))),
+      s"${got.toSeq}")
+    val zc = Stats.woeIv(Seq((0L, true), (0L, true), (1L, true), (1L, false))
+      .toDF("bin", "good"), "bin", "good").orderBy("bin").collect()
+    assert(zc(0).isNullAt(4) && zc(0).isNullAt(5), s"zero-cell bin: ${zc.toSeq}")
+    assert(!zc(1).isNullAt(4), s"clean bin unaffected: ${zc.toSeq}")
+  }
+
   test("anovaOneWay: textbook two-group F; degenerate inputs read NULL") {
     // A=[1,2,3], B=[4,5,6]: SSB=13.5, SSW=4 → F = 13.5/(4/4) = 13.5,
     // η² = 13.5/17.5 = 0.7714

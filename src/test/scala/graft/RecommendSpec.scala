@@ -62,4 +62,31 @@ class RecommendSpec extends SparkSpec {
       }
     }
   }
+
+  private def pround(x: Double, dp: Int): Double = {
+    val m = math.pow(10, dp)
+    math.floor(x * m + 0.5) / m
+  }
+
+  test("itemItemCosine: hand-computed cosines, minCo floor, per-item rank with neighbor tiebreak") {
+    // baskets: {A,B}, {A,B}, {A,B,C}, {C} → n_A=n_B=3, n_C=2;
+    // co(A,B)=3 → cos 1.0; co(A,C)=co(B,C)=1 → cos 1/√6
+    val li = Seq((1L, "A"), (1L, "B"), (2L, "A"), (2L, "B"),
+      (3L, "A"), (3L, "B"), (3L, "C"), (4L, "C"))
+      .toDF("l_orderkey", "l_partkey")
+    val strict = Recommend.itemItemCosine(li, minCo = 2, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(strict.toSeq == Seq(("A", "B", 3L, 1.0, 1), ("B", "A", 3L, 1.0, 1)),
+      s"minCo=2: ${strict.toSeq}")
+    val c6 = pround(1.0 / math.sqrt(3.0 * 2.0), 6)
+    val loose = Recommend.itemItemCosine(li, minCo = 1, k = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(loose.toSeq == Seq(
+      ("A", "B", 3L, 1.0, 1), ("A", "C", 1L, c6, 2),
+      ("B", "A", 3L, 1.0, 1), ("B", "C", 1L, c6, 2),
+      ("C", "A", 1L, c6, 1), ("C", "B", 1L, c6, 2)),
+      s"minCo=1: ${loose.toSeq}")
+  }
 }
