@@ -143,7 +143,9 @@ object ExplainAudit {
     // round 14: link prediction, partition modularity, lead-lag xcorr
     "q_adamic_adar", "q_modularity", "q_xcorr",
     // round 14: co-basket neighbors, LOO target encoding, WOE/IV
-    "q_item_cf", "q_target_encode", "q_woe_iv")
+    "q_item_cf", "q_target_encode", "q_woe_iv",
+    // round 14: edit-budget linkage, dyadic SES forecast, Cramér's V
+    "q_edit_linkage", "q_ses_forecast", "q_cramers_v")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

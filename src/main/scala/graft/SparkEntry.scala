@@ -3182,6 +3182,25 @@ object SparkEntry {
         .orderBy("name_a", "name_b")
     }),
 
+    // -- edit-distance linkage: the ABSOLUTE typo budget (≤ 2 edits)
+    //    complement to jaro's normalized scale; Spark side runs the
+    //    band-limited threshold DP, integer distances — exact parity
+    "q_edit_linkage" -> ((s, dir) =>
+      operators.Linkage
+        .editMatches(t(s, dir, "part"), "p_name", blockWord = 2, maxDist = 2)
+        .orderBy("name_a", "name_b")),
+
+    // -- α=1/2 exponential-smoothing forecast per stream: every weight
+    //    dyadic, the whole level ONE exact integer sum scaled by 2^(L−1)
+    "q_ses_forecast" -> ((s, dir) =>
+      operators.TimeSeries.sesForecast(
+        graft.sources.EventsSource.events(s, dir), window = 40)),
+
+    // -- Cramér's V between doc language and source: the normalized
+    //    effect size the chi2 verdict leaves open
+    "q_cramers_v" -> ((s, dir) =>
+      operators.Stats.cramersV(t(s, dir, "documents"), "lang", "source")),
+
     // -- MODE aggregate: most frequent part brand per return flag (count
     //    per value, then a partially-aggregated max_by — no window)
     "q_mode_brand" -> ((s, dir) => {
@@ -5222,6 +5241,52 @@ object SparkEntry {
           FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
           WHERE ${graft.functions.Portable.proundSql("jaro_winkler_similarity(a.name, b.name)", 4)} >= 0.85
           ORDER BY name_a, name_b""",
+    // integer edit distances — exact parity, no rounding anywhere
+    "q_edit_linkage" ->
+      """WITH names AS (
+            SELECT DISTINCT p_name AS name, split_part(p_name, ' ', 2) AS blk
+            FROM part WHERE p_name IS NOT NULL)
+          SELECT a.name AS name_a, b.name AS name_b,
+                 levenshtein(a.name, b.name)::INT AS dist
+          FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+          WHERE levenshtein(a.name, b.name) <= 2
+          ORDER BY name_a, name_b""",
+    // dyadic weights scaled by 2^(L−1): one HUGEINT sum, exact division
+    "q_ses_forecast" ->
+      s"""WITH $DenseHourCte,
+          ext AS (SELECT event_type, max(h) AS hx, min(h) AS mn FROM ser GROUP BY 1),
+          ex2 AS (SELECT event_type, hx,
+                         least(40, hx - mn + 1)::BIGINT AS leff FROM ext),
+          pts AS (SELECT s.event_type, e.leff, e.hx - s.h AS lag, s.x
+                  FROM ser s JOIN ex2 e USING (event_type)
+                  WHERE e.hx - s.h < e.leff),
+          ag AS (SELECT event_type, max(leff)::BIGINT AS n_points,
+                        sum((x * (CASE WHEN lag = leff - 1 THEN 1::BIGINT
+                                  ELSE (1::BIGINT << (leff - 2 - lag)::INT) END))::HUGEINT) AS s
+                 FROM pts GROUP BY 1)
+          SELECT event_type, n_points,
+                 floor((s::DOUBLE / ((1::BIGINT << (n_points - 1)::INT)::DOUBLE))
+                       * 1e6 + 0.5) / 1e6 AS forecast_r
+          FROM ag ORDER BY event_type""",
+    // χ² = n(Σ o²/(ra·cb) − 1); V from the ROUNDED χ²
+    "q_cramers_v" ->
+      """WITH c AS (SELECT lang AS a, source AS b, count(*)::BIGINT AS o
+                    FROM documents
+                    WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+          rt AS (SELECT a, sum(o)::BIGINT AS ra FROM c GROUP BY 1),
+          ct AS (SELECT b, sum(o)::BIGINT AS cb FROM c GROUP BY 1),
+          ag AS (SELECT sum(o)::BIGINT AS n,
+                        count(DISTINCT c.a)::BIGINT AS levels_a,
+                        count(DISTINCT c.b)::BIGINT AS levels_b,
+                        sum(o::DOUBLE * o::DOUBLE / (ra::DOUBLE * cb::DOUBLE)) AS q
+                 FROM c JOIN rt USING (a) JOIN ct USING (b))
+          SELECT n, levels_a, levels_b,
+                 floor((n::DOUBLE * (q - 1.0)) * 1e6 + 0.5) / 1e6 AS chi2_r,
+                 floor((CASE WHEN least(levels_a - 1, levels_b - 1)::DOUBLE > 0.0
+                        THEN sqrt((floor((n::DOUBLE * (q - 1.0)) * 1e6 + 0.5) / 1e6)
+                                  / (n::DOUBLE * least(levels_a - 1, levels_b - 1)::DOUBLE))
+                        END) * 1e6 + 0.5) / 1e6 AS v_r
+          FROM ag""",
     "q_search_facets" ->
       s"""WITH $TokCte,
           hits AS (SELECT doc_id FROM (

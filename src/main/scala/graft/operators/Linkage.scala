@@ -57,4 +57,41 @@ object Linkage {
       .where(col("sim_r") >= threshold)
       .select(col("a.name").as("name_a"), col("b.name").as("name_b"), col("sim_r"))
   }
+
+  /** Edit-distance linkage: DISTINCT name pairs within `maxDist`
+    * Levenshtein edits, same blocking contract as [[nameMatches]] — the
+    * ABSOLUTE typo-budget complement to Jaro-Winkler's normalized scale
+    * (a catalog SKU off by one character is dist 1 regardless of name
+    * length; a JW threshold would pass short noise pairs long before it).
+    * Distances are integers, so cross-engine parity is exact — no
+    * rounding discipline needed anywhere.
+    *
+    * Scale shape: vocab-sized distinct first, block-bounded self-join,
+    * and the DP runs through Spark's THRESHOLD form (`levenshtein(a, b,
+    * k)` band-limits the DP to O(k·min(|a|,|b|)) and early-exits to -1
+    * above k) — the oracle's plain `levenshtein(a,b) <= k` is the same
+    * predicate computed the expensive way.
+    *
+    * Returns (name_a, name_b, dist) with name_a < name_b; dist >= 1
+    * (identical strings were already collapsed by the distinct).
+    */
+  def editMatches(
+      df: DataFrame,
+      nameCol: String,
+      blockWord: Int = 2,
+      maxDist: Int = 2): DataFrame = {
+    require(blockWord >= 1, s"blockWord ($blockWord) is 1-based")
+    require(maxDist >= 1, s"maxDist ($maxDist) must be >= 1")
+    val names = df
+      .select(col(nameCol).as("name"))
+      .where(col("name").isNotNull)
+      .distinct()
+      .withColumn("blk", element_at(split(col("name"), " "), blockWord))
+    names.as("a")
+      .join(names.as("b"),
+        col("a.blk") === col("b.blk") && col("a.name") < col("b.name"))
+      .withColumn("dist", levenshtein(col("a.name"), col("b.name"), maxDist))
+      .where(col("dist") =!= -1)
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"), col("dist"))
+  }
 }

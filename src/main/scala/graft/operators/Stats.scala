@@ -2309,6 +2309,45 @@ object Stats {
       .orderBy("bin")
   }
 
+  /** Cramér's V association between two categorical columns (Cramér 1946):
+    * the χ²-based effect size normalized to [0,1] — comparable across
+    * tables of any shape, which raw χ² is not (χ² grows with n; V
+    * answers "HOW associated", the question the chi2 test's verdict
+    * leaves open). Uses the algebraic form χ² = n(Σ o²/(r_a·c_b) − 1):
+    * one cell-level relation (bounded by the two category cardinalities
+    * — metadata-sized for real categorical columns), margins joined
+    * back, a cell-count-sized double sum (the [[Portable]] caveat), and
+    * fixed-order scalars. V derives from the ROUNDED χ² per the
+    * derive-from-rounded-pieces rule.
+    *
+    * Returns ONE row (n, levels_a, levels_b, chi2_r, v_r); v reads NULL
+    * for a 1×c or r×1 table (min(r−1,c−1) = 0 — association undefined).
+    */
+  def cramersV(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("__a"), col(bCol).as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val ra = cells.groupBy(col("__a")).agg(sum(col("__o")).as("__ra"))
+    val cb = cells.groupBy(col("__b")).agg(sum(col("__o")).as("__cb"))
+    val nD = col("n").cast("double")
+    val chi2 = Portable.pround(nD * (col("__q") - 1.0), 6)
+    val mn = least(col("levels_a") - 1, col("levels_b") - 1).cast("double")
+    cells
+      .join(ra, Seq("__a"))
+      .join(cb, Seq("__b"))
+      .agg(
+        sum(col("__o")).as("n"),
+        countDistinct(col("__a")).as("levels_a"),
+        countDistinct(col("__b")).as("levels_b"),
+        sum(col("__o").cast("double") * col("__o").cast("double")
+          / (col("__ra").cast("double") * col("__cb").cast("double"))).as("__q"))
+      .select(col("n"), col("levels_a"), col("levels_b"),
+        chi2.as("chi2_r"),
+        Portable.pround(
+          when(mn > 0.0, sqrt(chi2 / (nD * mn))), 6).as("v_r"))
+  }
+
   /** One-way ANOVA over an INTEGER-valued measure: the F statistic and
     * effect size η² = SSB/SST for a categorical factor — "does the group
     * mean differ more than within-group noise explains", the k-group

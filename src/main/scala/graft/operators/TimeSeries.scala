@@ -437,6 +437,55 @@ object TimeSeries {
     * Returns (lag, n, r_r) ordered by lag; r reads NULL when either
     * side's variance is 0 in the overlap.
     */
+  /** Simple-exponential-smoothing one-step forecast (Brown 1956) per key
+    * over the dense hourly series, with α = 1/2 EXACTLY: every smoothing
+    * weight α(1−α)^lag is a DYADIC rational, so scaling by 2^(L−1) turns
+    * the entire level into ONE exact integer sum —
+    * S = y_oldest + Σ_{lag<L−1} y_lag·2^(L−2−lag), forecast = S/2^(L−1)
+    * — no float recursion to replay, no partial-agg order sensitivity,
+    * and the division by a power of two is exact in doubles. The window
+    * truncates at `window` lags (contributions beyond lag 40 are below
+    * 2⁻⁴⁰ — noise); a shorter series uses its full span with the
+    * classic l₁ = y₁ initialization absorbed into the oldest weight.
+    *
+    * One spine build, one key-sized extent join, one partial-agg sum.
+    * y·2^(L−2) must fit the decimal sum — at window 40 that bounds
+    * hourly counts by ~2¹⁴ per unit of the 38-digit budget; the window
+    * dial trades memory horizon against headroom.
+    *
+    * Returns (key, n_points, forecast_r) ordered by key.
+    */
+  def sesForecast(
+      events: DataFrame,
+      keyCol: String = "event_type",
+      tsCol: String = "ts_t",
+      window: Int = 40): DataFrame = {
+    require(window >= 1 && window <= 60, s"window ($window) must be in [1, 60]")
+    val ser = denseHourlySeries(events, keyCol, tsCol)
+    val ext = ser
+      .groupBy(col(keyCol))
+      .agg(max(col("__h")).as("__hx"), min(col("__h")).as("__mn"))
+      .select(col(keyCol), col("__hx"),
+        least(lit(window.toLong), col("__hx") - col("__mn") + 1L).as("__leff"))
+    val lag = col("__hx") - col("__h")
+    // functions.shiftleft only takes a literal bit count — the SQL form
+    // accepts a column expression
+    val weight = when(lag === col("__leff") - 1L, lit(1L))
+      .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(__leff - 2 - (__hx - __h) AS INT))"))
+    ser
+      .join(ext, Seq(keyCol))
+      .where(lag < col("__leff"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__leff")).as("n_points"),
+        sum((col("__x") * weight).cast("decimal(38,0)")).as("__s"))
+      .select(col(keyCol), col("n_points"),
+        graft.functions.Portable.pround(
+          col("__s").cast("double")
+            / expr("shiftleft(CAST(1 AS BIGINT), CAST(n_points - 1 AS INT))").cast("double"),
+          6).as("forecast_r"))
+      .orderBy(keyCol)
+  }
+
   def crossCorrelation(
       events: DataFrame,
       keyA: String,

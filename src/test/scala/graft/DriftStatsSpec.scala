@@ -375,6 +375,20 @@ class DriftStatsSpec extends SparkSpec {
     assert(!zc(1).isNullAt(4), s"clean bin unaffected: ${zc.toSeq}")
   }
 
+  test("cramersV: perfect association reads 1, independence reads 0, 1×c reads NULL") {
+    val perfect = (Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("y", "q"))).toDF("a", "b")
+    val p = Stats.cramersV(perfect, "a", "b").collect().head
+    assert((p.getLong(0), p.getLong(1), p.getLong(2)) == ((10L, 2L, 2L)), s"$p")
+    assert(p.getDouble(3) == 10.0 && p.getDouble(4) == 1.0, s"perfect: $p")
+    val indep = (for { a <- Seq("x", "y"); b <- Seq("p", "q"); _ <- 1 to 3 }
+      yield (a, b)).toDF("a", "b")
+    val i = Stats.cramersV(indep, "a", "b").collect().head
+    assert(i.getDouble(3) == 0.0 && i.getDouble(4) == 0.0, s"independent: $i")
+    val flat = Seq(("x", "p"), ("x", "q")).toDF("a", "b")
+    val f = Stats.cramersV(flat, "a", "b").collect().head
+    assert(f.isNullAt(4) && f.getDouble(3) == 0.0, s"1xc: $f")
+  }
+
   test("anovaOneWay: textbook two-group F; degenerate inputs read NULL") {
     // A=[1,2,3], B=[4,5,6]: SSB=13.5, SSW=4 → F = 13.5/(4/4) = 13.5,
     // η² = 13.5/17.5 = 0.7714

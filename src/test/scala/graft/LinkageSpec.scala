@@ -110,4 +110,26 @@ class LinkageSpec extends SparkSpec {
       assert(math.abs(got - want) < 1e-12, s"'$s1' vs '$s2': $got != $want")
     }
   }
+
+  test("editMatches: same-block pairs within the edit budget, cross-block pairs never scored") {
+    import spark.implicits._
+    val df = Seq(
+      "cold steel widget",   // dist 1 from "bold steel widget"
+      "bold steel widget",
+      "colt steel widgets",  // dist 2 from "cold steel widget"
+      "cold iron widget",    // different block word — never compared
+      "completely other thing").toDF("nm")
+    val got = graft.operators.Linkage.editMatches(df, "nm", blockWord = 2, maxDist = 2)
+      .orderBy("name_a", "name_b").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    // (bold, colt…widgets) is dist 3 — over budget, absent
+    assert(got.toSeq == Seq(
+      ("bold steel widget", "cold steel widget", 1),
+      ("cold steel widget", "colt steel widgets", 2)), s"${got.toSeq}")
+    // a tighter budget drops the dist-2 pairs
+    val tight = graft.operators.Linkage.editMatches(df, "nm", blockWord = 2, maxDist = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(tight.toSeq == Seq(("bold steel widget", "cold steel widget", 1)),
+      s"${tight.toSeq}")
+  }
 }

@@ -279,6 +279,21 @@ class TimeSeriesSpec extends SparkSpec {
     assert(got(0)._3 < 1.0 && got(2)._3 < 1.0, s"off-lags: ${got.toSeq}")
   }
 
+  test("sesForecast equals the classic alpha=1/2 recursion exactly; window truncates") {
+    // counts [4, 2, 6] hourly: l1=4, l2=3, l3=0.5·6+0.25·2+0.25·4 = 4.5
+    val ev = hourlyEvents("a", 3000L, Seq(4, 2, 6)).toDF("event_type", "ts_t")
+    val full = TimeSeries.sesForecast(ev).collect().head
+    assert((full.getString(0), full.getLong(1), full.getDouble(2)) == (("a", 3L, 4.5)),
+      s"full: $full")
+    // window 2 uses only the last two points: 0.5·6 + 0.5·2 = 4
+    val win = TimeSeries.sesForecast(ev, window = 2).collect().head
+    assert((win.getLong(1), win.getDouble(2)) == ((2L, 4.0)), s"windowed: $win")
+    // a single point forecasts itself
+    val one = TimeSeries.sesForecast(
+      hourlyEvents("b", 4000L, Seq(7)).toDF("event_type", "ts_t")).collect().head
+    assert((one.getLong(1), one.getDouble(2)) == ((1L, 7.0)), s"single: $one")
+  }
+
   test("crossCorrelation: zero-variance side reads NULL; empty overlaps are absent rows") {
     val ev = (hourlyEvents("click", 2000L, Seq(2, 2, 2))
       ++ hourlyEvents("purchase", 2000L, Seq(1, 2, 1)))
