@@ -145,7 +145,9 @@ object ExplainAudit {
     // round 14: co-basket neighbors, LOO target encoding, WOE/IV
     "q_item_cf", "q_target_encode", "q_woe_iv",
     // round 14: edit-budget linkage, dyadic SES forecast, Cramér's V
-    "q_edit_linkage", "q_ses_forecast", "q_cramers_v")
+    "q_edit_linkage", "q_ses_forecast", "q_cramers_v",
+    // round 14: CART split finder, Friedman blocked rank test
+    "q_best_split", "q_friedman")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

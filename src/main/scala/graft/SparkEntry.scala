@@ -3201,6 +3201,26 @@ object SparkEntry {
     "q_cramers_v" -> ((s, dir) =>
       operators.Stats.cramersV(t(s, dir, "documents"), "lang", "source")),
 
+    // -- CART split finder: the dollar threshold on order price that
+    //    best separates urgent orders — chunked-prefix candidates,
+    //    rounded-gain argmax with a total tiebreak
+    "q_best_split" -> ((s, dir) => {
+      val r = t(s, dir, "orders").select(
+        floor(col("o_totalprice")).cast("long").as("price_usd"),
+        col("o_orderpriority").startsWith("1").as("good"))
+      operators.Stats.bestSplit(r, "price_usd", "good")
+    }),
+
+    // -- Friedman test: do event types differ in daily volume once the
+    //    per-day level is blocked out — within-day ranks, complete
+    //    blocks only, tie-corrected denominator
+    "q_friedman" -> ((s, dir) => {
+      val daily = graft.sources.EventsSource.events(s, dir)
+        .groupBy(to_date(col("ts_t")).cast("string").as("day"), col("event_type"))
+        .agg(count(lit(1)).as("cnt"))
+      operators.Stats.friedman(daily, "day", "event_type", "cnt")
+    }),
+
     // -- MODE aggregate: most frequent part brand per return flag (count
     //    per value, then a partially-aggregated max_by — no window)
     "q_mode_brand" -> ((s, dir) => {
@@ -5286,6 +5306,64 @@ object SparkEntry {
                         THEN sqrt((floor((n::DOUBLE * (q - 1.0)) * 1e6 + 0.5) / 1e6)
                                   / (n::DOUBLE * least(levels_a - 1, levels_b - 1)::DOUBLE))
                         END) * 1e6 + 0.5) / 1e6 AS v_r
+          FROM ag""",
+    // prefix (n, good) per distinct value; gain a fixed-order scalar from
+    // exact integers, ROUNDED before the (gain DESC, threshold) argmax
+    "q_best_split" ->
+      """WITH r AS (SELECT floor(o_totalprice)::BIGINT AS v,
+                           (o_orderpriority LIKE '1%')::INT AS y FROM orders),
+          pv AS (SELECT v, count(*)::BIGINT AS c, sum(y)::BIGINT AS g
+                 FROM r GROUP BY 1),
+          cum AS (SELECT v, sum(c) OVER w AS nl, sum(g) OVER w AS gl
+                  FROM pv WINDOW w AS (ORDER BY v)),
+          tot AS (SELECT count(*)::BIGINT AS n, sum(y)::BIGINT AS gt FROM r),
+          sc AS (SELECT n, v AS threshold, nl::BIGINT AS n_left,
+                        (n - nl)::BIGINT AS n_right,
+                        floor((
+                          (1.0 - (gt::DOUBLE / n::DOUBLE) * (gt::DOUBLE / n::DOUBLE)
+                               - ((n - gt)::DOUBLE / n::DOUBLE) * ((n - gt)::DOUBLE / n::DOUBLE))
+                          - (nl::DOUBLE / n::DOUBLE
+                               * (1.0 - (gl::DOUBLE / nl::DOUBLE) * (gl::DOUBLE / nl::DOUBLE)
+                                      - ((nl - gl)::DOUBLE / nl::DOUBLE) * ((nl - gl)::DOUBLE / nl::DOUBLE))
+                             + (n - nl)::DOUBLE / n::DOUBLE
+                               * (1.0 - ((gt - gl)::DOUBLE / (n - nl)::DOUBLE) * ((gt - gl)::DOUBLE / (n - nl)::DOUBLE)
+                                      - (((n - nl) - (gt - gl))::DOUBLE / (n - nl)::DOUBLE)
+                                        * (((n - nl) - (gt - gl))::DOUBLE / (n - nl)::DOUBLE)))
+                        ) * 1e6 + 0.5) / 1e6 AS gain_r
+                 FROM cum CROSS JOIN tot WHERE nl < n)
+          SELECT n, threshold, n_left, n_right, gain_r FROM sc
+          QUALIFY row_number() OVER (ORDER BY gain_r DESC, threshold) <= 1""",
+    // within-day ranks over complete blocks; doubled tie ranks 2r+t−1
+    // exact, A−C denominator, one fixed-order scalar
+    "q_friedman" ->
+      """WITH d AS (SELECT (ts::TIMESTAMP)::DATE AS day, event_type,
+                           count(*)::BIGINT AS x
+                    FROM events GROUP BY 1, 2),
+          kk AS (SELECT count(DISTINCT event_type)::BIGINT AS k FROM d),
+          cb AS (SELECT day FROM d GROUP BY day
+                 HAVING count(*) = (SELECT k FROM kk)),
+          rk AS (SELECT d.day, d.event_type, d.x,
+                        rank() OVER (PARTITION BY d.day ORDER BY d.x) AS r,
+                        count(*) OVER (PARTITION BY d.day, d.x) AS t
+                 FROM d JOIN cb USING (day)),
+          pt AS (SELECT event_type, count(*)::BIGINT AS nb,
+                        sum(2 * r + t - 1)::HUGEINT AS r2,
+                        sum((2 * r + t - 1)::HUGEINT * (2 * r + t - 1)) AS a4
+                 FROM rk GROUP BY 1),
+          ag AS (SELECT max(nb)::BIGINT AS n_blocks, max(k)::BIGINT AS k,
+                        sum(a4) AS a4t,
+                        sum((r2::DOUBLE / 2.0 - nb::DOUBLE * (k::DOUBLE + 1.0) / 2.0)
+                            * (r2::DOUBLE / 2.0 - nb::DOUBLE * (k::DOUBLE + 1.0) / 2.0)) AS ss
+                 FROM pt CROSS JOIN kk)
+          SELECT n_blocks, k,
+                 floor((CASE WHEN a4t::DOUBLE / 4.0
+                                  - n_blocks::DOUBLE * k::DOUBLE * (k::DOUBLE + 1.0)
+                                    * (k::DOUBLE + 1.0) / 4.0 > 0.0
+                        THEN (k::DOUBLE - 1.0) * ss
+                             / (a4t::DOUBLE / 4.0
+                                - n_blocks::DOUBLE * k::DOUBLE * (k::DOUBLE + 1.0)
+                                  * (k::DOUBLE + 1.0) / 4.0) END)
+                       * 1e4 + 0.5) / 1e4 AS chi2_r
           FROM ag""",
     "q_search_facets" ->
       s"""WITH $TokCte,

@@ -2309,6 +2309,130 @@ object Stats {
       .orderBy("bin")
   }
 
+  /** Decision-stump split finder: the threshold on an INTEGER feature that
+    * maximizes Gini-impurity reduction against a binary label — CART's
+    * (Breiman 1984) inner loop, exposed as a relation: the first question
+    * a tree would ask of this feature, and the screening dual of [[woeIv]]
+    * (WOE scores the bins you chose; this finds the cut the data wants).
+    *
+    * Scale + determinism: candidate thresholds are the DISTINCT feature
+    * values with prefix (n, good) counts in the [[spearman]] chunked-
+    * prefix form — no full-table sort, no corpus-sized window; the gain
+    * at each candidate is a fixed-order scalar from exact integers,
+    * ROUNDED before the argmax, and the winner is selected by
+    * TakeOrdered with a (gain DESC, threshold ASC) total order.
+    *
+    * Returns ONE row (n, threshold, n_left, n_right, gain_r): split is
+    * `x <= threshold`; the max-value candidate (empty right side) is
+    * excluded. gain_r is NULL-free (a pure parent reads gain 0).
+    */
+  def bestSplit(
+      df: DataFrame,
+      featureCol: String,
+      labelCol: String,
+      chunkWidth: Double = 1000.0): DataFrame = {
+    require(chunkWidth > 0, s"chunkWidth ($chunkWidth) must be positive")
+    val rows = df
+      .select(col(featureCol).cast("long").as("__v"),
+        when(col(labelCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+      .where(col("__v").isNotNull && col(labelCol).isNotNull)
+    val perValue = rows
+      .groupBy(col("__v"))
+      .agg(count(lit(1)).as("__c"), sum(col("__y")).as("__g"))
+      .withColumn("__chunk", floor(col("__v").cast("double") / chunkWidth).cast("long"))
+    val wChunks = Window.orderBy(col("__chunk"))
+    val bases = perValue
+      .groupBy(col("__chunk"))
+      .agg(sum(col("__c")).as("__sc"), sum(col("__g")).as("__sg"))
+      .withColumn("__bc", sum(col("__sc")).over(wChunks) - col("__sc"))
+      .withColumn("__bg", sum(col("__sg")).over(wChunks) - col("__sg"))
+      .select(col("__chunk"), col("__bc"), col("__bg"))
+    val wLocal = Window.partitionBy(col("__chunk")).orderBy(col("__v"))
+    val tot = broadcast(rows.agg(
+      count(lit(1)).as("__n"), sum(col("__y")).as("__gt")))
+    def gini(g: Column, n: Column): Column =
+      lit(1.0) - (g / n) * (g / n) - ((n - g) / n) * ((n - g) / n)
+    val nlD = col("__nl").cast("double")
+    val glD = col("__gl").cast("double")
+    val nD = col("__n").cast("double")
+    val gD = col("__gt").cast("double")
+    val nrD = nD - nlD
+    val grD = gD - glD
+    val gain = gini(gD, nD) -
+      (nlD / nD * gini(glD, nlD) + nrD / nD * gini(grD, nrD))
+    perValue
+      .join(broadcast(bases), Seq("__chunk"))
+      .withColumn("__nl", col("__bc") + sum(col("__c")).over(wLocal))
+      .withColumn("__gl", col("__bg") + sum(col("__g")).over(wLocal))
+      .crossJoin(tot)
+      .where(col("__nl") < col("__n")) // max-value split has an empty right side
+      .select(col("__n").as("n"), col("__v").as("threshold"),
+        col("__nl").as("n_left"), (col("__n") - col("__nl")).as("n_right"),
+        Portable.pround(gain, 6).as("gain_r"))
+      .orderBy(col("gain_r").desc, col("threshold"))
+      .limit(1)
+  }
+
+  /** Friedman test (Friedman, JASA 1937; Conover's tie-corrected form):
+    * do k treatments differ, judged on WITHIN-BLOCK ranks — the
+    * repeated-measures counterpart of [[kruskalWallis]] (blocks absorb
+    * the between-subject variation that would otherwise drown the
+    * treatment signal). Only COMPLETE blocks (all k treatments present)
+    * enter, per the classical design; ties take average ranks, and the
+    * statistic uses the rank-variance denominator A − C that stays exact
+    * under ties.
+    *
+    * Ranks ride a window PARTITIONED by block (k-bounded partitions —
+    * never a global sort); doubled average ranks 2·rank + ties − 1 are
+    * exact integers, so every sum (R2_j, A4) is an exact integer and
+    * χ²_F = (k−1)·Σ_j(R_j − n(k+1)/2)² / (A − C) is one fixed-order
+    * scalar. Block and treatment relations are metadata-sized.
+    *
+    * Returns ONE row (n_blocks, k, chi2_r); NULL when every block ranks
+    * every treatment identically (A = C — no variation to test).
+    */
+  def friedman(
+      df: DataFrame,
+      blockCol: String,
+      treatmentCol: String,
+      valueCol: String): DataFrame = {
+    val cells = df
+      .select(col(blockCol).as("__b"), col(treatmentCol).as("__t"),
+        col(valueCol).cast("long").as("__x"))
+      .where(col("__b").isNotNull && col("__t").isNotNull && col("__x").isNotNull)
+    val kAll = broadcast(cells.agg(countDistinct(col("__t")).as("__k")))
+    val complete = cells
+      .withColumn("__bk", count(lit(1)).over(Window.partitionBy(col("__b"))))
+      .crossJoin(kAll)
+      .where(col("__bk") === col("__k"))
+    val ranked = complete
+      .withColumn("__rk",
+        rank().over(Window.partitionBy(col("__b")).orderBy(col("__x"))))
+      .withColumn("__ties",
+        count(lit(1)).over(Window.partitionBy(col("__b"), col("__x"))))
+      .withColumn("__d2", lit(2L) * col("__rk") + col("__ties") - 1L)
+    val perT = ranked
+      .groupBy(col("__t"))
+      .agg(count(lit(1)).as("__nb"),
+        sum(col("__d2").cast("decimal(38,0)")).as("__r2"),
+        sum(col("__d2").cast("decimal(20,0)") * col("__d2").cast("decimal(20,0)"))
+          .as("__a4"),
+        max(col("__k")).as("__kk"))
+    val nD = col("n_blocks").cast("double")
+    val kD = col("k").cast("double")
+    val aMinusC = col("__a4t").cast("double") / 4.0 -
+      nD * kD * (kD + 1.0) * (kD + 1.0) / 4.0
+    val dev = col("__r2").cast("double") / 2.0 -
+      col("__nb").cast("double") * (col("__kk").cast("double") + 1.0) / 2.0
+    perT
+      .agg(max(col("__nb")).as("n_blocks"), max(col("__kk")).as("k"),
+        sum(col("__a4")).as("__a4t"),
+        sum(dev * dev).as("__ss"))
+      .select(col("n_blocks"), col("k"),
+        Portable.pround(
+          when(aMinusC > 0.0, (kD - 1.0) * col("__ss") / aMinusC), 4).as("chi2_r"))
+  }
+
   /** Cramér's V association between two categorical columns (Cramér 1946):
     * the χ²-based effect size normalized to [0,1] — comparable across
     * tables of any shape, which raw χ² is not (χ² grows with n; V

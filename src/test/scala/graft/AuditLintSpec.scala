@@ -103,6 +103,7 @@ class AuditLintSpec extends AnyFunSuite {
     "q_auc"       -> "chunked-prefix negBelow: window over per-chunk totals, not rows",
     "q_kruskal_wallis" -> "chunked-prefix pooled ranks: window over per-chunk totals, not rows",
     "q_wilcoxon" -> "chunked-prefix |d| ranks: window over per-chunk totals, not pairs",
+    "q_best_split" -> "chunked-prefix split candidates: window over per-chunk totals, not rows",
     "q_rfm" -> "chunked-prefix strictly-below counts (x3 metrics): windows over per-chunk totals, not customers",
     // bounded-domain cumulatives: the window input is one row per
     // calendar day / log-spaced bucket / source — metadata cardinality

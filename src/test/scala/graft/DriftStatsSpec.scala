@@ -375,6 +375,43 @@ class DriftStatsSpec extends SparkSpec {
     assert(!zc(1).isNullAt(4), s"clean bin unaffected: ${zc.toSeq}")
   }
 
+  test("bestSplit: clean separation reads gain 0.5; gain ties break to the smaller threshold") {
+    // x=[1,1,2,2], y=[1,1,0,0]: split at 1 is pure → gain = 0.5 (max
+    // value 2 is excluded — empty right side)
+    val clean = Seq((1L, true), (1L, true), (2L, false), (2L, false)).toDF("x", "y")
+    val c = Stats.bestSplit(clean, "x", "y").collect().head
+    assert((c.getLong(0), c.getLong(1), c.getLong(2), c.getLong(3), c.getDouble(4))
+      == ((4L, 1L, 2L, 2L, 0.5)), s"clean: $c")
+    // x=[1,1,2,2,3,3], y=[1,1,1,0,0,0]: v=1 and v=2 both gain 0.25 →
+    // threshold tiebreak picks 1
+    val tie = Seq((1L, true), (1L, true), (2L, true), (2L, false),
+      (3L, false), (3L, false)).toDF("x", "y")
+    val t = Stats.bestSplit(tie, "x", "y").collect().head
+    assert((t.getLong(1), t.getDouble(4)) == ((1L, 0.25)), s"tie: $t")
+    // chunk boundaries must not change the winner
+    val narrow = Stats.bestSplit(tie, "x", "y", chunkWidth = 1.0).collect().head
+    assert(narrow == t, s"chunking changed the split: $narrow vs $t")
+  }
+
+  test("friedman: textbook chi2=4; ties use average ranks; incomplete blocks drop") {
+    // two identical blocks ranking A<B<C: χ² = 12/(2·3·4)·56 − 24 = 4
+    val noTies = Seq(
+      ("b1", "A", 1L), ("b1", "B", 2L), ("b1", "C", 3L),
+      ("b2", "A", 1L), ("b2", "B", 2L), ("b2", "C", 3L)).toDF("blk", "trt", "x")
+    val r = Stats.friedman(noTies, "blk", "trt", "x").collect().head
+    assert((r.getLong(0), r.getLong(1), r.getDouble(2)) == ((2L, 3L, 4.0)), s"$r")
+    // block2 ties B=C at rank 2.5: A−C = 3.5, Σdev² = 6.5 → χ² = 13/3.5
+    val ties = Seq(
+      ("b1", "A", 1L), ("b1", "B", 2L), ("b1", "C", 3L),
+      ("b2", "A", 1L), ("b2", "B", 5L), ("b2", "C", 5L)).toDF("blk", "trt", "x")
+    val rt = Stats.friedman(ties, "blk", "trt", "x").collect().head
+    assert(rt.getDouble(2) == math.floor(2.0 * 6.5 / 3.5 * 1e4 + 0.5) / 1e4, s"ties: $rt")
+    // an incomplete block (missing C) must not perturb the statistic
+    val extra = ties.unionAll(Seq(("b3", "A", 9L), ("b3", "B", 1L)).toDF("blk", "trt", "x"))
+    val re = Stats.friedman(extra, "blk", "trt", "x").collect().head
+    assert(re == rt, s"incomplete block leaked in: $re vs $rt")
+  }
+
   test("cramersV: perfect association reads 1, independence reads 0, 1×c reads NULL") {
     val perfect = (Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("y", "q"))).toDF("a", "b")
     val p = Stats.cramersV(perfect, "a", "b").collect().head
