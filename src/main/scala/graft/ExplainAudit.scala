@@ -146,8 +146,8 @@ object ExplainAudit {
     "q_item_cf", "q_target_encode", "q_woe_iv",
     // round 14: edit-budget linkage, dyadic SES forecast, Cramér's V
     "q_edit_linkage", "q_ses_forecast", "q_cramers_v",
-    // round 14: CART split finder, Friedman blocked rank test
-    "q_best_split", "q_friedman")
+    // round 14: CART split finder, Friedman blocked rank test, BH-FDR
+    "q_best_split", "q_friedman", "q_bh_fdr")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

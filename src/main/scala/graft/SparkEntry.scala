@@ -3211,6 +3211,19 @@ object SparkEntry {
       operators.Stats.bestSplit(r, "price_usd", "good")
     }),
 
+    // -- BH-FDR screening: per-lang two-proportion z vs the complement,
+    //    p-values through the portable A&S normal tail (both engines run
+    //    the identical Horner sequence on the ROUNDED z), then
+    //    Benjamini–Hochberg at q=0.2 — the multiple-comparisons gate
+    "q_bh_fdr" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("lang"), (col("n_chars") >= 300).as("long_doc"))
+      val z = operators.Stats.twoProportionZ(d, "lang", "long_doc")
+      val p = z.withColumn("p_r",
+        functions.Portable.pround(functions.Portable.normTwoSidedP(col("z_r")), 6))
+      operators.Stats.bhAdjust(p, "p_r", "lang", q = 0.2)
+    }),
+
     // -- Friedman test: do event types differ in daily volume once the
     //    per-day level is blocked out — within-day ranks, complete
     //    blocks only, tie-corrected denominator
@@ -5333,6 +5346,39 @@ object SparkEntry {
                  FROM cum CROSS JOIN tot WHERE nl < n)
           SELECT n, threshold, n_left, n_right, gain_r FROM sc
           QUALIFY row_number() OVER (ORDER BY gain_r DESC, threshold) <= 1""",
+    // z from exact counts ROUNDED first; p through the identical A&S
+    // Horner sequence; verdicts compare rounded p to rounded criterion
+    "q_bh_fdr" ->
+      s"""WITH b AS (SELECT lang AS g, (n_chars >= 300)::INT AS y
+                     FROM documents
+                     WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+          pg AS (SELECT g, count(*)::BIGINT AS n, sum(y)::BIGINT AS gg
+                 FROM b GROUP BY 1),
+          tt AS (SELECT sum(n)::BIGINT AS nt, sum(gg)::BIGINT AS gt FROM pg),
+          zz AS (SELECT g AS lang, n, gg AS successes,
+                        ${graft.functions.Portable.proundSql(
+        """CASE WHEN nt > n
+                AND (gt::DOUBLE / nt::DOUBLE) * (1.0 - gt::DOUBLE / nt::DOUBLE)
+                    * (1.0 / n::DOUBLE + 1.0 / (nt - n)::DOUBLE) > 0.0
+           THEN (gg::DOUBLE / n::DOUBLE - (gt - gg)::DOUBLE / (nt - n)::DOUBLE)
+                / sqrt((gt::DOUBLE / nt::DOUBLE) * (1.0 - gt::DOUBLE / nt::DOUBLE)
+                       * (1.0 / n::DOUBLE + 1.0 / (nt - n)::DOUBLE)) END""", 6)} AS z_r
+                 FROM pg CROSS JOIN tt),
+          pp AS (SELECT lang, n, successes, z_r,
+                        ${graft.functions.Portable.proundSql(
+        graft.functions.Portable.normTwoSidedPSql("z_r"), 6)} AS p_r
+                 FROM zz),
+          mm AS (SELECT count(*)::BIGINT AS m FROM pp),
+          rk AS (SELECT pp.*, m,
+                        row_number() OVER (ORDER BY p_r NULLS FIRST, lang) AS "rank"
+                 FROM pp CROSS JOIN mm),
+          cr AS (SELECT lang, n, successes, z_r, p_r, "rank",
+                        floor((0.2 * "rank"::DOUBLE / m::DOUBLE) * 1e6 + 0.5) / 1e6 AS crit_r
+                 FROM rk),
+          km AS (SELECT max(CASE WHEN p_r <= crit_r THEN "rank" END) AS kmax FROM cr)
+          SELECT lang, n, successes, z_r, p_r, "rank", crit_r,
+                 coalesce("rank" <= kmax, false) AS rejected
+          FROM cr CROSS JOIN km ORDER BY "rank"""",
     // within-day ranks over complete blocks; doubled tie ranks 2r+t−1
     // exact, A−C denominator, one fixed-order scalar
     "q_friedman" ->

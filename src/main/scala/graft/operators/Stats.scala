@@ -2433,6 +2433,77 @@ object Stats {
           when(aMinusC > 0.0, (kD - 1.0) * col("__ss") / aMinusC), 4).as("chi2_r"))
   }
 
+  /** Per-group two-proportion z-test against the COMPLEMENT: is group g's
+    * success rate different from everyone else's, pooled-variance normal
+    * form — the screening pass that feeds [[bhAdjust]] (k groups = k
+    * simultaneous hypotheses; without FDR control ~5% of them "discover"
+    * noise). All inputs are exact integer counts; z is one fixed-order
+    * scalar, ROUNDED so downstream p-values see bit-identical inputs.
+    *
+    * Returns (group, n, successes, z_r); z reads NULL when either side is
+    * empty or the pooled variance is 0.
+    */
+  def twoProportionZ(df: DataFrame, groupCol: String, successCol: String): DataFrame = {
+    val rows = df
+      .where(col(groupCol).isNotNull && col(successCol).isNotNull)
+      .select(col(groupCol).as("__g"),
+        when(col(successCol).cast("boolean"), 1L).otherwise(0L).as("__y"))
+    val per = rows
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("successes"))
+    val tot = broadcast(per.agg(
+      sum(col("n")).as("__nt"), sum(col("successes")).as("__gt")))
+    val nD = col("n").cast("double")
+    val n2D = (col("__nt") - col("n")).cast("double")
+    val p1 = col("successes").cast("double") / nD
+    val p2 = (col("__gt") - col("successes")).cast("double") / n2D
+    val pp = col("__gt").cast("double") / col("__nt").cast("double")
+    val den = pp * (lit(1.0) - pp) * (lit(1.0) / nD + lit(1.0) / n2D)
+    per
+      .crossJoin(tot)
+      .select(col("__g").as(groupCol), col("n"), col("successes"),
+        Portable.pround(
+          when(col("__nt") > col("n") && den > 0.0, (p1 - p2) / sqrt(den)),
+          6).as("z_r"))
+  }
+
+  /** Benjamini–Hochberg FDR control (JRSS-B 1995) over a TEST-FAMILY
+    * relation: rank the p-values, find the largest k with p_(k) ≤ q·k/m,
+    * reject ranks ≤ k — the multiple-comparisons gate every per-group
+    * screening pass needs (k tests at α each "discover" αk noise rates;
+    * BH bounds the FALSE-DISCOVERY fraction at q instead). Monotone in
+    * rank, so the step-up rule is exactly the rank ≤ kmax predicate.
+    *
+    * The relation is the test family — k hypotheses, METADATA-sized (one
+    * row per group), so the rank window over it is bounded by design
+    * (whitelisted like the mixture/budget cumulatives); the verdict
+    * compares the ROUNDED p against the ROUNDED criterion, so both
+    * engines decide identically. Two broadcast scalars (m, kmax).
+    *
+    * Returns the input + (rank, crit_r, rejected), ordered by rank.
+    */
+  def bhAdjust(
+      df: DataFrame,
+      pCol: String,
+      tieCol: String,
+      q: Double = 0.1): DataFrame = {
+    require(q > 0 && q < 1, s"q ($q) must be in (0, 1)")
+    val w = Window.orderBy(col(pCol), col(tieCol))
+    val m = broadcast(df.agg(count(lit(1)).as("__m")))
+    val ranked = df
+      .crossJoin(m)
+      .withColumn("rank", row_number().over(w))
+      .withColumn("crit_r", Portable.pround(
+        lit(q) * col("rank").cast("double") / col("__m").cast("double"), 6))
+    val kmax = broadcast(ranked.agg(
+      max(when(col(pCol) <= col("crit_r"), col("rank"))).as("__kmax")))
+    ranked
+      .crossJoin(kmax)
+      .withColumn("rejected", coalesce(col("rank") <= col("__kmax"), lit(false)))
+      .drop("__m", "__kmax")
+      .orderBy("rank")
+  }
+
   /** Cramér's V association between two categorical columns (Cramér 1946):
     * the χ²-based effect size normalized to [0,1] — comparable across
     * tables of any shape, which raw χ² is not (χ² grows with n; V

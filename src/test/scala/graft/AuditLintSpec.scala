@@ -109,7 +109,8 @@ class AuditLintSpec extends AnyFunSuite {
     // calendar day / log-spaced bucket / source — metadata cardinality
     "q_survival"     -> "Kaplan-Meier product over the per-DAY event table (day-domain)",
     "q_vocab_growth" -> "Heaps curve over per-bucket (log-spaced) aggregate rows",
-    "q_temp_mixture" -> "cumulative budget over the per-SOURCE mixture table")
+    "q_temp_mixture" -> "cumulative budget over the per-SOURCE mixture table",
+    "q_bh_fdr" -> "BH rank over the per-GROUP test family (k hypotheses, metadata-sized)")
 
   test("global-window lint: no production plan windows the whole relation unless metadata-bounded") {
     val flagged = scala.collection.mutable.Map[String, Seq[String]]()

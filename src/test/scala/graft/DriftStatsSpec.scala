@@ -412,6 +412,45 @@ class DriftStatsSpec extends SparkSpec {
     assert(re == rt, s"incomplete block leaked in: $re vs $rt")
   }
 
+  test("normTwoSidedP: A&S tail matches the textbook quantiles; p(0)=1 to 6 figures") {
+    val z = Seq(0.0, 1.959964, 2.575829, 1.0).toDF("z")
+      .select(col("z"), graft.functions.Portable.normTwoSidedP(col("z")).as("p"))
+      .collect().map(r => (r.getDouble(0), r.getDouble(1))).toMap
+    assert(math.abs(z(0.0) - 1.0) < 1e-6, s"p(0): ${z(0.0)}")
+    assert(math.abs(z(1.959964) - 0.05) < 1e-5, s"p(1.96): ${z(1.959964)}")
+    assert(math.abs(z(2.575829) - 0.01) < 1e-5, s"p(2.58): ${z(2.575829)}")
+    assert(math.abs(z(1.0) - 0.317311) < 1e-5, s"p(1): ${z(1.0)}")
+  }
+
+  test("twoProportionZ: symmetric two-group hand case") {
+    // A: 8/10, B: 2/10 → pooled 0.5, se = √0.05, z_A = 0.6/√0.05
+    val df = (Seq.fill(8)(("A", true)) ++ Seq.fill(2)(("A", false))
+      ++ Seq.fill(2)(("B", true)) ++ Seq.fill(8)(("B", false))).toDF("g", "ok")
+    val got = Stats.twoProportionZ(df, "g", "ok").orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val zExp = math.floor((0.8 - 0.2) / math.sqrt(0.5 * 0.5 * (0.1 + 0.1)) * 1e6 + 0.5) / 1e6
+    assert(got.toSeq == Seq(("A", 10L, 8L, zExp), ("B", 10L, 2L, -zExp)), s"${got.toSeq}")
+  }
+
+  test("bhAdjust: step-up rescues a locally-failing p when a later rank passes") {
+    // q=0.1, m=3: crits [0.0333, 0.0667, 0.1]; p=[0.01, 0.09, 0.1] —
+    // rank 2 fails ITS criterion but rank 3 passes, so ALL are rejected
+    val up = Seq(("a", 0.01), ("b", 0.09), ("c", 0.1)).toDF("g", "p")
+    val got = Stats.bhAdjust(up, "p", "g", q = 0.1).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Int]("rank"), r.getAs[Boolean]("rejected")))
+    assert(got.toSeq == Seq(("a", 1, true), ("b", 2, true), ("c", 3, true)), s"${got.toSeq}")
+    // kmax=2 case: [0.01, 0.02, 0.2, 0.9] at q=0.1 rejects exactly 2
+    val mid = Seq(("a", 0.01), ("b", 0.02), ("c", 0.2), ("d", 0.9)).toDF("g", "p")
+    val g2 = Stats.bhAdjust(mid, "p", "g", q = 0.1).collect()
+      .map(r => (r.getAs[String]("g"), r.getAs[Boolean]("rejected")))
+    assert(g2.toSeq == Seq(("a", true), ("b", true), ("c", false), ("d", false)),
+      s"${g2.toSeq}")
+    // nothing passes: rejected is all-false, not NULL
+    val none = Stats.bhAdjust(Seq(("a", 0.5), ("b", 0.9)).toDF("g", "p"), "p", "g", q = 0.1)
+      .collect().map(_.getAs[Boolean]("rejected"))
+    assert(none.toSeq == Seq(false, false), s"${none.toSeq}")
+  }
+
   test("cramersV: perfect association reads 1, independence reads 0, 1×c reads NULL") {
     val perfect = (Seq.fill(5)(("x", "p")) ++ Seq.fill(5)(("y", "q"))).toDF("a", "b")
     val p = Stats.cramersV(perfect, "a", "b").collect().head
