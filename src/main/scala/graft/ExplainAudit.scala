@@ -147,7 +147,9 @@ object ExplainAudit {
     // round 14: edit-budget linkage, dyadic SES forecast, Cramér's V
     "q_edit_linkage", "q_ses_forecast", "q_cramers_v",
     // round 14: CART split finder, Friedman blocked rank test, BH-FDR
-    "q_best_split", "q_friedman", "q_bh_fdr")
+    "q_best_split", "q_friedman", "q_bh_fdr",
+    // round 14: Dirichlet query-likelihood ranker, Wilson score intervals
+    "q_search_qld", "q_wilson_ci")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

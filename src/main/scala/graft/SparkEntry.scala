@@ -3211,6 +3211,26 @@ object SparkEntry {
       operators.Stats.bestSplit(r, "price_usd", "good")
     }),
 
+    // -- Dirichlet query-likelihood retrieval: the language-modeling
+    //    ranker where idf and length normalization FALL OUT of the
+    //    smoothing — absent terms contribute their smoothing mass
+    "q_search_qld" -> ((s, dir) =>
+      Search
+        .qldQuery(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")),
+          Seq("spark", "vector", "window"), mu = 2000.0)
+        .select(col("doc_id"),
+          functions.Portable.pround(col("score"), 4).as("score_r"))
+        .orderBy(desc("score_r"), asc("doc_id"))),
+
+    // -- Wilson score CI per source on the long-doc share: the
+    //    proportion interval that still covers at extreme rates
+    "q_wilson_ci" -> ((s, dir) =>
+      operators.Stats.wilsonCi(
+        t(s, dir, "documents")
+          .select(col("source"), (col("n_chars") >= 300).as("long_doc")),
+        "source", "long_doc")),
+
     // -- BH-FDR screening: per-lang two-proportion z vs the complement,
     //    p-values through the portable A&S normal tail (both engines run
     //    the identical Horner sequence on the ROUNDED z), then
@@ -5346,6 +5366,51 @@ object SparkEntry {
                  FROM cum CROSS JOIN tot WHERE nl < n)
           SELECT n, threshold, n_left, n_right, gain_r FROM sc
           QUALIFY row_number() OVER (ORDER BY gain_r DESC, threshold) <= 1""",
+    // candidates = docs with ≥1 term; every candidate scored over ALL
+    // surviving terms (tf 0 ⇒ smoothing mass); ln parity at 4 dp
+    "q_search_qld" ->
+      s"""WITH $TokCte,
+          dl AS (SELECT doc_id, count(*)::BIGINT AS dl FROM tok GROUP BY doc_id),
+          ctot AS (SELECT count(*)::BIGINT AS ctot FROM tok),
+          ctf AS (SELECT word, count(*)::BIGINT AS ctf FROM tok
+                  WHERE word IN ('spark', 'vector', 'window') GROUP BY word),
+          tf AS (SELECT doc_id, word, count(*)::BIGINT AS tf FROM tok
+                 WHERE word IN ('spark', 'vector', 'window') GROUP BY doc_id, word),
+          cand AS (SELECT DISTINCT doc_id FROM tf),
+          grid AS (SELECT c.doc_id, w.word, w.ctf, coalesce(tf.tf, 0)::BIGINT AS tf
+                   FROM cand c CROSS JOIN ctf w
+                   LEFT JOIN tf ON tf.doc_id = c.doc_id AND tf.word = w.word)
+          SELECT doc_id,
+                 floor((sum(ln((tf::DOUBLE + 2000.0 * (ctf::DOUBLE / ctot::DOUBLE))
+                               / (dl::DOUBLE + 2000.0)))) * 1e4 + 0.5) / 1e4 AS score_r
+          FROM grid JOIN dl USING (doc_id) CROSS JOIN ctot
+          GROUP BY doc_id ORDER BY score_r DESC, doc_id""",
+    // fixed-order Wilson scalars from exact (n, successes)
+    "q_wilson_ci" ->
+      """WITH per AS (SELECT source, count(*)::BIGINT AS n,
+                             sum((n_chars >= 300)::INT)::BIGINT AS successes
+                      FROM documents
+                      WHERE source IS NOT NULL AND n_chars IS NOT NULL
+                      GROUP BY 1)
+          SELECT source, n, successes,
+                 floor((successes::DOUBLE / n::DOUBLE) * 1e6 + 0.5) / 1e6 AS p_r,
+                 floor((((successes::DOUBLE / n::DOUBLE
+                          + 1.959964 * 1.959964 / (2.0 * n::DOUBLE))
+                         / (1.0 + 1.959964 * 1.959964 / n::DOUBLE))
+                        - (1.959964 * sqrt((successes::DOUBLE / n::DOUBLE)
+                               * (1.0 - successes::DOUBLE / n::DOUBLE) / n::DOUBLE
+                             + 1.959964 * 1.959964 / (4.0 * (n::DOUBLE * n::DOUBLE)))
+                           / (1.0 + 1.959964 * 1.959964 / n::DOUBLE)))
+                       * 1e6 + 0.5) / 1e6 AS lo_r,
+                 floor((((successes::DOUBLE / n::DOUBLE
+                          + 1.959964 * 1.959964 / (2.0 * n::DOUBLE))
+                         / (1.0 + 1.959964 * 1.959964 / n::DOUBLE))
+                        + (1.959964 * sqrt((successes::DOUBLE / n::DOUBLE)
+                               * (1.0 - successes::DOUBLE / n::DOUBLE) / n::DOUBLE
+                             + 1.959964 * 1.959964 / (4.0 * (n::DOUBLE * n::DOUBLE)))
+                           / (1.0 + 1.959964 * 1.959964 / n::DOUBLE)))
+                       * 1e6 + 0.5) / 1e6 AS hi_r
+          FROM per ORDER BY source""",
     // z from exact counts ROUNDED first; p through the identical A&S
     // Horner sequence; verdicts compare rounded p to rounded criterion
     "q_bh_fdr" ->

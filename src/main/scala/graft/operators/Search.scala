@@ -533,6 +533,55 @@ object Search {
     * N, df, and avgdl are computed inside the plan as broadcast scalars; the
     * only corpus-wide shuffles are the tf and doc-length aggregations.
     */
+  /** Query-likelihood retrieval with Dirichlet smoothing (Ponte & Croft
+    * SIGIR'98; Zhai & Lafferty SIGIR'01): score(q,d) = Σ_w ln((tf_wd +
+    * μ·p(w|C)) / (dl_d + μ)) — the language-modeling alternative to
+    * [[bm25Query]]'s probabilistic-relevance weighting; length
+    * normalization and "idf" both FALL OUT of the smoothing (rare words
+    * have tiny collection mass, so their in-document occurrences move
+    * the likelihood most) instead of being bolted on as k1/b dials.
+    *
+    * Candidate docs are those containing ≥1 query term (the universal
+    * IR restriction); each candidate is scored over ALL surviving query
+    * terms via a broadcast term grid with tf defaulting to 0 — absent
+    * terms contribute their smoothing mass, which is what separates QLD
+    * from a coordination-level hack. Query terms absent from the whole
+    * corpus drop out (their likelihood factor is undefined). Corpus
+    * statistics are two broadcast scalars/vocab-slices; one tf pass.
+    *
+    * Returns (idCol, score) with raw double score (callers round).
+    */
+  def qldQuery(
+      tokens: DataFrame,
+      words: Seq[String],
+      mu: Double = 2000.0,
+      idCol: String = "doc_id"): DataFrame = {
+    require(mu > 0, s"mu ($mu) must be positive")
+    val terms = cleanedTerms(words)
+    val docLens = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val ctot = broadcast(tokens.agg(count(lit(1)).as("ctot")))
+    val ctf = broadcast(tokens
+      .where(col("word").isin(terms: _*))
+      .groupBy(col("word")).agg(count(lit(1)).as("ctf")))
+    val tf = tokens
+      .where(col("word").isin(terms: _*))
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val cand = tf.select(col(idCol)).distinct()
+    cand
+      .crossJoin(ctf)
+      .join(tf, Seq(idCol, "word"), "left_outer")
+      .na.fill(0L, Seq("tf"))
+      .join(docLens, Seq(idCol))
+      .crossJoin(ctot)
+      .withColumn("__w", log(
+        (col("tf").cast("double")
+          + lit(mu) * (col("ctf").cast("double") / col("ctot").cast("double")))
+          / (col("dl").cast("double") + lit(mu))))
+      .groupBy(col(idCol))
+      .agg(sum(col("__w")).as("score"))
+  }
+
   def bm25Query(
       tokens: DataFrame,
       words: Seq[String],

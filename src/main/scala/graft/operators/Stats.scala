@@ -2467,6 +2467,43 @@ object Stats {
           6).as("z_r"))
   }
 
+  /** Wilson score interval per group (Wilson, JASA 1927): the binomial
+    * proportion CI that actually covers at small n and extreme p̂ — the
+    * Wald interval (p̂ ± z√(p̂q̂/n)) collapses to zero width at p̂∈{0,1}
+    * and undercovers everywhere near the edges, which is exactly where
+    * defect-rate monitoring lives. Center shrinks toward 1/2 by the
+    * z²/n prior mass; bounds stay inside [0,1] by construction.
+    *
+    * One partial-agg pass; p̂, lo, hi are fixed-order scalars from the
+    * exact integer (n, successes) — deterministic under any agg order.
+    *
+    * Returns (group, n, successes, p_r, lo_r, hi_r) ordered by group.
+    */
+  def wilsonCi(
+      df: DataFrame,
+      groupCol: String,
+      successCol: String,
+      z: Double = 1.959964): DataFrame = {
+    require(z > 0, s"z ($z) must be positive")
+    val per = df
+      .where(col(groupCol).isNotNull && col(successCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col(successCol).cast("boolean"), 1L).otherwise(0L)).as("successes"))
+    val nD = col("n").cast("double")
+    val pD = col("successes").cast("double") / nD
+    val zD = lit(z)
+    val denom = lit(1.0) + zD * zD / nD
+    val center = (pD + zD * zD / (lit(2.0) * nD)) / denom
+    val half = zD * sqrt(pD * (lit(1.0) - pD) / nD
+      + zD * zD / (lit(4.0) * (nD * nD))) / denom
+    per.select(col(groupCol), col("n"), col("successes"),
+      Portable.pround(pD, 6).as("p_r"),
+      Portable.pround(center - half, 6).as("lo_r"),
+      Portable.pround(center + half, 6).as("hi_r"))
+      .orderBy(groupCol)
+  }
+
   /** Benjamini–Hochberg FDR control (JRSS-B 1995) over a TEST-FAMILY
     * relation: rank the p-values, find the largest k with p_(k) ≤ q·k/m,
     * reject ranks ≤ k — the multiple-comparisons gate every per-group

@@ -355,4 +355,51 @@ class SearchSpec extends SparkSpec {
     val gotEmptyTerm = Search.andQuery(postings, Seq("spark", "42")).as[Long].collect().toSeq
     assert(gotEmptyTerm == Seq(1L, 2L, 4L))
   }
+
+  test("qldQuery: hand-computed Dirichlet likelihoods; absent terms pay smoothing mass") {
+    // d1 = [a a b], d2 = [b c]; query (a, c), μ=2: ctot=5, ctf(a)=2, ctf(c)=1
+    val toks = Seq((1L, "a"), (1L, "a"), (1L, "b"), (2L, "b"), (2L, "c"))
+      .toDF("doc_id", "word")
+    val got = Search.qldQuery(toks, Seq("a", "c"), mu = 2.0)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    def term(tf: Double, ctf: Double, dl: Double) =
+      math.log((tf + 2.0 * (ctf / 5.0)) / (dl + 2.0))
+    val s1 = term(2.0, 2.0, 3.0) + term(0.0, 1.0, 3.0)
+    val s2 = term(0.0, 2.0, 2.0) + term(1.0, 1.0, 2.0)
+    assert(got.length == 2, s"both docs are candidates: ${got.toSeq}")
+    assert(math.abs(got(0)._2 - s1) < 1e-12 && math.abs(got(1)._2 - s2) < 1e-12,
+      s"scores: ${got.toSeq} vs ($s1, $s2)")
+    // a doc with NO query term is not a candidate
+    val toks3 = toks.unionAll(Seq((3L, "z")).toDF("doc_id", "word"))
+    assert(Search.qldQuery(toks3, Seq("a", "c"), mu = 2.0).count() == 2)
+    // a query term absent from the corpus drops out instead of -inf
+    val gotDrop = Search.qldQuery(toks, Seq("a", "zzz"), mu = 2.0)
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(gotDrop.toSeq == Seq((1L, term(2.0, 2.0, 3.0))), s"${gotDrop.toSeq}")
+  }
+
+  test("wilsonCi: bounds stay inside [0,1] at the edges and bracket p-hat") {
+    import graft.operators.Stats
+    val df = (Seq.fill(3)(("zero", false)) ++ Seq.fill(3)(("one", true))
+      ++ Seq.fill(1)(("mid", true)) ++ Seq.fill(3)(("mid", false)))
+      .toDF("g", "ok")
+    val got = Stats.wilsonCi(df, "g", "ok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5))).toSeq
+    val byG = got.map(t => t._1 -> t).toMap
+    val (z, n) = (1.959964, 4.0)
+    // mid: p=1/4 — verify the closed form verbatim
+    val p = 1.0 / 4.0
+    val denom = 1.0 + z * z / n
+    val center = (p + z * z / (2.0 * n)) / denom
+    val half = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * (n * n))) / denom
+    def p6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    assert(byG("mid")._5 == p6(center - half) && byG("mid")._6 == p6(center + half),
+      s"mid: ${byG("mid")}")
+    // p-hat=0: lo pins to 0 (to rounding), hi strictly positive
+    assert(math.abs(byG("zero")._5) <= 1e-6 && byG("zero")._6 > 0.0, s"${byG("zero")}")
+    // p-hat=1: hi pins to 1, lo strictly below
+    assert(math.abs(byG("one")._6 - 1.0) <= 1e-6 && byG("one")._5 < 1.0, s"${byG("one")}")
+  }
 }
