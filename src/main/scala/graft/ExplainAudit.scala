@@ -149,7 +149,9 @@ object ExplainAudit {
     // round 14: CART split finder, Friedman blocked rank test, BH-FDR
     "q_best_split", "q_friedman", "q_bh_fdr",
     // round 14: Dirichlet query-likelihood ranker, Wilson score intervals
-    "q_search_qld", "q_wilson_ci")
+    "q_search_qld", "q_wilson_ci",
+    // round 14: RAKE keyphrases, cohorted uplift
+    "q_rake", "q_uplift")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

@@ -3211,6 +3211,17 @@ object SparkEntry {
       operators.Stats.bestSplit(r, "price_usd", "good")
     }),
 
+    // -- RAKE keyphrases: stopword-free runs scored Σ deg/freq — the
+    //    multi-word domain-term board tf-idf keywords can't produce
+    "q_rake" -> ((s, dir) =>
+      TextAnalysis.rakePhrases(t(s, dir, "documents"), "text", k = 20)),
+
+    // -- per-cohort uplift of purchases among clickers vs non-clickers,
+    //    with the pooled two-proportion z alongside
+    "q_uplift" -> ((s, dir) =>
+      operators.Journeys.uplift(
+        graft.sources.EventsSource.events(s, dir), "click", "purchase", cohorts = 4)),
+
     // -- Dirichlet query-likelihood retrieval: the language-modeling
     //    ranker where idf and length normalization FALL OUT of the
     //    smoothing — absent terms contribute their smoothing mass
@@ -5366,6 +5377,57 @@ object SparkEntry {
                  FROM cum CROSS JOIN tot WHERE nl < n)
           SELECT n, threshold, n_left, n_right, gain_r FROM sc
           QUALIFY row_number() OVER (ORDER BY gain_r DESC, threshold) <= 1""",
+    // gaps-and-islands runs; per-INSTANCE scores rounded before identical
+    // phrases collapse; (score DESC, phrase) total order
+    "q_rake" ->
+      s"""WITH $ToksArrCte,
+          p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos,
+                       unnest(toks) AS word
+                FROM toks_arr),
+          ns AS (SELECT doc_id, pos, word,
+                        pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+                 FROM p
+                 WHERE word NOT IN ('the','a','an','and','of','to','in','is','it','for')),
+          ph AS (SELECT doc_id, grp, count(*)::BIGINT AS plen,
+                        string_agg(word, ' ' ORDER BY pos) AS phrase
+                 FROM ns GROUP BY 1, 2),
+          ws AS (SELECT ns.word, count(*)::BIGINT AS freq, sum(ph.plen)::BIGINT AS deg
+                 FROM ns JOIN ph USING (doc_id, grp) GROUP BY 1),
+          inst AS (SELECT ph.doc_id, ph.grp, ph.phrase,
+                          floor(sum(ws.deg::DOUBLE / ws.freq::DOUBLE) * 1e4 + 0.5) / 1e4 AS s_r
+                   FROM ns JOIN ph USING (doc_id, grp) JOIN ws USING (word)
+                   GROUP BY 1, 2, 3)
+          SELECT phrase, count(*)::BIGINT AS n_instances, max(s_r) AS score_r
+          FROM inst GROUP BY phrase
+          QUALIFY row_number() OVER (ORDER BY max(s_r) DESC, phrase) <= 20
+          ORDER BY score_r DESC, phrase""",
+    // exposure/outcome flags per user; uplift and pooled z fixed-order
+    "q_uplift" ->
+      """WITH per AS (SELECT user_id,
+                             max((event_type = 'click')::INT)::BIGINT AS t,
+                             max((event_type = 'purchase')::INT)::BIGINT AS y
+                      FROM events GROUP BY 1),
+          ag AS (SELECT user_id % 4 AS cohort,
+                        sum(t)::BIGINT AS n_treat, sum(t * y)::BIGINT AS conv_treat,
+                        sum(1 - t)::BIGINT AS n_ctrl,
+                        sum((1 - t) * y)::BIGINT AS conv_ctrl
+                 FROM per GROUP BY 1)
+          SELECT cohort, n_treat, conv_treat, n_ctrl, conv_ctrl,
+                 floor((CASE WHEN n_treat > 0 AND n_ctrl > 0
+                        THEN conv_treat::DOUBLE / n_treat::DOUBLE
+                             - conv_ctrl::DOUBLE / n_ctrl::DOUBLE END)
+                       * 1e6 + 0.5) / 1e6 AS uplift_r,
+                 floor((CASE WHEN n_treat > 0 AND n_ctrl > 0
+                             AND ((conv_treat + conv_ctrl)::DOUBLE / (n_treat + n_ctrl)::DOUBLE)
+                                 * (1.0 - (conv_treat + conv_ctrl)::DOUBLE / (n_treat + n_ctrl)::DOUBLE)
+                                 * (1.0 / n_treat::DOUBLE + 1.0 / n_ctrl::DOUBLE) > 0.0
+                        THEN (conv_treat::DOUBLE / n_treat::DOUBLE
+                              - conv_ctrl::DOUBLE / n_ctrl::DOUBLE)
+                             / sqrt(((conv_treat + conv_ctrl)::DOUBLE / (n_treat + n_ctrl)::DOUBLE)
+                                    * (1.0 - (conv_treat + conv_ctrl)::DOUBLE / (n_treat + n_ctrl)::DOUBLE)
+                                    * (1.0 / n_treat::DOUBLE + 1.0 / n_ctrl::DOUBLE)) END)
+                       * 1e6 + 0.5) / 1e6 AS z_r
+          FROM ag ORDER BY cohort""",
     // candidates = docs with ≥1 term; every candidate scored over ALL
     // surviving terms (tf 0 ⇒ smoothing mass); ln parity at 4 dp
     "q_search_qld" ->

@@ -962,4 +962,63 @@ object TextAnalysis {
           col("__n1").cast("double") / col("__n").cast("double"), 6).as("p0_r"))
       .orderBy(col("r"))
   }
+
+  /** RAKE keyphrase extraction (Rose et al., "Automatic Keyword Extraction
+    * from Individual Documents", 2010): candidate phrases are the maximal
+    * stopword-free token runs; each word scores deg/freq (deg = Σ of the
+    * lengths of the phrases its occurrences sit in — co-occurrence pulls a
+    * word up; freq alone pulls it down), and a phrase scores the sum of
+    * its words — multi-word domain terms beat bare frequent words, which
+    * is the whole point vs a tf-idf keyword list ([[q_doc_keywords]]'s
+    * model). Corpus-level: word statistics pool across documents, and
+    * identical phrases collapse with an instance count.
+    *
+    * Scale + determinism: phrase runs come from the gaps-and-islands
+    * pos − row_number trick over a doc-PARTITIONED window (offset-
+    * invariant, never a global sort); phrase text is rebuilt by sorting
+    * the collected (pos, word) structs — collect_list order never
+    * matters; word stats are vocab-sized; each phrase INSTANCE's score
+    * is ROUNDED before identical phrases collapse (instances sum the
+    * same word scores in engine-chosen order — rounding is what makes
+    * the collapse deterministic); top-k rides TakeOrdered with a
+    * (score DESC, phrase) total order.
+    *
+    * Returns the top `k` (phrase, n_instances, score_r).
+    */
+  def rakePhrases(
+      df: DataFrame,
+      textCol: String,
+      idCol: String = "doc_id",
+      k: Int = 20): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val toks = df
+      .select(col(idCol).as("__id"),
+        posexplode(Tokenize.tokenArray(col(textCol))).as(Seq("__pos", "__w")))
+      .where(!col("__w").isin(Stopwords: _*))
+    val wRun = Window.partitionBy(col("__id")).orderBy(col("__pos"))
+    val runs = toks.withColumn("__grp", col("__pos") - row_number().over(wRun))
+    val phrases = runs
+      .groupBy(col("__id"), col("__grp"))
+      .agg(count(lit(1)).as("__plen"),
+        array_join(
+          transform(
+            array_sort(collect_list(struct(col("__pos").as("p"), col("__w").as("w")))),
+            x => x.getField("w")),
+          " ").as("__phrase"))
+    val wordStats = runs
+      .join(phrases, Seq("__id", "__grp"))
+      .groupBy(col("__w"))
+      .agg(count(lit(1)).as("__freq"), sum(col("__plen")).as("__deg"))
+    runs
+      .join(phrases, Seq("__id", "__grp"))
+      .join(wordStats, Seq("__w"))
+      .groupBy(col("__id"), col("__grp"), col("__phrase"))
+      .agg(sum(col("__deg").cast("double") / col("__freq").cast("double")).as("__s"))
+      .withColumn("__s_r", Portable.pround(col("__s"), 4))
+      .groupBy(col("__phrase").as("phrase"))
+      .agg(count(lit(1)).as("n_instances"), max(col("__s_r")).as("score_r"))
+      .orderBy(col("score_r").desc, col("phrase"))
+      .limit(k)
+  }
 }

@@ -591,4 +591,54 @@ object Journeys {
       }
       .reduce(_ unionAll _)
   }
+
+  /** Per-cohort uplift readout: among users who DID the treatment action
+    * vs those who didn't, how much higher is the outcome rate — the
+    * two-model difference estimate of incremental effect, cohorted so a
+    * skewed segment can't masquerade as lift (Simpson's inversion shows
+    * up as cohorts disagreeing with the pooled number). Observational
+    * (exposure is self-selected), which is exactly why the per-cohort z
+    * ships alongside: a "lift" within noise is not a finding.
+    *
+    * One exposure/outcome flag pass per user (partial-agg max), one
+    * cohort aggregate; uplift and the pooled two-proportion z are
+    * fixed-order scalars from exact integer counts.
+    *
+    * Returns (cohort, n_treat, conv_treat, n_ctrl, conv_ctrl, uplift_r,
+    * z_r) ordered by cohort; NULL z when a side is empty or degenerate.
+    */
+  def uplift(
+      events: DataFrame,
+      treatmentType: String,
+      outcomeType: String,
+      cohorts: Int = 4): DataFrame = {
+    require(cohorts >= 1, s"cohorts ($cohorts) must be >= 1")
+    val per = events
+      .groupBy(col("user_id"))
+      .agg(
+        max(when(col("event_type") === treatmentType, 1L).otherwise(0L)).as("__t"),
+        max(when(col("event_type") === outcomeType, 1L).otherwise(0L)).as("__y"))
+    val nT = col("n_treat").cast("double")
+    val nC = col("n_ctrl").cast("double")
+    val pT = col("conv_treat").cast("double") / nT
+    val pC = col("conv_ctrl").cast("double") / nC
+    val pp = (col("conv_treat") + col("conv_ctrl")).cast("double") /
+      (col("n_treat") + col("n_ctrl")).cast("double")
+    val den = pp * (lit(1.0) - pp) * (lit(1.0) / nT + lit(1.0) / nC)
+    per
+      .groupBy(pmod(col("user_id"), lit(cohorts.toLong)).as("cohort"))
+      .agg(
+        sum(col("__t")).as("n_treat"),
+        sum(col("__t") * col("__y")).as("conv_treat"),
+        sum(lit(1L) - col("__t")).as("n_ctrl"),
+        sum((lit(1L) - col("__t")) * col("__y")).as("conv_ctrl"))
+      .select(col("cohort"), col("n_treat"), col("conv_treat"),
+        col("n_ctrl"), col("conv_ctrl"),
+        graft.functions.Portable.pround(
+          when(col("n_treat") > 0 && col("n_ctrl") > 0, pT - pC), 6).as("uplift_r"),
+        graft.functions.Portable.pround(
+          when(col("n_treat") > 0 && col("n_ctrl") > 0 && den > 0.0,
+            (pT - pC) / sqrt(den)), 6).as("z_r"))
+      .orderBy("cohort")
+  }
 }

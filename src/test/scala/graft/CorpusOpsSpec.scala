@@ -900,4 +900,22 @@ class CorpusOpsSpec extends SparkSpec {
     val toks = Seq.fill(10)("x").toDF("word")
     assert(graft.functions.TextAnalysis.goodTuring(toks, maxR = 2).collect().isEmpty)
   }
+
+  test("rakePhrases: hand deg/freq scores; identical phrases collapse with a count") {
+    // "the red apple and the green apple of doom": runs [red apple],
+    // [green apple], [doom]; deg/freq → apple 4/2, red 2, green 2, doom 1
+    val one = Seq((1L, "the red apple and the green apple of doom")).toDF("doc_id", "text")
+    val got = graft.functions.TextAnalysis.rakePhrases(one, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("green apple", 1L, 4.0), ("red apple", 1L, 4.0), ("doom", 1L, 1.0)),
+      s"${got.toSeq}")
+    // a second "red apple" doc pools word stats and collapses instances
+    val two = one.unionAll(Seq((2L, "red apple")).toDF("doc_id", "text"))
+    val g2 = graft.functions.TextAnalysis.rakePhrases(two, "text", k = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(g2.toSeq == Seq(
+      ("green apple", 1L, 4.0), ("red apple", 2L, 4.0), ("doom", 1L, 1.0)),
+      s"${g2.toSeq}")
+  }
 }

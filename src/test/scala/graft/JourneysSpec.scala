@@ -243,4 +243,27 @@ class JourneysSpec extends SparkSpec {
       }
     }
   }
+
+  test("uplift: hand 2x2 per cohort; empty control reads NULL") {
+    // u1 click+buy, u2 click only, u3 buy only, u4 neither → one cohort:
+    // pT = 1/2, pC = 1/2, uplift 0, z 0
+    val ev = Seq((1L, "click"), (1L, "purchase"), (2L, "click"),
+      (3L, "purchase"), (4L, "view")).toDF("user_id", "event_type")
+    val got = Journeys.uplift(ev, "click", "purchase", cohorts = 1).collect().head
+    assert((got.getLong(1), got.getLong(2), got.getLong(3), got.getLong(4),
+      got.getDouble(5), got.getDouble(6)) == ((2L, 1L, 2L, 1L, 0.0, 0.0)), s"$got")
+    // everyone treated: control side empty → NULL uplift and z
+    val all = Seq((1L, "click"), (2L, "click"), (2L, "purchase"))
+      .toDF("user_id", "event_type")
+    val g2 = Journeys.uplift(all, "click", "purchase", cohorts = 1).collect().head
+    assert(g2.isNullAt(5) && g2.isNullAt(6), s"empty control: $g2")
+    // a real lift: 3/3 treated convert, 0/3 control → uplift 1, z = 3/√1.5...
+    val lift = (Seq((1L, "click"), (1L, "purchase"), (2L, "click"), (2L, "purchase"),
+      (3L, "click"), (3L, "purchase")) ++ Seq((4L, "view"), (5L, "view"), (6L, "view")))
+      .toDF("user_id", "event_type")
+    val g3 = Journeys.uplift(lift, "click", "purchase", cohorts = 1).collect().head
+    val den = 0.5 * 0.5 * (1.0 / 3.0 + 1.0 / 3.0)
+    assert(g3.getDouble(5) == 1.0
+      && g3.getDouble(6) == math.floor(1.0 / math.sqrt(den) * 1e6 + 0.5) / 1e6, s"$g3")
+  }
 }
