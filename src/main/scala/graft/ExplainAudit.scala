@@ -150,8 +150,9 @@ object ExplainAudit {
     "q_best_split", "q_friedman", "q_bh_fdr",
     // round 14: Dirichlet query-likelihood ranker, Wilson score intervals
     "q_search_qld", "q_wilson_ci",
-    // round 14: RAKE keyphrases, cohorted uplift
-    "q_rake", "q_uplift")
+    // round 14: RAKE keyphrases, cohorted uplift, MASE backtest
+    // (q_bfs_dist is iterative — its frontier round is in iterativeBodies)
+    "q_rake", "q_uplift", "q_mase")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan
@@ -285,6 +286,23 @@ object ExplainAudit {
             s.read.parquet(s"$dir/customer.parquet"),
             s.read.parquet(s"$dir/supplier.parquet"))),
           k = 4)
+      }),
+      // round 14: one BFS frontier round — edge join against the reached
+      // relation + partial-agg min; the real loop checkpoints each round
+      "q_bfs_dist" -> ((s: SparkSession, dir: String) => {
+        import graft.operators.Graph
+        val e = Graph.undirected(Graph.sameNationEdges(
+          s.read.parquet(s"$dir/orders.parquet"),
+          s.read.parquet(s"$dir/lineitem.parquet"),
+          s.read.parquet(s"$dir/customer.parquet"),
+          s.read.parquet(s"$dir/supplier.parquet")))
+        val seed = e.where(col("src").isin("c1", "c2"))
+          .select(col("src").as("node")).distinct()
+          .withColumn("dist", lit(0L))
+        seed.unionAll(
+          e.join(seed.withColumnRenamed("node", "src"), Seq("src"))
+            .select(col("dst").as("node"), (col("dist") + 1L).as("dist")))
+          .groupBy(col("node")).agg(min(col("dist")).as("dist"))
       }),
       // round 14: one ALS half-step — solve one side's factors against
       // the other's quantized table; the real loop checkpoints each

@@ -3211,6 +3211,21 @@ object SparkEntry {
       operators.Stats.bestSplit(r, "price_usd", "good")
     }),
 
+    // -- multi-source BFS: hop distance from two seed customers over the
+    //    sparse trade graph — min-label propagation, fixpoint-certified
+    //    round count, unreached nodes absent
+    "q_bfs_dist" -> ((s, dir) =>
+      operators.Graph.bfsDistances(
+        operators.Graph.sameNationEdges(t(s, dir, "orders"), t(s, dir, "lineitem"),
+          t(s, dir, "customer"), t(s, dir, "supplier")),
+        seeds = Seq("c1", "c2"), rounds = 6)),
+
+    // -- MASE backtest: hold out each stream's last hour, SES-forecast
+    //    it, scale the error by the in-sample seasonal-naive MAE
+    "q_mase" -> ((s, dir) =>
+      operators.TimeSeries.maseBacktest(
+        graft.sources.EventsSource.events(s, dir), window = 40, season = 24)),
+
     // -- RAKE keyphrases: stopword-free runs scored Σ deg/freq — the
     //    multi-word domain-term board tf-idf keywords can't produce
     "q_rake" -> ((s, dir) =>
@@ -5377,6 +5392,39 @@ object SparkEntry {
                  FROM cum CROSS JOIN tot WHERE nl < n)
           SELECT n, threshold, n_left, n_right, gain_r FROM sc
           QUALIFY row_number() OVER (ORDER BY gain_r DESC, threshold) <= 1""",
+    // holdout = last hour; dyadic SES forecast from the rest; error
+    // scaled by the exact-integer seasonal-naive MAE
+    "q_mase" ->
+      s"""WITH $DenseHourCte,
+          ext AS (SELECT event_type, max(h) AS hx, min(h) AS mn FROM ser GROUP BY 1),
+          ex2 AS (SELECT event_type, hx, least(40, hx - mn)::BIGINT AS leff
+                  FROM ext WHERE hx - mn >= 1),
+          pts AS (SELECT s.event_type, e.leff, e.hx - 1 - s.h AS lag, s.x
+                  FROM ser s JOIN ex2 e USING (event_type)
+                  WHERE s.h < e.hx AND e.hx - 1 - s.h < e.leff),
+          ag AS (SELECT event_type, max(leff)::BIGINT AS n_train,
+                        sum((x * (CASE WHEN lag = leff - 1 THEN 1::BIGINT
+                                  ELSE (1::BIGINT << (leff - 2 - lag)::INT) END))::HUGEINT) AS s
+                 FROM pts GROUP BY 1),
+          fc AS (SELECT event_type, n_train,
+                        floor((s::DOUBLE / ((1::BIGINT << (n_train - 1)::INT)::DOUBLE))
+                              * 1e6 + 0.5) / 1e6 AS forecast_r
+                 FROM ag),
+          act AS (SELECT s.event_type, s.x AS actual
+                  FROM ser s JOIN ex2 e USING (event_type) WHERE s.h = e.hx),
+          nv AS (SELECT s1.event_type, sum(abs(s1.x - s2.x))::BIGINT AS sad,
+                        count(*)::BIGINT AS nsn
+                 FROM ser s1
+                 JOIN ser s2 ON s1.event_type = s2.event_type AND s1.h = s2.h + 24
+                 JOIN ex2 e ON e.event_type = s1.event_type
+                 WHERE s1.h < e.hx GROUP BY 1)
+          SELECT fc.event_type, n_train, actual, forecast_r,
+                 floor((CASE WHEN nsn > 0 AND sad > 0
+                        THEN abs(forecast_r - actual::DOUBLE)
+                             / (sad::DOUBLE / nsn::DOUBLE) END)
+                       * 1e4 + 0.5) / 1e4 AS mase_r
+          FROM fc JOIN act USING (event_type) LEFT JOIN nv USING (event_type)
+          ORDER BY event_type""",
     // gaps-and-islands runs; per-INSTANCE scores rounded before identical
     // phrases collapse; (score DESC, phrase) total order
     "q_rake" ->
@@ -7787,6 +7835,7 @@ object SparkEntry {
     // trade graph (mirrors of Graph.labelPropagation / Graph.kCore)
     "q_label_prop" -> labelPropSql(iters = 5),
     "q_kcore" -> kCoreSql(k = 4, rounds = 6),
+    "q_bfs_dist" -> bfsSql(Seq("c1", "c2"), rounds = 6),
     // symmetrized list: both margins coincide, r = (mΣjk−(Σj)²)/(mΣj²−(Σj)²)
     // from exact HUGEINT degree sums
     "q_assortativity" ->
@@ -9910,6 +9959,25 @@ object SparkEntry {
         $steps
         SELECT src AS node, count(*)::BIGINT AS deg
         FROM ke$rounds GROUP BY src ORDER BY node"""
+  }
+
+  /** Unrolled multi-source BFS (mirror of Graph.bfsDistances): per round,
+    * union the frontier expansion and keep the min label — exact
+    * integers, monotone, fixpoint at rounds ≥ seed eccentricity.
+    */
+  private def bfsSql(seeds: Seq[String], rounds: Int): String = {
+    val seedList = seeds.map(s => s"'$s'").mkString(", ")
+    val steps = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT node, min(dist)::BIGINT AS dist FROM (
+             SELECT node, dist FROM d${r - 1}
+             UNION ALL SELECT ne.dst AS node, p.dist + 1 AS dist
+             FROM ne JOIN d${r - 1} p ON ne.src = p.node) u GROUP BY node)"""
+    }.mkString(",\n")
+    s"""WITH $NationEdgesCte,
+        d0 AS (SELECT DISTINCT src AS node, 0::BIGINT AS dist FROM ne
+               WHERE src IN ($seedList)),
+        $steps
+        SELECT node, dist FROM d$rounds ORDER BY node"""
   }
 
   private def pagerankSql(iters: Int, d: Double): String = {

@@ -493,6 +493,41 @@ object Graph {
         Portable.pround(coalesce(col("auth"), lit(0.0)) / col("__ta"), 6).as("auth_r"))
   }
 
+  /** Multi-source BFS distances: min hop count from a seed set, `rounds`
+    * frontier expansions — the reachability/radius primitive under the
+    * other iterative operators ([[pagerank]] diffuses mass; this
+    * propagates the MIN label, so it's exact, not iterative-to-
+    * convergence-in-value). rounds ≥ the graph's seed eccentricity makes
+    * the result the true distance (monotone: one extra round is a
+    * fixpoint — the [[kCore]] certification pattern).
+    *
+    * Per round: one edge join against the reached relation + one
+    * partial-agg min — the pagerank two-shuffle shape, each round
+    * checkpointed so lineage stays flat. All-integer labels; unreached
+    * nodes are ABSENT (not ∞), keeping the output frontier-sized.
+    *
+    * Returns (node, dist) ordered by node.
+    */
+  def bfsDistances(edges: DataFrame, seeds: Seq[String], rounds: Int = 6): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed")
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    val e = undirected(edges).localCheckpoint(true)
+    var dist = e
+      .where(col("src").isin(seeds: _*))
+      .select(col("src").as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val next = e
+        .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionAll(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist.orderBy("node")
+  }
+
   /** Degree assortativity coefficient (Newman, Phys. Rev. Lett. 2002): the
     * Pearson correlation of endpoint degrees over the symmetrized edge
     * list — "do hubs link to hubs" in one number (r > 0: social-network-

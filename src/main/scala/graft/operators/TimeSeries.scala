@@ -486,6 +486,78 @@ object TimeSeries {
       .orderBy(keyCol)
   }
 
+  /** MASE forecast backtest (Hyndman & Koehler, IJF 2006): hold out each
+    * stream's LAST hour, forecast it with the dyadic [[sesForecast]]
+    * from the remaining history, and scale the absolute error by the
+    * in-sample seasonal-naive MAE (mean |y_t − y_{t−season}| over the
+    * training span) — the scale-free accuracy number that makes streams
+    * of different volumes comparable, and the "is the model beating the
+    * dumbest seasonal guess" gate (MASE ≥ 1 means it is not).
+    *
+    * One spine build; the SES sum, the holdout actual, and the
+    * seasonal-naive sum are each one bounded pass over the span-sized
+    * series. Exact integers everywhere except the final ratios: the
+    * forecast is ROUNDED before the error per derive-from-rounded, the
+    * seasonal MAE stays an exact integer ratio, and MASE is one
+    * fixed-order scalar.
+    *
+    * Returns (key, n_train, actual, forecast_r, mase_r) ordered by key;
+    * mase reads NULL when the training span is shorter than `season`
+    * (no naive baseline exists) or the naive MAE is 0.
+    */
+  def maseBacktest(
+      events: DataFrame,
+      keyCol: String = "event_type",
+      tsCol: String = "ts_t",
+      window: Int = 40,
+      season: Int = 24): DataFrame = {
+    require(window >= 1 && window <= 60, s"window ($window) must be in [1, 60]")
+    require(season >= 1, s"season ($season) must be >= 1")
+    val ser = denseHourlySeries(events, keyCol, tsCol)
+    val ext = ser
+      .groupBy(col(keyCol))
+      .agg(max(col("__h")).as("__hx"), min(col("__h")).as("__mn"))
+      .select(col(keyCol), col("__hx"),
+        least(lit(window.toLong), col("__hx") - col("__mn")).as("__leff"))
+      .where(col("__leff") >= 1)
+    val lag = col("__hx") - 1L - col("__h")
+    val weight = when(lag === col("__leff") - 1L, lit(1L))
+      .otherwise(expr("shiftleft(CAST(1 AS BIGINT), CAST(__leff - 2 - (__hx - 1 - __h) AS INT))"))
+    val fc = ser
+      .join(ext, Seq(keyCol))
+      .where(col("__h") < col("__hx") && lag < col("__leff"))
+      .groupBy(col(keyCol))
+      .agg(max(col("__leff")).as("n_train"),
+        sum((col("__x") * weight).cast("decimal(38,0)")).as("__s"))
+      .select(col(keyCol), col("n_train"),
+        graft.functions.Portable.pround(
+          col("__s").cast("double")
+            / expr("shiftleft(CAST(1 AS BIGINT), CAST(n_train - 1 AS INT))").cast("double"),
+          6).as("forecast_r"))
+    val actual = ser
+      .join(ext, Seq(keyCol))
+      .where(col("__h") === col("__hx"))
+      .select(col(keyCol), col("__x").as("actual"))
+    val naive = ser.select(col(keyCol), col("__h"), col("__x"))
+      .join(ser.select(col(keyCol), (col("__h") + season).as("__h"),
+        col("__x").as("__xp")), Seq(keyCol, "__h"))
+      .join(ext, Seq(keyCol))
+      .where(col("__h") < col("__hx"))
+      .groupBy(col(keyCol))
+      .agg(sum(abs(col("__x") - col("__xp"))).as("__sad"),
+        count(lit(1)).as("__nsn"))
+    fc
+      .join(actual, Seq(keyCol))
+      .join(naive, Seq(keyCol), "left_outer")
+      .select(col(keyCol), col("n_train"), col("actual"), col("forecast_r"),
+        graft.functions.Portable.pround(
+          when(col("__nsn") > 0 && col("__sad") > 0,
+            abs(col("forecast_r") - col("actual").cast("double"))
+              / (col("__sad").cast("double") / col("__nsn").cast("double"))),
+          4).as("mase_r"))
+      .orderBy(keyCol)
+  }
+
   def crossCorrelation(
       events: DataFrame,
       keyA: String,

@@ -258,6 +258,23 @@ class GraphSpec extends SparkSpec {
       s"bridged: ${gotB.toSeq}")
   }
 
+  test("bfsDistances: path distances, multi-seed min, unreached absent, round fixpoint") {
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d"), ("d", "e"), ("x", "y"))
+      .toDF("src", "dst")
+    val one = Graph.bfsDistances(path, Seq("a"), rounds = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(one.toSeq == Seq(("a", 0L), ("b", 1L), ("c", 2L), ("d", 3L), ("e", 4L)),
+      s"single seed: ${one.toSeq}")
+    val two = Graph.bfsDistances(path, Seq("a", "e"), rounds = 6)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(two.toSeq == Seq(("a", 0L), ("b", 1L), ("c", 2L), ("d", 1L), ("e", 0L)),
+      s"multi seed: ${two.toSeq}")
+    // rounds beyond the eccentricity are a fixpoint
+    val at4 = Graph.bfsDistances(path, Seq("a"), rounds = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(at4.toSeq == one.toSeq, "rounds=4 is not the fixpoint")
+  }
+
   test("degreeAssortativity repairs dirty input (dupes, self-loops, one-directional)") {
     val clean = Seq(("1", "2"), ("2", "3")).toDF("src", "dst")
     val dirty = Seq(("1", "2"), ("1", "2"), ("2", "1"), ("2", "2"), ("2", "3"))

@@ -294,6 +294,25 @@ class TimeSeriesSpec extends SparkSpec {
     assert((one.getLong(1), one.getDouble(2)) == ((1L, 7.0)), s"single: $one")
   }
 
+  test("maseBacktest: hand SES holdout error over the seasonal-naive MAE") {
+    // [4,2,6,2,8]: holdout 8; SES over [4,2,6,2] = 3.25; season-2 naive
+    // MAE over training = (|6−4| + |2−2|)/2 = 1 → MASE = 4.75
+    val ev = hourlyEvents("a", 5000L, Seq(4, 2, 6, 2, 8)).toDF("event_type", "ts_t")
+    val got = TimeSeries.maseBacktest(ev, season = 2).collect().head
+    assert((got.getString(0), got.getLong(1), got.getLong(2), got.getDouble(3),
+      got.getDouble(4)) == (("a", 4L, 8L, 3.25, 4.75)), s"$got")
+    // two points: forecast = the lone training point, no naive baseline
+    val short = TimeSeries.maseBacktest(
+      hourlyEvents("b", 6000L, Seq(5, 7)).toDF("event_type", "ts_t"), season = 2)
+      .collect().head
+    assert((short.getLong(1), short.getLong(2), short.getDouble(3))
+      == ((1L, 7L, 5.0)) && short.isNullAt(4), s"short: $short")
+    // a single point has no training span at all: stream absent
+    assert(TimeSeries.maseBacktest(
+      hourlyEvents("c", 7000L, Seq(9)).toDF("event_type", "ts_t"), season = 2)
+      .count() == 0)
+  }
+
   test("crossCorrelation: zero-variance side reads NULL; empty overlaps are absent rows") {
     val ev = (hourlyEvents("click", 2000L, Seq(2, 2, 2))
       ++ hourlyEvents("purchase", 2000L, Seq(1, 2, 1)))
