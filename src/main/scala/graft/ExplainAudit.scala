@@ -150,9 +150,10 @@ object ExplainAudit {
     "q_best_split", "q_friedman", "q_bh_fdr",
     // round 14: Dirichlet query-likelihood ranker, Wilson score intervals
     "q_search_qld", "q_wilson_ci",
-    // round 14: RAKE keyphrases, cohorted uplift, MASE backtest
-    // (q_bfs_dist is iterative — its frontier round is in iterativeBodies)
-    "q_rake", "q_uplift", "q_mase")
+    // round 14: RAKE keyphrases, cohorted uplift, MASE backtest, SRM
+    // (q_bfs_dist and q_er_end2end are iterative — frontier/cc rounds
+    // audited in iterativeBodies)
+    "q_rake", "q_uplift", "q_mase", "q_srm")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan
@@ -286,6 +287,13 @@ object ExplainAudit {
             s.read.parquet(s"$dir/customer.parquet"),
             s.read.parquet(s"$dir/supplier.parquet"))),
           k = 4)
+      }),
+      // round 14: the ER pipeline's cc round over the edit-pair graph —
+      // same hash-to-min body as q_dedup_groups, name-keyed
+      "q_er_end2end" -> ((s: SparkSession, dir: String) => {
+        val pairs = graft.operators.Linkage.editMatches(
+          s.read.parquet(s"$dir/part.parquet"), "p_name", blockWord = 2, maxDist = 2)
+        Dedup.ccRoundPlan(pairs.select(col("name_a").as("doc1"), col("name_b").as("doc2")))
       }),
       // round 14: one BFS frontier round — edge join against the reached
       // relation + partial-agg min; the real loop checkpoints each round

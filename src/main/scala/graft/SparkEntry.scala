@@ -3211,6 +3211,28 @@ object SparkEntry {
       operators.Stats.bestSplit(r, "price_usd", "good")
     }),
 
+    // -- entity resolution end-to-end: edit-distance pairs → connected
+    //    components → canonical (min) name + cluster size per member
+    "q_er_end2end" -> ((s, dir) => {
+      val pairs = operators.Linkage
+        .editMatches(t(s, dir, "part"), "p_name", blockWord = 2, maxDist = 2)
+      val groups = Dedup.duplicateGroups(pairs, "name_a", "name_b")
+      val sizes = groups.groupBy(col("group_id")).agg(count(lit(1)).as("cluster_size"))
+      groups.join(sizes, Seq("group_id"))
+        .select(col("doc_id").as("name"), col("group_id").as("canonical"),
+          col("cluster_size"))
+        .orderBy("name")
+    }),
+
+    // -- sample-ratio-mismatch tripwire: χ² GOF of the md5 8-way split
+    //    against uniform, Wilson–Hilferty z — the assignment-integrity
+    //    gate every experiment readout depends on
+    "q_srm" -> ((s, dir) => {
+      val b = t(s, dir, "orders").select(
+        pmod(Sampling.sampleHash(col("o_orderkey"), "srm"), lit(8L)).as("bucket"))
+      operators.Stats.srmCheck(b, "bucket", k = 8)
+    }),
+
     // -- multi-source BFS: hop distance from two seed customers over the
     //    sparse trade graph — min-label propagation, fixpoint-certified
     //    round count, unreached nodes absent
@@ -5392,6 +5414,45 @@ object SparkEntry {
                  FROM cum CROSS JOIN tot WHERE nl < n)
           SELECT n, threshold, n_left, n_right, gain_r FROM sc
           QUALIFY row_number() OVER (ORDER BY gain_r DESC, threshold) <= 1""",
+    // recursive closure over the edit pairs; canonical = min member
+    "q_er_end2end" ->
+      """WITH RECURSIVE names AS (
+            SELECT DISTINCT p_name AS name, split_part(p_name, ' ', 2) AS blk
+            FROM part WHERE p_name IS NOT NULL),
+          pr AS (SELECT a.name AS na, b.name AS nb
+                 FROM names a JOIN names b ON a.blk = b.blk AND a.name < b.name
+                 WHERE levenshtein(a.name, b.name) <= 2),
+          edges AS (SELECT na AS src, nb AS dst FROM pr
+                    UNION ALL SELECT nb, na FROM pr),
+          reach(v, lbl) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, r.lbl FROM edges e JOIN reach r ON r.v = e.dst),
+          grp AS (SELECT v AS name, min(lbl) AS canonical FROM reach GROUP BY v),
+          sz AS (SELECT canonical, count(*)::BIGINT AS cluster_size
+                 FROM grp GROUP BY 1)
+          SELECT name, canonical, cluster_size
+          FROM grp JOIN sz USING (canonical) ORDER BY name""",
+    // χ² from the k-spined exact counts; W–H constants Scala-emitted
+    "q_srm" ->
+      s"""WITH b AS (SELECT ('0x' || substr(md5('srm:' || o_orderkey::VARCHAR), 1, 8))::BIGINT % 8 AS bucket
+                     FROM orders),
+          obs AS (SELECT bucket, count(*)::BIGINT AS o FROM b GROUP BY 1),
+          sp AS (SELECT unnest(range(0, 8))::BIGINT AS bucket),
+          cells AS (SELECT sp.bucket, coalesce(obs.o, 0)::BIGINT AS o
+                    FROM sp LEFT JOIN obs USING (bucket)),
+          tot AS (SELECT sum(o)::BIGINT AS n FROM cells),
+          ag AS (SELECT max(n)::BIGINT AS n,
+                        sum((o::DOUBLE - n::DOUBLE / 8.0) * (o::DOUBLE - n::DOUBLE / 8.0)
+                            / (n::DOUBLE / 8.0)) AS chi2
+                 FROM cells CROSS JOIN tot)
+          SELECT 8::INT AS k, n,
+                 floor(chi2 * 1e4 + 0.5) / 1e4 AS chi2_r,
+                 floor(((cbrt((floor(chi2 * 1e4 + 0.5) / 1e4) / 7.0) - ${1.0 - 2.0 / (9.0 * 7.0)})
+                        / ${math.sqrt(2.0 / (9.0 * 7.0))}) * 1e4 + 0.5) / 1e4 AS z_r,
+                 (floor(((cbrt((floor(chi2 * 1e4 + 0.5) / 1e4) / 7.0) - ${1.0 - 2.0 / (9.0 * 7.0)})
+                        / ${math.sqrt(2.0 / (9.0 * 7.0))}) * 1e4 + 0.5) / 1e4 > 1.959964) AS srm
+          FROM ag""",
     // holdout = last hour; dyadic SES forecast from the rest; error
     // scaled by the exact-integer seasonal-naive MAE
     "q_mase" ->

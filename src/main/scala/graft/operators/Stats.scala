@@ -2467,6 +2467,57 @@ object Stats {
           6).as("z_r"))
   }
 
+  /** Sample-ratio-mismatch check (the A/B-infrastructure tripwire; Fabijan
+    * et al., "Diagnosing Sample Ratio Mismatch", KDD 2019): χ² goodness-
+    * of-fit of observed bucket counts against the uniform k-way design,
+    * reduced to a standard-normal z via the Wilhelm–Hilferty cube-root
+    * transform — an SRM fires when the ASSIGNMENT is broken (bot
+    * filtering, redirect loss, logging bias), which invalidates every
+    * downstream metric, so this check gates the experiment readouts.
+    *
+    * Buckets 0..k−1 are spined in (a missing bucket is o=0 evidence, not
+    * an absent row); counts are exact integers; the per-bucket χ² terms
+    * combine over k metadata-sized doubles; the W–H constants are
+    * Scala-computed literals emitted verbatim to both engines, so only
+    * `cbrt` (correctly rounded on both) touches the rounded χ².
+    *
+    * Returns ONE row (k, n, chi2_r, z_r, srm) with srm = z_r > zCrit on
+    * the ROUNDED z; n = 0 reads NULL χ²/z and srm false.
+    */
+  def srmCheck(
+      df: DataFrame,
+      bucketCol: String,
+      k: Int,
+      zCrit: Double = 1.959964): DataFrame = {
+    require(k >= 2, s"k ($k) must be >= 2")
+    val obs = df
+      .where(col(bucketCol).isNotNull)
+      .groupBy(col(bucketCol).cast("long").as("__b"))
+      .agg(count(lit(1)).as("__o"))
+    val spine = df.sparkSession.range(k).select(col("id").as("__b"))
+    val cells = spine
+      .join(obs, Seq("__b"), "left_outer")
+      .na.fill(0L, Seq("__o"))
+    val tot = broadcast(cells.agg(sum(col("__o")).as("__n")))
+    val e = col("__n").cast("double") / k.toDouble
+    val dfree = (k - 1).toDouble
+    val c1 = 1.0 - 2.0 / (9.0 * dfree)
+    val c2 = math.sqrt(2.0 / (9.0 * dfree))
+    val chi2 = Portable.pround(col("__chi2"), 4)
+    val z = Portable.pround((cbrt(chi2 / dfree) - c1) / c2, 4)
+    cells
+      .crossJoin(tot)
+      .select(col("__n"),
+        when(col("__n") > 0,
+          (col("__o").cast("double") - e) * (col("__o").cast("double") - e) / e)
+          .otherwise(lit(0.0)).as("__t"))
+      .agg(max(col("__n")).as("n"), sum(col("__t")).as("__chi2"))
+      .select(lit(k).as("k"), col("n"),
+        when(col("n") > 0, chi2).as("chi2_r"),
+        when(col("n") > 0, z).as("z_r"),
+        coalesce(when(col("n") > 0, z) > zCrit, lit(false)).as("srm"))
+  }
+
   /** Wilson score interval per group (Wilson, JASA 1927): the binomial
     * proportion CI that actually covers at small n and extreme p̂ — the
     * Wald interval (p̂ ± z√(p̂q̂/n)) collapses to zero width at p̂∈{0,1}

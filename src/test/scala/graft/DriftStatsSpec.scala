@@ -375,6 +375,22 @@ class DriftStatsSpec extends SparkSpec {
     assert(!zc(1).isNullAt(4), s"clean bin unaffected: ${zc.toSeq}")
   }
 
+  test("srmCheck: balanced split passes, a broken assignment trips the tripwire") {
+    val balanced = (0 until 100).map(i => Tuple1(i.toLong % 4)).toDF("b")
+    val ok = Stats.srmCheck(balanced, "b", k = 4).collect().head
+    assert(ok.getLong(1) == 100 && ok.getDouble(2) == 0.0 && !ok.getBoolean(4),
+      s"balanced: $ok")
+    // all mass in bucket 0 (buckets 1-3 spined in as zeros):
+    // χ² = 225 + 3·25 = 300
+    val broken = (0 until 100).map(_ => Tuple1(0L)).toDF("b")
+    val bad = Stats.srmCheck(broken, "b", k = 4).collect().head
+    assert(bad.getDouble(2) == 300.0, s"chi2: $bad")
+    val c1 = 1.0 - 2.0 / (9.0 * 3.0)
+    val c2 = math.sqrt(2.0 / (9.0 * 3.0))
+    val zExp = math.floor((math.cbrt(300.0 / 3.0) - c1) / c2 * 1e4 + 0.5) / 1e4
+    assert(bad.getDouble(3) == zExp && bad.getBoolean(4), s"z: $bad vs $zExp")
+  }
+
   test("bestSplit: clean separation reads gain 0.5; gain ties break to the smaller threshold") {
     // x=[1,1,2,2], y=[1,1,0,0]: split at 1 is pure → gain = 0.5 (max
     // value 2 is excluded — empty right side)

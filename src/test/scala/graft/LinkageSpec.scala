@@ -132,4 +132,16 @@ class LinkageSpec extends SparkSpec {
     assert(tight.toSeq == Seq(("bold steel widget", "cold steel widget", 1)),
       s"${tight.toSeq}")
   }
+
+  test("ER end to end: edit pairs close into a cluster with the min canonical; singletons absent") {
+    import spark.implicits._
+    val df = Seq("aa bb", "ab bb", "ac bb", "zzzz bb").toDF("nm")
+    val pairs = graft.operators.Linkage.editMatches(df, "nm", blockWord = 2, maxDist = 2)
+    val groups = graft.operators.Dedup.duplicateGroups(pairs, "name_a", "name_b")
+    val got = groups.orderBy("doc_id").collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(got.toSeq == Seq(
+      ("aa bb", "aa bb"), ("ab bb", "aa bb"), ("ac bb", "aa bb")),
+      s"clusters: ${got.toSeq}")
+  }
 }
