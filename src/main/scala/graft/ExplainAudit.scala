@@ -153,7 +153,9 @@ object ExplainAudit {
     // round 14: RAKE keyphrases, cohorted uplift, MASE backtest, SRM
     // (q_bfs_dist and q_er_end2end are iterative — frontier/cc rounds
     // audited in iterativeBodies)
-    "q_rake", "q_uplift", "q_mase", "q_srm")
+    "q_rake", "q_uplift", "q_mase", "q_srm",
+    // round 14: exact Shapley channel attribution
+    "q_shapley_attrib")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

@@ -3211,6 +3211,15 @@ object SparkEntry {
       operators.Stats.bestSplit(r, "price_usd", "good")
     }),
 
+    // -- exact Shapley channel attribution: average marginal credit over
+    //    ALL orderings — 2ⁿ masks are metadata, so the "exponential" sum
+    //    is a tiny self-join; the corpus pays one bitmask pass
+    "q_shapley_attrib" -> ((s, dir) =>
+      operators.Journeys.shapleyAttribution(
+        graft.sources.EventsSource.events(s, dir),
+        channels = Seq("click", "view", "signup", "error"),
+        outcomeType = "purchase")),
+
     // -- entity resolution end-to-end: edit-distance pairs → connected
     //    components → canonical (min) name + cluster size per member
     "q_er_end2end" -> ((s, dir) => {
@@ -5414,6 +5423,8 @@ object SparkEntry {
                  FROM cum CROSS JOIN tot WHERE nl < n)
           SELECT n, threshold, n_left, n_right, gain_r FROM sc
           QUALIFY row_number() OVER (ORDER BY gain_r DESC, threshold) <= 1""",
+    "q_shapley_attrib" ->
+      shapleySql(Seq("click", "view", "signup", "error"), "purchase"),
     // recursive closure over the edit pairs; canonical = min member
     "q_er_end2end" ->
       """WITH RECURSIVE names AS (
@@ -10020,6 +10031,41 @@ object SparkEntry {
         $steps
         SELECT src AS node, count(*)::BIGINT AS deg
         FROM ke$rounds GROUP BY src ORDER BY node"""
+  }
+
+  /** Mirror of Journeys.shapleyAttribution: the 2ⁿ-mask characteristic
+    * function with factorial weights emitted as Scala-computed literals;
+    * v ROUNDED before the marginal differences.
+    */
+  private def shapleySql(channels: Seq[String], outcome: String): String = {
+    val n = channels.size
+    def fact(x: Int): Double = (1 to x).foldLeft(1.0)(_ * _)
+    val maskExpr = channels.zipWithIndex.map { case (c, i) =>
+      s"CASE WHEN max((event_type = '$c')::INT) = 1 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+    val wCase = (0 until n)
+      .map(s => s"WHEN bit_count(a.mask) = $s THEN ${fact(s) * fact(n - 1 - s) / fact(n)}")
+      .mkString(" ")
+    val branches = channels.zipWithIndex.map { case (c, i) =>
+      val bit = 1L << i
+      s"""SELECT '$c' AS channel, (CASE $wCase END) * (b.v - a.v) AS t
+          FROM v a JOIN v b ON b.mask = a.mask + $bit
+          WHERE (a.mask & $bit) = 0"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH per AS (SELECT user_id, ($maskExpr) AS mask,
+                            max((event_type = '$outcome')::INT) AS y
+                     FROM events GROUP BY 1),
+        counts AS (SELECT mask, count(*)::BIGINT AS n, sum(y)::BIGINT AS c
+                   FROM per GROUP BY 1),
+        sp AS (SELECT unnest(range(0, ${1L << n}))::BIGINT AS mask),
+        v AS (SELECT sp.mask,
+                     CASE WHEN counts.n > 0
+                          THEN floor((counts.c::DOUBLE / counts.n::DOUBLE) * 1e6 + 0.5) / 1e6
+                          ELSE 0.0 END AS v
+              FROM sp LEFT JOIN counts USING (mask)),
+        contrib AS ($branches)
+        SELECT channel, floor(sum(t) * 1e6 + 0.5) / 1e6 AS phi_r
+        FROM contrib GROUP BY 1 ORDER BY channel"""
   }
 
   /** Unrolled multi-source BFS (mirror of Graph.bfsDistances): per round,

@@ -592,6 +592,75 @@ object Journeys {
       .reduce(_ unionAll _)
   }
 
+  /** Exact Shapley channel attribution (Shapley 1953; the marketing form
+    * of Dalessandro et al., ADKDD 2012): each channel's credit for the
+    * outcome is its average marginal contribution over ALL orderings —
+    * φ_c = Σ_{S∌c} |S|!(n−|S|−1)!/n! · (v(S∪c) − v(S)) with v(S) the
+    * conversion rate of users whose touched-channel set is EXACTLY S.
+    * The only attribution scheme that is efficient (Σφ = v(full) − v(∅)),
+    * symmetric, and null-player-consistent — first/last-touch rules
+    * (the `eventAttribution` family) satisfy none of those.
+    *
+    * Exactness at scale: the characteristic function lives on 2ⁿ masks —
+    * METADATA-sized for any sane channel count (n ≤ 10 enforced) — so
+    * the "exponential" Shapley sum is a tiny self-join, not a sweep;
+    * the corpus pays ONE flag pass per user (partial-agg max bitmask)
+    * and one mask aggregate. Unobserved sets read v = 0 (spined in,
+    * mirrored); v is ROUNDED before the marginal differences per
+    * derive-from-rounded; factorial weights are Scala-computed literals
+    * emitted verbatim to both engines.
+    *
+    * Returns (channel, phi_r) ordered by channel.
+    */
+  def shapleyAttribution(
+      events: DataFrame,
+      channels: Seq[String],
+      outcomeType: String): DataFrame = {
+    require(channels.nonEmpty && channels.size <= 10,
+      s"channels (${channels.size}) must be 1..10")
+    require(channels.distinct.size == channels.size, "channels must be distinct")
+    val n = channels.size
+    def fact(x: Int): Double = (1 to x).foldLeft(1.0)(_ * _)
+    val maskCol = channels.zipWithIndex
+      .map { case (c, i) =>
+        max(when(col("event_type") === c, lit(1L << i)).otherwise(0L))
+      }
+      .reduce(_ + _)
+    val per = events
+      .groupBy(col("user_id"))
+      .agg(maskCol.as("__mask"),
+        max(when(col("event_type") === outcomeType, 1L).otherwise(0L)).as("__y"))
+    val counts = per
+      .groupBy(col("__mask"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__c"))
+    val spine = events.sparkSession.range(1L << n).select(col("id").as("__mask"))
+    val v = spine
+      .join(counts, Seq("__mask"), "left_outer")
+      .select(col("__mask"),
+        when(col("__n") > 0,
+          graft.functions.Portable.pround(
+            col("__c").cast("double") / col("__n").cast("double"), 6))
+          .otherwise(lit(0.0)).as("__v"))
+    val bc = expr("bit_count(__mask)")
+    val weight = (1 until n).foldLeft(
+      when(bc === 0, lit(fact(0) * fact(n - 1) / fact(n)))) { (acc, s) =>
+      acc.when(bc === s, lit(fact(s) * fact(n - 1 - s) / fact(n)))
+    }
+    val contribs = channels.zipWithIndex.map { case (c, i) =>
+      val bit = 1L << i
+      val without = v.where(col("__mask").bitwiseAND(lit(bit)) === 0)
+        .select(col("__mask"), col("__v").as("__v0"))
+      val withBit = v.where(col("__mask").bitwiseAND(lit(bit)) =!= 0)
+        .select((col("__mask") - lit(bit)).as("__mask"), col("__v").as("__v1"))
+      without.join(withBit, Seq("__mask"))
+        .select(lit(c).as("channel"), (weight * (col("__v1") - col("__v0"))).as("__t"))
+    }.reduce(_ unionAll _)
+    contribs
+      .groupBy(col("channel"))
+      .agg(graft.functions.Portable.pround(sum(col("__t")), 6).as("phi_r"))
+      .orderBy("channel")
+  }
+
   /** Per-cohort uplift readout: among users who DID the treatment action
     * vs those who didn't, how much higher is the outcome rate — the
     * two-model difference estimate of incremental effect, cohorted so a

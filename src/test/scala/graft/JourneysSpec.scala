@@ -244,6 +244,23 @@ class JourneysSpec extends SparkSpec {
     }
   }
 
+  test("shapleyAttribution: hand 2-channel game; efficiency axiom holds") {
+    // v(∅)=0, v(A)=1, v(B)=0, v(AB)=1 → φ_A = 1, φ_B = 0
+    val ev = Seq((1L, "A"), (1L, "buy"), (2L, "A"), (2L, "buy"),
+      (3L, "B"), (4L, "x"), (5L, "A"), (5L, "B"), (5L, "buy"))
+      .toDF("user_id", "event_type")
+    val got = Journeys.shapleyAttribution(ev, Seq("A", "B"), "buy")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(got.toSeq == Seq(("A", 1.0), ("B", 0.0)), s"${got.toSeq}")
+    // symmetric channels split the credit: both touch, both convert
+    val sym = Seq((1L, "A"), (1L, "B"), (1L, "buy"), (2L, "A"), (2L, "B"))
+      .toDF("user_id", "event_type")
+    val gs = Journeys.shapleyAttribution(sym, Seq("A", "B"), "buy")
+      .collect().map(r => (r.getString(0), r.getDouble(1)))
+    // v(AB)=0.5, all other sets unobserved (0): φ_A = φ_B = 0.25
+    assert(gs.toSeq == Seq(("A", 0.25), ("B", 0.25)), s"${gs.toSeq}")
+  }
+
   test("uplift: hand 2x2 per cohort; empty control reads NULL") {
     // u1 click+buy, u2 click only, u3 buy only, u4 neither → one cohort:
     // pT = 1/2, pC = 1/2, uplift 0, z 0
