@@ -154,8 +154,8 @@ object ExplainAudit {
     // (q_bfs_dist and q_er_end2end are iterative — frontier/cc rounds
     // audited in iterativeBodies)
     "q_rake", "q_uplift", "q_mase", "q_srm",
-    // round 14: exact Shapley channel attribution
-    "q_shapley_attrib")
+    // round 14: exact Shapley attribution, shingle novelty, MI ranking
+    "q_shapley_attrib", "q_novelty", "q_feature_mi")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

@@ -3211,6 +3211,18 @@ object SparkEntry {
       operators.Stats.bestSplit(r, "price_usd", "good")
     }),
 
+    // -- per-doc shingle novelty: share of this doc's k-grams first seen
+    //    HERE — the memorization/boilerplate dial, Heaps' per-doc twin
+    "q_novelty" -> ((s, dir) =>
+      TextAnalysis.noveltyProfile(t(s, dir, "documents"), "text", k = 3)),
+
+    // -- MI feature ranking: how much label uncertainty each categorical
+    //    column removes, with the H(label)-normalized share
+    "q_feature_mi" -> ((s, dir) =>
+      operators.Stats.mutualInformation(
+        t(s, dir, "documents").withColumn("long_doc", col("n_chars") >= 300),
+        Seq("lang", "source"), "long_doc")),
+
     // -- exact Shapley channel attribution: average marginal credit over
     //    ALL orderings — 2ⁿ masks are metadata, so the "exponential" sum
     //    is a tiny self-join; the corpus pays one bitmask pass
@@ -5425,6 +5437,41 @@ object SparkEntry {
           QUALIFY row_number() OVER (ORDER BY gain_r DESC, threshold) <= 1""",
     "q_shapley_attrib" ->
       shapleySql(Seq("click", "view", "signup", "error"), "purchase"),
+    // first occurrence = min doc_id per shingle over the whole corpus
+    "q_novelty" ->
+      s"""WITH ${shinglesCte(3)},
+          ex AS (SELECT doc_id, unnest(shingles) AS sh FROM sh),
+          fs AS (SELECT sh, min(doc_id) AS first_doc FROM ex GROUP BY 1)
+          SELECT ex.doc_id, count(*)::BIGINT AS n_shingles,
+                 sum((fs.first_doc = ex.doc_id)::INT)::BIGINT AS n_novel,
+                 floor((sum((fs.first_doc = ex.doc_id)::INT)::DOUBLE
+                        / count(*)::DOUBLE) * 1e6 + 0.5) / 1e6 AS novelty_r
+          FROM ex JOIN fs USING (sh)
+          GROUP BY ex.doc_id ORDER BY ex.doc_id""",
+    // MI on exact integer ratios; MI and H rounded before the share
+    "q_feature_mi" ->
+      (Seq("lang", "source").map { f =>
+        s"""(WITH j AS (SELECT $f AS x, (n_chars >= 300)::INT AS y,
+                               count(*)::BIGINT AS c
+                        FROM documents
+                        WHERE $f IS NOT NULL AND n_chars IS NOT NULL
+                        GROUP BY 1, 2),
+             rx AS (SELECT x, sum(c)::BIGINT AS cx FROM j GROUP BY 1),
+             ry AS (SELECT y, sum(c)::BIGINT AS cy FROM j GROUP BY 1),
+             tot AS (SELECT sum(c)::BIGINT AS n,
+                            count(DISTINCT x)::BIGINT AS levels FROM j),
+             mi AS (SELECT max(levels)::BIGINT AS levels,
+                           floor(sum((c::DOUBLE / n::DOUBLE)
+                                     * ln((c::DOUBLE * n::DOUBLE)
+                                          / (cx::DOUBLE * cy::DOUBLE))) * 1e6 + 0.5) / 1e6 AS mi_r
+                    FROM j JOIN rx USING (x) JOIN ry USING (y) CROSS JOIN tot),
+             h AS (SELECT floor(sum(-(cy::DOUBLE / n::DOUBLE)
+                                    * ln(cy::DOUBLE / n::DOUBLE)) * 1e6 + 0.5) / 1e6 AS hh
+                   FROM ry CROSS JOIN tot)
+             SELECT '$f' AS feature, levels, mi_r,
+                    floor((CASE WHEN hh > 0.0 THEN mi_r / hh END) * 1e4 + 0.5) / 1e4 AS nmi_r
+             FROM mi CROSS JOIN h)"""
+      }.mkString("\nUNION ALL\n") + "\nORDER BY feature"),
     // recursive closure over the edit pairs; canonical = min member
     "q_er_end2end" ->
       """WITH RECURSIVE names AS (

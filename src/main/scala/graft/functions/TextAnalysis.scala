@@ -963,6 +963,45 @@ object TextAnalysis {
       .orderBy(col("r"))
   }
 
+  /** Per-document shingle novelty: what fraction of this doc's distinct
+    * k-grams first appear HERE (first occurrence = min doc_id over the
+    * corpus's stable positional order) — the per-doc memorization/
+    * boilerplate dial: low novelty means the doc is assembled from
+    * already-seen n-grams even when no single pair-level duplicate
+    * exists ([[graft.operators.Dedup]] finds pairs; this scores each doc
+    * against the WHOLE corpus prefix). Heaps-law's per-doc complement
+    * (q_vocab_growth buckets first occurrences; this attributes them).
+    *
+    * One shingle explode, CHECKPOINTED because two consumers read it
+    * (the first-seen aggregate and the per-doc count — the dupExposure
+    * lesson: an un-materialized reference re-shingles per consumer);
+    * the first-seen relation is shingle-vocabulary-sized with a
+    * partial-agg min; one join back. Empty docs (no shingles) are
+    * absent.
+    *
+    * Returns (idCol, n_shingles, n_novel, novelty_r) ordered by id.
+    */
+  def noveltyProfile(
+      df: DataFrame,
+      textCol: String,
+      idCol: String = "doc_id",
+      k: Int = 3): DataFrame = {
+    val sh = withShingles(df.select(col(idCol), col(textCol)), textCol, k)
+      .select(col(idCol), explode(col("shingles")).as("__sh"))
+      .localCheckpoint(true)
+    val first = sh.groupBy(col("__sh")).agg(min(col(idCol)).as("__first"))
+    sh
+      .join(first, Seq("__sh"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("__first") === col(idCol), 1L).otherwise(0L)).as("n_novel"))
+      .select(col(idCol), col("n_shingles"), col("n_novel"),
+        Portable.pround(
+          col("n_novel").cast("double") / col("n_shingles").cast("double"),
+          6).as("novelty_r"))
+      .orderBy(idCol)
+  }
+
   /** RAKE keyphrase extraction (Rose et al., "Automatic Keyword Extraction
     * from Individual Documents", 2010): candidate phrases are the maximal
     * stopword-free token runs; each word scores deg/freq (deg = Σ of the

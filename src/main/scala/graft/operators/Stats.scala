@@ -2467,6 +2467,59 @@ object Stats {
           6).as("z_r"))
   }
 
+  /** Mutual-information feature ranking: MI(feature; label) in nats for
+    * each categorical feature against a binary label, with the
+    * H(label)-normalized share — "how much of the label's uncertainty
+    * does knowing this column remove", the model-free screening that
+    * catches NONLINEAR association χ²-style tests only gesture at
+    * (MI = 0 ⟺ independent; [[Cooccurrence]]'s G² is 2N·MI for the
+    * pairwise case — this is the feature-ranking readout).
+    *
+    * Per feature: one joint-cell aggregate (bounded by the category ×
+    * label cardinalities), margins joined back, a cell-sized double sum
+    * (the [[Portable]] caveat), all logs on exact integer ratios.
+    * MI and H(label) are ROUNDED before the normalized share divides
+    * them. Features evaluate independently and union — k small scans.
+    *
+    * Returns (feature, levels, mi_r, nmi_r) ordered by feature; nmi
+    * reads NULL when H(label) = 0 (constant label — nothing to explain).
+    */
+  def mutualInformation(
+      df: DataFrame,
+      features: Seq[String],
+      labelCol: String): DataFrame = {
+    require(features.nonEmpty, "need at least one feature")
+    val parts = features.map { f =>
+      val rows = df
+        .where(col(f).isNotNull && col(labelCol).isNotNull)
+        .select(col(f).as("__x"),
+          col(labelCol).cast("boolean").cast("int").as("__y"))
+      val j = rows.groupBy(col("__x"), col("__y")).agg(count(lit(1)).as("__c"))
+      val rx = j.groupBy(col("__x")).agg(sum(col("__c")).as("__cx"))
+      val ry = j.groupBy(col("__y")).agg(sum(col("__c")).as("__cy"))
+      val tot = broadcast(j.agg(
+        sum(col("__c")).as("__n"), countDistinct(col("__x")).as("levels")))
+      val cD = col("__c").cast("double")
+      val nD = col("__n").cast("double")
+      val mi = j
+        .join(rx, Seq("__x")).join(broadcast(ry), Seq("__y")).crossJoin(tot)
+        .agg(max(col("levels")).as("levels"),
+          Portable.pround(
+            sum((cD / nD) * log((cD * nD)
+              / (col("__cx").cast("double") * col("__cy").cast("double")))),
+            6).as("mi_r"))
+      val h = ry.crossJoin(tot)
+        .agg(Portable.pround(
+          sum(-(col("__cy").cast("double") / nD)
+            * log(col("__cy").cast("double") / nD)), 6).as("__h"))
+      mi.crossJoin(broadcast(h))
+        .select(lit(f).as("feature"), col("levels"), col("mi_r"),
+          Portable.pround(
+            when(col("__h") > 0.0, col("mi_r") / col("__h")), 4).as("nmi_r"))
+    }
+    parts.reduce(_ unionAll _).orderBy("feature")
+  }
+
   /** Sample-ratio-mismatch check (the A/B-infrastructure tripwire; Fabijan
     * et al., "Diagnosing Sample Ratio Mismatch", KDD 2019): χ² goodness-
     * of-fit of observed bucket counts against the uniform k-way design,

@@ -901,6 +901,17 @@ class CorpusOpsSpec extends SparkSpec {
     assert(graft.functions.TextAnalysis.goodTuring(toks, maxR = 2).collect().isEmpty)
   }
 
+  test("noveltyProfile: first-seen shingles attribute to the earliest doc; short docs whole-shingle") {
+    val docs = Seq((1L, "a b c d"), (2L, "a b c x"), (3L, "z"), (4L, "")).toDF("doc_id", "text")
+    val got = graft.functions.TextAnalysis.noveltyProfile(docs, "text", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2L, 2L, 1.0),   // "a b c", "b c d" — both first here
+      (2L, 2L, 1L, 0.5),   // "a b c" seen in doc 1
+      (3L, 1L, 1L, 1.0)),  // short doc: one whole-doc shingle
+      s"${got.toSeq}")     // empty doc 4 absent
+  }
+
   test("rakePhrases: hand deg/freq scores; identical phrases collapse with a count") {
     // "the red apple and the green apple of doom": runs [red apple],
     // [green apple], [doom]; deg/freq → apple 4/2, red 2, green 2, doom 1

@@ -375,6 +375,22 @@ class DriftStatsSpec extends SparkSpec {
     assert(!zc(1).isNullAt(4), s"clean bin unaffected: ${zc.toSeq}")
   }
 
+  test("mutualInformation: perfect predictor reads MI = H = ln2, nmi 1; independence reads 0") {
+    def p6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val perfect = (Seq.fill(5)(("p", true)) ++ Seq.fill(5)(("q", false))).toDF("f", "y")
+    val g1 = Stats.mutualInformation(perfect, Seq("f"), "y").collect().head
+    assert((g1.getString(0), g1.getLong(1)) == (("f", 2L)), s"$g1")
+    assert(g1.getDouble(2) == p6(math.log(2.0)) && g1.getDouble(3) == 1.0, s"$g1")
+    val indep = (for { x <- Seq("p", "q"); y <- Seq(true, false); _ <- 1 to 3 }
+      yield (x, y)).toDF("f", "y")
+    val g2 = Stats.mutualInformation(indep, Seq("f"), "y").collect().head
+    assert(g2.getDouble(2) == 0.0 && g2.getDouble(3) == 0.0, s"independent: $g2")
+    // constant label: nothing to explain — nmi NULL, MI 0
+    val const = Seq(("p", true), ("q", true)).toDF("f", "y")
+    val g3 = Stats.mutualInformation(const, Seq("f"), "y").collect().head
+    assert(g3.getDouble(2) == 0.0 && g3.isNullAt(3), s"constant: $g3")
+  }
+
   test("srmCheck: balanced split passes, a broken assignment trips the tripwire") {
     val balanced = (0 until 100).map(i => Tuple1(i.toLong % 4)).toDF("b")
     val ok = Stats.srmCheck(balanced, "b", k = 4).collect().head
