@@ -154,8 +154,10 @@ object ExplainAudit {
     // (q_bfs_dist and q_er_end2end are iterative — frontier/cc rounds
     // audited in iterativeBodies)
     "q_rake", "q_uplift", "q_mase", "q_srm",
-    // round 14: exact Shapley attribution, shingle novelty, MI ranking
-    "q_shapley_attrib", "q_novelty", "q_feature_mi")
+    // round 14: exact Shapley attribution, shingle novelty, MI ranking,
+    // bloom sizing advisor, Mahalanobis outliers
+    "q_shapley_attrib", "q_novelty", "q_feature_mi",
+    "q_bloom_plan", "q_mahalanobis")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

@@ -3211,6 +3211,26 @@ object SparkEntry {
       operators.Stats.bestSplit(r, "price_usd", "good")
     }),
 
+    // -- bloom sizing advisor: per event type, the optimal filter
+    //    geometry for its user population, sized from the replayable
+    //    KMV sketch — the metadata twin of q_bloom_join's runtime filter
+    "q_bloom_plan" -> ((s, dir) =>
+      operators.Layout.bloomPlan(
+        graft.sources.EventsSource.events(s, dir)
+          .selectExpr("event_type", "concat('u', cast(user_id AS string)) AS k"),
+        "event_type", "k", k = 64, targetFpp = 0.01)),
+
+    // -- bivariate Mahalanobis outliers: (quantity, price) pairs far off
+    //    the correlation ridge that both univariate screens would pass
+    "q_mahalanobis" -> ((s, dir) => {
+      val r = t(s, dir, "lineitem").select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("id"),
+        col("l_quantity").cast("long").as("l_quantity"),
+        functions.Portable.pround(col("l_extendedprice") * 100, 0).cast("long")
+          .as("price_cents"))
+      operators.Stats.mahalanobisOutliers(r, "id", "l_quantity", "price_cents", k = 20)
+    }),
+
     // -- per-doc shingle novelty: share of this doc's k-grams first seen
     //    HERE — the memorization/boilerplate dial, Heaps' per-doc twin
     "q_novelty" -> ((s, dir) =>
@@ -5437,6 +5457,66 @@ object SparkEntry {
           QUALIFY row_number() OVER (ORDER BY gain_r DESC, threshold) <= 1""",
     "q_shapley_attrib" ->
       shapleySql(Seq("click", "view", "signup", "error"), "purchase"),
+    // the KMV estimate replays exactly; geometry from Scala-emitted
+    // constants on the ROUNDED estimate
+    "q_bloom_plan" ->
+      s"""WITH h AS (SELECT DISTINCT event_type, 'u' || user_id::VARCHAR AS key,
+                            ('0x' || substr(md5('u' || user_id::VARCHAR), 1, 15))::BIGINT AS h
+                     FROM events),
+          b AS (SELECT event_type, h,
+                       row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+                FROM h),
+          g AS (SELECT event_type, count(*) AS nd FROM h GROUP BY 1),
+          kth AS (SELECT event_type, max(h) AS kh FROM b WHERE rn <= 64 GROUP BY 1),
+          nv AS (SELECT g.event_type,
+                        CASE WHEN g.nd < 64 THEN g.nd::DOUBLE
+                             ELSE floor((63.0 / (kth.kh::DOUBLE / 1152921504606846976.0))
+                                        * 1e4 + 0.5) / 1e4
+                        END AS ndv_est
+                 FROM g JOIN kth USING (event_type)),
+          pl AS (SELECT event_type, ndv_est,
+                        ceil(ndv_est * ${-math.log(0.01) / (math.log(2.0) * math.log(2.0))})::BIGINT AS m_bits
+                 FROM nv),
+          pl2 AS (SELECT *, greatest(1, ceil(m_bits::DOUBLE / ndv_est
+                                             * ${math.log(2.0)})::BIGINT) AS k_hashes
+                  FROM pl)
+          SELECT event_type, ndv_est, m_bits, k_hashes,
+                 floor(pow(1.0 - exp(-(k_hashes::DOUBLE * ndv_est) / m_bits::DOUBLE),
+                           k_hashes::DOUBLE) * 1e6 + 0.5) / 1e6 AS fpp_r
+          FROM pl2 ORDER BY event_type""",
+    // moments ROUNDED into scalars; distance a fixed-order map-side
+    // expression; (d2 DESC, id) total-order cut
+    "q_mahalanobis" ->
+      """WITH r AS (SELECT l_orderkey * 8 + l_linenumber AS id,
+                           l_quantity::BIGINT AS x,
+                           floor(l_extendedprice * 100 + 0.5)::BIGINT AS y
+                    FROM lineitem),
+          st AS (SELECT count(*)::BIGINT AS n, sum(x)::HUGEINT AS sx,
+                        sum(y)::HUGEINT AS sy, sum(x::HUGEINT * x) AS sxx,
+                        sum(y::HUGEINT * y) AS syy, sum(x::HUGEINT * y) AS sxy
+                 FROM r),
+          m AS (SELECT n,
+                  floor((sx::DOUBLE / n::DOUBLE) * 1e6 + 0.5) / 1e6 AS mx,
+                  floor((sy::DOUBLE / n::DOUBLE) * 1e6 + 0.5) / 1e6 AS my,
+                  floor((sxx::DOUBLE / n::DOUBLE
+                         - (sx::DOUBLE / n::DOUBLE) * (sx::DOUBLE / n::DOUBLE))
+                        * 1e6 + 0.5) / 1e6 AS vx,
+                  floor((syy::DOUBLE / n::DOUBLE
+                         - (sy::DOUBLE / n::DOUBLE) * (sy::DOUBLE / n::DOUBLE))
+                        * 1e6 + 0.5) / 1e6 AS vy,
+                  floor((sxy::DOUBLE / n::DOUBLE
+                         - (sx::DOUBLE / n::DOUBLE) * (sy::DOUBLE / n::DOUBLE))
+                        * 1e6 + 0.5) / 1e6 AS cxy
+                FROM st),
+          d AS (SELECT id, x, y,
+                  floor((((x::DOUBLE - mx) * (x::DOUBLE - mx) * vy
+                          - 2.0 * (x::DOUBLE - mx) * (y::DOUBLE - my) * cxy
+                          + (y::DOUBLE - my) * (y::DOUBLE - my) * vx)
+                         / (vx * vy - cxy * cxy)) * 1e4 + 0.5) / 1e4 AS d2_r
+                FROM r CROSS JOIN m WHERE vx * vy - cxy * cxy > 0.0)
+          SELECT id, x AS l_quantity, y AS price_cents, d2_r FROM d
+          QUALIFY row_number() OVER (ORDER BY d2_r DESC, id) <= 20
+          ORDER BY d2_r DESC, id""",
     // first occurrence = min doc_id per shingle over the whole corpus
     "q_novelty" ->
       s"""WITH ${shinglesCte(3)},

@@ -251,4 +251,43 @@ object Layout {
       }
       .mkString(" + ")
   }
+
+  /** Bloom-filter sizing advisor: per group, the optimal filter geometry
+    * for its key population — m = ⌈n·(−ln p / ln²2)⌉ bits, k = ⌈m/n·ln 2⌉
+    * hashes, and the resulting (1 − e^{−kn/m})^k false-positive rate —
+    * sized from the KMV NDV SKETCH, not an exact distinct count: the
+    * planner input is k-bounded per group (the [[Stats.columnStats]]
+    * approx-NDV argument), and the md5-deterministic sketch replays
+    * exactly in the oracle, so a sizing decision is reproducible. The
+    * metadata twin of `q_bloom_join`'s runtime filter: THAT op uses a
+    * bloom filter, this one answers how big to build it.
+    *
+    * One grouped sketch pass; everything after is per-group scalar
+    * arithmetic on the (rounded) estimate with Scala-emitted constants.
+    *
+    * Returns (group, ndv_est, m_bits, k_hashes, fpp_r) ordered by group.
+    */
+  def bloomPlan(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      k: Int = 64,
+      targetFpp: Double = 0.01): DataFrame = {
+    require(targetFpp > 0 && targetFpp < 1, s"targetFpp ($targetFpp) must be in (0,1)")
+    val bitsPerKey = -math.log(targetFpp) / (math.log(2.0) * math.log(2.0))
+    val ln2 = math.log(2.0)
+    val n = col("ndv_est")
+    df
+      .groupBy(col(groupCol))
+      .agg(expr(s"kmv_ndv($keyCol, $k)").as("__r"))
+      .select(col(groupCol), col("__r.ndv_est").as("ndv_est"))
+      .withColumn("m_bits", ceil(n * lit(bitsPerKey)).cast("long"))
+      .withColumn("k_hashes",
+        greatest(lit(1L), ceil(col("m_bits").cast("double") / n * lit(ln2)).cast("long")))
+      .withColumn("fpp_r", graft.functions.Portable.pround(
+        pow(lit(1.0) - exp(-(col("k_hashes").cast("double") * n)
+          / col("m_bits").cast("double")),
+          col("k_hashes").cast("double")), 6))
+      .orderBy(groupCol)
+  }
 }

@@ -2467,6 +2467,67 @@ object Stats {
           6).as("z_r"))
   }
 
+  /** Top-k bivariate Mahalanobis outliers: rank rows by the covariance-
+    * corrected distance d² = [dx²σ²y − 2·dx·dy·σxy + dy²σ²x]/det(Σ) —
+    * the multivariate complement of [[robustOutliers]]' univariate MAD:
+    * a (quantity, price) pair can be unremarkable on each axis yet far
+    * off the correlation ridge, which is exactly the mispricing/
+    * mislabeling signal a univariate screen misses.
+    *
+    * One exact-decimal moment pass over the INTEGER-valued pair (Σx, Σy,
+    * Σx², Σy², Σxy — any agg order), moments ROUNDED into a broadcast
+    * scalar row, then the distance is a map-side fixed-order scalar per
+    * row, ROUNDED before the TakeOrdered (d² DESC, id) cut — no global
+    * sort, no second pass.
+    *
+    * Returns the top-k (id, x, y, d2_r); degenerate covariance
+    * (det ≤ 0 — a perfectly collinear or constant pair) yields no rows
+    * rather than NaN ranks.
+    */
+  def mahalanobisOutliers(
+      df: DataFrame,
+      idCol: String,
+      xCol: String,
+      yCol: String,
+      k: Int = 20): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val rows = df
+      .select(col(idCol).as("id"), col(xCol).cast("long").as("__x"),
+        col(yCol).cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val st = broadcast(rows.agg(
+      count(lit(1)).as("__n"),
+      sum(col("__x").cast("decimal(38,0)")).as("__sx"),
+      sum(col("__y").cast("decimal(38,0)")).as("__sy"),
+      sum(col("__x").cast("decimal(20,0)") * col("__x").cast("decimal(20,0)")).as("__sxx"),
+      sum(col("__y").cast("decimal(20,0)") * col("__y").cast("decimal(20,0)")).as("__syy"),
+      sum(col("__x").cast("decimal(20,0)") * col("__y").cast("decimal(20,0)")).as("__sxy")))
+    val nD = col("__n").cast("double")
+    def r6(c: Column) = Portable.pround(c, 6)
+    val mx = r6(col("__sx").cast("double") / nD)
+    val my = r6(col("__sy").cast("double") / nD)
+    val vx = r6(col("__sxx").cast("double") / nD -
+      (col("__sx").cast("double") / nD) * (col("__sx").cast("double") / nD))
+    val vy = r6(col("__syy").cast("double") / nD -
+      (col("__sy").cast("double") / nD) * (col("__sy").cast("double") / nD))
+    val cxy = r6(col("__sxy").cast("double") / nD -
+      (col("__sx").cast("double") / nD) * (col("__sy").cast("double") / nD))
+    val dx = col("__x").cast("double") - col("__mx")
+    val dy = col("__y").cast("double") - col("__my")
+    val det = col("__vx") * col("__vy") - col("__cxy") * col("__cxy")
+    rows
+      .crossJoin(st.select(mx.as("__mx"), my.as("__my"), vx.as("__vx"),
+        vy.as("__vy"), cxy.as("__cxy")))
+      .where(det > 0.0)
+      .select(col("id"), col("__x").as(xCol), col("__y").as(yCol),
+        Portable.pround(
+          (dx * dx * col("__vy") - lit(2.0) * dx * dy * col("__cxy")
+            + dy * dy * col("__vx")) / det,
+          4).as("d2_r"))
+      .orderBy(col("d2_r").desc, col("id"))
+      .limit(k)
+  }
+
   /** Mutual-information feature ranking: MI(feature; label) in nats for
     * each categorical feature against a binary label, with the
     * H(label)-normalized share — "how much of the label's uncertainty

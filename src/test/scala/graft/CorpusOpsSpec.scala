@@ -901,6 +901,20 @@ class CorpusOpsSpec extends SparkSpec {
     assert(graft.functions.TextAnalysis.goodTuring(toks, maxR = 2).collect().isEmpty)
   }
 
+  test("mahalanobis: off-ridge corners outrank the center; collinear input yields no rows") {
+    import graft.operators.Stats
+    val sq = Seq((1L, 0L, 0L), (2L, 2L, 0L), (3L, 0L, 2L), (4L, 2L, 2L), (5L, 1L, 1L))
+      .toDF("id", "x", "y")
+    val got = Stats.mahalanobisOutliers(sq, "id", "x", "y", k = 5)
+      .collect().map(r => (r.getLong(0), r.getDouble(3)))
+    // vx=vy=0.8, cxy=0 → corners d²=2.5, center 0; tie breaks by id
+    assert(got.toSeq == Seq((1L, 2.5), (2L, 2.5), (3L, 2.5), (4L, 2.5), (5L, 0.0)),
+      s"${got.toSeq}")
+    val line = Seq((1L, 0L, 0L), (2L, 1L, 1L), (3L, 2L, 2L)).toDF("id", "x", "y")
+    assert(Stats.mahalanobisOutliers(line, "id", "x", "y").count() == 0,
+      "collinear pair must yield no ranked rows")
+  }
+
   test("noveltyProfile: first-seen shingles attribute to the earliest doc; short docs whole-shingle") {
     val docs = Seq((1L, "a b c d"), (2L, "a b c x"), (3L, "z"), (4L, "")).toDF("doc_id", "text")
     val got = graft.functions.TextAnalysis.noveltyProfile(docs, "text", k = 3)

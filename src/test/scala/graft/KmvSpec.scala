@@ -210,4 +210,20 @@ class KmvSpec extends AnyFunSuite {
       .collect().map(r => (r.getDouble(2), r.getDouble(3), r.getDouble(4))).head
     assert(ex._1 == 50.0 && ex._2 == 0.2 && ex._3 == 10.0, s"exact mode: $ex")
   }
+
+  test("bloomPlan: below-k exact NDV drives the textbook geometry; fpp lands near target") {
+    import spark.implicits._
+    val ev = (1 to 10).map(u => ("click", s"u$u")).toDF("event_type", "k")
+    val got = graft.operators.Layout.bloomPlan(ev, "event_type", "k",
+      k = 64, targetFpp = 0.01).collect().head
+    val c = -math.log(0.01) / (math.log(2.0) * math.log(2.0))
+    val m = math.ceil(10.0 * c).toLong
+    val kh = math.max(1L, math.ceil(m.toDouble / 10.0 * math.log(2.0)).toLong)
+    val fpp = math.floor(math.pow(
+      1.0 - math.exp(-(kh.toDouble * 10.0) / m.toDouble), kh.toDouble) * 1e6 + 0.5) / 1e6
+    assert((got.getString(0), got.getDouble(1), got.getLong(2), got.getLong(3),
+      got.getDouble(4)) == (("click", 10.0, m, kh, fpp)), s"$got vs ($m,$kh,$fpp)")
+    assert(got.getDouble(4) > 0.005 && got.getDouble(4) < 0.0105,
+      s"fpp off target: $got")
+  }
 }
