@@ -157,7 +157,9 @@ object ExplainAudit {
     // round 14: exact Shapley attribution, shingle novelty, MI ranking,
     // bloom sizing advisor, Mahalanobis outliers
     "q_shapley_attrib", "q_novelty", "q_feature_mi",
-    "q_bloom_plan", "q_mahalanobis")
+    "q_bloom_plan", "q_mahalanobis",
+    // round 14: Kendall τ-b, Theil decomposition
+    "q_kendall_tau", "q_theil_index")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

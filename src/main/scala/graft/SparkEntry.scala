@@ -3211,6 +3211,34 @@ object SparkEntry {
       operators.Stats.bestSplit(r, "price_usd", "good")
     }),
 
+    // -- Kendall τ-b per nation between monthly revenue and order count:
+    //    the cross-measure concordance with a direct P(conc)−P(disc)
+    //    reading; month²-bounded pair join, exact tie counts
+    "q_kendall_tau" -> ((s, dir) => {
+      val m = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          (year(col("o_orderdate")) * 12 + month(col("o_orderdate"))).as("mth"))
+        .agg(sum(functions.Portable.pround(col("o_totalprice") * 100, 0).cast("long"))
+          .as("rev_cents"),
+          count(lit(1)).as("n_orders"))
+      operators.Stats.kendallTau(m, "nation", "mth", "rev_cents", "n_orders")
+    }),
+
+    // -- Theil T spend inequality with the exact within/between-nation
+    //    decomposition — "is inequality a nation story?" in one relation
+    "q_theil_index" -> ((s, dir) => {
+      val cust = t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(sum(functions.Portable.pround(col("o_totalprice") * 100, 0).cast("long"))
+          .as("spend_cents"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name").as("nation"), col("spend_cents"))
+      operators.Stats.theilDecomposition(cust, "nation", "spend_cents")
+    }),
+
     // -- bloom sizing advisor: per event type, the optimal filter
     //    geometry for its user population, sized from the replayable
     //    KMV sketch — the metadata twin of q_bloom_join's runtime filter
@@ -5457,6 +5485,54 @@ object SparkEntry {
           QUALIFY row_number() OVER (ORDER BY gain_r DESC, threshold) <= 1""",
     "q_shapley_attrib" ->
       shapleySql(Seq("click", "view", "signup", "error"), "purchase"),
+    // month²-bounded pairs; C/D/tie counts exact, τ one fixed-order scalar
+    "q_kendall_tau" ->
+      """WITH m AS (SELECT n_name AS nation,
+                           (year(o_orderdate) * 12 + month(o_orderdate))::BIGINT AS mth,
+                           sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS x,
+                           count(*)::BIGINT AS y
+                    FROM orders JOIN customer ON o_custkey = c_custkey
+                    JOIN nation ON c_nationkey = n_nationkey GROUP BY 1, 2),
+          pg AS (SELECT nation, count(*)::BIGINT AS n FROM m GROUP BY 1),
+          p AS (SELECT a.nation, sign((a.x - b.x)::DOUBLE) AS sx,
+                       sign((a.y - b.y)::DOUBLE) AS sy
+                FROM m a JOIN m b ON a.nation = b.nation AND a.mth < b.mth),
+          ag AS (SELECT nation,
+                        sum((sx * sy > 0)::INT)::BIGINT AS concordant,
+                        sum((sx * sy < 0)::INT)::BIGINT AS discordant,
+                        sum((sx = 0)::INT)::BIGINT AS tx,
+                        sum((sy = 0)::INT)::BIGINT AS ty
+                 FROM p GROUP BY 1)
+          SELECT ag.nation, n, concordant, discordant,
+                 floor((CASE WHEN ((n * (n - 1) / 2)::DOUBLE - tx::DOUBLE)
+                                  * ((n * (n - 1) / 2)::DOUBLE - ty::DOUBLE) > 0.0
+                        THEN (concordant - discordant)::DOUBLE
+                             / sqrt(((n * (n - 1) / 2)::DOUBLE - tx::DOUBLE)
+                                    * ((n * (n - 1) / 2)::DOUBLE - ty::DOUBLE)) END)
+                       * 1e6 + 0.5) / 1e6 AS tau_r
+          FROM ag JOIN pg USING (nation) ORDER BY nation""",
+    // exact integer ratios inside every ln; within sums member doubles
+    "q_theil_index" ->
+      """WITH cust AS (SELECT o_custkey,
+                              sum(floor(o_totalprice * 100 + 0.5)::BIGINT)::BIGINT AS x
+                       FROM orders GROUP BY 1),
+          u AS (SELECT n_name AS nation, x
+                FROM cust JOIN customer ON o_custkey = c_custkey
+                JOIN nation ON c_nationkey = n_nationkey WHERE x > 0),
+          per AS (SELECT nation, count(*)::BIGINT AS ng, sum(x)::HUGEINT AS xg
+                  FROM u GROUP BY 1),
+          tot AS (SELECT sum(ng)::BIGINT AS nt, sum(xg) AS xt FROM per),
+          w AS (SELECT u.nation,
+                       sum((u.x::DOUBLE / per.xg::DOUBLE)
+                           * ln(u.x::DOUBLE * per.ng::DOUBLE / per.xg::DOUBLE)) AS tw
+                FROM u JOIN per USING (nation) GROUP BY 1)
+          SELECT per.nation, ng AS n_units,
+                 floor((xg::DOUBLE / xt::DOUBLE) * 1e6 + 0.5) / 1e6 AS share_r,
+                 floor(tw * 1e6 + 0.5) / 1e6 AS t_within_r,
+                 floor(((xg::DOUBLE / xt::DOUBLE)
+                        * ln(xg::DOUBLE * nt::DOUBLE / (xt::DOUBLE * ng::DOUBLE)))
+                       * 1e6 + 0.5) / 1e6 AS t_between_r
+          FROM per JOIN w USING (nation) CROSS JOIN tot ORDER BY nation""",
     // the KMV estimate replays exactly; geometry from Scala-emitted
     // constants on the ROUNDED estimate
     "q_bloom_plan" ->

@@ -2467,6 +2467,103 @@ object Stats {
           6).as("z_r"))
   }
 
+  /** Kendall τ-b between two INTEGER measures per group (Kendall 1938;
+    * the tie-adjusted τ-b form): concordant-minus-discordant pair share —
+    * [[spearman]]'s sibling with a direct probabilistic reading (τ =
+    * P(concordant) − P(discordant)) and better behavior under heavy
+    * ties; [[mannKendall]] is exactly this against TIME, this is the
+    * cross-measure form ("do bigger months also rank richer").
+    *
+    * The pair join is WITHIN-group over a caller-bounded key domain (the
+    * theilSen calendar-bounded contract — months², never rows²); C, D
+    * and both tie counts are exact integers off one pair pass, τ one
+    * fixed-order scalar. NULL on an all-tied measure.
+    *
+    * Returns (group, n, concordant, discordant, tau_r) ordered by group.
+    */
+  def kendallTau(
+      df: DataFrame,
+      groupCol: String,
+      keyCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    val rows = df
+      .select(col(groupCol).as("__g"), col(keyCol).as("__k"),
+        col(xCol).cast("long").as("__x"), col(yCol).cast("long").as("__y"))
+      .where(col("__x").isNotNull && col("__y").isNotNull)
+    val pairs = rows.as("a")
+      .join(rows.as("b"),
+        col("a.__g") === col("b.__g") && col("a.__k") < col("b.__k"))
+      .select(col("a.__g").as("__g"),
+        signum((col("a.__x") - col("b.__x")).cast("double")).as("__sx"),
+        signum((col("a.__y") - col("b.__y")).cast("double")).as("__sy"))
+    val perGroup = rows.groupBy(col("__g")).agg(count(lit(1)).as("n"))
+    val n0 = (col("n") * (col("n") - 1) / 2).cast("double")
+    val den = (n0 - col("__tx").cast("double")) * (n0 - col("__ty").cast("double"))
+    pairs
+      .groupBy(col("__g"))
+      .agg(
+        sum(when(col("__sx") * col("__sy") > 0, 1L).otherwise(0L)).as("concordant"),
+        sum(when(col("__sx") * col("__sy") < 0, 1L).otherwise(0L)).as("discordant"),
+        sum(when(col("__sx") === 0.0, 1L).otherwise(0L)).as("__tx"),
+        sum(when(col("__sy") === 0.0, 1L).otherwise(0L)).as("__ty"))
+      .join(perGroup, Seq("__g"))
+      .select(col("__g").as(groupCol), col("n"), col("concordant"), col("discordant"),
+        Portable.pround(
+          when(den > 0.0,
+            (col("concordant") - col("discordant")).cast("double") / sqrt(den)),
+          6).as("tau_r"))
+      .orderBy(groupCol)
+  }
+
+  /** Theil T inequality index with exact within/between decomposition
+    * (Theil 1967): T = Σ (x_i/X)·ln(x_i/μ), the entropy-based
+    * concentration measure whose defining advantage over Gini
+    * ([[tokenGini]]'s family) is ADDITIVE DECOMPOSABILITY — T splits
+    * exactly into Σ share_g·T_g (within) + Σ share_g·ln(share_g/pop_g)
+    * (between), so "is spend inequality a nation story or a
+    * within-nation story" is one relation.
+    *
+    * Two partial-agg passes (unit sums, group sums) + one group-keyed
+    * join back; per-group term sums combine member-count doubles (the
+    * [[Portable]] caveat) over exact integer ratios inside each ln.
+    * Zero/negative units are excluded (ln undefined — mirrored).
+    *
+    * Returns (group, n_units, share_r, t_within_r, t_between_r) ordered
+    * by group; Σ share·T_g + Σ t_between reconstructs T exactly up to
+    * the published rounding.
+    */
+  def theilDecomposition(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String): DataFrame = {
+    val units = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__x"))
+      .where(col("__x").isNotNull && col("__x") > 0 && col("__g").isNotNull)
+    val per = units.groupBy(col("__g"))
+      .agg(count(lit(1)).as("__ng"), sum(col("__x").cast("decimal(38,0)")).as("__xg"))
+    val tot = broadcast(per.agg(
+      sum(col("__ng")).as("__n"), sum(col("__xg")).as("__x")))
+    val xD = col("__x0").cast("double")
+    val xgD = col("__xg").cast("double")
+    val ngD = col("__ng").cast("double")
+    val xtD = col("__xt").cast("double")
+    val ntD = col("__nt").cast("double")
+    val within = units.select(col("__g"), col("__x").as("__x0"))
+      .join(per, Seq("__g"))
+      .groupBy(col("__g"))
+      .agg(sum((xD / xgD) * log(xD * ngD / xgD)).as("__tw"))
+    per
+      .join(within, Seq("__g"))
+      .crossJoin(tot.select(col("__n").as("__nt"), col("__x").as("__xt")))
+      .select(col("__g").as(groupCol), col("__ng").as("n_units"),
+        Portable.pround(xgD / xtD, 6).as("share_r"),
+        Portable.pround(col("__tw"), 6).as("t_within_r"),
+        Portable.pround(
+          (xgD / xtD) * log(xgD * ntD / (xtD * ngD)), 6).as("t_between_r"))
+      .orderBy(groupCol)
+  }
+
   /** Top-k bivariate Mahalanobis outliers: rank rows by the covariance-
     * corrected distance d² = [dx²σ²y − 2·dx·dy·σxy + dy²σ²x]/det(Σ) —
     * the multivariate complement of [[robustOutliers]]' univariate MAD:

@@ -375,6 +375,44 @@ class DriftStatsSpec extends SparkSpec {
     assert(!zc(1).isNullAt(4), s"clean bin unaffected: ${zc.toSeq}")
   }
 
+  test("kendallTau: monotone reads ±1; ties hit the tau-b denominator; all-tied NULL") {
+    def p6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val mono = (1 to 4).map(i => ("g", i.toLong, i.toLong, i.toLong)).toDF("g", "k", "x", "y")
+    val up = Stats.kendallTau(mono, "g", "k", "x", "y").collect().head
+    assert((up.getLong(1), up.getLong(2), up.getLong(3), up.getDouble(4))
+      == ((4L, 6L, 0L, 1.0)), s"monotone: $up")
+    val anti = (1 to 4).map(i => ("g", i.toLong, i.toLong, (5 - i).toLong)).toDF("g", "k", "x", "y")
+    assert(Stats.kendallTau(anti, "g", "k", "x", "y").collect().head.getDouble(4) == -1.0)
+    // x=[1,1,2] vs y=[1,2,3]: C=2, tx=1 → τ = 2/√6
+    val tied = Seq(("g", 1L, 1L, 1L), ("g", 2L, 1L, 2L), ("g", 3L, 2L, 3L))
+      .toDF("g", "k", "x", "y")
+    val t = Stats.kendallTau(tied, "g", "k", "x", "y").collect().head
+    assert(t.getDouble(4) == p6(2.0 / math.sqrt((3.0 - 1.0) * (3.0 - 0.0))), s"tied: $t")
+    val flat = Seq(("g", 1L, 5L, 1L), ("g", 2L, 5L, 2L)).toDF("g", "k", "x", "y")
+    assert(Stats.kendallTau(flat, "g", "k", "x", "y").collect().head.isNullAt(4))
+  }
+
+  test("theilDecomposition: hand two-group split; decomposition identity holds") {
+    def p6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    // A=[1,1], B=[2]: within terms are all ln(1)=0; between carries it all
+    val df = Seq(("A", 1L), ("A", 1L), ("B", 2L)).toDF("g", "x")
+    val got = Stats.theilDecomposition(df, "g", "x").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("A", 2L, 0.5, 0.0, p6(0.5 * math.log(2.0 * 3.0 / (4.0 * 2.0)))),
+      ("B", 1L, 0.5, 0.0, p6(0.5 * math.log(2.0 * 3.0 / (4.0 * 1.0))))),
+      s"${got.toSeq}")
+    // identity: Σ share·T_g + Σ between == direct T (to rounding)
+    val direct = 2.0 * (0.25 * math.log(1.0 * 3.0 / 4.0)) + 0.5 * math.log(2.0 * 3.0 / 4.0)
+    val recon = got.map(r => r._3 * r._4 + r._5).sum
+    assert(math.abs(recon - direct) < 1e-5, s"identity: $recon vs $direct")
+    // zero-valued units are excluded, not ln(0)
+    val withZero = df.unionAll(Seq(("A", 0L)).toDF("g", "x"))
+    assert(Stats.theilDecomposition(withZero, "g", "x").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq == Seq(("A", 2L), ("B", 1L)))
+  }
+
   test("mutualInformation: perfect predictor reads MI = H = ln2, nmi 1; independence reads 0") {
     def p6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
     val perfect = (Seq.fill(5)(("p", true)) ++ Seq.fill(5)(("q", false))).toDF("f", "y")
