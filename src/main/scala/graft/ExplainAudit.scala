@@ -159,7 +159,11 @@ object ExplainAudit {
     "q_shapley_attrib", "q_novelty", "q_feature_mi",
     "q_bloom_plan", "q_mahalanobis",
     // round 14: Kendall τ-b, Theil decomposition
-    "q_kendall_tau", "q_theil_index")
+    "q_kendall_tau", "q_theil_index",
+    // round 14: Brown–Forsythe variance test, two-arm log-rank,
+    // candidate-period periodogram, TextTiling segmentation
+    "q_levene_bf", "q_logrank", "q_periodogram", "q_text_tiling",
+    "q_hurst")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

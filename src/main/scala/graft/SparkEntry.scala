@@ -279,6 +279,22 @@ object SparkEntry {
         .acf(graft.sources.EventsSource.events(s, dir), maxLag = 3)
         .orderBy("event_type", "lag")),
 
+    // -- scaled periodogram per stream at candidate periods: WHICH cycle
+    //    length dominates (seasonality assumes 24h; this measures 6..48h)
+    //    — spectral power from exact 1e6-scaled term sums
+    "q_periodogram" -> ((s, dir) =>
+      operators.TimeSeries
+        .periodogram(graft.sources.EventsSource.events(s, dir))
+        .orderBy("event_type", "period")),
+
+    // -- Hurst exponent per stream (R/S analysis): slope of ln(R/S) vs
+    //    ln(block size) — long-range dependence ACF's fixed lags miss;
+    //    H>0.5 means bursts cluster at every scale (provision for t^H)
+    "q_hurst" -> ((s, dir) =>
+      operators.TimeSeries
+        .hurstRs(graft.sources.EventsSource.events(s, dir))
+        .orderBy("event_type")),
+
     // -- CUSUM changepoint per stream: argmax |Σ(x−x̄)| over the dense
     //    hourly series — level-shift localization a local z-window
     //    can't see; n·S_t stays integer end to end
@@ -2577,6 +2593,14 @@ object SparkEntry {
         .orderBy("doc_id", "chunk_id")
     }),
 
+    // -- TextTiling topic segmentation: adjacent-block cosine valleys
+    //    (Hearst 1997) — boundaries where depth clears mean − sd/2; the
+    //    semantics-aware chunker (fixed windows cut mid-topic)
+    "q_text_tiling" -> ((s, dir) =>
+      operators.Chunking
+        .textTiling(t(s, dir, "documents"), block = 10)
+        .orderBy("doc_id", "gap")),
+
     // -- front-coding size estimate for the per-letter term dictionary
     //    (Managing Gigabytes §4.1): adjacent sorted words share prefixes;
     //    the window partitions by FIRST LETTER — the reference's a.txt…
@@ -3889,6 +3913,19 @@ object SparkEntry {
     "q_anova" -> ((s, dir) =>
       operators.Stats.anovaOneWay(t(s, dir, "documents"), "lang", "n_chars")),
 
+    // -- Brown–Forsythe homoscedasticity check on the same factor: are
+    //    the per-language length VARIANCES equal (the assumption q_anova
+    //    silently makes) — ANOVA on 2|x − median_g|, exact integer sums
+    "q_levene_bf" -> ((s, dir) =>
+      operators.Stats.brownForsythe(t(s, dir, "documents"), "lang", "n_chars")),
+
+    // -- two-arm log-rank test over censored user lifetimes: md5-parity
+    //    arms (the q_hash_split randomization), O−E and hypergeometric
+    //    variance per event day, χ²(1) from exact 1e6-scaled term sums
+    "q_logrank" -> ((s, dir) =>
+      operators.Journeys.logRank(
+        graft.sources.EventsSource.events(s, dir), censorDays = 7)),
+
     // -- content-defined chunking: token-hash cut points (rsync/LBFS rule
     //    at token granularity) — boundaries survive upstream insertions,
     //    so chunk hashes match across near-duplicate documents
@@ -4606,6 +4643,76 @@ object SparkEntry {
                              + (n - lag)::DOUBLE * m * m) / den
                         ELSE NULL END) * 1e6 + 0.5) / 1e6 AS acf_r
           FROM f ORDER BY event_type, lag""",
+    // per-term (x−x̄)·cos/sin rounded 6dp then 1e6-scaled into exact
+    // HUGEINT sums; 2π emitted verbatim (mirror of TimeSeries.periodogram)
+    "q_periodogram" ->
+      s"""WITH $DenseHourCte,
+          mn AS (SELECT event_type, min(h) AS h0, count(*)::BIGINT AS n, sum(x)::BIGINT AS s1
+                 FROM ser GROUP BY 1),
+          pr AS (SELECT unnest([6, 8, 12, 24, 48]) AS period),
+          tm AS (SELECT ser.event_type, n, period,
+                        floor(((x::DOUBLE - s1::DOUBLE / n::DOUBLE)
+                               * cos(${2 * math.Pi} / period * (h - h0)::DOUBLE)) * 1e6 + 0.5)::HUGEINT AS c_i,
+                        floor(((x::DOUBLE - s1::DOUBLE / n::DOUBLE)
+                               * sin(${2 * math.Pi} / period * (h - h0)::DOUBLE)) * 1e6 + 0.5)::HUGEINT AS s_i
+                 FROM ser JOIN mn ON mn.event_type = ser.event_type CROSS JOIN pr),
+          ag AS (SELECT event_type, period, max(n) AS n_buckets, sum(c_i) AS sc, sum(s_i) AS ss
+                 FROM tm GROUP BY 1, 2)
+          SELECT event_type, period, n_buckets,
+                 floor((((sc::DOUBLE / 1e6) * (sc::DOUBLE / 1e6)
+                         + (ss::DOUBLE / 1e6) * (ss::DOUBLE / 1e6))
+                        / n_buckets::DOUBLE) * 1e4 + 0.5) / 1e4 AS power_r
+          FROM ag ORDER BY event_type, period""",
+    // full blocks only; Z_t/S fixed-order scalars over exact block sums;
+    // per-block ln(R/S) and the 4-point OLS ride 1e6-scaled HUGEINT sums;
+    // ln(size) literals verbatim (mirror of TimeSeries.hurstRs)
+    "q_hurst" ->
+      s"""WITH $DenseHourCte,
+          t0 AS (SELECT event_type, min(h) AS h0 FROM ser GROUP BY 1),
+          sz AS (SELECT unnest([8, 16, 32, 64]) AS size,
+                        unnest([${math.log(8.0)}, ${math.log(16.0)},
+                                ${math.log(32.0)}, ${math.log(64.0)}]) AS lx),
+          bse AS (SELECT ser.event_type, (h - h0) AS t, x, size, lx,
+                         ((h - h0) // size) AS b
+                  FROM ser JOIN t0 ON t0.event_type = ser.event_type CROSS JOIN sz),
+          bs AS (SELECT event_type, size, b, count(*)::BIGINT AS n,
+                        sum(x)::BIGINT AS s, sum(x * x)::BIGINT AS ss
+                 FROM bse GROUP BY 1, 2, 3 HAVING count(*) = size),
+          pr AS (SELECT event_type, size, lx, b, t, x,
+                        row_number() OVER w AS pos, sum(x) OVER w AS pref
+                 FROM bse
+                 WINDOW w AS (PARTITION BY event_type, size, b ORDER BY t
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+          cd AS (SELECT pr.event_type, pr.size, pr.lx, pr.b, s, ss,
+                        pref::DOUBLE - pos::DOUBLE * (s::DOUBLE / pr.size::DOUBLE) AS z
+                 FROM pr JOIN bs ON bs.event_type = pr.event_type
+                                AND bs.size = pr.size AND bs.b = pr.b),
+          blk AS (SELECT event_type, size, lx, b,
+                         max(z) - min(z) AS r,
+                         sqrt((max(ss)::DOUBLE - max(s)::DOUBLE * (max(s)::DOUBLE / size::DOUBLE))
+                              / size::DOUBLE) AS sdev
+                  FROM cd GROUP BY 1, 2, 3, 4),
+          lr AS (SELECT event_type, size, lx,
+                        floor(ln(r / sdev) * 1e6 + 0.5)::HUGEINT AS l_i
+                 FROM blk WHERE sdev > 0 AND r > 0),
+          ys AS (SELECT event_type, size, lx, count(*)::BIGINT AS nb, sum(l_i) AS sl
+                 FROM lr GROUP BY 1, 2, 3),
+          yy AS (SELECT event_type, lx,
+                        floor((sl::DOUBLE / 1e6 / nb::DOUBLE) * 1e6 + 0.5) / 1e6 AS y
+                 FROM ys),
+          fit AS (SELECT event_type, count(*)::BIGINT AS k,
+                         sum(floor(lx * 1e6 + 0.5)::HUGEINT) AS fx,
+                         sum(floor(y * 1e6 + 0.5)::HUGEINT) AS fy,
+                         sum(floor((lx * y) * 1e6 + 0.5)::HUGEINT) AS fxy,
+                         sum(floor((lx * lx) * 1e6 + 0.5)::HUGEINT) AS fxx
+                  FROM yy GROUP BY 1)
+          SELECT event_type, k AS n_sizes,
+                 floor((CASE WHEN k > 1 AND k::DOUBLE * (fxx::DOUBLE / 1e6)
+                                          - (fx::DOUBLE / 1e6) * (fx::DOUBLE / 1e6) > 0.0
+                        THEN (k::DOUBLE * (fxy::DOUBLE / 1e6) - (fx::DOUBLE / 1e6) * (fy::DOUBLE / 1e6))
+                             / (k::DOUBLE * (fxx::DOUBLE / 1e6) - (fx::DOUBLE / 1e6) * (fx::DOUBLE / 1e6))
+                        END) * 1e4 + 0.5) / 1e4 AS hurst_r
+          FROM fit ORDER BY event_type""",
     // integer n·S_t = n·prefix − t·S1; total (|nS| DESC, h ASC) argmax
     // (mirror of TimeSeries.cusumChangepoint)
     "q_cusum" ->
@@ -7517,6 +7624,42 @@ object SparkEntry {
                  sum(len(word) - lcp + 1)::BIGINT AS coded_bytes,
                  floor((sum(len(word) - lcp + 1)::DOUBLE / sum(len(word))) * 1e4 + 0.5) / 1e4 AS ratio_r
           FROM c GROUP BY letter ORDER BY letter""",
+    // adjacent-block cosine from exact integer dot/norm sums; depths from
+    // ROUNDED sims; cutoff Σd/Σd² ride 1e6-scaled HUGEINT sums
+    // (mirror of Chunking.textTiling)
+    "q_text_tiling" ->
+      s"""WITH $ToksArrCte,
+          tl AS (SELECT doc_id, ((j - 1) // 10)::INT AS b, toks[j] AS w
+                 FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS j
+                       FROM toks_arr) u),
+          tc AS (SELECT doc_id, b, w, count(*)::BIGINT AS c FROM tl GROUP BY 1, 2, 3),
+          nm AS (SELECT doc_id, b, sum(c * c)::BIGINT AS q FROM tc GROUP BY 1, 2),
+          dt AS (SELECT a.doc_id, a.b AS gap, sum(a.c * b2.c)::BIGINT AS dot
+                 FROM tc a JOIN tc b2
+                   ON b2.doc_id = a.doc_id AND b2.w = a.w AND b2.b = a.b + 1
+                 GROUP BY 1, 2),
+          sm AS (SELECT l.doc_id, l.b AS gap,
+                        floor((coalesce(dot, 0)::DOUBLE
+                               / (sqrt(l.q::DOUBLE) * sqrt(r.q::DOUBLE))) * 1e6 + 0.5) / 1e6 AS sim_r
+                 FROM nm l JOIN nm r ON r.doc_id = l.doc_id AND r.b = l.b + 1
+                 LEFT JOIN dt ON dt.doc_id = l.doc_id AND dt.gap = l.b),
+          dp AS (SELECT doc_id, gap, sim_r,
+                        floor((greatest(0.0, coalesce(lag(sim_r) OVER w - sim_r, 0.0))
+                               + greatest(0.0, coalesce(lead(sim_r) OVER w - sim_r, 0.0))) * 1e6 + 0.5) / 1e6
+                          AS depth_r
+                 FROM sm WINDOW w AS (PARTITION BY doc_id ORDER BY gap)),
+          st AS (SELECT doc_id, count(*)::BIGINT AS n,
+                        sum(floor(depth_r * 1e6 + 0.5)::HUGEINT) AS sd,
+                        sum(floor(depth_r * 1e6 + 0.5)::HUGEINT
+                            * floor(depth_r * 1e6 + 0.5)::HUGEINT) AS sdd
+                 FROM dp GROUP BY 1)
+          SELECT dp.doc_id, gap, sim_r, depth_r,
+                 depth_r > (sd::DOUBLE / 1e6 / n::DOUBLE
+                            - sqrt(greatest(0.0, (sdd::DOUBLE / 1e12
+                                                  - (sd::DOUBLE / 1e6) * (sd::DOUBLE / 1e6) / n::DOUBLE)
+                                                 / n::DOUBLE)) / 2) AS boundary
+          FROM dp JOIN st ON st.doc_id = dp.doc_id
+          ORDER BY dp.doc_id, gap""",
     "q_postings_delta" ->
       s"""WITH $TokCte,
           p AS (SELECT word, list_sort(list_distinct(list(doc_id))) AS ids FROM tok GROUP BY word),
@@ -8943,6 +9086,77 @@ object SparkEntry {
                              / (t2::DOUBLE - t1::DOUBLE * t1::DOUBLE / n::DOUBLE) END) * 1e4 + 0.5) / 1e4
                    AS eta2_r
           FROM ag""",
+    // w = 2|x − 6dp-rounded median| is integer (x int, med half-int):
+    // exact HUGEINT sums, then the q_anova combine on w (F scale-invariant)
+    "q_levene_bf" ->
+      """WITH rows_ AS (SELECT lang AS g, n_chars::BIGINT AS x
+                        FROM documents
+                        WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+          med AS (SELECT g, floor(median(x) * 1e6 + 0.5) / 1e6 AS med FROM rows_ GROUP BY 1),
+          wv AS (SELECT rows_.g,
+                        floor(abs(x::DOUBLE - med) * 2 + 0.5)::HUGEINT AS w
+                 FROM rows_ JOIN med ON med.g = rows_.g),
+          per AS (SELECT g, count(*)::BIGINT AS n,
+                         sum(w) AS s, sum(w * w) AS ss
+                  FROM wv GROUP BY 1),
+          ag AS (SELECT count(*)::BIGINT AS k, sum(n)::BIGINT AS n,
+                        sum(s) AS t1, sum(ss) AS t2,
+                        sum(s::DOUBLE * s::DOUBLE / n::DOUBLE) AS bg
+                 FROM per)
+          SELECT k, n,
+                 floor((CASE WHEN k > 1 AND n > k AND t2::DOUBLE - bg > 0
+                        THEN ((bg - t1::DOUBLE * t1::DOUBLE / n::DOUBLE) / (k - 1)::DOUBLE)
+                             / ((t2::DOUBLE - bg) / (n - k)::DOUBLE) END) * 1e4 + 0.5) / 1e4 AS f_r
+          FROM ag""",
+    // md5-parity arms replayed; per-t O−E and V rounded to 6dp then
+    // 1e6-scaled into exact HUGEINT sums (order-independent Σ over days)
+    "q_logrank" ->
+      """WITH pu AS (
+           SELECT user_id AS k, min(ts::DATE) AS first_d, max(ts::DATE) AS last_d
+           FROM events GROUP BY 1),
+         hz AS (SELECT max(last_d) AS end_d FROM pu),
+         lt AS (
+           SELECT (('0x' || substr(md5('arm:' || k::VARCHAR), 1, 8))::BIGINT % 2)::INT AS arm,
+                  date_diff('day', first_d, last_d) AS t_days,
+                  date_diff('day', last_d, end_d) >= 7 AS churned
+           FROM pu CROSS JOIN hz),
+         byt AS (
+           SELECT t_days, count(*)::BIGINT AS n_ending,
+                  sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END)::BIGINT AS n1_ending,
+                  sum(CASE WHEN churned THEN 1 ELSE 0 END)::BIGINT AS d_all,
+                  sum(CASE WHEN churned AND arm = 1 THEN 1 ELSE 0 END)::BIGINT AS d1
+           FROM lt GROUP BY 1),
+         att AS (
+           SELECT *,
+                  sum(n_ending) OVER w AS n_at,
+                  sum(n1_ending) OVER w AS n1_at
+           FROM byt
+           WINDOW w AS (ORDER BY t_days ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)),
+         terms AS (
+           SELECT n_ending, n1_ending, d1,
+                  CASE WHEN d_all > 0
+                       THEN floor((d1::DOUBLE - d_all::DOUBLE * n1_at::DOUBLE / n_at::DOUBLE) * 1e6 + 0.5)::HUGEINT
+                       ELSE 0 END AS ome_i,
+                  CASE WHEN d_all > 0
+                       THEN floor((d_all::DOUBLE * n1_at::DOUBLE / n_at::DOUBLE) * 1e6 + 0.5)::HUGEINT
+                       ELSE 0 END AS e1_i,
+                  CASE WHEN d_all > 0 AND n_at > 1
+                       THEN floor((d_all::DOUBLE * (n1_at::DOUBLE / n_at::DOUBLE)
+                                   * ((n_at::DOUBLE - n1_at::DOUBLE) / n_at::DOUBLE)
+                                   * ((n_at::DOUBLE - d_all::DOUBLE) / (n_at::DOUBLE - 1.0))) * 1e6 + 0.5)::HUGEINT
+                       ELSE 0 END AS v_i
+           FROM att),
+         s AS (
+           SELECT sum(n_ending)::BIGINT AS n_users, sum(n1_ending)::BIGINT AS n1,
+                  sum(d1)::BIGINT AS d1_total,
+                  sum(ome_i) AS so, sum(e1_i) AS se, sum(v_i) AS sv
+           FROM terms)
+         SELECT n_users, n1, (n_users - n1)::BIGINT AS n0, d1_total,
+                se::DOUBLE / 1e6 AS e1_r,
+                floor((CASE WHEN sv > 0
+                       THEN (so::DOUBLE / 1e6) * (so::DOUBLE / 1e6) / (sv::DOUBLE / 1e6) END) * 1e4 + 0.5) / 1e4
+                  AS chi2_r
+         FROM s""",
     // strictly-below counts per metric value; integer DIV bucket math
     "q_rfm" ->
       """WITH per AS (SELECT o_custkey AS custkey,

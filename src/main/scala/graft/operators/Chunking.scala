@@ -49,6 +49,85 @@ object Chunking {
       .withColumn("n_chunk", size_(col("chunk")))
   }
 
+  /** TextTiling lexical-cohesion segmentation (Hearst, Computational
+    * Linguistics 23(1), 1997): find TOPIC boundaries inside a document
+    * by measuring how much adjacent fixed-size token blocks share
+    * vocabulary. Per gap between block b and b+1: cosine similarity of
+    * the blocks' term-count vectors; the DEPTH score is how far the gap's
+    * similarity sits below both neighbors (Hearst's valley criterion,
+    * immediate-neighbor form), and a gap is a BOUNDARY when its depth
+    * clears the per-doc cutoff mean(depth) − sd(depth)/2. This is the
+    * semantics-aware counterpart of [[chunkTokens]]' fixed windows — the
+    * chunker a RAG/pretraining pipeline uses when it wants chunks that
+    * end where the topic does.
+    *
+    * Scale shape: token explode → one partial-agg groupBy to the
+    * (doc, block, term) counts, localCheckpointed because two consumers
+    * (norms + the adjacent-block dot join) would otherwise re-tokenize
+    * the corpus (the dupExposure discipline); the dot product joins the
+    * count relation against itself on (doc, term, b+1) — co-partitioned
+    * by doc/term, never all-pairs; depth/cutoff windows partition BY DOC.
+    * Cross-engine parity: sims round 6 dp, depths derive from rounded
+    * sims, the cutoff's Σd/Σd² ride 1e6-scaled exact decimal sums.
+    *
+    * Returns (doc_id, gap, sim_r, depth_r, boundary) — gap g sits
+    * between block g and g+1; docs with one block emit nothing.
+    */
+  def textTiling(
+      docs: DataFrame,
+      block: Int = 10,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(block > 0, s"block ($block) must be positive")
+    val tc = docs
+      .select(col(idCol).as("doc_id"), Tokenize.tokenArray(col(textCol)).as("__toks"))
+      .select(col("doc_id"), posexplode(col("__toks")).as(Seq("__i", "__w")))
+      .groupBy(col("doc_id"), (col("__i") / block).cast("int").as("__b"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val norms = tc.groupBy(col("doc_id"), col("__b"))
+      .agg(sum(col("__c") * col("__c")).as("__q"))
+    val dots = tc.as("a")
+      .join(tc.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.__w") === col("b.__w") &&
+          col("b.__b") === col("a.__b") + 1)
+      .groupBy(col("a.doc_id"), col("a.__b"))
+      .agg(sum(col("a.__c") * col("b.__c")).as("__dot"))
+      .withColumnRenamed("__b", "gap")
+    val sims = norms.as("l")
+      .join(norms.as("r"),
+        col("l.doc_id") === col("r.doc_id") && col("r.__b") === col("l.__b") + 1)
+      .select(col("l.doc_id").as("doc_id"), col("l.__b").as("gap"),
+        col("l.__q").as("__q1"), col("r.__q").as("__q2"))
+      .join(dots, Seq("doc_id", "gap"), "left_outer")
+      .withColumn("sim_r", graft.functions.Portable.pround(
+        coalesce(col("__dot"), lit(0L)).cast("double")
+          / (sqrt(col("__q1").cast("double")) * sqrt(col("__q2").cast("double"))), 6))
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("gap"))
+    val deep = sims
+      .withColumn("depth_r", graft.functions.Portable.pround(
+        greatest(lit(0.0),
+          coalesce(lag(col("sim_r"), 1).over(wd) - col("sim_r"), lit(0.0)))
+          + greatest(lit(0.0),
+            coalesce(lead(col("sim_r"), 1).over(wd) - col("sim_r"), lit(0.0))), 6))
+    val di = floor(col("depth_r") * 1e6 + lit(0.5)).cast("decimal(38,0)")
+    val stats = deep
+      .select(col("doc_id"), di.as("__di"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("__n"), sum(col("__di")).as("__sd"),
+        sum(col("__di") * col("__di")).as("__sdd"))
+    val mean = col("__sd").cast("double") / 1e6 / col("__n").cast("double")
+    val varp = greatest(lit(0.0),
+      (col("__sdd").cast("double") / 1e12
+        - (col("__sd").cast("double") / 1e6) * (col("__sd").cast("double") / 1e6)
+          / col("__n").cast("double")) / col("__n").cast("double"))
+    deep
+      .join(stats, Seq("doc_id"))
+      .select(col("doc_id"), col("gap"), col("sim_r"), col("depth_r"),
+        (col("depth_r") > mean - sqrt(varp) / 2).as("boundary"))
+  }
+
   /** Content-defined chunking (CDC): cut each document's token stream
     * where the TOKEN'S OWN hash hits `0 mod modulus` — the rolling-hash
     * boundary rule of rsync/LBFS/dedup-storage, at token granularity.

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -409,6 +409,93 @@ object Journeys {
         col("t_days"), col("n_at_risk"), col("d_churn"),
         when(col("__zero") === 1, lit(0.0))
           .otherwise(graft.functions.Portable.pround(exp(col("__lnS")), 6)).as("surv_r"))
+  }
+
+  /** Two-arm LOG-RANK test over the [[survivalCurve]] lifetimes: does
+    * arm 1 churn on a different schedule than arm 0 — the survival-curve
+    * comparison a difference of mean lifetimes gets wrong under
+    * censoring (censored users have no lifetime to average). Arms are
+    * assigned by the engine's deterministic md5 draw
+    * ([[Sampling.sampleHash]] parity), the hash-randomized A/B split the
+    * q_hash_split family pins, so the oracle assigns identically. At
+    * each distinct lifetime t with d_t churn events: observed arm-1
+    * events d1_t vs expected e1_t = d_t·n1_t/n_t under the null, with
+    * hypergeometric variance v_t = d_t·(n1_t/n_t)·(n0_t/n_t)·
+    * (n_t−d_t)/(n_t−1); χ² = (Σ(d1_t−e1_t))²/Σv_t ~ χ²(1).
+    *
+    * Scale shape: identical to [[survivalCurve]] — one partial-agg
+    * groupBy collapses events to the USER relation, a second to the
+    * per-LIFETIME table; the reverse-cumulative at-risk windows run over
+    * the day-domain axis (bounded by the corpus time span, whitelisted
+    * metadata-bounded). Cross-engine parity: each per-t term is rounded
+    * to 6 dp then scaled by 1e6 into decimal(38,0) EXACT sums (the
+    * cupedAdjust discipline), so the Σ over event times is
+    * order-independent; χ² is a fixed-order scalar over the two exact
+    * sums.
+    *
+    * Returns ONE row (n_users, n1, n0, d1_total, e1_r, chi2_r); chi2
+    * reads NULL when Σv = 0 (no comparable event times).
+    */
+  def logRank(
+      events: DataFrame,
+      censorDays: Int = 7,
+      keyCol: String = "user_id",
+      tsCol: String = "ts_t",
+      salt: String = "arm"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perUser = events
+      .select(col(keyCol).as("k"), to_date(col(tsCol)).as("d"))
+      .groupBy(col("k"))
+      .agg(min(col("d")).as("first_d"), max(col("d")).as("last_d"))
+    val horizon = perUser.agg(max(col("last_d")).as("end_d"))
+    val lifetimes = perUser
+      .crossJoin(broadcast(horizon))
+      .select(
+        (Sampling.sampleHash(col("k"), salt) % 2).cast("int").as("arm"),
+        datediff(col("last_d"), col("first_d")).as("t_days"),
+        (datediff(col("end_d"), col("last_d")) >= censorDays).as("churned"))
+    val byT = lifetimes
+      .groupBy(col("t_days"))
+      .agg(
+        count(lit(1)).as("n_ending"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n1_ending"),
+        sum(when(col("churned"), 1L).otherwise(0L)).as("d_all"),
+        sum(when(col("churned") && col("arm") === 1, 1L).otherwise(0L)).as("d1"))
+    val wRev = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val dD  = col("d_all").cast("double")
+    val nD  = col("n_at").cast("double")
+    val n1D = col("n1_at").cast("double")
+    // per-t doubles in the EXACT op order the oracle SQL writes textually
+    val e1  = dD * n1D / nD
+    val v   = dD * (n1D / nD) * ((nD - n1D) / nD) * ((nD - dD) / (nD - lit(1.0)))
+    // 6-dp round then 1e6-scale into decimal(38,0): order-independent sums
+    val i6 = (c: Column) => floor(c * 1e6 + lit(0.5)).cast("decimal(38,0)")
+    val perT = byT
+      .withColumn("n_at", sum(col("n_ending")).over(wRev))
+      .withColumn("n1_at", sum(col("n1_ending")).over(wRev))
+      .withColumn("__ome_i",
+        when(col("d_all") > 0, i6(col("d1").cast("double") - e1)).otherwise(lit(0L).cast("decimal(38,0)")))
+      .withColumn("__e1_i",
+        when(col("d_all") > 0, i6(e1)).otherwise(lit(0L).cast("decimal(38,0)")))
+      .withColumn("__v_i",
+        when(col("d_all") > 0 && col("n_at") > 1, i6(v)).otherwise(lit(0L).cast("decimal(38,0)")))
+    val soD = col("__so").cast("double") / 1e6
+    val svD = col("__sv").cast("double") / 1e6
+    perT
+      .agg(
+        sum(col("n_ending")).as("n_users"),
+        sum(col("n1_ending")).as("n1"),
+        sum(col("d1")).as("d1_total"),
+        sum(col("__ome_i")).as("__so"),
+        sum(col("__e1_i")).as("__se"),
+        sum(col("__v_i")).as("__sv"))
+      .select(
+        col("n_users"), col("n1"), (col("n_users") - col("n1")).as("n0"),
+        col("d1_total"),
+        (col("__se").cast("double") / 1e6).as("e1_r"),
+        graft.functions.Portable.pround(
+          when(col("__sv") > 0, soD * soD / svD), 4).as("chi2_r"))
   }
 
   /** Top-k most common session PATHS: each session's ordered event-type

@@ -2888,4 +2888,62 @@ object Stats {
           4).as("f_r"),
         Portable.pround(when(sst > 0.0, ssb / sst), 4).as("eta2_r"))
   }
+
+  /** Brown–Forsythe (median-centered Levene) test over an INTEGER-valued
+    * measure: are the group VARIANCES equal — the homoscedasticity check
+    * [[anovaOneWay]] silently assumes and [[welchTTest]] exists to dodge.
+    * The statistic is one-way ANOVA on z_ij = |x_ij − median_j|; the
+    * median centering (Brown–Forsythe 1974) keeps the test robust under
+    * skew where mean-centered Levene overrejects.
+    *
+    * Exactness: with integer x the 6-dp-rounded per-group median is
+    * exactly .0 or .5, so w = 2·z is an INTEGER — Σw and Σw² ride exact
+    * decimal sums (any summation order), and because F is scale-
+    * invariant, F on w equals F on z with no division by 2 ever touching
+    * a sum. Scale shape: one partial-agg pass for medians (Spark exact
+    * `percentile`), one row-level pass joined against the BROADCAST
+    * k-row median table, one partial-agg pass for the sums — the
+    * [[robustOutliers]] median discipline with the [[anovaOneWay]]
+    * combine.
+    *
+    * Returns ONE row (k, n, f_r); F reads NULL when k < 2, n ≤ k, or
+    * SSW = 0.
+    */
+  def brownForsythe(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val rows = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__x"))
+      .where(col("__g").isNotNull && col("__x").isNotNull)
+    val med = rows
+      .groupBy(col("__g"))
+      .agg(Portable.pround(expr("percentile(__x, 0.5)"), 6).as("__med"))
+    // w = 2|x − med| is exact: x integer, med half-integer, both exact doubles
+    val w = floor(abs(col("__x").cast("double") - col("__med")) * 2 + lit(0.5))
+      .cast("decimal(20,0)")
+    val per = rows
+      .join(broadcast(med), Seq("__g"))
+      .select(col("__g"), w.as("__w"))
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"),
+        sum(col("__w")).as("__s"),
+        sum(col("__w") * col("__w")).as("__ss"))
+    val t1 = col("__t1").cast("double")
+    val t2 = col("__t2").cast("double")
+    val nD = col("n").cast("double")
+    val ssb = col("__bg") - t1 * t1 / nD
+    val ssw = t2 - col("__bg")
+    per
+      .agg(
+        count(lit(1)).as("k"),
+        sum(col("__n")).as("n"),
+        sum(col("__s")).cast("decimal(38,0)").as("__t1"),
+        sum(col("__ss")).cast("decimal(38,0)").as("__t2"),
+        sum(col("__s").cast("double") * col("__s").cast("double")
+          / col("__n").cast("double")).as("__bg"))
+      .select(col("k"), col("n"),
+        Portable.pround(
+          when(col("k") > 1 && col("n") > col("k") && ssw > 0.0,
+            (ssb / (col("k") - 1).cast("double"))
+              / (ssw / (col("n") - col("k")).cast("double"))),
+          4).as("f_r"))
+  }
 }

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -323,6 +323,153 @@ object TimeSeries {
               + (col("n") - col("__r.lag")).cast("double") * col("__m") * col("__m"))
               / col("__den")),
           6).as("acf_r"))
+  }
+
+  /** Scaled periodogram at CANDIDATE periods over the dense hourly
+    * series (Schuster 1898; the Fisher-test ordinate): per key and
+    * period p, the spectral power
+    *
+    *   I(p) = (Σ (x_t−x̄)·cos(2πt/p))² + (Σ (x_t−x̄)·sin(2πt/p))²  all / n
+    *
+    * — the "WHICH cycle length dominates" discovery [[seasonality]]
+    * can't make (it assumes the 24h period) and [[acf]] only hints at
+    * (a period-p cycle ripples every lag). Candidate periods are a
+    * literal list, so the frequency axis is fixed and auditable, not
+    * data-sized.
+    *
+    * Scale shape: the span-sized spine crossed with the ≤10-literal
+    * period axis map-side (explode of a literal array — no shuffle
+    * before the partial agg); per-term products are 6-dp-rounded then
+    * 1e6-scaled into EXACT decimal sums (the order-independent-Σ
+    * discipline), so the only doubles crossing engines are cos/sin of
+    * identical arguments — empirically bit-stable far inside the
+    * rounding margin (terms are O(count)·O(1-ulp) ≈ 1e-13 off at
+    * worst). Power combines the two exact sums in one fixed-order
+    * scalar.
+    *
+    * Returns (key, period, n_buckets, power_r 4 dp), one row per
+    * key × candidate period.
+    */
+  def periodogram(
+      events: DataFrame,
+      periods: Seq[Int] = Seq(6, 8, 12, 24, 48),
+      keyCol: String = "event_type",
+      tsCol: String = "ts_t"): DataFrame = {
+    require(periods.nonEmpty && periods.forall(_ >= 2), s"periods ($periods) must be >= 2")
+    val ser = denseHourlySeries(events, keyCol, tsCol)
+    val mn = ser
+      .groupBy(col(keyCol))
+      .agg(min(col("__h")).as("__mn"), count(lit(1)).as("n"), sum(col("__x")).as("__s1"))
+    val i6 = (c: Column) => floor(c * 1e6 + lit(0.5)).cast("decimal(38,0)")
+    val ang = lit(2 * math.Pi) / col("period").cast("double") * (col("__h") - col("__mn")).cast("double")
+    val dev = col("__x").cast("double") - col("__s1").cast("double") / col("n").cast("double")
+    val cD = col("__sc").cast("double") / 1e6
+    val sD = col("__ss").cast("double") / 1e6
+    ser
+      .join(broadcast(mn), Seq(keyCol))
+      .select(col(keyCol), col("n"), col("__h"), col("__mn"), col("__s1"), col("__x"),
+        explode(array(periods.map(p => lit(p)): _*)).as("period"))
+      .select(col(keyCol), col("n"), col("period"),
+        i6(dev * cos(ang)).as("__c_i"),
+        i6(dev * sin(ang)).as("__s_i"))
+      .groupBy(col(keyCol), col("period"))
+      .agg(first(col("n")).as("n_buckets"),
+        sum(col("__c_i")).as("__sc"),
+        sum(col("__s_i")).as("__ss"))
+      .select(col(keyCol), col("period"), col("n_buckets"),
+        graft.functions.Portable.pround(
+          (cD * cD + sD * sD) / col("n_buckets").cast("double"), 4).as("power_r"))
+  }
+
+  /** Hurst exponent by rescaled-range (R/S) analysis (Hurst 1951;
+    * Mandelbrot & Wallis 1969) over the dense hourly series: chop each
+    * stream into full blocks of `sizes` hours, per block compute the
+    * range R of the mean-centered cumulative sums and the population
+    * std S, and fit ln(R/S) against ln(size) — slope H ≈ 0.5 for
+    * memoryless streams, > 0.5 for long-range-dependent (self-similar)
+    * load, the burstiness horizon [[acf]]'s fixed lags can't see (ACF
+    * measures ADJACENT stickiness; H measures whether bursts cluster at
+    * EVERY scale — the difference between provisioning for √t and t^H
+    * queue growth).
+    *
+    * Scale shape: the spine crossed with the ≤4-literal size axis
+    * map-side; cumulative sums window PARTITIONED per (key, size,
+    * block); everything after the block reduce is block-table-sized.
+    * Parity: block sums are exact integers, Z_t = prefix − pos·(s/n)
+    * and S are fixed-order scalars, per-block ln(R/S) rounds to 6 dp
+    * then 1e6-scales into exact decimal sums, the per-size mean
+    * re-rounds, and the ≤4-point OLS runs on 1e6-scaled integer terms
+    * with ln(size) literals emitted verbatim into both engines.
+    * Degenerate blocks (S = 0 or R = 0) drop on both sides.
+    *
+    * Returns (key, n_sizes, hurst_r 4 dp); NULL when < 2 sizes survive.
+    */
+  def hurstRs(
+      events: DataFrame,
+      sizes: Seq[Int] = Seq(8, 16, 32, 64),
+      keyCol: String = "event_type",
+      tsCol: String = "ts_t"): DataFrame = {
+    require(sizes.nonEmpty && sizes.forall(_ >= 4), s"sizes ($sizes) must be >= 4")
+    require(sizes.distinct.size == sizes.size, s"sizes ($sizes) must be distinct")
+    val ser = denseHourlySeries(events, keyCol, tsCol)
+    val t0 = ser.groupBy(col(keyCol)).agg(min(col("__h")).as("__h0"))
+    val axis = explode(array(sizes.map(s =>
+      struct(lit(s).as("size"), lit(math.log(s.toDouble)).as("__lx"))): _*)).as("__sz")
+    val base = ser
+      .join(broadcast(t0), Seq(keyCol))
+      .select(col(keyCol), (col("__h") - col("__h0")).as("__t"), col("__x"), axis)
+      .select(col(keyCol), col("__t"), col("__x"),
+        col("__sz.size").as("size"), col("__sz.__lx").as("__lx"))
+      .withColumn("__b", (col("__t") / col("size")).cast("long"))
+    val bs = base
+      .groupBy(col(keyCol), col("size"), col("__b"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x")).as("__s"),
+        sum(col("__x") * col("__x")).as("__ss"))
+      .where(col("__n") === col("size"))
+    val wb = Window.partitionBy(col(keyCol), col("size"), col("__b")).orderBy(col("__t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wr = Window.partitionBy(col(keyCol), col("size"), col("__b")).orderBy(col("__t"))
+    val sD = col("__s").cast("double")
+    val zc = col("__pref").cast("double") - col("__pos").cast("double") * (sD / col("size").cast("double"))
+    val cd = base
+      .withColumn("__pos", row_number().over(wr))
+      .withColumn("__pref", sum(col("__x")).over(wb))
+      .join(bs, Seq(keyCol, "size", "__b"))
+      .withColumn("__z", zc)
+    val sdev = sqrt((col("__ss").cast("double") - sD * (sD / col("size").cast("double")))
+      / col("size").cast("double"))
+    val i6 = (c: Column) => floor(c * 1e6 + lit(0.5)).cast("decimal(38,0)")
+    val blk = cd
+      .groupBy(col(keyCol), col("size"), col("__lx"), col("__b"))
+      .agg(max(col("__z")).as("__mx"), min(col("__z")).as("__mn"),
+        first(col("__ss")).as("__ss"), first(col("__s")).as("__s"))
+      .withColumn("__r", col("__mx") - col("__mn"))
+      .withColumn("__sd", sdev)
+      .where(col("__sd") > 0 && col("__r") > 0)
+      .select(col(keyCol), col("size"), col("__lx"),
+        i6(log(col("__r") / col("__sd"))).as("__l_i"))
+    val ys = blk
+      .groupBy(col(keyCol), col("size"), col("__lx"))
+      .agg(count(lit(1)).as("__nb"), sum(col("__l_i")).as("__sl"))
+      .withColumn("__y", graft.functions.Portable.pround(
+        col("__sl").cast("double") / 1e6 / col("__nb").cast("double"), 6))
+    val kD   = col("k").cast("double")
+    val sxD  = col("__fx").cast("double") / 1e6
+    val syD  = col("__fy").cast("double") / 1e6
+    val sxyD = col("__fxy").cast("double") / 1e6
+    val sxxD = col("__fxx").cast("double") / 1e6
+    val dxx = kD * sxxD - sxD * sxD
+    ys
+      .groupBy(col(keyCol))
+      .agg(count(lit(1)).as("k"),
+        sum(i6(col("__lx"))).as("__fx"),
+        sum(i6(col("__y"))).as("__fy"),
+        sum(i6(col("__lx") * col("__y"))).as("__fxy"),
+        sum(i6(col("__lx") * col("__lx"))).as("__fxx"))
+      .select(col(keyCol), col("k").as("n_sizes"),
+        graft.functions.Portable.pround(
+          when(col("k") > 1 && dxx > 0.0,
+            (kD * sxyD - sxD * syD) / dxx), 4).as("hurst_r"))
   }
 
   /** CUSUM changepoint locator (Page, Biometrika 1954; the Taylor

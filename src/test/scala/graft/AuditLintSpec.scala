@@ -108,6 +108,7 @@ class AuditLintSpec extends AnyFunSuite {
     // bounded-domain cumulatives: the window input is one row per
     // calendar day / log-spaced bucket / source — metadata cardinality
     "q_survival"     -> "Kaplan-Meier product over the per-DAY event table (day-domain)",
+    "q_logrank"      -> "log-rank O-E/V at-risk cumulatives over the per-DAY lifetime table (day-domain)",
     "q_vocab_growth" -> "Heaps curve over per-bucket (log-spaced) aggregate rows",
     "q_temp_mixture" -> "cumulative budget over the per-SOURCE mixture table",
     "q_bh_fdr" -> "BH rank over the per-GROUP test family (k hypotheses, metadata-sized)")

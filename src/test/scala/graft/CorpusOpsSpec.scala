@@ -48,6 +48,25 @@ class CorpusOpsSpec extends SparkSpec {
 
   // ------------------------------------------------------- per-group cap
 
+  test("textTiling: planted topic shifts are the boundaries; identical blocks are not") {
+    // three 10-token topics with disjoint vocab, block=5: sims alternate
+    // 1,0,1,0,1 -> depths 0,2,0,2,0; cutoff = 0.8 - sqrt(0.96)/2 ~ 0.31
+    val text1 = (Seq.fill(2)(Seq("aa", "ab", "ac", "ad", "ae"))
+      ++ Seq.fill(2)(Seq("ba", "bb", "bc", "bd", "be"))
+      ++ Seq.fill(2)(Seq("ca", "cb", "cc", "cd", "ce"))).flatten.mkString(" ")
+    val tiles = Chunking.textTiling(
+      Seq((1L, text1), (2L, "short doc only")).toDF("doc_id", "text"), block = 5)
+      .orderBy("doc_id", "gap").collect()
+    assert(tiles.forall(_.getLong(0) == 1L), "a one-block doc emits no gaps")
+    val rows = tiles.map(r => (r.getInt(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+    assert(rows.toSeq == Seq(
+      (0, 1.0, 0.0, false),
+      (1, 0.0, 2.0, true),
+      (2, 1.0, 0.0, false),
+      (3, 0.0, 2.0, true),
+      (4, 1.0, 0.0, false)), rows.toSeq.toString)
+  }
+
   test("perGroupCap selects exactly the window-based rows, capped per group") {
     val big = (0L until 300L).map(i => (i, s"src${i % 3}")).toDF("doc_id", "source")
     val rk = conv(substring(md5(concat(lit("cap:"), col("doc_id").cast("string"))), 1, 13), 16, 10)

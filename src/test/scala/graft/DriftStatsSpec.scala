@@ -553,4 +553,27 @@ class DriftStatsSpec extends SparkSpec {
       .toDF("g", "x"), "g", "x").collect().head
     assert(sep.isNullAt(2) && sep.getDouble(3) == 1.0, s"separated: $sep")
   }
+
+  test("brownForsythe: hand-computed F on w = 2|x - median|; degenerate inputs NULL") {
+    // A=[1,2,3,10] medA=2.5 -> w=[3,1,1,15]; B=[4,5,6] medB=5 -> w=[2,0,2]
+    // ANOVA on w: t1=24 t2=244 bg=100+16/3 -> F = 0.831 (4dp)
+    val df = Seq(("A", 1L), ("A", 2L), ("A", 3L), ("A", 10L),
+      ("B", 4L), ("B", 5L), ("B", 6L)).toDF("g", "x")
+    val r = Stats.brownForsythe(df, "g", "x").collect().head
+    assert(r.getLong(0) == 2 && r.getLong(1) == 7, s"sizes: $r")
+    assert(r.getDouble(2) == 0.831, s"F: $r")
+    // one group: F undefined
+    val one = Stats.brownForsythe(Seq(("A", 1L), ("A", 5L)).toDF("g", "x"), "g", "x")
+      .collect().head
+    assert(one.isNullAt(2), s"single group: $one")
+    // all deviations zero (constant groups): SSW=0 and SSB=0 -> NULL
+    val const = Stats.brownForsythe(Seq(("A", 1L), ("A", 1L), ("B", 9L), ("B", 9L))
+      .toDF("g", "x"), "g", "x").collect().head
+    assert(const.isNullAt(2), s"constant groups: $const")
+    // mirrored deviation patterns: group z-means equal -> F = 0 exactly
+    val same = Stats.brownForsythe(
+      Seq(("A", 0L), ("A", 2L), ("A", 3L), ("B", 10L), ("B", 12L), ("B", 13L))
+        .toDF("g", "x"), "g", "x").collect().head
+    assert(same.getDouble(2) == 0.0, s"equal spread: $same")
+  }
 }

@@ -104,6 +104,55 @@ class JourneysSpec extends SparkSpec {
       (30, 1L, 0L, 0.533333)), got.toSeq.toString)
   }
 
+  test("logRank: matches a plain-Scala mirror with the same md5 arms and op order") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s + " 10:00:00")
+    // 12 users, varied lifetimes 0..18d, corpus end from the data itself
+    val spans = (1L to 12L).map { u =>
+      val first = 1 + (u % 4).toInt
+      val last  = first + (u % 7).toInt * 3
+      (u, first, last)
+    }
+    val ev = spans.flatMap { case (u, f, l) =>
+      Seq((u, ts(f"2024-01-$f%02d")), (u, ts(f"2024-01-$l%02d")))
+    }.toDF("user_id", "ts_t")
+    val got = Journeys.logRank(ev, censorDays = 7).collect().head
+
+    // brute-force mirror: same arms (md5 first-8-hex parity), same rounding
+    def arm(u: Long): Int = {
+      val md  = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(s"arm:$u".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(hex.take(8), 16) % 2).toInt
+    }
+    val end = spans.map(_._3).max
+    val lts = spans.map { case (u, f, l) => (arm(u), l - f, end - l >= 7) }
+    val byT = lts.groupBy(_._2).toSeq.sortBy(_._1).map { case (t, g) =>
+      (t, g.size.toLong, g.count(_._1 == 1).toLong,
+        g.count(_._3).toLong, g.count(x => x._3 && x._1 == 1).toLong)
+    }
+    def r6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    var (so, se, sv) = (0L, 0L, 0L)
+    var (natAcc, n1Acc) = (0L, 0L)
+    byT.reverse.foreach { case (_, nEnd, n1End, dAll, d1) =>
+      natAcc += nEnd; n1Acc += n1End
+      if (dAll > 0) {
+        val (dD, nD, n1D) = (dAll.toDouble, natAcc.toDouble, n1Acc.toDouble)
+        val e1 = dD * n1D / nD
+        so += r6(d1.toDouble - e1)
+        se += r6(e1)
+        if (natAcc > 1)
+          sv += r6(dD * (n1D / nD) * ((nD - n1D) / nD) * ((nD - dD) / (nD - 1.0)))
+      }
+    }
+    val n1 = lts.count(_._1 == 1).toLong
+    assert(got.getLong(0) == 12L && got.getLong(1) == n1 && got.getLong(2) == 12L - n1, got.toString)
+    assert(got.getLong(3) == lts.count(x => x._3 && x._1 == 1).toLong, got.toString)
+    assert(got.getDouble(4) == se.toDouble / 1e6, got.toString)
+    if (sv > 0) {
+      val chi2 = math.floor((so.toDouble / 1e6) * (so.toDouble / 1e6) / (sv.toDouble / 1e6) * 1e4 + 0.5) / 1e4
+      assert(got.getDouble(5) == chi2, s"chi2: $got vs $chi2")
+    } else assert(got.isNullAt(5), got.toString)
+  }
+
   test("retentionCohorts: offsets anchor to each user's own first week") {
     def t(s: String) = java.sql.Timestamp.valueOf(s)
     val ev = Seq(

@@ -196,6 +196,81 @@ class TimeSeriesSpec extends SparkSpec {
       "constant series has no autocorrelation to measure")
   }
 
+  test("periodogram: == the plain-Scala mirror; planted 24h cycle dominates the axis") {
+    val base = ts("2024-01-01 00:00:00").getTime
+    // 96 hours, count = 2 on the "day" half of each 24h cycle, 1 at night
+    val counts = (0 until 96).map(t => if (t % 24 < 12) 2 else 1)
+    val ev = counts.zipWithIndex.flatMap { case (c, t) =>
+      (0 until c).map(_ => ("k", new Timestamp(base + t.toLong * 3600000L)))
+    }.toDF("event_type", "ts_t")
+    val periods = Seq(6, 8, 12, 24, 48)
+    val got = TimeSeries.periodogram(ev, periods)
+      .collect().map(r => r.getInt(1) -> r.getDouble(3)).toMap
+    // mirror: same dev/cos/sin/rounding pipeline on the dense counts
+    val n = counts.size
+    val mean = counts.map(_.toLong).sum.toDouble / n.toDouble
+    def r6(x: Double): Long = math.floor(x * 1e6 + 0.5).toLong
+    val want = periods.map { p =>
+      var (sc, ss) = (0L, 0L)
+      counts.zipWithIndex.foreach { case (x, t) =>
+        val a = 2 * math.Pi / p.toDouble * t.toDouble
+        sc += r6((x.toDouble - mean) * math.cos(a))
+        ss += r6((x.toDouble - mean) * math.sin(a))
+      }
+      val pw = ((sc.toDouble / 1e6) * (sc.toDouble / 1e6)
+        + (ss.toDouble / 1e6) * (ss.toDouble / 1e6)) / n.toDouble
+      p -> math.floor(pw * 1e4 + 0.5) / 1e4
+    }.toMap
+    periods.foreach(p => assert(got(p) == want(p), s"period $p: ${got(p)} vs ${want(p)}"))
+    // the planted cycle carries the axis' dominant power
+    assert(periods.filter(_ != 24).forall(p => got(24) > got(p)),
+      s"24h must dominate: $got")
+  }
+
+  test("hurstRs: == the plain-Scala mirror on random gappy streams") {
+    val rnd = new java.util.Random(140815L)
+    val base = ts("2024-01-01 00:00:00").getTime
+    for (case_ <- 0 until 6) {
+      val span = 40 + rnd.nextInt(60)
+      val ev = (0 until 80 + rnd.nextInt(200)).map { _ =>
+        ("k", new Timestamp(base + rnd.nextInt(span).toLong * 3600000L
+          + rnd.nextInt(3600000).toLong))
+      }
+      val sizes = Seq(4, 8, 16)
+      val got = TimeSeries.hurstRs(ev.toDF("event_type", "ts_t"), sizes).collect().head
+      // mirror: densify, full blocks, Z range / pop std, scaled-int fit
+      val hours = ev.map(_._2.getTime / 3600000L)
+      val (mn, mx) = (hours.min, hours.max)
+      val cnt = hours.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val xs = (mn to mx).map(h => cnt.getOrElse(h, 0L))
+      def r6(v: Double): Long = math.floor(v * 1e6 + 0.5).toLong
+      val ys = sizes.flatMap { sz =>
+        val ls = xs.grouped(sz).filter(_.size == sz).toSeq.flatMap { b =>
+          val s = b.sum; val ss = b.map(x => x * x).sum
+          val zs = b.scanLeft(0L)(_ + _).tail.zipWithIndex.map { case (pref, i) =>
+            pref.toDouble - (i + 1).toDouble * (s.toDouble / sz.toDouble)
+          }
+          val r = zs.max - zs.min
+          val sd = math.sqrt((ss.toDouble - s.toDouble * (s.toDouble / sz.toDouble)) / sz.toDouble)
+          if (sd > 0 && r > 0) Some(r6(math.log(r / sd))) else None
+        }
+        if (ls.isEmpty) None
+        else Some(math.log(sz.toDouble) ->
+          math.floor(ls.sum.toDouble / 1e6 / ls.size.toDouble * 1e6 + 0.5) / 1e6)
+      }
+      val k = ys.size
+      if (k > 1) {
+        val fx = ys.map(p => r6(p._1)).sum; val fy = ys.map(p => r6(p._2)).sum
+        val fxy = ys.map(p => r6(p._1 * p._2)).sum; val fxx = ys.map(p => r6(p._1 * p._1)).sum
+        val dxx = k.toDouble * (fxx.toDouble / 1e6) - (fx.toDouble / 1e6) * (fx.toDouble / 1e6)
+        val want = math.floor((k.toDouble * (fxy.toDouble / 1e6)
+          - (fx.toDouble / 1e6) * (fy.toDouble / 1e6)) / dxx * 1e4 + 0.5) / 1e4
+        assert(got.getLong(1) == k.toLong && got.getDouble(2) == want,
+          s"case $case_: $got vs ($k, $want)")
+      } else assert(got.isNullAt(2), s"case $case_: want NULL, got $got")
+    }
+  }
+
   test("cusumChangepoint localizes a hand-built level shift exactly") {
     // key "s": hourly counts 1,1,1,5,5,5 → mean 3, S_t = (−2,−4,−6,−4,−2,0);
     // argmax |S| at t=3 (the last low hour), |S|=6
