@@ -1058,11 +1058,16 @@ object SparkEntry {
     //    the 3-gram domain because the synthetic unigram vocabulary is
     //    31 saturated types (min count 26: no tail at all), while the
     //    trigram domain has a real Zipf tail (9 424 hapaxes at sf0.01)
+    //    Two-step projection (withShingles discipline): the token array
+    //    binds to an attribute BEFORE the shingle CASE — inlining it
+    //    re-evaluates the tokenize pipeline per shingle element in the
+    //    interpreted higher-order lambda (measured 12.4 s vs ~1 s)
     "q_good_turing" -> ((s, dir) =>
       TextAnalysis.goodTuring(
         t(s, dir, "documents")
-          .select(explode(TextAnalysis.rawShinglesFromToks(
-            Tokenize.tokenArray(col("text")), 3)).as("word")),
+          .select(Tokenize.tokenArray(col("text")).as("__toks"))
+          .select(explode(
+            TextAnalysis.rawShinglesFromToks(col("__toks"), 3)).as("word")),
         maxR = 5)),
 
     // -- per-doc keyword extraction: top-3 terms by tf·ln(N/df), score
@@ -2725,8 +2730,9 @@ object SparkEntry {
     //    window — α̂ < 2 means plan for hot keys
     "q_hill_tail" -> ((s, dir) => {
       val counts = t(s, dir, "documents")
-        .select(explode(TextAnalysis.rawShinglesFromToks(
-          Tokenize.tokenArray(col("text")), 3)).as("g"))
+        .select(Tokenize.tokenArray(col("text")).as("__toks"))
+        .select(explode(
+          TextAnalysis.rawShinglesFromToks(col("__toks"), 3)).as("g"))
         .groupBy(col("g")).agg(count(lit(1)).as("c"))
       operators.Stats.hillTail(counts, "c", "g", k = 200)
     }),

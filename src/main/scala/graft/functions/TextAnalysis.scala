@@ -929,10 +929,13 @@ object TextAnalysis {
     * mass is still missing).
     *
     * Scale shape: one partial-agg token count (vocabulary-sized), one
-    * count-of-counts over it, filtered to r ≤ maxR+1 BEFORE the
-    * N_{r+1} self-join — so the joined relation is maxR+1 rows
-    * (constant), no window at all; N rides a broadcast scalar. Every
-    * quantity is an exact integer ratio, rounded once.
+    * FULL count-of-counts over it (|distinct count values| rows — a
+    * few hundred even at corpus scale), checkpointed once; the r ≤ maxR
+    * filter applies at the N_{r+1} self-join (maxR+1 rows, no window),
+    * and N = Σ r·N_r comes from the fof table itself — ONE corpus-scale
+    * pass total where a tokens.count() would run the whole upstream
+    * pipeline a second time. Every quantity is an exact integer ratio,
+    * rounded once.
     *
     * Returns (r, n_r, n_next, rstar_r, p0_r), one row per r = 1..maxR
     * (rows with N_r = 0 don't exist — their r* is undefined); p0_r is
@@ -940,12 +943,15 @@ object TextAnalysis {
     */
   def goodTuring(tokens: DataFrame, maxR: Int = 5): DataFrame = {
     require(maxR >= 1, s"maxR ($maxR) must be >= 1")
+    // FULL count-of-counts (no r-filter): the relation is
+    // |distinct count values|-sized anyway, and keeping every r lets
+    // N = Σ r·N_r come from the fof table itself — the naive
+    // tokens.count() would re-run the whole upstream corpus pass
     val fof = tokens
       .groupBy(col("word")).agg(count(lit(1)).as("__c"))
-      .where(col("__c") <= maxR + 1)
       .groupBy(col("__c").as("r")).agg(count(lit(1)).as("n_r"))
       .localCheckpoint(true)
-    val nTok = broadcast(tokens.agg(count(lit(1)).as("__n")))
+    val nTok = broadcast(fof.agg(sum(col("r") * col("n_r")).as("__n")))
     val p0 = broadcast(fof.where(col("r") === 1)
       .select(col("n_r").as("__n1")))
     fof
