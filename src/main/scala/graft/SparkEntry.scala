@@ -2932,6 +2932,15 @@ object SparkEntry {
         .orderBy("nation")
     }),
 
+    // -- OLS trend diagnostics per nation over the same monthly series:
+    //    Durbin–Watson serial correlation of the residuals + max Cook's
+    //    distance (which month steers the fit) — trust-the-trend checks
+    "q_ols_diag" -> ((s, dir) => {
+      operators.Stats
+        .olsDiagnostics(nationMonthlyRevenue(s, dir), "nation", "mth", "rev")
+        .orderBy("nation")
+    }),
+
     // -- Theil–Sen robust slope per nation over the same monthly series:
     //    median of pairwise slopes (outlier-immune where OLS is not)
     "q_theil_sen" -> ((s, dir) => {
@@ -8147,6 +8156,65 @@ object SparkEntry {
           SELECT g.nation, g.n, med.n_pairs,
                  floor(med.md * 1e6 + 0.5) / 1e6 AS slope_r
           FROM g JOIN med USING (nation) ORDER BY nation""",
+    // slope from exact decimal sums then rounded; intercept from rounded
+    // slope; residuals from the rounded pair; DW sums 1e6-scaled HUGEINT;
+    // Cook rounds per row before the (cook, mth) argmax
+    // (mirror of Stats.olsDiagnostics)
+    "q_ols_diag" ->
+      s"""WITH $NationMonthlyCte,
+          per AS (SELECT nation, count(*)::BIGINT AS n,
+                         sum(mth)::HUGEINT AS sx, sum(rev) AS sy,
+                         sum(mth * rev) AS sxy, sum(mth::HUGEINT * mth) AS sxx
+                  FROM ser GROUP BY 1),
+          fit AS (SELECT nation, n, sx, sxx, sy, sxy,
+                         n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE AS dxx
+                  FROM per),
+          fit2 AS (SELECT nation, n, sx, sxx, sy,
+                          floor(((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE) / dxx)
+                                * 1e6 + 0.5) / 1e6 AS b
+                   FROM fit WHERE n >= 2 AND dxx > 0.0),
+          fit3 AS (SELECT nation, n, sx, sxx, b,
+                          floor(((sy::DOUBLE - b * sx::DOUBLE) / n::DOUBLE) * 1e6 + 0.5) / 1e6 AS a
+                   FROM fit2),
+          rws AS (SELECT ser.nation, mth, n, sx, sxx, b,
+                         floor((rev::DOUBLE - (a + b * mth::DOUBLE)) * 1e6 + 0.5) / 1e6 AS e
+                  FROM ser JOIN fit3 ON fit3.nation = ser.nation),
+          lagd AS (SELECT *, floor(e * 1e6 + 0.5)::HUGEINT AS ei,
+                          lag(floor(e * 1e6 + 0.5)::HUGEINT)
+                            OVER (PARTITION BY nation ORDER BY mth) AS eli
+                   FROM rws),
+          ii AS (SELECT *,
+                        CASE WHEN eli IS NOT NULL
+                             THEN (ei - eli) * (ei - eli) ELSE 0 END AS d_i,
+                        ei * ei AS e2_i
+                 FROM lagd),
+          sums AS (SELECT nation, sum(d_i) AS sd, sum(e2_i) AS se2 FROM ii GROUP BY 1),
+          ck AS (SELECT ii.nation, mth, n, b, sd, se2, e,
+                        1.0 / n::DOUBLE
+                          + (mth::DOUBLE - sx::DOUBLE / n::DOUBLE)
+                            * (mth::DOUBLE - sx::DOUBLE / n::DOUBLE)
+                            / (sxx::DOUBLE - sx::DOUBLE * (sx::DOUBLE / n::DOUBLE)) AS h
+                 FROM ii JOIN sums ON sums.nation = ii.nation),
+          ck2 AS (SELECT nation, mth, n, b, sd, se2,
+                         CASE WHEN n >= 3 AND h < 1.0 AND se2::DOUBLE / 1e12 > 0.0
+                              THEN floor((e * e * h
+                                          / (2.0 * ((se2::DOUBLE / 1e12) / (n::DOUBLE - 2.0))
+                                             * (1.0 - h) * (1.0 - h))) * 1e6 + 0.5) / 1e6
+                         END AS cook
+                  FROM ck),
+          mxr AS (SELECT nation, cook AS cook_max_r, mth AS cook_x
+                  FROM ck2 WHERE cook IS NOT NULL
+                  QUALIFY row_number() OVER (PARTITION BY nation
+                                             ORDER BY cook DESC, mth DESC) = 1),
+          base AS (SELECT nation, max(n) AS n, max(b) AS slope_r,
+                          max(sd) AS sd, max(se2) AS se2
+                   FROM ck2 GROUP BY 1)
+          SELECT base.nation, n, slope_r,
+                 floor((CASE WHEN se2 > 0
+                        THEN sd::DOUBLE / se2::DOUBLE END) * 1e4 + 0.5) / 1e4 AS dw_r,
+                 cook_max_r, cook_x
+          FROM base LEFT JOIN mxr ON mxr.nation = base.nation
+          ORDER BY base.nation""",
     // exact-count rationals; perplexity exponentiates the ROUNDED entropy
     "q_source_entropy" ->
       """WITH tk AS (SELECT source,

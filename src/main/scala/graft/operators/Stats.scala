@@ -2889,6 +2889,102 @@ object Stats {
         Portable.pround(when(sst > 0.0, ssb / sst), 4).as("eta2_r"))
   }
 
+  /** OLS trend DIAGNOSTICS per group: Durbin–Watson serial-correlation
+    * statistic (Biometrika 1950) and the maximum Cook's distance
+    * (Technometrics 1977) over the residuals of the per-group linear
+    * trend — "is the fitted trend missing autocorrelated structure"
+    * (DW ≈ 2 none; → 0 positive; → 4 negative) and "which single period
+    * is steering the fit" (max influence + its x). [[groupedOls]] fits;
+    * this says whether to TRUST the fit.
+    *
+    * Parity: slope from exact decimal sums then 6-dp rounded; intercept
+    * from the ROUNDED slope; residuals from the rounded pair (the
+    * derive-from-rounded-pieces rule), then scaled to 1e6-INTEGERS so
+    * the DW numerator/denominator are sums of exact decimal squares —
+    * the 1e12 scale cancels in the ratio, and a double-side floor of
+    * e²·1e6 would overflow Spark floor()'s LONG; Cook's distance rounds
+    * per row BEFORE the (cook, x) struct-max so argmax tie-breaks are
+    * cross-engine identical. The lag window partitions per group over
+    * the calendar-bounded series; joins against the group table
+    * broadcast.
+    *
+    * Returns (group, n, slope_r, dw_r, cook_max_r, cook_x); dw NULL
+    * when SSE = 0, cook NULL when n < 3 or a leverage hits 1.
+    */
+  def olsDiagnostics(
+      df: DataFrame,
+      groupCol: String,
+      xCol: String,
+      yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val nD = col("__n").cast("double")
+    val sxD = col("__sx").cast("double")
+    val dxx = nD * col("__sxx").cast("double") - sxD * sxD
+    val per = df
+      .groupBy(col(groupCol))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col(xCol).cast("decimal(20,0)")).as("__sx"),
+        sum(col(yCol).cast("decimal(18,2)")).as("__sy"),
+        sum(col(xCol).cast("decimal(20,0)") * col(yCol).cast("decimal(18,2)")).as("__sxy"),
+        sum(col(xCol).cast("decimal(20,0)") * col(xCol).cast("decimal(20,0)")).as("__sxx"))
+      .where(col("__n") >= 2 && dxx > 0.0)
+      .withColumn("__b", Portable.pround(
+        (nD * col("__sxy").cast("double") - sxD * col("__sy").cast("double")) / dxx, 6))
+      .withColumn("__a", Portable.pround(
+        (col("__sy").cast("double") - col("__b") * sxD) / nD, 6))
+    // residuals scale to 1e6-integers FIRST, squares ride exact decimal
+    // products (a double-side floor of e²·1e6 would overflow the LONG
+    // that Spark's floor() returns — measured clamping to Long.MaxValue
+    // on a 3e6-swing residual pair); the 1e12 scale cancels in DW
+    val z38 = lit(0L).cast("decimal(38,0)")
+    val w = Window.partitionBy(col(groupCol)).orderBy(col(xCol))
+    val rows = df
+      .join(broadcast(per), Seq(groupCol))
+      .withColumn("__e", Portable.pround(
+        col(yCol).cast("double") - (col("__a") + col("__b") * col(xCol).cast("double")), 6))
+      .withColumn("__ei", floor(col("__e") * 1e6 + lit(0.5)).cast("decimal(20,0)"))
+      .withColumn("__eli", lag(col("__ei"), 1).over(w))
+      .withColumn("__d_i",
+        when(col("__eli").isNotNull,
+          ((col("__ei") - col("__eli")) * (col("__ei") - col("__eli"))).cast("decimal(38,0)"))
+          .otherwise(z38))
+      .withColumn("__e2_i", (col("__ei") * col("__ei")).cast("decimal(38,0)"))
+    val sums = rows
+      .groupBy(col(groupCol))
+      .agg(sum(col("__d_i")).as("__sd"), sum(col("__e2_i")).as("__se2"))
+    val seD = col("__se2").cast("double") / 1e12
+    // leverage h and Cook's D need the group SSE — second metadata-sized
+    // pass over the calendar-bounded rows with the sums broadcast back
+    val hX = lit(1.0) / nD +
+      (col(xCol).cast("double") - sxD / nD) * (col(xCol).cast("double") - sxD / nD) /
+        (col("__sxx").cast("double") - sxD * (sxD / nD))
+    val s2 = seD / (nD - lit(2.0))
+    val cook = rows
+      .join(broadcast(sums), Seq(groupCol))
+      .withColumn("__h", hX)
+      .withColumn("__cook", Portable.pround(
+        when(col("__n") >= 3 && col("__h") < 1.0 && seD > 0.0,
+          col("__e") * col("__e") * col("__h")
+            / (lit(2.0) * s2 * (lit(1.0) - col("__h")) * (lit(1.0) - col("__h")))), 6))
+      .groupBy(col(groupCol))
+      .agg(
+        first(col("__n")).as("n"),
+        first(col("__b")).as("slope_r"),
+        first(col("__sd")).as("__sd"),
+        first(col("__se2")).as("__se2"),
+        max(when(col("__cook").isNotNull,
+          struct(col("__cook").as("c"), col(xCol).cast("long").as("x")))).as("__mx"))
+    cook.select(
+      col(groupCol), col("n"), col("slope_r"),
+      Portable.pround(
+        when(col("__se2") > 0,
+          col("__sd").cast("double") / col("__se2").cast("double")), 4)
+        .as("dw_r"),
+      col("__mx.c").as("cook_max_r"),
+      col("__mx.x").as("cook_x"))
+  }
+
   /** Brown–Forsythe (median-centered Levene) test over an INTEGER-valued
     * measure: are the group VARIANCES equal — the homoscedasticity check
     * [[anovaOneWay]] silently assumes and [[welchTTest]] exists to dodge.

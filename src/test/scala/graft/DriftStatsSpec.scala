@@ -554,6 +554,34 @@ class DriftStatsSpec extends SparkSpec {
     assert(sep.isNullAt(2) && sep.getDouble(3) == 1.0, s"separated: $sep")
   }
 
+  test("olsDiagnostics: == plain-Scala mirror; alternating residuals push DW above 2") {
+    val pts = Seq((1L, 10.0), (2L, 13.0), (3L, 12.0), (4L, 17.0), (5L, 14.0), (6L, 19.0))
+    val df = pts.map { case (x, y) => ("g", x, y) }.toDF("g", "x", "y")
+    val got = Stats.olsDiagnostics(df, "g", "x", "y").collect().head
+    // mirror with the exact op order and rounding ladder
+    def r(v: Double, n: Int): Double = { val f = math.pow(10, n); math.floor(v * f + 0.5) / f }
+    val n = pts.size.toDouble
+    val sx = pts.map(_._1).sum.toDouble; val sy = pts.map(_._2).sum
+    val sxy = pts.map(p => p._1 * p._2).sum; val sxx = pts.map(p => p._1 * p._1).sum.toDouble
+    val dxx = n * sxx - sx * sx
+    val b = r((n * sxy - sx * sy) / dxx, 6)
+    val a = r((sy - b * sx) / n, 6)
+    val es = pts.map { case (x, y) => r(y - (a + b * x.toDouble), 6) }
+    val eis = es.map(e => math.floor(e * 1e6 + 0.5).toLong)
+    val sd = eis.sliding(2).map { case Seq(p, c) => (c - p) * (c - p) }.sum
+    val se2 = eis.map(ei => ei * ei).sum
+    val dw = r(sd.toDouble / se2.toDouble, 4)
+    val s2 = se2.toDouble / 1e12 / (n - 2.0)
+    val cooks = pts.zip(es).map { case ((x, _), e) =>
+      val h = 1.0 / n + (x.toDouble - sx / n) * (x.toDouble - sx / n) / (sxx - sx * (sx / n))
+      (r(e * e * h / (2.0 * s2 * (1.0 - h) * (1.0 - h)), 6), x)
+    }
+    val (cm, cx) = cooks.max
+    assert(got.getLong(1) == 6L && got.getDouble(2) == b, got.toString)
+    assert(got.getDouble(3) == dw && dw > 2.0, s"DW: $got vs $dw")
+    assert(got.getDouble(4) == cm && got.getLong(5) == cx, s"cook: $got vs ($cm, $cx)")
+  }
+
   test("brownForsythe: hand-computed F on w = 2|x - median|; degenerate inputs NULL") {
     // A=[1,2,3,10] medA=2.5 -> w=[3,1,1,15]; B=[4,5,6] medB=5 -> w=[2,0,2]
     // ANOVA on w: t1=24 t2=244 bg=100+16/3 -> F = 0.831 (4dp)
