@@ -2932,6 +2932,19 @@ object SparkEntry {
         .orderBy("nation")
     }),
 
+    // -- Cochran–Mantel–Haenszel stratified test: does high priority
+    //    associate with big orders CONTROLLING for market segment —
+    //    pooled chi2 + MH odds ratio + the Simpson flip count (strata
+    //    whose association runs opposite the collapsed table's)
+    "q_cmh" -> ((s, dir) => {
+      val o = t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"),
+          col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("hi_pri"),
+          (col("o_totalprice") > 150000).as("big"))
+      operators.Stats.cmhTest(o, "seg", "hi_pri", "big")
+    }),
+
     // -- OLS trend diagnostics per nation over the same monthly series:
     //    Durbin–Watson serial correlation of the residuals + max Cook's
     //    distance (which month steers the fit) — trust-the-trend checks
@@ -8156,6 +8169,70 @@ object SparkEntry {
           SELECT g.nation, g.n, med.n_pairs,
                  floor(med.md * 1e6 + 0.5) / 1e6 AS slope_r
           FROM g JOIN med USING (nation) ORDER BY nation""",
+    // exact integer cells; per-stratum E/V/OR terms 6dp-rounded then
+    // 1e6-scaled HUGEINT sums; diffs rounded before the sign test
+    // (mirror of Stats.cmhTest)
+    "q_cmh" ->
+      """WITH rows_ AS (
+           SELECT c_mktsegment AS s,
+                  o_orderpriority IN ('1-URGENT', '2-HIGH') AS x,
+                  o_totalprice > 150000 AS y
+           FROM orders JOIN customer ON o_custkey = c_custkey),
+         cells AS (
+           SELECT s,
+                  sum(CASE WHEN x AND y THEN 1 ELSE 0 END)::BIGINT AS a,
+                  sum(CASE WHEN x AND NOT y THEN 1 ELSE 0 END)::BIGINT AS b,
+                  sum(CASE WHEN NOT x AND y THEN 1 ELSE 0 END)::BIGINT AS c,
+                  sum(CASE WHEN NOT x AND NOT y THEN 1 ELSE 0 END)::BIGINT AS d
+           FROM rows_ WHERE s IS NOT NULL AND x IS NOT NULL AND y IS NOT NULL
+           GROUP BY 1),
+         t1 AS (
+           SELECT *, (a + b)::DOUBLE AS n1, (c + d)::DOUBLE AS n0,
+                  (a + c)::DOUBLE AS m1, (b + d)::DOUBLE AS m0,
+                  (a + b + c + d)::DOUBLE AS td, (a + b + c + d) AS tl
+           FROM cells),
+         terms AS (
+           SELECT *,
+                  CASE WHEN tl > 0 THEN floor((n1 * m1 / td) * 1e6 + 0.5)::HUGEINT
+                       ELSE 0 END AS e_i,
+                  CASE WHEN tl > 1
+                       THEN floor((n1 * n0 * m1 * m0 / (td * td * (td - 1.0))) * 1e6 + 0.5)::HUGEINT
+                       ELSE 0 END AS v_i,
+                  CASE WHEN tl > 0
+                       THEN floor((a::DOUBLE * d::DOUBLE / td) * 1e6 + 0.5)::HUGEINT
+                       ELSE 0 END AS on_i,
+                  CASE WHEN tl > 0
+                       THEN floor((b::DOUBLE * c::DOUBLE / td) * 1e6 + 0.5)::HUGEINT
+                       ELSE 0 END AS od_i,
+                  CASE WHEN a + b > 0 AND c + d > 0
+                       THEN floor((a::DOUBLE / n1 - c::DOUBLE / n0) * 1e6 + 0.5) / 1e6
+                  END AS diff
+           FROM t1),
+         ag AS (
+           SELECT count(*)::BIGINT AS k, sum(a + b + c + d)::BIGINT AS n,
+                  sum(a)::BIGINT AS at_, sum(b)::BIGINT AS bt,
+                  sum(c)::BIGINT AS ct, sum(d)::BIGINT AS dt,
+                  sum(e_i) AS se, sum(v_i) AS sv, sum(on_i) AS son, sum(od_i) AS sod
+           FROM terms),
+         ag2 AS (
+           SELECT *,
+                  CASE WHEN at_ + bt > 0 AND ct + dt > 0
+                       THEN floor((at_::DOUBLE / (at_ + bt)::DOUBLE
+                                   - ct::DOUBLE / (ct + dt)::DOUBLE) * 1e6 + 0.5) / 1e6
+                  END AS agg_diff_r
+           FROM ag),
+         fl AS (
+           SELECT sum(CASE WHEN diff IS NOT NULL AND agg_diff_r IS NOT NULL
+                                AND diff * agg_diff_r < 0.0 THEN 1 ELSE 0 END)::BIGINT AS n_flipped
+           FROM terms CROSS JOIN ag2)
+         SELECT k, n, at_ AS a_total,
+                floor((CASE WHEN sv > 0
+                       THEN (at_::DOUBLE - se::DOUBLE / 1e6) * (at_::DOUBLE - se::DOUBLE / 1e6)
+                            / (sv::DOUBLE / 1e6) END) * 1e4 + 0.5) / 1e4 AS chi2_r,
+                floor((CASE WHEN sod > 0
+                       THEN (son::DOUBLE / 1e6) / (sod::DOUBLE / 1e6) END) * 1e4 + 0.5) / 1e4 AS or_mh_r,
+                agg_diff_r, n_flipped
+         FROM ag2 CROSS JOIN fl""",
     // slope from exact decimal sums then rounded; intercept from rounded
     // slope; residuals from the rounded pair; DW sums 1e6-scaled HUGEINT;
     // Cook rounds per row before the (cook, mth) argmax

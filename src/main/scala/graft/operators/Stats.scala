@@ -2985,6 +2985,94 @@ object Stats {
       col("__mx.x").as("cook_x"))
   }
 
+  /** Cochran–Mantel–Haenszel stratified association test (Cochran 1954;
+    * Mantel & Haenszel 1959) over a binary exposure × binary outcome,
+    * controlling for a stratum: the pooled χ²(1) of Σ(a_k − E[a_k])
+    * against the hypergeometric ΣVar, the Mantel–Haenszel pooled odds
+    * ratio Σ(a·d/T)/Σ(b·c/T), and a SIMPSON FLAG — how many strata's
+    * association runs OPPOSITE the aggregate (the aggregation paradox
+    * [[cramersV]] on the collapsed table can't see: the collapsed
+    * association can invert every stratum's).
+    *
+    * Scale shape: one partial-agg pass collapses rows to the k×4 cell
+    * table; everything after is stratum-cardinality-sized, aggregate
+    * totals broadcast back for the flip count. Parity: cells are exact
+    * integers; per-stratum E/V/OR terms round to 6 dp then 1e6-scale
+    * into exact decimal sums (the logRank discipline); χ²/OR are
+    * fixed-order scalars; per-stratum diffs round BEFORE the sign
+    * comparison.
+    *
+    * Returns ONE row (k, n, a_total, chi2_r, or_mh_r, agg_diff_r,
+    * n_flipped); χ² NULL when ΣV = 0, OR NULL when Σ(b·c/T) = 0.
+    */
+  def cmhTest(
+      df: DataFrame,
+      stratumCol: String,
+      exposureCol: String,
+      outcomeCol: String): DataFrame = {
+    val x = col(exposureCol)
+    val y = col(outcomeCol)
+    val cells = df
+      .where(col(stratumCol).isNotNull && x.isNotNull && y.isNotNull)
+      .groupBy(col(stratumCol).as("__s"))
+      .agg(
+        sum(when(x && y, 1L).otherwise(0L)).as("__a"),
+        sum(when(x && !y, 1L).otherwise(0L)).as("__b"),
+        sum(when(!x && y, 1L).otherwise(0L)).as("__c"),
+        sum(when(!x && !y, 1L).otherwise(0L)).as("__d"))
+    val n1 = (col("__a") + col("__b")).cast("double")
+    val n0 = (col("__c") + col("__d")).cast("double")
+    val m1 = (col("__a") + col("__c")).cast("double")
+    val m0 = (col("__b") + col("__d")).cast("double")
+    val tD = (col("__a") + col("__b") + col("__c") + col("__d")).cast("double")
+    val tL = col("__a") + col("__b") + col("__c") + col("__d")
+    val i6 = (c: Column) => floor(c * 1e6 + lit(0.5)).cast("decimal(38,0)")
+    val z38 = lit(0L).cast("decimal(38,0)")
+    val diffK = Portable.pround(
+      col("__a").cast("double") / n1 - col("__c").cast("double") / n0, 6)
+    val terms = cells
+      .withColumn("__e_i", when(tL > 0, i6(n1 * m1 / tD)).otherwise(z38))
+      .withColumn("__v_i",
+        when(tL > 1, i6(n1 * n0 * m1 * m0 / (tD * tD * (tD - lit(1.0))))).otherwise(z38))
+      .withColumn("__on_i",
+        when(tL > 0, i6(col("__a").cast("double") * col("__d").cast("double") / tD)).otherwise(z38))
+      .withColumn("__od_i",
+        when(tL > 0, i6(col("__b").cast("double") * col("__c").cast("double") / tD)).otherwise(z38))
+      .withColumn("__diff",
+        when(col("__a") + col("__b") > 0 && col("__c") + col("__d") > 0, diffK))
+    val agg = terms.agg(
+      count(lit(1)).as("k"),
+      sum(col("__a") + col("__b") + col("__c") + col("__d")).as("n"),
+      sum(col("__a")).as("__at"), sum(col("__b")).as("__bt"),
+      sum(col("__c")).as("__ct"), sum(col("__d")).as("__dt"),
+      sum(col("__e_i")).as("__se"), sum(col("__v_i")).as("__sv"),
+      sum(col("__on_i")).as("__son"), sum(col("__od_i")).as("__sod"))
+    val aggDiff = Portable.pround(
+      col("__at").cast("double") / (col("__at") + col("__bt")).cast("double")
+        - col("__ct").cast("double") / (col("__ct") + col("__dt")).cast("double"), 6)
+    val aggRow = agg
+      .withColumn("agg_diff_r",
+        when(col("__at") + col("__bt") > 0 && col("__ct") + col("__dt") > 0, aggDiff))
+    val flips = terms
+      .crossJoin(broadcast(aggRow.select(col("agg_diff_r").as("__ad"))))
+      .agg(sum(when(col("__diff").isNotNull && col("__ad").isNotNull &&
+        col("__diff") * col("__ad") < 0.0, 1L).otherwise(0L)).as("n_flipped"))
+    val num = col("__at").cast("double") - col("__se").cast("double") / 1e6
+    aggRow
+      .crossJoin(broadcast(flips))
+      .select(
+        col("k"), col("n"), col("__at").as("a_total"),
+        Portable.pround(
+          when(col("__sv") > 0,
+            num * num / (col("__sv").cast("double") / 1e6)), 4).as("chi2_r"),
+        Portable.pround(
+          when(col("__sod") > 0,
+            (col("__son").cast("double") / 1e6) / (col("__sod").cast("double") / 1e6)), 4)
+          .as("or_mh_r"),
+        col("agg_diff_r"),
+        col("n_flipped"))
+  }
+
   /** Brown–Forsythe (median-centered Levene) test over an INTEGER-valued
     * measure: are the group VARIANCES equal — the homoscedasticity check
     * [[anovaOneWay]] silently assumes and [[welchTTest]] exists to dodge.

@@ -582,6 +582,40 @@ class DriftStatsSpec extends SparkSpec {
     assert(got.getDouble(4) == cm && got.getLong(5) == cx, s"cook: $got vs ($cm, $cx)")
   }
 
+  test("cmhTest: crafted Simpson reversal — both strata flip vs the aggregate; mirror ==") {
+    // S1: x 2/8 vs nx 1/8; S2: x 4/5 vs nx 19/27 — x better in BOTH
+    // strata, worse in the collapsed table (6/13 vs 20/35)
+    val tab = Seq(
+      ("S1", true, true, 2), ("S1", true, false, 6), ("S1", false, true, 1), ("S1", false, false, 7),
+      ("S2", true, true, 4), ("S2", true, false, 1), ("S2", false, true, 19), ("S2", false, false, 8))
+    val df = tab.flatMap { case (s, x, y, n) => Seq.fill(n)((s, x, y)) }.toDF("s", "x", "y")
+    val got = Stats.cmhTest(df, "s", "x", "y").collect().head
+    def r(v: Double, n: Int): Double = { val f = math.pow(10, n); math.floor(v * f + 0.5) / f }
+    def i6(v: Double): Long = math.floor(v * 1e6 + 0.5).toLong
+    val strata = tab.groupBy(_._1).view.mapValues { g =>
+      def cnt(x: Boolean, y: Boolean) = g.find(t => t._2 == x && t._3 == y).get._4.toLong
+      (cnt(true, true), cnt(true, false), cnt(false, true), cnt(false, false))
+    }.toMap
+    var (se, sv, son, sod) = (0L, 0L, 0L, 0L)
+    strata.values.foreach { case (a, b, c, d) =>
+      val (n1, n0, m1, m0) = ((a + b).toDouble, (c + d).toDouble, (a + c).toDouble, (b + d).toDouble)
+      val td = (a + b + c + d).toDouble
+      se += i6(n1 * m1 / td)
+      sv += i6(n1 * n0 * m1 * m0 / (td * td * (td - 1.0)))
+      son += i6(a.toDouble * d.toDouble / td)
+      sod += i6(b.toDouble * c.toDouble / td)
+    }
+    val at = strata.values.map(_._1).sum
+    val num = at.toDouble - se.toDouble / 1e6
+    val chi2 = r(num * num / (sv.toDouble / 1e6), 4)
+    val or = r((son.toDouble / 1e6) / (sod.toDouble / 1e6), 4)
+    assert(got.getLong(0) == 2 && got.getLong(1) == 48 && got.getLong(2) == at, got.toString)
+    assert(got.getDouble(3) == chi2, s"chi2: $got vs $chi2")
+    assert(got.getDouble(4) == or, s"or: $got vs $or")
+    assert(got.getDouble(5) < 0.0, s"aggregate says x worse: $got")
+    assert(got.getLong(6) == 2L, s"both strata flip: $got")
+  }
+
   test("brownForsythe: hand-computed F on w = 2|x - median|; degenerate inputs NULL") {
     // A=[1,2,3,10] medA=2.5 -> w=[3,1,1,15]; B=[4,5,6] medB=5 -> w=[2,0,2]
     // ANOVA on w: t1=24 t2=244 bg=100+16/3 -> F = 0.831 (4dp)
