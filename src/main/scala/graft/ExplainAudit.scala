@@ -163,7 +163,9 @@ object ExplainAudit {
     // round 14: Brown–Forsythe variance test, two-arm log-rank,
     // candidate-period periodogram, TextTiling segmentation
     "q_levene_bf", "q_logrank", "q_periodogram", "q_text_tiling",
-    "q_hurst", "q_ols_diag", "q_cmh")
+    "q_hurst", "q_ols_diag", "q_cmh",
+    // round 14 session 2
+    "q_jarque_bera", "q_randomization")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

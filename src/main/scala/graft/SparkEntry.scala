@@ -3947,6 +3947,26 @@ object SparkEntry {
     "q_levene_bf" -> ((s, dir) =>
       operators.Stats.brownForsythe(t(s, dir, "documents"), "lang", "n_chars")),
 
+    // -- Jarque–Bera normality check on the same factor: is per-language
+    //    doc length even plausibly normal (the assumption behind q_anova's
+    //    F and q_mde's power formula) — skew/kurtosis from exact anchored
+    //    moment sums, closed-form chi2(2) p = exp(-JB/2)
+    "q_jarque_bera" -> ((s, dir) =>
+      operators.Stats.jarqueBera(t(s, dir, "documents"), "lang", "n_chars")
+        .orderBy("lang")),
+
+    // -- Fisher-style randomization test: is the high-priority order
+    //    value gap label noise — 64 md5-deterministic Bernoulli(p-hat)
+    //    re-randomizations of the priority label, p from the share of
+    //    replicas at least as extreme as the observed gap
+    "q_randomization" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("hi_pri"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+        col("o_orderkey"))
+      operators.Stats.randomizationTest(o, "hi_pri", "cents", "o_orderkey")
+    }),
+
     // -- two-arm log-rank test over censored user lifetimes: md5-parity
     //    arms (the q_hash_split randomization), O−E and hypergeometric
     //    variance per event day, χ²(1) from exact 1e6-scaled term sums
@@ -9259,6 +9279,78 @@ object SparkEntry {
                         THEN ((bg - t1::DOUBLE * t1::DOUBLE / n::DOUBLE) / (k - 1)::DOUBLE)
                              / ((t2::DOUBLE - bg) / (n - k)::DOUBLE) END) * 1e4 + 0.5) / 1e4 AS f_r
           FROM ag""",
+    // anchored-moment mirror of Stats.jarqueBera: integer anchor
+    // mu = floor(s1/n + 0.5), exact HUGEINT power sums of d = x − mu,
+    // shift identities with c = m1/n, rounded S/K -> rounded JB -> p
+    "q_jarque_bera" ->
+      """WITH rows_ AS (SELECT lang AS g, n_chars::BIGINT AS x
+                        FROM documents
+                        WHERE lang IS NOT NULL AND n_chars IS NOT NULL),
+          a AS (SELECT g, count(*)::BIGINT AS n, sum(x)::HUGEINT AS s1 FROM rows_ GROUP BY 1),
+          anc AS (SELECT g, n, floor(s1::DOUBLE / n::DOUBLE + 0.5)::BIGINT AS mu FROM a),
+          per AS (SELECT rows_.g, max(n)::BIGINT AS n,
+                         sum(x - mu)::HUGEINT AS m1,
+                         sum((x - mu)::HUGEINT * (x - mu)) AS m2,
+                         sum((x - mu)::HUGEINT * (x - mu) * (x - mu)) AS m3,
+                         sum((x - mu)::HUGEINT * (x - mu) * (x - mu) * (x - mu)) AS m4
+                  FROM rows_ JOIN anc USING (g) GROUP BY rows_.g),
+          st AS (SELECT g, n, m1::DOUBLE / n::DOUBLE AS c, m2::DOUBLE / n::DOUBLE AS r2,
+                        m3::DOUBLE / n::DOUBLE AS r3, m4::DOUBLE / n::DOUBLE AS r4
+                 FROM per),
+          mm AS (SELECT g, n, r2 - c * c AS mc2,
+                        r3 - 3.0 * c * r2 + 2.0 * c * c * c AS mc3,
+                        r4 - 4.0 * c * r3 + 6.0 * c * c * r2 - 3.0 * c * c * c * c AS mc4
+                 FROM st),
+          sk AS (SELECT g, n,
+                        floor((CASE WHEN n >= 8 AND mc2 > 0.0
+                               THEN mc3 / (mc2 * sqrt(mc2)) END) * 1e6 + 0.5) / 1e6 AS skew_r,
+                        floor((CASE WHEN n >= 8 AND mc2 > 0.0
+                               THEN mc4 / (mc2 * mc2) END) * 1e6 + 0.5) / 1e6 AS kurt_r
+                 FROM mm),
+          jb AS (SELECT g, n, skew_r, kurt_r,
+                        floor((n::DOUBLE / 6.0 * (skew_r * skew_r
+                               + (kurt_r - 3.0) * (kurt_r - 3.0) / 4.0)) * 1e4 + 0.5) / 1e4 AS jb_r
+                 FROM sk)
+          SELECT g AS lang, n, skew_r, kurt_r, jb_r,
+                 floor(exp(-jb_r / 2.0) * 1e6 + 0.5) / 1e6 AS p_r
+          FROM jb ORDER BY lang""",
+    // md5 Bernoulli(p-hat) re-randomization replayed exactly; integer
+    // cent sums per (rep, side); gaps rounded 6dp BEFORE the |.| compare
+    "q_randomization" ->
+      """WITH rows_ AS (SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS t,
+                               floor(o_totalprice * 100 + 0.5)::BIGINT AS x,
+                               o_orderkey AS id
+                        FROM orders),
+          obs AS (SELECT count(*)::BIGINT AS n, sum(t::INT)::BIGINT AS n_treat,
+                         sum(CASE WHEN t THEN x ELSE 0 END)::HUGEINT AS s1,
+                         sum(CASE WHEN NOT t THEN x ELSE 0 END)::HUGEINT AS s0
+                  FROM rows_),
+          ob2 AS (SELECT n, n_treat,
+                         floor((s1::DOUBLE / n_treat::DOUBLE
+                                - s0::DOUBLE / (n - n_treat)::DOUBLE) * 1e6 + 0.5) / 1e6
+                           AS diff_obs_r,
+                         n_treat::DOUBLE / n::DOUBLE AS frac
+                  FROM obs),
+          e AS (SELECT x, id, unnest(range(0, 64)) AS rep FROM rows_),
+          dr AS (SELECT rep, x,
+                        (('0x' || substr(md5('perm:' || rep::VARCHAR || ':' || id::VARCHAR),
+                                         1, 13))::BIGINT
+                          / 4503599627370496.0) < (SELECT frac FROM ob2) AS rt
+                 FROM e),
+          g AS (SELECT rep, sum(rt::INT)::BIGINT AS n1, sum((NOT rt)::INT)::BIGINT AS n0,
+                       sum(CASE WHEN rt THEN x ELSE 0 END)::HUGEINT AS s1,
+                       sum(CASE WHEN NOT rt THEN x ELSE 0 END)::HUGEINT AS s0
+                FROM dr GROUP BY rep),
+          d2 AS (SELECT floor((s1::DOUBLE / n1::DOUBLE - s0::DOUBLE / n0::DOUBLE) * 1e6 + 0.5) / 1e6
+                          AS diff
+                 FROM g WHERE n1 > 0 AND n0 > 0),
+          ex AS (SELECT count(*)::BIGINT AS b_eff,
+                        sum((abs(diff) >= abs((SELECT diff_obs_r FROM ob2)))::INT)::BIGINT
+                          AS n_extreme
+                 FROM d2)
+          SELECT n, n_treat, diff_obs_r, b_eff, n_extreme,
+                 floor(((n_extreme + 1)::DOUBLE / (b_eff + 1)::DOUBLE) * 1e6 + 0.5) / 1e6 AS p_r
+          FROM ob2 CROSS JOIN ex""",
     // md5-parity arms replayed; per-t O−E and V rounded to 6dp then
     // 1e6-scaled into exact HUGEINT sums (order-independent Σ over days)
     "q_logrank" ->

@@ -3130,4 +3130,152 @@ object Stats {
               / (ssw / (col("n") - col("k")).cast("double"))),
           4).as("f_r"))
   }
+
+  /** Jarque–Bera normality test per group (Jarque & Bera, Economics
+    * Letters 1980) over an INTEGER-valued measure: JB =
+    * n/6·(S² + (K−3)²/4) from sample skewness S and kurtosis K — "is
+    * this column even plausibly normal", the assumption check in front
+    * of every moment-based readout ([[anovaOneWay]], [[welchTTest]],
+    * [[minDetectableEffect]]'s normal power formula). The χ²(2) null
+    * makes the p-value CLOSED FORM — P(χ²₂ > x) = exp(−x/2) exactly —
+    * so no quantile approximation enters the chain.
+    *
+    * Exactness: a two-pass anchored-moment build. Pass 1 takes each
+    * group's exact Σx and anchors μ_i = floor(Σx/n + 0.5) — an INTEGER
+    * near the mean. Pass 2 sums d = x − μ_i powers as EXACT decimal
+    * aggregates (d⁴ ≤ 1e16 per row at d ~ 1e4 — far inside
+    * decimal(38,0), where 6-dp-scaled residuals would overflow at the
+    * 4th power); the true central moments then follow from the exact
+    * shift identities with c = Σd/n (|c| ≤ ½ so no cancellation):
+    * m₂ = M₂/n − c², m₃ = M₃/n − 3c·M₂/n + 2c³,
+    * m₄ = M₄/n − 4c·M₃/n + 6c²·M₂/n − 3c⁴. S and K round to 6 dp, JB
+    * derives from the ROUNDED pair (4 dp), p from the ROUNDED JB — the
+    * derive-from-rounded-pieces rule end to end, every sum
+    * partial-agg-order independent.
+    *
+    * Scale shape: two partial-agg passes + one broadcast anchor join;
+    * state is 4 decimals per group, output group-cardinality-sized.
+    *
+    * Returns (group, n, skew_r, kurt_r, jb_r, p_r); NULL statistics
+    * when n < 8 or the group is constant (m₂ = 0).
+    */
+  def jarqueBera(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val rows = df
+      .select(col(groupCol).as("__g"), col(valueCol).cast("long").as("__x"))
+      .where(col("__g").isNotNull && col("__x").isNotNull)
+    val anchor = rows
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("__n"), sum(col("__x").cast("decimal(38,0)")).as("__s1"))
+      .select(col("__g"), col("__n"),
+        floor(col("__s1").cast("double") / col("__n").cast("double") + lit(0.5))
+          .cast("long").as("__mu"))
+    val d = (col("__x") - col("__mu")).cast("decimal(19,0)")
+    val per = rows
+      .join(broadcast(anchor), Seq("__g"))
+      .select(col("__g"), col("__n"), d.as("__d"))
+      .groupBy(col("__g"))
+      .agg(
+        first(col("__n")).as("n"),
+        sum(col("__d")).cast("decimal(38,0)").as("__m1"),
+        sum(col("__d") * col("__d")).cast("decimal(38,0)").as("__m2"),
+        sum(col("__d") * col("__d") * col("__d")).cast("decimal(38,0)").as("__m3"),
+        sum(col("__d") * col("__d") * col("__d") * col("__d"))
+          .cast("decimal(38,0)").as("__m4"))
+    val nD = col("n").cast("double")
+    val c = col("__m1").cast("double") / nD
+    val r2 = col("__m2").cast("double") / nD
+    val r3 = col("__m3").cast("double") / nD
+    val r4 = col("__m4").cast("double") / nD
+    val m2 = r2 - c * c
+    val m3 = r3 - lit(3.0) * c * r2 + lit(2.0) * c * c * c
+    val m4 = r4 - lit(4.0) * c * r3 + lit(6.0) * c * c * r2 - lit(3.0) * c * c * c * c
+    per
+      .withColumn("skew_r", Portable.pround(
+        when(col("n") >= 8 && m2 > 0.0, m3 / (m2 * sqrt(m2))), 6))
+      .withColumn("kurt_r", Portable.pround(
+        when(col("n") >= 8 && m2 > 0.0, m4 / (m2 * m2)), 6))
+      .withColumn("jb_r", Portable.pround(
+        nD / lit(6.0) * (col("skew_r") * col("skew_r")
+          + (col("kurt_r") - lit(3.0)) * (col("kurt_r") - lit(3.0)) / lit(4.0)), 4))
+      .select(col("__g").as(groupCol), col("n"),
+        col("skew_r"), col("kurt_r"), col("jb_r"),
+        Portable.pround(exp(-col("jb_r") / lit(2.0)), 6).as("p_r"))
+  }
+
+  /** Fisher-style randomization test for a two-group mean difference
+    * (Fisher 1935; the modern A/B "shuffle the labels" significance
+    * check): the observed treated−control mean gap is compared against
+    * `b` re-randomizations of the treatment label, p =
+    * (1 + #{|Δ_rand| ≥ |Δ_obs|}) / (b + 1) — the distribution-free
+    * answer to "could this lift be label noise" with NO normality or
+    * equal-variance assumption ([[welchTTest]]'s model-free sibling;
+    * [[bootstrapMeanCi]] bounds the estimate, this scores the null).
+    *
+    * Re-randomization is the Bernoulli(p̂) form (each unit independently
+    * redrawn treated with the OBSERVED treatment fraction — Chamandy's
+    * map-reduce discipline, like the Poisson bootstrap next door): the
+    * draw is a per-(rep, id) md5 inverse-CDF uniform, so every replica
+    * is rerun-stable and the oracle replays the whole null distribution
+    * exactly. Values are INTEGER-valued (cents discipline), so all
+    * replica sums are exact decimal aggregates; each replica's gap —
+    * and the observed gap — rounds to 6 dp BEFORE the |Δ| comparison,
+    * so the count of extreme replicas is cross-engine identical. Work =
+    * b× the scan (one explode + one partial agg); state = 2 sums per
+    * (rep, side); output is ONE row.
+    *
+    * Returns (n, n_treat, diff_obs_r, b_eff, n_extreme, p_r); replicas
+    * that draw an empty side are dropped (b_eff counts survivors —
+    * vanishingly rare at any real n).
+    */
+  def randomizationTest(
+      df: DataFrame,
+      treatCol: String,
+      valueCol: String,
+      idCol: String,
+      b: Int = 64,
+      salt: String = "perm"): DataFrame = {
+    require(b >= 4, s"b ($b) must be at least 4")
+    val rows = df
+      .select(col(treatCol).cast("boolean").as("__t"),
+        col(valueCol).cast("long").as("__x"), col(idCol).as("__id"))
+      .where(col("__t").isNotNull && col("__x").isNotNull)
+    val obs = rows.agg(
+      count(lit(1)).as("n"),
+      sum(col("__t").cast("long")).as("n_treat"),
+      sum(when(col("__t"), col("__x")).otherwise(0L).cast("decimal(38,0)")).as("__s1"),
+      sum(when(!col("__t"), col("__x")).otherwise(0L).cast("decimal(38,0)")).as("__s0"))
+      .select(col("n"), col("n_treat"),
+        Portable.pround(
+          col("__s1").cast("double") / col("n_treat").cast("double")
+            - col("__s0").cast("double") / (col("n") - col("n_treat")).cast("double"), 6)
+          .as("diff_obs_r"),
+        (col("n_treat").cast("double") / col("n").cast("double")).as("__frac"))
+    // the bootstrapMeanCi md5 uniform: 13 hex digits / 2^52, exact dyadic
+    val u = conv(substring(md5(concat(
+      lit(s"$salt:"), col("__rep").cast("string"), lit(":"), col("__id").cast("string"))),
+      1, 13), 16, 10).cast("double") / lit(4503599627370496.0)
+    val reps = rows
+      .crossJoin(broadcast(obs.select(col("__frac"))))
+      .withColumn("__rep", explode(sequence(lit(0), lit(b - 1))))
+      .withColumn("__rt", u < col("__frac"))
+      .groupBy(col("__rep"))
+      .agg(
+        sum(col("__rt").cast("long")).as("__n1"),
+        sum((!col("__rt")).cast("long")).as("__n0"),
+        sum(when(col("__rt"), col("__x")).otherwise(0L).cast("decimal(38,0)")).as("__s1"),
+        sum(when(!col("__rt"), col("__x")).otherwise(0L).cast("decimal(38,0)")).as("__s0"))
+      .where(col("__n1") > 0 && col("__n0") > 0)
+      .select(Portable.pround(
+        col("__s1").cast("double") / col("__n1").cast("double")
+          - col("__s0").cast("double") / col("__n0").cast("double"), 6).as("__diff"))
+    obs
+      .crossJoin(broadcast(
+        reps.crossJoin(broadcast(obs.select(col("diff_obs_r").as("__o"))))
+          .agg(count(lit(1)).as("b_eff"),
+            sum((abs(col("__diff")) >= abs(col("__o"))).cast("long")).as("n_extreme"))))
+      .select(col("n"), col("n_treat"), col("diff_obs_r"), col("b_eff"), col("n_extreme"),
+        Portable.pround(
+          (col("n_extreme") + lit(1)).cast("double") / (col("b_eff") + lit(1)).cast("double"), 6)
+          .as("p_r"))
+  }
 }

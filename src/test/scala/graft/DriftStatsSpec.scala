@@ -638,4 +638,83 @@ class DriftStatsSpec extends SparkSpec {
         .toDF("g", "x"), "g", "x").collect().head
     assert(same.getDouble(2) == 0.0, s"equal spread: $same")
   }
+
+  test("jarqueBera: == exact BigInt anchored-moment mirror; symmetric data reads skew 0") {
+    val rnd = new java.util.Random(20260815L)
+    def mirror(xs: Seq[Long]): (Double, Double, Double, Double) = {
+      def r(v: Double, n: Int): Double = { val f = math.pow(10, n); math.floor(v * f + 0.5) / f }
+      val n = xs.size
+      val mu = math.floor(xs.map(BigInt(_)).sum.toDouble / n + 0.5).toLong
+      def m(k: Int) = xs.map(x => BigInt(x - mu).pow(k)).sum.toDouble / n
+      val (c, r2, r3, r4) = (m(1), m(2), m(3), m(4))
+      val m2 = r2 - c * c
+      val m3 = r3 - 3.0 * c * r2 + 2.0 * c * c * c
+      val m4 = r4 - 4.0 * c * r3 + 6.0 * c * c * r2 - 3.0 * c * c * c * c
+      val sk = r(m3 / (m2 * math.sqrt(m2)), 6)
+      val ku = r(m4 / (m2 * m2), 6)
+      val jb = r(n / 6.0 * (sk * sk + (ku - 3.0) * (ku - 3.0) / 4.0), 4)
+      (sk, ku, jb, r(math.exp(-jb / 2.0), 6))
+    }
+    for (case_ <- 0 until 15) {
+      val n = 8 + rnd.nextInt(60)
+      // lognormal-ish skew with occasional spikes
+      val xs = (0 until n).map(_ =>
+        (math.exp(rnd.nextGaussian() * 1.5 + 4) + rnd.nextInt(3)).toLong)
+      val got = Stats.jarqueBera(xs.map(("G", _)).toDF("g", "x"), "g", "x").collect().head
+      val (sk, ku, jb, p) = mirror(xs)
+      assert(got.getDouble(2) == sk && got.getDouble(3) == ku,
+        s"case $case_: got $got, mirror ($sk, $ku)")
+      assert(got.getDouble(4) == jb && got.getDouble(5) == p,
+        s"case $case_: got $got, mirror jb=$jb p=$p")
+    }
+    // exactly symmetric around an integer mean: m3 = 0 -> skew 0.0
+    val sym = Seq(1L, 2L, 3L, 4L, 5L, 6L, 7L, 1L, 7L, 2L, 6L)
+    val s = Stats.jarqueBera(sym.map(("G", _)).toDF("g", "x"), "g", "x").collect().head
+    assert(s.getDouble(2) == 0.0, s"symmetric skew: $s")
+    // constant group (m2 = 0) and tiny group (n < 8) read NULL stats
+    val degen = Stats.jarqueBera(
+      (Seq.fill(10)(("C", 5L)) ++ Seq(("T", 1L), ("T", 9L))).toDF("g", "x"), "g", "x")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(degen("C").isNullAt(2) && degen("C").isNullAt(5), s"constant: ${degen("C")}")
+    assert(degen("T").isNullAt(2), s"n<8: ${degen("T")}")
+  }
+
+  test("randomizationTest: == md5-replay mirror; a planted separation reads the floor p") {
+    def u(salt: String, rep: Int, id: Long): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+      val hex = d.digest(s"$salt:$rep:$id".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(hex.take(13), 16).toDouble / 4503599627370496.0
+    }
+    def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    val rnd = new java.util.Random(99L)
+    val rows = (0L until 120L).map(i => (i, rnd.nextBoolean(), rnd.nextInt(1000).toLong))
+    val got = Stats.randomizationTest(
+      rows.toDF("id", "t", "x"), "t", "x", "id", b = 16, salt = "sp").collect().head
+    // in-memory mirror of the whole pipeline
+    val n = rows.size
+    val nt = rows.count(_._2)
+    val dObs = r6(rows.filter(_._2).map(_._3).sum.toDouble / nt
+      - rows.filterNot(_._2).map(_._3).sum.toDouble / (n - nt))
+    val frac = nt.toDouble / n
+    val diffs = (0 until 16).flatMap { rep =>
+      val (tr, ct) = rows.partition(row => u("sp", rep, row._1) < frac)
+      if (tr.isEmpty || ct.isEmpty) None
+      else Some(r6(tr.map(_._3).sum.toDouble / tr.size - ct.map(_._3).sum.toDouble / ct.size))
+    }
+    val nExt = diffs.count(d => math.abs(d) >= math.abs(dObs))
+    assert(got.getLong(0) == n && got.getLong(1) == nt, s"sizes: $got")
+    assert(got.getDouble(2) == dObs, s"diff_obs: $got vs $dObs")
+    assert(got.getLong(3) == diffs.size && got.getLong(4) == nExt, s"replicas: $got vs $nExt")
+    assert(got.getDouble(5) == r6((nExt + 1).toDouble / (diffs.size + 1)), s"p: $got")
+    // planted separation: treated 1000s vs control 0s — no Bernoulli
+    // relabeling reproduces the gap, p sits at the 1/(b+1) floor
+    val sep = (0L until 100L).map(i => (i, i < 50, if (i < 50) 1000L else 0L))
+    val gotSep = Stats.randomizationTest(
+      sep.toDF("id", "t", "x"), "t", "x", "id", b = 32, salt = "sp").collect().head
+    assert(gotSep.getDouble(2) == 1000.0, s"planted gap: $gotSep")
+    assert(gotSep.getLong(4) == 0L &&
+      gotSep.getDouble(5) == r6(1.0 / (gotSep.getLong(3) + 1).toDouble),
+      s"floor p: $gotSep")
+  }
 }
