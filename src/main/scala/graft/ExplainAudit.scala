@@ -164,8 +164,9 @@ object ExplainAudit {
     // candidate-period periodogram, TextTiling segmentation
     "q_levene_bf", "q_logrank", "q_periodogram", "q_text_tiling",
     "q_hurst", "q_ols_diag", "q_cmh",
-    // round 14 session 2
-    "q_jarque_bera", "q_randomization")
+    // round 14 session 2 (q_closeness_landmarks is iterative — per-seed
+    // BFS rounds checkpoint like q_bfs_dist; body audited below)
+    "q_jarque_bera", "q_randomization", "q_edge_embeddedness")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan
@@ -323,6 +324,23 @@ object ExplainAudit {
           e.join(seed.withColumnRenamed("node", "src"), Seq("src"))
             .select(col("dst").as("node"), (col("dist") + 1L).as("dist")))
           .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      }),
+      // round 14 session 2: one landmark-BFS frontier round — q_bfs_dist's
+      // body with the seed carried through the label (state L·N-bounded)
+      "q_closeness_landmarks" -> ((s: SparkSession, dir: String) => {
+        import graft.operators.Graph
+        val e = Graph.undirected(Graph.sameNationEdges(
+          s.read.parquet(s"$dir/orders.parquet"),
+          s.read.parquet(s"$dir/lineitem.parquet"),
+          s.read.parquet(s"$dir/customer.parquet"),
+          s.read.parquet(s"$dir/supplier.parquet")))
+        val seed = e.where(col("src").isin("c1", "c2", "s3", "s7"))
+          .select(col("src").as("seed"), col("src").as("node")).distinct()
+          .withColumn("dist", lit(0L))
+        seed.unionAll(
+          e.join(seed.withColumnRenamed("node", "src"), Seq("src"))
+            .select(col("seed"), col("dst").as("node"), (col("dist") + 1L).as("dist")))
+          .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
       }),
       // round 14: one ALS half-step — solve one side's factors against
       // the other's quantized table; the real loop checkpoints each

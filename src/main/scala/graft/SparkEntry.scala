@@ -3363,6 +3363,24 @@ object SparkEntry {
           t(s, dir, "customer"), t(s, dir, "supplier")),
         seeds = Seq("c1", "c2"), rounds = 6)),
 
+    // -- edge embeddedness over the brand graph: common neighbors per
+    //    edge + neighborhood Jaccard + the local-bridge flag — which
+    //    co-occurrence ties are load-bearing and which are weak/noise
+    "q_edge_embeddedness" -> ((s, dir) =>
+      operators.Graph.edgeEmbeddedness(
+        operators.Graph.brandCooccurrenceEdges(t(s, dir, "lineitem"), t(s, dir, "part")))
+        .orderBy("src", "dst")),
+
+    // -- landmark harmonic closeness over the trade graph: sum of 1/d
+    //    to four fixed landmarks — the O(L·E) closeness ranking, per-seed
+    //    min-label BFS with 6dp-scaled exact term sums
+    "q_closeness_landmarks" -> ((s, dir) =>
+      operators.Graph.landmarkCloseness(
+        operators.Graph.sameNationEdges(t(s, dir, "orders"), t(s, dir, "lineitem"),
+          t(s, dir, "customer"), t(s, dir, "supplier")),
+        seeds = Seq("c1", "c2", "s3", "s7"), rounds = 6)
+        .orderBy("node")),
+
     // -- MASE backtest: hold out each stream's last hour, SES-forecast
     //    it, scale the error by the in-sample seasonal-naive MAE
     "q_mase" -> ((s, dir) =>
@@ -8425,6 +8443,31 @@ object SparkEntry {
     "q_label_prop" -> labelPropSql(iters = 5),
     "q_kcore" -> kCoreSql(k = 4, rounds = 6),
     "q_bfs_dist" -> bfsSql(Seq("c1", "c2"), rounds = 6),
+    // wedge join through each edge's endpoints over the symmetrized
+    // adjacency; left join keeps zero-common (bridge) edges
+    "q_edge_embeddedness" ->
+      """WITH ob AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+                     FROM lineitem JOIN part ON l_partkey = p_partkey),
+          e AS (SELECT DISTINCT a.brand AS src, b.brand AS dst
+                FROM ob a JOIN ob b ON a.ok = b.ok AND a.brand < b.brand),
+          adj AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+          d AS (SELECT src AS node, count(*)::BIGINT AS deg FROM adj GROUP BY 1),
+          cm AS (SELECT e.src, e.dst, count(*)::BIGINT AS n_common
+                 FROM e
+                 JOIN adj a1 ON a1.src = e.src
+                 JOIN adj a2 ON a2.src = e.dst AND a2.dst = a1.dst
+                 GROUP BY e.src, e.dst),
+          f AS (SELECT e.src, e.dst, coalesce(cm.n_common, 0)::BIGINT AS n_common
+                FROM e LEFT JOIN cm ON cm.src = e.src AND cm.dst = e.dst)
+          SELECT f.src, f.dst, f.n_common,
+                 CASE WHEN du.deg + dv.deg - 2 - f.n_common > 0
+                      THEN floor((f.n_common::DOUBLE
+                                  / (du.deg + dv.deg - 2 - f.n_common)::DOUBLE) * 1e6 + 0.5) / 1e6
+                 END AS jaccard_r,
+                 (f.n_common = 0) AS is_bridge
+          FROM f JOIN d du ON du.node = f.src JOIN d dv ON dv.node = f.dst
+          ORDER BY f.src, f.dst""",
+    "q_closeness_landmarks" -> landmarkSql(Seq("c1", "c2", "s3", "s7"), rounds = 6),
     // symmetrized list: both margins coincide, r = (mΣjk−(Σj)²)/(mΣj²−(Σj)²)
     // from exact HUGEINT degree sums
     "q_assortativity" ->
@@ -10745,6 +10788,29 @@ object SparkEntry {
                WHERE src IN ($seedList)),
         $steps
         SELECT node, dist FROM d$rounds ORDER BY node"""
+  }
+
+  /** Seed-carrying BFS + harmonic combine (mirror of
+    * Graph.landmarkCloseness): per-(seed, node) min-label rounds, then
+    * each 1/d term 6dp-floored into an exact HUGEINT sum per node.
+    */
+  private def landmarkSql(seeds: Seq[String], rounds: Int): String = {
+    val seedList = seeds.map(s => s"'$s'").mkString(", ")
+    val steps = (1 to rounds).map { r =>
+      s"""d$r AS (SELECT seed, node, min(dist)::BIGINT AS dist FROM (
+             SELECT seed, node, dist FROM d${r - 1}
+             UNION ALL SELECT p.seed, ne.dst AS node, p.dist + 1 AS dist
+             FROM ne JOIN d${r - 1} p ON ne.src = p.node) u GROUP BY seed, node)"""
+    }.mkString(",\n")
+    s"""WITH $NationEdgesCte,
+        d0 AS (SELECT DISTINCT src AS seed, src AS node, 0::BIGINT AS dist FROM ne
+               WHERE src IN ($seedList)),
+        $steps
+        SELECT node, count(*)::BIGINT AS n_reached,
+               floor((sum(CASE WHEN dist > 0
+                                THEN floor(1.0 / dist::DOUBLE * 1e6 + 0.5)
+                                ELSE 0 END)::HUGEINT::DOUBLE / 1e6) * 1e6 + 0.5) / 1e6 AS harm_r
+        FROM d$rounds GROUP BY node ORDER BY node"""
   }
 
   private def pagerankSql(iters: Int, d: Double): String = {

@@ -652,4 +652,106 @@ object Graph {
       .select(col("m"),
         Portable.pround(when(den > 0.0, num / den), 6).as("r_r"))
   }
+
+  /** Edge embeddedness (Granovetter's weak-tie dial, AJS 1973; the
+    * per-EDGE form of [[clusteringCoefficients]]): for every undirected
+    * edge, the number of common neighbors of its endpoints — the
+    * triangles THROUGH the edge — plus the neighborhood-Jaccard
+    * normalization |N(u)∩N(v)| / |N(u)∪N(v)∖{u,v}| and the LOCAL BRIDGE
+    * flag (zero common neighbors: the edge is the only short path
+    * between its sides — Granovetter's information conduits, and in a
+    * near-dup/co-occurrence graph the edge most likely to be noise).
+    * [[triangleCounts]] says how clustered a NODE is; this says how
+    * load-bearing an EDGE is.
+    *
+    * Scale shape: the wedge expansion is one equi-join of the edge list
+    * against the symmetrized adjacency through the smaller endpoint
+    * (Σ_{(u,v)∈E} deg(u) rows), closed by a second equi-join on
+    * (other endpoint, z) — never an open wedge join over all of
+    * Σ deg²; at web scale the same plan holds with degree-ordered
+    * orientation (route the expansion through each edge's LOWER-degree
+    * endpoint). Counts are exact integers, the Jaccard rounds to 6 dp;
+    * zero-common edges survive via the left join. Input is ANY (src,
+    * dst) edge relation — orientation/dedup happen inside (the
+    * [[clusteringCoefficients]] any-edge-relation contract).
+    *
+    * Returns (src, dst, n_common, jaccard_r, is_bridge) with src < dst;
+    * jaccard NULL when both endpoints are degree-1 (empty union).
+    */
+  def edgeEmbeddedness(edges: DataFrame): DataFrame = {
+    // referenced three times (both wedge legs through adj + the edge
+    // spine) — materialize once, the triangleCounts discipline
+    val e = orientedEdges(edges).localCheckpoint(true)
+    val adj = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
+    val deg = adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val common = e
+      .join(adj.select(col("src"), col("dst").as("z")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("dst").as("z")), Seq("dst", "z"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("n_common"))
+    val union = col("__du") + col("__dv") - lit(2L) - col("n_common")
+    e.join(common, Seq("src", "dst"), "left_outer")
+      .na.fill(0L, Seq("n_common"))
+      .join(deg.select(col("node").as("src"), col("deg").as("__du")), Seq("src"))
+      .join(deg.select(col("node").as("dst"), col("deg").as("__dv")), Seq("dst"))
+      .select(col("src"), col("dst"), col("n_common"),
+        Portable.pround(
+          when(union > 0L, col("n_common").cast("double") / union.cast("double")), 6)
+          .as("jaccard_r"),
+        (col("n_common") === 0L).as("is_bridge"))
+  }
+
+  /** Landmark harmonic closeness (harmonic centrality, Marchiori &
+    * Latora 2000 / Boldi & Vigna "Axioms for Centrality" 2014, through
+    * the Eppstein–Wang pivot-sampling estimate): ĥ(v) = Σ_ℓ 1/d(ℓ, v)
+    * over a FIXED landmark set — "how close to everywhere" ranked
+    * without the all-pairs BFS closeness needs (O(L·E) total, the only
+    * closeness a 100 TB graph can afford; harmonic rather than classic
+    * closeness so disconnected nodes read small, not undefined).
+    *
+    * Per round ONE edge join against the (landmark, node) frontier +
+    * one partial-agg min — [[bfsDistances]] carrying the landmark
+    * through the label, so state is ≤ L·N rows with L a constant of
+    * the query. Distances are exact integers within `rounds` (monotone
+    * min-label: rounds ≥ seed eccentricity ⇒ fixpoint, the [[kCore]]
+    * certification pattern). Parity: each 1/d term rounds to 6 dp and
+    * 1e6-scales into an exact decimal sum (the logRank discipline —
+    * ≤ L doubles per node would still be partial-agg-order exposed),
+    * one division at the end. Landmarks absent from the graph
+    * contribute nothing; nodes unreached by every landmark are ABSENT.
+    *
+    * Returns (node, n_reached, harm_r) — n_reached counts landmarks
+    * with a finite distance (a landmark reaches itself at d = 0,
+    * counted but contributing no mass).
+    */
+  def landmarkCloseness(
+      edges: DataFrame,
+      seeds: Seq[String],
+      rounds: Int = 6): DataFrame = {
+    require(seeds.nonEmpty, "need at least one landmark")
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    val e = undirected(edges).localCheckpoint(true)
+    var dist = e
+      .where(col("src").isin(seeds: _*))
+      .select(col("src").as("seed"), col("src").as("node")).distinct()
+      .withColumn("dist", lit(0L))
+      .localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      val next = e
+        .join(dist.withColumnRenamed("node", "src"), Seq("src"))
+        .select(col("seed"), col("dst").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.unionAll(next)
+        .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
+        .localCheckpoint(true)
+    }
+    dist
+      .groupBy(col("node"))
+      .agg(
+        count(lit(1)).as("n_reached"),
+        sum(when(col("dist") > 0L,
+          floor(lit(1.0) / col("dist").cast("double") * 1e6 + lit(0.5)))
+          .otherwise(lit(0.0)).cast("decimal(38,0)")).as("__h"))
+      .select(col("node"), col("n_reached"),
+        Portable.pround(col("__h").cast("double") / 1e6, 6).as("harm_r"))
+  }
 }

@@ -282,4 +282,54 @@ class GraphSpec extends SparkSpec {
     assert(Graph.degreeAssortativity(dirty).collect().toSeq
       == Graph.degreeAssortativity(clean).collect().toSeq)
   }
+
+  test("edgeEmbeddedness: triangle edges carry their common neighbor, the pendant is a bridge") {
+    // triangle a-b-c plus pendant d on c
+    val g = Seq(("a", "b"), ("b", "c"), ("a", "c"), ("c", "d")).toDF("src", "dst")
+    val got = Graph.edgeEmbeddedness(g)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), if (r.isNullAt(3)) null else r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    // (a,b): common {c}; union = (2-1)+(2-1)-1 = 1 -> jaccard 1.0
+    assert(got(("a", "b")) == ((1L, 1.0, false)), s"ab: $got")
+    // (a,c): common {b}; union = N(a)∖{c} ∪ N(c)∖{a} = {b,d} -> 0.5
+    assert(got(("a", "c")) == ((1L, 0.5, false)), s"ac: $got")
+    assert(got(("b", "c")) == ((1L, 0.5, false)), s"bc: $got")
+    // (c,d): no common neighbor; union = (3-1)+(1-1)-0 = 2 -> 0.0, bridge
+    assert(got(("c", "d")) == ((0L, 0.0, true)), s"cd: $got")
+    // two pendant nodes joined by an edge: empty union reads NULL, bridge
+    val lone = Graph.edgeEmbeddedness(Seq(("p", "q")).toDF("src", "dst")).collect().head
+    assert(lone.getLong(2) == 0L && lone.isNullAt(3) && lone.getBoolean(4), s"lone: $lone")
+    // dirty input (dup / bidirectional / self-loop) repaired to canonical
+    val dirty = Seq(("a", "b"), ("b", "a"), ("a", "a"), ("b", "c"), ("b", "c"),
+      ("a", "c"), ("c", "d")).toDF("src", "dst")
+    assert(Graph.edgeEmbeddedness(dirty).orderBy("src", "dst").collect().toSeq
+      == Graph.edgeEmbeddedness(g).orderBy("src", "dst").collect().toSeq)
+  }
+
+  test("landmarkCloseness: path-graph harmonics exact, absent landmark ignored, round fixpoint") {
+    val path = Seq(("a", "b"), ("b", "c"), ("c", "d")).toDF("src", "dst")
+    def harm(ds: Seq[Long]): Double = {
+      val scaled = ds.filter(_ > 0).map(d => math.floor(1.0 / d * 1e6 + 0.5).toLong).sum
+      pround(scaled.toDouble / 1e6, 6)
+    }
+    val got = Graph.landmarkCloseness(path, Seq("a", "d"), rounds = 6)
+      .orderBy("node")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq == Seq(
+      ("a", 2L, harm(Seq(0L, 3L))), ("b", 2L, harm(Seq(1L, 2L))),
+      ("c", 2L, harm(Seq(2L, 1L))), ("d", 2L, harm(Seq(3L, 0L)))),
+      s"path: ${got.toSeq}")
+    // a landmark not present in the graph contributes nothing
+    val withGhost = Graph.landmarkCloseness(path, Seq("a", "d", "zz"), rounds = 6)
+      .orderBy("node")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(withGhost.toSeq == got.toSeq, s"ghost landmark: ${withGhost.toSeq}")
+    // rounds beyond the eccentricity are a fixpoint
+    val at3 = Graph.landmarkCloseness(path, Seq("a", "d"), rounds = 3)
+      .orderBy("node")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(at3.toSeq == got.toSeq, "rounds=3 is not the fixpoint")
+  }
 }
