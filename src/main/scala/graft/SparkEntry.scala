@@ -1994,6 +1994,26 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // -- simplified silhouette per IVF cell: (b−a)/max(a,b) from own vs
+    //    nearest-other centroid distance — grades the PARTITION (compact
+    //    and separated vs merged) with zero pair expansion
+    "q_silhouette" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .silhouetteSimplified(emb.where(col("vec_id") >= 8), emb.where(col("vec_id") < 8))
+        .orderBy("cell")
+    }),
+
+    // -- Davies–Bouldin terms per IVF cell: worst-neighbor
+    //    (S_i+S_j)/M_ij from the same scatter pass + a k² centroid
+    //    self-join — one merged-looking pair reads as two high-R rows
+    "q_cluster_db" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .daviesBouldin(emb.where(col("vec_id") >= 8), emb.where(col("vec_id") < 8))
+        .orderBy("cell")
+    }),
+
     // -- IVF probe SEARCH: queries probe their 2 max-cosine cells and
     //    exact-search only those cells' members (centroids / queries /
     //    corpus are disjoint id ranges)
@@ -6973,6 +6993,36 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY vec_id ORDER BY floor((cos) * 1e6 + 0.5) / 1e6 DESC, c_id) AS rn
            FROM p) r
          WHERE rn = 1 ORDER BY vec_id""",
+    // own vs nearest-other centroid distances from 6dp-rounded cosines;
+    // per-point s rounded, per-cell means on 1e6-scaled HUGEINT sums
+    // (mirror of Similarity.silhouetteSimplified)
+    "q_silhouette" -> silhouetteSql(
+      """SELECT cell, count(*)::BIGINT AS n,
+                floor((sum(floor(s * 1e6 + 0.5))::HUGEINT::DOUBLE / 1e6
+                       / count(*)::DOUBLE) * 1e6 + 0.5) / 1e6 AS sil_r,
+                floor((sum(floor(da * 1e6 + 0.5))::HUGEINT::DOUBLE / 1e6
+                       / count(*)::DOUBLE) * 1e6 + 0.5) / 1e6 AS a_mean_r
+         FROM sv GROUP BY cell ORDER BY cell"""),
+    // same scatter pass + k^2 centroid separation join; R terms from the
+    // ROUNDED (S, M) pieces, max over k-1 neighbors
+    "q_cluster_db" -> silhouetteSql(
+      """sc AS (SELECT cell, count(*)::BIGINT AS n,
+                       floor((sum(floor(da * 1e6 + 0.5))::HUGEINT::DOUBLE / 1e6
+                              / count(*)::DOUBLE) * 1e6 + 0.5) / 1e6 AS s_r
+                FROM sv GROUP BY cell),
+          sep AS (SELECT x.c_id, y.c_id AS d_id,
+                         floor((1.0 - list_sum(list_transform(range(1, len(x.cv) + 1),
+                                    i -> x.cv[i]::DOUBLE * y.cv[i]::DOUBLE)) / (x.cn * y.cn))
+                               * 1e6 + 0.5) / 1e6 AS m_r
+                  FROM c x JOIN c y ON x.c_id <> y.c_id),
+          rt AS (SELECT sc.cell, sc.n, sc.s_r,
+                        CASE WHEN sep.m_r > 0.0 AND sj.s_r IS NOT NULL
+                             THEN floor(((sc.s_r + sj.s_r) / sep.m_r) * 1e6 + 0.5) / 1e6
+                        END AS rterm
+                 FROM sc LEFT JOIN sep ON sep.c_id = sc.cell
+                 LEFT JOIN sc sj ON sj.cell = sep.d_id)
+          SELECT cell, max(n)::BIGINT AS n, max(s_r) AS s_r, max(rterm) AS r_max_r
+          FROM rt GROUP BY cell ORDER BY cell""", extraCte = true),
     // L2 argmin per (vector, subspace) with the same portable rounding and
     // code-ASC tie-break; ||x-c||^2 expanded as x·x - 2x·c + c·c exactly
     // like the Spark expression
@@ -10353,6 +10403,39 @@ object SparkEntry {
                (sum((c > 1)::INT) = 0)::INT AS is_unique
         FROM (SELECT $cl, count(*) AS c FROM $tbl GROUP BY $cl) g"""
   }
+
+  /** Shared CTE chain for the clustering-quality evals (mirror of
+    * Similarity.ownVsOtherDistance): rounded centroid-cosine grid, rank
+    * per point, own (da) vs nearest-other (db_) distances, per-point
+    * rounded silhouette. `extraCte` appends `finalSelect` as further
+    * CTEs + select instead of a bare final select.
+    */
+  private def silhouetteSql(finalSelect: String, extraCte: Boolean = false): String =
+    s"""WITH e AS (SELECT vec_id, embedding,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                     i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
+           FROM embeddings WHERE vec_id >= 8),
+         c AS (SELECT vec_id AS c_id, embedding AS cv,
+                sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
+                     i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS cn
+           FROM embeddings WHERE vec_id < 8),
+         p AS (SELECT e.vec_id, c_id,
+                floor((list_sum(list_transform(range(1, len(e.embedding) + 1),
+                     i -> e.embedding[i]::DOUBLE * cv[i]::DOUBLE)) / (e.nrm * cn))
+                      * 1e6 + 0.5) / 1e6 AS cos_r
+           FROM e CROSS JOIN c),
+         r AS (SELECT vec_id, c_id, cos_r,
+                row_number() OVER (PARTITION BY vec_id ORDER BY cos_r DESC, c_id) AS rn
+           FROM p),
+         ab AS (SELECT b1.vec_id, b1.c_id AS cell,
+                       1.0 - b1.cos_r AS da, 1.0 - s2.cos_r AS db_
+           FROM r b1 JOIN r s2 ON s2.vec_id = b1.vec_id AND s2.rn = 2 WHERE b1.rn = 1),
+         sv AS (SELECT vec_id, cell, da,
+                floor((CASE WHEN greatest(da, db_) > 0.0
+                            THEN (db_ - da) / greatest(da, db_) ELSE 0.0 END)
+                      * 1e6 + 0.5) / 1e6 AS s
+           FROM ab)${if (extraCte) "," else ""}
+         $finalSelect"""
 
   /** Matryoshka-recall oracle (mirror of Similarity.mrlRecallEval):
     * full-dim brute-force truth, per-prefix-dim re-normalized top-k,

@@ -1399,4 +1399,137 @@ object Similarity {
       .where(col("ra") === 1 && col("rb") === 1)
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_r"))
   }
+
+  /** Per-point (best, second-best) ROUNDED centroid cosines — the shared
+    * input of the clustering-quality evals: one map-side grid vs the
+    * broadcast centroid set, collapsed per point by a k-bounded sorted
+    * collect (k = |centroids|, a constant of the query — never a window
+    * over the corpus). Assignment ties break to the smaller centroid id,
+    * matching [[ivfAssign]].
+    *
+    * Returns (idCol, cell, a_r, b_r): a = 1 − cos(best), b = 1 − cos(2nd)
+    * — cosine DISTANCES to own and nearest-other centroid, both derived
+    * from 6-dp-rounded cosines (exact at 6 dp, cross-engine identical).
+    */
+  private def ownVsOtherDistance(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String,
+      vecCol: String): DataFrame = {
+    val e = corpus.select(col(idCol), col(vecCol).as("ev")).withColumn("en", norm("ev"))
+    val c = centroids
+      .select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+      .withColumn("cn", norm("cv"))
+    e.crossJoin(broadcast(c))
+      .withColumn("cos_r",
+        round(dot(col("ev"), col("cv")) / (col("en") * col("cn")), 6))
+      .groupBy(col(idCol))
+      .agg(reverse(sort_array(collect_list(
+        struct(col("cos_r").as("c"), (-col("c_id")).as("nid"))))).as("cs"))
+      .where(size(col("cs")) >= 2)
+      .select(col(idCol),
+        (-col("cs")(0).getField("nid")).as("cell"),
+        (lit(1.0) - col("cs")(0).getField("c")).as("a_r"),
+        (lit(1.0) - col("cs")(1).getField("c")).as("b_r"))
+  }
+
+  /** Simplified silhouette per cluster (Hruschka, de Castro & Campello,
+    * HIS 2004 — the centroid form of Rousseeuw's silhouette, JCAM 1987):
+    * s(i) = (b−a)/max(a,b) with a = distance to the OWN centroid and
+    * b = distance to the nearest OTHER centroid — the clustering-quality
+    * readout the IVF/kmeans family was missing ([[annRecallEval]] grades
+    * retrieval, [[labelAudit]] grades labels; this grades the PARTITION
+    * itself: near 1 = compact and separated, near 0 = boundary
+    * straddlers — with the argmax assignment a ≤ b always, so s ∈ [0,1];
+    * feeding externally-drifted labels would need the general form).
+    *
+    * The simplified form is the 100 TB one: full silhouette pays the
+    * in-cell pair expansion (Σ|cell|²), this is ONE map-side grid vs the
+    * broadcast centroid set + a per-point k-bounded reduce — no pair
+    * space at all, the same cost as assignment. Cosine distance 1 − cos
+    * on 6-dp-rounded cosines; s rounds to 6 dp per point, per-cell means
+    * ride 1e6-scaled exact decimal sums (the logRank discipline).
+    *
+    * Returns (cell, n, sil_r) per non-empty cell, plus mean distances
+    * (a_mean_r) for the scatter readout.
+    */
+  def silhouetteSimplified(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    val s = ownVsOtherDistance(corpus, centroids, idCol, vecCol)
+      .withColumn("__s", round(
+        when(greatest(col("a_r"), col("b_r")) > 0.0,
+          (col("b_r") - col("a_r")) / greatest(col("a_r"), col("b_r")))
+          .otherwise(lit(0.0)), 6))
+    val i6 = (c: Column) => floor(c * 1e6 + lit(0.5)).cast("decimal(38,0)")
+    s.groupBy(col("cell"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(i6(col("__s"))).as("__ss"),
+        sum(i6(col("a_r"))).as("__sa"))
+      .select(col("cell"), col("n"),
+        round(
+          col("__ss").cast("double") / 1e6 / col("n").cast("double"), 6).as("sil_r"),
+        round(
+          col("__sa").cast("double") / 1e6 / col("n").cast("double"), 6).as("a_mean_r"))
+  }
+
+  /** Davies–Bouldin index terms per cluster (Davies & Bouldin, IEEE
+    * TPAMI 1979): R_i = max_{j≠i} (S_i + S_j) / M_ij with S = mean
+    * member-to-centroid distance (scatter) and M = centroid separation —
+    * [[silhouetteSimplified]]'s cluster-level sibling (silhouette grades
+    * POINTS and averages up; DB grades each cluster by its WORST
+    * neighbor, so one merged-looking pair shows up as two high-R rows
+    * instead of a diluted mean). Lower is better; the index is the mean
+    * of r_max_r over cells.
+    *
+    * Scale: scatters come from the same map-side grid as the silhouette
+    * (no pair expansion); separations are a k²-row broadcast centroid
+    * self-join — metadata-sized. S_i from 1e6-scaled exact sums then
+    * rounded; each R term from the ROUNDED (S, M) pieces; the per-cell
+    * max is over k−1 rounded doubles with no tie sensitivity (max of a
+    * set is order-independent).
+    *
+    * Returns (cell, n, s_r, r_max_r) per non-empty cell; r_max NULL if
+    * some paired centroid coincides (M = 0) and no positive-M neighbor
+    * exists.
+    */
+  def daviesBouldin(
+      corpus: DataFrame,
+      centroids: DataFrame,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    // cells-sized (k rows) and referenced on BOTH sides of the pair join
+    // — materialize once or the whole corpus grid re-runs per reference
+    val scat = silhouetteSimplified(corpus, centroids, idCol, vecCol)
+      .select(col("cell"), col("n"), col("a_mean_r"))
+      .localCheckpoint(true)
+    val c = centroids
+      .select(col(idCol).as("c_id"), col(vecCol).as("cv"))
+      .withColumn("cn", norm("cv"))
+    val sep = c
+      .crossJoin(broadcast(
+        c.select(col("c_id").as("d_id"), col("cv").as("dv"), col("cn").as("dn"))))
+      .where(col("c_id") =!= col("d_id"))
+      .select(col("c_id"), col("d_id"),
+        round(
+          lit(1.0) - dot(col("cv"), col("dv")) / (col("cn") * col("dn")), 6).as("m_r"))
+    // LEFT joins: a cell whose every sibling centroid is empty or
+    // coincident must still surface (with r_max NULL), not vanish
+    scat
+      .join(sep, col("cell") === col("c_id"), "left_outer")
+      .join(
+        scat.select(col("cell").as("d_id"), col("a_mean_r").as("__sj")),
+        Seq("d_id"), "left_outer")
+      .withColumn("__rterm",
+        when(col("m_r") > 0.0 && col("__sj").isNotNull,
+          round((col("a_mean_r") + col("__sj")) / col("m_r"), 6)))
+      .groupBy(col("cell"))
+      .agg(
+        first(col("n")).as("n"),
+        first(col("a_mean_r")).as("s_r"),
+        max(col("__rterm")).as("r_max_r"))
+  }
 }
