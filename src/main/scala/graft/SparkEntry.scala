@@ -2270,6 +2270,24 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // -- video scene cuts: EVERY frame dHashed through the real GIF->PNG
+    //    chain, a cut wherever consecutive frame hashes differ by >= 32
+    //    bits — shot-boundary detection, clip-bounded lag windows
+    "q_video_scenes" -> ((s, dir) => {
+      operators.Multimodal
+        .videoSceneCuts(operators.Multimodal.demoMediaFromDocuments(s, dir))
+        .orderBy("media_id")
+    }),
+
+    // -- energy VAD over real decoded PCM: fixed 500-sample windows,
+    //    active = integer cross-multiplied above-clip-mean energy,
+    //    gaps-and-islands segments per clip
+    "q_audio_vad" -> ((s, dir) => {
+      operators.Multimodal
+        .audioVad(operators.Multimodal.demoAudioPattern(s, dir))
+        .orderBy("media_id")
+    }),
+
     // -- REAL video frame sampling: every 4th GIF frame extracted with the
     //    frame-addressable reader and re-encoded PNG, then each emitted
     //    frame DECODED back; the oracle unnests ceil(frames/4) rows per
@@ -7350,6 +7368,76 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT vid1, vid2, shared_frames FROM p
          WHERE shared_frames >= 2 ORDER BY vid1, vid2""",
+    // stride-1 frame replay + per-clip lag over the formula dHashes; cut
+    // at hamming >= 32 (mirror of Multimodal.videoSceneCuts)
+    "q_video_scenes" ->
+      """WITH vid AS (
+           SELECT doc_id, 1 + doc_id % 32 AS w,
+                  1 + octet_length(encode(text)) % 32 AS h,
+                  1 + (octet_length(encode(text)) * 131) % 24 AS nf
+           FROM documents WHERE doc_id % 3 = 2),
+         fr AS (SELECT doc_id, w, h, unnest(range(0, nf, 1)) AS f FROM vid),
+         g AS (
+           SELECT doc_id, f, j, i,
+                  ((least(w - 1, (i * w) // 9) + least(h - 1, (j * h) // 8) * w) * 31
+                   + f * 101 + doc_id) % 256 AS gray
+           FROM fr
+           CROSS JOIN (SELECT unnest(range(9)) AS i)
+           CROSS JOIN (SELECT unnest(range(8)) AS j)),
+         b AS (
+           SELECT doc_id, f, j, i, gray,
+                  lead(gray) OVER (PARTITION BY doc_id, f, j ORDER BY i) AS nxt
+           FROM g),
+         dh AS (
+           SELECT doc_id AS vid, f,
+                  sum(CASE WHEN i < 8 AND j >= 4 AND nxt > gray
+                           THEN (1::BIGINT << (j * 8 + i - 32)) ELSE 0 END)::BIGINT AS hi,
+                  sum(CASE WHEN i < 8 AND j < 4 AND nxt > gray
+                           THEN (1::BIGINT << (j * 8 + i)) ELSE 0 END)::BIGINT AS lo
+           FROM b GROUP BY 1, 2),
+         lg AS (SELECT vid, f, hi, lo, lag(hi) OVER w AS ph, lag(lo) OVER w AS pl
+                FROM dh WINDOW w AS (PARTITION BY vid ORDER BY f)),
+         hd AS (SELECT vid, f,
+                       CASE WHEN ph IS NULL THEN NULL
+                            ELSE bit_count(xor(hi, ph)) + bit_count(xor(lo, pl)) END AS hd
+                FROM lg)
+         SELECT vid AS media_id, count(*)::BIGINT AS n_frames,
+                sum(CASE WHEN hd >= 32 THEN 1 ELSE 0 END)::BIGINT AS n_cuts,
+                (sum(CASE WHEN hd >= 32 THEN 1 ELSE 0 END) + 1)::BIGINT AS n_scenes,
+                min(CASE WHEN hd >= 32 THEN f END)::BIGINT AS first_cut
+         FROM hd GROUP BY vid ORDER BY media_id""",
+    // waveform-formula replay -> 500-sample window energies -> integer
+    // cross-multiply activity -> gaps-and-islands segments per clip
+    "q_audio_vad" ->
+      """WITH aud AS (
+           SELECT doc_id, 65 + (octet_length(encode(text)) * 131) % 60000 AS n
+           FROM documents WHERE doc_id % 3 = 1),
+         sm AS (
+           SELECT doc_id, i // 500 AS k,
+                  abs(((i * 131 + doc_id * 17) % 65536) - 32768) AS a
+           FROM (SELECT doc_id, n, unnest(range(n)) AS i FROM aud) u),
+         w AS (SELECT doc_id, k, sum(a)::BIGINT AS en, count(*)::BIGINT AS len
+               FROM sm GROUP BY 1, 2),
+         t AS (SELECT doc_id, sum(en)::BIGINT AS tot, sum(len)::BIGINT AS n
+               FROM w GROUP BY 1),
+         fl AS (SELECT w.doc_id, k, (en * t.n > t.tot * len) AS act
+                FROM w JOIN t USING (doc_id)),
+         st AS (SELECT doc_id, k, act,
+                       (act AND NOT coalesce(
+                          lag(act) OVER (PARTITION BY doc_id ORDER BY k), false))::INT AS strt
+                FROM fl),
+         rn AS (SELECT doc_id, k, act, strt,
+                       sum(strt) OVER (PARTITION BY doc_id ORDER BY k
+                                       ROWS UNBOUNDED PRECEDING) AS run
+                FROM st),
+         seg AS (SELECT doc_id, CASE WHEN act THEN run END AS seg,
+                        count(*)::BIGINT AS segn, bool_or(act) AS a
+                 FROM rn GROUP BY doc_id, CASE WHEN act THEN run END)
+         SELECT doc_id AS media_id, sum(segn)::BIGINT AS n_win,
+                sum(CASE WHEN a THEN segn ELSE 0 END)::BIGINT AS n_active,
+                sum(CASE WHEN a THEN 1 ELSE 0 END)::BIGINT AS n_segments,
+                coalesce(max(CASE WHEN a THEN segn END), 0)::BIGINT AS max_run
+         FROM seg GROUP BY doc_id ORDER BY media_id""",
     "q_image_dup_groups" ->
       s"""WITH RECURSIVE $ImageDhashCtes,
           sl AS (SELECT media_id, dhash_hi, dhash_lo, band,

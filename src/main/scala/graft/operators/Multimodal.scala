@@ -762,6 +762,120 @@ object Multimodal {
       }
   }
 
+  /** Video SCENE-CUT detection via consecutive-frame perceptual hashing —
+    * the shot-boundary primitive of a video curation pipeline (sample one
+    * clip per scene, dedup per shot, split long clips at cuts): every
+    * frame goes through the REAL GIF→PNG codec chain ([[sampleFrames]]
+    * stride 1), gets the integer-exact [[imageDHash]], and a cut is
+    * declared wherever the Hamming distance between CONSECUTIVE frame
+    * hashes reaches `minHamming` (within a shot the hash is near-stable;
+    * an edit flips a large fraction of the 64 gradient bits).
+    *
+    * Scale shape: decode and hashing are per-partition narrow ops; the
+    * only shuffle keys frames by clip, and the lag window partitions PER
+    * CLIP over frame-count-bounded rows (a clip's frames, never the
+    * corpus). Hamming on two-limb `bit_count` — all integers, so the
+    * oracle replays the whole chain from the synthesis formulas.
+    *
+    * Returns (media_id, n_frames, n_cuts, n_scenes, first_cut) —
+    * first_cut = the frame index starting the second scene, NULL when the
+    * clip is one scene; single-frame clips read n_scenes = 1.
+    */
+  def videoSceneCuts(media: Dataset[MediaRecord], minHamming: Int = 32): DataFrame = {
+    require(minHamming >= 1 && minHamming <= 64, s"minHamming ($minHamming) must be in [1,64]")
+    import media.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // frame_idx < 1000 always (the videoNearDupPairs composite-id contract)
+    val asImages = sampleFrames(media.filter(_.kind == "video"), stride = 1)
+      .map(f => MediaRecord(f.media_id * 1000L + f.frame_idx, "image", f.bytes, ""))
+    val fh = imageDHash(asImages)
+      .select(
+        (col("media_id") / 1000L).cast("long").as("vid"),
+        (col("media_id") % 1000L).cast("long").as("f"),
+        col("dhash_hi"), col("dhash_lo"))
+    val w = Window.partitionBy(col("vid")).orderBy(col("f"))
+    fh
+      .withColumn("__ph", lag(col("dhash_hi"), 1).over(w))
+      .withColumn("__pl", lag(col("dhash_lo"), 1).over(w))
+      .withColumn("__hd",
+        expr("bit_count(dhash_hi ^ __ph) + bit_count(dhash_lo ^ __pl)"))
+      .groupBy(col("vid").as("media_id"))
+      .agg(
+        count(lit(1)).as("n_frames"),
+        sum(when(col("__hd") >= minHamming, 1L).otherwise(0L)).as("n_cuts"),
+        min(when(col("__hd") >= minHamming, col("f"))).as("first_cut"))
+      .select(col("media_id"), col("n_frames"), col("n_cuts"),
+        (col("n_cuts") + lit(1L)).as("n_scenes"), col("first_cut"))
+  }
+
+  /** Energy-based voice-activity detection over REAL decoded PCM — the
+    * silence-trimming / speech-segmentation front of an audio data
+    * pipeline (billable speech seconds, segment boundaries for ASR
+    * chunking): the clip's samples split into fixed `winLen`-sample
+    * windows, each window's energy is the BIGINT Σ|sample|, and a window
+    * is ACTIVE iff its per-sample mean energy exceeds the clip's —
+    * decided by the exact integer cross-multiply en·n > total·len (no
+    * float threshold anywhere, so the verdict replays bit-for-bit).
+    * Active runs then collapse to segments (gaps-and-islands) per clip.
+    *
+    * Scale shape: decode + windowing per-partition (the codec boundary);
+    * the segmentation windows partition PER CLIP over
+    * clip-length/winLen-bounded rows. (A production VAD replaces the
+    * energy rule with a model score; the plumbing — window emission,
+    * clip-bounded segmentation, integer thresholding — is what this
+    * pins.)
+    *
+    * Returns (media_id, n_win, n_active, n_segments, max_run) — max_run
+    * = the longest consecutive active stretch in windows, 0 when the
+    * clip is all-quiet (constant-energy clips have NO window strictly
+    * above the mean).
+    */
+  def audioVad(media: Dataset[MediaRecord], winLen: Int = 500): DataFrame = {
+    require(winLen >= 1, s"winLen ($winLen) must be >= 1")
+    import media.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val wins = media
+      .filter(_.kind == "audio")
+      .mapPartitions { it =>
+        it.flatMap { r =>
+          decodePcm16(r.bytes).toSeq.flatMap { samples =>
+            val n = samples.length
+            val nw = (n + winLen - 1) / winLen
+            (0 until nw).map { k =>
+              val lo = k * winLen
+              val hi = math.min(n, lo + winLen)
+              var en = 0L
+              var i = lo
+              while (i < hi) { en += math.abs(samples(i).toLong); i += 1 }
+              (r.media_id, k.toLong, en, (hi - lo).toLong)
+            }
+          }
+        }
+      }
+      .toDF("media_id", "k", "en", "len")
+    val tot = wins.groupBy(col("media_id"))
+      .agg(sum(col("en")).as("__tot"), sum(col("len")).as("__n"))
+    val w = Window.partitionBy(col("media_id")).orderBy(col("k"))
+    val flagged = wins
+      .join(tot, Seq("media_id"))
+      .withColumn("__act", col("en") * col("__n") > col("__tot") * col("len"))
+      .withColumn("__start",
+        (col("__act") && !coalesce(lag(col("__act"), 1).over(w), lit(false))).cast("long"))
+      .withColumn("__run",
+        sum(col("__start")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged
+      .groupBy(col("media_id"), when(col("__act"), col("__run")).as("__seg"))
+      .agg(count(lit(1)).as("__segn"),
+        first(col("__act")).as("__a"),
+        sum(col("__start")).as("__starts"))
+      .groupBy(col("media_id"))
+      .agg(
+        sum(col("__segn")).as("n_win"),
+        sum(when(col("__a"), col("__segn")).otherwise(0L)).as("n_active"),
+        sum(when(col("__a"), lit(1L)).otherwise(0L)).as("n_segments"),
+        coalesce(max(when(col("__a"), col("__segn"))), lit(0L)).as("max_run"))
+  }
+
   def demoMediaFromDocuments(spark: SparkSession, dir: String): Dataset[MediaRecord] = {
     import spark.implicits._
     spark.read

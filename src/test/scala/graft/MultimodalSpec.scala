@@ -282,4 +282,53 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1L) == got(2L), "half-gain copy must fingerprint identically")
     assert(got(1L) != got(3L), "different content must fingerprint differently")
   }
+
+  test("videoSceneCuts: single-frame clip is one scene; cuts agree with the dHash stream") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "video", Multimodal.synthGif(16, 16, 1, 5L), "en"),
+      Multimodal.MediaRecord(2L, "video", Multimodal.synthGif(16, 16, 6, 5L), "en"),
+      Multimodal.MediaRecord(3L, "image", Multimodal.synthPng(5, 5, 1L), "en")
+    ).toDS()
+    val got = Multimodal.videoSceneCuts(media, minHamming = 1)
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got(1L) == ((1L, 0L, 1L)), s"single frame: ${got(1L)}")
+    // composition check: cuts at minHamming=1 == count of consecutive
+    // frame-hash pairs that differ, recomputed from the operator's own
+    // building blocks (sampleFrames + imageDHash)
+    val frames = Multimodal
+      .sampleFrames(media.filter(_.media_id == 2L), stride = 1)
+      .map(f => Multimodal.MediaRecord(f.frame_idx.toLong, "image", f.bytes, ""))
+    val hashes = Multimodal.imageDHash(frames)
+      .orderBy("media_id")
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    val wantCuts = hashes.sliding(2).count(p => p(0) != p(1)).toLong
+    assert(got(2L) == ((6L, wantCuts, wantCuts + 1L)), s"6-frame clip: ${got(2L)} vs $wantCuts")
+  }
+
+  test("audioVad: hand-built burst pattern segments exactly; constant clip reads all-quiet") {
+    import spark.implicits._
+    def wavWith(samples: Seq[Int]): Array[Byte] = {
+      val bytes = Multimodal.synthWavPattern(samples.size, 1000, 0L)
+      val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      samples.zipWithIndex.foreach { case (s, i) => bb.putShort(44 + i * 2, s.toShort) }
+      bytes
+    }
+    val media = Seq(
+      // windows of 2: energies 0, 20, 0, 20 vs mean 5/sample -> two
+      // 1-window bursts
+      Multimodal.MediaRecord(1L, "audio", wavWith(Seq(0, 0, 10, 10, 0, 0, 10, 10)), "en"),
+      // energies 0, 20, 20, 0 -> one 2-window burst
+      Multimodal.MediaRecord(2L, "audio", wavWith(Seq(0, 0, 10, 10, 10, 10, 0, 0)), "en"),
+      // constant: no window strictly above the clip mean
+      Multimodal.MediaRecord(3L, "audio", wavWith(Seq.fill(6)(5)), "en")
+    ).toDS()
+    val got = Multimodal.audioVad(media, winLen = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(got(1L) == ((4L, 2L, 2L, 1L)), s"alternating bursts: ${got(1L)}")
+    assert(got(2L) == ((4L, 2L, 1L, 2L)), s"contiguous burst: ${got(2L)}")
+    assert(got(3L) == ((3L, 0L, 0L, 0L)), s"constant clip: ${got(3L)}")
+  }
 }
