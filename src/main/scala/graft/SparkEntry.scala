@@ -1994,6 +1994,28 @@ object SparkEntry {
         .orderBy("vec_id")
     }),
 
+    // -- semantic decontamination: corpus vectors at cosine >= 0.3 to any
+    //    benchmark vector (vec_id < 8) quarantined with their nearest
+    //    benchmark item — the paraphrase leak k-gram overlap misses
+    "q_sem_decontam" -> ((s, dir) => {
+      val emb = t(s, dir, "embeddings")
+      Similarity
+        .semDecontam(emb.where(col("vec_id") >= 8), emb.where(col("vec_id") < 8),
+          threshold = 0.3)
+        .orderBy("vec_id")
+    }),
+
+    // -- per-source keyness: top-10 G²-overused terms per source vs the
+    //    rest of the corpus — the "what is this source about" profile
+    //    behind mixture design (Rayson–Garside frequency profiling)
+    "q_keyness" -> ((s, dir) => {
+      operators.Cooccurrence
+        .keyness(
+          operators.Tokenize.tokens(t(s, dir, "documents"), "text", Seq("source")),
+          "source", k = 10, minCount = 5)
+        .orderBy("source", "rank")
+    }),
+
     // -- simplified silhouette per IVF cell: (b−a)/max(a,b) from own vs
     //    nearest-other centroid distance — grades the PARTITION (compact
     //    and separated vs merged) with zero pair expansion
@@ -7011,6 +7033,50 @@ object SparkEntry {
                   row_number() OVER (PARTITION BY vec_id ORDER BY floor((cos) * 1e6 + 0.5) / 1e6 DESC, c_id) AS rn
            FROM p) r
          WHERE rn = 1 ORDER BY vec_id""",
+    // nearest-benchmark argmax over the same rounded cosine grid; only
+    // rows at cos_r >= threshold survive (mirror of Similarity.semDecontam)
+    "q_sem_decontam" -> silhouetteSql(
+      """SELECT vec_id, c_id AS bench_id, cos_r FROM r
+         WHERE rn = 1 AND cos_r >= 0.3 ORDER BY vec_id"""),
+    // per-source token contingency vs the rest of the corpus; four
+    // fixed-order ln terms, overuse by integer cross-multiply, rank per
+    // source (mirror of Cooccurrence.keyness)
+    "q_keyness" ->
+      """WITH tok AS (
+           SELECT source, w AS word FROM (
+             SELECT source,
+                    regexp_replace(lower(unnest(regexp_split_to_array(text, '\s+'))),
+                                   '[^a-z]', '', 'g') AS w
+             FROM documents) u
+           WHERE w <> ''),
+         cnt AS (SELECT source, word, count(*)::BIGINT AS a FROM tok GROUP BY 1, 2),
+         wt AS (SELECT word, sum(a)::BIGINT AS wtot FROM cnt GROUP BY 1),
+         st AS (SELECT source, sum(a)::BIGINT AS n1 FROM cnt GROUP BY 1),
+         tot AS (SELECT sum(n1)::BIGINT AS nn FROM st),
+         sc AS (
+           SELECT cnt.source, cnt.word, a AS n_in, wtot - a AS n_out,
+                  floor((2.0 * (
+                    CASE WHEN a > 0
+                         THEN a::DOUBLE * ln(a::DOUBLE * nn::DOUBLE
+                                             / (n1::DOUBLE * wtot::DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN n1 - a > 0
+                         THEN (n1 - a)::DOUBLE * ln((n1 - a)::DOUBLE * nn::DOUBLE
+                                             / (n1::DOUBLE * (nn - wtot)::DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN wtot - a > 0
+                         THEN (wtot - a)::DOUBLE * ln((wtot - a)::DOUBLE * nn::DOUBLE
+                                             / ((nn - n1)::DOUBLE * wtot::DOUBLE)) ELSE 0.0 END
+                  + CASE WHEN nn - n1 - (wtot - a) > 0
+                         THEN (nn - n1 - (wtot - a))::DOUBLE
+                              * ln((nn - n1 - (wtot - a))::DOUBLE * nn::DOUBLE
+                                   / ((nn - n1)::DOUBLE * (nn - wtot)::DOUBLE)) ELSE 0.0 END
+                  )) * 1e4 + 0.5) / 1e4 AS g2_r
+           FROM cnt JOIN wt USING (word) JOIN st USING (source) CROSS JOIN tot
+           WHERE a >= 5 AND a * (nn - n1) > (wtot - a) * n1),
+         rk AS (SELECT *, row_number() OVER (PARTITION BY source
+                                             ORDER BY g2_r DESC, word) AS rank
+                FROM sc)
+         SELECT source, word, n_in, n_out, g2_r, rank
+         FROM rk WHERE rank <= 10 ORDER BY source, rank""",
     // own vs nearest-other centroid distances from 6dp-rounded cosines;
     // per-point s rounded, per-cell means on 1e6-scaled HUGEINT sums
     // (mirror of Similarity.silhouetteSimplified)

@@ -114,4 +114,69 @@ object Cooccurrence {
       .join(band.select(col("word").as("w2"), col("df_w").as("n_y")), Seq("w2"))
       .crossJoin(broadcast(nd))
   }
+
+  /** Per-source KEYNESS leaderboard (Rayson & Garside, "Comparing
+    * corpora using frequency profiling", WCC 2000 — the corpus-
+    * linguistics standard): for every source, the top-k terms whose
+    * TOKEN frequency in that source most exceeds the rest of the
+    * corpus, scored by Dunning's G² over the (in-source, elsewhere) ×
+    * (this word, other words) token contingency. The "what is this
+    * source actually about" profile behind mixture design and source
+    * filtering — [[g2Collocations]] asks which words attract each
+    * other, keyness asks which words attract a SOURCE; c-TF-IDF
+    * (`Similarity.clusterTopTerms`) is its embedding-cluster sibling.
+    * Only OVERUSED terms rank (a/n₁ > c/n₀ by exact integer
+    * cross-multiply) — underuse is a different report.
+    *
+    * Scale shape: the corpus collapses to the (source, word) token-count
+    * relation in one partial-agg pass (materialized once — three
+    * consumers); word and source totals are vocabulary-/source-sized;
+    * the rank window partitions per SOURCE over its ≥ minCount
+    * vocabulary, never the token stream. Exact integer cells, four
+    * fixed-order ln terms (zero cells contribute 0), G² rounded 4 dp
+    * before the (g2_r DESC, word ASC) rank.
+    *
+    * Returns (source, word, n_in, n_out, g2_r, rank), rank ≤ k.
+    */
+  def keyness(
+      tokens: DataFrame,
+      sourceCol: String,
+      k: Int = 10,
+      minCount: Long = 5): DataFrame = {
+    require(k >= 1 && minCount >= 1, s"k ($k) / minCount ($minCount) must be >= 1")
+    import org.apache.spark.sql.expressions.Window
+    val cnt = tokens
+      .select(col(sourceCol).as("source"), col("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("a"))
+      .localCheckpoint(true)
+    val wt = cnt.groupBy(col("word")).agg(sum(col("a")).as("wtot"))
+    val st = cnt.groupBy(col("source")).agg(sum(col("a")).as("n1"))
+    val tot = st.agg(sum(col("n1")).as("nn"))
+    val n = col("nn").cast("double")
+    def term(kk: Column, row: Column, c: Column): Column =
+      when(kk > 0,
+        kk.cast("double") * log(kk.cast("double") * n / (row.cast("double") * c.cast("double"))))
+        .otherwise(0.0)
+    val b = col("n1") - col("a")
+    val c0 = col("wtot") - col("a")
+    val d = col("nn") - col("n1") - c0
+    val scored = cnt
+      .where(col("a") >= minCount)
+      .join(wt, Seq("word"))
+      .join(st, Seq("source"))
+      .crossJoin(broadcast(tot))
+      // overused only: a/n1 > c/n0 by integer cross-multiply
+      .where(col("a") * (col("nn") - col("n1")) > c0 * col("n1"))
+      .select(col("source"), col("word"), col("a").as("n_in"), c0.as("n_out"),
+        Portable.pround(
+          lit(2.0) * (term(col("a"), col("n1"), col("wtot"))
+            + term(b, col("n1"), col("nn") - col("wtot"))
+            + term(c0, col("nn") - col("n1"), col("wtot"))
+            + term(d, col("nn") - col("n1"), col("nn") - col("wtot"))), 4).as("g2_r"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy(col("source")).orderBy(col("g2_r").desc, col("word").asc)))
+      .where(col("rank") <= k)
+  }
 }

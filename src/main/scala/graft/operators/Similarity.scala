@@ -1400,6 +1400,47 @@ object Similarity {
       .select(col("a_id"), col("b_id"), round(col("cos"), 4).as("cos_r"))
   }
 
+  /** SEMANTIC decontamination against a benchmark embedding set — the
+    * third member of the decontamination family (exact k-gram overlap
+    * catches verbatim leaks, the Bloom pre-filter makes that cheap;
+    * this catches PARAPHRASED leaks both miss — a benchmark item
+    * reworded shares almost no 8-grams but sits at high cosine): flag
+    * every corpus vector whose max cosine to ANY benchmark vector
+    * reaches `threshold`, reporting the nearest benchmark item as the
+    * audit trail.
+    *
+    * Scale shape: benchmarks are small by nature (eval sets, not
+    * corpora) — ONE map-side grid vs the broadcast benchmark relation +
+    * a per-vector max_by partial agg; no shuffle grows with the
+    * benchmark, the corpus is read once. Cosines round to 6 dp BEFORE
+    * the threshold compare and the (cos DESC, bench-id ASC) argmax, so
+    * the flag set replays exactly.
+    *
+    * Returns the quarantine list (idCol, bench_id, cos_r) — corpus
+    * vectors BELOW threshold are absent (the output is contamination-
+    * sized, not corpus-sized).
+    */
+  def semDecontam(
+      corpus: DataFrame,
+      bench: DataFrame,
+      threshold: Double,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(threshold > -1.0 && threshold <= 1.0, s"threshold ($threshold) must be in (-1, 1]")
+    val e = corpus.select(col(idCol), col(vecCol).as("ev")).withColumn("en", norm("ev"))
+    val b = bench
+      .select(col(idCol).as("b_id"), col(vecCol).as("bv"))
+      .withColumn("bn", norm("bv"))
+    e.crossJoin(broadcast(b))
+      .withColumn("cos_r", round(dot(col("ev"), col("bv")) / (col("en") * col("bn")), 6))
+      .groupBy(col(idCol))
+      .agg(max_by(
+        struct(col("b_id"), col("cos_r")),
+        struct(col("cos_r").as("k1"), (-col("b_id")).as("k2"))).as("best"))
+      .where(col("best.cos_r") >= threshold)
+      .select(col(idCol), col("best.b_id").as("bench_id"), col("best.cos_r").as("cos_r"))
+  }
+
   /** Per-point (best, second-best) ROUNDED centroid cosines — the shared
     * input of the clustering-quality evals: one map-side grid vs the
     * broadcast centroid set, collapsed per point by a k-bounded sorted

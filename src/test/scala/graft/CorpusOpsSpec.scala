@@ -625,6 +625,33 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(("aa", "bb")) > got(("cc", "dd")))
   }
 
+  test("keyness: the planted source-exclusive term tops its source; balanced terms drop") {
+    import graft.operators.{Cooccurrence, Tokenize}
+    // A: hot x6 + zz x4; B: cold x6 + zz x4. zz is perfectly balanced
+    // (a/n1 == c/n0) so the strict-overuse filter drops it; each source's
+    // exclusive term is its only (and top) key term.
+    val docs = Seq(
+      (1L, "A", (Seq.fill(6)("hot") ++ Seq.fill(4)("zz")).mkString(" ")),
+      (2L, "B", (Seq.fill(6)("cold") ++ Seq.fill(4)("zz")).mkString(" ")))
+      .toDF("doc_id", "source", "text")
+    val got = Cooccurrence
+      .keyness(Tokenize.tokens(docs, "text", Seq("source")), "source", k = 10, minCount = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getInt(5)))
+    def g2(a: Long, wtot: Long, n1: Long, nn: Long): Double = {
+      def t(k: Long, row: Long, c: Long): Double =
+        if (k > 0) k.toDouble * math.log(k.toDouble * nn / (row.toDouble * c.toDouble)) else 0.0
+      val v = 2.0 * (t(a, n1, wtot) + t(n1 - a, n1, nn - wtot)
+        + t(wtot - a, nn - n1, wtot) + t(nn - n1 - (wtot - a), nn - n1, nn - wtot))
+      math.floor(v * 1e4 + 0.5) / 1e4
+    }
+    val want = g2(a = 6, wtot = 6, n1 = 10, nn = 20)
+    assert(got.toSeq == Seq(
+      ("A", "hot", 6L, 0L, want, 1),
+      ("B", "cold", 6L, 0L, want, 1)), s"got: ${got.toSeq}, want g2 $want")
+  }
+
   test("uccCheck: true key reads unique, near-key grades its duplication exactly") {
     val df = Seq((1, "a"), (2, "a"), (3, "b"), (3, "b"), (3, "c")).toDF("id", "v")
     val key = Stats.uccCheck(df.where(col("id") =!= 3), Seq("id")).collect().head

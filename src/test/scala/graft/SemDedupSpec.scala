@@ -57,4 +57,22 @@ class SemDedupSpec extends SparkSpec {
     assert(got.values.forall(identity), "saturated cell must be pruned before pair expansion")
     assert(got.size == 6)
   }
+
+  test("semDecontam: paraphrase-direction leak flagged, orthogonal absent, argmax ties to min id") {
+    val bench = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)), // duplicate benchmark items
+      (2L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+    val corpus = Seq(
+      (10L, Array(2.0f, 0.0f)),   // same direction as bench 0/1: cos 1.0
+      (11L, Array(1.0f, 1.0f)),   // 45 degrees to everything: cos 0.707107
+      (12L, Array(-1.0f, 0.0f)))  // best is cos 0.0 (to bench 2)
+      .toDF("vec_id", "embedding")
+    val strict = Similarity.semDecontam(corpus, bench, threshold = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(strict.toSeq == Seq((10L, 0L, 1.0)), s"strict: ${strict.toSeq}")
+    val loose = Similarity.semDecontam(corpus, bench, threshold = 0.5)
+      .orderBy("vec_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(loose.toSeq == Seq((10L, 0L, 1.0), (11L, 0L, 0.707107)), s"loose: ${loose.toSeq}")
+  }
 }
