@@ -252,6 +252,15 @@ object SparkEntry {
         .orderBy(desc("n_sessions"), asc("path"))
     }),
 
+    // -- peak concurrent sessions per hour: sweep-line over session
+    //    (start, close) boundaries in the two-pass minute-chunked prefix
+    //    form — the capacity-planning peak a mean rate hides
+    "q_concurrency" -> ((s, dir) => {
+      operators.Journeys
+        .sessionConcurrency(graft.sources.EventsSource.events(s, dir))
+        .orderBy("hour_id")
+    }),
+
     // -- recency-weighted activity: counts decayed with a 24 h half-life
     //    from the corpus max timestamp — the trending score a plain count
     //    can't express; exact integer microsecond exponents, one pow/row
@@ -4714,6 +4723,40 @@ object SparkEntry {
                FROM s4 WHERE rn <= 8 GROUP BY 1, 2)
          SELECT path, count(*) AS n_sessions FROM p GROUP BY 1
          ORDER BY n_sessions DESC, path LIMIT 20""",
+    // DIRECT single-sort sweep-line over the same session boundaries —
+    // proving the minute-chunked Spark form equals the naive sweep:
+    // per-hour peak = max(boundary concurrencies, hour-start flat value)
+    "q_concurrency" ->
+      """WITH e AS (SELECT user_id, event_id, epoch_us(ts) AS ts_us FROM events),
+         s1 AS (SELECT *, lag(ts_us) OVER (PARTITION BY user_id ORDER BY ts_us, event_id)
+                            AS prev_us
+                FROM e),
+         s2 AS (SELECT *, CASE WHEN prev_us IS NULL OR ts_us - prev_us > 1800000000
+                               THEN 1 ELSE 0 END AS new_sess
+                FROM s1),
+         s3 AS (SELECT *, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_us, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                FROM s2),
+         sess AS (SELECT user_id, sid, min(ts_us) AS st, max(ts_us) + 1800000000 AS en
+                  FROM s3 GROUP BY 1, 2),
+         d AS (SELECT t, sum(dd)::BIGINT AS d FROM (
+                 SELECT st AS t, 1 AS dd FROM sess
+                 UNION ALL SELECT en, -1 FROM sess) u GROUP BY t),
+         r AS (SELECT t,
+                      sum(d) OVER (ORDER BY t ROWS UNBOUNDED PRECEDING) AS conc,
+                      sum(d) OVER (ORDER BY t
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pre
+               FROM d),
+         hb AS (SELECT t // 3600000000 AS hour_id, conc, coalesce(pre, 0) AS pre,
+                       row_number() OVER (PARTITION BY t // 3600000000 ORDER BY t) AS rn
+                FROM r),
+         pk AS (SELECT hour_id,
+                       greatest(max(conc), max(CASE WHEN rn = 1 THEN pre END))::BIGINT AS peak
+                FROM hb GROUP BY hour_id),
+         sh AS (SELECT st // 3600000000 AS hour_id, count(*)::BIGINT AS n_starts
+                FROM sess GROUP BY 1)
+         SELECT pk.hour_id, coalesce(sh.n_starts, 0)::BIGINT AS n_starts, pk.peak
+         FROM pk LEFT JOIN sh USING (hour_id) ORDER BY hour_id""",
     "q_decayed_counts" ->
       """WITH t AS (SELECT max(epoch_us(ts)) AS tmax FROM events)
          SELECT event_type, count(*) AS n,

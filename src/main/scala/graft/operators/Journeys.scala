@@ -547,6 +547,79 @@ object Journeys {
       .limit(k)
   }
 
+  /** Peak CONCURRENT sessions per hour — the capacity-planning readout
+    * (provision for the peak, not the mean; [[dauWau]] counts who came,
+    * this counts how many were here AT ONCE): sessions form under the
+    * same 30-min-gap rule as the q_sessions family and stay open one
+    * `gapUs` past their last event; concurrency is the classic
+    * sweep-line (+1 at session start, −1 at close, running sum), and
+    * the per-hour peak is the max the sweep reaches inside each hour.
+    *
+    * Scale shape — the sweep WITHOUT a whole-stream window: boundary
+    * deltas first aggregate PER DISTINCT TIMESTAMP (one partial-agg
+    * pass — this also kills tie-order sensitivity: simultaneous starts
+    * and ends net out before any ordering exists), then the two-pass
+    * chunked-prefix discipline chunked on MINUTES: within-minute
+    * running sums ride minute-bounded window partitions, and the only
+    * global window carries per-MINUTE net totals (time-domain metadata,
+    * never boundary rows — whitelisted like the survival/logrank
+    * day-domain cumulatives). Hours collapse the minute peaks. A
+    * minute's flat stretch can't exceed an observed peak in its own
+    * hour (carry + net ≤ carry + maxrun), and the first present
+    * minute's carry equals the hour-start concurrency, so the hourly
+    * max over minute peaks IS the true sweep max — the oracle proves it
+    * against the direct single-sort sweep. All quantities exact
+    * integers.
+    *
+    * Returns (hour_id, n_starts, peak) for hours containing at least
+    * one session boundary; absent hours are flat at the previous
+    * hour's closing concurrency. hour_id = epoch hours.
+    */
+  def sessionConcurrency(
+      events: DataFrame,
+      gapUs: Long = 1800000000L,
+      keyCol: String = "user_id",
+      tsCol: String = "ts_us",
+      tieCol: String = "event_id"): DataFrame = {
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(asc(tsCol), asc(tieCol))
+    val cum   = byKey.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val sess = events
+      .withColumn("prev_us", lag(col(tsCol), 1).over(byKey))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull || col(tsCol) - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess")).over(cum))
+      .groupBy(col(keyCol), col("sess_id"))
+      .agg(min(col(tsCol)).as("st"), (max(col(tsCol)) + lit(gapUs)).as("en"))
+      .localCheckpoint(true)
+    val deltas = sess.select(col("st").as("t"), lit(1L).as("d"))
+      .unionAll(sess.select(col("en").as("t"), lit(-1L).as("d")))
+      .groupBy(col("t")).agg(sum(col("d")).as("d"))
+      .withColumn("minute_id", (col("t") / lit(60000000L)).cast("long"))
+    val inMinute = Window.partitionBy(col("minute_id")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perMin = deltas
+      .withColumn("run", sum(col("d")).over(inMinute))
+      .groupBy(col("minute_id"))
+      .agg(sum(col("d")).as("net"), max(col("run")).as("maxrun"))
+    val carry = perMin
+      .withColumn("carry", coalesce(
+        sum(col("net")).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("minute_id")).rowsBetween(Window.unboundedPreceding, -1)),
+        lit(0L)))
+    val peaks = carry
+      .select((col("minute_id") / lit(60L)).cast("long").as("hour_id"),
+        (col("carry") + greatest(lit(0L), col("maxrun"))).as("__mp"))
+      .groupBy(col("hour_id"))
+      .agg(max(col("__mp")).as("peak"))
+    val starts = sess
+      .select((col("st") / lit(3600000000L)).cast("long").as("hour_id"))
+      .groupBy(col("hour_id")).agg(count(lit(1)).as("n_starts"))
+    peaks
+      .join(starts, Seq("hour_id"), "left_outer")
+      .na.fill(0L, Seq("n_starts"))
+      .select(col("hour_id"), col("n_starts"), col("peak"))
+  }
+
   /** DAU/WAU engagement ("stickiness"): per calendar day, the count of
     * distinct active users that day (DAU), over the trailing 7-day
     * window (WAU), and their ratio — the metric that separates daily

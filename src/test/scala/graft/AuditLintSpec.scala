@@ -111,6 +111,7 @@ class AuditLintSpec extends AnyFunSuite {
     "q_logrank"      -> "log-rank O-E/V at-risk cumulatives over the per-DAY lifetime table (day-domain)",
     "q_vocab_growth" -> "Heaps curve over per-bucket (log-spaced) aggregate rows",
     "q_temp_mixture" -> "cumulative budget over the per-SOURCE mixture table",
+    "q_concurrency" -> "minute-domain carry: window over per-minute net aggregates, not boundary rows",
     "q_bh_fdr" -> "BH rank over the per-GROUP test family (k hypotheses, metadata-sized)")
 
   test("global-window lint: no production plan windows the whole relation unless metadata-bounded") {

@@ -332,4 +332,29 @@ class JourneysSpec extends SparkSpec {
     assert(g3.getDouble(5) == 1.0
       && g3.getDouble(6) == math.floor(1.0 / math.sqrt(den) * 1e6 + 0.5) / 1e6, s"$g3")
   }
+
+  test("sessionConcurrency: hand sweep — simultaneous end/start nets out, hour-start flat carries") {
+    // sessions (30-min close): u1 [0,30m), u2 [10m,40m), u6 [30m,60m),
+    // u4 [50m,100m) (two events 20m apart = one session), u3 [65m,95m)
+    val ev = Seq(
+      (1L, 1L, 0L, "A"),
+      (2L, 2L, 10 * M, "A"),
+      (6L, 6L, 30 * M, "A"),  // starts exactly as u1's session closes: net 0
+      (3L, 4L, 50 * M, "A"), (4L, 4L, 70 * M, "A"),
+      (5L, 3L, 65 * M, "A")
+    ).toDF("event_id", "user_id", "ts_us", "event_type")
+    val got = Journeys.sessionConcurrency(ev)
+      .orderBy("hour_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // hour 0 sweep: 1,2,2(net-0 tick),1,2 -> peak 2, 4 starts
+    // hour 1: boundaries 60m(->1+carry... conc 1),65m(2),95m(1),100m(0);
+    // flat at hour start = 2 -> peak 2, 1 start (u3)
+    assert(got.toSeq == Seq((0L, 4L, 2L), (1L, 1L, 2L)), s"got: ${got.toSeq}")
+    // drop u3: hour 1's boundary concurrencies are 1,0 but the hour-START
+    // flat value is 2 — the peak must come from the carry, not a boundary
+    val got2 = Journeys.sessionConcurrency(ev.where($"user_id" =!= 3L))
+      .orderBy("hour_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got2.toSeq == Seq((0L, 4L, 2L), (1L, 0L, 2L)), s"flat carry: ${got2.toSeq}")
+  }
 }
