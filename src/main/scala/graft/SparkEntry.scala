@@ -2301,6 +2301,23 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // -- per-image luminance stats over real decoded pixels: 16-bin
+    //    histogram, mean, RMS contrast, histogram entropy — the
+    //    flat/low-contrast image-quality gate
+    "q_image_stats" -> ((s, dir) => {
+      operators.Multimodal
+        .imageStats(operators.Multimodal.demoMediaFromDocuments(s, dir))
+        .orderBy("media_id")
+    }),
+
+    // -- Yule's K per source: frequency-of-frequencies second moment —
+    //    length-invariant vocabulary repetitiveness + hapax share
+    "q_yules_k" -> ((s, dir) =>
+      operators.Stats
+        .yulesK(operators.Tokenize.tokens(t(s, dir, "documents"), "text", Seq("source")),
+          "source")
+        .orderBy("source")),
+
     // -- video scene cuts: EVERY frame dHashed through the real GIF->PNG
     //    chain, a cut wherever consecutive frame hashes differ by >= 32
     //    bits — shot-boundary detection, clip-bounded lag windows
@@ -7477,6 +7494,58 @@ object SparkEntry {
            GROUP BY 1, 2)
          SELECT vid1, vid2, shared_frames FROM p
          WHERE shared_frames >= 2 ORDER BY vid1, vid2""",
+    // full-pixel synthesis-formula replay: integer BT.601 gray, 16-bin
+    // spine, rounded-term integer entropy fold (mirror of
+    // Multimodal.imageStats)
+    "q_image_stats" ->
+      """WITH img AS (SELECT doc_id, 1 + doc_id % 64 AS w,
+                             1 + octet_length(encode(text)) % 64 AS h
+                      FROM documents WHERE doc_id % 3 = 0),
+         px AS (SELECT doc_id, w, unnest(range(w * h)) AS p FROM img),
+         g AS (SELECT doc_id,
+                      (299 * ((v // 65536) % 256) + 587 * ((v // 256) % 256)
+                       + 114 * (v % 256)) // 1000 AS gray
+               FROM (SELECT doc_id,
+                            ((p % w) * 31 + (p // w) * 17 + doc_id) % 16777216 AS v
+                     FROM px) q),
+         agg AS (SELECT doc_id, count(*)::BIGINT AS n_px,
+                        sum(gray)::BIGINT AS sg, sum(gray::BIGINT * gray)::BIGINT AS sgg
+                 FROM g GROUP BY 1),
+         bc AS (SELECT doc_id, gray // 16 AS bin, count(*)::BIGINT AS c
+                FROM g GROUP BY 1, 2),
+         spine AS (SELECT doc_id, unnest(range(16)) AS bin FROM img),
+         hb AS (SELECT spine.doc_id, spine.bin, coalesce(bc.c, 0)::BIGINT AS c
+                FROM spine LEFT JOIN bc ON bc.doc_id = spine.doc_id AND bc.bin = spine.bin),
+         hist AS (SELECT hb.doc_id, list(c ORDER BY bin) AS hist,
+                         sum(CASE WHEN c > 0
+                                  THEN floor((-(c::DOUBLE / n_px) * ln(c::DOUBLE / n_px))
+                                             * 1e6 + 0.5)::BIGINT
+                                  ELSE 0 END)::BIGINT AS se
+                  FROM hb JOIN agg USING (doc_id) GROUP BY hb.doc_id)
+         SELECT agg.doc_id AS media_id, n_px,
+                floor((sg::DOUBLE / n_px::DOUBLE) * 1e4 + 0.5) / 1e4 AS mean_r,
+                floor(sqrt(sgg::DOUBLE / n_px::DOUBLE
+                           - (sg::DOUBLE / n_px::DOUBLE) * (sg::DOUBLE / n_px::DOUBLE))
+                      * 1e4 + 0.5) / 1e4 AS contrast_r,
+                floor((se::DOUBLE / 1e6) * 1e6 + 0.5) / 1e6 AS entropy_r,
+                hist.hist
+         FROM agg JOIN hist USING (doc_id) ORDER BY media_id""",
+    // (source, word) count profile: K from exact integer sums, hapax =
+    // fof_1 (mirror of Stats.yulesK)
+    "q_yules_k" ->
+      """WITH tok AS (
+           SELECT source, w AS word FROM (
+             SELECT source,
+                    regexp_replace(lower(unnest(regexp_split_to_array(text, '\s+'))),
+                                   '[^a-z]', '', 'g') AS w
+             FROM documents) u
+           WHERE w <> ''),
+         cnt AS (SELECT source, word, count(*)::BIGINT AS f FROM tok GROUP BY 1, 2)
+         SELECT source, sum(f)::BIGINT AS n_tokens, count(*)::BIGINT AS n_types,
+                sum((f = 1)::INT)::BIGINT AS hapax,
+                floor((1e4 * (sum(f::HUGEINT * f)::DOUBLE - sum(f)::DOUBLE)
+                       / (sum(f)::DOUBLE * sum(f)::DOUBLE)) * 1e6 + 0.5) / 1e6 AS yules_k_r
+         FROM cnt GROUP BY source ORDER BY source""",
     // stride-1 frame replay + per-clip lag over the formula dHashes; cut
     // at hamming >= 32 (mirror of Multimodal.videoSceneCuts)
     "q_video_scenes" ->

@@ -762,6 +762,70 @@ object Multimodal {
       }
   }
 
+  /** Per-image luminance statistics over REAL decoded pixels — the
+    * image-quality gate of a vision data pipeline (all-black/all-white
+    * screenshots, low-contrast scans, and synthetic flat fills are
+    * dropped on exactly these numbers): full-pixel integer BT.601 gray,
+    * a 16-bin luminance histogram, mean, RMS contrast (population σ of
+    * gray), and the histogram's Shannon entropy — the flatness dial
+    * ([[imageDHash]] says which images MATCH; this says which are worth
+    * keeping at all).
+    *
+    * Per-partition decode (the codec boundary) emits ONE metadata row
+    * per image — exact integer (Σg, Σg², bin counts); every derived
+    * stat is a fixed-order scalar on those integers, and the entropy
+    * sums 6-dp-rounded per-bin terms 1e6-scaled into an exact integer
+    * fold (order-free), so the whole readout replays through the
+    * synthesis-formula oracle. Undecodable images are dropped (the
+    * [[imageDHash]] contract).
+    *
+    * Returns (media_id, n_px, mean_r, contrast_r, entropy_r, hist) with
+    * hist the 16 bin counts in order.
+    */
+  def imageStats(media: Dataset[MediaRecord]): DataFrame = {
+    import media.sparkSession.implicits._
+    val raw = media
+      .filter(_.kind == "image")
+      .mapPartitions { it =>
+        javax.imageio.ImageIO.setUseCache(false)
+        it.flatMap { r =>
+          Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(r.bytes))).map { img =>
+            val (ww, hh) = (img.getWidth, img.getHeight)
+            var sg = 0L
+            var sgg = 0L
+            val hist = new Array[Long](16)
+            var y = 0
+            while (y < hh) {
+              var x = 0
+              while (x < ww) {
+                val v = img.getRGB(x, y) & 0xffffff
+                val g = (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255) + 114 * (v & 255)) / 1000
+                sg += g; sgg += g.toLong * g; hist(g / 16) += 1L
+                x += 1
+              }
+              y += 1
+            }
+            (r.media_id, ww.toLong * hh, sg, sgg, hist.toSeq)
+          }
+        }
+      }
+      .toDF("media_id", "n_px", "__sg", "__sgg", "hist")
+    val nD = col("n_px").cast("double")
+    val m = col("__sg").cast("double") / nD
+    raw.select(
+      col("media_id"), col("n_px"),
+      graft.functions.Portable.pround(m, 4).as("mean_r"),
+      graft.functions.Portable.pround(
+        sqrt(col("__sgg").cast("double") / nD - m * m), 4).as("contrast_r"),
+      graft.functions.Portable.pround(
+        aggregate(col("hist"), lit(0L), (acc, h) =>
+          acc + when(h > 0L,
+            floor(-(h.cast("double") / nD) * log(h.cast("double") / nD) * 1e6 + lit(0.5))
+              .cast("long"))
+            .otherwise(0L)).cast("double") / 1e6, 6).as("entropy_r"),
+      col("hist"))
+  }
+
   /** Video SCENE-CUT detection via consecutive-frame perceptual hashing —
     * the shot-boundary primitive of a video curation pipeline (sample one
     * clip per scene, dedup per shot, split long clips at cuts): every

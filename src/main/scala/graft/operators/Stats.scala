@@ -3131,6 +3131,42 @@ object Stats {
           4).as("f_r"))
   }
 
+  /** Yule's characteristic K per source (Yule, "The Statistical Study of
+    * Literary Vocabulary", 1944): K = 10⁴·(Σ_r N_r·r² − N)/N² from the
+    * frequency-of-frequencies profile — vocabulary REPETITIVENESS that,
+    * unlike type-token ratio, is (asymptotically) length-invariant, so
+    * sources of different sizes compare honestly; high K = a few terms
+    * dominate (template/boilerplate sources), low K = rich vocabulary.
+    * [[tokenEntropy]] measures the same axis in bits; K is the
+    * stylometry-standard second moment, and hapax share rides along
+    * (Good–Turing's N₁ — how much of the vocabulary is one-offs).
+    *
+    * Scale shape: corpus → (source, word) counts in ONE partial-agg
+    * pass, then source-sized reductions; Σf² rides exact decimal sums
+    * (f ≤ N so f² ≤ 1e12 per row at any realistic source), K is one
+    * fixed-order scalar from exact integers.
+    *
+    * Returns (source, n_tokens, n_types, hapax, yules_k_r).
+    */
+  def yulesK(tokens: DataFrame, sourceCol: String): DataFrame = {
+    val cnt = tokens
+      .select(col(sourceCol).as("source"), col("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("__f"))
+    val nD = col("n_tokens").cast("double")
+    cnt
+      .groupBy(col("source"))
+      .agg(
+        sum(col("__f")).as("n_tokens"),
+        count(lit(1)).as("n_types"),
+        sum(when(col("__f") === 1L, 1L).otherwise(0L)).as("hapax"),
+        sum(col("__f").cast("decimal(20,0)") * col("__f").cast("decimal(20,0)"))
+          .cast("decimal(38,0)").as("__s2"))
+      .select(col("source"), col("n_tokens"), col("n_types"), col("hapax"),
+        Portable.pround(
+          lit(1e4) * (col("__s2").cast("double") - nD) / (nD * nD), 6).as("yules_k_r"))
+  }
+
   /** Jarque–Bera normality test per group (Jarque & Bera, Economics
     * Letters 1980) over an INTEGER-valued measure: JB =
     * n/6·(S² + (K−3)²/4) from sample skewness S and kurtosis K — "is

@@ -639,6 +639,19 @@ class DriftStatsSpec extends SparkSpec {
     assert(same.getDouble(2) == 0.0, s"equal spread: $same")
   }
 
+  test("yulesK: hand fof profile; a no-repeat vocabulary reads exactly 0") {
+    val tok = (Seq.fill(3)(("A", "a")) ++ Seq(("A", "b")) ++
+      Seq(("B", "x"), ("B", "y"), ("B", "z"))).toDF("source", "word")
+    val got = Stats.yulesK(tok, "source")
+      .orderBy("source")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    // A: f = {a:3, b:1} -> N=4, S2=10, K = 1e4*(10-4)/16 = 3750
+    // B: all hapax -> S2 = N -> K = 0 exactly
+    assert(got.toSeq == Seq(("A", 4L, 2L, 1L, 3750.0), ("B", 3L, 3L, 3L, 0.0)),
+      s"got: ${got.toSeq}")
+  }
+
   test("jarqueBera: == exact BigInt anchored-moment mirror; symmetric data reads skew 0") {
     val rnd = new java.util.Random(20260815L)
     def mirror(xs: Seq[Long]): (Double, Double, Double, Double) = {

@@ -283,6 +283,38 @@ class MultimodalSpec extends SparkSpec {
     assert(got(1L) != got(3L), "different content must fingerprint differently")
   }
 
+  test("imageStats: hand-computed 2x1 stats; bigger image == formula mirror through the codec") {
+    import spark.implicits._
+    val media = Seq(
+      Multimodal.MediaRecord(1L, "image", Multimodal.synthPng(2, 1, 0L), "en"),
+      Multimodal.MediaRecord(2L, "image", Multimodal.synthPng(9, 7, 123L), "en"),
+      Multimodal.MediaRecord(3L, "audio", Array[Byte](1, 2, 3), "en")
+    ).toDS()
+    val got = Multimodal.imageStats(media)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getSeq[Long](5))))
+      .toMap
+    // 2x1 seed 0: grays 0 and 3 -> mean 1.5, sigma 1.5, one bin -> entropy 0
+    assert(got(1L)._1 == 2L && got(1L)._2 == 1.5 && got(1L)._3 == 1.5 && got(1L)._4 == 0.0,
+      s"hand 2x1: ${got(1L)}")
+    assert(got(1L)._5 == Seq(2L) ++ Seq.fill(15)(0L), s"hist 2x1: ${got(1L)._5}")
+    // 9x7 seed 123: recompute everything from the synthesis formula
+    def r(v: Double, n: Int): Double = { val f = math.pow(10, n); math.floor(v * f + 0.5) / f }
+    val grays = for (y <- 0 until 7; x <- 0 until 9) yield {
+      val v = ((x * 31 + y * 17) + 123L).toInt & 0xffffff
+      (299 * ((v >> 16) & 255) + 587 * ((v >> 8) & 255) + 114 * (v & 255)) / 1000
+    }
+    val n = grays.size.toDouble
+    val hist = (0 until 16).map(b => grays.count(_ / 16 == b).toLong)
+    val se = hist.filter(_ > 0).map(c =>
+      math.floor(-(c / n) * math.log(c / n) * 1e6 + 0.5).toLong).sum
+    val mean = grays.sum / n
+    assert(got(2L) == ((63L, r(mean, 4),
+      r(math.sqrt(grays.map(g => g.toLong * g).sum / n - mean * mean), 4),
+      r(se / 1e6, 6), hist)), s"9x7 mirror: ${got(2L)}")
+  }
+
   test("videoSceneCuts: single-frame clip is one scene; cuts agree with the dHash stream") {
     import spark.implicits._
     val media = Seq(
