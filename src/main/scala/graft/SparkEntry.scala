@@ -1256,6 +1256,25 @@ object SparkEntry {
         .orderBy(desc("score"), asc("doc_id"))
     }),
 
+    // -- learning-to-rank feature export for the same query: BM25 +
+    //    TF-IDF + match/coverage/length per candidate doc in ONE pass —
+    //    the training table a ranker consumes
+    "q_ltr_features" -> ((s, dir) => {
+      Search
+        .ltrFeatures(
+          Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")),
+          Seq("spark", "vector", "window"))
+        .orderBy("doc_id")
+    }),
+
+    // -- leave-last-basket-out hit-rate@10: item-item CF trained on each
+    //    customer's earlier orders vs the popularity baseline on the
+    //    held-out last basket — the offline recommender eval
+    "q_cf_eval" -> ((s, dir) =>
+      operators.Recommend
+        .hitRateEval(t(s, dir, "orders"), t(s, dir, "lineitem"))
+        .orderBy("method")),
+
     // -- the same BM25 served FROM the tf-bearing index + doc-length
     //    sidecar (no corpus re-tokenization on the query path); must equal
     //    q_search_bm25 exactly (same oracle SQL)
@@ -6389,6 +6408,89 @@ object SparkEntry {
                 JOIN dl ON dl.doc_id = tf.doc_id
                 CROSS JOIN stats) u
           GROUP BY doc_id ORDER BY score DESC, doc_id""",
+    // same tf/df/dl join as the bm25 oracle, every LTR feature off it
+    // (mirror of Search.ltrFeatures)
+    "q_ltr_features" ->
+      s"""WITH $TokCte,
+          dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+          stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+          tf AS (SELECT doc_id, word, count(*) AS tf FROM tok
+                 WHERE word IN ('spark', 'vector', 'window') GROUP BY doc_id, word),
+          dfs AS (SELECT word, count(DISTINCT doc_id) AS df_t FROM tf GROUP BY word),
+          u AS (SELECT tf.doc_id, tf.tf, dl.dl, n_docs, avgdl, df_t,
+                       ln((n_docs - df_t + 0.5) / (df_t + 0.5) + 1.0) AS idf
+                FROM tf JOIN dfs USING (word)
+                JOIN dl ON dl.doc_id = tf.doc_id
+                CROSS JOIN stats)
+          SELECT doc_id, max(dl)::BIGINT AS dl, count(*)::BIGINT AS n_matched,
+                 sum(tf)::BIGINT AS sum_tf,
+                 floor((sum(idf * (tf * (1.2 + 1.0)) /
+                            (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)))) * 1e4 + 0.5) / 1e4
+                   AS bm25_r,
+                 floor((sum(tf::DOUBLE * ln(n_docs::DOUBLE / df_t::DOUBLE))) * 1e4 + 0.5) / 1e4
+                   AS tfidf_r,
+                 floor((count(*)::DOUBLE / 3.0) * 1e4 + 0.5) / 1e4 AS coverage_r
+          FROM u GROUP BY doc_id ORDER BY doc_id""",
+    // leave-last-out split + the q_item_cf sim CTEs on the TRAIN slice;
+    // per-candidate scores sum 1e6-scaled rounded cosines (exact longs)
+    "q_cf_eval" ->
+      """WITH uo AS (SELECT o_custkey AS cust, o_orderkey AS ok, o_orderdate AS dt
+                     FROM orders),
+         lastp AS (SELECT cust, ok AS last_ok FROM (
+                     SELECT cust, ok,
+                            row_number() OVER (PARTITION BY cust
+                                               ORDER BY dt DESC, ok DESC) AS rn,
+                            count(*) OVER (PARTITION BY cust) AS no
+                     FROM uo) z
+                   WHERE rn = 1 AND no >= 2),
+         li AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS it FROM lineitem),
+         tg AS (SELECT uo.cust, li.ok, li.it, lastp.last_ok
+                FROM li JOIN uo USING (ok) JOIN lastp USING (cust)),
+         held AS (SELECT DISTINCT cust, it FROM tg WHERE ok = last_ok),
+         ob AS (SELECT DISTINCT ok, it FROM tg WHERE ok <> last_ok),
+         ui AS (SELECT DISTINCT cust, it FROM tg WHERE ok <> last_ok),
+         ni AS (SELECT it, count(*)::BIGINT AS n FROM ob GROUP BY 1),
+         pr AS (SELECT a.it AS i, b.it AS j, count(*)::BIGINT AS co
+                FROM ob a JOIN ob b ON a.ok = b.ok AND a.it < b.it
+                GROUP BY 1, 2 HAVING count(*) >= 2),
+         sc AS (SELECT pr.i, pr.j,
+                       floor((pr.co::DOUBLE / sqrt(x.n::DOUBLE * y.n::DOUBLE))
+                             * 1e6 + 0.5) / 1e6 AS cos_r
+                FROM pr JOIN ni x ON pr.i = x.it JOIN ni y ON pr.j = y.it),
+         sym AS (SELECT i AS item, j AS neighbor, cos_r FROM sc
+                 UNION ALL SELECT j, i, cos_r FROM sc),
+         sims AS (SELECT item, neighbor, cos_r FROM (
+                    SELECT item, neighbor, cos_r,
+                           row_number() OVER (PARTITION BY item
+                                              ORDER BY cos_r DESC, neighbor) AS rk
+                    FROM sym) z WHERE rk <= 3),
+         cand AS (SELECT ui.cust, s.neighbor,
+                         sum(floor(s.cos_r * 1e6 + 0.5)::BIGINT)::BIGINT AS s6
+                  FROM ui JOIN sims s ON s.item = ui.it GROUP BY 1, 2),
+         cand2 AS (SELECT cand.cust, cand.neighbor, cand.s6
+                   FROM cand ANTI JOIN ui
+                   ON ui.cust = cand.cust AND ui.it = cand.neighbor),
+         recs AS (SELECT cust, neighbor FROM (
+                    SELECT cust, neighbor,
+                           row_number() OVER (PARTITION BY cust
+                                              ORDER BY s6 DESC, neighbor) AS rn
+                    FROM cand2) z WHERE rn <= 10),
+         cfh AS (SELECT count(DISTINCT recs.cust)::BIGINT AS n
+                 FROM recs JOIN held ON held.cust = recs.cust AND held.it = recs.neighbor),
+         pop AS (SELECT it FROM (SELECT it, count(*) AS n FROM ob GROUP BY it
+                                 ORDER BY n DESC, it LIMIT 10) z),
+         poph AS (SELECT count(DISTINCT held.cust)::BIGINT AS n
+                  FROM held JOIN pop ON pop.it = held.it),
+         elig AS (SELECT count(*)::BIGINT AS n_users FROM lastp)
+         SELECT * FROM (
+           SELECT 'itemcf' AS method, n_users, cfh.n AS n_hit,
+                  floor((cfh.n::DOUBLE / n_users::DOUBLE) * 1e6 + 0.5) / 1e6 AS hitrate_r
+           FROM elig CROSS JOIN cfh
+           UNION ALL
+           SELECT 'popularity', n_users, poph.n,
+                  floor((poph.n::DOUBLE / n_users::DOUBLE) * 1e6 + 0.5) / 1e6
+           FROM elig CROSS JOIN poph) f
+         ORDER BY method""",
     // identical oracle on purpose: index-served BM25 must equal the
     // token-stream BM25 bit for bit
     "q_search_bm25_indexed" ->

@@ -145,4 +145,90 @@ object Recommend {
       .where(col("rank") <= k)
       .orderBy("item", "rank")
   }
+
+  /** Leave-last-basket-out hit-rate@k — the offline recommender eval
+    * (the MovieLens-protocol standard): each ≥2-order customer's LAST
+    * order (by date, orderkey tiebreak) is held out, [[itemItemCosine]]
+    * trains on the earlier orders only (no leakage), and a customer
+    * scores a hit when any held-out item appears in their top-`k`
+    * recommendations. The POPULARITY top-k rides the same denominator —
+    * a CF run that can't beat "recommend the bestsellers to everyone"
+    * isn't learning anything, and without the baseline row the hit rate
+    * is an uninterpretable absolute.
+    *
+    * Scale shape: the train/held split is one max_by per customer + a
+    * tagged join; recommendation scoring joins each user's train items
+    * against the item-sized top-simK neighbor lists, aggregates
+    * per-(user, candidate) — candidate fan-out ≤ trainItems·simK per
+    * user — anti-joins the already-seen items, and ranks inside
+    * per-USER windows (user-basket-bounded, never global). Per-candidate
+    * scores sum 6-dp-rounded cosines 1e6-scaled into exact longs, so
+    * ranking replays exactly; the popularity cut is a bounded
+    * TakeOrdered. Output is TWO rows.
+    *
+    * Returns (method, n_users, n_hit, hitrate_r) for method ∈
+    * {itemcf, popularity}; users whose training items have no
+    * neighbors simply miss — they are not dropped from the denominator.
+    */
+  def hitRateEval(
+      orders: DataFrame,
+      lineitem: DataFrame,
+      k: Int = 10,
+      minCo: Long = 2,
+      simK: Int = 3): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val uo = orders.select(
+      col("o_custkey").as("cust"), col("o_orderkey").as("ok"), col("o_orderdate").as("dt"))
+    val lastPer = uo
+      .groupBy(col("cust"))
+      .agg(count(lit(1)).as("__no"), max(struct(col("dt"), col("ok"))).as("__last"))
+      .where(col("__no") >= 2)
+      .select(col("cust"), col("__last.ok").as("last_ok"))
+      .localCheckpoint(true)
+    val li = lineitem
+      .select(col("l_orderkey").as("ok"), col("l_partkey").as("it")).distinct()
+    val tagged = li
+      .join(uo.select(col("cust"), col("ok")), Seq("ok"))
+      .join(lastPer, Seq("cust"))
+      .localCheckpoint(true)
+    val held = tagged.where(col("ok") === col("last_ok"))
+      .select(col("cust"), col("it")).distinct()
+      .localCheckpoint(true)
+    val trainLi = tagged.where(col("ok") =!= col("last_ok"))
+      .select(col("ok").as("l_orderkey"), col("it").as("l_partkey"))
+      .distinct()
+      .localCheckpoint(true)
+    val userItems = tagged.where(col("ok") =!= col("last_ok"))
+      .select(col("cust"), col("it")).distinct()
+      .localCheckpoint(true)
+    val sims = itemItemCosine(trainLi, minCo, simK)
+      .select(col("item").as("it"), col("neighbor"), col("cos_r"))
+    val recs = userItems
+      .join(sims, Seq("it"))
+      .groupBy(col("cust"), col("neighbor"))
+      .agg(sum(floor(col("cos_r") * 1e6 + lit(0.5)).cast("long")).as("__s6"))
+      .join(userItems.select(col("cust"), col("it").as("neighbor")),
+        Seq("cust", "neighbor"), "left_anti")
+      .withColumn("__rk", row_number().over(
+        Window.partitionBy(col("cust")).orderBy(col("__s6").desc, col("neighbor").asc)))
+      .where(col("__rk") <= k)
+    val cfHitUsers = recs.select(col("cust"), col("neighbor").as("it"))
+      .join(held, Seq("cust", "it"), "left_semi")
+      .select(col("cust")).distinct()
+    val pop = trainLi
+      .groupBy(col("l_partkey").as("it"))
+      .agg(count(lit(1)).as("__n"))
+      .orderBy(col("__n").desc, col("it").asc)
+      .limit(k)
+    val popHitUsers = held
+      .join(broadcast(pop.select(col("it"))), Seq("it"), "left_semi")
+      .select(col("cust")).distinct()
+    def methodRow(method: String, hitUsers: DataFrame) =
+      lastPer.agg(count(lit(1)).as("n_users"))
+        .crossJoin(broadcast(hitUsers.agg(count(lit(1)).as("n_hit"))))
+        .select(lit(method).as("method"), col("n_users"), col("n_hit"),
+          Portable.pround(
+            col("n_hit").cast("double") / col("n_users").cast("double"), 6).as("hitrate_r"))
+    methodRow("itemcf", cfHitUsers).unionAll(methodRow("popularity", popHitUsers))
+  }
 }

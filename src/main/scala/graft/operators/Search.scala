@@ -608,6 +608,61 @@ object Search {
       .agg(sum(col("w")).as("score"))
   }
 
+  /** Learning-to-rank FEATURE EXPORT for one query (the LambdaMART /
+    * linear-LTR training-table shape, Liu "Learning to Rank for IR"
+    * 2009): per candidate document (≥ 1 matched term), the classic
+    * lexical feature vector — BM25, TF-IDF, matched-term count, query
+    * coverage, total matched tf, document length — as ONE relation a
+    * ranker trains on. [[bm25Query]] serves ONE score; a training
+    * pipeline needs ALL the features per (query, doc) in one pass, and
+    * this is that pass: every feature aggregates from the same tf ×
+    * df × doc-length join, so the corpus is tokenized once and the
+    * candidate relation shuffles once.
+    *
+    * Arithmetic is [[bm25Query]]'s verbatim (same idf/saturation
+    * expressions) plus tf·ln(N/df) for the TF-IDF leg; scores round to
+    * 4 dp (the per-doc sums span ≤ |terms| values — the Portable
+    * shuffled-sum caveat at its most benign).
+    *
+    * Returns (idCol, dl, n_matched, sum_tf, bm25_r, tfidf_r,
+    * coverage_r).
+    */
+  def ltrFeatures(
+      tokens: DataFrame,
+      words: Seq[String],
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      idCol: String = "doc_id"): DataFrame = {
+    import graft.functions.Portable
+    val terms   = cleanedTerms(words)
+    val docLens = tokens.groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+    val stats   = docLens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
+    val tf = tokens
+      .where(col("word").isin(terms: _*))
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+    val dfs = tf.groupBy(col("word")).agg(countDistinct(col(idCol)).as("df_t"))
+    tf.join(broadcast(dfs), Seq("word"))
+      .join(docLens, Seq(idCol))
+      .crossJoin(broadcast(stats))
+      .withColumn("idf",
+        log((col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5) + 1.0))
+      .withColumn("w",
+        col("idf") * (col("tf") * (k1 + 1.0)) /
+          (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+      .withColumn("ti",
+        col("tf").cast("double") * log(col("n_docs").cast("double") / col("df_t").cast("double")))
+      .groupBy(col(idCol))
+      .agg(
+        max(col("dl")).as("dl"),
+        count(lit(1)).as("n_matched"),
+        sum(col("tf")).as("sum_tf"),
+        Portable.pround(sum(col("w")), 4).as("bm25_r"),
+        Portable.pround(sum(col("ti")), 4).as("tfidf_r"))
+      .withColumn("coverage_r",
+        Portable.pround(col("n_matched").cast("double") / lit(terms.size.toDouble), 4))
+  }
+
   /** Pseudo-relevance-feedback query expansion (Rocchio 1971 / the RM
     * relevance-model family, Lavrenko & Croft SIGIR'01): run the base
     * BM25 query, treat its top `fbDocs` results as pseudo-relevant, lift

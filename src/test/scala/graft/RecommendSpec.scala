@@ -89,4 +89,37 @@ class RecommendSpec extends SparkSpec {
       ("C", "A", 1L, c6, 1), ("C", "B", 1L, c6, 2)),
       s"minCo=1: ${loose.toSeq}")
   }
+
+  test("hitRateEval: CF predicts the co-occurring held-out item; popularity baseline misses") {
+    // c1 trains on {A,B}, holds out {C}; c2 trains on {B,C}, holds {A};
+    // c3 trains on {B,C}, holds {D}. (B,C) co-occurs twice -> the only
+    // sim edge; CF recommends C to c1 (hit). Popularity top-1 is B,
+    // which everyone already has -> zero baseline hits.
+    val orders = Seq(
+      (1L, 10L, 1), (1L, 11L, 2),
+      (2L, 20L, 1), (2L, 21L, 2),
+      (3L, 30L, 1), (3L, 31L, 2))
+      .toDF("o_custkey", "o_orderkey", "o_orderdate")
+    val li = Seq(
+      (10L, 101L), (10L, 102L), (11L, 103L),
+      (20L, 102L), (20L, 103L), (21L, 101L),
+      (30L, 102L), (30L, 103L), (31L, 104L))
+      .toDF("l_orderkey", "l_partkey")
+    val got = Recommend.hitRateEval(orders, li, k = 1, minCo = 2, simK = 3)
+      .orderBy("method")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      ("itemcf", 3L, 1L, pround(1.0 / 3.0, 6)),
+      ("popularity", 3L, 0L, 0.0)),
+      s"got: ${got.toSeq}")
+    // single-order customers are ineligible: adding one must not move
+    // either row
+    val plus = Recommend.hitRateEval(
+      orders.unionAll(Seq((9L, 90L, 1)).toDF("o_custkey", "o_orderkey", "o_orderdate")),
+      li.unionAll(Seq((90L, 103L)).toDF("l_orderkey", "l_partkey")),
+      k = 1, minCo = 2, simK = 3)
+      .orderBy("method")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(plus.toSeq == got.toSeq, s"ineligible user leaked in: ${plus.toSeq}")
+  }
 }

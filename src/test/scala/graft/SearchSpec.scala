@@ -402,4 +402,29 @@ class SearchSpec extends SparkSpec {
     // p-hat=1: hi pins to 1, lo strictly below
     assert(math.abs(byG("one")._6 - 1.0) <= 1e-6 && byG("one")._5 < 1.0, s"${byG("one")}")
   }
+
+  test("ltrFeatures: hand-computed feature vector per candidate; no-match docs absent") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "spark spark window foo"),
+      (2L, "foo bar"),
+      (3L, "vector")).toDF("doc_id", "text")
+    val got = Search
+      .ltrFeatures(Tokenize.tokens(docs, "text", Seq("doc_id")),
+        Seq("spark", "vector", "window"))
+      .orderBy("doc_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5), r.getDouble(6)))
+    def r4(v: Double) = math.floor(v * 1e4 + 0.5) / 1e4
+    // n_docs=3, avgdl=7/3; every query term has df 1 -> same idf
+    val idf = math.log((3 - 1 + 0.5) / 1.5 + 1.0)
+    def w(tf: Long, dl: Long) =
+      idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / (7.0 / 3.0)))
+    val ti = (tf: Long) => tf * math.log(3.0 / 1.0)
+    assert(got.toSeq == Seq(
+      (1L, 4L, 2L, 3L, r4(w(2, 4) + w(1, 4)), r4(ti(2) + ti(1)), r4(2.0 / 3.0)),
+      (3L, 1L, 1L, 1L, r4(w(1, 1)), r4(ti(1)), r4(1.0 / 3.0))),
+      s"got: ${got.toSeq}")
+  }
 }
