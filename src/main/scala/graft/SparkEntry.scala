@@ -2337,6 +2337,15 @@ object SparkEntry {
           "source")
         .orderBy("source")),
 
+    // -- Burrows' Delta between every source pair: mean |Δz| of top-30
+    //    function-word frequencies — HOW a source is written (style),
+    //    where q_source_jsd sees WHAT it talks about (topic)
+    "q_burrows_delta" -> ((s, dir) =>
+      graft.functions.TextAnalysis
+        .burrowsDelta(operators.Tokenize.tokens(t(s, dir, "documents"), "text", Seq("source")),
+          "source", topM = 30)
+        .orderBy("s1", "s2")),
+
     // -- video scene cuts: EVERY frame dHashed through the real GIF->PNG
     //    chain, a cut wherever consecutive frame hashes differ by >= 32
     //    bits — shot-boundary detection, clip-bounded lag windows
@@ -7632,6 +7641,44 @@ object SparkEntry {
                 floor((se::DOUBLE / 1e6) * 1e6 + 0.5) / 1e6 AS entropy_r,
                 hist.hist
          FROM agg JOIN hist USING (doc_id) ORDER BY media_id""",
+    // 1e6-scaled relative frequencies, exact integer moment sums per
+    // word, zero-variance cut BEFORE sqrt, rounded z, integer |dz| sums
+    // (mirror of TextAnalysis.burrowsDelta)
+    "q_burrows_delta" ->
+      """WITH tok AS (
+           SELECT source, w AS word FROM (
+             SELECT source,
+                    regexp_replace(lower(unnest(regexp_split_to_array(text, '\s+'))),
+                                   '[^a-z]', '', 'g') AS w
+             FROM documents) u
+           WHERE w <> ''),
+         cnt AS (SELECT source, word, count(*)::BIGINT AS a FROM tok GROUP BY 1, 2),
+         topw AS (SELECT word FROM (
+                    SELECT word, sum(a) AS n FROM cnt GROUP BY word
+                    ORDER BY n DESC, word LIMIT 30) z),
+         st AS (SELECT source, sum(a)::BIGINT AS n1 FROM cnt GROUP BY 1),
+         f6 AS (SELECT st.source, topw.word,
+                       floor(coalesce(cnt.a, 0)::DOUBLE / st.n1::DOUBLE * 1e6 + 0.5)::BIGINT
+                         AS f6
+                FROM st CROSS JOIN topw
+                LEFT JOIN cnt ON cnt.source = st.source AND cnt.word = topw.word),
+         stats AS (SELECT word, mu6, sqrt(var6) AS sd6 FROM (
+                     SELECT word,
+                            s1::DOUBLE / ns::DOUBLE AS mu6,
+                            s2::DOUBLE / ns::DOUBLE
+                              - (s1::DOUBLE / ns::DOUBLE) * (s1::DOUBLE / ns::DOUBLE) AS var6
+                     FROM (SELECT word, count(*)::BIGINT AS ns, sum(f6)::HUGEINT AS s1,
+                                  sum(f6 * f6)::HUGEINT AS s2
+                           FROM f6 GROUP BY word) q) w
+                   WHERE var6 > 0.0),
+         z AS (SELECT f6.source, f6.word,
+                      floor(((f6.f6::DOUBLE - mu6) / sd6) * 1e6 + 0.5) / 1e6 AS z
+               FROM f6 JOIN stats USING (word))
+         SELECT a.source AS s1, b.source AS s2, count(*)::BIGINT AS n_words,
+                floor((sum(floor(abs(a.z - b.z) * 1e6 + 0.5)::BIGINT)::HUGEINT::DOUBLE
+                       / 1e6 / count(*)::DOUBLE) * 1e6 + 0.5) / 1e6 AS delta_r
+         FROM z a JOIN z b ON a.word = b.word AND a.source < b.source
+         GROUP BY a.source, b.source ORDER BY s1, s2""",
     // (source, word) count profile: K from exact integer sums, hapax =
     // fof_1 (mirror of Stats.yulesK)
     "q_yules_k" ->

@@ -1066,4 +1066,71 @@ object TextAnalysis {
       .orderBy(col("score_r").desc, col("phrase"))
       .limit(k)
   }
+
+  /** Burrows' Delta stylistic distance between every source pair
+    * (Burrows, "'Delta': a Measure of Stylistic Difference", LLC 2002 —
+    * the stylometry standard): z-score each source's relative frequency
+    * of the corpus's top-`topM` words (the function-word proxy — THE
+    * most frequent words are grammar, not topic), Delta = mean |Δz|
+    * over those words. The provenance/contamination dial topic-level
+    * profiles miss: [[graft.operators.Stats.jsDivergence]] sees WHAT a
+    * source talks about, Delta sees HOW it is written — two crawls of
+    * the same generator read near-0 even when their topics differ.
+    *
+    * Scale shape: corpus → (source, word) counts once; the vocabulary
+    * cut is a bounded TakeOrdered (freq DESC, word ASC); everything
+    * after is (topM × sources)-sized metadata. Parity: relative
+    * frequencies floor to 1e6-scaled integers, per-word mean/variance
+    * ride exact integer sums (a handful of sources would make double
+    * sums partial-agg-order exposed), zero-variance words drop on the
+    * identically-computed var (BEFORE sqrt — a NaN would compare
+    * differently across engines), z rounds to 6 dp, and the pair sum
+    * adds 1e6-scaled |Δz| integers.
+    *
+    * Returns (s1, s2, n_words, delta_r) with s1 < s2; n_words counts
+    * the surviving (σ > 0) vocabulary, identical for every pair.
+    */
+  def burrowsDelta(tokens: DataFrame, sourceCol: String, topM: Int = 30): DataFrame = {
+    require(topM >= 2, s"topM ($topM) must be >= 2")
+    val cnt = tokens
+      .select(col(sourceCol).as("source"), col("word"))
+      .groupBy(col("source"), col("word"))
+      .agg(count(lit(1)).as("__a"))
+      .localCheckpoint(true)
+    val topW = cnt.groupBy(col("word")).agg(sum(col("__a")).as("__n"))
+      .orderBy(col("__n").desc, col("word").asc).limit(topM)
+      .select(col("word"))
+    val st = cnt.groupBy(col("source")).agg(sum(col("__a")).as("__n1"))
+    val f6 = st
+      .crossJoin(broadcast(topW))
+      .join(cnt, Seq("source", "word"), "left_outer")
+      .na.fill(0L, Seq("__a"))
+      .select(col("source"), col("word"),
+        floor(col("__a").cast("double") / col("__n1").cast("double") * 1e6 + lit(0.5))
+          .cast("long").as("__f6"))
+      .localCheckpoint(true)
+    val mu6 = col("__s1").cast("double") / col("__ns").cast("double")
+    val stats = f6
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("__ns"),
+        sum(col("__f6")).as("__s1"),
+        sum(col("__f6") * col("__f6")).as("__s2"))
+      .withColumn("__var6", col("__s2").cast("double") / col("__ns").cast("double") - mu6 * mu6)
+      .where(col("__var6") > 0.0)
+      .select(col("word"), mu6.as("__mu6"), sqrt(col("__var6")).as("__sd6"))
+    val z = f6
+      .join(broadcast(stats), Seq("word"))
+      .select(col("source"), col("word"),
+        Portable.pround(
+          (col("__f6").cast("double") - col("__mu6")) / col("__sd6"), 6).as("__z"))
+    z.select(col("word"), col("source").as("s1"), col("__z").as("__z1"))
+      .join(z.select(col("word"), col("source").as("s2"), col("__z").as("__z2")), Seq("word"))
+      .where(col("s1") < col("s2"))
+      .groupBy(col("s1"), col("s2"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(floor(abs(col("__z1") - col("__z2")) * 1e6 + lit(0.5)).cast("long")).as("__d6"))
+      .select(col("s1"), col("s2"), col("n_words"),
+        Portable.pround(
+          col("__d6").cast("double") / 1e6 / col("n_words").cast("double"), 6).as("delta_r"))
+  }
 }

@@ -625,6 +625,46 @@ class CorpusOpsSpec extends SparkSpec {
     assert(got(("aa", "bb")) > got(("cc", "dd")))
   }
 
+  test("burrowsDelta: == in-memory z-profile mirror; identical styles read exactly 0") {
+    import graft.functions.TextAnalysis
+    // S1 and S4 share the exact function-word profile -> Delta(S1,S4) = 0
+    val profiles = Map(
+      "S1" -> Seq(("the", 6), ("of", 2), ("xx", 2)),
+      "S2" -> Seq(("the", 2), ("of", 6), ("yy", 2)),
+      "S3" -> Seq(("the", 4), ("of", 4), ("zz", 2)),
+      "S4" -> Seq(("the", 6), ("of", 2), ("ww", 2)))
+    val tok = profiles.toSeq.flatMap { case (s, ws) =>
+      ws.flatMap { case (w, n) => Seq.fill(n)((s, w)) }
+    }.toDF("source", "word")
+    val got = TextAnalysis.burrowsDelta(tok, "source", topM = 2)
+      .orderBy("s1", "s2")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // mirror: top-2 words are {of, the}; 1e6-scaled rel freqs, exact
+    // integer moments, z rounded 6dp, mean of 1e6-scaled |dz|
+    def r6(v: Double) = math.floor(v * 1e6 + 0.5) / 1e6
+    val srcs = profiles.keys.toSeq.sorted
+    val z = Seq("of", "the").map { w =>
+      val f6 = srcs.map { s =>
+        val n1 = profiles(s).map(_._2).sum.toDouble
+        val a = profiles(s).find(_._1 == w).map(_._2).getOrElse(0).toDouble
+        math.floor(a / n1 * 1e6 + 0.5).toLong
+      }
+      val ns = f6.size.toDouble
+      val mu6 = f6.sum / ns
+      val sd6 = math.sqrt(f6.map(v => v.toDouble * v).sum / ns - mu6 * mu6)
+      w -> srcs.zip(f6.map(v => r6((v - mu6) / sd6))).toMap
+    }.toMap
+    for (i <- srcs.indices; j <- (i + 1) until srcs.size) {
+      val (a, b) = (srcs(i), srcs(j))
+      val d6 = Seq("of", "the").map(w =>
+        math.floor(math.abs(z(w)(a) - z(w)(b)) * 1e6 + 0.5).toLong).sum
+      val want = r6(d6.toDouble / 1e6 / 2.0)
+      assert(got((a, b)) == ((2L, want)), s"pair ($a,$b): ${got((a, b))} vs $want")
+    }
+    assert(got(("S1", "S4"))._2 == 0.0, s"identical styles: ${got(("S1", "S4"))}")
+  }
+
   test("keyness: the planted source-exclusive term tops its source; balanced terms drop") {
     import graft.operators.{Cooccurrence, Tokenize}
     // A: hot x6 + zz x4; B: cold x6 + zz x4. zz is perfectly balanced
