@@ -2337,6 +2337,15 @@ object SparkEntry {
           "source")
         .orderBy("source")),
 
+    // -- Neyman allocation: split a 1000-row sample budget across
+    //    languages proportional to N_h·S_h of doc length — volatile
+    //    strata get the budget, near-constant ones almost none; largest-
+    //    remainder integerization so the allocations sum to the budget
+    "q_neyman_alloc" -> ((s, dir) =>
+      operators.Sampling
+        .neymanAllocation(t(s, dir, "documents"), "lang", "n_chars", budget = 1000L)
+        .orderBy("lang")),
+
     // -- Burrows' Delta between every source pair: mean |Δz| of top-30
     //    function-word frequencies — HOW a source is written (style),
     //    where q_source_jsd sees WHAT it talks about (topic)
@@ -7641,6 +7650,40 @@ object SparkEntry {
                 floor((se::DOUBLE / 1e6) * 1e6 + 0.5) / 1e6 AS entropy_r,
                 hist.hist
          FROM agg JOIN hist USING (doc_id) ORDER BY media_id""",
+    // exact-sum sample sd per stratum, 1e6-scaled integer weights, the
+    // temperatureMixture largest-remainder rule (mirror of
+    // Sampling.neymanAllocation)
+    "q_neyman_alloc" ->
+      """WITH per AS (SELECT lang AS g, count(*)::BIGINT AS n_rows,
+                             sum(n_chars)::HUGEINT AS s1,
+                             sum(n_chars::HUGEINT * n_chars) AS s2
+                      FROM documents
+                      WHERE lang IS NOT NULL AND n_chars IS NOT NULL GROUP BY 1),
+         sdv AS (SELECT g, n_rows,
+                        CASE WHEN n_rows >= 2
+                             THEN sqrt(greatest(0.0,
+                                    (s2::DOUBLE - s1::DOUBLE * s1::DOUBLE / n_rows::DOUBLE)
+                                    / (n_rows::DOUBLE - 1.0)))
+                             ELSE 0.0 END AS sd
+                 FROM per),
+         w6 AS (SELECT g, n_rows, sd,
+                       floor(n_rows::DOUBLE * sd * 1e6 + 0.5)::BIGINT AS w6
+                FROM sdv),
+         tw AS (SELECT sum(w6)::BIGINT AS tw6 FROM w6),
+         sc AS (SELECT g, n_rows, sd,
+                       CASE WHEN tw6 > 0 THEN w6::DOUBLE / tw6::DOUBLE ELSE 0.0 END AS share
+                FROM w6 CROSS JOIN tw),
+         sc2 AS (SELECT *, floor((share * 1000) * 1e6 + 0.5) / 1e6 AS ideal FROM sc),
+         sc3 AS (SELECT *, floor(ideal) AS base, ideal - floor(ideal) AS fr FROM sc2),
+         rm AS (SELECT (1000 - sum(base))::BIGINT AS rem FROM sc3),
+         rk AS (SELECT *, row_number() OVER (ORDER BY fr DESC, g) AS rnk
+                FROM sc3 CROSS JOIN rm)
+         SELECT g AS lang, n_rows,
+                floor(sd * 1e4 + 0.5) / 1e4 AS sd_r,
+                floor(share * 1e6 + 0.5) / 1e6 AS share_r,
+                ideal AS ideal_r,
+                (base + CASE WHEN rnk <= rem THEN 1 ELSE 0 END)::BIGINT AS alloc
+         FROM rk ORDER BY lang""",
     // 1e6-scaled relative frequencies, exact integer moment sums per
     // word, zero-variance cut BEFORE sqrt, rounded z, integer |dz| sums
     // (mirror of TextAnalysis.burrowsDelta)

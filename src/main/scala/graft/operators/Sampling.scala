@@ -428,4 +428,75 @@ object Sampling {
         (col("__base") + when(col("__rk") <= col("__rem"), 1L).otherwise(0L))
           .cast("long").as("target_docs"))
   }
+
+  /** Neyman allocation for stratified sampling (Neyman, JRSS 1934 — the
+    * optimal-variance design every survey/eval-sampling pipeline uses):
+    * split a sample budget across strata ∝ N_h·S_h, so volatile strata
+    * get more of the budget and near-constant strata almost none —
+    * minimizing the stratified mean's variance at fixed cost. The
+    * design-time complement of [[temperatureMixture]] (which allocates
+    * by SIZE alone) and the input [[sampleStratified]]-style draws
+    * consume: "how many from each stratum" decided by the data's own
+    * spread, not assumed.
+    *
+    * Parity discipline: per-stratum S_h from EXACT decimal (Σx, Σx²)
+    * sums (sample variance, n ≥ 2); the weight N_h·S_h floors to a
+    * 1e6-scaled LONG so the total weight is an exact integer sum (a
+    * handful of strata would make a double Σw partial-agg-order
+    * exposed); shares/ideals derive from those integers, and the
+    * largest-remainder integerization is [[temperatureMixture]]'s
+    * verbatim (6-dp-quantized ideal before the floor, remainder rank
+    * with a stratum tiebreak) — so Σ alloc == budget EXACTLY and the
+    * whole table replays. Zero-variance / singleton strata carry weight
+    * 0 and can receive only remainder units. All work after the one
+    * stats pass is strata-sized metadata.
+    *
+    * Returns (stratum, n_rows, sd_r, share_r, ideal_r, alloc).
+    */
+  def neymanAllocation(
+      df: DataFrame,
+      stratumCol: String,
+      valueCol: String,
+      budget: Long): DataFrame = {
+    require(budget > 0, s"budget ($budget) must be positive")
+    import graft.functions.Portable
+    val per = df
+      .select(col(stratumCol).as("__g"), col(valueCol).cast("long").as("__x"))
+      .where(col("__g").isNotNull && col("__x").isNotNull)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("__x").cast("decimal(38,0)")).as("__s1"),
+        sum(col("__x").cast("decimal(19,0)") * col("__x").cast("decimal(19,0)"))
+          .cast("decimal(38,0)").as("__s2"))
+    val nD = col("n_rows").cast("double")
+    val sd = when(col("n_rows") >= 2,
+      sqrt(greatest(lit(0.0),
+        (col("__s2").cast("double")
+          - col("__s1").cast("double") * col("__s1").cast("double") / nD)
+          / (nD - lit(1.0))))).otherwise(lit(0.0))
+    val scored0 = per
+      .withColumn("__w6", floor(nD * sd * 1e6 + lit(0.5)).cast("long"))
+    val tot = scored0.agg(sum(col("__w6")).as("__tw6"))
+    val scored = scored0
+      .crossJoin(broadcast(tot))
+      .withColumn("__share",
+        when(col("__tw6") > 0L,
+          col("__w6").cast("double") / col("__tw6").cast("double")).otherwise(0.0))
+      .withColumn("__ideal", Portable.pround(col("__share") * budget, 6))
+      .withColumn("__base", floor(col("__ideal")))
+      .withColumn("__fr", col("__ideal") - col("__base"))
+    val rem = scored.agg((lit(budget) - sum(col("__base"))).as("__rem"))
+    val w = Window.orderBy(desc("__fr"), asc("__g"))
+    scored
+      .crossJoin(broadcast(rem))
+      .withColumn("__rk", row_number().over(w))
+      .select(
+        col("__g").as(stratumCol),
+        col("n_rows"),
+        Portable.pround(sd, 4).as("sd_r"),
+        Portable.pround(col("__share"), 6).as("share_r"),
+        col("__ideal").as("ideal_r"),
+        (col("__base") + when(col("__rk") <= col("__rem"), 1L).otherwise(0L))
+          .cast("long").as("alloc"))
+  }
 }

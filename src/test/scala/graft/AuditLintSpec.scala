@@ -111,6 +111,7 @@ class AuditLintSpec extends AnyFunSuite {
     "q_logrank"      -> "log-rank O-E/V at-risk cumulatives over the per-DAY lifetime table (day-domain)",
     "q_vocab_growth" -> "Heaps curve over per-bucket (log-spaced) aggregate rows",
     "q_temp_mixture" -> "cumulative budget over the per-SOURCE mixture table",
+    "q_neyman_alloc" -> "largest-remainder rank over the per-STRATUM allocation table",
     "q_concurrency" -> "minute-domain carry: window over per-minute net aggregates, not boundary rows",
     "q_bh_fdr" -> "BH rank over the per-GROUP test family (k hypotheses, metadata-sized)")
 

@@ -240,4 +240,31 @@ class WeightedSampleSpec extends SparkSpec {
     val boosted = sel.count(_ % 10 == 0)
     assert(boosted > 40, s"148x-weighted subset should dominate the top-50, got $boosted")
   }
+
+  test("neymanAllocation: hand strata — volatile stratum takes the budget, constant gets none") {
+    import spark.implicits._
+    val rows = Seq(("A", 0L), ("A", 10L), ("B", 5L), ("B", 5L),
+      ("C", 0L), ("C", 0L), ("C", 20L), ("C", 20L)).toDF("g", "x")
+    val got = Sampling.neymanAllocation(rows, "g", "x", budget = 100L)
+      .orderBy("g")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getLong(5)))
+    def r(v: Double, n: Int) = { val f = math.pow(10, n); math.floor(v * f + 0.5) / f }
+    // mirror: exact-sum sample sds, 1e6-scaled integer weights
+    val sdA = math.sqrt(50.0)
+    val sdC = math.sqrt(400.0 / 3.0)
+    val wA = math.floor(2 * sdA * 1e6 + 0.5).toLong
+    val wC = math.floor(4 * sdC * 1e6 + 0.5).toLong
+    val tw = wA + wC
+    val (shA, shC) = (wA.toDouble / tw, wC.toDouble / tw)
+    val (idA, idC) = (r(shA * 100, 6), r(shC * 100, 6))
+    // base 23 + 0 + 76 = 99, one remainder unit -> C's larger fraction wins
+    assert(got.toSeq == Seq(
+      ("A", 2L, r(sdA, 4), r(shA, 6), idA, math.floor(idA).toLong),
+      ("B", 2L, 0.0, 0.0, 0.0, 0L),
+      ("C", 4L, r(sdC, 4), r(shC, 6), idC, math.floor(idC).toLong + 1)),
+      s"got: ${got.toSeq}")
+    assert(got.map(_._6).sum == 100L, "allocations must sum to the budget exactly")
+  }
 }
