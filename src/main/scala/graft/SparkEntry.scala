@@ -9884,8 +9884,9 @@ object SparkEntry {
                   FROM obs),
           e AS (SELECT x, id, unnest(range(0, 64)) AS rep FROM rows_),
           dr AS (SELECT rep, x,
-                        (('0x' || substr(md5('perm:' || rep::VARCHAR || ':' || id::VARCHAR),
-                                         1, 13))::BIGINT
+                        (('0x' || substr(md5('perm:' || (rep // 2)::VARCHAR
+                                             || ':' || id::VARCHAR),
+                                         (1 + (rep % 2) * 13)::INT, 13))::BIGINT
                           / 4503599627370496.0) < (SELECT frac FROM ob2) AS rt
                  FROM e),
           g AS (SELECT rep, sum(rt::INT)::BIGINT AS n1, sum((NOT rt)::INT)::BIGINT AS n0,

@@ -3250,9 +3250,11 @@ object Stats {
     * Re-randomization is the Bernoulli(p̂) form (each unit independently
     * redrawn treated with the OBSERVED treatment fraction — Chamandy's
     * map-reduce discipline, like the Poisson bootstrap next door): the
-    * draw is a per-(rep, id) md5 inverse-CDF uniform, so every replica
-    * is rerun-stable and the oracle replays the whole null distribution
-    * exactly. Values are INTEGER-valued (cents discipline), so all
+    * draws are md5 inverse-CDF uniforms, TWO per digest (reps 2m and
+    * 2m+1 slice disjoint 13-hex windows of md5(salt:m:id) — the digest
+    * dominates the b× scan's map cost and pairing halves it), so every
+    * replica is rerun-stable and the oracle replays the whole null
+    * distribution exactly. Values are INTEGER-valued (cents discipline), so all
     * replica sums are exact decimal aggregates; each replica's gap —
     * and the observed gap — rounds to 6 dp BEFORE the |Δ| comparison,
     * so the count of extreme replicas is cross-engine identical. Work =
@@ -3286,10 +3288,18 @@ object Stats {
             - col("__s0").cast("double") / (col("n") - col("n_treat")).cast("double"), 6)
           .as("diff_obs_r"),
         (col("n_treat").cast("double") / col("n").cast("double")).as("__frac"))
-    // the bootstrapMeanCi md5 uniform: 13 hex digits / 2^52, exact dyadic
-    val u = conv(substring(md5(concat(
-      lit(s"$salt:"), col("__rep").cast("string"), lit(":"), col("__id").cast("string"))),
-      1, 13), 16, 10).cast("double") / lit(4503599627370496.0)
+    // the bootstrapMeanCi md5 uniform (13 hex digits / 2^52, exact
+    // dyadic) — but TWO draws per digest: one md5 per (rep-pair, id),
+    // reps 2m and 2m+1 read hex chars 1-13 and 14-26 (disjoint digest
+    // bits, so the draws stay independent). The digest is the dominant
+    // map-side cost of the b× scan; pairing halves it (measured 15.3 s
+    // -> ~8 s at sf0.1, b = 64).
+    val u = conv(
+      md5(concat(
+        lit(s"$salt:"), floor(col("__rep") / lit(2)).cast("int").cast("string"),
+        lit(":"), col("__id").cast("string")))
+        .substr((col("__rep") % lit(2)) * lit(13) + lit(1), lit(13)),
+      16, 10).cast("double") / lit(4503599627370496.0)
     val reps = rows
       .crossJoin(broadcast(obs.select(col("__frac"))))
       .withColumn("__rep", explode(sequence(lit(0), lit(b - 1))))
