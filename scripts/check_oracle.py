@@ -28,7 +28,13 @@ def norm_cell(v):
     try:
         import numpy as np
         if isinstance(v, np.ndarray):
-            return tuple(norm_cell(x) for x in v)
+            # the DRIVER's pandas sort_values crashes on ndarray cells
+            # (unhashable) — tuple-izing here masked exactly that failure
+            # for q_image_stats in round 14. Mirror the driver: array
+            # columns are a hard error; emit a canonical scalar instead.
+            raise TypeError(
+                "array-typed result cell — the driver's gate cannot compare "
+                "this; flatten it to a scalar column (e.g. array_join)")
         if isinstance(v, np.integer):
             return ("i", int(v))
         if isinstance(v, np.floating):
@@ -75,8 +81,13 @@ def main():
             print(f"FAIL {name}: error {e}")
             n_fail += 1
             continue
-        gc, gr = norm_rows(got_cols, got_rows)
-        wc, wr = norm_rows(want_cols, want_rows)
+        try:
+            gc, gr = norm_rows(got_cols, got_rows)
+            wc, wr = norm_rows(want_cols, want_rows)
+        except TypeError as e:
+            print(f"FAIL {name}: {e}")
+            n_fail += 1
+            continue
         if gc != wc:
             print(f"FAIL {name}: columns {gc} != {wc}")
             n_fail += 1

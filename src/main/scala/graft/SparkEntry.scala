@@ -2322,10 +2322,17 @@ object SparkEntry {
 
     // -- per-image luminance stats over real decoded pixels: 16-bin
     //    histogram, mean, RMS contrast, histogram entropy — the
-    //    flat/low-contrast image-quality gate
+    //    flat/low-contrast image-quality gate. The histogram surfaces as a
+    //    canonical space-joined string (scalar column) so the driver's
+    //    pandas-based hash compare can sort it — array cells are
+    //    unhashable there; the array form stays spec-checked in
+    //    MultimodalSpec.
     "q_image_stats" -> ((s, dir) => {
       operators.Multimodal
         .imageStats(operators.Multimodal.demoMediaFromDocuments(s, dir))
+        .withColumn("hist_str",
+          array_join(transform(col("hist"), h => h.cast("string")), " "))
+        .drop("hist")
         .orderBy("media_id")
     }),
 
@@ -7251,7 +7258,8 @@ object SparkEntry {
                                    / ((nn - n1)::DOUBLE * (nn - wtot)::DOUBLE)) ELSE 0.0 END
                   )) * 1e4 + 0.5) / 1e4 AS g2_r
            FROM cnt JOIN wt USING (word) JOIN st USING (source) CROSS JOIN tot
-           WHERE a >= 5 AND a * (nn - n1) > (wtot - a) * n1),
+           WHERE a >= 5
+             AND a::HUGEINT * (nn - n1)::HUGEINT > (wtot - a)::HUGEINT * n1::HUGEINT),
          rk AS (SELECT *, row_number() OVER (PARTITION BY source
                                              ORDER BY g2_r DESC, word) AS rank
                 FROM sc)
@@ -7648,7 +7656,7 @@ object SparkEntry {
                            - (sg::DOUBLE / n_px::DOUBLE) * (sg::DOUBLE / n_px::DOUBLE))
                       * 1e4 + 0.5) / 1e4 AS contrast_r,
                 floor((se::DOUBLE / 1e6) * 1e6 + 0.5) / 1e6 AS entropy_r,
-                hist.hist
+                array_to_string(hist.hist, ' ') AS hist_str
          FROM agg JOIN hist USING (doc_id) ORDER BY media_id""",
     // exact-sum sample sd per stratum, 1e6-scaled integer weights, the
     // temperatureMixture largest-remainder rule (mirror of
@@ -7669,9 +7677,10 @@ object SparkEntry {
          w6 AS (SELECT g, n_rows, sd,
                        floor(n_rows::DOUBLE * sd * 1e6 + 0.5)::BIGINT AS w6
                 FROM sdv),
-         tw AS (SELECT sum(w6)::BIGINT AS tw6 FROM w6),
+         tw AS (SELECT sum(w6)::BIGINT AS tw6, sum(n_rows)::BIGINT AS tn FROM w6),
          sc AS (SELECT g, n_rows, sd,
-                       CASE WHEN tw6 > 0 THEN w6::DOUBLE / tw6::DOUBLE ELSE 0.0 END AS share
+                       CASE WHEN tw6 > 0 THEN w6::DOUBLE / tw6::DOUBLE
+                            ELSE n_rows::DOUBLE / tn::DOUBLE END AS share
                 FROM w6 CROSS JOIN tw),
          sc2 AS (SELECT *, floor((share * 1000) * 1e6 + 0.5) / 1e6 AS ideal FROM sc),
          sc3 AS (SELECT *, floor(ideal) AS base, ideal - floor(ideal) AS fr FROM sc2),

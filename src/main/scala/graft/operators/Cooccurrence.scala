@@ -166,8 +166,11 @@ object Cooccurrence {
       .join(wt, Seq("word"))
       .join(st, Seq("source"))
       .crossJoin(broadcast(tot))
-      // overused only: a/n1 > c/n0 by integer cross-multiply
-      .where(col("a") * (col("nn") - col("n1")) > c0 * col("n1"))
+      // overused only: a/n1 > c/n0 by integer cross-multiply — through
+      // decimal(38,0) so the products stay exact past ~3e9 corpus tokens
+      // (long*long overflows silently at that scale)
+      .where(col("a").cast("decimal(38,0)") * (col("nn") - col("n1")).cast("decimal(38,0)")
+        > c0.cast("decimal(38,0)") * col("n1").cast("decimal(38,0)"))
       .select(col("source"), col("word"), col("a").as("n_in"), c0.as("n_out"),
         Portable.pround(
           lit(2.0) * (term(col("a"), col("n1"), col("wtot"))

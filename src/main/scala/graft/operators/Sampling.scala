@@ -448,8 +448,12 @@ object Sampling {
     * verbatim (6-dp-quantized ideal before the floor, remainder rank
     * with a stratum tiebreak) — so Σ alloc == budget EXACTLY and the
     * whole table replays. Zero-variance / singleton strata carry weight
-    * 0 and can receive only remainder units. All work after the one
-    * stats pass is strata-sized metadata.
+    * 0 and can receive only remainder units. Degenerate corpus (EVERY
+    * stratum zero-weight, Σw == 0 — all-constant or all-singleton
+    * strata): shares fall back to proportional-by-n_rows so the
+    * Σ alloc == budget guarantee still holds (the naive "shares all 0"
+    * reading would hand out only min(budget, #strata) remainder units).
+    * All work after the one stats pass is strata-sized metadata.
     *
     * Returns (stratum, n_rows, sd_r, share_r, ideal_r, alloc).
     */
@@ -476,12 +480,13 @@ object Sampling {
           / (nD - lit(1.0))))).otherwise(lit(0.0))
     val scored0 = per
       .withColumn("__w6", floor(nD * sd * 1e6 + lit(0.5)).cast("long"))
-    val tot = scored0.agg(sum(col("__w6")).as("__tw6"))
+    val tot = scored0.agg(sum(col("__w6")).as("__tw6"), sum(col("n_rows")).as("__tn"))
     val scored = scored0
       .crossJoin(broadcast(tot))
       .withColumn("__share",
         when(col("__tw6") > 0L,
-          col("__w6").cast("double") / col("__tw6").cast("double")).otherwise(0.0))
+          col("__w6").cast("double") / col("__tw6").cast("double"))
+          .otherwise(col("n_rows").cast("double") / col("__tn").cast("double")))
       .withColumn("__ideal", Portable.pround(col("__share") * budget, 6))
       .withColumn("__base", floor(col("__ideal")))
       .withColumn("__fr", col("__ideal") - col("__base"))

@@ -3263,7 +3263,12 @@ object Stats {
     *
     * Returns (n, n_treat, diff_obs_r, b_eff, n_extreme, p_r); replicas
     * that draw an empty side are dropped (b_eff counts survivors —
-    * vanishingly rare at any real n).
+    * vanishingly rare at any real n). A degenerate OBSERVED sample with
+    * one arm empty (n_treat = 0 or n_treat = n) fails fast at execution
+    * via raise_error — the label shuffle is undefined on a single-arm
+    * sample, and the naive read would be a null diff and a meaningless
+    * p (the runtime analog of the b >= 4 require; data-dependent, so it
+    * can't be a plan-time check).
     */
   def randomizationTest(
       df: DataFrame,
@@ -3284,8 +3289,13 @@ object Stats {
       sum(when(!col("__t"), col("__x")).otherwise(0L).cast("decimal(20,0)")).as("__s0"))
       .select(col("n"), col("n_treat"),
         Portable.pround(
-          col("__s1").cast("double") / col("n_treat").cast("double")
-            - col("__s0").cast("double") / (col("n") - col("n_treat")).cast("double"), 6)
+          when(col("n_treat") > 0L && col("n_treat") < col("n"),
+            col("__s1").cast("double") / col("n_treat").cast("double")
+              - col("__s0").cast("double") / (col("n") - col("n_treat")).cast("double"))
+            .otherwise(raise_error(format_string(
+              "randomizationTest: one arm is empty (n=%d, n_treat=%d) — " +
+                "a single-arm sample has no label shuffle",
+              col("n"), col("n_treat"))).cast("double")), 6)
           .as("diff_obs_r"),
         (col("n_treat").cast("double") / col("n").cast("double")).as("__frac"))
     // the bootstrapMeanCi md5 uniform (13 hex digits / 2^52, exact

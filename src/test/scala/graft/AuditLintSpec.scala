@@ -140,6 +140,27 @@ class AuditLintSpec extends AnyFunSuite {
         stale.toSeq.sorted.mkString(", "))
   }
 
+  test("flat-schema lint: every query output is scalar-only (the driver gate cannot compare arrays)") {
+    // r14 shipped q_image_stats with an array<long> hist column; the
+    // driver's pandas compare crashed on the unhashable ndarray cells and
+    // the query ran with NO oracle verification while SURVEY claimed
+    // all-oracled. Complex-typed output columns are a hard build failure:
+    // emit a canonical scalar (array_join, explode-to-rows, per-element
+    // columns) instead.
+    import org.apache.spark.sql.types.{ArrayType, MapType, StructType}
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, mk) =>
+      val complex = mk(spark, sfDir).schema.fields.collect {
+        case f if f.dataType.isInstanceOf[ArrayType]
+          || f.dataType.isInstanceOf[MapType]
+          || f.dataType.isInstanceOf[StructType] => s"${f.name}: ${f.dataType.simpleString}"
+      }
+      if (complex.nonEmpty) Some(s"$name(${complex.mkString(", ")})") else None
+    }
+    assert(offenders.isEmpty,
+      s"queries with complex-typed output columns (driver hash compare would crash): " +
+        offenders.mkString(", "))
+  }
+
   // ---------------------------------------------------------------- caps
 
   /** PUBLIC operator defs whose parameter list takes a bucket/df cap but

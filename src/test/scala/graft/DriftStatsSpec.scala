@@ -733,4 +733,20 @@ class DriftStatsSpec extends SparkSpec {
       gotSep.getDouble(5) == r6(1.0 / (gotSep.getLong(3) + 1).toDouble),
       s"floor p: $gotSep")
   }
+
+  test("randomizationTest: a single-arm observed sample fails fast") {
+    // n_treat = n and n_treat = 0 both raise at execution — there is no
+    // label shuffle on one arm, and a silent null diff would read as a
+    // meaningless p
+    for (allTreated <- Seq(true, false)) {
+      val rows = (0L until 20L).map(i => (i, allTreated, i * 10L)).toDF("id", "t", "x")
+      val ex = intercept[Exception] {
+        Stats.randomizationTest(rows, "t", "x", "id", b = 8, salt = "sp").collect()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(ex).exists(_.contains("one arm is empty")),
+        s"allTreated=$allTreated: ${msgs(ex)}")
+    }
+  }
 }

@@ -267,4 +267,23 @@ class WeightedSampleSpec extends SparkSpec {
       s"got: ${got.toSeq}")
     assert(got.map(_._6).sum == 100L, "allocations must sum to the budget exactly")
   }
+
+  test("neymanAllocation: all-zero-weight strata fall back to proportional, sum == budget") {
+    import spark.implicits._
+    // every stratum constant or singleton -> every Neyman weight is 0;
+    // the old reading handed out only min(budget, #strata) remainder
+    // units. The fallback allocates by n_rows share.
+    val rows = Seq(("A", 7L), ("A", 7L), ("A", 7L), ("B", 3L), ("C", 9L), ("C", 9L))
+      .toDF("g", "x")
+    val got = Sampling.neymanAllocation(rows, "g", "x", budget = 12L)
+      .orderBy("g")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(3), r.getLong(5)))
+    // shares 3/6, 1/6, 2/6 -> ideals 6, 2, 4 exactly
+    assert(got.toSeq == Seq(("A", 3L, 0.5, 6L), ("B", 1L, r6(1.0 / 6), 2L),
+      ("C", 2L, r6(2.0 / 6), 4L)), s"got: ${got.toSeq}")
+    assert(got.map(_._4).sum == 12L, "degenerate case must still sum to the budget")
+  }
+
+  private def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
 }
