@@ -169,7 +169,9 @@ object ExplainAudit {
     "q_jarque_bera", "q_randomization", "q_edge_embeddedness",
     "q_silhouette", "q_cluster_db", "q_video_scenes", "q_audio_vad",
     "q_sem_decontam", "q_keyness", "q_concurrency", "q_image_stats", "q_yules_k",
-    "q_ltr_features", "q_cf_eval", "q_burrows_delta", "q_neyman_alloc")
+    "q_ltr_features", "q_cf_eval", "q_burrows_delta", "q_neyman_alloc",
+    // round 15: Theil–Sen robust trend, Holt linear-trend forecast
+    "q_theilsen", "q_holt_forecast")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

@@ -3378,6 +3378,22 @@ object SparkEntry {
       operators.TimeSeries.sesForecast(
         graft.sources.EventsSource.events(s, dir), window = 40)),
 
+    // -- Theil–Sen robust trend per stream: median pairwise slope over
+    //    the last 120 hours (window-bounded pair expansion per key) +
+    //    median-residual intercept — the spike-proof growth readout
+    "q_theilsen" -> ((s, dir) =>
+      operators.TimeSeries.theilSenTrend(
+        graft.sources.EventsSource.events(s, dir), window = 120)
+        .orderBy("event_type")),
+
+    // -- Holt linear-trend forecast per stream: the α=β=1/2 level/trend
+    //    recursion as ONE codegen'd array fold over the sorted windowed
+    //    series, 6-dp-rounded each step so the recursion replays exactly
+    "q_holt_forecast" -> ((s, dir) =>
+      operators.TimeSeries.holtForecast(
+        graft.sources.EventsSource.events(s, dir), window = 40)
+        .orderBy("event_type")),
+
     // -- Cramér's V between doc language and source: the normalized
     //    effect size the chi2 verdict leaves open
     "q_cramers_v" -> ((s, dir) =>
@@ -5775,6 +5791,68 @@ object SparkEntry {
                  floor((s::DOUBLE / ((1::BIGINT << (n_points - 1)::INT)::DOUBLE))
                        * 1e6 + 0.5) / 1e6 AS forecast_r
           FROM ag ORDER BY event_type""",
+    // pairwise slopes over the 120h window, 6-dp rounded BEFORE the
+    // rank-pick median; intercept = median residual off the rounded
+    // slope (mirror of TimeSeries.theilSenTrend)
+    "q_theilsen" ->
+      s"""WITH $DenseHourCte,
+          ext AS (SELECT event_type, max(h) AS hx FROM ser GROUP BY 1),
+          w AS (SELECT s.event_type, s.h, s.x FROM ser s JOIN ext e USING (event_type)
+                WHERE e.hx - s.h < 120),
+          pr AS (SELECT a.event_type, a.h AS h1, b.h AS h2,
+                        floor(((b.x - a.x)::DOUBLE / (b.h - a.h)::DOUBLE) * 1e6 + 0.5) / 1e6 AS s
+                 FROM w a JOIN w b ON a.event_type = b.event_type AND b.h > a.h),
+          rk AS (SELECT event_type, s,
+                        row_number() OVER (PARTITION BY event_type ORDER BY s, h1, h2) AS rk,
+                        count(*) OVER (PARTITION BY event_type) AS np
+                 FROM pr),
+          sl AS (SELECT event_type, max(np)::BIGINT AS n_pairs,
+                        floor(avg(s) * 1e6 + 0.5) / 1e6 AS slope_r
+                 FROM rk WHERE rk = (np + 1) // 2 OR rk = np // 2 + 1 GROUP BY 1),
+          mn AS (SELECT event_type, min(h) AS mnh, count(*)::BIGINT AS n_points
+                 FROM w GROUP BY 1),
+          rs AS (SELECT w.event_type, n_points, n_pairs, slope_r, w.h,
+                        floor((x::DOUBLE - slope_r * (w.h - mnh)::DOUBLE) * 1e6 + 0.5) / 1e6 AS r0
+                 FROM w JOIN mn USING (event_type) JOIN sl USING (event_type)),
+          rk2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY r0, h) AS rk
+                  FROM rs)
+          SELECT event_type, max(n_points)::BIGINT AS n_points,
+                 max(n_pairs)::BIGINT AS n_pairs, max(slope_r) AS slope_r,
+                 floor(avg(r0) * 1e6 + 0.5) / 1e6 AS intercept_r
+          FROM rk2 WHERE rk = (n_points + 1) // 2 OR rk = n_points // 2 + 1
+          GROUP BY 1 ORDER BY event_type""",
+    // the α=β=1/2 level/trend recursion replayed step-by-step as a
+    // recursive CTE, 6-dp floor at every step (mirror of
+    // TimeSeries.holtForecast's array fold)
+    "q_holt_forecast" ->
+      s"""WITH RECURSIVE $DenseHourCte,
+          ext AS (SELECT event_type, max(h) AS hx FROM ser GROUP BY 1),
+          w AS (SELECT s.event_type, s.x,
+                       row_number() OVER (PARTITION BY s.event_type ORDER BY s.h) AS i
+                FROM ser s JOIN ext e USING (event_type)
+                WHERE e.hx - s.h < 40),
+          np AS (SELECT event_type, max(i)::BIGINT AS n_points FROM w GROUP BY 1),
+          st AS (
+            SELECT event_type, 1::BIGINT AS i, x::DOUBLE AS l, 0.0::DOUBLE AS b
+            FROM w WHERE i = 1
+            UNION ALL
+            SELECT st.event_type, st.i + 1,
+                   CASE WHEN st.i = 1 THEN w.x::DOUBLE
+                        ELSE floor((0.5 * w.x::DOUBLE + 0.5 * (st.l + st.b)) * 1e6 + 0.5) / 1e6
+                   END,
+                   CASE WHEN st.i = 1 THEN w.x::DOUBLE - st.l
+                        ELSE floor((0.5 * ((floor((0.5 * w.x::DOUBLE
+                                                   + 0.5 * (st.l + st.b)) * 1e6 + 0.5) / 1e6)
+                                           - st.l)
+                                    + 0.5 * st.b) * 1e6 + 0.5) / 1e6
+                   END
+            FROM st JOIN w ON w.event_type = st.event_type AND w.i = st.i + 1)
+          SELECT st.event_type, np.n_points,
+                 floor(st.l * 1e6 + 0.5) / 1e6 AS level_r,
+                 floor(st.b * 1e6 + 0.5) / 1e6 AS trend_r,
+                 floor((st.l + st.b) * 1e6 + 0.5) / 1e6 AS forecast_r
+          FROM st JOIN np ON np.event_type = st.event_type AND st.i = np.n_points
+          ORDER BY st.event_type""",
     // χ² = n(Σ o²/(ra·cb) − 1); V from the ROUNDED χ²
     "q_cramers_v" ->
       """WITH c AS (SELECT lang AS a, source AS b, count(*)::BIGINT AS o

@@ -399,4 +399,109 @@ class TimeSeriesSpec extends SparkSpec {
     // purchase spans hours 2000-2002: lags 3+ have no overlap at all
     assert(got.map(_.getLong(0)).toSeq == Seq(0L, 1L, 2L), s"lags: ${got.toSeq}")
   }
+
+  private def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+
+  /** Plain-Scala mirror of [[TimeSeries.theilSenTrend]]'s median discipline:
+    * round-6 values, rank-pick lo/hi middles, round-6 average.
+    */
+  private def medianR6(vs: Seq[Double]): Double = {
+    val s = vs.sorted
+    val n = s.size
+    val (lo, hi) = ((n + 1) / 2, n / 2 + 1)
+    r6((s(lo - 1) + s(hi - 1)) / 2.0)
+  }
+
+  test("theilSenTrend: hand pairwise-slope median; single-bucket key absent") {
+    // counts [1,3,2,7]: slopes sorted [-1, 0.5, 2, 2, 2, 5] -> median 2;
+    // residuals x - 2(h-h0) = [1,1,-2,1] -> median 1
+    val ev = (hourlyEvents("a", 8000L, Seq(1, 3, 2, 7))
+      ++ hourlyEvents("b", 8000L, Seq(5))).toDF("event_type", "ts_t")
+    val got = TimeSeries.theilSenTrend(ev).collect()
+    assert(got.length == 1, s"single-bucket key must be absent: ${got.toSeq}")
+    val r = got.head
+    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
+      == (("a", 4L, 6L, 2.0, 1.0)), s"$r")
+  }
+
+  test("theilSenTrend fuzz: == the plain-Scala mirror on random gappy streams") {
+    val rnd = new scala.util.Random(515L)
+    val series = (0 until 8).map { k =>
+      val hours = 0L +: (1 until 3 + rnd.nextInt(10))
+        .filter(_ => rnd.nextInt(3) > 0).map(_.toLong)
+      s"k$k" -> hours.map(h => h -> (1 + rnd.nextInt(9))).toMap
+    }
+    val ev = series.flatMap { case (key, m) =>
+      m.toSeq.flatMap { case (h, c) => hourlyEvents(key, 9000L + h, Seq(c)) }
+    }.toDF("event_type", "ts_t")
+    val got = TimeSeries.theilSenTrend(ev, window = 6)
+      .collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
+    series.foreach { case (key, m) =>
+      // dense series over the key's span, then the last 6 hours
+      val (mnAll, mxAll) = (m.keys.min, m.keys.max)
+      val dense = (mnAll to mxAll).map(h => h -> m.getOrElse(h, 0).toLong)
+      val win = dense.filter { case (h, _) => mxAll - h < 6 }
+      if (win.size < 2) assert(!got.contains(key), s"$key: single bucket must be absent")
+      else {
+        val slopes = for {
+          i <- win.indices; j <- (i + 1) until win.size
+        } yield r6((win(j)._2 - win(i)._2).toDouble / (win(j)._1 - win(i)._1))
+        val slope = medianR6(slopes)
+        val h0 = win.map(_._1).min
+        val icept = medianR6(win.map { case (h, x) => r6(x - slope * (h - h0)) })
+        assert(got(key) == ((win.size.toLong, slopes.size.toLong, slope, icept)),
+          s"$key: ${got(key)} vs (${win.size}, ${slopes.size}, $slope, $icept)")
+      }
+    }
+  }
+
+  test("holtForecast: hand alpha=beta=1/2 recursion; window truncates; single point flat") {
+    // [4,2,6,10]: l2=2,b2=-2; l3=3,b3=-0.5; l4=6.25,b4=1.375 -> forecast 7.625
+    val ev = (hourlyEvents("a", 7000L, Seq(4, 2, 6, 10))
+      ++ hourlyEvents("b", 7100L, Seq(7))).toDF("event_type", "ts_t")
+    val got = TimeSeries.holtForecast(ev).orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("a", 4L, 6.25, 1.375, 7.625),
+      ("b", 1L, 7.0, 0.0, 7.0)), s"${got.toSeq}")
+    // window 2 sees only [6,10]: l=10, b=4 -> forecast 14
+    val win = TimeSeries.holtForecast(ev, window = 2).orderBy("event_type").collect().head
+    assert((win.getLong(1), win.getDouble(2), win.getDouble(3), win.getDouble(4))
+      == ((2L, 10.0, 4.0, 14.0)), s"windowed: $win")
+  }
+
+  test("holtForecast fuzz: == the plain-Scala step-rounded recursion") {
+    val rnd = new scala.util.Random(1515L)
+    val series = (0 until 6).map(k => s"k$k" -> (0 until 2 + rnd.nextInt(12))
+      .map(h => h.toLong -> (if (rnd.nextBoolean()) 0 else 1 + rnd.nextInt(20))).toMap)
+    val ev = series.flatMap { case (key, m) =>
+      m.toSeq.flatMap { case (h, c) => hourlyEvents(key, 11000L + h, Seq(c)) }
+    }.toDF("event_type", "ts_t")
+    val got = TimeSeries.holtForecast(ev, window = 8).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    series.foreach { case (key, m) =>
+      // the dense spine spans OBSERVED hours only (a zero-count hour at
+      // the edge emits no event, so it can't extend the span)
+      val obs = m.filter(_._2 > 0)
+      if (obs.isEmpty) assert(!got.contains(key), s"$key: no events must be absent")
+      else {
+        val dense = (obs.keys.min to obs.keys.max).map(h => m.getOrElse(h, 0).toLong)
+        val win = dense.takeRight(8).map(_.toDouble)
+        var (l, b) = (win.head, 0.0)
+        win.drop(1).zipWithIndex.foreach { case (x, i) =>
+          if (i == 0) { b = x - l; l = x }
+          else {
+            val l1 = r6(0.5 * x + 0.5 * (l + b))
+            b = r6(0.5 * (l1 - l) + 0.5 * b)
+            l = l1
+          }
+        }
+        assert(got(key) == ((win.size.toLong, r6(l), r6(b), r6(l + b))),
+          s"$key: ${got(key)} vs (${win.size}, ${r6(l)}, ${r6(b)}, ${r6(l + b)})")
+      }
+    }
+  }
 }
