@@ -170,8 +170,9 @@ object ExplainAudit {
     "q_silhouette", "q_cluster_db", "q_video_scenes", "q_audio_vad",
     "q_sem_decontam", "q_keyness", "q_concurrency", "q_image_stats", "q_yules_k",
     "q_ltr_features", "q_cf_eval", "q_burrows_delta", "q_neyman_alloc",
-    // round 15: Theil–Sen robust trend, Holt linear-trend forecast
-    "q_theilsen", "q_holt_forecast")
+    // round 15: Holt linear-trend forecast, KWIC concordance (q_ktruss
+    // is iterative — its support-peel body is audited below)
+    "q_holt_forecast", "q_kwic")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan
@@ -305,6 +306,20 @@ object ExplainAudit {
             s.read.parquet(s"$dir/customer.parquet"),
             s.read.parquet(s"$dir/supplier.parquet"))),
           k = 4)
+      }),
+      // round 15: one k-truss support-peel round over the customer
+      // co-supplier projection — the oriented-wedge support count (two
+      // equi-joins on the oriented edge list) + the >= k-2 filter; the
+      // real loop checkpoints each round
+      "q_ktruss" -> ((s: SparkSession, dir: String) => {
+        import graft.operators.Graph
+        Graph.kTrussPeel(
+          Graph.orientedEdges(Graph.coSupplierEdges(
+            s.read.parquet(s"$dir/orders.parquet"),
+            s.read.parquet(s"$dir/lineitem.parquet"),
+            s.read.parquet(s"$dir/customer.parquet"),
+            s.read.parquet(s"$dir/supplier.parquet"))),
+          k = 26)
       }),
       // round 14: the ER pipeline's cc round over the edit-pair graph —
       // same hash-to-min body as q_dedup_groups, name-keyed

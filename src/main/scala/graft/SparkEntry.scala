@@ -1293,6 +1293,12 @@ object SparkEntry {
     "q_search_phrase" -> ((s, dir) =>
       Search.phraseQuery(t(s, dir, "documents"), Seq("data", "query"))),
 
+    // -- KWIC concordance: every 'data' occurrence with its ±3-token
+    //    window, first 200 in (doc, pos) order — map-side match-position
+    //    fan-out (per MATCH, not per token) + TakeOrderedAndProject
+    "q_kwic" -> ((s, dir) =>
+      Search.kwic(t(s, dir, "documents"), "data", width = 3, k = 200)),
+
     // -- same phrase served from the positional index (identical oracle:
     //    the two implementations must agree)
     "q_search_phrase_indexed" -> ((s, dir) =>
@@ -3220,6 +3226,19 @@ object SparkEntry {
         .orderBy("node")
     }),
 
+    // -- k-truss backbone of the customer co-supplier projection: every
+    //    surviving edge closes >= 24 triangles after a 6-peel cascade
+    //    (8 rounds certifies the fixpoint at sf0.01); support recomputed
+    //    on the final truss so each row carries its triangle count
+    "q_ktruss" -> ((s, dir) => {
+      operators.Graph
+        .kTruss(
+          operators.Graph.coSupplierEdges(t(s, dir, "orders"), t(s, dir, "lineitem"),
+            t(s, dir, "customer"), t(s, dir, "supplier")),
+          k = 26, rounds = 8)
+        .orderBy("src", "dst")
+    }),
+
     // -- degree mixing of the same-nation trade graph: do well-connected
     //    customers trade with well-connected suppliers? One number from
     //    exact integer degree sums over the symmetrized edge list
@@ -3377,14 +3396,6 @@ object SparkEntry {
     "q_ses_forecast" -> ((s, dir) =>
       operators.TimeSeries.sesForecast(
         graft.sources.EventsSource.events(s, dir), window = 40)),
-
-    // -- Theil–Sen robust trend per stream: median pairwise slope over
-    //    the last 120 hours (window-bounded pair expansion per key) +
-    //    median-residual intercept — the spike-proof growth readout
-    "q_theilsen" -> ((s, dir) =>
-      operators.TimeSeries.theilSenTrend(
-        graft.sources.EventsSource.events(s, dir), window = 120)
-        .orderBy("event_type")),
 
     // -- Holt linear-trend forecast per stream: the α=β=1/2 level/trend
     //    recursion as ONE codegen'd array fold over the sorted windowed
@@ -5791,36 +5802,6 @@ object SparkEntry {
                  floor((s::DOUBLE / ((1::BIGINT << (n_points - 1)::INT)::DOUBLE))
                        * 1e6 + 0.5) / 1e6 AS forecast_r
           FROM ag ORDER BY event_type""",
-    // pairwise slopes over the 120h window, 6-dp rounded BEFORE the
-    // rank-pick median; intercept = median residual off the rounded
-    // slope (mirror of TimeSeries.theilSenTrend)
-    "q_theilsen" ->
-      s"""WITH $DenseHourCte,
-          ext AS (SELECT event_type, max(h) AS hx FROM ser GROUP BY 1),
-          w AS (SELECT s.event_type, s.h, s.x FROM ser s JOIN ext e USING (event_type)
-                WHERE e.hx - s.h < 120),
-          pr AS (SELECT a.event_type, a.h AS h1, b.h AS h2,
-                        floor(((b.x - a.x)::DOUBLE / (b.h - a.h)::DOUBLE) * 1e6 + 0.5) / 1e6 AS s
-                 FROM w a JOIN w b ON a.event_type = b.event_type AND b.h > a.h),
-          rk AS (SELECT event_type, s,
-                        row_number() OVER (PARTITION BY event_type ORDER BY s, h1, h2) AS rk,
-                        count(*) OVER (PARTITION BY event_type) AS np
-                 FROM pr),
-          sl AS (SELECT event_type, max(np)::BIGINT AS n_pairs,
-                        floor(avg(s) * 1e6 + 0.5) / 1e6 AS slope_r
-                 FROM rk WHERE rk = (np + 1) // 2 OR rk = np // 2 + 1 GROUP BY 1),
-          mn AS (SELECT event_type, min(h) AS mnh, count(*)::BIGINT AS n_points
-                 FROM w GROUP BY 1),
-          rs AS (SELECT w.event_type, n_points, n_pairs, slope_r, w.h,
-                        floor((x::DOUBLE - slope_r * (w.h - mnh)::DOUBLE) * 1e6 + 0.5) / 1e6 AS r0
-                 FROM w JOIN mn USING (event_type) JOIN sl USING (event_type)),
-          rk2 AS (SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY r0, h) AS rk
-                  FROM rs)
-          SELECT event_type, max(n_points)::BIGINT AS n_points,
-                 max(n_pairs)::BIGINT AS n_pairs, max(slope_r) AS slope_r,
-                 floor(avg(r0) * 1e6 + 0.5) / 1e6 AS intercept_r
-          FROM rk2 WHERE rk = (n_points + 1) // 2 OR rk = n_points // 2 + 1
-          GROUP BY 1 ORDER BY event_type""",
     // the α=β=1/2 level/trend recursion replayed step-by-step as a
     // recursive CTE, 6-dp floor at every step (mirror of
     // TimeSeries.holtForecast's array fold)
@@ -6723,6 +6704,21 @@ object SparkEntry {
           ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
           WHERE a.word = 'data' AND b.word = 'query'
           ORDER BY a.doc_id""",
+    // 1-based token positions; slice bounds clamp at document edges and
+    // the empty-slice NULL coalesces to '' (Spark array_join is '' on
+    // empty) — mirror of Search.kwic
+    "q_kwic" ->
+      s"""WITH $ToksArrCte,
+          p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS word
+                FROM toks_arr),
+          m AS (SELECT p.doc_id, p.pos, t.toks FROM p JOIN toks_arr t USING (doc_id)
+                WHERE p.word = 'data')
+          SELECT doc_id, pos,
+                 coalesce(array_to_string(toks[greatest(pos - 3, 1):pos - 1], ' '), '')
+                   AS left_ctx,
+                 coalesce(array_to_string(toks[pos + 1:least(pos + 3, len(toks))], ' '), '')
+                   AS right_ctx
+          FROM m ORDER BY doc_id, pos LIMIT 200""",
     // identical oracle on purpose: index-served phrase search must agree
     "q_search_phrase_indexed" ->
       s"""WITH $ToksArrCte,
@@ -9037,6 +9033,7 @@ object SparkEntry {
     // trade graph (mirrors of Graph.labelPropagation / Graph.kCore)
     "q_label_prop" -> labelPropSql(iters = 5),
     "q_kcore" -> kCoreSql(k = 4, rounds = 6),
+    "q_ktruss" -> kTrussSql(k = 26, rounds = 8),
     "q_bfs_dist" -> bfsSql(Seq("c1", "c2"), rounds = 6),
     // wedge join through each edge's endpoints over the symmetrized
     // adjacency; left join keeps zero-common (bridge) edges
@@ -11314,6 +11311,42 @@ object SparkEntry {
     * the consumer-side symmetrization): directed c→s edges where the
     * customer's and supplier's nation agree, then both directions.
     */
+  /** Unrolled fixed-rounds k-truss support peel over the customer
+    * co-supplier projection (mirror of Graph.kTruss on
+    * Graph.coSupplierEdges): per round the oriented-wedge support count
+    * and the >= k-2 filter; the final support recomputes on the
+    * surviving truss with a LEFT join so stragglers read 0.
+    */
+  private def kTrussSql(k: Int, rounds: Int): String = {
+    // every o_r is referenced five times by round r+1's wedge join —
+    // MATERIALIZED, or DuckDB inlines the whole unrolled chain and the
+    // plan re-expands the base scans ~5^rounds times (fd exhaustion)
+    val steps = (1 to rounds).map { r =>
+      s"""a$r AS MATERIALIZED (SELECT src, dst FROM o${r - 1}
+                  UNION ALL SELECT dst AS src, src AS dst FROM o${r - 1}),
+          s$r AS (SELECT o.src, o.dst, count(*) AS sup
+                  FROM o${r - 1} o
+                  JOIN a$r x ON x.src = o.src
+                  JOIN a$r y ON y.src = o.dst AND y.dst = x.dst
+                  GROUP BY 1, 2),
+          o$r AS MATERIALIZED (SELECT src, dst FROM s$r WHERE sup >= ${k - 2})"""
+    }.mkString(",\n")
+    s"""WITH $NationEdgesCte,
+        o0 AS MATERIALIZED (SELECT DISTINCT a.src AS src, b.src AS dst
+               FROM ne0 a JOIN ne0 b ON a.dst = b.dst AND a.src < b.src),
+        $steps,
+        af AS (SELECT src, dst FROM o$rounds
+               UNION ALL SELECT dst AS src, src AS dst FROM o$rounds),
+        sf AS (SELECT o.src, o.dst, count(*) AS sup
+               FROM o$rounds o
+               JOIN af x ON x.src = o.src
+               JOIN af y ON y.src = o.dst AND y.dst = x.dst
+               GROUP BY 1, 2)
+        SELECT o.src, o.dst, coalesce(sf.sup, 0)::BIGINT AS support
+        FROM o$rounds o LEFT JOIN sf ON sf.src = o.src AND sf.dst = o.dst
+        ORDER BY o.src, o.dst"""
+  }
+
   private val NationEdgesCte =
     """ne0 AS (SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
                FROM orders JOIN lineitem ON o_orderkey = l_orderkey

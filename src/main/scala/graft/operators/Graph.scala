@@ -347,6 +347,84 @@ object Graph {
       .select(col("src"), col("dst"))
   }
 
+  /** k-truss membership (Cohen, NSA TR 2008; the triangle-reinforced
+    * cousin of [[kCore]]): the maximal subgraph in which every edge
+    * closes at least k−2 triangles — iterative SUPPORT peel, the
+    * community-core extractor that survives the hub-spamming k-core
+    * falls for (a star has high core number but zero triangles).
+    *
+    * Per round: one [[edgeSupport]] pass (the oriented-wedge triangle
+    * plan — two equi-joins on the oriented edge list, each triangle
+    * found once, no symmetrized blowup) and one filter; each round
+    * checkpoints so the plan never deepens ([[kCore]]'s fixed-rounds
+    * certification pattern — rounds ≥ the peel cascade depth ⇒
+    * fixpoint, certified by the spec at test scale). Output recomputes
+    * support ON the surviving truss so every row carries its final
+    * triangle count.
+    *
+    * Returns (src, dst, support) over oriented (src < dst) surviving
+    * edges.
+    */
+  def kTruss(edges: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
+    require(k >= 3, s"k ($k) must be >= 3 (k=2 is the whole graph)")
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    var o = orientedEdges(edges).localCheckpoint(true)
+    for (_ <- 1 to rounds) o = kTrussPeel(o, k).localCheckpoint(true)
+    // left join: a not-yet-converged straggler with zero support must
+    // surface as support 0, not silently vanish from the readout
+    o.join(edgeSupport(o), Seq("src", "dst"), "left_outer")
+      .na.fill(0L, Seq("support"))
+      .select(col("src"), col("dst"), col("support"))
+  }
+
+  /** One support peel round over an oriented (src < dst) edge relation —
+    * the representative-iteration plan the audit checks.
+    */
+  def kTrussPeel(o: DataFrame, k: Int): DataFrame =
+    edgeSupport(o).where(col("support") >= k - 2).select(col("src"), col("dst"))
+
+  /** Per-edge triangle support of an oriented edge list: for (u,v) the
+    * number of common neighbors — the [[edgeEmbeddedness]] wedge plan
+    * (edge spine joined against the symmetrized adjacency twice).
+    * INNER-join shape: zero-support edges are absent (callers that need
+    * them left-join the spine back).
+    */
+  def edgeSupport(o: DataFrame): DataFrame = {
+    val adj = o.unionAll(o.select(col("dst").as("src"), col("src").as("dst")))
+    o.join(adj.select(col("src"), col("dst").as("__z")), Seq("src"))
+      .join(adj.select(col("src").as("dst"), col("dst").as("__z")), Seq("dst", "__z"))
+      .groupBy(col("src"), col("dst"))
+      .agg(count(lit(1)).as("support"))
+  }
+
+  /** One-mode customer projection of the same-nation trade graph: an
+    * edge joins two customers who share at least one same-nation
+    * supplier (Newman, "Scientific collaboration networks" PRE 2001 —
+    * the standard bipartite→unipartite projection). Projections are
+    * where bipartite graphs GET their triangles (three customers on one
+    * supplier close instantly), which makes this the natural input for
+    * [[kTruss]]/[[triangleCounts]] where the raw bipartite relation has
+    * none by parity.
+    *
+    * Scale note: the fan-out is quadratic in SUPPLIER degree (each
+    * supplier of degree d mints d(d−1)/2 pairs) — the projection
+    * hazard. Here the same-nation restriction bounds supplier degree
+    * structurally; at open-web scale the consumer caps hub degree
+    * before projecting (the [[Dedup]] hot-bucket-cap discipline).
+    * Returns one row per distinct oriented (src < dst) customer pair.
+    */
+  def coSupplierEdges(
+      orders: DataFrame,
+      lineitem: DataFrame,
+      customer: DataFrame,
+      supplier: DataFrame): DataFrame = {
+    val b = sameNationEdges(orders, lineitem, customer, supplier)
+    b.join(b.select(col("src").as("__b"), col("dst")), Seq("dst"))
+      .where(col("src") < col("__b"))
+      .select(col("src"), col("__b").as("dst"))
+      .distinct()
+  }
+
   /** The same-nation customer–supplier trade graph: [[customerSupplierEdges]]
     * restricted to line items whose supplier sits in the customer's own
     * nation — 25 nation-local subgraphs, SPARSE (median degree ~3 at

@@ -1211,4 +1211,56 @@ object Search {
     */
   def rboWeights(k: Int, p: Double): Seq[Double] =
     (1 to k).map(d0 => (d0 to k).map(d => (1 - p) * math.pow(p, d - 1) / d).sum)
+
+  /** KWIC concordance (Keyword In Context — Luhn, American Documentation
+    * 1960): every occurrence of `word` in the corpus with its ±`width`
+    * cleaned-token window, the corpus-inspection primitive behind "show
+    * me how this term is actually used" (sense disambiguation, filter-
+    * rule debugging, contamination spot checks). Positions are 1-based
+    * over the reference-tokenizer token sequence (the 0-based positional
+    * phrase index shifted by one).
+    *
+    * Scale shape: entirely map-side until the final top-k — the token
+    * array materializes ONCE per row, match positions come from a
+    * filter(transform) over it (rows fan out per MATCH, never per
+    * token — carrying the array through a full posexplode would copy it
+    * O(tokens) times per doc), contexts are slices of the same array,
+    * and the (doc, pos) order + limit plans as TakeOrderedAndProject
+    * (no global sort materializes). `word` must be a cleaned token
+    * (lowercase a–z) — enforced, since anything else can never match.
+    *
+    * Returns the first `k` (doc_id, pos, left_ctx, right_ctx) in
+    * (doc_id, pos) order; context strings are space-joined and empty at
+    * document edges.
+    */
+  def kwic(
+      docs: DataFrame,
+      word: String,
+      width: Int = 3,
+      k: Int = 100,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(width >= 1 && k >= 1, s"width ($width) / k ($k) must be >= 1")
+    require(word.nonEmpty && word.forall(c => c >= 'a' && c <= 'z'),
+      s"word ($word) must be a cleaned token (lowercase a-z)")
+    val arr = Tokenize.tokenArray(col(textCol))
+    docs
+      .select(col(idCol), arr.as("__toks"))
+      .withColumn("__hits",
+        filter(
+          transform(col("__toks"), (w, i) => when(w === lit(word), i + 1).otherwise(-1)),
+          p => p > 0))
+      .where(size(col("__hits")) > 0)
+      .select(col(idCol), col("__toks"), explode(col("__hits")).as("pos"))
+      .select(
+        col(idCol), col("pos"),
+        array_join(slice(col("__toks"),
+          greatest(col("pos") - width, lit(1)),
+          col("pos") - greatest(col("pos") - width, lit(1))), " ").as("left_ctx"),
+        array_join(slice(col("__toks"),
+          col("pos") + 1,
+          least(lit(width), size(col("__toks")) - col("pos"))), " ").as("right_ctx"))
+      .orderBy(col(idCol), col("pos"))
+      .limit(k)
+  }
 }

@@ -740,76 +740,6 @@ object TimeSeries {
       .orderBy("lag")
   }
 
-  /** Theil–Sen robust trend (Theil 1950; Sen, JASA 1968): per key, the
-    * MEDIAN of all pairwise slopes (x_j − x_i)/(h_j − h_i) over the last
-    * `window` hours of the dense hourly series, plus the intercept as
-    * the median of x_i − slope·(h_i − h_min). The trend readout one
-    * spike cannot move (~29% breakdown point) where an OLS slope
-    * follows every outlier — the right "is this stream actually
-    * growing" gate for bursty event volumes, and the robust complement
-    * of [[Stats]]' per-group OLS diagnostics.
-    *
-    * Scale shape: the pair expansion is a per-key self-join of the
-    * WINDOW-bounded series — ≤ window²/2 pairs per key, a constant of
-    * the query, never corpus-sized; keys parallelize everything. Both
-    * medians are rank-picks of PER-KEY windows (bounded partitions, not
-    * global); slopes round to 6 dp BEFORE the median, residuals before
-    * theirs, the lo/hi middle average spans ≤ 2 values (IEEE addition
-    * of two doubles is order-free) — derive-from-rounded throughout, so
-    * the whole table replays in the oracle.
-    *
-    * Returns (key, n_points, n_pairs, slope_r, intercept_r) — keys
-    * whose windowed series has a single hour bucket are ABSENT (no
-    * pair exists; a dense series with one bucket is one observation).
-    */
-  def theilSenTrend(
-      events: DataFrame,
-      keyCol: String = "event_type",
-      tsCol: String = "ts_t",
-      window: Int = 120): DataFrame = {
-    require(window >= 2 && window <= 336, s"window ($window) must be in [2, 336]")
-    import graft.functions.Portable
-    val ser = denseHourlySeries(events, keyCol, tsCol)
-    val ext = ser.groupBy(col(keyCol)).agg(max(col("__h")).as("__hx"))
-    // referenced three times (two pair legs + the residual pass)
-    val win = ser.join(ext, Seq(keyCol))
-      .where(col("__hx") - col("__h") < window)
-      .select(col(keyCol), col("__h"), col("__x"))
-      .localCheckpoint(true)
-    val pairs = win
-      .select(col(keyCol), col("__h").as("__h1"), col("__x").as("__x1"))
-      .join(win.select(col(keyCol), col("__h").as("__h2"), col("__x").as("__x2")),
-        Seq(keyCol))
-      .where(col("__h2") > col("__h1"))
-      .select(col(keyCol), col("__h1"), col("__h2"),
-        Portable.pround((col("__x2") - col("__x1")).cast("double")
-          / (col("__h2") - col("__h1")).cast("double"), 6).as("__s"))
-    def medianPick(rk: Column, n: Column): Column =
-      rk === ((n + lit(1L)) / lit(2L)).cast("long") || rk === (n / lit(2L)).cast("long") + lit(1L)
-    val slope = pairs
-      .withColumn("__rk",
-        row_number().over(Window.partitionBy(col(keyCol))
-          .orderBy(col("__s"), col("__h1"), col("__h2"))))
-      .withColumn("__np", count(lit(1)).over(Window.partitionBy(col(keyCol))))
-      .where(medianPick(col("__rk"), col("__np")))
-      .groupBy(col(keyCol))
-      .agg(max(col("__np")).as("n_pairs"),
-        Portable.pround(avg(col("__s")), 6).as("slope_r"))
-    val mn = win.groupBy(col(keyCol))
-      .agg(min(col("__h")).as("__mn"), count(lit(1)).as("n_points"))
-    win.join(mn, Seq(keyCol)).join(slope, Seq(keyCol))
-      .select(col(keyCol), col("n_points"), col("n_pairs"), col("slope_r"), col("__h"),
-        Portable.pround(col("__x").cast("double")
-          - col("slope_r") * (col("__h") - col("__mn")).cast("double"), 6).as("__r0"))
-      .withColumn("__rk",
-        row_number().over(Window.partitionBy(col(keyCol)).orderBy(col("__r0"), col("__h"))))
-      .where(medianPick(col("__rk"), col("n_points")))
-      .groupBy(col(keyCol))
-      .agg(max(col("n_points")).as("n_points"), max(col("n_pairs")).as("n_pairs"),
-        max(col("slope_r")).as("slope_r"),
-        Portable.pround(avg(col("__r0")), 6).as("intercept_r"))
-  }
-
   /** Holt linear-trend forecast (Holt 1957, reprinted IJF 2004 — the
     * double-exponential-smoothing sibling of [[sesForecast]]): over the
     * last `window` hours of the dense hourly series, the level/trend

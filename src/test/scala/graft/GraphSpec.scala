@@ -332,4 +332,43 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
     assert(at3.toSeq == got.toSeq, "rounds=3 is not the fixpoint")
   }
+
+  test("kTruss: K4 survives k=4, a pendant triangle and edge peel; supports exact") {
+    import spark.implicits._
+    // K4 on {a,b,c,d} + triangle {d,e,f} hanging off d + pendant f-g
+    val k4 = Seq(("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d"))
+    val edges = (k4 ++ Seq(("d", "e"), ("d", "f"), ("e", "f"), ("f", "g")))
+      .toDF("src", "dst")
+    val got = Graph.kTruss(edges, k = 4, rounds = 3)
+      .orderBy("src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    // every K4 edge closes exactly 2 triangles; the triangle (support 1)
+    // and the pendant (support 0) peel
+    assert(got.toSeq == k4.map { case (s, d) => (s, d, 2L) }, s"got: ${got.toSeq}")
+    // k=3 keeps the triangle too (support 1 >= k-2), sheds only the pendant
+    val k3 = Graph.kTruss(edges, k = 3, rounds = 3)
+      .orderBy("src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(k3.toSeq == (k4.map { case (s, d) => (s, d, 2L) }
+      ++ Seq(("d", "e", 1L), ("d", "f", 1L), ("e", "f", 1L))), s"k3: ${k3.toSeq}")
+  }
+
+  test("kTruss: the K5-minus-an-edge cascade peels to empty; support recomputes on survivors") {
+    import spark.implicits._
+    // K5 minus (a,b): edges touching a or b have support 2 < 3, the rest 3
+    val nodes = Seq("a", "b", "c", "d", "e")
+    val edges = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      if !(nodes(i) == "a" && nodes(j) == "b")
+    } yield (nodes(i), nodes(j))).toDF("src", "dst")
+    // one round peels a/b edges; the surviving {c,d,e} triangle reads its
+    // RECOMPUTED support 1 (not its pre-peel 3) — the final left-join pass
+    val one = Graph.kTruss(edges, k = 5, rounds = 1)
+      .orderBy("src", "dst")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(one.toSeq == Seq(("c", "d", 1L), ("c", "e", 1L), ("d", "e", 1L)),
+      s"one round: ${one.toSeq}")
+    // the cascade then kills the triangle: 2+ rounds reach the empty fixpoint
+    assert(Graph.kTruss(edges, k = 5, rounds = 3).count() == 0L, "cascade must empty the graph")
+  }
 }

@@ -427,4 +427,24 @@ class SearchSpec extends SparkSpec {
       (3L, 1L, 1L, 1L, r4(w(1, 1)), r4(ti(1)), r4(1.0 / 3.0))),
       s"got: ${got.toSeq}")
   }
+
+  test("kwic: 1-based positions, edge-clamped contexts, (doc,pos) top-k; raw terms rejected") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "The Data, data! end"), // tokens [the, data, data, end]
+      (2L, "data"),
+      (3L, "no match here")).toDF("doc_id", "text")
+    val got = Search.kwic(docs, "data", width = 2, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getString(3)))
+    assert(got.toSeq == Seq(
+      (1L, 2, "the", "data end"),
+      (1L, 3, "the data", "end"),
+      (2L, 1, "", "")), s"got: ${got.toSeq}")
+    // k truncates in (doc, pos) order
+    assert(Search.kwic(docs, "data", width = 2, k = 2)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSeq == Seq((1L, 2), (1L, 3)))
+    // a non-cleaned term can never match: reject loudly instead
+    intercept[IllegalArgumentException](Search.kwic(docs, "Data"))
+    intercept[IllegalArgumentException](Search.kwic(docs, "data1"))
+  }
 }

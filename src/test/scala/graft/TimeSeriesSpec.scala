@@ -402,61 +402,6 @@ class TimeSeriesSpec extends SparkSpec {
 
   private def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
 
-  /** Plain-Scala mirror of [[TimeSeries.theilSenTrend]]'s median discipline:
-    * round-6 values, rank-pick lo/hi middles, round-6 average.
-    */
-  private def medianR6(vs: Seq[Double]): Double = {
-    val s = vs.sorted
-    val n = s.size
-    val (lo, hi) = ((n + 1) / 2, n / 2 + 1)
-    r6((s(lo - 1) + s(hi - 1)) / 2.0)
-  }
-
-  test("theilSenTrend: hand pairwise-slope median; single-bucket key absent") {
-    // counts [1,3,2,7]: slopes sorted [-1, 0.5, 2, 2, 2, 5] -> median 2;
-    // residuals x - 2(h-h0) = [1,1,-2,1] -> median 1
-    val ev = (hourlyEvents("a", 8000L, Seq(1, 3, 2, 7))
-      ++ hourlyEvents("b", 8000L, Seq(5))).toDF("event_type", "ts_t")
-    val got = TimeSeries.theilSenTrend(ev).collect()
-    assert(got.length == 1, s"single-bucket key must be absent: ${got.toSeq}")
-    val r = got.head
-    assert((r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))
-      == (("a", 4L, 6L, 2.0, 1.0)), s"$r")
-  }
-
-  test("theilSenTrend fuzz: == the plain-Scala mirror on random gappy streams") {
-    val rnd = new scala.util.Random(515L)
-    val series = (0 until 8).map { k =>
-      val hours = 0L +: (1 until 3 + rnd.nextInt(10))
-        .filter(_ => rnd.nextInt(3) > 0).map(_.toLong)
-      s"k$k" -> hours.map(h => h -> (1 + rnd.nextInt(9))).toMap
-    }
-    val ev = series.flatMap { case (key, m) =>
-      m.toSeq.flatMap { case (h, c) => hourlyEvents(key, 9000L + h, Seq(c)) }
-    }.toDF("event_type", "ts_t")
-    val got = TimeSeries.theilSenTrend(ev, window = 6)
-      .collect()
-      .map(r => r.getString(0) ->
-        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))).toMap
-    series.foreach { case (key, m) =>
-      // dense series over the key's span, then the last 6 hours
-      val (mnAll, mxAll) = (m.keys.min, m.keys.max)
-      val dense = (mnAll to mxAll).map(h => h -> m.getOrElse(h, 0).toLong)
-      val win = dense.filter { case (h, _) => mxAll - h < 6 }
-      if (win.size < 2) assert(!got.contains(key), s"$key: single bucket must be absent")
-      else {
-        val slopes = for {
-          i <- win.indices; j <- (i + 1) until win.size
-        } yield r6((win(j)._2 - win(i)._2).toDouble / (win(j)._1 - win(i)._1))
-        val slope = medianR6(slopes)
-        val h0 = win.map(_._1).min
-        val icept = medianR6(win.map { case (h, x) => r6(x - slope * (h - h0)) })
-        assert(got(key) == ((win.size.toLong, slopes.size.toLong, slope, icept)),
-          s"$key: ${got(key)} vs (${win.size}, ${slopes.size}, $slope, $icept)")
-      }
-    }
-  }
-
   test("holtForecast: hand alpha=beta=1/2 recursion; window truncates; single point flat") {
     // [4,2,6,10]: l2=2,b2=-2; l3=3,b3=-0.5; l4=6.25,b4=1.375 -> forecast 7.625
     val ev = (hourlyEvents("a", 7000L, Seq(4, 2, 6, 10))
