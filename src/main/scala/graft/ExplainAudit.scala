@@ -170,9 +170,10 @@ object ExplainAudit {
     "q_silhouette", "q_cluster_db", "q_video_scenes", "q_audio_vad",
     "q_sem_decontam", "q_keyness", "q_concurrency", "q_image_stats", "q_yules_k",
     "q_ltr_features", "q_cf_eval", "q_burrows_delta", "q_neyman_alloc",
-    // round 15: Holt linear-trend forecast, KWIC concordance (q_ktruss
-    // is iterative — its support-peel body is audited below)
-    "q_holt_forecast", "q_kwic")
+    // round 15: Holt linear-trend forecast, KWIC concordance, isotonic
+    // calibration (q_ktruss is iterative — its support-peel body is
+    // audited below)
+    "q_holt_forecast", "q_kwic", "q_isotonic")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

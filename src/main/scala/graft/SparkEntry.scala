@@ -2847,6 +2847,20 @@ object SparkEntry {
       operators.Stats.rocAuc(scored, "score", "label")
     }),
 
+    // -- isotonic calibration over the SAME scored relation as q_auc:
+    //    the monotone repair of the per-bin label rate via the minimax
+    //    closed form (max_j<=i min_k>=i of range averages) — a bins³-
+    //    bounded declarative lattice instead of the sequential PAV loop;
+    //    what q_calibration_ece diagnoses, this emits the remap table for
+    "q_isotonic" -> ((s, dir) => {
+      val scored = t(s, dir, "documents").select(
+        coalesce(round(TextAnalysis.hashedLinearScore(col("text"), buckets = 512), 6),
+          lit(0.0)).as("score"),
+        (col("n_chars") >= 300).cast("int").as("label"))
+        .withColumn("conf", (col("score") + 1.0) / 2.0)
+      operators.Stats.isotonicCalibration(scored, "conf", "label").orderBy("bin")
+    }),
+
     // -- decile gains table over the SAME scored relation as q_auc:
     //    what acting on the top d deciles GETS you (capture + lift);
     //    slice from chunked-prefix strictly-above counts, cumulatives
@@ -8421,6 +8435,33 @@ object SparkEntry {
           SELECT n_pos, n_neg,
                  floor((u2::DOUBLE / (2.0 * n_pos * n_neg)) * 1e6 + 0.5) / 1e6 AS auc_r
           FROM u""",
+    // same scored base as q_auc; the minimax PAV lattice over bins³
+    // rounded range averages (mirror of Stats.isotonicCalibration)
+    "q_isotonic" ->
+      s"""WITH $ToksArrCte,
+          base AS (SELECT d.doc_id,
+                     CASE WHEN len(t.toks) = 0 THEN 0.0
+                          ELSE floor((list_sum(list_transform(t.toks,
+                                 w -> (('0x' || substr(md5(w), 1, 8))::BIGINT % 512) % 101 - 50))::DOUBLE
+                               / (50.0 * len(t.toks))) * 1e6 + 0.5) / 1e6 END AS score,
+                     (d.n_chars >= 300)::INT AS label
+                   FROM documents d JOIN toks_arr t USING (doc_id)),
+          c AS (SELECT least(floor(((score + 1.0) / 2.0) * 10), 9)::INT AS bin, label
+                FROM base),
+          b AS (SELECT bin, count(*)::BIGINT AS n, sum(label)::BIGINT AS c FROM c GROUP BY 1),
+          p AS MATERIALIZED (SELECT bin, n, c,
+                 sum(n) OVER (ORDER BY bin) AS nn,
+                 sum(c) OVER (ORDER BY bin) AS cc FROM b),
+          r AS (SELECT j.bin AS j, k.bin AS k,
+                       floor(((k.cc - (j.cc - j.c))::DOUBLE
+                              / (k.nn - (j.nn - j.n))::DOUBLE) * 1e6 + 0.5) / 1e6 AS avgr
+                FROM p j JOIN p k ON j.bin <= k.bin),
+          m AS (SELECT p.bin, p.n, p.c, r.j, min(r.avgr) AS mn
+                FROM p JOIN r ON r.j <= p.bin AND r.k >= p.bin GROUP BY 1, 2, 3, 4)
+          SELECT bin, n,
+                 floor((c::DOUBLE / n::DOUBLE) * 1e6 + 0.5) / 1e6 AS raw_rate_r,
+                 max(mn) AS iso_rate_r
+          FROM m GROUP BY bin, n, c ORDER BY bin""",
     // same scored base as q_auc; strictly-above slice + self-join cums
     "q_gains_table" ->
       s"""WITH $ToksArrCte,

@@ -914,6 +914,71 @@ object Stats {
         col("rel_r") - col("res_r") + col("unc_r"), 6))
   }
 
+  /** Isotonic calibration (pool-adjacent-violators — Ayer et al., Ann.
+    * Math. Stat. 1955; Zadrozny & Elkan KDD'02 made it the classifier-
+    * recalibration standard): the monotone non-decreasing fit of the
+    * per-bin label rate over confidence bins — what [[reliability]]
+    * DIAGNOSES, this REPAIRS (the remap table a serving layer applies to
+    * raw scores). Computed via the minimax closed form
+    *
+    *   iso(i) = max_{j ≤ i} min_{k ≥ i} avg(y over bins j..k)
+    *
+    * instead of the sequential pooling loop: range averages come from
+    * exact integer prefix sums over the ≤`bins` bin aggregates, and the
+    * (i, j, k) enumeration is a bins³-bounded join — METADATA-sized, a
+    * constant of the query, fully declarative (no driver loop, no
+    * iteration), and identical on both engines since each range average
+    * rounds to 6 dp before the min/max lattice (min/max over rounded
+    * values are order-free).
+    *
+    * One corpus scan partial-aggs to the bin table; everything after is
+    * bins-sized. The global prefix-sum window spans ≤`bins` rows (the
+    * whitelisted metadata-bounded kind).
+    *
+    * Returns (bin, n, raw_rate_r, iso_rate_r) for nonempty bins; iso is
+    * non-decreasing in bin by construction.
+    */
+  def isotonicCalibration(
+      df: DataFrame,
+      confCol: String,
+      labelCol: String,
+      bins: Int = 10): DataFrame = {
+    require(bins >= 2 && bins <= 64, s"bins ($bins) must be in [2, 64]")
+    val b = df
+      .select(
+        least(floor(col(confCol) * bins), lit((bins - 1).toDouble)).cast("int").as("bin"),
+        col(labelCol).cast("long").as("__y"))
+      .where(col("bin").isNotNull && col("__y").isNotNull)
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("__c"))
+    val w = Window.orderBy(col("bin"))
+    // materialized once (≤ bins rows): the range join consumes it twice
+    // and the spine once; lazy reuse would re-run the corpus scan
+    val pre = b
+      .withColumn("__tn", sum(col("n")).over(w))
+      .withColumn("__tc", sum(col("__c")).over(w))
+      .localCheckpoint(true)
+    val ranges = pre
+      .select(col("bin").as("__j"),
+        (col("__tn") - col("n")).as("__nj"), (col("__tc") - col("__c")).as("__cj"))
+      .join(broadcast(pre.select(col("bin").as("__k"), col("__tn").as("__nk"),
+        col("__tc").as("__ck"))), col("__j") <= col("__k"))
+      .select(col("__j"), col("__k"),
+        Portable.pround((col("__ck") - col("__cj")).cast("double")
+          / (col("__nk") - col("__nj")).cast("double"), 6).as("__avg"))
+    pre
+      .select(col("bin"), col("n"), col("__c"))
+      .join(broadcast(ranges), col("__j") <= col("bin") && col("__k") >= col("bin"))
+      .groupBy(col("bin"), col("n"), col("__c"), col("__j"))
+      .agg(min(col("__avg")).as("__mn"))
+      .groupBy(col("bin"), col("n"), col("__c"))
+      .agg(max(col("__mn")).as("iso_rate_r"))
+      .select(col("bin"), col("n"),
+        Portable.pround(col("__c").cast("double") / col("n").cast("double"), 6)
+          .as("raw_rate_r"),
+        col("iso_rate_r"))
+  }
+
   /** Difference-in-differences estimate (Card & Krueger AER'94 made it
     * the applied-econ workhorse; in pipelines it's the launch-impact
     * readout): DiD = (T,post − T,pre) − (C,post − C,pre) over the four

@@ -85,4 +85,64 @@ class CalibrationSpec extends SparkSpec {
       .collect().map(r => r.getAs[Int]("bin")).toSet
     assert(bins == Set(0, 9), s"got bins $bins")
   }
+
+  test("isotonicCalibration: hand violator pools to the weighted average; flanks untouched") {
+    // bin rates 0.2, 0.8, 0.4, 0.9 (weights 5,5,5,10): the middle pair
+    // violates monotonicity, PAV pools it to (4+2)/10 = 0.6; flanks keep
+    // their raw rates
+    def mk(bin: Int, pos: Int, neg: Int) =
+      (1 to pos).map(_ => (bin / 10.0 + 0.05, 1)) ++ (1 to neg).map(_ => (bin / 10.0 + 0.05, 0))
+    val df = (mk(1, 1, 4) ++ mk(3, 4, 1) ++ mk(5, 2, 3) ++ mk(7, 9, 1))
+      .toDF("conf", "label")
+    val got = Stats.isotonicCalibration(df, "conf", "label")
+      .orderBy("bin")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1, 5L, 0.2, 0.2),
+      (3, 5L, 0.8, 0.6),
+      (5, 5L, 0.4, 0.6),
+      (7, 10L, 0.9, 0.9)), s"got: ${got.toSeq}")
+  }
+
+  test("isotonicCalibration fuzz: monotone, pool-preserving, == sequential PAV") {
+    val rnd = new scala.util.Random(1525L)
+    for (c <- 0 until 10) {
+      val rows = (0 until 200 + rnd.nextInt(200)).map { _ =>
+        (rnd.nextDouble(), if (rnd.nextDouble() < 0.5) 1 else 0)
+      }
+      val got = Stats.isotonicCalibration(rows.toDF("conf", "label"), "conf", "label", bins = 8)
+        .orderBy("bin")
+        .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(3)))
+      // monotone non-decreasing by construction of the minimax lattice
+      assert(got.map(_._3).sliding(2).forall(p => p.size < 2 || p(0) <= p(1)),
+        s"case $c not monotone: ${got.toSeq}")
+      // sequential weighted PAV on the same bin aggregates (exact, then
+      // compared within the range-average rounding granularity)
+      val binned = rows.groupBy(r => math.min((r._1 * 8).toInt, 7)).toSeq.sortBy(_._1)
+        .map { case (b, rs) => (b, rs.size.toLong, rs.map(_._2).sum.toDouble) }
+      val stack = scala.collection.mutable.ArrayBuffer[(Double, Double)]() // (sumY, n)
+      binned.foreach { case (_, n, sy) =>
+        stack += ((sy, n.toDouble))
+        while (stack.size >= 2 &&
+          stack(stack.size - 2)._1 / stack(stack.size - 2)._2
+            >= stack.last._1 / stack.last._2) {
+          val a = stack.remove(stack.size - 1); val b2 = stack.remove(stack.size - 1)
+          stack += ((a._1 + b2._1, a._2 + b2._2))
+        }
+      }
+      val pav = stack.flatMap { case (sy, n) =>
+        Seq.fill(n.toInt)(sy / n) // per-row fit; regroup per bin below
+      }
+      val perBinPav = {
+        var off = 0
+        binned.map { case (b, n, _) =>
+          val v = pav(off); off += n.toInt; (b, v)
+        }
+      }
+      got.zip(perBinPav).foreach { case ((b1, _, iso), (b2, exact)) =>
+        assert(b1 == b2 && math.abs(iso - exact) <= 2e-6,
+          s"case $c bin $b1: iso $iso vs PAV $exact")
+      }
+    }
+  }
 }
