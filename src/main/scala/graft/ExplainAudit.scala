@@ -171,9 +171,9 @@ object ExplainAudit {
     "q_sem_decontam", "q_keyness", "q_concurrency", "q_image_stats", "q_yules_k",
     "q_ltr_features", "q_cf_eval", "q_burrows_delta", "q_neyman_alloc",
     // round 15: Holt linear-trend forecast, KWIC concordance, isotonic
-    // calibration (q_ktruss is iterative — its support-peel body is
-    // audited below)
-    "q_holt_forecast", "q_kwic", "q_isotonic")
+    // calibration, post-stratified ATE, S-stemmer merge table (q_ktruss
+    // is iterative — its support-peel body is audited below)
+    "q_holt_forecast", "q_kwic", "q_isotonic", "q_ate_ps", "q_stem_vocab")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

@@ -4156,6 +4156,33 @@ object SparkEntry {
       operators.Stats.randomizationTest(o, "hi_pri", "cents", "o_orderkey")
     }),
 
+    // -- post-stratified ATE over the SAME arms/outcome as
+    //    q_randomization, adjusted by order status: per-stratum gaps on
+    //    exact decimal sums, 1e6-scaled integer weighting, one division —
+    //    the unadjusted diff rides along so the confounding delta shows
+    "q_ate_ps" -> ((s, dir) => {
+      val o = t(s, dir, "orders").select(
+        col("o_orderpriority").isin("1-URGENT", "2-HIGH").as("hi_pri"),
+        floor(col("o_totalprice") * 100 + lit(0.5)).cast("long").as("cents"),
+        col("o_orderstatus"))
+      operators.Stats.postStratifiedAte(o, "hi_pri", "cents", "o_orderstatus")
+    }),
+
+    // -- S-stemmer vocabulary table: every stem with its surface-form
+    //    count and merged occurrence mass (query/queries-style conflation
+    //    reads n_forms >= 2; the synthetic vocabulary is singular-only,
+    //    so here the table also CERTIFIES the exception rules leave real
+    //    words alone) — two vocabulary-sized partial aggs, stemming a
+    //    codegen'd map-side expression
+    "q_stem_vocab" -> ((s, dir) => {
+      Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id"))
+        .groupBy(col("word")).agg(count(lit(1)).as("__n"))
+        .withColumn("stem", TextAnalysis.sStem(col("word")))
+        .groupBy(col("stem"))
+        .agg(count(lit(1)).as("n_forms"), sum(col("__n")).as("n_tokens"))
+        .orderBy("stem")
+    }),
+
     // -- two-arm log-rank test over censored user lifetimes: md5-parity
     //    arms (the q_hash_split randomization), O−E and hypergeometric
     //    variance per event day, χ²(1) from exact 1e6-scaled term sums
@@ -6762,6 +6789,22 @@ object SparkEntry {
     "q_token_freq_salted" ->
       s"""WITH $TokCte
           SELECT word, count(*) AS n FROM tok GROUP BY word ORDER BY word""",
+    // the three anchored S-stemmer rules replay verbatim in DuckDB's
+    // regex dialect (mirror of TextAnalysis.sStem)
+    "q_stem_vocab" ->
+      s"""WITH $TokCte,
+          w AS (SELECT word, count(*)::BIGINT AS n FROM tok GROUP BY 1),
+          s AS (SELECT CASE
+                         WHEN regexp_matches(word, '[^ae]ies$$')
+                           THEN regexp_replace(word, 'ies$$', 'y')
+                         WHEN regexp_matches(word, '[^aeo]es$$')
+                           THEN regexp_replace(word, 'es$$', 'e')
+                         WHEN regexp_matches(word, '[^us]s$$')
+                           THEN regexp_replace(word, 's$$', '')
+                         ELSE word END AS stem, n
+                FROM w)
+          SELECT stem, count(*)::BIGINT AS n_forms, sum(n)::BIGINT AS n_tokens
+          FROM s GROUP BY 1 ORDER BY stem""",
     "q_dedup_exact" ->
       """SELECT min(doc_id) AS keep_id, count(*) AS n_dups
          FROM documents GROUP BY text ORDER BY keep_id""",
@@ -9992,6 +10035,37 @@ object SparkEntry {
           FROM jb ORDER BY lang""",
     // md5 Bernoulli(p-hat) re-randomization replayed exactly; integer
     // cent sums per (rep, side); gaps rounded 6dp BEFORE the |.| compare
+    // per-stratum exact-sum gaps, 1e6-scaled HUGEINT weighting, single
+    // division (mirror of Stats.postStratifiedAte)
+    "q_ate_ps" ->
+      """WITH r AS (SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS t,
+                           floor(o_totalprice * 100 + 0.5)::BIGINT AS x,
+                           o_orderstatus AS g
+                    FROM orders),
+          c AS (SELECT g, count(*)::BIGINT AS n, sum(t::INT)::BIGINT AS nt,
+                       sum(CASE WHEN t THEN x ELSE 0 END)::HUGEINT AS st,
+                       sum(CASE WHEN NOT t THEN x ELSE 0 END)::HUGEINT AS sc
+                FROM r GROUP BY 1),
+          d AS (SELECT g, n,
+                       CASE WHEN nt > 0 AND n - nt > 0
+                            THEN floor((st::DOUBLE / nt::DOUBLE
+                                        - sc::DOUBLE / (n - nt)::DOUBLE) * 1e6 + 0.5)::BIGINT
+                       END AS d6
+                FROM c),
+          o AS (SELECT count(*)::BIGINT AS n, sum(t::INT)::BIGINT AS ont,
+                       sum(CASE WHEN t THEN x ELSE 0 END)::HUGEINT AS ost,
+                       sum(CASE WHEN NOT t THEN x ELSE 0 END)::HUGEINT AS osc
+                FROM r),
+          a AS (SELECT count(*)::BIGINT AS n_strata, count(d6)::BIGINT AS n_used,
+                       sum(CASE WHEN d6 IS NOT NULL THEN n ELSE 0 END)::BIGINT AS nu,
+                       sum(n::HUGEINT * d6::HUGEINT) AS wd
+                FROM d)
+          SELECT o.n, a.n_strata, a.n_used,
+                 floor((ost::DOUBLE / ont::DOUBLE
+                        - osc::DOUBLE / (o.n - ont)::DOUBLE) * 1e6 + 0.5) / 1e6 AS diff_raw_r,
+                 floor((CASE WHEN nu > 0 THEN wd::DOUBLE / (nu::DOUBLE * 1e6) END)
+                       * 1e6 + 0.5) / 1e6 AS ate_ps_r
+          FROM a CROSS JOIN o""",
     "q_randomization" ->
       """WITH rows_ AS (SELECT (o_orderpriority IN ('1-URGENT', '2-HIGH')) AS t,
                                floor(o_totalprice * 100 + 0.5)::BIGINT AS x,

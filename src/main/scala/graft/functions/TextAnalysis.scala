@@ -29,6 +29,27 @@ object TextAnalysis {
   def bpeishTokenCount(text: Column): Column =
     size(regexp_extract_all(text, lit("[A-Za-z]+|[0-9]+"), lit(0)))
 
+  /** Harman S-stemmer (Harman, JASIS 1991 "How effective is
+    * suffixing?"): the three-rule English plural stripper — first match
+    * wins, applied ONCE:
+    *
+    *   1. …ies (not …eies/…aies)  → …y
+    *   2. …es  (not …aes/…ees/…oes) → …e
+    *   3. …s   (not …us/…ss)        → drop the s
+    *
+    * The conservative index-normalization stemmer (Porter's heavy
+    * conflations famously hurt as often as they help; the S-stemmer is
+    * the documented safe default) — merges query/queries, table/tables
+    * without touching corpus/genus/class. Pure codegen'd Column over
+    * CLEANED tokens; both regex dialects agree on these anchored
+    * character-class patterns, so the oracle replays it verbatim.
+    */
+  def sStem(w: Column): Column =
+    when(w.rlike("[^ae]ies$"), regexp_replace(w, "ies$", "y"))
+      .when(w.rlike("[^aeo]es$"), regexp_replace(w, "es$", "e"))
+      .when(w.rlike("[^us]s$"), regexp_replace(w, "s$", ""))
+      .otherwise(w)
+
   /** Default English-ish stopword list used by the quality score. */
   val Stopwords: Seq[String] = Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "for")
 

@@ -979,6 +979,79 @@ object Stats {
         col("iso_rate_r"))
   }
 
+  /** Post-stratified treatment-effect estimate (direct standardization —
+    * Cochran, Biometrics 1968): ATE_ps = Σ_g (N_g/N)·(ȳ_{t,g} − ȳ_{c,g}),
+    * the per-stratum gap averaged with the stratum's POPULATION share —
+    * the one-line confounder adjustment when treatment assignment is
+    * imbalanced across a known stratum (the observational complement of
+    * [[cupedAdjust]]'s variance reduction and [[diffInDiff]]'s trend
+    * subtraction; [[cmh]] is its binary-outcome test sibling). Reported
+    * NEXT TO the unadjusted diff so the confounding delta is visible.
+    *
+    * Strata missing an arm cannot estimate a gap: they are dropped and
+    * the weights renormalize over the usable strata (reported as
+    * n_strata vs n_used — the standard positivity-violation handling).
+    *
+    * Parity: per-(stratum, arm) exact decimal sums from ONE partial-agg
+    * pass; each stratum gap rounds to 6 dp, 1e6-scales to an exact long,
+    * and the weighted sum is an exact integer Σ N_g·D_g with ONE double
+    * division at the end — no double accumulation anywhere, so the
+    * estimate replays bit-identically whatever the stratum count.
+    *
+    * Returns one row (n, n_strata, n_used, diff_raw_r, ate_ps_r);
+    * ate_ps_r is NULL when no stratum has both arms.
+    */
+  def postStratifiedAte(
+      df: DataFrame,
+      treatCol: String,
+      valueCol: String,
+      stratumCol: String): DataFrame = {
+    val rows = df
+      .select(col(treatCol).cast("boolean").as("__t"),
+        col(valueCol).cast("long").as("__x"), col(stratumCol).as("__g"))
+      .where(col("__t").isNotNull && col("__x").isNotNull && col("__g").isNotNull)
+    val cells = rows
+      .groupBy(col("__g"))
+      .agg(
+        count(lit(1)).as("__n"),
+        sum(col("__t").cast("long")).as("__nt"),
+        sum(when(col("__t"), col("__x")).otherwise(0L).cast("decimal(38,0)")).as("__st"),
+        sum(when(!col("__t"), col("__x")).otherwise(0L).cast("decimal(38,0)")).as("__sc"))
+      .withColumn("__nc", col("__n") - col("__nt"))
+      // the 1e6-scaled long is computed DIRECTLY (floor(x·1e6 + ½)) —
+      // pround(x,6)·1e6 would round-trip k/1e6·1e6 through two IEEE
+      // roundings and is not guaranteed to land back on the integer
+      .withColumn("__d6",
+        when(col("__nt") > 0L && col("__nc") > 0L,
+          floor((col("__st").cast("double") / col("__nt").cast("double")
+            - col("__sc").cast("double") / col("__nc").cast("double")) * 1e6 + lit(0.5)))
+          .cast("long"))
+    val overall = rows.agg(
+      count(lit(1)).as("n"),
+      sum(col("__t").cast("long")).as("__ont"),
+      sum(when(col("__t"), col("__x")).otherwise(0L).cast("decimal(38,0)")).as("__ost"),
+      sum(when(!col("__t"), col("__x")).otherwise(0L).cast("decimal(38,0)")).as("__osc"))
+    cells.agg(
+      count(lit(1)).as("n_strata"),
+      count(col("__d6")).as("n_used"),
+      sum(when(col("__d6").isNotNull, col("__n")).otherwise(0L)).as("__nu"),
+      // decimal operands BEFORE the multiply: N_g·D_6 in long overflows
+      // once stratum sizes meet 1e6-scaled cent-magnitude gaps at scale
+      sum(col("__n").cast("decimal(19,0)") * col("__d6").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("__wd"))
+      .crossJoin(broadcast(overall))
+      .select(
+        col("n"), col("n_strata"), col("n_used"),
+        Portable.pround(
+          col("__ost").cast("double") / col("__ont").cast("double")
+            - col("__osc").cast("double") / (col("n") - col("__ont")).cast("double"), 6)
+          .as("diff_raw_r"),
+        Portable.pround(
+          when(col("__nu") > 0L,
+            col("__wd").cast("double") / (col("__nu").cast("double") * 1e6)), 6)
+          .as("ate_ps_r"))
+  }
+
   /** Difference-in-differences estimate (Card & Krueger AER'94 made it
     * the applied-econ workhorse; in pipelines it's the launch-impact
     * readout): DiD = (T,post − T,pre) − (C,post − C,pre) over the four

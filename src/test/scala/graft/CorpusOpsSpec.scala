@@ -1029,4 +1029,24 @@ class CorpusOpsSpec extends SparkSpec {
       ("green apple", 1L, 4.0), ("red apple", 2L, 4.0), ("doom", 1L, 1.0)),
       s"${g2.toSeq}")
   }
+
+  test("sStem: the three Harman rules fire in order; exceptions stay untouched") {
+    import spark.implicits._
+    val cases = Seq(
+      // rule 1: -ies -> -y (not after a/e)
+      "queries" -> "query", "studies" -> "study", "ties" -> "ty",
+      "movies" -> "movy", // the documented S-stemmer quirk: only a/e block rule 1
+      // rule 2: -es -> -e (not after a/e/o)
+      "tables" -> "table", "classes" -> "classe",
+      // rule 2 exception -oes falls through to rule 3 (e before final s)
+      "goes" -> "goe",
+      // rule 3: drop -s (not -us/-ss)
+      "cats" -> "cat", "gas" -> "ga",
+      // rule 3 exceptions: untouched
+      "corpus" -> "corpus", "class" -> "class")
+    val df = cases.map(_._1).distinct.toDF("w")
+      .select(col("w"), graft.functions.TextAnalysis.sStem(col("w")).as("s"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    cases.foreach { case (w, want) => assert(df(w) == want, s"$w -> ${df(w)} (want $want)") }
+  }
 }

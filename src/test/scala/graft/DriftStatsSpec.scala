@@ -749,4 +749,37 @@ class DriftStatsSpec extends SparkSpec {
         s"allTreated=$allTreated: ${msgs(ex)}")
     }
   }
+
+  test("postStratifiedAte: hand confounded strata — adjustment recovers the true effect") {
+    // stratum A: treat-heavy with high base outcome, stratum B the
+    // reverse; within EACH stratum the treatment adds exactly +10, but
+    // the raw diff is inflated by the composition imbalance
+    val rows =
+      (1 to 3).map(_ => (true, 110L, "A")) ++ Seq((false, 100L, "A")) ++
+        Seq((true, 20L, "B")) ++ (1 to 3).map(_ => (false, 10L, "B"))
+    val got = Stats.postStratifiedAte(rows.toDF("t", "x", "g"), "t", "x", "g")
+      .collect().head
+    // raw: treated mean (330+20)/4 = 87.5, control (100+30)/4 = 32.5 -> 55
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getDouble(3), got.getDouble(4))
+      == ((8L, 2L, 2L, 55.0, 10.0)), s"$got")
+  }
+
+  test("postStratifiedAte: single-arm strata drop and weights renormalize; all-single-arm reads NULL") {
+    // stratum C has no control: it must not contribute; A/B weights
+    // renormalize over the remaining 8 rows
+    val rows =
+      (1 to 3).map(_ => (true, 110L, "A")) ++ Seq((false, 100L, "A")) ++
+        Seq((true, 20L, "B")) ++ (1 to 3).map(_ => (false, 10L, "B")) ++
+        Seq((true, 999L, "C"), (true, 888L, "C"))
+    val got = Stats.postStratifiedAte(rows.toDF("t", "x", "g"), "t", "x", "g")
+      .collect().head
+    assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getDouble(4))
+      == ((10L, 3L, 2L, 10.0)), s"$got")
+    // every stratum single-arm: ate NULL, raw diff still defined
+    val degen = Stats.postStratifiedAte(
+      Seq((true, 5L, "A"), (false, 3L, "B")).toDF("t", "x", "g"), "t", "x", "g")
+      .collect().head
+    assert(degen.getLong(2) == 0L && degen.isNullAt(4) && degen.getDouble(3) == 2.0,
+      s"degen: $degen")
+  }
 }
