@@ -4156,6 +4156,26 @@ object SparkEntry {
       operators.Stats.randomizationTest(o, "hi_pri", "cents", "o_orderkey")
     }),
 
+    // -- empirical-Bayes shrinkage of per-supplier return rates: beta-
+    //    binomial MoM prior from 1e6-scaled integer moment sums, small
+    //    suppliers shrink toward the grand rate — the "1/1 = 100%
+    //    returns" ranking fix
+    "q_eb_shrink" -> ((s, dir) =>
+      operators.Stats.ebShrinkRates(
+        t(s, dir, "lineitem").select(col("l_suppkey").as("suppkey"),
+          (col("l_returnflag") === "R").cast("long").as("ret")),
+        "suppkey", "ret").orderBy("suppkey")),
+
+    // -- group-sequential SPRT on the purchase rate at hourly looks:
+    //    Wald boundaries, literal log-odds terms shared with the oracle,
+    //    cumulative counts over the hour domain, decision at the FIRST
+    //    crossing — the early-stopping experiment monitor
+    "q_sprt" -> ((s, dir) =>
+      operators.Stats.sprtBernoulli(
+        graft.sources.EventsSource.events(s, dir)
+          .select((col("event_type") === "purchase").cast("long").as("buy"), col("ts_t")),
+        "buy", "ts_t", p0 = 0.15, p1 = 0.22)),
+
     // -- post-stratified ATE over the SAME arms/outcome as
     //    q_randomization, adjusted by order status: per-stratum gaps on
     //    exact decimal sums, 1e6-scaled integer weighting, one division —
@@ -10035,6 +10055,41 @@ object SparkEntry {
           FROM jb ORDER BY lang""",
     // md5 Bernoulli(p-hat) re-randomization replayed exactly; integer
     // cent sums per (rep, side); gaps rounded 6dp BEFORE the |.| compare
+    // 1e6-scaled integer rate moments, MoM prior, posterior means from
+    // the ROUNDED prior (mirror of Stats.ebShrinkRates)
+    "q_eb_shrink" ->
+      """WITH cells AS (SELECT l_suppkey AS suppkey, count(*)::BIGINT AS n,
+                               sum((l_returnflag = 'R')::INT)::BIGINT AS k
+                        FROM lineitem GROUP BY 1),
+          p6 AS (SELECT *, floor(k::DOUBLE / n::DOUBLE * 1e6 + 0.5)::BIGINT AS p6
+                 FROM cells),
+          mom AS (SELECT count(*)::BIGINT AS gn, sum(p6)::BIGINT AS s1,
+                         sum(p6::HUGEINT * p6::HUGEINT) AS s2
+                  FROM p6),
+          mm AS (SELECT gn, s1::DOUBLE / (gn::DOUBLE * 1e6) AS m,
+                        CASE WHEN gn >= 2
+                             THEN (s2::DOUBLE / 1e12
+                                   - (s1::DOUBLE / 1e6) * (s1::DOUBLE / 1e6) / gn::DOUBLE)
+                                  / (gn::DOUBLE - 1.0) END AS v
+                 FROM mom),
+          ab AS (SELECT m, v, m * (1 - m) / v - 1.0 AS ab FROM mm),
+          pr AS (SELECT CASE WHEN v > 0 AND ab > 0
+                             THEN floor(m * ab * 1e6 + 0.5) / 1e6 END AS a,
+                        CASE WHEN v > 0 AND ab > 0
+                             THEN floor((1 - m) * ab * 1e6 + 0.5) / 1e6 END AS b
+                 FROM ab)
+          SELECT suppkey, n, k,
+                 floor(k::DOUBLE / n::DOUBLE * 1e6 + 0.5) / 1e6 AS raw_r,
+                 floor((CASE WHEN a IS NOT NULL
+                             THEN (k::DOUBLE + a) / (n::DOUBLE + a + b)
+                             ELSE k::DOUBLE / n::DOUBLE END) * 1e6 + 0.5) / 1e6 AS shrunk_r,
+                 a AS prior_a_r, b AS prior_b_r
+          FROM p6 CROSS JOIN pr ORDER BY suppkey""",
+    // Wald boundaries and log-odds increments as Scala-computed literals
+    // (the rboWeights discipline); hour-domain cumulatives; first
+    // crossing wins over the continue fallback (mirror of
+    // Stats.sprtBernoulli)
+    "q_sprt" -> sprtSql(p0 = 0.15, p1 = 0.22, alpha = 0.05, beta = 0.05),
     // per-stratum exact-sum gaps, 1e6-scaled HUGEINT weighting, single
     // division (mirror of Stats.postStratifiedAte)
     "q_ate_ps" ->
@@ -11426,6 +11481,40 @@ object SparkEntry {
     * the consumer-side symmetrization): directed c→s edges where the
     * customer's and supplier's nation agree, then both directions.
     */
+  /** Mirror of Stats.sprtBernoulli on the events purchase stream: the
+    * log-odds increments and Wald boundaries are the SAME Scala doubles
+    * the operator uses, embedded as round-tripping literals.
+    */
+  private def sprtSql(p0: Double, p1: Double, alpha: Double, beta: Double): String = {
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val c1 = math.log(p1 / p0)
+    val c0 = math.log((1 - p1) / (1 - p0))
+    val bndA = r6(math.log((1 - beta) / alpha))
+    val bndB = r6(math.log(beta / (1 - alpha)))
+    s"""WITH e AS (SELECT epoch_us(ts::TIMESTAMP) // 3600000000 AS h,
+                          (event_type = 'purchase')::BIGINT AS y
+                   FROM events),
+        hh AS (SELECT h, count(*)::BIGINT AS n, sum(y)::BIGINT AS k FROM e GROUP BY 1),
+        c AS (SELECT h, (sum(n) OVER (ORDER BY h))::BIGINT AS cn,
+                     (sum(k) OVER (ORDER BY h))::BIGINT AS ck
+              FROM hh),
+        l AS MATERIALIZED (SELECT h, cn, ck,
+                    floor((ck::DOUBLE * ($c1) + (cn - ck)::DOUBLE * ($c0)) * 1e6 + 0.5) / 1e6
+                      AS llr
+             FROM c),
+        x AS (SELECT CASE WHEN llr >= $bndA THEN 'accept_h1' ELSE 'accept_h0' END AS decision,
+                     h AS cross_h, cn AS n_at_cross, 0 AS pr
+              FROM l WHERE llr >= $bndA OR llr <= $bndB ORDER BY h LIMIT 1),
+        f AS MATERIALIZED (SELECT cn AS n, ck AS k, llr AS llr_final_r
+             FROM l ORDER BY h DESC LIMIT 1),
+        v AS (SELECT decision, cross_h, n_at_cross FROM (
+                SELECT * FROM x
+                UNION ALL
+                SELECT 'continue', NULL::BIGINT, NULL::BIGINT, 1 FROM f) u
+              ORDER BY pr LIMIT 1)
+        SELECT n, k, llr_final_r, decision, cross_h, n_at_cross FROM f CROSS JOIN v"""
+  }
+
   /** Unrolled fixed-rounds k-truss support peel over the customer
     * co-supplier projection (mirror of Graph.kTruss on
     * Graph.coSupplierEdges): per round the oriented-wedge support count

@@ -979,6 +979,152 @@ object Stats {
         col("iso_rate_r"))
   }
 
+  /** Empirical-Bayes rate shrinkage (Robbins 1956; Efron & Morris JASA
+    * 1975; the beta-binomial method-of-moments form every CTR/quality-
+    * rate dashboard uses): fit a Beta(α, β) prior to the per-group
+    * success rates, then report each group's posterior mean
+    * (k_g + α)/(n_g + α + β) — small groups shrink hard toward the
+    * grand rate, large groups keep their own, which is exactly the
+    * ranking fix for "this supplier has 1/1 = 100% returns". MoM:
+    * m = mean(p̂_g), v = var(p̂_g), α+β = m(1−m)/v − 1, α = m(α+β).
+    *
+    * Parity discipline: each group rate FLOORS to a 1e6-scaled long, so
+    * the across-groups moment sums are exact integers (group counts can
+    * be huge; double accumulation would be partial-agg-order exposed);
+    * α and β are fixed-order scalars off those integers, rounded to 6dp
+    * BEFORE the posterior means (derive-from-rounded). Degenerate
+    * priors — zero across-group variance, or MoM α+β ≤ 0 (rate spread
+    * exceeding what any beta can carry) — report shrunk = raw with
+    * NULL α/β rather than a garbage prior.
+    *
+    * Two partial-agg passes (group cells, then the G-sized moment
+    * aggregate broadcast back); nothing group-cardinality-sized beyond
+    * the cells themselves.
+    *
+    * Returns (group, n, k, raw_r, shrunk_r, prior_a_r, prior_b_r).
+    */
+  def ebShrinkRates(
+      df: DataFrame,
+      groupCol: String,
+      successCol: String): DataFrame = {
+    val cells = df
+      .select(col(groupCol).as("__g"), col(successCol).cast("long").as("__y"))
+      .where(col("__g").isNotNull && col("__y").isNotNull)
+      .groupBy(col("__g"))
+      .agg(count(lit(1)).as("n"), sum(col("__y")).as("k"))
+      .withColumn("__p6",
+        floor(col("k").cast("double") / col("n").cast("double") * 1e6 + lit(0.5))
+          .cast("long"))
+    val mom = cells.agg(
+      count(lit(1)).as("__gn"),
+      sum(col("__p6")).as("__s1"),
+      sum(col("__p6").cast("decimal(19,0)") * col("__p6").cast("decimal(19,0)"))
+        .cast("decimal(38,0)").as("__s2"))
+    val gnD = col("__gn").cast("double")
+    val m = col("__s1").cast("double") / (gnD * 1e6)
+    val v = when(col("__gn") >= 2L,
+      (col("__s2").cast("double") / 1e12
+        - (col("__s1").cast("double") / 1e6) * (col("__s1").cast("double") / 1e6) / gnD)
+        / (gnD - lit(1.0)))
+    val ab = m * (lit(1.0) - m) / v - lit(1.0)
+    val prior = mom.select(
+      Portable.pround(when(v > 0.0 && ab > 0.0, m * ab), 6).as("prior_a_r"),
+      Portable.pround(when(v > 0.0 && ab > 0.0, (lit(1.0) - m) * ab), 6).as("prior_b_r"))
+    cells
+      .crossJoin(broadcast(prior))
+      .select(col("__g").as(groupCol), col("n"), col("k"),
+        Portable.pround(col("k").cast("double") / col("n").cast("double"), 6).as("raw_r"),
+        Portable.pround(
+          when(col("prior_a_r").isNotNull,
+            (col("k").cast("double") + col("prior_a_r"))
+              / (col("n").cast("double") + col("prior_a_r") + col("prior_b_r")))
+            .otherwise(col("k").cast("double") / col("n").cast("double")), 6)
+          .as("shrunk_r"),
+        col("prior_a_r"), col("prior_b_r"))
+  }
+
+  /** Group-sequential SPRT (Wald, Ann. Math. Stat. 1945): the sequential
+    * probability ratio test for a Bernoulli rate, H0: p = p0 vs
+    * H1: p = p1, evaluated at HOURLY looks — the early-stopping monitor
+    * every long-running experiment/canary wants ("stop the rollout the
+    * hour the evidence clears the bar", with α/β guarantees Wald's
+    * boundaries A = ln((1−β)/α), B = ln(β/(1−α)) carry). Fully-
+    * sequential per-event checking needs a row-ordered scan; production
+    * monitors evaluate in batches anyway, and hourly looks keep ALL
+    * state hour-domain bounded (the group-sequential form, documented).
+    *
+    * LLR after hour h is k_h·ln(p1/p0) + (n_h−k_h)·ln((1−p1)/(1−p0))
+    * over CUMULATIVE counts — the two log terms are Scala-computed
+    * literals shared with the oracle (the rboWeights discipline), the
+    * cumulative counts exact integers from one partial agg + an hour-
+    * domain window, the LLR one fixed-order scalar rounded to 6 dp
+    * BEFORE the boundary compare, and the boundaries themselves round
+    * the same way — so the crossing hour is cross-engine identical.
+    *
+    * Returns ONE row (n, k, llr_final_r, decision, cross_h, n_at_cross):
+    * decision = 'accept_h1'/'accept_h0' from the FIRST boundary crossing
+    * (the sequential-test semantics — evidence after the stop is not
+    * consulted), 'continue' with NULL cross columns when no look
+    * crosses.
+    */
+  def sprtBernoulli(
+      events: DataFrame,
+      successCol: String,
+      tsCol: String,
+      p0: Double,
+      p1: Double,
+      alpha: Double = 0.05,
+      beta: Double = 0.05): DataFrame = {
+    require(p0 > 0 && p0 < 1 && p1 > 0 && p1 < 1 && p0 != p1,
+      s"p0 ($p0), p1 ($p1) must be distinct and in (0,1)")
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1, "alpha/beta must be in (0,1)")
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val c1 = math.log(p1 / p0)
+    val c0 = math.log((1 - p1) / (1 - p0))
+    val bndA = r6(math.log((1 - beta) / alpha))
+    val bndB = r6(math.log(beta / (1 - alpha)))
+    val hourly = events
+      .select(floor(col(tsCol).cast("long") / 3600L).cast("long").as("__h"),
+        col(successCol).cast("long").as("__y"))
+      .where(col("__y").isNotNull)
+      .groupBy(col("__h"))
+      .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__k"))
+    val w = Window.orderBy(col("__h"))
+    val looks = hourly
+      .withColumn("__cn", sum(col("__n")).over(w))
+      .withColumn("__ck", sum(col("__k")).over(w))
+      .select(col("__h"), col("__cn"), col("__ck"),
+        Portable.pround(
+          col("__ck").cast("double") * c1
+            + (col("__cn") - col("__ck")).cast("double") * c0, 6).as("__llr"))
+      // hour-domain rows; materialized once for the crossing scan + the
+      // final-look readout
+      .localCheckpoint(true)
+    val cross = looks
+      .where(col("__llr") >= bndA || col("__llr") <= bndB)
+      .orderBy(col("__h"))
+      .limit(1)
+      .select(
+        when(col("__llr") >= bndA, lit("accept_h1")).otherwise(lit("accept_h0"))
+          .as("decision"),
+        col("__h").as("cross_h"), col("__cn").as("n_at_cross"))
+    val fin = looks.orderBy(col("__h").desc).limit(1)
+      .select(col("__cn").as("n"), col("__ck").as("k"),
+        col("__llr").as("llr_final_r"))
+    // the crossing row (priority 0) wins over the 'continue' fallback —
+    // a bare union+limit would pick an arbitrary row
+    val verdict = cross.withColumn("__pr", lit(0))
+      .unionByName(fin.select(lit("continue").as("decision"),
+        lit(null).cast("long").as("cross_h"), lit(null).cast("long").as("n_at_cross"),
+        lit(1).as("__pr")))
+      .orderBy(col("__pr"))
+      .limit(1)
+      .drop("__pr")
+    fin.crossJoin(verdict)
+      .select(col("n"), col("k"), col("llr_final_r"),
+        col("decision"), col("cross_h"), col("n_at_cross"))
+  }
+
   /** Post-stratified treatment-effect estimate (direct standardization —
     * Cochran, Biometrics 1968): ATE_ps = Σ_g (N_g/N)·(ȳ_{t,g} − ȳ_{c,g}),
     * the per-stratum gap averaged with the stratum's POPULATION share —

@@ -782,4 +782,83 @@ class DriftStatsSpec extends SparkSpec {
     assert(degen.getLong(2) == 0L && degen.isNullAt(4) && degen.getDouble(3) == 2.0,
       s"degen: $degen")
   }
+
+  test("ebShrinkRates: small groups shrink toward the grand rate, big groups barely move") {
+    def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    // rates 0.2/0.4/0.6 at n=100 plus a 1/1 = 100% singleton: the
+    // singleton must move far toward the prior mean, the n=100 groups
+    // barely
+    val rows =
+      (1 to 100).map(i => ("a", if (i <= 20) 1L else 0L)) ++
+        (1 to 100).map(i => ("b", if (i <= 40) 1L else 0L)) ++
+        (1 to 100).map(i => ("c", if (i <= 60) 1L else 0L)) ++
+        Seq(("d", 1L))
+    val got = Stats.ebShrinkRates(rows.toDF("g", "y"), "g", "y")
+      .orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4)))
+    // mirror: p6 = 200000, 400000, 600000, 1000000
+    val p6 = Seq(200000L, 400000L, 600000L, 1000000L)
+    val gn = 4.0
+    val m = p6.sum.toDouble / (gn * 1e6)
+    val v = (p6.map(p => p.toDouble * p).sum / 1e12
+      - (p6.sum / 1e6) * (p6.sum / 1e6) / gn) / (gn - 1.0)
+    val ab = m * (1 - m) / v - 1.0
+    val (a, b) = (r6(m * ab), r6((1 - m) * ab))
+    def shrunk(k: Long, n: Long) = r6((k + a) / (n + a + b))
+    assert(got.toSeq == Seq(
+      ("a", 100L, 20L, 0.2, shrunk(20, 100)),
+      ("b", 100L, 40L, 0.4, shrunk(40, 100)),
+      ("c", 100L, 60L, 0.6, shrunk(60, 100)),
+      ("d", 1L, 1L, 1.0, shrunk(1, 1))), s"got: ${got.toSeq}")
+    // qualitative shrinkage geometry
+    val byG = got.map(r => r._1 -> r).toMap
+    assert(math.abs(byG("d")._5 - m) < math.abs(1.0 - m) * 0.6,
+      s"singleton must shrink far toward m=$m: ${byG("d")}")
+    assert(math.abs(byG("a")._5 - 0.2) < 0.05, s"n=100 group barely moves: ${byG("a")}")
+  }
+
+  test("ebShrinkRates: zero across-group variance reads NULL prior, shrunk == raw") {
+    val rows = (1 to 10).flatMap(_ => Seq(("a", 1L), ("a", 0L), ("b", 1L), ("b", 0L)))
+    val got = Stats.ebShrinkRates(rows.toDF("g", "y"), "g", "y")
+      .orderBy("g").collect()
+    got.foreach { r =>
+      assert(r.isNullAt(5) && r.isNullAt(6) && r.getDouble(3) == 0.5
+        && r.getDouble(4) == 0.5, s"$r")
+    }
+  }
+
+  test("sprtBernoulli: a planted high-rate stream crosses A at the exact hand-computed hour") {
+    def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    // 10 successes per 20-event hour (rate .5) vs p0=.1, p1=.3:
+    // per-hour LLR increment = 10·ln3 + 10·ln(7/9) > 0 -> crosses fast
+    val c1 = math.log(0.3 / 0.1); val c0 = math.log(0.7 / 0.9)
+    val perHour = r6(10 * c1 + 10 * c0)
+    val bndA = r6(math.log(0.95 / 0.05))
+    val crossHour = Iterator.from(1).find(h => r6(10.0 * h * c1 + 10.0 * h * c0) >= bndA).get
+    val rows = (0 until 6).flatMap { h =>
+      (0 until 20).map(i => (if (i < 10) 1L else 0L,
+        new java.sql.Timestamp((100000L + h) * 3600000L + i * 1000L)))
+    }
+    val got = Stats.sprtBernoulli(rows.toDF("y", "ts"), "y", "ts", p0 = 0.1, p1 = 0.3)
+      .collect().head
+    assert(got.getLong(0) == 120L && got.getLong(1) == 60L, s"$got")
+    assert(got.getString(3) == "accept_h1", s"$got")
+    assert(got.getLong(4) == 100000L + crossHour - 1 &&
+      got.getLong(5) == 20L * crossHour, s"cross at $crossHour: $got")
+    assert(got.getDouble(2) == r6(60 * c1 + 60 * c0), s"final llr: $got")
+    // a stream matching H0 exactly drifts down and accepts H0
+    val nullRows = (0 until 40).flatMap { h =>
+      (0 until 10).map(i => (if (i < 1) 1L else 0L,
+        new java.sql.Timestamp((200000L + h) * 3600000L + i * 1000L)))
+    }
+    val nul = Stats.sprtBernoulli(nullRows.toDF("y", "ts"), "y", "ts", p0 = 0.1, p1 = 0.3)
+      .collect().head
+    assert(nul.getString(3) == "accept_h0", s"null stream: $nul")
+    // too little evidence: continue with NULL crossing
+    val tiny = Stats.sprtBernoulli(
+      Seq((1L, new java.sql.Timestamp(0L)), (0L, new java.sql.Timestamp(1000L)))
+        .toDF("y", "ts"), "y", "ts", p0 = 0.1, p1 = 0.3).collect().head
+    assert(tiny.getString(3) == "continue" && tiny.isNullAt(4) && tiny.isNullAt(5),
+      s"tiny: $tiny")
+  }
 }
