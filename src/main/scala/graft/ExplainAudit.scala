@@ -174,7 +174,7 @@ object ExplainAudit {
     // calibration, post-stratified ATE, S-stemmer merge table (q_ktruss
     // is iterative — its support-peel body is audited below)
     "q_holt_forecast", "q_kwic", "q_isotonic", "q_ate_ps", "q_stem_vocab",
-    "q_eb_shrink", "q_sprt")
+    "q_eb_shrink", "q_sprt", "q_skipgram_pmi")
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

@@ -1293,6 +1293,15 @@ object SparkEntry {
     "q_search_phrase" -> ((s, dir) =>
       Search.phraseQuery(t(s, dir, "documents"), Seq("data", "query"))),
 
+    // -- skip-gram (±2-token window) PMI: the word2vec co-occurrence
+    //    matrix vs q_token_pmi's whole-document granularity — positional
+    //    EQUI-joins (offsets explode before the join), marginals from
+    //    the pair stream via vocab-keyed shuffle joins, one broadcast
+    //    scalar total
+    "q_skipgram_pmi" -> ((s, dir) =>
+      operators.Cooccurrence.skipgramPmi(t(s, dir, "documents"), window = 2, minPair = 5)
+        .orderBy("w1", "w2")),
+
     // -- KWIC concordance: every 'data' occurrence with its ±3-token
     //    window, first 200 in (doc, pos) order — map-side match-position
     //    fan-out (per MATCH, not per token) + TakeOrderedAndProject
@@ -6765,6 +6774,27 @@ object SparkEntry {
           ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
           WHERE a.word = 'data' AND b.word = 'query'
           ORDER BY a.doc_id""",
+    // positional pair stream (offsets 1..2 as explicit equi-conditions),
+    // marginals from the pair relation itself (mirror of
+    // Cooccurrence.skipgramPmi)
+    "q_skipgram_pmi" ->
+      s"""WITH $ToksArrCte,
+          p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS w
+                FROM toks_arr),
+          pr AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+                 FROM p a JOIN p b ON b.doc_id = a.doc_id
+                   AND (b.pos = a.pos + 1 OR b.pos = a.pos + 2)),
+          c AS MATERIALIZED (SELECT w1, w2, count(*)::BIGINT AS n_ab
+               FROM pr GROUP BY 1, 2),
+          m AS MATERIALIZED (SELECT w, sum(n_ab)::BIGINT AS n_w FROM (
+                 SELECT w1 AS w, n_ab FROM c UNION ALL SELECT w2, n_ab FROM c) u
+               GROUP BY 1),
+          t AS (SELECT sum(n_ab)::BIGINT AS tt FROM c)
+          SELECT c.w1, c.w2, c.n_ab, ma.n_w AS n_a, mb.n_w AS n_b,
+                 floor(ln(c.n_ab::DOUBLE * tt::DOUBLE
+                          / (ma.n_w::DOUBLE * mb.n_w::DOUBLE)) * 1e6 + 0.5) / 1e6 AS pmi_r
+          FROM c JOIN m ma ON ma.w = c.w1 JOIN m mb ON mb.w = c.w2 CROSS JOIN t
+          WHERE c.n_ab >= 5 ORDER BY w1, w2""",
     // 1-based token positions; slice bounds clamp at document edges and
     // the empty-slice NULL coalesces to '' (Spark array_join is '' on
     // empty) — mirror of Search.kwic

@@ -39,6 +39,67 @@ object Cooccurrence {
           log(col("n_xy").cast("double") * col("n_docs") / (col("n_x") * col("n_y"))),
           6).as("pmi"))
 
+  /** Skip-gram (token-window) PMI — the word2vec/GloVe co-occurrence
+    * count (Mikolov et al. 2013 train on exactly this matrix; Levy &
+    * Goldberg NeurIPS'14 showed SGNS factorizes shifted PMI of it):
+    * pairs of tokens within `window` POSITIONS of each other, versus
+    * [[pmiPairs]]' whole-document granularity — "appears in the same
+    * doc" vs "appears next to": syntax-scale association instead of
+    * topic-scale. PMI = ln(n_ab·T / (n_a·n_b)) with marginals counted
+    * from the pair stream itself (each slot counted on both sides), so
+    * the estimate is self-consistent.
+    *
+    * Scale shape: the pair expansion is positional — `window` EQUI-joins
+    * on (doc, pos+off) (the positional-phrase-index trick: offsets
+    * explode BEFORE the join, so it's one hash join on exact keys, no
+    * range join, no t² blowup — tokens·window pairs, a constant factor
+    * of the scan). Canonical (least, greatest) orientation; exact
+    * integer counts; the log is one fixed-order scalar over integers,
+    * 6-dp rounded.
+    *
+    * Returns (w1, w2, n_ab, n_a, n_b, pmi_r), n_ab ≥ `minPair`,
+    * ordered nowhere (callers sort).
+    */
+  def skipgramPmi(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      window: Int = 2,
+      minPair: Long = 5): DataFrame = {
+    require(window >= 1 && window <= 8, s"window ($window) must be in [1, 8]")
+    require(minPair >= 1, s"minPair ($minPair) must be >= 1")
+    val pos = docs
+      .select(col(idCol).as("__d"),
+        posexplode(graft.operators.Tokenize.tokenArray(col(textCol)))
+          .as(Seq("__p", "__w")))
+    val offs = pos.select(col("__d"), col("__w").as("__wa"),
+      explode(sequence(lit(1), lit(window))).as("__off"),
+      col("__p"))
+    val pairs = offs
+      .join(pos.select(col("__d").as("__db"), col("__p").as("__pb"), col("__w").as("__wb")),
+        col("__db") === col("__d") && col("__pb") === col("__p") + col("__off"))
+      .select(least(col("__wa"), col("__wb")).as("w1"),
+        greatest(col("__wa"), col("__wb")).as("w2"))
+    val cnt = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
+      .localCheckpoint(true)
+    // vocabulary-keyed shuffle joins, NOT broadcasts: the marginal
+    // relation is vocab-sized and a web-scale vocabulary doesn't fit an
+    // executor broadcast; only the one-row total rides broadcast
+    val marg = cnt.select(col("w1").as("w"), col("n_ab"))
+      .unionAll(cnt.select(col("w2").as("w"), col("n_ab")))
+      .groupBy(col("w")).agg(sum(col("n_ab")).as("n_w"))
+    val tot = cnt.agg(sum(col("n_ab")).as("__t"))
+    cnt
+      .where(col("n_ab") >= minPair)
+      .join(marg.select(col("w").as("w1"), col("n_w").as("n_a")), Seq("w1"))
+      .join(marg.select(col("w").as("w2"), col("n_w").as("n_b")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_ab"), col("n_a"), col("n_b"),
+        Portable.pround(
+          log(col("n_ab").cast("double") * col("__t").cast("double")
+            / (col("n_a").cast("double") * col("n_b").cast("double"))), 6).as("pmi_r"))
+  }
+
   /** Collocation SIGNIFICANCE via Dunning's log-likelihood ratio G²
     * (Dunning, Computational Linguistics 1993) over the same banded
     * pair relation: G² = 2·Σ O·ln(O/E) across the 2×2 document

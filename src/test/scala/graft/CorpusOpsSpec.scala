@@ -1030,6 +1030,53 @@ class CorpusOpsSpec extends SparkSpec {
       s"${g2.toSeq}")
   }
 
+  test("skipgramPmi: hand window-2 pair counts, self-consistent marginals, exact PMI") {
+    import spark.implicits._
+    def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    // "a b a c": pairs (a,b)x2, (a,a), (a,c), (b,c); T=5; marginals
+    // count both sides: n_a=5, n_b=3, n_c=2
+    val docs = Seq((1L, "a b a c")).toDF("doc_id", "text")
+    val got = graft.operators.Cooccurrence.skipgramPmi(docs, window = 2, minPair = 1)
+      .orderBy("w1", "w2")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      ("a", "a", 1L, 5L, 5L, r6(math.log(5.0 / 25.0))),
+      ("a", "b", 2L, 5L, 3L, r6(math.log(10.0 / 15.0))),
+      ("a", "c", 1L, 5L, 2L, r6(math.log(5.0 / 10.0))),
+      ("b", "c", 1L, 3L, 2L, r6(math.log(5.0 / 6.0)))), s"got: ${got.toSeq}")
+  }
+
+  test("skipgramPmi fuzz: == the plain-Scala windowed-pair mirror") {
+    import spark.implicits._
+    def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    val rnd = new scala.util.Random(915L)
+    val vocab = Vector("x", "y", "z", "w", "v")
+    val docs = (0 until 12).map(d =>
+      (d.toLong, (0 until 5 + rnd.nextInt(30)).map(_ => vocab(rnd.nextInt(5))).mkString(" ")))
+    val got = graft.operators.Cooccurrence
+      .skipgramPmi(docs.toDF("doc_id", "text"), window = 3, minPair = 2)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    // mirror
+    val pairs = docs.flatMap { case (_, text) =>
+      val t = text.split(" ")
+      for { i <- t.indices; o <- 1 to 3; if i + o < t.length }
+        yield (Seq(t(i), t(i + o)).min, Seq(t(i), t(i + o)).max)
+    }
+    val cnt = pairs.groupBy(identity).map { case (p, l) => p -> l.size.toLong }
+    val tot = cnt.values.sum
+    val marg = (cnt.toSeq.map { case ((a, _), n) => a -> n }
+      ++ cnt.toSeq.map { case ((_, b), n) => b -> n })
+      .groupBy(_._1).map { case (w, l) => w -> l.map(_._2).sum }
+    val want = cnt.filter(_._2 >= 2).map { case ((a, b), n) =>
+      (a, b) -> ((n, marg(a), marg(b),
+        r6(math.log(n.toDouble * tot / (marg(a).toDouble * marg(b).toDouble)))))
+    }
+    assert(got == want, s"got: $got\nwant: $want")
+  }
+
   test("sStem: the three Harman rules fire in order; exceptions stay untouched") {
     import spark.implicits._
     val cases = Seq(
