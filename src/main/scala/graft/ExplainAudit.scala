@@ -320,8 +320,8 @@ object ExplainAudit {
             s.read.parquet(s"$dir/orders.parquet"),
             s.read.parquet(s"$dir/lineitem.parquet"),
             s.read.parquet(s"$dir/customer.parquet"),
-            s.read.parquet(s"$dir/supplier.parquet"))),
-          k = 26)
+            s.read.parquet(s"$dir/supplier.parquet"), maxDeg = 20)),
+          k = 18)
       }),
       // round 14: the ER pipeline's cc round over the edit-pair graph —
       // same hash-to-min body as q_dedup_groups, name-keyed

@@ -259,7 +259,7 @@ object ScaleBench {
       // replicated as f disjoint copies (shifted node ids): community
       // structure and peel depth are invariant per copy, so rounds stay
       // fixed and wall time should track edge volume linearly
-      if (want("label_prop") || want("kcore")) {
+      if (want("label_prop") || want("kcore") || want("ktruss")) {
       val baseNE = graft.operators.Graph.sameNationEdges(
         spark.read.parquet(s"$sfDir/orders.parquet"),
         spark.read.parquet(s"$sfDir/lineitem.parquet"),
@@ -289,7 +289,43 @@ object ScaleBench {
         println(
           s"""{"pipeline":"kcore","factor":$f,"sec":${f"$kcSec%.3f"},"core_nodes":$core}""")
       }
+      if (want("ktruss")) {
+        // disjoint copies of the bipartite graph project to disjoint
+        // copies of the customer projection, so peel depth is invariant
+        // per copy — wall time should track edge volume. The projection
+        // materializes OUTSIDE the timed region (the operator is what's
+        // measured, and production would amortize the projection).
+        val kd = rne.groupBy(col("dst")).agg(count(lit(1)).as("__deg"))
+          .where(col("__deg") <= 20).select(col("dst"))
+        val rneK = rne.join(kd, Seq("dst"), "left_semi")
+        val proj = rneK
+          .join(rneK.select(col("src").as("__b"), col("dst")), Seq("dst"))
+          .where(col("src") < col("__b"))
+          .select(col("src"), col("__b").as("dst")).distinct()
+          .localCheckpoint(true)
+        var trussEdges = 0L
+        val ktSec = time {
+          trussEdges = graft.operators.Graph.kTruss(proj, k = 18, rounds = 8).count()
+        }
+        println(
+          s"""{"pipeline":"ktruss","factor":$f,"sec":${f"$ktSec%.3f"},"truss_edges":$trussEdges}""")
+      }
       clearExcept(Set.empty)
+      }
+
+      if (want("skipgram_pmi")) {
+        // text is replicated verbatim: pair volume scales x f at constant
+        // vocabulary — the linear-by-construction check for the
+        // positional equi-join pair stream
+        val dd = replicated(docs, "doc_id", f).localCheckpoint(true)
+        var sgRows = 0L
+        val sgSec = time {
+          sgRows = graft.operators.Cooccurrence
+            .skipgramPmi(dd, window = 2, minPair = 5).count()
+        }
+        println(
+          s"""{"pipeline":"skipgram_pmi","factor":$f,"sec":${f"$sgSec%.3f"},"rows":$sgRows}""")
+        clearExcept(Set.empty)
       }
 
       if (want("embedding_neardup") || want("embedding_neardup_probe")) {

@@ -3249,16 +3249,19 @@ object SparkEntry {
         .orderBy("node")
     }),
 
-    // -- k-truss backbone of the customer co-supplier projection: every
-    //    surviving edge closes >= 24 triangles after a 6-peel cascade
-    //    (8 rounds certifies the fixpoint at sf0.01); support recomputed
-    //    on the final truss so each row carries its triangle count
+    // -- k-truss backbone of the DEGREE-CAPPED customer co-supplier
+    //    projection (suppliers above deg 20 excluded — the hot-bucket
+    //    discipline; supplier degree grows with corpus scale, so the
+    //    uncapped projection is quadratic): every surviving edge closes
+    //    >= 16 triangles; 8 rounds certifies the fixpoint at sf0.01 (the
+    //    operator early-exits at the fixpoint); support recomputed on
+    //    the final truss so each row carries its triangle count
     "q_ktruss" -> ((s, dir) => {
       operators.Graph
         .kTruss(
           operators.Graph.coSupplierEdges(t(s, dir, "orders"), t(s, dir, "lineitem"),
-            t(s, dir, "customer"), t(s, dir, "supplier")),
-          k = 26, rounds = 8)
+            t(s, dir, "customer"), t(s, dir, "supplier"), maxDeg = 20),
+          k = 18, rounds = 8)
         .orderBy("src", "dst")
     }),
 
@@ -9167,7 +9170,7 @@ object SparkEntry {
     // trade graph (mirrors of Graph.labelPropagation / Graph.kCore)
     "q_label_prop" -> labelPropSql(iters = 5),
     "q_kcore" -> kCoreSql(k = 4, rounds = 6),
-    "q_ktruss" -> kTrussSql(k = 26, rounds = 8),
+    "q_ktruss" -> kTrussSql(k = 18, rounds = 8, maxDeg = 20),
     "q_bfs_dist" -> bfsSql(Seq("c1", "c2"), rounds = 6),
     // wedge join through each edge's endpoints over the symmetrized
     // adjacency; left join keeps zero-common (bridge) edges
@@ -11551,7 +11554,7 @@ object SparkEntry {
     * and the >= k-2 filter; the final support recomputes on the
     * surviving truss with a LEFT join so stragglers read 0.
     */
-  private def kTrussSql(k: Int, rounds: Int): String = {
+  private def kTrussSql(k: Int, rounds: Int, maxDeg: Int): String = {
     // every o_r is referenced five times by round r+1's wedge join —
     // MATERIALIZED, or DuckDB inlines the whole unrolled chain and the
     // plan re-expands the base scans ~5^rounds times (fd exhaustion)
@@ -11566,8 +11569,10 @@ object SparkEntry {
           o$r AS MATERIALIZED (SELECT src, dst FROM s$r WHERE sup >= ${k - 2})"""
     }.mkString(",\n")
     s"""WITH $NationEdgesCte,
+        kd AS (SELECT dst FROM ne0 GROUP BY dst HAVING count(*) <= $maxDeg),
+        nek AS (SELECT ne0.src, ne0.dst FROM ne0 JOIN kd USING (dst)),
         o0 AS MATERIALIZED (SELECT DISTINCT a.src AS src, b.src AS dst
-               FROM ne0 a JOIN ne0 b ON a.dst = b.dst AND a.src < b.src),
+               FROM nek a JOIN nek b ON a.dst = b.dst AND a.src < b.src),
         $steps,
         af AS (SELECT src, dst FROM o$rounds
                UNION ALL SELECT dst AS src, src AS dst FROM o$rounds),

@@ -369,7 +369,20 @@ object Graph {
     require(k >= 3, s"k ($k) must be >= 3 (k=2 is the whole graph)")
     require(rounds >= 1, s"rounds ($rounds) must be >= 1")
     var o = orientedEdges(edges).localCheckpoint(true)
-    for (_ <- 1 to rounds) o = kTrussPeel(o, k).localCheckpoint(true)
+    // convergence early-exit: a peel that removes nothing is a fixpoint,
+    // and every further round would recompute the identical support
+    // relation (the oracle's fixed-rounds unroll is idempotent past the
+    // fixpoint, so stopping early cannot change the output — it only
+    // skips the sweep's most expensive no-op joins). One cheap count()
+    // per round on a checkpointed relation buys it.
+    var prev = o.count()
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
+      o = kTrussPeel(o, k).localCheckpoint(true)
+      val c = o.count()
+      converged = c == prev
+      prev = c
+    }
     // left join: a not-yet-converged straggler with zero support must
     // surface as support 0, not silently vanish from the readout
     o.join(edgeSupport(o), Seq("src", "dst"), "left_outer")
@@ -383,16 +396,26 @@ object Graph {
   def kTrussPeel(o: DataFrame, k: Int): DataFrame =
     edgeSupport(o).where(col("support") >= k - 2).select(col("src"), col("dst"))
 
-  /** Per-edge triangle support of an oriented edge list: for (u,v) the
-    * number of common neighbors — the [[edgeEmbeddedness]] wedge plan
-    * (edge spine joined against the symmetrized adjacency twice).
-    * INNER-join shape: zero-support edges are absent (callers that need
-    * them left-join the spine back).
+  /** Per-edge triangle support of an oriented edge list: each triangle
+    * {a<b<c} is enumerated EXACTLY ONCE as the oriented wedge (a→b, a→c),
+    * b<c, closed by a left-semi probe of (b→c) — the [[triangleCounts]]
+    * plan — then credits its three edges through a union + partial-agg
+    * count. Wedge volume is Σ outdeg² of the ORIENTED list (the quantity
+    * degree-orientation minimizes), not the Σ deg² of a symmetrized
+    * adjacency: on the clique-heavy projection graphs trusses run over,
+    * the symmetric two-sided wedge join this replaces measured ~4× the
+    * intermediate (q_ktruss 40.2 s → see SURVEY §6). INNER shape:
+    * zero-support edges are absent (callers left-join the spine back).
     */
   def edgeSupport(o: DataFrame): DataFrame = {
-    val adj = o.unionAll(o.select(col("dst").as("src"), col("src").as("dst")))
-    o.join(adj.select(col("src"), col("dst").as("__z")), Seq("src"))
-      .join(adj.select(col("src").as("dst"), col("dst").as("__z")), Seq("dst", "__z"))
+    val tris = o.select(col("src").as("__a"), col("dst").as("__b"))
+      .join(o.select(col("src").as("__a"), col("dst").as("__c")), Seq("__a"))
+      .where(col("__b") < col("__c"))
+      .join(o.select(col("src").as("__b"), col("dst").as("__c")),
+        Seq("__b", "__c"), "left_semi")
+    tris.select(col("__a").as("src"), col("__b").as("dst"))
+      .unionAll(tris.select(col("__a").as("src"), col("__c").as("dst")))
+      .unionAll(tris.select(col("__b").as("src"), col("__c").as("dst")))
       .groupBy(col("src"), col("dst"))
       .agg(count(lit(1)).as("support"))
   }
@@ -406,20 +429,42 @@ object Graph {
     * [[kTruss]]/[[triangleCounts]] where the raw bipartite relation has
     * none by parity.
     *
-    * Scale note: the fan-out is quadratic in SUPPLIER degree (each
-    * supplier of degree d mints d(d−1)/2 pairs) — the projection
-    * hazard. Here the same-nation restriction bounds supplier degree
-    * structurally; at open-web scale the consumer caps hub degree
-    * before projecting (the [[Dedup]] hot-bucket-cap discipline).
-    * Returns one row per distinct oriented (src < dst) customer pair.
+    * Scale note: the fan-out is QUADRATIC in supplier degree (a degree-d
+    * supplier mints d(d−1)/2 pairs) and supplier degree GROWS with
+    * corpus scale (measured: median 19 → 23, Σd(d−1)/2 18.8k → 279k
+    * from sf0.01 → sf0.1) — the classic projection hazard. `maxDeg`
+    * therefore caps it the [[Dedup]] hot-bucket way: suppliers above
+    * the cap are EXCLUDED from the projection (a hub shared by everyone
+    * carries no community signal anyway — same argument as a stop
+    * shingle), bounding the expansion to maxDeg²/2 per supplier, linear
+    * in suppliers. The cut is never silent: `dropAudit` observes how
+    * many suppliers were dropped and the pair mass they would have
+    * minted. Returns one row per distinct oriented (src < dst) customer
+    * pair.
     */
   def coSupplierEdges(
       orders: DataFrame,
       lineitem: DataFrame,
       customer: DataFrame,
-      supplier: DataFrame): DataFrame = {
+      supplier: DataFrame,
+      maxDeg: Int = Int.MaxValue,
+      dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(maxDeg >= 2, s"maxDeg ($maxDeg) must be >= 2")
     val b = sameNationEdges(orders, lineitem, customer, supplier)
-    b.join(b.select(col("src").as("__b"), col("dst")), Seq("dst"))
+      .localCheckpoint(true)
+    val deg = b.groupBy(col("dst")).agg(count(lit(1)).as("__deg"))
+    val audited = dropAudit match {
+      case Some(obs) =>
+        deg.observe(obs,
+          count(when(col("__deg") > maxDeg, 1)).as("n_suppliers_dropped"),
+          coalesce(sum(when(col("__deg") > maxDeg,
+            (col("__deg") * (col("__deg") - 1) / 2).cast("long"))), lit(0L))
+            .as("n_pairs_dropped"))
+      case None => deg
+    }
+    val keep = audited.where(col("__deg") <= maxDeg).select(col("dst"))
+    val b2 = b.join(keep, Seq("dst"), "left_semi")
+    b2.join(b2.select(col("src").as("__b"), col("dst")), Seq("dst"))
       .where(col("src") < col("__b"))
       .select(col("src"), col("__b").as("dst"))
       .distinct()

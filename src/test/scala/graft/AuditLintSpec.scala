@@ -186,7 +186,8 @@ class AuditLintSpec extends AnyFunSuite {
         i += 1
       }
       val params = src.substring(start, math.min(i, src.length))
-      val takesCap = params.contains("maxBucket: Int") || params.contains("dfCap: Int")
+      val takesCap = params.contains("maxBucket: Int") || params.contains("dfCap: Int") ||
+        params.contains("maxDeg: Int")
       val hasAudit = params.contains("Observation")
       val isPublic = !visibility.contains("private") && !visibility.contains("protected")
       if (takesCap && isPublic && !hasAudit) Some(name) else None

@@ -120,4 +120,37 @@ class ObserveSpec extends SparkSpec {
     assert(exchanges(audited) == exchanges(bare),
       "dropAudit must not change the shuffle structure")
   }
+
+  test("coSupplierEdges reports the hub-degree cut via observe()") {
+    import graft.operators.Graph
+    // hand bipartite graph as raw tables is heavy — drive the projection
+    // through its public signature on the sf0.001 tables: maxDeg=2 must
+    // drop every supplier with degree > 2 and report the pair mass the
+    // cut avoided (d(d-1)/2 per dropped supplier)
+    val dir = "/root/testdata/sf0.001"
+    def t(n: String) = spark.read.parquet(s"$dir/$n.parquet")
+    val bip = Graph.sameNationEdges(t("orders"), t("lineitem"), t("customer"), t("supplier"))
+    val degs = bip.groupBy(col("dst")).agg(count(lit(1)).as("n"))
+      .select(col("n")).as[Long].collect()
+    // cap at the median so BOTH sides are populated: a cap dropping every
+    // supplier leaves an empty projection, and AQE's empty-relation
+    // propagation skips the CollectMetrics node entirely (the
+    // all-empty-result caveat documented on `planted` above)
+    val cap = degs.sorted.apply(degs.length / 2).toInt
+    val wantDropped = degs.count(_ > cap).toLong
+    val wantPairs = degs.filter(_ > cap).map(d => d * (d - 1) / 2).sum
+    assert(wantDropped > 0 && degs.exists(_ <= cap),
+      s"fixture must have hubs above AND suppliers below deg $cap")
+    val o = Observation("cosupplier_drop")
+    val proj = Graph.coSupplierEdges(t("orders"), t("lineitem"), t("customer"), t("supplier"),
+      maxDeg = cap, dropAudit = Some(o))
+    val n = proj.count()
+    val m = o.get
+    assert(m("n_suppliers_dropped").asInstanceOf[Long] == wantDropped
+      && m("n_pairs_dropped").asInstanceOf[Long] == wantPairs,
+      s"audit $m vs ($wantDropped, $wantPairs)")
+    // kept suppliers each mint at most cap·(cap−1)/2 pairs
+    assert(n <= degs.count(_ <= cap).toLong * cap * (cap - 1) / 2,
+      s"capped projection too large: $n")
+  }
 }
