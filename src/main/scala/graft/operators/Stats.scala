@@ -1007,6 +1007,8 @@ object Stats {
       df: DataFrame,
       groupCol: String,
       successCol: String): DataFrame = {
+    // materialized once (group-cardinality-sized): both the moment pass
+    // and the output consume it — lazy reuse would scan the corpus twice
     val cells = df
       .select(col(groupCol).as("__g"), col(successCol).cast("long").as("__y"))
       .where(col("__g").isNotNull && col("__y").isNotNull)
@@ -1015,6 +1017,7 @@ object Stats {
       .withColumn("__p6",
         floor(col("k").cast("double") / col("n").cast("double") * 1e6 + lit(0.5))
           .cast("long"))
+      .localCheckpoint(true)
     val mom = cells.agg(
       count(lit(1)).as("__gn"),
       sum(col("__p6")).as("__s1"),
@@ -1156,6 +1159,9 @@ object Stats {
       .select(col(treatCol).cast("boolean").as("__t"),
         col(valueCol).cast("long").as("__x"), col(stratumCol).as("__g"))
       .where(col("__t").isNotNull && col("__x").isNotNull && col("__g").isNotNull)
+    // one corpus scan: the stratum cells are materialized once
+    // (stratum-cardinality-sized) and BOTH the per-stratum gaps and the
+    // overall unadjusted diff aggregate from them
     val cells = rows
       .groupBy(col("__g"))
       .agg(
@@ -1163,6 +1169,7 @@ object Stats {
         sum(col("__t").cast("long")).as("__nt"),
         sum(when(col("__t"), col("__x")).otherwise(0L).cast("decimal(38,0)")).as("__st"),
         sum(when(!col("__t"), col("__x")).otherwise(0L).cast("decimal(38,0)")).as("__sc"))
+      .localCheckpoint(true)
       .withColumn("__nc", col("__n") - col("__nt"))
       // the 1e6-scaled long is computed DIRECTLY (floor(x·1e6 + ½)) —
       // pround(x,6)·1e6 would round-trip k/1e6·1e6 through two IEEE
@@ -1172,11 +1179,11 @@ object Stats {
           floor((col("__st").cast("double") / col("__nt").cast("double")
             - col("__sc").cast("double") / col("__nc").cast("double")) * 1e6 + lit(0.5)))
           .cast("long"))
-    val overall = rows.agg(
-      count(lit(1)).as("n"),
-      sum(col("__t").cast("long")).as("__ont"),
-      sum(when(col("__t"), col("__x")).otherwise(0L).cast("decimal(38,0)")).as("__ost"),
-      sum(when(!col("__t"), col("__x")).otherwise(0L).cast("decimal(38,0)")).as("__osc"))
+    val overall = cells.agg(
+      sum(col("__n")).as("n"),
+      sum(col("__nt")).as("__ont"),
+      sum(col("__st")).cast("decimal(38,0)").as("__ost"),
+      sum(col("__sc")).cast("decimal(38,0)").as("__osc"))
     cells.agg(
       count(lit(1)).as("n_strata"),
       count(col("__d6")).as("n_used"),

@@ -371,4 +371,37 @@ class GraphSpec extends SparkSpec {
     // the cascade then kills the triangle: 2+ rounds reach the empty fixpoint
     assert(Graph.kTruss(edges, k = 5, rounds = 3).count() == 0L, "cascade must empty the graph")
   }
+
+  test("kTruss fuzz: == the sequential peel-to-fixpoint on random graphs") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2015L)
+    def support(edges: Set[(String, String)]): Map[(String, String), Int] = {
+      val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+        .groupBy(_._1).map { case (k2, v) => k2 -> v.map(_._2).toSet }
+      edges.map { case e @ (a, b) => e -> (adj(a) & adj(b)).size }.toMap
+    }
+    for (c <- 0 until 6) {
+      val n = 8 + rnd.nextInt(8)
+      val nodes = (0 until n).map(i => f"n$i%02d")
+      val es = for {
+        i <- 0 until n; j <- (i + 1) until n if rnd.nextDouble() < 0.35
+      } yield (nodes(i), nodes(j))
+      val k = 3 + rnd.nextInt(3)
+      if (es.nonEmpty) {
+        var cur = es.toSet
+        var changed = true
+        while (changed) {
+          val keep = support(cur).filter(_._2 >= k - 2).keySet
+          changed = keep != cur
+          cur = keep
+        }
+        val want = support(cur).map { case (e, s) => e -> s.toLong }
+        // rounds = 20 exceeds any cascade depth on <= 16 nodes; the
+        // operator's count-fixpoint exit makes the slack free
+        val got = Graph.kTruss(es.toDF("src", "dst"), k, rounds = 20)
+          .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+        assert(got == want, s"case $c k=$k: $got vs $want")
+      }
+    }
+  }
 }
