@@ -861,4 +861,78 @@ class DriftStatsSpec extends SparkSpec {
     assert(tiny.getString(3) == "continue" && tiny.isNullAt(4) && tiny.isNullAt(5),
       s"tiny: $tiny")
   }
+
+  test("sprtBernoulli fuzz: == the plain-Scala hourly-look mirror on random streams") {
+    def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    val rnd = new scala.util.Random(3015L)
+    val (p0, p1) = (0.2, 0.4)
+    val (c1, c0) = (math.log(p1 / p0), math.log((1 - p1) / (1 - p0)))
+    val (bndA, bndB) = (r6(math.log(0.95 / 0.05)), r6(math.log(0.05 / 0.95)))
+    for (c <- 0 until 8) {
+      val p = 0.1 + rnd.nextDouble() * 0.5
+      val hours = 3 + rnd.nextInt(20)
+      val perHour = 5 + rnd.nextInt(15)
+      val stream = (0 until hours).map { h =>
+        h -> (0 until perHour).map(_ => if (rnd.nextDouble() < p) 1L else 0L)
+      }
+      val rows = stream.flatMap { case (h, ys) =>
+        ys.zipWithIndex.map { case (y, i) =>
+          (y, new java.sql.Timestamp((500000L + h) * 3600000L + i * 1000L))
+        }
+      }
+      val got = Stats.sprtBernoulli(rows.toDF("y", "ts"), "y", "ts", p0, p1)
+        .collect().head
+      // mirror: cumulative hourly looks, first crossing wins
+      var (cn, ck) = (0L, 0L)
+      var cross: Option[(String, Long, Long)] = None
+      var lastLlr = 0.0
+      stream.foreach { case (h, ys) =>
+        cn += ys.size; ck += ys.sum
+        lastLlr = r6(ck * c1 + (cn - ck) * c0)
+        if (cross.isEmpty && (lastLlr >= bndA || lastLlr <= bndB))
+          cross = Some((if (lastLlr >= bndA) "accept_h1" else "accept_h0", 500000L + h, cn))
+      }
+      assert((got.getLong(0), got.getLong(1), got.getDouble(2)) == ((cn, ck, lastLlr)),
+        s"case $c totals: $got vs ($cn, $ck, $lastLlr)")
+      cross match {
+        case Some((d, h, n)) =>
+          assert((got.getString(3), got.getLong(4), got.getLong(5)) == ((d, h, n)),
+            s"case $c crossing: $got vs ($d, $h, $n)")
+        case None =>
+          assert(got.getString(3) == "continue" && got.isNullAt(4), s"case $c: $got")
+      }
+    }
+  }
+
+  test("postStratifiedAte fuzz: == the plain-Scala weighted-gap mirror") {
+    def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+    val rnd = new scala.util.Random(4015L)
+    for (c <- 0 until 8) {
+      val strata = (0 until 2 + rnd.nextInt(4)).map(i => s"s$i")
+      val rows = (0 until 50 + rnd.nextInt(150)).map { _ =>
+        (rnd.nextBoolean(), rnd.nextInt(1000).toLong, strata(rnd.nextInt(strata.size)))
+      }
+      val got = Stats.postStratifiedAte(rows.toDF("t", "x", "g"), "t", "x", "g")
+        .collect().head
+      val byG = rows.groupBy(_._3)
+      val d6 = byG.map { case (g, rs) =>
+        val (t, ct) = rs.partition(_._1)
+        g -> (if (t.nonEmpty && ct.nonEmpty)
+          Some(math.floor((t.map(_._2).sum.toDouble / t.size
+            - ct.map(_._2).sum.toDouble / ct.size) * 1e6 + 0.5).toLong)
+        else None)
+      }
+      val used = byG.filter { case (g, _) => d6(g).isDefined }
+      val nu = used.values.map(_.size).sum
+      val ate = if (nu > 0)
+        r6(used.map { case (g, rs) => rs.size.toDouble * d6(g).get }.sum / (nu * 1e6))
+      else Double.NaN
+      val (tr, cr) = rows.partition(_._1)
+      val raw = r6(tr.map(_._2).sum.toDouble / tr.size - cr.map(_._2).sum.toDouble / cr.size)
+      assert((got.getLong(0), got.getLong(1), got.getLong(2), got.getDouble(3))
+        == ((rows.size.toLong, byG.size.toLong, used.size.toLong, raw)), s"case $c: $got")
+      if (nu > 0) assert(got.getDouble(4) == ate, s"case $c ate: $got vs $ate")
+      else assert(got.isNullAt(4), s"case $c: $got")
+    }
+  }
 }
