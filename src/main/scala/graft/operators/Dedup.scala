@@ -328,6 +328,156 @@ object Dedup {
       .localCheckpoint(true)
   }
 
+  /** WEIGHTED MinHash candidate pairs via Ioffe's Improved Consistent
+    * Weighted Sampling (ICWS — Ioffe, "Improved Consistent Sampling,
+    * Weighted Minhash and L1 Sketching", ICDM 2010): shingles are weighted
+    * by smoothed idf `w = round6(ln((N+1)/df))`, so two documents band
+    * together in proportion to their WEIGHTED Jaccard
+    * `Σ_{sh∈A∩B} idf(sh) / Σ_{sh∈A∪B} idf(sh)` instead of the unweighted
+    * set ratio — a boilerplate-heavy page and an article sharing
+    * navigation chrome stop colliding, because the chrome shingles'
+    * corpus-wide df crushes their weight while the distinctive content
+    * keeps its mass (the idf axis [[minhashCandidates]] cannot see; a
+    * k-gram rarely repeats within one document, so tf ≈ 1 and idf is the
+    * whole signal).
+    *
+    * ICWS per (seed g, shingle): r ~ Gamma(2,1), c ~ Gamma(2,1),
+    * β ~ U(0,1); t = ⌊ln(w)/r + β⌋; the seed's sample is the shingle
+    * minimizing a = c / (y·e^r) with y = e^{r(t−β)} — and
+    * P[sample_A = sample_B] is EXACTLY the weighted Jaccard (shared
+    * shingles carry identical idf in both docs, the case where ICWS is
+    * exact). Computed in LOG space (ln a = ln c − r(t−β+1)) so no exp()
+    * ever runs; all five uniforms per (seed, shingle) slice ONE md5 as
+    * `(u24+0.5)/2^24` dyadics (strictly inside (0,1) — no ln(0)/÷0 edge
+    * exists), Gamma(2,1) = −(ln u₁ + ln u₂), and ln a rounds to 6 dp with
+    * the encoded sample as the tie-break, so the whole draw sequence
+    * replays exactly in SQL (the oracle mirrors every slice).
+    *
+    * Scale shape (the [[minhashCandidates]] skeleton, one extra shuffle
+    * for the idf join): df is a partial-agg count, and because every draw
+    * (r, c, β) AND the weight are functions of (seed, shingle) alone, all
+    * numHashes (lnA, t) pairs are computed ONCE PER DISTINCT SHINGLE on
+    * the vocabulary-sized df relation — the occurrence stream joins the
+    * finished draws instead of re-hashing per (doc, shingle) occurrence
+    * (Zipf: occurrences ≫ vocabulary; the naive per-occurrence struct-min
+    * form measured 17.3 s at sf0.1 vs 5.5 s for this one). The per-seed
+    * argmin is
+    * numHashes `min(struct(lnA, shingle, t))` aggregate columns riding
+    * ONE groupBy(doc) exchange — map-side combine, no window, no explode
+    * of the seed axis; banding + the maxBucket hot-bucket cap + the
+    * observe() drop audit are shared with the unweighted path
+    * ([[pairsFromBanded]]). Returns (doc1, doc2), doc1 < doc2.
+    */
+  def weightedMinhashCandidates(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      maxBucket: Int = 1 << 12,
+      dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(numHashes % bands == 0,
+      s"numHashes ($numHashes) must be divisible by bands ($bands)")
+    require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least one pair")
+    val rows = numHashes / bands
+    // same cheap non-empty guard as the unweighted path (see withShingleSig)
+    val nonEmpty = docs
+      .select(col(idCol), col(textCol))
+      .where(col(textCol).rlike("[A-Za-z]"))
+    // eager checkpoint: the occurrence stream is read TWICE (the df
+    // aggregate and the draw join) and each un-materialized read re-runs
+    // the whole tokenize+shingle+explode derivation (~3.3 s of the
+    // measured 18 s at sf0.1); linear in corpus size, the
+    // [[Similarity.cosineNearDupPairs]] banded-relation discipline — on a
+    // cluster, persist-with-spill or durable checkpoint plays the same role
+    val ds = TextAnalysis.withShingles(nonEmpty, textCol, shingleK, "__sh")
+      .select(col(idCol), explode(col("__sh")).as("__s"))
+      .localCheckpoint(true)
+    // idf over the (doc, shingle)-distinct relation: df is a partial-agg
+    // count; N is one broadcast scalar. CRITICAL scale move: r, c, β AND
+    // w = idf(df) depend only on (seed, shingle) — never on the document —
+    // so ALL numHashes (lnA, t) draws are computed ONCE PER DISTINCT
+    // SHINGLE on the vocabulary-sized df relation and joined back to the
+    // occurrence stream, instead of re-hashing per (doc, shingle)
+    // occurrence (the per-occurrence form measured 17.3 s at sf0.1 — 6× the
+    // unweighted path; Zipf makes occurrences ≫ vocabulary at any real
+    // corpus size, so the per-shingle form only widens its win at 100 TB).
+    val dfRel = ds.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
+    val n1 = broadcast(nonEmpty.agg(count(lit(1)).cast("double").as("__n")))
+    // md5-uniform helper: five 24-bit slices per digest, (u24 + 0.5) / 2^24
+    // — strictly inside (0,1), so no ln(0)/÷0 edge exists; ONE md5 per
+    // (seed, shingle) instead of two (the digest is the dominant map cost:
+    // 3-gram vocabularies are occurrence-sized, and halving the md5 count
+    // measured the difference between 15.4 s and ~9 s at sf0.1)
+    def u(digest: Column, slice: Int): Column =
+      (conv(substring(digest, slice * 6 + 1, 6), 16, 10).cast("double") + lit(0.5)) /
+        lit(16777216.0)
+    // bind the digest per seed as a column: md5 is non-cheap, so
+    // CollapseProject keeps the alias shared across the five slice reads
+    // (the signatureFromDigests discipline)
+    val drawRel = (0 until numHashes).foldLeft(
+      dfRel
+        .crossJoin(n1)
+        // floor at 1e-6: a corpus-saturated shingle (df = N) has idf ≈ 1/N,
+        // which at N > ~2M rounds to 0.000000 — and ln(0) would poison the
+        // draw; the floor keeps w strictly positive at any corpus size
+        .withColumn("__w", greatest(graft.functions.Portable.pround(
+          log((col("__n") + lit(1.0)) / col("__df").cast("double")), 6), lit(1e-6)))) {
+      (d, g) =>
+        d.withColumn(s"__dg$g", md5(concat(lit(s"w$g:"), col("__s"))))
+    }
+    // the finished draw table is vocabulary-sized and feeds only the join —
+    // materialize it so the optimizer cannot re-derive the df aggregate +
+    // draw projection under both join planning passes (production shape:
+    // a per-corpus-snapshot draw table, like the minhash signature index)
+    val perShingle = drawRel.select(
+      col("__s") +: (0 until numHashes).map(g => drawEnc(g, u)): _*)
+      .localCheckpoint(true)
+    val mins = ds
+      .join(perShingle, Seq("__s"))
+      .groupBy(col(idCol))
+      .agg(
+        min(col("__e0")).as("__m0"),
+        (1 until numHashes).map(g => min(col(s"__e$g")).as(s"__m$g")): _*)
+    val bandCols = array((0 until bands).map { b =>
+      concat(lit(s"$b|"), md5(concat_ws("|",
+        (b * rows until (b + 1) * rows).map(g =>
+          substring(col(s"__m$g"), 13, Int.MaxValue)): _*)))
+    }: _*)
+    pairsFromBanded(
+      mins.select(col(idCol), explode(bandCols).as("band_key")),
+      idCol, maxBucket, dropAudit)
+  }
+
+  /** One ICWS seed's per-shingle draw, ENCODED as a single fixed-prefix
+    * sortable string `lpad(⌊lnA·1e6+0.5⌋ + 1e9, 12, '0') || shingle || ':'
+    * || t`: lnA = ln c − r(t−β+1) (log space — no exp), t = ⌊ln w / r + β⌋.
+    * A plain string `min()` over this encoding IS the (lnA₆ asc, then
+    * encoded-sample asc) argmin — and unlike `min(struct(...))` (which
+    * Spark can only SortAggregate: a full sort of the occurrence×draws
+    * relation) it hash-aggregates with map-side combine inside
+    * whole-stage codegen. The 1e9 offset keeps the
+    * integer prefix positive at any reachable lnA (|lnA| < ~80: r ≤ 34.7,
+    * |ln w| ≤ 13.9, ln c ∈ (−17.3, 3.6) given the (u24+0.5)/2^24 dyadics),
+    * so the 12-char zero-pad makes string order = numeric order; the
+    * sample payload `shingle:t` rides behind the prefix and
+    * `substr(min, 13)` recovers it for banding. Ties on lnA₆ break on the
+    * payload bytes — deterministic and mirrored verbatim in the oracle.
+    */
+  private def drawEnc(g: Int, u: (Column, Int) => Column): Column = {
+    val d1 = col(s"__dg$g")
+    val r = -(log(u(d1, 0)) + log(u(d1, 1)))
+    val cln = log(-(log(u(d1, 2)) + log(u(d1, 3))))
+    val beta = u(d1, 4)
+    val t = floor(log(col("__w")) / r + beta)
+    val a = floor((cln - r * (t - beta + lit(1.0))) * 1e6 + lit(0.5)).cast("long") +
+      lit(1000000000L)
+    concat(
+      lpad(a.cast("string"), 12, "0"),
+      col("__s"), lit(":"), t.cast("long").cast("string")).as(s"__e$g")
+  }
+
   /** MinHash-LSH candidate pairs served from a PREBUILT [[minhashIndex]]
     * relation — identical output to [[minhashCandidates]] (the
     * `q_minhash_indexed` oracle row pins indexed == inline), but the

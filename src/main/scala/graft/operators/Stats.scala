@@ -1089,7 +1089,11 @@ object Stats {
     val hourly = events
       .select(floor(col(tsCol).cast("long") / 3600L).cast("long").as("__h"),
         col(successCol).cast("long").as("__y"))
-      .where(col("__y").isNotNull)
+      // guard BOTH inputs: a null timestamp would mint a null hour bucket
+      // that Spark's window ORDER BY sorts NULLS FIRST while DuckDB sorts
+      // NULLS LAST — the cumulative counts (and hence the first-crossing
+      // hour) would diverge cross-engine on dirty input
+      .where(col("__y").isNotNull && col("__h").isNotNull)
       .groupBy(col("__h"))
       .agg(count(lit(1)).as("__n"), sum(col("__y")).as("__k"))
     val w = Window.orderBy(col("__h"))

@@ -372,6 +372,25 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kTruss(edges, k = 5, rounds = 3).count() == 0L, "cascade must empty the graph")
   }
 
+  test("kTrussCertified surfaces the convergence certificate") {
+    import spark.implicits._
+    // K5 minus (a,b): k=5 needs 2 rounds to certify the empty fixpoint
+    val nodes = Seq("a", "b", "c", "d", "e")
+    val edges = (for {
+      i <- nodes.indices; j <- (i + 1) until nodes.size
+      if !(nodes(i) == "a" && nodes(j) == "b")
+    } yield (nodes(i), nodes(j))).toDF("src", "dst")
+    // rounds=1 truncates mid-cascade: output is a SUPERSET (the {c,d,e}
+    // triangle at support 1 < k-2 survives) and the flag says so
+    val (one, c1) = Graph.kTrussCertified(edges, k = 5, rounds = 1)
+    assert(!c1, "one round cannot certify this cascade")
+    assert(one.count() == 3L)
+    // enough rounds: certified fixpoint, empty truss
+    val (full, c2) = Graph.kTrussCertified(edges, k = 5, rounds = 5)
+    assert(c2, "5 rounds must certify the fixpoint")
+    assert(full.count() == 0L)
+  }
+
   test("kTruss fuzz: == the sequential peel-to-fixpoint on random graphs") {
     import spark.implicits._
     val rnd = new scala.util.Random(2015L)

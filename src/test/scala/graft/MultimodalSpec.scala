@@ -192,6 +192,11 @@ class MultimodalSpec extends SparkSpec {
       .forall(f => Multimodal.decodeImage(f.bytes).contains((6, 4))))
     assert(frames.filter(_.media_id == 2L)
       .forall(f => Multimodal.decodeImage(f.bytes).contains((3, 3))))
+    // the carried (width, height) agree with a full roundtrip decode of the
+    // emitted PNG — the parity q_multimodal_frames proved by re-decoding
+    // every frame before r16 moved the dims into FrameRecord itself
+    assert(frames.forall(f =>
+      Multimodal.decodeImage(f.bytes).contains((f.width, f.height))))
   }
 
   test("downsampleAudio keeps every 4th sample at rate/4; non-audio passes through") {
