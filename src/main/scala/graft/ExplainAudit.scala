@@ -176,8 +176,13 @@ object ExplainAudit {
     "q_holt_forecast", "q_kwic", "q_isotonic", "q_ate_ps", "q_stem_vocab",
     "q_eb_shrink", "q_sprt", "q_skipgram_pmi",
     // round 16: ICWS weighted-minhash candidates (static plan: idf join +
-    // 16 struct-min aggregates on one doc exchange + shared banding tail)
-    "q_dedup_wminhash")
+    // 16 struct-min aggregates on one doc exchange + shared banding tail),
+    // BLEU-4 / ROUGE-1/2 generation evals (clipped n-gram count joins)
+    "q_dedup_wminhash", "q_eval_bleu", "q_eval_rouge",
+    // round 16: TextRank keywords (skipgram pair stream -> pagerank loop;
+    // final-iterate plan is static over the loop's checkpointed relations),
+    // HyperLogLog NDV (single partial-merge aggregate, constant state)
+    "q_textrank", "q_hll_ndv")
 
   /** Termination contract per iterative loop (r15 verdict task 8): every
     * key in [[iterativeBodies]] must declare HOW its driver loop ends —

@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.plans.{BottomKSampleAgg, CleanToken, CountMinAgg, KmvNdvAgg, PruneInferredGenerateFilter, RewriteSortedCollectSet, SortedDistinctSetAgg, SpaceSavingAgg}
+import graft.plans.{BottomKSampleAgg, CleanToken, CountMinAgg, HllNdvAgg, KmvNdvAgg, PruneInferredGenerateFilter, RewriteSortedCollectSet, SortedDistinctSetAgg, SpaceSavingAgg}
 
 /** Engine extensions, installable on any session:
   *
@@ -37,6 +37,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("kmv_ndv"),
       new ExpressionInfo(classOf[KmvNdvAgg].getName, "kmv_ndv"),
       (exprs: Seq[Expression]) => KmvNdvAgg(exprs(0), exprs(1)).toAggregateExpression()))
+    // HyperLogLog distinct sketch over the portable md5-60 hash: 2^p byte
+    // registers, element-wise-max merge, exact-integer harmonic sum — the
+    // whole sketch (registers AND estimate) replays in SQL, unlike
+    // approx_count_distinct (see graft.plans.HllNdvAgg)
+    e.injectFunction((
+      FunctionIdentifier("hll_ndv"),
+      new ExpressionInfo(classOf[HllNdvAgg].getName, "hll_ndv"),
+      (exprs: Seq[Expression]) => HllNdvAgg(exprs(0), exprs(1)).toAggregateExpression()))
     // Count-Min point-frequency sketch: depth×width counters, min-probe —
     // order-independent element-wise-add merge, SQL-replayable salted-md5
     // buckets (see graft.plans.CountMinAgg)

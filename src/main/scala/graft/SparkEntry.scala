@@ -472,7 +472,8 @@ object SparkEntry {
     //    bottom-64-by-md5 distinct user keys + the (k−1)/R estimate.
     //    Deterministic under ANY partitioning/merge order (bottom-k of a
     //    fixed hash), so the oracle replays the sketch EXACTLY in SQL —
-    //    estimate and sample both — unlike HLL's opaque registers. State
+    //    estimate and sample both — unlike approx_count_distinct's opaque
+    //    murmur registers (q_hll_ndv's md5 HLL replays too). State
     //    is 64 entries per task; nothing key-cardinality-sized shuffles.
     "q_ndv_sketch" -> ((s, dir) => {
       graft.sources.EventsSource.events(s, dir)
@@ -483,6 +484,20 @@ object SparkEntry {
         // the driver's comparator sorts columns and can't hash arrays
         .select(col("r.ndv_est").as("ndv_est"),
           array_join(col("r.sample"), " ").as("sample"))
+    }),
+
+    // -- HyperLogLog on the same key stream (native hll_ndv aggregate):
+    //    2^10 byte registers, element-wise-max merge — constant-BYTES
+    //    state where KMV holds k full keys; built on the md5-60 hash, so
+    //    the ORACLE REPLAYS THE REGISTERS AND ESTIMATE IN SQL (the thing
+    //    approx_count_distinct can't do), harmonic sum kept as an exact
+    //    64-bit integer (≤ 2^61 by construction) on both engines
+    "q_hll_ndv" -> ((s, dir) => {
+      graft.sources.EventsSource.events(s, dir)
+        .selectExpr("concat('u', cast(user_id AS string)) AS k")
+        .agg(expr("hll_ndv(k, 10)").as("r"))
+        .select(col("r.ndv_est").as("ndv_est"),
+          col("r.n_zero_regs").as("n_zero_regs"))
     }),
 
     // -- the SpaceSaving sketch GROUPED: top event types per hour bucket
@@ -1301,6 +1316,15 @@ object SparkEntry {
     "q_skipgram_pmi" -> ((s, dir) =>
       operators.Cooccurrence.skipgramPmi(t(s, dir, "documents"), window = 2, minPair = 5)
         .orderBy("w1", "w2")),
+
+    // -- TextRank keywords: top-20 PageRank nodes of the ±2-window word
+    //    co-occurrence graph (edges seen >= 3 times) — graph-centrality
+    //    keyword extraction beside q_keywords' tf-idf; composes the
+    //    skipgram pair stream with the pagerank loop, cut on the ROUNDED
+    //    score with word tie-break
+    "q_textrank" -> ((s, dir) =>
+      operators.Cooccurrence.textrank(t(s, dir, "documents"),
+        window = 2, minPair = 3, iters = 5, k = 20)),
 
     // -- KWIC concordance: every 'data' occurrence with its ±3-token
     //    window, first 200 in (doc, pos) order — map-side match-position
@@ -2935,6 +2959,36 @@ object SparkEntry {
         (size(filter(ws, x => x.rlike("[A-Za-z]"))).cast("double")
           / size(ws).cast("double") >= 0.8).cast("int").as("r2"))
       operators.Stats.cohenKappa(rated, "r1", "r2")
+    }),
+
+    // -- corpus BLEU-4 of even docs "generated" against their odd-doc
+    //    references (doc 2k candidate vs doc 2k+1 reference): clipped
+    //    n-gram precisions + brevity penalty — the generation-eval
+    //    standard beside the ranking/classifier evals
+    "q_eval_bleu" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = d.where(col("doc_id") % 2 === 0)
+        .select((col("doc_id") / 2).cast("long").as("pid"), col("text").as("cand"))
+        .join(
+          d.where(col("doc_id") % 2 === 1)
+            .select(((col("doc_id") - 1) / 2).cast("long").as("pid"),
+              col("text").as("ref")),
+          Seq("pid"))
+      operators.TextEval.bleuCorpus(pairs, "cand", "ref", "pid", maxN = 4)
+    }),
+
+    // -- per-pair ROUGE-1/2 precision/recall/F1 on the same even/odd doc
+    //    pairing — the recall-oriented summarization twin of q_eval_bleu
+    "q_eval_rouge" -> ((s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val pairs = d.where(col("doc_id") % 2 === 0)
+        .select((col("doc_id") / 2).cast("long").as("pid"), col("text").as("cand"))
+        .join(
+          d.where(col("doc_id") % 2 === 1)
+            .select(((col("doc_id") - 1) / 2).cast("long").as("pid"),
+              col("text").as("ref")),
+          Seq("pid"))
+      operators.TextEval.rouge12(pairs, "cand", "ref", "pid").orderBy("pid")
     }),
 
     // -- DP-shaped noisy release of per-lang doc counts: sensitivity-1
@@ -5358,6 +5412,33 @@ object SparkEntry {
                  END AS ndv_est,
                  (SELECT string_agg(key, ' ' ORDER BY h) FROM b) AS sample
           FROM e""",
+    // HLL register replay: idx = top 10 bits of md5-60, rank via exact
+    // binary-string length (never floating log2), harmonic sum as the
+    // exact BIGINT Σ 2^(51−M_j) with absent registers at 2^51 each,
+    // linear-counting fallback mirrored
+    "q_hll_ndv" ->
+      """WITH h AS (SELECT DISTINCT ('0x' || substr(md5('u' || user_id::VARCHAR), 1, 15))::BIGINT AS h
+                    FROM events),
+          rr AS (SELECT h >> 50 AS idx,
+                        CASE WHEN (h & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+                             ELSE 50 - (length(printf('%b', h & ((1::BIGINT << 50) - 1))) - 1)
+                        END AS rank
+                 FROM h),
+          regs AS (SELECT idx, max(rank) AS mj FROM rr GROUP BY idx),
+          agg AS (SELECT sum((1::BIGINT << (51 - mj)))::BIGINT AS s,
+                         count(*)::BIGINT AS present
+                  FROM regs),
+          fin AS (SELECT (s + (1024 - present) * (1::BIGINT << 51))::BIGINT AS sumint,
+                         (1024 - present)::INT AS zeros
+                  FROM agg),
+          raw AS (SELECT (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+                         * 2251799813685248.0 / sumint::DOUBLE AS raw, zeros
+                  FROM fin)
+          SELECT CASE WHEN raw <= 2560.0 AND zeros > 0
+                      THEN floor((1024.0 * ln(1024.0 / zeros)) * 1e4 + 0.5) / 1e4
+                      ELSE floor(raw * 1e4 + 0.5) / 1e4 END AS ndv_est,
+                 zeros AS n_zero_regs
+          FROM raw""",
     // grouped CMS: per-lang counter matrices rebuilt the same way
     "q_cms_per_lang" ->
       """WITH tk AS (SELECT lang,
@@ -6858,6 +6939,36 @@ object SparkEntry {
                           / (ma.n_w::DOUBLE * mb.n_w::DOUBLE)) * 1e6 + 0.5) / 1e6 AS pmi_r
           FROM c JOIN m ma ON ma.w = c.w1 JOIN m mb ON mb.w = c.w2 CROSS JOIN t
           WHERE c.n_ab >= 5 ORDER BY w1, w2""",
+    // TextRank mirror: the skipgram pair CTEs -> >=3 edges -> symmetrized
+    // simple graph -> the pagerankSql unroll (5 rounds, d = 0.85) ->
+    // rounded top-20 with word tie-break; graph CTEs MATERIALIZED so the
+    // positional join never re-inlines per unrolled round
+    "q_textrank" -> {
+      val d = 0.85
+      val steps = (1 to 5).map { k =>
+        s"""pr$k AS (SELECT t.node, ((1.0 - $d) / n.n + $d * t.mass) AS pr
+                     FROM (SELECT e.dst AS node, sum(p.pr / deg.degree) AS mass
+                           FROM e JOIN pr${k - 1} p ON e.src = p.node
+                                  JOIN deg ON deg.node = e.src
+                           GROUP BY e.dst) t CROSS JOIN n)"""
+      }.mkString(",\n")
+      s"""WITH $ToksArrCte,
+          p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS w
+                FROM toks_arr),
+          pr_ AS (SELECT least(a.w, b.w) AS w1, greatest(a.w, b.w) AS w2
+                  FROM p a JOIN p b ON b.doc_id = a.doc_id
+                    AND (b.pos = a.pos + 1 OR b.pos = a.pos + 2)),
+          ed AS MATERIALIZED (SELECT w1, w2 FROM pr_ GROUP BY w1, w2 HAVING count(*) >= 3),
+          e AS MATERIALIZED (SELECT w1 AS src, w2 AS dst FROM ed WHERE w1 <> w2
+                             UNION
+                             SELECT w2, w1 FROM ed WHERE w1 <> w2),
+          deg AS MATERIALIZED (SELECT src AS node, count(*) AS degree FROM e GROUP BY src),
+          n AS (SELECT count(*)::DOUBLE AS n FROM deg),
+          pr0 AS (SELECT node, 1.0 / n.n AS pr FROM deg CROSS JOIN n),
+          $steps
+          SELECT node AS word, floor((pr) * 1e6 + 0.5) / 1e6 AS pr_r FROM pr5
+          ORDER BY pr_r DESC, word LIMIT 20"""
+    },
     // 1-based token positions; slice bounds clamp at document edges and
     // the empty-slice NULL coalesces to '' (Spark array_join is '' on
     // empty) — mirror of Search.kwic
@@ -8748,6 +8859,105 @@ object SparkEntry {
           SELECT n, obar_r, rel_r, res_r, unc_r,
                  floor((rel_r - res_r + unc_r) * 1e6 + 0.5) / 1e6 AS brier_r
           FROM u""",
+    // corpus BLEU-4 mirror: same even/odd pairing, clipped n-gram joins,
+    // integer totals, 6dp precisions, guarded ln/exp on rounded scalars
+    "q_eval_bleu" ->
+      s"""WITH $ToksArrCte,
+          prs AS (SELECT (a.doc_id // 2)::BIGINT AS pid, a.toks AS ct, b.toks AS rt
+                  FROM toks_arr a JOIN toks_arr b ON b.doc_id = a.doc_id + 1
+                  WHERE a.doc_id % 2 = 0),
+          ns AS (SELECT unnest([1, 2, 3, 4]) AS n),
+          cg AS (SELECT pid, n, g, count(*)::BIGINT AS c FROM (
+                   SELECT pid, ns.n AS n,
+                          unnest(CASE WHEN len(ct) >= ns.n
+                                 THEN list_transform(range(1, len(ct) - ns.n + 2),
+                                      i -> array_to_string(list_slice(ct, i, i + ns.n - 1), ' '))
+                                 ELSE []::VARCHAR[] END) AS g
+                   FROM prs CROSS JOIN ns) GROUP BY 1, 2, 3),
+          rg AS (SELECT pid, n, g, count(*)::BIGINT AS c FROM (
+                   SELECT pid, ns.n AS n,
+                          unnest(CASE WHEN len(rt) >= ns.n
+                                 THEN list_transform(range(1, len(rt) - ns.n + 2),
+                                      i -> array_to_string(list_slice(rt, i, i + ns.n - 1), ' '))
+                                 ELSE []::VARCHAR[] END) AS g
+                   FROM prs CROSS JOIN ns) GROUP BY 1, 2, 3),
+          mt AS (SELECT cg.n AS n, sum(least(cg.c, rg.c))::BIGINT AS m
+                 FROM cg JOIN rg ON rg.pid = cg.pid AND rg.n = cg.n AND rg.g = cg.g
+                 GROUP BY 1),
+          tot AS (SELECT ns.n AS n, sum(greatest(len(ct) - ns.n + 1, 0))::BIGINT AS tot
+                  FROM prs CROSS JOIN ns GROUP BY 1),
+          p AS (SELECT n,
+                       CASE WHEN tot > 0
+                            THEN floor((coalesce(m, 0)::DOUBLE / tot::DOUBLE) * 1e6 + 0.5) / 1e6
+                            ELSE 0.0 END AS p
+                FROM tot LEFT JOIN mt USING (n)),
+          pw AS (SELECT max(CASE WHEN n = 1 THEN p END) AS p1_r,
+                        max(CASE WHEN n = 2 THEN p END) AS p2_r,
+                        max(CASE WHEN n = 3 THEN p END) AS p3_r,
+                        max(CASE WHEN n = 4 THEN p END) AS p4_r
+                 FROM p),
+          lens AS (SELECT sum(len(ct))::BIGINT AS c_len, sum(len(rt))::BIGINT AS r_len FROM prs),
+          b AS (SELECT c_len, r_len,
+                       CASE WHEN c_len >= r_len OR c_len = 0 THEN 1.0
+                            ELSE floor(exp(1.0 - r_len::DOUBLE / c_len::DOUBLE) * 1e6 + 0.5) / 1e6
+                       END AS bp_r,
+                       p1_r, p2_r, p3_r, p4_r
+                FROM lens CROSS JOIN pw)
+          SELECT c_len, r_len, bp_r, p1_r, p2_r, p3_r, p4_r,
+                 CASE WHEN p1_r <= 0 OR p2_r <= 0 OR p3_r <= 0 OR p4_r <= 0 OR c_len = 0 THEN 0.0
+                      ELSE floor(bp_r * exp((ln(p1_r) + ln(p2_r) + ln(p3_r) + ln(p4_r)) / 4.0)
+                                 * 1e6 + 0.5) / 1e6 END AS bleu_r
+          FROM b""",
+    // per-pair ROUGE-1/2 mirror: clipped matches per (pair, n), integer
+    // denominators off token lengths, 6dp ratios, zero-guarded F1
+    "q_eval_rouge" ->
+      s"""WITH $ToksArrCte,
+          prs AS (SELECT (a.doc_id // 2)::BIGINT AS pid, a.toks AS ct, b.toks AS rt
+                  FROM toks_arr a JOIN toks_arr b ON b.doc_id = a.doc_id + 1
+                  WHERE a.doc_id % 2 = 0),
+          ns AS (SELECT unnest([1, 2]) AS n),
+          cg AS (SELECT pid, n, g, count(*)::BIGINT AS c FROM (
+                   SELECT pid, ns.n AS n,
+                          unnest(CASE WHEN len(ct) >= ns.n
+                                 THEN list_transform(range(1, len(ct) - ns.n + 2),
+                                      i -> array_to_string(list_slice(ct, i, i + ns.n - 1), ' '))
+                                 ELSE []::VARCHAR[] END) AS g
+                   FROM prs CROSS JOIN ns) GROUP BY 1, 2, 3),
+          rg AS (SELECT pid, n, g, count(*)::BIGINT AS c FROM (
+                   SELECT pid, ns.n AS n,
+                          unnest(CASE WHEN len(rt) >= ns.n
+                                 THEN list_transform(range(1, len(rt) - ns.n + 2),
+                                      i -> array_to_string(list_slice(rt, i, i + ns.n - 1), ' '))
+                                 ELSE []::VARCHAR[] END) AS g
+                   FROM prs CROSS JOIN ns) GROUP BY 1, 2, 3),
+          mt AS (SELECT cg.pid AS pid, cg.n AS n, sum(least(cg.c, rg.c))::BIGINT AS m
+                 FROM cg JOIN rg ON rg.pid = cg.pid AND rg.n = cg.n AND rg.g = cg.g
+                 GROUP BY 1, 2),
+          base AS (SELECT pid, len(ct)::BIGINT AS cl, len(rt)::BIGINT AS rl FROM prs),
+          j AS (SELECT b.pid, b.cl, b.rl,
+                       coalesce(m1.m, 0)::BIGINT AS m1, coalesce(m2.m, 0)::BIGINT AS m2
+                FROM base b
+                LEFT JOIN mt m1 ON m1.pid = b.pid AND m1.n = 1
+                LEFT JOIN mt m2 ON m2.pid = b.pid AND m2.n = 2),
+          r AS (SELECT pid,
+                 CASE WHEN cl > 0 THEN floor((m1::DOUBLE / cl::DOUBLE) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS rouge1_p,
+                 CASE WHEN rl > 0 THEN floor((m1::DOUBLE / rl::DOUBLE) * 1e6 + 0.5) / 1e6 ELSE 0.0 END AS rouge1_r,
+                 CASE WHEN greatest(cl - 1, 0) > 0
+                      THEN floor((m2::DOUBLE / greatest(cl - 1, 0)::DOUBLE) * 1e6 + 0.5) / 1e6
+                      ELSE 0.0 END AS rouge2_p,
+                 CASE WHEN greatest(rl - 1, 0) > 0
+                      THEN floor((m2::DOUBLE / greatest(rl - 1, 0)::DOUBLE) * 1e6 + 0.5) / 1e6
+                      ELSE 0.0 END AS rouge2_r
+                FROM j)
+          SELECT pid, rouge1_p, rouge1_r,
+                 CASE WHEN rouge1_p + rouge1_r > 0
+                      THEN floor((2.0 * rouge1_p * rouge1_r / (rouge1_p + rouge1_r)) * 1e6 + 0.5) / 1e6
+                      ELSE 0.0 END AS rouge1_f,
+                 rouge2_p, rouge2_r,
+                 CASE WHEN rouge2_p + rouge2_r > 0
+                      THEN floor((2.0 * rouge2_p * rouge2_r / (rouge2_p + rouge2_r)) * 1e6 + 0.5) / 1e6
+                      ELSE 0.0 END AS rouge2_f
+          FROM r ORDER BY pid""",
     // kappa from the rounded po/pe, mirroring the Spark arithmetic exactly
     "q_rater_kappa" ->
       s"""WITH $ToksArrCte,
@@ -10242,10 +10452,10 @@ object SparkEntry {
                   FROM obs),
           e AS (SELECT x, id, unnest(range(0, 64)) AS rep FROM rows_),
           dr AS (SELECT rep, x,
-                        (('0x' || substr(md5('perm:' || (rep // 2)::VARCHAR
+                        (('0x' || substr(md5('perm:' || (rep // 4)::VARCHAR
                                              || ':' || id::VARCHAR),
-                                         (1 + (rep % 2) * 13)::INT, 13))::BIGINT
-                          / 4503599627370496.0) < (SELECT frac FROM ob2) AS rt
+                                         (1 + (rep % 4) * 8)::INT, 8))::BIGINT
+                          / 4294967296.0) < (SELECT frac FROM ob2) AS rt
                  FROM e),
           g AS (SELECT rep, sum(rt::INT)::BIGINT AS n1, sum((NOT rt)::INT)::BIGINT AS n0,
                        sum(CASE WHEN rt THEN x ELSE 0 END)::HUGEINT AS s1,

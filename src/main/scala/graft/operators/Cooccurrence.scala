@@ -60,6 +60,68 @@ object Cooccurrence {
     * Returns (w1, w2, n_ab, n_a, n_b, pmi_r), n_ab ≥ `minPair`,
     * ordered nowhere (callers sort).
     */
+  /** TextRank keyword extraction (Mihalcea & Tarau, EMNLP 2004): corpus
+    * keywords as the top-k PageRank nodes of the word co-occurrence
+    * graph — words vote for the words they appear NEXT TO, so a term is
+    * important when important terms keep its company (the graph-centrality
+    * alternative to [[graft.operators.Search.keywords]]' tf-idf scoring:
+    * tf-idf rewards locally-frequent/globally-rare, TextRank rewards
+    * hub-ness in the co-occurrence structure; stopword-ish hubs rank high
+    * by design and are filtered upstream when unwanted).
+    *
+    * Pipeline = composition of two audited plans: [[skipgramPmi]]'s
+    * positional equi-join pair stream (window ≤ 8, tokens·window pairs,
+    * never t²) feeding [[Graph.pagerank]]'s fixed-iteration loop (edges
+    * materialized once hash-partitioned on src; each round shuffles only
+    * the vocab-sized rank relation). Edges keep unordered pairs seen at
+    * least `minPair` times — the standard noise floor. Top-k is a bounded
+    * TakeOrdered on the ROUNDED score (6 dp) with word-ASC tie-break, so
+    * the cut is cross-engine exact.
+    *
+    * Returns (word, pr_r), top k by (pr_r DESC, word ASC).
+    */
+  def textrank(
+      docs: DataFrame,
+      textCol: String = "text",
+      idCol: String = "doc_id",
+      window: Int = 2,
+      minPair: Long = 2,
+      iters: Int = 5,
+      k: Int = 20,
+      damping: Double = 0.85): DataFrame = {
+    require(window >= 1 && window <= 8, s"window ($window) must be in [1, 8]")
+    require(minPair >= 1, s"minPair ($minPair) must be >= 1")
+    require(k >= 1, s"k ($k) must be >= 1")
+    val edges = windowPairs(docs, textCol, idCol, window)
+      .groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("__n"))
+      .where(col("__n") >= minPair)
+      .select(col("w1").as("src"), col("w2").as("dst"))
+    Graph.pagerankRounded(Graph.undirected(edges), iters, damping)
+      .select(col("node").as("word"), col("pr").as("pr_r"))
+      .orderBy(desc("pr_r"), asc("word"))
+      .limit(k)
+  }
+
+  /** The shared within-window unordered pair stream ((least, greatest)
+    * orientation, one row per co-occurrence) under [[skipgramPmi]] and
+    * [[textrank]].
+    */
+  private def windowPairs(
+      docs: DataFrame, textCol: String, idCol: String, window: Int): DataFrame = {
+    val pos = docs
+      .select(col(idCol).as("__d"),
+        posexplode(graft.operators.Tokenize.tokenArray(col(textCol)))
+          .as(Seq("__p", "__w")))
+    pos.select(col("__d"), col("__w").as("__wa"),
+      explode(sequence(lit(1), lit(window))).as("__off"),
+      col("__p"))
+      .join(pos.select(col("__d").as("__db"), col("__p").as("__pb"), col("__w").as("__wb")),
+        col("__db") === col("__d") && col("__pb") === col("__p") + col("__off"))
+      .select(least(col("__wa"), col("__wb")).as("w1"),
+        greatest(col("__wa"), col("__wb")).as("w2"))
+  }
+
   def skipgramPmi(
       docs: DataFrame,
       textCol: String = "text",
@@ -68,18 +130,7 @@ object Cooccurrence {
       minPair: Long = 5): DataFrame = {
     require(window >= 1 && window <= 8, s"window ($window) must be in [1, 8]")
     require(minPair >= 1, s"minPair ($minPair) must be >= 1")
-    val pos = docs
-      .select(col(idCol).as("__d"),
-        posexplode(graft.operators.Tokenize.tokenArray(col(textCol)))
-          .as(Seq("__p", "__w")))
-    val offs = pos.select(col("__d"), col("__w").as("__wa"),
-      explode(sequence(lit(1), lit(window))).as("__off"),
-      col("__p"))
-    val pairs = offs
-      .join(pos.select(col("__d").as("__db"), col("__p").as("__pb"), col("__w").as("__wb")),
-        col("__db") === col("__d") && col("__pb") === col("__p") + col("__off"))
-      .select(least(col("__wa"), col("__wb")).as("w1"),
-        greatest(col("__wa"), col("__wb")).as("w2"))
+    val pairs = windowPairs(docs, textCol, idCol, window)
     val cnt = pairs.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("n_ab"))
       .localCheckpoint(true)
     // vocabulary-keyed shuffle joins, NOT broadcasts: the marginal

@@ -3545,11 +3545,12 @@ object Stats {
     * Re-randomization is the Bernoulli(p̂) form (each unit independently
     * redrawn treated with the OBSERVED treatment fraction — Chamandy's
     * map-reduce discipline, like the Poisson bootstrap next door): the
-    * draws are md5 inverse-CDF uniforms, TWO per digest (reps 2m and
-    * 2m+1 slice disjoint 13-hex windows of md5(salt:m:id) — the digest
-    * dominates the b× scan's map cost and pairing halves it), so every
-    * replica is rerun-stable and the oracle replays the whole null
-    * distribution exactly. Values are INTEGER-valued (cents discipline), so all
+    * draws are md5 inverse-CDF uniforms, FOUR per digest (reps 4m..4m+3
+    * slice the four disjoint 8-hex windows of md5(salt:m:id) — the
+    * digest dominates the b× scan's map cost and the 32-hex budget
+    * admits four independent 32-bit draws), so every replica is
+    * rerun-stable and the oracle replays the whole null distribution
+    * exactly. Values are INTEGER-valued (cents discipline), so all
     * replica sums are exact decimal aggregates; each replica's gap —
     * and the observed gap — rounds to 6 dp BEFORE the |Δ| comparison,
     * so the count of extreme replicas is cross-engine identical. Work =
@@ -3593,18 +3594,17 @@ object Stats {
               col("n"), col("n_treat"))).cast("double")), 6)
           .as("diff_obs_r"),
         (col("n_treat").cast("double") / col("n").cast("double")).as("__frac"))
-    // the bootstrapMeanCi md5 uniform (13 hex digits / 2^52, exact
-    // dyadic) — but TWO draws per digest: one md5 per (rep-pair, id),
-    // reps 2m and 2m+1 read hex chars 1-13 and 14-26 (disjoint digest
-    // bits, so the draws stay independent). The digest is the dominant
-    // map-side cost of the b× scan; pairing halves it (measured 15.3 s
-    // -> ~8 s at sf0.1, b = 64).
-    val u = conv(
-      md5(concat(
-        lit(s"$salt:"), floor(col("__rep") / lit(2)).cast("int").cast("string"),
-        lit(":"), col("__id").cast("string")))
-        .substr((col("__rep") % lit(2)) * lit(13) + lit(1), lit(13)),
-      16, 10).cast("double") / lit(4503599627370496.0)
+    // md5 uniforms, FOUR draws per digest: reps 4m..4m+3 read the four
+    // disjoint 8-hex windows of md5(salt:m:id) (32-bit dyadics u32/2^32 —
+    // independent slices of one digest, the minhash SlicesPerDigest
+    // discipline). TWO-STAGE generate so the digest is EVALUATED once per
+    // quad, not once per rep: expressions have no cross-row CSE, so a
+    // single b-way explode reading floor(rep/4) recomputes the identical
+    // digest four times (r15's 2-draw layout measured 15.9 s isolated
+    // min-of-5 at sf0.1, b = 64; the 4-slice single-explode variant
+    // 12.7 s; this quad-stage form 9.5 s — the digest count, not the
+    // slice width, is the lever).
+    //
     // spread the b× fan-out BEFORE it exists: a small single-file input
     // scans as few partitions, and the 64-replica explode multiplies
     // whatever skew the scan had. One cheap shuffle of the BASE rows
@@ -3613,8 +3613,16 @@ object Stats {
     val reps = rows
       .repartition(col("__id"))
       .crossJoin(broadcast(obs.select(col("__frac"))))
-      .withColumn("__rep", explode(sequence(lit(0), lit(b - 1))))
-      .withColumn("__rt", u < col("__frac"))
+      .withColumn("__q", explode(sequence(lit(0), lit((b + 3) / 4 - 1))))
+      .withColumn("__dg", md5(concat(
+        lit(s"$salt:"), col("__q").cast("int").cast("string"),
+        lit(":"), col("__id").cast("string"))))
+      .withColumn("__sl", explode(array((0 until 4).map(lit): _*)))
+      .withColumn("__rep", col("__q") * lit(4) + col("__sl"))
+      .where(col("__rep") < b)
+      .withColumn("__rt",
+        conv(col("__dg").substr(col("__sl") * lit(8) + lit(1), lit(8)), 16, 10)
+          .cast("double") / lit(4294967296.0) < col("__frac"))
       .groupBy(col("__rep"))
       .agg(
         sum(col("__rt").cast("long")).as("__n1"),

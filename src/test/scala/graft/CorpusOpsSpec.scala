@@ -1096,4 +1096,50 @@ class CorpusOpsSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getString(1)).toMap
     cases.foreach { case (w, want) => assert(df(w) == want, s"$w -> ${df(w)} (want $want)") }
   }
+
+  test("textrank: == plain-Scala pagerank over the windowed co-occurrence graph; hub wins") {
+    import spark.implicits._
+    // 'core' touches every sentence; leaves touch only 'core'
+    val docs = Seq(
+      (1L, "core alpha core beta core gamma"),
+      (2L, "core delta core epsilon"),
+      (3L, "zeta core eta core")).toDF("doc_id", "text")
+    def toks(t: String) = t.split("\\s+").map(_.toLowerCase.filter(c => c >= 'a' && c <= 'z'))
+      .filter(_.nonEmpty).toSeq
+    // in-memory mirror: window-2 unordered pairs -> >=1 count edges ->
+    // symmetrized simple graph -> 5 pagerank rounds at d = 0.85
+    val pairs = Seq((1L, "core alpha core beta core gamma"),
+      (2L, "core delta core epsilon"), (3L, "zeta core eta core"))
+      .flatMap { case (_, t) =>
+        val ts = toks(t)
+        for (i <- ts.indices; o <- 1 to 2 if i + o < ts.size)
+          yield (Seq(ts(i), ts(i + o)).min, Seq(ts(i), ts(i + o)).max)
+      }
+    // NB: NOT groupBy(identity).map(_._1) — mapping a Map with a
+    // tuple-valued lambda rebuilds a Map and collapses same-first-element
+    // pairs into one entry
+    val edges = pairs.distinct.filter(p => p._1 != p._2).toSet
+    val adj = edges.toSeq.flatMap { case (a, b) => Seq(a -> b, b -> a) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2).distinct }
+    val nodes = adj.keys.toSeq.sorted
+    val n = nodes.size.toDouble
+    var pr = nodes.map(_ -> 1.0 / n).toMap
+    for (_ <- 1 to 5) {
+      val mass = nodes.map { v =>
+        v -> adj(v).map(u => pr(u) / adj(u).size).sum
+      }.toMap
+      pr = nodes.map(v => v -> (0.15 / n + 0.85 * mass(v))).toMap
+    }
+    def r6(x: Double): Double = math.floor(x * 1e6 + 0.5) / 1e6
+    val want = pr.map { case (w, v) => w -> r6(v) }
+    val got = graft.operators.Cooccurrence
+      .textrank(docs, window = 2, minPair = 1, iters = 5, k = 100)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(got == want, s"got $got want $want")
+    // the hub out-ranks every leaf, and k truncates on (score, word)
+    val top = graft.operators.Cooccurrence
+      .textrank(docs, window = 2, minPair = 1, iters = 5, k = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(top == Seq("core"), s"top: $top")
+  }
 }

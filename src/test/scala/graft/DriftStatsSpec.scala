@@ -694,13 +694,14 @@ class DriftStatsSpec extends SparkSpec {
 
   test("randomizationTest: == md5-replay mirror; a planted separation reads the floor p") {
     def u(salt: String, rep: Int, id: Long): Double = {
-      // two 13-hex uniforms per digest: reps 2m / 2m+1 read chars 1-13 /
-      // 14-26 of md5(salt:m:id) — the operator's paired-draw scheme
+      // four 8-hex uniforms per digest: reps 4m..4m+3 read the four
+      // disjoint 8-hex windows of md5(salt:m:id) — the operator's
+      // quad-draw scheme (r16: was 2 × 13 hex)
       val d = java.security.MessageDigest.getInstance("MD5")
-      val hex = d.digest(s"$salt:${rep / 2}:$id".getBytes("UTF-8"))
+      val hex = d.digest(s"$salt:${rep / 4}:$id".getBytes("UTF-8"))
         .map("%02x".format(_)).mkString
-      java.lang.Long.parseLong(hex.slice((rep % 2) * 13, (rep % 2) * 13 + 13), 16)
-        .toDouble / 4503599627370496.0
+      java.lang.Long.parseLong(hex.slice((rep % 4) * 8, (rep % 4) * 8 + 8), 16)
+        .toDouble / 4294967296.0
     }
     def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
     val rnd = new java.util.Random(99L)
