@@ -2961,6 +2961,19 @@ object SparkEntry {
       operators.Stats.cohenKappa(rated, "r1", "r2")
     }),
 
+    // -- fill-in-the-middle (PSM) transform: two md5-deterministic cuts
+    //    per doc, middle moved behind the sentinels — the code-model
+    //    pretraining rearrangement, map-side only, every cut replayable
+    "q_fim" -> ((s, dir) =>
+      operators.Denoise.fim(t(s, dir, "documents")).orderBy("doc_id")),
+
+    // -- T5 span corruption: ~15% of tokens masked in mean-3 spans,
+    //    sentinel per merged run, (input, target) pair per doc — the
+    //    denoising-objective data generator; DenoiseSpec pins that
+    //    splicing target spans over input sentinels reconstructs the doc
+    "q_span_corrupt" -> ((s, dir) =>
+      operators.Denoise.spanCorrupt(t(s, dir, "documents")).orderBy("doc_id")),
+
     // -- corpus BLEU-4 of even docs "generated" against their odd-doc
     //    references (doc 2k candidate vs doc 2k+1 reference): clipped
     //    n-gram precisions + brevity penalty — the generation-eval
@@ -8859,6 +8872,63 @@ object SparkEntry {
           SELECT n, obar_r, rel_r, res_r, unc_r,
                  floor((rel_r - res_r + unc_r) * 1e6 + 0.5) / 1e6 AS brier_r
           FROM u""",
+    // FIM mirror: identical 13-hex/2^52 cut draws, inclusive-slice
+    // sections, sentinel layout byte-for-byte
+    "q_fim" ->
+      s"""WITH $ToksArrCte,
+          c AS (SELECT doc_id, toks, len(toks) AS n,
+                 floor((('0x' || substr(md5('fim:a:' || doc_id::VARCHAR), 1, 13))::BIGINT
+                        / 4503599627370496.0) * (len(toks) + 1))::INT AS c1,
+                 floor((('0x' || substr(md5('fim:b:' || doc_id::VARCHAR), 1, 13))::BIGINT
+                        / 4503599627370496.0) * (len(toks) + 1))::INT AS c2
+                FROM toks_arr),
+          s AS (SELECT doc_id, toks, n, least(c1, c2) AS lo, greatest(c1, c2) AS hi FROM c)
+          SELECT doc_id, n::BIGINT AS n_tokens, lo::BIGINT AS n_prefix,
+                 (hi - lo)::BIGINT AS n_middle, (n - hi)::BIGINT AS n_suffix,
+                 '<PRE> ' || coalesce(array_to_string(toks[1:lo], ' '), '')
+                 || ' <SUF> ' || coalesce(array_to_string(toks[hi + 1:n], ' '), '')
+                 || ' <MID> ' || coalesce(array_to_string(toks[lo + 1:hi], ' '), '') AS psm
+          FROM s ORDER BY doc_id""",
+    // span-corruption mirror: per-position digests (start: 13 hex, len:
+    // 3 hex mod 5), coverage unnest + distinct merge, per-doc run
+    // numbering, FILTERed ordered string_agg for both sides
+    "q_span_corrupt" ->
+      s"""WITH $ToksArrCte,
+          p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) - 1 AS pos, unnest(toks) AS w
+                FROM toks_arr),
+          d AS (SELECT doc_id, pos, w,
+                       md5('t5:' || doc_id::VARCHAR || ':' || pos::VARCHAR) AS dg
+                FROM p),
+          dr AS (SELECT doc_id, pos, w,
+                        (('0x' || substr(dg, 1, 13))::BIGINT / 4503599627370496.0) < 0.05
+                          AS st,
+                        (('0x' || substr(dg, 14, 3))::BIGINT % 5) + 1 AS ln
+                 FROM d),
+          mk AS (SELECT DISTINCT doc_id, unnest(range(pos, pos + ln)) AS pos
+                 FROM dr WHERE st),
+          fl AS (SELECT dr.doc_id, dr.pos, dr.w, (mk.pos IS NOT NULL) AS m
+                 FROM dr LEFT JOIN mk ON mk.doc_id = dr.doc_id AND mk.pos = dr.pos),
+          rn AS (SELECT doc_id, pos, w, m,
+                        CASE WHEN m AND NOT coalesce(
+                               lag(m) OVER (PARTITION BY doc_id ORDER BY pos), FALSE)
+                             THEN 1 ELSE 0 END AS rs
+                 FROM fl),
+          rr AS (SELECT doc_id, pos, w, m, rs,
+                        (sum(rs) OVER (PARTITION BY doc_id ORDER BY pos) - rs) AS rid
+                 FROM rn),
+          pieces AS (SELECT doc_id, pos, m, rs,
+                            CASE WHEN NOT m THEN w
+                                 WHEN rs = 1 THEN '<X' || rid::VARCHAR || '>' END AS ip,
+                            CASE WHEN m AND rs = 1 THEN '<X' || rid::VARCHAR || '> ' || w
+                                 WHEN m THEN w END AS tp
+                     FROM rr)
+          SELECT doc_id, count(*)::BIGINT AS n_tokens,
+                 sum(m::INT)::BIGINT AS n_masked, sum(rs)::BIGINT AS n_runs,
+                 coalesce(string_agg(ip, ' ' ORDER BY pos) FILTER (WHERE ip IS NOT NULL), '')
+                   AS input_str,
+                 coalesce(string_agg(tp, ' ' ORDER BY pos) FILTER (WHERE tp IS NOT NULL), '')
+                   AS target_str
+          FROM pieces GROUP BY doc_id ORDER BY doc_id""",
     // corpus BLEU-4 mirror: same even/odd pairing, clipped n-gram joins,
     // integer totals, 6dp precisions, guarded ln/exp on rounded scalars
     "q_eval_bleu" ->
