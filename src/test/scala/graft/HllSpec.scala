@@ -84,6 +84,30 @@ class HllSpec extends org.scalatest.funsuite.AnyFunSuite {
       s"empty sketch must read 0 via linear counting: ($estEmpty, $zerosEmpty)")
   }
 
+  test("hll_ndv runs UNCHANGED as a streaming stateful aggregation; streaming == batch") {
+    // registers merge element-wise-max, so incremental micro-batch state
+    // composes exactly like the batch partial-merge — same expression
+    // tree, Complete-mode memory sink, equality to the last bit
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-stream")
+    (0 until 3000).map(i => s"key_${i % 700}").toDF("k")
+      .coalesce(2).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("k", org.apache.spark.sql.types.StringType))))
+      .parquet(dir.toString)
+      .agg(expr("hll_ndv(k, 10)").as("r"))
+      .select(col("r.ndv_est"), col("r.n_zero_regs"))
+    val q = stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .format("memory").queryName("hll_stream").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    val got = spark.table("hll_stream")
+      .collect().map(r => (r.getDouble(0), r.getInt(1))).head
+    val want = runHll((0 until 3000).map(i => s"key_${i % 700}"), 10, 4)
+    assert(got == want, s"streaming sketch $got != batch sketch $want")
+  }
+
   test("hash60 agrees with the SQL construction on sample keys") {
     // the oracle replays idx/rank off ('0x' || substr(md5(k),1,15))::BIGINT
     val d = java.security.MessageDigest.getInstance("MD5")
