@@ -360,12 +360,12 @@ object Dedup {
     * the vocabulary-sized df relation — the occurrence stream joins the
     * finished draws instead of re-hashing per (doc, shingle) occurrence
     * (Zipf: occurrences ≫ vocabulary; the naive per-occurrence struct-min
-    * form measured 17.3 s at sf0.1 vs 5.5 s for this one). The per-seed
-    * argmin is
-    * numHashes `min(struct(lnA, shingle, t))` aggregate columns riding
-    * ONE groupBy(doc) exchange — map-side combine, no window, no explode
-    * of the seed axis; banding + the maxBucket hot-bucket cap + the
-    * observe() drop audit are shared with the unweighted path
+    * form measured 17.3 s at sf0.1 vs 5.0 s for this one). The per-seed
+    * argmin is numHashes [[graft.plans.MinStringAgg]] columns over the
+    * [[drawEnc]] sortable encoding, riding ONE groupBy(doc)
+    * ObjectHashAggregate — map-side partial merge, no sort, no window,
+    * no explode of the seed axis; banding + the maxBucket hot-bucket cap
+    * + the observe() drop audit are shared with the unweighted path
     * ([[pairsFromBanded]]). Returns (doc1, doc2), doc1 < doc2.
     */
   def weightedMinhashCandidates(
@@ -434,12 +434,24 @@ object Dedup {
     val perShingle = drawRel.select(
       col("__s") +: (0 until numHashes).map(g => drawEnc(g, u)): _*)
       .localCheckpoint(true)
+    // min_str (TypedImperativeAggregate), NOT the declarative min: a
+    // variable-length min(string) buffer can't live in HashAggregate's
+    // mutable UnsafeRow, so Spark silently degrades 16 string mins to
+    // SortAggregate — a full per-partition sort of the occurrence×draws
+    // relation on both sides of the exchange. The typed form routes
+    // through ObjectHashAggregate: hash-based, map-side partial merge,
+    // identical semantics (UTF8String.compareTo IS Min's byte order).
+    def minStr(c: String): Column = {
+      import org.apache.spark.sql.GraftBridge
+      GraftBridge.column(
+        graft.plans.MinStringAgg(GraftBridge.expression(col(c))).toAggregateExpression())
+    }
     val mins = ds
       .join(perShingle, Seq("__s"))
       .groupBy(col(idCol))
       .agg(
-        min(col("__e0")).as("__m0"),
-        (1 until numHashes).map(g => min(col(s"__e$g")).as(s"__m$g")): _*)
+        minStr("__e0").as("__m0"),
+        (1 until numHashes).map(g => minStr(s"__e$g").as(s"__m$g")): _*)
     val bandCols = array((0 until bands).map { b =>
       concat(lit(s"$b|"), md5(concat_ws("|",
         (b * rows until (b + 1) * rows).map(g =>
@@ -453,11 +465,14 @@ object Dedup {
   /** One ICWS seed's per-shingle draw, ENCODED as a single fixed-prefix
     * sortable string `lpad(⌊lnA·1e6+0.5⌋ + 1e9, 12, '0') || shingle || ':'
     * || t`: lnA = ln c − r(t−β+1) (log space — no exp), t = ⌊ln w / r + β⌋.
-    * A plain string `min()` over this encoding IS the (lnA₆ asc, then
-    * encoded-sample asc) argmin — and unlike `min(struct(...))` (which
-    * Spark can only SortAggregate: a full sort of the occurrence×draws
-    * relation) it hash-aggregates with map-side combine inside
-    * whole-stage codegen. The 1e9 offset keeps the
+    * A string min over this encoding IS the (lnA₆ asc, then
+    * encoded-sample asc) argmin. Both `min(struct(...))` AND the
+    * declarative `min(string)` degrade the Aggregate to SortAggregate
+    * (variable-length buffers don't fit HashAggregate's mutable
+    * UnsafeRow), so the consumer aggregates these encodings with
+    * [[graft.plans.MinStringAgg]] — typed-imperative, hence
+    * ObjectHashAggregate: hash-based with map-side partial merge, no
+    * per-partition sort. The 1e9 offset keeps the
     * integer prefix positive at any reachable lnA (|lnA| < ~80: r ≤ 34.7,
     * |ln w| ≤ 13.9, ln c ∈ (−17.3, 3.6) given the (u24+0.5)/2^24 dyadics),
     * so the 12-char zero-pad makes string order = numeric order; the

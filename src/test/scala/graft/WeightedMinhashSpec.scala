@@ -98,6 +98,25 @@ class WeightedMinhashSpec extends SparkSpec {
         "boilerplate-only pairs band under unweighted minhash")
   }
 
+  test("MinStringAgg == declarative min(string) on random grouped data, plans ObjectHashAggregate") {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.GraftBridge
+    val rnd = new scala.util.Random(31L)
+    val rows = (0 until 4000).map { i =>
+      (s"g${i % 37}", if (rnd.nextInt(20) == 0) null else rnd.alphanumeric.take(1 + rnd.nextInt(12)).mkString)
+    }
+    val df = rows.toDF("g", "v").repartition(8)
+    def minStr(c: org.apache.spark.sql.Column) = GraftBridge.column(
+      graft.plans.MinStringAgg(GraftBridge.expression(c)).toAggregateExpression())
+    val typed = df.groupBy("g").agg(minStr(col("v")).as("m"))
+    val want = df.groupBy("g").agg(min(col("v")).as("m"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    val got = typed.collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(got == want, "typed min must equal declarative min incl. null groups")
+    assert(typed.queryExecution.executedPlan.toString.contains("ObjectHashAggregate"),
+      "min_str must plan as ObjectHashAggregate (the whole point)")
+  }
+
   test("deterministic: two runs emit identical candidates") {
     val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     def run() = Dedup.weightedMinhashCandidates(docs)
