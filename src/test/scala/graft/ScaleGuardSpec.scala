@@ -114,6 +114,34 @@ class ScaleGuardSpec extends SparkSpec {
       s"emitted $nPairs pairs > retained-bucket bound $bound — a saturated bucket self-joined")
   }
 
+  test("probe cap: flipped visits skip hot buckets, audited; capped probes never mint novel pairs") {
+    import org.apache.spark.sql.Observation
+    val planes = embPlanes
+    // probeMaxBucket below the replica-set size: every bucket is hot (all
+    // Factor-sized multiples), so FLIPPED visits are all dropped and the
+    // probed run must equal the plain single-table run; the audit counts
+    // every kept bucket as probe-capped
+    val o = new Observation("probe_cap")
+    val probedCapped = Similarity.cosineNearDupPairs(
+      emb50, thr = 0.25, planes = planes, tables = 1, maxBucket = 1 << 12,
+      probes = math.min(4, planes), probeMaxBucket = Factor - 1, dropAudit = Some(o))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val m = o.get
+    assert(m("probe_capped_buckets").asInstanceOf[Long] > 0,
+      s"audit must count probe-capped buckets: $m")
+    val plain = Similarity.cosineNearDupPairs(
+      emb50, thr = 0.25, planes = planes, tables = 1, maxBucket = 1 << 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probedCapped == plain,
+      "with every bucket probe-capped, probing must add nothing over plain")
+    // and an uncapped probe run is a SUPERSET (the cap only drops)
+    val probedFull = Similarity.cosineNearDupPairs(
+      emb50, thr = 0.25, planes = planes, tables = 1, maxBucket = 1 << 12,
+      probes = math.min(4, planes))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probedCapped.subsetOf(probedFull), "probe cap must only DROP pairs")
+  }
+
   // 40 docs replicated 50x: every prefix bucket and every chunk bucket
   // holds at least one full replica set
   private lazy val docsSmall = spark.read
