@@ -248,7 +248,14 @@ object Bench {
         p >= 0 && v > p * 1.5 && v - p > 0.3) =>
         s"""{"query":"$k","prior":${fmt(priorBest(k))},"now":${fmt(v)}}"""
     }
-    val regressionsJson = s""","regressions":[${regressions.mkString(",")}]"""
+    // a disabled guard must be visible: if the prior artifact EXISTS but the
+    // hand parse yielded nothing (format drift, nested values), say so in
+    // the artifact instead of shipping an indistinguishable-from-clean []
+    val priorUnreadable =
+      priorBest.isEmpty && java.nio.file.Files.exists(java.nio.file.Paths.get(priorPath))
+    val regressionsJson =
+      if (priorUnreadable) ""","regressions":[{"prior_unreadable":true}]"""
+      else s""","regressions":[${regressions.mkString(",")}]"""
     val full =
       s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson$regressionsJson,"samples":$samplesJson,"sf":"$sfDir"}"""
     println(full)

@@ -7693,30 +7693,36 @@ object SparkEntry {
     // single-table multi-probe mirror: kept-origin members (cap, singletons
     // allowed) probe their own bucket + the 4 one-bit flips; flipped visits
     // only land in buckets at or under probeMaxBucket = 32 members (the
-    // per-probe hot-bucket cap — own-bucket visits are exempt)
+    // per-probe hot-bucket cap — own-bucket visits are exempt). Probe-pair
+    // retention is id-order-free (r16 advice fix): own-bucket pairs keep
+    // v1 < v2, probe pairs take ANY orientation and normalize via
+    // least/greatest, so hot–cold flip pairs survive via the cold side.
     "q_dedup_embedding_probe" ->
       s"""WITH b AS (SELECT vec_id, (${lshBucketExpr(4, 0)})::BIGINT AS bkt FROM embeddings),
           cnt AS (SELECT bkt, count(*) AS n FROM b GROUP BY bkt),
           keep AS (SELECT bkt FROM cnt WHERE n BETWEEN 1 AND 4096),
           pkeep AS (SELECT bkt FROM cnt WHERE n <= 32),
           bk AS (SELECT vec_id, b.bkt FROM b JOIN keep USING (bkt)),
-          pr AS (SELECT vec_id, bkt AS pbkt FROM bk
-                 UNION ALL
-                 SELECT vec_id, f.pbkt
+          fl AS (SELECT vec_id, f.pbkt
                  FROM (SELECT vec_id, unnest([xor(bkt, 1), xor(bkt, 2), xor(bkt, 4), xor(bkt, 8)]) AS pbkt
                        FROM bk) f
                  JOIN pkeep ON pkeep.bkt = f.pbkt),
+          pairs AS (SELECT a.vec_id AS v1, o.vec_id AS v2
+                    FROM bk a JOIN bk o ON o.bkt = a.bkt AND a.vec_id < o.vec_id
+                    UNION ALL
+                    SELECT least(a.vec_id, p.vec_id) AS v1, greatest(a.vec_id, p.vec_id) AS v2
+                    FROM bk a JOIN fl p ON p.pbkt = a.bkt AND a.vec_id <> p.vec_id),
           e AS (SELECT vec_id, embedding,
                        sqrt(list_sum(list_transform(range(1, len(embedding) + 1),
                             i -> embedding[i]::DOUBLE * embedding[i]::DOUBLE))) AS nrm
                 FROM embeddings)
           SELECT DISTINCT v1, v2, floor((cos) * 1e4 + 0.5) / 1e4 AS cos_r FROM (
-            SELECT a.vec_id AS v1, p.vec_id AS v2,
+            SELECT u.v1, u.v2,
                    list_sum(list_transform(range(1, len(ea.embedding) + 1),
                         i -> ea.embedding[i]::DOUBLE * ec.embedding[i]::DOUBLE)) / (ea.nrm * ec.nrm) AS cos
-            FROM bk a JOIN pr p ON p.pbkt = a.bkt AND a.vec_id < p.vec_id
-            JOIN e ea ON ea.vec_id = a.vec_id
-            JOIN e ec ON ec.vec_id = p.vec_id) u
+            FROM pairs u
+            JOIN e ea ON ea.vec_id = u.v1
+            JOIN e ec ON ec.vec_id = u.v2) u
           WHERE cos >= 0.25 ORDER BY v1, v2""",
     // probe ranking and routing share the (cos₆ DESC, id ASC) tie-break, so
     // the mirror uses the identical row_number keys at every stage

@@ -90,7 +90,14 @@ object Denoise {
       salt: String = "t5"): DataFrame = {
     require(density > 0 && density < 1, s"density ($density) must be in (0,1)")
     require(meanSpan >= 1 && meanSpan <= 16, s"meanSpan ($meanSpan) must be in [1,16]")
-    val pStart = density / meanSpan
+    // pinned 6-dp decimal, NOT density/meanSpan directly: the oracle mirrors
+    // this threshold as a SQL literal, and a raw double quotient can land a
+    // few ulps off the decimal literal (0.15/3 rounds ~7e-18 BELOW 0.05 —
+    // provably equivalent for the shipped defaults only because no 52-bit
+    // dyadic draw falls in that gap, an argument that would need re-checking
+    // for every new (density, meanSpan)). Rounding both sides to the same
+    // decimal makes the equivalence structural instead of accidental.
+    val pStart = math.floor(density / meanSpan * 1e6 + 0.5) / 1e6
     val maxLen = 2 * meanSpan - 1
     val pos = docs
       .select(col(idCol).as("__d"),

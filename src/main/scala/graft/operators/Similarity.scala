@@ -233,8 +233,12 @@ object Similarity {
     * no matter how many planes [[planesFor]] adds) the probe fan-out
     * concentrates into exactly the hottest kept buckets — SCALEBENCH_r15
     * measured 0.8/11.2/64.8 s at 1/10/50× vs 1.1/3.3/18.0 for plain mode.
-    * Near-miss recall for a hot bucket's members is already carried by
-    * their own-bucket visit; the probe cap only sheds the quadratic tail.
+    * Probe-pair retention under the cap is ID-ORDER-FREE (r16 advice fix):
+    * probe pairs skip the v1<v2 join filter and normalize ids afterward,
+    * so a hot–cold flip pair always survives via the cold member's
+    * orientation; only hot–hot flip pairs (both buckets over the cap) are
+    * shed — exactly the quadratic tail, whose in-bucket recall is already
+    * carried by each hot bucket's own-bucket visits.
     * Default Int.MaxValue = no extra cap beyond `maxBucket` (probe targets
     * are kept buckets by construction). Capped probe visits are audited
     * on the same `dropAudit` observation (`probe_capped_buckets` /
@@ -293,26 +297,42 @@ object Similarity {
     val pruned = banded.join(keep, Seq("tbl", "bucket"), "left_semi")
     val a = pruned.select(col("tbl"), col("bucket"),
       col(idCol).as("v1"), col(vecCol).as("va"), col("nrm").as("na"))
-    // b-side: every member visits its own bucket; with probing it also
-    // visits the `probes` one-bit-flip buckets, but ONLY those at or under
-    // probeCap members — a pair in buckets one flip apart appears in both
-    // orderings (each side probes the other's bucket), so the v1 < v2
-    // filter still emits it exactly once.
     val own = pruned.select(col("tbl"), col("bucket"),
       col(idCol).as("v2"), col(vecCol).as("vb"), col("nrm").as("nb"))
-    val b = if (probes == 0) own else {
+    // own-bucket pairs: symmetric within a bucket, so v1 < v2 emits each
+    // pair exactly once
+    val ownPairs = a.join(own, Seq("tbl", "bucket"))
+      .where(col("v1") < col("v2"))
+      .select(col("v1"), col("va"), col("na"), col("v2"), col("vb"), col("nb"))
+    // probe pairs: a member's flipped visit lands only in buckets at or
+    // under probeCap members. A pair in buckets one flip apart is NOT
+    // symmetric under capping (the hot side's bucket may refuse flipped
+    // visits while the cold side's accepts them), so no id-order filter
+    // here — every materialized orientation is kept and the ids are
+    // NORMALIZED to (least, greatest). A hot–cold pair thus always
+    // survives via the cold orientation regardless of id order; only
+    // hot–hot flip pairs (BOTH buckets over probeCap) are shed — the
+    // quadratic tail the cap exists for. Cold–cold flip pairs materialize
+    // in both orientations with a bit-identical cosine (same index-order
+    // dot), so the final distinct() dedups them.
+    val pairs = if (probes == 0) ownPairs else {
       val flipKeys = array(
         (0 until probes).map(p => col("bucket").bitwiseXOR(lit(1L << p))): _*)
       val probeKeep = counts
         .where(col("__bn") <= probeCap)
         .select(col("tbl"), col("bucket"))
-      own.unionAll(
-        pruned.select(col("tbl"), explode(flipKeys).as("bucket"),
-          col(idCol).as("v2"), col(vecCol).as("vb"), col("nrm").as("nb"))
-          .join(probeKeep, Seq("tbl", "bucket"), "left_semi"))
+      val probeVisits = pruned.select(col("tbl"), explode(flipKeys).as("bucket"),
+        col(idCol).as("v2"), col(vecCol).as("vb"), col("nrm").as("nb"))
+        .join(probeKeep, Seq("tbl", "bucket"), "left_semi")
+      val probePairs = a.join(probeVisits, Seq("tbl", "bucket"))
+        .where(col("v1") =!= col("v2"))
+        .select(least(col("v1"), col("v2")).as("v1"),
+          col("va"), col("na"),
+          greatest(col("v1"), col("v2")).as("v2"),
+          col("vb"), col("nb"))
+      ownPairs.unionAll(probePairs)
     }
-    a.join(b, Seq("tbl", "bucket"))
-      .where(col("v1") < col("v2"))
+    pairs
       .withColumn("cos", dot(col("va"), col("vb")) / (col("na") * col("nb")))
       .where(col("cos") >= thr)
       .select(col("v1"), col("v2"), round(col("cos"), 4).as("cos_r"))

@@ -104,12 +104,10 @@ case class HllNdvAgg(
   extends TypedImperativeAggregate[HllSketch]
   with BinaryLike[Expression] {
 
-  private lazy val p: Int =
-    (if (right.foldable) right.eval() else null) match {
-      case v: Int if v >= 4 && v <= 16 => v
-      case _ => throw new IllegalArgumentException(
-        s"hll_ndv p must be a foldable INT in [4, 16], got ${right.sql}")
-    }
+  // range validity is established at ANALYSIS time (checkInputDataTypes
+  // below), so by the time a buffer is created on an executor this is a
+  // plain read, never a mid-job failure
+  private lazy val p: Int = right.eval().asInstanceOf[Int]
 
   override def createAggregationBuffer(): HllSketch = new HllSketch(p)
 
@@ -137,7 +135,15 @@ case class HllNdvAgg(
   override def dataType: DataType = HllSketch.ResultType
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     if (left.dataType == StringType && right.dataType == IntegerType && right.foldable) {
-      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      // fold the range/null check in here too, so hll_ndv(k, 99) or a null
+      // literal fails at planning time, not mid-job on an executor
+      right.eval() match {
+        case v: Int if v >= 4 && v <= 16 =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+        case other =>
+          org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+            s"hll_ndv p must be a non-null INT literal in [4, 16], got $other")
+      }
     } else {
       org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
         "hll_ndv requires (STRING key, INT literal p), got " +

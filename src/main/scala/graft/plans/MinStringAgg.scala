@@ -54,15 +54,23 @@ case class MinStringAgg(
 
   override def eval(st: MinStrState): Any = st.value
 
+  // 1-byte presence prefix: without it, an empty byte array would be the
+  // "no value seen" marker AND the serialization of a genuine ""-minimum,
+  // so a group whose min is '' would decode to null after a shuffle
   override def serialize(st: MinStrState): Array[Byte] =
-    if (st.value == null) Array.emptyByteArray else st.value.getBytes
+    if (st.value == null) Array.emptyByteArray
+    else {
+      val b = st.value.getBytes
+      val out = new Array[Byte](b.length + 1)
+      out(0) = 1
+      System.arraycopy(b, 0, out, 1, b.length)
+      out
+    }
 
   override def deserialize(bytes: Array[Byte]): MinStrState = {
     val st = new MinStrState
-    // empty bytes = "no value seen": the encodings this aggregates are
-    // never empty strings (fixed-width numeric prefix), so the marker is
-    // unambiguous here; do not reuse for domains with '' values
-    if (bytes.nonEmpty) st.value = UTF8String.fromBytes(bytes)
+    if (bytes.nonEmpty)
+      st.value = UTF8String.fromBytes(bytes, 1, bytes.length - 1)
     st
   }
 

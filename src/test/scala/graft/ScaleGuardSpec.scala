@@ -142,6 +142,45 @@ class ScaleGuardSpec extends SparkSpec {
     assert(probedCapped.subsetOf(probedFull), "probe cap must only DROP pairs")
   }
 
+  test("probe-cap pair retention is id-order-free (relabeling ids never changes the pair set)") {
+    // r16 advice fix: under the old v1<v2-before-normalization join, a
+    // hot–cold flip pair survived only when the COLD member's id was the
+    // smaller — retention depended on id assignment. Pin the fix by
+    // relabeling every id through an order-REVERSING bijection and
+    // asserting the (normalized) pair set is unchanged.
+    val planes = embPlanes
+    val cap = Factor // single-replica-set buckets stay probe-able, deeper ones are hot
+    def pairsOf(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      Similarity.cosineNearDupPairs(df, thr = 0.25, planes = planes, tables = 1,
+        maxBucket = 1 << 12, probes = math.min(4, planes), probeMaxBucket = cap)
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val base = pairsOf(emb50)
+    val maxId = emb50.agg(max("vec_id")).head().getLong(0)
+    val reversed = pairsOf(emb50.withColumn("vec_id", lit(maxId) - col("vec_id")))
+      .map { case (a, b) =>
+        val (x, y) = (maxId - a, maxId - b)
+        (math.min(x, y), math.max(x, y))
+      }
+    assert(base == reversed,
+      s"probe-capped pair retention depends on id order: ${
+        (base diff reversed).take(3)} only under original ids, ${
+        (reversed diff base).take(3)} only under reversed ids")
+    // non-vacuity: the cap must actually BIND (hot buckets exist) while
+    // probing still contributes pairs beyond plain mode — otherwise this
+    // test exercises neither arm of the orientation logic
+    val plain = Similarity.cosineNearDupPairs(
+      emb50, thr = 0.25, planes = planes, tables = 1, maxBucket = 1 << 12)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val uncappedProbe = Similarity.cosineNearDupPairs(
+      emb50, thr = 0.25, planes = planes, tables = 1, maxBucket = 1 << 12,
+      probes = math.min(4, planes))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(plain.subsetOf(base) && base.subsetOf(uncappedProbe),
+      "capped-probe set must sit between plain and uncapped-probe")
+    assert(base != plain || uncappedProbe == plain,
+      "cap killed every probe pair the corpus offers — pick a cap that keeps some cold buckets")
+  }
+
   // 40 docs replicated 50x: every prefix bucket and every chunk bucket
   // holds at least one full replica set
   private lazy val docsSmall = spark.read
