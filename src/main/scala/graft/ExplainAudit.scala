@@ -182,7 +182,7 @@ object ExplainAudit {
     // round 16: TextRank keywords (skipgram pair stream -> pagerank loop;
     // final-iterate plan is static over the loop's checkpointed relations),
     // HyperLogLog NDV (single partial-merge aggregate, constant state)
-    "q_textrank", "q_hll_ndv",
+    "q_textrank", "q_hll_ndv", "q_hll_per_source",
     // round 16: denoising-objective transforms (FIM map-side cuts; span
     // corruption's coverage explode + doc-partitioned run numbering)
     "q_fim", "q_span_corrupt")

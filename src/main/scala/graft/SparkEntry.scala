@@ -500,6 +500,23 @@ object SparkEntry {
           col("r.n_zero_regs").as("n_zero_regs"))
     }),
 
+    // -- the HLL sketch GROUPED: per-source vocabulary NDV at p=10 —
+    //    the register-based twin of q_ndv_per_source (KMV), completing
+    //    the mergeable-sketch family's grouped forms. Partial register
+    //    arrays merge element-wise-max per (group, task); state is a
+    //    constant 1 KiB per group regardless of vocabulary size, which
+    //    is exactly why production per-tenant NDV dashboards standardize
+    //    on registers. Oracle replays registers AND estimate per group.
+    "q_hll_per_source" -> ((s, dir) => {
+      Tokenize.tokens(t(s, dir, "documents").select("doc_id", "source", "text"),
+          "text", Seq("doc_id", "source"))
+        .groupBy(col("source"))
+        .agg(expr("hll_ndv(word, 10)").as("r"))
+        .select(col("source"), col("r.ndv_est").as("ndv_est"),
+          col("r.n_zero_regs").as("n_zero_regs"))
+        .orderBy("source")
+    }),
+
     // -- the SpaceSaving sketch GROUPED: top event types per hour bucket
     //    (capacity 32 > |event types|, so every group is exact and the
     //    oracle replays it; under eviction the SpaceSavingSpec bounds
@@ -5452,6 +5469,37 @@ object SparkEntry {
                       ELSE floor(raw * 1e4 + 0.5) / 1e4 END AS ndv_est,
                  zeros AS n_zero_regs
           FROM raw""",
+    // grouped HLL register replay: same md5-60 routing as q_hll_ndv but
+    // registers, harmonic sum, and fallback all keyed per source
+    "q_hll_per_source" ->
+      """WITH tk AS (SELECT source,
+                            regexp_replace(lower(unnest(regexp_split_to_array(text, '\s+'))), '[^a-z]', '', 'g') AS w
+                     FROM documents),
+          tok2 AS (SELECT source, w AS word FROM tk WHERE w <> ''),
+          h AS (SELECT DISTINCT source,
+                       ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+                FROM tok2),
+          rr AS (SELECT source, h >> 50 AS idx,
+                        CASE WHEN (h & ((1::BIGINT << 50) - 1)) = 0 THEN 51
+                             ELSE 50 - (length(printf('%b', h & ((1::BIGINT << 50) - 1))) - 1)
+                        END AS rank
+                 FROM h),
+          regs AS (SELECT source, idx, max(rank) AS mj FROM rr GROUP BY source, idx),
+          agg AS (SELECT source, sum((1::BIGINT << (51 - mj)))::BIGINT AS s,
+                         count(*)::BIGINT AS present
+                  FROM regs GROUP BY source),
+          fin AS (SELECT source, (s + (1024 - present) * (1::BIGINT << 51))::BIGINT AS sumint,
+                         (1024 - present)::INT AS zeros
+                  FROM agg),
+          raw AS (SELECT source, (0.7213 / (1.0 + 1.079 / 1024.0)) * 1024.0 * 1024.0
+                         * 2251799813685248.0 / sumint::DOUBLE AS raw, zeros
+                  FROM fin)
+          SELECT source,
+                 CASE WHEN raw <= 2560.0 AND zeros > 0
+                      THEN floor((1024.0 * ln(1024.0 / zeros)) * 1e4 + 0.5) / 1e4
+                      ELSE floor(raw * 1e4 + 0.5) / 1e4 END AS ndv_est,
+                 zeros AS n_zero_regs
+          FROM raw ORDER BY source""",
     // grouped CMS: per-lang counter matrices rebuilt the same way
     "q_cms_per_lang" ->
       """WITH tk AS (SELECT lang,

@@ -108,6 +108,45 @@ class HllSpec extends org.scalatest.funsuite.AnyFunSuite {
     assert(got == want, s"streaming sketch $got != batch sketch $want")
   }
 
+  test("WINDOWED GROUPED hll_ndv under a watermark == batch per-window registers") {
+    // the grouped form (q_hll_per_source) composed with event-time
+    // windows: per-(window, group) register state is a constant 1 KiB,
+    // merged element-wise-max across micro-batches — the KmvSpec windowed
+    // pattern with registers instead of bottom-k
+    val dir = java.nio.file.Files.createTempDirectory("graft-hll-win")
+    val rows = (0 until 4000).map { i =>
+      (java.sql.Timestamp.valueOf(f"2024-05-01 ${i % 6}%02d:${(i * 7) % 60}%02d:00"),
+        s"src${(i / 6) % 3}", s"user_${(i * 13) % 900}")
+    }
+    rows.toDF("ts", "src", "u").coalesce(2).write.mode("overwrite").parquet(dir.toString)
+    val stream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("ts", org.apache.spark.sql.types.TimestampType),
+        org.apache.spark.sql.types.StructField("src", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("u", org.apache.spark.sql.types.StringType))))
+      .parquet(dir.toString)
+      .withWatermark("ts", "1 hour")
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("src"))
+      .agg(expr("hll_ndv(u, 10)").as("r"))
+      .select(col("w.start").as("h"), col("src"),
+        col("r.ndv_est").as("ndv"), col("r.n_zero_regs").as("z"))
+    val q = stream.writeStream
+      .outputMode(org.apache.spark.sql.streaming.OutputMode.Complete())
+      .format("memory").queryName("hll_win").start()
+    try q.processAllAvailable()
+    finally q.stop()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.orderBy("h", "src")
+      .collect().map(r => (r.getTimestamp(0), r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
+    val got = canon(spark.table("hll_win"))
+    val want = canon(spark.read.parquet(dir.toString)
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("src"))
+      .agg(expr("hll_ndv(u, 10)").as("r"))
+      .select(col("w.start").as("h"), col("src"),
+        col("r.ndv_est").as("ndv"), col("r.n_zero_regs").as("z")))
+    assert(got.size == 18 && got == want,
+      s"windowed grouped streaming sketch must equal batch: ${got.size} rows")
+  }
+
   test("hash60 agrees with the SQL construction on sample keys") {
     // the oracle replays idx/rank off ('0x' || substr(md5(k),1,15))::BIGINT
     val d = java.security.MessageDigest.getInstance("MD5")
