@@ -1618,6 +1618,38 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
 
+    // -- WEIGHTED candidates served from the PREBUILT ICWS index (r16
+    //    judge task 2): the draw table + per-doc band keys are built once
+    //    per corpus snapshot and banding serves from the materialized
+    //    relation via the same candidatesFromIndex contract as the
+    //    unweighted index. Oracle == q_dedup_wminhash's, pinning
+    //    indexed == inline.
+    "q_wminhash_indexed" -> ((s, dir) => {
+      Dedup
+        .candidatesFromIndex(
+          Dedup.wminhashIndex(t(s, dir, "documents"),
+            shingleK = 3, numHashes = 16, bands = 8).index,
+          maxBucket = 4096)
+        .orderBy("doc1", "doc2")
+    }),
+
+    // -- incremental WEIGHTED dedup: new batch (doc_id < 50) banded with
+    //    the corpus snapshot's FROZEN draw table and checked against the
+    //    prebuilt index band keys (product-capped buckets), candidates
+    //    exactly verified by snapshot-weighted Jaccard on integer
+    //    micro-weight sums — the weighted twin of q_cross_dedup, with the
+    //    corpus never re-tokenized
+    "q_wminhash_cross" -> ((s, dir) => {
+      val d = t(s, dir, "documents")
+      Dedup
+        .wminhashCrossDups(
+          Dedup.wminhashIndex(d.where(col("doc_id") >= 50),
+            shingleK = 3, numHashes = 16, bands = 8),
+          d.where(col("doc_id") < 50),
+          threshold = 0.5, shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096)
+        .orderBy("new_id", "corpus_id")
+    }),
+
     // -- duplicate clusters: connected components over the minhash
     //    candidate pairs (iterative min-label propagation; group_id is the
     //    cluster's keeper)
@@ -4609,13 +4641,14 @@ object SparkEntry {
     * lexicographic struct-min argmin (lnA, shingle, t), then the shared
     * banding/cap tail.
     */
-  private def wminhashSql(shingleK: Int, numHashes: Int, bands: Int, maxBucket: Int): String = {
-    val rows = numHashes / bands
+  /** ICWS per-shingle draw encodings (mirror of Dedup.drawEnc): same
+    * fixed-prefix sortable encoding — min(enc) == the (lnA6 asc, payload
+    * asc) argmin, and substr(·, 13) is the sample. Reads columns `s`, `w`.
+    */
+  private def wEncCols(numHashes: Int): String = {
     def u(digest: String, slice: Int): String =
       s"(('0x' || substr($digest, ${slice * 6 + 1}, 6))::BIGINT::DOUBLE + 0.5) / 16777216.0"
-    // same fixed-prefix sortable encoding as Dedup.drawEnc: min(enc) ==
-    // the (lnA6 asc, payload asc) argmin, and substr(·, 13) is the sample
-    val encCols = (0 until numHashes).map { g =>
+    (0 until numHashes).map { g =>
       val d1 = s"md5('w$g:' || s)"
       val r = s"(-(ln(${u(d1, 0)}) + ln(${u(d1, 1)})))"
       val cln = s"ln(-(ln(${u(d1, 2)}) + ln(${u(d1, 3)})))"
@@ -4624,12 +4657,22 @@ object SparkEntry {
       s"""lpad((floor(($cln - $r * ($t - $beta + 1.0)) * 1e6 + 0.5)::BIGINT
                 + 1000000000)::VARCHAR, 12, '0') || s || ':' || ($t)::BIGINT::VARCHAR AS e$g"""
     }.mkString(",\n          ")
-    val minCols = (0 until numHashes).map(g => s"min(e$g) AS m$g").mkString(", ")
-    val bandList = (0 until bands).map { b =>
+  }
+
+  /** Weighted band-key list over min-columns m0..m{n−1}. */
+  private def wBandList(numHashes: Int, bands: Int): String = {
+    val rows = numHashes / bands
+    (0 until bands).map { b =>
       val parts = (b * rows until (b + 1) * rows)
         .map(g => s"substr(m$g, 13)").mkString(" || '|' || ")
       s"'$b|' || md5($parts)"
     }.mkString(", ")
+  }
+
+  private def wminhashSql(shingleK: Int, numHashes: Int, bands: Int, maxBucket: Int): String = {
+    val encCols = wEncCols(numHashes)
+    val minCols = (0 until numHashes).map(g => s"min(e$g) AS m$g").mkString(", ")
+    val bandList = wBandList(numHashes, bands)
     // N counts docs with a non-empty shingle set — equivalent to the Spark
     // side's rlike '[A-Za-z]' guard (shingles empty iff no letter survives)
     s"""WITH ${shinglesCte(shingleK)},
@@ -4650,6 +4693,67 @@ object SparkEntry {
                   FROM bands a JOIN bands b ON a.band = b.band AND a.doc_id < b.doc_id
                   JOIN keep k ON k.band = a.band)
         SELECT doc1, doc2 FROM pairs ORDER BY doc1, doc2"""
+  }
+
+  /** DuckDB mirror of Dedup.wminhashCrossDups: snapshot draws/idf from the
+    * CORPUS side only (df over corpus, N = corpus non-empty count), batch
+    * signatures from those FROZEN draws via the vocabulary inner join,
+    * product-capped band buckets, then exact snapshot-weighted Jaccard on
+    * integer micro-weights (w6 = ⌊w·1e6+0.5⌋ summed as BIGINT).
+    */
+  private def wminhashCrossSql(
+      shingleK: Int, numHashes: Int, bands: Int, maxBucket: Int,
+      threshold: Double, splitId: Long): String = {
+    val encCols = wEncCols(numHashes)
+    val minCols = (0 until numHashes).map(g => s"min(e$g) AS m$g").mkString(", ")
+    val bandList = wBandList(numHashes, bands)
+    s"""WITH ${shinglesCte(shingleK)},
+        nn AS (SELECT count(*)::DOUBLE AS n FROM sh
+               WHERE doc_id >= $splitId AND len(shingles) > 0),
+        cds AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+                WHERE doc_id >= $splitId AND len(shingles) > 0),
+        bds AS (SELECT doc_id, unnest(shingles) AS s FROM sh
+                WHERE doc_id < $splitId AND len(shingles) > 0),
+        dfr AS (SELECT s, count(*)::BIGINT AS df FROM cds GROUP BY s),
+        wt0 AS (SELECT s,
+                       greatest(floor(ln((nn.n + 1.0) / df::DOUBLE) * 1e6 + 0.5) / 1e6,
+                                0.000001) AS w
+                FROM dfr CROSS JOIN nn),
+        enc AS (SELECT s,
+          $encCols
+                FROM wt0),
+        cm AS (SELECT doc_id, $minCols
+               FROM cds JOIN enc USING (s) GROUP BY doc_id),
+        bm AS (SELECT doc_id, $minCols
+               FROM bds JOIN enc USING (s) GROUP BY doc_id),
+        cbands AS (SELECT doc_id, unnest([$bandList]) AS band FROM cm),
+        bbands AS (SELECT doc_id, unnest([$bandList]) AS band FROM bm),
+        bkc AS (SELECT band,
+                       count(DISTINCT CASE WHEN isnew THEN doc_id END)::BIGINT AS n1,
+                       count(DISTINCT CASE WHEN NOT isnew THEN doc_id END)::BIGINT AS n2
+                FROM (SELECT band, doc_id, TRUE AS isnew FROM bbands
+                      UNION ALL
+                      SELECT band, doc_id, FALSE FROM cbands) u
+                GROUP BY band),
+        keep AS (SELECT band FROM bkc WHERE n1 >= 1 AND n2 >= 1 AND n1 * n2 <= $maxBucket),
+        cand AS (SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS corpus_id
+                 FROM bbands a JOIN cbands b ON b.band = a.band
+                 JOIN keep k ON k.band = a.band),
+        w6 AS (SELECT s, floor(w * 1e6 + 0.5)::BIGINT AS w6 FROM wt0),
+        nsw AS (SELECT b.doc_id AS new_id, b.s, w6.w6 FROM bds b JOIN w6 USING (s)),
+        csw AS (SELECT c.doc_id AS corpus_id, c.s, w6.w6 FROM cds c JOIN w6 USING (s)),
+        na AS (SELECT new_id, sum(w6)::BIGINT AS wa FROM nsw GROUP BY new_id),
+        ca AS (SELECT corpus_id, sum(w6)::BIGINT AS wb FROM csw GROUP BY corpus_id),
+        ix AS (SELECT c.new_id, c.corpus_id, sum(n.w6)::BIGINT AS i
+               FROM cand c
+               JOIN nsw n ON n.new_id = c.new_id
+               JOIN csw s2 ON s2.corpus_id = c.corpus_id AND s2.s = n.s
+               GROUP BY 1, 2)
+        SELECT ix.new_id, ix.corpus_id,
+               floor((ix.i::DOUBLE / (na.wa + ca.wb - ix.i)::DOUBLE) * 1e4 + 0.5) / 1e4 AS wjaccard_r
+        FROM ix JOIN na USING (new_id) JOIN ca USING (corpus_id)
+        WHERE ix.i::DOUBLE / (na.wa + ca.wb - ix.i)::DOUBLE >= $threshold
+        ORDER BY new_id, corpus_id"""
   }
 
   /** DuckDB mirror of Dedup.minhashCandidates (same md5 seeding/banding). */
@@ -7286,6 +7390,11 @@ object SparkEntry {
     // ICWS weighted-minhash mirror: every md5 Gamma/Uniform draw, the
     // log-space a-value and the struct-min argmin replayed draw-for-draw
     "q_dedup_wminhash" -> wminhashSql(shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096),
+    // indexed == inline: the prebuilt weighted index must reproduce the
+    // inline weighted candidates exactly
+    "q_wminhash_indexed" -> wminhashSql(shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096),
+    "q_wminhash_cross" -> wminhashCrossSql(shingleK = 3, numHashes = 16, bands = 8,
+      maxBucket = 4096, threshold = 0.5, splitId = 50L),
     // identical SQL by construction: the indexed path must produce exactly
     // the inline path's candidates (build-once/query-many equivalence pin)
     "q_minhash_indexed" -> minhashSql(shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096),

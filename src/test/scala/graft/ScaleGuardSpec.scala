@@ -262,6 +262,34 @@ class ScaleGuardSpec extends SparkSpec {
       s"index-served (${indexed.size}) must equal inline (${inline.size}) at 50x")
   }
 
+  test("wminhash index at 50x: cap binds, indexed == inline, cross-dups serve from the snapshot") {
+    val widx = Dedup.wminhashIndex(docsSmall50)
+    // replicas share shingles → identical ICWS draws → identical weighted
+    // band keys, so every band bucket holds a full replica set
+    assert(Dedup.candidatesFromIndex(widx.index, maxBucket = Factor - 1).count() == 0,
+      "a cap below the replication factor must drop every weighted band bucket")
+    val indexed = Dedup.candidatesFromIndex(widx.index)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val inline = Dedup.weightedMinhashCandidates(docsSmall50)
+      .select("doc1", "doc2").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(indexed.nonEmpty && indexed == inline,
+      s"weighted index-served (${indexed.size}) must equal inline (${inline.size}) at 50x")
+    // cross path: a batch of byte-identical replicas of corpus docs banded
+    // with the FROZEN snapshot draws must hit their corpus twins at
+    // weighted Jaccard exactly 1.0 — and the product cap must bind: with
+    // maxBucket below |batch|·|corpus| per bucket nothing survives
+    val batch = docsSmall50.where(col("doc_id") % lit(Factor.toLong) === 0L)
+      .withColumn("doc_id", -col("doc_id") - 1L)
+    val hits = Dedup.wminhashCrossDups(widx, batch, threshold = 0.99)
+    val n = hits.count()
+    assert(n > 0, "replica batch must cross-hit the snapshot corpus")
+    assert(hits.where(col("wjaccard_r") =!= 1.0).count() == 0,
+      "byte-identical replicas must verify at weighted Jaccard 1.0")
+    assert(Dedup.wminhashCrossDups(widx, batch, threshold = 0.99,
+      maxBucket = Factor - 1).count() == 0,
+      "a product cap below |batch|x|corpus| per bucket must drop every bucket")
+  }
+
   test("keep-best at 50x: one keeper per duplicate group, max quality wins") {
     val groups = Dedup.duplicateGroups(
       Dedup.candidatesFromIndex(Dedup.minhashIndex(docsSmall50)))
