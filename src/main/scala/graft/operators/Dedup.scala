@@ -391,7 +391,7 @@ object Dedup {
   }
 
   /** The ICWS corpus guard shared by the inline, index, and cross paths. */
-  private def wNonEmpty(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+  private[graft] def wNonEmpty(docs: DataFrame, idCol: String, textCol: String): DataFrame =
     docs.select(col(idCol), col(textCol)).where(col(textCol).rlike("[A-Za-z]"))
 
   /** (idCol, __s) shingle-occurrence stream, eagerly checkpointed: it is
@@ -402,7 +402,7 @@ object Dedup {
     * discipline — on a cluster, persist-with-spill or durable checkpoint
     * plays the same role.
     */
-  private def wOcc(nonEmpty: DataFrame, idCol: String, textCol: String,
+  private[graft] def wOcc(nonEmpty: DataFrame, idCol: String, textCol: String,
       shingleK: Int): DataFrame =
     TextAnalysis.withShingles(nonEmpty, textCol, shingleK, "__sh")
       .select(col(idCol), explode(col("__sh")).as("__s"))
@@ -422,7 +422,7 @@ object Dedup {
     * unweighted path; Zipf makes occurrences ≫ vocabulary at any real
     * corpus size, so the per-shingle form only widens its win at 100 TB).
     */
-  private def wDraws(occ: DataFrame, nonEmpty: DataFrame, numHashes: Int): DataFrame = {
+  private[graft] def wDraws(occ: DataFrame, nonEmpty: DataFrame, numHashes: Int): DataFrame = {
     val dfRel = occ.groupBy(col("__s")).agg(count(lit(1)).as("__df"))
     val n1 = broadcast(nonEmpty.agg(count(lit(1)).cast("double").as("__n")))
     // md5-uniform helper: five 24-bit slices per digest, (u24 + 0.5) / 2^24
@@ -470,7 +470,7 @@ object Dedup {
     * through ObjectHashAggregate: hash-based, map-side partial merge,
     * identical semantics (UTF8String.compareTo IS Min's byte order).
     */
-  private def wBandKeys(occ: DataFrame, draws: DataFrame, idCol: String,
+  private[graft] def wBandKeys(occ: DataFrame, draws: DataFrame, idCol: String,
       numHashes: Int, bands: Int): DataFrame = {
     val rows = numHashes / bands
     def minStr(c: String): Column = {
