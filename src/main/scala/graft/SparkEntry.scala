@@ -1618,6 +1618,18 @@ object SparkEntry {
         .orderBy("new_id", "corpus_id")
     }),
 
+    // -- EXACT substring-overlap dedup at the Lee-et-al. 50-token
+    //    standard: every maximal cross-document token span ≥ 50 shared
+    //    token-for-token, via df-capped positional anchors + a
+    //    gaps-and-islands reconstruction — the exact-span granularity CDC
+    //    chunking (q_dedup_spans) approximates
+    "q_dedup_substr" -> ((s, dir) => {
+      Dedup
+        .substringOverlapPairs(t(s, dir, "documents"),
+          minTokens = 50, anchorK = 8, dfCap = 100)
+        .orderBy("doc1", "doc2", "start1", "start2")
+    }),
+
     // -- WEIGHTED candidates served from the PREBUILT ICWS index (r16
     //    judge task 2): the draw table + per-doc band keys are built once
     //    per corpus snapshot and banding serves from the materialized
@@ -4695,6 +4707,41 @@ object SparkEntry {
         SELECT doc1, doc2 FROM pairs ORDER BY doc1, doc2"""
   }
 
+  /** DuckDB mirror of Dedup.substringOverlapPairs: same tokenizer, same
+    * per-position anchorK-gram md5 anchors, same df cap, same
+    * gaps-and-islands maximal-run reconstruction.
+    */
+  private def substrOverlapSql(minTokens: Int, anchorK: Int, dfCap: Int): String =
+    s"""WITH toks0 AS (
+          SELECT doc_id,
+                 list_filter(
+                   list_transform(regexp_split_to_array(text, '\\s+'),
+                                  x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                   w -> w <> '') AS toks
+          FROM documents),
+        base AS (SELECT doc_id, toks FROM toks0 WHERE len(toks) >= $anchorK),
+        grams AS (SELECT doc_id, i - 1 AS p,
+                         md5(array_to_string(list_slice(toks, i, i + $anchorK - 1), ' ')) AS g
+                  FROM (SELECT doc_id, toks,
+                               unnest(range(1, len(toks) - $anchorK + 2)) AS i
+                        FROM base)),
+        cnt AS (SELECT g, count(*) AS n FROM grams GROUP BY g),
+        keep AS (SELECT g FROM cnt WHERE n BETWEEN 2 AND $dfCap),
+        m AS (SELECT a.doc_id AS doc1, b.doc_id AS doc2, a.p AS p1, b.p - a.p AS off
+              FROM grams a
+              JOIN keep k ON k.g = a.g
+              JOIN grams b ON b.g = a.g AND a.doc_id < b.doc_id),
+        runs AS (SELECT doc1, doc2, off, p1,
+                        p1 - row_number() OVER (PARTITION BY doc1, doc2, off ORDER BY p1) AS grp
+                 FROM m),
+        sp AS (SELECT doc1, doc2, off, min(p1) AS s1, count(*) AS mc
+               FROM runs GROUP BY doc1, doc2, off, grp)
+        SELECT doc1, doc2, s1::BIGINT AS start1, (s1 + off)::BIGINT AS start2,
+               (mc + $anchorK - 1)::BIGINT AS span_len
+        FROM sp
+        WHERE mc + $anchorK - 1 >= $minTokens
+        ORDER BY doc1, doc2, start1, start2"""
+
   /** DuckDB mirror of Dedup.wminhashCrossDups: snapshot draws/idf from the
     * CORPUS side only (df over corpus, N = corpus non-empty count), batch
     * signatures from those FROZEN draws via the vocabulary inner join,
@@ -7395,6 +7442,7 @@ object SparkEntry {
     "q_wminhash_indexed" -> wminhashSql(shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096),
     "q_wminhash_cross" -> wminhashCrossSql(shingleK = 3, numHashes = 16, bands = 8,
       maxBucket = 4096, threshold = 0.5, splitId = 50L),
+    "q_dedup_substr" -> substrOverlapSql(minTokens = 50, anchorK = 8, dfCap = 100),
     // identical SQL by construction: the indexed path must produce exactly
     // the inline path's candidates (build-once/query-many equivalence pin)
     "q_minhash_indexed" -> minhashSql(shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096),

@@ -1345,10 +1345,107 @@ object Dedup {
     * that row blowup IS the job, and a column-wise aggregate moves strictly
     * less data than `bits` rows per doc.
     *
+    * (Exact ≥k-token substring overlap lives in
+    * [[substringOverlapPairs]] below; simhash/minhash answer the
+    * whole-document near-dup question, CDC chunks the paragraph-level
+    * one, and the substring operator the Lee-et-al. exact-span one.)
+    *
     * [[simhashPairs]] wants the 60-bit form: wider signatures mean wider
     * pigeonhole bands, which is what keeps its bucket key space large
     * enough at 100 TB.
     */
+  /** EXACT substring-overlap dedup at the token-span standard of Lee et
+    * al. 2022 ("Deduplicating Training Data Makes Language Models
+    * Better"): emit every maximal cross-document token span of length ≥
+    * `minTokens` shared EXACTLY (token-for-token) by two documents —
+    * the granularity the training-data dedup literature standardizes on,
+    * and the case [[graft.operators.Chunking.chunkDupPairs]] provably
+    * misses when a spliced span never spans a content-defined boundary
+    * pair (SubstrOverlapSpec plants exactly that 60-token splice).
+    *
+    * Method (suffix arrays don't distribute; anchors + islands do):
+    * every token position contributes one ANCHOR — the md5 of its
+    * `anchorK`-token gram — so two documents sharing an m-token span
+    * (m ≥ anchorK) share exactly m−anchorK+1 CONSECUTIVE anchor matches
+    * at one alignment offset. Anchors self-join on the gram key (the
+    * positional equi-join shape — never a range join), matches group by
+    * (doc1, doc2, offset), and a gaps-and-islands pass over p1
+    * reconstructs each maximal run: span_len = run + anchorK − 1. Every
+    * window is (doc1, doc2, offset)-partitioned — state bounded by one
+    * aligned pair, no global window.
+    *
+    * Scale shape: anchor volume is corpus-token-sized (linear — the cost
+    * any exact-substring method pays; Lee et al.'s suffix array build is
+    * the same magnitude), and the only pairwise step is the gram-key
+    * self-join under the `dfCap` stop-shingle discipline of
+    * [[prefixJaccardJoin]]: a gram occurring more than `dfCap` times
+    * corpus-wide is boilerplate (navigation chrome, license headers) and
+    * is dropped BEFORE expansion, bounding per-gram pair work at
+    * dfCap²/2; the cut mass rides the run via `dropAudit`
+    * (dropped_buckets / dropped_members / retained_pair_bound on anchor
+    * df). Recall note: a dropped hot gram INSIDE a span splits its
+    * island, so spans built of pure boilerplate may undercount — the
+    * audit prices exactly that, and distinctive spliced content (every
+    * gram rare) is unaffected. Gram keys are md5-hashed (32 hex chars
+    * shuffled instead of anchorK tokens); a cross-gram collision would
+    * need a 128-bit md5 collision inside one corpus — the standard
+    * fingerprinting trade, identical in the DuckDB oracle.
+    *
+    * Returns (doc1, doc2, start1, start2, span_len), doc1 < doc2,
+    * 0-based starts, one row per MAXIMAL shared span.
+    */
+  def substringOverlapPairs(
+      docs: DataFrame,
+      minTokens: Int = 50,
+      anchorK: Int = 8,
+      dfCap: Int = 100,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    require(anchorK >= 2, s"anchorK ($anchorK) must be >= 2")
+    require(minTokens >= anchorK,
+      s"minTokens ($minTokens) must be >= anchorK ($anchorK) — shorter spans have no anchor")
+    require(dfCap >= 2, s"dfCap ($dfCap) must admit at least one pair")
+    // one anchor per token position, built map-side from the token array
+    // (no window, no shuffle): gram i = md5 of tokens[i..i+anchorK-1]
+    val grams = docs
+      .select(col(idCol), Tokenize.tokenArray(col(textCol)).as("__t"))
+      .where(size(col("__t")) >= anchorK)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, size(__t) - $anchorK)," +
+          s" i -> md5(array_join(slice(__t, i + 1, $anchorK), ' ')))"))
+        .as(Seq("__p", "__g")))
+      // read twice (df counts + the join) — materialize the tokenize
+      .localCheckpoint(true)
+    val counts = grams.groupBy(col("__g")).agg(count(lit(1)).as("__n"))
+    val audited = dropAudit.fold(counts) { o =>
+      val ms = dropMetrics(col("__n"), dfCap)
+      counts.observe(o, ms.head, ms.tail: _*)
+    }
+    val keep = audited.where(col("__n").between(2, dfCap)).select(col("__g"))
+    val kept = grams.join(keep, Seq("__g"), "left_semi")
+    val a = kept.select(col("__g"), col(idCol).as("doc1"), col("__p").as("p1"))
+    val b = kept.select(col("__g"), col(idCol).as("doc2"), col("__p").as("p2"))
+    val matches = a.join(b, Seq("__g"))
+      .where(col("doc1") < col("doc2"))
+      .select(col("doc1"), col("doc2"), col("p1"),
+        (col("p2") - col("p1")).as("__off"))
+    // gaps-and-islands per aligned pair: consecutive matched anchor
+    // positions are one shared span
+    val byPair = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc1"), col("doc2"), col("__off")).orderBy(col("p1"))
+    matches
+      .withColumn("__grp", col("p1") - row_number().over(byPair))
+      .groupBy(col("doc1"), col("doc2"), col("__off"), col("__grp"))
+      .agg(min(col("p1")).as("__s1"), count(lit(1)).as("__m"))
+      .withColumn("span_len", col("__m") + lit(anchorK - 1))
+      .where(col("span_len") >= minTokens)
+      .select(col("doc1"), col("doc2"),
+        col("__s1").cast("long").as("start1"),
+        (col("__s1") + col("__off")).cast("long").as("start2"),
+        col("span_len"))
+  }
+
   def simhash(tokens: DataFrame, idCol: String = "doc_id", bits: Int = 32): DataFrame = {
     require(bits >= 1 && bits <= 60,
       s"bits ($bits) must be in [1, 60] — the md5 word hash carries 60 portable bits")
