@@ -179,7 +179,7 @@ object ExplainAudit {
     // 16 struct-min aggregates on one doc exchange + shared banding tail),
     // BLEU-4 / ROUGE-1/2 generation evals (clipped n-gram count joins)
     "q_dedup_wminhash", "q_wminhash_indexed", "q_wminhash_cross",
-    "q_dedup_substr",
+    "q_dedup_substr", "q_unigram_lm", "q_unigram_fertility",
     "q_eval_bleu", "q_eval_rouge",
     // round 16: TextRank keywords (skipgram pair stream -> pagerank loop;
     // final-iterate plan is static over the loop's checkpointed relations),

@@ -1740,6 +1740,26 @@ object SparkEntry {
         .orderBy("lang")
     }),
 
+    // -- unigram-LM (SentencePiece-style) tokenizer trainer, Kudo 2018:
+    //    seed substrings → 2 hard-EM rounds (Viterbi E over DISTINCT
+    //    words with integer micro-log-prob scores; count M with the
+    //    single-char Laplace floor) → prune + renormalize. The other
+    //    subword tokenizer next to the BPE family; every segmentation
+    //    decision replays exactly in the oracle's unrolled DP.
+    "q_unigram_lm" -> ((s, dir) => {
+      TextAnalysis
+        .unigramLm(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")))
+        .orderBy("piece")
+    }),
+
+    // -- unigram-LM fertility per language on the same corpus — the
+    //    row-for-row comparison against q_bpe_fertility (same metric,
+    //    same schema, same corpus): the trained unigram vocab segments
+    //    each distinct word once, the doc stream joins the piece counts
+    "q_unigram_fertility" -> ((s, dir) => {
+      TextAnalysis.unigramFertility(t(s, dir, "documents")).orderBy("lang")
+    }),
+
     // -- Gopher-style repetition metrics: duplicate 3-gram fraction flags
     //    boilerplate/looping text (map-side, no shuffle)
     "q_quality_repetition" -> ((s, dir) => {
@@ -4707,6 +4727,92 @@ object SparkEntry {
         SELECT doc1, doc2 FROM pairs ORDER BY doc1, doc2"""
   }
 
+  /** DuckDB mirror of TextAnalysis.unigramLm / unigramFertility (fixed-
+    * round unroll, the bpeOracleSql pattern): seed substring counts, then
+    * per EM round one Viterbi DP unrolled position-by-position — integer
+    * micro-log-prob scores, (s DESC, path ASC) argmax per prefix — and a
+    * recount with the single-char Laplace floor; prune + renormalize at
+    * the end. Every dp CTE is MATERIALIZED (each is referenced by the
+    * next maxPieceLen rounds — un-materialized it inlines exponentially).
+    */
+  private def unigramSql(mode: String, seedSize: Int = 100, keepMulti: Int = 40,
+      emRounds: Int = 2, maxPieceLen: Int = 4, maxWordLen: Int = 12): String = {
+    def dpCtes(tag: String, lpTbl: String): String = {
+      val sb = new StringBuilder
+      sb ++= s"d${tag}_0 AS (SELECT w, n, 0::BIGINT AS s, '' AS path FROM wrd),\n"
+      for (i <- 1 to maxWordLen) {
+        val branches = (1 to math.min(maxPieceLen, i)).map { j =>
+          val st = i - j + 1
+          s"""SELECT d.w, d.n, d.s + l.lp AS s,
+                 CASE WHEN d.path = '' THEN substr(d.w, $st, $j)
+                      ELSE d.path || ' ' || substr(d.w, $st, $j) END AS path
+              FROM d${tag}_${i - j} d JOIN $lpTbl l ON l.piece = substr(d.w, $st, $j)
+              WHERE length(d.w) >= $i"""
+        }.mkString("\n              UNION ALL\n              ")
+        sb ++= s"""d${tag}_$i AS MATERIALIZED (
+            SELECT w, n, s, path FROM (
+              SELECT w, n, s, path,
+                     row_number() OVER (PARTITION BY w ORDER BY s DESC, path ASC) AS rn
+              FROM ($branches) u) v
+            WHERE rn = 1),\n"""
+      }
+      sb ++= s"""seg$tag AS (${(1 to maxWordLen)
+        .map(i => s"SELECT w, n, path FROM d${tag}_$i WHERE length(w) = $i")
+        .mkString(" UNION ALL ")}),\n"""
+      sb.toString
+    }
+    def lpCte(name: String, src: String): String =
+      s"""$name AS MATERIALIZED (SELECT piece,
+            floor(ln(cnt::DOUBLE / (SELECT sum(cnt) FROM $src)::DOUBLE) * 1e6 + 0.5)::BIGINT AS lp
+          FROM $src),\n"""
+    val sb = new StringBuilder
+    sb ++= s"""WITH $TokCte,
+        wrd AS (SELECT word AS w, count(*)::BIGINT AS n FROM tok
+                WHERE length(word) <= $maxWordLen GROUP BY word),
+        sub AS (SELECT piece, sum(n)::BIGINT AS cnt FROM (
+                  SELECT n, unnest(flatten(list_transform(range(1, length(w) + 1), i ->
+                         list_transform(range(i, least(length(w)::BIGINT, i + ${maxPieceLen - 1}) + 1), j ->
+                           substr(w, i::INT, (j - i + 1)::INT))))) AS piece
+                  FROM wrd) u GROUP BY piece),
+        chrs AS (SELECT piece, cnt FROM sub WHERE length(piece) = 1),
+        v0 AS MATERIALIZED (SELECT piece, cnt FROM chrs
+              UNION ALL
+              SELECT piece, cnt FROM (SELECT piece, cnt FROM sub WHERE length(piece) >= 2
+                                      ORDER BY cnt DESC, piece LIMIT $seedSize) t),\n"""
+    sb ++= lpCte("l0", "v0")
+    for (r <- 1 to emRounds) {
+      sb ++= dpCtes(s"$r", s"l${r - 1}")
+      sb ++= s"""cnt$r AS (SELECT piece, sum(n)::BIGINT AS cnt FROM (
+                  SELECT n, unnest(string_split(path, ' ')) AS piece FROM seg$r) u
+                GROUP BY piece),
+          v$r AS MATERIALIZED (SELECT piece, cnt FROM cnt$r
+                UNION ALL
+                SELECT c.piece, 1::BIGINT AS cnt FROM chrs c
+                WHERE c.piece NOT IN (SELECT piece FROM cnt$r)),\n"""
+      sb ++= lpCte(s"l$r", s"v$r")
+    }
+    sb ++= s"""pr AS MATERIALIZED (SELECT piece, cnt FROM v$emRounds WHERE length(piece) = 1
+              UNION ALL
+              SELECT piece, cnt FROM (SELECT piece, cnt FROM v$emRounds WHERE length(piece) >= 2
+                                      ORDER BY cnt DESC, piece LIMIT $keepMulti) t),\n"""
+    if (mode == "vocab") {
+      // trailing dummy CTE keeps the comma discipline simple
+      sb ++= "fin AS (SELECT 1)\n"
+      sb ++= s"""SELECT piece, cnt,
+              floor(ln(cnt::DOUBLE / (SELECT sum(cnt) FROM pr)::DOUBLE) * 1e6 + 0.5) / 1e6 AS logp_r
+          FROM pr ORDER BY piece"""
+    } else {
+      sb ++= lpCte("lpr", "pr")
+      sb ++= dpCtes("f", "lpr")
+      sb ++= s"""np AS (SELECT w, len(string_split(path, ' '))::BIGINT AS np FROM segf)
+          SELECT d.lang, count(*)::BIGINT AS tot_words, sum(np.np)::BIGINT AS tot_pieces,
+                 floor((sum(np.np)::DOUBLE / count(*)::DOUBLE) * 1e4 + 0.5) / 1e4 AS fertility_r
+          FROM tok t JOIN np ON np.w = t.word JOIN documents d USING (doc_id)
+          GROUP BY d.lang ORDER BY lang"""
+    }
+    sb.toString
+  }
+
   /** DuckDB mirror of Dedup.substringOverlapPairs: same tokenizer, same
     * per-position anchorK-gram md5 anchors, same df cap, same
     * gaps-and-islands maximal-run reconstruction.
@@ -7443,6 +7549,8 @@ object SparkEntry {
     "q_wminhash_cross" -> wminhashCrossSql(shingleK = 3, numHashes = 16, bands = 8,
       maxBucket = 4096, threshold = 0.5, splitId = 50L),
     "q_dedup_substr" -> substrOverlapSql(minTokens = 50, anchorK = 8, dfCap = 100),
+    "q_unigram_lm" -> unigramSql("vocab"),
+    "q_unigram_fertility" -> unigramSql("fertility"),
     // identical SQL by construction: the indexed path must produce exactly
     // the inline path's candidates (build-once/query-many equivalence pin)
     "q_minhash_indexed" -> minhashSql(shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096),

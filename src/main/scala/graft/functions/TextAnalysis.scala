@@ -903,6 +903,208 @@ object TextAnalysis {
       .withColumn("n_pieces", size(col("token_ids")))
   }
 
+  /** Unigram-LM (SentencePiece-style) tokenizer trainer — Kudo 2018
+    * ("Subword Regularization"), the OTHER subword tokenizer that matters
+    * next to the [[bpeMerges]] family, trained as hard (Viterbi) EM:
+    *
+    *  1. SEED: every substring of the distinct words up to `maxPieceLen`
+    *     chars, occurrence-weighted; the top `seedSize` multi-char pieces
+    *     by (cnt DESC, piece ASC) plus ALL single characters (coverage —
+    *     a char piece guarantees every word stays segmentable).
+    *  2. E-step: Viterbi-segment each DISTINCT word (the [[bpeEncodeDocs]]
+    *     discipline — the corpus reduces to the vocabulary once; document
+    *     streams join the finished per-word segmentation) under the
+    *     current piece log-probs.
+    *  3. M-step: piece probability ∝ Viterbi piece count weighted by word
+    *     frequency; single chars absent from any best path keep a Laplace
+    *     floor count of 1 so coverage never dies mid-EM.
+    *  4. After `emRounds`, PRUNE to all single chars + the top `keepMulti`
+    *     multi-char pieces by (cnt DESC, piece ASC) and renormalize —
+    *     Kudo's prune-lowest-loss step collapsed to its count form (a
+    *     Viterbi-unused piece contributes zero likelihood mass here, so
+    *     count order IS the hard-EM loss order).
+    *
+    * DETERMINISM (the fixed-round-unroll oracle contract, like
+    * q_bpe_merges): Viterbi scores are INTEGER micro-log-probs
+    * (lp6 = ⌊ln(cnt/total)·1e6+0.5⌋ summed as longs), so the DP argmax is
+    * exact integer comparison — no float summation-order drift can flip a
+    * segmentation between engines — with the path string as the ASC
+    * tie-break; the oracle unrolls the same DP per position.
+    *
+    * SCALE SHAPE: `words` is the vocabulary relation (one corpus shuffle);
+    * the seed substring explode is vocab-sized × O(maxWordLen·maxPieceLen);
+    * each EM round is one vocab-sized map pass (the DP runs as chained
+    * column expressions against a BROADCAST literal piece→lp6 map — piece
+    * tables are tokenizer-sized metadata, the bpeMerges collect pattern)
+    * plus one piece-sized aggregate. Words longer than `maxWordLen` are
+    * out of scope on BOTH engines (a declared corpus bound — sf corpora
+    * max out at 8 chars).
+    *
+    * Returns the trained vocabulary (piece, cnt, logp_r), logp 6-dp.
+    */
+  def unigramLm(
+      tokens: DataFrame,
+      seedSize: Int = 100,
+      keepMulti: Int = 40,
+      emRounds: Int = 2,
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 12,
+      wordCol: String = "word"): DataFrame = {
+    val (_, pruned) = unigramTrain(
+      tokens, seedSize, keepMulti, emRounds, maxPieceLen, maxWordLen, wordCol)
+    pruned
+      .crossJoin(broadcast(pruned.agg(sum(col("cnt")).as("__tot"))))
+      .select(col("piece"), col("cnt"),
+        Portable.pround(
+          log(col("cnt").cast("double") / col("__tot").cast("double")), 6).as("logp_r"))
+  }
+
+  /** Tokenizer-fertility eval for the trained unigram LM — pieces per
+    * word per language, the same metric/shape as q_bpe_fertility so the
+    * two tokenizers compare row-for-row on the same corpus. DISTINCT
+    * words segment once (Viterbi under the pruned vocab, which retains
+    * every character — total coverage); the per-doc token stream joins
+    * the finished per-word piece counts.
+    */
+  def unigramFertility(
+      docs: DataFrame,
+      seedSize: Int = 100,
+      keepMulti: Int = 40,
+      emRounds: Int = 2,
+      maxPieceLen: Int = 4,
+      maxWordLen: Int = 12,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      langCol: String = "lang"): DataFrame = {
+    val toks = Tokenize.tokens(docs, textCol, Seq(idCol))
+      .where(length(col("word")) <= maxWordLen)
+    val (words, pruned) = unigramTrain(
+      toks, seedSize, keepMulti, emRounds, maxPieceLen, maxWordLen, "word")
+    val np = viterbiPath(words, logp6Map(pruned), maxPieceLen, maxWordLen)
+      .select(col("w").as("word"), size(split(col("__path"), " ")).as("__np"))
+    toks
+      .join(np, Seq("word"))
+      .join(docs.select(col(idCol), col(langCol)), Seq(idCol))
+      .groupBy(col(langCol))
+      .agg(count(lit(1)).as("tot_words"), sum(col("__np")).as("tot_pieces"))
+      .select(col(langCol), col("tot_words"), col("tot_pieces"),
+        Portable.pround(
+          col("tot_pieces").cast("double") / col("tot_words").cast("double"), 4)
+          .as("fertility_r"))
+  }
+
+  /** The seed + EM loop shared by [[unigramLm]] and [[unigramFertility]]:
+    * returns (words(w, n) vocabulary relation, pruned(piece, cnt) vocab).
+    */
+  private[graft] def unigramTrain(
+      tokens: DataFrame,
+      seedSize: Int,
+      keepMulti: Int,
+      emRounds: Int,
+      maxPieceLen: Int,
+      maxWordLen: Int,
+      wordCol: String): (DataFrame, DataFrame) = {
+    require(maxPieceLen >= 2, s"maxPieceLen ($maxPieceLen) must be >= 2")
+    require(maxWordLen >= maxPieceLen && maxWordLen <= 24,
+      s"maxWordLen ($maxWordLen) must be in [maxPieceLen, 24] — the DP unrolls one column pair per position")
+    require(emRounds >= 1 && seedSize >= 1 && keepMulti >= 1, "sizes must be positive")
+    val words = tokens
+      .where(length(col(wordCol)) <= maxWordLen)
+      .groupBy(col(wordCol).as("w")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(true)
+    // seed substrings, per-occurrence within the word, frequency-weighted
+    val subs = words
+      .select(col("n"), explode(expr(
+        s"""flatten(transform(sequence(1, length(w)), i ->
+            transform(sequence(i, least(length(w), i + ${maxPieceLen - 1})), j ->
+              substring(w, i, j - i + 1))))""")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+      .localCheckpoint(true)
+    val chars = subs.where(length(col("piece")) === 1)
+    var cur = chars.unionByName(
+      subs.where(length(col("piece")) >= 2)
+        .orderBy(desc("cnt"), asc("piece")).limit(seedSize))
+      .localCheckpoint(true)
+    for (_ <- 1 to emRounds) {
+      val counts = viterbiPath(words, logp6Map(cur), maxPieceLen, maxWordLen)
+        .select(col("n"), explode(split(col("__path"), " ")).as("piece"))
+        .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+      // Laplace char floor: a character no best path used keeps count 1,
+      // so every word stays segmentable in the next round and at encode
+      cur = counts.unionByName(
+        chars.select(col("piece"))
+          .join(counts.select(col("piece")), Seq("piece"), "left_anti")
+          .withColumn("cnt", lit(1L)))
+        .localCheckpoint(true)
+    }
+    val pruned = cur.where(length(col("piece")) === 1).unionByName(
+      cur.where(length(col("piece")) >= 2)
+        .orderBy(desc("cnt"), asc("piece")).limit(keepMulti))
+      .localCheckpoint(true)
+    (words, pruned)
+  }
+
+  /** Integer micro-log-probs for a (piece, cnt) table — a driver-side map
+    * bounded by the piece vocabulary (tokenizer-sized metadata, the
+    * bpeMerges collect pattern; at production vocab sizes this is the
+    * broadcast the executors would read anyway).
+    */
+  private[graft] def logp6Map(pieces: DataFrame): Map[String, Long] = {
+    val rows = pieces.select(col("piece"), col("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val tot = rows.iterator.map(_._2).sum.toDouble
+    rows.iterator.map { case (p, c) =>
+      p -> math.floor(math.log(c / tot) * 1e6 + 0.5).toLong
+    }.toMap
+  }
+
+  /** Viterbi segmentation of the distinct-word relation under a literal
+    * piece→lp6 map: chained per-position column expressions — best score
+    * (exact long) and best path (space-joined pieces, ASC tie-break) per
+    * prefix — entirely map-side over the vocab-sized input. Unreachable
+    * candidates carry a −10^15 sentinel (true scores are ≥ −maxWordLen·
+    * ~20e6, five orders above it); total char coverage in the map means
+    * the final position always resolves to a real path.
+    */
+  private[graft] def viterbiPath(
+      words: DataFrame,
+      lp: Map[String, Long],
+      maxPieceLen: Int,
+      maxWordLen: Int): DataFrame = {
+    val Big = 1000000000000000L
+    val lpLit = typedlit(lp)
+    // per-position state is ONE struct column (ns = NEGATED score, path):
+    // the step's argmax is a single array_min over candidate structs —
+    // lexicographic struct order gives (max score, then path ASC) — so
+    // every candidate subexpression appears exactly once. A pairwise
+    // compare fold instead copies candidate subtrees per comparison and
+    // the collapsed projection overflowed janino's 64 KB method limit by
+    // position ~6 (measured); the struct form plus a barrier every 2
+    // positions keeps codegen bounded. The relation is vocab-sized, so
+    // the barriers are cheap map jobs.
+    var df = words.withColumn("__b0",
+      struct(lit(0L).as("ns"), lit("").as("path")))
+    for (i <- 1 to maxWordLen) {
+      val cands = (1 to math.min(maxPieceLen, i)).map { j =>
+        val prev = col(s"__b${i - j}")
+        val piece = col("w").substr(lit(i - j + 1), lit(j))
+        val lpv = element_at(lpLit, piece)
+        val reach = prev.getField("ns") < lit(Big / 2) && lpv.isNotNull
+        val ns = when(reach, prev.getField("ns") - lpv).otherwise(lit(Big))
+        val p = when(prev.getField("path") === lit(""), piece)
+          .otherwise(concat(prev.getField("path"), lit(" "), piece))
+        struct(ns.as("ns"), p.as("path"))
+      }
+      df = df.withColumn(s"__b$i",
+        when(length(col("w")) >= i, array_min(array(cands: _*))))
+      if (i % 2 == 0 && i < maxWordLen) df = df.localCheckpoint(true)
+    }
+    val path = (1 to maxWordLen).foldLeft(lit(null).cast("string")) { (acc, i) =>
+      when(length(col("w")) === i, col(s"__b$i").getField("path")).otherwise(acc)
+    }
+    df.select(col("w"), col("n"), path.as("__path"))
+  }
+
   /** Term drift between two corpus versions: the top-k words whose
     * add-one-smoothed log relative frequency rose most from v1 to v2 —
     * `Δ(w) = ln((c₂+1)/(N₂+V)) − ln((c₁+1)/(N₁+V))` (V = union
