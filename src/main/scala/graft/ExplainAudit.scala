@@ -187,7 +187,11 @@ object ExplainAudit {
     "q_textrank", "q_hll_ndv", "q_hll_per_source",
     // round 16: denoising-objective transforms (FIM map-side cuts; span
     // corruption's coverage explode + doc-partitioned run numbering)
-    "q_fim", "q_span_corrupt")
+    "q_fim", "q_span_corrupt",
+    // round 17: interpolated Kneser–Ney bigram scoring (type-relation
+    // aggregates joined back onto the bigram stream — the q_bigram_lm
+    // plan plus three type-sized count joins)
+    "q_kn_lm")
 
   /** Termination contract per iterative loop (r15 verdict task 8): every
     * key in [[iterativeBodies]] must declare HOW its driver loop ends —

@@ -1760,6 +1760,16 @@ object SparkEntry {
       TextAnalysis.unigramFertility(t(s, dir, "documents")).orderBy("lang")
     }),
 
+    // -- interpolated Kneser–Ney bigram score (Chen & Goodman 1999; the
+    //    smoothing KenLM-style corpus filters run) with the corpus-
+    //    estimated Ney discount D = t1/(t1+2·t2): continuation-mass
+    //    coherence that add-one bigram scoring (q_bigram_lm) can't see
+    "q_kn_lm" -> ((s, dir) => {
+      TextAnalysis
+        .knBigramLogProbScore(t(s, dir, "documents"))
+        .orderBy("doc_id")
+    }),
+
     // -- Gopher-style repetition metrics: duplicate 3-gram fraction flags
     //    boilerplate/looping text (map-side, no shuffle)
     "q_quality_repetition" -> ((s, dir) => {
@@ -11055,6 +11065,44 @@ object SparkEntry {
                   avg(ln((n2 + 1)::DOUBLE / (n1 + vs)::DOUBLE)) AS mlp
            FROM big JOIN c2 USING (bigram)
            JOIN uni ON uni.w = big.w1 CROSS JOIN v
+           GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(n_big, 0) AS n_big,
+                floor((coalesce(mlp, 0.0)) * 1e4 + 0.5) / 1e4 AS mean_lp
+         FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""",
+    // interpolated Kneser–Ney: every model count exact-integer, the one
+    // derived constant D 6-dp-rounded before use, the per-bigram term the
+    // IDENTICAL left-associated double expression as the Spark side
+    "q_kn_lm" ->
+      """WITH t0 AS (
+           SELECT doc_id,
+                  list_filter(
+                    list_transform(regexp_split_to_array(text, '\s+'),
+                                   x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                    w -> w <> '') AS toks
+           FROM documents),
+         big AS (
+           SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                 FROM t0 WHERE len(toks) >= 2) u),
+         c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY 1, 2),
+         ctx AS (SELECT w1, sum(n2)::BIGINT AS c1, count(*) AS fanout
+                 FROM c2 GROUP BY 1),
+         cont AS (SELECT w2, count(*) AS contw2 FROM c2 GROUP BY 1),
+         tot AS (SELECT count(*) AS btypes,
+                        sum(CASE WHEN n2 = 1 THEN 1 ELSE 0 END)::BIGINT AS t1,
+                        sum(CASE WHEN n2 = 2 THEN 1 ELSE 0 END)::BIGINT AS t2
+                 FROM c2),
+         d0 AS (SELECT btypes,
+                       CASE WHEN t1 + 2 * t2 = 0 THEN 0.5
+                            ELSE floor((t1::DOUBLE / (t1 + 2 * t2)::DOUBLE) * 1e6 + 0.5) / 1e6
+                       END AS dd
+                FROM tot),
+         sc AS (
+           SELECT doc_id, count(*) AS n_big,
+                  avg(ln(greatest(n2 - dd, 0.0) / c1 +
+                         dd * fanout / c1 * (contw2::DOUBLE / btypes::DOUBLE))) AS mlp
+           FROM big JOIN c2 USING (w1, w2) JOIN ctx USING (w1)
+           JOIN cont USING (w2) CROSS JOIN d0
            GROUP BY doc_id)
          SELECT d.doc_id, coalesce(n_big, 0) AS n_big,
                 floor((coalesce(mlp, 0.0)) * 1e4 + 0.5) / 1e4 AS mean_lp

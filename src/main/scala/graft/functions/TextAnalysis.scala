@@ -500,6 +500,98 @@ object TextAnalysis {
         Portable.pround(coalesce(col("mlp"), lit(0.0)), 4).as("mean_lp"))
   }
 
+  /** Interpolated Kneser–Ney bigram score — the smoothing the LM-filter
+    * literature actually runs (CCNet's KenLM is modified KN; Chen &
+    * Goodman 1999 showed add-one is the worst of the classical family):
+    *
+    *   P_KN(w₂|w₁) = max(c(w₁w₂) − D, 0)/c(w₁·)
+    *               + D·N₁₊(w₁·)/c(w₁·) · N₁₊(·w₂)/N₁₊(··)
+    *
+    * with the Ney/Essen/Kneser discount D = t₁/(t₁ + 2t₂) estimated from
+    * the corpus's own bigram type counts (t₁/t₂ = types seen once/twice;
+    * when a heavily duplicated corpus has NO such types the estimate is
+    * 0/0 and D falls back to the conventional 0.5).
+    * The continuation probability N₁₊(·w₂)/N₁₊(··) is what add-one and
+    * plain interpolation both miss: "francisco" is frequent but follows
+    * only "san", so its continuation mass is tiny — KN scores a doc by
+    * how its word PAIRS recur across contexts, not how common the words
+    * are. Against [[bigramLogProbScore]] this separates formulaic
+    * boilerplate (high-frequency tokens, few distinct contexts) from
+    * genuinely coherent text at the same add-one score.
+    *
+    * Determinism: every model quantity (c, t₁, t₂, fan-outs, type
+    * totals) is an exact integer on both engines; D is `pround`ed at
+    * 6 dp before use so the one derived constant binds identically; the
+    * per-bigram term then runs the IDENTICAL left-associated double
+    * expression on identical inputs, and the doc mean rounds at 4 dp.
+    *
+    * Scale shape: the token stream reduces to the bigram-TYPE relation
+    * once (one shuffle, vocabulary²-bounded in theory, corpus-bounded in
+    * practice); context/continuation/fan-out counts are three further
+    * aggregates OVER THAT TYPE RELATION (type-sized, not corpus-sized);
+    * scoring joins the counts back onto the bigram stream and reduces
+    * per doc. The 1-row totals relation is the only broadcast; the
+    * vocabulary-sized count relations stay shuffle joins (at 100 TB the
+    * vocabulary does not broadcast). Docs with <2 tokens surface with
+    * n_big=0, score 0 — same contract as [[bigramLogProbScore]].
+    */
+  def knBigramLogProbScore(
+      docs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val toks = docs
+      .select(col(idCol), Tokenize.tokenArray(col(textCol)).as("__toks"))
+    // materialized ONCE: the type-count aggregate and the scoring join
+    // both consume the bigram stream (bigramLogProbScore's discipline)
+    val big = toks
+      .select(col(idCol),
+        explode(when(size(col("__toks")) >= 2,
+          transform(sequence(lit(1), size(col("__toks")) - 1),
+            i => struct(
+              element_at(col("__toks"), i).as("w1"),
+              element_at(col("__toks"), i + 1).as("w2"))))
+          .otherwise(array().cast("array<struct<w1:string,w2:string>>"))).as("b"))
+      .select(col(idCol), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .localCheckpoint(true)
+    // the bigram TYPE relation — everything the model needs derives from
+    // it, so it too is materialized once (three consumers below)
+    val c2 = big.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n2"))
+      .localCheckpoint(true)
+    val ctx = c2.groupBy(col("w1"))
+      .agg(sum(col("n2")).as("c1"), count(lit(1)).as("fanout"))
+    val cont = c2.groupBy(col("w2")).agg(count(lit(1)).as("contw2"))
+    val totals = c2.agg(
+      count(lit(1)).as("btypes"),
+      sum(when(col("n2") === 1, 1L).otherwise(0L)).as("t1"),
+      sum(when(col("n2") === 2, 1L).otherwise(0L)).as("t2"))
+    val scored = big
+      .join(c2, Seq("w1", "w2"))
+      .join(ctx, Seq("w1"))
+      .join(cont, Seq("w2"))
+      .crossJoin(broadcast(totals))
+      // Ney estimate undefined when no singleton/doubleton types exist
+      // (a heavily duplicated corpus) — fall back to the conventional 0.5
+      .withColumn("__d", when(col("t1") + lit(2L) * col("t2") === 0L, lit(0.5))
+        .otherwise(Portable.pround(
+          col("t1").cast("double") / (col("t1") + lit(2L) * col("t2")).cast("double"), 6)))
+      // left-associated exactly as the oracle writes it:
+      // ((max(n2−D,0)/c1) + (((D·fanout)/c1)·(contw2/btypes)))
+      .withColumn("lp", log(
+        greatest(col("n2") - col("__d"), lit(0.0)) / col("c1") +
+        col("__d") * col("fanout") / col("c1") *
+          (col("contw2").cast("double") / col("btypes").cast("double"))))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_big"), avg(col("lp")).as("mlp"))
+    docs
+      .select(col(idCol))
+      .join(scored, Seq(idCol), "left_outer")
+      .select(
+        col(idCol),
+        coalesce(col("n_big"), lit(0L)).as("n_big"),
+        Portable.pround(coalesce(col("mlp"), lit(0.0)), 4).as("mean_lp"))
+  }
+
   /** DSIR-style hashed importance weights (Data Selection via Importance
     * Resampling, Xie et al. 2023): score every raw document by how much
     * more likely its hashed n-gram features are under a TARGET

@@ -453,6 +453,49 @@ class CorpusOpsSpec extends SparkSpec {
       (3L, 0L, 0.0)))
   }
 
+  test("knBigramLogProbScore: hand-computed interpolated KN with estimated discount") {
+    val tiny = Seq(
+      (0L, "a b a b"), (1L, "a b"), (2L, "x"), (3L, "c a b c a"))
+      .toDF("doc_id", "text")
+    val got = graft.functions.TextAnalysis.knBigramLogProbScore(tiny)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // bigram types: ab:4 ba:1 ca:2 bc:1 -> t1=2 (ba,bc), t2=1 (ca),
+    // D = 2/(2+2) = 0.5; btypes = 4
+    // ctx: a->(c1 4, fan 1), b->(c1 2, fan 2), c->(c1 2, fan 1)
+    // cont: b<-1 (ab), a<-2 (ba,ca), c<-1 (bc)
+    val lpAB = math.log(3.5 / 4 + 0.5 * 1 / 4.0 * (1 / 4.0))   // ln 0.90625
+    val lpBA = math.log(0.5 / 2 + 0.5 * 2 / 2.0 * (2 / 4.0))   // ln 0.5
+    val lpCA = math.log(1.5 / 2 + 0.5 * 1 / 2.0 * (2 / 4.0))   // ln 0.875
+    val lpBC = math.log(0.5 / 2 + 0.5 * 2 / 2.0 * (1 / 4.0))   // ln 0.375
+    def r4(x: Double) = math.floor(x * 1e4 + 0.5) / 1e4
+    assert(got.toSeq == Seq(
+      (0L, 3L, r4((2 * lpAB + lpBA) / 3.0)),
+      (1L, 1L, r4(lpAB)),
+      (2L, 0L, 0.0),
+      (3L, 4L, r4((2 * lpCA + lpAB + lpBC) / 4.0))))
+  }
+
+  test("knBigramLogProbScore: continuation richness separates docs add-one sees as equal") {
+    // "u v" and "u w" are both singleton bigrams with the SAME context u
+    // and the same unigram counts entering add-one's (c+1)/(c(u)+V) — so
+    // bigramLogProbScore scores doc0 == doc1 exactly. But w continues
+    // three distinct contexts (u, p, q) while v continues only u, so
+    // interpolated KN's continuation term N1+(·w) > N1+(·v) must rank
+    // doc1 strictly above doc0. "m n m n" tempers the estimated discount
+    // below 1 so both KN terms are live.
+    val tiny = Seq(
+      (0L, "u v"), (1L, "u w"), (2L, "p w"), (3L, "q w"), (4L, "m n m n"))
+      .toDF("doc_id", "text")
+    def scores(df: org.apache.spark.sql.DataFrame) = df
+      .orderBy("doc_id").collect().map(_.getDouble(2))
+    val kn = scores(graft.functions.TextAnalysis.knBigramLogProbScore(tiny))
+    val ao = scores(graft.functions.TextAnalysis.bigramLogProbScore(tiny))
+    assert(ao(0) == ao(1), s"add-one should tie (${ao(0)} vs ${ao(1)})")
+    assert(kn(0) < kn(1),
+      s"KN should rank the rich-continuation doc higher (${kn(0)} vs ${kn(1)})")
+  }
+
   test("bpePairCounts: pairs weighted by word occurrences, single-char words excluded") {
     val tiny = Seq((0L, "ab ab abc x")).toDF("doc_id", "text")
     val toks = Tokenize.tokens(tiny, "text", Seq("doc_id"))
