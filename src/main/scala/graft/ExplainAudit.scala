@@ -211,6 +211,9 @@ object ExplainAudit {
   val iterationContracts: Map[String, String] = Map(
     "q_bpe_merges" -> ("early-exit: trainer loop `for (it <- 1 to k if !exhausted)` " +
       "stops when no pair clears minPair (TextAnalysis.bpeTrain); k merge budget is the bound"),
+    "q_wordpiece" -> ("early-exit: same `for (it <- 1 to k if !exhausted)` trainer loop as " +
+      "q_bpe_merges with the likelihood argmax; exhaustion (no mergeable pair) exits early, " +
+      "k merge budget is the bound (TextAnalysis.wordpieceMerges)"),
     "q_bpe_encode" -> ("bounded-rounds: encode applies the LEARNED merge table " +
       "sequentially — merges.length rounds by definition (BPE apply order is the semantics)"),
     "q_bpe_tokenize" -> ("bounded-rounds: same merge-table application as q_bpe_encode, " +
@@ -268,6 +271,9 @@ object ExplainAudit {
     Seq(
       "q_bpe_merges" -> ((s: SparkSession, dir: String) =>
         TextAnalysis.bpeRoundArgmax(TextAnalysis.bpeVocabPlan(
+          Tokenize.tokens(docs(s, dir), "text", Seq("doc_id"))))),
+      "q_wordpiece" -> ((s: SparkSession, dir: String) =>
+        TextAnalysis.wordpieceRoundArgmax(TextAnalysis.wordpieceVocabPlan(
           Tokenize.tokens(docs(s, dir), "text", Seq("doc_id"))))),
       "q_bpe_encode" -> ((s: SparkSession, dir: String) =>
         TextAnalysis.bpeApply(

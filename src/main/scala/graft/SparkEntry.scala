@@ -4472,6 +4472,16 @@ object SparkEntry {
         .orderBy("iter")
     }),
 
+    // -- WordPiece trainer (Schuster & Nakajima 2012 / BERT): likelihood-
+    //    scored merges cnt(ab)/(cnt(a)·cnt(b)) over the ##-marked
+    //    symbolization — the third subword trainer beside BPE (count
+    //    argmax) and unigram-LM (EM pruning); artifact all-integer
+    "q_wordpiece" -> ((s, dir) => {
+      TextAnalysis
+        .wordpieceMerges(Tokenize.tokens(t(s, dir, "documents"), "text", Seq("doc_id")), 3)
+        .orderBy("iter")
+    }),
+
     // -- the tokenizer's ENCODE side: train 3 merges, then segment every
     //    vocabulary word with the learned table (greedy per merge, in
     //    training order) — trainer + encoder = a complete BPE tokenizer
@@ -5155,6 +5165,59 @@ object SparkEntry {
         state0 AS (SELECT w, n, regexp_split_to_array(w, '') AS syms FROM vocab),
         $rounds$maybeComma
         $finalSelect"""
+  }
+
+  /** Unrolled DuckDB oracle for [[graft.functions.TextAnalysis.wordpieceMerges]]:
+    * k chained (symbol-count → pair-count → likelihood argmax → greedy merge)
+    * rounds over the ##-marked symbolization. The greedy-merge islands
+    * machinery is bpeOracleSql's verbatim; the argmax ranks by
+    * cnt/(cnt(a)·cnt(b)) — one IEEE division of identical integers, so the
+    * ordering replays exactly — and the merged symbol strips the second
+    * element's ## marker (the first element's marker survives).
+    */
+  private def wordpieceOracleSql(k: Int): String = {
+    val rounds = (1 to k).map { i =>
+      val prev = s"state${i - 1}"
+      s"""c$i AS (SELECT s, sum(n)::BIGINT AS cs
+          FROM (SELECT n, unnest(syms) AS s FROM $prev) u GROUP BY 1),
+         p$i AS (SELECT syms[j] AS a, syms[j + 1] AS b, sum(n)::BIGINT AS cnt
+                 FROM (SELECT n, syms, unnest(range(1, len(syms))) AS j FROM $prev) u
+                 GROUP BY 1, 2),
+         m$i AS (SELECT a, b, cnt, ca.cs AS ca, cb.cs AS cb
+                 FROM p$i JOIN c$i ca ON ca.s = p$i.a JOIN c$i cb ON cb.s = p$i.b
+                 ORDER BY cnt::DOUBLE / (ca.cs * cb.cs)::DOUBLE DESC, a, b LIMIT 1),
+         x$i AS (SELECT w, n, j, syms[j] AS s, syms[j + 1] AS nxt
+                 FROM (SELECT w, n, syms, unnest(range(1, len(syms) + 1)) AS j FROM $prev) u),
+         y$i AS (SELECT w, n, j, s, nxt,
+                        CASE WHEN s = (SELECT a FROM m$i) AND nxt = (SELECT b FROM m$i)
+                             THEN 1 ELSE 0 END AS mt
+                 FROM x$i),
+         z$i AS (SELECT *, CASE WHEN mt = 1
+                                THEN j - row_number() OVER (PARTITION BY w, mt ORDER BY j) END AS isl
+                 FROM y$i),
+         g$i AS (SELECT w, n, j, s, nxt,
+                        CASE WHEN mt = 1 AND (row_number() OVER (PARTITION BY w, isl ORDER BY j) % 2) = 1
+                             THEN 1 ELSE 0 END AS dm
+                 FROM z$i),
+         h$i AS (SELECT *, coalesce(lag(dm) OVER (PARTITION BY w ORDER BY j), 0) AS pm FROM g$i),
+         state$i AS (SELECT w, min(n) AS n,
+                            list(CASE WHEN dm = 1
+                                      THEN s || (CASE WHEN nxt LIKE '##%' THEN substr(nxt, 3) ELSE nxt END)
+                                      ELSE s END ORDER BY j) AS syms
+                     FROM h$i WHERE pm = 0 GROUP BY w)"""
+    }.mkString(",\n")
+    val union = (1 to k)
+      .map(i => s"SELECT $i AS iter, a || ' ' || b AS pair, cnt, ca, cb FROM m$i")
+      .mkString(" UNION ALL ")
+    s"""WITH $TokCte,
+        vocab AS (SELECT word AS w, count(*) AS n FROM tok GROUP BY 1),
+        state0 AS (
+          SELECT w, n,
+                 list_transform(range(1, len(cs) + 1),
+                   j -> CASE WHEN j = 1 THEN cs[j] ELSE '##' || cs[j] END) AS syms
+          FROM (SELECT w, n, regexp_split_to_array(w, '') AS cs FROM vocab) v0),
+        $rounds
+        SELECT iter, pair, cnt, ca, cb FROM ($union) ORDER BY iter"""
   }
 
   /** DuckDB mirror of TextAnalysis.importanceWeights (+ the Gumbel top-k
@@ -11149,6 +11212,7 @@ object SparkEntry {
           SELECT pair, sum(n)::BIGINT AS cnt FROM p GROUP BY 1
           ORDER BY cnt DESC, pair LIMIT 50""",
     "q_bpe_merges" -> bpeOracleSql(3),
+    "q_wordpiece" -> wordpieceOracleSql(3),
     "q_bpe_encode" -> bpeOracleSql(3, mode = "encode"),
     "q_bpe_tokenize" -> bpeOracleSql(3, mode = "docs"),
     "q_pack_bpe" -> bpeOracleSql(3, mode = "pack"),

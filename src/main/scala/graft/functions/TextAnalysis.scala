@@ -781,6 +781,110 @@ object TextAnalysis {
     merges.toSeq.toDF("iter", "pair", "cnt")
   }
 
+  /** The round-1 WordPiece trainer vocabulary in LAZY form: word counts +
+    * the BERT-style symbolization — word-initial character plain, every
+    * subsequent character `##`-prefixed (Schuster & Nakajima 2012 / the
+    * BERT WordPiece convention; the `##` marker is what lets the encode
+    * side distinguish "able" the word from "##able" the suffix). */
+  def wordpieceVocabPlan(tokens: DataFrame, wordCol: String = "word"): DataFrame =
+    tokens
+      .groupBy(col(wordCol).as("w"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("__cs", split(col("w"), ""))
+      .withColumn("syms", transform(
+        sequence(lit(1), size(col("__cs"))),
+        j => when(j === 1, element_at(col("__cs"), 1))
+          .otherwise(concat(lit("##"), element_at(col("__cs"), j)))))
+      .drop("__cs")
+
+  /** The per-round WordPiece argmax: unlike BPE's raw pair count, WordPiece
+    * merges the pair maximizing the LIKELIHOOD score
+    * cnt(ab) / (cnt(a)·cnt(b)) (Wu et al. 2016 — the merge that most
+    * increases a unigram LM's corpus likelihood), which prefers gluing
+    * symbols that occur mostly TOGETHER over gluing two independently
+    * frequent symbols. All three counts are exact integers; the score
+    * ranks via one IEEE division of identical integers on both engines
+    * (correctly rounded, so cross-engine identical), ties broken pair ASC.
+    *
+    * Plan shape: one vocabulary-sized symbol-count aggregate + one
+    * vocabulary-sized pair aggregate (both partial map-side), two
+    * symbol-vocabulary joins, then a TakeOrderedAndProject(1).
+    */
+  def wordpieceRoundArgmax(vocab: DataFrame): DataFrame = {
+    val symCnt = vocab
+      .select(col("n"), explode(col("syms")).as("s"))
+      .groupBy(col("s"))
+      .agg(sum(col("n")).as("cs"))
+    val pairs = vocab
+      .where(size(col("syms")) >= 2)
+      .select(col("n"), explode(transform(
+        sequence(lit(1), size(col("syms")) - 1),
+        i => struct(
+          element_at(col("syms"), i).as("a"),
+          element_at(col("syms"), i + 1).as("b")))).as("p"))
+      .select(col("n"), col("p.a").as("a"), col("p.b").as("b"))
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("n")).as("cnt"))
+    pairs
+      .join(symCnt.select(col("s").as("a"), col("cs").as("ca")), Seq("a"))
+      .join(symCnt.select(col("s").as("b"), col("cs").as("cb")), Seq("b"))
+      .orderBy(
+        (col("cnt").cast("double") / (col("ca") * col("cb")).cast("double")).desc,
+        col("a").asc, col("b").asc)
+      .limit(1)
+      .select(col("a"), col("b"), col("cnt"), col("ca"), col("cb"))
+  }
+
+  /** WordPiece tokenizer trainer — the third member of the subword family
+    * next to [[bpeMerges]] (count argmax) and `unigramLm` (EM pruning):
+    * k rounds of likelihood-scored pair merging over the `##`-marked
+    * symbolization. The merged symbol keeps the FIRST element's marker
+    * and strips the second's `##` (merging "p"+"##q" yields "pq",
+    * "##p"+"##q" yields "##pq") — the continuation structure survives
+    * every merge, which is what makes the final vocabulary servable by a
+    * longest-match encoder. Greedy left-to-right non-overlapping
+    * application reuses [[bpeMerges]]'s fold (BpeSpec's fuzzed kernel).
+    *
+    * Scale shape identical to [[bpeMerges]]: the corpus reduces to the
+    * vocabulary once; each round is two vocabulary-sized aggregates + two
+    * symbol-count joins + a driver-side scalar argmax + one map-side
+    * merge pass, with the symbolization checkpointed per round.
+    *
+    * Returns (iter, pair, cnt, ca, cb) — all integers, the score is
+    * cnt/(ca·cb) by construction, so the artifact replays exactly with
+    * no float column at all.
+    */
+  def wordpieceMerges(tokens: DataFrame, k: Int, wordCol: String = "word"): DataFrame = {
+    require(k >= 1, s"k ($k) must be >= 1")
+    val spark = tokens.sparkSession
+    var vocab = wordpieceVocabPlan(tokens, wordCol).localCheckpoint(true)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long, Long)]
+    var exhausted = false
+    for (it <- 1 to k if !exhausted) {
+      val best = wordpieceRoundArgmax(vocab).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val r = best(0)
+        val (a, b) = (r.getString(0), r.getString(1))
+        merges += ((it, s"$a $b", r.getLong(2), r.getLong(3), r.getLong(4)))
+        val merged = a + (if (b.startsWith("##")) b.drop(2) else b)
+        vocab = vocab
+          .withColumn("syms",
+            aggregate(
+              col("syms"),
+              array().cast("array<string>"),
+              (acc, x) =>
+                when(size(acc) > 0 &&
+                     element_at(acc, -1) === lit(a) && x === lit(b),
+                  concat(slice(acc, lit(1), size(acc) - 1), array(lit(merged))))
+                  .otherwise(concat(acc, array(x)))))
+          .localCheckpoint(true)
+      }
+    }
+    import spark.implicits._
+    merges.toSeq.toDF("iter", "pair", "cnt", "ca", "cb")
+  }
+
   /** The trained tokenizer's ENCODE side: apply a learned merge table (in
     * training order — order IS the tokenizer; BPE applies merges by merge
     * priority, not by corpus frequency at encode time) to a column of

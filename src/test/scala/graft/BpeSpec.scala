@@ -149,4 +149,105 @@ class BpeSpec extends SparkSpec {
         s"trial $trial diverged on words=$words k=$k")
     }
   }
+
+  // ----------------------------------------------------------- WordPiece
+
+  private def wpSymInit(w: String): List[String] =
+    w.split("").toList.zipWithIndex.map { case (c, i) => if (i == 0) c else "##" + c }
+
+  private def wpMergeRef(syms: List[String], a: String, b: String): List[String] = {
+    val merged = a + (if (b.startsWith("##")) b.drop(2) else b)
+    val out = scala.collection.mutable.ListBuffer.empty[String]
+    var i = 0
+    while (i < syms.length) {
+      if (i + 1 < syms.length && syms(i) == a && syms(i + 1) == b) {
+        out += merged; i += 2
+      } else { out += syms(i); i += 1 }
+    }
+    out.toList
+  }
+
+  /** Reference WordPiece trainer: likelihood argmax cnt/(ca·cb). */
+  private def wpRef(
+      words: Seq[(String, Long)], k: Int): Seq[(Int, String, Long, Long, Long)] = {
+    var vocab = words.map { case (w, n) => (wpSymInit(w), n) }
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(Int, String, Long, Long, Long)]
+    var it = 1
+    var done = false
+    while (it <= k && !done) {
+      val sym = scala.collection.mutable.Map.empty[String, Long]
+      val counts = scala.collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, n) =>
+        syms.foreach(s => sym(s) = sym.getOrElse(s, 0L) + n)
+        syms.zip(syms.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + n
+        }
+      }
+      if (counts.isEmpty) done = true
+      else {
+        val ((a, b), cnt) = counts.minBy { case ((x, y), c) =>
+          (-(c.toDouble / (sym(x) * sym(y)).toDouble), x, y)
+        }
+        merges += ((it, s"$a $b", cnt, sym(a), sym(b)))
+        vocab = vocab.map { case (syms, n) => (wpMergeRef(syms, a, b), n) }
+        it += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  private def wpRun(
+      words: Seq[(String, Long)], k: Int): Seq[(Int, String, Long, Long, Long)] = {
+    import spark.implicits._
+    val tokens = words
+      .flatMap { case (w, n) => Seq.fill(n.toInt)(w) }
+      .toDF("word")
+    TextAnalysis
+      .wordpieceMerges(tokens, k)
+      .orderBy("iter")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+      .toSeq
+  }
+
+  test("wordpiece: likelihood argmax picks the exclusive pair BPE's count argmax skips") {
+    // (a,##b) has count 3 but a and ##b are frequent (score 3/9);
+    // (c,##d) has count 1 but occurs ONLY together (score 1/1) -> WP merges
+    // it first, BPE would merge (a,##b). Round 2 is a three-way 1/3 tie ->
+    // pair-ASC picks (a,##b); round 3 ties (x,##a)/(x,##y) on score ->
+    // b-ASC picks (x,##a).
+    val words = Seq(("ab", 3L), ("cd", 1L), ("xy", 2L), ("xa", 1L))
+    assert(wpRun(words, 3) == Seq(
+      (1, "c ##d", 1L, 1L, 1L),
+      (2, "a ##b", 3L, 3L, 3L),
+      (3, "x ##a", 1L, 3L, 1L)))
+    // and the count argmax (BPE) indeed makes the other round-1 choice
+    assert(bpeRef(words, 1).head._2 == "a b")
+  }
+
+  test("wordpiece: ## marker survives continuation-side merges") {
+    // "abc": [a, ##b, ##c]; round 1 ties (a,##b)/(##b,##c) at 2/4 ->
+    // '#'<'a' picks (##b,##c), merged symbol keeps the ## marker;
+    // round 2 merges (a, ##bc) into the full word
+    val words = Seq(("abc", 2L))
+    val got = wpRun(words, 2)
+    assert(got == Seq(
+      (1, "##b ##c", 2L, 2L, 2L),
+      (2, "a ##bc", 2L, 2L, 2L)))
+  }
+
+  test("wordpiece fuzz: 30 random weighted vocabularies match the mirror exactly") {
+    val rnd = new scala.util.Random(0x3d17)
+    (1 to 30).foreach { trial =>
+      val nWords = 1 + rnd.nextInt(8)
+      val words = (1 to nWords).map { _ =>
+        val len = 1 + rnd.nextInt(6)
+        val w = (1 to len).map(_ => ('a' + rnd.nextInt(3)).toChar).mkString
+        (w, 1L + rnd.nextInt(4))
+      }.groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toSeq
+      val k = 1 + rnd.nextInt(4)
+      assert(wpRun(words, k) == wpRef(words, k),
+        s"trial $trial diverged on words=$words k=$k")
+    }
+  }
 }
