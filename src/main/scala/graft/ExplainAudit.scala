@@ -214,6 +214,10 @@ object ExplainAudit {
     "q_wordpiece" -> ("early-exit: same `for (it <- 1 to k if !exhausted)` trainer loop as " +
       "q_bpe_merges with the likelihood argmax; exhaustion (no mergeable pair) exits early, " +
       "k merge budget is the bound (TextAnalysis.wordpieceMerges)"),
+    "q_logreg_train" -> ("bounded-rounds: full-batch GD runs exactly `rounds` epochs by " +
+      "definition — the training budget IS the declared semantics (oracle unrolls the same " +
+      "rounds as CTEs; no loss fixpoint exists at integer-quantized weights that would not " +
+      "oscillate) (TextAnalysis.logregTrain)"),
     "q_bpe_encode" -> ("bounded-rounds: encode applies the LEARNED merge table " +
       "sequentially — merges.length rounds by definition (BPE apply order is the semantics)"),
     "q_bpe_tokenize" -> ("bounded-rounds: same merge-table application as q_bpe_encode, " +
@@ -275,6 +279,15 @@ object ExplainAudit {
       "q_wordpiece" -> ((s: SparkSession, dir: String) =>
         TextAnalysis.wordpieceRoundArgmax(TextAnalysis.wordpieceVocabPlan(
           Tokenize.tokens(docs(s, dir), "text", Seq("doc_id"))))),
+      "q_logreg_train" -> ((s: SparkSession, dir: String) => {
+        import org.apache.spark.sql.functions.col
+        val (feats, labels) = TextAnalysis.logregFeaturePlan(
+          docs(s, dir), col("lang") === "en")
+        import s.implicits._
+        val wDf = Seq((0L, 0L)).toDF("__b", "__wm")
+        TextAnalysis.logregGradients(feats,
+          TextAnalysis.logregErrors(feats, labels, wDf, 0L))
+      }),
       "q_bpe_encode" -> ((s: SparkSession, dir: String) =>
         TextAnalysis.bpeApply(
           Tokenize.tokens(docs(s, dir), "text", Seq("doc_id")).select("word").distinct(),

@@ -4472,6 +4472,17 @@ object SparkEntry {
         .orderBy("iter")
     }),
 
+    // -- TRAINED logistic-regression quality classifier (the GPT-3/WebText
+    //    filter recipe, fit in-engine): 3 full-batch GD rounds on hashed
+    //    token-bucket counts vs the weak lang='en' label; micro-int weights,
+    //    σ re-quantized per doc, so the all-integer artifact replays exactly
+    "q_logreg_train" -> ((s, dir) => {
+      TextAnalysis
+        .logregTrain(t(s, dir, "documents"), col("lang") === "en",
+          rounds = 3, buckets = 64, lr = 0.1)
+        .orderBy("iter", "bucket")
+    }),
+
     // -- WordPiece trainer (Schuster & Nakajima 2012 / BERT): likelihood-
     //    scored merges cnt(ab)/(cnt(a)·cnt(b)) over the ##-marked
     //    symbolization — the third subword trainer beside BPE (count
@@ -5218,6 +5229,48 @@ object SparkEntry {
           FROM (SELECT w, n, regexp_split_to_array(w, '') AS cs FROM vocab) v0),
         $rounds
         SELECT iter, pair, cnt, ca, cb FROM ($union) ORDER BY iter"""
+  }
+
+  /** Unrolled DuckDB oracle for [[graft.functions.TextAnalysis.logregTrain]]:
+    * k chained (margin → quantized σ error → integer gradient → quantized
+    * update) rounds. Weights are micro ints end to end; the single float op
+    * per round (exp on the identical micro·1e-6 double) is immediately
+    * re-quantized, mirroring the Spark side expression for expression.
+    */
+  private def logregOracleSql(rounds: Int, buckets: Int, lr: String): String = {
+    val rs = (1 to rounds).map { i =>
+      val (pw, pb) = (s"w${i - 1}", s"b${i - 1}")
+      s"""mr$i AS (
+            SELECT l.doc_id, l.y,
+                   (SELECT bias FROM $pb) + coalesce(sum(f.cnt * coalesce(w.wm, 0)), 0)::BIGINT AS mm
+            FROM lab l LEFT JOIN feats f USING (doc_id) LEFT JOIN $pw w ON w.b = f.b
+            GROUP BY 1, 2),
+          e$i AS (
+            SELECT doc_id,
+                   floor(1.0 / (1.0 + exp(mm::DOUBLE * -1e-6)) * 1e6 + 0.5)::BIGINT
+                     - y * 1000000 AS err
+            FROM mr$i),
+          g$i AS (SELECT f.b, sum(f.cnt * e.err)::BIGINT AS gb
+                  FROM feats f JOIN e$i e USING (doc_id) GROUP BY 1),
+          w$i AS (SELECT g.b, coalesce(w.wm, 0) - floor($lr * gb::DOUBLE / (SELECT nd FROM nn) + 0.5)::BIGINT AS wm
+                  FROM g$i g LEFT JOIN $pw w ON w.b = g.b),
+          b$i AS (SELECT (SELECT bias FROM $pb)
+                         - floor($lr * (SELECT sum(err) FROM e$i)::DOUBLE / (SELECT nd FROM nn) + 0.5)::BIGINT AS bias)"""
+    }.mkString(",\n")
+    val union = (1 to rounds).map { i =>
+      s"SELECT $i AS iter, b AS bucket, wm AS w_micro FROM w$i UNION ALL SELECT $i, -1, bias FROM b$i"
+    }.mkString(" UNION ALL ")
+    s"""WITH $TokCte,
+        fb AS (SELECT doc_id,
+                      ('0x' || substr(md5('lrq:' || word), 1, 15))::BIGINT % $buckets AS b
+               FROM tok),
+        feats AS (SELECT doc_id, b, count(*) AS cnt FROM fb GROUP BY 1, 2),
+        lab AS (SELECT doc_id, CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y FROM documents),
+        nn AS (SELECT count(*)::BIGINT AS nd FROM documents),
+        w0 AS (SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS wm WHERE 1 = 0),
+        b0 AS (SELECT 0::BIGINT AS bias),
+        $rs
+        SELECT iter, bucket, w_micro FROM ($union) ORDER BY iter, bucket"""
   }
 
   /** DuckDB mirror of TextAnalysis.importanceWeights (+ the Gumbel top-k
@@ -11213,6 +11266,7 @@ object SparkEntry {
           ORDER BY cnt DESC, pair LIMIT 50""",
     "q_bpe_merges" -> bpeOracleSql(3),
     "q_wordpiece" -> wordpieceOracleSql(3),
+    "q_logreg_train" -> logregOracleSql(3, 64, "0.1"),
     "q_bpe_encode" -> bpeOracleSql(3, mode = "encode"),
     "q_bpe_tokenize" -> bpeOracleSql(3, mode = "docs"),
     "q_pack_bpe" -> bpeOracleSql(3, mode = "pack"),

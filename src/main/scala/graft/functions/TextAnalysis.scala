@@ -250,6 +250,135 @@ object TextAnalysis {
       lit(0.0))
   }
 
+  /** TRAINED hashed-feature logistic regression — the full-batch
+    * gradient-descent sibling of [[hashedLinearScore]]'s fixed-table
+    * scorer: the GPT-3/WebText-style quality-classifier recipe (hash
+    * n-gram features, fit a linear model on weak labels, filter by
+    * margin), trained INSIDE the engine so the filter's weights come
+    * from the corpus being curated instead of an external model file.
+    * `rounds` full-batch GD rounds on ln-loss: w ← w − η·∇/n with
+    * ∇_b = Σ_docs cnt_db·(σ(margin_d) − y_d).
+    *
+    * Integer-exact replay (the [[graft.operators.Similarity]] lloydStep
+    * discipline, taken further): weights live in MICRO units (1e-6) as
+    * integers; margins are bias + Σ cnt·w — exact 64-bit sums in any
+    * order; the sigmoid is evaluated once per doc on the identical
+    * double (micro·1e-6) and its output immediately re-quantized to
+    * micro ints (floor(σ·1e6 + 0.5)), so gradients are again exact
+    * integer sums and the oracle replays every round bit-for-bit. The
+    * only cross-engine float op is exp() on identical inputs — the
+    * q_survival/q_eval_bleu precedent — and its last-ulp noise is
+    * absorbed twice (p-quantization, update-quantization) before it can
+    * reach a decision.
+    *
+    * Scale shape: the corpus reduces ONCE to the (doc, bucket) count
+    * relation + the label relation (both checkpointed); each round is
+    * one broadcast join against the ≤buckets-row weight relation, one
+    * per-doc margin aggregate, one gradient aggregate, and a
+    * buckets-sized driver collect (the BPE-argmax bounded-state
+    * pattern). The corpus text is never re-tokenized.
+    *
+    * Returns (iter, bucket, w_micro) — bucket −1 is the bias; the
+    * artifact is all-integer. Serving a trained round is
+    * [[hashedLinearScore]]'s plan with these weights broadcast.
+    */
+  /** [[logregTrain]]'s input reduction in LAZY form (the real loop
+    * checkpoints both): the (doc, bucket) feature-count relation and the
+    * 0/1 label relation — the corpus is tokenized exactly once. */
+  def logregFeaturePlan(
+      docs: DataFrame,
+      label: Column,
+      buckets: Int = 64,
+      idCol: String = "doc_id",
+      textCol: String = "text"): (DataFrame, DataFrame) = {
+    val base = docs.select(
+      col(idCol), label.cast("boolean").as("__yb"),
+      Tokenize.tokenArray(col(textCol)).as("__toks"))
+    val feats = base
+      .select(col(idCol), explode(col("__toks")).as("__w"))
+      .withColumn("__b",
+        conv(substring(md5(concat(lit("lrq:"), col("__w"))), 1, 15), 16, 10)
+          .cast("long") % buckets)
+      .groupBy(col(idCol), col("__b"))
+      .agg(count(lit(1)).as("__cnt"))
+    val labels = base
+      .select(col(idCol), when(col("__yb"), 1L).otherwise(0L).as("__y"))
+    (feats, labels)
+  }
+
+  /** [[logregTrain]]'s round body, margin → quantized-error half: bias +
+    * Σ cnt·w per doc (exact micro ints) through the σ quantization. The
+    * error term is integer from here on, so every downstream gradient
+    * sum is exact in any order. Extracted so the plan audit prints the
+    * loop-body shape (broadcast weight join, per-doc partial agg). */
+  def logregErrors(
+      feats: DataFrame,
+      labels: DataFrame,
+      wDf: DataFrame,
+      bias: Long,
+      idCol: String = "doc_id"): DataFrame = {
+    val margins = labels
+      .join(
+        feats.join(broadcast(wDf), Seq("__b"), "left_outer")
+          .groupBy(col(idCol))
+          .agg(sum(col("__cnt") * coalesce(col("__wm"), lit(0L))).as("__mw")),
+        Seq(idCol), "left_outer")
+      .select(col(idCol), col("__y"),
+        (lit(bias) + coalesce(col("__mw"), lit(0L))).as("__mm"))
+    margins
+      .select(col(idCol),
+        (floor(lit(1.0) / (lit(1.0) + exp(col("__mm").cast("double") * lit(-1e-6)))
+           * lit(1e6) + lit(0.5)).cast("long")
+         - col("__y") * lit(1000000L)).as("__err"))
+  }
+
+  /** [[logregTrain]]'s round body, gradient half: per-bucket Σ cnt·err ∪
+    * the bias gradient (bucket −1) in ONE partial-agg shuffle. */
+  def logregGradients(
+      feats: DataFrame,
+      errs: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    feats.join(errs, Seq(idCol))
+      .select(col("__b"), (col("__cnt") * col("__err")).as("__t"))
+      .unionAll(errs.select(lit(-1L).as("__b"), col("__err").as("__t")))
+      .groupBy(col("__b"))
+      .agg(sum(col("__t")).as("__gb"))
+
+  def logregTrain(
+      docs: DataFrame,
+      label: Column,
+      rounds: Int = 3,
+      buckets: Int = 64,
+      lr: Double = 0.1,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    require(buckets >= 2, s"buckets ($buckets) must be >= 2")
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val (featsLazy, labelsLazy) = logregFeaturePlan(docs, label, buckets, idCol, textCol)
+    val feats = featsLazy.localCheckpoint(true)
+    val labels = labelsLazy.localCheckpoint(true)
+    val nDocs = labels.count()
+    var bias = 0L
+    var w = Map.empty[Long, Long]
+    val out = scala.collection.mutable.ArrayBuffer.empty[(Int, Long, Long)]
+    for (it <- 1 to rounds) {
+      val wDf = w.toSeq.toDF("__b", "__wm")
+      val errs = logregErrors(feats, labels, wDf, bias, idCol).localCheckpoint(true)
+      // one shuffle, one action: per-bucket gradients ∪ the bias gradient
+      val gAll = logregGradients(feats, errs, idCol)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      def upd(old: Long, g: Long): Long =
+        old - math.floor(lr * g.toDouble / nDocs + 0.5).toLong
+      bias = upd(bias, gAll.getOrElse(-1L, 0L))
+      w = (gAll - (-1L)).map { case (b, g) => b -> upd(w.getOrElse(b, 0L), g) }
+      out ++= w.toSeq.sortBy(_._1).map { case (b, wm) => (it, b, wm) }
+      out += ((it, -1L, bias))
+    }
+    out.toSeq.toDF("iter", "bucket", "w_micro")
+  }
+
   def shinglesFromToks(toks: Column, k: Int): Column = {
     val grams = transform(
       sequence(lit(1), size(toks) - (k - 1)),

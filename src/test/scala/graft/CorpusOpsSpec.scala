@@ -496,6 +496,47 @@ class CorpusOpsSpec extends SparkSpec {
       s"KN should rank the rich-continuation doc higher (${kn(0)} vs ${kn(1)})")
   }
 
+  test("logregTrain: round-1 bias is the hand-computed label-imbalance step") {
+    // all weights start 0 -> margin 0 -> sigma = 0.5 exactly -> err is
+    // +500000 (y=0) / -500000 (y=1); bias grad = sum = -500000 here, so
+    // bias_1 = 0 - floor(0.1 * (-500000) / 3 + 0.5) = -(-16667) = 16667
+    val tiny = Seq(
+      (1L, "aa bb", "en"), (2L, "cc", "en"), (3L, "dd", "de"))
+      .toDF("doc_id", "text", "lang")
+    val got = graft.functions.TextAnalysis
+      .logregTrain(tiny, col("lang") === "en", rounds = 1, buckets = 64, lr = 0.1)
+      .where(col("bucket") === -1L)
+      .collect().map(r => (r.getInt(0), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 16667L)))
+  }
+
+  test("logregTrain: learns to separate vocab-disjoint labels; rerun-identical") {
+    // en docs use vocab A, others vocab B (disjoint) -> after 3 rounds the
+    // served margin of an A doc must exceed a B doc's
+    val docs = (1 to 12).map { i =>
+      if (i % 2 == 0) (i.toLong, "alpha beta gamma alpha", "en")
+      else (i.toLong, "omega psi chi omega", "de")
+    }.toDF("doc_id", "text", "lang")
+    def train() = graft.functions.TextAnalysis
+      .logregTrain(docs, col("lang") === "en", rounds = 3, buckets = 64, lr = 0.1)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).toSeq
+    val a = train()
+    assert(a == train(), "retraining must replay identically")
+    // serve: margin(doc) = bias + sum over tokens of w(bucket(token))
+    val w3 = a.filter(_._1 == 3).map(t => t._2 -> t._3).toMap
+    def bucket(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(("lrq:" + tok).getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      java.lang.Long.parseLong(hex, 16) % 64
+    }
+    def margin(text: String): Long =
+      w3.getOrElse(-1L, 0L) +
+        text.split(" ").map(t => w3.getOrElse(bucket(t), 0L)).sum
+    assert(margin("alpha beta gamma alpha") > margin("omega psi chi omega"),
+      s"trained margins must separate the classes: ${w3.mkString(",")}")
+  }
+
   test("bpePairCounts: pairs weighted by word occurrences, single-char words excluded") {
     val tiny = Seq((0L, "ab ab abc x")).toDF("doc_id", "text")
     val toks = Tokenize.tokens(tiny, "text", Seq("doc_id"))
