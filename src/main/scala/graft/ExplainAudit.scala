@@ -253,7 +253,11 @@ object ExplainAudit {
       "Graph.landmarkCloseness, same argument as q_bfs_dist"),
     "q_als_rank1" -> ("bounded-rounds: fixed ALS half-step budget — the objective " +
       "decreases monotonically but factor values move every round (no count fixpoint " +
-      "exists); iters is the declared training budget (Recommend.alsRank1)"))
+      "exists); iters is the declared training budget (Recommend.alsRank1)"),
+    "q_kmeans_scalable" -> ("bounded-rounds: k-means|| runs a CONSTANT oversampling " +
+      "round budget by definition (Bahmani et al. — O(log n) rounds suffice, constant " +
+      "in practice); each round's candidate draw is capped at capPerRound " +
+      "(Similarity.kmeansParallelInit)"))
 
   /** Representative-iteration plans for the 10 driver-loop queries: their
     * loops run jobs during DataFrame construction, so no single static plan
@@ -327,6 +331,17 @@ object ExplainAudit {
       "q_kmeans_full" -> ((s: SparkSession, dir: String) => {
         val emb = s.read.parquet(s"$dir/embeddings.parquet")
         graft.operators.Similarity.lloydStep(emb, emb.where(col("vec_id") < 8))
+      }),
+      // k-means|| round body: min-d2 fold, 1-row phi, exact integer
+      // sampling verdict, capped TakeOrdered — candidate relation stands
+      // in as the seed row (plan shape is candidate-count independent)
+      "q_kmeans_scalable" -> ((s: SparkSession, dir: String) => {
+        val emb = s.read.parquet(s"$dir/embeddings.parquet")
+        val data = emb.select(col("vec_id").cast("long").as("__id"),
+          col("embedding").cast("array<double>").as("__v"))
+        val cDf = data.orderBy(col("__id")).limit(1)
+          .select(col("__id").as("__cid"), col("__v").as("__cv"))
+        graft.operators.Similarity.kmeansParallelRound(data, cDf, 1, 8, 32)
       }),
       // round 12: one MMR greedy round body — the argmax scoring plan
       // over the candidate/pair relations (checkpointed in the real loop)

@@ -1928,6 +1928,17 @@ object SparkEntry {
         .orderBy("cell")
     }),
 
+    // -- k-means|| scalable init (Bahmani et al. VLDB'12): 3 oversampling
+    //    rounds, each ONE corpus pass drawing candidates with prob
+    //    l*d^2/phi via exact integer verdicts (u*phi < l*d2i*2^60), then
+    //    attraction weights — the distributed seeding k-means++ can't do
+    "q_kmeans_scalable" -> ((s, dir) => {
+      Similarity
+        .kmeansParallelInit(t(s, dir, "embeddings"),
+          rounds = 3, oversample = 8, capPerRound = 32)
+        .orderBy("center_id")
+    }),
+
     // -- exact n-gram jaccard pairs (distributed: explode + equi-join on
     //    shingle, never an all-pairs cross join)
     "q_ngram_jaccard" -> ((s, dir) => {
@@ -5030,6 +5041,45 @@ object SparkEntry {
         ORDER BY new_id, corpus_id"""
   }
 
+  /** Unrolled DuckDB oracle for [[graft.operators.Similarity.kmeansParallelInit]]:
+    * per round min-d² (micro ints, left-fold dims) → 1-row φ → the exact
+    * integer sampling verdict u·φ < ℓ·d²ᵢ·2⁶⁰ in HUGEINT (decimal(38,0) on
+    * the Spark side) → capped (u, id) candidate cut → candidate union; then
+    * the attraction-weight argmin over the final candidate set.
+    */
+  private def kmeansParallelSql(rounds: Int, oversample: Int, cap: Int): String = {
+    def d2expr(e: String, c: String) =
+      s"""floor(list_sum(list_transform(range(1, len($e.embedding) + 1),
+          i -> ($e.embedding[i]::DOUBLE - $c.embedding[i]::DOUBLE) * ($e.embedding[i]::DOUBLE - $c.embedding[i]::DOUBLE))) * 1e6 + 0.5)::BIGINT"""
+    val rs = (1 to rounds).map { r =>
+      val prev = s"cand${r - 1}"
+      s"""d$r AS (SELECT e.vec_id, min(${d2expr("e", "c")}) AS d2
+                  FROM embeddings e CROSS JOIN $prev c GROUP BY 1),
+         phi$r AS (SELECT sum(d2)::HUGEINT AS phi FROM d$r),
+         p$r AS (SELECT vec_id
+                 FROM (SELECT vec_id, d2,
+                              ('0x' || substr(md5('kmpp:$r:' || vec_id::VARCHAR), 1, 15))::BIGINT AS u
+                       FROM d$r) s CROSS JOIN phi$r
+                 WHERE u::HUGEINT * phi < $oversample::HUGEINT * d2::HUGEINT * 1152921504606846976::HUGEINT
+                 ORDER BY u, vec_id LIMIT $cap),
+         cand$r AS (SELECT * FROM $prev UNION ALL
+                    SELECT e.vec_id AS cid, $r AS rnd, e.embedding
+                    FROM embeddings e JOIN p$r USING (vec_id))"""
+    }.mkString(",\n")
+    s"""WITH cand0 AS (
+          SELECT vec_id AS cid, 0 AS rnd, embedding FROM embeddings ORDER BY vec_id LIMIT 1),
+        $rs,
+        asg AS (SELECT e.vec_id, c.cid, ${d2expr("e", "c")} AS d2i
+                FROM embeddings e CROSS JOIN cand$rounds c),
+        best AS (SELECT vec_id, cid FROM asg
+                 QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2i, cid) = 1),
+        w AS (SELECT cid, count(*) AS weight FROM best GROUP BY 1)
+        SELECT c.cid AS center_id, c.rnd AS entered_round,
+               coalesce(w.weight, 0)::BIGINT AS weight
+        FROM cand$rounds c LEFT JOIN w USING (cid)
+        ORDER BY center_id"""
+  }
+
   /** DuckDB mirror of Similarity.withLshBucket's bucket expression (over a
     * relation aliased/projected so `embedding` resolves).
     */
@@ -7354,6 +7404,7 @@ object SparkEntry {
                 array_to_string(list(m_q ORDER BY pos), ' ') AS centroid_q
          FROM m GROUP BY cell ORDER BY cell""",
     "q_kmeans_full" -> kmeansOracleSql(3),
+    "q_kmeans_scalable" -> kmeansParallelSql(3, 8, 32),
     "q_search_phrase" ->
       s"""WITH $ToksArrCte,
           p AS (SELECT doc_id, unnest(range(1, len(toks) + 1)) AS pos, unnest(toks) AS word

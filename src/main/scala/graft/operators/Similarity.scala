@@ -403,6 +403,117 @@ object Similarity {
         array_sort(collect_list(struct(col("pos"), col("m")))).getField("m").as("centroid"))
   }
 
+  /** k-means‖ scalable initialization (Bahmani, Moseley, Vassilvitskii,
+    * Kumar & Vattani, VLDB 2012) — the distributed seeding k-means++
+    * can't do: k-means++ needs k SEQUENTIAL corpus passes (each center
+    * depends on the previous draw), which at 100 TB means k full scans in
+    * serial. k-means‖ instead OVERSAMPLES: a constant number of rounds,
+    * each sampling every point independently with probability
+    * ℓ·d²(x,C)/φ (φ = Σ d² the current cost), so each round is ONE
+    * corpus pass and expected ℓ new candidates land per round. The
+    * candidate set (≤ 1 + rounds·capPerRound) is then weighted by how
+    * many points it attracts — reclustering those weighted candidates
+    * (driver-side, metadata-sized) yields the k seeds.
+    *
+    * Determinism, the cross-engine discipline: per-pair squared
+    * distances quantize to MICRO ints (floor(d²·1e6+0.5), left-fold sum
+    * over dims on both engines); φ is an exact integer sum; the sampling
+    * verdict is the EXACT integer comparison u·φ < ℓ·d²ᵢ·2⁶⁰ evaluated
+    * in decimal(38,0)/HUGEINT (u = 60-bit md5 draw per (round, id)) — no
+    * float ever reaches a decision. Candidate rows per round are capped
+    * at `capPerRound` by a bounded TakeOrdered on (u, id) (expected
+    * draw is ℓ ≪ cap; the cap only sheds a pathological round), and
+    * already-chosen candidates have d² = 0 so they can never re-draw.
+    *
+    * Scale shape: per round ONE broadcast distance join against the
+    * ≤cap-sized new-candidate relation + a min-fold per point, one
+    * 1-row φ aggregate, one bounded TakeOrdered (the BPE-argmax
+    * driver-state pattern); the final weighting is [[ivfAssign]]'s
+    * map-side max_by argmax — one row per point up the exchange. The
+    * corpus is materialized once and scanned 2·rounds+1 times.
+    *
+    * Returns (center_id, entered_round, weight): the weighted candidate
+    * relation (round 0 = the min-id seed). Feed the top-k by weight —
+    * or a driver-side weighted recluster — into [[kmeansIterate]].
+    */
+  /** [[kmeansParallelInit]]'s per-pair quantized squared distance: the
+    * (point × candidate) broadcast join with the micro-int d² column —
+    * shared by every sampling round and the final weighting argmax. */
+  def kmeansParallelD2(data: DataFrame, cDf: DataFrame): DataFrame = data
+    .crossJoin(broadcast(cDf))
+    .withColumn("__diff", zip_with(col("__v"), col("__cv"), (a, b) => a - b))
+    .withColumn("__d2i",
+      floor(dot(col("__diff"), col("__diff")) * lit(1e6) + lit(0.5)).cast("long"))
+
+  /** [[kmeansParallelInit]]'s round body in LAZY form (extracted for the
+    * plan audit): min-d² fold per point, the 1-row φ aggregate, the exact
+    * integer sampling verdict u·φ < ℓ·d²ᵢ·2⁶⁰, and the bounded (u, id)
+    * TakeOrdered cap. Returns the ≤cap sampled (__id) rows. */
+  def kmeansParallelRound(
+      data: DataFrame,
+      cDf: DataFrame,
+      r: Int,
+      oversample: Int,
+      capPerRound: Int): DataFrame = {
+    val two60 = lit(1152921504606846976L).cast("decimal(38,0)")
+    val dmin = kmeansParallelD2(data, cDf)
+      .groupBy(col("__id"))
+      .agg(min(col("__d2i")).as("__d2"))
+    dmin
+      .crossJoin(broadcast(dmin.agg(sum(col("__d2")).as("__phi"))))
+      .withColumn("__u",
+        conv(substring(md5(concat(lit(s"kmpp:$r:"), col("__id"))), 1, 15), 16, 10)
+          .cast("long"))
+      .where(col("__u").cast("decimal(38,0)") * col("__phi").cast("decimal(38,0)")
+        < lit(oversample.toLong).cast("decimal(38,0)")
+          * col("__d2").cast("decimal(38,0)") * two60)
+      .orderBy(col("__u"), col("__id"))
+      .limit(capPerRound)
+  }
+
+  def kmeansParallelInit(
+      corpus: DataFrame,
+      rounds: Int = 3,
+      oversample: Int = 8,
+      capPerRound: Int = 32,
+      idCol: String = "vec_id",
+      vecCol: String = "embedding"): DataFrame = {
+    require(rounds >= 1, s"rounds ($rounds) must be >= 1")
+    require(oversample >= 1 && capPerRound >= oversample,
+      s"need capPerRound ($capPerRound) >= oversample ($oversample) >= 1")
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val data = corpus
+      .select(col(idCol).cast("long").as("__id"), col(vecCol).cast("array<double>").as("__v"))
+      .localCheckpoint(true)
+    val seed = data.orderBy(col("__id")).limit(1).collect()(0)
+    // (id, entered_round, vector): ≤ 1 + rounds·cap rows of driver state —
+    // the power-iteration d-sized discipline
+    var cands = Vector[(Long, Int, Seq[Double])](
+      (seed.getLong(0), 0, seed.getSeq[Double](1)))
+    for (r <- 1 to rounds) {
+      val cDf = cands.map { case (cid, _, v) => (cid, v) }.toDF("__cid", "__cv")
+      val drawn = kmeansParallelRound(data, cDf, r, oversample, capPerRound)
+      val ids = drawn.select(col("__id")).collect().map(_.getLong(0))
+      if (ids.nonEmpty) {
+        val vecs = data.where(col("__id").isin(ids: _*))
+          .collect().map(rr => rr.getLong(0) -> rr.getSeq[Double](1))
+        cands ++= vecs.sortBy(_._1).map { case (i, v) => (i, r, v) }
+      }
+    }
+    val cAll = cands.map { case (cid, _, v) => (cid, v) }.toDF("__cid", "__cv")
+    val best = kmeansParallelD2(data, cAll)
+      .groupBy(col("__id"))
+      .agg(max_by(col("__cid"),
+        struct((-col("__d2i")).as("k1"), (-col("__cid")).as("k2"))).as("__best"))
+      .groupBy(col("__best"))
+      .agg(count(lit(1)).as("__w"))
+    cands.map { case (cid, rr, _) => (cid, rr) }.toDF("center_id", "entered_round")
+      .join(best.select(col("__best").as("center_id"), col("__w")), Seq("center_id"), "left_outer")
+      .select(col("center_id"), col("entered_round"),
+        coalesce(col("__w"), lit(0L)).as("weight"))
+  }
+
   /** Fixed-iteration k-means (Lloyd) training loop: `iters` rounds of
     * assign-to-max-cosine-cell → quantized member mean, starting from
     * `init` (idCol, vecCol). Returns the final round's

@@ -127,4 +127,67 @@ class KmeansSpec extends SparkSpec {
     assert(math.abs(c1.getDouble(4) - 0.8) < 0.01 && math.abs(c2.getDouble(4) - 0.2) < 0.01,
       s"EVRs against the ORIGINAL variance: ${c1.getDouble(4)} / ${c2.getDouble(4)}")
   }
+
+  // -------------------------------------------------- k-means|| init
+
+  test("kmeansParallelInit: weights partition the corpus; seed is the min id; rerun-identical") {
+    val df = pts.toDF("vec_id", "embedding")
+    def run() = Similarity
+      .kmeansParallelInit(df, rounds = 3, oversample = 8, capPerRound = 32)
+      .orderBy("center_id")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val got = run()
+    assert(got == run(), "init must replay identically")
+    assert(got.head._1 == 0L && got.head._2 == 0, "round-0 seed is the min-id row")
+    assert(got.map(_._3).sum == pts.length.toLong,
+      "attraction weights must partition every point exactly once")
+    assert(got.count(_._2 > 0) >= 1, "oversampling rounds must draw candidates")
+  }
+
+  test("kmeansParallelInit: candidates cover all planted clusters and feed Lloyd") {
+    // 4 tight, well-separated clusters: after 3 oversampling rounds the
+    // candidate set must touch every cluster (d^2-weighted sampling pulls
+    // candidates toward uncovered mass -- the k-means++ guarantee k-means||
+    // parallelizes), so the top-4-by-weight seeds recover one per cluster.
+    // separated in BOTH distance (the init's d^2 metric) and angle (the
+    // Lloyd loop routes by max cosine): 4 directions at radius 40
+    val far = Array(
+      Array(40.0, 0.0), Array(0.0, 40.0), Array(-40.0, 0.0), Array(0.0, -40.0))
+    val r2 = new java.util.Random(7)
+    val data = (0 until 80).map { i =>
+      val c = far(i % 4)
+      (i.toLong, Array(c(0) + 0.2 * r2.nextGaussian(), c(1) + 0.2 * r2.nextGaussian()))
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val cands = Similarity
+      .kmeansParallelInit(df, rounds = 3, oversample = 8, capPerRound = 32)
+      .collect().map(r => (r.getLong(0), r.getLong(2)))
+    def clusterOf(id: Long): Int = (id % 4).toInt
+    val covered = cands.map(c => clusterOf(c._1)).toSet
+    assert(covered == Set(0, 1, 2, 3),
+      s"candidates must cover all 4 planted clusters, got $covered")
+    // clusters are far apart, so every point's attraction stays inside its
+    // own cluster: per-cluster candidate weights must sum to exactly 20
+    val wByCluster = cands.groupBy(c => clusterOf(c._1)).view.mapValues(_.map(_._2).sum)
+    assert((0 to 3).forall(wByCluster(_) == 20L),
+      s"per-cluster attraction mass: ${wByCluster.toMap}")
+    // recluster step (paper step 7, metadata-sized): max-weight candidate
+    // per cluster (ties id ASC) seeds Lloyd, which recovers 4 cells of 20
+    val seeds = cands.groupBy(c => clusterOf(c._1)).values
+      .map(_.minBy { case (id, w) => (-w, id) }._1).toSeq
+    val init = df.where(col("vec_id").isin(seeds: _*))
+    val cells = Similarity.kmeansIterate(df, init, iters = 3)
+      .collect().map(r => r.getLong(1))
+    assert(cells.length == 4 && cells.forall(_ == 20L),
+      s"Lloyd from k-means|| seeds must recover the 4x20 partition: ${cells.toSeq}")
+  }
+
+  test("kmeansParallelInit: capPerRound bounds the candidate count") {
+    val df = pts.toDF("vec_id", "embedding")
+    val got = Similarity
+      .kmeansParallelInit(df, rounds = 3, oversample = 2, capPerRound = 2)
+      .collect()
+    assert(got.length <= 1 + 3 * 2,
+      s"candidate count ${got.length} must be <= 1 + rounds*cap")
+  }
 }
