@@ -190,8 +190,10 @@ object ExplainAudit {
     "q_fim", "q_span_corrupt",
     // round 17: interpolated Kneser–Ney bigram scoring (type-relation
     // aggregates joined back onto the bigram stream — the q_bigram_lm
-    // plan plus three type-sized count joins)
-    "q_kn_lm")
+    // plan plus three type-sized count joins); DoReMi excess-CE domain
+    // reweighting (one corpus shuffle to (domain, word) counts, all
+    // downstream relations vocabulary- or domain-sized)
+    "q_kn_lm", "q_doremi")
 
   /** Termination contract per iterative loop (r15 verdict task 8): every
     * key in [[iterativeBodies]] must declare HOW its driver loop ends —

@@ -2796,6 +2796,14 @@ object SparkEntry {
         .orderBy("source")
     }),
 
+    // -- DoReMi-style domain reweighting (Xie et al. 2023): per-domain
+    //    EXCESS cross-entropy (mixture-LM loss minus own-domain-LM loss,
+    //    add-one unigram proxies) -> multiplicative weight, uniform-
+    //    smoothed — mixture design by model-loss headroom, not size
+    "q_doremi" -> ((s, dir) => {
+      Sampling.doremiWeights(t(s, dir, "documents")).orderBy("lang")
+    }),
+
     // -- pairwise source-vocabulary overlap: Jaccard of distinct-word sets
     //    per source pair — the redundancy map behind mixture weighting
     "q_source_overlap" -> ((s, dir) => {
@@ -5039,6 +5047,38 @@ object SparkEntry {
         JOIN sz sb ON sb.doc_id = i.corpus_id
         WHERE i.i::DOUBLE / (sa.nsh + sb.nsh - i.i)::DOUBLE >= $threshold
         ORDER BY new_id, corpus_id"""
+  }
+
+  /** DuckDB mirror of [[graft.operators.Sampling.doremiWeights]]: exact
+    * integer LM counts, 6-dp-rounded cross-entropies, micro-int exp
+    * weights with an exact normalizing sum. Literals (η, smoothing) are
+    * interpolated from the SAME Scala doubles the Spark side binds. */
+  private def doremiOracleSql(eta: Double, smooth: Double): String = {
+    val oneMinus = (1.0 - smooth).toString
+    s"""WITH $TokCte,
+        tokl AS (SELECT d.lang AS dm, t.word AS w
+                 FROM tok t JOIN documents d USING (doc_id)),
+        cdw AS (SELECT dm, w, count(*) AS c FROM tokl GROUP BY 1, 2),
+        cw AS (SELECT w, sum(c)::BIGINT AS cwt FROM cdw GROUP BY 1),
+        td AS (SELECT dm, sum(c)::BIGINT AS totd FROM cdw GROUP BY 1),
+        vt AS (SELECT count(*)::BIGINT AS vs, sum(cwt)::BIGINT AS tot FROM cw),
+        ce AS (
+          SELECT cdw.dm, max(totd) AS totd,
+                 sum(c * ln((c + 1)::DOUBLE / (totd + vs)::DOUBLE)) AS sown,
+                 sum(c * ln((cwt + 1)::DOUBLE / (tot + vs)::DOUBLE)) AS smix
+          FROM cdw JOIN cw USING (w) JOIN td USING (dm) CROSS JOIN vt
+          GROUP BY 1),
+        r AS (
+          SELECT dm, totd,
+                 floor((-(sown / totd)) * 1e6 + 0.5) / 1e6 AS own_ce_r,
+                 floor((-(smix / totd)) * 1e6 + 0.5) / 1e6 AS mix_ce_r
+          FROM ce),
+        x AS (SELECT *, floor((mix_ce_r - own_ce_r) * 1e6 + 0.5) / 1e6 AS excess_r FROM r),
+        em AS (SELECT *, floor(exp($eta * excess_r) * 1e6 + 0.5)::BIGINT AS emic FROM x),
+        st AS (SELECT sum(emic)::BIGINT AS s, count(*)::BIGINT AS ng FROM em)
+        SELECT dm AS lang, totd AS n_tok, own_ce_r, mix_ce_r, excess_r,
+               floor(($oneMinus * (emic::DOUBLE / s::DOUBLE) + $smooth / ng::DOUBLE) * 1e6 + 0.5) / 1e6 AS alpha_r
+        FROM em CROSS JOIN st ORDER BY lang"""
   }
 
   /** Unrolled DuckDB oracle for [[graft.operators.Similarity.kmeansParallelInit]]:
@@ -10429,6 +10469,7 @@ object SparkEntry {
                 floor((2.0 * srx / (n_vocab * total_tokens)
                        - (n_vocab + 1)::DOUBLE / n_vocab) * 1e4 + 0.5) / 1e4 AS gini_r
          FROM a ORDER BY source""",
+    "q_doremi" -> doremiOracleSql(1.0, 0.2),
     "q_temp_mixture" ->
       """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
          w AS (SELECT source, n_docs, pow(n_docs::DOUBLE, 0.7) AS w FROM s),

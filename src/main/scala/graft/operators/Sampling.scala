@@ -504,4 +504,82 @@ object Sampling {
         (col("__base") + when(col("__rk") <= col("__rem"), 1L).otherwise(0L))
           .cast("long").as("alloc"))
   }
+
+  /** DoReMi-style domain mixture reweighting (Xie et al. 2023,
+    * "DoReMi: Optimizing Data Mixtures Speeds Up Language Model
+    * Pretraining"): upweight the domains a SHARED model underserves
+    * relative to what a domain-specialist could achieve. DoReMi's
+    * Group-DRO proxy run chases each domain's EXCESS loss — proxy loss
+    * minus per-domain reference loss — with multiplicative weights; for
+    * a unigram proxy LM that signal has a closed form: the gap between
+    * the domain's cross-entropy under the corpus-MIXTURE LM and under
+    * its OWN domain LM (both add-one smoothed over the shared
+    * vocabulary). With the proxy fixed, the multiplicative-weights
+    * fixpoint is one step: α_d ∝ exp(η·excess_d), then smoothed toward
+    * uniform by `uniformSmooth` (the paper's (1−c)·α + c·u step, which
+    * keeps every domain sampled). The third member of the mixture-design
+    * family — [[temperatureMixture]] allocates by SIZE, [[neymanAllocation]]
+    * by VARIANCE, this by model-loss HEADROOM.
+    *
+    * Determinism: all LM quantities are exact integer counts; each
+    * domain's two cross-entropies round at 6 dp before the subtraction,
+    * exp(η·excess) quantizes straight to micro ints (the q_logreg_train
+    * discipline) so the normalizing sum is exact, and the final α
+    * derives from one division of identical integers.
+    *
+    * Scale shape: the corpus reduces ONCE to the (domain, word) count
+    * relation — the only corpus-sized shuffle; the word-marginal,
+    * domain-total, and vocabulary aggregates all fold off it
+    * (vocabulary-sized), the cross-entropy join is vocabulary-sized, and
+    * everything after is domain-count-sized metadata.
+    *
+    * Returns (domainCol, n_tok, own_ce_r, mix_ce_r, excess_r, alpha_r);
+    * Σ alpha_r ≈ 1 at 6 dp.
+    */
+  def doremiWeights(
+      docs: DataFrame,
+      domainCol: String = "lang",
+      textCol: String = "text",
+      eta: Double = 1.0,
+      uniformSmooth: Double = 0.2): DataFrame = {
+    require(eta > 0.0, s"eta ($eta) must be positive")
+    require(uniformSmooth >= 0.0 && uniformSmooth < 1.0,
+      s"uniformSmooth ($uniformSmooth) must be in [0, 1)")
+    val toks = docs.select(col(domainCol).as("__d"),
+      explode(Tokenize.tokenArray(col(textCol))).as("__w"))
+    val cdw = toks.groupBy(col("__d"), col("__w"))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint(true)
+    val cw = cdw.groupBy(col("__w")).agg(sum(col("__c")).as("__cw"))
+    val td = cdw.groupBy(col("__d")).agg(sum(col("__c")).as("__totd"))
+    val vt = cw.agg(count(lit(1)).as("__vs"), sum(col("__cw")).as("__tot"))
+    val ce = cdw
+      .join(cw, Seq("__w"))
+      .join(td, Seq("__d"))
+      .crossJoin(broadcast(vt))
+      .groupBy(col("__d"))
+      .agg(
+        max(col("__totd")).as("__totd"),
+        sum(col("__c").cast("double")
+          * log((col("__c") + 1L).cast("double")
+            / (col("__totd") + col("__vs")).cast("double"))).as("__sown"),
+        sum(col("__c").cast("double")
+          * log((col("__cw") + 1L).cast("double")
+            / (col("__tot") + col("__vs")).cast("double"))).as("__smix"))
+      .select(col("__d"), col("__totd"),
+        graft.functions.Portable.pround(-(col("__sown") / col("__totd")), 6).as("own_ce_r"),
+        graft.functions.Portable.pround(-(col("__smix") / col("__totd")), 6).as("mix_ce_r"))
+      .withColumn("excess_r",
+        graft.functions.Portable.pround(col("mix_ce_r") - col("own_ce_r"), 6))
+      .withColumn("__em",
+        floor(exp(lit(eta) * col("excess_r")) * lit(1e6) + lit(0.5)).cast("long"))
+    val s = ce.agg(sum(col("__em")).as("__S"), count(lit(1)).as("__ng"))
+    ce.crossJoin(broadcast(s))
+      .select(col("__d").as(domainCol), col("__totd").as("n_tok"),
+        col("own_ce_r"), col("mix_ce_r"), col("excess_r"),
+        graft.functions.Portable.pround(
+          lit(1.0 - uniformSmooth)
+            * (col("__em").cast("double") / col("__S").cast("double"))
+            + lit(uniformSmooth) / col("__ng").cast("double"), 6).as("alpha_r"))
+  }
 }

@@ -286,4 +286,45 @@ class WeightedSampleSpec extends SparkSpec {
   }
 
   private def r6(v: Double): Double = math.floor(v * 1e6 + 0.5) / 1e6
+
+  test("doremiWeights: the domain the mixture LM underserves gets the largest alpha") {
+    import spark.implicits._
+    // domains A and B share a vocabulary, domain C is disjoint: the
+    // corpus-mixture LM serves A/B nearly as well as their own LMs
+    // (low excess) but pays a big penalty on C relative to C's own LM
+    val docs = Seq(
+      (1L, "the cat sat on the mat the cat", "A"),
+      (2L, "the dog sat on the mat the dog", "A"),
+      (3L, "the cat ran on the mat the cat", "B"),
+      (4L, "the dog ran on the mat the dog", "B"),
+      (5L, "zorp blik qua zorp blik qua zorp blik", "C"),
+      (6L, "blik qua zorp blik qua zorp blik qua", "C"))
+      .toDF("doc_id", "text", "lang")
+    def run() = graft.operators.Sampling.doremiWeights(docs)
+      .orderBy("lang")
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(4), r.getDouble(5)))
+      .toSeq
+    val got = run()
+    assert(got == run(), "reweighting must replay identically")
+    val byDom = got.map(t => t._1 -> t).toMap
+    assert(byDom("C")._3 > byDom("A")._3 && byDom("C")._3 > byDom("B")._3,
+      s"disjoint-vocab domain must have the largest excess CE: $got")
+    assert(byDom("C")._4 > byDom("A")._4 && byDom("C")._4 > byDom("B")._4,
+      s"and therefore the largest alpha: $got")
+    assert(math.abs(got.map(_._4).sum - 1.0) < 1e-5,
+      s"alphas must normalize: ${got.map(_._4).sum}")
+  }
+
+  test("doremiWeights: symmetric domains get exactly uniform alphas") {
+    import spark.implicits._
+    // A and B are relabelings of the same text -> identical excess ->
+    // alpha = (1-c)*(1/2) + c*(1/2) = 0.5 exactly at 6 dp
+    val docs = Seq(
+      (1L, "aa bb cc dd", "A"), (2L, "aa bb cc dd", "B"))
+      .toDF("doc_id", "text", "lang")
+    val a = graft.operators.Sampling.doremiWeights(docs)
+      .orderBy("lang").collect().map(_.getDouble(5)).toSeq
+    assert(a == Seq(0.5, 0.5), s"got $a")
+  }
 }
