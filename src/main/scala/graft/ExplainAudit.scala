@@ -193,7 +193,9 @@ object ExplainAudit {
     // plan plus three type-sized count joins); DoReMi excess-CE domain
     // reweighting (one corpus shuffle to (domain, word) counts, all
     // downstream relations vocabulary- or domain-sized)
-    "q_kn_lm", "q_doremi")
+    // r17: edit-distance verify over banded candidates (the levenshtein
+    // DP must sit ABOVE the capped candidate join, never on all pairs)
+    "q_kn_lm", "q_doremi", "q_dedup_edit")
 
   /** Termination contract per iterative loop (r15 verdict task 8): every
     * key in [[iterativeBodies]] must declare HOW its driver loop ends —

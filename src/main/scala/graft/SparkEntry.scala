@@ -1580,6 +1580,20 @@ object SparkEntry {
         .orderBy("doc1", "doc2")
     }),
 
+    // -- edit-distance verify of the banded candidates (the order-aware
+    //    metric Jaccard isn't: a paragraph-shuffled doc scores Jaccard 1
+    //    but pays every move here); O(len*maxDist) banded DP runs ONLY on
+    //    the LSH candidate set over normalized [a-z ] text
+    "q_dedup_edit" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup
+        .editVerifyPairs(docs,
+          Dedup.minhashCandidates(docs,
+            shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096),
+          maxDist = 400)
+        .orderBy("doc1", "doc2")
+    }),
+
     // -- WEIGHTED (idf) near-dup candidates via md5-deterministic ICWS:
     //    boilerplate-dominated overlap stops banding, distinctive-content
     //    overlap keeps its collision mass — every Gamma/Uniform draw and
@@ -7757,6 +7771,31 @@ object SparkEntry {
             FROM toks_arr) u
           ORDER BY doc_id""",
     "q_dedup_minhash" -> minhashSql(shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096),
+    // edit verify over the same banded candidates: full levenshtein with a
+    // CASE threshold mirrors Spark's banded early-exit (-1 above maxDist)
+    "q_dedup_edit" ->
+      s"""WITH ${minhashPairsCtes(shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096)},
+          cd AS (SELECT DISTINCT doc_id FROM (
+                   SELECT doc1 AS doc_id FROM pairs
+                   UNION ALL SELECT doc2 FROM pairs) u),
+          nt AS (SELECT d.doc_id,
+                        array_to_string(list_filter(
+                          list_transform(regexp_split_to_array(d.text, '\\s+'),
+                                         x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                          w -> w <> ''), ' ') AS t
+                 FROM documents d JOIN cd USING (doc_id)),
+          lev AS (SELECT p.doc1, p.doc2,
+                         CASE WHEN levenshtein(a.t, b.t) > 400 THEN -1
+                              ELSE levenshtein(a.t, b.t) END AS dist,
+                         greatest(length(a.t), length(b.t)) AS ml
+                  FROM pairs p
+                  JOIN nt a ON a.doc_id = p.doc1
+                  JOIN nt b ON b.doc_id = p.doc2)
+          SELECT doc1, doc2, dist,
+                 CASE WHEN ml = 0 THEN 1.0
+                      ELSE floor((1.0 - dist::DOUBLE / ml::DOUBLE) * 1e6 + 0.5) / 1e6
+                 END AS esim_r
+          FROM lev WHERE dist >= 0 ORDER BY doc1, doc2""",
     // ICWS weighted-minhash mirror: every md5 Gamma/Uniform draw, the
     // log-space a-value and the struct-min argmin replayed draw-for-draw
     "q_dedup_wminhash" -> wminhashSql(shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096),
