@@ -195,7 +195,7 @@ object ExplainAudit {
     // downstream relations vocabulary- or domain-sized)
     // r17: edit-distance verify over banded candidates (the levenshtein
     // DP must sit ABOVE the capped candidate join, never on all pairs)
-    "q_kn_lm", "q_doremi", "q_dedup_edit")
+    "q_kn_lm", "q_doremi", "q_dedup_edit", "q_lsh_plan")
 
   /** Termination contract per iterative loop (r15 verdict task 8): every
     * key in [[iterativeBodies]] must declare HOW its driver loop ends —

@@ -1580,6 +1580,14 @@ object SparkEntry {
         .orderBy("doc1", "doc2")
     }),
 
+    // -- LSH banding planner: price every (bands, rows) factorization of
+    //    numHashes against the target threshold (S-curve FN/FP integrals,
+    //    fixed-order midpoint grid) and flag the argmin — the advisory
+    //    dial-setter beside q_minhash_est and q_bloom_plan
+    "q_lsh_plan" -> ((s, dir) => {
+      Dedup.lshPlan(s, numHashes = 16, threshold = 0.5).orderBy("bands")
+    }),
+
     // -- edit-distance verify of the banded candidates (the order-aware
     //    metric Jaccard isn't: a paragraph-shuffled doc scores Jaccard 1
     //    but pays every move here); O(len*maxDist) banded DP runs ONLY on
@@ -5061,6 +5069,38 @@ object SparkEntry {
         JOIN sz sb ON sb.doc_id = i.corpus_id
         WHERE i.i::DOUBLE / (sa.nsh + sb.nsh - i.i)::DOUBLE >= $threshold
         ORDER BY new_id, corpus_id"""
+  }
+
+  /** DuckDB mirror of [[graft.operators.Dedup.lshPlan]]: the divisor
+    * relation as VALUES, fixed-order midpoint-grid S-curve integrals via
+    * list_sum over range (the lshBucketExpr ordered-fold precedent), and
+    * the argmin pick as an ORDER BY … LIMIT 1 scalar. */
+  private def lshPlanSql(numHashes: Int, threshold: Double, gridN: Int): String = {
+    val divisors = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => s"($b, ${numHashes / b})").mkString(", ")
+    val t = threshold.toString
+    val gd = gridN.toDouble.toString
+    val sE = s"((i::DOUBLE - 0.5) / $gd)"
+    val pE = s"1.0 - pow(1.0 - pow($sE, rows_per_band::DOUBLE), bands::DOUBLE)"
+    s"""WITH base AS (SELECT * FROM (VALUES $divisors) AS t0(bands, rows_per_band)),
+        g AS (SELECT bands, rows_per_band,
+                     list_sum(list_transform(range(1, ${gridN + 1}),
+                       i -> CASE WHEN $sE < $t THEN $pE ELSE 0.0 END)) / $gd AS fp,
+                     list_sum(list_transform(range(1, ${gridN + 1}),
+                       i -> CASE WHEN $sE >= $t THEN 1.0 - ($pE) ELSE 0.0 END)) / $gd AS fn,
+                     pow(1.0 - pow(0.5, 1.0 / bands::DOUBLE), 1.0 / rows_per_band::DOUBLE) AS s50
+              FROM base),
+        r2 AS (SELECT bands, rows_per_band,
+                      floor(s50 * 1e6 + 0.5) / 1e6 AS s50_r,
+                      floor(fp * 1e6 + 0.5) / 1e6 AS fp_r,
+                      floor(fn * 1e6 + 0.5) / 1e6 AS fn_r
+               FROM g),
+        r3 AS (SELECT *, floor((fp_r + fn_r) * 1e6 + 0.5) / 1e6 AS cost_r FROM r2),
+        m AS (SELECT cost_r AS mc, bands AS mb FROM r3 ORDER BY cost_r, bands LIMIT 1)
+        SELECT bands, rows_per_band, s50_r, fp_r, fn_r, cost_r,
+               CASE WHEN cost_r = (SELECT mc FROM m) AND bands = (SELECT mb FROM m)
+                    THEN 1 ELSE 0 END AS is_opt
+        FROM r3 ORDER BY bands"""
   }
 
   /** DuckDB mirror of [[graft.operators.Sampling.doremiWeights]]: exact
@@ -10509,6 +10549,7 @@ object SparkEntry {
                        - (n_vocab + 1)::DOUBLE / n_vocab) * 1e4 + 0.5) / 1e4 AS gini_r
          FROM a ORDER BY source""",
     "q_doremi" -> doremiOracleSql(1.0, 0.2),
+    "q_lsh_plan" -> lshPlanSql(16, 0.5, 1000),
     "q_temp_mixture" ->
       """WITH s AS (SELECT source, count(*) AS n_docs FROM documents GROUP BY 1),
          w AS (SELECT source, n_docs, pow(n_docs::DOUBLE, 0.7) AS w FROM s),

@@ -1548,6 +1548,63 @@ object Dedup {
         col("n_shared").cast("double") / col("n_shingles"), 4))
   }
 
+  /** LSH banding planner — prices the (bands, rows) dial the whole MinHash
+    * family hard-codes: for every factorization b·r = numHashes, evaluate
+    * the S-curve P(s) = 1 − (1 − sʳ)ᵇ (the classic MMDS/Leskovec
+    * analysis: probability a pair at Jaccard s lands in ≥1 shared bucket)
+    * against the target `threshold` — false-negative mass
+    * ∫_{s≥t}(1−P(s))ds (true pairs banding misses) and false-positive
+    * mass ∫_{s<t}P(s)ds (verify work wasted on junk), both under the
+    * uniform prior, plus the curve midpoint s₅₀ = (1−2^(−1/b))^(1/r).
+    * The advisory sibling of [[minhashEstimateVsExact]] (which prices
+    * numHashes on the actual corpus) and q_bloom_plan (the same
+    * cost-model-in-a-relation shape).
+    *
+    * Determinism: integrals are FIXED-ORDER midpoint sums over a
+    * `gridN`-point grid — Spark's ordered `aggregate` fold and DuckDB's
+    * `list_sum(list_transform(range …))` add the identical doubles in
+    * the identical order (the lshBucketExpr precedent); `pow` on
+    * identical inputs is the q_temp_mixture precedent. The argmin pick
+    * rides a broadcast min(struct) with a bands-ASC tiebreak — no
+    * window. Everything is divisor-count-sized metadata; no corpus scan.
+    *
+    * Returns (bands, rows_per_band, s50_r, fp_r, fn_r, cost_r, is_opt).
+    */
+  def lshPlan(
+      spark: org.apache.spark.sql.SparkSession,
+      numHashes: Int = 16,
+      threshold: Double = 0.5,
+      gridN: Int = 1000): DataFrame = {
+    require(numHashes >= 1, s"numHashes ($numHashes) must be >= 1")
+    require(threshold > 0.0 && threshold < 1.0, s"threshold ($threshold) must be in (0, 1)")
+    require(gridN >= 10, s"gridN ($gridN) must be >= 10")
+    import spark.implicits._
+    val base = (1 to numHashes).filter(numHashes % _ == 0)
+      .map(b => (b, numHashes / b)).toDF("bands", "rows_per_band")
+    val bD = col("bands").cast("double")
+    val rD = col("rows_per_band").cast("double")
+    def pcurve(s: Column) = lit(1.0) - pow(lit(1.0) - pow(s, rD), bD)
+    def sOf(i: Column) = (i.cast("double") - lit(0.5)) / lit(gridN.toDouble)
+    def gridSum(term: Column => Column) =
+      aggregate(transform(sequence(lit(1), lit(gridN)), i => term(sOf(i))),
+        lit(0.0), (acc, x) => acc + x) / lit(gridN.toDouble)
+    val scored = base
+      .withColumn("fp_r", graft.functions.Portable.pround(
+        gridSum(s => when(s < lit(threshold), pcurve(s)).otherwise(lit(0.0))), 6))
+      .withColumn("fn_r", graft.functions.Portable.pround(
+        gridSum(s => when(s >= lit(threshold), lit(1.0) - pcurve(s)).otherwise(lit(0.0))), 6))
+      .withColumn("s50_r", graft.functions.Portable.pround(
+        pow(lit(1.0) - pow(lit(0.5), lit(1.0) / bD), lit(1.0) / rD), 6))
+      .withColumn("cost_r", graft.functions.Portable.pround(col("fp_r") + col("fn_r"), 6))
+    scored
+      .crossJoin(broadcast(scored.agg(
+        min(struct(col("cost_r"), col("bands"))).as("__m"))))
+      .select(col("bands"), col("rows_per_band"), col("s50_r"),
+        col("fp_r"), col("fn_r"), col("cost_r"),
+        (col("cost_r") === col("__m.cost_r") && col("bands") === col("__m.bands"))
+          .cast("int").as("is_opt"))
+  }
+
   /** Edit-distance verification of banded near-dup candidates — the other
     * standard verify metric next to exact shingle Jaccard
     * (q_dedup_end2end): Levenshtein distance over the NORMALIZED

@@ -48,4 +48,26 @@ class DedupEditSpec extends SparkSpec {
       .collect().map(r => (r.getInt(2), r.getDouble(3)))
     assert(got.toSeq == Seq((0, 1.0)))
   }
+
+  test("lshPlan: s50 monotone in rows, extremes lose, argmin interior and unique") {
+    val got = Dedup.lshPlan(spark, numHashes = 16, threshold = 0.5)
+      .orderBy("bands")
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getInt(6)))
+    assert(got.map(_._1).toSeq == Seq(1, 2, 4, 8, 16))
+    // s50 falls as bands rise (more OR -> the curve fires at lower s)
+    assert(got.map(_._3).toSeq == got.map(_._3).toSeq.sorted.reverse)
+    // hand midpoint for (4, 4): (1 - 0.5^(1/4))^(1/4)
+    val s50h = math.pow(1.0 - math.pow(0.5, 0.25), 0.25)
+    val row44 = got.find(_._1 == 4).get
+    assert(math.abs(row44._3 - s50h) < 1e-6, s"s50(4,4) = ${row44._3} vs $s50h")
+    // all-AND (b=1) drowns in false negatives, all-OR (b=16) in false
+    // positives; an interior factorization must win, exactly once
+    val opt = got.filter(_._7 == 1)
+    assert(opt.length == 1, s"exactly one pick: ${got.toSeq}")
+    assert(Set(2, 4, 8).contains(opt.head._1), s"interior argmin: ${opt.head}")
+    assert(got.forall(t => t._4 >= 0 && t._4 <= 1 && t._5 >= 0 && t._5 <= 1),
+      "integral masses stay in [0, 1]")
+  }
 }
