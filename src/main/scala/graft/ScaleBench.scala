@@ -129,7 +129,8 @@ object ScaleBench {
 
     factors.foreach { f =>
       val wantD = Seq("simhash_pairs", "setsim_join", "setsim_capped",
-        "dedup_wminhash", "dup_exposure", "dup_exposure_hashed").exists(want)
+        "dedup_wminhash", "dup_exposure", "dup_exposure_hashed",
+        "dedup_edit").exists(want)
       // materialize the replicated input first: the timed region measures
       // the pair generator over an existing table, not the replication
       val d = if (wantD) replicated(docs, "doc_id", f).localCheckpoint(true) else null
@@ -240,6 +241,32 @@ object ScaleBench {
       val dxSec = time { dxRows = Dedup.dupExposure(d, k = 5).count() }
       println(
         s"""{"pipeline":"dup_exposure","factor":$f,"mode":"linear","sec":${f"$dxSec%.3f"},"docs":$dxRows}""")
+      clearExcept(dIds)
+      }
+
+      // edit-distance verify under the duplicate-dense load (r17): the
+      // O(len·maxDist) Levenshtein DP pays per CANDIDATE pair, and
+      // candidates come from the capped banding — replica families share
+      // identical signatures, so buckets grow ∝ f and in-bucket pair work
+      // approaches the f²-quadratic verify density until maxBucket binds;
+      // per-bucket work has the declared cap²/2 ceiling and the cut mass
+      // rides the candidate run's own audit. This is the verify stage's
+      // honest price: the banded DP cost follows true duplicate density,
+      // which is exactly what a dedup pass at 100 TB pays AFTER banding.
+      if (want("dedup_edit")) {
+      val aud = new org.apache.spark.sql.Observation(s"dedup_edit_$f")
+      var dePairs = 0L
+      val deSec = time {
+        dePairs = Dedup.editVerifyPairs(d,
+          Dedup.minhashCandidates(d, shingleK = 3, numHashes = 16, bands = 8,
+            maxBucket = cap, dropAudit = Some(aud)),
+          maxDist = 400).count()
+      }
+      val am = aud.get
+      println(
+        s"""{"pipeline":"dedup_edit","factor":$f,"mode":"bounded","sec":${f"$deSec%.3f"},""" +
+        s""""pairs":$dePairs,"buckets_dropped":${am.getOrElse("dropped_buckets", 0L)},""" +
+        s""""retained_pair_bound":${am.getOrElse("retained_pair_bound", 0L)}}""")
       clearExcept(dIds)
       }
 
@@ -418,6 +445,29 @@ object ScaleBench {
       report("embedding_neardup_probe", f, pSec, pPairs, pMax, pDrop, pBound, mode = "bounded")
       e.unpersist()
       clearExcept(Set.empty) // cosineNearDupPairs checkpoints its banded relation internally
+      }
+
+      // k-means|| initialization under duplicate-dense replication (r17):
+      // per-round work is corpus × candidates with candidates ≤
+      // 1 + rounds·capPerRound REGARDLESS of factor, and replication
+      // cannot inflate the candidate set — replicas of a chosen candidate
+      // sit at d² = 0 and the exact integer verdict never re-draws them,
+      // while per-replica draw probability ℓ·d²/φ falls ∝ 1/f as φ grows
+      // — so expected draws stay ℓ per round and wall time should track
+      // corpus volume linearly at a ~constant candidate count.
+      if (want("kmeans_par_init")) {
+      val e = replicated(embs, "vec_id", f).localCheckpoint(true)
+      var kmCands = 0L
+      val kmSec = time {
+        kmCands = Similarity
+          .kmeansParallelInit(e, rounds = 3, oversample = 8, capPerRound = 32)
+          .count()
+      }
+      println(
+        s"""{"pipeline":"kmeans_par_init","factor":$f,"mode":"bounded","sec":${f"$kmSec%.3f"},""" +
+        s""""candidates":$kmCands,"candidate_bound":${1 + 3 * 32}}""")
+      e.unpersist()
+      clearExcept(Set.empty) // the init checkpoints its own data/round relations
       }
 
       // events sessionization: replicate by USER (each replica is a new
