@@ -1650,7 +1650,14 @@ object Dedup {
       .join(norm.select(col(idCol).as("doc1"), col("__nt").as("__t1")), Seq("doc1"))
       .join(norm.select(col(idCol).as("doc2"), col("__nt").as("__t2")), Seq("doc2"))
       .select(col("doc1"), col("doc2"),
-        levenshtein(col("__t1"), col("__t2"), maxDist).as("dist"),
+        // exact-duplicate fast path: under a duplicate-dense corpus the
+        // bulk of banded candidates are byte-identical, and the banded DP
+        // cannot shortcut equality — it fills the whole O(len·maxDist)
+        // band to conclude dist 0. One O(len) equality test first is the
+        // classic exact-then-fuzzy cascade (ScaleBench dedup_edit at 10×
+        // replication: 373 s -> ~6 s; semantics unchanged, lev(a,a) = 0)
+        when(col("__t1") === col("__t2"), lit(0))
+          .otherwise(levenshtein(col("__t1"), col("__t2"), maxDist)).as("dist"),
         greatest(length(col("__t1")), length(col("__t2"))).as("__ml"))
       // materialize the DP output BEFORE the filter/projection consume it:
       // left lazy, the pushed-down `dist >= 0` filter and the inlined
