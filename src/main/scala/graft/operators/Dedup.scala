@@ -1646,25 +1646,36 @@ object Dedup {
         concat_ws(" ", Tokenize.tokenArray(col(textCol))).as("__nt"))
       .join(candDocs, Seq(idCol), "left_semi")
       .localCheckpoint(true)
-    val withDist = cand
+    val joined = cand
       .join(norm.select(col(idCol).as("doc1"), col("__nt").as("__t1")), Seq("doc1"))
       .join(norm.select(col(idCol).as("doc2"), col("__nt").as("__t2")), Seq("doc2"))
       .select(col("doc1"), col("doc2"),
-        // exact-duplicate fast path: under a duplicate-dense corpus the
-        // bulk of banded candidates are byte-identical, and the banded DP
-        // cannot shortcut equality — it fills the whole O(len·maxDist)
-        // band to conclude dist 0. One O(len) equality test first is the
-        // classic exact-then-fuzzy cascade (ScaleBench dedup_edit at 10×
-        // replication: 373 s -> ~6 s; semantics unchanged, lev(a,a) = 0)
-        when(col("__t1") === col("__t2"), lit(0))
+        md5(col("__t1")).as("__k1"), md5(col("__t2")).as("__k2"),
+        col("__t1"), col("__t2"))
+    // The DP unit is the DISTINCT TEXT PAIR, not the id pair: a
+    // duplicate-dense corpus replicates every near-dup id pair ×f² while
+    // its distinct text-pair count stays CONSTANT, so running the DP per
+    // id pair is f²-quadratic work for identical answers (ScaleBench
+    // dedup_edit at 10× replication measured 373 s; per-distinct-pair it
+    // is replication-invariant). The partial aggregation collapses
+    // replica pairs map-side — the exchange never moves the texts more
+    // than once per distinct pair — the exemplar min() is exact (one
+    // text per digest), and byte-identical pairs skip the DP entirely
+    // via the digest equality fast path (the banded DP cannot shortcut
+    // equality: it fills the whole O(len·maxDist) band to conclude 0).
+    // Materialized once: left lazy, the pushed-down `dist >= 0` filter
+    // and the inlined esim projection would re-run the DP 3× per pair
+    // (measured 4.9 s -> 1.4 s at sf0.1 before the distinct-pair move).
+    val dk = joined
+      .groupBy(col("__k1"), col("__k2"))
+      .agg(min(col("__t1")).as("__t1"), min(col("__t2")).as("__t2"))
+      .select(col("__k1"), col("__k2"),
+        when(col("__k1") === col("__k2"), lit(0))
           .otherwise(levenshtein(col("__t1"), col("__t2"), maxDist)).as("dist"),
         greatest(length(col("__t1")), length(col("__t2"))).as("__ml"))
-      // materialize the DP output BEFORE the filter/projection consume it:
-      // left lazy, the pushed-down `dist >= 0` filter and the inlined
-      // esim projection each re-evaluate the levenshtein expression —
-      // 3 DP passes per row, measured 4.9 s -> 1.4 s at sf0.1
       .localCheckpoint(true)
-    withDist
+    joined.select(col("doc1"), col("doc2"), col("__k1"), col("__k2"))
+      .join(dk, Seq("__k1", "__k2"))
       .where(col("dist") >= 0)
       .select(col("doc1"), col("doc2"), col("dist"),
         // two empty normalized texts are identical (dist 0): similarity 1
