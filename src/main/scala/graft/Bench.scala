@@ -256,8 +256,26 @@ object Bench {
     val regressionsJson =
       if (priorUnreadable) ""","regressions":[{"prior_unreadable":true}]"""
       else s""","regressions":[${regressions.mkString(",")}]"""
+    // Self-computing cross-round drift audit (r17 verdict task 1: the
+    // hand-computed SURVEY median didn't reproduce — 1.04 claimed, 1.135
+    // measured from the artifacts). The sweep now emits the number itself:
+    // median per-query ratio new-best / prior-best over the common q_*
+    // entries (flagship index-build entries excluded — the cold run is a
+    // single unrepeatable sample), plus the common-query count, so the
+    // narrative cites the artifact instead of prose arithmetic.
+    val ratios = results.toSeq.collect {
+      case (k, v) if k.startsWith("q_") && v > 0 &&
+        priorBest.get(k).exists(_ > 0) => v / priorBest(k)
+    }.sorted
+    val driftJson =
+      if (priorUnreadable || ratios.isEmpty) ""","drift_vs_prior":null"""
+      else {
+        val n = ratios.size
+        val med = if (n % 2 == 1) ratios(n / 2) else (ratios(n / 2 - 1) + ratios(n / 2)) / 2
+        s""","drift_vs_prior":{"median_ratio":${fmt(med)},"common_queries":$n}"""
+      }
     val full =
-      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson$regressionsJson,"samples":$samplesJson,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs$failedJson$regressionsJson$driftJson,"samples":$samplesJson,"sf":"$sfDir"}"""
     println(full)
     // The driver's stdout-tail capture truncates the front of long lines
     // (rounds 3-4 lost the first ~45 queries of the map), so the complete

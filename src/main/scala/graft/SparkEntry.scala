@@ -1580,6 +1580,22 @@ object SparkEntry {
         .orderBy("doc1", "doc2")
     }),
 
+    // -- paragraph-granularity exact dedup with document fold-back (the
+    //    C4/Dolma stage): first occurrence corpus-wide keeps, later
+    //    occurrences are stripped; per doc the duplicated fraction and
+    //    the paragraph-stripped text. One hash-keyed shuffle + one doc agg.
+    "q_dedup_paragraph" -> ((s, dir) =>
+      Dedup.paragraphDedup(t(s, dir, "documents"), parTokens = 20)
+        .orderBy("doc_id")),
+
+    // -- paragraph-granularity NEAR-dup: the doc-level MinHash machinery
+    //    run verbatim over paragraph pseudo-docs, folded to doc pairs
+    //    with the count of near-dup paragraph pairs linking them
+    "q_dedup_paragraph_mh" -> ((s, dir) =>
+      Dedup.paragraphMinhashPairs(t(s, dir, "documents"), parTokens = 20,
+        shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096)
+        .orderBy("doca", "docb")),
+
     // -- LSH banding planner: price every (bands, rows) factorization of
     //    numHashes against the target threshold (S-curve FN/FP integrals,
     //    fixed-order midpoint grid) and flag the argmin — the advisory
@@ -4722,14 +4738,26 @@ object SparkEntry {
   /** DuckDB CTE: distinct k-gram shingles per doc (short docs → one whole-doc
     * shingle), mirroring TextAnalysis.shingles.
     */
-  private def shinglesCte(k: Int, filter: String = ""): String =
+  /** DuckDB CTE chain ending in `pars(doc_id, par_idx, par_text)` — the
+    * mirror of Dedup.paragraphs' fixed `parTokens`-word raw spans.
+    */
+  private def paragraphCtes(parTokens: Int): String =
+    s"""w0 AS (SELECT doc_id,
+                      list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> '') AS w
+               FROM documents),
+        pars AS (SELECT doc_id, i AS par_idx,
+                        array_to_string(list_slice(w, i * $parTokens + 1, i * $parTokens + $parTokens), ' ') AS par_text
+                 FROM (SELECT doc_id, w, unnest(range(0, ((len(w) - 1) // $parTokens) + 1)) AS i
+                       FROM w0 WHERE len(w) >= 1) u)"""
+
+  private def shinglesCte(k: Int, filter: String = "", src: String = "documents"): String =
     s"""toks0 AS (
           SELECT doc_id,
                  list_filter(
                    list_transform(regexp_split_to_array(text, '\\s+'),
                                   x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
                    w -> w <> '') AS toks
-          FROM documents $filter),
+          FROM $src $filter),
         sh AS (
           SELECT doc_id,
                  CASE WHEN len(toks) = 0 THEN []::VARCHAR[]
@@ -4985,7 +5013,8 @@ object SparkEntry {
   /** CTE chain ending in `pairs(doc1, doc2)` — the DuckDB mirror of
     * Dedup.minhashCandidates, shared by q_dedup_minhash and q_dedup_groups.
     */
-  private def minhashPairsCtes(shingleK: Int, numHashes: Int, bands: Int, maxBucket: Int): String = {
+  private def minhashPairsCtes(shingleK: Int, numHashes: Int, bands: Int, maxBucket: Int,
+      src: String = "documents"): String = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
     // 4 independent 32-bit hashes per digest (8-hex slices), mirroring
@@ -4996,7 +5025,7 @@ object SparkEntry {
     val bandList = (0 until bands)
       .map(b => s"'$b|' || md5(${(0 until rows).map(r => s"sig${b * rows + r}").mkString(" || ")})")
       .mkString(", ")
-    s"""${shinglesCte(shingleK)},
+    s"""${shinglesCte(shingleK, src = src)},
         sigs AS (SELECT doc_id, $sigs FROM sh WHERE len(shingles) > 0),
         bands AS (SELECT doc_id, unnest([$bandList]) AS band FROM sigs),
         keep AS (SELECT band FROM bands GROUP BY band HAVING count(*) BETWEEN 2 AND $maxBucket),
@@ -5340,7 +5369,7 @@ object SparkEntry {
                  GROUP BY 1, 2),
          m$i AS (SELECT a, b, cnt, ca.cs AS ca, cb.cs AS cb
                  FROM p$i JOIN c$i ca ON ca.s = p$i.a JOIN c$i cb ON cb.s = p$i.b
-                 ORDER BY cnt::DOUBLE / (ca.cs * cb.cs)::DOUBLE DESC, a, b LIMIT 1),
+                 ORDER BY cnt::DOUBLE / (ca.cs::DOUBLE * cb.cs::DOUBLE) DESC, a, b LIMIT 1),
          x$i AS (SELECT w, n, j, syms[j] AS s, syms[j + 1] AS nxt
                  FROM (SELECT w, n, syms, unnest(range(1, len(syms) + 1)) AS j FROM $prev) u),
          y$i AS (SELECT w, n, j, s, nxt,
@@ -7811,6 +7840,36 @@ object SparkEntry {
             FROM toks_arr) u
           ORDER BY doc_id""",
     "q_dedup_minhash" -> minhashSql(shingleK = 3, numHashes = 16, bands = 8, maxBucket = 4096),
+    // fixed 20-token spans of RAW whitespace words; first occurrence by
+    // (doc_id, par_idx) keeps, the window min rides the par_text partition
+    // (Spark partitions the sha2 of it — equivalent grouping)
+    "q_dedup_paragraph" ->
+      s"""WITH ${paragraphCtes(20)},
+          f AS (SELECT doc_id, par_idx, par_text,
+                       (doc_id * 1000000 + par_idx)
+                         <> min(doc_id * 1000000 + par_idx) OVER (PARTITION BY par_text) AS dup
+                FROM pars),
+          g AS (SELECT doc_id, count(*) AS n_pars,
+                       sum(CASE WHEN dup THEN 1 ELSE 0 END)::BIGINT AS dup_pars,
+                       floor((sum(CASE WHEN dup THEN 1 ELSE 0 END)::DOUBLE
+                              / count(*)::DOUBLE) * 1e4 + 0.5) / 1e4 AS frac_dup_r,
+                       string_agg(CASE WHEN NOT dup THEN par_text END, ' ' ORDER BY par_idx) AS kept_text
+                FROM f GROUP BY doc_id)
+          SELECT d.doc_id, coalesce(n_pars, 0) AS n_pars,
+                 coalesce(dup_pars, 0) AS dup_pars,
+                 coalesce(frac_dup_r, 0.0) AS frac_dup_r,
+                 coalesce(kept_text, '') AS kept_text
+          FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id""",
+    // same spans as pseudo-docs (pid = doc_id*1e6 + par_idx) through the
+    // identical minhash banding, folded to cross-doc pair counts
+    "q_dedup_paragraph_mh" ->
+      s"""WITH ${paragraphCtes(20)},
+          parsrc AS (SELECT doc_id * 1000000 + par_idx AS doc_id, par_text AS text FROM pars),
+          ${minhashPairsCtes(3, 16, 8, 4096, src = "parsrc")}
+          SELECT doc1 // 1000000 AS doca, doc2 // 1000000 AS docb,
+                 count(*)::BIGINT AS n_par_pairs
+          FROM pairs WHERE doc1 // 1000000 <> doc2 // 1000000
+          GROUP BY 1, 2 ORDER BY doca, docb""",
     // edit verify over the same banded candidates: full levenshtein with a
     // CASE threshold mirrors Spark's banded early-exit (-1 above maxDist)
     "q_dedup_edit" ->

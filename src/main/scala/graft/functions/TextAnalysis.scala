@@ -958,7 +958,12 @@ object TextAnalysis {
       .join(symCnt.select(col("s").as("a"), col("cs").as("ca")), Seq("a"))
       .join(symCnt.select(col("s").as("b"), col("cs").as("cb")), Seq("b"))
       .orderBy(
-        (col("cnt").cast("double") / (col("ca") * col("cb")).cast("double")).desc,
+        // ca and cb cast to double INDIVIDUALLY before multiplying: a 64-bit
+        // ca*cb long multiply overflows once symbol counts exceed ~3e9
+        // (ANSI error), while double·double is exact for counts < 2^53 and
+        // matches the oracle's ::DOUBLE * ::DOUBLE product bit for bit.
+        (col("cnt").cast("double")
+          / (col("ca").cast("double") * col("cb").cast("double"))).desc,
         col("a").asc, col("b").asc)
       .limit(1)
       .select(col("a"), col("b"), col("cnt"), col("ca"), col("cb"))

@@ -1687,4 +1687,131 @@ object Dedup {
               / col("__ml").cast("double"), 6))
           .as("esim_r"))
   }
+
+  /** Paragraph segmentation: one row per (doc, par_idx, par_text).
+    *
+    * The C4/Dolma paragraph-dedup practice splits on newline; this corpus
+    * carries no delimiters, so segmentation is fixed non-overlapping spans
+    * of `parTokens` whitespace-split RAW words (the last span may be
+    * shorter) — the token-position granularity Lee et al. 2022 standardize
+    * on. Raw words, not normalized tokens: the kept-text reconstruction in
+    * [[paragraphDedup]] must return the user's own text, and an exact
+    * paragraph match is byte-exact by definition. Fixed spans are
+    * alignment-sensitive (a shared paragraph is only seen when it starts
+    * at a span boundary in both docs — ParagraphDedupSpec constructs
+    * that); on delimiter-bearing corpora substitute the `\n` split and
+    * everything downstream is unchanged.
+    *
+    * Entirely map-side: split + span transform + posexplode, no shuffle.
+    */
+  def paragraphs(
+      docs: DataFrame,
+      parTokens: Int = 20,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    require(parTokens >= 1, s"parTokens ($parTokens) must be >= 1")
+    docs
+      .select(col(idCol),
+        filter(split(col(textCol), "\\s+"), w => w =!= lit("")).as("__w"))
+      .where(size(col("__w")) >= 1)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, int((size(__w) - 1) / $parTokens))," +
+          s" i -> array_join(slice(__w, i * $parTokens + 1, $parTokens), ' '))"))
+        .as(Seq("par_idx", "par_text")))
+  }
+
+  /** Paragraph-granularity EXACT dedup with document fold-back — the
+    * C4/Dolma stage the doc-level family can't express: a boilerplate
+    * paragraph shared by otherwise-distinct documents never lifts
+    * doc-level Jaccard above threshold (ParagraphDedupSpec proves
+    * [[minhashCandidates]] under-scores exactly that plant), but IS the
+    * bulk of web-corpus duplication.
+    *
+    * Semantics: a paragraph OCCURRENCE is a duplicate iff the identical
+    * paragraph text occurs at a strictly smaller (doc, par_idx) — first
+    * occurrence corpus-wide is the keeper, later ones (across OR within
+    * documents) are dropped. Per document: paragraph count, duplicate
+    * count, duplicated fraction, and the paragraph-stripped `kept_text`
+    * (keeper paragraphs rejoined in order — what the C4 pipeline writes).
+    *
+    * Scale shape: ONE shuffle keyed by the 256-bit paragraph hash (the
+    * [[exact]] discipline — 32-byte keys, never paragraph text) carries
+    * the keeper verdict as a window min riding that exchange, then one
+    * doc-keyed aggregate folds verdicts back; kept_text is bounded by one
+    * document per group. Occurrence keys encode as doc_id·10⁶ + par_idx
+    * (documents up to 2·10⁷ tokens at the default span — beyond that,
+    * widen the multiplier), keeping the window min a plain long, not a
+    * struct.
+    */
+  def paragraphDedup(
+      docs: DataFrame,
+      parTokens: Int = 20,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
+    val flagged = paragraphs(docs, parTokens, idCol, textCol)
+      .withColumn("__h", sha2(col("par_text"), 256))
+      .withColumn("__okey", col(idCol).cast("long") * lit(1000000L) + col("par_idx"))
+      .withColumn("__dup", col("__okey") =!= min(col("__okey")).over(wH))
+    val folded = flagged
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_pars"),
+        sum(when(col("__dup"), 1L).otherwise(0L)).as("dup_pars"),
+        graft.functions.Portable.pround(
+          sum(when(col("__dup"), 1L).otherwise(0L)).cast("double")
+            / count(lit(1)).cast("double"), 4).as("frac_dup_r"),
+        array_join(
+          transform(
+            array_sort(collect_list(
+              when(!col("__dup"), struct(col("par_idx"), col("par_text"))))),
+            s => s.getField("par_text")), " ").as("kept_text"))
+    // total over the corpus: token-less docs surface with zero paragraphs
+    docs
+      .select(col(idCol))
+      .join(folded, Seq(idCol), "left_outer")
+      .select(
+        col(idCol),
+        coalesce(col("n_pars"), lit(0L)).as("n_pars"),
+        coalesce(col("dup_pars"), lit(0L)).as("dup_pars"),
+        coalesce(col("frac_dup_r"), lit(0.0)).as("frac_dup_r"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
+  /** Paragraph-granularity NEAR-dup via the doc-level MinHash machinery,
+    * verbatim: [[paragraphs]] occurrences become pseudo-documents keyed
+    * doc_id·10⁶ + par_idx and flow through [[minhashCandidates]]
+    * unchanged (same banding, caps, audits), then paragraph-pair verdicts
+    * fold back to DOCUMENT pairs with the count of near-duplicate
+    * paragraph pairs linking them — the cross-doc boilerplate map at a
+    * granularity doc-level signatures dilute away. Intra-document pairs
+    * are dropped (self-boilerplate is [[paragraphDedup]]'s business).
+    *
+    * Scale shape = minhashCandidates' (banded, capped) plus one doc-pair
+    * aggregate over the candidate set.
+    */
+  def paragraphMinhashPairs(
+      docs: DataFrame,
+      parTokens: Int = 20,
+      shingleK: Int = 3,
+      numHashes: Int = 16,
+      bands: Int = 8,
+      maxBucket: Int = 1 << 12,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    val pseudo = paragraphs(docs, parTokens, idCol, textCol)
+      .select(
+        (col(idCol).cast("long") * lit(1000000L) + col("par_idx")).as("pid"),
+        col("par_text"))
+    minhashCandidates(pseudo, idCol = "pid", textCol = "par_text",
+      shingleK = shingleK, numHashes = numHashes, bands = bands,
+      maxBucket = maxBucket, dropAudit = dropAudit)
+      .select(
+        expr("doc1 div 1000000").as("doca"),
+        expr("doc2 div 1000000").as("docb"))
+      .where(col("doca") =!= col("docb"))
+      .groupBy(col("doca"), col("docb"))
+      .agg(count(lit(1)).as("n_par_pairs"))
+  }
 }

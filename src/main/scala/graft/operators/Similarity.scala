@@ -456,11 +456,22 @@ object Similarity {
       oversample: Int,
       capPerRound: Int): DataFrame = {
     val two60 = lit(1152921504606846976L).cast("decimal(38,0)")
+    // decimal(38,0) headroom for the verdict: LHS u·φ needs φ < 10³⁸/2⁶⁰
+    // ≈ 8.67e19; RHS ℓ·d²·2⁶⁰ needs d² < 10³⁸/(2⁶⁰·ℓ), and d² ≤ φ, so the
+    // binding bound is φ < 8.6e19/ℓ. φ is Σ of 1e6-quantized d², so this
+    // admits corpora up to ~10¹³/ℓ unit-scale total squared cost — enforced
+    // at runtime (raise_error) instead of silently overflowing under ANSI.
+    val phiLimit = 8.6e19 / math.max(1, oversample)
     val dmin = kmeansParallelD2(data, cDf)
       .groupBy(col("__id"))
       .agg(min(col("__d2i")).as("__d2"))
     dmin
-      .crossJoin(broadcast(dmin.agg(sum(col("__d2")).as("__phi"))))
+      .crossJoin(broadcast(dmin.agg(sum(col("__d2")).as("__phi"))
+        .withColumn("__phi",
+          when(col("__phi") < lit(phiLimit).cast("decimal(38,0)"), col("__phi"))
+            .otherwise(raise_error(concat(
+              lit(s"kmeans|| phi exceeds decimal(38,0) verdict headroom ($phiLimit): "),
+              col("__phi").cast("string"))).cast("long")))))
       .withColumn("__u",
         conv(substring(md5(concat(lit(s"kmpp:$r:"), col("__id"))), 1, 15), 16, 10)
           .cast("long"))

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Dedup
+
+/** Pins [[Dedup.paragraphDedup]] / [[Dedup.paragraphMinhashPairs]] — the
+  * C4/Dolma paragraph-granularity stage — on a planted corpus where ONE
+  * 20-token paragraph is shared across otherwise-distinct documents:
+  *
+  *  - paragraph exact dedup finds it (first occurrence keeps, the later
+  *    occurrence is stripped from kept_text, fraction reported);
+  *  - DOC-level exact set-similarity at the 0.5 dedup threshold provably
+  *    does NOT pair the two documents (the shared paragraph is a minority
+  *    of each doc's shingles) — the under-scoring the verdict asked the
+  *    spec to prove;
+  *  - paragraph MinHash sees the identical paragraph pair DETERMINISTICALLY
+  *    (identical text ⇒ identical signature ⇒ same band keys) and folds it
+  *    back to the (1,2) document pair;
+  *  - within-document repetition and empty documents behave per contract.
+  */
+class ParagraphDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def word(prefix: String, i: Int): String =
+    prefix + ('a' + i / 26).toChar + ('a' + i % 26).toChar
+
+  private lazy val parA      = (0 until 20).map(word("aaa", _)) // doc1 par 0
+  private lazy val parShared = (0 until 20).map(word("sha", _)) // planted
+  private lazy val parB      = (0 until 20).map(word("bbb", _)) // doc2 par 0
+  private lazy val parC      = (0 until 20).map(word("ccc", _)) // doc2 par 2
+  private lazy val parD      = (0 until 20).map(word("ddd", _)) // doc3, twice
+
+  private lazy val planted = Seq(
+    (1L, (parA ++ parShared).mkString(" ")),          // 2 pars, shared at idx 1
+    (2L, (parB ++ parShared ++ parC).mkString(" ")),  // 3 pars, shared at idx 1
+    (3L, (parD ++ parD).mkString(" ")),               // self-repeat
+    (4L, "")).toDF("doc_id", "text")                  // token-less
+
+  private lazy val folded =
+    Dedup.paragraphDedup(planted, parTokens = 20).orderBy("doc_id").collect()
+
+  test("first occurrence keeps; the later cross-doc occurrence is stripped") {
+    val byId = folded.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getDouble(3), r.getString(4))).toMap
+    assert(byId(1L) == ((2L, 0L, 0.0, (parA ++ parShared).mkString(" "))),
+      s"doc 1 must keep both paragraphs, got ${byId(1L)}")
+    assert(byId(2L) == ((3L, 1L, 0.3333, (parB ++ parC).mkString(" "))),
+      s"doc 2 must strip the shared paragraph (kept in doc 1), got ${byId(2L)}")
+  }
+
+  test("within-document repetition: the second copy is the duplicate") {
+    val r3 = folded.find(_.getLong(0) == 3L).get
+    assert((r3.getLong(1), r3.getLong(2), r3.getDouble(3), r3.getString(4)) ==
+      ((2L, 1L, 0.5, parD.mkString(" "))))
+  }
+
+  test("token-less documents surface with zero paragraphs and empty kept_text") {
+    val r4 = folded.find(_.getLong(0) == 4L).get
+    assert((r4.getLong(1), r4.getLong(2), r4.getDouble(3), r4.getString(4)) ==
+      ((0L, 0L, 0.0, "")))
+  }
+
+  test("doc-level exact set-similarity at 0.5 provably misses the planted share") {
+    // the shared paragraph is ≤ 1/3 of either doc's shingles — doc-level
+    // Jaccard sits far under the dedup threshold, so the pairwise family
+    // cannot see what the paragraph stage reports
+    val docPairs = Dedup
+      .prefixJaccardJoin(planted.where(col("doc_id").isin(1L, 2L)), threshold = 0.5)
+      .collect()
+    assert(docPairs.isEmpty, s"expected no doc-level pair, got ${docPairs.toSeq}")
+  }
+
+  test("paragraph MinHash deterministically pairs docs 1 and 2 via the identical paragraph") {
+    val got = Dedup
+      .paragraphMinhashPairs(planted, parTokens = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 1L),
+      s"identical paragraphs share every band key — pair (1,2) is guaranteed; got ${got.toSeq}")
+  }
+}
