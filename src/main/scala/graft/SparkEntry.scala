@@ -2816,6 +2816,16 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // -- the production CCNet filter stage: per-doc Kneser–Ney bigram
+    //    PERPLEXITY cut into per-language head/middle/tail terciles —
+    //    q_quality_buckets' shape with the better LM (q_kn_lm's model);
+    //    bigram-less docs surface as tier 'short', never dropped silently
+    "q_kn_ppl_buckets" -> ((s, dir) => {
+      operators.CorpusClean
+        .knPplBuckets(t(s, dir, "documents"), nb = 3)
+        .orderBy("doc_id")
+    }),
+
     // -- token-budget mixture sampling: greedy per-language prefix in
     //    deterministic md5 order until each language's budget is spent
     "q_mixture_sample" -> ((s, dir) => {
@@ -5233,6 +5243,46 @@ object SparkEntry {
   }
 
   /** Shared DuckDB CTE: the reference tokenizer over `documents`. */
+  /** DuckDB CTE chain ending in `sc(doc_id, n_big, mlp)` — the interpolated
+    * Kneser–Ney bigram scorer mirror (TextAnalysis.knBigramLogProbScore):
+    * every model count exact-integer, the one derived constant D
+    * 6-dp-rounded before use, the per-bigram term the IDENTICAL
+    * left-associated double expression as the Spark side. Shared by
+    * q_kn_lm and q_kn_ppl_buckets.
+    */
+  private val KnScoreCtes =
+    """t0 AS (
+           SELECT doc_id,
+                  list_filter(
+                    list_transform(regexp_split_to_array(text, '\s+'),
+                                   x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
+                    w -> w <> '') AS toks
+           FROM documents),
+         big AS (
+           SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
+           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
+                 FROM t0 WHERE len(toks) >= 2) u),
+         c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY 1, 2),
+         ctx AS (SELECT w1, sum(n2)::BIGINT AS c1, count(*) AS fanout
+                 FROM c2 GROUP BY 1),
+         cont AS (SELECT w2, count(*) AS contw2 FROM c2 GROUP BY 1),
+         tot AS (SELECT count(*) AS btypes,
+                        sum(CASE WHEN n2 = 1 THEN 1 ELSE 0 END)::BIGINT AS t1,
+                        sum(CASE WHEN n2 = 2 THEN 1 ELSE 0 END)::BIGINT AS t2
+                 FROM c2),
+         d0 AS (SELECT btypes,
+                       CASE WHEN t1 + 2 * t2 = 0 THEN 0.5
+                            ELSE floor((t1::DOUBLE / (t1 + 2 * t2)::DOUBLE) * 1e6 + 0.5) / 1e6
+                       END AS dd
+                FROM tot),
+         sc AS (
+           SELECT doc_id, count(*) AS n_big,
+                  avg(ln(greatest(n2 - dd, 0.0) / c1 +
+                         dd * fanout / c1 * (contw2::DOUBLE / btypes::DOUBLE))) AS mlp
+           FROM big JOIN c2 USING (w1, w2) JOIN ctx USING (w1)
+           JOIN cont USING (w2) CROSS JOIN d0
+           GROUP BY doc_id)"""
+
   private val TokCte =
     """tok AS (
          SELECT doc_id, w AS word FROM (
@@ -11420,40 +11470,27 @@ object SparkEntry {
     // derived constant D 6-dp-rounded before use, the per-bigram term the
     // IDENTICAL left-associated double expression as the Spark side
     "q_kn_lm" ->
-      """WITH t0 AS (
-           SELECT doc_id,
-                  list_filter(
-                    list_transform(regexp_split_to_array(text, '\s+'),
-                                   x -> regexp_replace(lower(x), '[^a-z]', '', 'g')),
-                    w -> w <> '') AS toks
-           FROM documents),
-         big AS (
-           SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2
-           FROM (SELECT doc_id, toks, unnest(range(1, len(toks))) AS i
-                 FROM t0 WHERE len(toks) >= 2) u),
-         c2 AS (SELECT w1, w2, count(*) AS n2 FROM big GROUP BY 1, 2),
-         ctx AS (SELECT w1, sum(n2)::BIGINT AS c1, count(*) AS fanout
-                 FROM c2 GROUP BY 1),
-         cont AS (SELECT w2, count(*) AS contw2 FROM c2 GROUP BY 1),
-         tot AS (SELECT count(*) AS btypes,
-                        sum(CASE WHEN n2 = 1 THEN 1 ELSE 0 END)::BIGINT AS t1,
-                        sum(CASE WHEN n2 = 2 THEN 1 ELSE 0 END)::BIGINT AS t2
-                 FROM c2),
-         d0 AS (SELECT btypes,
-                       CASE WHEN t1 + 2 * t2 = 0 THEN 0.5
-                            ELSE floor((t1::DOUBLE / (t1 + 2 * t2)::DOUBLE) * 1e6 + 0.5) / 1e6
-                       END AS dd
-                FROM tot),
-         sc AS (
-           SELECT doc_id, count(*) AS n_big,
-                  avg(ln(greatest(n2 - dd, 0.0) / c1 +
-                         dd * fanout / c1 * (contw2::DOUBLE / btypes::DOUBLE))) AS mlp
-           FROM big JOIN c2 USING (w1, w2) JOIN ctx USING (w1)
-           JOIN cont USING (w2) CROSS JOIN d0
-           GROUP BY doc_id)
+      s"""WITH $KnScoreCtes
          SELECT d.doc_id, coalesce(n_big, 0) AS n_big,
                 floor((coalesce(mlp, 0.0)) * 1e4 + 0.5) / 1e4 AS mean_lp
          FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""",
+    // the same KN model composed into the CCNet filter stage: per-language
+    // perplexity terciles on the 4-dp-rounded score (doc_id tiebreak),
+    // bigram-less docs tiered 'short' with bucket 0
+    "q_kn_ppl_buckets" ->
+      s"""WITH $KnScoreCtes,
+         all0 AS (SELECT d.doc_id, d.lang, coalesce(n_big, 0) AS n_big,
+                         floor((coalesce(mlp, 0.0)) * 1e4 + 0.5) / 1e4 AS mean_lp
+                  FROM documents d LEFT JOIN sc USING (doc_id)),
+         pos AS (SELECT *, (ntile(3) OVER (PARTITION BY lang ORDER BY mean_lp DESC, doc_id))::INTEGER AS bucket
+                 FROM all0 WHERE n_big > 0),
+         neg AS (SELECT *, 0::INTEGER AS bucket FROM all0 WHERE n_big = 0),
+         u AS (SELECT * FROM pos UNION ALL SELECT * FROM neg)
+         SELECT doc_id, lang, n_big, mean_lp,
+                floor(exp(-mean_lp) * 1e4 + 0.5) / 1e4 AS ppl_r, bucket,
+                CASE WHEN bucket = 0 THEN 'short' WHEN bucket = 1 THEN 'head'
+                     WHEN bucket = 3 THEN 'tail' ELSE 'middle' END AS tier
+         FROM u ORDER BY doc_id""",
     "q_embed_int8" ->
       """WITH q AS (
            SELECT vec_id, embedding,

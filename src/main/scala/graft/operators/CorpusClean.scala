@@ -186,6 +186,17 @@ object CorpusClean {
     val rows = docs
       .select(col(idCol), col("lang"))
       .join(scored.select(col(idCol), col("r_lp")), Seq(idCol))
+    tieredByScore(rows, nb, idCol)
+      .select(col(idCol), col("lang"), col("r_lp").as("mean_lp"), col("bucket"), col("tier"))
+  }
+
+  /** The distributed-ntile tail of [[qualityBuckets]], shared with
+    * [[knPplBuckets]]: adds (bucket, tier) to `rows` carrying
+    * (idCol, lang, r_lp [4-dp-quantized score], …) — row-identical to
+    * `ntile(nb) OVER (PARTITION BY lang ORDER BY r_lp DESC, id)`. Extra
+    * columns pass through untouched.
+    */
+  private def tieredByScore(rows: DataFrame, nb: Int, idCol: String): DataFrame = {
     // pass 1: per-(lang, score) tie counts → cumulative higher-score count
     // (base) + language total (n); metadata-scale windows
     val wScores = Window.partitionBy(col("lang")).orderBy(desc("r_lp"))
@@ -214,7 +225,39 @@ object CorpusClean {
         when(col("bucket") === 1, "head")
           .when(col("bucket") === nb, "tail")
           .otherwise("middle"))
-      .select(col(idCol), col("lang"), col("r_lp").as("mean_lp"), col("bucket"), col("tier"))
+      .drop("__base", "__n")
+  }
+
+  /** The production CCNet filter stage proper: bucket DOCUMENTS by
+    * Kneser–Ney bigram-LM perplexity into per-language head/middle/tail
+    * terciles — [[qualityBuckets]]'s shape with the better LM
+    * ([[TextAnalysis.knBigramLogProbScore]]; CCNet's KenLM stage is
+    * modified KN). Perplexity = exp(−mean log-prob), so head = lowest
+    * perplexity = highest mean_lp; ordering runs on the 4-dp-rounded
+    * score (doc-id tiebreak) so both engines tier identically. Documents
+    * with <2 tokens have no bigrams and no defined perplexity — CCNet
+    * drops them; here they surface as bucket 0 / tier 'short' instead of
+    * vanishing.
+    *
+    * Scale shape: the KN scorer's aggregates (type-relation-bounded) plus
+    * [[tieredByScore]]'s metadata-windowed ntile — no per-language global
+    * sort anywhere.
+    */
+  def knPplBuckets(docs: DataFrame, nb: Int = 3,
+      idCol: String = "doc_id", textCol: String = "text"): DataFrame = {
+    val rows = docs
+      .select(col(idCol), col("lang"))
+      .join(TextAnalysis.knBigramLogProbScore(docs, idCol, textCol), Seq(idCol))
+      .withColumn("r_lp", col("mean_lp"))
+    val tiered = tieredByScore(rows.where(col("n_big") > 0), nb, idCol)
+    val shorts = rows
+      .where(col("n_big") === 0)
+      .withColumn("bucket", lit(0).cast("int"))
+      .withColumn("tier", lit("short"))
+    tiered.unionByName(shorts)
+      .select(col(idCol), col("lang"), col("n_big"), col("mean_lp"),
+        Portable.pround(exp(-col("mean_lp")), 4).as("ppl_r"),
+        col("bucket"), col("tier"))
   }
 
   /** Token-budget mixture sampling: each language contributes documents —

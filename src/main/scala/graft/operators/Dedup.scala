@@ -1605,6 +1605,25 @@ object Dedup {
           .cast("int").as("is_opt"))
   }
 
+  /** The planner-driven band choice for [[minhashCandidates]]: the
+    * equal-weight (FP+FN) argmin factorization from [[lshPlan]], as a
+    * drop-in `bands` argument. The SHIPPED default stays b=8,r=2 —
+    * recall-leaning (FN 0.007 at threshold 0.5 vs the argmin's balance) —
+    * intentionally: banding FNs are unrecoverable (the pair never reaches
+    * verification) while banding FPs only cost verify work that the exact
+    * Jaccard/edit stage discards anyway. LshPlanDefaultSpec pins both the
+    * FN bound that makes the default defensible and this helper's argmin.
+    * Divisor-count-sized driver state (one collect of ≤ d(numHashes) rows).
+    */
+  def plannedBands(
+      spark: org.apache.spark.sql.SparkSession,
+      numHashes: Int = 16,
+      threshold: Double = 0.5): Int =
+    lshPlan(spark, numHashes, threshold)
+      .where(col("is_opt") === 1)
+      .select(col("bands"))
+      .collect()(0).getInt(0)
+
   /** Edit-distance verification of banded near-dup candidates — the other
     * standard verify metric next to exact shingle Jaccard
     * (q_dedup_end2end): Levenshtein distance over the NORMALIZED
