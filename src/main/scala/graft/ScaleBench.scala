@@ -130,7 +130,8 @@ object ScaleBench {
     factors.foreach { f =>
       val wantD = Seq("simhash_pairs", "setsim_join", "setsim_capped",
         "dedup_wminhash", "dup_exposure", "dup_exposure_hashed",
-        "dedup_edit").exists(want)
+        "dedup_edit", "dedup_substr", "minhash_amortize",
+        "wminhash_amortize", "bm25_amortize").exists(want)
       // materialize the replicated input first: the timed region measures
       // the pair generator over an existing table, not the replication
       val d = if (wantD) replicated(docs, "doc_id", f).localCheckpoint(true) else null
@@ -270,6 +271,112 @@ object ScaleBench {
       clearExcept(dIds)
       }
 
+      // exact substring-overlap dedup under the duplicate-dense load (r17
+      // verdict task 2): verbatim replicas share their ENTIRE text, so
+      // every anchor gram's df multiplies by f and each replica family's
+      // matched-anchor join mass approaches (tokens/doc)·f²/2 — exactly
+      // the duplicate-dense corpora this operator exists for. The dfCap
+      // stop-shingle cut is the declared bound (per-gram pair work ≤
+      // dfCap²/2); the audit lines carry what it cut.
+      if (want("dedup_substr")) {
+      val aud = new org.apache.spark.sql.Observation(s"dedup_substr_$f")
+      var spans = 0L
+      val dsSec = time {
+        spans = Dedup.substringOverlapPairs(d, minTokens = 50, anchorK = 8,
+          dfCap = 100, dropAudit = Some(aud)).count()
+      }
+      val am = aud.get
+      println(
+        s"""{"pipeline":"dedup_substr","factor":$f,"mode":"bounded","sec":${f"$dsSec%.3f"},""" +
+        s""""spans":$spans,"anchor_df_cap":100,""" +
+        s""""dropped_buckets":${am.getOrElse("dropped_buckets", 0L)},""" +
+        s""""dropped_members":${am.getOrElse("dropped_members", 0L)},""" +
+        s""""retained_pair_bound":${am.getOrElse("retained_pair_bound", 0L)}}""")
+      clearExcept(dIds)
+      }
+
+      // build-once amortization, MEASURED (r17 verdict task 3): the
+      // *_indexed family claims "build once, query many" but every bench
+      // row rebuilds inline. Split the three numbers the claim is made of:
+      // build_sec (one corpus pass to the materialized index), serve_sec
+      // (one candidate pass FROM the index), inline_sec (the same
+      // candidates with the signature pass inlined). Amortization holds
+      // iff serve < inline; build/(inline − serve) serves pay it off.
+      if (want("minhash_amortize")) {
+      var idx: DataFrame = null
+      val buildSec = time {
+        idx = Dedup.minhashIndex(d, shingleK = 3, numHashes = 16, bands = 8)
+        idx.count() // localCheckpoint inside minhashIndex — count forces it
+      }
+      var served = 0L
+      val serveSec = time {
+        served = Dedup.candidatesFromIndex(idx, maxBucket = cap).count()
+      }
+      var inline = 0L
+      val inlineSec = time {
+        inline = Dedup.minhashCandidates(d, shingleK = 3, numHashes = 16,
+          bands = 8, maxBucket = cap).count()
+      }
+      println(
+        s"""{"pipeline":"minhash_amortize","factor":$f,"mode":"bounded","sec":${f"${buildSec + serveSec}%.3f"},""" +
+        s""""build_sec":${f"$buildSec%.3f"},"serve_sec":${f"$serveSec%.3f"},""" +
+        s""""inline_sec":${f"$inlineSec%.3f"},"pairs":$served,"pairs_inline":$inline}""")
+      clearExcept(dIds)
+      }
+
+      // the weighted twin: the ICWS draw table + banded signature index
+      // is the expensive build; serving candidates from it should cost
+      // the band/cap tail alone
+      if (want("wminhash_amortize")) {
+      var wIdx: Dedup.WminhashIndex = null
+      val buildSec = time {
+        wIdx = Dedup.wminhashIndex(d, shingleK = 3, numHashes = 16, bands = 8)
+        wIdx.index.count()
+      }
+      var served = 0L
+      val serveSec = time {
+        served = Dedup.candidatesFromIndex(wIdx.index, maxBucket = cap).count()
+      }
+      var inline = 0L
+      val inlineSec = time {
+        inline = Dedup.weightedMinhashCandidates(d, shingleK = 3,
+          numHashes = 16, bands = 8, maxBucket = cap).count()
+      }
+      println(
+        s"""{"pipeline":"wminhash_amortize","factor":$f,"mode":"bounded","sec":${f"${buildSec + serveSec}%.3f"},""" +
+        s""""build_sec":${f"$buildSec%.3f"},"serve_sec":${f"$serveSec%.3f"},""" +
+        s""""inline_sec":${f"$inlineSec%.3f"},"pairs":$served,"pairs_inline":$inline}""")
+      clearExcept(dIds)
+      }
+
+      // BM25 build/serve split on the replicated corpus: the tf-postings
+      // + doc-length sidecar is the index; the query path reads ONLY it
+      if (want("bm25_amortize")) {
+      val terms = Seq("spark", "vector", "window")
+      var tf: DataFrame = null
+      var dl: DataFrame = null
+      val buildSec = time {
+        val toks = Tokenize.tokens(d, "text", Seq("doc_id"))
+        tf = graft.operators.InvertedIndex.tfPostings(toks).localCheckpoint(true)
+        dl = graft.operators.InvertedIndex.docLengths(toks).localCheckpoint(true)
+        tf.count(); dl.count()
+      }
+      var served = 0L
+      val serveSec = time {
+        served = graft.operators.Search.bm25Indexed(tf, dl, terms).count()
+      }
+      var inline = 0L
+      val inlineSec = time {
+        inline = graft.operators.Search
+          .bm25Query(Tokenize.tokens(d, "text", Seq("doc_id")), terms).count()
+      }
+      println(
+        s"""{"pipeline":"bm25_amortize","factor":$f,"mode":"linear","sec":${f"${buildSec + serveSec}%.3f"},""" +
+        s""""build_sec":${f"$buildSec%.3f"},"serve_sec":${f"$serveSec%.3f"},""" +
+        s""""inline_sec":${f"$inlineSec%.3f"},"hits":$served,"hits_inline":$inline}""")
+      clearExcept(dIds)
+      }
+
       // the cluster-default key mode (r14): identical output through an
       // xxhash64 long shuffle key — on localhost the hash work is the
       // only delta (the r13 measured trade), on a network-bound cluster
@@ -287,6 +394,196 @@ object ScaleBench {
       // replicated media/edges at once
       if (wantD) d.unpersist()
       clearExcept(Set.empty)
+
+      // incremental weighted dedup at batch scale (r17 verdict task 2):
+      // the corpus SNAPSHOT is fixed (base sf, frozen draw table built
+      // once, outside the timed region — that's the production contract),
+      // the incoming batch grows ×f with every batch doc a verbatim copy
+      // of a corpus doc — the worst case for the product-capped buckets,
+      // since each corpus band bucket attracts f times the batch members.
+      // cross_sec should be linear in batch volume; the product-cap audit
+      // carries what saturated buckets cut.
+      if (want("wminhash_cross")) {
+      var snap: Dedup.WminhashIndex = null
+      val buildSec = time {
+        snap = Dedup.wminhashIndex(docs, shingleK = 3, numHashes = 16, bands = 8)
+        snap.index.count()
+      }
+      val batch = replicated(
+        docs.select((col("doc_id") + 500000000L).as("doc_id"), col("text")),
+        "doc_id", f).localCheckpoint(true)
+      val aud = new org.apache.spark.sql.Observation(s"wminhash_cross_$f")
+      var dups = 0L
+      val xSec = time {
+        dups = Dedup.wminhashCrossDups(snap, batch, threshold = 0.5,
+          shingleK = 3, numHashes = 16, bands = 8, maxBucket = cap,
+          dropAudit = Some(aud)).count()
+      }
+      val am = aud.get
+      println(
+        s"""{"pipeline":"wminhash_cross","factor":$f,"mode":"bounded","sec":${f"$xSec%.3f"},""" +
+        s""""build_sec":${f"$buildSec%.3f"},"dups":$dups,""" +
+        s""""dropped_buckets":${am.getOrElse("dropped_buckets", 0L)},""" +
+        s""""dropped_members":${am.getOrElse("dropped_members", 0L)},""" +
+        s""""retained_pair_bound":${am.getOrElse("retained_pair_bound", 0L)}}""")
+      batch.unpersist()
+      clearExcept(Set.empty)
+      }
+
+      // the composed LLM-curation pipeline (r17 verdict task 7): every
+      // stage is benched alone elsewhere — the production shape is the
+      // COMPOSITION, and its scale risk is a stage whose share grows
+      // superlinearly. Replication perturbs each replica's text with a
+      // distinct trailing token, so exact dedup does NOT collapse the
+      // corpus (replica families stay near-dup, not verbatim-dup) and
+      // every stage downstream of it pays its honest ×f price; near-dup
+      // banding then faces f-sized replica families — the capped-bucket
+      // load. Stage splits ride the line; a flat share profile across
+      // factors is the pass criterion.
+      if (want("curate_llm")) {
+      val baseFull = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "lang", "source", "text")
+      val full = (if (f == 1) baseFull
+        else baseFull
+          .withColumn("__rep", explode(sequence(lit(0), lit(f - 1))))
+          .withColumn("doc_id", col("doc_id") + col("__rep").cast("long") * 1000000000L)
+          .withColumn("text", concat(col("text"), lit(" rep"), col("__rep")))
+          .drop("__rep")).localCheckpoint(true)
+      val n0 = full.count()
+      // 1: PII redaction — map-side
+      var red: DataFrame = null
+      val s1 = time {
+        red = full
+          .withColumn("text", graft.operators.CorpusClean.redactPii(col("text")))
+          .localCheckpoint(true)
+        red.count()
+      }
+      // 2: quality gate — map-side filter (the q_curate_pipeline gate)
+      var gated: DataFrame = null
+      val s2 = time {
+        gated = red
+          .withColumn("n_ws", graft.functions.TextAnalysis.wsTokenCount(col("text")))
+          .withColumn("n_alpha", size(Tokenize.tokenArray(col("text"))))
+          .where(col("n_ws").between(5, 2000) &&
+            col("n_alpha").cast("double") >= col("n_ws").cast("double") * 0.5)
+          .select("doc_id", "lang", "source", "text")
+          .localCheckpoint(true)
+        gated.count()
+      }
+      // 3: exact dedup, keep-min on the content hash — one 32-byte-key shuffle
+      var exact: DataFrame = null
+      val s3 = time {
+        exact = gated
+          .groupBy(sha2(col("text"), 256).as("__h"))
+          .agg(min_by(struct(col("doc_id"), col("lang"), col("source"), col("text")),
+            col("doc_id")).as("r"))
+          .select(col("r.doc_id"), col("r.lang"), col("r.source"), col("r.text"))
+          .localCheckpoint(true)
+        exact.count()
+      }
+      // 4: minhash near-dup — index → banded candidates → exact-Jaccard
+      // verify → connected components → keeper filter (q_dedup_end2end)
+      var neardup: DataFrame = null
+      val s4 = time {
+        val idx = Dedup.minhashIndex(exact, shingleK = 3, numHashes = 16, bands = 8)
+        val cand = Dedup.candidatesFromIndex(idx, maxBucket = cap).localCheckpoint(true)
+        val candDocs = cand.select(col("doc1").as("doc_id"))
+          .unionAll(cand.select(col("doc2").as("doc_id"))).distinct()
+        val sh = idx.select(col("doc_id"), col("sh"))
+          .join(candDocs, Seq("doc_id"), "left_semi")
+        val inter = size(array_intersect(col("sh1"), col("sh2")))
+        val verified = cand
+          .join(sh.select(col("doc_id").as("doc1"), col("sh").as("sh1")), Seq("doc1"))
+          .join(sh.select(col("doc_id").as("doc2"), col("sh").as("sh2")), Seq("doc2"))
+          .where(inter.cast("double") /
+            (size(col("sh1")) + size(col("sh2")) - inter) >= 0.5)
+          .select(col("doc1"), col("doc2"))
+        neardup = exact
+          .join(Dedup.duplicateGroups(verified), Seq("doc_id"), "left")
+          .where(coalesce(col("group_id"), col("doc_id")) === col("doc_id"))
+          .select("doc_id", "lang", "source", "text")
+          .localCheckpoint(true)
+        neardup.count()
+      }
+      // 5: decontamination against a fixed benchmark set (base ids ≤ 5)
+      var clean: DataFrame = null
+      val s5 = time {
+        clean = neardup.join(
+          graft.functions.TextAnalysis
+            .decontaminate(neardup, baseFull.where(col("doc_id") <= 5),
+              k = 5, maxOverlap = 1)
+            .select("doc_id"), Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+        clean.count()
+      }
+      // 6: token-budget mixture sample (budgets scale with the corpus so
+      // the packing stage below keeps its ×f load)
+      var sampled: DataFrame = null
+      val s6 = time {
+        sampled = clean.join(
+          graft.operators.CorpusClean.mixtureSample(clean,
+            Map("en" -> 5000L * f, "de" -> 2000L * f, "es" -> 2000L * f,
+              "fr" -> 2000L * f, "zh" -> 1000L * f))
+            .select("doc_id"), Seq("doc_id"), "left_semi")
+          .localCheckpoint(true)
+        sampled.count()
+      }
+      // 7: sequence packing into 2048-token packs + manifests
+      var packs = 0L
+      val s7 = time {
+        packs = graft.operators.Packing
+          .packContents(graft.operators.Packing.packByOffset(sampled, budget = 2048))
+          .count()
+      }
+      val nOut = sampled.count()
+      val total = s1 + s2 + s3 + s4 + s5 + s6 + s7
+      println(
+        s"""{"pipeline":"curate_llm","factor":$f,"mode":"bounded","sec":${f"$total%.3f"},""" +
+        s""""pii_sec":${f"$s1%.3f"},"gate_sec":${f"$s2%.3f"},"exact_sec":${f"$s3%.3f"},""" +
+        s""""neardup_sec":${f"$s4%.3f"},"decontam_sec":${f"$s5%.3f"},""" +
+        s""""sample_sec":${f"$s6%.3f"},"pack_sec":${f"$s7%.3f"},""" +
+        s""""docs_in":$n0,"docs_out":$nOut,"packs":$packs}""")
+      full.unpersist()
+      clearExcept(Set.empty)
+      }
+
+      // IVF-PQ build/serve split on the replicated vector corpus: the
+      // coarse-assign + PQ-encode pass is the build; ADC queries read the
+      // codes + the tiny centroid/codebook tables only
+      if (want("ivfpq_amortize")) {
+      val e = replicated(embs, "vec_id", f).localCheckpoint(true)
+      val cents = embs.where(col("vec_id") < 8)
+      val queries = embs.where(col("vec_id").between(8, 17))
+      val codebooks = (0 until 4)
+        .map(sub => cents.select(
+          lit(sub).as("sub"),
+          col("vec_id").as("code_id"),
+          slice(col("embedding"), sub * 16 + 1, 16).as("cw")))
+        .reduce(_ unionAll _)
+      val corpus = e.where(col("vec_id") >= 18)
+      var pqIdx: DataFrame = null
+      val buildSec = time {
+        pqIdx = Similarity.ivfpqIndex(corpus, cents, codebooks, m = 4, subDim = 16)
+          .localCheckpoint(true)
+        pqIdx.count()
+      }
+      var served = 0L
+      val serveSec = time {
+        served = Similarity.ivfpqSearchIndexed(pqIdx, cents, codebooks, queries,
+          k = 5, nprobe = 2, m = 4, subDim = 16).count()
+      }
+      var inline = 0L
+      val inlineSec = time {
+        inline = Similarity.ivfpqSearch(corpus, cents, codebooks, queries,
+          k = 5, nprobe = 2, m = 4, subDim = 16).count()
+      }
+      println(
+        s"""{"pipeline":"ivfpq_amortize","factor":$f,"mode":"bounded","sec":${f"${buildSec + serveSec}%.3f"},""" +
+        s""""build_sec":${f"$buildSec%.3f"},"serve_sec":${f"$serveSec%.3f"},""" +
+        s""""inline_sec":${f"$inlineSec%.3f"},"hits":$served,"hits_inline":$inline}""")
+      e.unpersist()
+      clearExcept(Set.empty)
+      }
 
       // video near-dup under duplicate-dense replication (r13 task 3):
       // replicate the MEDIA records (bytes identical, ids shifted) so
