@@ -155,6 +155,27 @@ object Bench {
     try run(spark.read.parquet(s"$sfDir/lineitem.parquet").limit(1))
     catch { case _: Throwable => () }
 
+    // ISOLATED adjudication mode (the min-of-5 protocol the sweep flags
+    // get adjudicated by, previously run via scratch drivers): named
+    // queries only, five fenced samples each, one JSON line per query,
+    // and NO artifact write — BENCH_FULL stays the sweep's.
+    if (args.nonEmpty) {
+      args.foreach { name =>
+        SparkEntry.queries.get(name) match {
+          case None => println(s"""{"query":"$name","err":"unknown"}""")
+          case Some(fn) =>
+            val ss = (1 to 5).map { _ =>
+              clearRddStorage()
+              time(try run(fn(spark, sfDir)) catch { case _: Throwable => () })
+            }
+            def fm(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
+            println(s"""{"query":"$name","min":${fm(ss.min)},"samples":[${ss.map(fm).mkString(",")}],"sf":"$sfDir"}""")
+        }
+      }
+      spark.stop()
+      return
+    }
+
     // the BASELINE.md workload itself, FIRST, on a quiet heap: the
     // reference's large corpus (355 docs, ~1.04M tokens; reference
     // sequential wall time 2.47 s). The cold run pays file listing, plan

@@ -195,7 +195,13 @@ object ExplainAudit {
     // downstream relations vocabulary- or domain-sized)
     // r17: edit-distance verify over banded candidates (the levenshtein
     // DP must sit ABOVE the capped candidate join, never on all pairs)
-    "q_kn_lm", "q_doremi", "q_dedup_edit", "q_lsh_plan")
+    "q_kn_lm", "q_doremi", "q_dedup_edit", "q_lsh_plan",
+    // round 18: paragraph-granularity dedup (hash-keyed window min +
+    // doc fold-back; the minhash twin must reuse the banded candidate
+    // shape over paragraph pseudo-docs), KN-perplexity terciles (the
+    // KN scorer's plan + the metadata-windowed distributed ntile — no
+    // per-language global sort may appear)
+    "q_dedup_paragraph", "q_dedup_paragraph_mh", "q_kn_ppl_buckets")
 
   /** Termination contract per iterative loop (r15 verdict task 8): every
     * key in [[iterativeBodies]] must declare HOW its driver loop ends —
