@@ -201,7 +201,10 @@ object ExplainAudit {
     // shape over paragraph pseudo-docs), KN-perplexity terciles (the
     // KN scorer's plan + the metadata-windowed distributed ntile — no
     // per-language global sort may appear)
-    "q_dedup_paragraph", "q_dedup_paragraph_mh", "q_kn_ppl_buckets")
+    "q_dedup_paragraph", "q_dedup_paragraph_mh", "q_kn_ppl_buckets",
+    // round 18: the substring-dedup strip action (interval island-merge
+    // must run BEFORE position expansion — doc-partitioned windows only)
+    "q_dedup_substr_strip")
 
   /** Termination contract per iterative loop (r15 verdict task 8): every
     * key in [[iterativeBodies]] must declare HOW its driver loop ends —

@@ -1668,6 +1668,17 @@ object SparkEntry {
         .orderBy("doc1", "doc2", "start1", "start2")
     }),
 
+    // -- the substring-dedup ACTION (Lee et al. delete all but one
+    //    occurrence): doc2-side spans stripped — lowest-id holder keeps —
+    //    intervals island-merged per doc BEFORE position expansion, text
+    //    rebuilt over the normalized token stream the spans live on
+    "q_dedup_substr_strip" -> ((s, dir) => {
+      Dedup
+        .substringStrip(t(s, dir, "documents"),
+          minTokens = 50, anchorK = 8, dfCap = 100)
+        .orderBy("doc_id")
+    }),
+
     // -- WEIGHTED candidates served from the PREBUILT ICWS index (r16
     //    judge task 2): the draw table + per-doc band keys are built once
     //    per corpus snapshot and banding serves from the materialized
@@ -4927,8 +4938,12 @@ object SparkEntry {
     * per-position anchorK-gram md5 anchors, same df cap, same
     * gaps-and-islands maximal-run reconstruction.
     */
-  private def substrOverlapSql(minTokens: Int, anchorK: Int, dfCap: Int): String =
-    s"""WITH toks0 AS (
+  /** CTE chain ending in `spans(doc1, doc2, start1, start2, span_len)` —
+    * the Dedup.substringOverlapPairs mirror, shared by q_dedup_substr and
+    * the strip-action q_dedup_substr_strip.
+    */
+  private def substrSpanCtes(minTokens: Int, anchorK: Int, dfCap: Int): String =
+    s"""toks0 AS (
           SELECT doc_id,
                  list_filter(
                    list_transform(regexp_split_to_array(text, '\\s+'),
@@ -4951,12 +4966,48 @@ object SparkEntry {
                         p1 - row_number() OVER (PARTITION BY doc1, doc2, off ORDER BY p1) AS grp
                  FROM m),
         sp AS (SELECT doc1, doc2, off, min(p1) AS s1, count(*) AS mc
-               FROM runs GROUP BY doc1, doc2, off, grp)
-        SELECT doc1, doc2, s1::BIGINT AS start1, (s1 + off)::BIGINT AS start2,
-               (mc + $anchorK - 1)::BIGINT AS span_len
-        FROM sp
-        WHERE mc + $anchorK - 1 >= $minTokens
-        ORDER BY doc1, doc2, start1, start2"""
+               FROM runs GROUP BY doc1, doc2, off, grp),
+        spans AS (SELECT doc1, doc2, s1::BIGINT AS start1, (s1 + off)::BIGINT AS start2,
+                         (mc + $anchorK - 1)::BIGINT AS span_len
+                  FROM sp
+                  WHERE mc + $anchorK - 1 >= $minTokens)"""
+
+  private def substrOverlapSql(minTokens: Int, anchorK: Int, dfCap: Int): String =
+    s"""WITH ${substrSpanCtes(minTokens, anchorK, dfCap)}
+        SELECT doc1, doc2, start1, start2, span_len
+        FROM spans ORDER BY doc1, doc2, start1, start2"""
+
+  /** DuckDB mirror of Dedup.substringStrip: doc2-side intervals DISTINCT,
+    * gaps-and-islands union per doc (running-max-end frame — tie rows
+    * carry identical values, engine-order-safe), positions from merged
+    * islands only, left-join verdict onto the positional token stream,
+    * ordered string_agg rebuild.
+    */
+  private def substrStripSql(minTokens: Int, anchorK: Int, dfCap: Int): String =
+    s"""WITH ${substrSpanCtes(minTokens, anchorK, dfCap)},
+        iv AS (SELECT DISTINCT doc2 AS doc_id, start2 AS s, start2 + span_len AS e FROM spans),
+        mi AS (SELECT doc_id, s, e,
+                      max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pmax
+               FROM iv),
+        mo AS (SELECT doc_id, s, e,
+                      sum(CASE WHEN pmax IS NULL OR s > pmax THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY doc_id ORDER BY s, e
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+               FROM mi),
+        mg AS (SELECT doc_id, min(s) AS s, max(e) AS e FROM mo GROUP BY doc_id, isl),
+        sps AS (SELECT doc_id, unnest(range(s, e)) AS p, TRUE AS strip FROM mg),
+        tp AS (SELECT doc_id, i - 1 AS p, toks[i] AS w
+               FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM toks0)),
+        vd AS (SELECT tp.doc_id, count(*) AS n_toks,
+                      sum(CASE WHEN sps.strip THEN 1 ELSE 0 END)::BIGINT AS n_stripped,
+                      string_agg(CASE WHEN sps.strip IS NULL THEN tp.w END, ' ' ORDER BY tp.p) AS kept_text
+               FROM tp LEFT JOIN sps ON sps.doc_id = tp.doc_id AND sps.p = tp.p
+               GROUP BY tp.doc_id)
+        SELECT d.doc_id, coalesce(n_toks, 0) AS n_toks,
+               coalesce(n_stripped, 0) AS n_stripped,
+               coalesce(kept_text, '') AS kept_text
+        FROM documents d LEFT JOIN vd USING (doc_id) ORDER BY d.doc_id"""
 
   /** DuckDB mirror of Dedup.wminhashCrossDups: snapshot draws/idf from the
     * CORPUS side only (df over corpus, N = corpus non-empty count), batch
@@ -7954,6 +8005,7 @@ object SparkEntry {
     "q_wminhash_cross" -> wminhashCrossSql(shingleK = 3, numHashes = 16, bands = 8,
       maxBucket = 4096, threshold = 0.5, splitId = 50L),
     "q_dedup_substr" -> substrOverlapSql(minTokens = 50, anchorK = 8, dfCap = 100),
+    "q_dedup_substr_strip" -> substrStripSql(minTokens = 50, anchorK = 8, dfCap = 100),
     "q_unigram_lm" -> unigramSql("vocab"),
     "q_unigram_fertility" -> unigramSql("fertility"),
     // identical SQL by construction: the indexed path must produce exactly

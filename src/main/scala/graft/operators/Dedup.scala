@@ -1707,6 +1707,82 @@ object Dedup {
           .as("esim_r"))
   }
 
+  /** The substring-dedup ACTION: [[substringOverlapPairs]] reports the
+    * maximal shared spans; Lee et al. 2022's pipeline then DELETES all but
+    * one occurrence of each duplicated span — this applies that verdict.
+    * Every span's doc2-side interval [start2, start2+len) is stripped
+    * (pairs are doc1 < doc2, so the lowest-id holder of a span keeps it —
+    * a doc chain A<B<C sharing one span strips B and C and keeps A); per
+    * document the token count, stripped-token count, and the span-stripped
+    * text over the NORMALIZED token stream the spans are defined on.
+    *
+    * Scale shape: spans are doc-pair-bounded (the substring operator's
+    * contract); intervals MERGE per doc BEFORE position expansion — a
+    * duplicate-dense doc that is doc2 in f pairs carries f full-length
+    * intervals, and exploding them unmerged would cost f× its length, so
+    * the gaps-and-islands union (doc-partitioned bounded windows, the
+    * substring operator's own island discipline) runs first and position
+    * volume after it is ≤ one corpus length. One anti-join-shaped
+    * left_outer against the posexploded token stream, one doc fold-back.
+    *
+    * Returns (idCol, n_toks, n_stripped, kept_text) for EVERY document.
+    */
+  def substringStrip(
+      docs: DataFrame,
+      minTokens: Int = 50,
+      anchorK: Int = 8,
+      dfCap: Int = 100,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spans = substringOverlapPairs(docs, minTokens, anchorK, dfCap,
+      idCol, textCol, dropAudit)
+    val iv = spans
+      .select(col("doc2").as(idCol), col("start2").as("__s"),
+        (col("start2") + col("span_len")).as("__e"))
+      .distinct()
+    // union overlapping intervals: island starts where start exceeds the
+    // running max end of everything before it (ties carry identical
+    // values, so the frame is engine-order-safe)
+    val wPrev = Window.partitionBy(col(idCol)).orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val wRun = Window.partitionBy(col(idCol)).orderBy(col("__s"), col("__e"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val merged = iv
+      .withColumn("__pmax", max(col("__e")).over(wPrev))
+      .withColumn("__nw",
+        when(col("__pmax").isNull || col("__s") > col("__pmax"), 1L).otherwise(0L))
+      .withColumn("__isl", sum(col("__nw")).over(wRun))
+      .groupBy(col(idCol), col("__isl"))
+      .agg(min(col("__s")).as("__s"), max(col("__e")).as("__e"))
+    val stripPos = merged
+      .select(col(idCol), explode(sequence(col("__s"), col("__e") - 1)).as("__p"))
+      .withColumn("__strip", lit(true))
+    val toks = docs
+      .select(col(idCol), Tokenize.tokenArray(col(textCol)).as("__t"))
+      .select(col(idCol), posexplode(col("__t")).as(Seq("__p", "__w")))
+    val folded = toks
+      .join(stripPos, Seq(idCol, "__p"), "left_outer")
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_toks"),
+        sum(when(col("__strip"), 1L).otherwise(0L)).as("n_stripped"),
+        array_join(
+          transform(
+            array_sort(collect_list(when(!coalesce(col("__strip"), lit(false)),
+              struct(col("__p"), col("__w"))))),
+            s => s.getField("__w")), " ").as("kept_text"))
+    docs
+      .select(col(idCol))
+      .join(folded, Seq(idCol), "left_outer")
+      .select(
+        col(idCol),
+        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
+        coalesce(col("n_stripped"), lit(0L)).as("n_stripped"),
+        coalesce(col("kept_text"), lit("")).as("kept_text"))
+  }
+
   /** Paragraph segmentation: one row per (doc, par_idx, par_text).
     *
     * The C4/Dolma paragraph-dedup practice splits on newline; this corpus

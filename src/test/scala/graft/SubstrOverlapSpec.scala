@@ -101,4 +101,29 @@ class SubstrOverlapSpec extends SparkSpec {
     assert(pairs.toSeq == Seq((1L, 2L, 60L)),
       s"only the distinctive splice may pair — boilerplate is capped out: ${pairs.toSeq}")
   }
+
+  test("strip action: the doc2-side splice is deleted, the doc1 copy kept (Lee et al. semantics)") {
+    val got = Dedup.substringStrip(planted, minTokens = 50, anchorK = 8, dfCap = 100)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((200L, 0L, aToks.mkString(" "))),
+      s"doc 1 is the lowest-id holder — nothing stripped: ${got(1L)}")
+    val expected2 = (bToks.take(80) ++ bToks.drop(140)).mkString(" ")
+    assert(got(2L) == ((210L, 60L, expected2)),
+      s"doc 2 must lose exactly the 60-token splice at [80,140): ${got(2L)}")
+  }
+
+  test("strip action: overlapping intervals from multiple partners merge before stripping") {
+    // three identical docs: B strips against A; C carries TWO identical
+    // full-length intervals (vs A and vs B) that must merge to one —
+    // n_stripped equals the doc length, never double-counts
+    val t3 = (0 until 80).map(word("tri", _)).mkString(" ")
+    val tri = Seq((1L, t3), (2L, t3), (3L, t3)).toDF("doc_id", "text")
+    val got = Dedup.substringStrip(tri, minTokens = 50, anchorK = 8, dfCap = 100)
+      .orderBy("doc_id").collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(got(1L) == ((80L, 0L, t3)), s"keeper intact: ${got(1L)}")
+    assert(got(2L) == ((80L, 80L, "")) && got(3L) == ((80L, 80L, "")),
+      s"both later copies fully stripped exactly once: ${got(2L)}, ${got(3L)}")
+  }
 }
