@@ -130,7 +130,7 @@ object ScaleBench {
     factors.foreach { f =>
       val wantD = Seq("simhash_pairs", "setsim_join", "setsim_capped",
         "dedup_wminhash", "dup_exposure", "dup_exposure_hashed",
-        "dedup_edit", "dedup_substr", "minhash_amortize",
+        "dedup_edit", "dedup_substr", "dedup_substr_strip", "minhash_amortize",
         "wminhash_amortize", "bm25_amortize").exists(want)
       // materialize the replicated input first: the timed region measures
       // the pair generator over an existing table, not the replication
@@ -292,6 +292,24 @@ object ScaleBench {
         s""""dropped_buckets":${am.getOrElse("dropped_buckets", 0L)},""" +
         s""""dropped_members":${am.getOrElse("dropped_members", 0L)},""" +
         s""""retained_pair_bound":${am.getOrElse("retained_pair_bound", 0L)}}""")
+      clearExcept(dIds)
+      }
+
+      // the strip ACTION over the same duplicate-dense load: spans cost
+      // what dedup_substr pays; the delta is the interval island-merge
+      // (doc-partitioned, bounded by per-doc pair count) + the positional
+      // token rebuild (linear in corpus tokens AFTER the merge — the
+      // merge-before-explode discipline is exactly what this line prices:
+      // replica families carry f full-length intervals per doc)
+      if (want("dedup_substr_strip")) {
+      var strippedDocs = 0L
+      val stSec = time {
+        strippedDocs = Dedup.substringStrip(d, minTokens = 50, anchorK = 8,
+          dfCap = 100).where(col("n_stripped") > 0).count()
+      }
+      println(
+        s"""{"pipeline":"dedup_substr_strip","factor":$f,"mode":"bounded","sec":${f"$stSec%.3f"},""" +
+        s""""docs_stripped":$strippedDocs}""")
       clearExcept(dIds)
       }
 
