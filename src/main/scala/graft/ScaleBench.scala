@@ -130,8 +130,8 @@ object ScaleBench {
     factors.foreach { f =>
       val wantD = Seq("simhash_pairs", "setsim_join", "setsim_capped",
         "dedup_wminhash", "dup_exposure", "dup_exposure_hashed",
-        "dedup_edit", "dedup_substr", "dedup_substr_strip", "minhash_amortize",
-        "wminhash_amortize", "bm25_amortize").exists(want)
+        "dedup_edit", "dedup_substr", "dedup_substr_strip", "dedup_paragraph",
+        "minhash_amortize", "wminhash_amortize", "bm25_amortize").exists(want)
       // materialize the replicated input first: the timed region measures
       // the pair generator over an existing table, not the replication
       val d = if (wantD) replicated(docs, "doc_id", f).localCheckpoint(true) else null
@@ -310,6 +310,35 @@ object ScaleBench {
       println(
         s"""{"pipeline":"dedup_substr_strip","factor":$f,"mode":"bounded","sec":${f"$stSec%.3f"},""" +
         s""""docs_stripped":$strippedDocs}""")
+      clearExcept(dIds)
+      }
+
+      // paragraph-granularity dedup under verbatim replication: every
+      // paragraph content-hash group grows ×f (a base-df-100 boilerplate
+      // paragraph is a 5000-row window partition at 50×) — the window min
+      // is a streaming fold so the curve should stay data-linear; the
+      // minhash twin faces f-sized paragraph replica families and answers
+      // with the capped banding
+      if (want("dedup_paragraph")) {
+      // through the noop SINK, not count(): paragraphDedup folds back via
+      // a left join on a UNIQUE key, so count() lets Catalyst eliminate
+      // the join and with it the entire dedup subtree (measured 0.15 s at
+      // 50× — the count of the left leg alone)
+      val pdDocs = d.count() // checkpointed — untimed metadata read
+      val pdSec = time { run(Dedup.paragraphDedup(d, parTokens = 20)) }
+      println(
+        s"""{"pipeline":"dedup_paragraph","factor":$f,"mode":"linear","sec":${f"$pdSec%.3f"},"docs":$pdDocs}""")
+      val aud = new org.apache.spark.sql.Observation(s"dedup_paragraph_mh_$f")
+      var pmPairs = 0L
+      val pmSec = time {
+        pmPairs = Dedup.paragraphMinhashPairs(d, parTokens = 20,
+          maxBucket = cap, dropAudit = Some(aud)).count()
+      }
+      val am = aud.get
+      println(
+        s"""{"pipeline":"dedup_paragraph_mh","factor":$f,"mode":"bounded","sec":${f"$pmSec%.3f"},""" +
+        s""""doc_pairs":$pmPairs,"buckets_dropped":${am.getOrElse("dropped_buckets", 0L)},""" +
+        s""""retained_pair_bound":${am.getOrElse("retained_pair_bound", 0L)}}""")
       clearExcept(dIds)
       }
 
