@@ -164,12 +164,23 @@ object Bench {
         SparkEntry.queries.get(name) match {
           case None => println(s"""{"query":"$name","err":"unknown"}""")
           case Some(fn) =>
+            // a sample that throws must NOT adjudicate as a fast min: a
+            // query broken on every run times the throw path (near zero)
+            // and would silently adjudicate a regression flag as a huge
+            // speedup — track the failure like timed/timedBest2 do and
+            // report -1 with the error, matching the sweep's convention
+            var lastErr: String = null
             val ss = (1 to 5).map { _ =>
               clearRddStorage()
-              time(try run(fn(spark, sfDir)) catch { case _: Throwable => () })
+              time(try run(fn(spark, sfDir)) catch {
+                case t: Throwable => lastErr = t.getClass.getSimpleName
+              })
             }
             def fm(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-            println(s"""{"query":"$name","min":${fm(ss.min)},"samples":[${ss.map(fm).mkString(",")}],"sf":"$sfDir"}""")
+            if (lastErr != null)
+              println(s"""{"query":"$name","min":-1,"err":"$lastErr","sf":"$sfDir"}""")
+            else
+              println(s"""{"query":"$name","min":${fm(ss.min)},"samples":[${ss.map(fm).mkString(",")}],"sf":"$sfDir"}""")
         }
       }
       spark.stop()

@@ -465,13 +465,18 @@ object Similarity {
     val dmin = kmeansParallelD2(data, cDf)
       .groupBy(col("__id"))
       .agg(min(col("__d2i")).as("__d2"))
+    // the sum runs in decimal(38,0), NOT long: phiLimit exceeds Long.Max
+    // for oversample <= 9, so a long sum would hit ANSI ARITHMETIC_OVERFLOW
+    // before the friendly raise_error below could ever fire — the decimal
+    // accumulator lets phi exceed long range and the guard intercept it
     dmin
-      .crossJoin(broadcast(dmin.agg(sum(col("__d2")).as("__phi"))
+      .crossJoin(broadcast(
+        dmin.agg(sum(col("__d2").cast("decimal(38,0)")).as("__phi"))
         .withColumn("__phi",
           when(col("__phi") < lit(phiLimit).cast("decimal(38,0)"), col("__phi"))
             .otherwise(raise_error(concat(
               lit(s"kmeans|| phi exceeds decimal(38,0) verdict headroom ($phiLimit): "),
-              col("__phi").cast("string"))).cast("long")))))
+              col("__phi").cast("string"))).cast("decimal(38,0)")))))
       .withColumn("__u",
         conv(substring(md5(concat(lit(s"kmpp:$r:"), col("__id"))), 1, 15), 16, 10)
           .cast("long"))
