@@ -131,6 +131,7 @@ object ScaleBench {
       val wantD = Seq("simhash_pairs", "setsim_join", "setsim_capped",
         "dedup_wminhash", "dup_exposure", "dup_exposure_hashed",
         "dedup_edit", "dedup_substr", "dedup_substr_strip", "dedup_paragraph",
+        "dedup_paragraph_mh", "shard_plan",
         "minhash_amortize", "wminhash_amortize", "bm25_amortize").exists(want)
       // materialize the replicated input first: the timed region measures
       // the pair generator over an existing table, not the replication
@@ -319,6 +320,10 @@ object ScaleBench {
       // is a streaming fold so the curve should stay data-linear; the
       // minhash twin faces f-sized paragraph replica families and answers
       // with the capped banding
+      // each sub-measurement gated by its own want(): SCALE_ONLY=
+      // dedup_paragraph_mh previously ran NOTHING because the mh line was
+      // emitted from inside the dedup_paragraph block only
+      if (want("dedup_paragraph") || want("dedup_paragraph_mh")) {
       if (want("dedup_paragraph")) {
       // through the noop SINK, not count(): paragraphDedup folds back via
       // a left join on a UNIQUE key, so count() lets Catalyst eliminate
@@ -328,6 +333,8 @@ object ScaleBench {
       val pdSec = time { run(Dedup.paragraphDedup(d, parTokens = 20)) }
       println(
         s"""{"pipeline":"dedup_paragraph","factor":$f,"mode":"linear","sec":${f"$pdSec%.3f"},"docs":$pdDocs}""")
+      }
+      if (want("dedup_paragraph_mh")) {
       val aud = new org.apache.spark.sql.Observation(s"dedup_paragraph_mh_$f")
       var pmPairs = 0L
       val pmSec = time {
@@ -339,6 +346,28 @@ object ScaleBench {
         s"""{"pipeline":"dedup_paragraph_mh","factor":$f,"mode":"bounded","sec":${f"$pmSec%.3f"},""" +
         s""""doc_pairs":$pmPairs,"buckets_dropped":${am.getOrElse("dropped_buckets", 0L)},""" +
         s""""retained_pair_bound":${am.getOrElse("retained_pair_bound", 0L)}}""")
+      }
+      clearExcept(dIds)
+      }
+
+      // deterministic shard plan (r19): the data-loader handoff — global
+      // token-desc rank via the two-pass range form, snake assignment,
+      // within-shard md5 order. The line prices the rank + double window
+      // and REPORTS the balance the snake rule promises: max/min shard
+      // token totals must stay ~1 as docs/shard grows
+      if (want("shard_plan")) {
+      val nSh = 64
+      var skew = 0.0
+      val spSec = time {
+        val totals = graft.operators.Layout.shardPlan(d, nShards = nSh)
+          .groupBy(col("shard")).agg(sum(col("n_tokens")).as("t"))
+          .agg(max(col("t")).as("mx"), min(col("t")).as("mn"))
+          .collect()(0)
+        skew = totals.getLong(0).toDouble / math.max(1L, totals.getLong(1))
+      }
+      println(
+        s"""{"pipeline":"shard_plan","factor":$f,"mode":"linear","sec":${f"$spSec%.3f"},""" +
+        s""""n_shards":$nSh,"token_skew_max_over_min":${f"$skew%.4f"}}""")
       clearExcept(dIds)
       }
 

@@ -1722,10 +1722,14 @@ object Dedup {
     * intervals, and exploding them unmerged would cost f× its length, so
     * the gaps-and-islands union (doc-partitioned bounded windows, the
     * substring operator's own island discipline) runs first and position
-    * volume after it is ≤ one corpus length. One anti-join-shaped
-    * left_outer against the posexploded token stream, one doc fold-back.
+    * volume after it is ≤ one corpus length. The positional left_outer
+    * join then runs over AFFECTED documents only (a semi-join against the
+    * merged-interval doc ids); untouched documents — the overwhelming
+    * majority on a real corpus — emit their normalized rejoin map-side
+    * behind an anti join and never enter the (doc, pos) join at all.
     *
-    * Returns (idCol, n_toks, n_stripped, kept_text) for EVERY document.
+    * Returns (idCol, n_toks, n_stripped, kept_text) for EVERY document
+    * (affected ∪ untouched partition the corpus).
     */
   def substringStrip(
       docs: DataFrame,
@@ -1756,10 +1760,36 @@ object Dedup {
       .withColumn("__isl", sum(col("__nw")).over(wRun))
       .groupBy(col(idCol), col("__isl"))
       .agg(min(col("__s")).as("__s"), max(col("__e")).as("__e"))
-    val stripPos = merged
+    // materialized ONCE (doc-interval-bounded, tiny): it feeds the
+    // affected-doc id set AND the strip positions — lazy, the whole spans
+    // pipeline (the expensive part) would re-run per consumer
+    val mergedC = merged.localCheckpoint(true)
+    // prune-to-affected split (r18 verdict task): only docs that carry at
+    // least one merged interval enter the positional join — every other
+    // document's kept_text is its normalized rejoin, MAP-SIDE (the anti
+    // join's build side is the id-only affected set, broadcast-sized
+    // relative to the corpus; at the 50× measurement 133k of 250k docs
+    // were affected — on a real corpus the untouched fraction dominates
+    // and this cut removes the corpus-wide (doc,pos) join entirely).
+    // Measured at sf0.1×50, same session (ScaleBench): spans alone
+    // 222.4 s, strip total 247.0 s → action tail 24.6 s, vs the r18
+    // unpruned tail of 82 s (238.0 − 156.0 in SCALEBENCH_r18) — ~3.3×
+    // off the rebuild even with 53% of docs affected; the tail now
+    // scales with AFFECTED tokens, not corpus tokens.
+    val affected = mergedC.select(col(idCol)).distinct()
+    val untouched = docs
+      .join(affected, Seq(idCol), "left_anti")
+      .select(col(idCol), Tokenize.tokenArray(col(textCol)).as("__t"))
+      .select(
+        col(idCol),
+        size(col("__t")).cast("long").as("n_toks"),
+        lit(0L).as("n_stripped"),
+        concat_ws(" ", col("__t")).as("kept_text"))
+    val stripPos = mergedC
       .select(col(idCol), explode(sequence(col("__s"), col("__e") - 1)).as("__p"))
       .withColumn("__strip", lit(true))
     val toks = docs
+      .join(affected, Seq(idCol), "left_semi")
       .select(col(idCol), Tokenize.tokenArray(col(textCol)).as("__t"))
       .select(col(idCol), posexplode(col("__t")).as(Seq("__p", "__w")))
     val folded = toks
@@ -1773,14 +1803,9 @@ object Dedup {
             array_sort(collect_list(when(!coalesce(col("__strip"), lit(false)),
               struct(col("__p"), col("__w"))))),
             s => s.getField("__w")), " ").as("kept_text"))
-    docs
-      .select(col(idCol))
-      .join(folded, Seq(idCol), "left_outer")
-      .select(
-        col(idCol),
-        coalesce(col("n_toks"), lit(0L)).as("n_toks"),
-        coalesce(col("n_stripped"), lit(0L)).as("n_stripped"),
-        coalesce(col("kept_text"), lit("")).as("kept_text"))
+    folded
+      .select(col(idCol), col("n_toks"), col("n_stripped"), col("kept_text"))
+      .unionAll(untouched)
   }
 
   /** Paragraph segmentation: one row per (doc, par_idx, par_text).
@@ -1815,6 +1840,24 @@ object Dedup {
         .as(Seq("par_idx", "par_text")))
   }
 
+  /** The paragraph occurrence key doc_id·10⁶ + par_idx as ONE guarded
+    * expression: the encoding silently collides across documents when a
+    * doc carries ≥10⁶ paragraphs (~2·10⁷ tokens at the default span) and
+    * overflows long when |doc_id| > 9.2·10¹² — both bounds are ENFORCED
+    * here with raise_error (the [[Similarity.kmeansParallelRound]] guard
+    * philosophy: a friendly error, never a silently corrupted verdict).
+    * Codegen'd per-row branch; the raise arm is dead code on every
+    * in-bounds corpus. */
+  private def parOkey(idCol: String): Column = {
+    val id = col(idCol).cast("long")
+    when(col("par_idx") >= lit(1000000L) || abs(id) > lit(9223372036853L),
+      raise_error(concat(
+        lit("paragraph okey encoding bound exceeded (need par_idx < 1e6 "),
+        lit("and |doc_id| <= 9.2e12): doc "), col(idCol).cast("string"),
+        lit(" par_idx "), col("par_idx").cast("string"))).cast("long"))
+      .otherwise(id * lit(1000000L) + col("par_idx"))
+  }
+
   /** Paragraph-granularity EXACT dedup with document fold-back — the
     * C4/Dolma stage the doc-level family can't express: a boilerplate
     * paragraph shared by otherwise-distinct documents never lifts
@@ -1829,13 +1872,38 @@ object Dedup {
     * count, duplicated fraction, and the paragraph-stripped `kept_text`
     * (keeper paragraphs rejoined in order — what the C4 pipeline writes).
     *
-    * Scale shape: ONE shuffle keyed by the 256-bit paragraph hash (the
-    * [[exact]] discipline — 32-byte keys, never paragraph text) carries
-    * the keeper verdict as a window min riding that exchange, then one
-    * doc-keyed aggregate folds verdicts back; kept_text is bounded by one
-    * document per group. Occurrence keys encode as doc_id·10⁶ + par_idx
-    * (documents up to 2·10⁷ tokens at the default span — beyond that,
-    * widen the multiplier), keeping the window min a plain long, not a
+    * Scale shape — keeper verdict by PARTIAL AGGREGATION, never a
+    * content-keyed window: `groupBy(__h).agg(min(__okey))` is map-side
+    * combinable, so a web-scale boilerplate paragraph (cookie banner,
+    * license header — df 10⁷-10⁹ on real corpora) collapses to one
+    * (32-byte hash, long) row per task BEFORE its exchange; the verdict
+    * then joins back on `__h`, where a hot hash skews only the PROBE side
+    * of the join — a shape AQE's OptimizeSkewedJoin can split at runtime.
+    * The window form this replaced (`min(__okey).over(partitionBy(__h))`)
+    * had no partial aggregation and was UNSPLITTABLE — every occurrence
+    * of a hot paragraph in one task, the r12-flagged scale defect
+    * [[dupExposure]]'s trail documents. Beyond the verdict reshape, the
+    * doc fold-back is MAP-SIDE: a document's paragraphs all originate in
+    * its one input row, so kept_text is rebuilt from the original text
+    * with a filter-by-index over the span array — paragraph text enters
+    * at most ONE exchange (the unique-doc-keyed fold-back join, skew-free
+    * by construction and gone entirely when the dup relation broadcasts),
+    * vs the window form's two content-keyed text-width shuffles. The
+    * verdict path shuffles only (32-byte hash, long okey) rows and the
+    * per-doc (dup count, dup-index set) fold — partial agg end to end.
+    *
+    * Measured at sf0.1 (ScaleBench dedup_paragraph, noop sink, 1/10/50×):
+    * r18 window form 4.9/3.9/9.2 s (unsplittable hot key); naive
+    * agg + join-back carrying par_text through both the verdict join and
+    * the doc fold 4.2/4.0/16.8 s (splittable but two text-width
+    * shuffles); this map-side-fold form 3.3/3.3/11.8 s — at-or-below the
+    * window form's local cost through 10×, +2.6 s at 50× for a plan
+    * where every shuffle is AQE-splittable (a hot paragraph skews only
+    * the probe side of the verdict join — the straggler the window form
+    * cannot shed). Occurrence keys encode as doc_id·10⁶ + par_idx
+    * (documents up to 2·10⁷ tokens at the default span; |doc_id| ≤
+    * 9.2·10¹² — both bounds ENFORCED per row via raise_error, never
+    * silent corruption), keeping the keeper min a plain long, not a
     * struct.
     */
   def paragraphDedup(
@@ -1843,34 +1911,62 @@ object Dedup {
       parTokens: Int = 20,
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
-    val wH = org.apache.spark.sql.expressions.Window.partitionBy(col("__h"))
-    val flagged = paragraphs(docs, parTokens, idCol, textCol)
-      .withColumn("__h", sha2(col("par_text"), 256))
-      .withColumn("__okey", col(idCol).cast("long") * lit(1000000L) + col("par_idx"))
-      .withColumn("__dup", col("__okey") =!= min(col("__okey")).over(wH))
-    val folded = flagged
+    require(parTokens >= 1, s"parTokens ($parTokens) must be >= 1")
+    // span array per doc, map-side (the [[paragraphs]] segmentation kept
+    // in array form so the fold-back can filter by index without explode)
+    val base = docs
+      .select(col(idCol),
+        filter(split(col(textCol), "\\s+"), w => w =!= lit("")).as("__w"))
+      .withColumn("__spans",
+        when(size(col("__w")) >= 1, expr(
+          s"transform(sequence(0, int((size(__w) - 1) / $parTokens))," +
+            s" i -> array_join(slice(__w, i * $parTokens + 1, $parTokens), ' '))"))
+          .otherwise(array().cast("array<string>")))
+    // occurrence verdicts on a PRUNED stream — hash + key, never text.
+    // Eagerly materialized (the [[dupExposure]] checkpoint discipline):
+    // it feeds BOTH the keeper aggregate and the verdict join, and a lazy
+    // DAG fork would re-run the split+sha2 lineage (the dominant cost)
+    // once per consumer — measured at sf0.1×50 the lazy form is 72.7 s vs
+    // 13.1 s checkpointed. The stored stream is 48 bytes/occurrence, no
+    // paragraph text.
+    // guard on size(__w), NOT size(__spans): a predicate on the span
+    // array re-evaluates the whole O(tokens) transform once for the
+    // filter and again for the explode (Filter and Generate are separate
+    // operators — no cross-operator subexpression sharing; measured
+    // 24.4 s vs 7.4 s for this stage at sf0.1×50)
+    val occ = docs
+      .select(col(idCol),
+        filter(split(col(textCol), "\\s+"), w => w =!= lit("")).as("__w"))
+      .where(size(col("__w")) >= 1)
+      .select(col(idCol), posexplode(expr(
+        s"transform(sequence(0, int((size(__w) - 1) / $parTokens))," +
+          s" i -> array_join(slice(__w, i * $parTokens + 1, $parTokens), ' '))"))
+        .as(Seq("par_idx", "par_text")))
+      .select(col(idCol), col("par_idx"),
+        sha2(col("par_text"), 256).as("__h"), parOkey(idCol).as("__okey"))
+      .localCheckpoint(true)
+    val keepers = occ.groupBy(col("__h")).agg(min(col("__okey")).as("__keep"))
+    val dupPerDoc = occ
+      .join(keepers, Seq("__h"))
+      .where(col("__okey") =!= col("__keep"))
       .groupBy(col(idCol))
-      .agg(
-        count(lit(1)).as("n_pars"),
-        sum(when(col("__dup"), 1L).otherwise(0L)).as("dup_pars"),
-        graft.functions.Portable.pround(
-          sum(when(col("__dup"), 1L).otherwise(0L)).cast("double")
-            / count(lit(1)).cast("double"), 4).as("frac_dup_r"),
-        array_join(
-          transform(
-            array_sort(collect_list(
-              when(!col("__dup"), struct(col("par_idx"), col("par_text"))))),
-            s => s.getField("par_text")), " ").as("kept_text"))
-    // total over the corpus: token-less docs surface with zero paragraphs
-    docs
-      .select(col(idCol))
-      .join(folded, Seq(idCol), "left_outer")
+      .agg(count(lit(1)).as("__dups"), collect_set(col("par_idx")).as("__dupIdx"))
+    // fold-back on the doc's own row: unique-key left join, text untouched
+    base
+      .join(dupPerDoc, Seq(idCol), "left_outer")
       .select(
         col(idCol),
-        coalesce(col("n_pars"), lit(0L)).as("n_pars"),
-        coalesce(col("dup_pars"), lit(0L)).as("dup_pars"),
-        coalesce(col("frac_dup_r"), lit(0.0)).as("frac_dup_r"),
-        coalesce(col("kept_text"), lit("")).as("kept_text"))
+        size(col("__spans")).cast("long").as("n_pars"),
+        coalesce(col("__dups"), lit(0L)).as("dup_pars"),
+        when(size(col("__spans")) === 0, lit(0.0))
+          .otherwise(graft.functions.Portable.pround(
+            coalesce(col("__dups"), lit(0L)).cast("double")
+              / size(col("__spans")).cast("double"), 4)).as("frac_dup_r"),
+        array_join(
+          filter(col("__spans"), (_, i) =>
+            !array_contains(
+              coalesce(col("__dupIdx"), array().cast("array<int>")), i)),
+          " ").as("kept_text"))
   }
 
   /** Paragraph-granularity NEAR-dup via the doc-level MinHash machinery,
@@ -1896,9 +1992,7 @@ object Dedup {
       textCol: String = "text",
       dropAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
     val pseudo = paragraphs(docs, parTokens, idCol, textCol)
-      .select(
-        (col(idCol).cast("long") * lit(1000000L) + col("par_idx")).as("pid"),
-        col("par_text"))
+      .select(parOkey(idCol).as("pid"), col("par_text"))
     minhashCandidates(pseudo, idCol = "pid", textCol = "par_text",
       shingleK = shingleK, numHashes = numHashes, bands = bands,
       maxBucket = maxBucket, dropAudit = dropAudit)

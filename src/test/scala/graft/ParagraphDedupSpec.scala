@@ -71,6 +71,41 @@ class ParagraphDedupSpec extends SparkSpec {
     assert(docPairs.isEmpty, s"expected no doc-level pair, got ${docPairs.toSeq}")
   }
 
+  test("ultra-hot paragraph (df 10^4): partial-agg keeper verdict stays exact") {
+    // the r19 reshape moved the keeper verdict off the content-hash window
+    // (unsplittable on a hot key) onto groupBy(min)+join-back; this plants
+    // the web-corpus shape that motivated it — one boilerplate paragraph
+    // shared by 10,000 documents — and pins the verdict: the lowest doc_id
+    // keeps it, every other occurrence is stripped
+    val hotDf = 10000
+    val hot = spark.range(1, hotDf + 1L)
+      .select(col("id").as("doc_id"),
+        concat_ws(" ",
+          lit(parShared.mkString(" ")),
+          concat(lit("uniq"), col("id").cast("string"))).as("text"))
+    val got = Dedup.paragraphDedup(hot, parTokens = 20)
+    // every doc has 2 paragraphs (the 20-token shared one + a 1-word tail);
+    // the tails are distinct, so exactly hotDf-1 shared occurrences drop
+    assert(got.agg(sum("dup_pars")).collect()(0).getLong(0) == hotDf - 1L)
+    val keeper = got.where(col("dup_pars") === 0).collect()
+    assert(keeper.length == 1 && keeper(0).getLong(0) == 1L,
+      s"only doc 1 (lowest okey) keeps the hot paragraph, got ${keeper.toSeq}")
+  }
+
+  test("okey encoding bounds are enforced, not silently corrupted") {
+    // |doc_id| beyond 9.2e12 would overflow doc_id*1e6+par_idx — the
+    // guard must raise, matching the kmeansParallelRound philosophy
+    val oversized = Seq((9300000000000L, parA.mkString(" "))).toDF("doc_id", "text")
+    val e = intercept[Exception] {
+      Dedup.paragraphDedup(oversized, parTokens = 20).collect()
+    }
+    def rootMsg(t: Throwable): String =
+      (Iterator.iterate(t)(_.getCause).takeWhile(_ != null).map(_.getMessage)
+        .filter(_ != null)).mkString(" | ")
+    assert(rootMsg(e).contains("okey encoding bound"),
+      s"expected the friendly bound error, got: ${rootMsg(e)}")
+  }
+
   test("paragraph MinHash deterministically pairs docs 1 and 2 via the identical paragraph") {
     val got = Dedup
       .paragraphMinhashPairs(planted, parTokens = 20)
