@@ -204,7 +204,12 @@ object ExplainAudit {
     "q_dedup_paragraph", "q_dedup_paragraph_mh", "q_kn_ppl_buckets",
     // round 18: the substring-dedup strip action (interval island-merge
     // must run BEFORE position expansion — doc-partitioned windows only)
-    "q_dedup_substr_strip")
+    "q_dedup_substr_strip",
+    // round 19: deterministic shard plan + manifest (the global rank must
+    // be the two-pass range form — the only single-partition window
+    // allowed is the numRange-row offset cumsum; pos rides a
+    // per-shard window, the loader-file contract)
+    "q_shard_plan", "q_shard_manifest")
 
   /** Termination contract per iterative loop (r15 verdict task 8): every
     * key in [[iterativeBodies]] must declare HOW its driver loop ends —

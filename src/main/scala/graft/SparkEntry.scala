@@ -3433,6 +3433,23 @@ object SparkEntry {
         .limit(500)
     }),
 
+    // -- deterministic shard plan: md5-keyed global shuffle + snake
+    //    token-balanced shard assignment — the data-loader handoff a
+    //    training pipeline ends with; the global rank is the two-pass
+    //    range trick, never a single-partition window
+    "q_shard_plan" -> ((s, dir) => {
+      operators.Layout
+        .shardPlan(t(s, dir, "documents"), nShards = 8)
+        .orderBy("shard", "pos")
+    }),
+
+    // -- the per-shard control-plane manifest over the same plan: doc and
+    //    token totals + an order-insensitive md5 membership checksum
+    "q_shard_manifest" -> ((s, dir) => {
+      operators.Layout.shardManifest(
+        operators.Layout.shardPlan(t(s, dir, "documents"), nShards = 8))
+    }),
+
     // -- zone-map prune effectiveness: the SAME price predicate against an
     //    insertion-order layout vs a price-clustered layout — the measured
     //    I/O argument for re-clustering; per-file min/max like a parquet
@@ -10242,6 +10259,44 @@ object SparkEntry {
                  (${graft.operators.Layout.zorderKeySql(Seq("zx", "zy"), 14)})::BIGINT AS zkey
           FROM b ORDER BY zkey, o_orderkey LIMIT 500""",
     "q_hilbert_layout" -> HilbertLayoutSql,
+    "q_shard_plan" ->
+      s"""WITH base AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+                   md5('shard:' || CAST(doc_id AS VARCHAR)) AS key
+            FROM documents),
+          ranked AS (
+            SELECT doc_id, n_tokens, key,
+                   row_number() OVER (ORDER BY n_tokens DESC, key) AS rn
+            FROM base),
+          assigned AS (
+            SELECT doc_id, n_tokens, key,
+                   (CASE WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
+                         ELSE 7 - ((rn - 1) % 8) END)::BIGINT AS shard
+            FROM ranked)
+          SELECT doc_id, n_tokens, shard,
+                 (row_number() OVER (PARTITION BY shard ORDER BY key))::BIGINT AS pos
+          FROM assigned ORDER BY shard, pos""",
+    "q_shard_manifest" ->
+      s"""WITH base AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+                   md5('shard:' || CAST(doc_id AS VARCHAR)) AS key
+            FROM documents),
+          ranked AS (
+            SELECT doc_id, n_tokens, key,
+                   row_number() OVER (ORDER BY n_tokens DESC, key) AS rn
+            FROM base),
+          assigned AS (
+            SELECT doc_id, n_tokens, key,
+                   (CASE WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
+                         ELSE 7 - ((rn - 1) % 8) END)::BIGINT AS shard
+            FROM ranked)
+          SELECT shard,
+                 count(*)::BIGINT AS n_docs,
+                 sum(n_tokens)::BIGINT AS n_tokens,
+                 sum(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)::BIGINT AS members_md5
+          FROM assigned GROUP BY shard ORDER BY shard""",
     "q_zonemap_prune" ->
       """WITH nat AS (
            SELECT floor(o_orderkey / 100) AS f,

@@ -252,6 +252,122 @@ object Layout {
       .mkString(" + ")
   }
 
+  /** Distributed global rank (dense 1-based row numbers over a TOTAL
+    * order) without the single-partition window a naive
+    * `row_number().over(Window.orderBy(...))` plans: range-partition on
+    * the sort key, rank within each range locally, then add per-range
+    * offsets computed from the range COUNTS — a metadata relation
+    * (`numRange` rows) whose cumulative-sum window is the same
+    * deliberately-driver-sized choice [[compactionPlan]] documents. The
+    * output rank is a function of the total order alone, so it is
+    * identical across reruns regardless of where sampling places the
+    * range boundaries.
+    *
+    * `sortCols` MUST define a total order (no ties): tied rows can land
+    * on either side of a range boundary and would take arbitrary relative
+    * ranks. Append a unique tiebreaker column if the natural key ties.
+    */
+  def globalRank(
+      df: DataFrame,
+      sortCols: Seq[Column],
+      numRange: Int = 32,
+      outCol: String = "rank"): DataFrame = {
+    require(sortCols.nonEmpty, "globalRank needs at least one sort column")
+    require(numRange >= 1, s"numRange ($numRange) must be >= 1")
+    val local = df
+      .repartitionByRange(numRange, sortCols: _*)
+      .withColumn("__pid", spark_partition_id())
+      .withColumn("__lrn",
+        row_number().over(
+          Window.partitionBy(col("__pid")).orderBy(sortCols: _*)).cast("long"))
+    val offs = local
+      .groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
+      .withColumn("__off", coalesce(
+        sum(col("__c")).over(Window.orderBy(col("__pid"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__pid"), col("__off"))
+    local
+      .join(broadcast(offs), Seq("__pid"))
+      .withColumn(outCol, col("__lrn") + col("__off"))
+      .drop("__pid", "__lrn")
+  }
+
+  /** Deterministic corpus shuffle + balanced shard assignment — the
+    * data-loader handoff a training pipeline ends with: every document
+    * gets (shard, pos) such that (a) the assignment is a pure function of
+    * the corpus (md5-keyed, rerun-identical — no RNG, no partition-order
+    * dependence), (b) shards are balanced by TOKEN count, not doc count
+    * (what actually bounds a loader's step time), and (c) within a shard
+    * the read order is the md5 global shuffle order (the "shuffled
+    * dataset" property training jobs assume, frozen at planning time).
+    *
+    * Balance discipline: rank docs by (n_tokens DESC, md5 key) with
+    * [[globalRank]] and deal rank r to shard via the BOUSTROPHEDON (snake)
+    * rule — row r/N alternates direction, so each shard receives one doc
+    * from every consecutive N-sized size band and the largest docs spread
+    * 1-per-shard: the classic distributed approximation of the LPT
+    * bin-packing `ManifestSourceV2` (ManifestSourceV2.scala:38) applies
+    * driver-side to SPLITS, here expressed as pure rank arithmetic so it
+    * runs as one codegen'd projection over the ranked relation. Snake
+    * guarantee: shard token totals differ by at most one doc's tokens per
+    * N-band, so max/min skew → 1 as docs/shard grows (the ScaleBench
+    * `shard_plan` line measures it).
+    *
+    * Within-shard `pos` rides a window partitioned by shard: a shard IS
+    * the unit one loader process reads (and one task writes), so the
+    * per-shard linear pass is the output contract, not a hot-key defect —
+    * shard COUNT scales with the corpus (fix tokens-per-shard, not
+    * nShards, at 100 TB), keeping every window partition
+    * loader-file-sized.
+    *
+    * Returns (idCol, n_tokens, shard, pos) — one row per document.
+    */
+  def shardPlan(
+      docs: DataFrame,
+      nShards: Int,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      rankPartitions: Int = 32): DataFrame = {
+    require(nShards >= 1, s"nShards ($nShards) must be >= 1")
+    val base = docs.select(
+      col(idCol),
+      size(filter(split(col(textCol), "\\s+"), w => w =!= lit("")))
+        .cast("long").as("n_tokens"),
+      md5(concat(lit("shard:"), col(idCol).cast("string"))).as("__key"))
+    val g = col("__rn") - 1
+    val assigned = globalRank(base,
+        Seq(col("n_tokens").desc, col("__key").asc), rankPartitions, "__rn")
+      .withColumn("shard",
+        when(floor(g / nShards) % 2 === 0, g % nShards)
+          .otherwise(lit(nShards - 1) - g % nShards))
+    assigned
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("__key"))).cast("long"))
+      .select(col(idCol), col("n_tokens"), col("shard"), col("pos"))
+  }
+
+  /** Per-shard manifest over a [[shardPlan]]: doc and token totals plus an
+    * order-insensitive membership checksum (the md5-prefix-sum convention
+    * the q_lang_profile oracle replays) — the relation a loader's control
+    * plane reads to size and verify its workers. One partial-aggregated
+    * groupBy on the shard key; member LISTS stay in the plan rows
+    * themselves (write them with `partitionBy(shard)` — a manifest that
+    * collects members into arrays would put a whole shard's membership in
+    * one aggregate buffer for no reader benefit).
+    *
+    * Returns (shard, n_docs, n_tokens, members_md5) ordered by shard.
+    */
+  def shardManifest(planned: DataFrame, idCol: String = "doc_id"): DataFrame =
+    planned
+      .groupBy(col("shard"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(conv(substring(md5(concat(lit("shard:"), col(idCol).cast("string"))), 1, 8),
+          16, 10).cast("long")).as("members_md5"))
+      .orderBy(col("shard"))
+
   /** Bloom-filter sizing advisor: per group, the optimal filter geometry
     * for its key population — m = ⌈n·(−ln p / ln²2)⌉ bits, k = ⌈m/n·ln 2⌉
     * hashes, and the resulting (1 − e^{−kn/m})^k false-positive rate —

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.Layout
+
+/** Pins [[Layout.shardPlan]] / [[Layout.shardManifest]] — the deterministic
+  * corpus shuffle + token-balanced shard assignment a training data loader
+  * consumes — and the [[Layout.globalRank]] primitive beneath them.
+  */
+class ShardPlanSpec extends SparkSpec {
+  import spark.implicits._
+
+  // 400 docs with token counts 1..400 (doc i repeats a word i times) — a
+  // linear size ramp is the adversarial load for doc-count balancing and
+  // exactly what the snake rule must equalize by tokens
+  private lazy val docs = spark.range(1, 401)
+    .select(col("id").as("doc_id"),
+      expr("array_join(transform(sequence(1, int(id)), x -> 'w'), ' ')").as("text"))
+
+  test("globalRank equals the single-partition row_number on a total order") {
+    val ranked = Layout.globalRank(
+      docs.select(col("doc_id"), length(col("text")).as("len")),
+      Seq(col("len").desc, col("doc_id").asc), numRange = 7, outCol = "rank")
+    val got = ranked.orderBy("rank").select("doc_id").as[Long].collect()
+    // len desc is token count desc → doc 400 first, 1 last
+    assert(got.toSeq == (400L to 1L by -1L), s"rank order broken: ${got.take(5).toSeq}…")
+  }
+
+  test("shard plan is total, rerun-identical, and token-balanced") {
+    val n = 8
+    val plan = Layout.shardPlan(docs, nShards = n).cache()
+    // totality: one row per doc
+    assert(plan.count() == 400 && plan.select("doc_id").distinct().count() == 400)
+    // determinism: a second independent plan is row-identical
+    val again = Layout.shardPlan(docs, nShards = n)
+    assert(plan.exceptAll(again).isEmpty && again.exceptAll(plan).isEmpty,
+      "shard plan must be a pure function of the corpus")
+    // token balance: the snake rule bounds max-min by one doc per N-band;
+    // with the 1..400 ramp at N=8 totals must sit within 1% of each other
+    val totals = plan.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .select("t").as[Long].collect()
+    assert(totals.length == n)
+    assert(totals.max - totals.min <= totals.min / 100 + n,
+      s"snake balance violated: ${totals.toSeq.sorted}")
+    // within-shard pos is dense 1..count
+    val posOk = plan.groupBy("shard")
+      .agg(count(lit(1)).as("c"), min("pos").as("mn"), max("pos").as("mx"))
+      .where(col("mn") =!= 1L || col("mx") =!= col("c")).count()
+    assert(posOk == 0, "pos must be dense 1..count per shard")
+    plan.unpersist()
+  }
+
+  test("manifest totals reconcile with the plan") {
+    val plan = Layout.shardPlan(docs, nShards = 4)
+    val m = Layout.shardManifest(plan).collect()
+    assert(m.map(_.getLong(1)).sum == 400)
+    assert(m.map(_.getLong(2)).sum == (1L to 400L).sum)
+  }
+}
