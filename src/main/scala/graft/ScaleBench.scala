@@ -557,11 +557,30 @@ object ScaleBench {
           .localCheckpoint(true)
         exact.count()
       }
+      // 3b (r19 verdict task 5): paragraph-granularity strip — the C4
+      // stage doc-level banding can't see. Duplicate paragraphs are
+      // deleted corpus-wide (first occurrence keeps) BEFORE near-dup, so
+      // banding's input shrinks: replica perturbation is one trailing
+      // token, so every full 20-word span is shared verbatim across a
+      // replica family and gets stripped here — exactly the boilerplate
+      // load the stage exists for. Docs gutted to nothing (all paragraphs
+      // duplicate) drop out.
+      var stripped: DataFrame = null
+      val s3b = time {
+        stripped = exact
+          .join(Dedup.paragraphDedup(exact, parTokens = 20)
+            .where(col("n_pars") > col("dup_pars"))
+            .select(col("doc_id"), col("kept_text")), Seq("doc_id"))
+          .select(col("doc_id"), col("lang"), col("source"),
+            col("kept_text").as("text"))
+          .localCheckpoint(true)
+        stripped.count()
+      }
       // 4: minhash near-dup — index → banded candidates → exact-Jaccard
       // verify → connected components → keeper filter (q_dedup_end2end)
       var neardup: DataFrame = null
       val s4 = time {
-        val idx = Dedup.minhashIndex(exact, shingleK = 3, numHashes = 16, bands = 8)
+        val idx = Dedup.minhashIndex(stripped, shingleK = 3, numHashes = 16, bands = 8)
         val cand = Dedup.candidatesFromIndex(idx, maxBucket = cap).localCheckpoint(true)
         val candDocs = cand.select(col("doc1").as("doc_id"))
           .unionAll(cand.select(col("doc2").as("doc_id"))).distinct()
@@ -574,7 +593,7 @@ object ScaleBench {
           .where(inter.cast("double") /
             (size(col("sh1")) + size(col("sh2")) - inter) >= 0.5)
           .select(col("doc1"), col("doc2"))
-        neardup = exact
+        neardup = stripped
           .join(Dedup.duplicateGroups(verified), Seq("doc_id"), "left")
           .where(coalesce(col("group_id"), col("doc_id")) === col("doc_id"))
           .select("doc_id", "lang", "source", "text")
@@ -612,10 +631,11 @@ object ScaleBench {
           .count()
       }
       val nOut = sampled.count()
-      val total = s1 + s2 + s3 + s4 + s5 + s6 + s7
+      val total = s1 + s2 + s3 + s3b + s4 + s5 + s6 + s7
       println(
         s"""{"pipeline":"curate_llm","factor":$f,"mode":"bounded","sec":${f"$total%.3f"},""" +
         s""""pii_sec":${f"$s1%.3f"},"gate_sec":${f"$s2%.3f"},"exact_sec":${f"$s3%.3f"},""" +
+        s""""parstrip_sec":${f"$s3b%.3f"},"parstrip_docs":${stripped.count()},""" +
         s""""neardup_sec":${f"$s4%.3f"},"decontam_sec":${f"$s5%.3f"},""" +
         s""""sample_sec":${f"$s6%.3f"},"pack_sec":${f"$s7%.3f"},""" +
         s""""docs_in":$n0,"docs_out":$nOut,"packs":$packs}""")
