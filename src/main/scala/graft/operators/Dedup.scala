@@ -1848,7 +1848,7 @@ object Dedup {
     * philosophy: a friendly error, never a silently corrupted verdict).
     * Codegen'd per-row branch; the raise arm is dead code on every
     * in-bounds corpus. */
-  private def parOkey(idCol: String): Column = {
+  private[graft] def parOkey(idCol: String): Column = {
     val id = col(idCol).cast("long")
     when(col("par_idx") >= lit(1000000L) || abs(id) > lit(9223372036853L),
       raise_error(concat(
