@@ -3450,6 +3450,26 @@ object SparkEntry {
         operators.Layout.shardPlan(t(s, dir, "documents"), nShards = 8))
     }),
 
+    // -- shard-plan EXECUTION: the write half of the loader handoff —
+    //    one parquet file per shard, rows in plan pos order; the returned
+    //    read-back table must reconcile with the plan arithmetic, so the
+    //    oracle replays the assignment chain (the q_compaction_exec
+    //    lossless-roundtrip discipline)
+    "q_shard_write" -> ((s, dir) => {
+      val out = scratch("shard-out", dir)
+      operators.Layout
+        .shardWrite(s, t(s, dir, "documents"), nShards = 8, out)
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max(col("pos")).as("max_pos"),
+          sum(conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 8),
+            16, 10).cast("long")).as("members_md5"))
+        .select(col("shard").cast("long").as("shard"), col("n_docs"),
+          col("max_pos"), col("members_md5"))
+        .orderBy("shard")
+    }),
+
     // -- zone-map prune effectiveness: the SAME price predicate against an
     //    insertion-order layout vs a price-clustered layout — the measured
     //    I/O argument for re-clustering; per-file min/max like a parquet
@@ -10297,6 +10317,30 @@ object SparkEntry {
                  sum(n_tokens)::BIGINT AS n_tokens,
                  sum(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)::BIGINT AS members_md5
           FROM assigned GROUP BY shard ORDER BY shard""",
+    "q_shard_write" ->
+      s"""WITH base AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+                   md5('shard:' || CAST(doc_id AS VARCHAR)) AS key
+            FROM documents),
+          ranked AS (
+            SELECT doc_id, n_tokens, key,
+                   row_number() OVER (ORDER BY n_tokens DESC, key) AS rn
+            FROM base),
+          assigned AS (
+            SELECT doc_id, key,
+                   (CASE WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
+                         ELSE 7 - ((rn - 1) % 8) END)::BIGINT AS shard
+            FROM ranked),
+          pos AS (
+            SELECT doc_id, shard,
+                   (row_number() OVER (PARTITION BY shard ORDER BY key))::BIGINT AS pos
+            FROM assigned)
+          SELECT shard,
+                 count(*)::BIGINT AS n_docs,
+                 max(pos)::BIGINT AS max_pos,
+                 sum(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)::BIGINT AS members_md5
+          FROM pos GROUP BY shard ORDER BY shard""",
     "q_zonemap_prune" ->
       """WITH nat AS (
            SELECT floor(o_orderkey / 100) AS f,

@@ -368,6 +368,36 @@ object Layout {
           16, 10).cast("long")).as("members_md5"))
       .orderBy(col("shard"))
 
+  /** EXECUTE a [[shardPlan]] — the write half of the loader handoff (the
+    * [[compactExecute]] pairing discipline: plan, then rewrite): each
+    * document joins its (shard, pos) assignment (unique-key join), the
+    * corpus is repartitioned BY THE SHARD COLUMN so every shard lands
+    * wholly in one task, and `partitionBy(shard)` then emits EXACTLY one
+    * parquet file per shard with rows in the plan's pos order
+    * (`sortWithinPartitions`) — the file a loader process opens and reads
+    * sequentially. One corpus shuffle total (the write's own routing);
+    * the plan side is doc-metadata-width.
+    *
+    * Returns the read-back sharded table (docs' columns + shard + pos),
+    * which must be row-identical to docs ⋈ plan — the invariant the spec
+    * and the oracle row pin.
+    */
+  def shardWrite(
+      spark: SparkSession,
+      docs: DataFrame,
+      nShards: Int,
+      outDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val plan = shardPlan(docs, nShards, idCol, textCol)
+    docs
+      .join(plan.select(col(idCol), col("shard"), col("pos")), Seq(idCol))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    spark.read.parquet(outDir)
+  }
+
   /** Bloom-filter sizing advisor: per group, the optimal filter geometry
     * for its key population — m = ⌈n·(−ln p / ln²2)⌉ bits, k = ⌈m/n·ln 2⌉
     * hashes, and the resulting (1 − e^{−kn/m})^k false-positive rate —

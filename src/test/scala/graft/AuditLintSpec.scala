@@ -137,7 +137,13 @@ class AuditLintSpec extends AnyFunSuite {
     "q_temp_mixture" -> "cumulative budget over the per-SOURCE mixture table",
     "q_neyman_alloc" -> "largest-remainder rank over the per-STRATUM allocation table",
     "q_concurrency" -> "minute-domain carry: window over per-minute net aggregates, not boundary rows",
-    "q_bh_fdr" -> "BH rank over the per-GROUP test family (k hypotheses, metadata-sized)")
+    "q_bh_fdr" -> "BH rank over the per-GROUP test family (k hypotheses, metadata-sized)",
+    // the two-pass distributed rank's second pass: offset cumsum over ONE
+    // ROW PER RANGE PARTITION (numRange rows — the compactionPlan
+    // metadata-relation argument); the data itself is ranked inside its
+    // range partitions, never through this window
+    "q_shard_plan" -> "globalRank offset cumsum over per-range-partition counts (numRange rows)",
+    "q_shard_manifest" -> "globalRank offset cumsum over per-range-partition counts (numRange rows)")
 
   test("global-window lint: no production plan windows the whole relation unless metadata-bounded") {
     val flagged = scala.collection.mutable.Map[String, Seq[String]]()

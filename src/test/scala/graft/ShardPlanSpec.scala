@@ -57,4 +57,30 @@ class ShardPlanSpec extends SparkSpec {
     assert(m.map(_.getLong(1)).sum == 400)
     assert(m.map(_.getLong(2)).sum == (1L to 400L).sum)
   }
+
+  test("shardWrite: one file per shard, lossless, rows in pos order") {
+    val n = 8
+    val out = java.nio.file.Files.createTempDirectory("graft-shard-write").toString
+    val back = Layout.shardWrite(spark, docs, nShards = n, out)
+    // one parquet data file per shard directory
+    val root = new java.io.File(out)
+    val shardDirs = root.listFiles().filter(_.getName.startsWith("shard="))
+    assert(shardDirs.length == n, s"expected $n shard dirs, got ${shardDirs.length}")
+    shardDirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1, s"${d.getName}: expected exactly one file, got ${files.length}")
+    }
+    // lossless: read-back == docs ⋈ plan
+    assert(back.count() == 400 &&
+      back.select("doc_id").distinct().count() == 400)
+    val plan = Layout.shardPlan(docs, nShards = n)
+    val mismatch = back.select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))
+      .exceptAll(plan.select(col("doc_id"), col("shard"), col("pos")))
+    assert(mismatch.isEmpty, "read-back assignment must equal the plan")
+    // in-file order: each shard file read alone yields ascending pos
+    shardDirs.foreach { d =>
+      val pos = spark.read.parquet(d.toString).select("pos").as[Long].collect()
+      assert(pos.toSeq == pos.sorted.toSeq, s"${d.getName} not in pos order")
+    }
+  }
 }
