@@ -274,12 +274,18 @@ object Layout {
       outCol: String = "rank"): DataFrame = {
     require(sortCols.nonEmpty, "globalRank needs at least one sort column")
     require(numRange >= 1, s"numRange ($numRange) must be >= 1")
+    // materialized ONCE: the locally-ranked stream feeds BOTH the offset
+    // aggregate and the final join — lazy, the range shuffle + sort +
+    // row_number would run per consumer (the EXPLAIN_r19 audit caught the
+    // doubled rangepartitioning lineage). Callers pass metadata-width
+    // relations (keys + sort columns), so the stored stream is narrow.
     val local = df
       .repartitionByRange(numRange, sortCols: _*)
       .withColumn("__pid", spark_partition_id())
       .withColumn("__lrn",
         row_number().over(
           Window.partitionBy(col("__pid")).orderBy(sortCols: _*)).cast("long"))
+      .localCheckpoint(true)
     val offs = local
       .groupBy(col("__pid")).agg(count(lit(1)).as("__c"))
       .withColumn("__off", coalesce(
