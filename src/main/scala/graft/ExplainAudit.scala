@@ -209,7 +209,8 @@ object ExplainAudit {
     // be the two-pass range form — the only single-partition window
     // allowed is the numRange-row offset cumsum; pos rides a
     // per-shard window, the loader-file contract)
-    "q_shard_plan", "q_shard_manifest", "q_shard_write")
+    "q_shard_plan", "q_shard_manifest", "q_shard_write", "q_shard_packs",
+    "q_shard_incr")
 
   /** Termination contract per iterative loop (r15 verdict task 8): every
     * key in [[iterativeBodies]] must declare HOW its driver loop ends —

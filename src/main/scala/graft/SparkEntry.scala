@@ -3450,6 +3450,35 @@ object SparkEntry {
         operators.Layout.shardPlan(t(s, dir, "documents"), nShards = 8))
     }),
 
+    // -- shard the PACKS, not the docs: packByOffset → packContents →
+    //    shardPlanByCount balances loader shards by PACK tokens — the
+    //    unit a training step actually consumes; unit id is the
+    //    (lang, pack_id) string key
+    "q_shard_packs" -> ((s, dir) => {
+      val packs = operators.Packing
+        .packContents(operators.Packing.packByOffset(t(s, dir, "documents"), budget = 2048))
+        .select(
+          concat_ws(":", col("lang"), col("pack_id").cast("string")).as("unit_id"),
+          col("pack_tokens"))
+      operators.Layout
+        .shardPlanByCount(packs, nShards = 4, idCol = "unit_id", countCol = "pack_tokens")
+        .orderBy("shard", "pos")
+    }),
+
+    // -- INCREMENTAL shard maintenance: docs with doc_id % 10 == 0 arrive
+    //    as a new batch against the manifest of the other 90% — biggest
+    //    new docs deal onto lightest shards (snake over the load-ascending
+    //    shard order); no corpus re-shard
+    "q_shard_incr" -> ((s, dir) => {
+      val base = t(s, dir, "documents").where(col("doc_id") % 10 =!= 0)
+      val fresh = t(s, dir, "documents").where(col("doc_id") % 10 === 0)
+      operators.Layout
+        .shardAssignIncremental(
+          operators.Layout.shardManifest(operators.Layout.shardPlan(base, nShards = 8)),
+          fresh)
+        .orderBy("doc_id")
+    }),
+
     // -- shard-plan EXECUTION: the write half of the loader handoff —
     //    one parquet file per shard, rows in plan pos order; the returned
     //    read-back table must reconcile with the plan arithmetic, so the
@@ -10317,6 +10346,70 @@ object SparkEntry {
                  sum(n_tokens)::BIGINT AS n_tokens,
                  sum(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)::BIGINT AS members_md5
           FROM assigned GROUP BY shard ORDER BY shard""",
+    "q_shard_packs" ->
+      s"""WITH packs AS (
+            SELECT lang || ':' || CAST(pack_id AS VARCHAR) AS unit_id,
+                   sum(n_tok)::BIGINT AS pack_tokens
+            FROM (
+              SELECT doc_id, lang, n_tok, floor(start_off / 2048)::BIGINT AS pack_id FROM (
+                SELECT doc_id, lang, n_tok,
+                       sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok AS start_off
+                FROM (SELECT doc_id, lang,
+                             len(regexp_split_to_array(text, '\\s+'))::BIGINT AS n_tok
+                      FROM documents) t) u) p
+            GROUP BY lang, pack_id),
+          base AS (
+            SELECT unit_id, pack_tokens AS n_tokens,
+                   md5('shard:' || unit_id) AS key
+            FROM packs),
+          ranked AS (
+            SELECT unit_id, n_tokens, key,
+                   row_number() OVER (ORDER BY n_tokens DESC, key) AS rn
+            FROM base),
+          assigned AS (
+            SELECT unit_id, n_tokens, key,
+                   (CASE WHEN ((rn - 1) // 4) % 2 = 0 THEN (rn - 1) % 4
+                         ELSE 3 - ((rn - 1) % 4) END)::BIGINT AS shard
+            FROM ranked)
+          SELECT unit_id, n_tokens, shard,
+                 (row_number() OVER (PARTITION BY shard ORDER BY key))::BIGINT AS pos
+          FROM assigned ORDER BY shard, pos""",
+    "q_shard_incr" ->
+      s"""WITH base AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+                   md5('shard:' || CAST(doc_id AS VARCHAR)) AS key
+            FROM documents WHERE doc_id % 10 <> 0),
+          ranked AS (
+            SELECT doc_id, n_tokens, key,
+                   row_number() OVER (ORDER BY n_tokens DESC, key) AS rn
+            FROM base),
+          assigned AS (
+            SELECT doc_id, n_tokens,
+                   (CASE WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
+                         ELSE 7 - ((rn - 1) % 8) END)::BIGINT AS shard
+            FROM ranked),
+          man AS (SELECT shard, sum(n_tokens)::BIGINT AS n_tokens FROM assigned GROUP BY shard),
+          ord AS (SELECT shard,
+                         (row_number() OVER (ORDER BY n_tokens ASC, shard ASC))::BIGINT - 1 AS sidx
+                  FROM man),
+          fresh AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+                   md5('shard:' || CAST(doc_id AS VARCHAR)) AS key
+            FROM documents WHERE doc_id % 10 = 0),
+          franked AS (
+            SELECT doc_id, n_tokens,
+                   row_number() OVER (ORDER BY n_tokens DESC, key) AS rn
+            FROM fresh),
+          fassigned AS (
+            SELECT doc_id, n_tokens,
+                   (CASE WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
+                         ELSE 7 - ((rn - 1) % 8) END)::BIGINT AS sidx
+            FROM franked)
+          SELECT f.doc_id, f.n_tokens, o.shard
+          FROM fassigned f JOIN ord o ON f.sidx = o.sidx
+          ORDER BY f.doc_id""",
     "q_shard_write" ->
       s"""WITH base AS (
             SELECT doc_id,

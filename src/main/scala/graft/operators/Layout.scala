@@ -333,12 +333,32 @@ object Layout {
       nShards: Int,
       idCol: String = "doc_id",
       textCol: String = "text",
+      rankPartitions: Int = 32): DataFrame =
+    shardPlanByCount(
+      docs.select(
+        col(idCol),
+        size(filter(split(col(textCol), "\\s+"), w => w =!= lit("")))
+          .cast("long").as("__n_tok")),
+      nShards, idCol, "__n_tok", rankPartitions)
+
+  /** [[shardPlan]]'s core over PRE-COUNTED units — shard any trainable
+    * unit (documents, packed sequences, chunks) by an existing size
+    * column: the composition `packByOffset → packContents →
+    * shardPlanByCount` shards the PACKS a loader actually consumes,
+    * balanced by pack tokens, without re-deriving counts from text.
+    * Unit ids may be any type with a stable string form (the md5 shuffle
+    * key is built from it); same snake/rank machinery, same guarantees.
+    */
+  def shardPlanByCount(
+      units: DataFrame,
+      nShards: Int,
+      idCol: String,
+      countCol: String,
       rankPartitions: Int = 32): DataFrame = {
     require(nShards >= 1, s"nShards ($nShards) must be >= 1")
-    val base = docs.select(
+    val base = units.select(
       col(idCol),
-      size(filter(split(col(textCol), "\\s+"), w => w =!= lit("")))
-        .cast("long").as("n_tokens"),
+      col(countCol).cast("long").as("n_tokens"),
       md5(concat(lit("shard:"), col(idCol).cast("string"))).as("__key"))
     val g = col("__rn") - 1
     val assigned = globalRank(base,
@@ -351,6 +371,49 @@ object Layout {
         row_number().over(
           Window.partitionBy(col("shard")).orderBy(col("__key"))).cast("long"))
       .select(col(idCol), col("n_tokens"), col("shard"), col("pos"))
+  }
+
+  /** INCREMENTAL shard assignment — the maintenance half of the shard
+    * family (the index-upsert discipline applied to the loader handoff):
+    * a growing corpus must not re-shard 100 TB to admit a new batch, so
+    * new documents are dealt onto the EXISTING shards, biggest docs to
+    * lightest shards — shards ranked by current token load ascending (a
+    * window over the N-row manifest, metadata-bounded), new docs ranked
+    * by token count descending ([[globalRank]]), and the snake deal maps
+    * doc rank → load-order shard index, so every consecutive N-sized size
+    * band of new docs spreads one-per-shard starting at the lightest.
+    * The shard count is read off the manifest (one metadata-sized driver
+    * action, the ManifestSource discipline). Deterministic given
+    * (manifest, batch).
+    *
+    * Returns (idCol, n_tokens, shard) for every new document.
+    */
+  def shardAssignIncremental(
+      manifest: DataFrame,
+      newDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      rankPartitions: Int = 32): DataFrame = {
+    val order = manifest
+      .select(col("shard"), col("n_tokens"))
+      .withColumn("__sidx",
+        row_number().over(
+          Window.orderBy(col("n_tokens").asc, col("shard").asc)).cast("long") - 1)
+      .select(col("__sidx"), col("shard"))
+    val n = order.count()
+    require(n >= 1, "manifest must carry at least one shard")
+    val base = newDocs.select(
+      col(idCol),
+      size(filter(split(col(textCol), "\\s+"), w => w =!= lit("")))
+        .cast("long").as("n_tokens"),
+      md5(concat(lit("shard:"), col(idCol).cast("string"))).as("__key"))
+    val g = col("__rn") - 1
+    globalRank(base, Seq(col("n_tokens").desc, col("__key").asc),
+        rankPartitions, "__rn")
+      .withColumn("__sidx",
+        when(floor(g / n) % 2 === 0, g % n).otherwise(lit(n - 1) - g % n))
+      .join(broadcast(order), Seq("__sidx"))
+      .select(col(idCol), col("n_tokens"), col("shard"))
   }
 
   /** Per-shard manifest over a [[shardPlan]]: doc and token totals plus an

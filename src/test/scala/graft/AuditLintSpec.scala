@@ -143,7 +143,9 @@ class AuditLintSpec extends AnyFunSuite {
     // metadata-relation argument); the data itself is ranked inside its
     // range partitions, never through this window
     "q_shard_plan" -> "globalRank offset cumsum over per-range-partition counts (numRange rows)",
-    "q_shard_manifest" -> "globalRank offset cumsum over per-range-partition counts (numRange rows)")
+    "q_shard_manifest" -> "globalRank offset cumsum over per-range-partition counts (numRange rows)",
+    "q_shard_packs" -> "globalRank offset cumsum over per-range-partition counts (numRange rows)",
+    "q_shard_incr" -> "globalRank offset cumsum (numRange rows) + load-order rank over the N-row shard manifest")
 
   test("global-window lint: no production plan windows the whole relation unless metadata-bounded") {
     val flagged = scala.collection.mutable.Map[String, Seq[String]]()

@@ -58,6 +58,35 @@ class ShardPlanSpec extends SparkSpec {
     assert(m.map(_.getLong(2)).sum == (1L to 400L).sum)
   }
 
+  test("shardPlanByCount shards string-keyed units by a precomputed size column") {
+    val units = Seq(("en:0", 100L), ("en:1", 90L), ("de:0", 80L), ("de:1", 70L))
+      .toDF("unit_id", "n")
+    val plan = Layout.shardPlanByCount(units, nShards = 2, idCol = "unit_id", countCol = "n")
+    assert(plan.count() == 4 && plan.select("shard").distinct().count() == 2)
+    // snake over (100,90,80,70): ranks 1..4 -> shards 0,1,1,0 -> totals 170/170
+    val totals = plan.groupBy("shard").agg(sum("n_tokens").as("t"))
+      .select("t").as[Long].collect().sorted
+    assert(totals.toSeq == Seq(170L, 170L), s"snake totals: ${totals.toSeq}")
+  }
+
+  test("incremental assignment: biggest new doc lands on the lightest shard, no re-shard") {
+    val manifest = Layout.shardManifest(Layout.shardPlan(docs, nShards = 4))
+    val lightest = manifest.orderBy(col("n_tokens").asc, col("shard").asc)
+      .select("shard").as[Long].first()
+    val fresh = spark.range(1000, 1020)
+      .select(col("id").as("doc_id"),
+        expr("array_join(transform(sequence(1, int(id - 900)), x -> 'w'), ' ')").as("text"))
+    val got = Layout.shardAssignIncremental(manifest, fresh).cache()
+    assert(got.count() == 20 && got.select("doc_id").distinct().count() == 20)
+    // rank-1 new doc (the biggest, id 1019) must land on the lightest shard
+    val big = got.orderBy(col("n_tokens").desc).select("shard").as[Long].first()
+    assert(big == lightest, s"biggest new doc on shard $big, lightest is $lightest")
+    // deterministic
+    val again = Layout.shardAssignIncremental(manifest, fresh)
+    assert(got.exceptAll(again).isEmpty && again.exceptAll(got).isEmpty)
+    got.unpersist()
+  }
+
   test("shardWrite: one file per shard, lossless, rows in pos order") {
     val n = 8
     val out = java.nio.file.Files.createTempDirectory("graft-shard-write").toString
