@@ -167,20 +167,29 @@ object Bench {
             // a sample that throws must NOT adjudicate as a fast min: a
             // query broken on every run times the throw path (near zero)
             // and would silently adjudicate a regression flag as a huge
-            // speedup — track the failure like timed/timedBest2 do and
-            // report -1 with the error, matching the sweep's convention
+            // speedup. Track success PER SAMPLE — one transient failure
+            // (GC-pause executor loss, OOM-kill recovery) must not discard
+            // four good timings; min is over the successful samples, the
+            // failure count and last error ride along, and -1 is reported
+            // only when EVERY sample threw (matching the sweep convention)
             var lastErr: String = null
-            val ss = (1 to 5).map { _ =>
+            var errN = 0
+            val ss = (1 to 5).flatMap { _ =>
               clearRddStorage()
-              time(try run(fn(spark, sfDir)) catch {
-                case t: Throwable => lastErr = t.getClass.getSimpleName
+              var ok = true
+              val t = time(try run(fn(spark, sfDir)) catch {
+                case t: Throwable =>
+                  ok = false; errN += 1; lastErr = t.getClass.getSimpleName
               })
+              if (ok) Some(t) else None
             }
             def fm(v: Double) = String.format(java.util.Locale.ROOT, "%.3f", Double.box(v))
-            if (lastErr != null)
-              println(s"""{"query":"$name","min":-1,"err":"$lastErr","sf":"$sfDir"}""")
-            else
-              println(s"""{"query":"$name","min":${fm(ss.min)},"samples":[${ss.map(fm).mkString(",")}],"sf":"$sfDir"}""")
+            if (ss.isEmpty)
+              println(s"""{"query":"$name","min":-1,"err":"$lastErr","err_count":$errN,"sf":"$sfDir"}""")
+            else {
+              val errPart = if (errN > 0) s""","err_count":$errN,"err":"$lastErr"""" else ""
+              println(s"""{"query":"$name","min":${fm(ss.min)},"samples":[${ss.map(fm).mkString(",")}]$errPart,"sf":"$sfDir"}""")
+            }
         }
       }
       spark.stop()

@@ -210,7 +210,11 @@ object ExplainAudit {
     // allowed is the numRange-row offset cumsum; pos rides a
     // per-shard window, the loader-file contract)
     "q_shard_plan", "q_shard_manifest", "q_shard_write", "q_shard_packs",
-    "q_shard_incr")
+    "q_shard_incr",
+    // round 20: incremental shard WRITE + manifest fold (same globalRank
+    // offset cumsum + the N-row manifest load-order window — both
+    // metadata-bounded; the batch pos window is per-shard)
+    "q_shard_incr_write", "q_shard_manifest_incr")
 
   /** Termination contract per iterative loop (r15 verdict task 8): every
     * key in [[iterativeBodies]] must declare HOW its driver loop ends —

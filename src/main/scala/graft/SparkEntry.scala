@@ -3494,9 +3494,45 @@ object SparkEntry {
           max(col("pos")).as("max_pos"),
           sum(conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 8),
             16, 10).cast("long")).as("members_md5"))
-        .select(col("shard").cast("long").as("shard"), col("n_docs"),
-          col("max_pos"), col("members_md5"))
+        .select(col("shard"), col("n_docs"), col("max_pos"), col("members_md5"))
         .orderBy("shard")
+    }),
+
+    // -- incremental shard-plan EXECUTION: base corpus sharded in full,
+    //    then the 10% batch APPENDED as one delta segment per shard with
+    //    pos continuing from the base manifest — the whole-table read-back
+    //    must reconcile with base plan ∪ batch assignment (no re-shard)
+    "q_shard_incr_write" -> ((s, dir) => {
+      val out = scratch("shard-incr-out", dir)
+      val docs = t(s, dir, "documents")
+      val base = docs.where(col("doc_id") % 10 =!= 0)
+      val fresh = docs.where(col("doc_id") % 10 === 0)
+      operators.Layout.shardWrite(s, base, nShards = 8, out)
+      val man = operators.Layout.shardManifest(
+        operators.Layout.shardPlan(base, nShards = 8))
+      operators.Layout.shardWriteIncremental(s, man, fresh, out)
+        .groupBy(col("shard"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          max(col("pos")).as("max_pos"),
+          sum(conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 8),
+            16, 10).cast("long")).as("members_md5"))
+        .select(col("shard"), col("n_docs"), col("max_pos"), col("members_md5"))
+        .orderBy("shard")
+    }),
+
+    // -- metadata-sized manifest maintenance: fold the batch's assignments
+    //    into the existing manifest (all columns are order-insensitive
+    //    sums) — bit-identical to a full recompute over the union, at the
+    //    cost of one batch partial-agg + an N-row union
+    "q_shard_manifest_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val base = docs.where(col("doc_id") % 10 =!= 0)
+      val fresh = docs.where(col("doc_id") % 10 === 0)
+      val man = operators.Layout.shardManifest(
+        operators.Layout.shardPlan(base, nShards = 8))
+      operators.Layout.shardManifestFold(
+        man, operators.Layout.shardAssignIncremental(man, fresh))
     }),
 
     // -- zone-map prune effectiveness: the SAME price predicate against an
@@ -8028,14 +8064,19 @@ object SparkEntry {
                  coalesce(kept_text, '') AS kept_text
           FROM documents d LEFT JOIN g USING (doc_id) ORDER BY d.doc_id""",
     // same spans as pseudo-docs (pid = doc_id*1e6 + par_idx) through the
-    // identical minhash banding, folded to cross-doc pair counts
+    // identical minhash banding, folded to cross-doc pair counts; the
+    // decode is FLOOR division (subtract the positive modulus first —
+    // DuckDB's `//`, like Spark's `div`, truncates toward zero and would
+    // mis-fold negative doc ids identically to the pre-fix Spark plan)
     "q_dedup_paragraph_mh" ->
       s"""WITH ${paragraphCtes(20)},
           parsrc AS (SELECT doc_id * 1000000 + par_idx AS doc_id, par_text AS text FROM pars),
-          ${minhashPairsCtes(3, 16, 8, 4096, src = "parsrc")}
-          SELECT doc1 // 1000000 AS doca, doc2 // 1000000 AS docb,
-                 count(*)::BIGINT AS n_par_pairs
-          FROM pairs WHERE doc1 // 1000000 <> doc2 // 1000000
+          ${minhashPairsCtes(3, 16, 8, 4096, src = "parsrc")},
+          dec AS (SELECT (doc1 - ((doc1 % 1000000 + 1000000) % 1000000)) // 1000000 AS doca,
+                         (doc2 - ((doc2 % 1000000 + 1000000) % 1000000)) // 1000000 AS docb
+                  FROM pairs)
+          SELECT doca, docb, count(*)::BIGINT AS n_par_pairs
+          FROM dec WHERE doca <> docb
           GROUP BY 1, 2 ORDER BY doca, docb""",
     // edit verify over the same banded candidates: full levenshtein with a
     // CASE threshold mirrors Spark's banded early-exit (-1 above maxDist)
@@ -10434,6 +10475,106 @@ object SparkEntry {
                  max(pos)::BIGINT AS max_pos,
                  sum(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)::BIGINT AS members_md5
           FROM pos GROUP BY shard ORDER BY shard""",
+    // base plan positions ∪ the batch's incremental assignment with pos
+    // offset by each shard's base n_docs — the delta-segment append's
+    // whole-table reconciliation
+    "q_shard_incr_write" ->
+      s"""WITH base AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+                   md5('shard:' || CAST(doc_id AS VARCHAR)) AS key
+            FROM documents WHERE doc_id % 10 <> 0),
+          ranked AS (
+            SELECT doc_id, n_tokens, key,
+                   row_number() OVER (ORDER BY n_tokens DESC, key) AS rn
+            FROM base),
+          assigned AS (
+            SELECT doc_id, n_tokens, key,
+                   (CASE WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
+                         ELSE 7 - ((rn - 1) % 8) END)::BIGINT AS shard
+            FROM ranked),
+          bpos AS (
+            SELECT doc_id, shard,
+                   (row_number() OVER (PARTITION BY shard ORDER BY key))::BIGINT AS pos
+            FROM assigned),
+          man AS (SELECT shard, count(*)::BIGINT AS n_docs,
+                         sum(n_tokens)::BIGINT AS n_tokens
+                  FROM assigned GROUP BY shard),
+          ord AS (SELECT shard,
+                         (row_number() OVER (ORDER BY n_tokens ASC, shard ASC))::BIGINT - 1 AS sidx
+                  FROM man),
+          fresh AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+                   md5('shard:' || CAST(doc_id AS VARCHAR)) AS key
+            FROM documents WHERE doc_id % 10 = 0),
+          franked AS (
+            SELECT doc_id, key,
+                   row_number() OVER (ORDER BY n_tokens DESC, key) AS rn
+            FROM fresh),
+          fassigned AS (
+            SELECT doc_id, key,
+                   (CASE WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
+                         ELSE 7 - ((rn - 1) % 8) END)::BIGINT AS sidx
+            FROM franked),
+          fpos AS (
+            SELECT f.doc_id, o.shard,
+                   (row_number() OVER (PARTITION BY o.shard ORDER BY f.key))::BIGINT
+                     + m.n_docs AS pos
+            FROM fassigned f
+            JOIN ord o ON f.sidx = o.sidx
+            JOIN man m ON m.shard = o.shard),
+          uni AS (SELECT doc_id, shard, pos FROM bpos
+                  UNION ALL SELECT doc_id, shard, pos FROM fpos)
+          SELECT shard,
+                 count(*)::BIGINT AS n_docs,
+                 max(pos)::BIGINT AS max_pos,
+                 sum(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)::BIGINT AS members_md5
+          FROM uni GROUP BY shard ORDER BY shard""",
+    // fold == recompute: the folded manifest must equal the grouped union
+    // of the base plan and the batch assignment
+    "q_shard_manifest_incr" ->
+      s"""WITH base AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+                   md5('shard:' || CAST(doc_id AS VARCHAR)) AS key
+            FROM documents WHERE doc_id % 10 <> 0),
+          ranked AS (
+            SELECT doc_id, n_tokens, key,
+                   row_number() OVER (ORDER BY n_tokens DESC, key) AS rn
+            FROM base),
+          assigned AS (
+            SELECT doc_id, n_tokens,
+                   (CASE WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
+                         ELSE 7 - ((rn - 1) % 8) END)::BIGINT AS shard
+            FROM ranked),
+          man AS (SELECT shard, sum(n_tokens)::BIGINT AS n_tokens FROM assigned GROUP BY shard),
+          ord AS (SELECT shard,
+                         (row_number() OVER (ORDER BY n_tokens ASC, shard ASC))::BIGINT - 1 AS sidx
+                  FROM man),
+          fresh AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+                   md5('shard:' || CAST(doc_id AS VARCHAR)) AS key
+            FROM documents WHERE doc_id % 10 = 0),
+          franked AS (
+            SELECT doc_id, n_tokens,
+                   row_number() OVER (ORDER BY n_tokens DESC, key) AS rn
+            FROM fresh),
+          fassigned AS (
+            SELECT doc_id, n_tokens,
+                   (CASE WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
+                         ELSE 7 - ((rn - 1) % 8) END)::BIGINT AS sidx
+            FROM franked),
+          fsh AS (SELECT f.doc_id, f.n_tokens, o.shard
+                  FROM fassigned f JOIN ord o ON f.sidx = o.sidx),
+          uni AS (SELECT doc_id, n_tokens, shard FROM assigned
+                  UNION ALL SELECT doc_id, n_tokens, shard FROM fsh)
+          SELECT shard,
+                 count(*)::BIGINT AS n_docs,
+                 sum(n_tokens)::BIGINT AS n_tokens,
+                 sum(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)::BIGINT AS members_md5
+          FROM uni GROUP BY shard ORDER BY shard""",
     "q_zonemap_prune" ->
       """WITH nat AS (
            SELECT floor(o_orderkey / 100) AS f,

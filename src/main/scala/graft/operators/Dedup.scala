@@ -1858,6 +1858,25 @@ object Dedup {
       .otherwise(id * lit(1000000L) + col("par_idx"))
   }
 
+  /** FLOOR-division decode of a [[parOkey]] pseudo-id back to its doc id.
+    * The encode is doc·10⁶ + par_idx with par_idx ∈ [0, 10⁶), so the doc
+    * is ⌊okey / 10⁶⌋ — FLOOR, not truncation: Spark's `div` (and DuckDB's
+    * `//`) truncate toward zero, which mis-decodes every NEGATIVE doc id
+    * with a nonzero par_idx (okey −999997 = doc −1, par 3 truncates to
+    * doc 0) — and negative ids are in-contract (the [[parOkey]] guard
+    * admits |doc_id| ≤ 9.2·10¹², and 64-bit hash-derived ids are negative
+    * half the time). Subtracting pmod first makes the numerator an exact
+    * multiple of 10⁶, where truncation == floor — all-integer, no
+    * double round-trip (okeys reach 9.2·10¹⁸, past double's 2⁵³). The
+    * oracle mirrors the same pmod re-centering in DuckDB. */
+  private[graft] def okeyDoc(okeyCol: String): Column =
+    expr(s"($okeyCol - pmod($okeyCol, 1000000L)) div 1000000L")
+
+  /** [[okeyDoc]]'s companion: the paragraph index of a pseudo-id —
+    * pmod is already floor-remainder, correct for negative doc ids. */
+  private[graft] def okeyPar(okeyCol: String): Column =
+    expr(s"int(pmod($okeyCol, 1000000L))")
+
   /** Paragraph-granularity EXACT dedup with document fold-back — the
     * C4/Dolma stage the doc-level family can't express: a boilerplate
     * paragraph shared by otherwise-distinct documents never lifts
@@ -1979,7 +1998,10 @@ object Dedup {
     * are dropped (self-boilerplate is [[paragraphDedup]]'s business).
     *
     * Scale shape = minhashCandidates' (banded, capped) plus one doc-pair
-    * aggregate over the candidate set.
+    * aggregate over the candidate set. Pseudo-ids decode back to doc ids
+    * with FLOOR division ([[okeyDoc]]) — truncating `div` mis-attributes
+    * every negative-doc-id paragraph, an id range the [[parOkey]] guard
+    * explicitly admits (ParagraphDedupSpec pins a negative-id corpus).
     */
   def paragraphMinhashPairs(
       docs: DataFrame,
@@ -1996,9 +2018,7 @@ object Dedup {
     minhashCandidates(pseudo, idCol = "pid", textCol = "par_text",
       shingleK = shingleK, numHashes = numHashes, bands = bands,
       maxBucket = maxBucket, dropAudit = dropAudit)
-      .select(
-        expr("doc1 div 1000000").as("doca"),
-        expr("doc2 div 1000000").as("docb"))
+      .select(okeyDoc("doc1").as("doca"), okeyDoc("doc2").as("docb"))
       .where(col("doca") =!= col("docb"))
       .groupBy(col("doca"), col("docb"))
       .agg(count(lit(1)).as("n_par_pairs"))

@@ -312,9 +312,13 @@ object Layout {
     * rule — row r/N alternates direction, so each shard receives one doc
     * from every consecutive N-sized size band and the largest docs spread
     * 1-per-shard: the classic distributed approximation of the LPT
-    * bin-packing `ManifestSourceV2` (ManifestSourceV2.scala:38) applies
-    * driver-side to SPLITS, here expressed as pure rank arithmetic so it
-    * runs as one codegen'd projection over the ranked relation. Snake
+    * (longest-processing-time-first) bin packing this repo's
+    * [[graft.sources]] manifest scan applies driver-side to SPLITS
+    * (`sources/ManifestSourceV2.scala:122`, the largest-file-into-
+    * lightest-bin greedy loop) — LPT's "currently lightest bin" needs
+    * sequential state, so here it is replaced by the snake's "next in
+    * alternating order", expressed as pure rank arithmetic so it runs as
+    * one codegen'd projection over the ranked relation. Snake
     * guarantee: shard token totals differ by at most one doc's tokens per
     * N-band, so max/min skew → 1 as docs/shard grows (the ScaleBench
     * `shard_plan` line measures it).
@@ -464,8 +468,112 @@ object Layout {
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
+    // partition-column inference types `shard` as int; cast it back to the
+    // plan's long so the stated invariant (read-back ≡ docs ⋈ plan) holds
+    // under a naive exceptAll, without caller- or oracle-side casts
     spark.read.parquet(outDir)
+      .withColumn("shard", col("shard").cast("long"))
   }
+
+  /** Position the docs of a [[shardAssignIncremental]] batch WITHIN their
+    * shards, continuing from the existing manifest: `pos` in a shard plan
+    * is the 1-based within-shard row number, so the manifest's `n_docs` IS
+    * each shard's max pos, and the batch's positions start at n_docs + 1 —
+    * the same md5-key within-shard order [[shardPlanByCount]] uses, so a
+    * repeated fold (batch after batch against the FOLDED manifest) keeps
+    * every shard's pos sequence dense and ascending across segments.
+    *
+    * One window partitioned by shard over the BATCH only (batch-sized, the
+    * loader-file-sized partition argument of [[shardPlan]]) plus a
+    * broadcast join against the N-row manifest.
+    *
+    * Returns (idCol, n_tokens, shard, pos) for every batch document.
+    */
+  def shardAssignPos(
+      manifest: DataFrame,
+      newDocs: DataFrame,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      rankPartitions: Int = 32): DataFrame = {
+    val offs = manifest.select(col("shard"), col("n_docs").as("__base"))
+    shardAssignIncremental(manifest, newDocs, idCol, textCol, rankPartitions)
+      .withColumn("__key", md5(concat(lit("shard:"), col(idCol).cast("string"))))
+      .withColumn("__bpos",
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("__key"))).cast("long"))
+      .join(broadcast(offs), Seq("shard"))
+      .select(col(idCol), col("n_tokens"), col("shard"),
+        (col("__bpos") + col("__base")).as("pos"))
+  }
+
+  /** EXECUTE an incremental batch against an existing [[shardWrite]]
+    * output — the write half [[shardAssignIncremental]] was missing: the
+    * batch is assigned ([[shardAssignIncremental]]), positioned after each
+    * shard's existing rows ([[shardAssignPos]]), and appended as ONE
+    * parquet DELTA SEGMENT FILE per receiving shard, pos-ordered. The
+    * existing files are never rewritten (append-only — the LetterSink
+    * immutable-snapshot discipline; the spec asserts them byte-untouched),
+    * so admitting a batch costs one batch-sized shuffle + N delta files,
+    * never the 100 TB re-shard the operator family exists to avoid. A
+    * loader reads a shard as its file set ordered by pos — dense and
+    * ascending across segments by the [[shardAssignPos]] contract.
+    *
+    * Pair with [[shardManifestFold]] to advance the control plane; feeding
+    * the FOLDED manifest back in keeps repeated batches correct (pos
+    * continues from the folded n_docs; load balance follows the folded
+    * token totals).
+    *
+    * Returns the read-back of the WHOLE sharded table (base + all
+    * segments), shard typed long — must equal base plan ⋈ docs ∪ batch
+    * assignments ⋈ batch, the invariant the spec and oracle row pin.
+    */
+  def shardWriteIncremental(
+      spark: SparkSession,
+      manifest: DataFrame,
+      newDocs: DataFrame,
+      outDir: String,
+      idCol: String = "doc_id",
+      textCol: String = "text"): DataFrame = {
+    val planned = shardAssignPos(manifest, newDocs, idCol, textCol)
+    newDocs
+      .join(planned.select(col(idCol), col("shard"), col("pos")), Seq(idCol))
+      .repartition(col("shard"))
+      .sortWithinPartitions(col("shard"), col("pos"))
+      .write.mode("append").partitionBy("shard").parquet(outDir)
+    spark.read.parquet(outDir)
+      .withColumn("shard", col("shard").cast("long"))
+  }
+
+  /** FOLD an incremental batch's assignments into an existing
+    * [[shardManifest]] — metadata-sized manifest maintenance: every
+    * manifest column is an order-insensitive SUM over members (count,
+    * token total, md5-prefix checksum), so the fold is one partial-agg
+    * pass over the BATCH plus an N-row union — never a recompute over the
+    * full corpus, yet bit-identical to `shardManifest` recomputed over the
+    * union of the plan relations (the spec and the `q_shard_manifest_incr`
+    * oracle row both pin fold == recompute).
+    *
+    * `assigned` is any relation carrying (idCol, n_tokens, shard) — the
+    * output of [[shardAssignIncremental]] or [[shardAssignPos]].
+    */
+  def shardManifestFold(
+      manifest: DataFrame,
+      assigned: DataFrame,
+      idCol: String = "doc_id"): DataFrame =
+    manifest
+      .select(col("shard"), col("n_docs"), col("n_tokens"), col("members_md5"))
+      .unionByName(
+        assigned.groupBy(col("shard")).agg(
+          count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(conv(substring(md5(concat(lit("shard:"), col(idCol).cast("string"))), 1, 8),
+            16, 10).cast("long")).as("members_md5")))
+      .groupBy(col("shard"))
+      .agg(
+        sum(col("n_docs")).as("n_docs"),
+        sum(col("n_tokens")).as("n_tokens"),
+        sum(col("members_md5")).as("members_md5"))
+      .orderBy(col("shard"))
 
   /** Bloom-filter sizing advisor: per group, the optimal filter geometry
     * for its key population — m = ⌈n·(−ln p / ln²2)⌉ bits, k = ⌈m/n·ln 2⌉

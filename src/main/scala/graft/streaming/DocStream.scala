@@ -18,22 +18,39 @@ object DocStream {
   /** Streaming twin of [[Dedup.paragraphDedup]]'s keeper verdict:
     * first-occurrence-keeps is ORDER-SENSITIVE, which is exactly what
     * keyed state expresses — `flatMapGroupsWithState` keyed by the
-    * paragraph content hash carries one long (the min occurrence key seen
-    * so far) per distinct paragraph, and each arriving occurrence is
-    * judged against it. On an APPEND-ordered ingest (doc ids arrive
-    * ascending — the incremental-corpus contract IndexMaintenanceSpec's
-    * stages share), the streaming verdicts equal the batch operator's:
-    * the batch keeper is the corpus-wide min okey, and in-order arrival
-    * means the min-so-far IS the corpus min by the time any later
-    * occurrence is judged. Out-of-order ingest shifts "first" to arrival
-    * order — the semantics a dedup-on-ingest pipeline actually wants —
-    * but then batch parity only holds per delivered prefix.
+    * paragraph content hash carries one long (the KEEPER's occurrence
+    * key, decided by the group's first-ever micro-batch) per distinct
+    * paragraph, and each arriving occurrence is judged against the
+    * PRE-UPDATE state: if any prior batch carried this paragraph, the
+    * keeper is already decided and EVERY new arrival is a duplicate —
+    * a later-arriving occurrence with a lower okey does NOT unseat the
+    * keeper (unseating would emit a second `dup=false` verdict for
+    * content whose first keeper verdict is already downstream, retaining
+    * the paragraph twice). So exactly ONE keeper verdict is ever emitted
+    * per paragraph: arrival-order first-occurrence-keeps, ties within
+    * the first micro-batch broken by min okey. On an APPEND-ordered
+    * ingest (doc ids arrive ascending — the incremental-corpus contract
+    * IndexMaintenanceSpec's stages share), min-okey-of-first-batch IS the
+    * corpus-wide min, so the streaming verdicts equal the batch
+    * operator's; out-of-order ingest keeps the arrival-order semantics a
+    * dedup-on-ingest pipeline actually wants, with batch parity per
+    * delivered prefix.
     *
     * The same function body runs in BATCH (flatMapGroupsWithState on a
     * static Dataset sees each group once with empty state): every
     * occurrence of a hash is judged against the group min — literally the
     * batch operator's verdict. One code path, two execution modes; the
     * parity spec pins them equal.
+    *
+    * Hot-key memory shape: once a paragraph's keeper exists, its
+    * arrivals stream through LAZILY — nothing is buffered, so the
+    * steady-state cost of a web-scale boilerplate paragraph (df 10⁷-10⁹,
+    * the shape the batch operator's partial-agg reshape targets) is O(1)
+    * per occurrence. Only a paragraph's FIRST-EVER micro-batch buffers,
+    * and it buffers 8 bytes per occurrence (the okey alone — doc and
+    * par_idx decode back out with floor arithmetic, [[Dedup.okeyDoc]]'s
+    * contract): the bound is 8 B × (occurrences of one new paragraph in
+    * one micro-batch), not the occurrence rows themselves.
     *
     * State is one long per DISTINCT paragraph — the same cardinality as
     * the batch keeper relation; for an unbounded stream, age it out with
@@ -69,11 +86,25 @@ object DocStream {
       .flatMapGroupsWithState[Long, ParVerdict](
         OutputMode.Update(), GroupStateTimeout.NoTimeout) {
         case (_, rows, state) =>
-          val batch = rows.toVector
-          val mn = math.min(
-            state.getOption.getOrElse(Long.MaxValue), batch.map(_._4).min)
-          state.update(mn)
-          batch.iterator.map(o => ParVerdict(o._1, o._2, o._4 != mn))
+          if (state.exists) {
+            // keeper decided by an earlier micro-batch: every arrival is
+            // a duplicate — stream lazily, nothing buffered, no state
+            // write (state is never touched from inside the returned
+            // iterator; Spark commits state when the function returns)
+            rows.map(o => ParVerdict(o._1, o._2, dup = true))
+          } else {
+            // first-ever batch for this paragraph: one pass buffering
+            // ONLY the 8-byte okeys, min picks the keeper, then verdicts
+            // decode doc/par back out of the okey (floor arithmetic —
+            // exact for negative doc ids, the okeyDoc contract)
+            val keys = scala.collection.mutable.ArrayBuffer.empty[Long]
+            rows.foreach(o => keys += o._4)
+            val keeper = keys.min
+            state.update(keeper)
+            keys.iterator.map(k => ParVerdict(
+              Math.floorDiv(k, 1000000L),
+              Math.floorMod(k, 1000000L).toInt, k != keeper))
+          }
       }
   }
 }

@@ -113,4 +113,39 @@ class ParagraphDedupSpec extends SparkSpec {
     assert(got.exists(p => p._1 == 1L && p._2 == 2L && p._3 >= 1L),
       s"identical paragraphs share every band key — pair (1,2) is guaranteed; got ${got.toSeq}")
   }
+
+  test("NEGATIVE doc ids (in-contract per the okey guard) fold to the right documents") {
+    // 64-bit hash-derived doc ids are negative half the time; the okey
+    // guard admits |doc_id| ≤ 9.2e12, so the pseudo-id decode must use
+    // FLOOR division — truncating `div` would decode okey −999999+idx to
+    // doc 0 and attribute doc −1's paragraphs to a document that may not
+    // even exist (the r19 verdict's oracle-blind defect)
+    val neg = Seq(
+      (-1L, (parA ++ parShared).mkString(" ")),   // shared at par_idx 1
+      (-2L, (parB ++ parShared).mkString(" ")),   // shared at par_idx 1
+      (7L,  (parC ++ parShared).mkString(" ")))   // shared at par_idx 1
+      .toDF("doc_id", "text")
+    val got = Dedup.paragraphMinhashPairs(neg, parTokens = 20)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // identical paragraph ⇒ identical signature ⇒ all three cross-doc
+    // pairs, each attributed to the REAL ids (doca < docb by minhash's
+    // pair ordering on pseudo-ids, which floor-decode order-preserves)
+    assert(got == Set((-2L, -1L), (-2L, 7L), (-1L, 7L)),
+      s"floor decode must recover the negative ids exactly; got $got")
+    assert(!got.exists(p => p._1 == 0L || p._2 == 0L),
+      "truncating decode would have invented doc 0")
+  }
+
+  test("okeyDoc/okeyPar invert parOkey across the sign range") {
+    val ids = Seq(-9223372036853L, -12345L, -1L, 0L, 1L, 42L, 9223372036853L)
+    val df = ids.map(i => (i, 7)).toDF("doc_id", "par_idx")
+      .select(col("doc_id"), Dedup.parOkey("doc_id").as("okey"))
+      .select(col("doc_id"), Dedup.okeyDoc("okey").as("dec"),
+        Dedup.okeyPar("okey").as("par"))
+      .collect()
+    df.foreach { r =>
+      assert(r.getLong(1) == r.getLong(0) && r.getInt(2) == 7,
+        s"decode(${r.getLong(0)}·1e6+7) gave (${r.getLong(1)}, ${r.getInt(2)})")
+    }
+  }
 }

@@ -103,7 +103,9 @@ class ShardPlanSpec extends SparkSpec {
     assert(back.count() == 400 &&
       back.select("doc_id").distinct().count() == 400)
     val plan = Layout.shardPlan(docs, nShards = n)
-    val mismatch = back.select(col("doc_id"), col("shard").cast("long").as("shard"), col("pos"))
+    // no caller-side cast: shardWrite itself restores the plan's long type
+    // after partition-column inference (the stated invariant holds naively)
+    val mismatch = back.select(col("doc_id"), col("shard"), col("pos"))
       .exceptAll(plan.select(col("doc_id"), col("shard"), col("pos")))
     assert(mismatch.isEmpty, "read-back assignment must equal the plan")
     // in-file order: each shard file read alone yields ascending pos
@@ -111,5 +113,88 @@ class ShardPlanSpec extends SparkSpec {
       val pos = spark.read.parquet(d.toString).select("pos").as[Long].collect()
       assert(pos.toSeq == pos.sorted.toSeq, s"${d.getName} not in pos order")
     }
+  }
+
+  test("shardWriteIncremental: delta segments append; existing files byte-untouched") {
+    val n = 4
+    val out = java.nio.file.Files.createTempDirectory("graft-shard-incr").toString
+    Layout.shardWrite(spark, docs, nShards = n, out)
+    val manifest = Layout.shardManifest(Layout.shardPlan(docs, nShards = n))
+    // snapshot every base file: (path -> (size, first/last byte checksum))
+    def snap(): Map[String, (Long, Int)] = {
+      val b = scala.collection.mutable.Map.empty[String, (Long, Int)]
+      def walk(f: java.io.File): Unit =
+        if (f.isDirectory) f.listFiles().foreach(walk)
+        else if (f.getName.endsWith(".parquet")) {
+          val bytes = java.nio.file.Files.readAllBytes(f.toPath)
+          b(f.getPath) = (bytes.length.toLong, java.util.Arrays.hashCode(bytes))
+        }
+      walk(new java.io.File(out)); b.toMap
+    }
+    val before = snap()
+    val fresh = spark.range(1000, 1040)
+      .select(col("id").as("doc_id"),
+        expr("array_join(transform(sequence(1, int(id - 900)), x -> 'w'), ' ')").as("text"))
+    val back = Layout.shardWriteIncremental(spark, manifest, fresh, out)
+    // append-only: every pre-existing file survives bit-identical
+    val after = snap()
+    before.foreach { case (p, sig) =>
+      assert(after.get(p).contains(sig), s"base file rewritten: $p")
+    }
+    // one NEW delta file per receiving shard
+    val planned = Layout.shardAssignPos(manifest, fresh).cache()
+    val receiving = planned.select("shard").distinct().as[Long].collect().toSet
+    val newFiles = after.keySet -- before.keySet
+    val newByShard = newFiles.groupBy(p =>
+      "shard=(\\d+)".r.findFirstMatchIn(p).get.group(1).toLong)
+    assert(newByShard.keySet == receiving,
+      s"delta files in ${newByShard.keySet}, assignments to $receiving")
+    newByShard.foreach { case (s, fs) =>
+      assert(fs.size == 1, s"shard $s: expected one delta segment, got ${fs.size}")
+    }
+    // read-back == base plan ∪ batch assignment (shard already long)
+    val want = Layout.shardPlan(docs, nShards = n)
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .unionByName(planned.select(col("doc_id"), col("shard"), col("pos")))
+    val got = back.select(col("doc_id"), col("shard"), col("pos"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty,
+      "whole-table read-back must equal base plan ∪ batch assignment")
+    // pos stays dense 1..count per shard ACROSS segments
+    val posOk = got.groupBy("shard")
+      .agg(count(lit(1)).as("c"), min("pos").as("mn"), max("pos").as("mx"))
+      .where(col("mn") =!= 1L || col("mx") =!= col("c")).count()
+    assert(posOk == 0, "pos must stay dense across base + delta segments")
+    // each delta segment file alone reads in ascending pos
+    newFiles.foreach { p =>
+      val pos = spark.read.parquet(p).select("pos").as[Long].collect()
+      assert(pos.toSeq == pos.sorted.toSeq, s"delta $p not in pos order")
+    }
+    planned.unpersist()
+  }
+
+  test("shardManifestFold == full shardManifest recompute over the union") {
+    val n = 4
+    val plan = Layout.shardPlan(docs, nShards = n)
+    val manifest = Layout.shardManifest(plan)
+    val fresh = spark.range(2000, 2030)
+      .select(col("id").as("doc_id"),
+        expr("array_join(transform(sequence(1, int(id - 1900)), x -> 'w'), ' ')").as("text"))
+    val assigned = Layout.shardAssignIncremental(manifest, fresh)
+    val folded = Layout.shardManifestFold(manifest, assigned)
+    val recomputed = Layout.shardManifest(
+      plan.select(col("doc_id"), col("n_tokens"), col("shard"))
+        .unionByName(assigned.select(col("doc_id"), col("n_tokens"), col("shard"))))
+    assert(folded.exceptAll(recomputed).isEmpty &&
+      recomputed.exceptAll(folded).isEmpty,
+      "metadata fold must be bit-identical to the full recompute")
+    // repeated fold stays consistent: a second batch against the FOLDED
+    // manifest continues pos densely (the loader contract across batches)
+    val fresh2 = spark.range(3000, 3010)
+      .select(col("id").as("doc_id"), lit("w w w").as("text"))
+    val pos2 = Layout.shardAssignPos(folded, fresh2)
+    val joined = pos2.select(col("shard"), col("pos"))
+      .join(folded.select(col("shard"), col("n_docs")), Seq("shard"))
+      .where(col("pos") <= col("n_docs")).count()
+    assert(joined == 0, "second-batch pos must start past the folded n_docs")
   }
 }

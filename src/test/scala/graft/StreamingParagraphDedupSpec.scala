@@ -79,6 +79,41 @@ class StreamingParagraphDedupSpec extends SparkSpec {
       s"doc 3 par 0 must be a dup via cross-batch state, got ${d3.toSeq}")
   }
 
+  test("out-of-order ingest: a later-arriving LOWER okey does not unseat the keeper") {
+    // doc 10 arrives first and keeps the shared paragraph; doc 5 (lower
+    // okey) arrives in a later batch — arrival-order semantics demand it
+    // be judged a DUP against the pre-update state (the pre-fix min-okey
+    // refresh emitted a second keeper verdict here, retaining the
+    // paragraph twice downstream)
+    val dir = java.nio.file.Files.createTempDirectory("graft-par-ooo")
+    def writeOne(rows: Seq[(Long, String)], name: String, ts: Long): Unit = {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-par-ooo-w")
+      rows.toDF("doc_id", "text").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val part = java.nio.file.Files.list(tmp).toArray.map(_.toString)
+        .filter(p => p.endsWith(".parquet") && !p.endsWith(".crc")).head
+      val dst = dir.resolve(name)
+      java.nio.file.Files.copy(java.nio.file.Paths.get(part), dst)
+      java.nio.file.Files.setLastModifiedTime(
+        dst, java.nio.file.attribute.FileTime.fromMillis(ts))
+    }
+    writeOne(Seq((10L, (parA ++ parShared).mkString(" "))), "a.parquet", 1000000000000L)
+    writeOne(Seq((5L, (parB ++ parShared).mkString(" "))), "b.parquet", 1000000060000L)
+    val stream = spark.readStream.schema("doc_id LONG, text STRING")
+      .option("maxFilesPerTrigger", "1").parquet(dir.toString)
+    EventStream.runToMemory(
+      DocStream.paragraphVerdicts(spark, stream).toDF(), "par_ooo",
+      OutputMode.Update())
+    val verdicts = spark.table("par_ooo")
+      .collect().map(r => ((r.getLong(0), r.getInt(1)), r.getBoolean(2))).toMap
+    assert(verdicts((10L, 1)) == false, "doc 10 (first arrival) keeps")
+    assert(verdicts((5L, 1)) == true,
+      "doc 5's later arrival must be a dup — exactly one keeper per paragraph")
+    val keepers = spark.table("par_ooo")
+      .where(col("par_idx") === 1 && !col("dup")).count()
+    assert(keepers == 1L, s"exactly one keeper verdict ever, got $keepers")
+  }
+
   test("the same function in batch mode equals the batch operator on the planted corpus") {
     val docs = (wave1 ++ wave2).toDF("doc_id", "text")
     val got = DocStream.paragraphVerdicts(spark, docs)
