@@ -127,6 +127,12 @@ object ScaleBench {
       System.gc()
     }
 
+    def rmTree(p: java.nio.file.Path): Unit = {
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.list(p).forEach(rmTree(_))
+      java.nio.file.Files.deleteIfExists(p)
+    }
+
     factors.foreach { f =>
       val wantD = Seq("simhash_pairs", "setsim_join", "setsim_capped",
         "dedup_wminhash", "dup_exposure", "dup_exposure_hashed",
@@ -134,8 +140,20 @@ object ScaleBench {
         "dedup_paragraph_mh", "shard_plan",
         "minhash_amortize", "wminhash_amortize", "bm25_amortize").exists(want)
       // materialize the replicated input first: the timed region measures
-      // the pair generator over an existing table, not the replication
-      val d = if (wantD) replicated(docs, "doc_id", f).localCheckpoint(true) else null
+      // the pair generator over an existing table, not the replication.
+      // DISK-BACKED parquet, not a localCheckpoint (r19 verdict task 5):
+      // the block-manager-pinned base ratcheted the 32-pipeline factor-50
+      // sweep past the default 8 GiB heap (the r19 protocol fork to 16g);
+      // a parquet base lives wholly on disk, pipelines re-scan it the way
+      // they'd scan a real corpus — the honest 100 TB input shape — and
+      // the JVM heap holds only each section's own working set
+      val repDir = if (wantD)
+        java.nio.file.Files.createTempDirectory(s"graft-scale-rep$f") else null
+      val d = if (wantD) {
+        replicated(docs, "doc_id", f)
+          .write.mode("overwrite").parquet(repDir.toString)
+        spark.read.parquet(repDir.toString)
+      } else null
       // ids persisted so far (d itself) survive the intra-section clears
       val dIds = spark.sparkContext.getPersistentRDDs.keySet.toSet
       if (want("simhash_pairs")) {
@@ -464,11 +482,11 @@ object ScaleBench {
       println(
         s"""{"pipeline":"dup_exposure_hashed","factor":$f,"mode":"linear","sec":${f"$dxhSec%.3f"},"docs":$dxhRows}""")
       }
-      // d's last consumer was the exposure pair above — release it (and
-      // every remaining scratch block) BEFORE the media/graph sections so
-      // the factor-50 iteration never holds the replicated corpus and the
-      // replicated media/edges at once
-      if (wantD) d.unpersist()
+      // d's last consumer was the exposure pair above — delete its parquet
+      // scratch (and every remaining checkpoint block) BEFORE the
+      // media/graph sections so the factor-50 iteration never holds the
+      // replicated corpus and the replicated media/edges at once
+      if (wantD) rmTree(repDir)
       clearExcept(Set.empty)
 
       // incremental weighted dedup at batch scale (r17 verdict task 2):
@@ -516,7 +534,7 @@ object ScaleBench {
       // banding then faces f-sized replica families — the capped-bucket
       // load. Stage splits ride the line; a flat share profile across
       // factors is the pass criterion.
-      if (want("curate_llm")) {
+      if (want("curate_llm") || want("train_data_build")) {
       val baseFull = spark.read.parquet(s"$sfDir/documents.parquet")
         .select("doc_id", "lang", "source", "text")
       val full = (if (f == 1) baseFull
@@ -624,14 +642,17 @@ object ScaleBench {
         sampled.count()
       }
       // 7: sequence packing into 2048-token packs + manifests
+      var packsDf: DataFrame = null
       var packs = 0L
       val s7 = time {
-        packs = graft.operators.Packing
+        packsDf = graft.operators.Packing
           .packContents(graft.operators.Packing.packByOffset(sampled, budget = 2048))
-          .count()
+          .localCheckpoint(true)
+        packs = packsDf.count()
       }
       val nOut = sampled.count()
       val total = s1 + s2 + s3 + s3b + s4 + s5 + s6 + s7
+      if (want("curate_llm"))
       println(
         s"""{"pipeline":"curate_llm","factor":$f,"mode":"bounded","sec":${f"$total%.3f"},""" +
         s""""pii_sec":${f"$s1%.3f"},"gate_sec":${f"$s2%.3f"},"exact_sec":${f"$s3%.3f"},""" +
@@ -639,6 +660,48 @@ object ScaleBench {
         s""""neardup_sec":${f"$s4%.3f"},"decontam_sec":${f"$s5%.3f"},""" +
         s""""sample_sec":${f"$s6%.3f"},"pack_sec":${f"$s7%.3f"},""" +
         s""""docs_in":$n0,"docs_out":$nOut,"packs":$packs}""")
+
+      // r19 verdict task 3: the COMPLETE loader handoff as one measured
+      // pipeline — corpus in, loader files out. Stages 1-7 above (curate
+      // through pack), then the packs are shard-planned BY PACK TOKENS
+      // (tokens-per-shard fixed, so shard COUNT scales with the corpus —
+      // the 100 TB discipline) and EXECUTED: one pos-ordered parquet file
+      // per shard, the file set a training job's loader processes open.
+      if (want("train_data_build")) {
+        val units = packsDf.select(
+          concat_ws(":", col("lang"), col("pack_id").cast("string")).as("unit_id"),
+          col("doc_ids"), col("pack_tokens"), col("n_docs"))
+        var plan: DataFrame = null
+        var nSh = 0
+        val s8 = time {
+          val totTok = units.agg(sum(col("pack_tokens"))).head().getLong(0)
+          nSh = math.max(4, (totTok / 32768L).toInt)
+          plan = graft.operators.Layout
+            .shardPlanByCount(units.select(col("unit_id"), col("pack_tokens")),
+              nSh, idCol = "unit_id", countCol = "pack_tokens")
+            .localCheckpoint(true)
+          plan.count()
+        }
+        val shardDir = java.nio.file.Files.createTempDirectory(s"graft-scale-tdb$f")
+        val s9 = time {
+          graft.operators.Layout.shardWritePlanned(
+            spark, units, plan, shardDir.toString, idCol = "unit_id")
+        }
+        val skewRow = plan.groupBy(col("shard")).agg(sum(col("n_tokens")).as("t"))
+          .agg(min(col("t")), max(col("t"))).head()
+        val skew = skewRow.getLong(1).toDouble / math.max(1L, skewRow.getLong(0)).toDouble
+        def countFiles(p: java.io.File): Long =
+          if (p.isDirectory) p.listFiles().map(countFiles).sum
+          else if (p.getName.endsWith(".parquet")) 1L else 0L
+        val files = countFiles(new java.io.File(shardDir.toString))
+        println(
+          s"""{"pipeline":"train_data_build","factor":$f,"mode":"bounded","sec":${f"${total + s8 + s9}%.3f"},""" +
+          s""""curate_sec":${f"$total%.3f"},"pack_sec":${f"$s7%.3f"},""" +
+          s""""shard_plan_sec":${f"$s8%.3f"},"shard_write_sec":${f"$s9%.3f"},""" +
+          s""""docs_in":$n0,"docs_out":$nOut,"packs":$packs,"shards":$nSh,""" +
+          s""""shard_files":$files,"token_skew":${f"$skew%.4f"}}""")
+        rmTree(shardDir)
+      }
       full.unpersist()
       clearExcept(Set.empty)
       }
@@ -1007,11 +1070,6 @@ object ScaleBench {
         s""""build_sec":${f"$buildSec%.3f"},"exact_sec":${f"$exactSec%.3f"},""" +
         s""""part_sec":${f"$partSec%.3f"},"postings":$nPost}""")
       // the written index is per-factor scratch (a few MB × f)
-      def rmTree(p: java.nio.file.Path): Unit = {
-        if (java.nio.file.Files.isDirectory(p))
-          java.nio.file.Files.list(p).forEach(rmTree(_))
-        java.nio.file.Files.deleteIfExists(p)
-      }
       rmTree(tmp)
       clearExcept(Set.empty)
       }

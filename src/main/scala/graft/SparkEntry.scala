@@ -2044,9 +2044,15 @@ object SparkEntry {
     //    this 31-word corpus — the recorded sweep cost is trigram
     //    collision from the degenerate vocabulary (every doc's rarest
     //    shingle is still common) plus sweep co-location, not plan cost
+    //    The exact mode's pair-density risk rides the query itself (r19
+    //    verdict task 7): a stop-shingle Observation puts Σ df·(df−1)/2
+    //    (retained_pair_bound) in the plan as a CollectMetrics node, so a
+    //    duplicate-dense corpus declares its quadratic candidate ceiling
+    //    at plan time — the adjudicated signal to move to q_setsim_capped
     "q_setsim_join" -> ((s, dir) => {
       Dedup
-        .prefixJaccardJoin(t(s, dir, "documents"), threshold = 0.5, shingleK = 3)
+        .prefixJaccardJoin(t(s, dir, "documents"), threshold = 0.5, shingleK = 3,
+          stopAudit = Some(org.apache.spark.sql.Observation("setsim_exact_pair_bound")))
         .orderBy("doc1", "doc2")
     }),
 

@@ -1157,12 +1157,20 @@ object Dedup {
     // simhashPairs dropAudit discipline) — how many distinct shingles the
     // cap removed, how many doc-occurrences went with them, and the
     // hottest df seen, so a capped run always DECLARES what it ignored
+    // retained_pair_bound is the superlinearity tripwire for EXACT mode
+    // (dfCap = MaxValue): Σ df·(df−1)/2 over the shingles that stay is the
+    // first-order ceiling on candidate-pair work, so a duplicate-dense
+    // corpus announces its quadratic pair density IN the run that pays it
+    // (the r19 359.6 s @ 50× adjudication, SURVEY §6) instead of only in
+    // the wall clock — the signal to switch to the dfCap-bounded twin
     val dfreq = stopAudit.fold(dfreq0) { o =>
       dfreq0.observe(o,
         count(when(col("df") > dfCap, 1)).as("n_stop_shingles"),
         coalesce(sum(when(col("df") > dfCap, col("df"))), lit(0L)).as("n_dropped_occurrences"),
         count(lit(1)).as("n_distinct_shingles"),
-        max(col("df")).as("max_df"))
+        max(col("df")).as("max_df"),
+        coalesce(sum(when(col("df") <= dfCap, expr("df * (df - 1) DIV 2"))), lit(0L))
+          .as("retained_pair_bound"))
     }
     // bounded-work mode (dfCap < MaxValue): shingles hotter than dfCap are
     // excluded from every doc's set BEFORE ordering — similarity becomes

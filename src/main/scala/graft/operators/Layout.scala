@@ -461,15 +461,30 @@ object Layout {
       nShards: Int,
       outDir: String,
       idCol: String = "doc_id",
-      textCol: String = "text"): DataFrame = {
-    val plan = shardPlan(docs, nShards, idCol, textCol)
-    docs
+      textCol: String = "text"): DataFrame =
+    shardWritePlanned(spark, docs,
+      shardPlan(docs, nShards, idCol, textCol), outDir, idCol)
+
+  /** [[shardWrite]]'s executor over an EXPLICIT plan — write any
+    * unit relation (documents, packs, chunks) against a matching
+    * [[shardPlan]]/[[shardPlanByCount]] assignment: one parquet file per
+    * shard, rows in the plan's pos order. The `train_data_build`
+    * composition ends here — packs from [[graft.operators.Packing]] joined
+    * to their by-count plan become the loader's file set.
+    */
+  def shardWritePlanned(
+      spark: SparkSession,
+      units: DataFrame,
+      plan: DataFrame,
+      outDir: String,
+      idCol: String = "doc_id"): DataFrame = {
+    units
       .join(plan.select(col(idCol), col("shard"), col("pos")), Seq(idCol))
       .repartition(col("shard"))
       .sortWithinPartitions(col("shard"), col("pos"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
     // partition-column inference types `shard` as int; cast it back to the
-    // plan's long so the stated invariant (read-back ≡ docs ⋈ plan) holds
+    // plan's long so the stated invariant (read-back ≡ units ⋈ plan) holds
     // under a naive exceptAll, without caller- or oracle-side casts
     spark.read.parquet(outDir)
       .withColumn("shard", col("shard").cast("long"))

@@ -101,6 +101,28 @@ class ObserveSpec extends SparkSpec {
     assert(want.getLong(0) >= 1, s"planted hot shingles must exceed the cap: $want")
   }
 
+  test("EXACT-mode setsim declares its pair-density ceiling via retained_pair_bound") {
+    // the one deliberately-superlinear sweep line (q_setsim_join at
+    // duplicate-dense 50×) must announce its quadratic candidate ceiling
+    // inside the run itself: with no dfCap, every shingle is retained and
+    // retained_pair_bound == Σ df·(df−1)/2 over the full df relation — on
+    // the 30-copy plant that is ≥ 30·29/2 from the planted shingles alone
+    val o = Observation("setsim_exact_bound_audit")
+    Dedup.prefixJaccardJoin(planted, threshold = 0.5, shingleK = 3,
+      stopAudit = Some(o)).collect()
+    val m = o.get
+    val ex = graft.functions.TextAnalysis
+      .withShingles(planted.select("doc_id", "text"), "text", 3, "__sh")
+      .select(col("doc_id"), explode(col("__sh")).as("g"))
+    val want = ex.groupBy(col("g")).agg(count(lit(1)).as("n"))
+      .agg(sum(expr("n * (n - 1) DIV 2"))).head().getLong(0)
+    assert(m("retained_pair_bound") == want,
+      s"exact-mode bound ${m("retained_pair_bound")} != diagnostic $want")
+    assert(want >= 30L * 29 / 2, s"plant must make the ceiling non-trivial: $want")
+    assert(m("n_stop_shingles") == 0L && m("n_dropped_occurrences") == 0L,
+      s"exact mode cuts nothing: $m")
+  }
+
   test("no saturation -> zero dropped, and the audit costs no extra plan nodes") {
     val cap  = 4096
     val sigs = Dedup.simhash(Tokenize.tokens(planted, "text", Seq("doc_id")), bits = 60)
