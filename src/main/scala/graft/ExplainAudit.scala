@@ -211,9 +211,11 @@ object ExplainAudit {
     // per-shard window, the loader-file contract)
     "q_shard_plan", "q_shard_manifest", "q_shard_write", "q_shard_packs",
     "q_shard_incr",
-    // round 20: incremental shard WRITE + manifest fold (same globalRank
-    // offset cumsum + the N-row manifest load-order window — both
-    // metadata-bounded; the batch pos window is per-shard)
+    // round 20: incremental shard WRITE (delta segments; the returned
+    // read-back plan is scan + partial agg — the windows live in the
+    // construction-time write, like q_shard_write) + metadata-sized
+    // manifest FOLD (whose plan keeps the globalRank cumsum + N-row
+    // manifest load-order window — whitelisted metadata-bounded)
     "q_shard_incr_write", "q_shard_manifest_incr")
 
   /** Termination contract per iterative loop (r15 verdict task 8): every

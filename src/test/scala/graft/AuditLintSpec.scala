@@ -145,7 +145,8 @@ class AuditLintSpec extends AnyFunSuite {
     "q_shard_plan" -> "globalRank offset cumsum over per-range-partition counts (numRange rows)",
     "q_shard_manifest" -> "globalRank offset cumsum over per-range-partition counts (numRange rows)",
     "q_shard_packs" -> "globalRank offset cumsum over per-range-partition counts (numRange rows)",
-    "q_shard_incr" -> "globalRank offset cumsum (numRange rows) + load-order rank over the N-row shard manifest")
+    "q_shard_incr" -> "globalRank offset cumsum (numRange rows) + load-order rank over the N-row shard manifest",
+    "q_shard_manifest_incr" -> "globalRank offset cumsum (numRange rows) + load-order rank over the N-row shard manifest (fold's batch agg itself is window-free)")
 
   test("global-window lint: no production plan windows the whole relation unless metadata-bounded") {
     val flagged = scala.collection.mutable.Map[String, Seq[String]]()
