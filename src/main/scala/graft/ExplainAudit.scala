@@ -216,7 +216,10 @@ object ExplainAudit {
     // construction-time write, like q_shard_write) + metadata-sized
     // manifest FOLD (whose plan keeps the globalRank cumsum + N-row
     // manifest load-order window — whitelisted metadata-bounded)
-    "q_shard_incr_write", "q_shard_manifest_incr")
+    "q_shard_incr_write", "q_shard_manifest_incr",
+    // round 20: fixed-layout epoch reshuffle (within-shard order-by-hash
+    // rank + the metadata-sized per-epoch shard visit permutation)
+    "q_epoch_within", "q_epoch_visit")
 
   /** Termination contract per iterative loop (r15 verdict task 8): every
     * key in [[iterativeBodies]] must declare HOW its driver loop ends —

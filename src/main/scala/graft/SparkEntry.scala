@@ -3541,6 +3541,28 @@ object SparkEntry {
         man, operators.Layout.shardAssignIncremental(man, fresh))
     }),
 
+    // -- per-epoch read order over the FIXED shard layout: shard files are
+    //    immutable, so an epoch permutes WITHIN each shard (order-by-hash,
+    //    rerun-identical) — the fixed-membership complement of
+    //    q_epoch_shuffle's per-epoch re-deal
+    "q_epoch_within" -> ((s, dir) => {
+      operators.Layout
+        .epochOrderWithinShards(
+          operators.Layout.shardPlan(t(s, dir, "documents"), nShards = 8), epoch = 3)
+        .orderBy("shard", "pos")
+    }),
+
+    // -- the coordinator half: per-epoch shard VISIT order, an md5-ranked
+    //    permutation of the N manifest rows per epoch (metadata-bounded)
+    "q_epoch_visit" -> ((s, dir) => {
+      operators.Layout
+        .epochShardVisit(
+          operators.Layout.shardManifest(
+            operators.Layout.shardPlan(t(s, dir, "documents"), nShards = 8)),
+          epochs = 4)
+        .orderBy("epoch", "visit")
+    }),
+
     // -- zone-map prune effectiveness: the SAME price predicate against an
     //    insertion-order layout vs a price-clustered layout — the measured
     //    I/O argument for re-clustering; per-file min/max like a parquet
@@ -10581,6 +10603,49 @@ object SparkEntry {
                  sum(n_tokens)::BIGINT AS n_tokens,
                  sum(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)::BIGINT AS members_md5
           FROM uni GROUP BY shard ORDER BY shard""",
+    // shard membership frozen by the plan chain; the epoch's order is the
+    // ascending md5('epoch:3:'||id) rank within each shard
+    "q_epoch_within" ->
+      s"""WITH base AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+                   md5('shard:' || CAST(doc_id AS VARCHAR)) AS key
+            FROM documents),
+          ranked AS (
+            SELECT doc_id, n_tokens, key,
+                   row_number() OVER (ORDER BY n_tokens DESC, key) AS rn
+            FROM base),
+          assigned AS (
+            SELECT doc_id, n_tokens,
+                   (CASE WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
+                         ELSE 7 - ((rn - 1) % 8) END)::BIGINT AS shard
+            FROM ranked)
+          SELECT doc_id, n_tokens, shard,
+                 (row_number() OVER (PARTITION BY shard
+                    ORDER BY md5('epoch:3:' || CAST(doc_id AS VARCHAR)), doc_id))::BIGINT AS pos
+          FROM assigned ORDER BY shard, pos""",
+    // per-epoch md5 permutation of the N manifest shards
+    "q_epoch_visit" ->
+      s"""WITH base AS (
+            SELECT doc_id,
+                   len(list_filter(regexp_split_to_array(text, '\\s+'), x -> x <> ''))::BIGINT AS n_tokens,
+                   md5('shard:' || CAST(doc_id AS VARCHAR)) AS key
+            FROM documents),
+          ranked AS (
+            SELECT doc_id, n_tokens, key,
+                   row_number() OVER (ORDER BY n_tokens DESC, key) AS rn
+            FROM base),
+          shards AS (
+            SELECT DISTINCT (CASE WHEN ((rn - 1) // 8) % 2 = 0 THEN (rn - 1) % 8
+                                  ELSE 7 - ((rn - 1) % 8) END)::BIGINT AS shard
+            FROM ranked),
+          ep AS (SELECT unnest(range(0, 4))::BIGINT AS epoch),
+          x AS (SELECT e.epoch, s.shard,
+                       md5('epoch:' || CAST(e.epoch AS VARCHAR) || ':' || CAST(s.shard AS VARCHAR)) AS k
+                FROM ep e CROSS JOIN shards s)
+          SELECT epoch, shard,
+                 (row_number() OVER (PARTITION BY epoch ORDER BY k, shard))::BIGINT AS visit
+          FROM x ORDER BY epoch, visit""",
     "q_zonemap_prune" ->
       """WITH nat AS (
            SELECT floor(o_orderkey / 100) AS f,

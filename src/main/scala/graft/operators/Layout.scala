@@ -590,6 +590,70 @@ object Layout {
         sum(col("members_md5")).as("members_md5"))
       .orderBy(col("shard"))
 
+  /** Per-epoch read order over a FIXED shard layout — the reshuffle a
+    * file-based loader actually performs: [[shardWrite]]'s parquet files
+    * are immutable, so an epoch cannot re-shard (that would rewrite
+    * 100 TB); instead each worker permutes WITHIN its own shard file and
+    * the coordinator permutes the file VISIT order ([[epochShardVisit]]).
+    * This is the fixed-membership complement of
+    * [[Sampling.epochShards]], which re-deals docs to shards per epoch —
+    * right when the loader streams from an addressable store, wrong when
+    * it owns immutable files.
+    *
+    * Order-by-hash discipline (the [[Sampling.epochShards]] argument
+    * verbatim): each (epoch, doc) draws md5("salt:epoch:id"); the new
+    * `pos` is the ascending-hash rank WITHIN the doc's (unchanged) shard.
+    * Pure function of (salt, epoch, plan) — reruns, task retries, resumes
+    * and the DuckDB oracle produce the identical schedule, and epochs are
+    * pairwise uncorrelated. The window partitions by shard: a shard IS
+    * one loader file, so the per-shard rank is the loader-file-sized
+    * partition [[shardPlan]]'s pos contract already rides.
+    *
+    * Returns (idCol, n_tokens, shard, pos) — the plan with pos replaced
+    * by the epoch's order; epoch 0 is already a full shuffle (there is no
+    * identity epoch — pass the PLAN's own pos for sequential reads).
+    */
+  def epochOrderWithinShards(
+      plan: DataFrame,
+      epoch: Int,
+      idCol: String = "doc_id",
+      salt: String = "epoch"): DataFrame = {
+    require(epoch >= 0, s"epoch ($epoch) must be >= 0")
+    plan
+      .withColumn("__k",
+        md5(concat(lit(s"$salt:$epoch:"), col(idCol).cast("string"))))
+      .withColumn("pos",
+        row_number().over(
+          Window.partitionBy(col("shard")).orderBy(col("__k"), col(idCol)))
+          .cast("long"))
+      .select(col(idCol), col("n_tokens"), col("shard"), col("pos"))
+  }
+
+  /** [[epochOrderWithinShards]]'s coordinator half: the per-epoch shard
+    * VISIT order — a deterministic permutation of the manifest's N shards
+    * per epoch (md5-ranked over the N-row manifest, metadata-bounded the
+    * way every manifest window in this family is), so successive epochs
+    * read the same immutable files in uncorrelated file orders. One row
+    * per (epoch, shard).
+    */
+  def epochShardVisit(
+      manifest: DataFrame,
+      epochs: Int,
+      salt: String = "epoch"): DataFrame = {
+    require(epochs >= 1, s"epochs ($epochs) must be >= 1")
+    manifest
+      .select(col("shard"))
+      .withColumn("epoch", explode(sequence(lit(0), lit(epochs - 1))))
+      .withColumn("__k",
+        md5(concat(lit(s"$salt:"), col("epoch").cast("string"),
+          lit(":"), col("shard").cast("string"))))
+      .withColumn("visit",
+        row_number().over(
+          Window.partitionBy(col("epoch")).orderBy(col("__k"), col("shard")))
+          .cast("long"))
+      .select(col("epoch").cast("long").as("epoch"), col("shard"), col("visit"))
+  }
+
   /** Bloom-filter sizing advisor: per group, the optimal filter geometry
     * for its key population — m = ⌈n·(−ln p / ln²2)⌉ bits, k = ⌈m/n·ln 2⌉
     * hashes, and the resulting (1 − e^{−kn/m})^k false-positive rate —

@@ -146,7 +146,9 @@ class AuditLintSpec extends AnyFunSuite {
     "q_shard_manifest" -> "globalRank offset cumsum over per-range-partition counts (numRange rows)",
     "q_shard_packs" -> "globalRank offset cumsum over per-range-partition counts (numRange rows)",
     "q_shard_incr" -> "globalRank offset cumsum (numRange rows) + load-order rank over the N-row shard manifest",
-    "q_shard_manifest_incr" -> "globalRank offset cumsum (numRange rows) + load-order rank over the N-row shard manifest (fold's batch agg itself is window-free)")
+    "q_shard_manifest_incr" -> "globalRank offset cumsum (numRange rows) + load-order rank over the N-row shard manifest (fold's batch agg itself is window-free)",
+    "q_epoch_within" -> "globalRank offset cumsum (numRange rows) in the underlying shardPlan; the epoch rank itself is per-shard",
+    "q_epoch_visit" -> "globalRank offset cumsum (numRange rows) in the underlying shardPlan; the visit rank is per-epoch over N manifest rows")
 
   test("global-window lint: no production plan windows the whole relation unless metadata-bounded") {
     val flagged = scala.collection.mutable.Map[String, Seq[String]]()

@@ -172,6 +172,47 @@ class ShardPlanSpec extends SparkSpec {
     planned.unpersist()
   }
 
+  test("epoch reorder: membership frozen, pos dense, epochs decorrelated, rerun-identical") {
+    val plan = Layout.shardPlan(docs, nShards = 4).cache()
+    val e1 = Layout.epochOrderWithinShards(plan, epoch = 1).cache()
+    // membership frozen: every doc keeps its shard, only pos moves
+    assert(e1.select("doc_id", "shard").exceptAll(plan.select("doc_id", "shard")).isEmpty,
+      "an epoch must not move docs between shards (files are immutable)")
+    // pos dense 1..count per shard
+    val posOk = e1.groupBy("shard")
+      .agg(count(lit(1)).as("c"), min("pos").as("mn"), max("pos").as("mx"))
+      .where(col("mn") =!= 1L || col("mx") =!= col("c")).count()
+    assert(posOk == 0, "epoch pos must be dense 1..count per shard")
+    // different epochs produce different within-shard orders (md5 salt)
+    val e2 = Layout.epochOrderWithinShards(plan, epoch = 2)
+    val moved = e1.select(col("doc_id"), col("pos").as("p1"))
+      .join(e2.select(col("doc_id"), col("pos").as("p2")), Seq("doc_id"))
+      .where(col("p1") =!= col("p2")).count()
+    assert(moved > 300, s"epochs must be decorrelated; only $moved of 400 moved")
+    // deterministic
+    val again = Layout.epochOrderWithinShards(plan, epoch = 1)
+    assert(e1.exceptAll(again).isEmpty && again.exceptAll(e1).isEmpty)
+    e1.unpersist(); plan.unpersist()
+  }
+
+  test("epoch shard visit order: a permutation of the manifest per epoch") {
+    val man = Layout.shardManifest(Layout.shardPlan(docs, nShards = 8))
+    val v = Layout.epochShardVisit(man, epochs = 3).cache()
+    assert(v.count() == 24)
+    // each epoch's visit column is a permutation 1..8 of all 8 shards
+    val perm = v.groupBy("epoch")
+      .agg(countDistinct("shard").as("s"), min("visit").as("mn"),
+        max("visit").as("mx"), count(lit(1)).as("c"))
+      .where(col("s") =!= 8L || col("mn") =!= 1L || col("mx") =!= 8L || col("c") =!= 8L)
+      .count()
+    assert(perm == 0, "each epoch must visit every shard exactly once, ranks 1..8")
+    // at least two epochs disagree on the order
+    val orders = v.orderBy("epoch", "visit").collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(1)).toSeq).toMap
+    assert(orders.values.toSet.size > 1, s"epoch permutations all identical: $orders")
+    v.unpersist()
+  }
+
   test("shardManifestFold == full shardManifest recompute over the union") {
     val n = 4
     val plan = Layout.shardPlan(docs, nShards = n)
