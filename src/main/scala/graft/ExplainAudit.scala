@@ -218,8 +218,10 @@ object ExplainAudit {
     // manifest load-order window — whitelisted metadata-bounded)
     "q_shard_incr_write", "q_shard_manifest_incr",
     // round 20: fixed-layout epoch reshuffle (within-shard order-by-hash
-    // rank + the metadata-sized per-epoch shard visit permutation)
-    "q_epoch_within", "q_epoch_visit")
+    // rank + the metadata-sized per-epoch shard visit permutation) and
+    // incremental packing (batch-local two-pass prefix + strata-sized
+    // totals broadcast)
+    "q_epoch_within", "q_epoch_visit", "q_pack_incr")
 
   /** Termination contract per iterative loop (r15 verdict task 8): every
     * key in [[iterativeBodies]] must declare HOW its driver loop ends —

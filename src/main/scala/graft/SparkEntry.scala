@@ -3552,6 +3552,22 @@ object SparkEntry {
         .orderBy("shard", "pos")
     }),
 
+    // -- INCREMENTAL packing: the top-decile batch packs against the
+    //    lower corpus's per-lang token totals (strata-sized broadcast) —
+    //    boundary packs keep filling, no corpus re-pack; under the
+    //    append-id contract this equals the full repack's batch rows
+    "q_pack_incr" -> ((s, dir) => {
+      val docs = t(s, dir, "documents")
+      val cut = docs.agg(max(col("doc_id"))).head().getLong(0) * 9L / 10L
+      val base = docs.where(col("doc_id") < cut)
+      val fresh = docs.where(col("doc_id") >= cut)
+      operators.Packing
+        .packByOffsetIncremental(
+          operators.Packing.packTotals(operators.Packing.packByOffset(base, budget = 2048)),
+          fresh, budget = 2048)
+        .orderBy("lang", "doc_id")
+    }),
+
     // -- the coordinator half: per-epoch shard VISIT order, an md5-ranked
     //    permutation of the N manifest rows per epoch (metadata-bounded)
     "q_epoch_visit" -> ((s, dir) => {
@@ -10603,6 +10619,24 @@ object SparkEntry {
                  sum(n_tokens)::BIGINT AS n_tokens,
                  sum(('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT)::BIGINT AS members_md5
           FROM uni GROUP BY shard ORDER BY shard""",
+    // batch-local running offsets shifted by the base corpus's per-lang
+    // totals — floor into pack ids exactly as the full-corpus form
+    "q_pack_incr" ->
+      s"""WITH mx AS (SELECT max(doc_id) AS m FROM documents),
+          base AS (SELECT doc_id, lang,
+                          len(regexp_split_to_array(text, '\\s+'))::BIGINT AS n_tok
+                   FROM documents, mx WHERE doc_id < (m * 9) // 10),
+          tot AS (SELECT lang, sum(n_tok)::BIGINT AS t FROM base GROUP BY lang),
+          fresh AS (SELECT doc_id, lang,
+                           len(regexp_split_to_array(text, '\\s+'))::BIGINT AS n_tok
+                    FROM documents, mx WHERE doc_id >= (m * 9) // 10),
+          off AS (SELECT doc_id, lang, n_tok,
+                         sum(n_tok) OVER (PARTITION BY lang ORDER BY doc_id) - n_tok AS loc
+                  FROM fresh)
+          SELECT o.doc_id, o.lang, o.n_tok,
+                 ((coalesce(t.t, 0) + o.loc) // 2048)::BIGINT AS pack_id
+          FROM off o LEFT JOIN tot t USING (lang)
+          ORDER BY o.lang, o.doc_id""",
     // shard membership frozen by the plan chain; the epoch's order is the
     // ascending md5('epoch:3:'||id) rank within each shard
     "q_epoch_within" ->

@@ -48,15 +48,19 @@ object Packing {
     * under-counts subword-heavy text). With `countCol` set, `textCol` is
     * never touched.
     */
-  def packByOffset(
+  /** The two-pass prefix-sum core: (idCol, shardCol, n_tok, start_off)
+    * with start_off the running token total of all earlier docs in the
+    * shard. [[packByOffset]] floors it into pack ids;
+    * [[packByOffsetIncremental]] shifts it by a shard's already-packed
+    * total first.
+    */
+  private def withStartOff(
       docs: DataFrame,
-      budget: Long,
-      idCol: String = "doc_id",
-      textCol: String = "text",
-      shardCol: String = "lang",
-      chunkWidth: Long = 1 << 16,
-      countCol: Option[String] = None): DataFrame = {
-    require(budget > 0, s"budget ($budget) must be positive")
+      idCol: String,
+      textCol: String,
+      shardCol: String,
+      chunkWidth: Long,
+      countCol: Option[String]): DataFrame = {
     require(chunkWidth > 0, s"chunkWidth ($chunkWidth) must be positive")
     val nTok = countCol
       .map(c => col(c).cast("bigint"))
@@ -78,7 +82,60 @@ object Packing {
     withTok
       .join(broadcast(bases), Seq(shardCol, "__chunk"))
       .withColumn("start_off", col("__base") + sum(col("n_tok")).over(wLocal) - col("n_tok"))
+      .select(col(idCol), col(shardCol), col("n_tok"), col("start_off"))
+  }
+
+  def packByOffset(
+      docs: DataFrame,
+      budget: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shardCol: String = "lang",
+      chunkWidth: Long = 1 << 16,
+      countCol: Option[String] = None): DataFrame = {
+    require(budget > 0, s"budget ($budget) must be positive")
+    withStartOff(docs, idCol, textCol, shardCol, chunkWidth, countCol)
       .withColumn("pack_id", floor(col("start_off") / budget).cast("bigint"))
+      .select(col(idCol), col(shardCol), col("n_tok"), col("pack_id"))
+  }
+
+  /** Per-shard packed-token totals over a [[packByOffset]] assignment —
+    * the metadata relation [[packByOffsetIncremental]] continues from
+    * (one partial-agg pass; strata-sized output).
+    */
+  def packTotals(packed: DataFrame, shardCol: String = "lang"): DataFrame =
+    packed.groupBy(col(shardCol)).agg(sum(col("n_tok")).as("total_tok"))
+
+  /** INCREMENTAL packing — the [[graft.operators.Layout.shardAssignIncremental]]
+    * discipline applied to pack assembly: a growing corpus must not
+    * re-pack 100 TB to admit a new batch, so the batch's offsets are the
+    * batch-local two-pass prefix sum SHIFTED by each shard's
+    * already-packed total ([[packTotals]], a strata-sized broadcast). A
+    * shard unseen in the totals starts at offset 0 (new language mid
+    * -corpus). Under the append contract (batch ids sort after the packed
+    * corpus's ids within each shard — the same monotone-id contract the
+    * incremental index stages share), the result is ROW-IDENTICAL to
+    * re-running [[packByOffset]] over the full union and keeping the
+    * batch rows: PackingSpec pins that equivalence, and the boundary pack
+    * (a shard's last partially-filled pack) keeps filling before a new
+    * pack opens — no fragmentation cost for incrementality.
+    */
+  def packByOffsetIncremental(
+      totals: DataFrame,
+      newDocs: DataFrame,
+      budget: Long,
+      idCol: String = "doc_id",
+      textCol: String = "text",
+      shardCol: String = "lang",
+      chunkWidth: Long = 1 << 16,
+      countCol: Option[String] = None): DataFrame = {
+    require(budget > 0, s"budget ($budget) must be positive")
+    withStartOff(newDocs, idCol, textCol, shardCol, chunkWidth, countCol)
+      .join(broadcast(totals.select(col(shardCol), col("total_tok"))),
+        Seq(shardCol), "left_outer")
+      .withColumn("pack_id",
+        floor((col("start_off") + coalesce(col("total_tok"), lit(0L))) / budget)
+          .cast("bigint"))
       .select(col(idCol), col(shardCol), col("n_tok"), col("pack_id"))
   }
 

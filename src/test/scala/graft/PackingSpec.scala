@@ -35,6 +35,43 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("incremental packing == full repack's batch rows under the append contract") {
+    val base  = docs.where(col("doc_id") <= 150)
+    val batch = docs.where(col("doc_id") > 150)
+    val got = Packing.packByOffsetIncremental(
+      Packing.packTotals(Packing.packByOffset(base, budget = 16)),
+      batch, budget = 16)
+      .collect().map(_.toSeq).toSet
+    val full = Packing.packByOffset(docs, budget = 16)
+      .where(col("doc_id") > 150)
+      .collect().map(_.toSeq).toSet
+    assert(got == full,
+      "batch packed against totals must equal the full repack restricted to batch rows")
+    // the boundary pack keeps filling: the batch's first pack id per lang
+    // equals the base's last pack id per lang unless the base total landed
+    // exactly on a budget boundary — check at least one lang continues
+    val baseLast = Packing.packByOffset(base, budget = 16)
+      .groupBy("lang").agg(max("pack_id").as("last")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val batchFirst = Packing.packByOffsetIncremental(
+      Packing.packTotals(Packing.packByOffset(base, budget = 16)),
+      batch, budget = 16)
+      .groupBy("lang").agg(min("pack_id").as("first")).collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(batchFirst.exists { case (l, f) => baseLast.get(l).contains(f) },
+      s"no boundary pack continued filling: base last $baseLast, batch first $batchFirst")
+  }
+
+  test("a shard unseen in the totals starts packing at offset 0") {
+    val base = docs.where(col("lang") === "de")
+    val batch = Seq((1000L, "fr", "tok tok tok")).toDF("doc_id", "lang", "text")
+    val got = Packing.packByOffsetIncremental(
+      Packing.packTotals(Packing.packByOffset(base, budget = 16)),
+      batch, budget = 16).collect()
+    assert(got.length == 1 && got(0).getLong(3) == 0L,
+      s"new lang must open pack 0, got ${got.toSeq}")
+  }
+
   test("length-bucket batches: chunked rank == single-window form; waste arithmetic") {
     val boundaries = Seq(2, 4, 6)
     val single = {
