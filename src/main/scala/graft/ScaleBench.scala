@@ -706,6 +706,61 @@ object ScaleBench {
       clearExcept(Set.empty)
       }
 
+      // batch ADMISSION against a FIXED curated corpus — the maintenance
+      // twin of train_data_build (r20): the base is packed + sharded ONCE
+      // (amortized production state, untimed), then a ×f batch is admitted
+      // through the whole incremental chain — packByOffsetIncremental
+      // (strata-sized totals broadcast), shardAssignPos (N-row manifest
+      // windows), delta-segment append (one file per receiving shard),
+      // metadata-sized manifest fold. The claim this line measures: the
+      // cost of admitting a batch scales with the BATCH, never the corpus
+      // — the whole reason the incremental family exists.
+      if (want("train_data_incr")) {
+      val baseDocs = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select("doc_id", "lang", "text")
+      val totals = graft.operators.Packing
+        .packTotals(graft.operators.Packing.packByOffset(baseDocs, budget = 2048))
+        .localCheckpoint(true)
+      val man = graft.operators.Layout
+        .shardManifest(graft.operators.Layout.shardPlan(baseDocs, nShards = 16))
+        .localCheckpoint(true)
+      val incrDir = java.nio.file.Files.createTempDirectory(s"graft-scale-tdi$f")
+      graft.operators.Layout.shardWrite(spark, baseDocs, 16, incrDir.toString)
+      // the batch: a 10% slice replicated ×f, ids shifted ABOVE every base
+      // id (the append contract the incremental stages share)
+      val batch = replicated(baseDocs.where(col("doc_id") % 10 === 0), "doc_id", f)
+        .withColumn("doc_id", col("doc_id") + lit(10000000000L))
+        .localCheckpoint(true)
+      val nBatch = batch.count()
+      var packed: DataFrame = null
+      val p1 = time {
+        packed = graft.operators.Packing
+          .packByOffsetIncremental(totals, batch, budget = 2048)
+        packed.count()
+      }
+      var assigned: DataFrame = null
+      val p2 = time {
+        assigned = graft.operators.Layout.shardAssignPos(man, batch)
+          .localCheckpoint(true)
+        assigned.count()
+      }
+      val p3 = time {
+        graft.operators.Layout
+          .shardWriteIncremental(spark, man, batch, incrDir.toString)
+      }
+      var foldedN = 0L
+      val p4 = time {
+        foldedN = graft.operators.Layout.shardManifestFold(man, assigned).count()
+      }
+      println(
+        s"""{"pipeline":"train_data_incr","factor":$f,"mode":"linear","sec":${f"${p1 + p2 + p3 + p4}%.3f"},""" +
+        s""""pack_incr_sec":${f"$p1%.3f"},"assign_sec":${f"$p2%.3f"},""" +
+        s""""delta_write_sec":${f"$p3%.3f"},"manifest_fold_sec":${f"$p4%.3f"},""" +
+        s""""batch_docs":$nBatch,"shards":$foldedN}""")
+      rmTree(incrDir)
+      clearExcept(Set.empty)
+      }
+
       // IVF-PQ build/serve split on the replicated vector corpus: the
       // coarse-assign + PQ-encode pass is the build; ADC queries read the
       // codes + the tiny centroid/codebook tables only
