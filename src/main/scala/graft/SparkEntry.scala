@@ -121,7 +121,7 @@ object SparkEntry {
         sum(length(col("text"))).as("sum_text_len"),
         // content checksum both engines can replay: 32-bit md5 prefix
         // (15 hex digits overflowed the BIGINT sum under ANSI mode)
-        sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")).as("sum_text_md5"))
+        sum(graft.functions.HexSlice.u(md5(col("text")), 1, 8)).as("sum_text_md5"))
       .select(lit(fmt).as("fmt"), col("lang"), col("n_docs"),
         col("sum_chars"), col("sum_text_len"), col("sum_text_md5"))
       .orderBy("lang")
@@ -3498,8 +3498,7 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_docs"),
           max(col("pos")).as("max_pos"),
-          sum(conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 8),
-            16, 10).cast("long")).as("members_md5"))
+          sum(graft.functions.HexSlice.u(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 8)).as("members_md5"))
         .select(col("shard"), col("n_docs"), col("max_pos"), col("members_md5"))
         .orderBy("shard")
     }),
@@ -3521,8 +3520,7 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_docs"),
           max(col("pos")).as("max_pos"),
-          sum(conv(substring(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 8),
-            16, 10).cast("long")).as("members_md5"))
+          sum(graft.functions.HexSlice.u(md5(concat(lit("shard:"), col("doc_id").cast("string"))), 1, 8)).as("members_md5"))
         .select(col("shard"), col("n_docs"), col("max_pos"), col("members_md5"))
         .orderBy("shard")
     }),
@@ -4144,7 +4142,7 @@ object SparkEntry {
         .agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_chars")).as("sum_chars"),
-          sum(conv(substring(md5(col("text")), 1, 8), 16, 10).cast("long")).as("sum_text_md5"))
+          sum(graft.functions.HexSlice.u(md5(col("text")), 1, 8)).as("sum_text_md5"))
         .orderBy("lang")
     }),
 

@@ -233,7 +233,7 @@ object TextAnalysis {
   def hashedLinearScore(text: Column, buckets: Int = 512): Column = {
     val toks = Tokenize.tokenArray(text)
     val wInt = (w: Column) =>
-      (conv(substring(md5(w), 1, 8), 16, 10).cast("long") % buckets) % 101 - 50L
+      (graft.functions.HexSlice.u(md5(w), 1, 8) % buckets) % 101 - 50L
     val n = size(toks)
     // coalesce makes the column STATICALLY NON-NULLABLE (null text scores
     // 0.0, the same convention as token-less docs). This is a plan fix as
@@ -297,8 +297,7 @@ object TextAnalysis {
     val feats = base
       .select(col(idCol), explode(col("__toks")).as("__w"))
       .withColumn("__b",
-        conv(substring(md5(concat(lit("lrq:"), col("__w"))), 1, 15), 16, 10)
-          .cast("long") % buckets)
+        graft.functions.HexSlice.u(md5(concat(lit("lrq:"), col("__w"))), 1, 15) % buckets)
       .groupBy(col(idCol), col("__b"))
       .agg(count(lit(1)).as("__cnt"))
     val labels = base
@@ -767,8 +766,7 @@ object TextAnalysis {
       .select(col(idCol), col("__tgt"),
         explode(concat(toks, bigrams)).as("__f"))
       .withColumn("__b",
-        conv(substring(md5(concat(lit("dsir:"), col("__f"))), 1, 15), 16, 10)
-          .cast("long") % buckets)
+        graft.functions.HexSlice.u(md5(concat(lit("dsir:"), col("__f"))), 1, 15) % buckets)
       .select(col(idCol), col("__tgt"), col("__b"))
       .localCheckpoint(true)
     val cnt = feats
@@ -1146,9 +1144,8 @@ object TextAnalysis {
     // 13 hex digits = 52 uniform bits; drop iff draw < p·2^52 (the
     // threshold is a compile-time literal shared verbatim with the oracle)
     val thr = (p * (1L << 52).toDouble).toLong
-    val draw = conv(substring(md5(concat(
-      lit(s"$salt:"), col(idCol).cast("string"), lit(":"), col("__pos").cast("string"))),
-      1, 13), 16, 10).cast("long")
+    val draw = graft.functions.HexSlice.u(md5(concat(
+      lit(s"$salt:"), col(idCol).cast("string"), lit(":"), col("__pos").cast("string"))), 1, 13)
     docs
       .select(col(idCol), posexplode(split(col(textCol), "\\s+")).as(Seq("__pos", "__w")))
       .withColumn("__keep", draw >= thr)

@@ -152,7 +152,7 @@ object Chunking {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(modulus >= 2, s"modulus ($modulus) must be >= 2")
-    val hash32 = (t: Column) => conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+    val hash32 = (t: Column) => graft.functions.HexSlice.u(md5(t), 1, 8)
     docs
       .select(col(idCol), Tokenize.tokenArray(col(textCol)).as("__toks"))
       .withColumn("__n", size_(col("__toks")))
@@ -266,7 +266,7 @@ object Chunking {
       idCol: String = "doc_id",
       textCol: String = "text"): DataFrame = {
     require(modulus >= 2, s"modulus ($modulus) must be >= 2")
-    val hash32 = (t: Column) => conv(substring(md5(t), 1, 8), 16, 10).cast("long")
+    val hash32 = (t: Column) => graft.functions.HexSlice.u(md5(t), 1, 8)
     val chunks = docs
       .select(col(idCol), Tokenize.tokenArray(col(textCol)).as("__toks"))
       .withColumn("__n", size_(col("__toks")))

@@ -431,7 +431,7 @@ object Dedup {
     // 3-gram vocabularies are occurrence-sized, and halving the md5 count
     // measured the difference between 15.4 s and ~9 s at sf0.1)
     def u(digest: Column, slice: Int): Column =
-      (conv(substring(digest, slice * 6 + 1, 6), 16, 10).cast("double") + lit(0.5)) /
+      (graft.functions.HexSlice.u(digest, slice * 6 + 1, 6).cast("double") + lit(0.5)) /
         lit(16777216.0)
     // bind the digest per seed as a column: md5 is non-cheap, so
     // CollapseProject keeps the alias shared across the five slice reads
@@ -712,9 +712,16 @@ object Dedup {
     // carried it to the scan (the r13 plans showed the whole tokenize tree
     // inside this Filter, i.e. every minhash doc tokenized TWICE).
     // MinhashEquivalenceSpec pins predicate equality on real corpora.
-    val nonEmpty = docs
-      .select(col(idCol), col(textCol))
-      .where(col(textCol).rlike("[A-Za-z]"))
+    // r20 optimization (guide §2): the shingle+digest segment is the map
+    // cost of the whole family and runs before any exchange — on a narrow
+    // scan (single-file bench parquet = ONE partition) it is single-
+    // threaded. Spread is the identity on an already-wide scan, so at
+    // cluster scale no exchange is added.
+    val nonEmpty = graft.functions.Spread(
+      docs
+        .select(col(idCol), col(textCol))
+        .where(col(textCol).rlike("[A-Za-z]")),
+      col(idCol))
     val withDigests = (0 until numHashes / SlicesPerDigest)
       .foldLeft(TextAnalysis.withShingles(nonEmpty, textCol, shingleK, "__sh")) { (d, g) =>
         d.withColumn(s"__mh$g", transform(col("__sh"), s => md5(concat(lit(s"$g:"), s))))
@@ -1151,7 +1158,7 @@ object Dedup {
       // row): Jaccard against ∅ is undefined, drop them (oracle mirrors)
       .where(col("shingle").isNotNull)
       .select(col("id"),
-        conv(substring(md5(col("shingle")), 1, 15), 16, 10).cast("long").as("h"))
+        graft.functions.HexSlice.u(md5(col("shingle")), 1, 15).as("h"))
     val dfreq0 = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // stop-shingle audit: the cut's mass rides the run itself (the
     // simhashPairs dropAudit discipline) — how many distinct shingles the
@@ -1461,7 +1468,7 @@ object Dedup {
       .groupBy(col(idCol), col("word"))
       .agg(count(lit(1)).as("freq"))
       // 60-bit portable word hash: first 15 hex chars of md5, base-16 → long
-      .withColumn("h", conv(substring(md5(col("word")), 1, 15), 16, 10).cast("long"))
+      .withColumn("h", graft.functions.HexSlice.u(md5(col("word")), 1, 15))
     val bitSums = (0 until bits).map { b =>
       sum(when(expr(s"shiftright(h, $b) % 2") === 1, col("freq")).otherwise(-col("freq"))).as(s"s$b")
     }

@@ -27,7 +27,7 @@ import org.apache.spark.sql.functions._
 object Denoise {
 
   private def u52(salt: String, parts: Column*): Column =
-    conv(substring(md5(concat_ws(":", lit(salt) +: parts: _*)), 1, 13), 16, 10)
+    graft.functions.HexSlice.u(md5(concat_ws(":", lit(salt) +: parts: _*)), 1, 13)
       .cast("double") / lit(4503599627370496.0)
 
   /** Fill-in-the-middle: two md5-deterministic cuts 0 ≤ lo ≤ hi ≤ n over
@@ -107,10 +107,10 @@ object Denoise {
     val drawn = pos
       .withColumn("__dg", dg)
       .withColumn("__start",
-        conv(substring(col("__dg"), 1, 13), 16, 10).cast("double")
+        graft.functions.HexSlice.u(col("__dg"), 1, 13).cast("double")
           / lit(4503599627370496.0) < lit(pStart))
       .withColumn("__len",
-        (conv(substring(col("__dg"), 14, 3), 16, 10).cast("int") % maxLen) + 1)
+        (graft.functions.HexSlice.u(col("__dg"), 14, 3).cast("int") % maxLen) + 1)
     // coverage: each start emits its span's positions; merge by distinct
     val masked = drawn
       .where(col("__start"))

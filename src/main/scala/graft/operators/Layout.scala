@@ -437,8 +437,7 @@ object Layout {
       .agg(
         count(lit(1)).as("n_docs"),
         sum(col("n_tokens")).as("n_tokens"),
-        sum(conv(substring(md5(concat(lit("shard:"), col(idCol).cast("string"))), 1, 8),
-          16, 10).cast("long")).as("members_md5"))
+        sum(graft.functions.HexSlice.u(md5(concat(lit("shard:"), col(idCol).cast("string"))), 1, 8)).as("members_md5"))
       .orderBy(col("shard"))
 
   /** EXECUTE a [[shardPlan]] — the write half of the loader handoff (the
@@ -581,8 +580,7 @@ object Layout {
         assigned.groupBy(col("shard")).agg(
           count(lit(1)).as("n_docs"),
           sum(col("n_tokens")).as("n_tokens"),
-          sum(conv(substring(md5(concat(lit("shard:"), col(idCol).cast("string"))), 1, 8),
-            16, 10).cast("long")).as("members_md5")))
+          sum(graft.functions.HexSlice.u(md5(concat(lit("shard:"), col(idCol).cast("string"))), 1, 8)).as("members_md5")))
       .groupBy(col("shard"))
       .agg(
         sum(col("n_docs")).as("n_docs"),

@@ -30,7 +30,7 @@ object Sampling {
 
   /** The deterministic uint32 hash of (salt, id). */
   def sampleHash(id: Column, salt: String): Column =
-    conv(substring(md5(concat(lit(s"$salt:"), id.cast("string"))), 1, 8), 16, 10).cast("long")
+    graft.functions.HexSlice.u(md5(concat(lit(s"$salt:"), id.cast("string"))), 1, 8)
 
   /** Uniform deterministic sample: keep ~`fraction` of rows. */
   def deterministicSample(df: DataFrame, idCol: String, fraction: Double, salt: String = "sample"): DataFrame =
@@ -94,8 +94,7 @@ object Sampling {
       salt: String = "cap"): DataFrame = {
     require(cap > 0, s"cap ($cap) must be positive")
     import org.apache.spark.sql.GraftBridge
-    val rk = conv(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 13), 16, 10)
-      .cast("long")
+    val rk = graft.functions.HexSlice.u(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 13)
     val topk = GraftBridge.column(
       graft.plans.CosTopK(
         GraftBridge.expression(-col("__rk").cast("double")),
@@ -142,8 +141,7 @@ object Sampling {
       salt: String = "tb",
       countCol: Option[String] = None): DataFrame = {
     require(budget > 0, s"budget ($budget) must be positive")
-    val rk = conv(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 13), 16, 10)
-      .cast("long")
+    val rk = graft.functions.HexSlice.u(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 13)
     val nTok = countCol
       .map(c => col(c).cast("bigint"))
       .getOrElse(size(split(col(textCol), "\\s+")).cast("bigint"))
@@ -197,8 +195,7 @@ object Sampling {
       idCol: String = "doc_id",
       salt: String = "mix"): DataFrame = {
     require((weights.values ++ Seq(defaultWeight)).forall(_ > 0.0), "weights must be > 0")
-    val rk = conv(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 13), 16, 10)
-      .cast("long")
+    val rk = graft.functions.HexSlice.u(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 13)
     val base = docs
       .select(col(groupCol), col(idCol))
       .withColumn("__rk", rk)
@@ -215,7 +212,7 @@ object Sampling {
       when(col(groupCol) === lit(k), lit(v)).otherwise(acc)
     }
     val phi = graft.functions.Portable.pround(
-      conv(substring(md5(concat(lit(s"$salt-phi:"), col(groupCol))), 1, 13), 16, 10)
+      graft.functions.HexSlice.u(md5(concat(lit(s"$salt-phi:"), col(groupCol))), 1, 13)
         .cast("double") / lit(4503599627370496.0), 6)
     base
       .join(broadcast(bases), Seq(groupCol, "__chunk"))
@@ -287,7 +284,7 @@ object Sampling {
       .withColumn("order_key",
         md5(concat(lit(s"$salt:"), col("epoch").cast("string"), lit(":"), col(idCol).cast("string"))))
       .withColumn("shard",
-        pmod(conv(substring(col("order_key"), 1, 15), 16, 10).cast("long"), lit(nShards.toLong)))
+        pmod(graft.functions.HexSlice.u(col("order_key"), 1, 15), lit(nShards.toLong)))
       .withColumn("seq",
         row_number().over(Window.partitionBy(col("epoch"), col("shard"))
           .orderBy(col("order_key"), col(idCol))))
@@ -315,8 +312,7 @@ object Sampling {
       k: Int,
       salt: String = "wsample"): DataFrame = {
     require(k > 0, s"k ($k) must be positive")
-    val h = conv(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 13), 16, 10)
-      .cast("long")
+    val h = graft.functions.HexSlice.u(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 13)
     val u = (h + 1).cast("double") / lit(4503599627370496.0) // 2^52 → u ∈ (0, 1]
     df.where(col(weightCol) > 0)
       .withColumn("rk",
@@ -348,8 +344,7 @@ object Sampling {
       k: Int,
       salt: String = "gumbel"): DataFrame = {
     require(k > 0, s"k ($k) must be positive")
-    val h = conv(substring(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 13), 16, 10)
-      .cast("long")
+    val h = graft.functions.HexSlice.u(md5(concat(lit(s"$salt:"), col(idCol).cast("string"))), 1, 13)
     // u ∈ (0, 1) OPEN on both ends: u = 1 would send −ln(−ln u) to +∞
     val u = (h.cast("double") + 0.5) / lit(4503599627370496.0) // 2^52
     df.withColumn("gk",

@@ -302,20 +302,96 @@ object Search {
     * defined recall and emits no row — callers eval against queries
     * their corpus can answer.
     */
+  /** One-pass shared inputs for the multi-query BM25 eval family
+    * (r20 optimization, guide §2.4 — remove repeated subtree
+    * re-execution): before this, each of [[retrievalEval]] /
+    * [[avgPrecisionEval]] / [[ndcgEval]] re-derived doc lengths, corpus
+    * stats, per-query tf AND the relevance truth set straight off the
+    * token stream, so the full tokenize+explode pipeline executed 12-15×
+    * per query (the before plan carries 92 Exchanges; each union branch
+    * re-tokenizes the corpus single-threaded at bench scale). Now ONE
+    * doc-length aggregate and ONE tf aggregate (restricted to the union
+    * of all query terms — a per-(doc, matched-term) relation, corpus-
+    * linear with a tiny constant) are eagerly materialized and every
+    * consumer reads the checkpointed relations. Values are unchanged:
+    * per-query tf/df/dl/avgdl are the same aggregates read through a
+    * filter instead of recomputed, so scores and truth sets are
+    * bit-identical (oracle rows re-verified at sf0.001/0.01/0.1).
+    */
+  private def bm25EvalInputs(
+      tokens: DataFrame,
+      queries: Seq[(Int, Seq[String])],
+      idCol: String): (DataFrame, DataFrame) = {
+    val allTerms = queries.flatMap { case (_, ws) => cleanedTerms(ws) }.distinct
+    val docLens = tokens
+      .groupBy(col(idCol)).agg(count(lit(1)).as("dl"))
+      .localCheckpoint(true)
+    val tf = tokens
+      .where(col("word").isin(allTerms: _*))
+      .groupBy(col(idCol), col("word"))
+      .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
+    (docLens, tf)
+  }
+
+  /** Per-query conjunctive relevance truth sets off the shared tf
+    * relation: countDistinct over the already-(doc, word)-distinct tf
+    * rows equals countDistinct over raw occurrences, so this is the same
+    * truth set the evals previously rebuilt from the token stream.
+    */
+  private def relFromTf(
+      tf: DataFrame,
+      queries: Seq[(Int, Seq[String])],
+      idCol: String,
+      gradeCol: Option[String] = None): DataFrame =
+    queries
+      .map { case (qid, words) =>
+        val terms = cleanedTerms(words).distinct
+        val counted = tf
+          .where(col("word").isin(terms: _*))
+          .groupBy(col(idCol))
+          .agg(countDistinct(col("word")).as("__nt"))
+        gradeCol match {
+          case Some(g) =>
+            counted.select(lit(qid).as("qid"), col(idCol), col("__nt").as(g))
+          case None =>
+            counted.where(col("__nt") === terms.length)
+              .select(lit(qid).as("qid"), col(idCol))
+        }
+      }
+      .reduce(_.unionByName(_))
+
   /** BM25 top-k per query as (qid, rank, idCol): scores rounded 4 dp
     * BEFORE the bounded [[graft.plans.CosTopK]] partial top-k (ties then
     * doc ASC) — the ranking slice [[retrievalEval]] and [[ndcgEval]]
-    * share.
+    * share. Arithmetic is [[bm25Query]]'s verbatim, served from the
+    * [[bm25EvalInputs]] materialized relations.
     */
   private def bm25TopIds(
-      tokens: DataFrame,
+      docLens: DataFrame,
+      tf: DataFrame,
       queries: Seq[(Int, Seq[String])],
       k: Int,
-      idCol: String): DataFrame = {
+      idCol: String,
+      k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
     import org.apache.spark.sql.GraftBridge
+    val stats = docLens.agg(count(lit(1)).as("n_docs"), avg(col("dl")).as("avgdl"))
     val ranked = queries
       .map { case (qid, words) =>
-        bm25Query(tokens, words, idCol = idCol)
+        val terms = cleanedTerms(words)
+        val qtf = tf.where(col("word").isin(terms: _*))
+        val dfs = qtf.groupBy(col("word")).agg(countDistinct(col(idCol)).as("df_t"))
+        qtf.join(broadcast(dfs), Seq("word"))
+          .join(docLens, Seq(idCol))
+          .crossJoin(broadcast(stats))
+          .withColumn("idf",
+            log((col("n_docs") - col("df_t") + 0.5) / (col("df_t") + 0.5) + 1.0))
+          .withColumn("w",
+            col("idf") * (col("tf") * (k1 + 1.0)) /
+              (col("tf") + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl"))))
+          .groupBy(col(idCol))
+          .agg(sum(col("w")).as("score"))
           .withColumn("qid", lit(qid))
           .withColumn("score_r", graft.functions.Portable.pround(col("score"), 4))
       }
@@ -338,18 +414,9 @@ object Search {
       k: Int = 10,
       idCol: String = "doc_id"): DataFrame = {
     require(queries.nonEmpty && k >= 1, s"need queries and k >= 1 (k=$k)")
-    val top = bm25TopIds(tokens, queries, k, idCol)
-    val rel = queries
-      .map { case (qid, words) =>
-        val terms = cleanedTerms(words).distinct
-        tokens
-          .where(col("word").isin(terms: _*))
-          .groupBy(col(idCol))
-          .agg(countDistinct(col("word")).as("__nt"))
-          .where(col("__nt") === terms.length)
-          .select(lit(qid).as("qid"), col(idCol))
-      }
-      .reduce(_.unionByName(_))
+    val (docLens, tf) = bm25EvalInputs(tokens, queries, idCol)
+    val top = bm25TopIds(docLens, tf, queries, k, idCol)
+    val rel = relFromTf(tf, queries, idCol)
     val nRel = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
     val hits = top
       .join(rel, Seq("qid", idCol))
@@ -385,18 +452,9 @@ object Search {
       k: Int = 10,
       idCol: String = "doc_id"): DataFrame = {
     require(queries.nonEmpty && k >= 1, s"need queries and k >= 1 (k=$k)")
-    val top = bm25TopIds(tokens, queries, k, idCol)
-    val rel = queries
-      .map { case (qid, words) =>
-        val terms = cleanedTerms(words).distinct
-        tokens
-          .where(col("word").isin(terms: _*))
-          .groupBy(col(idCol))
-          .agg(countDistinct(col("word")).as("__nt"))
-          .where(col("__nt") === terms.length)
-          .select(lit(qid).as("qid"), col(idCol))
-      }
-      .reduce(_.unionByName(_))
+    val (docLens, tf) = bm25EvalInputs(tokens, queries, idCol)
+    val top = bm25TopIds(docLens, tf, queries, k, idCol)
+    val rel = relFromTf(tf, queries, idCol)
     val nRel = rel.groupBy(col("qid")).agg(count(lit(1)).as("n_rel"))
     val wCum = org.apache.spark.sql.expressions.Window
       .partitionBy(col("qid")).orderBy(col("rank"))
@@ -450,18 +508,10 @@ object Search {
       idCol: String = "doc_id"): DataFrame = {
     require(queries.nonEmpty && k >= 1, s"need queries and k >= 1 (k=$k)")
     import org.apache.spark.sql.GraftBridge
-    val top = bm25TopIds(tokens, queries, k, idCol)
+    val (docLens, tf) = bm25EvalInputs(tokens, queries, idCol)
+    val top = bm25TopIds(docLens, tf, queries, k, idCol)
     // graded relevance: distinct query terms present, 1..|terms|
-    val graded = queries
-      .map { case (qid, words) =>
-        val terms = cleanedTerms(words).distinct
-        tokens
-          .where(col("word").isin(terms: _*))
-          .groupBy(col(idCol))
-          .agg(countDistinct(col("word")).as("rel"))
-          .select(lit(qid).as("qid"), col(idCol), col("rel"))
-      }
-      .reduce(_.unionByName(_))
+    val graded = relFromTf(tf, queries, idCol, gradeCol = Some("rel"))
     val dcg = top
       .join(graded, Seq("qid", idCol), "left")
       .withColumn("__gain",

@@ -478,8 +478,7 @@ object Similarity {
               lit(s"kmeans|| phi exceeds decimal(38,0) verdict headroom ($phiLimit): "),
               col("__phi").cast("string"))).cast("decimal(38,0)")))))
       .withColumn("__u",
-        conv(substring(md5(concat(lit(s"kmpp:$r:"), col("__id"))), 1, 15), 16, 10)
-          .cast("long"))
+        graft.functions.HexSlice.u(md5(concat(lit(s"kmpp:$r:"), col("__id"))), 1, 15))
       .where(col("__u").cast("decimal(38,0)") * col("__phi").cast("decimal(38,0)")
         < lit(oversample.toLong).cast("decimal(38,0)")
           * col("__d2").cast("decimal(38,0)") * two60)

@@ -440,7 +440,7 @@ object Stats {
       .select(col("g1"), col("g2"), col("s1"), col("s2"),
         explode(array_union(col("s1"), col("s2"))).as("__w"))
       .withColumn("__h",
-        conv(substring(md5(col("__w")), 1, 15), 16, 10).cast("long"))
+        graft.functions.HexSlice.u(md5(col("__w")), 1, 15))
       .withColumn("__rn", row_number().over(wRank))
       .withColumn("__nu", count(lit(1)).over(wPair))
     ranked
@@ -1452,9 +1452,8 @@ object Stats {
         var f = 1.0; (1 to i).foreach(f *= _); 1.0 / f
       }.sum * math.exp(-1.0)
     }
-    val u = conv(substring(md5(concat(
-      lit(s"$salt:"), col("__rep").cast("string"), lit(":"), col(idCol).cast("string"))),
-      1, 13), 16, 10).cast("double") / lit(4503599627370496.0)
+    val u = graft.functions.HexSlice.u(md5(concat(
+      lit(s"$salt:"), col("__rep").cast("string"), lit(":"), col(idCol).cast("string"))), 1, 13).cast("double") / lit(4503599627370496.0)
     val w = cdf.zipWithIndex.foldRight(lit(9): Column) {
       case ((c, k), acc) => when(u < c, k).otherwise(acc)
     }
@@ -1761,10 +1760,8 @@ object Stats {
       .localCheckpoint(true)
     val kTot = broadcast(cats.agg(count(lit(1)).as("__k"))
       .crossJoin(rows.agg(count(lit(1)).as("__n"))))
-    val keep = conv(substring(md5(concat(lit(s"$salt:"), col("__id").cast("string"))), 1, 13),
-      16, 10).cast("double") / lit(4503599627370496.0) < lit(p)
-    val pick = conv(substring(md5(concat(lit(s"${salt}pick:"), col("__id").cast("string"))), 1, 13),
-      16, 10).cast("long")
+    val keep = graft.functions.HexSlice.u(md5(concat(lit(s"$salt:"), col("__id").cast("string"))), 1, 13).cast("double") / lit(4503599627370496.0) < lit(p)
+    val pick = graft.functions.HexSlice.u(md5(concat(lit(s"${salt}pick:"), col("__id").cast("string"))), 1, 13)
     val reported = rows
       .crossJoin(kTot.select(col("__k")))
       .withColumn("__pick", pick % col("__k"))
@@ -1796,7 +1793,7 @@ object Stats {
     // 52-bit md5 prefix → u ∈ [2^-52, 1): never exactly 0 or 1, so the
     // ln argument stays positive
     val u = greatest(
-      conv(substring(md5(concat(lit(s"$salt:"), col(groupCol).cast("string"))), 1, 13), 16, 10)
+      graft.functions.HexSlice.u(md5(concat(lit(s"$salt:"), col(groupCol).cast("string"))), 1, 13)
         .cast("double") / lit(4503599627370496.0),
       lit(math.pow(2.0, -52)))
     val centered = u - lit(0.5)
@@ -3610,6 +3607,21 @@ object Stats {
     // whatever skew the scan had. One cheap shuffle of the BASE rows
     // buys an evenly-parallel digest stage; at real scale the input is
     // already many-partitioned and this exchange is noise.
+    // r20 optimization (guide §2.3 — aggregate before you shuffle, and
+    // don't explode what a wide aggregate can fold): the former shape
+    // exploded the four slices of each quad digest into their own rows
+    // (4× the quad stream — 9.6M rows at sf0.1, b = 64) and grouped by
+    // rep with 4 aggregate columns. The slice axis is a compile-time
+    // constant, so the four slices now aggregate IN PLACE as 16 columns
+    // grouped by quad (2.4M rows through the hash aggregate instead of
+    // 9.6M; the digest count — the map-cost lever, see the quad note
+    // above — is unchanged), and the 16 finished sums unfold into the
+    // same 64 (rep, n1, n0, s1, s0) rows AFTER aggregation,
+    // metadata-sized. Group (q, sl) == group rep (= 4q + sl) row for
+    // row, and every sum is the same exact decimal over the same rows,
+    // so each replica's diff is bit-identical (oracle re-verified
+    // sf0.001/0.01/0.1). Isolated min-of-5: 11.27 s → see
+    // OPTIMIZATION_r20.md.
     val reps = rows
       .repartition(col("__id"))
       .crossJoin(broadcast(obs.select(col("__frac"))))
@@ -3617,22 +3629,34 @@ object Stats {
       .withColumn("__dg", md5(concat(
         lit(s"$salt:"), col("__q").cast("int").cast("string"),
         lit(":"), col("__id").cast("string"))))
-      .withColumn("__sl", explode(array((0 until 4).map(lit): _*)))
-      .withColumn("__rep", col("__q") * lit(4) + col("__sl"))
-      .where(col("__rep") < b)
-      .withColumn("__rt",
-        conv(col("__dg").substr(col("__sl") * lit(8) + lit(1), lit(8)), 16, 10)
-          .cast("double") / lit(4294967296.0) < col("__frac"))
-      .groupBy(col("__rep"))
+      .select(col("__q") +: col("__x") +: (0 until 4).map { sl =>
+        (graft.functions.HexSlice.u(col("__dg"), sl * 8 + 1, 8)
+          .cast("double") / lit(4294967296.0) < col("__frac")).as(s"__rt$sl")
+      }: _*)
+      .groupBy(col("__q"))
       .agg(
-        sum(col("__rt").cast("long")).as("__n1"),
-        sum((!col("__rt")).cast("long")).as("__n0"),
         // decimal(20,0) INPUTS, not 38: a long-backed per-row cast with a
         // decimal(30,0) sum is exact to 1e30 (cents × any realistic row
         // count) while the Int128 cast of a 38-precision input measured
-        // 4× the whole aggregate's cost on the 9.6M-row replica stream
-        sum(when(col("__rt"), col("__x")).otherwise(0L).cast("decimal(20,0)")).as("__s1"),
-        sum(when(!col("__rt"), col("__x")).otherwise(0L).cast("decimal(20,0)")).as("__s0"))
+        // 4× the whole aggregate's cost on the replica stream
+        sum(col("__rt0").cast("long")).as("__n1_0"),
+        (0 until 4).flatMap { sl =>
+          val rt = col(s"__rt$sl")
+          (if (sl == 0) Seq.empty[Column]
+           else Seq(sum(rt.cast("long")).as(s"__n1_$sl"))) ++ Seq(
+            sum((!rt).cast("long")).as(s"__n0_$sl"),
+            sum(when(rt, col("__x")).otherwise(0L).cast("decimal(20,0)")).as(s"__s1_$sl"),
+            sum(when(!rt, col("__x")).otherwise(0L).cast("decimal(20,0)")).as(s"__s0_$sl"))
+        }: _*)
+      .select(explode(array((0 until 4).map { sl =>
+        struct(
+          (col("__q") * 4 + sl).as("__rep"),
+          col(s"__n1_$sl").as("__n1"), col(s"__n0_$sl").as("__n0"),
+          col(s"__s1_$sl").as("__s1"), col(s"__s0_$sl").as("__s0"))
+      }: _*)).as("__r"))
+      .select(col("__r.__rep").as("__rep"), col("__r.__n1").as("__n1"),
+        col("__r.__n0").as("__n0"), col("__r.__s1").as("__s1"), col("__r.__s0").as("__s0"))
+      .where(col("__rep") < b)
       .where(col("__n1") > 0 && col("__n0") > 0)
       .select(Portable.pround(
         col("__s1").cast("double") / col("__n1").cast("double")

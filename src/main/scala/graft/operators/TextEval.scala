@@ -74,10 +74,17 @@ object TextEval {
       idCol: String,
       maxN: Int = 4): DataFrame = {
     require(maxN >= 1 && maxN <= 8, s"maxN ($maxN) must be in [1, 8]")
-    val toks = pairs.select(
+    // r20 optimization (guide §2.4): the tokenized pair relation feeds
+    // 2·maxN gram-count branches + the totals/lens aggregates — each lazy
+    // reference re-ran the pair join AND both tokenizations (the before
+    // plan carried 40 Exchanges, ~13 executions of the join+tokenize
+    // subtree). Spread first (identity on wide inputs) so the tokenize
+    // runs parallel on narrow bench scans, then materialize ONCE.
+    val toks = graft.functions.Spread(pairs, col(idCol)).select(
       col(idCol).as("__id"),
       Tokenize.tokenArray(col(candCol)).as("__ct"),
       Tokenize.tokenArray(col(refCol)).as("__rt"))
+      .localCheckpoint(true)
     val cg = gramCounts(toks.select(col("__id"), col("__ct").as("__t")), "__id", "__t", maxN)
     val rg = gramCounts(toks.select(col("__id"), col("__rt").as("__t")), "__id", "__t", maxN)
     // clipped matches: inner join suffices — a candidate gram absent from
@@ -135,10 +142,13 @@ object TextEval {
       candCol: String,
       refCol: String,
       idCol: String): DataFrame = {
-    val toks = pairs.select(
+    // r20: same materialize-once reshape as [[bleuCorpus]] (the before
+    // plan re-ran the pair join + both tokenizations per gram branch)
+    val toks = graft.functions.Spread(pairs, col(idCol)).select(
       col(idCol).as("__id"),
       Tokenize.tokenArray(col(candCol)).as("__ct"),
       Tokenize.tokenArray(col(refCol)).as("__rt"))
+      .localCheckpoint(true)
     val cg = gramCounts(toks.select(col("__id"), col("__ct").as("__t")), "__id", "__t", 2)
     val rg = gramCounts(toks.select(col("__id"), col("__rt").as("__t")), "__id", "__t", 2)
     val matched = cg
