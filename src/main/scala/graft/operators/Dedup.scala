@@ -1151,14 +1151,21 @@ object Dedup {
       textCol: String,
       dfCap: Int = Int.MaxValue,
       stopAudit: Option[org.apache.spark.sql.Observation] = None): DataFrame = {
+    // r20: Spread the tokenize+shingle+digest map segment (identity on
+    // wide inputs — guide §2) and materialize the hashed occurrence
+    // stream ONCE: it feeds both the df aggregate and the ordering join,
+    // and each lazy reference re-ran the whole derivation
     val sh = TextAnalysis
-      .withShingles(docs.select(col(idCol), col(textCol)), textCol, shingleK, "__sh")
+      .withShingles(
+        graft.functions.Spread(docs.select(col(idCol), col(textCol)), col(idCol)),
+        textCol, shingleK, "__sh")
       .select(col(idCol).as("id"), explode_outer(col("__sh")).as("shingle"))
       // token-less docs have an EMPTY shingle set (explode_outer's null
       // row): Jaccard against ∅ is undefined, drop them (oracle mirrors)
       .where(col("shingle").isNotNull)
       .select(col("id"),
         graft.functions.HexSlice.u(md5(col("shingle")), 1, 15).as("h"))
+      .localCheckpoint(true)
     val dfreq0 = sh.groupBy(col("h")).agg(count(lit(1)).as("df"))
     // stop-shingle audit: the cut's mass rides the run itself (the
     // simhashPairs dropAudit discipline) — how many distinct shingles the

@@ -311,13 +311,18 @@ object Graph {
           Seq("dst"))
         .select(col("src").as("node"), col("nl"))
         .unionAll(lab.select(col("node"), col("label").as("nl")))
+      // r20: the per-node argmax (votes DESC, nl ASC) as ONE min_by
+      // partial aggregate over the lexicographic key (−votes, nl) —
+      // bit-identical winner to the former row_number window (counts are
+      // unique per (node, nl)), without the window's per-iteration
+      // partition sort; min_by rides a hash aggregate with map-side
+      // partial merge (guide §2.4: aggregate instead of window when the
+      // window only selects one row per key)
       val next = votes
         .groupBy(col("node"), col("nl"))
         .agg(count(lit(1)).as("__votes"))
-        .withColumn("__rn", row_number().over(
-          Window.partitionBy(col("node")).orderBy(col("__votes").desc, col("nl").asc)))
-        .where(col("__rn") === 1)
-        .select(col("node"), col("nl").as("label"))
+        .groupBy(col("node"))
+        .agg(min_by(col("nl"), struct((-col("__votes")).as("nv"), col("nl"))).as("label"))
       // cut lineage periodically (the [[pagerank]] discipline) so the
       // final audited plan stays a bounded two-round chain
       if (i % 3 == 0 && i < iters) next.pin() else next

@@ -116,11 +116,22 @@ object Recommend {
     * Returns (item, neighbor, co, cos_r, rank ≤ k) ordered by (item,
     * rank); pairs below `minCo` baskets never appear.
     */
-  def itemItemCosine(lineitem: DataFrame, minCo: Long = 2, k: Int = 3): DataFrame = {
+  def itemItemCosine(
+      lineitem: DataFrame,
+      minCo: Long = 2,
+      k: Int = 3,
+      assumeDistinct: Boolean = false): DataFrame = {
     require(minCo >= 1 && k >= 1, s"minCo ($minCo) and k ($k) must be >= 1")
-    val ob = lineitem
+    // r20: materialized ONCE — the distinct basket relation feeds BOTH
+    // self-join sides and the per-item counts; the join sides share one
+    // hash-on-__ok exchange (ReuseExchange) but ni's groupBy(__it) is a
+    // different axis and re-ran the whole scan+distinct per consumer.
+    // `assumeDistinct` lets a caller holding an already-(order, item)-
+    // distinct, already-materialized relation (hitRateEval's trainLi)
+    // skip the redundant dedup shuffle and second materialization.
+    val obRaw = lineitem
       .select(col("l_orderkey").as("__ok"), col("l_partkey").as("__it"))
-      .distinct()
+    val ob = if (assumeDistinct) obRaw else obRaw.distinct().localCheckpoint(true)
     val ni = ob.groupBy(col("__it")).agg(count(lit(1)).as("__n"))
     val pairs = ob.as("a")
       .join(ob.as("b"), col("a.__ok") === col("b.__ok") && col("a.__it") < col("b.__it"))
@@ -191,17 +202,26 @@ object Recommend {
       .join(uo.select(col("cust"), col("ok")), Seq("ok"))
       .join(lastPer, Seq("cust"))
       .localCheckpoint(true)
-    val held = tagged.where(col("ok") === col("last_ok"))
-      .select(col("cust"), col("it")).distinct()
+    // r20: the held-out and train (cust, it) relations formerly deduped
+    // in two separate shuffles over the same checkpointed input; ONE
+    // groupBy(cust, it) now carries both membership flags and each side
+    // is a filter over the shared materialization. trainLi needs no
+    // dedup at all — `tagged` is already (ok, it)-distinct by
+    // construction (li is deduped on (ok, it) and both joins attach
+    // exactly one cust / last_ok per ok), so its former distinct was a
+    // full redundant shuffle.
+    val custItems = tagged
+      .groupBy(col("cust"), col("it"))
+      .agg(
+        max((col("ok") === col("last_ok")).cast("int")).as("__held"),
+        max((col("ok") =!= col("last_ok")).cast("int")).as("__train"))
       .localCheckpoint(true)
+    val held = custItems.where(col("__held") === 1).select(col("cust"), col("it"))
     val trainLi = tagged.where(col("ok") =!= col("last_ok"))
       .select(col("ok").as("l_orderkey"), col("it").as("l_partkey"))
-      .distinct()
       .localCheckpoint(true)
-    val userItems = tagged.where(col("ok") =!= col("last_ok"))
-      .select(col("cust"), col("it")).distinct()
-      .localCheckpoint(true)
-    val sims = itemItemCosine(trainLi, minCo, simK)
+    val userItems = custItems.where(col("__train") === 1).select(col("cust"), col("it"))
+    val sims = itemItemCosine(trainLi, minCo, simK, assumeDistinct = true)
       .select(col("item").as("it"), col("neighbor"), col("cos_r"))
     val recs = userItems
       .join(sims, Seq("it"))
