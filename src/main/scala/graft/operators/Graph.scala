@@ -466,10 +466,16 @@ object Graph {
       .where(col("__b") < col("__c"))
       .join(o.select(col("src").as("__b"), col("dst").as("__c")),
         Seq("__b", "__c"), "left_semi")
-    tris.select(col("__a").as("src"), col("__b").as("dst"))
-      .unionAll(tris.select(col("__a").as("src"), col("__c").as("dst")))
-      .unionAll(tris.select(col("__b").as("src"), col("__c").as("dst")))
-      .groupBy(col("src"), col("dst"))
+    // r20: one explode instead of a three-branch union — each union
+    // branch RE-EXECUTED the wedge join + closing semi-join (3× the
+    // round's dominant work; [[triangleCountsOriented]] already uses the
+    // explode shape). Same credit multiset, same counts.
+    tris
+      .select(explode(array(
+        struct(col("__a").as("src"), col("__b").as("dst")),
+        struct(col("__a").as("src"), col("__c").as("dst")),
+        struct(col("__b").as("src"), col("__c").as("dst")))).as("__e"))
+      .groupBy(col("__e.src").as("src"), col("__e.dst").as("dst"))
       .agg(count(lit(1)).as("support"))
   }
 

@@ -146,10 +146,16 @@ object Recommend {
           col("co").cast("double")
             / sqrt(col("__ni").cast("double") * col("__nj").cast("double")),
           6).as("cos_r"))
+    // r20: one explode instead of a two-branch union — each branch
+    // RE-EXECUTED the basket self-join + count + both degree joins (the
+    // dominant work); same symmetric row multiset
     val sym = scored
-      .select(col("__i").as("item"), col("__j").as("neighbor"), col("co"), col("cos_r"))
-      .unionAll(scored
-        .select(col("__j").as("item"), col("__i").as("neighbor"), col("co"), col("cos_r")))
+      .select(explode(array(
+        struct(col("__i").as("item"), col("__j").as("neighbor"), col("co"), col("cos_r")),
+        struct(col("__j").as("item"), col("__i").as("neighbor"), col("co"), col("cos_r"))))
+        .as("__s"))
+      .select(col("__s.item").as("item"), col("__s.neighbor").as("neighbor"),
+        col("__s.co").as("co"), col("__s.cos_r").as("cos_r"))
     val w = Window.partitionBy(col("item")).orderBy(col("cos_r").desc, col("neighbor"))
     sym
       .withColumn("rank", row_number().over(w))

@@ -46,7 +46,13 @@ object Stats {
         max(col(c)).cast("double").as(s"${c}__max"),
         avg(col(c).cast("double")).as(s"${c}__avg"))
     }
-    val one = df.agg(aggs.head, aggs.tail: _*)
+    // r20: k exact countDistincts plan as an Expand (k+1 rows per input
+    // row) feeding the partial aggregate — project to just the audited
+    // columns and Spread (identity on wide inputs) so that k×-multiplied
+    // map segment isn't pinned to a narrow scan's task count (guide §2)
+    val base = graft.functions.Spread(
+      df.select(cols.map(col): _*), struct(cols.map(col): _*))
+    val one = base.agg(aggs.head, aggs.tail: _*)
     val rows = cols.map { c =>
       struct(
         lit(c).as("col_name"),
