@@ -760,6 +760,8 @@ object Multimodal {
         lit("audio").as("kind"),
         encode(col("text"), "UTF-8").as("bytes"),
         col("lang").as("meta"))
+      // r20: same Spread as demoMediaFromDocuments — see the note there
+      .transform(df => graft.functions.Spread(df, col("media_id")))
       .as[MediaRecord]
       .mapPartitions { it =>
         it.map { r =>
@@ -958,6 +960,10 @@ object Multimodal {
           .otherwise("video").as("kind"),
         encode(col("text"), "UTF-8").as("bytes"),
         col("lang").as("meta"))
+      // r20: Spread (identity on wide inputs) — the codec synthesis below
+      // and EVERY downstream decode/resize/hash pass otherwise run inside
+      // the narrow scan's single task at bench scale (guide §2)
+      .transform(df => graft.functions.Spread(df, col("media_id")))
       .as[MediaRecord]
       .mapPartitions { it =>
         javax.imageio.ImageIO.setUseCache(false)
